@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Fixture-table loaders for the TPC-H-ish star schema plus the
   * `events` / `documents` / `embeddings` tables described in
@@ -21,19 +22,38 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    require(all.contains(name), s"unknown fixture table: $name (expected one of ${all.mkString(", ")})")
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  private def rawScan(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
-  def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
-  def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
-  def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
-  def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
-  def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
-  def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
-  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = rawScan(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = rawScan(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = rawScan(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = rawScan(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = rawScan(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = rawScan(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = rawScan(spark, sfDir, "region")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = rawScan(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = rawScan(spark, sfDir, "embeddings")
+
+  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as a raw long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor to Spark's native
+    * microsecond timestamp with *integer* division (`div`, never `/` — a
+    * double division of an ~1.7e18 nanos value would lose precision past
+    * 2^53). The raw nanos stay available as `ts_ns` for ordering-sensitive
+    * operators that want full precision. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    rawScan(spark, sfDir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
 
   /** Register every fixture table as a temp view so `spark.sql` queries can
     * reference them by the same names the DuckDB oracle uses. */
