@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<query>/ parquet (Spark output), runs the matching
+SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the same fixture
+tables, and compares as sorted row multisets with exact values.
+"""
+import sys, json, glob, os
+import duckdb
+
+def norm(v):
+    if isinstance(v, float):
+        # exact compare, but normalize -0.0 and NaN representation
+        if v != v:
+            return "NaN"
+        if v == 0.0:
+            return 0.0
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+def rows_of(res, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm(r[i]) for i in order) for r in res)
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        qdir = os.path.join(out_dir, name)
+        if not os.path.isdir(qdir):
+            continue
+        files = glob.glob(f"{qdir}/*.parquet")
+        if not files:
+            print(f"  {name}: NO SPARK OUTPUT"); n_fail += 1; continue
+        sres = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        scols = [d[0] for d in sres.description]
+        srows = rows_of(sres.fetchall(), scols)
+        if name not in oracle:
+            print(f"  {name}: no oracle (rows-only) rows={len(srows)}")
+            continue
+        try:
+            dres = con.sql(oracle[name])
+            dcols = [d[0] for d in dres.description]
+            drows = rows_of(dres.fetchall(), dcols)
+        except Exception as e:
+            print(f"  {name}: ORACLE SQL ERROR: {str(e).splitlines()[0][:200]}")
+            n_fail += 1; continue
+        if sorted(scols) != sorted(dcols):
+            print(f"  {name}: SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(dcols)}")
+            n_fail += 1; continue
+        if srows == drows:
+            print(f"  {name}: PASS rows={len(srows)}"); n_pass += 1
+        else:
+            n_fail += 1
+            print(f"  {name}: VALUE MISMATCH spark_rows={len(srows)} duck_rows={len(drows)}")
+            diff_s = [r for r in srows if r not in set(drows)][:3]
+            diff_d = [r for r in drows if r not in set(srows)][:3]
+            print(f"    spark-only: {diff_s}")
+            print(f"    duck-only : {diff_d}")
+    print(f"PASS={n_pass} FAIL={n_fail}")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

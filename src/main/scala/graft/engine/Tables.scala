@@ -52,7 +52,8 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     rawScan(spark, sfDir, "events")
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
   }
 
   /** Register every fixture table as a temp view so `spark.sql` queries can

@@ -1,0 +1,565 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.GraftFunctions._
+
+/** Relational operator breadth: one named query per SURVEY.md §2.2 row
+  * (scan, filter/project, every join flavor, aggregation incl. rollup/cube/
+  * grouping sets, windows, top-k, set ops, scalar-function gauntlet).
+  *
+  * Reference analogs (rws_data_ingester src/rotterdam_swimming_advice.py):
+  * the filter→extract→aggregate→format spine at :169-227 is the shape of
+  * q01; the keyed fan-out scan at :105-108 is the broadcast-join shape of
+  * q03; the first-match select at :170-185 is the semi-join shape of q06.
+  *
+  * Determinism & oracle-parity rules (see SURVEY.md §4.3/§7.4):
+  *   - money doubles aggregate as exact integer cents, divided back to
+  *     double only after the sum (bit-identical in Spark and DuckDB);
+  *   - passthrough doubles (read from parquet, never re-accumulated) are
+  *     safe to emit raw;
+  *   - integer outputs are cast on the DuckDB side to Spark's natural type
+  *     (duckdb sum(BIGINT)→HUGEINT, year()→BIGINT, ceil(DOUBLE)→DOUBLE);
+  *   - every query ends in a total ORDER BY on its key columns.
+  *
+  * Scale notes: joins against `supplier`/`nation`/`region`/`part` are
+  * explicit `broadcast()` (dims stay KB-scale even at 100 TB fact size);
+  * the large-large join (q04) is hinted sort-merge; aggregates are plain
+  * `groupBy` so Catalyst plans partial→final (map-side combine) and AQE
+  * coalesces post-shuffle partitions.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** revenue in 1e-4 units: extendedprice_cents * (100 - discount_cents) */
+  private def revE4 = sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("2000-06-30 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          (sum(cents(col("l_quantity"))).cast("double") / lit(100.0)).as("sum_qty"),
+          (sum(cents(col("l_extendedprice"))).cast("double") / lit(100.0)).as("sum_base_price"),
+          (revE4.cast("double") / lit(10000.0)).as("sum_disc_price"),
+          (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+            * (lit(100L) + cents(col("l_tax")))).cast("double") / lit(1000000.0)).as("sum_charge"),
+          (sum(cents(col("l_quantity"))).cast("double") / lit(100.0) / count(lit(1))).as("avg_qty"),
+          (sum(cents(col("l_extendedprice"))).cast("double") / lit(100.0) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q02_filter_project" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .filter((col("o_orderpriority").startsWith("1") || col("o_orderpriority").contains("HIGH"))
+          && col("o_totalprice") > 100000.0 && col("o_orderstatus") === "O")
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    "q03_broadcast_join" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"),
+          (revE4.cast("double") / lit(10000.0)).as("revenue"))
+        .orderBy("s_name")
+    }),
+
+    "q04_sortmerge_join" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).hint("merge")
+      l.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          (revE4.cast("double") / lit(10000.0)).as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q05_star_join" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA"
+          && col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+          && col("o_orderdate") < lit("1999-01-01 00:00:00").cast("timestamp"))
+        .groupBy("n_name")
+        .agg((revE4.cast("double") / lit(10000.0)).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
+    "q06_semi_join" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q07_anti_join" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_totalprice") > 450000.0),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "q08_theta_join" -> ((s, dir) => {
+      // pure non-equi predicate -> broadcast nested-loop join on the dim side
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("s_acctbal") > col("p_retailprice"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_cheaper_parts"))
+        .orderBy("s_name")
+    }),
+
+    "q09_asof_join" -> ((s, dir) => {
+      // as-of merge: for each purchase, the most recent click at/before it,
+      // per user — single shuffle on user_id + sort, no range explosion.
+      val e = Tables.events(s, dir)
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("click_ts", when(col("event_type") === "click", col("ts_us")))
+        .withColumn("asof_click_ts", coalesce(max(col("click_ts")).over(w), lit(-1L)))
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us", "asof_click_ts")
+        .orderBy("event_id")
+    }),
+
+    "q10_agg_distinct" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          (sum(cents(col("value"))).cast("double") / lit(100.0)).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
+    // HLL++ sketch differs from DuckDB's implementation -> no oracle entry
+    // (driver records rows-only). Accuracy is asserted in ScalaTest instead.
+    "q11_approx_distinct" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct("user_id").as("approx_users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    "q12_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("l_quantity"))).cast("double") / lit(100.0)).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")
+    }),
+
+    "q13_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          (sum(cents(col("o_totalprice"))).cast("double") / lit(100.0)).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("n"), col("sum_price"))
+        .orderBy("st", "pri")
+    }),
+
+    "q14_window_rank" -> ((s, dir) => {
+      val byPrice = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+      val unique = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(unique))
+        .withColumn("rnk", rank().over(byPrice))
+        .withColumn("drnk", dense_rank().over(byPrice))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk", "drnk")
+        .orderBy("o_custkey", "rn")
+    }),
+
+    "q15_window_frames" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov3 = w.rowsBetween(-2, Window.currentRow)
+      val tp = cents(col("o_totalprice"))
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          (sum(tp).over(running).cast("double") / lit(100.0)).as("running_total"),
+          (sum(tp).over(mov3).cast("double") / lit(100.0) / count(lit(1)).over(mov3)).as("moving_avg3"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "q16_window_laglead" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          coalesce(col("ts_us") - lag("ts_us", 1).over(w), lit(-1L)).as("gap_us"),
+          coalesce(lead("event_type", 1).over(w), lit("none")).as("next_type"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    "q17_topk" -> ((s, dir) => {
+      // orderBy+limit -> Catalyst TakeOrderedAndProject (no global sort)
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10)
+    }),
+
+    "q18_setops" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val a = c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val b = c.filter(col("c_acctbal") > 5000.0).select("c_custkey")
+      a.union(b).distinct().withColumn("op", lit("union"))
+        .unionByName(a.intersect(b).withColumn("op", lit("intersect")))
+        .unionByName(a.except(b).withColumn("op", lit("except")))
+        .select("op", "c_custkey")
+        .orderBy("op", "c_custkey")
+    }),
+
+    "q19_string_funcs" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          lower(col("p_name")).as("lo"),
+          upper(col("p_name")).as("up"),
+          length(col("p_name")).as("len"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("novowels"),
+          split(col("p_name"), " ").getItem(0).as("first_word"),
+          substring(col("p_name"), 1, 4).as("pre"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
+          translate(col("p_brand"), "#", "-").as("brand2"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+          reverse(col("p_type")).as("rev"))
+        .orderBy("p_partkey")
+    }),
+
+    "q20_date_funcs" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("qtr"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("ymd"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q21_math_funcs" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 50)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 0).as("rounded"),
+          abs(col("l_extendedprice") - col("l_quantity") * lit(100.0)).as("absdiff"),
+          ceil(col("l_discount") * lit(10)).as("c10"),
+          floor(col("l_tax") * lit(10)).as("f10"),
+          pmod(col("l_orderkey"), lit(7)).as("m7"),
+          greatest(col("l_quantity"), col("l_discount") * lit(100)).as("g"),
+          least(col("l_quantity"), col("l_tax") * lit(100)).as("le"),
+          sqrt(col("l_quantity")).as("sq"),
+          (col("l_quantity") * col("l_quantity")).as("q2"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q22_array_hof" -> ((s, dir) => {
+      // P2/P5/E3 analogs: per-user ordered event-type array, then HOF
+      // transform/filter/slice/element_at/array_join over it.
+      val e = Tables.events(s, dir)
+      e.groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("ts_us"), col("event_type")))).as("evs"))
+        .select(col("user_id"),
+          transform(col("evs"), x => x.getField("event_type")).as("types"))
+        .select(col("user_id"),
+          size(col("types")).as("n"),
+          array_join(slice(col("types"), 1, 3), "->").as("path3"),
+          size(filter(col("types"), t => t === "click")).as("n_clicks"),
+          array_join(array_sort(array_distinct(col("types"))), ",").as("distinct_types"),
+          element_at(col("types"), 1).as("first_type"),
+          element_at(col("types"), -1).as("last_type"))
+        .orderBy("user_id")
+    }),
+
+    "q23_map_funcs" -> ((s, dir) => {
+      // P3 analog: kv-pairs -> MapType -> canonical sorted rendering
+      Tables.events(s, dir)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+        .groupBy("user_id")
+        .agg(map_from_entries(sort_array(collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
+        .select(col("user_id"),
+          size(col("m")).as("n_keys"),
+          mapToSortedString(col("m")).as("kv"),
+          coalesce(element_at(col("m"), "purchase"), lit(0L)).as("purchases"))
+        .orderBy("user_id")
+    }),
+
+    "q24_json_funcs" -> ((s, dir) => {
+      // E1 analog: semi-structured projection with null-default
+      val e = Tables.events(s, dir)
+      val k = from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)))).getField("k")
+      e.select(col("event_id"),
+        k.as("k"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        coalesce(k % 5, lit(-1)).as("k_mod"))
+        .orderBy("event_id")
+    }),
+
+    "q25_conditional" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          when(col("c_acctbal") < 0.0, "neg")
+            .when(col("c_acctbal") < 5000.0, "mid")
+            .otherwise("high").as("bal_class"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(build)")).as("seg"),
+          (col("c_nationkey") % 5).as("nk_mod"))
+        .orderBy("c_custkey")
+    }),
+
+    // Correlated scalar subqueries (Catalyst decorrelation) — SQL text is
+    // shared verbatim with the DuckDB oracle. Integer-only comparison
+    // (cents * count > sum-of-cents) avoids float division entirely.
+    "q26_correlated_subquery" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(Shared.q26)
+    }),
+
+    "q27_grouping_sets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(Shared.q27)
+    }))
+
+  object Shared {
+    val q26: String =
+      """SELECT o_orderkey, o_custkey FROM orders o
+        |WHERE CAST(round(o_totalprice*100) AS BIGINT) *
+        |      (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |    > (SELECT sum(CAST(round(i.o_totalprice*100) AS BIGINT))
+        |       FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin
+
+    val q27: String =
+      """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag),(l_linestatus),(l_returnflag,l_linestatus))
+        |ORDER BY rf, ls""".stripMargin
+  }
+
+  private val centsSql = (c: String) => s"CAST(round($c*100) AS BIGINT)"
+  private val revSql = s"sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")}))/10000.0"
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | sum(${centsSql("l_quantity")})/100.0 AS sum_qty,
+         | sum(${centsSql("l_extendedprice")})/100.0 AS sum_base_price,
+         | $revSql AS sum_disc_price,
+         | sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")}) * (100 + ${centsSql("l_tax")}))/1000000.0 AS sum_charge,
+         | sum(${centsSql("l_quantity")})/100.0/count(*) AS avg_qty,
+         | sum(${centsSql("l_extendedprice")})/100.0/count(*) AS avg_price,
+         | count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-06-30 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice FROM orders
+        |WHERE (o_orderpriority LIKE '1%' OR o_orderpriority LIKE '%HIGH%')
+        |  AND o_totalprice > 100000.0 AND o_orderstatus = 'O'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q03_broadcast_join" ->
+      s"""SELECT s_name, count(*) AS n_items, $revSql AS revenue
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "q04_sortmerge_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items, $revSql AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_star_join" ->
+      s"""SELECT n_name, $revSql AS revenue, count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_theta_join" ->
+      """SELECT s_name, count(*) AS n_cheaper_parts
+        |FROM supplier, part WHERE s_acctbal > p_retailprice
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "q09_asof_join" ->
+      """SELECT event_id, user_id, ts_us, asof_click_ts FROM (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+        |    coalesce(max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS asof_click_ts
+        |  FROM events)
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q10_agg_distinct" ->
+      s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+         | sum(${centsSql("value")})/100.0 AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q12_rollup" ->
+      s"""SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+         | count(*) AS n, sum(${centsSql("l_quantity")})/100.0 AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY rf, ls""".stripMargin,
+
+    "q13_cube" ->
+      s"""SELECT coalesce(o_orderstatus,'ALL') AS st, coalesce(o_orderpriority,'ALL') AS pri,
+         | count(*) AS n, sum(${centsSql("o_totalprice")})/100.0 AS sum_price
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY st, pri""".stripMargin,
+
+    "q14_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |    rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+        |    dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q15_window_frames" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  sum(${centsSql("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/100.0 AS running_total,
+         |  sum(${centsSql("o_totalprice")}) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)/100.0
+         |   / count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
+         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q16_window_laglead" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  coalesce(epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id), -1) AS gap_us,
+        |  coalesce(lead(event_type, 1) OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id), 'none') AS next_type
+        |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q17_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin,
+
+    "q18_setops" ->
+      """SELECT op, c_custkey FROM (
+        |  SELECT 'union' AS op, c_custkey FROM (
+        |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |    UNION SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+        |  UNION ALL
+        |  SELECT 'intersect' AS op, c_custkey FROM (
+        |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |    INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+        |  UNION ALL
+        |  SELECT 'except' AS op, c_custkey FROM (
+        |    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |    EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0))
+        |ORDER BY op, c_custkey""".stripMargin,
+
+    "q19_string_funcs" ->
+      """SELECT p_partkey,
+        |  lower(p_name) AS lo, upper(p_name) AS up,
+        |  CAST(length(p_name) AS INTEGER) AS len,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS novowels,
+        |  string_split(p_name, ' ')[1] AS first_word,
+        |  substring(p_name, 1, 4) AS pre,
+        |  concat_ws('|', p_brand, p_type) AS bt,
+        |  translate(p_brand, '#', '-') AS brand2,
+        |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+        |  reverse(p_type) AS rev
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q20_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS ymd,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q21_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice, 0) AS rounded,
+        |  abs(l_extendedprice - l_quantity * 100.0) AS absdiff,
+        |  CAST(ceil(l_discount * 10) AS BIGINT) AS c10,
+        |  CAST(floor(l_tax * 10) AS BIGINT) AS f10,
+        |  l_orderkey % 7 AS m7,
+        |  greatest(l_quantity, l_discount * 100) AS g,
+        |  least(l_quantity, l_tax * 100) AS le,
+        |  sqrt(l_quantity) AS sq,
+        |  l_quantity * l_quantity AS q2
+        |FROM lineitem WHERE l_orderkey < 50 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q22_array_hof" ->
+      """SELECT user_id,
+        |  CAST(len(types) AS INTEGER) AS n,
+        |  array_to_string(types[1:3], '->') AS path3,
+        |  CAST(len(list_filter(types, t -> t = 'click')) AS INTEGER) AS n_clicks,
+        |  array_to_string(list_sort(list_distinct(types)), ',') AS distinct_types,
+        |  types[1] AS first_type,
+        |  types[-1] AS last_type
+        |FROM (SELECT user_id, list(event_type ORDER BY epoch_us(ts), event_type) AS types
+        |      FROM events GROUP BY user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q23_map_funcs" ->
+      """SELECT user_id,
+        |  CAST(count(*) AS INTEGER) AS n_keys,
+        |  array_to_string(list(event_type || '=' || CAST(cnt AS VARCHAR) ORDER BY event_type), ',') AS kv,
+        |  coalesce(max(CASE WHEN event_type = 'purchase' THEN cnt END), 0) AS purchases
+        |FROM (SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q24_json_funcs" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k,
+        |  regexp_extract(props, '"k": ([0-9]+)', 1) AS k_str,
+        |  coalesce(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) % 5, -1) AS k_mod
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q25_conditional" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal < 0.0 THEN 'neg'
+        |       WHEN c_acctbal < 5000.0 THEN 'mid' ELSE 'high' END AS bal_class,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(build)') AS seg,
+        |  c_nationkey % 5 AS nk_mod
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q26_correlated_subquery" -> Shared.q26,
+    "q27_grouping_sets" -> Shared.q27)
+}
