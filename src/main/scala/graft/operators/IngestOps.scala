@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.GraftFunctions._
+
+/** The reference's ingest/extract operator set (rws_data_ingester
+  * src/rotterdam_swimming_advice.py) re-expressed as reusable, scalable
+  * Spark operators over the fixture tables:
+  *
+  *   - q30 first-match-with-default  — P2 (:59-62) / E2 (:170-185)
+  *   - q31 kv-pairs → map            — P3 (:65-76)
+  *   - q32 concat-aggregate          — P4 (:79-80) / A1 (:111-115)
+  *   - q33 error-tolerant parse      — P6 (:94-95) / S2 (:138-141)
+  *   - q34 template/report format    — E5 (:192-227) / K1-K2 (:248-296)
+  *   - q35 keyed fan-out scan        — S4 (:98-109)
+  *   - q36 multi-source union        — S3 (:144-155) / S5 (:32-34)
+  *
+  * All composed from codegen'd built-ins (array HOFs, map_from_entries,
+  * format/concat) — the reference's row-at-a-time Python loops become
+  * single narrow whole-stage-codegen projections, so the same plans hold
+  * at 100 TB (no driver-side iteration anywhere).
+  */
+object IngestOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact 2-decimal rendering of integer cents — portable to DuckDB
+    * without printf rounding-mode drift. Handles negatives. */
+  private def centsToString(c: org.apache.spark.sql.Column) = {
+    val sign = when(c < 0, "-").otherwise("")
+    val a = abs(c)
+    concat(sign, floor(a / lit(100L)).cast("long").cast("string"), lit("."),
+      lpad((a % lit(100L)).cast("string"), 2, "0"))
+  }
+  private val centsToStringSql = (c: String) =>
+    s"(CASE WHEN $c < 0 THEN '-' ELSE '' END || CAST(abs($c)//100 AS VARCHAR) || '.' || lpad(CAST(abs($c)%100 AS VARCHAR), 2, '0'))"
+
+  val queries: Map[String, Q] = Map(
+    // P2/E2: first element of an ordered collection matching a contains-
+    // predicate, with a default when nothing matches — the reference's
+    // `next(item for item in related if "Wind" in item["label"])`.
+    "q30_first_match_default" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val firstMatch = element_at(
+        filter(col("evs"), x => x.getField("event_type").contains("purch")), 1)
+      e.groupBy("user_id")
+        .agg(sort_array(collect_list(
+          struct(col("ts_us"), col("event_type"), col("value")))).as("evs"))
+        .select(col("user_id"),
+          coalesce(firstMatch.getField("value"), lit(-1.0)).as("first_purchase_value"),
+          coalesce(firstMatch.getField("ts_us"), lit(-1L)).as("first_purchase_ts"))
+        .orderBy("user_id")
+    }),
+
+    // P3: "key: value" strings split, trimmed, and gathered into a MapType,
+    // then projected by key — the reference's spot-info dict build.
+    "q31_kv_to_map" -> ((s, dir) => {
+      val kvs = array(
+        concat(lit("brand: "), col("p_brand")),
+        concat(lit("type: "), col("p_type")),
+        concat(lit("size: "), col("p_size").cast("string")))
+      Tables.part(s, dir)
+        .select(col("p_partkey"), map_from_entries(transform(kvs,
+          kv => struct(trim(element_at(split(kv, ":"), 1)),
+            trim(element_at(split(kv, ":"), 2))))).as("m"))
+        .select(col("p_partkey"),
+          element_at(col("m"), "brand").as("brand"),
+          element_at(col("m"), "type").as("ptype"),
+          element_at(col("m"), "size").as("size_str"),
+          mapToSortedString(col("m")).as("kv"))
+        .orderBy("p_partkey")
+    }),
+
+    // P4/A1: gather-all + "\n".join — fingerprinted with md5 so the oracle
+    // compares a bounded value instead of a megabyte blob.
+    "q32_concat_agg" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(md5(array_join(sort_array(collect_list(col("text"))), "\n")).as("blob_md5"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
+    // P6/S2: try-parse-else-error-record. Every 10th payload is corrupted;
+    // the parse failure becomes a typed {error, raw} channel instead of a
+    // job failure, downstream filterable — the reference's :94-95.
+    "q33_error_tolerant_parse" -> ((s, dir) => {
+      val raw = when(col("event_id") % 10 === 0, concat(lit("oops"), col("props")))
+        .otherwise(col("props"))
+      val parsed = from_json(raw, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType))))
+      Tables.events(s, dir)
+        .withColumn("raw", raw)
+        .withColumn("k", parsed.getField("k"))
+        .select(col("event_id"),
+          coalesce(col("k"), lit(-1)).as("k"),
+          when(col("k").isNull, 1).otherwise(0).as("is_err"),
+          when(col("k").isNull, substring(col("raw"), 1, 4)).otherwise(lit("")).as("raw_head"))
+        .orderBy("event_id")
+    }),
+
+    // E5/K1/K2: multi-line template assembly + the "\n" -> "<br>" sink
+    // rewrite. Money is rendered from exact cents (no printf drift).
+    "q34_template_report" -> ((s, dir) => {
+      val joined = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      val agg = joined.groupBy("n_name")
+        .agg(countDistinct(col("c_custkey")).as("n_customers"),
+          sum(cents(col("o_totalprice"))).as("total_cents"),
+          max(col("o_orderdate")).as("last_order"))
+      agg.select(col("n_name"),
+        concat(
+          lit("Report for "), col("n_name"), lit("\n"),
+          lit("- customers: "), col("n_customers").cast("string"), lit("\n"),
+          lit("- order total: "), centsToString(col("total_cents")), lit("\n"),
+          lit("- last order: "), date_format(col("last_order"), "yyyy-MM-dd")).as("report"))
+        .withColumn("report_html", regexp_replace(col("report"), "\n", "<br>"))
+        .orderBy("n_name")
+    }),
+
+    // S4: a tiny id dimension drives the scan (the reference's
+    // ZWEMWATER_IDS fan-out) — broadcast-joined, never collected.
+    "q35_fanout_scan" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Seq(2L, 5L, 7L, 11L).toDF("user_id")
+      val e = Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("sum_cents"))
+      broadcast(ids).join(e, Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          (coalesce(col("sum_cents"), lit(0L)).cast("double") / lit(100.0)).as("sum_value"))
+        .orderBy("user_id")
+    }),
+
+    // S3/S5: two heterogeneous sources normalized to one schema and
+    // unioned — the reference's dual-endpoint gather + identifier merge.
+    "q36_multi_source_union" -> ((s, dir) => {
+      val evt = Tables.events(s, dir)
+        .select(lit("evt").as("src"), col("event_id").as("id"), col("event_type").as("payload"))
+      val doc = Tables.documents(s, dir)
+        .select(lit("doc").as("src"), col("doc_id").as("id"), col("lang").as("payload"))
+      evt.unionByName(doc)
+        .groupBy("src", "payload")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("src", "payload")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q30_first_match_default" ->
+      """SELECT user_id,
+        |  coalesce(arg_min(value, epoch_us(ts)) FILTER (WHERE event_type LIKE '%purch%'), -1.0) AS first_purchase_value,
+        |  coalesce(min(epoch_us(ts)) FILTER (WHERE event_type LIKE '%purch%'), -1) AS first_purchase_ts
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q31_kv_to_map" ->
+      """SELECT p_partkey, p_brand AS brand, p_type AS ptype,
+        |  CAST(p_size AS VARCHAR) AS size_str,
+        |  'brand=' || p_brand || ',size=' || CAST(p_size AS VARCHAR) || ',type=' || p_type AS kv
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q32_concat_agg" ->
+      """SELECT lang, md5(string_agg(text, chr(10) ORDER BY text)) AS blob_md5,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q33_error_tolerant_parse" ->
+      """SELECT event_id,
+        |  CASE WHEN event_id % 10 = 0 THEN -1
+        |       ELSE CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) END AS k,
+        |  CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END AS is_err,
+        |  CASE WHEN event_id % 10 = 0 THEN substring('oops' || props, 1, 4) ELSE '' END AS raw_head
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q34_template_report" -> {
+      val total = centsToStringSql("sum(CAST(round(o_totalprice*100) AS BIGINT))")
+      s"""SELECT n_name,
+         |  'Report for ' || n_name || chr(10) ||
+         |  '- customers: ' || CAST(count(DISTINCT c_custkey) AS VARCHAR) || chr(10) ||
+         |  '- order total: ' || $total || chr(10) ||
+         |  '- last order: ' || strftime(max(o_orderdate), '%Y-%m-%d') AS report,
+         |  'Report for ' || n_name || '<br>' ||
+         |  '- customers: ' || CAST(count(DISTINCT c_custkey) AS VARCHAR) || '<br>' ||
+         |  '- order total: ' || $total || '<br>' ||
+         |  '- last order: ' || strftime(max(o_orderdate), '%Y-%m-%d') AS report_html
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin
+    },
+
+    "q35_fanout_scan" ->
+      """SELECT ids.user_id AS user_id,
+        |  CAST(count(e.event_id) AS BIGINT) AS n_events,
+        |  coalesce(sum(CAST(round(e.value*100) AS BIGINT)), 0)/100.0 AS sum_value
+        |FROM (VALUES (2),(5),(7),(11)) AS ids(user_id)
+        |LEFT JOIN events e ON e.user_id = ids.user_id
+        |GROUP BY ids.user_id ORDER BY user_id""".stripMargin,
+
+    "q36_multi_source_union" ->
+      """SELECT src, payload, count(*) AS n FROM (
+        |  SELECT 'evt' AS src, event_id AS id, event_type AS payload FROM events
+        |  UNION ALL
+        |  SELECT 'doc' AS src, doc_id AS id, lang AS payload FROM documents)
+        |GROUP BY src, payload ORDER BY src, payload""".stripMargin)
+}
