@@ -38,9 +38,13 @@ object GraftFunctions {
     * 1-based list indexing. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
-      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*))
+    // Guard: Spark's sequence(1, x) with x < 1 generates a DESCENDING
+    // sequence [1, 0], not an empty one — short docs must short-circuit.
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Distinct shingles (set semantics for Jaccard). */

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.GraftFunctions._
+import graft.functions.HashFunctions._
+
+/** Deduplication for training-data pipelines (SURVEY.md §2.2 LLM rows):
+  *
+  *   - q40 exact dedup        — hash-groupBy on content
+  *   - q41 MinHash + LSH      — shingle → 16-perm signature → 4×4 band
+  *                              bucketing → candidate pairs → exact
+  *                              Jaccard verification
+  *   - q42 SimHash            — 16-bit token-hash sign aggregate
+  *   - q43 n-gram Jaccard     — exact pairwise on a bounded probe set
+  *
+  * Scale design: q41 is the 100 TB path — signatures are fixed-width
+  * (16 longs) regardless of document size, candidate generation is an
+  * equi-join on (band, key) so it shuffles only bucket-colliding docs
+  * (near-linear), and exact verification touches only candidate pairs.
+  * Nothing is ever collected to the driver. All hashing is md5-based
+  * (HashFunctions) so the DuckDB oracle reproduces results bit-for-bit.
+  */
+object DedupOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand = 4
+
+  /** doc_id + distinct 3-gram shingle set (empty-set docs dropped). */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), shingleSet(col("text"), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+  /** MinHash signature: per hash i, min over shingle codes of the affine
+    * hash — one fixed-width array column, codegen'd HOFs only. */
+  private def withSignature(sets: DataFrame): DataFrame =
+    sets
+      .withColumn("codes", transform(col("shingles"), sh => md5Code60(sh)))
+      .withColumn("sig", transform(sequence(lit(1), lit(NumHashes)),
+        i => array_min(transform(col("codes"), c => affineHash(i, c)))))
+
+  /** One row per (doc, band): band key = joined signature slice. */
+  private def bands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"))
+      .withColumn("j", explode(sequence(lit(0), lit(Bands - 1))))
+      .withColumn("bkey", array_join(
+        transform(slice(col("sig"), col("j") * lit(RowsPerBand) + lit(1), lit(RowsPerBand)),
+          v => v.cast("string")), "_"))
+      .select("doc_id", "j", "bkey")
+
+  private def jaccardCols(a: Column, b: Column): (Column, Column) = {
+    val inter = size(array_intersect(a, b))
+    val uni = size(a) + size(b) - inter
+    (inter, uni)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q40_exact_dedup" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies"),
+          md5(col("text")).as("text_md5"))
+        .select("keeper_id", "n_copies", "text_md5")
+        .orderBy("keeper_id")
+    }),
+
+    "q41_minhash_lsh" -> ((s, dir) => {
+      val sets = shingleSets(s, dir)
+      val b = bands(withSignature(sets))
+      val cand = b.as("a").join(b.as("b"),
+          col("a.j") === col("b.j") && col("a.bkey") === col("b.bkey")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sa = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+      val sb = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+      val (inter, uni) = jaccardCols(col("sh_a"), col("sh_b"))
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("inter", inter)
+        .withColumn("uni", uni)
+        .filter(col("inter") * 2 >= col("uni"))
+        .withColumn("jac_bp", expr("inter * 10000L div uni"))
+        .select("doc_a", "doc_b", "inter", "uni", "jac_bp")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "q42_simhash" -> ((s, dir) => {
+      val pow2 = array((0 until 16).map(j => lit(1L << j)): _*)
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+        .withColumn("codes", transform(col("toks"), t => md5Code60(t) % lit(65536L)))
+      val bits = transform(sequence(lit(0), lit(15)), j => {
+        val p2 = element_at(pow2, j + lit(1))
+        val score = aggregate(col("codes"), lit(0L),
+          (acc, c) => acc + ((c / p2).cast("long") % lit(2L)) * lit(2L) - lit(1L))
+        when(score >= 0, lit(1L)).otherwise(lit(0L))
+      })
+      d.withColumn("simhash", aggregate(reverse(bits), lit(0L), (acc, b) => acc * 2 + b))
+        .select(col("doc_id"), col("simhash"), size(col("toks")).as("n_toks"))
+        .orderBy("doc_id")
+    }),
+
+    "q43_jaccard_pairs" -> ((s, dir) => {
+      val sets = shingleSets(s, dir).filter(col("doc_id") < 30)
+      val a = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+      val b = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+      val (inter, uni) = jaccardCols(col("sh_a"), col("sh_b"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .withColumn("inter", inter)
+        .withColumn("uni", uni)
+        .withColumn("jac_bp", expr("inter * 10000L div uni"))
+        .select("doc_a", "doc_b", "inter", "uni", "jac_bp")
+        .orderBy("doc_a", "doc_b")
+    }))
+
+  // ---- DuckDB oracle ------------------------------------------------------
+
+  /** Shared CTE: distinct 3-gram shingle sets per doc. Kept single-line —
+    * these fragments are interpolated into stripMargin'd outer strings,
+    * and a continuation line starting with `||` would lose a bar. */
+  private val setsCte =
+    """s AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(string_split(text,' ')) - 2),
+      |    i -> (string_split(text,' '))[i] || ' ' || (string_split(text,' '))[i+1] || ' ' || (string_split(text,' '))[i+2])) AS shingles
+      |  FROM documents WHERE len(string_split(text,' ')) >= 3)""".stripMargin.replace("\n", " ")
+
+  private val jacSelect =
+    """SELECT doc_a, doc_b, inter, uni, CAST(inter * 10000 // uni AS BIGINT) AS jac_bp FROM (
+      |  SELECT doc_a, doc_b,
+      |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS INTEGER) AS inter,
+      |    CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS INTEGER) AS uni
+      |  FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b)""".stripMargin.replace("\n", " ")
+
+  val oracle: Map[String, String] = Map(
+    "q40_exact_dedup" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, md5(text) AS text_md5
+        |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
+
+    "q41_minhash_lsh" -> {
+      val code = md5Code60Sql("sh")
+      val affine = affineHashSql("i", "x")
+      s"""WITH $setsCte,
+         |c AS (SELECT doc_id, list_transform(shingles, sh -> $code) AS codes FROM s),
+         |sg AS (SELECT doc_id, list_transform(generate_series(1, $NumHashes),
+         |        i -> list_min(list_transform(codes, x -> $affine))) AS sig FROM c),
+         |bands AS (SELECT doc_id, j,
+         |  array_to_string(sig[j*$RowsPerBand+1 : j*$RowsPerBand+$RowsPerBand], '_') AS bkey
+         |  FROM sg, generate_series(0, ${Bands - 1}) t(j)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |  ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |$jacSelect
+         |WHERE inter * 2 >= uni ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q42_simhash" -> {
+      val code = md5Code60Sql("t")
+      s"""SELECT doc_id,
+         |  list_reduce(list_reverse(list_transform(generate_series(0,15), j ->
+         |    CAST(CASE WHEN list_reduce(list_transform(codes, c ->
+         |        (c // ([1,2,4,8,16,32,64,128,256,512,1024,2048,4096,8192,16384,32768])[j+1]) % 2 * 2 - 1),
+         |      (acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END AS BIGINT))),
+         |    (acc, b) -> acc*2 + b) AS simhash,
+         |  CAST(len(toks) AS INTEGER) AS n_toks
+         |FROM (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks,
+         |        list_transform(list_distinct(string_split(text,' ')), t -> ($code) % 65536) AS codes
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q43_jaccard_pairs" ->
+      s"""WITH $setsCte,
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE a.doc_id < 30 AND b.doc_id < 30)
+         |$jacSelect
+         |ORDER BY doc_a, doc_b""".stripMargin)
+}

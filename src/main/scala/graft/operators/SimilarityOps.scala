@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over `embeddings.embedding` (64-dim float vectors):
+  *
+  *   - q44 brute-force cosine top-k — the correctness baseline: probe set
+  *     broadcast against all candidates, windowed top-k per probe
+  *   - q45 LSH-bucketed ANN — the scale path: 8 sign-random-projection
+  *     bits bucket the space (~1/256 of candidates per probe), then exact
+  *     cosine re-ranking inside the bucket only
+  *   - q46 per-vector stats — norms via sequential HOF folds
+  *
+  * Scale design: q44 is O(probes × corpus) and only acceptable for small
+  * probe sets (it broadcasts the probes, streaming the corpus exactly
+  * once); q45's bucketing turns the same search near-linear — buckets are
+  * an equi-join key, so the corpus shuffles once by bucket and each probe
+  * compares against its bucket only. Hyperplanes are derived from integer
+  * arithmetic (no RNG state), so any engine reproduces identical buckets
+  * and the DuckDB oracle checks both queries exactly: every float op is a
+  * sequential left fold in both engines -> bit-identical doubles.
+  */
+object SimilarityOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val Dim = 64
+  val Planes = 8
+  val TopK = 10
+  val NumProbes = 10
+
+  /** Signed-random-projection bucket id: bit j = sign(v · plane_j), with
+    * plane_j[c] = ((j*64+c-1)*2654435761 mod 1000003)/1000003 - 0.5. */
+  private def bucket(vec: Column): Column = {
+    val bits = transform(sequence(lit(0), lit(Planes - 1)), j => {
+      val proj = aggregate(sequence(lit(1), lit(Dim)), lit(0.0d),
+        (acc, c) => acc + element_at(vec, c).cast("double") *
+          (((j * lit(64) + c - lit(1)) * lit(2654435761L) % lit(1000003L)).cast("double")
+            / lit(1000003.0) - lit(0.5)))
+      when(proj > 0, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(reverse(bits), lit(0L), (acc, b) => acc * 2 + b)
+  }
+
+  private def topkPerProbe(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+      .select("probe_id", "cand_id", "rn", "score")
+      .orderBy("probe_id", "rn")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q44_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val cands = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
+      topkPerProbe(broadcast(probes)
+        .join(cands, col("probe_id") =!= col("cand_id"))
+        .withColumn("score", cosine(col("pe"), col("ce"))))
+    }),
+
+    "q45_ann_lsh" -> ((s, dir) => {
+      val b = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bucket"))
+      val probes = b.filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("bucket"))
+      val cands = b.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("bucket"))
+      topkPerProbe(broadcast(probes)
+        .join(cands, Seq("bucket"))
+        .filter(col("probe_id") =!= col("cand_id"))
+        .withColumn("score", cosine(col("pe"), col("ce"))))
+    }),
+
+    "q46_embedding_stats" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      emb.select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        normSq(col("embedding")).as("norm_sq"),
+        norm(col("embedding")).as("l2_norm"))
+        .orderBy("vec_id")
+    }))
+
+  // ---- DuckDB oracle ------------------------------------------------------
+
+  /** Sequential-fold dot product — same order as Spark's aggregate HOF
+    * (list_reduce's implicit first-element init == fold from 0.0). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, $Dim),
+       | i -> CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE)), (x, y) -> x + y)""".stripMargin.replace("\n", " ")
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  private val bucketSql =
+    s"""list_reduce(list_reverse(list_transform(generate_series(0, ${Planes - 1}), j ->
+       | CAST(CASE WHEN list_reduce(list_transform(generate_series(1, $Dim),
+       |   c -> CAST(embedding[c] AS DOUBLE) *
+       |        (CAST((j*64 + c - 1) * 2654435761 % 1000003 AS DOUBLE)/1000003.0 - 0.5)),
+       |   (x, y) -> x + y) > 0 THEN 1 ELSE 0 END AS BIGINT))),
+       | (acc, b) -> acc*2 + b)""".stripMargin.replace("\n", " ")
+
+  val oracle: Map[String, String] = Map(
+    "q44_cosine_topk" ->
+      s"""SELECT probe_id, cand_id, rn, score FROM (
+         |  SELECT probe_id, cand_id,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn, score
+         |  FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |      ${cosSql("p.embedding", "c.embedding")} AS score
+         |    FROM embeddings p JOIN embeddings c ON p.vec_id != c.vec_id
+         |    WHERE p.vec_id < $NumProbes))
+         |WHERE rn <= $TopK ORDER BY probe_id, rn""".stripMargin,
+
+    "q45_ann_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+         |SELECT probe_id, cand_id, rn, score FROM (
+         |  SELECT probe_id, cand_id,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn, score
+         |  FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |      ${cosSql("p.embedding", "c.embedding")} AS score
+         |    FROM b p JOIN b c ON p.bucket = c.bucket AND p.vec_id != c.vec_id
+         |    WHERE p.vec_id < $NumProbes))
+         |WHERE rn <= $TopK ORDER BY probe_id, rn""".stripMargin,
+
+    "q46_embedding_stats" ->
+      s"""SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim,
+         |  ${dotSql("embedding", "embedding")} AS norm_sq,
+         |  sqrt(${dotSql("embedding", "embedding")}) AS l2_norm
+         |FROM embeddings ORDER BY vec_id""".stripMargin)
+}

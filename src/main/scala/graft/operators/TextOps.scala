@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.GraftFunctions._
+
+/** Text analysis over `documents` (SURVEY.md §2.2 LLM-pipeline rows):
+  *
+  *   - q50 token statistics per language
+  *   - q51 language identification — corpus-derived top-token vocabulary
+  *     per language, docs classified by vocabulary overlap (an n-gram
+  *     heuristic with no external model; the vocabulary is itself a
+  *     windowed top-k aggregation, so the whole classifier is one DAG)
+  *   - q52 quality scoring — length / distinct-ratio / stopword-ratio
+  *     buckets, all integer arithmetic (no float thresholds to drift)
+  *   - q53 rolling-hash document fingerprinting (fixed-width, content
+  *     defined), with collision counts
+  *   - q54 regex tokenization counts (BPE-ish piece extraction)
+  *
+  * Scale: everything is explode → groupBy → window (shuffle-bounded);
+  * the vocabulary join (q51) broadcasts (5 langs × 20 tokens).
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val VocabTopN = 20
+  val Stopwords = Seq("the", "a", "of", "and", "to")
+
+  val queries: Map[String, Q] = Map(
+    "q50_token_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("lang"), tokens(col("text")).as("toks"))
+        .select(col("lang"), size(col("toks")).as("n_tok"),
+          size(array_distinct(col("toks"))).as("n_uniq"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tokens"),
+          sum(col("n_uniq")).as("sum_uniq"),
+          max(col("n_tok")).as("max_tokens"))
+        .orderBy("lang")
+    }),
+
+    "q51_lang_id" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tokCounts = docs.select(col("lang"), explode(tokens(col("text"))).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      val wv = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token"))
+      val vocab = tokCounts.withColumn("rn", row_number().over(wv))
+        .filter(col("rn") <= VocabTopN)
+        .select(col("lang").as("vlang"), col("token"))
+      val docToks = docs.select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+      val scores = docToks.join(broadcast(vocab), "token")
+        .groupBy("doc_id", "vlang").agg(count(lit(1)).as("matches"))
+      val wp = Window.partitionBy("doc_id").orderBy(col("matches").desc, col("vlang"))
+      val pred = scores.withColumn("rn", row_number().over(wp))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("vlang"), col("matches"))
+      val predicted = coalesce(col("vlang"), lit("xx"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(pred, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          predicted.as("predicted"),
+          coalesce(col("matches"), lit(0L)).as("matches"),
+          col("lang").as("actual"),
+          when(predicted === col("lang"), 1).otherwise(0).as("correct"))
+        .orderBy("doc_id")
+    }),
+
+    "q52_quality_score" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("n_chars"),
+          size(col("toks")).as("n_tok"),
+          size(array_distinct(col("toks"))).as("n_uniq"),
+          aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
+          size(filter(col("toks"), t => t.isin(Stopwords: _*))).as("stop_cnt"))
+        .withColumn("avg_len_x100", expr("sum_len * 100 div n_tok"))
+        .withColumn("bucket",
+          when(col("n_uniq") * 10 >= col("n_tok") * 7 && col("stop_cnt") * 10 <= col("n_tok") * 3, "high")
+            .when(col("n_uniq") * 10 >= col("n_tok") * 4, "mid")
+            .otherwise("low"))
+        .select("doc_id", "n_chars", "n_tok", "n_uniq", "avg_len_x100", "stop_cnt", "bucket")
+        .orderBy("doc_id")
+    }),
+
+    "q53_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), rollingFingerprint(col("text")).as("fp"))
+        .withColumn("fp_count", count(lit(1)).over(Window.partitionBy("fp")))
+        .orderBy("doc_id")
+    }),
+
+    "q54_regex_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(filter(col("toks"), t => t.rlike("^[a-z]+$"))).as("n_alpha"),
+          size(filter(col("toks"), t => t.rlike("^[0-9]+$"))).as("n_num"),
+          size(filter(col("toks"), t => length(t) >= 6)).as("n_long"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("n_pieces"))
+        .orderBy("doc_id")
+    }))
+
+  // ---- DuckDB oracle ------------------------------------------------------
+
+  private val toksSql = "string_split(text,' ')"
+
+  val oracle: Map[String, String] = Map(
+    "q50_token_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len($toksSql)) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(len(list_distinct($toksSql))) AS BIGINT) AS sum_uniq,
+         |  CAST(max(len($toksSql)) AS INTEGER) AS max_tokens
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q51_lang_id" ->
+      s"""WITH tc AS (
+         |  SELECT lang, unnest($toksSql) AS token FROM documents),
+         |counts AS (SELECT lang, token, count(*) AS cnt FROM tc GROUP BY 1, 2),
+         |vocab AS (SELECT lang AS vlang, token FROM (
+         |  SELECT lang, token, row_number() OVER
+         |    (PARTITION BY lang ORDER BY cnt DESC, token) AS rn FROM counts)
+         |  WHERE rn <= $VocabTopN),
+         |dt AS (SELECT doc_id, unnest(list_distinct($toksSql)) AS token FROM documents),
+         |scores AS (SELECT doc_id, vlang, count(*) AS matches
+         |  FROM dt JOIN vocab USING (token) GROUP BY 1, 2),
+         |pred AS (SELECT doc_id, vlang, matches FROM (
+         |  SELECT doc_id, vlang, matches, row_number() OVER
+         |    (PARTITION BY doc_id ORDER BY matches DESC, vlang) AS rn FROM scores)
+         |  WHERE rn = 1)
+         |SELECT d.doc_id,
+         |  coalesce(p.vlang, 'xx') AS predicted,
+         |  coalesce(p.matches, 0) AS matches,
+         |  d.lang AS actual,
+         |  CASE WHEN coalesce(p.vlang, 'xx') = d.lang THEN 1 ELSE 0 END AS correct
+         |FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q52_quality_score" ->
+      s"""SELECT doc_id, n_chars, n_tok, n_uniq,
+         |  sum_len * 100 // n_tok AS avg_len_x100, stop_cnt,
+         |  CASE WHEN n_uniq*10 >= n_tok*7 AND stop_cnt*10 <= n_tok*3 THEN 'high'
+         |       WHEN n_uniq*10 >= n_tok*4 THEN 'mid' ELSE 'low' END AS bucket
+         |FROM (
+         |  SELECT doc_id, n_chars,
+         |    CAST(len($toksSql) AS INTEGER) AS n_tok,
+         |    CAST(len(list_distinct($toksSql)) AS INTEGER) AS n_uniq,
+         |    list_reduce(list_transform($toksSql, t -> CAST(length(t) AS BIGINT)),
+         |      (acc, v) -> acc + v) AS sum_len,
+         |    CAST(len(list_filter($toksSql,
+         |      t -> t IN (${Stopwords.map("'" + _ + "'").mkString(", ")}))) AS INTEGER) AS stop_cnt
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q53_fingerprint" ->
+      s"""SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS fp_count FROM (
+         |  SELECT doc_id, list_reduce(
+         |    list_transform($toksSql, t -> CAST(length(t)*256 + ascii(t) AS BIGINT)),
+         |    (acc, c) -> (acc*31 + c) % 1000000007) AS fp
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q54_regex_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter($toksSql, t -> regexp_full_match(t, '[a-z]+'))) AS INTEGER) AS n_alpha,
+         |  CAST(len(list_filter($toksSql, t -> regexp_full_match(t, '[0-9]+'))) AS INTEGER) AS n_num,
+         |  CAST(len(list_filter($toksSql, t -> length(t) >= 6)) AS INTEGER) AS n_long,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_pieces
+         |FROM documents ORDER BY doc_id""".stripMargin)
+}
