@@ -38,12 +38,20 @@ object GraftFunctions {
     * 1-based list indexing. */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    // Guard: Spark's sequence(1, x) with x < 1 generates a DESCENDING
-    // sequence [1, 0], not an empty one — short docs must short-circuit.
-    when(size(toks) >= n,
-      transform(
-        sequence(lit(1), size(toks) - lit(n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + lit(o))): _*)))
+    val L = size(toks)
+    // zip_with over shifted slices instead of element_at over a position
+    // sequence: HOF array arguments are evaluated once per ROW, whereas a
+    // row-dependent subexpression inside the lambda (element_at(toks, ...))
+    // is re-evaluated per ELEMENT — that turned each 50-token doc into
+    // ~150 regex splits and made shingling ~1000x slower than it should be.
+    // zip_with null-pads the shorter side and concat propagates the null,
+    // so the trailing (n-1) incomplete shingles become null and are cut by
+    // the final slice. Guard L >= n: when() branches evaluate lazily, so
+    // the negative slice length in the short-doc case is never executed.
+    val joined = (2 to n).foldLeft(toks) { (acc, k) =>
+      zip_with(acc, slice(toks, lit(k), L - (k - 1)), (x, y) => concat(x, lit(" "), y))
+    }
+    when(L >= n, slice(joined, lit(1), L - (n - 1)))
       .otherwise(array().cast("array<string>"))
   }
 

@@ -21,14 +21,12 @@ object HashFunctions {
   def hexDigit(ch: Column): Column =
     when(ascii(ch) >= 97, ascii(ch) - 87).otherwise(ascii(ch) - 48)
 
-  /** 60-bit integer from the first 15 hex chars of md5(c): a fold
-    * `acc*16 + digit`. regexp_extract_all("." ) splits the digest into
-    * chars exactly once per row (md5 evaluated once, then folded). */
+  /** 60-bit integer from the first 15 hex chars of md5(c), parsed directly
+    * with conv(hex, 16, 10) — one digest + one base conversion per call
+    * (the earlier per-character regex-split fold was ~30 expression
+    * evaluations per hash and dominated dedup runtime). */
   def md5Code60(c: Column): Column =
-    aggregate(
-      slice(regexp_extract_all(md5(c), lit("."), lit(0)), 1, 15),
-      lit(0L),
-      (acc, ch) => acc * 16 + hexDigit(ch).cast("long"))
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** DuckDB SQL text computing the same 60-bit code for expression `e`.
     * list_reduce without an init seeds with the first element, which

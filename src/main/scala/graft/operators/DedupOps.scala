@@ -36,15 +36,26 @@ object DedupOps {
       .select(col("doc_id"), shingleSet(col("text"), 3).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
-  /** MinHash signature: per hash i, min over shingle codes of the affine
-    * hash — one fixed-width array column, codegen'd HOFs only. */
-  private def withSignature(sets: DataFrame): DataFrame =
-    sets
-      .withColumn("codes", transform(col("shingles"), sh => md5Code60(sh)))
-      .withColumn("sig", transform(sequence(lit(1), lit(NumHashes)),
-        i => array_min(transform(col("codes"), c => affineHash(i, c)))))
+  /** MinHash signature via explode + groupBy with one `min` aggregate per
+    * hash function. Doing it relationally (instead of nested HOF lambdas
+    * over a `codes` array column) guarantees the md5 digest is computed
+    * exactly once per shingle: CollapseProject inlines array-column
+    * aliases into downstream lambdas, where each outer-lambda element
+    * re-evaluates them — 16x-64x repeated hashing. Here the partial mins
+    * combine map-side, so the shuffle carries only 16 longs per doc —
+    * the shape that survives a 100 TB corpus. */
+  private def withSignature(sets: DataFrame): DataFrame = {
+    val codes = sets
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), md5Code60(col("sh")).as("code"))
+    val mins = (1 to NumHashes).map(i => min(affineHash(lit(i), col("code"))).as(s"h$i"))
+    codes.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((1 to NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
 
-  /** One row per (doc, band): band key = joined signature slice. */
+  /** One row per (doc, band): band key = joined signature slice. `sig` is
+    * a post-aggregation attribute, so the slices are cheap array reads. */
   private def bands(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), col("sig"))
       .withColumn("j", explode(sequence(lit(0), lit(Bands - 1))))
