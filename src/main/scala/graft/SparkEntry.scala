@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{DedupOps, IngestOps, MultimodalOps, Relational, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, IngestOps, MultimodalOps, Relational, SimilarityOps, StreamingOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ IngestOps.queries ++ DedupOps.queries ++
-      SimilarityOps.queries ++ TextOps.queries ++ MultimodalOps.queries
+      SimilarityOps.queries ++ TextOps.queries ++ MultimodalOps.queries ++
+      StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ IngestOps.oracle ++ DedupOps.oracle ++
-      SimilarityOps.oracle ++ TextOps.oracle ++ MultimodalOps.oracle
+      SimilarityOps.oracle ++ TextOps.oracle ++ MultimodalOps.oracle ++
+      StreamingOps.oracle
 }

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.GraftFunctions.cents
+import graft.streaming.StreamTransforms
+
+/** Batch twins of the streaming operators (SURVEY.md §2.2 Streaming rows).
+  *
+  * q60-q62 run the EXACT transform the streaming path uses
+  * ([[StreamTransforms]] — the unified API makes the same plan incremental
+  * under a streaming source), so the DuckDB oracle checks the streaming
+  * semantics; the test suite additionally drives them through MemoryStream
+  * and asserts the final state equals these batch results.
+  *
+  * q63/q64 are the deterministic batch statements of the two semantics
+  * that only exist in streaming (arrival-order dedup state, watermark
+  * late-drop): q63 is keep-earliest-by-event-time dedup; q64 classifies
+  * each event as late/on-time against the running max event time in
+  * arrival (event_id) order — exactly what a 1-hour watermark would drop.
+  *
+  * All sums are integer cents (order-independent, oracle-stable).
+  */
+object StreamingOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q60_tumbling_window" -> ((s, dir) => {
+      StreamTransforms.tumblingCounts(Tables.events(s, dir))
+        .orderBy("win_us", "event_type")
+    }),
+
+    "q61_sliding_window" -> ((s, dir) => {
+      StreamTransforms.slidingCounts(Tables.events(s, dir))
+        .orderBy("win_us", "event_type")
+    }),
+
+    "q62_session_window" -> ((s, dir) => {
+      StreamTransforms.sessionize(Tables.events(s, dir))
+        .orderBy("user_id", "session_start_us")
+    }),
+
+    "q63_stateful_dedup" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_type", "ts_us", "event_id")
+        .orderBy("user_id", "event_type")
+    }),
+
+    "q64_watermark_late" -> ((s, dir) => {
+      val arrival = Window.orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("seen_max_us", max(col("ts_us")).over(arrival))
+        .withColumn("late",
+          when(col("ts_us") < col("seen_max_us") - lit(3600000000L), 1).otherwise(0))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum(col("late")).as("n_late"))
+        .orderBy("event_type")
+    }))
+
+  // ---- DuckDB oracle ------------------------------------------------------
+
+  private val centsSql = "CAST(round(value * 100) AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "q60_tumbling_window" ->
+      s"""SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS win_us, event_type,
+         |  count(*) AS n_events, CAST(sum($centsSql) AS BIGINT) AS sum_cents
+         |FROM events GROUP BY 1, 2 ORDER BY win_us, event_type""".stripMargin,
+
+    "q61_sliding_window" ->
+      s"""SELECT win_us, event_type, count(*) AS n_events,
+         |  CAST(sum($centsSql) AS BIGINT) AS sum_cents
+         |FROM (
+         |  SELECT (epoch_us(ts) // 1800000000 - j) * 1800000000 AS win_us, event_type, value
+         |  FROM events, generate_series(0, 1) t(j)
+         |  WHERE epoch_us(ts) >= (epoch_us(ts) // 1800000000 - j) * 1800000000
+         |    AND epoch_us(ts) <  (epoch_us(ts) // 1800000000 - j) * 1800000000 + 3600000000)
+         |GROUP BY 1, 2 ORDER BY win_us, event_type""".stripMargin,
+
+    "q62_session_window" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tu, $centsSql AS vc FROM events),
+         |m AS (SELECT user_id, tu, vc,
+         |  CASE WHEN lag(tu) OVER (PARTITION BY user_id ORDER BY tu) IS NULL
+         |         OR tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu) >= 1800000000
+         |       THEN 1 ELSE 0 END AS brk FROM e),
+         |s AS (SELECT user_id, tu, vc,
+         |  sum(brk) OVER (PARTITION BY user_id ORDER BY tu
+         |                 ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+         |SELECT user_id, min(tu) AS session_start_us, max(tu) AS session_last_us,
+         |  count(*) AS n_events, CAST(sum(vc) AS BIGINT) AS sum_cents
+         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+
+    "q63_stateful_dedup" ->
+      """SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM (
+        |  SELECT user_id, event_type, ts, event_id, row_number() OVER
+        |    (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q64_watermark_late" ->
+      """SELECT event_type, count(*) AS n_events, CAST(sum(late) AS BIGINT) AS n_late FROM (
+        |  SELECT event_type,
+        |    CASE WHEN epoch_us(ts) < max(epoch_us(ts)) OVER
+        |      (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      - 3600000000 THEN 1 ELSE 0 END AS late
+        |  FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.cents
+
+/** Event-time transforms written once against the unified DataFrame API so
+  * the SAME function runs in batch (for the DuckDB-oracle twin queries in
+  * [[graft.operators.StreamingOps]]) and under Structured Streaming (driven
+  * by MemoryStream in the test suite, or a file source via [[ReportStream]]).
+  *
+  * This is the engine's replacement for the reference's cron-driven
+  * micro-batch loop (rws_data_ingester cronjob.sh:1-3, generate.sh:11-17):
+  * instead of re-running an imperative script per tick, the tick is a
+  * trigger over an incremental plan with event-time state.
+  *
+  * Scale notes: every transform keys its state by (window x group) or
+  * (user x session), so state is bounded by the watermark horizon, not the
+  * stream length; sums are exact integer cents (order-independent — safe
+  * under both partial aggregation and state-store merges).
+  */
+object StreamTransforms {
+
+  /** Columns shared by all transforms: event time `ts` (native microsecond
+    * timestamp from Tables.events) and exact-cents value. */
+  private def prepared(events: DataFrame): DataFrame =
+    events.select(col("ts"), col("ts_us"), col("event_id"), col("user_id"),
+      col("event_type"), cents(col("value")).as("v_cents"))
+
+  /** Tumbling 1-hour windows per event_type: count + exact sum.
+    * Emits the window start as epoch-microseconds (`win_us`) because the
+    * DuckDB oracle reads the nanosecond fixture truncated to micros. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    prepared(events)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v_cents")).as("sum_cents"))
+      .select(unix_micros(col("w.start")).as("win_us"), col("event_type"),
+        col("n_events"), col("sum_cents"))
+
+  /** Sliding windows (1 hour long, every 30 minutes): each event lands in
+    * exactly 2 windows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    prepared(events)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v_cents")).as("sum_cents"))
+      .select(unix_micros(col("w.start")).as("win_us"), col("event_type"),
+        col("n_events"), col("sum_cents"))
+
+  /** Session windows per user with a 30-minute inactivity gap. Spark merges
+    * an event into the open session iff ts < last_ts + gap (strict), i.e. a
+    * new session starts when the inter-event gap is >= 30 min. Emits
+    * min/max event time per session so the output is engine-portable
+    * (session_window.end = last + gap is Spark-specific). */
+  def sessionize(events: DataFrame): DataFrame =
+    prepared(events)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_last_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("v_cents")).as("sum_cents"))
+      .select("user_id", "session_start_us", "session_last_us", "n_events", "sum_cents")
+
+  /** Streaming stateful dedup: keep the first (user_id, event_type) row by
+    * event time; watermark bounds the dedup state. Streaming-only — the
+    * deterministic batch twin is StreamingOps q63 (row_number over the
+    * event-time order), which is the semantics this converges to when
+    * arrival order follows event time. */
+  def dedupFirstStreaming(events: DataFrame): DataFrame =
+    prepared(events)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .select("user_id", "event_type", "ts_us", "event_id")
+
+  /** Watermarked tumbling aggregate: with a 1-hour watermark, an event
+    * arriving more than 1 hour behind the observed max event time is
+    * dropped before it reaches the window state. */
+  def tumblingWithWatermark(events: DataFrame): DataFrame =
+    prepared(events)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("w.start")).as("win_us"), col("event_type"), col("n_events"))
+}
