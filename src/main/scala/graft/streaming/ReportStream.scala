@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** The reference's report sink + publish loop as a Structured Streaming
+  * pipeline (rws_data_ingester K1/K2/K3/O2: export_to_html at
+  * src/rotterdam_swimming_advice.py:248-296, generate.sh:13-17 git publish,
+  * cronjob.sh:1-3 cron tick):
+  *
+  *   - file source over an events directory (new files = new micro-batch;
+  *     the cron tick becomes `Trigger.AvailableNow`)
+  *   - a complete-mode aggregate summarizing the stream so far
+  *   - `foreachBatch` publish: render ONE html artifact per micro-batch,
+  *     idempotent by batchId (re-running a failed batch never publishes
+  *     twice — the reference got this from git's content addressing)
+  *
+  * Rendering stays distributed until the final one-row collect_list; only
+  * the finished ~KB report ever reaches a single task.
+  */
+object ReportStream {
+
+  /** Schema of the events fixture as the *streaming* source sees it
+    * (nanos read as raw long — same convention as Tables.events). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Summary aggregate over everything seen so far (streaming-safe:
+    * exact integer cents, no order-dependent float math). */
+  def summarize(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+
+  /** K1/K2: render the per-type summary rows into one HTML report row.
+    * `collect_list` over the handful of aggregate rows, sorted for
+    * determinism, newline -> <br> for the sink format. */
+  def render(summary: DataFrame, stamp: String): DataFrame =
+    summary
+      .select(concat(lit("- "), col("event_type"), lit(": "),
+        col("n_events").cast("string"), lit(" events, total "),
+        (col("sum_cents").cast("double") / 100.0).cast("string")).as("line"))
+      .agg(array_join(sort_array(collect_list(col("line"))), "\n").as("body"))
+      .select(concat(
+        lit("<html><body><h1>Event report</h1><p>"),
+        regexp_replace(col("body"), "\n", "<br>"),
+        lit(s"</p><i>generated $stamp</i></body></html>")).as("report"))
+
+  /** K3: idempotent publish — one artifact per micro-batch id; a marker
+    * makes re-delivery of a batch a no-op (the streaming analog of
+    * generate.sh's commit-if-changed). */
+  def publish(summary: DataFrame, batchId: Long, outDir: String): Unit = {
+    val marker = Paths.get(outDir, s"batch-$batchId.done")
+    if (!Files.exists(marker)) {
+      val report = render(summary, s"batch $batchId")
+        .collect().head.getString(0) // single ~KB row by construction
+      Files.createDirectories(Paths.get(outDir))
+      Files.writeString(Paths.get(outDir, s"report-$batchId.html"), report)
+      Files.writeString(marker, "")
+    }
+  }
+
+  /** O2: one cron-equivalent tick — drain whatever input is available,
+    * publish per micro-batch, stop. Returns the number of published
+    * artifacts so far. */
+  def runAvailableNow(spark: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String): Long = {
+    val events = spark.readStream
+      .schema(eventsSchema)
+      .parquet(srcDir)
+    val q = summarize(events)
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch((batch: DataFrame, id: Long) => publish(batch, id, outDir))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Files.list(Paths.get(outDir)).filter(_.toString.endsWith(".html")).count()
+  }
+}
