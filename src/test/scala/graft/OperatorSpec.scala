@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DedupOps, EnrichOps}
+
+class OperatorSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+  import spark.implicits._
+
+  test("t1 smoke: flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and is deterministic at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try {
+        val a = fn(spark, sfDir).collect().map(_.toString).toSeq
+        val b = fn(spark, sfDir).collect().map(_.toString).toSeq
+        if (a != b) Some(s"$name: nondeterministic across runs") else None
+      } catch {
+        case e: Throwable => Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage}")
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("every query has an oracle entry or is explicitly rows-only") {
+    // q11 approx_count_distinct is the single intentional rows-only query
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("q11_approx_distinct"), s"unexpected rows-only: $noOracle")
+    val danglingOracle = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(danglingOracle.isEmpty, s"oracle without query: $danglingOracle")
+  }
+
+  test("exact dedup is idempotent") {
+    val once = DedupOps.queries("q40_exact_dedup")(spark, sfDir)
+    // dedup of the dedup keys changes nothing
+    assert(once.count() == once.dropDuplicates("text_md5").count())
+  }
+
+  test("jaccard pairs are within [0, 10000] basis points and symmetric-free") {
+    val rows = DedupOps.queries("q43_jaccard_pairs")(spark, sfDir)
+      .select("doc_a", "doc_b", "jac_bp").collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "each pair emitted once, a < b")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 10000)
+    }
+  }
+
+  test("minhash candidates contain every exact near-duplicate pair (recall on identical docs)") {
+    // identical texts share all shingles -> identical signatures -> same
+    // bucket in every band, so LSH must surface them
+    val dups = graft.engine.Tables.documents(spark, sfDir)
+      .groupBy("text").agg(collect_list("doc_id").as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(explode(expr("filter(transform(ids, x -> struct(ids[1] as a, x as b)), p -> p.a < p.b)")))
+      .select(col("col.a").as("doc_a"), col("col.b").as("doc_b"))
+      .as[(Long, Long)].collect().toSet
+    val found = DedupOps.queries("q41_minhash_lsh")(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val missed = dups -- found
+    assert(missed.isEmpty, s"LSH missed identical-doc pairs: $missed")
+  }
+
+  test("enrichment stub is deterministic and distributed") {
+    val r1 = EnrichOps.queries("q37_llm_enrich")(spark, sfDir).collect().map(_.toString)
+    val r2 = EnrichOps.queries("q37_llm_enrich")(spark, sfDir).collect().map(_.toString)
+    assert(r1.sameElements(r2))
+    assert(r1.forall(_.contains("ADVICE[")))
+  }
+}

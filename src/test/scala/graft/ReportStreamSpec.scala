@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.streaming.ReportStream
+
+/** End-to-end publish pipeline: file stream -> summary -> foreachBatch HTML
+  * artifact, idempotent by batchId (the reference's generate.sh/cronjob.sh
+  * loop as Trigger.AvailableNow micro-batches). */
+class ReportStreamSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def tmp(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  test("availableNow tick publishes one idempotent report per batch") {
+    val src = tmp("rs-src")
+    val out = tmp("rs-out")
+    val ckpt = tmp("rs-ckpt")
+
+    // stage the fixture events as the raw-nanos parquet the stream reads
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+      .write.mode("overwrite").parquet(src.toString)
+
+    val n1 = ReportStream.runAvailableNow(spark, src.toString, out.toString, ckpt.toString)
+    assert(n1 >= 1, "first tick must publish at least one report")
+
+    val reports = Files.list(out).filter(_.toString.endsWith(".html")).toArray
+    val html = Files.readString(reports.head.asInstanceOf[Path])
+    assert(html.contains("<html>") && html.contains("Event report"))
+    assert(html.contains("<br>"), "newline -> <br> sink rewrite (K2) must apply")
+
+    // the real per-type counts must appear in the artifact
+    val counts = ReportStream.summarize(Tables.events(spark, TestSpark.sfDir))
+      .collect().map(r => s"- ${r.getString(0)}: ${r.getLong(1)} events")
+    counts.foreach(line => assert(html.contains(line), s"missing '$line'"))
+
+    // second tick with the same checkpoint: no new input -> nothing new
+    val n2 = ReportStream.runAvailableNow(spark, src.toString, out.toString, ckpt.toString)
+    assert(n2 == n1, "re-running with no new data must not publish again")
+  }
+
+  test("publish is idempotent per batch id (redelivery is a no-op)") {
+    val out = tmp("rs-idem")
+    val summary = ReportStream.summarize(Tables.events(spark, TestSpark.sfDir))
+    ReportStream.publish(summary, 7L, out.toString)
+    val first = Files.readString(out.resolve("report-7.html"))
+    val mtime = Files.getLastModifiedTime(out.resolve("report-7.html"))
+    ReportStream.publish(summary.limit(1), 7L, out.toString) // different content, same id
+    assert(Files.readString(out.resolve("report-7.html")) == first)
+    assert(Files.getLastModifiedTime(out.resolve("report-7.html")) == mtime)
+  }
+}
