@@ -136,6 +136,38 @@ object IngestOps {
         .orderBy("user_id")
     }),
 
+    // S1: the JSON document source — payloads parsed against a declared
+    // schema (the reference's response.json() with explicit structure).
+    // The JSON lines are derived in-memory from the fixture so the oracle
+    // can check the round-trip exactly.
+    "q38_json_source" -> ((s, dir) => {
+      import s.implicits._
+      val lines = Tables.events(s, dir)
+        .select(to_json(struct(col("event_id"), col("event_type"), col("value"))).as("j"))
+        .as[String]
+      s.read
+        .schema("event_id LONG, event_type STRING, value DOUBLE")
+        .json(lines)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+        .orderBy("event_type")
+    }),
+
+    // S2: the CSV/text source path with an explicit schema + header-less
+    // lines (the reference's raw-text fallback channel).
+    "q39_csv_source" -> ((s, dir) => {
+      import s.implicits._
+      val lines = Tables.events(s, dir)
+        .select(concat_ws(",", col("event_id"), col("event_type"), col("value")).as("c"))
+        .as[String]
+      s.read
+        .schema("event_id LONG, event_type STRING, value DOUBLE")
+        .csv(lines)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+        .orderBy("event_type")
+    }),
+
     // S3/S5: two heterogeneous sources normalized to one schema and
     // unioned — the reference's dual-endpoint gather + identifier merge.
     "q36_multi_source_union" -> ((s, dir) => {
@@ -198,6 +230,16 @@ object IngestOps {
         |FROM (VALUES (2),(5),(7),(11)) AS ids(user_id)
         |LEFT JOIN events e ON e.user_id = ids.user_id
         |GROUP BY ids.user_id ORDER BY user_id""".stripMargin,
+
+    "q38_json_source" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q39_csv_source" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q36_multi_source_union" ->
       """SELECT src, payload, count(*) AS n FROM (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -66,7 +66,28 @@ object MultimodalOps {
       decodeAll(s, dir).toDF()
         .select("doc_id", "kind", "n_bytes", "n_frames", "feat")
         .orderBy("doc_id")
+    }),
+
+    // Frame sampling: split each media payload into fixed 64-byte frames
+    // and fingerprint each — the Spark-side shape of video frame-sample /
+    // audio chunking (STUB: frames are substrings of the text payload, a
+    // real codec would emit decoded frame tensors). explode keeps it
+    // columnar and distributed; no driver-side loop.
+    "q57_frame_sample" -> ((s, dir) => {
+      val frameLen = 64
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), length(col("text")).as("n_chars2"))
+        .withColumn("frame_idx",
+          explode(sequence(lit(0), ((col("n_chars2") - 1) / frameLen).cast("int"))))
+        .select(col("doc_id"), col("frame_idx"),
+          md5(substring_index_col(col("text"), col("frame_idx"), frameLen)).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
     }))
+
+  /** substring(text, idx*len+1, len) with a column start — helper because
+    * functions.substring takes Int literals only. */
+  private def substring_index_col(text: Column, idx: Column, len: Int): Column =
+    text.substr(idx * lit(len) + lit(1), lit(len))
 
   val oracle: Map[String, String] = Map(
     "q55_multimodal_meta" ->
@@ -75,6 +96,14 @@ object MultimodalOps {
         |  md5(text) AS md5hex,
         |  substring(base64(encode(text)), 1, 8) AS b64_head
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q57_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    unnest(generate_series(0, CAST((length(text)-1)//64 AS BIGINT))) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  md5(substring(text, CAST(frame_idx*64+1 AS INTEGER), 64)) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q56_media_decode" ->
       """SELECT doc_id, 'text' AS kind,

@@ -120,6 +120,19 @@ object Relational {
         .orderBy("s_name")
     }),
 
+    "q28_shuffle_hash_join" -> ((s, dir) => {
+      // explicit SHUFFLE_HASH strategy (vs q03's broadcast and q04's SMJ):
+      // both sides shuffle on the key, build side hashed per partition —
+      // the right plan when both sides are large but one hashes in memory
+      Tables.lineitem(s, dir).hint("SHUFFLE_HASH")
+        .join(Tables.part(s, dir).hint("SHUFFLE_HASH"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          (sum(cents(col("l_quantity"))).cast("double") / lit(100.0)).as("sum_qty"))
+        .orderBy("p_brand")
+    }),
+
     "q09_asof_join" -> ((s, dir) => {
       // as-of merge: for each purchase, the most recent click at/before it,
       // per user — single shuffle on user_id + sort, no range explosion.
@@ -414,6 +427,12 @@ object Relational {
       """SELECT s_name, count(*) AS n_cheaper_parts
         |FROM supplier, part WHERE s_acctbal > p_retailprice
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "q28_shuffle_hash_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q09_asof_join" ->
       """SELECT event_id, user_id, ts_us, asof_click_ts FROM (

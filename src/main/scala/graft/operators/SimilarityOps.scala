@@ -77,6 +77,23 @@ object SimilarityOps {
         .withColumn("score", cosine(col("pe"), col("ce"))))
     }),
 
+    // Embedding-cosine near-duplicate detection (the vector analog of q41):
+    // LSH buckets bound the candidate set, exact cosine inside the bucket,
+    // threshold filter. Near-linear: pairs only form within a bucket.
+    "q47_embedding_neardup" -> ((s, dir) => {
+      val b = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bucket"))
+      val a = b.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("bucket"))
+      val c = b.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("bucket"))
+      a.join(c, Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("score", cosine(col("ea"), col("eb")))
+        .filter(col("score") >= 0.3)
+        .select(col("vec_a"), col("vec_b"),
+          round(col("score") * 10000).cast("long").as("score_bp"))
+        .orderBy("vec_a", "vec_b")
+    }),
+
     "q46_embedding_stats" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       emb.select(col("vec_id"), col("label"),
@@ -128,6 +145,14 @@ object SimilarityOps {
          |    FROM b p JOIN b c ON p.bucket = c.bucket AND p.vec_id != c.vec_id
          |    WHERE p.vec_id < $NumProbes))
          |WHERE rn <= $TopK ORDER BY probe_id, rn""".stripMargin,
+
+    "q47_embedding_neardup" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+         |SELECT vec_a, vec_b, CAST(round(score * 10000) AS BIGINT) AS score_bp FROM (
+         |  SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+         |    ${cosSql("a.embedding", "c.embedding")} AS score
+         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+         |WHERE score >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
 
     "q46_embedding_stats" ->
       s"""SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim,
