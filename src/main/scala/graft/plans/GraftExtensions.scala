@@ -1,0 +1,35 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension wiring for the engine's native expressions: makes
+  * `graft_dot(a, b)` / `graft_cosine(a, b)` first-class SQL functions.
+  *
+  * Install with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * (or `builder.withExtensions(new GraftExtensions)`); the Column-API
+  * helpers on [[FloatVectorDot]] work without any registration.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_dot(arrayA, arrayB) takes 2 arguments")
+        FloatVectorDot(args(0), args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_cosine"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_cosine(arrayA, arrayB) takes 2 arguments")
+        val (a, b) = (args(0), args(1))
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        Divide(FloatVectorDot(a, b),
+          Multiply(Sqrt(FloatVectorDot(a, a)), Sqrt(FloatVectorDot(b, b))))
+      }))
+  }
+}
