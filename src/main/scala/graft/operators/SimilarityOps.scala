@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.functions.VectorFunctions._
+import graft.functions.VectorFunctions.{norm, normSq}
+import graft.plans.FloatVectorDot.cosineNative
 
 /** Similarity search over `embeddings.embedding` (64-dim float vectors):
   *
@@ -62,7 +63,7 @@ object SimilarityOps {
       val cands = emb.select(col("vec_id").as("cand_id"), col("embedding").as("ce"))
       topkPerProbe(broadcast(probes)
         .join(cands, col("probe_id") =!= col("cand_id"))
-        .withColumn("score", cosine(col("pe"), col("ce"))))
+        .withColumn("score", cosineNative(col("pe"), col("ce"))))
     }),
 
     "q45_ann_lsh" -> ((s, dir) => {
@@ -74,7 +75,7 @@ object SimilarityOps {
       topkPerProbe(broadcast(probes)
         .join(cands, Seq("bucket"))
         .filter(col("probe_id") =!= col("cand_id"))
-        .withColumn("score", cosine(col("pe"), col("ce"))))
+        .withColumn("score", cosineNative(col("pe"), col("ce"))))
     }),
 
     // Embedding-cosine near-duplicate detection (the vector analog of q41):
@@ -87,7 +88,7 @@ object SimilarityOps {
       val c = b.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("bucket"))
       a.join(c, Seq("bucket"))
         .filter(col("vec_a") < col("vec_b"))
-        .withColumn("score", cosine(col("ea"), col("eb")))
+        .withColumn("score", cosineNative(col("ea"), col("eb")))
         .filter(col("score") >= 0.3)
         .select(col("vec_a"), col("vec_b"),
           round(col("score") * 10000).cast("long").as("score_bp"))
