@@ -53,6 +53,11 @@ object StreamingOps {
         .orderBy("user_id", "event_type")
     }),
 
+    "q65_arbitrary_state" -> ((s, dir) => {
+      StreamTransforms.runningTotals(Tables.events(s, dir))
+        .orderBy("user_id")
+    }),
+
     "q64_watermark_late" -> ((s, dir) => {
       val arrival = Window.orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -104,6 +109,11 @@ object StreamingOps {
         |    (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q65_arbitrary_state" ->
+      s"""SELECT user_id, count(*) AS n_events,
+         |  CAST(sum($centsSql) AS BIGINT) AS sum_cents
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q64_watermark_late" ->
       """SELECT event_type, count(*) AS n_events, CAST(sum(late) AS BIGINT) AS n_late FROM (

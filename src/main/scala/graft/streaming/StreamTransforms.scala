@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.functions.GraftFunctions.cents
 
@@ -71,6 +72,33 @@ object StreamTransforms {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
       .select("user_id", "event_type", "ts_us", "event_id")
+
+  /** Per-user running totals via arbitrary stateful processing
+    * (`flatMapGroupsWithState`) — the §2.2 "arbitrary state" row. The
+    * same code path runs in batch (state starts empty, one group call),
+    * which is what the oracle-checked twin q65 uses; under streaming the
+    * state persists across micro-batches and the final update-mode row
+    * per user converges to the batch result. State is two longs per key
+    * — bounded by the key cardinality, not the stream length. */
+  def runningTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    prepared(events)
+      .select(col("user_id"), col("v_cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0
+          var s = s0
+          rows.foreach { case (_, c) => n += 1; s += c }
+          state.update((n, s))
+          Iterator.single((user, n, s))
+      }
+      .toDF("user_id", "n_events", "sum_cents")
+  }
 
   /** Watermarked tumbling aggregate: with a 1-hour watermark, an event
     * arriving more than 1 hour behind the observed max event time is

@@ -98,6 +98,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(sorted(stream) == sorted(batch))
   }
 
+  test("flatMapGroupsWithState running totals converge to the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamTransforms.runningTotals(ms.toDF())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("t_state")
+      .start()
+    allEvents.grouped(250).foreach { batch => ms.addData(batch); q.processAllAvailable() }
+    q.stop()
+    // update mode emits one row per key per touched batch: the LAST row
+    // per user is the final state
+    val stream = spark.table("t_state")
+      .withColumn("r", monotonically_increasing_id())
+      .groupBy("user_id")
+      .agg(max(struct(col("r"), col("n_events"), col("sum_cents"))).as("m"))
+      .select(col("user_id"), col("m.n_events"), col("m.sum_cents"))
+    val batch = StreamTransforms.runningTotals(Tables.events(spark, TestSpark.sfDir))
+    assert(sorted(stream) == sorted(batch))
+  }
+
   test("watermark drops an event that arrives more than 1h late") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
