@@ -33,6 +33,7 @@ object SimilarityOps {
   val Planes = 8
   val TopK = 10
   val NumProbes = 10
+  val NumCentroids = 8
 
   /** Signed-random-projection bucket id: bit j = sign(v · plane_j), with
     * plane_j[c] = ((j*64+c-1)*2654435761 mod 1000003)/1000003 - 0.5. */
@@ -95,6 +96,36 @@ object SimilarityOps {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // IVF-style ANN: a coarse quantizer (centroids chosen deterministically
+    // — first NumCentroids vectors, standing in for a k-means codebook)
+    // partitions the corpus into inverted lists; each probe searches only
+    // the lists of its 2 nearest centroids (nprobe=2), then exact cosine
+    // re-ranks. At 100 TB the inverted lists are the partition key: one
+    // shuffle by centroid, probes broadcast, per-list scans stay local.
+    "q48_ivf_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") < NumCentroids)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("centroid"))
+      // assign every vector to its nearest centroid by max cosine
+      // (deterministic tie-break on cent_id)
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("csim").desc, col("cent_id"))
+      val assigned = emb.join(broadcast(cents))
+        .withColumn("csim", cosineNative(col("embedding"), col("centroid")))
+        .withColumn("crn", row_number().over(wAssign))
+      val lists = assigned.filter(col("crn") === 1)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"),
+          col("cent_id").as("list_id"))
+      // each probe targets its top-2 centroid lists
+      val probes = assigned.filter(col("vec_id") < NumProbes && col("crn") <= 2)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          col("cent_id").as("list_id"))
+      topkPerProbe(broadcast(probes)
+        .join(lists, Seq("list_id"))
+        .filter(col("probe_id") =!= col("cand_id"))
+        .withColumn("score", cosineNative(col("pe"), col("ce"))))
+    }),
+
     "q46_embedding_stats" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       emb.select(col("vec_id"), col("label"),
@@ -154,6 +185,28 @@ object SimilarityOps {
          |    ${cosSql("a.embedding", "c.embedding")} AS score
          |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
          |WHERE score >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q48_ivf_ann" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS centroid
+         |  FROM embeddings WHERE vec_id < $NumCentroids),
+         |sim AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |    ${cosSql("e.embedding", "c.centroid")} AS csim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |a AS (SELECT vec_id, embedding, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crn
+         |  FROM sim),
+         |lists AS (SELECT vec_id AS cand_id, embedding AS ce, cent_id AS list_id
+         |  FROM a WHERE crn = 1),
+         |probes AS (SELECT vec_id AS probe_id, embedding AS pe, cent_id AS list_id
+         |  FROM a WHERE vec_id < $NumProbes AND crn <= 2)
+         |SELECT probe_id, cand_id, rn, score FROM (
+         |  SELECT probe_id, cand_id,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn, score
+         |  FROM (
+         |    SELECT probe_id, cand_id, ${cosSql("p.pe", "l.ce")} AS score
+         |    FROM probes p JOIN lists l USING (list_id)
+         |    WHERE probe_id != cand_id))
+         |WHERE rn <= $TopK ORDER BY probe_id, rn""".stripMargin,
 
     "q46_embedding_stats" ->
       s"""SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim,
