@@ -133,6 +133,30 @@ object Relational {
         .orderBy("p_brand")
     }),
 
+    "q29_salted_skew_join" -> ((s, dir) => {
+      // Skew-mitigation pattern: events is heavily skewed on event_type
+      // (5 hot keys for the whole table), so a plain shuffle join would
+      // put each key on ONE reducer. Salting spreads each hot key over
+      // SaltN reducers: fact rows get salt = event_id % SaltN, the small
+      // side is replicated xSaltN, and the join key becomes (key, salt).
+      // AQE skew-split solves this adaptively; salting is the explicit,
+      // planner-independent form.
+      val SaltN = 8
+      val e = Tables.events(s, dir)
+        .withColumn("salt", (col("event_id") % SaltN).cast("int"))
+      // exact integer mean test: value > sum/n  <=>  cents(value)*n > sum_cents
+      val dim = Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(sum(cents(col("value"))).as("sum_cents"), count(lit(1)).as("n_type"))
+        .withColumn("salt", explode(sequence(lit(0), lit(SaltN - 1))))
+      e.join(dim, Seq("event_type", "salt"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(cents(col("value")) * col("n_type") > col("sum_cents"), 1L)
+            .otherwise(0L)).as("n_above_avg"))
+        .orderBy("event_type")
+    }),
+
     "q09_asof_join" -> ((s, dir) => {
       // as-of merge: for each purchase, the most recent click at/before it,
       // per user — single shuffle on user_id + sort, no range explosion.
@@ -433,6 +457,17 @@ object Relational {
         |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q29_salted_skew_join" ->
+      """SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN CAST(round(e.value*100) AS BIGINT) * d.n_type > d.sum_cents
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+        |FROM events e JOIN (
+        |  SELECT event_type, CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |         count(*) AS n_type
+        |  FROM events GROUP BY event_type) d
+        |ON e.event_type = d.event_type
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "q09_asof_join" ->
       """SELECT event_id, user_id, ts_us, asof_click_ts FROM (
