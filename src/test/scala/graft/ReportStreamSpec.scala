@@ -46,6 +46,13 @@ class ReportStreamSpec extends AnyFunSuite {
     // second tick with the same checkpoint: no new input -> nothing new
     val n2 = ReportStream.runAvailableNow(spark, src.toString, out.toString, ckpt.toString)
     assert(n2 == n1, "re-running with no new data must not publish again")
+
+    // new file arrives -> the next tick sees exactly the increment and
+    // publishes an updated report (the cron-loop behavior end-to-end)
+    spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+      .limit(100).write.mode("append").parquet(src.toString)
+    val n3 = ReportStream.runAvailableNow(spark, src.toString, out.toString, ckpt.toString)
+    assert(n3 > n2, "new input files must produce a new published report")
   }
 
   test("publish is idempotent per batch id (redelivery is a no-op)") {
