@@ -82,7 +82,12 @@ object DedupOps {
     }),
 
     "q41_minhash_lsh" -> ((s, dir) => {
+      // The shingle table feeds three consumers (signatures + both sides
+      // of the verification join). Materialize it once — the distributed
+      // analog of a dedup pipeline's staged shingle table; without it the
+      // scan+shingling runs 3x (and the band self-join doubles that).
       val sets = shingleSets(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val b = bands(withSignature(sets))
       val cand = b.as("a").join(b.as("b"),
           col("a.j") === col("b.j") && col("a.bkey") === col("b.bkey")

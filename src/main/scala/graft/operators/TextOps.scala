@@ -93,6 +93,20 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // n-gram frequency ranking: top-10 bigrams per language — explode ->
+    // count -> WindowGroupLimit (Spark pushes the rank filter into the
+    // shuffle, so only ~k rows per group survive the exchange).
+    "q58_ngram_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("bigram"))
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(shingles(col("text"), 2)).as("bigram"))
+        .groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("lang", "rn", "bigram", "cnt")
+        .orderBy("lang", "rn")
+    }),
+
     "q54_regex_tokens" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
@@ -162,6 +176,19 @@ object TextOps {
          |    (acc, c) -> (acc*31 + c) % 1000000007) AS fp
          |  FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    "q58_ngram_topk" ->
+      s"""WITH bg AS (
+         |  SELECT lang, unnest(list_transform(
+         |    generate_series(1, len($toksSql) - 1),
+         |    i -> ($toksSql)[i] || ' ' || ($toksSql)[i+1])) AS bigram
+         |  FROM documents WHERE len($toksSql) >= 2),
+         |c AS (SELECT lang, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2)
+         |SELECT lang, rn, bigram, cnt FROM (
+         |  SELECT lang, bigram, cnt,
+         |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rn
+         |  FROM c)
+         |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
 
     "q54_regex_tokens" ->
       s"""SELECT doc_id,

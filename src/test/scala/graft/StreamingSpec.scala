@@ -118,6 +118,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(sorted(stream) == sorted(batch))
   }
 
+  test("stateful aggregation runs on the RocksDB state store (production backend)") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val q = StreamTransforms.tumblingCounts(ms.toDF())
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("t_rocks")
+        .start()
+      allEvents.grouped(300).foreach { b => ms.addData(b); q.processAllAvailable() }
+      q.stop()
+      val batch = StreamTransforms.tumblingCounts(Tables.events(spark, TestSpark.sfDir))
+      assert(sorted(spark.table("t_rocks")) == sorted(batch))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("watermark drops an event that arrives more than 1h late") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
