@@ -120,6 +120,37 @@ object Relational {
         .orderBy("s_name")
     }),
 
+    // exact interpolated percentiles over integer cents (both engines use
+    // the percentile_cont definition: (1-d)*lo + d*hi on doubles)
+    "q49_quantiles" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"), cents(col("value")).as("vc"))
+        .groupBy("event_type")
+        .agg(expr("percentile(vc, 0.5)").as("p50_cents"),
+          expr("percentile(vc, 0.9)").as("p90_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // pivot: one column per event_type, counts per user (top-20 users)
+    "q59_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("user_id") < 20)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+
+    // unpivot/melt: wide part attributes back to (key, attr, val) rows
+    "q66_unpivot" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          expr("stack(2, 'size', CAST(p_size AS DOUBLE), 'retailprice', p_retailprice) AS (attr, val)"))
+        .orderBy("p_partkey", "attr")
+    }),
+
     "q28_shuffle_hash_join" -> ((s, dir) => {
       // explicit SHUFFLE_HASH strategy (vs q03's broadcast and q04's SMJ):
       // both sides shuffle on the key, build side hashed per partition —
@@ -451,6 +482,30 @@ object Relational {
       """SELECT s_name, count(*) AS n_cheaper_parts
         |FROM supplier, part WHERE s_acctbal > p_retailprice
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "q49_quantiles" ->
+      """SELECT event_type,
+        |  quantile_cont(CAST(round(value*100) AS BIGINT), 0.5) AS p50_cents,
+        |  quantile_cont(CAST(round(value*100) AS BIGINT), 0.9) AS p90_cents,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q59_pivot" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup
+        |FROM events WHERE user_id < 20
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q66_unpivot" ->
+      """SELECT p_partkey, attr, val FROM (
+        |  SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part)
+        |ORDER BY p_partkey, attr""".stripMargin,
 
     "q28_shuffle_hash_join" ->
       """SELECT p_brand, count(*) AS n_items,
