@@ -168,6 +168,20 @@ object IngestOps {
         .orderBy("event_type")
     }),
 
+    // Semi-structured columns as Spark 4 Variant: payloads parsed once
+    // into the binary variant encoding, fields extracted with typed paths
+    // (the modern engine answer to the reference's schemaless dict.get
+    // navigation — no per-query JSON re-parse at 100 TB).
+    "q67_variant_extract" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("v", try_parse_json(col("props")))
+        .select(col("event_id"),
+          coalesce(variant_get(col("v"), "$.k", "int"), lit(-1)).as("k"))
+        .groupBy()
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
     // S3/S5: two heterogeneous sources normalized to one schema and
     // unioned — the reference's dual-endpoint gather + identifier merge.
     "q36_multi_source_union" -> ((s, dir) => {
@@ -240,6 +254,13 @@ object IngestOps {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q67_variant_extract" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(coalesce(CAST(json_extract(props, '$.k') AS INTEGER), -1)) AS BIGINT) AS sum_k,
+        |  CAST(min(coalesce(CAST(json_extract(props, '$.k') AS INTEGER), -1)) AS INTEGER) AS min_k,
+        |  CAST(max(coalesce(CAST(json_extract(props, '$.k') AS INTEGER), -1)) AS INTEGER) AS max_k
+        |FROM events""".stripMargin,
 
     "q36_multi_source_union" ->
       """SELECT src, payload, count(*) AS n FROM (
