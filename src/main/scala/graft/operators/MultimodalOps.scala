@@ -68,6 +68,26 @@ object MultimodalOps {
         .orderBy("doc_id")
     }),
 
+    // Resize: downscale each media payload to a target budget — the
+    // Spark-side shape of image resize (STUB: "resizing" truncates bytes
+    // and recomputes metadata; a real codec would rescale pixels). The
+    // typed mapPartitions boundary is identical to the real thing.
+    "q68_media_resize" -> ((s, dir) => {
+      import s.implicits._
+      val target = 128
+      mediaTable(s, dir)
+        .mapPartitions(_.map { r =>
+          val resized = r.media.take(target)
+          DecodedMedia(r.doc_id, r.kind, resized.length,
+            (resized.length + 1023) / 1024,
+            (resized.length.toLong * 2654435761L) % 1000003L)
+        })
+        .toDF()
+        .select(col("doc_id"), col("n_bytes").as("resized_bytes"),
+          col("n_frames"), col("feat"))
+        .orderBy("doc_id")
+    }),
+
     // Frame sampling: split each media payload into fixed 64-byte frames
     // and fingerprint each — the Spark-side shape of video frame-sample /
     // audio chunking (STUB: frames are substrings of the text payload, a
@@ -95,6 +115,13 @@ object MultimodalOps {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  md5(text) AS md5hex,
         |  substring(base64(encode(text)), 1, 8) AS b64_head
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q68_media_resize" ->
+      """SELECT doc_id,
+        |  CAST(least(octet_length(encode(text)), 128) AS INTEGER) AS resized_bytes,
+        |  CAST((least(octet_length(encode(text)), 128) + 1023) // 1024 AS INTEGER) AS n_frames,
+        |  (CAST(least(octet_length(encode(text)), 128) AS BIGINT) * 2654435761) % 1000003 AS feat
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q57_frame_sample" ->
