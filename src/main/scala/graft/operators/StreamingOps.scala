@@ -53,6 +53,12 @@ object StreamingOps {
         .orderBy("user_id", "event_type")
     }),
 
+    "q75_interval_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      StreamTransforms.clickPurchaseJoin(e, e)
+        .orderBy("user_id", "purchase_id", "click_id")
+    }),
+
     "q65_arbitrary_state" -> ((s, dir) => {
       StreamTransforms.runningTotals(Tables.events(s, dir))
         .orderBy("user_id")
@@ -109,6 +115,17 @@ object StreamingOps {
         |    (PARTITION BY user_id, event_type ORDER BY epoch_us(ts), event_id) AS rn
         |  FROM events)
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q75_interval_join" ->
+      """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+        |  c.event_id AS click_id,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |ORDER BY user_id, purchase_id, click_id""".stripMargin,
 
     "q65_arbitrary_state" ->
       s"""SELECT user_id, count(*) AS n_events,

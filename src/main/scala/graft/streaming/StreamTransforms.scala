@@ -73,6 +73,31 @@ object StreamTransforms {
       .dropDuplicates("user_id", "event_type")
       .select("user_id", "event_type", "ts_us", "event_id")
 
+  /** Stream-stream interval join: each purchase pairs with the same
+    * user's clicks in the preceding hour. Under streaming, the watermarks
+    * + time-range condition bound both join states (clicks older than the
+    * range fall out of state); in batch the same plan is a range join.
+    * Takes the events table twice so MemoryStream tests can feed two
+    * genuinely independent streams. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = prepared(clicks)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("ts_us").as("click_us"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val p = prepared(purchases)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("ts_us").as("purchase_us"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        (col("purchase_us") - col("click_us")).as("lag_us"))
+  }
+
   /** Per-user running totals via arbitrary stateful processing
     * (`flatMapGroupsWithState`) — the §2.2 "arbitrary state" row. The
     * same code path runs in batch (state starts empty, one group call),

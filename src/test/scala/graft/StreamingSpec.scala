@@ -118,6 +118,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(sorted(stream) == sorted(batch))
   }
 
+  test("stream-stream interval join emits exactly the batch twin's pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamTransforms.clickPurchaseJoin(clicks.toDF(), purchases.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_ssjoin")
+      .start()
+    // feed both sides in event-time order, interleaved in chunks
+    allEvents.grouped(300).foreach { batch =>
+      clicks.addData(batch.filter(_.event_type == "click"))
+      purchases.addData(batch.filter(_.event_type == "purchase"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val e = Tables.events(spark, TestSpark.sfDir)
+    val batch = StreamTransforms.clickPurchaseJoin(e, e)
+    assert(sorted(spark.table("t_ssjoin")) == sorted(batch))
+  }
+
   test("stateful aggregation runs on the RocksDB state store (production backend)") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
