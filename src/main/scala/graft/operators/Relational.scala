@@ -120,6 +120,20 @@ object Relational {
         .orderBy("s_name")
     }),
 
+    // distribution window functions: quartile bucket, percent_rank,
+    // cume_dist over each customer's order history
+    "q74_window_distribution" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 20)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w) * 10000).cast("long").as("pr_bp"),
+          round(cume_dist().over(w) * 10000).cast("long").as("cd_bp"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // exact interpolated percentiles over integer cents (both engines use
     // the percentile_cont definition: (1-d)*lo + d*hi on doubles)
     "q49_quantiles" -> ((s, dir) => {
@@ -482,6 +496,15 @@ object Relational {
       """SELECT s_name, count(*) AS n_cheaper_parts
         |FROM supplier, part WHERE s_acctbal > p_retailprice
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "q74_window_distribution" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  CAST(round(percent_rank() OVER w * 10000) AS BIGINT) AS pr_bp,
+        |  CAST(round(cume_dist() OVER w * 10000) AS BIGINT) AS cd_bp
+        |FROM orders WHERE o_custkey < 20
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q49_quantiles" ->
       """SELECT event_type,
