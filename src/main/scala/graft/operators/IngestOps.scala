@@ -168,6 +168,21 @@ object IngestOps {
         .orderBy("event_type")
     }),
 
+    // S4 at scale: the custom DataSource V2 fan-out source — one
+    // InputPartition per id (see graft.sources.FanoutSource), column
+    // pruning pushed into the reader. Payloads are deterministic, so the
+    // oracle reproduces the whole scan with generate_series.
+    "q76_dsv2_fanout" -> ((s, dir) => {
+      s.read.format("graft.sources.FanoutSource")
+        .option("ids", "2,5,7,11")
+        .option("rowsPerId", "1000")
+        .load()
+        .groupBy("source_id")
+        .agg(count(lit(1)).as("n"), sum(col("seq")).as("sum_seq"),
+          max(length(col("payload"))).as("max_payload_len"))
+        .orderBy("source_id")
+    }),
+
     // Semi-structured columns as Spark 4 Variant: payloads parsed once
     // into the binary variant encoding, fields extracted with typed paths
     // (the modern engine answer to the reference's schemaless dict.get
@@ -254,6 +269,15 @@ object IngestOps {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q76_dsv2_fanout" ->
+      """SELECT source_id, count(*) AS n,
+        |  CAST(sum(seq) AS BIGINT) AS sum_seq,
+        |  CAST(max(length(CAST(source_id AS VARCHAR) || '-' || CAST(seq AS VARCHAR))) AS INTEGER) AS max_payload_len
+        |FROM (SELECT ids.source_id, s.seq
+        |      FROM (VALUES (2),(5),(7),(11)) AS ids(source_id),
+        |           (SELECT unnest(generate_series(0, 999)) AS seq) s)
+        |GROUP BY source_id ORDER BY source_id""".stripMargin,
 
     "q67_variant_extract" ->
       """SELECT count(*) AS n,
