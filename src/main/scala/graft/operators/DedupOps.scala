@@ -70,6 +70,31 @@ object DedupOps {
     (inter, uni)
   }
 
+  /** The full MinHash/LSH near-dup pipeline: candidate pairs from band
+    * collisions, verified by exact Jaccard >= 0.5. Shared by q41 (which
+    * emits the pairs) and q77 (which clusters them). The shingle table
+    * feeds three consumers (signatures + both sides of the verification
+    * join), so it is materialized once — the distributed analog of a
+    * dedup pipeline's staged shingle table. */
+  def verifiedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val sets = shingleSets(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = bands(withSignature(sets))
+    val cand = b.as("a").join(b.as("b"),
+        col("a.j") === col("b.j") && col("a.bkey") === col("b.bkey")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    val (inter, uni) = jaccardCols(col("sh_a"), col("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", inter)
+      .withColumn("uni", uni)
+      .filter(col("inter") * 2 >= col("uni"))
+      .withColumn("jac_bp", expr("inter * 10000L div uni"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_exact_dedup" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -82,28 +107,47 @@ object DedupOps {
     }),
 
     "q41_minhash_lsh" -> ((s, dir) => {
-      // The shingle table feeds three consumers (signatures + both sides
-      // of the verification join). Materialize it once — the distributed
-      // analog of a dedup pipeline's staged shingle table; without it the
-      // scan+shingling runs 3x (and the band self-join doubles that).
-      val sets = shingleSets(s, dir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val b = bands(withSignature(sets))
-      val cand = b.as("a").join(b.as("b"),
-          col("a.j") === col("b.j") && col("a.bkey") === col("b.bkey")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val sa = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-      val sb = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-      val (inter, uni) = jaccardCols(col("sh_a"), col("sh_b"))
-      cand.join(sa, "doc_a").join(sb, "doc_b")
-        .withColumn("inter", inter)
-        .withColumn("uni", uni)
-        .filter(col("inter") * 2 >= col("uni"))
-        .withColumn("jac_bp", expr("inter * 10000L div uni"))
+      verifiedNearDupPairs(s, dir)
         .select("doc_a", "doc_b", "inter", "uni", "jac_bp")
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Dedup clustering: connected components over the verified near-dup
+    // pairs — the final step of a dedup pipeline ("keep one doc per
+    // cluster"). Min-label propagation iterated to FIXPOINT with a
+    // driver-side convergence check (the Pregel pattern on DataFrames):
+    // per iteration one shuffle join labels<->edges; near-dup clusters
+    // have tiny diameters, so iterations are few regardless of corpus
+    // size. localCheckpoint truncates lineage between rounds.
+    "q77_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val pairs = verifiedNearDupPairs(s, dir).select("doc_a", "doc_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // undirected edges, both directions
+      val edges = pairs
+        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = docs.select(col("doc_id"), col("doc_id").as("rep")).localCheckpoint()
+      var changed = 1L
+      while (changed > 0) {
+        val viaNeighbor = edges
+          .join(labels.select(col("doc_id").as("dst"), col("rep").as("nrep")), "dst")
+          .groupBy(col("src").as("doc_id"))
+          .agg(min(col("nrep")).as("nmin"))
+        val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+          .localCheckpoint()
+        changed = next.join(labels.withColumnRenamed("rep", "prev"), "doc_id")
+          .filter(col("rep") =!= col("prev")).count()
+        labels = next
+      }
+      labels
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("rep")))
+        .select("doc_id", "rep", "cluster_size")
+        .orderBy("doc_id")
     }),
 
     "q42_simhash" -> ((s, dir) => {
@@ -174,6 +218,30 @@ object DedupOps {
          |  ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
          |$jacSelect
          |WHERE inter * 2 >= uni ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q77_dedup_clusters" -> {
+      val code = md5Code60Sql("sh")
+      val affine = affineHashSql("i", "x")
+      s"""WITH RECURSIVE $setsCte,
+         |c AS (SELECT doc_id, list_transform(shingles, sh -> $code) AS codes FROM s),
+         |sg AS (SELECT doc_id, list_transform(generate_series(1, $NumHashes),
+         |        i -> list_min(list_transform(codes, x -> $affine))) AS sig FROM c),
+         |bands AS (SELECT doc_id, j,
+         |  array_to_string(sig[j*$RowsPerBand+1 : j*$RowsPerBand+$RowsPerBand], '_') AS bkey
+         |  FROM sg, generate_series(0, ${Bands - 1}) t(j)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |  ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |vp AS (SELECT doc_a, doc_b FROM ($jacSelect) x WHERE x.inter * 2 >= x.uni),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |  UNION ALL SELECT doc_b, doc_a FROM vp),
+         |reach AS (SELECT doc_id, doc_id AS anc FROM documents
+         |  UNION
+         |  SELECT e.src, r.anc FROM edges e JOIN reach r ON r.doc_id = e.dst),
+         |lbl AS (SELECT doc_id, min(anc) AS rep FROM reach GROUP BY doc_id)
+         |SELECT doc_id, rep, count(*) OVER (PARTITION BY rep) AS cluster_size
+         |FROM lbl ORDER BY doc_id""".stripMargin
     },
 
     "q42_simhash" -> {
