@@ -74,8 +74,11 @@ object DedupOps {
     * collisions, verified by exact Jaccard >= 0.5. Shared by q41 (which
     * emits the pairs) and q77 (which clusters them). The shingle table
     * feeds three consumers (signatures + both sides of the verification
-    * join), so it is materialized once — the distributed analog of a
-    * dedup pipeline's staged shingle table. */
+    * join), so it is persisted for the duration of the pipeline; the
+    * verified pair set itself is tiny (near-dup fraction of the corpus),
+    * so it is materialized eagerly via localCheckpoint, which lets the
+    * large shingle cache be dropped before the caller's job runs — no
+    * cache accumulates across a multi-query session. */
   def verifiedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val sets = shingleSets(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -88,11 +91,14 @@ object DedupOps {
     val sa = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val sb = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     val (inter, uni) = jaccardCols(col("sh_a"), col("sh_b"))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
+    val verified = cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("inter", inter)
       .withColumn("uni", uni)
       .filter(col("inter") * 2 >= col("uni"))
       .withColumn("jac_bp", expr("inter * 10000L div uni"))
+      .localCheckpoint() // eager: materializes the small pair set now
+    sets.unpersist()
+    verified
   }
 
   val queries: Map[String, Q] = Map(
@@ -115,20 +121,25 @@ object DedupOps {
     // Dedup clustering: connected components over the verified near-dup
     // pairs — the final step of a dedup pipeline ("keep one doc per
     // cluster"). Min-label propagation iterated to FIXPOINT with a
-    // driver-side convergence check (the Pregel pattern on DataFrames):
-    // per iteration one shuffle join labels<->edges; near-dup clusters
-    // have tiny diameters, so iterations are few regardless of corpus
-    // size. localCheckpoint truncates lineage between rounds.
+    // driver-side convergence check (the Pregel pattern on DataFrames).
+    // Crucially the loop runs ONLY over vertices that appear in an edge —
+    // every other document is a singleton cluster and can never change
+    // label, so it is unioned in once at the end. At 100 TB the edge set
+    // is the near-dup fraction of the corpus (orders of magnitude smaller
+    // than the document set); iterating the full corpus per round was the
+    // round-2 bottleneck (63 s of a 111 s bench). localCheckpoint
+    // truncates lineage between rounds.
     "q77_dedup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select(col("doc_id"))
       val pairs = verifiedNearDupPairs(s, dir).select("doc_a", "doc_b")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // undirected edges, both directions
+      // undirected edges, both directions (tiny: verified near-dup pairs)
       val edges = pairs
         .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
         .toDF("src", "dst")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = docs.select(col("doc_id"), col("doc_id").as("rep")).localCheckpoint()
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("rep"))
+        .localCheckpoint()
       var changed = 1L
       while (changed > 0) {
         val viaNeighbor = edges
@@ -143,26 +154,39 @@ object DedupOps {
           .filter(col("rep") =!= col("prev")).count()
         labels = next
       }
-      labels
+      edges.unpersist()
+      docs.join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
         .withColumn("cluster_size", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("rep")))
         .select("doc_id", "rep", "cluster_size")
         .orderBy("doc_id")
     }),
 
+    // SimHash built relationally: explode tokens, hash each ONCE, and
+    // compute the 16 per-bit +/-1 score sums as map-side-combining
+    // aggregates (the same CollapseProject-inlines-into-lambda trap that
+    // withSignature avoids: referencing a computed `codes` array inside a
+    // transform() lambda re-evaluates md5 per outer element — 16x). The
+    // shuffle carries 16 longs per doc regardless of document length.
     "q42_simhash" -> ((s, dir) => {
-      val pow2 = array((0 until 16).map(j => lit(1L << j)): _*)
-      val d = Tables.documents(s, dir)
+      val base = Tables.documents(s, dir)
         .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
-        .withColumn("codes", transform(col("toks"), t => md5Code60(t) % lit(65536L)))
-      val bits = transform(sequence(lit(0), lit(15)), j => {
-        val p2 = element_at(pow2, j + lit(1))
-        val score = aggregate(col("codes"), lit(0L),
-          (acc, c) => acc + ((c / p2).cast("long") % lit(2L)) * lit(2L) - lit(1L))
-        when(score >= 0, lit(1L)).otherwise(lit(0L))
-      })
-      d.withColumn("simhash", aggregate(reverse(bits), lit(0L), (acc, b) => acc * 2 + b))
-        .select(col("doc_id"), col("simhash"), size(col("toks")).as("n_toks"))
+      val codes = base
+        .select(col("doc_id"), explode(col("toks")).as("t"))
+        .select(col("doc_id"), (md5Code60(col("t")) % lit(65536L)).as("code"))
+      val bitSums = (0 until 16).map(j =>
+        sum(((col("code") / lit(1L << j)).cast("long") % lit(2L)) * lit(2L) - lit(1L))
+          .as(s"s$j"))
+      val sums = codes.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      val sim = (0 until 16)
+        .map(j => when(col(s"s$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      // zero-token doc: every bit score is 0 (>= 0), i.e. all 16 bits set
+      base.join(sums, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("s0").isNull, lit(65535L)).otherwise(sim).as("simhash"),
+          size(col("toks")).as("n_toks"))
         .orderBy("doc_id")
     }),
 

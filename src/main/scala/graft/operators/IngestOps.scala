@@ -126,10 +126,17 @@ object IngestOps {
     "q35_fanout_scan" -> ((s, dir) => {
       import s.implicits._
       val ids = Seq(2L, 5L, 7L, 11L).toDF("user_id")
+      // Broadcast-semi-filter the big fact table BEFORE aggregating (an
+      // outer join can never broadcast its preserved side: build-left on
+      // a left-outer is rejected and the hint silently degrades to a full
+      // shuffle of `e`). The semi join prunes the scan to the 4 requested
+      // ids, the aggregate is then tiny, and the final left-outer
+      // broadcasts that tiny aggregate against the id dimension.
       val e = Tables.events(s, dir)
+        .join(broadcast(ids), Seq("user_id"), "left_semi")
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("sum_cents"))
-      broadcast(ids).join(e, Seq("user_id"), "left")
+      ids.join(broadcast(e), Seq("user_id"), "left")
         .select(col("user_id"),
           coalesce(col("n_events"), lit(0L)).as("n_events"),
           (coalesce(col("sum_cents"), lit(0L)).cast("double") / lit(100.0)).as("sum_value"))

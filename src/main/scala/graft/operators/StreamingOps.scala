@@ -19,8 +19,12 @@ import graft.streaming.StreamTransforms
   * q63/q64 are the deterministic batch statements of the two semantics
   * that only exist in streaming (arrival-order dedup state, watermark
   * late-drop): q63 is keep-earliest-by-event-time dedup; q64 classifies
-  * each event as late/on-time against the running max event time in
-  * arrival (event_id) order — exactly what a 1-hour watermark would drop.
+  * each event as late/on-time against the PER-USER running max event
+  * time in arrival (event_id) order — what a 1-hour watermark over a
+  * keyed stream drops. Keying the running max by user keeps the window
+  * partitionable (a global arrival-order max is inherently a
+  * SinglePartition sort — a scale-killer; that global-order semantics is
+  * covered by StreamingSpec's actual watermark late-drop test instead).
   *
   * All sums are integer cents (order-independent, oracle-stable).
   */
@@ -65,7 +69,7 @@ object StreamingOps {
     }),
 
     "q64_watermark_late" -> ((s, dir) => {
-      val arrival = Window.orderBy("event_id")
+      val arrival = Window.partitionBy("user_id").orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables.events(s, dir)
         .withColumn("seen_max_us", max(col("ts_us")).over(arrival))
@@ -136,7 +140,8 @@ object StreamingOps {
       """SELECT event_type, count(*) AS n_events, CAST(sum(late) AS BIGINT) AS n_late FROM (
         |  SELECT event_type,
         |    CASE WHEN epoch_us(ts) < max(epoch_us(ts)) OVER
-        |      (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      (PARTITION BY user_id ORDER BY event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         |      - 3600000000 THEN 1 ELSE 0 END AS late
         |  FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin)

@@ -1,11 +1,59 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, FilterExec, InputAdapter, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 
 /** Dev-only plan auditor: prints a condensed formatted plan per query and
-  * flags scale smells (cartesian products, missing pushed filters on
-  * filtered scans, single-partition exchanges). */
+  * flags scale smells (cartesian products, filters that never reached the
+  * parquet scan, single-partition exchanges that aren't a final global
+  * aggregate). The checks walk the physical plan tree — string matching
+  * the formatted plan is unreliable (e.g. the literal "PushedFilters: []"
+  * itself contains "Filter", which made the old heuristic tautological). */
 object PlanAudit {
+
+  /** Peel codegen/columnar wrappers so structural checks see the
+    * logical shape of the physical tree. */
+  private def strip(p: SparkPlan): SparkPlan = p match {
+    case w: WholeStageCodegenExec => strip(w.child)
+    case i: InputAdapter          => strip(i.child)
+    case c: ColumnarToRowExec     => strip(c.child)
+    case a: AdaptiveSparkPlanExec => strip(a.executedPlan)
+    case other                    => other
+  }
+
+  /** A FilterExec sitting directly on a file scan that pushed NOTHING:
+    * the predicate is on raw scan columns yet never reached parquet. */
+  def hasUnpushedFilter(p: SparkPlan): Boolean = strip(p) match {
+    case f: FilterExec =>
+      strip(f.child) match {
+        case s: FileSourceScanExec if s.metadata.get("PushedFilters").contains("[]") => true
+        case c => hasUnpushedFilter(c)
+      }
+    case other => other.children.exists(hasUnpushedFilter)
+  }
+
+  /** A shuffle to ONE partition whose input is not already a partial
+    * aggregate. A final global agg over map-side partials moves one row
+    * per task — fine; anything else funnels real data through one task. */
+  def hasBadSinglePartition(p: SparkPlan): Boolean = strip(p) match {
+    case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
+      strip(e.child) match {
+        case _: BaseAggregateExec => e.children.exists(hasBadSinglePartition)
+        case _                    => true
+      }
+    case other => other.children.exists(hasBadSinglePartition)
+  }
+
+  def smells(plan: SparkPlan): Seq[String] = Seq(
+    if (plan.toString.contains("CartesianProduct")) Some("CARTESIAN") else None,
+    if (hasUnpushedFilter(plan)) Some("NO-PUSHDOWN") else None,
+    if (hasBadSinglePartition(plan)) Some("SINGLE-PARTITION") else None
+  ).flatten
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
@@ -21,19 +69,16 @@ object PlanAudit {
       .foreach { case (name, fn) =>
         try {
           val df = fn(spark, sfDir)
-          val plan = df.queryExecution.executedPlan.toString
+          val executed = df.queryExecution.executedPlan
+          val plan = executed.toString
           val ops = plan.linesIterator
             .map(_.replaceAll("#\\d+[L]?", "").trim)
             .filter(l => l.startsWith("+-") || l.startsWith(":") || l.startsWith("*"))
             .map(_.replaceAll("\\(\\d+\\)", "").split(" ").filter(_.nonEmpty).take(3).mkString(" "))
             .mkString(" | ")
-          val smells = Seq(
-            if (plan.contains("CartesianProduct")) Some("CARTESIAN") else None,
-            if (plan.contains("PushedFilters: []") && plan.contains("Filter")) Some("NO-PUSHDOWN") else None,
-            if (plan.contains("SinglePartition") && !name.contains("q64")) Some("SINGLE-PARTITION") else None
-          ).flatten
-          println(f"== $name%-28s ${if (smells.isEmpty) "ok" else smells.mkString(",")}")
-          if (smells.nonEmpty || only.nonEmpty) println("   " + ops.take(2000))
+          val sm = smells(executed)
+          println(f"== $name%-28s ${if (sm.isEmpty) "ok" else sm.mkString(",")}")
+          if (sm.nonEmpty || only.nonEmpty) println("   " + ops.take(2000))
         } catch { case e: Throwable => println(s"== $name EXPLAIN FAILED: ${e.getMessage.take(120)}") }
       }
     spark.stop()

@@ -55,7 +55,10 @@ class OperatorSpec extends AnyFunSuite {
     val dups = graft.engine.Tables.documents(spark, sfDir)
       .groupBy("text").agg(collect_list("doc_id").as("ids"), count(lit(1)).as("n"))
       .filter(col("n") >= 2)
-      .select(explode(expr("filter(transform(ids, x -> struct(ids[1] as a, x as b)), p -> p.a < p.b)")))
+      // anchor on the group MIN id (Spark [] is 0-based; ids[1] was the
+      // second element — a group whose max landed there contributed no
+      // expected pairs, making the recall assertion vacuous for it)
+      .select(explode(expr("filter(transform(ids, x -> struct(array_min(ids) as a, x as b)), p -> p.a < p.b)")))
       .select(col("col.a").as("doc_a"), col("col.b").as("doc_b"))
       .as[(Long, Long)].collect().toSet
     val found = DedupOps.queries("q41_minhash_lsh")(spark, sfDir)
