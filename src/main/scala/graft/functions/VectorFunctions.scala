@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   *
   * All accumulation is in Double (each float is widened before the first
   * multiply) and folds sequentially left-to-right — the same order DuckDB's
-  * list functions use — so scores agree across engines to ~1ulp; queries
-  * additionally round exposed scores (see SparkEntry) to make the oracle
-  * hash stable.
+  * list functions use. The oracle hash relies on that fold order being
+  * BIT-identical across engines: q44/q45/q48/q73 compare raw double scores
+  * exactly (only q47 rounds, to basis points), so any edit that reorders
+  * the accumulation breaks the gate — there is no rounding safety net.
   */
 object VectorFunctions {
 

@@ -15,8 +15,8 @@ import org.apache.spark.sql.functions._
   * inference over a 100 TB corpus (bounded per-partition batches, no
   * driver fan-out, task retries give at-least-once semantics). The stub
   * is deterministic (md5 of the prompt), which keeps the operator inside
-  * the DuckDB-oracle gate; the real client would be config-gated exactly
-  * like the reference's env check (:17-20).
+  * the DuckDB-oracle gate; the real client ([[HttpChat]]) is config-gated
+  * by [[ChatGate]] exactly like the reference's env check (:13-20).
   */
 object EnrichOps {
   type Q = (SparkSession, String) => DataFrame
@@ -82,9 +82,11 @@ object EnrichOps {
 
   val queries: Map[String, Q] = Map(
     // U1 end-to-end: template assembly (q34) -> per-partition enrichment.
+    // The service comes through the O4 gate: env-selected, fail-fast on a
+    // missing secret, stub when no live mode is configured (this sandbox).
     "q37_llm_enrich" -> ((s, dir) => {
       val reports = IngestOps.queries("q34_template_report")(s, dir)
-      enrich(reports, StubChat)
+      enrich(reports, ChatGate.select())
         .select("n_name", "advice")
         .orderBy("n_name")
     }),

@@ -19,8 +19,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * the same sequential left fold, so results are bit-identical to the HOF
   * and to DuckDB's list_reduce — it stays inside the oracle gate.
   *
-  * Null contract: null input array -> null; elements are assumed non-null
-  * (embedding fixtures and any sane vector column guarantee this).
+  * Null contract: null input array -> null, and MISMATCHED lengths ->
+  * null — the same result the HOF formulation produces (zip_with
+  * null-pads the shorter side and the null poisons the aggregate), so
+  * the two stay bit-identical on malformed vectors too, never silently
+  * truncating. Elements are assumed non-null (embedding fixtures and any
+  * sane vector column guarantee this).
   */
 case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -30,17 +34,24 @@ case class FloatVectorDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vector_dot"
 
+  // non-null inputs of differing length still yield null
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0d
-    var i = 0
-    while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
+    val n = x.numElements()
+    if (y.numElements() != n) {
+      null
+    } else {
+      var acc = 0.0d
+      var i = 0
+      while (i < n) {
+        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -49,12 +60,16 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

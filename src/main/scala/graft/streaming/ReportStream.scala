@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** The reference's report sink + publish loop as a Structured Streaming
@@ -61,8 +61,11 @@ object ReportStream {
   def publish(summary: DataFrame, batchId: Long, outDir: String): Unit = {
     val marker = Paths.get(outDir, s"batch-$batchId.done")
     if (!Files.exists(marker)) {
+      // single ~KB row by construction (global agg); headOption guards a
+      // pathological empty micro-batch so the query never dies publishing
       val report = render(summary, s"batch $batchId")
-        .collect().head.getString(0) // single ~KB row by construction
+        .collect().headOption.map(_.getString(0))
+        .getOrElse("<html><body><h1>Event report</h1><p>(no data)</p></body></html>")
       Files.createDirectories(Paths.get(outDir))
       Files.writeString(Paths.get(outDir, s"report-$batchId.html"), report)
       Files.writeString(marker, "")
@@ -74,17 +77,37 @@ object ReportStream {
     * artifacts so far. */
   def runAvailableNow(spark: SparkSession, srcDir: String, outDir: String,
       checkpointDir: String): Long = {
+    val q = start(spark, srcDir, outDir, checkpointDir, Trigger.AvailableNow())
+    q.awaitTermination()
+    publishedCount(outDir)
+  }
+
+  /** O2 long-lived mode: the cron loop as one continuously-running query
+    * (SURVEY §3.3 maps the reference's cron either to AvailableNow ticks
+    * or to this). New files are picked up every `intervalMs`; a trigger
+    * with no new input publishes nothing, so an idle loop writes no
+    * duplicate artifacts. The caller owns the query's lifecycle (stop /
+    * awaitTermination); the same checkpoint + batch markers make restarts
+    * idempotent exactly like the AvailableNow path. */
+  def runProcessingTime(spark: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String, intervalMs: Long = 500): StreamingQuery =
+    start(spark, srcDir, outDir, checkpointDir,
+      Trigger.ProcessingTime(intervalMs))
+
+  private def start(spark: SparkSession, srcDir: String, outDir: String,
+      checkpointDir: String, trigger: Trigger): StreamingQuery = {
     val events = spark.readStream
       .schema(eventsSchema)
       .parquet(srcDir)
-    val q = summarize(events)
+    summarize(events)
       .writeStream
       .outputMode("complete")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch((batch: DataFrame, id: Long) => publish(batch, id, outDir))
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
-    q.awaitTermination()
-    Files.list(Paths.get(outDir)).filter(_.toString.endsWith(".html")).count()
   }
+
+  def publishedCount(outDir: String): Long =
+    Files.list(Paths.get(outDir)).filter(_.toString.endsWith(".html")).count()
 }

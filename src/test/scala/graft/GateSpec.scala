@@ -1,0 +1,124 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ChatGate, EnrichOps, HttpChat}
+
+/** O4 config gate + the gated real-client skeletons (reference:
+  * rws_data_ingester src/rotterdam_swimming_advice.py:13-20 exits 1 on a
+  * missing key; generate.sh:7-9). The HTTP paths round-trip against an
+  * in-JVM com.sun.net.httpserver instance — real sockets, no egress. */
+class GateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def withServer(handler: HttpExchange => (Int, String))(f: Int => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val (code, body) = handler(ex)
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try f(server.getAddress.getPort)
+    finally server.stop(0)
+  }
+
+  test("no live mode configured selects the deterministic stub") {
+    assert(ChatGate.select(Map.empty) eq EnrichOps.StubChat)
+    assert(ChatGate.select(Map("SOMETHING_ELSE" -> "x")) eq EnrichOps.StubChat)
+  }
+
+  test("live mode with a missing or empty secret fails fast, before any job") {
+    val e1 = intercept[IllegalStateException] {
+      ChatGate.select(Map(ChatGate.ModeEnv -> "live",
+        ChatGate.EndpointEnv -> "http://127.0.0.1:1/v1"))
+    }
+    assert(e1.getMessage.contains(ChatGate.KeyEnv))
+    val e2 = intercept[IllegalStateException] {
+      ChatGate.select(Map(ChatGate.ModeEnv -> "live",
+        ChatGate.EndpointEnv -> "http://127.0.0.1:1/v1", ChatGate.KeyEnv -> ""))
+    }
+    assert(e2.getMessage.contains(ChatGate.KeyEnv))
+    val e3 = intercept[IllegalStateException] {
+      ChatGate.select(Map(ChatGate.ModeEnv -> "live", ChatGate.KeyEnv -> "k"))
+    }
+    assert(e3.getMessage.contains(ChatGate.EndpointEnv))
+  }
+
+  test("live mode with endpoint + key selects the HTTP client") {
+    val svc = ChatGate.select(Map(ChatGate.ModeEnv -> "live",
+      ChatGate.EndpointEnv -> "http://127.0.0.1:1/v1", ChatGate.KeyEnv -> "k"))
+    assert(svc.isInstanceOf[HttpChat])
+  }
+
+  test("HttpChat posts the prompt with the bearer secret and returns the body") {
+    var auth: String = null
+    var reqBody: String = null
+    withServer { ex =>
+      auth = ex.getRequestHeaders.getFirst("Authorization")
+      reqBody = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      (200, "live-advice")
+    } { port =>
+      val svc = new HttpChat(s"http://127.0.0.1:$port/complete", "sekrit")
+      assert(svc.complete("two\nlines \"quoted\"") == "live-advice")
+      assert(auth == "Bearer sekrit")
+      assert(reqBody == """{"prompt":"two\nlines \"quoted\""}""")
+    }
+  }
+
+  test("HttpChat surfaces non-2xx as an error (the O3 error channel catches it)") {
+    withServer(_ => (503, "overloaded")) { port =>
+      val svc = new HttpChat(s"http://127.0.0.1:$port/complete", "k")
+      val e = intercept[RuntimeException](svc.complete("p"))
+      assert(e.getMessage.contains("503"))
+    }
+  }
+
+  test("gated HTTP client runs distributed through enrichTolerant (local executors)") {
+    import spark.implicits._
+    withServer { ex =>
+      val path = ex.getRequestURI.getPath
+      if (path.endsWith("fail")) (500, "boom") else (200, s"ok:$path")
+    } { port =>
+      val reports = Seq(("a", "p1"), ("b", "p2")).toDF("n_name", "report")
+      val svc = new HttpChat(s"http://127.0.0.1:$port/complete", "k")
+      val out = EnrichOps.enrichTolerant(reports, svc)
+        .orderBy("n_name").collect()
+      assert(out.length == 2 && out.forall(_.getString(1).startsWith("ok:")))
+    }
+  }
+
+  test("fanout source: payload=http without endpoint aborts at planning time") {
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.FanoutSource")
+        .option("ids", "1,2").option("payload", "http")
+        .load().count()
+    }
+    assert(e.getMessage.contains("endpoint"))
+  }
+
+  test("fanout source fetches payloads over HTTP per (id, seq)") {
+    withServer { ex =>
+      (200, "payload" + ex.getRequestURI.getQuery)
+    } { port =>
+      val df = spark.read.format("graft.sources.FanoutSource")
+        .option("ids", "3,9").option("rowsPerId", "2")
+        .option("payload", "http")
+        .option("endpoint", s"http://127.0.0.1:$port/fetch?id={id}&seq={seq}")
+        .load()
+      val rows = df.select("source_id", "seq", "payload")
+        .orderBy("source_id", "seq").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(rows.toSeq == Seq(
+        (3L, 0L, "payloadid=3&seq=0"), (3L, 1L, "payloadid=3&seq=1"),
+        (9L, 0L, "payloadid=9&seq=0"), (9L, 1L, "payloadid=9&seq=1")))
+    }
+  }
+}

@@ -55,6 +55,43 @@ class ReportStreamSpec extends AnyFunSuite {
     assert(n3 > n2, "new input files must produce a new published report")
   }
 
+  test("long-lived ProcessingTime loop publishes per tick and restarts idempotently") {
+    val src = tmp("rs-pt-src")
+    val out = tmp("rs-pt-out")
+    val ckpt = tmp("rs-pt-ckpt")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+      .limit(200).write.mode("overwrite").parquet(src.toString)
+
+    // tick 1: the running query drains the first file and publishes
+    val q = ReportStream.runProcessingTime(spark, src.toString, out.toString,
+      ckpt.toString, intervalMs = 100)
+    try {
+      q.processAllAvailable()
+      val n1 = ReportStream.publishedCount(out.toString)
+      assert(n1 >= 1, "first tick must publish a report")
+
+      // tick 2: a new file arrives while the SAME query keeps running
+      spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+        .limit(100).write.mode("append").parquet(src.toString)
+      q.processAllAvailable()
+      val n2 = ReportStream.publishedCount(out.toString)
+      assert(n2 > n1, "a later tick of the running query must publish the increment")
+    } finally q.stop()
+
+    // restart with the same checkpoint and no new input: idempotent —
+    // no re-published artifacts
+    val before = ReportStream.publishedCount(out.toString)
+    val q2 = ReportStream.runProcessingTime(spark, src.toString, out.toString,
+      ckpt.toString, intervalMs = 100)
+    try {
+      q2.processAllAvailable()
+      assert(ReportStream.publishedCount(out.toString) == before,
+        "restart with no new data must not publish again")
+    } finally q2.stop()
+  }
+
   test("publish is idempotent per batch id (redelivery is a no-op)") {
     val out = tmp("rs-idem")
     val summary = ReportStream.summarize(Tables.events(spark, TestSpark.sfDir))

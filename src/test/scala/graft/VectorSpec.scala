@@ -25,6 +25,18 @@ class VectorSpec extends AnyFunSuite {
       .foreach(r => assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0))
   }
 
+  test("mismatched-length vectors yield null in BOTH the HOF and the native expression") {
+    // HOF: zip_with null-pads the shorter side, the null poisons the
+    // aggregate; the native expression must agree, never silently
+    // truncate to min(n) — in interpreted AND codegen paths
+    val df = Seq((List(1f, 2f, 3f), List(1f, 2f))).toDF("a", "b")
+    val r = df.select(
+      dot(col("a"), col("b")).as("hof"),
+      FloatVectorDot.dotNative(col("a"), col("b")).as("native"))
+      .collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("cosine(v, v) ~ 1; cosine symmetric and within [-1, 1]") {
     val df = samples.toDF("a", "b")
     df.select(
