@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.GraftFunctions._
+import graft.functions.HashFunctions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingestion and training — the decision layer on top of the
+  * text-analysis (TextOps) and dedup (DedupOps) primitives:
+  *
+  *   - q78 TF-IDF top-k terms — rarity-weighted term importance per doc
+  *   - q79 stratified sampling cap — at most K docs per language, chosen
+  *     by deterministic hash order (reproducible downsampling)
+  *   - q80 repetition filter — Gopher-style repetition metrics (top-token
+  *     fraction, duplicate-bigram fraction) with a keep/drop verdict
+  *   - q81 CDC latest-wins upsert — materialize the current state per key
+  *     from an event changelog (the bronze→silver merge step)
+  *
+  * Scale posture: all scoring is explode → groupBy (map-side combining,
+  * shuffle bounded by vocabulary or key cardinality, never by corpus
+  * size); sampling and upsert are rank-1 window filters that Spark
+  * executes as WindowGroupLimit (only ~K rows per group survive the
+  * exchange). All ratios are integer basis points — no float thresholds
+  * to drift between engines.
+  */
+object PipelineOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Docs per language kept by the stratified sampler. */
+  val SampleCap = 20
+
+  val queries: Map[String, Q] = Map(
+    // TF-IDF with an integer-scaled score: tf * 1e6 div df. The constant
+    // N (corpus size) factor is dropped — it does not change per-doc
+    // ranking — which keeps the score exact integer arithmetic. df comes
+    // from the full corpus; the probe set (doc_id < 50) only bounds the
+    // emitted rows. The df join is a token-keyed equi-join (vocabulary-
+    // bounded shuffle, NOT broadcast: at 100 TB the vocabulary need not
+    // fit in one executor).
+    "q78_tfidf_topk" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token"))
+      tf.filter(col("doc_id") < 50)
+        .join(dfreq, "token")
+        .withColumn("score", expr("tf * 1000000 div df"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("doc_id", "rn", "token", "tf", "df", "score")
+        .orderBy("doc_id", "rn")
+    }),
+
+    // Deterministic stratified downsampling: cap each language at
+    // SampleCap docs, selected by md5-hash order — the reproducible
+    // analog of `TABLESAMPLE` for per-domain/per-language quota
+    // enforcement. The rank filter compiles to WindowGroupLimit, so only
+    // ~K rows per stratum survive the shuffle regardless of corpus size.
+    "q79_stratified_sample" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          md5Code60(concat(lit("smp:"), col("doc_id").cast("string"))).as("hk"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= SampleCap)
+        .select("lang", "rn", "doc_id", "hk")
+        .orderBy("lang", "rn")
+    }),
+
+    // Repetition-based quality gate (the MassiveText/Gopher rule family):
+    // top1_bp = fraction of tokens that are the single most frequent
+    // token; dup_bg_bp = fraction of bigrams that are repeats. Both in
+    // integer basis points; keep = low repetition on both axes. Token
+    // counting is explode → two-level groupBy (map-side combined).
+    "q80_repetition_filter" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tokStats = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top1"), sum(col("c")).as("n_tok"))
+      val bg = docs
+        .select(col("doc_id"), shingles(col("text"), 2).as("bgs"))
+        .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bg"),
+          size(array_distinct(col("bgs"))).cast("long").as("n_bg_uniq"))
+      tokStats.join(bg, "doc_id")
+        .withColumn("top1_bp", expr("top1 * 10000 div n_tok"))
+        .withColumn("dup_bg_bp",
+          when(col("n_bg") > 0, expr("(n_bg - n_bg_uniq) * 10000 div n_bg"))
+            .otherwise(lit(0L)))
+        .withColumn("keep",
+          when(col("top1_bp") <= 2000 && col("dup_bg_bp") <= 3000, 1).otherwise(0))
+        .select("doc_id", "n_tok", "top1_bp", "dup_bg_bp", "keep")
+        .orderBy("doc_id")
+    }),
+
+    // Latest-wins upsert: collapse an event changelog to the current row
+    // per key, ordered by (event time, event_id) — the deterministic
+    // batch statement of MERGE INTO ... WHEN MATCHED UPDATE. Rank-1
+    // window = WindowGroupLimit; the complement of q63's keep-earliest.
+    "q81_cdc_upsert" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts_us").as("last_ts_us"), col("event_type").as("last_event_type"),
+          cents(col("value")).as("last_value_cents"))
+        .orderBy("user_id")
+    }))
+
+  // ---- DuckDB oracle ------------------------------------------------------
+
+  private val toksSql = "string_split(text,' ')"
+
+  val oracle: Map[String, String] = Map(
+    "q78_tfidf_topk" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT doc_id, token, tf, df, tf * 1000000 // df AS score
+         |  FROM tf JOIN df USING (token) WHERE doc_id < 50)
+         |SELECT doc_id, rn, token, tf, df, CAST(score AS BIGINT) AS score FROM (
+         |  SELECT doc_id, token, tf, df, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+         |  FROM sc)
+         |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
+
+    "q79_stratified_sample" -> {
+      val hk = md5Code60Sql("'smp:' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT lang, rn, doc_id, hk FROM (
+         |  SELECT lang, doc_id, hk,
+         |    row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+         |  FROM (SELECT lang, doc_id, $hk AS hk FROM documents))
+         |WHERE rn <= $SampleCap ORDER BY lang, rn""".stripMargin
+    },
+
+    "q80_repetition_filter" ->
+      s"""WITH t AS (SELECT doc_id, t, count(*) AS c FROM (
+         |    SELECT doc_id, unnest($toksSql) AS t FROM documents) GROUP BY 1, 2),
+         |ts AS (SELECT doc_id, max(c) AS top1, CAST(sum(c) AS BIGINT) AS n_tok
+         |  FROM t GROUP BY doc_id),
+         |bg AS (SELECT doc_id,
+         |    CAST(len(bgs) AS BIGINT) AS n_bg,
+         |    CAST(len(list_distinct(bgs)) AS BIGINT) AS n_bg_uniq
+         |  FROM (SELECT doc_id, list_transform(
+         |      generate_series(1, greatest(len($toksSql) - 1, 0)),
+         |      i -> ($toksSql)[i] || ' ' || ($toksSql)[i+1]) AS bgs
+         |    FROM documents)),
+         |m AS (SELECT ts.doc_id, n_tok,
+         |    top1 * 10000 // n_tok AS top1_bp,
+         |    CASE WHEN n_bg > 0 THEN (n_bg - n_bg_uniq) * 10000 // n_bg
+         |         ELSE 0 END AS dup_bg_bp
+         |  FROM ts JOIN bg ON ts.doc_id = bg.doc_id)
+         |SELECT doc_id, n_tok, top1_bp, dup_bg_bp,
+         |  CASE WHEN top1_bp <= 2000 AND dup_bg_bp <= 3000 THEN 1 ELSE 0 END AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q81_cdc_upsert" ->
+      """SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts_us,
+        |  event_type AS last_event_type,
+        |  CAST(round(value * 100) AS BIGINT) AS last_value_cents
+        |FROM (SELECT *, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin)
+}

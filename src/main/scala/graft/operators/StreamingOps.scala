@@ -68,6 +68,15 @@ object StreamingOps {
         .orderBy("user_id")
     }),
 
+    // Stream-static join batch twin: the same enrichByNation plan the
+    // streaming path runs per micro-batch (StreamingSpec drives it
+    // through MemoryStream and asserts convergence to this result).
+    "q82_stream_static_join" -> ((s, dir) => {
+      StreamTransforms.enrichByNation(Tables.events(s, dir),
+        Tables.customer(s, dir), Tables.nation(s, dir))
+        .orderBy("n_name")
+    }),
+
     "q64_watermark_late" -> ((s, dir) => {
       val arrival = Window.partitionBy("user_id").orderBy("event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -135,6 +144,14 @@ object StreamingOps {
       s"""SELECT user_id, count(*) AS n_events,
          |  CAST(sum($centsSql) AS BIGINT) AS sum_cents
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q82_stream_static_join" ->
+      s"""SELECT n_name, count(*) AS n_events,
+         |  CAST(sum($centsSql) AS BIGINT) AS sum_cents
+         |FROM events
+         |JOIN customer ON user_id = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q64_watermark_late" ->
       """SELECT event_type, count(*) AS n_events, CAST(sum(late) AS BIGINT) AS n_late FROM (

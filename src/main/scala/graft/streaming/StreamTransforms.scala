@@ -125,6 +125,25 @@ object StreamTransforms {
       .toDF("user_id", "n_events", "sum_cents")
   }
 
+  /** Stream-static join: enrich the event stream with the (slowly
+    * changing) customer→nation dimension, then aggregate per nation. The
+    * static side is re-planned per micro-batch by Structured Streaming
+    * (dimension updates between batches are picked up automatically) and
+    * is explicitly broadcast — the streaming side never shuffles for the
+    * join, which is the only posture that survives a 100 TB/day stream.
+    * Same code path runs in batch for the oracle twin (q82). */
+  def enrichByNation(events: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val dim = customer.select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      .join(nation.select(col("n_nationkey").as("c_nationkey"), col("n_name")),
+        "c_nationkey")
+      .select("user_id", "n_name")
+    prepared(events)
+      .join(broadcast(dim), Seq("user_id"), "inner")
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_events"), sum(col("v_cents")).as("sum_cents"))
+  }
+
   /** Watermarked tumbling aggregate: with a 1-hour watermark, an event
     * arriving more than 1 hour behind the observed max event time is
     * dropped before it reaches the window state. */

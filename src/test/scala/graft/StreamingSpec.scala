@@ -61,6 +61,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(sorted(stream) == sorted(batch))
   }
 
+  test("stream-static join converges to the batch twin (dim re-read per micro-batch)") {
+    val batch = StreamTransforms.enrichByNation(
+      Tables.events(spark, TestSpark.sfDir),
+      Tables.customer(spark, TestSpark.sfDir),
+      Tables.nation(spark, TestSpark.sfDir))
+    val stream = runComplete("t_stream_static", ev =>
+      StreamTransforms.enrichByNation(ev,
+        Tables.customer(spark, TestSpark.sfDir),
+        Tables.nation(spark, TestSpark.sfDir)))
+    assert(sorted(stream) == sorted(batch))
+  }
+
   test("session windows close correctly under append mode + watermark") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Ev]
