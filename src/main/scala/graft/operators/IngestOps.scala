@@ -190,6 +190,23 @@ object IngestOps {
         .orderBy("source_id")
     }),
 
+    // ORC sink + source round-trip: the same events aggregate after a
+    // pass through Spark's second columnar format. The read-side filter
+    // pushes into the ORC scan (predicate pushdown is format-generic in
+    // the DSv1 file source), and the oracle checks the aggregate against
+    // the ORIGINAL parquet — so a lossy round-trip would hash-mismatch.
+    "q85_orc_roundtrip" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_${math.abs(dir.hashCode)}"
+      Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts_us")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .filter(col("value") > 50)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_cents"))
+        .orderBy("event_type")
+    }),
+
     // Semi-structured columns as Spark 4 Variant: payloads parsed once
     // into the binary variant encoding, fields extracted with typed paths
     // (the modern engine answer to the reference's schemaless dict.get
@@ -276,6 +293,13 @@ object IngestOps {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // checked against the ORIGINAL parquet — the ORC round-trip must be
+    // lossless for the hash to match
+    "q85_orc_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE value > 50 GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q76_dsv2_fanout" ->
       """SELECT source_id, count(*) AS n,

@@ -19,6 +19,10 @@ import graft.functions.HashFunctions._
   *     fraction, duplicate-bigram fraction) with a keep/drop verdict
   *   - q81 CDC latest-wins upsert — materialize the current state per key
   *     from an event changelog (the bronze→silver merge step)
+  *   - q83 token-budget shard packing — assign docs to ~fixed-token
+  *     training shards per language (running-sum window per stratum)
+  *   - q84 SCD2 interval build — order history → validity intervals
+  *     (valid_from / valid_to / is_current) via per-key lead()
   *
   * Scale posture: all scoring is explode → groupBy (map-side combining,
   * shuffle bounded by vocabulary or key cardinality, never by corpus
@@ -98,6 +102,40 @@ object PipelineOps {
         .orderBy("doc_id")
     }),
 
+    // Token-budget shard packing: assign docs to training shards of ~2000
+    // tokens each, per language — the sequencing step before tokenized
+    // examples are written out. shard = floor(running tokens BEFORE this
+    // doc / budget), a per-stratum running-sum window (partitionable by
+    // language/domain — never a global single-partition sort).
+    "q83_shard_packing" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("shard", expr("cum_before div 2000"))
+        .select("doc_id", "lang", "n_tok", "shard")
+        .orderBy("doc_id")
+    }),
+
+    // SCD2 interval build: each customer's order history becomes validity
+    // intervals (valid_from, valid_to, is_current) — the temporal-
+    // dimension construction step of a warehouse load. lead() over a
+    // per-key window; the open interval (null valid_to) marks the
+    // current row.
+    "q84_scd2_intervals" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("valid_from"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderdate").as("valid_from"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+        .withColumn("is_current", when(col("valid_to").isNull, 1).otherwise(0))
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    }),
+
     // Latest-wins upsert: collapse an event changelog to the current row
     // per key, ordered by (event time, event_id) — the deterministic
     // batch statement of MERGE INTO ... WHEN MATCHED UPDATE. Rank-1
@@ -160,6 +198,25 @@ object PipelineOps {
          |SELECT doc_id, n_tok, top1_bp, dup_bg_bp,
          |  CASE WHEN top1_bp <= 2000 AND dup_bg_bp <= 3000 THEN 1 ELSE 0 END AS keep
          |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q83_shard_packing" ->
+      s"""SELECT doc_id, lang, n_tok, CAST(cum_before // 2000 AS BIGINT) AS shard FROM (
+         |  SELECT doc_id, lang, n_tok,
+         |    coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM (SELECT doc_id, lang,
+         |          CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents))
+         |ORDER BY doc_id""".stripMargin,
+
+    "q84_scd2_intervals" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  CASE WHEN lead(o_orderdate) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL
+        |    THEN 1 ELSE 0 END AS is_current
+        |FROM orders WHERE o_custkey < 200
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
 
     "q81_cdc_upsert" ->
       """SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts_us,
