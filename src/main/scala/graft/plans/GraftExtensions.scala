@@ -14,6 +14,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer tier: portable HOF dot-product pattern -> native codegen
+    ext.injectOptimizerRule(_ => NativeVectorDotRule)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_dot"),

@@ -26,6 +26,40 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(cos - 1.0) < 1e-12)
   }
 
+  test("optimizer rule rewrites the HOF dot pattern to the native expression") {
+    // a real scan input — a LocalRelation would be constant-folded away
+    // before the plan can be observed
+    import spark.implicits._
+    val emb = graft.engine.Tables.embeddings(spark, TestSpark.sfDir).limit(10)
+    val df = emb.select(
+      graft.functions.VectorFunctions.dot($"embedding", $"embedding").as("d"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("float_vector_dot"),
+      s"rule did not fire:\n${df.queryExecution.optimizedPlan}")
+    // and the rewritten plan computes the same values as a session
+    // WITHOUT the extensions (HOF path)
+    val viaRule = df.as[Double].collect().toSeq
+    val expected = {
+      val plain = TestSpark.spark
+      import plain.implicits._
+      graft.engine.Tables.embeddings(plain, TestSpark.sfDir).limit(10)
+        .select(graft.functions.VectorFunctions.dot($"embedding", $"embedding").as("d"))
+        .as[Double].collect().toSeq
+    }
+    assert(viaRule == expected)
+  }
+
+  test("optimizer rule leaves deviating aggregates untouched") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = graft.engine.Tables.embeddings(spark, TestSpark.sfDir).limit(5)
+    // non-zero seed: NOT the dot pattern
+    val df = emb.select(aggregate(
+      zip_with($"embedding", $"embedding", (x, y) => x.cast("double") * y.cast("double")),
+      lit(1.0d), (acc, v) => acc + v).as("d"))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("float_vector_dot"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("aggregate"))
+  }
+
   test("SQL function matches the Column-API native expression") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
