@@ -215,6 +215,23 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // The same as-of alignment as a WHOLE-OPERATOR extension: custom
+    // logical node + strategy + physical merge (graft.plans.AsOfJoin,
+    // ladder tier (c)). One exchange + sort per side, O(1) merge state —
+    // the plan the window formulation (q09) cannot reach when the right
+    // side is a separate, larger table.
+    "q86_asof_native" -> ((s, dir) => {
+      val p = Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts_us")
+      val c = Tables.events(s, dir).filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts_us").as("c_ts"))
+      graft.plans.AsOfJoin.asof(p, c,
+          p("user_id"), c("c_user"), p("ts_us"), c("c_ts"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          coalesce(col("asof_time"), lit(-1L)).as("asof_click_ts"))
+        .orderBy("event_id")
+    }),
+
     "q10_agg_distinct" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy("event_type")
@@ -555,6 +572,18 @@ object Relational {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1) AS asof_click_ts
         |  FROM events)
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    // max-click-at-or-before per purchase: the as-of semantics of the
+    // custom operator, stated as a (bounded) left range join + group-by
+    "q86_asof_native" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  coalesce(max(epoch_us(c.ts)), -1) AS asof_click_ts
+        |FROM events p LEFT JOIN events c
+        |  ON c.user_id = p.user_id AND c.event_type = 'click'
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id, epoch_us(p.ts)
+        |ORDER BY p.event_id""".stripMargin,
 
     "q10_agg_distinct" ->
       s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,

@@ -1,14 +1,26 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.ExpressionUtils
 
-/** Minimal bridge into `private[sql]` surface: Column <-> Expression
-  * conversion for registering native Catalyst expressions from the graft
-  * packages. Lives under org.apache.spark.sql.* solely for visibility —
-  * the standard pattern for out-of-tree Catalyst extensions. */
+/** Minimal bridge into `private[sql]` surface: Column <-> Expression and
+  * DataFrame <-> LogicalPlan conversion for registering native Catalyst
+  * expressions and custom logical operators from the graft packages.
+  * Lives under org.apache.spark.sql.* solely for visibility — the
+  * standard pattern for out-of-tree Catalyst extensions. */
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def plan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.DataFrame]
+      .queryExecution.analyzed
+
+  /** Wrap a (resolved) logical plan back into a DataFrame. */
+  def dataFrame(spark: SparkSession, p: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], p)
 }
