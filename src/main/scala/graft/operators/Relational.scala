@@ -232,6 +232,41 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // Histogram binning: value distribution per event type in 10 fixed
+    // 100.00-wide buckets. Buckets are computed on exact integer cents
+    // (Spark `div` truncates toward zero while DuckDB `//` floors — they
+    // disagree on negatives, so both sides clamp into [0, 9]).
+    "q87_histogram" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("c", cents(col("value")))
+        .withColumn("bucket", greatest(least(expr("c div 10000"), lit(9L)), lit(0L)))
+        .groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("c")).as("min_cents"), max(col("c")).as("max_cents"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    // Funnel conversion: per user, first click -> first purchase at or
+    // after it. Two bounded aggregations + one keyed join — each phase
+    // shuffles once on user_id and the per-user state is O(1).
+    "q88_funnel" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy("user_id")
+        .agg(min(col("ts_us")).as("first_click_us"), count(lit(1)).as("n_clicks"))
+      val conv = e.filter(col("event_type") === "purchase")
+        .join(clicks.select("user_id", "first_click_us"), "user_id")
+        .filter(col("ts_us") >= col("first_click_us"))
+        .groupBy("user_id")
+        .agg(min(col("ts_us")).as("first_conv_us"))
+      clicks.join(conv, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_clicks"), col("first_click_us"),
+          coalesce(col("first_conv_us"), lit(-1L)).as("first_conv_us"),
+          when(col("first_conv_us").isNotNull, 1).otherwise(0).as("converted"),
+          coalesce(col("first_conv_us") - col("first_click_us"), lit(-1L)).as("lag_us"))
+        .orderBy("user_id")
+    }),
+
     "q10_agg_distinct" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy("event_type")
@@ -584,6 +619,28 @@ object Relational {
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id, epoch_us(p.ts)
         |ORDER BY p.event_id""".stripMargin,
+
+    "q87_histogram" ->
+      """SELECT event_type, greatest(least(c // 10000, 9), 0) AS bucket,
+        |  count(*) AS n, min(c) AS min_cents, max(c) AS max_cents
+        |FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events)
+        |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    "q88_funnel" ->
+      """WITH clicks AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS first_click_us, count(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |conv AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS first_conv_us
+        |  FROM events e JOIN clicks c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.first_click_us
+        |  GROUP BY e.user_id)
+        |SELECT c.user_id, n_clicks, first_click_us,
+        |  coalesce(first_conv_us, -1) AS first_conv_us,
+        |  CASE WHEN first_conv_us IS NOT NULL THEN 1 ELSE 0 END AS converted,
+        |  coalesce(first_conv_us - first_click_us, -1) AS lag_us
+        |FROM clicks c LEFT JOIN conv ON c.user_id = conv.user_id
+        |ORDER BY c.user_id""".stripMargin,
 
     "q10_agg_distinct" ->
       s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
