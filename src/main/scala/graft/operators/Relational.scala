@@ -37,6 +37,19 @@ object Relational {
   /** revenue in 1e-4 units: extendedprice_cents * (100 - discount_cents) */
   private def revE4 = sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
 
+  /** One SQL text, two engines (q89): runs verbatim through `spark.sql`
+    * over the registered views AND through DuckDB as its own oracle —
+    * only portable constructs (exact-cents money, ANSI date literal). */
+  val sqlApiText: String =
+    """SELECT n_name, o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= DATE '1995-01-01'
+      |GROUP BY n_name, o_orderpriority
+      |ORDER BY n_name, o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -265,6 +278,14 @@ object Relational {
           when(col("first_conv_us").isNotNull, 1).otherwise(0).as("converted"),
           coalesce(col("first_conv_us") - col("first_click_us"), lit(-1L)).as("lag_us"))
         .orderBy("user_id")
+    }),
+
+    // The SQL front door: the engine's tables registered as views and
+    // queried with the IDENTICAL ANSI SQL text the DuckDB oracle runs —
+    // a user can drive this engine entirely through spark.sql.
+    "q89_sql_api" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(Relational.sqlApiText)
     }),
 
     "q10_agg_distinct" -> ((s, dir) => {
@@ -619,6 +640,8 @@ object Relational {
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id, epoch_us(p.ts)
         |ORDER BY p.event_id""".stripMargin,
+
+    "q89_sql_api" -> Relational.sqlApiText,
 
     "q87_histogram" ->
       """SELECT event_type, greatest(least(c // 10000, 9), 0) AS bucket,
