@@ -136,6 +136,20 @@ object PipelineOps {
         .orderBy("o_custkey", "valid_from", "o_orderkey")
     }),
 
+    // Data-quality profile: the ingest-gate summary a pipeline computes
+    // before accepting a batch — row/null/distinct counts and value
+    // ranges in ONE pass (single partial+final aggregate, one row out).
+    "q91_profile" -> ((s, dir) => {
+      Tables.documents(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("text")).as("n_text_nonnull"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // Latest-wins upsert: collapse an event changelog to the current row
     // per key, ordered by (event time, event_id) — the deterministic
     // batch statement of MERGE INTO ... WHEN MATCHED UPDATE. Rank-1
@@ -217,6 +231,13 @@ object PipelineOps {
         |    THEN 1 ELSE 0 END AS is_current
         |FROM orders WHERE o_custkey < 200
         |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+
+    "q91_profile" ->
+      """SELECT count(*) AS n_rows, count(text) AS n_text_nonnull,
+        |  count(DISTINCT lang) AS n_langs, count(DISTINCT source) AS n_sources,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin,
 
     "q81_cdc_upsert" ->
       """SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts_us,
