@@ -63,6 +63,14 @@ object StreamingOps {
         .orderBy("user_id", "purchase_id", "click_id")
     }),
 
+    // Left-outer stream-stream interval join, batch twin: unmatched
+    // purchases keep their row with -1 click columns.
+    "q92_interval_join_outer" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      StreamTransforms.clickPurchaseJoinOuter(e, e)
+        .orderBy("user_id", "purchase_id", "click_id")
+    }),
+
     "q65_arbitrary_state" -> ((s, dir) => {
       StreamTransforms.runningTotals(Tables.events(s, dir))
         .orderBy("user_id")
@@ -138,6 +146,17 @@ object StreamingOps {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
         | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |ORDER BY user_id, purchase_id, click_id""".stripMargin,
+
+    "q92_interval_join_outer" ->
+      """SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+        |  coalesce(c.event_id, -1) AS click_id,
+        |  coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS lag_us
+        |FROM events p LEFT JOIN events c
+        |  ON p.user_id = c.user_id AND c.event_type = 'click'
+        | AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+        | AND epoch_us(c.ts) <= epoch_us(p.ts)
+        |WHERE p.event_type = 'purchase'
         |ORDER BY user_id, purchase_id, click_id""".stripMargin,
 
     "q65_arbitrary_state" ->

@@ -125,6 +125,33 @@ object StreamTransforms {
       .toDF("user_id", "n_events", "sum_cents")
   }
 
+  /** Left-outer variant of the interval join: every purchase emits, with
+    * null click columns when no same-user click preceded it within the
+    * hour. Under streaming this is the semantics that REQUIRES the
+    * watermark: an unmatched purchase can only be emitted once the
+    * click-side watermark has passed its window (no more matches can
+    * arrive); in batch the same plan is an ordinary left range join. */
+  def clickPurchaseJoinOuter(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = prepared(clicks)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("ts_us").as("click_us"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val p = prepared(purchases)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("ts_us").as("purchase_us"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"),
+        "leftOuter")
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(col("purchase_us") - col("click_us"), lit(-1L)).as("lag_us"))
+  }
+
   /** The SAME running totals on the new Spark 4 arbitrary-state API
     * (`transformWithState`): typed ValueState per key, explicit
     * TTL/time-mode control, RocksDB-backed. Functionally identical to

@@ -180,6 +180,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(sorted(spark.table("t_ssjoin")) == sorted(batch))
   }
 
+  test("left-outer stream-stream join emits unmatched rows after the watermark closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamTransforms.clickPurchaseJoinOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_ssouter")
+      .start()
+    allEvents.grouped(300).foreach { batch =>
+      clicks.addData(batch.filter(_.event_type == "click"))
+      purchases.addData(batch.filter(_.event_type == "purchase"))
+      q.processAllAvailable()
+    }
+    // sentinels far past the last event on BOTH streams. They must carry
+    // the event types the transform KEEPS — a foreign type is filtered
+    // out before the watermark node and never advances it, leaving the
+    // last purchases' join windows open forever.
+    val farUs = allEvents.map(_.ts_us).max + 48L * 3600 * 1000000
+    clicks.addData(Ev(-1L, new Timestamp(farUs / 1000), farUs, -1L, "click", 0.0))
+    purchases.addData(Ev(-2L, new Timestamp(farUs / 1000), farUs, -1L, "purchase", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val e = Tables.events(spark, TestSpark.sfDir)
+    val batch = StreamTransforms.clickPurchaseJoinOuter(e, e)
+    val stream = spark.table("t_ssouter").filter(col("user_id") =!= -1L)
+    assert(sorted(stream) == sorted(batch))
+    // the outer rows are really there: some purchases have no click
+    assert(stream.filter(col("click_id") === -1L).count() > 0)
+  }
+
   test("stateful aggregation runs on the RocksDB state store (production backend)") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
