@@ -88,6 +88,41 @@ object MultimodalOps {
         .orderBy("doc_id")
     }),
 
+    // Media exact dedup: group binary payloads by content digest — the
+    // first pass of any image/audio dedup pipeline (byte-identical
+    // copies collapse before perceptual matching even runs).
+    "q93_media_dedup" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+        .groupBy(md5(col("media")).as("media_md5"))
+        .agg(min(col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("n_copies"),
+          min(length(col("media"))).as("n_bytes"))
+        .select("keeper_id", "media_md5", "n_copies", "n_bytes")
+        .orderBy("keeper_id")
+    }),
+
+    // Media chunk-hash near-dup: docs sharing >= 3 identical 64-byte
+    // frames are near-duplicate payloads — the media analog of LSH
+    // banding (candidate generation is an equi-join on the chunk
+    // digest, bounded by hash-colliding chunks, never all-pairs).
+    "q94_media_chunk_neardup" -> ((s, dir) => {
+      val frameLen = 64
+      val frames = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), length(col("text")).as("n_chars2"))
+        .withColumn("frame_idx",
+          explode(sequence(lit(0), ((col("n_chars2") - 1) / frameLen).cast("int"))))
+        .select(col("doc_id"),
+          md5(substring_index_col(col("text"), col("frame_idx"), frameLen)).as("frame_md5"))
+        .distinct()
+      frames.as("a").join(frames.as("b"),
+          col("a.frame_md5") === col("b.frame_md5") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared_frames"))
+        .filter(col("shared_frames") >= 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // Frame sampling: split each media payload into fixed 64-byte frames
     // and fingerprint each — the Spark-side shape of video frame-sample /
     // audio chunking (STUB: frames are substrings of the text payload, a
@@ -131,6 +166,23 @@ object MultimodalOps {
         |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
         |  md5(substring(text, CAST(frame_idx*64+1 AS INTEGER), 64)) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q93_media_dedup" ->
+      """SELECT min(doc_id) AS keeper_id, md5(text) AS media_md5,
+        |  count(*) AS n_copies,
+        |  CAST(min(octet_length(encode(text))) AS INTEGER) AS n_bytes
+        |FROM documents GROUP BY md5(text) ORDER BY keeper_id""".stripMargin,
+
+    "q94_media_chunk_neardup" ->
+      """WITH f AS (SELECT DISTINCT doc_id,
+        |    md5(substring(text, CAST(frame_idx*64+1 AS INTEGER), 64)) AS frame_md5
+        |  FROM (SELECT doc_id, text,
+        |      unnest(generate_series(0, CAST((length(text)-1)//64 AS BIGINT))) AS frame_idx
+        |    FROM documents))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_frames
+        |FROM f a JOIN f b ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q56_media_decode" ->
       """SELECT doc_id, 'text' AS kind,
