@@ -37,6 +37,19 @@ object Relational {
   /** revenue in 1e-4 units: extendedprice_cents * (100 - discount_cents) */
   private def revE4 = sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
 
+  /** Recursive CTE (q95, Spark 4 WITH RECURSIVE): a calendar spine over
+    * Q1-1995 left-joined to orders so ZERO-order days still appear — the
+    * gap-filling date-dimension pattern, recursion bounded by the date
+    * range. Identical text runs in DuckDB as the oracle. */
+  val recursiveSpineText: String =
+    """WITH RECURSIVE d(dt) AS (
+      |  SELECT DATE '1995-01-01'
+      |  UNION ALL SELECT CAST(dt + INTERVAL 1 DAY AS DATE) FROM d
+      |  WHERE dt < DATE '1995-03-31')
+      |SELECT dt, count(o_orderkey) AS n_orders
+      |FROM d LEFT JOIN orders ON o_orderdate = dt
+      |GROUP BY dt ORDER BY dt""".stripMargin
+
   /** One SQL text, two engines (q89): runs verbatim through `spark.sql`
     * over the registered views AND through DuckDB as its own oracle —
     * only portable constructs (exact-cents money, ANSI date literal). */
@@ -286,6 +299,11 @@ object Relational {
     "q89_sql_api" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(Relational.sqlApiText)
+    }),
+
+    "q95_recursive_spine" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(Relational.recursiveSpineText)
     }),
 
     "q10_agg_distinct" -> ((s, dir) => {
@@ -642,6 +660,7 @@ object Relational {
         |ORDER BY p.event_id""".stripMargin,
 
     "q89_sql_api" -> Relational.sqlApiText,
+    "q95_recursive_spine" -> Relational.recursiveSpineText,
 
     "q87_histogram" ->
       """SELECT event_type, greatest(least(c // 10000, 9), 0) AS bucket,
