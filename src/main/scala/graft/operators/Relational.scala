@@ -50,6 +50,19 @@ object Relational {
       |FROM d LEFT JOIN orders ON o_orderdate = dt
       |GROUP BY dt ORDER BY dt""".stripMargin
 
+  /** Correlated LATERAL join (q96): top-2 orders per customer via a
+    * correlated ordered-limit subquery — the per-row dependent-join SQL
+    * surface (Spark plans it as a rank-limited join, not a loop).
+    * Identical text runs in DuckDB as the oracle. */
+  val lateralText: String =
+    """SELECT c_custkey, o.o_orderkey, o.cents
+      |FROM customer, LATERAL (
+      |  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_custkey = c_custkey
+      |  ORDER BY cents DESC, o_orderkey LIMIT 2) o
+      |WHERE c_custkey < 50
+      |ORDER BY c_custkey, cents DESC, o_orderkey""".stripMargin
+
   /** One SQL text, two engines (q89): runs verbatim through `spark.sql`
     * over the registered views AND through DuckDB as its own oracle —
     * only portable constructs (exact-cents money, ANSI date literal). */
@@ -304,6 +317,11 @@ object Relational {
     "q95_recursive_spine" -> ((s, dir) => {
       Tables.registerAll(s, dir)
       s.sql(Relational.recursiveSpineText)
+    }),
+
+    "q96_lateral_topk" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(Relational.lateralText)
     }),
 
     "q10_agg_distinct" -> ((s, dir) => {
@@ -661,6 +679,7 @@ object Relational {
 
     "q89_sql_api" -> Relational.sqlApiText,
     "q95_recursive_spine" -> Relational.recursiveSpineText,
+    "q96_lateral_topk" -> Relational.lateralText,
 
     "q87_histogram" ->
       """SELECT event_type, greatest(least(c // 10000, 9), 0) AS bucket,
