@@ -389,6 +389,19 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Time-RANGE frame: rolling 1-hour count/sum per user keyed on the
+    // VALUE of ts_us, not a row count — the event-time rolling aggregate
+    // that needs no window table (q15 covers ROWS frames).
+    "q97_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h_cents", sum(cents(col("value"))).over(w))
+        .select("event_id", "user_id", "ts_us", "n_1h", "sum_1h_cents")
+        .orderBy("event_id")
+    }),
+
     "q16_window_laglead" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
       Tables.events(s, dir)
@@ -676,6 +689,15 @@ object Relational {
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id, epoch_us(p.ts)
         |ORDER BY p.event_id""".stripMargin,
+
+    "q97_range_frame" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_1h_cents
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q89_sql_api" -> Relational.sqlApiText,
     "q95_recursive_spine" -> Relational.recursiveSpineText,
