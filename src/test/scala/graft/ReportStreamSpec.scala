@@ -126,6 +126,31 @@ class ReportStreamSpec extends AnyFunSuite {
       events.filter(col("event_type") === "purchase").count())
   }
 
+  test("foreachBatch upsert sink converges to the batch CDC result across micro-batches") {
+    val src = tmp("up-src")
+    val state = tmp("up-state")
+    val ckpt = tmp("up-ckpt")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val all = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+
+    // two arrivals: first 600 rows, then the rest
+    all.limit(600).write.mode("overwrite").parquet(src.toString)
+    ReportStream.runUpsert(spark, src.toString, state.toString, ckpt.toString)
+    all.write.mode("append").parquet(src.toString) // re-delivers 600 + rest
+    ReportStream.runUpsert(spark, src.toString, state.toString, ckpt.toString)
+
+    val got = spark.read.parquet(s"${state.toString}/current")
+      .select("user_id", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin: q81's latest-wins result over the union of arrivals
+    // (duplicates collapse by rank-1, so re-delivery changes nothing)
+    val expected = graft.operators.PipelineOps
+      .queries("q81_cdc_upsert")(spark, TestSpark.sfDir)
+      .select(col("user_id"), col("last_event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+  }
+
   test("publish is idempotent per batch id (redelivery is a no-op)") {
     val out = tmp("rs-idem")
     val summary = ReportStream.summarize(Tables.events(spark, TestSpark.sfDir))

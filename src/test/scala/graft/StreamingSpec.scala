@@ -180,6 +180,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(sorted(spark.table("t_ssjoin")) == sorted(batch))
   }
 
+  test("dropDuplicatesWithinWatermark suppresses close re-deliveries with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = StreamTransforms.dedupWithinWatermark(ms.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_wmdedup")
+      .start()
+    def ev(id: Long, minute: Long, et: String) = {
+      val us = Timestamp.valueOf("2024-06-01 10:00:00").getTime * 1000 + minute * 60000000L
+      Ev(id, new Timestamp(us / 1000), us, 1L, et, 1.0)
+    }
+    ms.addData(ev(1, 0, "click"), ev(2, 5, "click")) // duplicate key within horizon
+    q.processAllAvailable()
+    ms.addData(ev(3, 10, "click")) // still within watermark: suppressed
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("t_wmdedup").select("event_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows == Set(1L), s"only the first delivery should survive, got $rows")
+  }
+
   test("left-outer stream-stream join emits unmatched rows after the watermark closes") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[Ev]
