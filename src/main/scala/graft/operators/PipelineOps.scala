@@ -136,6 +136,31 @@ object PipelineOps {
         .orderBy("o_custkey", "valid_from", "o_orderkey")
     }),
 
+    // Z-order layout key: 16+16-bit Morton interleave of (user, type)
+    // — the multi-column clustering key that makes min/max skipping work
+    // for BOTH filter columns at once (LayoutSpec shows single-column
+    // range clustering; writing sorted by zkey clusters two). Pure
+    // integer arithmetic (div/mod by powers of two), so the oracle
+    // reproduces it exactly; emitted as per-bucket stats to stay
+    // bounded.
+    "q98_zorder_key" -> ((s, dir) => {
+      val base = Tables.events(s, dir)
+        .withColumn("u16", col("user_id") % lit(65536L))
+        .withColumn("t16", md5Code60(col("event_type")) % lit(65536L))
+      val z = (0 until 16).map { i =>
+        (expr(s"(u16 div ${1L << i}) % 2") * lit(1L << (2 * i))) +
+          (expr(s"(t16 div ${1L << i}) % 2") * lit(1L << (2 * i + 1)))
+      }.reduce(_ + _)
+      base.withColumn("zkey", z)
+        .withColumn("zbucket", expr("zkey div 16777216"))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("n_types"),
+          min(col("zkey")).as("min_z"), max(col("zkey")).as("max_z"))
+        .orderBy("zbucket")
+    }),
+
     // Data-quality profile: the ingest-gate summary a pipeline computes
     // before accepting a batch — row/null/distinct counts and value
     // ranges in ONE pass (single partial+final aggregate, one row out).
@@ -231,6 +256,21 @@ object PipelineOps {
         |    THEN 1 ELSE 0 END AS is_current
         |FROM orders WHERE o_custkey < 200
         |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+
+    "q98_zorder_key" -> {
+      val t16 = md5Code60Sql("event_type") + " % 65536"
+      val zTerms = (0 until 16).map { i =>
+        s"((u16 // ${1L << i}) % 2) * ${1L << (2 * i)} + ((t16 // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+      s"""SELECT zkey // 16777216 AS zbucket, count(*) AS n,
+         |  count(DISTINCT user_id) AS n_users,
+         |  count(DISTINCT event_type) AS n_types,
+         |  CAST(min(zkey) AS BIGINT) AS min_z, CAST(max(zkey) AS BIGINT) AS max_z
+         |FROM (SELECT user_id, event_type, $zTerms AS zkey
+         |  FROM (SELECT user_id, event_type, user_id % 65536 AS u16,
+         |          ($t16) AS t16 FROM events))
+         |GROUP BY 1 ORDER BY zbucket""".stripMargin
+    },
 
     "q91_profile" ->
       """SELECT count(*) AS n_rows, count(text) AS n_text_nonnull,
