@@ -389,6 +389,34 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // Percent-of-total contribution: each nation's share of global
+    // revenue — a grouped aggregate plus an UNPARTITIONED window over
+    // the already-aggregated rows (25 rows: the SinglePartition exchange
+    // sits above the aggregate, which is the one place it is free).
+    // Shares are basis points from exact integer cents.
+    "q99_contribution" -> ((s, dir) => {
+      val agg = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(cents(col("o_totalprice"))).as("cents"))
+      agg
+        .withColumn("total", sum(col("cents")).over(Window.partitionBy()))
+        .withColumn("share_bp", expr("cents * 10000 div total"))
+        .select("n_name", "cents", "share_bp")
+        .orderBy("n_name")
+    }),
+
+    // Positional explode: tokens with their ordinal — the enumerated
+    // flatten (posexplode) the plain explode queries don't exercise.
+    "q100_posexplode" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos"), col("tok"), length(col("tok")).as("tok_len"))
+        .orderBy("doc_id", "pos")
+    }),
+
     // Time-RANGE frame: rolling 1-hour count/sum per user keyed on the
     // VALUE of ts_us, not a row count — the event-time rolling aggregate
     // that needs no window table (q15 covers ROWS frames).
@@ -689,6 +717,25 @@ object Relational {
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id, epoch_us(p.ts)
         |ORDER BY p.event_id""".stripMargin,
+
+    "q99_contribution" ->
+      """SELECT n_name, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 10000
+        |    // (sum(sum(CAST(round(o_totalprice * 100) AS BIGINT))) OVER ()) AS BIGINT) AS share_bp
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q100_posexplode" ->
+      """WITH e AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(string_split(text, ' '))),
+        |    i -> struct_pack(pos := i - 1, tok := (string_split(text, ' '))[i]))) AS u
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.tok AS tok,
+        |  CAST(length(u.tok) AS INTEGER) AS tok_len
+        |FROM e ORDER BY doc_id, pos""".stripMargin,
 
     "q97_range_frame" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
