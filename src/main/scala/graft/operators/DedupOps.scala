@@ -88,8 +88,21 @@ object DedupOps {
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def verifiedNearDupPairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.getOrElseUpdate((s, dir), computeVerifiedNearDupPairs(s, dir))
+  def verifiedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    // evict entries for stopped sessions (otherwise the memo — and its
+    // localCheckpoint RDDs — leaks for the life of the process)
+    pairCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    pairCache.get((s, dir)) match {
+      // localCheckpoint is non-reliable: if an executor died the memoized
+      // plan is permanently broken — probe with a tiny job (the table is
+      // kilobytes) and fall back to recompute instead of failing forever
+      case Some(df) if scala.util.Try(df.take(1)).isSuccess => df
+      case _ =>
+        val df = computeVerifiedNearDupPairs(s, dir)
+        pairCache.put((s, dir), df)
+        df
+    }
+  }
 
   private def computeVerifiedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
     val sets = shingleSets(s, dir)
@@ -226,7 +239,10 @@ object DedupOps {
     }),
 
     "q43_jaccard_pairs" -> ((s, dir) => {
-      val sets = shingleSets(s, dir).filter(col("doc_id") < 30)
+      // localCheckpoint the 30-doc probe set (a few KB) so the self-join
+      // computes the shingle arrays ONCE — without it each side re-scans
+      // documents and re-shingles (0.37s -> 1.17s regression in r3)
+      val sets = shingleSets(s, dir).filter(col("doc_id") < 30).localCheckpoint()
       val a = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
       val b = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
       val (inter, uni) = jaccardCols(col("sh_a"), col("sh_b"))

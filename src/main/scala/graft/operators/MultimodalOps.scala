@@ -108,8 +108,13 @@ object MultimodalOps {
     // digest, bounded by hash-colliding chunks, never all-pairs).
     "q94_media_chunk_neardup" -> ((s, dir) => {
       val frameLen = 64
+      // length > 0 guard: DuckDB's generate_series(0, -1) is empty but
+      // Spark's sequence(0, -1) steps DOWN — an empty payload must emit
+      // zero frames in both engines (for n >= 1 the truncating cast
+      // equals floor, so the frame counts agree)
       val frames = Tables.documents(s, dir)
         .select(col("doc_id"), col("text"), length(col("text")).as("n_chars2"))
+        .filter(col("n_chars2") > 0)
         .withColumn("frame_idx",
           explode(sequence(lit(0), ((col("n_chars2") - 1) / frameLen).cast("int"))))
         .select(col("doc_id"),
@@ -132,6 +137,7 @@ object MultimodalOps {
       val frameLen = 64
       Tables.documents(s, dir)
         .select(col("doc_id"), col("text"), length(col("text")).as("n_chars2"))
+        .filter(col("n_chars2") > 0) // zero-length payload -> zero frames (see q94)
         .withColumn("frame_idx",
           explode(sequence(lit(0), ((col("n_chars2") - 1) / frameLen).cast("int"))))
         .select(col("doc_id"), col("frame_idx"),

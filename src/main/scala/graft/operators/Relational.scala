@@ -333,13 +333,19 @@ object Relational {
         .orderBy("event_type")
     }),
 
-    // HLL++ sketch differs from DuckDB's implementation -> no oracle entry
-    // (driver records rows-only). Accuracy is asserted in ScalaTest instead.
+    // HLL++ sketch internals differ from DuckDB's, so the approximate
+    // count itself can't be oracle-hashed — instead emit the EXACT count
+    // plus a within-5% verdict on the sketch (integer math: |a-e|*20<=e).
+    // The oracle asserts verdict=true, so a drifting sketch hash-fails.
     "q11_approx_distinct" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy("event_type")
-        .agg(approx_count_distinct("user_id").as("approx_users"),
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct("user_id").as("approx"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("exact_users"), col("n"),
+          (abs(col("approx") - col("exact_users")) * 20 <= col("exact_users"))
+            .as("approx_ok"))
         .orderBy("event_type")
     }),
 
@@ -776,6 +782,11 @@ object Relational {
       s"""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
          | sum(${centsSql("value")})/100.0 AS sum_value
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q11_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        | count(*) AS n, TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q12_rollup" ->
       s"""SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,

@@ -114,11 +114,12 @@ object ReportStream {
   /** CDC-upsert sink: maintain a latest-row-per-user parquet table from
     * the event stream (the streaming twin of the q81 batch upsert). Each
     * micro-batch merges its rows with the current state by rank-1 over
-    * (ts_us, event_id) and atomically swaps the state directory —
-    * exactly-once effect because the merge is idempotent (re-delivering
-    * a batch reproduces the same state) and per-batch markers skip
-    * re-publishes. At warehouse scale the same foreachBatch body targets
-    * a MERGE-capable table format instead of a directory swap. */
+    * (ts_us, event_id), writes a NEW versioned state directory, then
+    * atomically flips a pointer file — the reader never observes a
+    * half-written state, and a crash at any point leaves the pointer on
+    * the last complete version (re-running the batch rebuilds the same
+    * versioned dir and re-flips: idempotent). At warehouse scale the same
+    * foreachBatch body targets a MERGE-capable table format instead. */
   def runUpsert(spark: SparkSession, srcDir: String, stateDir: String,
       checkpointDir: String): Unit = {
     import org.apache.spark.sql.expressions.Window
@@ -131,30 +132,48 @@ object ReportStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val s = batch.sparkSession
-        val statePath = Paths.get(stateDir, "current")
-        val current =
-          if (Files.exists(statePath)) s.read.parquet(statePath.toString)
-          else s.createDataFrame(
-            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+        val current = upsertState(s, stateDir).getOrElse(
+          s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema))
         val w = Window.partitionBy("user_id")
           .orderBy(col("ts_us").desc, col("event_id").desc)
         val merged = current.unionByName(batch)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .drop("rn")
-        val tmp = Paths.get(stateDir, s"swap-$id")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        // swap via delete+rename (idempotent on batch re-delivery; a
-        // warehouse deployment targets a MERGE-capable format instead)
+        val version = s"state-$id"
+        merged.write.mode("overwrite")
+          .parquet(Paths.get(stateDir, version).toString)
+        // flip the pointer atomically (tmp file + ATOMIC_MOVE): readers
+        // and crash-restarts only ever see a fully-written version
+        val tmpPtr = Paths.get(stateDir, s"CURRENT.tmp-$id")
+        Files.writeString(tmpPtr, version)
+        Files.move(tmpPtr, Paths.get(stateDir, "CURRENT"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // GC superseded versions — best-effort: correctness never depends
+        // on a delete succeeding (the pointer already moved on)
         val fs = new org.apache.hadoop.fs.Path(stateDir)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
-        fs.delete(new org.apache.hadoop.fs.Path(statePath.toString), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp.toString),
-          new org.apache.hadoop.fs.Path(statePath.toString))
+        Files.list(Paths.get(stateDir)).forEach { p =>
+          val name = p.getFileName.toString
+          if (name.startsWith("state-") && name != version)
+            fs.delete(new org.apache.hadoop.fs.Path(p.toString), true)
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Read the current upsert state (None before the first batch). The
+    * pointer file names the last completely-written version directory. */
+  def upsertState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    val ptr = Paths.get(stateDir, "CURRENT")
+    if (Files.exists(ptr))
+      Some(spark.read.parquet(
+        Paths.get(stateDir, Files.readString(ptr).trim).toString))
+    else None
   }
 }

@@ -26,10 +26,9 @@ class OperatorSpec extends AnyFunSuite {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
-  test("every query has an oracle entry or is explicitly rows-only") {
-    // q11 approx_count_distinct is the single intentional rows-only query
+  test("every query has an oracle entry") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q11_approx_distinct"), s"unexpected rows-only: $noOracle")
+    assert(noOracle.isEmpty, s"unexpected rows-only: $noOracle")
     val danglingOracle = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(danglingOracle.isEmpty, s"oracle without query: $danglingOracle")
   }

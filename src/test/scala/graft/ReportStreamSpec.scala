@@ -139,7 +139,7 @@ class ReportStreamSpec extends AnyFunSuite {
     all.write.mode("append").parquet(src.toString) // re-delivers 600 + rest
     ReportStream.runUpsert(spark, src.toString, state.toString, ckpt.toString)
 
-    val got = spark.read.parquet(s"${state.toString}/current")
+    val got = ReportStream.upsertState(spark, state.toString).get
       .select("user_id", "event_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // batch twin: q81's latest-wins result over the union of arrivals
