@@ -31,7 +31,7 @@ object DedupOps {
   val RowsPerBand = 4
 
   /** doc_id + distinct 3-gram shingle set (empty-set docs dropped). */
-  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleSets(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), shingleSet(col("text"), 3).as("shingles"))
       .filter(size(col("shingles")) > 0)
@@ -44,7 +44,7 @@ object DedupOps {
     * re-evaluates them — 16x-64x repeated hashing. Here the partial mins
     * combine map-side, so the shuffle carries only 16 longs per doc —
     * the shape that survives a 100 TB corpus. */
-  private def withSignature(sets: DataFrame): DataFrame = {
+  private[graft] def withSignature(sets: DataFrame): DataFrame = {
     val codes = sets
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), md5Code60(col("sh")).as("code"))
@@ -56,7 +56,7 @@ object DedupOps {
 
   /** One row per (doc, band): band key = joined signature slice. `sig` is
     * a post-aggregation attribute, so the slices are cheap array reads. */
-  private def bands(sigs: DataFrame): DataFrame =
+  private[graft] def bands(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), col("sig"))
       .withColumn("j", explode(sequence(lit(0), lit(Bands - 1))))
       .withColumn("bkey", array_join(

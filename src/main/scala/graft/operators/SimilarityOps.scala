@@ -36,8 +36,14 @@ object SimilarityOps {
   val NumCentroids = 8
 
   /** Signed-random-projection bucket id: bit j = sign(v · plane_j), with
-    * plane_j[c] = ((j*64+c-1)*2654435761 mod 1000003)/1000003 - 0.5. */
-  private def bucket(vec: Column): Column = {
+    * plane_j[c] = ((j*64+c-1)*2654435761 mod 1000003)/1000003 - 0.5.
+    * Engine-portable HOF formulation — the one the DuckDB oracle mirrors
+    * and the bit-equality reference for the native expression
+    * (ExtensionsSpec asserts bucketHof == bucket on every fixture vector).
+    * The hot path below uses the codegen'd twin: 8 planes × 64 dims =
+    * 512 interpreted lambda steps per vector collapse into one fused
+    * loop over a precomputed weight table (graft.plans.LshBucketExpr). */
+  private[graft] def bucketHof(vec: Column): Column = {
     val bits = transform(sequence(lit(0), lit(Planes - 1)), j => {
       val proj = aggregate(sequence(lit(1), lit(Dim)), lit(0.0d),
         (acc, c) => acc + element_at(vec, c).cast("double") *
@@ -47,6 +53,9 @@ object SimilarityOps {
     })
     aggregate(reverse(bits), lit(0L), (acc, b) => acc * 2 + b)
   }
+
+  private def bucket(vec: Column): Column =
+    graft.plans.LshBucketExpr.bucketNative(vec, Planes, Dim)
 
   private def topkPerProbe(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cand_id"))

@@ -24,6 +24,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FloatVectorDot(args(0), args(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucketExpr].getName, "graft_lsh_bucket"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_lsh_bucket(vec, planes, dim) takes 3 arguments")
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        (args(1), args(2)) match {
+          case (Literal(p: Int, _), Literal(d: Int, _)) =>
+            LshBucketExpr(args(0), p, d)
+          case _ => throw new IllegalArgumentException(
+            "graft_lsh_bucket: planes and dim must be integer literals")
+        }
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_cosine"),
       (args: Seq[Expression]) => {

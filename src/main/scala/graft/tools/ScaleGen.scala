@@ -1,0 +1,133 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up of the driver fixtures: tiles a source scale
+  * factor N× by unioning key-shifted copies, applying a per-copy
+  * ISOMORPHISM to the content tables so the data's *structure* scales
+  * faithfully instead of degenerating into exact duplicates:
+  *
+  *   - `documents.text`: each copy applies a vocabulary rotation (the 31
+  *     corpus words are a closed set; copy c maps word i -> word
+  *     (i + 3c) mod 31). A word-level bijection maps shingle sets
+  *     bijectively, so every within-copy Jaccard/MinHash/SimHash
+  *     relationship of the source corpus is preserved EXACTLY, while
+  *     cross-copy similarity collapses to coincidence level (no planted
+  *     10-cliques of identical texts, which a naive tile would create
+  *     and which would blow candidate-pair counts up quadratically).
+  *   - `embeddings.embedding`: each copy applies an orthogonal transform
+  *     (coordinate permutation i -> (2c+1)·i + 17c mod 64, composed with
+  *     a deterministic ±1 diagonal). Orthogonality preserves every
+  *     within-copy norm/dot/cosine exactly (float values are negated or
+  *     moved, never rounded), so cluster geometry and near-dup structure
+  *     scale linearly; cross-copy cosine drops to ~0.
+  *   - fact/dim keys shift by copy · (max_key + 1) consistently across
+  *     tables, preserving referential integrity (region/nation stay
+  *     fixed, as TPC-H dims do).
+  *
+  * `events` is NOT generated here: its `ts` column is parquet
+  * INT64 TIMESTAMP(NANOS), which Spark reads only as a raw long
+  * (nanosAsLong) and cannot write back — scripts/gen_sf_events.py tiles
+  * it with pyarrow, preserving the physical type.
+  *
+  * Usage: runMain graft.tools.ScaleGen <srcSfDir> <dstSfDir> [copies=10]
+  */
+object ScaleGen {
+  val VocabShift = 3
+  val Dim = 64
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, copies)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String, files: Int): Unit =
+      df.coalesce(files).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    // dims stay fixed
+    write(read("region"), "region", 1)
+    write(read("nation"), "nation", 1)
+
+    def tiled(t: String) = read(t).crossJoin(
+      spark.range(copies).select(col("id").cast("int").as("copy")))
+    def shift(name: String, stride: Long) = (col(name) + col("copy") * stride).as(name)
+
+    write(tiled("customer").select(shift("c_custkey", 15000),
+      col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
+      "customer", 2)
+    write(tiled("supplier").select(shift("s_suppkey", 1000),
+      col("s_name"), col("s_nationkey"), col("s_acctbal")), "supplier", 1)
+    write(tiled("part").select(shift("p_partkey", 20000),
+      col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+      col("p_retailprice")), "part", 2)
+    write(tiled("orders").select(shift("o_orderkey", 150000),
+      shift("o_custkey", 15000), col("o_orderstatus"), col("o_totalprice"),
+      col("o_orderdate"), col("o_orderpriority")), "orders", 4)
+    write(tiled("lineitem").select(shift("l_orderkey", 150000),
+      shift("l_partkey", 20000), shift("l_suppkey", 1000),
+      col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+      col("l_discount"), col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+      col("l_shipdate")), "lineitem", 8)
+
+    // ---- documents: per-copy vocabulary rotation --------------------------
+    val docs = read("documents")
+    val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .orderBy("w").collect().map(_.getString(0))
+    val v = vocab.length
+    // copy c -> map(word_i -> word_{(i + 3c) mod v}); copy 0 is identity
+    val rotMaps: IndexedSeq[Column] = (0 until copies).map { c =>
+      val rotated = vocab.indices.map(i => vocab((i + VocabShift * c) % v))
+      map_from_arrays(
+        array(vocab.map(lit(_)): _*), array(rotated.map(lit(_)): _*))
+    }
+    val rotMap = rotMaps.zipWithIndex.foldLeft(lit(null).cast("map<string,string>")) {
+      case (acc, (m, c)) => when(col("copy") === c, m).otherwise(acc)
+    }
+    val rotText = array_join(
+      transform(split(col("text"), " "),
+        w => coalesce(element_at(col("rot"), w), w)), " ")
+    write(docs.crossJoin(spark.range(copies).select(col("id").cast("int").as("copy")))
+      .withColumn("rot", rotMap)
+      .select((col("doc_id") + col("copy") * nDocs).as("doc_id"),
+        rotText.as("text"), col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long")),
+      "documents", 2)
+
+    // ---- embeddings: per-copy orthogonal transform ------------------------
+    val emb = read("embeddings")
+    val nVecs = emb.agg(max("vec_id")).head.getLong(0) + 1
+    // new[i] = old[perm_c(i)] * sign_c(i); perm_c(i) = (2c+1)i + 17c mod 64
+    // (2c+1 odd => bijection mod 64); sign_c(i) = ±1 from xxhash(c, i) so
+    // the diagonal decorrelates copies (a parity formula would cancel
+    // between copies); all +1 for copy 0 so the source tile is identical.
+    val transformed = transform(sequence(lit(0), lit(Dim - 1)), i => {
+      val permIdx = pmod((lit(2) * col("copy") + 1) * i + lit(17) * col("copy"), lit(Dim))
+      val sign = when(col("copy") === 0, lit(1.0f))
+        .otherwise(when(pmod(hash(col("copy"), i), lit(2)) === 0, lit(1.0f))
+          .otherwise(lit(-1.0f)))
+      (element_at(col("embedding"), permIdx + 1) * sign).cast("float")
+    })
+    write(emb.crossJoin(spark.range(copies).select(col("id").cast("int").as("copy")))
+      .select((col("vec_id") + col("copy") * nVecs).as("vec_id"),
+        transformed.as("embedding"), col("label")),
+      "embeddings", 2)
+
+    println(s"""{"scalegen":"done","src":"$src","dst":"$dst","copies":$copies}""")
+  }
+}

@@ -60,6 +60,43 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.queryExecution.optimizedPlan.toString.contains("aggregate"))
   }
 
+  test("native lsh_bucket is bit-identical to the HOF formulation on every fixture vector") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val emb = graft.engine.Tables.embeddings(spark, TestSpark.sfDir)
+    val both = emb.select(
+      graft.plans.LshBucketExpr.bucketNative(
+        col("embedding"), graft.operators.SimilarityOps.Planes,
+        graft.operators.SimilarityOps.Dim).as("native"),
+      graft.operators.SimilarityOps.bucketHof(col("embedding")).as("hof"))
+    val mismatches = both.filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0)
+    // and bucket values span multiple buckets (the hash actually spreads)
+    assert(both.select("native").distinct().count() > 10)
+  }
+
+  test("lsh_bucket null contract: wrong length and null input yield null") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Some(List(1.0f, 2.0f))),               // wrong length (dim=64)
+      (2, None: Option[List[Float]])).toDF("id", "v")
+    val out = df.select(
+      graft.plans.LshBucketExpr.bucketNative($"v", 8, 64).as("b"))
+      .collect().map(r => r.isNullAt(0))
+    assert(out.forall(identity))
+  }
+
+  test("graft_lsh_bucket is callable from SQL and matches the Column API") {
+    import spark.implicits._
+    val emb = graft.engine.Tables.embeddings(spark, TestSpark.sfDir).limit(20)
+    emb.createOrReplaceTempView("embx")
+    val viaSql = spark.sql("SELECT graft_lsh_bucket(embedding, 8, 64) FROM embx")
+      .as[Long].collect().toSeq
+    val viaCol = emb.select(
+      graft.plans.LshBucketExpr.bucketNative($"embedding", 8, 64)).as[Long].collect().toSeq
+    assert(viaSql == viaCol)
+  }
+
   test("SQL function matches the Column-API native expression") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
