@@ -218,6 +218,37 @@ object IngestOps {
         .orderBy("event_type")
     }),
 
+    // Schema evolution across writer generations: gen-1 files carry
+    // (o_orderkey, o_totalprice); gen-2 files ADD a column
+    // (o_orderpriority) and RENAME o_totalprice -> total_price. A
+    // mergeSchema read unions the field sets (absent fields read as
+    // null per file), and coalesce defaults heal both drifts — the
+    // engine twin of the reference's schemaless `.get(key, default)`
+    // tolerance (rws_data_ingester src/rotterdam_swimming_advice.py:169,
+    // 173). At 100 TB this is the everyday case: readers must span
+    // years of writer versions without rewriting old files.
+    "q101_schema_evolution" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_evo_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      if (orcWritten.add((s.sparkContext.applicationId, s"evo:$dir"))) {
+        val o = Tables.orders(s, dir)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$out/gen1")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice").as("total_price"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$out/gen2")
+      }
+      s.read.option("mergeSchema", "true").parquet(s"$out/gen1", s"$out/gen2")
+        .select(
+          coalesce(col("total_price"), col("o_totalprice")).as("price"),
+          coalesce(col("o_orderpriority"), lit("UNKNOWN")).as("pri"))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n"), sum(cents(col("price"))).as("sum_cents"))
+        .orderBy("pri")
+    }),
+
     // Semi-structured columns as Spark 4 Variant: payloads parsed once
     // into the binary variant encoding, fields extracted with typed paths
     // (the modern engine answer to the reference's schemaless dict.get
@@ -246,6 +277,13 @@ object IngestOps {
     }))
 
   val oracle: Map[String, String] = Map(
+    "q101_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+        |            ELSE 'UNKNOWN' END AS pri,
+        |  count(*) AS n,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) AS sum_cents
+        |FROM orders GROUP BY pri ORDER BY pri""".stripMargin,
+
     "q30_first_match_default" ->
       """SELECT user_id,
         |  coalesce(arg_min(value, epoch_us(ts)) FILTER (WHERE event_type LIKE '%purch%'), -1.0) AS first_purchase_value,

@@ -341,7 +341,10 @@ object Relational {
       Tables.events(s, dir)
         .groupBy("event_type")
         .agg(countDistinct(col("user_id")).as("exact_users"),
-          approx_count_distinct("user_id").as("approx"),
+          // rsd=0.01: the verdict band below is 5%, so the estimator's own
+          // relative error must sit well inside it at ANY cardinality (the
+          // default 5% rsd straddles the band and flipped at sf1 scale)
+          approx_count_distinct("user_id", 0.01).as("approx"),
           count(lit(1)).as("n"))
         .select(col("event_type"), col("exact_users"), col("n"),
           (abs(col("approx") - col("exact_users")) * 20 <= col("exact_users"))
