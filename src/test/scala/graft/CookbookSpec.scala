@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.functions.GraftFunctions
+import graft.operators.EnrichOps
+import graft.plans.{AsOfJoin, FloatVectorDot}
+
+/** Executable twin of COOKBOOK.md: every snippet in the doc appears here
+  * verbatim (modulo the surrounding assert), so the cookbook can never
+  * drift into code that doesn't compile or run. Keep section numbers in
+  * sync with the doc headings. */
+class CookbookSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sfDir = TestSpark.sfDir
+
+  test("§2 load tables and query with SQL") {
+    Tables.registerAll(spark, sfDir)
+    val top = spark.sql("""
+      SELECT n_name, count(*) AS n_customers
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_customers DESC LIMIT 5""")
+    assert(top.count() == 5)
+  }
+
+  test("§3 money-exact aggregation") {
+    import GraftFunctions.cents
+    val revenue = Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg((sum(cents(col("l_extendedprice"))) / 100.0).as("revenue"))
+    assert(revenue.count() == 3)
+  }
+
+  test("§4 broadcast dimension join + per-group top-k") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+    val perNation = orders.join(broadcast(customer),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("c_nationkey").orderBy(col("o_totalprice").desc)))
+      .filter(col("rk") <= 3) // compiles to WindowGroupLimit: no full sort
+    assert(perNation.count() > 0)
+  }
+
+  test("§5 as-of join") {
+    val trades = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts_us"), col("value"))
+    val quotes = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("q_user"), col("ts_us").as("q_ts"))
+    val matched = AsOfJoin.asof(trades, quotes,
+      trades("user_id"), quotes("q_user"), trades("ts_us"), quotes("q_ts"))
+    assert(matched.columns.contains("asof_time") && matched.count() > 0)
+  }
+
+  test("§6 near-duplicate detection") {
+    val verdicts = SparkEntry.queries("q41_minhash_lsh")(spark, sfDir)
+    val clusters = SparkEntry.queries("q77_dedup_clusters")(spark, sfDir)
+    assert(verdicts.count() > 0 && clusters.count() > 0)
+  }
+
+  test("§7 vector similarity top-k") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sfDir)
+    val probes = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("p_id"), col("embedding").as("p_vec"))
+    val topk = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("p_id"))
+      .withColumn("cos",
+        FloatVectorDot.cosineNative(col("embedding"), col("p_vec")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("p_id").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= 5)
+    assert(topk.count() == 15)
+  }
+
+  test("§8 text analysis primitives") {
+    import GraftFunctions.{shingleSet, rollingFingerprint}
+    val profiled = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"),
+      size(shingleSet(col("text"), 3)).as("distinct_shingles"),
+      rollingFingerprint(col("text")).as("fingerprint"))
+    assert(profiled.filter(col("fingerprint").isNull).count() == 0)
+  }
+
+  test("§9 LLM enrichment with an injectable service") {
+    val reports = SparkEntry.queries("q34_template_report")(spark, sfDir)
+    val advised = EnrichOps.enrich(reports, EnrichOps.StubChat)
+    assert(advised.filter(col("advice").startsWith("ADVICE[")).count()
+      == reports.count())
+  }
+
+  test("§10 run any canned operator query") {
+    val names = Seq("q01_pricing_summary", "q45_ann_lsh", "q60_tumbling_window")
+    names.foreach { n =>
+      assert(SparkEntry.queries(n)(spark, sfDir).count() > 0, n)
+    }
+    // every SQL-expressible query ships its DuckDB-equivalent oracle text
+    assert(SparkEntry.oracleSql.contains("q01_pricing_summary"))
+  }
+}
