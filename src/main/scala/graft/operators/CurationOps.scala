@@ -1,0 +1,241 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.GraftFunctions._
+import graft.functions.HashFunctions._
+
+/** Training-corpus preparation operators — the steps between a curated
+  * corpus (PipelineOps) and tokenized training shards:
+  *
+  *   - q102 PII redaction — regex scrubbing of emails/phones with audit
+  *     counts (the fixtures contain no PII, so each doc plants a
+  *     deterministic email+phone suffix first, then redacts it)
+  *   - q103 overlapping chunking — fixed-size token windows with stride,
+  *     the context-window split step before tokenization
+  *   - q104 decontamination — n-gram collision of training docs against a
+  *     held-out eval set (the doc_id % 97 == 0 stratum stands in for a
+  *     benchmark suite), flagging docs whose gram overlap is high
+  *   - q105 deterministic shuffle-shard — reproducible global example
+  *     order as (hash-shard, in-shard position), the scalable statement
+  *     of "shuffle the corpus" (no global sort, no RNG state)
+  *   - q107 PageRank — 3 damped iterations over the supplier↔part
+  *     bipartite graph in integer ppm arithmetic; the link-analysis
+  *     companion to q77's connected components
+  *
+  * Scale posture: redaction/chunking are per-row map work (no shuffle);
+  * decontamination is a gram-hash equi-join with the (small) eval side
+  * broadcast; shuffle-shard is a per-shard window (WindowGroupLimit-
+  * friendly, never a single global partition); PageRank shuffles by
+  * vertex key only and the driver sees no data. All verdict columns are
+  * integer basis points / ppm so the DuckDB oracle matches bit-for-bit.
+  */
+object CurationOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val ChunkSize = 50
+  val ChunkStride = 40
+  val NgramN = 5
+  val NumShards = 32
+  val PrIters = 3
+
+  private val EmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  val queries: Map[String, Q] = Map(
+    // PII redaction with audit counts. The corpus vocabulary is plain
+    // lowercase words, so the planted suffix is each doc's only match —
+    // which keeps Spark's replace-all and DuckDB's replace-first
+    // semantics identical. Pure per-row map work: no shuffle, fully
+    // codegen'd, linear at any scale.
+    "q102_pii_redact" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), planted.as("raw"))
+        .withColumn("n_emails", regexp_count(col("raw"), lit(EmailRe)))
+        .withColumn("n_phones", regexp_count(col("raw"), lit(PhoneRe)))
+        .withColumn("clean",
+          regexp_replace(regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"))
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          expr("right(clean, 40)").as("tail40"))
+        .orderBy("doc_id")
+    }),
+
+    // Overlapping chunking: windows of ChunkSize tokens every ChunkStride
+    // tokens (trailing partial chunks kept — determinism over heuristics).
+    // Emits a 60-bit fingerprint per chunk instead of the text, so output
+    // width is fixed. explode(sequence(...)) is generator work local to
+    // each row: no shuffle, linear in corpus size.
+    "q103_chunk_overlap" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .select(col("doc_id"), col("n_tok"), col("toks"),
+          explode(sequence(lit(1L), col("n_tok"), lit(ChunkStride.toLong))).as("start"))
+        .withColumn("chunk_idx", expr(s"(start - 1) div $ChunkStride"))
+        .withColumn("chunk_tok",
+          least(lit(ChunkSize.toLong), col("n_tok") - col("start") + 1))
+        .withColumn("chunk_fp",
+          md5Code60(array_join(slice(col("toks"), col("start"), lit(ChunkSize)), " ")))
+        .select("doc_id", "chunk_idx", "start", "chunk_tok", "chunk_fp")
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Decontamination: hash every distinct NgramN-gram, take the eval
+    // stratum's gram set (small — a benchmark suite, not a corpus),
+    // broadcast it, and count collisions per training doc. The join is a
+    // gram-hash equi-join (semi-join shape), so cost is one scan + one
+    // broadcast probe — never a cross join. Only contaminated docs are
+    // emitted.
+    "q104_decontaminate" -> ((s, dir) => {
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(shingles(col("text"), NgramN))).as("g"))
+        .select(col("doc_id"), md5Code60(col("g")).as("gh"))
+      val evalSet = grams.filter(col("doc_id") % 97 === 0).select("gh").distinct()
+      val train = grams.filter(col("doc_id") % 97 =!= 0)
+      val hits = train.join(broadcast(evalSet), "gh")
+        .groupBy("doc_id").agg(countDistinct(col("gh")).as("n_hits"))
+      Tables.documents(s, dir)
+        .filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          size(array_distinct(shingles(col("text"), NgramN))).cast("long").as("n_grams"))
+        .join(hits, Seq("doc_id"))
+        .withColumn("contam_bp", expr("n_hits * 10000 div n_grams"))
+        .withColumn("quarantine", when(col("contam_bp") >= 5000, 1).otherwise(0))
+        .select("doc_id", "n_grams", "n_hits", "contam_bp", "quarantine")
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic shuffle-shard: the reproducible global permutation a
+    // training run needs. Shard = hash mod NumShards (uniform, keyless);
+    // position = rank within shard by (hash, doc_id). Scales because the
+    // window partitions by shard — there is never a global sort, and
+    // adding shards adds parallelism without changing any (shard, pos)
+    // pair's determinism.
+    "q105_shuffle_order" -> ((s, dir) => {
+      val w = Window.partitionBy("shard").orderBy(col("hk"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5Code60(concat(lit("shuf:"), col("doc_id").cast("string"))).as("hk"))
+        .withColumn("shard", (col("hk") % NumShards).cast("int"))
+        .withColumn("pos", row_number().over(w))
+        .select("doc_id", "shard", "pos", "hk")
+        .orderBy("shard", "pos")
+    }),
+
+    // PageRank, PrIters damped iterations (d = 0.85) in integer ppm:
+    // rank'(v) = 150000 + 850000 * Σ_{u→v} (rank(u) div deg(u)) div 1e6.
+    // Graph: distinct supplier↔part edges from lineitem, both directions,
+    // so no vertex dangles. Every iteration is a keyed join + aggregate
+    // (shuffle bounded by |E|); the edge list is localCheckpointed once so
+    // the distinct isn't recomputed per iteration (q77's pattern); the
+    // driver never sees data. Integer div makes every engine agree.
+    "q107_pagerank" -> ((s, dir) => {
+      val sp = Tables.lineitem(s, dir)
+        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+        .distinct()
+      val edges = sp
+        .union(sp.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint()
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      var ranks = nodes.withColumn("rank_ppm", lit(1000000L))
+      for (_ <- 1 to PrIters) {
+        val contrib = edges
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(outdeg, "src")
+          .select(col("dst").as("node"), expr("rank_ppm div deg").as("c"))
+        ranks = nodes
+          .join(contrib.groupBy("node").agg(sum(col("c")).as("sc")), Seq("node"), "left")
+          .select(col("node"),
+            expr("150000 + 850000 * coalesce(sc, 0) div 1000000").as("rank_ppm"))
+      }
+      ranks.orderBy(col("rank_ppm").desc, col("node")).limit(50)
+    }))
+
+  // ---- DuckDB oracle ------------------------------------------------------
+
+  private val toksSql = "string_split(text,' ')"
+
+  /** n-gram list over `toks` (1-based, same construction as q80's bigram). */
+  private def ngramsSql(n: Int): String = {
+    val parts = (0 until n).map(k => if (k == 0) "toks[i]" else s"toks[i+$k]")
+      .mkString(" || ' ' || ")
+    s"list_transform(generate_series(1, greatest(len(toks) - ${n - 1}, 0)), i -> $parts)"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q102_pii_redact" ->
+      s"""WITH r AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(raw, '$EmailRe')) AS INTEGER) AS n_emails,
+         |  CAST(len(regexp_extract_all(raw, '$PhoneRe')) AS INTEGER) AS n_phones,
+         |  right(regexp_replace(regexp_replace(raw, '$EmailRe', '<EMAIL>'),
+         |    '$PhoneRe', '<PHONE>'), 40) AS tail40
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q103_chunk_overlap" -> {
+      val chunkStr = s"array_to_string(list_slice(toks, start, start + ${ChunkSize - 1}), ' ')"
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents),
+         |c AS (SELECT doc_id, n_tok, toks,
+         |    unnest(generate_series(1, n_tok, $ChunkStride)) AS start FROM d)
+         |SELECT doc_id, (start - 1) // $ChunkStride AS chunk_idx,
+         |  start, least($ChunkSize, n_tok - start + 1) AS chunk_tok,
+         |  ${md5Code60Sql(chunkStr)} AS chunk_fp
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+
+    "q104_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (SELECT DISTINCT doc_id, ${md5Code60Sql("gram")} AS gh FROM (
+         |    SELECT doc_id, unnest(${ngramsSql(NgramN)}) AS gram FROM t)),
+         |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
+         |hits AS (SELECT doc_id, CAST(count(DISTINCT gh) AS BIGINT) AS n_hits
+         |  FROM g JOIN ev USING (gh) WHERE doc_id % 97 != 0 GROUP BY 1),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |  FROM g WHERE doc_id % 97 != 0 GROUP BY 1)
+         |SELECT tot.doc_id, n_grams, n_hits, n_hits * 10000 // n_grams AS contam_bp,
+         |  CASE WHEN n_hits * 10000 // n_grams >= 5000 THEN 1 ELSE 0 END AS quarantine
+         |FROM tot JOIN hits ON tot.doc_id = hits.doc_id ORDER BY tot.doc_id""".stripMargin,
+
+    "q105_shuffle_order" -> {
+      val hk = md5Code60Sql("'shuf:' || CAST(doc_id AS VARCHAR)")
+      s"""SELECT doc_id, shard, pos, hk FROM (
+         |  SELECT doc_id, hk, CAST(hk % $NumShards AS INTEGER) AS shard,
+         |    row_number() OVER (PARTITION BY hk % $NumShards ORDER BY hk, doc_id) AS pos
+         |  FROM (SELECT doc_id, $hk AS hk FROM documents))
+         |ORDER BY shard, pos""".stripMargin
+    },
+
+    "q107_pagerank" -> {
+      def iter(prev: String, cur: String): String =
+        s"""$cur AS (SELECT n.node, 150000 + 850000 * coalesce(sc, 0) // 1000000 AS rank_ppm
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst AS node, CAST(sum(rank_ppm // deg) AS BIGINT) AS sc
+           |    FROM e JOIN $prev ON e.src = $prev.node JOIN deg ON e.src = deg.src
+           |    GROUP BY 1) c ON n.node = c.node)""".stripMargin
+      s"""WITH e0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+         |    'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+         |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_ppm FROM n),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT node, rank_ppm FROM r3 ORDER BY rank_ppm DESC, node LIMIT 50""".stripMargin
+    })
+}

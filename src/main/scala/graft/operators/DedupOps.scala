@@ -86,25 +86,35 @@ object DedupOps {
     * verified set (near-dup fraction of the corpus), so the memo holds
     * kilobytes, not the shingle table. */
   private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
 
-  def verifiedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+  def verifiedNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    stagedPairs(s, dir)._1
+
+  /** Shingle sets of the docs that appear in the verified pair table —
+    * staged with the pairs so downstream consumers (q90 containment)
+    * never re-scan and re-shingle the full corpus for a kilobyte-scale
+    * pair set (15s of the sf1 bench before this existed). */
+  private[graft] def pairMemberShingles(s: SparkSession, dir: String): DataFrame =
+    stagedPairs(s, dir)._2
+
+  private def stagedPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // evict entries for stopped sessions (otherwise the memo — and its
     // localCheckpoint RDDs — leaks for the life of the process)
     pairCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     pairCache.get((s, dir)) match {
       // localCheckpoint is non-reliable: if an executor died the memoized
-      // plan is permanently broken — probe with a tiny job (the table is
+      // plan is permanently broken — probe with a tiny job (the tables are
       // kilobytes) and fall back to recompute instead of failing forever
-      case Some(df) if scala.util.Try(df.take(1)).isSuccess => df
+      case Some(t) if scala.util.Try { t._1.take(1); t._2.take(1) }.isSuccess => t
       case _ =>
-        val df = computeVerifiedNearDupPairs(s, dir)
-        pairCache.put((s, dir), df)
-        df
+        val t = computeVerifiedNearDupPairs(s, dir)
+        pairCache.put((s, dir), t)
+        t
     }
   }
 
-  private def computeVerifiedNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+  private def computeVerifiedNearDupPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val sets = shingleSets(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = bands(withSignature(sets))
@@ -122,8 +132,15 @@ object DedupOps {
       .filter(col("inter") * 2 >= col("uni"))
       .withColumn("jac_bp", expr("inter * 10000L div uni"))
       .localCheckpoint() // eager: materializes the small pair set now
+    // stage the pair members' shingles while `sets` is still cached: the
+    // member set is tiny (near-dup fraction), so this join is one cheap
+    // probe of the cache, and q90 never touches `documents` again
+    val members = verified.select(col("doc_a").as("doc_id"))
+      .union(verified.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val memberShingles = sets.join(members, "doc_id").localCheckpoint()
     sets.unpersist()
-    verified
+    (verified, memberShingles)
   }
 
   val queries: Map[String, Q] = Map(
@@ -226,7 +243,7 @@ object DedupOps {
       val pairs = verifiedNearDupPairs(s, dir).select("doc_a", "doc_b")
       val both = pairs
         .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      val sets = shingleSets(s, dir)
+      val sets = pairMemberShingles(s, dir)
       both
         .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
         .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")

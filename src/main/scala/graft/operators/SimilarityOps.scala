@@ -142,6 +142,35 @@ object SimilarityOps {
         normSq(col("embedding")).as("norm_sq"),
         norm(col("embedding")).as("l2_norm"))
         .orderBy("vec_id")
+    }),
+
+    // k-means assignment step (one Lloyd iteration against a fixed
+    // codebook — the first NumCentroids vectors, as q48): every vector
+    // joins the broadcast centroids, argmax cosine assigns it, then a
+    // per-cluster rollup. The update step's float mean is deliberately
+    // NOT emitted (float sums are order-dependent across engines);
+    // cluster cohesion is reported as the order-independent integer sum
+    // of per-vector similarity basis points instead. One broadcast join
+    // + one keyed aggregate: linear at any corpus size.
+    "q106_kmeans_assign" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") < NumCentroids)
+        .select(col("vec_id").as("cluster"), col("embedding").as("centroid"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("csim").desc, col("cluster"))
+      emb.join(broadcast(cents))
+        .withColumn("csim", cosineNative(col("embedding"), col("centroid")))
+        .withColumn("crn", row_number().over(wAssign))
+        .filter(col("crn") === 1)
+        .withColumn("csim_bp", round(col("csim") * 10000).cast("long"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("label")).as("n_labels"),
+          min(col("vec_id")).as("min_vec"),
+          max(col("vec_id")).as("max_vec"),
+          sum(col("csim_bp")).as("sum_sim_bp"))
+        .withColumn("avg_sim_bp", expr("sum_sim_bp div n"))
+        .orderBy("cluster")
     }))
 
   // ---- DuckDB oracle ------------------------------------------------------
@@ -221,5 +250,21 @@ object SimilarityOps {
       s"""SELECT vec_id, label, CAST(len(embedding) AS INTEGER) AS dim,
          |  ${dotSql("embedding", "embedding")} AS norm_sq,
          |  sqrt(${dotSql("embedding", "embedding")}) AS l2_norm
-         |FROM embeddings ORDER BY vec_id""".stripMargin)
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q106_kmeans_assign" ->
+      s"""WITH cents AS (SELECT vec_id AS cluster, embedding AS centroid
+         |  FROM embeddings WHERE vec_id < $NumCentroids),
+         |sim AS (SELECT e.vec_id, e.label, c.cluster,
+         |    ${cosSql("e.embedding", "c.centroid")} AS csim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |a AS (SELECT vec_id, label, cluster,
+         |    CAST(round(csim * 10000) AS BIGINT) AS csim_bp,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cluster) AS crn
+         |  FROM sim)
+         |SELECT cluster, count(*) AS n, count(DISTINCT label) AS n_labels,
+         |  min(vec_id) AS min_vec, max(vec_id) AS max_vec,
+         |  CAST(sum(csim_bp) AS BIGINT) AS sum_sim_bp,
+         |  CAST(sum(csim_bp) AS BIGINT) // count(*) AS avg_sim_bp
+         |FROM a WHERE crn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin)
 }
