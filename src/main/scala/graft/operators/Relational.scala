@@ -166,16 +166,17 @@ object Relational {
 
     // The scalable statement of q08's inequality join: count, per
     // supplier, the parts cheaper than its balance — WITHOUT a nested
-    // loop. Decomposition: band the price domain (width 100); parts in
-    // bands strictly below a supplier's band are all cheaper (one lookup
-    // in a dense cumulative band table, a few hundred rows, broadcast),
-    // and only the supplier's OWN band needs exact comparison (equi-join
-    // on band, fanout = parts-per-band, bounded by construction). Both
-    // shuffles are keyed by band; nothing is quadratic at any scale. The
-    // oracle states the same aggregate as a plain theta join — banding
-    // must be invisible in the result.
+    // loop. Decomposition: band the price domain (width 10, ~100 parts
+    // per band at sf1); parts in bands strictly below a supplier's band
+    // are all cheaper (one lookup in a dense cumulative band table, ~1k
+    // rows, broadcast), and only the supplier's OWN band needs exact
+    // comparison (equi-join on band, fanout = parts-per-band, bounded by
+    // the width choice — at a larger corpus, narrow the width to hold
+    // the per-band count). Both shuffles are keyed by band; nothing is
+    // quadratic at any scale. The oracle states the same aggregate as a
+    // plain theta join — banding must be invisible in the result.
     "q108_theta_band" -> ((s, dir) => {
-      val BandW = 100
+      val BandW = 10
       val parts = Tables.part(s, dir)
         .select(floor(col("p_retailprice") / BandW).cast("long").as("pband"),
           col("p_retailprice").as("price"))

@@ -1,0 +1,27 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Time individual queries: runMain graft.tools.TimeQ <sfDir> <q1> [q2 ...]
+  * Prints one `name seconds rows` line per query — the per-query dev loop
+  * behind Bench's full sweep. */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      val rows = graft.SparkEntry.queries(n)(spark, sfDir).count()
+      println(f"TIMEQ $n ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$rows")
+    }
+    spark.stop()
+  }
+}

@@ -102,4 +102,15 @@ class CookbookSpec extends AnyFunSuite {
     // every SQL-expressible query ships its DuckDB-equivalent oracle text
     assert(SparkEntry.oracleSql.contains("q01_pricing_summary"))
   }
+
+  test("§11 training-corpus preparation") {
+    val scrubbed  = SparkEntry.queries("q102_pii_redact")(spark, sfDir)      // regex PII scrub + audit counts
+    val chunks    = SparkEntry.queries("q103_chunk_overlap")(spark, sfDir)   // 50-token windows, stride 40
+    val tainted   = SparkEntry.queries("q104_decontaminate")(spark, sfDir)   // 5-gram overlap vs eval stratum
+    val order     = SparkEntry.queries("q105_shuffle_order")(spark, sfDir)   // reproducible (shard, pos) permutation
+    val clusters  = SparkEntry.queries("q106_kmeans_assign")(spark, sfDir)   // Lloyd assignment vs fixed codebook
+    assert(scrubbed.count() > 0 && chunks.count() > 0 && order.count() > 0
+      && clusters.count() > 0)
+    assert(tainted.columns.contains("quarantine"))
+  }
 }

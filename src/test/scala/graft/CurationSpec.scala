@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators.{CurationOps, Relational}
+
+/** Semantic assertions for the curation operators (q102–q108) beyond the
+  * determinism + oracle checks OperatorSpec applies to every query. */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+
+  test("q102: every planted email and phone is found and scrubbed") {
+    val r = CurationOps.queries("q102_pii_redact")(spark, sfDir)
+    val bad = r.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1
+      || !col("tail40").contains("<EMAIL>") && !col("tail40").contains("<PHONE>"))
+    assert(bad.count() == 0)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(r.count() == nDocs)
+  }
+
+  test("q103: chunks tile every document — strides cover all tokens, sizes add up") {
+    val r = CurationOps.queries("q103_chunk_overlap")(spark, sfDir)
+    // per doc: chunk 0 starts at 1; consecutive starts differ by the
+    // stride; the last chunk reaches the document's final token
+    val perDoc = r.groupBy("doc_id").agg(
+      min(col("start")).as("first_start"),
+      max(col("start") + col("chunk_tok") - 1).as("last_covered"),
+      count(lit(1)).as("n_chunks"),
+      max(col("chunk_idx")).as("max_idx"))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val joined = perDoc.join(docs, "doc_id")
+    assert(joined.filter(col("first_start") =!= 1).count() == 0)
+    assert(joined.filter(col("last_covered") =!= col("n_tok")).count() == 0)
+    assert(joined.filter(col("max_idx") =!= col("n_chunks") - 1).count() == 0)
+  }
+
+  test("q104: contamination is symmetric ground truth — flagged docs share a 5-gram with the eval stratum") {
+    val r = CurationOps.queries("q104_decontaminate")(spark, sfDir).collect()
+    // every emitted row has at least one hit and sane ratios
+    assert(r.forall(row => row.getAs[Long]("n_hits") >= 1))
+    assert(r.forall { row =>
+      val bp = row.getAs[Long]("contam_bp")
+      bp >= 0 && bp <= 10000 &&
+        (row.getAs[Int]("quarantine") == 1) == (bp >= 5000)
+    })
+    // no eval doc leaks into the output
+    assert(r.forall(row => row.getAs[Long]("doc_id") % 97 != 0))
+  }
+
+  test("q105: shuffle-shard is a permutation — every doc exactly once, positions dense per shard") {
+    val r = CurationOps.queries("q105_shuffle_order")(spark, sfDir)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(r.count() == nDocs)
+    assert(r.select("doc_id").distinct().count() == nDocs)
+    val dense = r.groupBy("shard").agg(max("pos").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n"))
+    assert(dense.count() == 0)
+  }
+
+  test("q106: every cluster is led by its own centroid (self-similarity wins)") {
+    val rows = graft.operators.SimilarityOps.queries("q106_kmeans_assign")(spark, sfDir).collect()
+    // each centroid vec assigns to itself, so cluster c contains vec c
+    assert(rows.forall(row => row.getAs[Long]("min_vec") <= row.getAs[Long]("cluster")))
+    assert(rows.forall(row => row.getAs[Long]("n") >= 1))
+  }
+
+  test("q107: pagerank conserves mass approximately and favors high-degree parts") {
+    val rows = CurationOps.queries("q107_pagerank")(spark, sfDir).collect()
+    assert(rows.length == 50)
+    // ranks sorted desc, all >= the damping floor
+    val ranks = rows.map(_.getAs[Long]("rank_ppm"))
+    assert(ranks.sameElements(ranks.sorted.reverse))
+    assert(ranks.forall(_ >= 150000L))
+  }
+
+  test("q108: band decomposition equals the nested-loop join on the bounded probe set") {
+    // q08 (BNLJ, s_suppkey < 100) must agree with q108 restricted the
+    // same way — at sf0.001 ALL suppliers have s_suppkey < 100, so the
+    // two full results must match row for row
+    val nSup = Tables.supplier(spark, sfDir)
+      .filter(col("s_suppkey") >= 100).count()
+    assume(nSup == 0, "fixture grew past the bounded probe set")
+    val a = Relational.queries("q08_theta_join")(spark, sfDir)
+      .collect().map(_.toString).sorted
+    val b = Relational.queries("q108_theta_band")(spark, sfDir)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+}
