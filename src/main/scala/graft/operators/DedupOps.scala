@@ -29,11 +29,15 @@ object DedupOps {
   val NumHashes = 16
   val Bands = 4
   val RowsPerBand = 4
+  val ShingleN = 3
 
-  /** doc_id + distinct 3-gram shingle set (empty-set docs dropped). */
+  /** doc_id + distinct 3-gram shingle set (empty-set docs dropped).
+    * Built by the codegen'd byte-slice expression; ExtensionsSpec pins
+    * array-equality against the HOF twin (GraftFunctions.shingleSet). */
   private[graft] def shingleSets(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), shingleSet(col("text"), 3).as("shingles"))
+      .select(col("doc_id"),
+        graft.plans.ShinglesExpr.shinglesNative(col("text"), ShingleN).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
   /** MinHash signature via explode + groupBy with one `min` aggregate per
@@ -44,7 +48,7 @@ object DedupOps {
     * re-evaluates them — 16x-64x repeated hashing. Here the partial mins
     * combine map-side, so the shuffle carries only 16 longs per doc —
     * the shape that survives a 100 TB corpus. */
-  private[graft] def withSignature(sets: DataFrame): DataFrame = {
+  private[graft] def withSignatureRelational(sets: DataFrame): DataFrame = {
     val codes = sets
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), md5Code60(col("sh")).as("code"))
@@ -53,6 +57,17 @@ object DedupOps {
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((1 to NumHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
+
+  /** Hot path: the codegen'd `MinHashSigExpr` computes all 16 minima in a
+    * fused loop INSIDE the row, so signature building is a narrow
+    * projection with no exchange — the relational explode→groupBy twin
+    * above shuffled one row per (doc, shingle), ~29M rows at sf1, purely
+    * to take per-doc minima. DedupSpec asserts both paths bit-match on
+    * every fixture doc (the oracle keeps checking the relational
+    * formulation's SQL). */
+  private[graft] def withSignature(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"),
+      graft.plans.MinHashSigExpr.sigNative(col("shingles"), NumHashes).as("sig"))
 
   /** One row per (doc, band): band key = joined signature slice. `sig` is
     * a post-aggregation attribute, so the slices are cheap array reads. */
@@ -115,14 +130,37 @@ object DedupOps {
   }
 
   private def computeVerifiedNearDupPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val sets = shingleSets(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val b = bands(withSignature(sets))
+    // Signatures come straight off the text scan via the fused
+    // tokenize→shingle→MinHash expression (MinHashFromTextExpr): one pass
+    // over the raw bytes, no shingle-array column, no shuffle — at sf1
+    // the shingle-array build alone cost 7.8 s of q41's 13 s. Nulls are
+    // docs shorter than the shingle width (the relational twin's
+    // `filter(size > 0)`).
+    val sigs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.plans.MinHashFromTextExpr.sigFromText(col("text"), ShingleN, NumHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+    // the band table feeds BOTH sides of the candidate self-join; with no
+    // aggregate exchange left to reuse, checkpoint it once so neither
+    // side recomputes the md5 kernel
+    val b = bands(sigs).localCheckpoint()
     val cand = b.as("a").join(b.as("b"),
         col("a.j") === col("b.j") && col("a.bkey") === col("b.bkey")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct().localCheckpoint()
+    // exact-Jaccard verification needs shingle ARRAYS only for docs that
+    // appear in a candidate pair — the near-dup fraction of the corpus —
+    // so only those docs are shingled. The id list is fixed-width longs
+    // (broadcastable far beyond where the text columns would be).
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
       .distinct()
+    val sets = Tables.documents(s, dir)
+      .join(broadcast(candDocs), "doc_id")
+      .select(col("doc_id"),
+        graft.plans.ShinglesExpr.shinglesNative(col("text"), ShingleN).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sa = sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
     val sb = sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
     val (inter, uni) = jaccardCols(col("sh_a"), col("sh_b"))

@@ -37,6 +37,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_minhash_sig(shingles, numHashes) takes 2 arguments")
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        args(1) match {
+          case Literal(n: Int, _) => MinHashSigExpr(args(0), n)
+          case _ => throw new IllegalArgumentException(
+            "graft_minhash_sig: numHashes must be an integer literal")
+        }
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_text"),
+      new ExpressionInfo(classOf[MinHashFromTextExpr].getName, "graft_minhash_text"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_minhash_text(text, n, numHashes) takes 3 arguments")
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        (args(1), args(2)) match {
+          case (Literal(n: Int, _), Literal(h: Int, _)) => MinHashFromTextExpr(args(0), n, h)
+          case _ => throw new IllegalArgumentException(
+            "graft_minhash_text: n and numHashes must be integer literals")
+        }
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_shingles(text, n) takes 2 arguments")
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        args(1) match {
+          case Literal(n: Int, _) => ShinglesExpr(args(0), n)
+          case _ => throw new IllegalArgumentException(
+            "graft_shingles: n must be an integer literal")
+        }
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_cosine"),
       (args: Seq[Expression]) => {

@@ -54,9 +54,12 @@ object ScaleGen {
   }
 
   def run(spark: SparkSession, src: String, dst: String, copies: Int): Unit = {
+    // file counts are sized so a local[32] scan parallelizes: a coalesced
+    // single-row-group file caps scan parallelism at 1 task per file (a
+    // real large corpus always has enough splits; the fixture must too)
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String, files: Int): Unit =
-      df.coalesce(files).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      df.repartition(files).write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
     // dims stay fixed
     write(read("region"), "region", 1)
@@ -68,20 +71,20 @@ object ScaleGen {
 
     write(tiled("customer").select(shift("c_custkey", 15000),
       col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
-      "customer", 2)
+      "customer", 8)
     write(tiled("supplier").select(shift("s_suppkey", 1000),
-      col("s_name"), col("s_nationkey"), col("s_acctbal")), "supplier", 1)
+      col("s_name"), col("s_nationkey"), col("s_acctbal")), "supplier", 4)
     write(tiled("part").select(shift("p_partkey", 20000),
       col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
-      col("p_retailprice")), "part", 2)
+      col("p_retailprice")), "part", 8)
     write(tiled("orders").select(shift("o_orderkey", 150000),
       shift("o_custkey", 15000), col("o_orderstatus"), col("o_totalprice"),
-      col("o_orderdate"), col("o_orderpriority")), "orders", 4)
+      col("o_orderdate"), col("o_orderpriority")), "orders", 16)
     write(tiled("lineitem").select(shift("l_orderkey", 150000),
       shift("l_partkey", 20000), shift("l_suppkey", 1000),
       col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
       col("l_discount"), col("l_tax"), col("l_returnflag"), col("l_linestatus"),
-      col("l_shipdate")), "lineitem", 8)
+      col("l_shipdate")), "lineitem", 32)
 
     // ---- documents: per-copy vocabulary rotation --------------------------
     val docs = read("documents")
@@ -107,7 +110,7 @@ object ScaleGen {
       .select((col("doc_id") + col("copy") * nDocs).as("doc_id"),
         rotText.as("text"), col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long")),
-      "documents", 2)
+      "documents", 16)
 
     // ---- embeddings: per-copy orthogonal transform ------------------------
     val emb = read("embeddings")
@@ -126,7 +129,7 @@ object ScaleGen {
     write(emb.crossJoin(spark.range(copies).select(col("id").cast("int").as("copy")))
       .select((col("vec_id") + col("copy") * nVecs).as("vec_id"),
         transformed.as("embedding"), col("label")),
-      "embeddings", 2)
+      "embeddings", 8)
 
     println(s"""{"scalegen":"done","src":"$src","dst":"$dst","copies":$copies}""")
   }

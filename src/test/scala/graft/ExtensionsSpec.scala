@@ -97,6 +97,101 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(viaSql == viaCol)
   }
 
+  test("native minhash_sig is bit-identical to the relational explode→groupBy on every fixture doc") {
+    import org.apache.spark.sql.functions._
+    val sets = graft.engine.Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.shingleSet(col("text"), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val native = sets.select(col("doc_id"),
+      graft.plans.MinHashSigExpr.sigNative(col("shingles"),
+        graft.operators.DedupOps.NumHashes).as("sig"))
+    val relational = graft.operators.DedupOps.withSignatureRelational(sets)
+      .withColumnRenamed("sig", "sig_rel")
+    val joined = native.join(relational, "doc_id")
+    assert(joined.count() == sets.count())
+    val mismatches = joined.filter(col("sig") =!= col("sig_rel")).count()
+    assert(mismatches == 0)
+  }
+
+  test("fused minhash_text matches the relational signature on every fixture doc") {
+    import org.apache.spark.sql.functions._
+    val sets = graft.engine.Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.shingleSet(col("text"), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val relational = graft.operators.DedupOps.withSignatureRelational(sets)
+      .withColumnRenamed("sig", "sig_rel")
+    val fused = graft.engine.Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"),
+        graft.plans.MinHashFromTextExpr.sigFromText(col("text"), 3,
+          graft.operators.DedupOps.NumHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+    val joined = fused.join(relational, "doc_id")
+    assert(joined.count() == sets.count() && fused.count() == sets.count())
+    assert(joined.filter(col("sig") =!= col("sig_rel")).count() == 0)
+  }
+
+  test("minhash_text tokenization edge cases match split semantics") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // repeated/leading/trailing spaces produce empty tokens under
+    // split-with-trailing semantics; the byte-slice shingles must equal
+    // the concat-built ones for these too, and short docs go null
+    val df = Seq("a b c d", "a  b c", " a b", "a b ", "ab", "", "a b")
+      .zipWithIndex.map(_.swap).toDF("doc_id", "text")
+    val viaArrays = graft.operators.DedupOps.withSignatureRelational(
+      df.select(col("doc_id"),
+        graft.functions.GraftFunctions.shingleSet(col("text"), 3).as("shingles"))
+        .filter(size(col("shingles")) > 0))
+      .withColumnRenamed("sig", "sig_rel")
+    val fused = df.select(col("doc_id"),
+      graft.plans.MinHashFromTextExpr.sigFromText(col("text"), 3, 16).as("sig"))
+      .filter(col("sig").isNotNull)
+    assert(fused.count() == viaArrays.count())
+    assert(fused.join(viaArrays, "doc_id")
+      .filter(col("sig") =!= col("sig_rel")).count() == 0)
+  }
+
+  test("native shingles equals the HOF shingleSet as ARRAYS on every fixture doc and edge case") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val fixture = graft.engine.Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("text"))
+    val edges = Seq("a b c d", "a  b c", " a b c", "a b c ", "ab", "", "a b c a b c")
+      .zipWithIndex.map { case (t, i) => (1000000L + i, t) }.toDF("doc_id", "text")
+    val df = fixture.union(edges)
+    val both = df.select(
+      graft.plans.ShinglesExpr.shinglesNative(col("text"), 3).as("native"),
+      graft.functions.GraftFunctions.shingleSet(col("text"), 3).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("minhash_sig null contract: empty and null arrays yield null") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Some(List.empty[String])),
+      (2, None: Option[List[String]])).toDF("id", "sh")
+    val out = df.select(
+      graft.plans.MinHashSigExpr.sigNative($"sh", 16).as("sig"))
+      .collect().map(_.isNullAt(0))
+    assert(out.forall(identity))
+  }
+
+  test("graft_minhash_sig is callable from SQL and matches the Column API") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.engine.Tables.documents(spark, TestSpark.sfDir).limit(20)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.shingleSet(col("text"), 3).as("shingles"))
+    docs.createOrReplaceTempView("docsx")
+    val viaSql = spark.sql("SELECT graft_minhash_sig(shingles, 16) FROM docsx")
+      .as[Seq[Long]].collect().toSeq
+    val viaCol = docs.select(
+      graft.plans.MinHashSigExpr.sigNative($"shingles", 16)).as[Seq[Long]].collect().toSeq
+    assert(viaSql == viaCol)
+  }
+
   test("SQL function matches the Column-API native expression") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
