@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Behavioral / diagnostic analytics over the event stream and catalog —
+  * the query family a product or data-quality team runs on the same
+  * engine the curation pipeline uses:
+  *
+  *   - q109 sessionization — gap-based session ids (30-min timeout) via
+  *     lag + running sum, then per-session rollup
+  *   - q110 retention cohorts — users grouped by first-seen date, counted
+  *     at each day offset they return
+  *   - q111 fuzzy match — bounded-probe Levenshtein join over part names
+  *     (the string-similarity cousin of the shingle dedup family)
+  *   - q112 transition matrix — per-user event-type bigrams with integer
+  *     basis-point row probabilities (the Markov view of q88's funnel)
+  *   - q113 skew profile — per-key frequency diagnostics of a join key:
+  *     the top-heavy keys and their share, the input to a salting /
+  *     AQE-skew decision (SkewJoinSpec exercises the remedy; this is the
+  *     detector)
+  *
+  * Scale posture: sessionize/transition are per-user windows (keyed
+  * partitions, never global); retention is two keyed aggregates; fuzzy
+  * match broadcasts the bounded probe set (the unbounded form would block
+  * on q-grams exactly like DedupOps' LSH); the skew profile is one
+  * map-side-combined aggregate + a top-k that compiles to a bounded sort.
+  * All derived ratios are integer basis points, so the DuckDB oracle
+  * matches bit-for-bit.
+  */
+object AnalyticsOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Session timeout: 30 minutes, in microseconds. */
+  val SessionGapUs = 30L * 60 * 1000000
+
+  val queries: Map[String, Q] = Map(
+    // gap-based sessionization: a new session starts when the gap from
+    // the previous event exceeds the timeout; session index = running
+    // count of session starts. Both windows partition by user — the
+    // 100 TB plan is as parallel as the user key space.
+    "q109_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val run = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("is_start",
+          when(col("prev_us").isNull
+            || col("ts_us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+        .withColumn("sess_idx", sum(col("is_start")).over(run))
+        .groupBy("user_id", "sess_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"))
+        .withColumn("duration_us", col("end_us") - col("start_us"))
+        .orderBy("user_id", "sess_idx")
+    }),
+
+    // retention: cohort = first-seen date; for every (cohort, day-offset)
+    // pair, how many distinct users were active. Two keyed aggregates and
+    // one join — the fact table never self-joins.
+    "q110_retention" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+        .distinct()
+      val cohorts = days.groupBy("user_id").agg(min(col("d")).as("cohort"))
+      days.join(cohorts, "user_id")
+        .withColumn("day_offset", datediff(col("d"), col("cohort")))
+        .groupBy("cohort", "day_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort", "day_offset")
+    }),
+
+    // bounded-probe fuzzy match: names of the probe parts against the
+    // distinct name catalog, Levenshtein 1..4 (0 excluded: that's exact
+    // dedup's job). The probe side broadcasts; the name catalog is
+    // vocabulary-bounded. An unbounded fuzzy self-join would first block
+    // on q-grams (the LSH pattern) — this op is the verify step of that
+    // pipeline, so the probe bound is the honest demo scope.
+    "q111_fuzzy_match" -> ((s, dir) => {
+      val names = Tables.part(s, dir).select(col("p_name")).distinct()
+      val probes = Tables.part(s, dir).filter(col("p_partkey") < 20)
+        .select(col("p_name").as("probe_name")).distinct()
+      names.join(broadcast(probes),
+          levenshtein(col("probe_name"), col("p_name")).between(1, 4))
+        .withColumn("dist", levenshtein(col("probe_name"), col("p_name")))
+        .select("probe_name", "p_name", "dist")
+        .orderBy("probe_name", "p_name")
+    }),
+
+    // event-type transition matrix: per-user consecutive event pairs,
+    // with row-normalized probabilities in basis points. The bigram
+    // window partitions by user; the final matrix is event-type² rows.
+    "q112_transition_matrix" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val wrow = Window.partitionBy("prev_type")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prob_bp", expr("n * 10000 div sum(n) over (partition by prev_type)"))
+        .select("prev_type", "next_type", "n", "prob_bp")
+        .orderBy("prev_type", "next_type")
+    }),
+
+    // join-key skew profile: per-key counts in ONE map-side-combined
+    // aggregate, then the 5 heaviest keys annotated with global stats
+    // (total rows, distinct keys, per-key share and a skew factor =
+    // share × distinct-keys, 10000 bp = perfectly uniform).
+    "q113_skew_profile" -> ((s, dir) => {
+      val counts = Tables.lineitem(s, dir)
+        .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      val stats = counts.agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("n_keys"))
+      val w = Window.orderBy(col("cnt").desc, col("l_partkey"))
+      counts
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .crossJoin(broadcast(stats))
+        .withColumn("share_bp", expr("cnt * 10000 div total"))
+        .withColumn("skew_bp", expr("cnt * n_keys * 10000 div total"))
+        .select("rk", "l_partkey", "cnt", "total", "n_keys", "share_bp", "skew_bp")
+        .orderBy("rk")
+    }))
+
+  // ---- DuckDB oracle ------------------------------------------------------
+
+  val oracle: Map[String, String] = Map(
+    "q109_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         |g AS (SELECT user_id, event_id, ts_us,
+         |    CASE WHEN lag(ts_us) OVER w IS NULL
+         |           OR ts_us - lag(ts_us) OVER w > $SessionGapUs
+         |         THEN 1 ELSE 0 END AS is_start
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |sess AS (SELECT user_id, ts_us,
+         |    CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+         |  FROM g)
+         |SELECT user_id, sess_idx, count(*) AS n_events,
+         |  min(ts_us) AS start_us, max(ts_us) AS end_us,
+         |  max(ts_us) - min(ts_us) AS duration_us
+         |FROM sess GROUP BY user_id, sess_idx
+         |ORDER BY user_id, sess_idx""".stripMargin,
+
+    "q110_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |cohorts AS (SELECT user_id, min(d) AS cohort FROM days GROUP BY user_id)
+        |SELECT cohort, CAST(date_diff('day', cohort, d) AS INTEGER) AS day_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM days JOIN cohorts USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
+
+    "q111_fuzzy_match" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |probes AS (SELECT DISTINCT p_name AS probe_name FROM part WHERE p_partkey < 20)
+        |SELECT probe_name, p_name,
+        |  CAST(levenshtein(probe_name, p_name) AS INTEGER) AS dist
+        |FROM names CROSS JOIN probes
+        |WHERE levenshtein(probe_name, p_name) BETWEEN 1 AND 4
+        |ORDER BY probe_name, p_name""".stripMargin,
+
+    "q112_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |bi AS (SELECT user_id, event_type AS next_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+        |  FROM e),
+        |m AS (SELECT prev_type, next_type, count(*) AS n FROM bi
+        |  WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  n * 10000 // CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS prob_bp
+        |FROM m ORDER BY prev_type, next_type""".stripMargin,
+
+    "q113_skew_profile" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_keys FROM c),
+        |t AS (SELECT l_partkey, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, l_partkey) AS rk FROM c)
+        |SELECT rk, l_partkey, cnt, total, n_keys,
+        |  cnt * 10000 // total AS share_bp,
+        |  cnt * n_keys * 10000 // total AS skew_bp
+        |FROM t CROSS JOIN s WHERE rk <= 5 ORDER BY rk""".stripMargin)
+}

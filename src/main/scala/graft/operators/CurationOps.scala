@@ -41,6 +41,7 @@ object CurationOps {
   val NgramN = 5
   val NumShards = 32
   val PrIters = 3
+  val NegK = 4
 
   private val EmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
   private val PhoneRe = "\\+1-555-[0-9]{4}"
@@ -183,6 +184,33 @@ object CurationOps {
           .otherwise(concat(lit("p"), expr("(node - 1) div 2").cast("string"))).as("node"),
           col("rank_ppm"))
         .orderBy(col("rank_ppm").desc, col("node")).limit(50)
+    }),
+
+    // Deterministic negative sampling: for each probe doc, NegK pseudo-
+    // random "negative" partners drawn by hashing (doc, j) into the
+    // corpus id space — the contrastive-pair generator of a training
+    // pipeline, with NO RNG state (any engine, any retry, any partition
+    // layout draws the same negatives). Self-pairs are dropped, not
+    // redrawn, so the math stays closed-form. The id-space size comes
+    // from one 1-row aggregate (broadcast); the join back to documents
+    // verifies the negative exists and is keyed on doc_id.
+    "q114_negative_sampling" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val n = docs.agg(max(col("doc_id")).as("max_id"))
+      val probes = docs.filter(col("doc_id") < 50)
+        .select(col("doc_id")).crossJoin(broadcast(n))
+      val drawn = probes
+        .select(col("doc_id"), explode(sequence(lit(0), lit(NegK - 1))).as("j"),
+          col("max_id"))
+        .withColumn("neg_id",
+          md5Code60(concat(lit("neg:"), col("doc_id").cast("string"),
+            lit(":"), col("j").cast("string"))) % (col("max_id") + 1))
+        .filter(col("neg_id") =!= col("doc_id"))
+      drawn
+        .join(docs.select(col("doc_id").as("neg_id"),
+          col("lang").as("neg_lang")), "neg_id")
+        .select("doc_id", "j", "neg_id", "neg_lang")
+        .orderBy("doc_id", "j")
     }))
 
   // ---- DuckDB oracle ------------------------------------------------------
@@ -263,5 +291,17 @@ object CurationOps {
          |SELECT CASE WHEN node % 2 = 0 THEN 's' || CAST(node // 2 AS VARCHAR)
          |            ELSE 'p' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
          |  rank_ppm FROM r3 ORDER BY rank_ppm DESC, node LIMIT 50""".stripMargin
+    },
+
+    "q114_negative_sampling" -> {
+      val hk = md5Code60Sql("'neg:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)")
+      s"""WITH n AS (SELECT max(doc_id) AS max_id FROM documents),
+         |drawn AS (SELECT doc_id, j, $hk % (max_id + 1) AS neg_id
+         |  FROM (SELECT doc_id, unnest(generate_series(0, ${NegK - 1})) AS j
+         |        FROM documents WHERE doc_id < 50) CROSS JOIN n)
+         |SELECT d.doc_id, CAST(j AS INTEGER) AS j, neg_id, doc.lang AS neg_lang
+         |FROM drawn d JOIN documents doc ON d.neg_id = doc.doc_id
+         |WHERE d.neg_id != d.doc_id
+         |ORDER BY d.doc_id, j""".stripMargin
     })
 }

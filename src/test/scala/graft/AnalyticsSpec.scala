@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators.{AnalyticsOps, CurationOps}
+
+/** Semantic assertions for the behavioral analytics operators (q109–q114)
+  * beyond OperatorSpec's determinism + oracle checks. */
+class AnalyticsSpec extends AnyFunSuite {
+  import TestSpark.{spark, sfDir}
+
+  test("q109: sessions partition each user's events exactly") {
+    val sessions = AnalyticsOps.queries("q109_sessionize")(spark, sfDir)
+    val totalEvents = Tables.events(spark, sfDir).count()
+    val summed = sessions.agg(sum("n_events")).head.getLong(0)
+    assert(summed == totalEvents)
+    // session indices are dense from 1 per user
+    val dense = sessions.groupBy("user_id")
+      .agg(max("sess_idx").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n"))
+    assert(dense.count() == 0)
+    // durations are non-negative and each session fits inside the gap rule
+    assert(sessions.filter(col("duration_us") < 0).count() == 0)
+  }
+
+  test("q110: day-0 retention equals cohort size and offsets are non-negative") {
+    val r = AnalyticsOps.queries("q110_retention")(spark, sfDir)
+    assert(r.filter(col("day_offset") < 0).count() == 0)
+    // every user appears in their own cohort's day-0 row
+    val day0 = r.filter(col("day_offset") === 0).agg(sum("n_users")).head.getLong(0)
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(day0 == users)
+  }
+
+  test("q111: fuzzy matches are near but not exact") {
+    val m = AnalyticsOps.queries("q111_fuzzy_match")(spark, sfDir).collect()
+    assert(m.nonEmpty)
+    assert(m.forall { r =>
+      val d = r.getAs[Int]("dist")
+      d >= 1 && d <= 4 && r.getAs[String]("probe_name") != r.getAs[String]("p_name")
+    })
+  }
+
+  test("q112: transition probabilities sum to ~1 per source state") {
+    val t = AnalyticsOps.queries("q112_transition_matrix")(spark, sfDir)
+    val sums = t.groupBy("prev_type").agg(sum("prob_bp").as("s")).collect()
+    // integer division truncates: sum in (10000 - n_states, 10000]
+    assert(sums.forall { r => val v = r.getAs[Long]("s"); v > 9990 && v <= 10000 })
+  }
+
+  test("q113: skew profile ranks the true heaviest keys") {
+    val p = AnalyticsOps.queries("q113_skew_profile")(spark, sfDir).collect()
+    assert(p.length == 5)
+    val counts = p.map(_.getAs[Long]("cnt"))
+    assert(counts.sameElements(counts.sorted.reverse))
+    val exactMax = Tables.lineitem(spark, sfDir)
+      .groupBy("l_partkey").count().agg(max("count")).head.getLong(0)
+    assert(counts.head == exactMax)
+  }
+
+  test("q114: negatives are valid docs, never the probe, and deterministic") {
+    val a = CurationOps.queries("q114_negative_sampling")(spark, sfDir).collect()
+    val b = CurationOps.queries("q114_negative_sampling")(spark, sfDir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    assert(a.forall(r => r.getAs[Long]("neg_id") != r.getAs[Long]("doc_id")))
+    val maxId = Tables.documents(spark, sfDir).agg(max("doc_id")).head.getLong(0)
+    assert(a.forall { r => val n = r.getAs[Long]("neg_id"); n >= 0 && n <= maxId })
+  }
+}
