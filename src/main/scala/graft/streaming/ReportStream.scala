@@ -74,10 +74,18 @@ object ReportStream {
 
   /** O2: one cron-equivalent tick — drain whatever input is available,
     * publish per micro-batch, stop. Returns the number of published
-    * artifacts so far. */
+    * artifacts so far.
+    *
+    * `maxFilesPerTrigger` is the file source's backpressure knob: it caps
+    * how many new files enter each micro-batch, so a backlog drains as a
+    * series of bounded batches instead of one giant one (state, shuffle
+    * and publish cost per batch stay sized to the knob, not to the
+    * backlog). AvailableNow still processes EVERYTHING available — just
+    * in ceil(backlog/knob) batches. */
   def runAvailableNow(spark: SparkSession, srcDir: String, outDir: String,
-      checkpointDir: String): Long = {
-    val q = start(spark, srcDir, outDir, checkpointDir, Trigger.AvailableNow())
+      checkpointDir: String, maxFilesPerTrigger: Option[Int] = None): Long = {
+    val q = start(spark, srcDir, outDir, checkpointDir, Trigger.AvailableNow(),
+      maxFilesPerTrigger)
     q.awaitTermination()
     publishedCount(outDir)
   }
@@ -95,9 +103,11 @@ object ReportStream {
       Trigger.ProcessingTime(intervalMs))
 
   private def start(spark: SparkSession, srcDir: String, outDir: String,
-      checkpointDir: String, trigger: Trigger): StreamingQuery = {
-    val events = spark.readStream
-      .schema(eventsSchema)
+      checkpointDir: String, trigger: Trigger,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(eventsSchema)
+    val events = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(srcDir)
     summarize(events)
       .writeStream

@@ -151,6 +151,40 @@ class ReportStreamSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("maxFilesPerTrigger drains a backlog as bounded micro-batches") {
+    val src = tmp("rs-bp-src")
+    val out = tmp("rs-bp-out")
+    val ckpt = tmp("rs-bp-ckpt")
+    // stage a 4-file backlog
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"${TestSpark.sfDir}/events.parquet")
+    (0 until 4).foreach { i =>
+      events.filter(col("event_id") % 4 === i)
+        .coalesce(1).write.mode("append").parquet(src.toString)
+    }
+    // knob = 1 file per batch -> AvailableNow drains everything, but as
+    // one bounded micro-batch per file: 4 published artifacts, not 1
+    val n = ReportStream.runAvailableNow(spark, src.toString, out.toString,
+      ckpt.toString, maxFilesPerTrigger = Some(1))
+    assert(n >= 4, s"expected >=4 bounded micro-batches, got $n")
+    // and the final report reflects the FULL backlog (complete mode):
+    // the last batch's totals equal the batch recompute over all files
+    val reports = Files.list(out).filter(_.toString.endsWith(".html"))
+      .sorted().toArray.map(_.asInstanceOf[Path])
+    val lastHtml = Files.readString(reports.last)
+    val total = events.count()
+    val perType = events.groupBy("event_type").count().collect()
+    perType.foreach { r =>
+      assert(lastHtml.contains(s"${r.getAs[String]("event_type")}: ${r.getAs[Long]("count")} events"),
+        s"final report must aggregate the whole $total-row backlog")
+    }
+    // unbounded control: same backlog, no knob -> a single batch
+    val out2 = tmp("rs-bp-out2")
+    val ckpt2 = tmp("rs-bp-ckpt2")
+    val n2 = ReportStream.runAvailableNow(spark, src.toString, out2.toString, ckpt2.toString)
+    assert(n2 == 1, s"without the knob the backlog is one batch, got $n2")
+  }
+
   test("publish is idempotent per batch id (redelivery is a no-op)") {
     val out = tmp("rs-idem")
     val summary = ReportStream.summarize(Tables.events(spark, TestSpark.sfDir))
