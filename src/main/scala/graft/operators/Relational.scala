@@ -177,7 +177,14 @@ object Relational {
     // plain theta join — banding must be invisible in the result.
     "q108_theta_band" -> ((s, dir) => {
       val BandW = 10
+      // explicit attribute-level null filters: a null price/balance can
+      // never satisfy the inequality, and filtering the ATTRIBUTE reaches
+      // the parquet scan (isnotnull(p_retailprice) is pushable), whereas
+      // the equivalent constraint Catalyst infers from the band join —
+      // isnotnull(floor(price/W)) — is an expression and can only run as
+      // an unpushed row filter
       val parts = Tables.part(s, dir)
+        .filter(col("p_retailprice").isNotNull)
         .select(floor(col("p_retailprice") / BandW).cast("long").as("pband"),
           col("p_retailprice").as("price"))
       val bandCounts = parts.groupBy("pband").agg(count(lit(1)).as("n"))
@@ -192,6 +199,7 @@ object Relational {
         .withColumn("cum_below", coalesce(sum(col("n")).over(wcum), lit(0L)))
         .select(col("pband").as("sband"), col("cum_below"))
       val sup = Tables.supplier(s, dir)
+        .filter(col("s_acctbal").isNotNull)
         .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
           floor(col("s_acctbal") / BandW).cast("long").as("band"))
         .crossJoin(broadcast(bounds))
