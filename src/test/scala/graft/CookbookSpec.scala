@@ -113,4 +113,16 @@ class CookbookSpec extends AnyFunSuite {
       && clusters.count() > 0)
     assert(tainted.columns.contains("quarantine"))
   }
+
+  test("§12 behavioral analytics & data quality") {
+    val sessions  = SparkEntry.queries("q109_sessionize")(spark, sfDir)        // 30-min-gap sessions per user
+    val retention = SparkEntry.queries("q110_retention")(spark, sfDir)         // cohort x day-offset active users
+    val matrix    = SparkEntry.queries("q112_transition_matrix")(spark, sfDir) // event-type Markov bigrams (bp)
+    val skew      = SparkEntry.queries("q113_skew_profile")(spark, sfDir)      // heavy join keys -> salting decision
+    val gate      = SparkEntry.queries("q115_expectations")(spark, sfDir)      // batch admit/reject rule report
+    val outliers  = SparkEntry.queries("q116_outliers")(spark, sfDir)          // |z| >= 2.5 sigma per event type
+    assert(sessions.count() > 0 && retention.count() > 0 && matrix.count() > 0
+      && skew.count() > 0 && gate.count() == 5)
+    assert(outliers.columns.contains("z_bp"))
+  }
 }
