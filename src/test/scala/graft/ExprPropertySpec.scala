@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions.shingleSet
+import graft.operators.DedupOps
+import graft.plans.{MinHashFromTextExpr, ShinglesExpr}
+
+/** Property-style hardening for the byte-slice expressions: on ARBITRARY
+  * texts — multibyte UTF-8 words, repeated/leading/trailing spaces, empty
+  * tokens, single tokens — the native kernels must equal the HOF/
+  * relational formulations exactly. One generated corpus, one Spark job,
+  * column-vs-column comparison (a per-sample forAll would pay a Spark
+  * round-trip per case). */
+class ExprPropertySpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  // deterministic scalacheck sampling: fixed seed, no retry flakiness
+  private def sample[A](gen: Gen[A], n: Int): Seq[A] = {
+    val params = Gen.Parameters.default
+    Iterator.from(0)
+      .map(i => gen.apply(params, rng.Seed(0xC0FFEEL + i)))
+      .flatten.take(n).toSeq
+  }
+
+  private val word: Gen[String] = Gen.oneOf(
+    Gen.stringOfN(3, Gen.alphaLowerChar),
+    Gen.oneOf("täst", "日本", "a", "xyzzy", "é", "𝒜𝓑", "naïve"),
+    Gen.stringOfN(1, Gen.alphaNumChar))
+
+  private val text: Gen[String] = for {
+    n <- Gen.chooseNum(0, 12)
+    ws <- Gen.listOfN(n, word)
+    // joiners include repeated spaces -> empty tokens under split semantics
+    js <- Gen.listOfN(math.max(n - 1, 0), Gen.oneOf(" ", "  ", " ", "   "))
+    lead <- Gen.oneOf("", " ", "  ")
+    trail <- Gen.oneOf("", " ")
+  } yield lead + (if (ws.isEmpty) "" else
+    ws.tail.zip(js).foldLeft(ws.head) { case (acc, (w, j)) => acc + j + w }) + trail
+
+  private lazy val corpus = {
+    import spark.implicits._
+    sample(text, 300).zipWithIndex.map(_.swap).toDF("doc_id", "text")
+  }
+
+  test("ShinglesExpr equals the HOF shingleSet on arbitrary texts (incl. multibyte + empty tokens)") {
+    val both = corpus.select(
+      ShinglesExpr.shinglesNative(col("text"), 3).as("native"),
+      shingleSet(col("text"), 3).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("MinHashFromTextExpr equals the relational signature on arbitrary texts") {
+    val sets = corpus
+      .select(col("doc_id"), shingleSet(col("text"), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val relational = DedupOps.withSignatureRelational(sets)
+      .withColumnRenamed("sig", "sig_rel")
+    val fused = corpus.select(col("doc_id"),
+      MinHashFromTextExpr.sigFromText(col("text"), 3, DedupOps.NumHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+    assert(fused.count() == sets.count())
+    assert(fused.join(relational, "doc_id")
+      .filter(col("sig") =!= col("sig_rel")).count() == 0)
+  }
+
+  test("shingle width n is honored across 2..5 on arbitrary texts") {
+    (2 to 5).foreach { n =>
+      val both = corpus.select(
+        ShinglesExpr.shinglesNative(col("text"), n).as("native"),
+        shingleSet(col("text"), n).as("hof"))
+      assert(both.filter(col("native") =!= col("hof")).count() == 0, s"n=$n")
+    }
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The DSv2 write path: per-task data files become visible only through
+  * the atomically-swapped manifest — job/task failure, stray files and
+  * append/overwrite semantics are all observable behaviors. */
+class ManifestSinkSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val fmt = "graft.sources.ManifestSink"
+
+  private def tmp(): Path = {
+    val p = Files.createTempDirectory("manifest-sink")
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  test("round-trip: overwrite then append, nulls and multibyte strings intact") {
+    val dir = tmp().toString
+    val a = Seq((1L, Some("hellö"), 1.5), (2L, None, -0.25), (3L, Some("tab\tnewline\n"), 0.0))
+      .toDF("id", "s", "x")
+    a.write.format(fmt).option("path", dir).mode("overwrite").save()
+    val read1 = spark.read.format(fmt).option("path", dir).load()
+    assert(read1.collect().map(_.toString).sorted.toSeq
+      == a.collect().map(_.toString).sorted.toSeq)
+
+    val b = Seq((4L, Some("more"), 9.0)).toDF("id", "s", "x")
+    b.write.format(fmt).option("path", dir).mode("append").save()
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 4)
+
+    // overwrite truncates: only the new rows remain
+    b.write.format(fmt).option("path", dir).mode("overwrite").save()
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 1)
+  }
+
+  test("stray uncommitted files in the directory are invisible to readers") {
+    val dir = tmp()
+    Seq((1L, Some("a"), 0.0)).toDF("id", "s", "x")
+      .write.format(fmt).option("path", dir.toString).mode("overwrite").save()
+    // simulate a crashed writer's leftover: a data file never committed
+    Files.writeString(dir.resolve("data-p9-t9-stray.tsv"), "99\tYQ==\t0.0\n")
+    val read = spark.read.format(fmt).option("path", dir.toString).load()
+    assert(read.count() == 1, "stray file must not be listed via the manifest")
+  }
+
+  test("a failing write aborts without corrupting the committed table") {
+    val dir = tmp().toString
+    Seq((1L, Some("keep"), 1.0)).toDF("id", "s", "x")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+
+    val poison = Seq((10L, Some("boom"), 0.0), (11L, Some("ok"), 0.0))
+      .toDF("id", "s", "x")
+      .withColumn("s", when(col("id") === 10L,
+        udf((x: String) => { throw new RuntimeException("poison"); x })
+          .apply(col("s"))).otherwise(col("s")))
+    intercept[Exception] {
+      poison.write.format(fmt).option("path", dir).mode("append").save()
+    }
+    val read = spark.read.format(fmt).option("path", dir).load().collect()
+    assert(read.length == 1 && read.head.getLong(0) == 1L,
+      "failed append must leave the previously committed table intact")
+  }
+
+  test("parallelism follows the manifest: one partition per committed file") {
+    val dir = tmp().toString
+    spark.range(100).select(col("id"), lit("x").as("s"), lit(0.5).as("x"))
+      .repartition(8)
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val read = spark.read.format(fmt).option("path", dir).load()
+    assert(read.rdd.getNumPartitions == 8)
+    assert(read.count() == 100)
+  }
+}
