@@ -11,9 +11,12 @@ import graft.operators.{AnalyticsOps, CurationOps, DedupOps, EnrichOps, IngestOp
   * SQL for every query whose semantics are SQL-expressible.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * q117 is the composed end-to-end corpus pipeline (exact dedup →
+    * LSH near-dup removal → quality gate → chunk → shard) — the engine's
+    * O1 "pipeline orchestrator" statement. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    PipelineOps.queries("q117_corpus_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -328,6 +328,26 @@ object DedupOps {
       |    CAST(len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS INTEGER) AS uni
       |  FROM cand JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b)""".stripMargin.replace("\n", " ")
 
+  /** The full LSH pipeline as a CTE chain ending in `vp(doc_a, doc_b)` —
+    * the verified near-dup pairs. Shared with composite pipelines
+    * (PipelineOps q117) so their oracles state the IDENTICAL candidate
+    * generation. */
+  private[operators] def lshVerifiedPairsCtes: String = {
+    val code = md5Code60Sql("sh")
+    val affine = affineHashSql("i", "x")
+    s"""$setsCte,
+       |c AS (SELECT doc_id, list_transform(shingles, sh -> $code) AS codes FROM s),
+       |sg AS (SELECT doc_id, list_transform(generate_series(1, $NumHashes),
+       |        i -> list_min(list_transform(codes, x -> $affine))) AS sig FROM c),
+       |bands AS (SELECT doc_id, j,
+       |  array_to_string(sig[j*$RowsPerBand+1 : j*$RowsPerBand+$RowsPerBand], '_') AS bkey
+       |  FROM sg, generate_series(0, ${Bands - 1}) t(j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |  ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |vp AS (SELECT doc_a, doc_b FROM ($jacSelect) x WHERE x.inter * 2 >= x.uni)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q40_exact_dedup" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, md5(text) AS text_md5

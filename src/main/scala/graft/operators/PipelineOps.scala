@@ -175,6 +175,52 @@ object PipelineOps {
         sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // The flagship END-TO-END corpus pipeline in one DAG — the composed
+    // statement of what a training-data run actually executes:
+    //   exact dedup (min-id keeper per text)
+    //   → near-dup removal (drop the higher id of every verified LSH
+    //     pair — shares the session-staged pair table with q41/q77/q90)
+    //   → quality gate (q80's repetition rules)
+    //   → overlap chunking (q103's 50/40 windows, counted)
+    //   → token-budget shard packing per language (q83)
+    // emitted as per-(lang, shard) rollups. Every stage is the same
+    // scale shape as its standalone operator; the oracle recomputes the
+    // identical pipeline in SQL, LSH candidates included.
+    "q117_corpus_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val keepers = docs.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val losers = DedupOps.verifiedNearDupPairs(s, dir)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val base = docs.join(keepers, "doc_id")
+        .join(losers, Seq("doc_id"), "left_anti")
+      val tokStats = base
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top1"), sum(col("c")).as("n_tok"))
+      val bg = base.select(col("doc_id"), shingles(col("text"), 2).as("bgs"))
+        .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bg"),
+          size(array_distinct(col("bgs"))).cast("long").as("n_bg_uniq"))
+      val surv = base.select("doc_id", "lang")
+        .join(tokStats, "doc_id").join(bg, "doc_id")
+        .withColumn("top1_bp", expr("top1 * 10000 div n_tok"))
+        .withColumn("dup_bg_bp",
+          when(col("n_bg") > 0, expr("(n_bg - n_bg_uniq) * 10000 div n_bg"))
+            .otherwise(lit(0L)))
+        .filter(col("top1_bp") <= 2000 && col("dup_bg_bp") <= 3000)
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          (expr("(n_tok - 1) div 40") + 1).as("n_chunks"))
+      surv
+        .withColumn("shard",
+          expr("coalesce(sum(n_tok) over (partition by lang order by doc_id " +
+            "rows between unbounded preceding and 1 preceding), 0) div 2000"))
+        .groupBy("lang", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chunks")).as("n_chunks"),
+          sum(col("n_tok")).as("n_tokens"))
+        .orderBy("lang", "shard")
+    }),
+
     // Latest-wins upsert: collapse an event changelog to the current row
     // per key, ordered by (event time, event_id) — the deterministic
     // batch statement of MERGE INTO ... WHEN MATCHED UPDATE. Rank-1
@@ -278,6 +324,37 @@ object PipelineOps {
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents""".stripMargin,
+
+    "q117_corpus_pipeline" ->
+      s"""WITH ${DedupOps.lshVerifiedPairsCtes},
+         |keep0 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |base AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+         |  JOIN keep0 USING (doc_id)
+         |  WHERE d.doc_id NOT IN (SELECT DISTINCT doc_b FROM vp)),
+         |t AS (SELECT doc_id, t, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(text,' ')) AS t FROM base) GROUP BY 1, 2),
+         |ts AS (SELECT doc_id, max(c) AS top1, CAST(sum(c) AS BIGINT) AS n_tok
+         |  FROM t GROUP BY doc_id),
+         |bg AS (SELECT doc_id,
+         |    CAST(len(bgs) AS BIGINT) AS n_bg,
+         |    CAST(len(list_distinct(bgs)) AS BIGINT) AS n_bg_uniq
+         |  FROM (SELECT doc_id, list_transform(
+         |      generate_series(1, greatest(len(string_split(text,' ')) - 1, 0)),
+         |      i -> (string_split(text,' '))[i] || ' ' || (string_split(text,' '))[i+1]) AS bgs
+         |    FROM base)),
+         |surv AS (SELECT b.doc_id, b.lang, n_tok, (n_tok - 1) // 40 + 1 AS n_chunks
+         |  FROM base b JOIN ts ON b.doc_id = ts.doc_id JOIN bg ON b.doc_id = bg.doc_id
+         |  WHERE top1 * 10000 // n_tok <= 2000
+         |    AND (CASE WHEN n_bg > 0 THEN (n_bg - n_bg_uniq) * 10000 // n_bg
+         |         ELSE 0 END) <= 3000),
+         |sh AS (SELECT lang, doc_id, n_tok, n_chunks,
+         |    coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS shard
+         |  FROM surv)
+         |SELECT lang, CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
+         |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         |FROM sh GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin,
 
     "q81_cdc_upsert" ->
       """SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts_us,
