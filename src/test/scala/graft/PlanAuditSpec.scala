@@ -45,4 +45,13 @@ class PlanAuditSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("s"))
     assert(!PlanAudit.hasBadSinglePartition(df.queryExecution.executedPlan))
   }
+
+  test("every declared query plans with zero scale smells") {
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val smells = PlanAudit.smells(
+        fn(spark, dir).queryExecution.executedPlan)
+      if (smells.isEmpty) None else Some(s"$name: ${smells.mkString(",")}")
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
 }
