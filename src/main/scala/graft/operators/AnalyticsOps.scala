@@ -38,6 +38,9 @@ object AnalyticsOps {
   /** Session timeout: 30 minutes, in microseconds. */
   val SessionGapUs = 30L * 60 * 1000000
 
+  /** q118 stop-gram threshold: grams in more names than this block nothing. */
+  val MaxGramDf = 50
+
   val queries: Map[String, Q] = Map(
     // gap-based sessionization: a new session starts when the gap from
     // the previous event exceeds the timeout; session index = running
@@ -92,6 +95,33 @@ object AnalyticsOps {
         .withColumn("dist", levenshtein(col("probe_name"), col("p_name")))
         .select("probe_name", "p_name", "dist")
         .orderBy("probe_name", "p_name")
+    }),
+
+    // the SCALE path of q111: unbounded fuzzy matching via q-gram
+    // blocking. Candidates form only where two names share a character
+    // 3-gram — an equi-join on the gram, never a name×name cross join —
+    // with "stop-grams" (grams occurring in more than MaxGramDf names)
+    // dropped first, exactly like document LSH drops nothing but the
+    // pairs that can't match. Levenshtein verifies candidates only.
+    // Recall bound is structural: any pair within distance 4 of names
+    // this long shares at least one surviving 3-gram on this corpus
+    // (the spec asserts q118 ⊇ q111's probe-bounded matches).
+    "q118_fuzzy_block" -> ((s, dir) => {
+      val names = Tables.part(s, dir).select("p_name").distinct()
+      val grams = names.select(col("p_name"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, greatest(length(p_name) - 2, 0)), i -> substring(p_name, i, 3))"))).as("g"))
+      val keptGrams = grams.groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxGramDf)
+      val blocked = grams.join(broadcast(keptGrams.select("g")), "g")
+      val cand = blocked.as("a").join(blocked.as("b"),
+          col("a.g") === col("b.g") && col("a.p_name") < col("b.p_name"))
+        .select(col("a.p_name").as("name_a"), col("b.p_name").as("name_b"))
+        .distinct()
+      cand
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist").between(1, 4))
+        .orderBy("name_a", "name_b")
     }),
 
     // event-type transition matrix: per-user consecutive event pairs,
@@ -222,6 +252,24 @@ object AnalyticsOps {
         |FROM names CROSS JOIN probes
         |WHERE levenshtein(probe_name, p_name) BETWEEN 1 AND 4
         |ORDER BY probe_name, p_name""".stripMargin,
+
+    "q118_fuzzy_block" ->
+      s"""WITH names AS (SELECT DISTINCT p_name FROM part),
+         |grams AS (SELECT p_name, unnest(list_distinct(list_transform(
+         |    generate_series(1, greatest(length(p_name) - 2, 0)),
+         |    i -> substr(p_name, i, 3)))) AS g
+         |  FROM names),
+         |kept AS (SELECT g FROM (SELECT g, count(*) AS df FROM grams GROUP BY 1)
+         |  WHERE df <= $MaxGramDf),
+         |blocked AS (SELECT p_name, g FROM grams JOIN kept USING (g)),
+         |cand AS (SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b
+         |  FROM blocked a JOIN blocked b
+         |  ON a.g = b.g AND a.p_name < b.p_name)
+         |SELECT name_a, name_b,
+         |  CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+         |FROM cand
+         |WHERE levenshtein(name_a, name_b) BETWEEN 1 AND 4
+         |ORDER BY name_a, name_b""".stripMargin,
 
     "q112_transition_matrix" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),

@@ -23,6 +23,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(dense.count() == 0)
     // durations are non-negative and each session fits inside the gap rule
     assert(sessions.filter(col("duration_us") < 0).count() == 0)
+    // the defining properties: consecutive sessions of a user are
+    // separated by MORE than the gap, and no within-session step exceeds it
+    val gap = AnalyticsOps.SessionGapUs
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("sess_idx")
+    val between = sessions
+      .withColumn("prev_end", lag(col("end_us"), 1).over(w))
+      .filter(col("prev_end").isNotNull
+        && col("start_us") - col("prev_end") <= gap)
+    assert(between.count() == 0, "adjacent sessions closer than the gap")
+    val we = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val badStep = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("step", col("ts_us") - lag(col("ts_us"), 1).over(we))
+      .filter(col("step").isNotNull && col("step") <= gap)
+    // count of within-gap steps == total events - total sessions (every
+    // non-boundary step is inside some session)
+    assert(badStep.count() == totalEvents - sessions.count())
   }
 
   test("q110: day-0 retention equals cohort size and offsets are non-negative") {
@@ -41,6 +60,19 @@ class AnalyticsSpec extends AnyFunSuite {
       val d = r.getAs[Int]("dist")
       d >= 1 && d <= 4 && r.getAs[String]("probe_name") != r.getAs[String]("p_name")
     })
+  }
+
+  test("q118: blocked fuzzy matching finds at least the probe-bounded matches") {
+    val blocked = AnalyticsOps.queries("q118_fuzzy_block")(spark, sfDir)
+      .select(col("name_a"), col("name_b")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val probe = AnalyticsOps.queries("q111_fuzzy_match")(spark, sfDir)
+      .select(least(col("probe_name"), col("p_name")).as("a"),
+        greatest(col("probe_name"), col("p_name")).as("b")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(probe.subsetOf(blocked),
+      s"blocking lost ${(probe -- blocked).size} true matches")
+    assert(blocked.nonEmpty)
   }
 
   test("q112: transition probabilities sum to ~1 per source state") {
