@@ -66,6 +66,23 @@ class ManifestSinkSpec extends AnyFunSuite {
       "failed append must leave the previously committed table intact")
   }
 
+  test("count(*) is answered from manifest metadata — no data file is read") {
+    val dir = tmp()
+    spark.range(42).select(col("id"), lit("v").as("s"), lit(1.0).as("x"))
+      .repartition(4)
+      .write.format(fmt).option("path", dir.toString).mode("overwrite").save()
+    // destroy the data files; only manifest.txt + schema.json survive
+    Files.list(dir).filter(_.getFileName.toString.startsWith("data-"))
+      .forEach(p => Files.delete(p))
+    val n = spark.read.format(fmt).option("path", dir.toString).load().count()
+    assert(n == 42, "metadata-only count must survive missing data files")
+    // and a real scan of course cannot
+    intercept[Exception] {
+      spark.read.format(fmt).option("path", dir.toString).load()
+        .agg(sum("id")).collect()
+    }
+  }
+
   test("parallelism follows the manifest: one partition per committed file") {
     val dir = tmp().toString
     spark.range(100).select(col("id"), lit("x").as("s"), lit(0.5).as("x"))
