@@ -201,7 +201,13 @@ object PipelineOps {
       val bg = base.select(col("doc_id"), shingles(col("text"), 2).as("bgs"))
         .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bg"),
           size(array_distinct(col("bgs"))).cast("long").as("n_bg_uniq"))
-      val surv = base.select("doc_id", "lang")
+      // observe(): per-stage row counters collected DURING the single
+      // pass (no second job) — the monitoring hook a production pipeline
+      // reads from a QueryExecutionListener; PipelineObservabilitySpec
+      // asserts they reconcile with the output
+      val surv = base
+        .observe("pipeline_dedup", count(lit(1)).as("docs_after_dedup"))
+        .select("doc_id", "lang")
         .join(tokStats, "doc_id").join(bg, "doc_id")
         .withColumn("top1_bp", expr("top1 * 10000 div n_tok"))
         .withColumn("dup_bg_bp",
@@ -210,6 +216,9 @@ object PipelineOps {
         .filter(col("top1_bp") <= 2000 && col("dup_bg_bp") <= 3000)
         .select(col("doc_id"), col("lang"), col("n_tok"),
           (expr("(n_tok - 1) div 40") + 1).as("n_chunks"))
+        .observe("pipeline_quality",
+          count(lit(1)).as("docs_after_quality"),
+          sum(col("n_tok")).as("tokens_after_quality"))
       surv
         .withColumn("shard",
           expr("coalesce(sum(n_tok) over (partition by lang order by doc_id " +
