@@ -36,4 +36,18 @@ class PipelineObservabilitySpec extends AnyFunSuite {
     // and the funnel only narrows
     assert(dedup.getAs[Long]("docs_after_dedup") >= outDocs)
   }
+
+  test("RunPipeline CLI executes, publishes via the manifest sink, and reports") {
+    val out = java.nio.file.Files.createTempDirectory("pipeline-cli")
+    out.toFile.deleteOnExit()
+    val json = graft.tools.RunPipeline.run(spark, sfDir, out.toString)
+    assert(json.contains(""""pipeline":"corpus""""))
+    assert(json.contains(""""docs_after_dedup""""))
+    // published table reads back with the pipeline's shard rows
+    val published = spark.read.format("graft.sources.ManifestSink")
+      .option("path", out.toString).load()
+    val direct = PipelineOps.queries("q117_corpus_pipeline")(spark, sfDir)
+    assert(published.collect().map(_.toString).sorted.toSeq
+      == direct.collect().map(_.toString).sorted.toSeq)
+  }
 }
