@@ -83,6 +83,27 @@ class ManifestSinkSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest min/max stats skip files for selective range filters") {
+    val dir = tmp().toString
+    // 4 files with DISJOINT id ranges (repartitionByRange + sort)
+    spark.range(400).select(col("id"), lit("v").as("s"), (col("id") * 1.5).as("x"))
+      .repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val table = spark.read.format(fmt).option("path", dir).load()
+    assert(table.rdd.getNumPartitions == 4)
+    // a one-range filter must plan ONE file, not four
+    val narrow = table.filter(col("id") >= 150 && col("id") < 160)
+    assert(narrow.rdd.getNumPartitions == 1,
+      s"expected 1 surviving file, got ${narrow.rdd.getNumPartitions}")
+    assert(narrow.count() == 10)
+    // a filter matching nothing plans zero files
+    val none = table.filter(col("id") > 100000)
+    assert(none.rdd.getNumPartitions == 0 && none.count() == 0)
+    // and the row-level residual still applies inside the surviving file
+    assert(table.filter(col("id") === 155).count() == 1)
+  }
+
   test("parallelism follows the manifest: one partition per committed file") {
     val dir = tmp().toString
     spark.range(100).select(col("id"), lit("x").as("s"), lit(0.5).as("x"))
