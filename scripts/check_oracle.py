@@ -56,6 +56,15 @@ def main():
         try:
             dres = con.sql(oracle[name])
             dcols = [d[0] for d in dres.description]
+            # The driver hashes DuckDB values by serialized type; HUGEINT
+            # (int128, e.g. from a bare sum(BIGINT) outer column) hashes
+            # differently from Spark's int64 even when values match (r4 q101).
+            # Fail loudly here so the class can't recur.
+            hazards = [f"{c}:{t}" for c, t in zip(dcols, [str(t) for t in dres.types])
+                       if "HUGEINT" in str(t).upper()]
+            if hazards:
+                print(f"  {name}: ORACLE TYPE HAZARD (driver hash-unsafe): {hazards}")
+                n_fail += 1; continue
             drows = rows_of(dres.fetchall(), dcols)
         except Exception as e:
             print(f"  {name}: ORACLE SQL ERROR: {str(e).splitlines()[0][:200]}")

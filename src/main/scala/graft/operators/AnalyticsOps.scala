@@ -186,7 +186,12 @@ object AnalyticsOps {
       // doubles (deterministic IEEE ops), the aggregates stay exact longs
       val disc = col("n").cast("double") * col("sq").cast("double") -
         col("s").cast("double") * col("s").cast("double")
+      // zero-variance guard: disc = 0 for all-equal groups (incl. n=1)
+      // would make z = 0/0 = NaN — Spark rounds NaN→0 (row silently
+      // filtered) but DuckDB raises on CAST(round(NaN) AS BIGINT), so
+      // both engines must agree to emit no outliers for such groups.
       ev.join(broadcast(stats), "event_type")
+        .filter(disc > 0)
         .withColumn("z_bp",
           round(lit(10000.0) *
             (col("c").cast("double") * col("n").cast("double") - col("s").cast("double"))
@@ -304,17 +309,23 @@ object AnalyticsOps {
         |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
         |st AS (SELECT event_type, count(*) AS n,
         |    CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS sq
-        |  FROM ev GROUP BY 1)
-        |SELECT event_type, event_id, c,
-        |  CAST(round(10000.0 *
-        |      (CAST(c AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s AS DOUBLE))
-        |      / sqrt(CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
-        |             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))) AS BIGINT) AS z_bp
-        |FROM ev JOIN st USING (event_type)
-        |WHERE abs(CAST(round(10000.0 *
-        |      (CAST(c AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s AS DOUBLE))
-        |      / sqrt(CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
-        |             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))) AS BIGINT)) >= 25000
+        |  FROM ev GROUP BY 1),
+        |-- zero-variance guard BEFORE z: disc = 0 (all-equal groups, n=1)
+        |-- would make z = 0/0 = NaN and DuckDB raises on CAST(round(NaN)).
+        |-- A CTE boundary (not an AND conjunct, which need not short-
+        |-- circuit) guarantees z is never evaluated on disc <= 0 rows.
+        |ok AS (SELECT event_id, event_type, c, n, s, sq
+        |  FROM ev JOIN st USING (event_type)
+        |  WHERE (CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+        |         - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) > 0),
+        |z AS (SELECT event_type, event_id, c,
+        |    CAST(round(10000.0 *
+        |        (CAST(c AS DOUBLE) * CAST(n AS DOUBLE) - CAST(s AS DOUBLE))
+        |        / sqrt(CAST(n AS DOUBLE) * CAST(sq AS DOUBLE)
+        |               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))) AS BIGINT) AS z_bp
+        |  FROM ok)
+        |SELECT event_type, event_id, c, z_bp FROM z
+        |WHERE abs(z_bp) >= 25000
         |ORDER BY event_type, event_id""".stripMargin,
 
     "q113_skew_profile" ->

@@ -281,7 +281,7 @@ object IngestOps {
       """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
         |            ELSE 'UNKNOWN' END AS pri,
         |  count(*) AS n,
-        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) AS sum_cents
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM orders GROUP BY pri ORDER BY pri""".stripMargin,
 
     "q30_first_match_default" ->

@@ -1,0 +1,125 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+import java.util.ConcurrentModificationException
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Commit-protocol hardening: versioned-manifest CAS (a losing concurrent
+  * publish fails loudly instead of dropping the winner's files), schema
+  * nullability preservation on append, column-name validation, and legacy
+  * single-file manifest compatibility. Lives in graft.sources for access
+  * to the private[sources] protocol internals. */
+class ManifestCasSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  private val fmt = "graft.sources.ManifestSink"
+
+  private def tmp(): Path = {
+    val p = Files.createTempDirectory("manifest-cas")
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  test("publish is compare-and-swap: second writer at the same version loses loudly") {
+    val root = tmp()
+    ManifestSink.publish(root, 0L, "winner\t1\t\t")
+    // a second job that also read version 0 must NOT silently replace v1
+    val e = intercept[ConcurrentModificationException] {
+      ManifestSink.publish(root, 0L, "loser\t1\t\t")
+    }
+    assert(e.getMessage.contains("concurrent publish"))
+    assert(ManifestSink.currentVersion(root) == 1L)
+    assert(Files.readString(ManifestSink.manifestAt(root, 1L)).startsWith("winner"),
+      "the winning manifest content must be untouched by the losing publish")
+    // no stray tmp files leak from the losing attempt
+    val s = Files.list(root)
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString).toSeq
+    } finally s.close()
+    assert(!names.exists(_.startsWith("manifest.tmp-")), s"leaked tmp files: $names")
+  }
+
+  test("sequential publishes advance the version chain") {
+    val root = tmp()
+    ManifestSink.publish(root, 0L, "a\t1\t\t")
+    ManifestSink.publish(root, 1L, "a\t1\t\t\nb\t1\t\t")
+    assert(ManifestSink.currentVersion(root) == 2L)
+    assert(ManifestSink.committedEntries(root).map(_.name) == Seq("a", "b"))
+  }
+
+  test("concurrent appends never lose committed rows: each append either lands or throws") {
+    val dir = tmp().toString
+    Seq((0L, Some("base"), 0.0)).toDF("id", "s", "x")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.sequence((1 to 4).map { i =>
+      Future {
+        try {
+          Seq((i.toLong, Some(s"w$i"), i.toDouble)).toDF("id", "s", "x")
+            .write.format(fmt).option("path", dir).mode("append").save()
+          Right(i)
+        } catch { case e: Throwable => Left(i) }
+      }
+    }), 120.seconds).toList
+    val landed = results.collect { case Right(i) => i.toLong }
+    val got = spark.read.format(fmt).option("path", dir).load()
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == (0L +: landed).sorted,
+      s"table must contain exactly the base row plus every append that reported success; " +
+        s"landed=$landed got=$got")
+    assert(landed.nonEmpty, "at least one concurrent append must win")
+  }
+
+  test("append keeps stored nullability: a non-nullable writer cannot re-label the table") {
+    val root = tmp()
+    val dir = root.toString
+    // base write: s is nullable and actually contains a null
+    Seq((1L, None: Option[String], 1.0)).toDF("id", "s", "x")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    assert(ManifestSink.readSchema(root)("s").nullable)
+    // append with a provably non-null s column (lit => nullable=false)
+    spark.range(2, 3).select(col("id"), lit("v").as("s"), lit(0.0).as("x"))
+      .write.format(fmt).option("path", dir).mode("append").save()
+    assert(ManifestSink.readSchema(root)("s").nullable,
+      "append must not narrow stored nullability over files that contain nulls")
+    // and the null value still round-trips through a read
+    val rows = spark.read.format(fmt).option("path", dir).load().collect()
+    assert(rows.length == 2 && rows.exists(_.isNullAt(1)))
+  }
+
+  test("column names containing manifest delimiters are rejected at write time") {
+    val dir = tmp().toString
+    val bad = Seq((1L, 2L)).toDF("id", "a:b")
+    val e = intercept[Exception] {
+      bad.write.format(fmt).option("path", dir).mode("overwrite").save()
+    }
+    assert(e.getMessage.contains("manifest delimiter") ||
+      Option(e.getCause).exists(_.getMessage.contains("manifest delimiter")))
+    assert(!Files.exists(ManifestSink.manifestAt(java.nio.file.Paths.get(dir), 1L)),
+      "a rejected write must not publish a manifest")
+  }
+
+  test("legacy single-file manifest.txt tables read as version 0 and upgrade on append") {
+    val root = tmp()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType), StructField("x", DoubleType)))
+    Files.writeString(root.resolve("schema.json"), schema.json)
+    Files.writeString(root.resolve("data-legacy.tsv"), "1\tYQ==\t0.5\n")
+    Files.writeString(root.resolve("manifest.txt"), "data-legacy.tsv\t1\tid:1\tid:1")
+    val legacy = spark.read.format(fmt).option("path", root.toString).load()
+    assert(legacy.count() == 1)
+    // an append publishes manifest-v000001.txt, carrying the legacy file along
+    Seq((2L, Some("b"), 1.0)).toDF("id", "s", "x")
+      .write.format(fmt).option("path", root.toString).mode("append").save()
+    assert(ManifestSink.currentVersion(root) == 1L)
+    assert(spark.read.format(fmt).option("path", root.toString).load().count() == 2)
+    assert(ManifestSink.committedEntries(root).map(_.name).contains("data-legacy.tsv"))
+  }
+}
