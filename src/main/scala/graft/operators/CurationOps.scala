@@ -43,6 +43,69 @@ object CurationOps {
   val PrIters = 3
   val NegK = 4
 
+  /** Vertex count up to which the per-iteration rank table broadcasts.
+    * 4M vertices ≈ 64 MB of (long, long) rows — comfortably inside a
+    * 1000-executor cluster's broadcast budget; past it the rank join
+    * flips to a shuffle join (see [[pageRankRanks]]). */
+  val PrBroadcastMaxVertices: Long = 4L * 1000 * 1000
+
+  /** One damped-PageRank iteration: contributions flow over the
+    * stationary `edgesDeg` table, are summed per destination, and land
+    * back on the vertex spine. Factored out so the plan of BOTH join
+    * strategies is assertable in a spec.
+    *
+    * Broadcast mode: the vertex-sized rank/contribution tables broadcast
+    * onto the edges — the edge table never shuffles and the only
+    * recurring exchange is the map-side-combined contribution aggregate.
+    * Shuffle mode (vertex count past broadcast range): `merge` hints pin
+    * sort-merge joins — each iteration shuffles only vertex-sized tables
+    * (ranks in, contributions out); the edge table, pre-partitioned on
+    * src once, still never re-shuffles. That is the billion-vertex plan.
+    */
+  private[graft] def prIteration(edgesDeg: DataFrame, nodes: DataFrame,
+      ranks: DataFrame, useBroadcast: Boolean): DataFrame = {
+    def rankSide(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df.hint("merge")
+    val contrib = edgesDeg
+      .join(rankSide(ranks.withColumnRenamed("node", "src")), "src")
+      .select(col("dst").as("node"), expr("rank_ppm div deg").as("c"))
+    nodes
+      .join(rankSide(contrib.groupBy("node").agg(sum(col("c")).as("sc"))),
+        Seq("node"), "left")
+      .select(col("node"),
+        expr("150000 + 850000 * coalesce(sc, 0) div 1000000").as("rank_ppm"))
+  }
+
+  /** Damped integer-ppm PageRank over a directed (src, dst) edge list:
+    * rank'(v) = 150000 + 850000 * Σ_{u→v} (rank(u) div deg(u)) div 1e6.
+    * Returns the final (node, rank_ppm) table.
+    *
+    * The rank-side join strategy is SIZE-GATED on the actual vertex
+    * count (known exactly from the checkpointed degree table, one cheap
+    * count): ≤ `broadcastMaxVertices` broadcasts, above it shuffles —
+    * so the same code serves the 60k-vertex fixture and a graph whose
+    * vertex table no longer fits an executor. The edge table is degree-
+    * annotated and checkpointed ONCE (in shuffle mode pre-partitioned on
+    * src) and is the stationary input of every iteration; checkpointing
+    * each round's ranks keeps the lineage flat and the join input
+    * materialized.
+    */
+  def pageRankRanks(edges: DataFrame, iters: Int,
+      broadcastMaxVertices: Long = PrBroadcastMaxVertices): DataFrame = {
+    // degree table is vertex-sized: one map-side-combined aggregate
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    val useBroadcast = deg.count() <= broadcastMaxVertices
+    val edgesDeg =
+      (if (useBroadcast) edges.join(broadcast(deg), "src")
+       else edges.repartition(col("src")).join(deg.hint("merge"), "src"))
+        .localCheckpoint()
+    val nodes = deg.select(col("src").as("node")).localCheckpoint()
+    var ranks = nodes.withColumn("rank_ppm", lit(1000000L)).localCheckpoint()
+    for (_ <- 1 to iters)
+      ranks = prIteration(edgesDeg, nodes, ranks, useBroadcast).localCheckpoint()
+    ranks
+  }
+
   private val EmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
   private val PhoneRe = "\\+1-555-[0-9]{4}"
 
@@ -154,31 +217,7 @@ object CurationOps {
       val li = Tables.lineitem(s, dir)
         .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
       val edges = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
-      // degree table is vertex-sized: one map-side-combined aggregate,
-      // checkpointed, then BROADCAST back onto the edges — the edge table
-      // itself is checkpointed once and is the stationary input of every
-      // iteration. Per iteration the (16-bytes-per-vertex) rank table
-      // broadcasts in, so the only recurring shuffle is the map-side-
-      // combined contribution aggregate. Checkpointing each round's ranks
-      // keeps the broadcast input materialized and the lineage flat. At a
-      // vertex count past broadcast range, bucket edges and ranks on src
-      // instead — the iteration shape is unchanged.
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
-      val edgesDeg = edges.join(broadcast(deg), "src").localCheckpoint()
-      val nodes = deg.select(col("src").as("node")).localCheckpoint()
-      var ranks = nodes.withColumn("rank_ppm", lit(1000000L)).localCheckpoint()
-      for (_ <- 1 to PrIters) {
-        val contrib = edgesDeg
-          .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
-          .select(col("dst").as("node"), expr("rank_ppm div deg").as("c"))
-        ranks = nodes
-          .join(broadcast(contrib.groupBy("node").agg(sum(col("c")).as("sc"))),
-            Seq("node"), "left")
-          .select(col("node"),
-            expr("150000 + 850000 * coalesce(sc, 0) div 1000000").as("rank_ppm"))
-          .localCheckpoint()
-      }
-      ranks
+      pageRankRanks(edges, PrIters)
         .select(when(col("node") % 2 === 0,
             concat(lit("s"), expr("node div 2").cast("string")))
           .otherwise(concat(lit("p"), expr("(node - 1) div 2").cast("string"))).as("node"),

@@ -76,6 +76,37 @@ class CurationSpec extends AnyFunSuite {
     assert(ranks.forall(_ >= 150000L))
   }
 
+  test("q107: rank join is size-gated — shuffle plan past the broadcast threshold, identical ranks") {
+    import spark.implicits._
+    val raw = Seq((2L, 3L), (4L, 3L), (6L, 5L), (4L, 5L), (8L, 3L), (2L, 5L))
+      .toDF("src", "dst")
+    val edges = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+    // threshold above the vertex count => broadcast path; 0 => shuffle path
+    val viaBroadcast = CurationOps.pageRankRanks(edges, 3, broadcastMaxVertices = Long.MaxValue)
+      .collect().map(_.toString).sorted
+    val viaShuffle = CurationOps.pageRankRanks(edges, 3, broadcastMaxVertices = 0L)
+      .collect().map(_.toString).sorted
+    assert(viaBroadcast.sameElements(viaShuffle),
+      "both join strategies must produce bit-identical ranks")
+    // plan shape of one un-checkpointed iteration under each strategy
+    // (edgesDeg built per-strategy exactly as pageRankRanks builds it, so
+    // the shuffle-mode plan is broadcast-free end to end)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = deg.select(col("src").as("node"))
+    val ranks0 = nodes.withColumn("rank_ppm", lit(1000000L))
+    val bPlan = CurationOps.prIteration(
+      edges.join(broadcast(deg), "src"), nodes, ranks0, useBroadcast = true)
+      .queryExecution.executedPlan.toString
+    val sPlan = CurationOps.prIteration(
+      edges.repartition(col("src")).join(deg.hint("merge"), "src"),
+      nodes, ranks0, useBroadcast = false)
+      .queryExecution.executedPlan.toString
+    assert(bPlan.contains("BroadcastHashJoin"),
+      s"broadcast mode must broadcast the rank side:\n$bPlan")
+    assert(!sPlan.contains("BroadcastExchange") && sPlan.contains("SortMergeJoin"),
+      s"shuffle mode must not broadcast the rank side:\n$sPlan")
+  }
+
   test("q108: band decomposition equals the nested-loop join on the bounded probe set") {
     // q08 (BNLJ, s_suppkey < 100) must agree with q108 restricted the
     // same way — at sf0.001 ALL suppliers have s_suppkey < 100, so the
