@@ -27,14 +27,15 @@ import scala.jdk.CollectionConverters._
   */
 class FanoutSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    FanoutSource.schema
+    FanoutSource.schemaFor(FanoutSource.policy(options.asCaseSensitiveMap()))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new FanoutTable(
       properties.getOrDefault("ids", "0").split(",").map(_.trim.toLong),
       properties.getOrDefault("rowsPerId", "10").toLong,
-      FanoutSource.provider(properties))
+      FanoutSource.provider(properties),
+      FanoutSource.policy(properties))
 }
 
 object FanoutSource {
@@ -42,6 +43,33 @@ object FanoutSource {
     StructField("source_id", LongType, nullable = false),
     StructField("seq", LongType, nullable = false),
     StructField("payload", StringType, nullable = false)))
+
+  /** In permissive mode a fetch that exhausts its retries lands in the
+    * `error` column (q33's error-tolerant-record shape) instead of
+    * aborting the task; `payload` goes nullable to carry the null. */
+  def schemaFor(policy: FetchPolicy): StructType =
+    if (!policy.permissive) schema
+    else StructType(Seq(
+      StructField("source_id", LongType, nullable = false),
+      StructField("seq", LongType, nullable = false),
+      StructField("payload", StringType, nullable = true),
+      StructField("error", StringType, nullable = true)))
+
+  /** Retry/timeout policy options (reference O3: `timeout=10` +
+    * `raise_for_status` at src/rotterdam_swimming_advice.py:136-137 —
+    * there a failed fetch kills the run; here bounded retries with
+    * exponential backoff absorb transient faults, and `errorMode=
+    * permissive` converts a permanent fault into an error-channel row). */
+  def policy(properties: util.Map[String, String]): FetchPolicy =
+    FetchPolicy(
+      maxRetries = properties.getOrDefault("maxRetries", "2").toInt,
+      backoffMs = properties.getOrDefault("retryBackoffMs", "100").toLong,
+      permissive = properties.getOrDefault("errorMode", "fail") match {
+        case "fail" => false
+        case "permissive" => true
+        case other => throw new IllegalArgumentException(
+          s"errorMode must be `fail` or `permissive`, got `$other`")
+      })
 
   /** O4-style gate at PLANNING time: `payload=http` requires `endpoint`;
     * a missing endpoint aborts before any task launches. Default is the
@@ -95,51 +123,84 @@ final class HttpPayloads(template: String, timeoutMs: Long) extends PayloadProvi
   }
 }
 
-class FanoutTable(ids: Array[Long], rowsPerId: Long, provider: PayloadProvider)
-    extends Table with SupportsRead {
+/** Bounded-retry fetch policy, applied inside the PartitionReader. */
+case class FetchPolicy(maxRetries: Int, backoffMs: Long, permissive: Boolean)
+    extends Serializable
+
+class FanoutTable(ids: Array[Long], rowsPerId: Long, provider: PayloadProvider,
+    policy: FetchPolicy) extends Table with SupportsRead {
   override def name(): String = s"fanout(${ids.mkString(",")})"
-  override def schema(): StructType = FanoutSource.schema
+  override def schema(): StructType = FanoutSource.schemaFor(policy)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FanoutScanBuilder(ids, rowsPerId, provider)
+    new FanoutScanBuilder(ids, rowsPerId, provider, policy)
 }
 
 /** Column pruning is honored: the reader only materializes requested
   * columns (at scale, skipping `payload` skips the expensive fetch). */
-class FanoutScanBuilder(ids: Array[Long], rowsPerId: Long, provider: PayloadProvider)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = FanoutSource.schema
+class FanoutScanBuilder(ids: Array[Long], rowsPerId: Long, provider: PayloadProvider,
+    policy: FetchPolicy) extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = FanoutSource.schemaFor(policy)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new FanoutScan(ids, rowsPerId, required, provider)
+  override def build(): Scan = new FanoutScan(ids, rowsPerId, required, provider, policy)
 }
 
 class FanoutScan(ids: Array[Long], rowsPerId: Long, required: StructType,
-    provider: PayloadProvider) extends Scan with Batch {
+    provider: PayloadProvider, policy: FetchPolicy) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     ids.map(id => FanoutPartition(id, rowsPerId): InputPartition)
   override def createReaderFactory(): PartitionReaderFactory =
-    new FanoutReaderFactory(required, provider)
+    new FanoutReaderFactory(required, provider, policy)
 }
 
 case class FanoutPartition(id: Long, rows: Long) extends InputPartition
 
-class FanoutReaderFactory(required: StructType, provider: PayloadProvider)
-    extends PartitionReaderFactory {
+class FanoutReaderFactory(required: StructType, provider: PayloadProvider,
+    policy: FetchPolicy) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[FanoutPartition]
     new PartitionReader[InternalRow] {
       private var seq = -1L
       override def next(): Boolean = { seq += 1; seq < p.rows }
+
+      /** Attempts 1 + maxRetries fetches with exponential backoff; a
+        * transient fault (server error, timeout) is retried, a permanent
+        * one either fails the task (mode `fail` — Spark's task retry is
+        * then the outer policy) or becomes a Left for the error column. */
+      private def fetchWithRetry(id: Long, seq: Long): Either[String, String] = {
+        var attempt = 0
+        var last: Throwable = null
+        while (attempt <= policy.maxRetries) {
+          try return Right(provider.payload(id, seq))
+          catch {
+            case e: Exception =>
+              last = e
+              attempt += 1
+              if (attempt <= policy.maxRetries && policy.backoffMs > 0)
+                Thread.sleep(policy.backoffMs << math.min(attempt - 1, 10))
+          }
+        }
+        if (policy.permissive)
+          Left(s"fetch id=$id seq=$seq failed after $attempt attempts: ${last.getMessage}")
+        else throw new RuntimeException(
+          s"fanout fetch id=$id seq=$seq failed after $attempt attempts", last)
+      }
+
       override def get(): InternalRow = {
+        // at most ONE fetch per row even when both payload and error are
+        // projected; no fetch at all if neither survives column pruning
+        lazy val fetched = fetchWithRetry(p.id, seq)
         val values = required.fields.map(_.name match {
           case "source_id" => p.id: Any
           case "seq" => seq: Any
-          // only evaluated when `payload` survives column pruning
-          case "payload" => UTF8String.fromString(provider.payload(p.id, seq)): Any
+          case "payload" =>
+            fetched.fold(_ => null, s => UTF8String.fromString(s)): Any
+          case "error" =>
+            fetched.fold(e => UTF8String.fromString(e), _ => null): Any
         })
         InternalRow.fromSeq(values.toIndexedSeq)
       }

@@ -104,6 +104,57 @@ class GateSpec extends AnyFunSuite {
     assert(e.getMessage.contains("endpoint"))
   }
 
+  test("fanout retry policy absorbs transient faults: fails twice then succeeds") {
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer { ex =>
+      // first two requests 503, everything after succeeds — the reader's
+      // bounded backoff must ride it out with no task failure
+      if (failures.getAndIncrement() < 2) (503, "overloaded")
+      else (200, "ok" + ex.getRequestURI.getQuery)
+    } { port =>
+      val rows = spark.read.format("graft.sources.FanoutSource")
+        .option("ids", "7").option("rowsPerId", "2")
+        .option("payload", "http")
+        .option("endpoint", s"http://127.0.0.1:$port/f?id={id}&seq={seq}")
+        .option("maxRetries", "3").option("retryBackoffMs", "1")
+        .load()
+        .select("source_id", "seq", "payload")
+        .orderBy("seq").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(rows.toSeq == Seq((7L, 0L, "okid=7&seq=0"), (7L, 1L, "okid=7&seq=1")))
+      assert(failures.get() >= 4, "the two 503s must each have cost a retry attempt")
+    }
+  }
+
+  test("fanout permissive mode: exhausted retries land in the error column, not a task abort") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer { ex =>
+      hits.getAndIncrement()
+      // seq 0 always fails; seq 1 always succeeds
+      if (ex.getRequestURI.getQuery.endsWith("seq=0")) (500, "perma-broken")
+      else (200, "fine")
+    } { port =>
+      val df = spark.read.format("graft.sources.FanoutSource")
+        .option("ids", "4").option("rowsPerId", "2")
+        .option("payload", "http")
+        .option("endpoint", s"http://127.0.0.1:$port/f?id={id}&seq={seq}")
+        .option("maxRetries", "1").option("retryBackoffMs", "1")
+        .option("errorMode", "permissive")
+        .load()
+      assert(df.schema.fieldNames.toSeq ==
+        Seq("source_id", "seq", "payload", "error"))
+      // collect + local sort: a global orderBy would add a range-
+      // partitioning SAMPLING pass, i.e. a second full scan (and double
+      // the request count this test pins down)
+      val rows = df.collect().sortBy(_.getLong(1))
+      // seq 0: null payload + error message; seq 1: payload + null error
+      assert(rows(0).isNullAt(2) && rows(0).getString(3).contains("after 2 attempts"))
+      assert(rows(1).getString(2) == "fine" && rows(1).isNullAt(3))
+      // seq 0 cost 1 + maxRetries requests, seq 1 cost one
+      assert(hits.get() == 3)
+    }
+  }
+
   test("fanout source fetches payloads over HTTP per (id, seq)") {
     withServer { ex =>
       (200, "payload" + ex.getRequestURI.getQuery)
