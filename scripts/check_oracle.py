@@ -28,6 +28,19 @@ def rows_of(res, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(norm(r[i]) for i in order) for r in res)
 
+# Driver-hash equivalence class of a DuckDB type. Empirically (r4): int
+# widths TINYINT..BIGINT hash identically (python ints), but HUGEINT
+# (int128) does NOT, and distinct float/decimal/timestamp representations
+# would not either. Two columns are hash-safe iff their classes match.
+def hash_class(t):
+    s = str(t).upper()
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "int"
+    if s.startswith(("HUGEINT", "UHUGEINT")):
+        return "hugeint"
+    return s
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -49,6 +62,7 @@ def main():
             print(f"  {name}: NO SPARK OUTPUT"); n_fail += 1; continue
         sres = con.sql(f"SELECT * FROM read_parquet({files!r})")
         scols = [d[0] for d in sres.description]
+        stypes = dict(zip(scols, [hash_class(t) for t in sres.types]))
         srows = rows_of(sres.fetchall(), scols)
         if name not in oracle:
             print(f"  {name}: no oracle (rows-only) rows={len(srows)}")
@@ -60,10 +74,19 @@ def main():
             # (int128, e.g. from a bare sum(BIGINT) outer column) hashes
             # differently from Spark's int64 even when values match (r4 q101).
             # Fail loudly here so the class can't recur.
-            hazards = [f"{c}:{t}" for c, t in zip(dcols, [str(t) for t in dres.types])
-                       if "HUGEINT" in str(t).upper()]
+            dtypes = dict(zip(dcols, [hash_class(t) for t in dres.types]))
+            hazards = [f"{c}:{t}" for c, t in dtypes.items() if t == "hugeint"]
             if hazards:
                 print(f"  {name}: ORACLE TYPE HAZARD (driver hash-unsafe): {hazards}")
+                n_fail += 1; continue
+            # Spark vs oracle column hash-classes must agree (q101's bug
+            # class generalized: matching values in different serialized
+            # types still hash-mismatch on the driver).
+            drift = {c: (stypes.get(c), dtypes.get(c))
+                     for c in set(stypes) | set(dtypes)
+                     if stypes.get(c) != dtypes.get(c)}
+            if drift:
+                print(f"  {name}: ORACLE TYPE DRIFT (driver hash-unsafe): {drift}")
                 n_fail += 1; continue
             drows = rows_of(dres.fetchall(), dcols)
         except Exception as e:

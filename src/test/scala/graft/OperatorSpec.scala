@@ -33,6 +33,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(danglingOracle.isEmpty, s"oracle without query: $danglingOracle")
   }
 
+  test("every query's output schema is driver-hashable (the q101 bug class, Spark side)") {
+    // The driver hashes (column name, serialized value) pairs from Spark
+    // parquet and from DuckDB; types outside this set either can't be
+    // written comparably (float32, decimal, binary) or have engine-
+    // divergent serializations. The DuckDB half of this guard lives in
+    // scripts/check_oracle.py (hash_class drift check on every verify).
+    import org.apache.spark.sql.types._
+    def safe(dt: DataType): Boolean = dt match {
+      case LongType | IntegerType | DoubleType | StringType |
+           BooleanType | DateType | TimestampType | TimestampNTZType => true
+      case ArrayType(e, _) => safe(e)
+      case _ => false
+    }
+    val nameRe = "[A-Za-z_][A-Za-z0-9_]*".r
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val schema = fn(spark, sfDir).schema
+      val badTypes = schema.fields.filterNot(f => safe(f.dataType))
+        .map(f => s"$name.${f.name}: unhashable type ${f.dataType.simpleString}")
+      val badNames = schema.fieldNames.filterNot(nameRe.matches)
+        .map(n => s"$name.`$n`: name won't survive the oracle round-trip")
+      val dupes = schema.fieldNames.groupBy(identity).collect {
+        case (n, hits) if hits.length > 1 => s"$name.$n: duplicate output column"
+      }
+      badTypes ++ badNames ++ dupes
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
   test("exact dedup is idempotent") {
     val once = DedupOps.queries("q40_exact_dedup")(spark, sfDir)
     // dedup of the dedup keys changes nothing
