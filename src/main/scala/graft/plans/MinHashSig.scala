@@ -240,8 +240,14 @@ object MinHashFromTextExpr {
   *
   * Null contract: null text -> null; fewer than n tokens -> empty array
   * (mirroring shingleSet, whose consumers filter on size > 0).
+  *
+  * `distinct = false` keeps duplicate shingles WITH MULTIPLICITY in
+  * position order — the codegen'd twin of `GraftFunctions.shingles`
+  * (the frequency-counting form, e.g. q58's bigram ranking), same
+  * single-pass byte-slice kernel minus the dedup set.
   */
-case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+case class ShinglesExpr(child: Expression, n: Int, distinct: Boolean = true)
+    extends UnaryExpression {
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
@@ -263,9 +269,22 @@ case class ShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
       if (bytes(i) == ' ') { starts(k) = i + 1; k += 1 }
       i += 1
     }
+    val last = nTok - n
+    if (!distinct) {
+      val out = new Array[Any](last + 1)
+      var s = 0
+      while (s <= last) {
+        val from = starts(s)
+        val until = if (s + n < nTok) starts(s + n) - 1 else len
+        val slice = new Array[Byte](until - from)
+        System.arraycopy(bytes, from, slice, 0, until - from)
+        out(s) = UTF8String.fromBytes(slice)
+        s += 1
+      }
+      return new GenericArrayData(out)
+    }
     val seen = new java.util.LinkedHashSet[UTF8String]()
     var s = 0
-    val last = nTok - n
     while (s <= last) {
       val from = starts(s)
       val until = if (s + n < nTok) starts(s + n) - 1 else len
@@ -298,4 +317,8 @@ object ShinglesExpr {
   /** Column-API entry point: `shinglesNative(text, n)`. */
   def shinglesNative(text: Column, n: Int): Column =
     GraftBridge.column(ShinglesExpr(GraftBridge.expression(text), n))
+
+  /** Multiplicity-preserving form (twin of `GraftFunctions.shingles`). */
+  def shinglesAllNative(text: Column, n: Int): Column =
+    GraftBridge.column(ShinglesExpr(GraftBridge.expression(text), n, distinct = false))
 }

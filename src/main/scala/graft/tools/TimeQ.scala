@@ -17,9 +17,12 @@ object TimeQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
     names.foreach { n =>
+      val df = graft.SparkEntry.queries(n)(spark, sfDir)
+      if (explain) { println(s"=== PLAN $n ==="); df.explain("formatted") }
       val t0 = System.nanoTime()
-      val rows = graft.SparkEntry.queries(n)(spark, sfDir).count()
+      val rows = df.count()
       println(f"TIMEQ $n ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$rows")
     }
     spark.stop()

@@ -167,6 +167,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(both.filter(col("native") =!= col("hof")).count() == 0)
   }
 
+  test("multiplicity-preserving native shingles equals the HOF shingles on every fixture doc and edge case") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val fixture = graft.engine.Tables.documents(spark, TestSpark.sfDir)
+      .select(col("doc_id"), col("text"))
+    val edges = Seq("a b c d", "a  b c", " a b c", "a b c ", "ab", "", "a b c a b c")
+      .zipWithIndex.map { case (t, i) => (1000000L + i, t) }.toDF("doc_id", "text")
+    val df = fixture.union(edges)
+    // n=2 is q58's production shape; n=3 exercises the general slice math
+    Seq(2, 3).foreach { n =>
+      val both = df.select(
+        graft.plans.ShinglesExpr.shinglesAllNative(col("text"), n).as("native"),
+        graft.functions.GraftFunctions.shingles(col("text"), n).as("hof"))
+      assert(both.filter(col("native") =!= col("hof")).count() == 0,
+        s"multiplicity shingles diverge from HOF twin at n=$n")
+    }
+  }
+
   test("minhash_sig null contract: empty and null arrays yield null") {
     import spark.implicits._
     val df = Seq(
