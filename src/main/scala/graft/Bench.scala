@@ -16,6 +16,16 @@ object Bench {
     graft.engine.Tables.all.foreach(t =>
       try graft.engine.Tables.load(spark, sfDir, t).count()
       catch { case _: Throwable => () })
+    // The session-shared LSH near-dup pair staging (reused by q41/q43/
+    // q77/q90/q117) is timed as its OWN phase so no query's line absorbs
+    // it — the bench runs alphabetically, which otherwise billed it to
+    // q117, the first heavy LSH query (PERF.md "staged vs cold").
+    val tStage = System.nanoTime()
+    val stagingSec =
+      try { graft.operators.DedupOps.verifiedNearDupPairs(spark, sfDir).count()
+            (System.nanoTime() - tStage) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH FAIL staging: ${e.getMessage}"); -1.0 }
     // a failed query records -1, never a normal-looking timing — a broken
     // query must read as broken in the bench JSON, not as a fast one
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -27,9 +37,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val nFailed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum + math.max(stagingSec, 0)
+    val nFailed = results.count(_._2 < 0) + (if (stagingSec < 0) 1 else 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"staging_sec":$stagingSec,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
