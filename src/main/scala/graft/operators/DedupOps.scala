@@ -307,6 +307,85 @@ object DedupOps {
         .withColumn("jac_bp", expr("inter * 10000L div uni"))
         .select("doc_a", "doc_b", "inter", "uni", "jac_bp")
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Incremental corpus dedup — the DAILY-INGEST shape: dedup a new
+    // batch (doc_id % 10 == 7 stands in for today's crawl) against the
+    // EXISTING corpus with no corpus-vs-corpus work at all. Exact dups
+    // via a text-hash equi-join; near-dups via band keys joined
+    // batch-side x CORPUS-side only, so candidate work scales with
+    // |batch| x collision rate — at 100 TB the corpus bands are a static
+    // indexed table and each day's run touches only the new partition.
+    // Verdict precedence: exact > near > new; match_id is the smallest
+    // matching corpus doc (deterministic).
+    "q119_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batchPred = col("doc_id") % 10 === 7
+      // exact: smallest corpus doc with byte-identical text
+      val exact = docs.filter(batchPred)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .join(docs.filter(!batchPred)
+          .select(md5(col("text")).as("h"), col("doc_id").as("m")), "h")
+        .groupBy("doc_id").agg(min(col("m")).as("exact_match"))
+      // near: LSH bands, batch x corpus candidates only
+      val sigs = docs
+        .select(col("doc_id"),
+          graft.plans.MinHashFromTextExpr.sigFromText(col("text"), ShingleN, NumHashes).as("sig"))
+        .filter(col("sig").isNotNull)
+      val allBands = bands(sigs).localCheckpoint()
+      val cand = allBands.filter(col("doc_id") % 10 === 7).as("a")
+        .join(allBands.filter(col("doc_id") % 10 =!= 7).as("b"),
+          col("a.j") === col("b.j") && col("a.bkey") === col("b.bkey"))
+        .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("cand_id"))
+        .distinct()
+      // exact-Jaccard verification shingles only candidate-touched docs
+      val candDocs = cand.select(col("doc_id"))
+        .union(cand.select(col("cand_id").as("doc_id"))).distinct()
+      val sets = docs.join(broadcast(candDocs), "doc_id")
+        .select(col("doc_id"),
+          graft.plans.ShinglesExpr.shinglesNative(col("text"), ShingleN).as("shingles"))
+        .localCheckpoint()
+      val (inter, uni) = jaccardCols(col("sh_a"), col("sh_b"))
+      val near = cand
+        .join(sets.select(col("doc_id"), col("shingles").as("sh_a")), "doc_id")
+        .join(sets.select(col("doc_id").as("cand_id"), col("shingles").as("sh_b")), "cand_id")
+        .withColumn("inter", inter).withColumn("uni", uni)
+        .filter(col("inter") * 2 >= col("uni"))
+        .groupBy("doc_id").agg(min(col("cand_id")).as("near_match"))
+      docs.filter(batchPred).select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("exact_match").isNotNull, lit("exact"))
+            .when(col("near_match").isNotNull, lit("near"))
+            .otherwise(lit("new")).as("verdict"),
+          coalesce(col("exact_match"), col("near_match"), lit(-1L)).as("match_id"))
+        .orderBy("doc_id")
+    }),
+
+    // Sketch-accuracy audit: for every verified near-dup pair, the
+    // MinHash ESTIMATE of Jaccard (fraction of agreeing signature
+    // positions) against the EXACT shingle Jaccard, with the absolute
+    // error — the calibration report that tells an operator whether 16
+    // hashes are enough before trusting the sketch at corpus scale.
+    // Reuses the session-staged pair table + member shingles; only the
+    // (tiny) pair-member set gets signatures recomputed.
+    "q120_minhash_calibration" -> ((s, dir) => {
+      val pairs = verifiedNearDupPairs(s, dir).select("doc_a", "doc_b", "jac_bp")
+      val memberSigs = pairMemberShingles(s, dir)
+        .select(col("doc_id"),
+          graft.plans.MinHashSigExpr.sigNative(col("shingles"), NumHashes).as("sig"))
+      val agree = aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, v) => acc + v)
+      pairs
+        .join(memberSigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(memberSigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .withColumn("agree", agree)
+        .withColumn("est_bp", expr(s"agree * 10000L div $NumHashes"))
+        .select(col("doc_a"), col("doc_b"), col("jac_bp"), col("est_bp"),
+          abs(col("est_bp") - col("jac_bp")).as("err_bp"))
+        .orderBy("doc_a", "doc_b")
     }))
 
   // ---- DuckDB oracle ------------------------------------------------------
@@ -441,5 +520,60 @@ object DedupOps {
          |  FROM s a JOIN s b ON a.doc_id < b.doc_id
          |  WHERE a.doc_id < 30 AND b.doc_id < 30)
          |$jacSelect
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q119_incremental_dedup" -> {
+      val code = md5Code60Sql("sh")
+      val affine = affineHashSql("i", "x")
+      s"""WITH $setsCte,
+         |c AS (SELECT doc_id, list_transform(shingles, sh -> $code) AS codes FROM s),
+         |sg AS (SELECT doc_id, list_transform(generate_series(1, $NumHashes),
+         |        i -> list_min(list_transform(codes, x -> $affine))) AS sig FROM c),
+         |bands AS (SELECT doc_id, j,
+         |  array_to_string(sig[j*$RowsPerBand+1 : j*$RowsPerBand+$RowsPerBand], '_') AS bkey
+         |  FROM sg, generate_series(0, ${Bands - 1}) t(j)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.j = b.j AND a.bkey = b.bkey
+         |  WHERE a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7),
+         |nearm AS (SELECT doc_a AS doc_id, min(doc_b) AS near_match
+         |  FROM ($jacSelect) x WHERE x.inter * 2 >= x.uni GROUP BY doc_a),
+         |exactm AS (SELECT b.doc_id, min(cp.doc_id) AS exact_match
+         |  FROM documents b JOIN documents cp ON md5(b.text) = md5(cp.text)
+         |  WHERE b.doc_id % 10 = 7 AND cp.doc_id % 10 <> 7 GROUP BY b.doc_id)
+         |SELECT d.doc_id,
+         |  CASE WHEN e.exact_match IS NOT NULL THEN 'exact'
+         |       WHEN n.near_match IS NOT NULL THEN 'near'
+         |       ELSE 'new' END AS verdict,
+         |  coalesce(e.exact_match, n.near_match, CAST(-1 AS BIGINT)) AS match_id
+         |FROM documents d
+         |LEFT JOIN exactm e ON e.doc_id = d.doc_id
+         |LEFT JOIN nearm n ON n.doc_id = d.doc_id
+         |WHERE d.doc_id % 10 = 7
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q120_minhash_calibration" -> {
+      val code = md5Code60Sql("sh")
+      val affine = affineHashSql("i", "x")
+      s"""WITH $setsCte,
+         |c AS (SELECT doc_id, list_transform(shingles, sh -> $code) AS codes FROM s),
+         |sg AS (SELECT doc_id, list_transform(generate_series(1, $NumHashes),
+         |        i -> list_min(list_transform(codes, x -> $affine))) AS sig FROM c),
+         |bands AS (SELECT doc_id, j,
+         |  array_to_string(sig[j*$RowsPerBand+1 : j*$RowsPerBand+$RowsPerBand], '_') AS bkey
+         |  FROM sg, generate_series(0, ${Bands - 1}) t(j)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |  ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |vj AS (SELECT doc_a, doc_b, jac_bp FROM ($jacSelect) x
+         |  WHERE x.inter * 2 >= x.uni),
+         |est AS (SELECT v.doc_a, v.doc_b, v.jac_bp,
+         |  CAST(len(list_filter(generate_series(1, $NumHashes),
+         |    i -> sa.sig[i] = sb.sig[i])) * 10000 // $NumHashes AS BIGINT) AS est_bp
+         |  FROM vj v JOIN sg sa ON sa.doc_id = v.doc_a
+         |  JOIN sg sb ON sb.doc_id = v.doc_b)
+         |SELECT doc_a, doc_b, jac_bp, est_bp,
+         |  abs(est_bp - jac_bp) AS err_bp
+         |FROM est ORDER BY doc_a, doc_b""".stripMargin
+    })
 }

@@ -67,6 +67,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(once.count() == once.dropDuplicates("text_md5").count())
   }
 
+  test("incremental dedup: exact verdicts have identical text, near verdicts share a real near-dup, and no corpus doc leaks") {
+    val out = DedupOps.queries("q119_incremental_dedup")(spark, sfDir)
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    // output covers exactly the batch stratum
+    assert(out.select("doc_id").collect().map(_.getLong(0)).forall(_ % 10 == 7))
+    assert(out.count() == docs.filter(col("doc_id") % 10 === 7).count())
+    // match_id always points OUTSIDE the batch (or is -1 for 'new')
+    val leaks = out.filter(col("match_id") =!= -1L && col("match_id") % 10 === 7)
+    assert(leaks.count() == 0, "a match may only reference the existing corpus")
+    // every 'exact' match is byte-identical text
+    val exactBad = out.filter(col("verdict") === "exact")
+      .join(docs.withColumnRenamed("text", "t_batch"), "doc_id")
+      .join(docs.select(col("doc_id").as("match_id"), col("text").as("t_corpus")), "match_id")
+      .filter(col("t_batch") =!= col("t_corpus"))
+    assert(exactBad.count() == 0)
+    // 'new' rows carry the -1 sentinel and nothing else does
+    assert(out.filter(col("verdict") === "new" && col("match_id") =!= -1L).count() == 0)
+    assert(out.filter(col("verdict") =!= "new" && col("match_id") === -1L).count() == 0)
+  }
+
+  test("minhash calibration: one row per verified pair, estimates in range, perfect agreement for exact dups") {
+    val cal = DedupOps.queries("q120_minhash_calibration")(spark, sfDir)
+    val pairs = DedupOps.queries("q41_minhash_lsh")(spark, sfDir)
+    // audits exactly the verified near-dup pair set
+    assert(cal.count() == pairs.count())
+    val rows = cal.collect()
+    assert(rows.forall { r =>
+      val est = r.getAs[Long]("est_bp")
+      est >= 0 && est <= 10000 && r.getAs[Long]("err_bp") >= 0
+    })
+    // byte-identical docs have identical signatures -> est_bp == 10000
+    val exact = cal.join(
+      pairs.filter(col("jac_bp") === 10000L).select("doc_a", "doc_b"),
+      Seq("doc_a", "doc_b"))
+    assert(exact.filter(col("est_bp") =!= 10000L).count() == 0)
+  }
+
   test("jaccard pairs are within [0, 10000] basis points and symmetric-free") {
     val rows = DedupOps.queries("q43_jaccard_pairs")(spark, sfDir)
       .select("doc_a", "doc_b", "jac_bp").collect()
