@@ -31,6 +31,21 @@ object DedupOps {
   val RowsPerBand = 4
   val ShingleN = 3
 
+  /** Id-set size up to which candidate-doc semi-joins broadcast (8-byte
+    * ids; 4M ≈ 32 MB serialized). The near-dup fraction of a 100 TB
+    * corpus can be billions of ids — past the gate the semi-join flips
+    * to a shuffle-hash join, the same size-gated pattern as PageRank's
+    * rank join (CurationOps.pageRankRanks). */
+  val BroadcastMaxIds: Long = 4L * 1000 * 1000
+
+  /** Join `big` to a (checkpointed) id list: broadcast while bounded,
+    * shuffle-hash past the gate. `ids` must be cheap to count — callers
+    * localCheckpoint it first, so the count is a scan of the
+    * materialized partitions, not a plan recompute. */
+  private def joinIds(big: DataFrame, ids: DataFrame, key: String): DataFrame =
+    if (ids.count() <= BroadcastMaxIds) big.join(broadcast(ids), key)
+    else big.join(ids.hint("shuffle_hash"), key)
+
   /** doc_id + distinct 3-gram shingle set (empty-set docs dropped).
     * Built by the codegen'd byte-slice expression; ExtensionsSpec pins
     * array-equality against the HOF twin (GraftFunctions.shingleSet). */
@@ -152,12 +167,12 @@ object DedupOps {
     // exact-Jaccard verification needs shingle ARRAYS only for docs that
     // appear in a candidate pair — the near-dup fraction of the corpus —
     // so only those docs are shingled. The id list is fixed-width longs
-    // (broadcastable far beyond where the text columns would be).
+    // (broadcastable far beyond where the text columns would be), but
+    // size-gated: past BroadcastMaxIds the semi-join shuffles instead.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
-      .distinct()
-    val sets = Tables.documents(s, dir)
-      .join(broadcast(candDocs), "doc_id")
+      .distinct().localCheckpoint()
+    val sets = joinIds(Tables.documents(s, dir), candDocs, "doc_id")
       .select(col("doc_id"),
         graft.plans.ShinglesExpr.shinglesNative(col("text"), ShingleN).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -337,11 +352,12 @@ object DedupOps {
         .join(allBands.filter(col("doc_id") % 10 =!= 7).as("b"),
           col("a.j") === col("b.j") && col("a.bkey") === col("b.bkey"))
         .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("cand_id"))
-        .distinct()
+        .distinct().localCheckpoint() // feeds candDocs AND the verify join
       // exact-Jaccard verification shingles only candidate-touched docs
+      // (size-gated semi-join: see joinIds)
       val candDocs = cand.select(col("doc_id"))
-        .union(cand.select(col("cand_id").as("doc_id"))).distinct()
-      val sets = docs.join(broadcast(candDocs), "doc_id")
+        .union(cand.select(col("cand_id").as("doc_id"))).distinct().localCheckpoint()
+      val sets = joinIds(docs, candDocs, "doc_id")
         .select(col("doc_id"),
           graft.plans.ShinglesExpr.shinglesNative(col("text"), ShingleN).as("shingles"))
         .localCheckpoint()
