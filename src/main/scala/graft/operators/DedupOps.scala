@@ -41,9 +41,12 @@ object DedupOps {
   /** Join `big` to a (checkpointed) id list: broadcast while bounded,
     * shuffle-hash past the gate. `ids` must be cheap to count — callers
     * localCheckpoint it first, so the count is a scan of the
-    * materialized partitions, not a plan recompute. */
-  private def joinIds(big: DataFrame, ids: DataFrame, key: String): DataFrame =
-    if (ids.count() <= BroadcastMaxIds) big.join(broadcast(ids), key)
+    * materialized partitions, not a plan recompute. `maxIds` is
+    * overridable only so specs can force the shuffle path on small
+    * fixtures and pin both plan shapes. */
+  private[graft] def joinIds(big: DataFrame, ids: DataFrame, key: String,
+      maxIds: Long = BroadcastMaxIds): DataFrame =
+    if (ids.count() <= maxIds) big.join(broadcast(ids), key)
     else big.join(ids.hint("shuffle_hash"), key)
 
   /** doc_id + distinct 3-gram shingle set (empty-set docs dropped).

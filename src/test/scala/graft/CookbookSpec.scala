@@ -114,6 +114,39 @@ class CookbookSpec extends AnyFunSuite {
     assert(tainted.columns.contains("quarantine"))
   }
 
+  test("§6b incremental dedup + sketch calibration") {
+    val verdicts = SparkEntry.queries("q119_incremental_dedup")(spark, sfDir)
+    val calibration = SparkEntry.queries("q120_minhash_calibration")(spark, sfDir)
+    assert(verdicts.select("verdict").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(Set("exact", "near", "new")))
+    assert(calibration.columns.toSeq ==
+      Seq("doc_a", "doc_b", "jac_bp", "est_bp", "err_bp"))
+  }
+
+  test("§13 DSv2 sources & sinks") {
+    // fanout scan with the permissive error channel (deterministic
+    // payloads here; GateSpec drives the HTTP + retry path end to end)
+    val feed = spark.read.format("graft.sources.FanoutSource")
+      .option("ids", "2,5,7,11").option("rowsPerId", "10")
+      .option("errorMode", "permissive")
+      .load()
+    assert(feed.schema.fieldNames.toSeq ==
+      Seq("source_id", "seq", "payload", "error"))
+    assert(feed.count() == 40 && feed.filter(col("error").isNotNull).count() == 0)
+
+    // manifest table: append + metadata count + stats-pruned filter scan
+    val dir = java.nio.file.Files.createTempDirectory("cookbook-manifest").toString
+    val df = spark.range(400).select(col("id"), lit("v").as("s"), lit(1.0).as("x"))
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    df.write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("overwrite").save()
+    val t = spark.read.format("graft.sources.ManifestSink")
+      .option("path", dir).load()
+    assert(t.count() == 400)
+    val narrow = t.filter(col("id") >= 150 && col("id") < 160)
+    assert(narrow.rdd.getNumPartitions == 1 && narrow.count() == 10)
+  }
+
   test("§12 behavioral analytics & data quality") {
     val sessions  = SparkEntry.queries("q109_sessionize")(spark, sfDir)        // 30-min-gap sessions per user
     val retention = SparkEntry.queries("q110_retention")(spark, sfDir)         // cohort x day-offset active users

@@ -105,6 +105,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(exact.filter(col("est_bp") =!= 10000L).count() == 0)
   }
 
+  test("candidate-doc semi-join is size-gated: shuffle plan past the id threshold, identical rows") {
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+    val ids = docs.select("doc_id").filter(col("doc_id") % 7 === 0)
+      .distinct().localCheckpoint()
+    val viaBroadcast = DedupOps.joinIds(docs, ids, "doc_id", maxIds = Long.MaxValue)
+    val viaShuffle = DedupOps.joinIds(docs, ids, "doc_id", maxIds = 0L)
+    assert(viaBroadcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val sPlan = viaShuffle.queryExecution.executedPlan.toString
+    assert(!sPlan.contains("BroadcastExchange") && sPlan.contains("ShuffledHashJoin"),
+      s"gated path must not broadcast the id list:\n$sPlan")
+    assert(viaBroadcast.count() == viaShuffle.count())
+    assert(viaBroadcast.select("doc_id").collect().map(_.getLong(0)).sorted
+      .sameElements(viaShuffle.select("doc_id").collect().map(_.getLong(0)).sorted))
+  }
+
   test("jaccard pairs are within [0, 10000] basis points and symmetric-free") {
     val rows = DedupOps.queries("q43_jaccard_pairs")(spark, sfDir)
       .select("doc_a", "doc_b", "jac_bp").collect()
