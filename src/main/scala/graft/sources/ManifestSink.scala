@@ -78,6 +78,14 @@ object ManifestSink {
   // of silently dropping the winner's files (the reference's git-push
   // analog: generate.sh:13-17 fails loudly on a non-fast-forward).
   // Legacy single-file `manifest.txt` tables read as version 0.
+  //
+  // A versioned manifest's FIRST line is the table schema (single-line
+  // Spark DataType JSON); the file entries follow. Schema and file list
+  // therefore publish in ONE atomic unit — a reader concurrent with a
+  // truncate-with-new-schema can never see the new schema against the
+  // old file list or vice versa. `schema.json` is still written as a
+  // best-effort convenience/legacy artifact, but versioned readers
+  // never depend on it.
 
   private val ManifestVersionRe = "manifest-v([0-9]+)\\.txt".r
 
@@ -96,13 +104,9 @@ object ManifestSink {
       } finally s.close()
     }
 
-  private[sources] def currentManifest(root: Path): Option[Path] = {
-    val v = currentVersion(root)
-    if (v > 0L) Some(manifestAt(root, v))
-    else Some(manifest(root)).filter(Files.exists(_))
-  }
-
   /** Compare-and-swap publish of manifest version `expectedVersion + 1`.
+    * `content` must start with the schema line (see the format note
+    * above); `commit()` is the assembler.
     *
     * `Files.createLink` is the atomic create-if-absent primitive:
     * ATOMIC_MOVE without REPLACE_EXISTING is NOT safe here because on
@@ -135,10 +139,19 @@ object ManifestSink {
           "(one of ':', ',', tab, newline) — rename the column before writing")
     }
 
+  /** Schema resolves from the CURRENT versioned manifest's first line
+    * (atomic with the file list); legacy tables fall back to the
+    * side-car schema.json. */
   private[sources] def readSchema(root: Path): StructType = {
-    require(Files.exists(schemaFile(root)),
-      s"no manifest table at $root (missing schema.json)")
-    DataType.fromJson(Files.readString(schemaFile(root))).asInstanceOf[StructType]
+    val v = currentVersion(root)
+    if (v > 0L)
+      DataType.fromJson(Files.readString(manifestAt(root, v)).linesIterator.next())
+        .asInstanceOf[StructType]
+    else {
+      require(Files.exists(schemaFile(root)),
+        s"no manifest table at $root (missing schema.json)")
+      DataType.fromJson(Files.readString(schemaFile(root))).asInstanceOf[StructType]
+    }
   }
 
   /** One committed file's metadata: per-integer-column min/max collected
@@ -156,18 +169,26 @@ object ManifestSink {
       val Array(k, v) = kv.split(":", 2); (k, v.toLong)
     }.toMap
 
-  /** Manifest line: `fileName<TAB>rowCount<TAB>mins<TAB>maxs`. */
-  private[sources] def committedEntries(root: Path): Seq[FileEntry] =
-    currentManifest(root) match {
+  /** Entry line: `fileName<TAB>rowCount<TAB>mins<TAB>maxs`. In a
+    * versioned manifest the first line is the schema and is skipped;
+    * legacy manifest.txt holds entries only. */
+  private[sources] def committedEntries(root: Path): Seq[FileEntry] = {
+    val v = currentVersion(root)
+    val source =
+      if (v > 0L) Some((manifestAt(root, v), 1))
+      else Some((manifest(root), 0)).filter(p => Files.exists(p._1))
+    source match {
       case None => Seq.empty
-      case Some(m) => Files.readString(m).split("\n").toSeq.filter(_.nonEmpty)
-        .map { line =>
-          val parts = line.split("\t", 4)
-          FileEntry(parts(0), parts(1).toLong,
-            parseStats(parts.lift(2).getOrElse("")),
-            parseStats(parts.lift(3).getOrElse("")))
-        }
+      case Some((m, dropHeader)) =>
+        Files.readString(m).split("\n").toSeq.drop(dropHeader).filter(_.nonEmpty)
+          .map { line =>
+            val parts = line.split("\t", 4)
+            FileEntry(parts(0), parts(1).toLong,
+              parseStats(parts.lift(2).getOrElse("")),
+              parseStats(parts.lift(3).getOrElse("")))
+          }
     }
+  }
 
   private[sources] def entryLine(e: FileEntry): String =
     s"${e.name}\t${e.rows}\t${statsStr(e.mins)}\t${statsStr(e.maxs)}"
@@ -276,11 +297,15 @@ class ManifestBatchWrite(root: Path, schema: StructType, truncateFirst: Boolean)
     val base = ManifestSink.currentVersion(root)
     val all =
       (if (truncateFirst) Seq.empty else ManifestSink.committedEntries(root)) ++ newEntries
+    // schema line + entries publish as ONE atomic unit (see format note)
+    ManifestSink.publish(root, base,
+      (schemaToStore.json +: all.map(ManifestSink.entryLine)).mkString("\n"))
+    // best-effort legacy/debug side-car, written only after the CAS wins
+    // so a losing writer can't leave its schema behind
     val schemaTmp = root.resolve(s"schema.json.tmp-${java.util.UUID.randomUUID()}")
     Files.writeString(schemaTmp, schemaToStore.json)
     Files.move(schemaTmp, ManifestSink.schemaFile(root),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    ManifestSink.publish(root, base, all.map(ManifestSink.entryLine).mkString("\n"))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

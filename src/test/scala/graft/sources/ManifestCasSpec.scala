@@ -26,14 +26,14 @@ class ManifestCasSpec extends AnyFunSuite {
 
   test("publish is compare-and-swap: second writer at the same version loses loudly") {
     val root = tmp()
-    ManifestSink.publish(root, 0L, "winner\t1\t\t")
+    ManifestSink.publish(root, 0L, "{}\nwinner\t1\t\t")
     // a second job that also read version 0 must NOT silently replace v1
     val e = intercept[ConcurrentModificationException] {
-      ManifestSink.publish(root, 0L, "loser\t1\t\t")
+      ManifestSink.publish(root, 0L, "{}\nloser\t1\t\t")
     }
     assert(e.getMessage.contains("concurrent publish"))
     assert(ManifestSink.currentVersion(root) == 1L)
-    assert(Files.readString(ManifestSink.manifestAt(root, 1L)).startsWith("winner"),
+    assert(Files.readString(ManifestSink.manifestAt(root, 1L)).contains("winner"),
       "the winning manifest content must be untouched by the losing publish")
     // no stray tmp files leak from the losing attempt
     val s = Files.list(root)
@@ -46,8 +46,9 @@ class ManifestCasSpec extends AnyFunSuite {
 
   test("sequential publishes advance the version chain") {
     val root = tmp()
-    ManifestSink.publish(root, 0L, "a\t1\t\t")
-    ManifestSink.publish(root, 1L, "a\t1\t\t\nb\t1\t\t")
+    // first line of a versioned manifest is the schema header
+    ManifestSink.publish(root, 0L, "{}\na\t1\t\t")
+    ManifestSink.publish(root, 1L, "{}\na\t1\t\t\nb\t1\t\t")
     assert(ManifestSink.currentVersion(root) == 2L)
     assert(ManifestSink.committedEntries(root).map(_.name) == Seq("a", "b"))
   }
@@ -104,6 +105,36 @@ class ManifestCasSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("manifest delimiter")))
     assert(!Files.exists(ManifestSink.manifestAt(java.nio.file.Paths.get(dir), 1L)),
       "a rejected write must not publish a manifest")
+  }
+
+  test("schema travels inside the versioned manifest: readers don't depend on schema.json") {
+    val root = tmp()
+    Seq((1L, Some("a"), 0.5)).toDF("id", "s", "x")
+      .write.format(fmt).option("path", root.toString).mode("overwrite").save()
+    // kill the legacy side-car: versioned readers must not miss it
+    Files.delete(root.resolve("schema.json"))
+    val read = spark.read.format(fmt).option("path", root.toString).load()
+    assert(read.schema.fieldNames.toSeq == Seq("id", "s", "x"))
+    assert(read.count() == 1)
+  }
+
+  test("truncate with a different schema publishes schema + file list as one atomic unit") {
+    val root = tmp()
+    Seq((1L, Some("a"), 0.5)).toDF("id", "s", "x")
+      .write.format(fmt).option("path", root.toString).mode("overwrite").save()
+    Seq(("k1", 10L)).toDF("key", "n")
+      .write.format(fmt).option("path", root.toString).mode("overwrite").save()
+    // the CURRENT manifest's header is the new schema; entries follow it
+    val v = ManifestSink.currentVersion(root)
+    val header = Files.readString(ManifestSink.manifestAt(root, v)).linesIterator.next()
+    assert(ManifestSink.readSchema(root).fieldNames.toSeq == Seq("key", "n"))
+    assert(header.contains("\"key\"") && !header.contains("\"id\""))
+    val rows = spark.read.format(fmt).option("path", root.toString).load().collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "k1" && rows.head.getLong(1) == 10L)
+    // the superseded version still carries ITS schema with ITS files —
+    // a reader pinned to v-1 would see a consistent (old) table
+    val prevHeader = Files.readString(ManifestSink.manifestAt(root, v - 1)).linesIterator.next()
+    assert(prevHeader.contains("\"id\""))
   }
 
   test("legacy single-file manifest.txt tables read as version 0 and upgrade on append") {
