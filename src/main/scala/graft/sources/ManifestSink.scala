@@ -46,16 +46,21 @@ import scala.jdk.CollectionConverters._
   *     .option("path", dir).mode("append" | "overwrite").save()
   *   spark.read.format("graft.sources.ManifestSink")
   *     .option("path", dir).load()
+  *   spark.read.format("graft.sources.ManifestSink")        // time travel
+  *     .option("path", dir).option("versionAsOf", "1").load()
   */
 class ManifestSink extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ManifestSink.readSchema(ManifestSink.root(options.asScala.asJava))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val props = options.asScala.asJava
+    ManifestSink.readSchema(ManifestSink.root(props), ManifestSink.versionAsOf(props))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new ManifestTable(ManifestSink.root(properties), schema)
+    new ManifestTable(ManifestSink.root(properties), schema,
+      ManifestSink.versionAsOf(properties))
 }
 
 object ManifestSink {
@@ -67,6 +72,17 @@ object ManifestSink {
 
   private[sources] def manifest(root: Path): Path = root.resolve("manifest.txt")
   private[sources] def schemaFile(root: Path): Path = root.resolve("schema.json")
+
+  /** Time travel: `.option("versionAsOf", N)` pins reads to manifest
+    * version N — versions are immutable and carry their own schema, so a
+    * pinned read is a fully consistent historical snapshot (the Iceberg
+    * `VERSION AS OF` shape). Writes ignore the option; N must exist. */
+  private[sources] def versionAsOf(properties: util.Map[String, String]): Option[Long] =
+    Option(properties.get("versionAsOf")).map { s =>
+      val v = s.toLong
+      require(v >= 1, s"versionAsOf must be >= 1, got $v")
+      v
+    }
 
   // ---- versioned manifests + CAS publish --------------------------------
   //
@@ -139,11 +155,22 @@ object ManifestSink {
           "(one of ':', ',', tab, newline) — rename the column before writing")
     }
 
-  /** Schema resolves from the CURRENT versioned manifest's first line
-    * (atomic with the file list); legacy tables fall back to the
-    * side-car schema.json. */
-  private[sources] def readSchema(root: Path): StructType = {
-    val v = currentVersion(root)
+  /** Resolve a pinned version (validating it exists) or the current one. */
+  private[sources] def resolveVersion(root: Path, pinned: Option[Long]): Long =
+    pinned match {
+      case Some(v) =>
+        require(Files.exists(manifestAt(root, v)),
+          s"versionAsOf $v does not exist for manifest table $root " +
+            s"(current version: ${currentVersion(root)})")
+        v
+      case None => currentVersion(root)
+    }
+
+  /** Schema resolves from the (pinned or current) versioned manifest's
+    * first line (atomic with the file list); legacy tables fall back to
+    * the side-car schema.json. */
+  private[sources] def readSchema(root: Path, pinned: Option[Long] = None): StructType = {
+    val v = resolveVersion(root, pinned)
     if (v > 0L)
       DataType.fromJson(Files.readString(manifestAt(root, v)).linesIterator.next())
         .asInstanceOf[StructType]
@@ -172,8 +199,9 @@ object ManifestSink {
   /** Entry line: `fileName<TAB>rowCount<TAB>mins<TAB>maxs`. In a
     * versioned manifest the first line is the schema and is skipped;
     * legacy manifest.txt holds entries only. */
-  private[sources] def committedEntries(root: Path): Seq[FileEntry] = {
-    val v = currentVersion(root)
+  private[sources] def committedEntries(root: Path,
+      pinned: Option[Long] = None): Seq[FileEntry] = {
+    val v = resolveVersion(root, pinned)
     val source =
       if (v > 0L) Some((manifestAt(root, v), 1))
       else Some((manifest(root), 0)).filter(p => Files.exists(p._1))
@@ -228,16 +256,17 @@ object ManifestSink {
   }
 }
 
-class ManifestTable(root: Path, schema0: StructType)
+class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = s"manifest($root)"
+  override def name(): String =
+    s"manifest($root${pinned.fold("")(v => s"@v$v")})"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestScanBuilder(root)
+    new ManifestScanBuilder(root, pinned)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(root, info.schema(), truncateFirst = false)
@@ -362,7 +391,7 @@ class ManifestWriterFactory(rootStr: String, schema: StructType)
 /** Aggregate pushdown: a global COUNT(*) is answered ENTIRELY from the
   * manifest's per-file row counts — zero data files are opened (the spec
   * proves it by deleting them first). Anything else scans normally. */
-class ManifestScanBuilder(root: Path)
+class ManifestScanBuilder(root: Path, pinned: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownAggregates with SupportsPushDownFilters {
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
   import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -424,12 +453,12 @@ class ManifestScanBuilder(root: Path)
 
   override def build(): Scan =
     if (countPushed)
-      new ManifestCountScan(ManifestSink.committedEntries(root).map(_.rows).sum)
+      new ManifestCountScan(ManifestSink.committedEntries(root, pinned).map(_.rows).sum)
     else {
-      val kept = ManifestSink.committedEntries(root)
+      val kept = ManifestSink.committedEntries(root, pinned)
         .filter(e => skipFilters.forall(f => mayMatch(e, f)))
         .map(_.name)
-      new ManifestScan(root, ManifestSink.readSchema(root), kept)
+      new ManifestScan(root, ManifestSink.readSchema(root, pinned), kept)
     }
 }
 

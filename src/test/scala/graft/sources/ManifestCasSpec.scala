@@ -137,6 +137,34 @@ class ManifestCasSpec extends AnyFunSuite {
     assert(prevHeader.contains("\"id\""))
   }
 
+  test("versionAsOf pins a consistent historical snapshot, across schema changes") {
+    val root = tmp()
+    val dir = root.toString
+    Seq((1L, Some("a"), 0.5)).toDF("id", "s", "x")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()   // v1
+    Seq((2L, Some("b"), 1.5)).toDF("id", "s", "x")
+      .write.format(fmt).option("path", dir).mode("append").save()      // v2
+    Seq(("k1", 10L)).toDF("key", "n")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()   // v3, new schema
+    def at(v: Long) = spark.read.format(fmt)
+      .option("path", dir).option("versionAsOf", v.toString).load()
+    assert(at(1).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(at(2).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // v1/v2 read with THEIR schema even though the live table changed
+    assert(at(2).schema.fieldNames.toSeq == Seq("id", "s", "x"))
+    assert(at(3).schema.fieldNames.toSeq == Seq("key", "n"))
+    // default read = latest
+    val live = spark.read.format(fmt).option("path", dir).load()
+    assert(live.schema.fieldNames.toSeq == Seq("key", "n") && live.count() == 1)
+    // metadata-only count respects the pin
+    assert(at(2).count() == 2)
+    // a missing version fails loudly at planning time
+    val e = intercept[Exception] {
+      spark.read.format(fmt).option("path", dir).option("versionAsOf", "9").load()
+    }
+    assert(e.getMessage.contains("versionAsOf 9 does not exist"))
+  }
+
   test("legacy single-file manifest.txt tables read as version 0 and upgrade on append") {
     val root = tmp()
     val schema = StructType(Seq(
