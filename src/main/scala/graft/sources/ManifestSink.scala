@@ -144,6 +144,43 @@ object ManifestSink {
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** Write-option parser for [[GcPolicy]]. */
+  private[sources] def gcPolicy(options: util.Map[String, String]): GcPolicy = {
+    val retain = Option(options.get("retainVersions")).map { s =>
+      val k = s.toInt
+      require(k >= 1, s"retainVersions must be >= 1, got $k")
+      k
+    }
+    val grace = Option(options.get("gcGraceMs")).map(_.toLong).getOrElse(3600L * 1000)
+    GcPolicy(retain, grace)
+  }
+
+  /** Expire manifest versions older than the `retain` most recent ones,
+    * then delete data files referenced by NO retained version — but only
+    * once a file is older than `orphanGraceMs`, so an in-flight
+    * concurrent writer's not-yet-committed files survive. Runs after a
+    * successful publish; failures here must not fail the commit (the
+    * table is already consistent), so callers best-effort it. */
+  private[sources] def expireVersions(root: Path, retain: Int, orphanGraceMs: Long): Unit = {
+    val current = currentVersion(root)
+    val cutoff = current - retain // expire versions <= cutoff
+    if (cutoff < 1L) return
+    val referenced = (cutoff + 1 to current)
+      .filter(v => Files.exists(manifestAt(root, v)))
+      .flatMap(v => committedEntries(root, Some(v)))
+      .map(_.name).toSet
+    (1L to cutoff).foreach(v => Files.deleteIfExists(manifestAt(root, v)))
+    Files.deleteIfExists(manifest(root)) // legacy file is pre-v1 state
+    val now = System.currentTimeMillis()
+    val s = Files.list(root)
+    try s.iterator().asScala.foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("data-") && !referenced(n) &&
+          now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs)
+        Files.deleteIfExists(p)
+    } finally s.close()
+  }
+
   /** Characters that would corrupt the manifest stats encoding
     * (`name:value,name:value<TAB>...`) if they appeared in a column name.
     * Rejected at write-build time so a bad name fails fast instead of
@@ -269,17 +306,29 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
     new ManifestScanBuilder(root, pinned)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new ManifestWriteBuilder(root, info.schema(), truncateFirst = false)
+    new ManifestWriteBuilder(root, info.schema(), truncateFirst = false,
+      ManifestSink.gcPolicy(info.options()))
 }
 
-class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolean)
-    extends WriteBuilder with SupportsTruncate {
+/** Retention knobs parsed from WRITE options: `retainVersions = k` keeps
+  * the k most recent manifest versions after a successful commit and
+  * garbage-collects everything older — expired manifests plus data files
+  * no retained version references. `gcGraceMs` (default 1h) protects the
+  * uncommitted files of an in-flight concurrent writer: an unreferenced
+  * data file is deleted only once it is older than the grace window (the
+  * Iceberg orphan-file-age shape). No retention option = keep all
+  * history (every version stays time-travelable). */
+case class GcPolicy(retainVersions: Option[Int], orphanGraceMs: Long)
+    extends Serializable
+
+class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolean,
+    gc: GcPolicy = GcPolicy(None, 3600L * 1000)) extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
-    new ManifestWriteBuilder(root, schema, truncateFirst = true)
+    new ManifestWriteBuilder(root, schema, truncateFirst = true, gc)
   override def build(): Write = {
     ManifestSink.requireSafeColumnNames(schema)
     new Write {
-      override def toBatch: BatchWrite = new ManifestBatchWrite(root, schema, truncateFirst)
+      override def toBatch: BatchWrite = new ManifestBatchWrite(root, schema, truncateFirst, gc)
     }
   }
 }
@@ -287,15 +336,18 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
 case class ManifestCommit(fileName: String, rows: Long,
     mins: Map[String, Long], maxs: Map[String, Long]) extends WriterCommitMessage
 
-class ManifestBatchWrite(root: Path, schema: StructType, truncateFirst: Boolean)
-    extends BatchWrite {
+class ManifestBatchWrite(root: Path, schema: StructType, truncateFirst: Boolean,
+    gc: GcPolicy = GcPolicy(None, 3600L * 1000)) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(root.toString, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     Files.createDirectories(root)
+    // schema compat resolves from the versioned manifest chain when one
+    // exists — schema.json is only a best-effort side-car and may be gone
     val existingSchema =
-      if (Files.exists(ManifestSink.schemaFile(root)))
+      if (ManifestSink.currentVersion(root) > 0L ||
+          Files.exists(ManifestSink.schemaFile(root)))
         Some(ManifestSink.readSchema(root)) else None
     existingSchema.foreach { s =>
       // name+type compatibility; nullability flags may legitimately differ
@@ -335,6 +387,14 @@ class ManifestBatchWrite(root: Path, schema: StructType, truncateFirst: Boolean)
     Files.writeString(schemaTmp, schemaToStore.json)
     Files.move(schemaTmp, ManifestSink.schemaFile(root),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // retention GC is best-effort: the table is already consistent, so a
+    // cleanup failure must not fail the committed write
+    gc.retainVersions.foreach { k =>
+      try ManifestSink.expireVersions(root, k, gc.orphanGraceMs)
+      catch { case e: Exception =>
+        System.err.println(s"manifest GC for $root failed (table unaffected): ${e.getMessage}")
+      }
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

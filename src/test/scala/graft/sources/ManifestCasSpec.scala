@@ -165,6 +165,50 @@ class ManifestCasSpec extends AnyFunSuite {
     assert(e.getMessage.contains("versionAsOf 9 does not exist"))
   }
 
+  test("retainVersions GC expires old manifests and orphaned data files, keeping the live window") {
+    val root = tmp()
+    val dir = root.toString
+    def dataFiles(): Set[String] = {
+      val s = Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("data-")).toSet
+      } finally s.close()
+    }
+    Seq((1L, Some("a"), 0.5)).toDF("id", "s", "x")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()     // v1
+    (2 to 4).foreach { i =>
+      Seq((i.toLong, Some("x"), 0.0)).toDF("id", "s", "x")
+        .write.format(fmt).option("path", dir)
+        .option("retainVersions", "2").option("gcGraceMs", "0")
+        .mode("append").save()                                            // v2..v4
+    }
+    // current = 4, retained {3, 4}; 1 and 2 expired
+    assert(!Files.exists(ManifestSink.manifestAt(root, 1L)))
+    assert(!Files.exists(ManifestSink.manifestAt(root, 2L)))
+    assert(Files.exists(ManifestSink.manifestAt(root, 3L)))
+    // live read unaffected: appends reference every older data file
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 4)
+    // time travel to an expired version now fails loudly
+    val e = intercept[Exception] {
+      spark.read.format(fmt).option("path", dir).option("versionAsOf", "1").load()
+    }
+    assert(e.getMessage.contains("does not exist"))
+    // a stray uncommitted file past the grace age is swept by the next GC
+    Files.writeString(root.resolve("data-stray.tsv"), "9\tYQ==\t0.0\n")
+    val before = dataFiles()
+    // truncate orphans ALL previous data files; with retain=1 + zero
+    // grace they are collected immediately
+    Seq((99L, Some("z"), 9.9)).toDF("id", "s", "x")
+      .write.format(fmt).option("path", dir)
+      .option("retainVersions", "1").option("gcGraceMs", "0")
+      .mode("overwrite").save()                                           // v5
+    val after = dataFiles()
+    assert(!after.contains("data-stray.tsv"), "stray uncommitted file must be swept")
+    assert(after.size == 1, s"only v5's single file may remain, got $after (before: $before)")
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 1)
+  }
+
   test("legacy single-file manifest.txt tables read as version 0 and upgrade on append") {
     val root = tmp()
     val schema = StructType(Seq(
