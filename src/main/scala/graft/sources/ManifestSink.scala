@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -48,6 +49,8 @@ import scala.jdk.CollectionConverters._
   *     .option("path", dir).load()
   *   spark.read.format("graft.sources.ManifestSink")        // time travel
   *     .option("path", dir).option("versionAsOf", "1").load()
+  *   df.writeStream.format("graft.sources.ManifestSink")    // exactly-once
+  *     .option("path", dir).option("checkpointLocation", ckpt).start()
   */
 class ManifestSink extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
@@ -96,12 +99,16 @@ object ManifestSink {
   // Legacy single-file `manifest.txt` tables read as version 0.
   //
   // A versioned manifest's FIRST line is the table schema (single-line
-  // Spark DataType JSON); the file entries follow. Schema and file list
-  // therefore publish in ONE atomic unit — a reader concurrent with a
-  // truncate-with-new-schema can never see the new schema against the
-  // old file list or vice versa. `schema.json` is still written as a
-  // best-effort convenience/legacy artifact, but versioned readers
-  // never depend on it.
+  // Spark DataType JSON); optional `#epoch<TAB>queryId<TAB>epochId`
+  // marker lines follow (streaming exactly-once bookkeeping, one per
+  // streaming query that has ever committed — see
+  // [[ManifestStreamingWrite]]), then the file entries. Schema, markers
+  // and file list therefore publish in ONE atomic unit — a reader
+  // concurrent with a truncate-with-new-schema can never see the new
+  // schema against the old file list or vice versa, and an epoch can
+  // never be marked committed without its files being visible.
+  // `schema.json` is still written as a best-effort convenience/legacy
+  // artifact, but versioned readers never depend on it.
 
   private val ManifestVersionRe = "manifest-v([0-9]+)\\.txt".r
 
@@ -218,6 +225,22 @@ object ManifestSink {
     }
   }
 
+  private val EpochMarkerPrefix = "#epoch\t"
+
+  /** Per-streaming-query high-water epoch markers in the (pinned or
+    * current) manifest version. Empty for legacy/absent tables. */
+  private[sources] def epochMarkers(root: Path,
+      pinned: Option[Long] = None): Map[String, Long] = {
+    val v = resolveVersion(root, pinned)
+    if (v == 0L) Map.empty
+    else Files.readString(manifestAt(root, v)).linesIterator.drop(1)
+      .filter(_.startsWith(EpochMarkerPrefix))
+      .map { l => val p = l.split("\t"); (p(1), p(2).toLong) }.toMap
+  }
+
+  private def markerLine(queryId: String, epoch: Long): String =
+    s"$EpochMarkerPrefix$queryId\t$epoch"
+
   /** One committed file's metadata: per-integer-column min/max collected
     * while the task wrote it — the stats that let the reader SKIP the
     * file for a disjoint filter range, and count(*) answer without I/O. */
@@ -234,8 +257,9 @@ object ManifestSink {
     }.toMap
 
   /** Entry line: `fileName<TAB>rowCount<TAB>mins<TAB>maxs`. In a
-    * versioned manifest the first line is the schema and is skipped;
-    * legacy manifest.txt holds entries only. */
+    * versioned manifest the first line is the schema and is skipped, as
+    * are `#`-prefixed marker lines; legacy manifest.txt holds entries
+    * only. */
   private[sources] def committedEntries(root: Path,
       pinned: Option[Long] = None): Seq[FileEntry] = {
     val v = resolveVersion(root, pinned)
@@ -245,7 +269,8 @@ object ManifestSink {
     source match {
       case None => Seq.empty
       case Some((m, dropHeader)) =>
-        Files.readString(m).split("\n").toSeq.drop(dropHeader).filter(_.nonEmpty)
+        Files.readString(m).split("\n").toSeq.drop(dropHeader)
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
           .map { line =>
             val parts = line.split("\t", 4)
             FileEntry(parts(0), parts(1).toLong,
@@ -257,6 +282,73 @@ object ManifestSink {
 
   private[sources] def entryLine(e: FileEntry): String =
     s"${e.name}\t${e.rows}\t${statsStr(e.mins)}\t${statsStr(e.maxs)}"
+
+  /** Assemble and CAS-publish one new manifest version: stored-schema
+    * compat + nullability merge, entry union (or replacement on
+    * truncate), epoch-marker carry-forward, legacy side-car, retention
+    * GC. The single commit path shared by [[ManifestBatchWrite]] and
+    * [[ManifestStreamingWrite]] — batch and streaming writes to the same
+    * table therefore interleave safely under the same CAS.
+    * Throws [[java.util.ConcurrentModificationException]] if another
+    * writer published first. */
+  private[sources] def publishCommit(root: Path, schema: StructType,
+      truncateFirst: Boolean, newEntries: Seq[FileEntry],
+      markerUpdate: Option[(String, Long)], gc: GcPolicy): Unit = {
+    Files.createDirectories(root)
+    // schema compat resolves from the versioned manifest chain when one
+    // exists — schema.json is only a best-effort side-car and may be gone
+    val existingSchema =
+      if (currentVersion(root) > 0L || Files.exists(schemaFile(root)))
+        Some(readSchema(root)) else None
+    existingSchema.foreach { s =>
+      // name+type compatibility; nullability flags may legitimately differ
+      // between a DataFrame schema and the stored one
+      require(truncateFirst ||
+        s.fields.map(f => (f.name, f.dataType)).toSeq ==
+          schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        s"append schema $schema does not match table schema $s")
+    }
+    // On append the STORED schema wins, with nullability OR-merged: an
+    // incoming non-nullable flag must not re-label a table whose earlier
+    // files may contain nulls (the optimizer would exploit nullable=false
+    // incorrectly); the reverse widening (stored false, incoming true) is
+    // safe and recorded.
+    val schemaToStore = existingSchema match {
+      case Some(s) if !truncateFirst =>
+        StructType(s.fields.zip(schema.fields).map { case (sf, nf) =>
+          sf.copy(nullable = sf.nullable || nf.nullable)
+        })
+      case _ => schema
+    }
+    // Read-point for the CAS: the version whose entries this commit
+    // extends. If another job publishes v(base+1) first, our publish
+    // below fails loudly instead of dropping its files.
+    val base = currentVersion(root)
+    val all =
+      (if (truncateFirst) Seq.empty else committedEntries(root)) ++ newEntries
+    // Epoch markers survive truncate: a complete-mode epoch replaces the
+    // DATA but the exactly-once high-water mark must persist, or a
+    // restart would double-apply the epoch it just committed.
+    val markers = epochMarkers(root) ++ markerUpdate
+    val markerLines = markers.toSeq.sortBy(_._1).map((markerLine _).tupled)
+    // schema line + markers + entries publish as ONE atomic unit
+    publish(root, base,
+      ((schemaToStore.json +: markerLines) ++ all.map(entryLine)).mkString("\n"))
+    // best-effort legacy/debug side-car, written only after the CAS wins
+    // so a losing writer can't leave its schema behind
+    val schemaTmp = root.resolve(s"schema.json.tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(schemaTmp, schemaToStore.json)
+    Files.move(schemaTmp, schemaFile(root),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // retention GC is best-effort: the table is already consistent, so a
+    // cleanup failure must not fail the committed write
+    gc.retainVersions.foreach { k =>
+      try expireVersions(root, k, gc.orphanGraceMs)
+      catch { case e: Exception =>
+        System.err.println(s"manifest GC for $root failed (table unaffected): ${e.getMessage}")
+      }
+    }
+  }
 
   private[sources] def committedFiles(root: Path): Seq[String] =
     committedEntries(root).map(_.name)
@@ -300,14 +392,14 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(root, pinned)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(root, info.schema(), truncateFirst = false,
-      ManifestSink.gcPolicy(info.options()))
+      ManifestSink.gcPolicy(info.options()), info.queryId())
 }
 
 /** Retention knobs parsed from WRITE options: `retainVersions = k` keeps
@@ -322,13 +414,18 @@ case class GcPolicy(retainVersions: Option[Int], orphanGraceMs: Long)
     extends Serializable
 
 class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolean,
-    gc: GcPolicy = GcPolicy(None, 3600L * 1000)) extends WriteBuilder with SupportsTruncate {
+    gc: GcPolicy = GcPolicy(None, 3600L * 1000), queryId: String = "")
+    extends WriteBuilder with SupportsTruncate {
   override def truncate(): WriteBuilder =
-    new ManifestWriteBuilder(root, schema, truncateFirst = true, gc)
+    new ManifestWriteBuilder(root, schema, truncateFirst = true, gc, queryId)
   override def build(): Write = {
     ManifestSink.requireSafeColumnNames(schema)
     new Write {
       override def toBatch: BatchWrite = new ManifestBatchWrite(root, schema, truncateFirst, gc)
+      // streaming: truncateFirst becomes truncate-EACH-EPOCH (Spark calls
+      // truncate() on the builder for Complete output mode)
+      override def toStreaming: StreamingWrite =
+        new ManifestStreamingWrite(root, schema, truncateFirst, gc, queryId)
     }
   }
 }
@@ -342,59 +439,11 @@ class ManifestBatchWrite(root: Path, schema: StructType, truncateFirst: Boolean,
     new ManifestWriterFactory(root.toString, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    Files.createDirectories(root)
-    // schema compat resolves from the versioned manifest chain when one
-    // exists — schema.json is only a best-effort side-car and may be gone
-    val existingSchema =
-      if (ManifestSink.currentVersion(root) > 0L ||
-          Files.exists(ManifestSink.schemaFile(root)))
-        Some(ManifestSink.readSchema(root)) else None
-    existingSchema.foreach { s =>
-      // name+type compatibility; nullability flags may legitimately differ
-      // between a DataFrame schema and the stored one
-      require(truncateFirst ||
-        s.fields.map(f => (f.name, f.dataType)).toSeq ==
-          schema.fields.map(f => (f.name, f.dataType)).toSeq,
-        s"append schema $schema does not match table schema $s")
-    }
-    // On append the STORED schema wins, with nullability OR-merged: an
-    // incoming non-nullable flag must not re-label a table whose earlier
-    // files may contain nulls (the optimizer would exploit nullable=false
-    // incorrectly); the reverse widening (stored false, incoming true) is
-    // safe and recorded.
-    val schemaToStore = existingSchema match {
-      case Some(s) if !truncateFirst =>
-        StructType(s.fields.zip(schema.fields).map { case (sf, nf) =>
-          sf.copy(nullable = sf.nullable || nf.nullable)
-        })
-      case _ => schema
-    }
     val newEntries = messages.collect {
       case ManifestCommit(f, n, mins, maxs) => ManifestSink.FileEntry(f, n, mins, maxs)
     }
-    // Read-point for the CAS: the version whose entries this commit
-    // extends. If another job publishes v(base+1) first, our publish
-    // below fails loudly instead of dropping its files.
-    val base = ManifestSink.currentVersion(root)
-    val all =
-      (if (truncateFirst) Seq.empty else ManifestSink.committedEntries(root)) ++ newEntries
-    // schema line + entries publish as ONE atomic unit (see format note)
-    ManifestSink.publish(root, base,
-      (schemaToStore.json +: all.map(ManifestSink.entryLine)).mkString("\n"))
-    // best-effort legacy/debug side-car, written only after the CAS wins
-    // so a losing writer can't leave its schema behind
-    val schemaTmp = root.resolve(s"schema.json.tmp-${java.util.UUID.randomUUID()}")
-    Files.writeString(schemaTmp, schemaToStore.json)
-    Files.move(schemaTmp, ManifestSink.schemaFile(root),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // retention GC is best-effort: the table is already consistent, so a
-    // cleanup failure must not fail the committed write
-    gc.retainVersions.foreach { k =>
-      try ManifestSink.expireVersions(root, k, gc.orphanGraceMs)
-      catch { case e: Exception =>
-        System.err.println(s"manifest GC for $root failed (table unaffected): ${e.getMessage}")
-      }
-    }
+    ManifestSink.publishCommit(root, schema, truncateFirst, newEntries.toSeq,
+      markerUpdate = None, gc)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -404,48 +453,107 @@ class ManifestBatchWrite(root: Path, schema: StructType, truncateFirst: Boolean,
     }
 }
 
+/** Streaming write path: `df.writeStream.format(...).option("path", dir)`.
+  *
+  * Exactly-once without a transactional store: the per-query high-water
+  * epoch marker lives INSIDE the versioned manifest (`#epoch` line), so
+  * "epoch N is committed" and "epoch N's files are visible" are the same
+  * atomic CAS publish — there is no window where one holds without the
+  * other. On recovery Spark replays the last epoch; `commit` sees the
+  * marker already at (or past) that epoch, deletes the replay's duplicate
+  * files and returns without publishing, so the table never double-counts
+  * (the DSv2 generalization of ReportStream's idempotent-by-batchId sink,
+  * mirroring the reference's overwrite-then-commit publish step,
+  * generate.sh:9-17).
+  *
+  * Output modes: append (each epoch's rows accumulate) and complete
+  * (truncate-per-epoch — the epoch marker survives truncate). Batch and
+  * streaming writers share [[ManifestSink.publishCommit]], so they
+  * interleave safely under the same CAS. */
+class ManifestStreamingWrite(root: Path, schema: StructType, truncateEachEpoch: Boolean,
+    gc: GcPolicy, queryId: String) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new ManifestStreamingWriterFactory(root.toString, schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    if (ManifestSink.epochMarkers(root).get(queryId).exists(_ >= epochId)) {
+      // replayed epoch after restart: already committed — drop the
+      // replay's duplicate files so the re-run is a pure no-op
+      messages.foreach {
+        case ManifestCommit(f, _, _, _) => Files.deleteIfExists(root.resolve(f))
+        case _ => ()
+      }
+    } else {
+      val newEntries = messages.collect {
+        case ManifestCommit(f, n, mins, maxs) => ManifestSink.FileEntry(f, n, mins, maxs)
+      }
+      ManifestSink.publishCommit(root, schema, truncateEachEpoch, newEntries.toSeq,
+        markerUpdate = Some(queryId -> epochId), gc)
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case ManifestCommit(f, _, _, _) => Files.deleteIfExists(root.resolve(f))
+      case _ => ()
+    }
+}
+
+class ManifestStreamingWriterFactory(rootStr: String, schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    // epoch in the name is for operator debuggability only; uniqueness
+    // still comes from the UUID (a replayed epoch writes NEW files,
+    // which commit() then discards)
+    new ManifestDataWriter(rootStr, schema,
+      s"data-e$epochId-p$partitionId-t$taskId-${java.util.UUID.randomUUID()}.tsv")
+}
+
 class ManifestWriterFactory(rootStr: String, schema: StructType)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new DataWriter[InternalRow] {
-      private val root = Paths.get(rootStr)
-      // attempt-unique name: a retried or speculative attempt of the same
-      // partition writes a different file; only the attempt whose message
-      // reaches commit() becomes visible
-      private val fileName =
-        s"data-p$partitionId-t$taskId-${java.util.UUID.randomUUID()}.tsv"
-      private var rows = 0L
-      // per-integer-column min/max, collected inline while writing — the
-      // stats that power file skipping and the metadata count
-      private val intCols = schema.fields.zipWithIndex.collect {
-        case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f, i)
+    // attempt-unique name: a retried or speculative attempt of the same
+    // partition writes a different file; only the attempt whose message
+    // reaches commit() becomes visible
+    new ManifestDataWriter(rootStr, schema,
+      s"data-p$partitionId-t$taskId-${java.util.UUID.randomUUID()}.tsv")
+}
+
+class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String)
+    extends DataWriter[InternalRow] {
+  private val root = Paths.get(rootStr)
+  private var rows = 0L
+  // per-integer-column min/max, collected inline while writing — the
+  // stats that power file skipping and the metadata count
+  private val intCols = schema.fields.zipWithIndex.collect {
+    case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f, i)
+  }
+  private val mins = scala.collection.mutable.Map.empty[String, Long]
+  private val maxs = scala.collection.mutable.Map.empty[String, Long]
+  private lazy val out = {
+    Files.createDirectories(root)
+    Files.newBufferedWriter(root.resolve(fileName), StandardCharsets.UTF_8)
+  }
+  override def write(record: InternalRow): Unit = {
+    out.write(ManifestSink.encode(record, schema)); out.write("\n"); rows += 1
+    intCols.foreach { case (f, i) =>
+      if (!record.isNullAt(i)) {
+        val v = if (f.dataType == LongType) record.getLong(i) else record.getInt(i).toLong
+        mins.updateWith(f.name)(o => Some(o.fold(v)(math.min(_, v))))
+        maxs.updateWith(f.name)(o => Some(o.fold(v)(math.max(_, v))))
       }
-      private val mins = scala.collection.mutable.Map.empty[String, Long]
-      private val maxs = scala.collection.mutable.Map.empty[String, Long]
-      private lazy val out = {
-        Files.createDirectories(root)
-        Files.newBufferedWriter(root.resolve(fileName), StandardCharsets.UTF_8)
-      }
-      override def write(record: InternalRow): Unit = {
-        out.write(ManifestSink.encode(record, schema)); out.write("\n"); rows += 1
-        intCols.foreach { case (f, i) =>
-          if (!record.isNullAt(i)) {
-            val v = if (f.dataType == LongType) record.getLong(i) else record.getInt(i).toLong
-            mins.updateWith(f.name)(o => Some(o.fold(v)(math.min(_, v))))
-            maxs.updateWith(f.name)(o => Some(o.fold(v)(math.max(_, v))))
-          }
-        }
-      }
-      override def commit(): WriterCommitMessage = {
-        out.flush(); out.close()
-        ManifestCommit(fileName, rows, mins.toMap, maxs.toMap)
-      }
-      override def abort(): Unit = {
-        try out.close() catch { case _: Throwable => () }
-        Files.deleteIfExists(root.resolve(fileName))
-      }
-      override def close(): Unit = ()
     }
+  }
+  override def commit(): WriterCommitMessage = {
+    out.flush(); out.close()
+    ManifestCommit(fileName, rows, mins.toMap, maxs.toMap)
+  }
+  override def abort(): Unit = {
+    try out.close() catch { case _: Throwable => () }
+    Files.deleteIfExists(root.resolve(fileName))
+  }
+  override def close(): Unit = ()
 }
 
 /** Aggregate pushdown: a global COUNT(*) is answered ENTIRELY from the

@@ -1,0 +1,135 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+case class StreamRec(id: Long, s: String, x: Double)
+
+/** Streaming write path of the manifest table: exactly-once by epoch
+  * marker inside the versioned manifest (committed-epoch and visible-files
+  * are one atomic CAS publish), replay idempotence, complete-mode
+  * truncate-per-epoch with marker survival, and marker carry-forward
+  * through interleaved batch writes. */
+class ManifestStreamSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  private val fmt = "graft.sources.ManifestSink"
+
+  private def tmp(): Path = {
+    val p = Files.createTempDirectory("manifest-stream")
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  private def dataFiles(root: Path): Set[String] = {
+    val s = Files.list(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("data-")).toSet
+    } finally s.close()
+  }
+
+  test("append-mode stream commits each epoch atomically and the table accumulates") {
+    val root = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StreamRec]
+    val q = ms.toDF().writeStream.format(fmt)
+      .option("path", root.toString)
+      .option("checkpointLocation", tmp().toString)
+      .outputMode("append").start()
+    try {
+      ms.addData(StreamRec(1L, "a", 0.5), StreamRec(2L, "b", 1.5))
+      q.processAllAvailable()
+      assert(spark.read.format(fmt).option("path", root.toString).load().count() == 2)
+      ms.addData(StreamRec(3L, "c", 2.5))
+      q.processAllAvailable()
+      val out = spark.read.format(fmt).option("path", root.toString).load()
+        .as[StreamRec].collect().sortBy(_.id).toSeq
+      assert(out.map(_.id) == Seq(1L, 2L, 3L))
+      // one manifest version per non-empty epoch, marker at the last epoch
+      assert(ManifestSink.currentVersion(root) == 2L)
+      val markers = ManifestSink.epochMarkers(root)
+      assert(markers.size == 1 && markers.head._2 == 1L,
+        s"expected high-water epoch 1 for the query, got $markers")
+    } finally q.stop()
+  }
+
+  test("a replayed epoch is a pure no-op: no new version, duplicate files swept") {
+    val root = tmp()
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val gc = GcPolicy(None, 3600000L)
+    val w = new ManifestStreamingWrite(root, schema, truncateEachEpoch = false,
+      gc, queryId = "restart-query")
+
+    def fakeTaskFile(name: String): ManifestCommit = {
+      Files.createDirectories(root)
+      Files.writeString(root.resolve(name), "7\n")
+      ManifestCommit(name, 1L, Map("id" -> 7L), Map("id" -> 7L))
+    }
+
+    w.commit(0L, Array(fakeTaskFile("data-e0-first.tsv")))
+    assert(ManifestSink.currentVersion(root) == 1L)
+    // recovery: Spark re-runs epoch 0; the tasks wrote NEW files
+    w.commit(0L, Array(fakeTaskFile("data-e0-replay.tsv")))
+    assert(ManifestSink.currentVersion(root) == 1L, "replay must not publish")
+    assert(spark.read.format(fmt).option("path", root.toString).load().count() == 1,
+      "replay must not double-count")
+    assert(!dataFiles(root).contains("data-e0-replay.tsv"),
+      "replay's duplicate files must be deleted")
+    // the next epoch commits normally
+    w.commit(1L, Array(fakeTaskFile("data-e1.tsv")))
+    assert(ManifestSink.currentVersion(root) == 2L)
+    assert(spark.read.format(fmt).option("path", root.toString).load().count() == 2)
+  }
+
+  test("complete-mode stream truncates per epoch but the epoch marker survives") {
+    val root = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val ms = MemoryStream[StreamRec]
+    val q = ms.toDF().groupBy($"s").agg(count(lit(1)).as("n"))
+      .writeStream.format(fmt)
+      .option("path", root.toString)
+      .option("checkpointLocation", tmp().toString)
+      .outputMode("complete").start()
+    try {
+      ms.addData(StreamRec(1L, "a", 0.0), StreamRec(2L, "a", 0.0))
+      q.processAllAvailable()
+      ms.addData(StreamRec(3L, "b", 0.0))
+      q.processAllAvailable()
+      val out = spark.read.format(fmt).option("path", root.toString).load()
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+      // latest epoch's full aggregate only — no stale epoch-0 rows
+      assert(out == Seq(("a", 2L), ("b", 1L)))
+      val markers = ManifestSink.epochMarkers(root)
+      assert(markers.size == 1 && markers.head._2 == 1L,
+        s"marker must survive the truncate, got $markers")
+    } finally q.stop()
+  }
+
+  test("a batch append between epochs carries the streaming marker forward") {
+    val root = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StreamRec]
+    val q = ms.toDF().writeStream.format(fmt)
+      .option("path", root.toString)
+      .option("checkpointLocation", tmp().toString)
+      .outputMode("append").start()
+    try {
+      ms.addData(StreamRec(1L, "a", 0.5))
+      q.processAllAvailable()
+    } finally q.stop()
+    val markersBefore = ManifestSink.epochMarkers(root)
+    assert(markersBefore.nonEmpty)
+    // a plain batch append rebuilds the manifest — the marker must ride along,
+    // or a later stream restart would double-apply its last epoch
+    Seq(StreamRec(9L, "z", 9.9)).toDF()
+      .write.format(fmt).option("path", root.toString).mode("append").save()
+    assert(ManifestSink.epochMarkers(root) == markersBefore)
+    assert(spark.read.format(fmt).option("path", root.toString).load().count() == 2)
+  }
+}
