@@ -19,15 +19,26 @@ import graft.functions.GraftFunctions._
   *   - q53 rolling-hash document fingerprinting (fixed-width, content
   *     defined), with collision counts
   *   - q54 regex tokenization counts (BPE-ish piece extraction)
+  *   - q121 exact heavy hitters via the two-pass Misra–Gries shape:
+  *     bounded-state candidate sketch, then an exact recount over the
+  *     ≤K candidates — the final output is exact (and oracle-checkable)
+  *     even though the candidate set depends on partial-merge order
   *
   * Scale: everything is explode → groupBy → window (shuffle-bounded);
-  * the vocabulary join (q51) broadcasts (5 langs × 20 tokens).
+  * the vocabulary join (q51) broadcasts (5 langs × 20 tokens). q121's
+  * first pass carries at most K counters per partial aggregate — the
+  * full-vocabulary shuffle that `groupBy(token)` would pay on a
+  * billion-key corpus never happens; the second pass filters to ≤K
+  * tokens map-side via a broadcast semi-join before its (tiny) shuffle.
   */
 object TextOps {
   type Q = (SparkSession, String) => DataFrame
 
   val VocabTopN = 20
   val Stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** MG sketch capacity: exact-output threshold is count > N/(K+1). */
+  val HeavyHitterK = 31
 
   val queries: Map[String, Q] = Map(
     "q50_token_stats" -> ((s, dir) => {
@@ -114,6 +125,29 @@ object TextOps {
         .orderBy("lang", "rn")
     }),
 
+    // Two-pass exact heavy hitters. Pass 1 never shuffles the vocabulary:
+    // each partial aggregate is a <=K-counter Misra-Gries sketch, merged
+    // associatively; any token with true frequency > N/(K+1) is guaranteed
+    // among the <=K candidates. Pass 2 recounts ONLY the candidates
+    // (broadcast semi-join prunes map-side) and applies the exact
+    // threshold, which removes the sketch's order-dependent false
+    // positives — so the result is exact and deterministic.
+    "q121_heavy_hitters" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+      // one scan: sketch + N together (a second scan just for count(*)
+      // would double the pass-1 I/O)
+      val cands = toks
+        .agg(graft.functions.Sketches.mgCandidates(HeavyHitterK)(col("token")).as("cands"),
+          count(lit(1)).as("n_total"))
+        .select(explode(col("cands")).as("token"), col("n_total"))
+      toks.join(broadcast(cands), Seq("token"))
+        .groupBy("token", "n_total").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * (HeavyHitterK + 1) > col("n_total"))
+        .select(col("token"), col("cnt"), col("n_total"))
+        .orderBy("token")
+    }),
+
     "q54_regex_tokens" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
@@ -196,6 +230,14 @@ object TextOps {
          |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rn
          |  FROM c)
          |WHERE rn <= 10 ORDER BY lang, rn""".stripMargin,
+
+    "q121_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents),
+         |tot AS (SELECT count(*) AS n_total FROM toks)
+         |SELECT token, count(*) AS cnt, n_total
+         |FROM toks, tot GROUP BY token, n_total
+         |HAVING count(*) * ${HeavyHitterK + 1} > n_total
+         |ORDER BY token""".stripMargin,
 
     "q54_regex_tokens" ->
       s"""SELECT doc_id,
