@@ -23,6 +23,11 @@ import graft.functions.GraftFunctions.cents
   *     the top-heavy keys and their share, the input to a salting /
   *     AQE-skew decision (SkewJoinSpec exercises the remedy; this is the
   *     detector)
+  *   - q122 MERGE upsert — Delta/Iceberg MERGE's relational core: base
+  *     FULL OUTER JOIN changes + per-row CASE (pass/update/delete/insert)
+  *     in one shuffle on the merge key
+  *   - q123 SCD type-2 — consecutive equal-value runs per user collapsed
+  *     into [valid_from, valid_to) validity intervals via lag/lead
   *
   * Scale posture: sessionize/transition are per-user windows (keyed
   * partitions, never global); retention is two keyed aggregates; fuzzy
@@ -219,6 +224,64 @@ object AnalyticsOps {
         .withColumn("skew_bp", expr("cnt * n_keys * 10000 div total"))
         .select("rk", "l_partkey", "cnt", "total", "n_keys", "share_bp", "skew_bp")
         .orderBy("rk")
+    }),
+
+    // MERGE INTO, relationally: one full-outer join of base vs a change
+    // set, then per-row CASE semantics — unmatched base rows pass
+    // through, 'U' updates in place, 'D' deletes, 'I' inserts new keys.
+    // This is Delta/Iceberg MERGE's core as a single declarative DAG:
+    // one shuffle on the merge key (or none, if both sides are bucketed
+    // on it), no driver loop. The change set is derived deterministically
+    // from orders so the oracle can rebuild it: per-customer order count
+    // picks the op, order-value cents carry the update payload.
+    "q122_merge_upsert" -> ((s, dir) => {
+      val delta = Tables.orders(s, dir)
+        .groupBy(col("o_custkey").as("key"))
+        .agg(count(lit(1)).as("n_ord"),
+          sum(cents(col("o_totalprice"))).as("delta_cents"))
+      val changes = delta.select(
+        when(col("n_ord") % 10 === 0, lit("D"))
+          .when(col("n_ord") % 10 === 1, lit("I"))
+          .otherwise(lit("U")).as("op"),
+        // inserts synthesize a key outside the base's keyspace: base keys
+        // are >= 0, so -key-1 <= -1 can never collide (plain -key would
+        // alias custkey 0 onto itself)
+        when(col("n_ord") % 10 === 1, -col("key") - 1).otherwise(col("key")).as("key"),
+        col("delta_cents"))
+      val base = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), cents(col("c_acctbal")).as("acctbal_cents"))
+      base.join(changes, base("c_custkey") === changes("key"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(
+          coalesce(col("c_custkey"), col("key")).as("c_custkey"),
+          coalesce(col("c_name"),
+            concat(lit("new-"), (-col("key")).cast("string"))).as("c_name"),
+          coalesce(col("c_nationkey"), (col("delta_cents") % 25).cast("int")).as("c_nationkey"),
+          (coalesce(col("acctbal_cents"), lit(0L)) +
+            when(col("op") === "U" || col("op") === "I", col("delta_cents"))
+              .otherwise(lit(0L))).as("acctbal_cents"))
+        .orderBy("c_custkey")
+    }),
+
+    // SCD type-2 from an event log: collapse each user's consecutive
+    // runs of equal event_type into [valid_from, valid_to) validity
+    // intervals — lag() finds the change points, lead() closes each
+    // interval with the next one's start (open intervals get MaxValue).
+    // Everything is per-user keyed windows: no global sort, no state
+    // beyond one row of look-back/ahead per partition.
+    "q123_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val w2 = Window.partitionBy("user_id").orderBy(col("valid_from_us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts_us"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .withColumn("valid_from_us", col("ts_us"))
+        .withColumn("version", row_number().over(w2))
+        .withColumn("valid_to_us",
+          coalesce(lead(col("valid_from_us"), 1).over(w2), lit(Long.MaxValue)))
+        .select("user_id", "version", "event_type", "valid_from_us", "valid_to_us")
+        .orderBy("user_id", "version")
     }))
 
   // ---- DuckDB oracle ------------------------------------------------------
@@ -336,5 +399,40 @@ object AnalyticsOps {
         |SELECT rk, l_partkey, cnt, total, n_keys,
         |  cnt * 10000 // total AS share_bp,
         |  cnt * n_keys * 10000 // total AS skew_bp
-        |FROM t CROSS JOIN s WHERE rk <= 5 ORDER BY rk""".stripMargin)
+        |FROM t CROSS JOIN s WHERE rk <= 5 ORDER BY rk""".stripMargin,
+
+    "q122_merge_upsert" ->
+      """WITH delta AS (SELECT o_custkey AS key, count(*) AS n_ord,
+        |    CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS delta_cents
+        |  FROM orders GROUP BY 1),
+        |changes AS (SELECT
+        |    CASE WHEN n_ord % 10 = 0 THEN 'D'
+        |         WHEN n_ord % 10 = 1 THEN 'I' ELSE 'U' END AS op,
+        |    CASE WHEN n_ord % 10 = 1 THEN -key - 1 ELSE key END AS key,
+        |    delta_cents FROM delta),
+        |base AS (SELECT c_custkey, c_name, c_nationkey,
+        |    CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents FROM customer)
+        |SELECT
+        |  coalesce(b.c_custkey, c.key) AS c_custkey,
+        |  coalesce(b.c_name, 'new-' || CAST(-c.key AS VARCHAR)) AS c_name,
+        |  coalesce(b.c_nationkey, CAST(c.delta_cents % 25 AS INTEGER)) AS c_nationkey,
+        |  coalesce(b.acctbal_cents, 0)
+        |    + CASE WHEN c.op IN ('U', 'I') THEN c.delta_cents ELSE 0 END AS acctbal_cents
+        |FROM base b FULL OUTER JOIN changes c ON b.c_custkey = c.key
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q123_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |ch AS (SELECT user_id, event_id, event_type, ts_us,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type
+        |  FROM e),
+        |runs AS (SELECT user_id, event_id, event_type, ts_us AS valid_from_us FROM ch
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  CAST(row_number() OVER w AS INTEGER) AS version,
+        |  event_type, valid_from_us,
+        |  coalesce(lead(valid_from_us) OVER w, 9223372036854775807) AS valid_to_us
+        |FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_us, event_id)
+        |ORDER BY user_id, version""".stripMargin)
 }

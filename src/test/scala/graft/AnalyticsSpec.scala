@@ -121,6 +121,54 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("q122: merge accounting — every base row passes, updates, or deletes; inserts are new keys") {
+    val merged = AnalyticsOps.queries("q122_merge_upsert")(spark, sfDir)
+    val base = Tables.customer(spark, sfDir)
+    val ordersPerCust = Tables.orders(spark, sfDir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_ord"))
+    val nDeletes = ordersPerCust.filter(col("n_ord") % 10 === 0).count()
+    val nInserts = ordersPerCust.filter(col("n_ord") % 10 === 1).count()
+    // row accounting: |merged| = |base| - deletes + inserts
+    assert(merged.count() == base.count() - nDeletes + nInserts)
+    // inserts are exactly the negative keys; no base key is negative
+    assert(merged.filter(col("c_custkey") < 0).count() == nInserts)
+    // untouched rows survive bit-identically (spot the no-change class)
+    val untouched = merged.join(ordersPerCust,
+      merged("c_custkey") === ordersPerCust("o_custkey"), "left_anti")
+    val baseCents = base.filter(col("c_custkey") > 0)
+      .select(col("c_custkey"),
+        graft.functions.GraftFunctions.cents(col("c_acctbal")).as("acctbal_cents"))
+    val drifted = untouched.filter(col("c_custkey") > 0)
+      .select("c_custkey", "acctbal_cents")
+      .except(baseCents)
+    assert(drifted.count() == 0, "a row with no change op drifted")
+  }
+
+  test("q123: SCD2 intervals are disjoint, ordered, dense-versioned, and cover all changes") {
+    val scd = AnalyticsOps.queries("q123_scd2")(spark, sfDir)
+    // versions dense from 1 per user
+    val dense = scd.groupBy("user_id")
+      .agg(max("version").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n"))
+    assert(dense.count() == 0)
+    // each interval is non-empty-ordered and abuts the next exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("version")
+    val bad = scd
+      .withColumn("next_from", lead(col("valid_from_us"), 1).over(w))
+      .filter(col("valid_to_us") < col("valid_from_us") ||
+        (col("next_from").isNotNull && col("valid_to_us") =!= col("next_from")))
+    assert(bad.count() == 0, "intervals must chain [from, to) -> [to, ...)")
+    // exactly one open interval (MaxValue) per user
+    val open = scd.filter(col("valid_to_us") === Long.MaxValue)
+      .groupBy("user_id").agg(count(lit(1)).as("n")).filter(col("n") =!= 1)
+    assert(open.count() == 0)
+    // no two consecutive intervals carry the same type (runs are maximal)
+    val rep = scd.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type") === col("event_type"))
+    assert(rep.count() == 0, "consecutive intervals with equal type")
+  }
+
   test("q114: negatives are valid docs, never the probe, and deterministic") {
     val a = CurationOps.queries("q114_negative_sampling")(spark, sfDir).collect()
     val b = CurationOps.queries("q114_negative_sampling")(spark, sfDir).collect()
