@@ -51,6 +51,8 @@ import scala.jdk.CollectionConverters._
   *     .option("path", dir).option("versionAsOf", "1").load()
   *   df.writeStream.format("graft.sources.ManifestSink")    // exactly-once
   *     .option("path", dir).option("checkpointLocation", ckpt).start()
+  *   spark.read.format("graft.sources.ManifestSink")        // change feed
+  *     .option("path", dir).option("changesFromVersion", "2").load()
   */
 class ManifestSink extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
@@ -63,7 +65,7 @@ class ManifestSink extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new ManifestTable(ManifestSink.root(properties), schema,
-      ManifestSink.versionAsOf(properties))
+      ManifestSink.versionAsOf(properties), ManifestSink.changesRange(properties))
 }
 
 object ManifestSink {
@@ -86,6 +88,44 @@ object ManifestSink {
       require(v >= 1, s"versionAsOf must be >= 1, got $v")
       v
     }
+
+  /** Change feed: `.option("changesFromVersion", N)` (+ optional
+    * `changesToVersion`, default current) reads ONLY the rows added
+    * after version N — the incremental-consumption primitive (Delta CDF's
+    * insert-only shape): a downstream pipeline processes each publish's
+    * delta without rescanning the table. Valid only across a pure-append
+    * window; a truncate or retention GC inside it fails loudly rather
+    * than returning a wrong (non-delta) answer. */
+  private[sources] def changesRange(properties: util.Map[String, String]): Option[(Long, Long)] =
+    Option(properties.get("changesFromVersion")).map { s =>
+      val from = s.toLong
+      require(from >= 0, s"changesFromVersion must be >= 0, got $from")
+      (from, Option(properties.get("changesToVersion")).map(_.toLong).getOrElse(-1L))
+    }
+
+  /** Files added between versions `from` and `to` (pure-append check
+    * included). `from` = 0 means "since the empty table". */
+  private[sources] def addedEntries(root: Path, from: Long, to0: Long): Seq[FileEntry] = {
+    val to = if (to0 < 0) currentVersion(root) else to0
+    require(from <= to, s"changesFromVersion $from is past changesToVersion $to")
+    val before =
+      if (from == 0L) Seq.empty
+      else {
+        require(Files.exists(manifestAt(root, from)),
+          s"changesFromVersion $from does not exist for manifest table $root " +
+            "(expired by retention GC?) — cannot compute a change feed")
+        committedEntries(root, Some(from))
+      }
+    val after = committedEntries(root, Some(to).filter(_ > 0L))
+    val afterNames = after.map(_.name).toSet
+    val dropped = before.map(_.name).filterNot(afterNames)
+    require(dropped.isEmpty,
+      s"manifest table $root is not pure-append between v$from and v$to " +
+        s"(files removed: ${dropped.take(3).mkString(", ")}…) — a change feed " +
+        "across a truncate/GC would not be a delta; read the snapshot instead")
+    val beforeNames = before.map(_.name).toSet
+    after.filterNot(e => beforeNames(e.name))
+  }
 
   // ---- versioned manifests + CAS publish --------------------------------
   //
@@ -385,17 +425,19 @@ object ManifestSink {
   }
 }
 
-class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None)
+class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None,
+    changes: Option[(Long, Long)] = None)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String =
-    s"manifest($root${pinned.fold("")(v => s"@v$v")})"
+    s"manifest($root${pinned.fold("")(v => s"@v$v")}" +
+      s"${changes.fold("")(c => s"Δv${c._1}..${if (c._2 < 0) "now" else c._2}")})"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestScanBuilder(root, pinned)
+    new ManifestScanBuilder(root, pinned, changes)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(root, info.schema(), truncateFirst = false,
@@ -559,7 +601,8 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String)
 /** Aggregate pushdown: a global COUNT(*) is answered ENTIRELY from the
   * manifest's per-file row counts — zero data files are opened (the spec
   * proves it by deleting them first). Anything else scans normally. */
-class ManifestScanBuilder(root: Path, pinned: Option[Long] = None)
+class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
+    changes: Option[(Long, Long)] = None)
     extends ScanBuilder with SupportsPushDownAggregates with SupportsPushDownFilters {
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
   import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -619,11 +662,19 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None)
     case _ => true
   }
 
+  /** The file set this scan covers: a version snapshot, or — in change-
+    * feed mode — only the files added inside the version window. Count
+    * pushdown and min/max skipping both apply to either set. */
+  private def scanEntries: Seq[ManifestSink.FileEntry] = changes match {
+    case Some((from, to)) => ManifestSink.addedEntries(root, from, to)
+    case None => ManifestSink.committedEntries(root, pinned)
+  }
+
   override def build(): Scan =
     if (countPushed)
-      new ManifestCountScan(ManifestSink.committedEntries(root, pinned).map(_.rows).sum)
+      new ManifestCountScan(scanEntries.map(_.rows).sum)
     else {
-      val kept = ManifestSink.committedEntries(root, pinned)
+      val kept = scanEntries
         .filter(e => skipFilters.forall(f => mayMatch(e, f)))
         .map(_.name)
       new ManifestScan(root, ManifestSink.readSchema(root, pinned), kept)

@@ -209,6 +209,51 @@ class ManifestCasSpec extends AnyFunSuite {
     assert(spark.read.format(fmt).option("path", dir).load().count() == 1)
   }
 
+  test("change feed reads only the files added inside the version window") {
+    val root = tmp()
+    val dir = root.toString
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, Some(s"batch$i"), i * 1.0)).toDF("id", "s", "x")
+        .write.format(fmt).option("path", dir).mode("append").save() // v1..v3
+    }
+    def changes(from: Long, to: Option[Long] = None) = {
+      val r = spark.read.format(fmt).option("path", dir)
+        .option("changesFromVersion", from.toString)
+      to.fold(r)(t => r.option("changesToVersion", t.toString))
+        .load().select("id").as[Long].collect().sorted.toSeq
+    }
+    assert(changes(0) == Seq(1L, 2L, 3L), "from the empty table = full snapshot")
+    assert(changes(1) == Seq(2L, 3L))
+    assert(changes(2) == Seq(3L))
+    assert(changes(3) == Seq.empty)
+    assert(changes(1, Some(2L)) == Seq(2L), "bounded window")
+    // count(*) over the delta resolves from manifest metadata of the
+    // ADDED files only
+    val n = spark.read.format(fmt).option("path", dir)
+      .option("changesFromVersion", "1").load().count()
+    assert(n == 2)
+  }
+
+  test("change feed across a truncate fails loudly instead of lying") {
+    val root = tmp()
+    val dir = root.toString
+    Seq((1L, Some("a"), 0.0)).toDF("id", "s", "x")
+      .write.format(fmt).option("path", dir).mode("append").save()    // v1
+    Seq((2L, Some("b"), 0.0)).toDF("id", "s", "x")
+      .write.format(fmt).option("path", dir).mode("overwrite").save() // v2 truncates
+    val e = intercept[Exception] {
+      spark.read.format(fmt).option("path", dir)
+        .option("changesFromVersion", "1").load().collect()
+    }
+    assert(e.getMessage.contains("not pure-append"))
+    // an expired `from` version (retention GC) also fails loudly
+    val e2 = intercept[Exception] {
+      spark.read.format(fmt).option("path", dir)
+        .option("changesFromVersion", "99").load().collect()
+    }
+    assert(e2.getMessage.contains("past") || e2.getMessage.contains("does not exist"))
+  }
+
   test("legacy single-file manifest.txt tables read as version 0 and upgrade on append") {
     val root = tmp()
     val schema = StructType(Seq(
