@@ -145,6 +145,18 @@ class CookbookSpec extends AnyFunSuite {
     assert(t.count() == 400)
     val narrow = t.filter(col("id") >= 150 && col("id") < 160)
     assert(narrow.rdd.getNumPartitions == 1 && narrow.count() == 10)
+
+    // change feed: an append publishes v2; reading changesFromVersion=1
+    // returns ONLY the appended rows (the streaming write and retention
+    // GC halves of §13 are lifecycle-heavy — ManifestStreamSpec and
+    // ManifestCasSpec run them end to end)
+    spark.range(10).select(col("id") + 1000, lit("w").as("s"), lit(2.0).as("x"))
+      .toDF("id", "s", "x")
+      .write.format("graft.sources.ManifestSink")
+      .option("path", dir).mode("append").save()
+    val delta = spark.read.format("graft.sources.ManifestSink")
+      .option("path", dir).option("changesFromVersion", "1").load()
+    assert(delta.count() == 10 && t.count() == 410)
   }
 
   test("§12 behavioral analytics & data quality") {
@@ -154,8 +166,12 @@ class CookbookSpec extends AnyFunSuite {
     val skew      = SparkEntry.queries("q113_skew_profile")(spark, sfDir)      // heavy join keys -> salting decision
     val gate      = SparkEntry.queries("q115_expectations")(spark, sfDir)      // batch admit/reject rule report
     val outliers  = SparkEntry.queries("q116_outliers")(spark, sfDir)          // |z| >= 2.5 sigma per event type
+    val merged    = SparkEntry.queries("q122_merge_upsert")(spark, sfDir)      // MERGE: one full-outer join + CASE
+    val scd2      = SparkEntry.queries("q123_scd2")(spark, sfDir)              // SCD2 validity intervals (lag/lead)
+    val heavy     = SparkEntry.queries("q121_heavy_hitters")(spark, sfDir)     // exact > N/(K+1) tokens, 2-pass MG
     assert(sessions.count() > 0 && retention.count() > 0 && matrix.count() > 0
       && skew.count() > 0 && gate.count() == 5)
     assert(outliers.columns.contains("z_bp"))
+    assert(merged.count() > 0 && scd2.count() > 0 && heavy.count() > 0)
   }
 }
