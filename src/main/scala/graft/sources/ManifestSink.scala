@@ -140,9 +140,11 @@ object ManifestSink {
   //
   // A versioned manifest's FIRST line is the table schema (single-line
   // Spark DataType JSON); optional `#epoch<TAB>queryId<TAB>epochId`
-  // marker lines follow (streaming exactly-once bookkeeping, one per
-  // streaming query that has ever committed — see
-  // [[ManifestStreamingWrite]]), then the file entries. Schema, markers
+  // marker lines follow (streaming exactly-once bookkeeping, one line
+  // per streaming query that has EVER committed — bounded by the number
+  // of distinct checkpoint lineages, not by epochs, so growth is
+  // negligible next to the file entries; see [[ManifestStreamingWrite]]),
+  // then the file entries. Schema, markers
   // and file list therefore publish in ONE atomic unit — a reader
   // concurrent with a truncate-with-new-schema can never see the new
   // schema against the old file list or vice versa, and an epoch can
@@ -216,16 +218,22 @@ object ManifestSink {
       .filter(v => Files.exists(manifestAt(root, v)))
       .flatMap(v => committedEntries(root, Some(v)))
       .map(_.name).toSet
-    (1L to cutoff).foreach(v => Files.deleteIfExists(manifestAt(root, v)))
-    Files.deleteIfExists(manifest(root)) // legacy file is pre-v1 state
+    // one directory listing drives BOTH sweeps — a blind 1..cutoff
+    // delete loop would cost O(currentVersion) syscalls per commit on a
+    // long-lived table, even though steady-state leaves only one
+    // expirable version per GC pass
     val now = System.currentTimeMillis()
     val s = Files.list(root)
     try s.iterator().asScala.foreach { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("data-") && !referenced(n) &&
-          now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs)
-        Files.deleteIfExists(p)
+      p.getFileName.toString match {
+        case ManifestVersionRe(n) if n.toLong <= cutoff => Files.deleteIfExists(p)
+        case n if n.startsWith("data-") && !referenced(n) &&
+            now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs =>
+          Files.deleteIfExists(p)
+        case _ => ()
+      }
     } finally s.close()
+    Files.deleteIfExists(manifest(root)) // legacy file is pre-v1 state
   }
 
   /** Characters that would corrupt the manifest stats encoding
