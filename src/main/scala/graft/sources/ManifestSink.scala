@@ -684,7 +684,6 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
     else {
       val kept = scanEntries
         .filter(e => skipFilters.forall(f => mayMatch(e, f)))
-        .map(_.name)
       new ManifestScan(root, ManifestSink.readSchema(root, pinned), kept)
     }
 }
@@ -710,16 +709,35 @@ class ManifestCountReaderFactory(total: Long) extends PartitionReaderFactory {
     }
 }
 
-class ManifestScan(root: Path, schema: StructType, files: Seq[String])
-    extends Scan with Batch {
+class ManifestScan(root: Path, schema: StructType,
+    entries: Seq[ManifestSink.FileEntry])
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  /** Report exact row counts and on-disk bytes from manifest metadata so
+    * Catalyst sizes this side of a join truthfully — without this, DSv2
+    * relations fall back to `spark.sql.defaultSizeInBytes` and a small
+    * manifest table can never win a broadcast: every join against it
+    * pays a full shuffle. Stats reflect the files this scan actually
+    * covers (post min/max skipping / time travel / change-feed window),
+    * so a filtered or delta scan reports its pruned size, not the
+    * table's. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = entries.map { e =>
+      val p = root.resolve(e.name)
+      if (Files.exists(p)) Files.size(p) else 0L
+    }.sum
+    private val rows = entries.map(_.rows).sum
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+  }
   // one InputPartition per SURVIVING committed data file — parallelism
   // follows the manifest, uncommitted/stray files are invisible, and
   // stats-pruned files never become partitions at all
   override def planInputPartitions(): Array[InputPartition] =
-    files
-      .map(f => ManifestFilePartition(root.resolve(f).toString): InputPartition)
+    entries
+      .map(e => ManifestFilePartition(root.resolve(e.name).toString): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(schema)

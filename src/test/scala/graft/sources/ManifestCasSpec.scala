@@ -282,6 +282,23 @@ class ManifestCasSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("past") || e2.getMessage.contains("does not exist"))
   }
 
+  test("manifest stats reach Catalyst: a small manifest table wins a broadcast join") {
+    val root = tmp()
+    val dir = root.toString
+    Seq.tabulate(20)(i => (i.toLong, Some(s"dim$i"), i * 1.0)).toDF("id", "s", "x")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val dim = spark.read.format(fmt).option("path", dir).load()
+    val fact = spark.range(100000).select(col("id") % 20 as "id",
+      col("id").as("v"))
+    val joined = fact.join(dim, "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    // without SupportsReportStatistics the DSv2 relation sizes as
+    // defaultSizeInBytes and this join can never broadcast
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the tiny manifest dim side to broadcast:\n$plan")
+    assert(joined.count() == 100000)
+  }
+
   test("legacy single-file manifest.txt tables read as version 0 and upgrade on append") {
     val root = tmp()
     val schema = StructType(Seq(
