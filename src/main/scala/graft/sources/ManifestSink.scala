@@ -331,6 +331,34 @@ object ManifestSink {
   private[sources] def entryLine(e: FileEntry): String =
     s"${e.name}\t${e.rows}\t${statsStr(e.mins)}\t${statsStr(e.maxs)}"
 
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case _ => None
+  }
+
+  /** Can `e` possibly contain a row passing `f`, judged by the per-file
+    * integer min/max stats? Unknown stats or non-integer operands => yes.
+    * Shared by planning-time skip filters and runtime (DPP-style) join
+    * filters. */
+  private[sources] def mayMatch(e: FileEntry, f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(c, v) => asLong(v).forall(x =>
+        e.mins.get(c).forall(_ <= x) && e.maxs.get(c).forall(_ >= x))
+      case GreaterThan(c, v) => asLong(v).forall(x => e.maxs.get(c).forall(_ > x))
+      case GreaterThanOrEqual(c, v) => asLong(v).forall(x => e.maxs.get(c).forall(_ >= x))
+      case LessThan(c, v) => asLong(v).forall(x => e.mins.get(c).forall(_ < x))
+      case LessThanOrEqual(c, v) => asLong(v).forall(x => e.mins.get(c).forall(_ <= x))
+      case In(c, vs) =>
+        // the runtime-filter shape: join keys arrive as an IN-set; the
+        // file survives if ANY key falls inside its [min, max] range
+        vs.isEmpty || vs.exists(v => asLong(v).forall(x =>
+          e.mins.get(c).forall(_ <= x) && e.maxs.get(c).forall(_ >= x)))
+      case _ => true
+    }
+  }
+
   /** Assemble and CAS-publish one new manifest version: stored-schema
     * compat + nullability merge, entry union (or replacement on
     * truncate), epoch-marker carry-forward, legacy side-car, retention
@@ -653,23 +681,6 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
 
   override def pushedFilters(): Array[Filter] = skipFilters
 
-  private def asLong(v: Any): Long = v match {
-    case l: Long => l
-    case i: Int => i.toLong
-    case other => throw new IllegalStateException(s"unexpected $other")
-  }
-
-  /** Can `e` possibly contain a row passing `f`? Unknown stats => yes. */
-  private def mayMatch(e: ManifestSink.FileEntry, f: Filter): Boolean = f match {
-    case EqualTo(c, v) =>
-      e.mins.get(c).forall(_ <= asLong(v)) && e.maxs.get(c).forall(_ >= asLong(v))
-    case GreaterThan(c, v) => e.maxs.get(c).forall(_ > asLong(v))
-    case GreaterThanOrEqual(c, v) => e.maxs.get(c).forall(_ >= asLong(v))
-    case LessThan(c, v) => e.mins.get(c).forall(_ < asLong(v))
-    case LessThanOrEqual(c, v) => e.mins.get(c).forall(_ <= asLong(v))
-    case _ => true
-  }
-
   /** The file set this scan covers: a version snapshot, or — in change-
     * feed mode — only the files added inside the version window. Count
     * pushdown and min/max skipping both apply to either set. */
@@ -683,7 +694,7 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
       new ManifestCountScan(scanEntries.map(_.rows).sum)
     else {
       val kept = scanEntries
-        .filter(e => skipFilters.forall(f => mayMatch(e, f)))
+        .filter(e => skipFilters.forall(f => ManifestSink.mayMatch(e, f)))
       new ManifestScan(root, ManifestSink.readSchema(root, pinned), kept)
     }
 }
@@ -710,10 +721,31 @@ class ManifestCountReaderFactory(total: Long) extends PartitionReaderFactory {
 }
 
 class ManifestScan(root: Path, schema: StructType,
-    entries: Seq[ManifestSink.FileEntry])
-    extends Scan with Batch with SupportsReportStatistics {
+    entries0: Seq[ManifestSink.FileEntry])
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+  // runtime filters (below) narrow the planned file set after the scan
+  // is built but before partitions are planned
+  private var entries: Seq[ManifestSink.FileEntry] = entries0
+
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  /** Runtime (DPP-shaped) filtering: join-key IN-sets computed at
+    * execution time re-prune the file set by the same min/max stats the
+    * planning-time skip uses. At 100 TB this is the star-join pattern:
+    * the dim side's surviving keys arrive as an IN list and whole fact
+    * files whose key range misses every value are never even opened —
+    * without re-planning the query. Integer stat columns only (the ones
+    * with manifest min/max). */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    schema.fields.collect {
+      case f if f.dataType == LongType || f.dataType == IntegerType =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
+    }
+
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    entries = entries.filter(e => filters.forall(f => ManifestSink.mayMatch(e, f)))
 
   /** Report exact row counts and on-disk bytes from manifest metadata so
     * Catalyst sizes this side of a join truthfully — without this, DSv2

@@ -299,6 +299,30 @@ class ManifestCasSpec extends AnyFunSuite {
     assert(joined.count() == 100000)
   }
 
+  test("runtime IN filters prune files by min/max before partition planning") {
+    val root = tmp()
+    val dir = root.toString
+    // three files with disjoint id ranges (one task per append)
+    Seq(0 until 10, 10 until 20, 20 until 30).foreach { r =>
+      r.map(i => (i.toLong, Some(s"v$i"), 0.0)).toDF("id", "s", "x")
+        .coalesce(1)
+        .write.format(fmt).option("path", dir).mode("append").save()
+    }
+    val scan = new ManifestScanBuilder(root).build().asInstanceOf[ManifestScan]
+    assert(scan.planInputPartitions().length == 3)
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("id"))
+    // a join's runtime key set arrives as an IN filter: only the file
+    // whose [min,max] covers a key survives
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array(5L, 7L))))
+    assert(scan.planInputPartitions().length == 1)
+    // reported statistics narrow with the pruned set
+    assert(scan.estimateStatistics().numRows().getAsLong == 10L)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array(999L))))
+    assert(scan.planInputPartitions().isEmpty)
+  }
+
   test("legacy single-file manifest.txt tables read as version 0 and upgrade on append") {
     val root = tmp()
     val schema = StructType(Seq(
