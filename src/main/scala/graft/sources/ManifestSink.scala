@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.read.{streaming => readstreaming}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -470,7 +471,8 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE).asJava
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ManifestScanBuilder(root, pinned, changes)
@@ -695,7 +697,9 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
     else {
       val kept = scanEntries
         .filter(e => skipFilters.forall(f => ManifestSink.mayMatch(e, f)))
-      new ManifestScan(root, ManifestSink.readSchema(root, pinned), kept)
+      // streaming reads honor changesFromVersion as their starting point
+      new ManifestScan(root, ManifestSink.readSchema(root, pinned), kept,
+        streamStart = changes.map(_._1).getOrElse(0L))
     }
 }
 
@@ -721,7 +725,7 @@ class ManifestCountReaderFactory(total: Long) extends PartitionReaderFactory {
 }
 
 class ManifestScan(root: Path, schema: StructType,
-    entries0: Seq[ManifestSink.FileEntry])
+    entries0: Seq[ManifestSink.FileEntry], streamStart: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   // runtime filters (below) narrow the planned file set after the scan
@@ -771,6 +775,44 @@ class ManifestScan(root: Path, schema: StructType,
     entries
       .map(e => ManifestFilePartition(root.resolve(e.name).toString): InputPartition)
       .toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ManifestReaderFactory(schema)
+
+  override def toMicroBatchStream(checkpointLocation: String): readstreaming.MicroBatchStream =
+    new ManifestMicroBatchStream(root, schema, streamStart)
+}
+
+/** The table AS a stream (the Delta "table streaming" shape): offsets
+  * are manifest versions, and each micro-batch reads exactly the files
+  * ADDED between two committed versions — the change feed, driven by
+  * the streaming engine's offset tracking. Restart is exactly-once for
+  * free: Spark persists the last version offset in the checkpoint, and
+  * versions are immutable. `changesFromVersion` (if set) is the
+  * starting offset, otherwise the stream begins at 0 (the whole table
+  * is the first batch). A truncate mid-stream fails the pure-append
+  * check loudly rather than replaying rewritten data. */
+class ManifestMicroBatchStream(root: Path, schema: StructType, startVersion: Long)
+    extends readstreaming.MicroBatchStream {
+  private case class VOffset(v: Long) extends readstreaming.Offset {
+    override def json: String = v.toString
+  }
+  override def initialOffset(): readstreaming.Offset = VOffset(startVersion)
+  override def latestOffset(): readstreaming.Offset =
+    VOffset(math.max(startVersion, ManifestSink.currentVersion(root)))
+  override def deserializeOffset(json: String): readstreaming.Offset =
+    VOffset(json.trim.toLong)
+  override def commit(end: readstreaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: readstreaming.Offset,
+      end: readstreaming.Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VOffset].v
+    val e = end.asInstanceOf[VOffset].v
+    if (e <= s) Array.empty
+    else ManifestSink.addedEntries(root, s, e)
+      .map(en => ManifestFilePartition(root.resolve(en.name).toString): InputPartition)
+      .toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new ManifestReaderFactory(schema)
 }

@@ -111,6 +111,77 @@ class ManifestStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("the manifest table reads as a stream: each publish is one micro-batch") {
+    val root = tmp()
+    val dir = root.toString
+    Seq(StreamRec(1L, "a", 0.5), StreamRec(2L, "b", 1.5)).toDF()
+      .write.format(fmt).option("path", dir).mode("append").save()     // v1
+    val q = spark.readStream.format(fmt).option("path", dir).load()
+      .writeStream.format("memory").queryName("manifest_as_stream")
+      .option("checkpointLocation", tmp().toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("manifest_as_stream").count() == 2,
+        "the existing table is the first batch")
+      Seq(StreamRec(3L, "c", 2.5)).toDF()
+        .write.format(fmt).option("path", dir).mode("append").save()   // v2
+      q.processAllAvailable()
+      val ids = spark.table("manifest_as_stream")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), "the append arrives as exactly one delta")
+    } finally q.stop()
+  }
+
+  test("streaming read honors changesFromVersion as the starting offset") {
+    val root = tmp()
+    val dir = root.toString
+    (1 to 3).foreach { i =>
+      Seq(StreamRec(i.toLong, s"b$i", 0.0)).toDF()
+        .write.format(fmt).option("path", dir).mode("append").save()   // v1..v3
+    }
+    val q = spark.readStream.format(fmt).option("path", dir)
+      .option("changesFromVersion", "2").load()
+      .writeStream.format("memory").queryName("manifest_from_v2")
+      .option("checkpointLocation", tmp().toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("manifest_from_v2")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(3L), "only versions after the start offset stream")
+    } finally q.stop()
+  }
+
+  test("table-to-table streaming: exactly-once in, micro-batch out, end to end") {
+    // the full pipeline shape: a stream lands in table A under the CAS
+    // epoch protocol while a second query tails A's versions into table
+    // B — every row flows source → A → B exactly once
+    val a = tmp(); val b = tmp()
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[StreamRec]
+    val qIn = ms.toDF().writeStream.format(fmt).option("path", a.toString)
+      .option("checkpointLocation", tmp().toString).outputMode("append").start()
+    try {
+      ms.addData(StreamRec(1L, "a", 0.0))
+      qIn.processAllAvailable() // A@v1 exists: downstream can infer schema
+      val qOut = spark.readStream.format(fmt).option("path", a.toString).load()
+        .writeStream.format(fmt).option("path", b.toString)
+        .option("checkpointLocation", tmp().toString).outputMode("append").start()
+      try {
+        qOut.processAllAvailable()
+        ms.addData(StreamRec(2L, "b", 1.0))
+        qIn.processAllAvailable()
+        qOut.processAllAvailable()
+        val ids = spark.read.format(fmt).option("path", b.toString).load()
+          .select("id").as[Long].collect().sorted.toSeq
+        assert(ids == Seq(1L, 2L))
+        // B carries its own epoch marker, A carries the upstream one
+        assert(ManifestSink.epochMarkers(b).size == 1)
+      } finally qOut.stop()
+    } finally qIn.stop()
+  }
+
   test("a batch append between epochs carries the streaming marker forward") {
     val root = tmp()
     implicit val sqlCtx = spark.sqlContext
