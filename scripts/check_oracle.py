@@ -35,7 +35,7 @@ def rows_of(res, cols):
 def hash_class(t):
     s = str(t).upper()
     if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
-             "UTINYINT", "USMALLINT", "UINTEGER"):
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
         return "int"
     if s.startswith(("HUGEINT", "UHUGEINT")):
         return "hugeint"

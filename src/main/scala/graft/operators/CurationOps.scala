@@ -99,7 +99,14 @@ object CurationOps {
       (if (useBroadcast) edges.join(broadcast(deg), "src")
        else edges.repartition(col("src")).join(deg.hint("merge"), "src"))
         .localCheckpoint()
-    val nodes = deg.select(col("src").as("node")).localCheckpoint()
+    // the vertex spine is src ∪ dst: a sink vertex (no outgoing edge)
+    // has no degree row but still RECEIVES rank — building nodes from
+    // the degree table alone would silently drop it and its inbound
+    // mass on a genuinely directed graph (q107's multigraph is
+    // symmetrized, so its node set is identical either way)
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
     var ranks = nodes.withColumn("rank_ppm", lit(1000000L)).localCheckpoint()
     for (_ <- 1 to iters)
       ranks = prIteration(edgesDeg, nodes, ranks, useBroadcast).localCheckpoint()

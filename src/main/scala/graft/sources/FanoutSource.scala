@@ -62,7 +62,13 @@ object FanoutSource {
     * permissive` converts a permanent fault into an error-channel row). */
   def policy(properties: util.Map[String, String]): FetchPolicy =
     FetchPolicy(
-      maxRetries = properties.getOrDefault("maxRetries", "2").toInt,
+      maxRetries = {
+        val r = properties.getOrDefault("maxRetries", "2").toInt
+        // < 0 would skip the fetch loop entirely and NPE on the empty
+        // error state instead of producing an error row — fail at plan
+        require(r >= 0, s"maxRetries must be >= 0, got $r")
+        r
+      },
       backoffMs = properties.getOrDefault("retryBackoffMs", "100").toLong,
       permissive = properties.getOrDefault("errorMode", "fail") match {
         case "fail" => false

@@ -101,7 +101,13 @@ object ManifestSink {
     Option(properties.get("changesFromVersion")).map { s =>
       val from = s.toLong
       require(from >= 0, s"changesFromVersion must be >= 0, got $from")
-      (from, Option(properties.get("changesToVersion")).map(_.toLong).getOrElse(-1L))
+      val to = Option(properties.get("changesToVersion")).map(_.toLong).getOrElse(-1L)
+      // an explicit upper bound must name a real version: 0 would
+      // silently resolve to the CURRENT snapshot (version 0 means "the
+      // empty/legacy state" internally), turning an empty delta into the
+      // whole table
+      require(to == -1L || to >= 1, s"changesToVersion must be >= 1, got $to")
+      (from, to)
     }
 
   /** Files added between versions `from` and `to` (pure-append check
@@ -320,13 +326,15 @@ object ManifestSink {
       case Some((m, dropHeader)) =>
         Files.readString(m).split("\n").toSeq.drop(dropHeader)
           .filter(l => l.nonEmpty && !l.startsWith("#"))
-          .map { line =>
-            val parts = line.split("\t", 4)
-            FileEntry(parts(0), parts(1).toLong,
-              parseStats(parts.lift(2).getOrElse("")),
-              parseStats(parts.lift(3).getOrElse("")))
-          }
+          .map(parseEntryLine)
     }
+  }
+
+  private[sources] def parseEntryLine(line: String): FileEntry = {
+    val parts = line.split("\t", 4)
+    FileEntry(parts(0), parts(1).toLong,
+      parseStats(parts.lift(2).getOrElse("")),
+      parseStats(parts.lift(3).getOrElse("")))
   }
 
   private[sources] def entryLine(e: FileEntry): String =
@@ -368,15 +376,48 @@ object ManifestSink {
     * table therefore interleave safely under the same CAS.
     * Throws [[java.util.ConcurrentModificationException]] if another
     * writer published first. */
+  /** Fully parsed state of the CURRENT manifest version — version
+    * number, stored schema, epoch markers and file entries resolved from
+    * ONE directory listing + ONE file read, so a commit's read-point is
+    * a single consistent snapshot (separate reads could interleave with
+    * a concurrent publish and pair version N's number with version N+1's
+    * entries) and a commit doesn't pay repeated O(table) manifest
+    * re-reads. */
+  private[sources] case class TableState(version: Long, schema: Option[StructType],
+      markers: Map[String, Long], entries: Seq[FileEntry])
+
+  private[sources] def readState(root: Path): TableState = {
+    val v = currentVersion(root)
+    if (v > 0L) {
+      val lines = Files.readString(manifestAt(root, v)).linesIterator.toSeq
+      TableState(v,
+        Some(DataType.fromJson(lines.head).asInstanceOf[StructType]),
+        lines.tail.filter(_.startsWith(EpochMarkerPrefix)).map { l =>
+          val p = l.split("\t"); (p(1), p(2).toLong)
+        }.toMap,
+        lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).map(parseEntryLine))
+    } else {
+      val schema =
+        if (Files.exists(schemaFile(root)))
+          Some(DataType.fromJson(Files.readString(schemaFile(root))).asInstanceOf[StructType])
+        else None
+      val entries =
+        if (Files.exists(manifest(root)))
+          Files.readString(manifest(root)).split("\n").toSeq
+            .filter(_.nonEmpty).map(parseEntryLine)
+        else Seq.empty
+      TableState(0L, schema, Map.empty, entries)
+    }
+  }
+
   private[sources] def publishCommit(root: Path, schema: StructType,
       truncateFirst: Boolean, newEntries: Seq[FileEntry],
       markerUpdate: Option[(String, Long)], gc: GcPolicy): Unit = {
     Files.createDirectories(root)
-    // schema compat resolves from the versioned manifest chain when one
-    // exists — schema.json is only a best-effort side-car and may be gone
-    val existingSchema =
-      if (currentVersion(root) > 0L || Files.exists(schemaFile(root)))
-        Some(readSchema(root)) else None
+    // ONE consistent snapshot: version, schema, markers and entries all
+    // come from the same manifest read (see TableState)
+    val st = readState(root)
+    val existingSchema = st.schema
     existingSchema.foreach { s =>
       // name+type compatibility; nullability flags may legitimately differ
       // between a DataFrame schema and the stored one
@@ -400,13 +441,13 @@ object ManifestSink {
     // Read-point for the CAS: the version whose entries this commit
     // extends. If another job publishes v(base+1) first, our publish
     // below fails loudly instead of dropping its files.
-    val base = currentVersion(root)
+    val base = st.version
     val all =
-      (if (truncateFirst) Seq.empty else committedEntries(root)) ++ newEntries
+      (if (truncateFirst) Seq.empty else st.entries) ++ newEntries
     // Epoch markers survive truncate: a complete-mode epoch replaces the
     // DATA but the exactly-once high-water mark must persist, or a
     // restart would double-apply the epoch it just committed.
-    val markers = epochMarkers(root) ++ markerUpdate
+    val markers = st.markers ++ markerUpdate
     val markerLines = markers.toSeq.sortBy(_._1).map((markerLine _).tupled)
     // schema line + markers + entries publish as ONE atomic unit
     publish(root, base,
@@ -695,11 +736,17 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
     if (countPushed)
       new ManifestCountScan(scanEntries.map(_.rows).sum)
     else {
-      val kept = scanEntries
+      // entry resolution stays LAZY: a streaming read never materializes
+      // the batch file set (its batches resolve per offset window — an
+      // eager diff here would also reject a changesFromVersion that the
+      // stream is waiting for the table to reach)
+      val resolve = () => scanEntries
         .filter(e => skipFilters.forall(f => ManifestSink.mayMatch(e, f)))
-      // streaming reads honor changesFromVersion as their starting point
-      new ManifestScan(root, ManifestSink.readSchema(root, pinned), kept,
-        streamStart = changes.map(_._1).getOrElse(0L))
+      // streaming reads honor changesFromVersion/changesToVersion as
+      // their start offset and end cap
+      new ManifestScan(root, ManifestSink.readSchema(root, pinned), resolve,
+        streamStart = changes.map(_._1).getOrElse(0L),
+        streamEnd = changes.map(_._2).getOrElse(-1L))
     }
 }
 
@@ -725,12 +772,18 @@ class ManifestCountReaderFactory(total: Long) extends PartitionReaderFactory {
 }
 
 class ManifestScan(root: Path, schema: StructType,
-    entries0: Seq[ManifestSink.FileEntry], streamStart: Long = 0L)
+    resolveEntries: () => Seq[ManifestSink.FileEntry],
+    streamStart: Long = 0L, streamEnd: Long = -1L)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
+  // resolved on first BATCH use only — a pure streaming read never
+  // materializes the batch file set
+  private lazy val resolved = resolveEntries()
   // runtime filters (below) narrow the planned file set after the scan
   // is built but before partitions are planned
-  private var entries: Seq[ManifestSink.FileEntry] = entries0
+  private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private def entries: Seq[ManifestSink.FileEntry] =
+    resolved.filter(e => runtimeFilters.forall(f => ManifestSink.mayMatch(e, f)))
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -749,22 +802,20 @@ class ManifestScan(root: Path, schema: StructType,
     }
 
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    entries = entries.filter(e => filters.forall(f => ManifestSink.mayMatch(e, f)))
+    runtimeFilters ++= filters
 
-  /** Report exact row counts and on-disk bytes from manifest metadata so
-    * Catalyst sizes this side of a join truthfully — without this, DSv2
-    * relations fall back to `spark.sql.defaultSizeInBytes` and a small
-    * manifest table can never win a broadcast: every join against it
-    * pays a full shuffle. Stats reflect the files this scan actually
-    * covers (post min/max skipping / time travel / change-feed window),
-    * so a filtered or delta scan reports its pruned size, not the
-    * table's. */
+  /** Report exact row counts (and bytes derived from them) from manifest
+    * metadata so Catalyst sizes this side of a join truthfully — without
+    * this, DSv2 relations fall back to `spark.sql.defaultSizeInBytes`
+    * and a small manifest table can never win a broadcast: every join
+    * against it pays a full shuffle. Stats reflect the files this scan
+    * actually covers (post min/max skipping / time travel / change-feed
+    * window / runtime filters), so a pruned scan reports its pruned
+    * size. Bytes come from rows × schema default width — planning must
+    * not pay per-file filesystem stats on every invocation. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = entries.map { e =>
-      val p = root.resolve(e.name)
-      if (Files.exists(p)) Files.size(p) else 0L
-    }.sum
     private val rows = entries.map(_.rows).sum
+    private val bytes = rows * math.max(1, schema.defaultSize)
     override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
   }
@@ -779,7 +830,7 @@ class ManifestScan(root: Path, schema: StructType,
     new ManifestReaderFactory(schema)
 
   override def toMicroBatchStream(checkpointLocation: String): readstreaming.MicroBatchStream =
-    new ManifestMicroBatchStream(root, schema, streamStart)
+    new ManifestMicroBatchStream(root, schema, streamStart, streamEnd)
 }
 
 /** The table AS a stream (the Delta "table streaming" shape): offsets
@@ -789,16 +840,21 @@ class ManifestScan(root: Path, schema: StructType,
   * free: Spark persists the last version offset in the checkpoint, and
   * versions are immutable. `changesFromVersion` (if set) is the
   * starting offset, otherwise the stream begins at 0 (the whole table
-  * is the first batch). A truncate mid-stream fails the pure-append
+  * is the first batch); `changesToVersion` caps the stream — offsets
+  * never advance past it. A truncate mid-stream fails the pure-append
   * check loudly rather than replaying rewritten data. */
-class ManifestMicroBatchStream(root: Path, schema: StructType, startVersion: Long)
+class ManifestMicroBatchStream(root: Path, schema: StructType, startVersion: Long,
+    endCap: Long = -1L)
     extends readstreaming.MicroBatchStream {
   private case class VOffset(v: Long) extends readstreaming.Offset {
     override def json: String = v.toString
   }
   override def initialOffset(): readstreaming.Offset = VOffset(startVersion)
-  override def latestOffset(): readstreaming.Offset =
-    VOffset(math.max(startVersion, ManifestSink.currentVersion(root)))
+  override def latestOffset(): readstreaming.Offset = {
+    val cur = ManifestSink.currentVersion(root)
+    val capped = if (endCap >= 0) math.min(cur, endCap) else cur
+    VOffset(math.max(startVersion, capped))
+  }
   override def deserializeOffset(json: String): readstreaming.Offset =
     VOffset(json.trim.toLong)
   override def commit(end: readstreaming.Offset): Unit = ()

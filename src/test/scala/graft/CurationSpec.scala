@@ -107,6 +107,17 @@ class CurationSpec extends AnyFunSuite {
       s"shuffle mode must not broadcast the rank side:\n$sPlan")
   }
 
+  test("pagerank keeps sink vertices: a node with no outgoing edge still receives rank") {
+    import spark.implicits._
+    // genuinely directed: 1 -> 2, 3 -> 2; node 2 is a pure sink
+    val ranks = CurationOps.pageRankRanks(
+      Seq((1L, 2L), (3L, 2L)).toDF("src", "dst"), iters = 2)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_ppm")).toMap
+    assert(ranks.keySet == Set(1L, 2L, 3L), s"sink vertex dropped: $ranks")
+    // the sink received both sources' full contribution on top of the floor
+    assert(ranks(2L) > ranks(1L) && ranks(1L) == 150000L)
+  }
+
   test("q108: band decomposition equals the nested-loop join on the bounded probe set") {
     // q08 (BNLJ, s_suppkey < 100) must agree with q108 restricted the
     // same way — at sf0.001 ALL suppliers have s_suppkey < 100, so the

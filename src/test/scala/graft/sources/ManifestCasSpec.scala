@@ -280,6 +280,14 @@ class ManifestCasSpec extends AnyFunSuite {
         .option("changesFromVersion", "99").load().collect()
     }
     assert(e2.getMessage.contains("past") || e2.getMessage.contains("does not exist"))
+    // an explicit to-bound of 0 must be rejected, not silently resolve
+    // to the current snapshot
+    val e3 = intercept[Exception] {
+      spark.read.format(fmt).option("path", dir)
+        .option("changesFromVersion", "0").option("changesToVersion", "0")
+        .load().collect()
+    }
+    assert(e3.getMessage.contains("changesToVersion must be >= 1"))
   }
 
   test("manifest stats reach Catalyst: a small manifest table wins a broadcast join") {

@@ -153,6 +153,44 @@ class ManifestStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming read waits for a future changesFromVersion instead of crashing") {
+    val root = tmp()
+    val dir = root.toString
+    Seq(StreamRec(1L, "a", 0.0)).toDF()
+      .write.format(fmt).option("path", dir).mode("append").save()     // v1
+    // start offset 5 is in the future: the stream must start cleanly and
+    // produce nothing (an eager batch-path diff would throw "5 is past 1")
+    val q = spark.readStream.format(fmt).option("path", dir)
+      .option("changesFromVersion", "5").load()
+      .writeStream.format("memory").queryName("manifest_future_start")
+      .option("checkpointLocation", tmp().toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("manifest_future_start").isEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming read stops advancing past changesToVersion") {
+    val root = tmp()
+    val dir = root.toString
+    (1 to 3).foreach { i =>
+      Seq(StreamRec(i.toLong, s"b$i", 0.0)).toDF()
+        .write.format(fmt).option("path", dir).mode("append").save()   // v1..v3
+    }
+    val q = spark.readStream.format(fmt).option("path", dir)
+      .option("changesFromVersion", "1").option("changesToVersion", "2").load()
+      .writeStream.format("memory").queryName("manifest_capped")
+      .option("checkpointLocation", tmp().toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("manifest_capped")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(2L), s"only the (1, 2] window may stream, got $ids")
+    } finally q.stop()
+  }
+
   test("table-to-table streaming: exactly-once in, micro-batch out, end to end") {
     // the full pipeline shape: a stream lands in table A under the CAS
     // epoch protocol while a second query tails A's versions into table
