@@ -218,6 +218,39 @@ object IngestOps {
         .orderBy("event_type")
     }),
 
+    // Manifest-table OPTIMIZE end to end: orders land in the DSv2
+    // manifest table across four small appends (the streaming
+    // steady-state that proliferates small files), compact() bin-packs
+    // them as a dataChange=false rewrite under the same CAS as any
+    // commit, and the aggregate reads the compacted layout. Checked
+    // against the ORIGINAL parquet — a compaction that lost, duplicated
+    // or reordered one byte of a row would hash-mismatch. At 100 TB this
+    // is the nightly table-maintenance loop: scan parallelism follows
+    // data-sized files again instead of one task per streaming epoch.
+    "q124_manifest_optimize" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_opt_" +
+        s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
+      if (orcWritten.add((s.sparkContext.applicationId, s"opt:$dir"))) {
+        val o = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        (0 to 3).foreach { b =>
+          o.filter(col("o_orderkey") % 4 === b).repartition(3)
+            .write.format("graft.sources.ManifestSink").option("path", out)
+            .mode(if (b == 0) "overwrite" else "append").save()
+        }
+        // ~4 appends × 3 files pack down to ≥1 data-sized files
+        graft.sources.ManifestSink.compact(out, targetRows = 50000L)
+      }
+      s.read.format("graft.sources.ManifestSink").option("path", out).load()
+        .groupBy((col("o_orderkey") % 4).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("sum_cents"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy("bucket")
+    }),
+
     // Schema evolution across writer generations: gen-1 files carry
     // (o_orderkey, o_totalprice); gen-2 files ADD a column
     // (o_orderpriority) and RENAME o_totalprice -> total_price. A
@@ -342,6 +375,14 @@ object IngestOps {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // checked against the ORIGINAL parquet — append + compact through
+    // the manifest table must be lossless for the hash to match
+    "q124_manifest_optimize" ->
+      """SELECT o_orderkey % 4 AS bucket, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // checked against the ORIGINAL parquet — the ORC round-trip must be
     // lossless for the hash to match

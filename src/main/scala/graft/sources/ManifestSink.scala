@@ -111,27 +111,54 @@ object ManifestSink {
     }
 
   /** Files added between versions `from` and `to` (pure-append check
-    * included). `from` = 0 means "since the empty table". */
+    * included). `from` = 0 means "since the empty table".
+    *
+    * The walk is VERSION-BY-VERSION, not a two-point diff, because a
+    * [[compact]] rewrite in the window replaces small files with merged
+    * ones without changing a single row: a two-point name diff would
+    * either reject the window as "not pure-append" or, worse, emit the
+    * merged files as if they were new data. Each non-rewrite step
+    * contributes exactly the files it appended (still checked
+    * pure-append); each `#rewrite` step contributes NOTHING and is
+    * instead checked to preserve the total row count. The change feed
+    * therefore yields the rows as they were ORIGINALLY appended — the
+    * pre-compaction files — which retention GC keeps alive exactly as
+    * long as the versions that reference them. */
   private[sources] def addedEntries(root: Path, from: Long, to0: Long): Seq[FileEntry] = {
     val to = if (to0 < 0) currentVersion(root) else to0
     require(from <= to, s"changesFromVersion $from is past changesToVersion $to")
-    val before =
-      if (from == 0L) Seq.empty
-      else {
-        require(Files.exists(manifestAt(root, from)),
-          s"changesFromVersion $from does not exist for manifest table $root " +
-            "(expired by retention GC?) — cannot compute a change feed")
-        committedEntries(root, Some(from))
-      }
-    val after = committedEntries(root, Some(to).filter(_ > 0L))
-    val afterNames = after.map(_.name).toSet
-    val dropped = before.map(_.name).filterNot(afterNames)
-    require(dropped.isEmpty,
-      s"manifest table $root is not pure-append between v$from and v$to " +
-        s"(files removed: ${dropped.take(3).mkString(", ")}…) — a change feed " +
-        "across a truncate/GC would not be a delta; read the snapshot instead")
-    val beforeNames = before.map(_.name).toSet
-    after.filterNot(e => beforeNames(e.name))
+    // legacy (never-versioned) table: the whole manifest.txt snapshot is
+    // the one and only delta
+    if (to == 0L) return committedEntries(root, None)
+    require(from == 0L || Files.exists(manifestAt(root, from)),
+      s"changesFromVersion $from does not exist for manifest table $root " +
+        "(expired by retention GC?) — cannot compute a change feed")
+    var prev: Seq[FileEntry] =
+      if (from == 0L) Seq.empty else committedEntries(root, Some(from))
+    (from + 1 to to).flatMap { v =>
+      require(Files.exists(manifestAt(root, v)),
+        s"manifest version $v of table $root is missing (expired by " +
+          "retention GC?) — cannot compute a change feed across the gap")
+      val after = committedEntries(root, Some(v))
+      val step =
+        if (isRewriteVersion(root, v)) {
+          require(after.map(_.rows).sum == prev.map(_.rows).sum,
+            s"rewrite version $v of manifest table $root changed the row " +
+              "count — a compaction must preserve data exactly")
+          Seq.empty
+        } else {
+          val afterNames = after.map(_.name).toSet
+          val dropped = prev.map(_.name).filterNot(afterNames)
+          require(dropped.isEmpty,
+            s"manifest table $root is not pure-append between v${v - 1} and v$v " +
+              s"(files removed: ${dropped.take(3).mkString(", ")}…) — a change feed " +
+              "across a truncate would not be a delta; read the snapshot instead")
+          val prevNames = prev.map(_.name).toSet
+          after.filterNot(e => prevNames(e.name))
+        }
+      prev = after
+      step
+    }
   }
 
   // ---- versioned manifests + CAS publish --------------------------------
@@ -295,6 +322,17 @@ object ManifestSink {
 
   private def markerLine(queryId: String, epoch: Long): String =
     s"$EpochMarkerPrefix$queryId\t$epoch"
+
+  /** Version-level marker: this version rewrote bytes (compaction)
+    * without changing data. Streams and the change feed skip it; the
+    * snapshot reader is oblivious. The Delta analog is
+    * `dataChange=false` on the rewrite actions. */
+  private val RewriteMarker = "#rewrite"
+
+  private[sources] def isRewriteVersion(root: Path, v: Long): Boolean =
+    v > 0L && Files.exists(manifestAt(root, v)) &&
+      Files.readString(manifestAt(root, v)).linesIterator.drop(1)
+        .exists(_.startsWith(RewriteMarker))
 
   /** One committed file's metadata: per-integer-column min/max collected
     * while the task wrote it — the stats that let the reader SKIP the
@@ -471,6 +509,86 @@ object ManifestSink {
   private[sources] def committedFiles(root: Path): Seq[String] =
     committedEntries(root).map(_.name)
 
+  /** What a [[compact]] call did: the version it published (or the
+    * current one if nothing needed rewriting) and the file-count move. */
+  case class CompactionResult(version: Long, filesBefore: Int, filesAfter: Int,
+      rewrittenFiles: Int, rewrittenRows: Long)
+
+  /** OPTIMIZE: bin-pack data files smaller than `targetRows` into
+    * consolidated files and publish the result as a new manifest version
+    * marked [[RewriteMarker]] (the Delta `dataChange=false` shape).
+    *
+    * Small-file proliferation is the steady-state failure mode of any
+    * frequently-appended table — a streaming write lands one file per
+    * partition per epoch, and at 100 TB a scan pays one task per file
+    * forever after. Compaction restores scan parallelism to data-sized
+    * partitions while:
+    *  - readers never block: the rewrite publishes under the same CAS as
+    *    any commit, and snapshot reads of older versions still see (and
+    *    GC still retains) the original files;
+    *  - tailing streams and change feeds skip the rewrite version
+    *    entirely (see [[addedEntries]]) — no row is ever re-delivered;
+    *  - a concurrent append wins or loses the CAS race cleanly: on loss
+    *    the compaction deletes its merged files and throws, and the
+    *    caller can re-run against the new state.
+    *
+    * Because the data-file format is newline-terminated encoded TSV, the
+    * rewrite is EXACT byte concatenation — no decode/re-encode, no Spark
+    * job — and per-file stats merge losslessly (min of mins, max of
+    * maxs; a column's merged range is published only when every member
+    * file carried stats for it, since absence is indistinguishable from
+    * "not collected"). Bins are independent, so a distributed rewrite of
+    * a petabyte table would fan each bin out as one task; driver-side
+    * sequential I/O is the local[*] degenerate case of the same plan. */
+  def compact(tablePath: String, targetRows: Long): CompactionResult = {
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    val root = Paths.get(tablePath)
+    val st = readState(root)
+    // a legacy manifest.txt table reads as version 0, and the change
+    // feed models version 0 as "the empty table" — a v1 rewrite of
+    // legacy entries would break that model's row-preservation check.
+    // Any append upgrades a legacy table to v1; compact after that.
+    require(st.version > 0L,
+      s"compact requires a versioned manifest table at $tablePath " +
+        "(legacy manifest.txt tables upgrade on their next append)")
+    val small = st.entries.filter(_.rows < targetRows)
+    // first-fit in manifest order keeps neighboring appends together,
+    // which preserves any time-locality the write order had
+    val bins = small.foldLeft(List.empty[List[FileEntry]]) { (acc, e) =>
+      acc match {
+        case bin :: rest if bin.map(_.rows).sum + e.rows <= targetRows =>
+          (e :: bin) :: rest
+        case _ => List(e) :: acc
+      }
+    }.map(_.reverse).reverse.filter(_.size >= 2) // singleton bins gain nothing
+    if (bins.isEmpty)
+      return CompactionResult(st.version, st.entries.size, st.entries.size, 0, 0L)
+    val merged = bins.map { bin =>
+      val name = s"data-compact-${java.util.UUID.randomUUID()}.tsv"
+      val out = Files.newOutputStream(root.resolve(name))
+      try bin.foreach(e => Files.copy(root.resolve(e.name), out))
+      finally out.close()
+      val statKeys = bin.map(_.mins.keySet).reduce(_ intersect _)
+      FileEntry(name, bin.map(_.rows).sum,
+        statKeys.map(k => k -> bin.map(_.mins(k)).min).toMap,
+        statKeys.map(k => k -> bin.map(_.maxs(k)).max).toMap)
+    }
+    val rewrittenNames = bins.flatten.map(_.name).toSet
+    val entries = st.entries.filterNot(e => rewrittenNames(e.name)) ++ merged
+    val markerLines = st.markers.toSeq.sortBy(_._1).map((markerLine _).tupled)
+    val schema = st.schema.getOrElse(
+      throw new IllegalStateException(s"manifest table $tablePath has no schema"))
+    try publish(root, st.version,
+      ((schema.json +: RewriteMarker +: markerLines) ++ entries.map(entryLine))
+        .mkString("\n"))
+    catch { case e: java.util.ConcurrentModificationException =>
+      merged.foreach(m => Files.deleteIfExists(root.resolve(m.name)))
+      throw e
+    }
+    CompactionResult(st.version + 1, st.entries.size, entries.size,
+      rewrittenNames.size, merged.map(_.rows).sum)
+  }
+
   private[sources] def encode(row: InternalRow, schema: StructType): String =
     schema.fields.zipWithIndex.map { case (f, i) =>
       if (row.isNullAt(i)) "\u0000"
@@ -515,8 +633,14 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestScanBuilder(root, pinned, changes)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxVersions = Option(options.get("maxVersionsPerTrigger")).map { s =>
+      val n = s.toLong
+      require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
+      n
+    }
+    new ManifestScanBuilder(root, pinned, changes, maxVersions)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(root, info.schema(), truncateFirst = false,
@@ -678,26 +802,56 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String)
 }
 
 /** Aggregate pushdown: a global COUNT(*) is answered ENTIRELY from the
-  * manifest's per-file row counts — zero data files are opened (the spec
-  * proves it by deleting them first). Anything else scans normally. */
+  * manifest's per-file row counts, and global MIN/MAX over integer
+  * columns from the per-file stats — zero data files are opened (the
+  * spec proves it by deleting them first). At 100 TB these are the
+  * queries a catalog answers in milliseconds vs a full-table scan:
+  * watermark probes (`max(ts)`), key-range discovery, row counts for
+  * planning. MIN/MAX push down only when EVERY covered file carries
+  * stats for the column (absence is indistinguishable from "not
+  * collected", and min/max ignore nulls so per-file stats over non-null
+  * values compose exactly). Anything else scans normally. */
 class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
-    changes: Option[(Long, Long)] = None)
+    changes: Option[(Long, Long)] = None, maxVersionsPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownAggregates with SupportsPushDownFilters {
-  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
   import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 
-  private var countPushed = false
+  private var pushedAgg: Option[Aggregation] = None
   private var skipFilters: Array[Filter] = Array.empty
 
+  private lazy val tableSchema = ManifestSink.readSchema(root, pinned)
+
+  /** The integer table column a pushed MIN/MAX refers to, if stats can
+    * answer it. */
+  private def statColumn(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[StructField] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      tableSchema.fields.find(f => f.name == nr.fieldNames()(0) &&
+        (f.dataType == LongType || f.dataType == IntegerType))
+    case _ => None
+  }
+
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    skipFilters.isEmpty &&
-      aggregation.groupByExpressions().isEmpty &&
-      aggregation.aggregateExpressions().length == 1 &&
-      aggregation.aggregateExpressions()(0).isInstanceOf[CountStar]
+    skipFilters.isEmpty && aggregation.groupByExpressions().isEmpty && {
+      lazy val entries = scanEntries // ONE manifest read, at planning time
+      aggregation.aggregateExpressions().nonEmpty &&
+        aggregation.aggregateExpressions().forall {
+          case _: CountStar => true
+          case m: Min =>
+            statColumn(m.column).exists(f => entries.forall(_.mins.contains(f.name)))
+          case m: Max =>
+            statColumn(m.column).exists(f => entries.forall(_.maxs.contains(f.name)))
+          case _ => false
+        }
+    }
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
-    countPushed = supportCompletePushDown(aggregation)
-    countPushed
+    // complete pushdown only: a partial (per-partition) aggregate from
+    // metadata has no meaning — the manifest answers globally or not at all
+    if (supportCompletePushDown(aggregation)) { pushedAgg = Some(aggregation); true }
+    else false
   }
 
   /** Range filters on integer columns prune FILES via manifest min/max.
@@ -732,10 +886,26 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
     case None => ManifestSink.committedEntries(root, pinned)
   }
 
-  override def build(): Scan =
-    if (countPushed)
-      new ManifestCountScan(scanEntries.map(_.rows).sum)
-    else {
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) =>
+      val entries = scanEntries
+      val (fields, values) = agg.aggregateExpressions().map {
+        case _: CountStar =>
+          (StructField("count(*)", LongType, nullable = false),
+            entries.map(_.rows).sum: Any)
+        case m: Min =>
+          val f = statColumn(m.column).get
+          (StructField(s"min(${f.name})", f.dataType),
+            if (entries.isEmpty) null else narrow(entries.map(_.mins(f.name)).min, f))
+        case m: Max =>
+          val f = statColumn(m.column).get
+          (StructField(s"max(${f.name})", f.dataType),
+            if (entries.isEmpty) null else narrow(entries.map(_.maxs(f.name)).max, f))
+        case other => throw new IllegalStateException(s"unpushable aggregate $other")
+      }.unzip
+      new ManifestAggScan(StructType(fields.toIndexedSeq),
+        InternalRow.fromSeq(values.toIndexedSeq))
+    case None => {
       // entry resolution stays LAZY: a streaming read never materializes
       // the batch file set (its batches resolve per offset window — an
       // eager diff here would also reject a changesFromVersion that the
@@ -746,34 +916,41 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
       // their start offset and end cap
       new ManifestScan(root, ManifestSink.readSchema(root, pinned), resolve,
         streamStart = changes.map(_._1).getOrElse(0L),
-        streamEnd = changes.map(_._2).getOrElse(-1L))
+        streamEnd = changes.map(_._2).getOrElse(-1L),
+        maxVersionsPerTrigger = maxVersionsPerTrigger)
     }
+  }
+
+  /** Stats store Longs; an IntegerType column's value narrows back. */
+  private def narrow(v: Long, f: StructField): Any =
+    if (f.dataType == IntegerType) v.toInt else v
 }
 
-/** One metadata row: the committed total. */
-class ManifestCountScan(total: Long) extends Scan with Batch {
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+/** One metadata row answering a completely-pushed aggregation
+  * (COUNT(*) / MIN / MAX) from manifest stats alone. */
+class ManifestAggScan(schema: StructType, row: InternalRow) extends Scan with Batch {
+  override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(ManifestFilePartition("<metadata-count>"))
+    Array(ManifestFilePartition("<metadata-agg>"))
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestCountReaderFactory(total)
+    new ManifestAggReaderFactory(row)
 }
 
-class ManifestCountReaderFactory(total: Long) extends PartitionReaderFactory {
+class ManifestAggReaderFactory(row: InternalRow) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private var emitted = false
       override def next(): Boolean = !emitted && { emitted = true; true }
-      override def get(): InternalRow = InternalRow(total)
+      override def get(): InternalRow = row
       override def close(): Unit = ()
     }
 }
 
 class ManifestScan(root: Path, schema: StructType,
     resolveEntries: () => Seq[ManifestSink.FileEntry],
-    streamStart: Long = 0L, streamEnd: Long = -1L)
+    streamStart: Long = 0L, streamEnd: Long = -1L,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   // resolved on first BATCH use only — a pure streaming read never
@@ -830,7 +1007,8 @@ class ManifestScan(root: Path, schema: StructType,
     new ManifestReaderFactory(schema)
 
   override def toMicroBatchStream(checkpointLocation: String): readstreaming.MicroBatchStream =
-    new ManifestMicroBatchStream(root, schema, streamStart, streamEnd)
+    new ManifestMicroBatchStream(root, schema, streamStart, streamEnd,
+      maxVersionsPerTrigger)
 }
 
 /** The table AS a stream (the Delta "table streaming" shape): offsets
@@ -844,8 +1022,9 @@ class ManifestScan(root: Path, schema: StructType,
   * never advance past it. A truncate mid-stream fails the pure-append
   * check loudly rather than replaying rewritten data. */
 class ManifestMicroBatchStream(root: Path, schema: StructType, startVersion: Long,
-    endCap: Long = -1L)
-    extends readstreaming.MicroBatchStream {
+    endCap: Long = -1L, maxVersionsPerTrigger: Option[Long] = None)
+    extends readstreaming.MicroBatchStream
+    with readstreaming.SupportsAdmissionControl {
   private case class VOffset(v: Long) extends readstreaming.Offset {
     override def json: String = v.toString
   }
@@ -854,6 +1033,23 @@ class ManifestMicroBatchStream(root: Path, schema: StructType, startVersion: Lon
     val cur = ManifestSink.currentVersion(root)
     val capped = if (endCap >= 0) math.min(cur, endCap) else cur
     VOffset(math.max(startVersion, capped))
+  }
+
+  /** Admission control: `maxVersionsPerTrigger` bounds how many table
+    * versions one micro-batch may absorb — the Delta
+    * `maxFilesPerTrigger` shape. Without it, a stream started against a
+    * long table history reads the WHOLE backlog as one giant first
+    * batch: at 100 TB that batch never finishes and the checkpoint
+    * never advances. Bounded triggers give the backlog catch-up
+    * incremental progress and bounded executor memory per batch. */
+  override def getDefaultReadLimit: readstreaming.ReadLimit =
+    readstreaming.ReadLimit.allAvailable()
+  override def reportLatestOffset(): readstreaming.Offset = latestOffset()
+  override def latestOffset(start: readstreaming.Offset,
+      limit: readstreaming.ReadLimit): readstreaming.Offset = {
+    val uncapped = latestOffset().asInstanceOf[VOffset].v
+    val s = start.asInstanceOf[VOffset].v
+    VOffset(maxVersionsPerTrigger.fold(uncapped)(m => math.min(uncapped, s + m)))
   }
   override def deserializeOffset(json: String): readstreaming.Offset =
     VOffset(json.trim.toLong)

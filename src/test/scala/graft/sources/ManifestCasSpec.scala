@@ -331,6 +331,110 @@ class ManifestCasSpec extends AnyFunSuite {
     assert(scan.planInputPartitions().isEmpty)
   }
 
+  test("compact bin-packs small files into a rewrite version: same data, fewer files, history intact") {
+    val root = tmp()
+    val dir = root.toString
+    (1 to 6).foreach { i =>
+      Seq((i.toLong, Some(s"r$i"), i * 1.0)).toDF("id", "s", "x")
+        .write.format(fmt).option("path", dir).mode("append").save() // v1..v6
+    }
+    assert(ManifestSink.committedEntries(root).size == 6)
+    val res = ManifestSink.compact(dir, targetRows = 3L)
+    assert(res.version == 7L && res.rewrittenFiles == 6 && res.rewrittenRows == 6L)
+    assert(res.filesAfter == 2, s"6 one-row files must pack into 2 three-row bins: $res")
+    assert(ManifestSink.isRewriteVersion(root, 7L))
+    // data byte-identical through the rewrite
+    val got = spark.read.format(fmt).option("path", dir).load()
+      .as[(Long, Option[String], Double)].collect().sortBy(_._1).toSeq
+    assert(got == (1 to 6).map(i => (i.toLong, Some(s"r$i"), i * 1.0)))
+    // merged stats compose: min/max survive for file skipping
+    val entries = ManifestSink.committedEntries(root)
+    assert(entries.map(_.rows).sum == 6L)
+    assert(entries.flatMap(_.mins.get("id")).min == 1L)
+    assert(entries.flatMap(_.maxs.get("id")).max == 6L)
+    // time travel still sees the pre-compaction layout
+    val pinned = spark.read.format(fmt).option("path", dir)
+      .option("versionAsOf", "6").load()
+    assert(pinned.count() == 6)
+    assert(pinned.rdd.getNumPartitions == 6, "v6 snapshot keeps one partition per original file")
+    // idempotent: nothing left under targetRows worth packing
+    val again = ManifestSink.compact(dir, targetRows = 3L)
+    assert(again.rewrittenFiles == 0 && again.version == 7L,
+      s"re-compaction must be a no-op, got $again")
+  }
+
+  test("change feed skips a rewrite version: no row is ever re-delivered") {
+    val root = tmp()
+    val dir = root.toString
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, Some(s"a$i"), 0.0)).toDF("id", "s", "x")
+        .write.format(fmt).option("path", dir).mode("append").save() // v1..v3
+    }
+    ManifestSink.compact(dir, targetRows = 10L)                      // v4 (rewrite)
+    Seq((4L, Some("post"), 0.0)).toDF("id", "s", "x")
+      .write.format(fmt).option("path", dir).mode("append").save()   // v5
+    def changes(from: Long) = spark.read.format(fmt).option("path", dir)
+      .option("changesFromVersion", from.toString)
+      .load().select("id").as[Long].collect().sorted.toSeq
+    assert(changes(0) == Seq(1L, 2L, 3L, 4L), "full history, nothing doubled by the rewrite")
+    assert(changes(2) == Seq(3L, 4L), "window spanning the rewrite sees only real appends")
+    assert(changes(4) == Seq(4L), "from the rewrite version itself: only the later append")
+    // the snapshot read, by contrast, uses the compacted layout
+    val snap = spark.read.format(fmt).option("path", dir).load()
+    assert(snap.count() == 4 && snap.rdd.getNumPartitions == 2,
+      "post-compaction snapshot: one merged file + one appended file")
+  }
+
+  test("GC after compaction reclaims the small files once their versions expire") {
+    val root = tmp()
+    val dir = root.toString
+    (1 to 4).foreach { i =>
+      Seq((i.toLong, Some(s"g$i"), 0.0)).toDF("id", "s", "x")
+        .write.format(fmt).option("path", dir).mode("append").save() // v1..v4
+    }
+    val smallFiles = ManifestSink.committedEntries(root).map(_.name)
+    ManifestSink.compact(dir, targetRows = 10L)                      // v5 (rewrite)
+    // originals survive while pre-compaction versions are retained
+    assert(smallFiles.forall(f => Files.exists(root.resolve(f))))
+    ManifestSink.expireVersions(root, retain = 1, orphanGraceMs = 0L)
+    assert(smallFiles.forall(f => !Files.exists(root.resolve(f))),
+      "expired versions were the last references to the rewritten small files")
+    val got = spark.read.format(fmt).option("path", dir).load()
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L, 4L), "table intact after GC of the rewritten files")
+  }
+
+  test("min/max push down to manifest stats: answered with zero data-file reads") {
+    val root = tmp()
+    val dir = root.toString
+    (1 to 3).foreach { i =>
+      Seq((i * 10L, Some(s"m$i"), i * 1.0)).toDF("id", "s", "x")
+        .write.format(fmt).option("path", dir).mode("append").save()
+    }
+    ManifestSink.compact(dir, targetRows = 2L) // merged stats must serve too
+    // deleting every data file proves no scan happens
+    ManifestSink.committedEntries(root).foreach(e =>
+      Files.delete(root.resolve(e.name)))
+    val row = spark.read.format(fmt).option("path", dir).load()
+      .agg(min("id"), max("id"), count(lit(1))).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((10L, 30L, 3L)))
+  }
+
+  test("aggregate pushdown bails to a real scan for filters or stat-less columns") {
+    val root = tmp()
+    val dir = root.toString
+    Seq((1L, Some("p"), 2.5), (5L, Some("q"), 7.5)).toDF("id", "s", "x")
+      .write.format(fmt).option("path", dir).mode("append").save()
+    val t = spark.read.format(fmt).option("path", dir).load()
+    // a WHERE clause disables metadata answers (stats are file-granular)
+    assert(t.filter(col("id") > 1L).agg(count(lit(1))).collect().head.getLong(0) == 1L)
+    // min over a double column has no manifest stats: real scan, right answer
+    assert(t.agg(min("x")).collect().head.getDouble(0) == 2.5)
+    // mixed pushable + unpushable aggregates must not half-push
+    val r = t.agg(min("id"), min("x")).collect().head
+    assert((r.getLong(0), r.getDouble(1)) == ((1L, 2.5)))
+  }
+
   test("legacy single-file manifest.txt tables read as version 0 and upgrade on append") {
     val root = tmp()
     val schema = StructType(Seq(

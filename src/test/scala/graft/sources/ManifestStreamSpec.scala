@@ -191,6 +191,60 @@ class ManifestStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a tailing stream skips a compaction: appends flow, nothing re-delivers") {
+    val root = tmp()
+    val dir = root.toString
+    Seq(StreamRec(1L, "pre", 0.0)).toDF()
+      .write.format(fmt).option("path", dir).mode("append").save()   // v1
+    val q = spark.readStream.format(fmt).option("path", dir).load()
+      .writeStream.format("memory").queryName("manifest_compact_tail")
+      .option("checkpointLocation", tmp().toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Seq(StreamRec(2L, "mid", 0.0)).toDF()
+        .write.format(fmt).option("path", dir).mode("append").save() // v2
+      q.processAllAvailable()
+      ManifestSink.compact(dir, targetRows = 10L)                    // v3 (rewrite)
+      q.processAllAvailable()
+      Seq(StreamRec(3L, "post", 0.0)).toDF()
+        .write.format(fmt).option("path", dir).mode("append").save() // v4
+      q.processAllAvailable()
+      val ids = spark.table("manifest_compact_tail")
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L),
+        s"each row exactly once across the rewrite, got $ids")
+    } finally q.stop()
+  }
+
+  test("maxVersionsPerTrigger bounds the backlog each micro-batch absorbs") {
+    val root = tmp()
+    val dir = root.toString
+    (1 to 4).foreach { i =>
+      Seq(StreamRec(i.toLong, s"v$i", 0.0)).toDF()
+        .write.format(fmt).option("path", dir).mode("append").save() // v1..v4
+    }
+    val batches = scala.collection.concurrent.TrieMap.empty[Long, Seq[Long]]
+    val q = spark.readStream.format(fmt).option("path", dir)
+      .option("maxVersionsPerTrigger", "1").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches(id) = df.select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect().toSeq
+        ()
+      }
+      .option("checkpointLocation", tmp().toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(batches.values.flatten.toSeq.sorted == Seq(1L, 2L, 3L, 4L),
+        s"the whole backlog must drain, got $batches")
+      assert(batches.count(_._2.nonEmpty) == 4,
+        s"one version per trigger => 4 single-row batches, got $batches")
+      assert(batches.values.forall(_.size <= 1), s"no batch may exceed one version: $batches")
+    } finally q.stop()
+  }
+
   test("table-to-table streaming: exactly-once in, micro-batch out, end to end") {
     // the full pipeline shape: a stream lands in table A under the CAS
     // epoch protocol while a second query tails A's versions into table
