@@ -210,6 +210,11 @@ object AnalyticsOps {
     // aggregate, then the 5 heaviest keys annotated with global stats
     // (total rows, distinct keys, per-key share and a skew factor =
     // share × distinct-keys, 10000 bp = perfectly uniform).
+    // Top-5 selection is orderBy+limit (TakeOrderedAndProject: per-task
+    // top-5 heaps, 5 rows/task to the driver-side merge) — a global
+    // Window.orderBy here would shuffle one row PER DISTINCT KEY through
+    // a single task, the very skew this profiler diagnoses. The rank is
+    // derived after the limit, over 5 surviving rows.
     "q113_skew_profile" -> ((s, dir) => {
       val counts = Tables.lineitem(s, dir)
         .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
@@ -217,8 +222,8 @@ object AnalyticsOps {
         count(lit(1)).as("n_keys"))
       val w = Window.orderBy(col("cnt").desc, col("l_partkey"))
       counts
+        .orderBy(col("cnt").desc, col("l_partkey")).limit(5)
         .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
         .crossJoin(broadcast(stats))
         .withColumn("share_bp", expr("cnt * 10000 div total"))
         .withColumn("skew_bp", expr("cnt * n_keys * 10000 div total"))

@@ -468,8 +468,14 @@ object Relational {
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(sum(cents(col("o_totalprice"))).as("cents"))
+      // global total via a separate partial→final aggregate broadcast back
+      // onto the per-nation rows — NOT an unpartitioned window, which would
+      // shuffle every group through a single task (fine at 25 nations,
+      // a funnel if the group key were high-cardinality). The grouped agg's
+      // shuffle is reused across both consumers (ReusedExchange).
+      val total = agg.agg(sum(col("cents")).as("total"))
       agg
-        .withColumn("total", sum(col("cents")).over(Window.partitionBy()))
+        .crossJoin(broadcast(total))
         .withColumn("share_bp", expr("cents * 10000 div total"))
         .select("n_name", "cents", "share_bp")
         .orderBy("n_name")

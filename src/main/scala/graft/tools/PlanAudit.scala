@@ -2,7 +2,8 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, FilterExec, InputAdapter, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Partial, PartialMerge}
+import org.apache.spark.sql.execution.{ColumnarToRowExec, FileSourceScanExec, FilterExec, GlobalLimitExec, InputAdapter, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec, WholeStageCodegenExec}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
@@ -36,15 +37,25 @@ object PlanAudit {
     case other => other.children.exists(hasUnpushedFilter)
   }
 
-  /** A shuffle to ONE partition whose input is not already a partial
-    * aggregate. A final global agg over map-side partials moves one row
-    * per task — fine; anything else funnels real data through one task. */
+  /** A shuffle to ONE partition whose input is provably row-bounded:
+    * a PARTIAL-mode GLOBAL aggregate (one row per task — the map side
+    * of a final global agg) or a per-task limit (≤ k rows per task).
+    * Anything else funnels real data through one task. The round-5
+    * exemption accepted ANY BaseAggregateExec child, which let a final
+    * per-key aggregate — |distinct keys| rows through one task — pass
+    * the audit (q113's old global-window shape). */
+  private def boundedChild(c: SparkPlan): Boolean = c match {
+    case a: BaseAggregateExec =>
+      a.groupingExpressions.isEmpty &&
+        a.aggregateExpressions.forall(e => e.mode == Partial || e.mode == PartialMerge)
+    case _: LocalLimitExec | _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
+    case _ => false
+  }
+
   def hasBadSinglePartition(p: SparkPlan): Boolean = strip(p) match {
     case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
-      strip(e.child) match {
-        case _: BaseAggregateExec => e.children.exists(hasBadSinglePartition)
-        case _                    => true
-      }
+      if (boundedChild(strip(e.child))) e.children.exists(hasBadSinglePartition)
+      else true
     case other => other.children.exists(hasBadSinglePartition)
   }
 

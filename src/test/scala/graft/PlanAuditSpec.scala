@@ -40,6 +40,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(PlanAudit.hasBadSinglePartition(df.queryExecution.executedPlan))
   }
 
+  test("final PER-KEY aggregate under a global window IS flagged") {
+    // A partition-less running-sum window over groupBy(key).count():
+    // the exchange's child is a FINAL per-key aggregate — |distinct keys|
+    // rows funnel through one task — which the round-5 audit exempted
+    // because it only checked for BaseAggregateExec, not the aggregate's
+    // mode/grouping. (A rank-filter probe would NOT exercise this:
+    // InferWindowGroupLimit rewrites row_number+filter(rk<=k) into
+    // TakeOrderedAndProject before the window, so the bad exchange never
+    // plans. A running total has no limit to push.)
+    val df = graft.engine.Tables.orders(spark, dir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      .withColumn("run", sum(col("cnt")).over(
+        Window.orderBy(col("cnt").desc, col("o_custkey"))))
+    assert(PlanAudit.hasBadSinglePartition(df.queryExecution.executedPlan))
+  }
+
+  test("orderBy+limit top-k (TakeOrderedAndProject) is NOT flagged") {
+    // the scale-correct top-k shape: per-task top-k heaps, k rows per
+    // task through the single-partition merge — bounded by construction.
+    val df = graft.engine.Tables.orders(spark, dir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("o_custkey")).limit(5)
+      .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("o_custkey"))))
+    assert(!PlanAudit.hasBadSinglePartition(df.queryExecution.executedPlan))
+  }
+
   test("final global aggregate over partials is NOT flagged") {
     val df = graft.engine.Tables.orders(spark, dir)
       .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("s"))
