@@ -27,19 +27,33 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"BENCH FAIL staging: ${e.getMessage}"); -1.0 }
     // a failed query records -1, never a normal-looking timing — a broken
-    // query must read as broken in the bench JSON, not as a fast one
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // query must read as broken in the bench JSON, not as a fast one.
+    // Each query runs TWICE and reports the min: a single-shot timing on a
+    // shared machine drifts with ambient load (the round-5 driver artifact
+    // ran uniformly 1.74x round 4 on identical plans), and best-of-2 is
+    // robust to one-sided noise while still penalizing real plan
+    // regressions. The per-query max/min spread is emitted alongside so a
+    // noisy run is VISIBLE in the artifact instead of silently inflating it.
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"BENCH FAIL $name: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH FAIL $name: ${e.getMessage}"); -1.0 }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val a = once(name, fn)
+      val b = if (a < 0) -1.0 else once(name, fn)
+      val best = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      val spread = if (best > 0) math.max(a, b) / best else -1.0
+      (name, best, spread)
+    }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sp = results.map { case (k, _, s) => s"\"" + k + "\":" + f"$s%.2f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + math.max(stagingSec, 0)
     val nFailed = results.count(_._2 < 0) + (if (stagingSec < 0) 1 else 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"staging_sec":$stagingSec,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"staging_sec":$stagingSec,"repeats":2,"spread":$sp,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
