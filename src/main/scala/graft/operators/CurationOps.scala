@@ -39,9 +39,26 @@ object CurationOps {
   val ChunkSize = 50
   val ChunkStride = 40
   val NgramN = 5
+
+  /** Default shard count for the deterministic shuffle-shard (q105).
+    *
+    * Occupancy math: shards are the window-partition key, so q105's
+    * parallelism AND its per-task sort size are corpus/NumShards — at
+    * fixed shards both degrade linearly with corpus growth. Size shards
+    * to the target per-shard row count (training shards are typically
+    * 10⁵–10⁶ docs): shards ≈ N/target, e.g. a 10⁹-doc corpus at 250k
+    * docs/shard wants ~4096 shards, not 32. Override per session with
+    * `spark.conf.set("graft.curation.numShards", n)` (see
+    * [[numShardsFor]]); the DuckDB oracle SQL mirrors the DEFAULT, so
+    * overrides are for non-oracle runs. */
   val NumShards = 32
   val PrIters = 3
   val NegK = 4
+
+  /** Session-scoped override of [[NumShards]] — shard sizing is a
+    * deployment decision, not a code edit. */
+  def numShardsFor(s: SparkSession): Int =
+    s.conf.get("graft.curation.numShards", NumShards.toString).toInt
 
   /** Vertex count up to which the per-iteration rank table broadcasts.
     * 4M vertices ≈ 64 MB of (long, long) rows — comfortably inside a
@@ -199,7 +216,7 @@ object CurationOps {
       Tables.documents(s, dir)
         .select(col("doc_id"),
           md5Code60(concat(lit("shuf:"), col("doc_id").cast("string"))).as("hk"))
-        .withColumn("shard", (col("hk") % NumShards).cast("int"))
+        .withColumn("shard", (col("hk") % numShardsFor(s)).cast("int"))
         .withColumn("pos", row_number().over(w))
         .select("doc_id", "shard", "pos", "hk")
         .orderBy("shard", "pos")

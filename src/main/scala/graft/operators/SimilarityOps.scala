@@ -30,10 +30,28 @@ object SimilarityOps {
   type Q = (SparkSession, String) => DataFrame
 
   val Dim = 64
+
+  /** Default hyperplane count for sign-random-projection bucketing.
+    *
+    * Occupancy math: the bucket space is 2^planes, so expected bucket
+    * occupancy is N/2^planes and q47's within-bucket all-pairs work is
+    * Θ(N²/2^planes). Occupancy — and with it the all-pairs cost per
+    * bucket — grows LINEARLY in corpus size at fixed planes, so planes
+    * must track ~log₂(N) to hold per-bucket work constant: 8 planes suit
+    * ~10⁵ vectors (~400/bucket); a 10⁹-vector corpus wants ~21–22 planes.
+    * Override per session with `spark.conf.set("graft.lsh.planes", p)`
+    * (see [[planesFor]]); the DuckDB oracle SQL mirrors the DEFAULT, so
+    * overrides are for non-oracle runs. ScaleGenSpec pins the 2×-per-plane
+    * occupancy scaling empirically on the tiled corpus. */
   val Planes = 8
   val TopK = 10
   val NumProbes = 10
   val NumCentroids = 8
+
+  /** Session-scoped override of [[Planes]] — recall/occupancy tuning is a
+    * deployment decision, not a code edit. */
+  def planesFor(s: SparkSession): Int =
+    s.conf.get("graft.lsh.planes", Planes.toString).toInt
 
   /** Signed-random-projection bucket id: bit j = sign(v · plane_j), with
     * plane_j[c] = ((j*64+c-1)*2654435761 mod 1000003)/1000003 - 0.5.
@@ -54,8 +72,8 @@ object SimilarityOps {
     aggregate(reverse(bits), lit(0L), (acc, b) => acc * 2 + b)
   }
 
-  private def bucket(vec: Column): Column =
-    graft.plans.LshBucketExpr.bucketNative(vec, Planes, Dim)
+  private def bucket(s: SparkSession, vec: Column): Column =
+    graft.plans.LshBucketExpr.bucketNative(vec, planesFor(s), Dim)
 
   private def topkPerProbe(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cand_id"))
@@ -78,7 +96,7 @@ object SimilarityOps {
 
     "q45_ann_lsh" -> ((s, dir) => {
       val b = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bucket"))
+        .select(col("vec_id"), col("embedding"), bucket(s, col("embedding")).as("bucket"))
       val probes = b.filter(col("vec_id") < NumProbes)
         .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("bucket"))
       val cands = b.select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("bucket"))
@@ -93,7 +111,7 @@ object SimilarityOps {
     // threshold filter. Near-linear: pairs only form within a bucket.
     "q47_embedding_neardup" -> ((s, dir) => {
       val b = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"), bucket(col("embedding")).as("bucket"))
+        .select(col("vec_id"), col("embedding"), bucket(s, col("embedding")).as("bucket"))
       val a = b.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("bucket"))
       val c = b.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("bucket"))
       a.join(c, Seq("bucket"))

@@ -88,4 +88,46 @@ class ScaleGenSpec extends AnyFunSuite {
       sort_array(transform(col("embedding"), v => abs(v))).as("m0"))
     assert(mags0.join(mags, "vec_id").filter(col("m0") =!= col("m1")).count() == 0)
   }
+
+  test("LSH bucket occupancy halves per added plane (the planes ~ log2(N) scaling law)") {
+    // SimilarityOps' scaladoc claims expected occupancy N/2^planes, which
+    // is what makes `planes` the knob that holds q45/q47's within-bucket
+    // work constant under corpus growth. Pin it empirically on the tiled
+    // (3x) corpus: each 2 extra planes should multiply the number of
+    // OCCUPIED buckets ~4x (equivalently, divide mean occupancy ~4x).
+    // Sign-projection buckets on structured data aren't perfectly
+    // uniform, so the bound is loose — but a broken hash (all vectors in
+    // few buckets, occupancy flat in planes) fails it decisively.
+    val emb = spark.read.parquet(s"$dst/embeddings.parquet")
+    val distinctBuckets = Seq(4, 6, 8).map { p =>
+      p -> emb.select(graft.plans.LshBucketExpr.bucketNative(
+          col("embedding"), p, graft.operators.SimilarityOps.Dim).as("b"))
+        .agg(countDistinct(col("b"))).head.getLong(0)
+    }.toMap
+    assert(distinctBuckets(4) <= 16 && distinctBuckets(6) <= 64 &&
+      distinctBuckets(8) <= 256, s"bucket ids exceed 2^planes: $distinctBuckets")
+    val r46 = distinctBuckets(6).toDouble / distinctBuckets(4)
+    val r68 = distinctBuckets(8).toDouble / distinctBuckets(6)
+    assert(r46 >= 2.0 && r68 >= 1.8,
+      s"occupied buckets must grow ~4x per 2 planes, got $distinctBuckets")
+  }
+
+  test("the planes/shards session confs reach the query path") {
+    val s = spark
+    try {
+      s.conf.set("graft.lsh.planes", "4")
+      s.conf.set("graft.curation.numShards", "8")
+      assert(graft.operators.SimilarityOps.planesFor(s) == 4)
+      assert(graft.operators.CurationOps.numShardsFor(s) == 8)
+      // q105 must actually shard by the override: max shard id < 8
+      val maxShard = graft.operators.CurationOps.queries("q105_shuffle_order")(s, sfDir)
+        .agg(max(col("shard"))).head.getInt(0)
+      assert(maxShard < 8, s"numShards override ignored: max shard $maxShard")
+    } finally {
+      s.conf.unset("graft.lsh.planes")
+      s.conf.unset("graft.curation.numShards")
+    }
+    assert(graft.operators.SimilarityOps.planesFor(s) == graft.operators.SimilarityOps.Planes)
+    assert(graft.operators.CurationOps.numShardsFor(s) == graft.operators.CurationOps.NumShards)
+  }
 }
