@@ -53,7 +53,37 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + math.max(stagingSec, 0)
     val nFailed = results.count(_._2 < 0) + (if (stagingSec < 0) 1 else 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"staging_sec":$stagingSec,"repeats":2,"spread":$sp,"queries":$qs,"sf":"$sfDir"}""")
+    // Manifest-table scan parity: the same lineitem projection written
+    // once as a manifest table and once as native parquet (same rows,
+    // same file count), then scanned with an identical full-decode
+    // aggregate. The manifest read path (vectorized columnar reader via
+    // DSv2) should price within ~1.5x of the native scan — this line is
+    // the standing evidence. Best-of-2 each, setup not timed.
+    val (maniSec, nativeSec) = try {
+      import org.apache.spark.sql.functions._
+      val base = java.nio.file.Files.createTempDirectory("graft-bench-mani")
+      base.toFile.deleteOnExit()
+      val li = graft.engine.Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+      li.repartition(8).write.format("graft.sources.ManifestSink")
+        .option("path", s"$base/mani").mode("overwrite").save()
+      li.repartition(8).write.mode("overwrite").parquet(s"$base/native")
+      def scanTime(df: => org.apache.spark.sql.DataFrame): Double = {
+        def once: Double = {
+          val t0 = System.nanoTime()
+          df.agg(sum(col("l_orderkey") + col("l_partkey")),
+            sum(col("l_quantity")), sum(length(col("l_returnflag")))).collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        math.min(once, once)
+      }
+      (scanTime(spark.read.format("graft.sources.ManifestSink")
+          .option("path", s"$base/mani").load()),
+        scanTime(spark.read.parquet(s"$base/native")))
+    } catch { case e: Throwable =>
+      System.err.println(s"BENCH FAIL manifest-parity: ${e.getMessage}"); (-1.0, -1.0)
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"staging_sec":$stagingSec,"repeats":2,"manifest_scan_sec":$maniSec,"native_scan_sec":$nativeSec,"spread":$sp,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

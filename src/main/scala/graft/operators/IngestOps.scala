@@ -239,8 +239,18 @@ object IngestOps {
             .write.format("graft.sources.ManifestSink").option("path", out)
             .mode(if (b == 0) "overwrite" else "append").save()
         }
-        // ~4 appends × 3 files pack down to ≥1 data-sized files
-        graft.sources.ManifestSink.compact(out, targetRows = 50000L)
+        // targetRows derives from the TABLE's row count (a metadata-only
+        // count off the manifest — no data I/O) so the rewrite actually
+        // runs at every scale factor: a fixed constant is a no-op the
+        // moment per-file rows outgrow it, silently un-exercising the
+        // OPTIMIZE path this query exists to check. 12 files of ~n/12
+        // rows against a n/4 bin target pack 3-to-a-bin at any SF.
+        val n = s.read.format("graft.sources.ManifestSink").option("path", out)
+          .load().count()
+        val res = graft.sources.ManifestSink.compact(out, targetRows = math.max(1L, n / 4))
+        require(res.rewrittenFiles > 0,
+          s"q124 compaction rewrote nothing (files=${res.filesBefore}) — " +
+            "the OPTIMIZE path must actually run")
       }
       s.read.format("graft.sources.ManifestSink").option("path", out).load()
         .groupBy((col("o_orderkey") % 4).as("bucket"))
@@ -249,6 +259,65 @@ object IngestOps {
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
         .orderBy("bucket")
+    }),
+
+    // Catalog SQL end to end: the manifest table reachable BY NAME —
+    // CREATE NAMESPACE/TABLE through graft.sources.GraftCatalog, a DSv2
+    // append via writeTo, then plain spark.sql against the three-part
+    // name. Checked against the original parquet: the DDL+DML round trip
+    // must be lossless. At 100 TB the catalog is how anything beyond one
+    // notebook addresses the table (names, not paths).
+    "q125_catalog_sql" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        s.sparkContext.applicationId
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      if (orcWritten.add((s.sparkContext.applicationId, s"cat:$dir"))) {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+        s.sql(s"CREATE TABLE graft.$ns.customer_t " +
+          "(c_custkey BIGINT, c_nationkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)")
+        Tables.customer(s, dir)
+          .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+          .writeTo(s"graft.$ns.customer_t").append()
+      }
+      s.sql(
+        s"""SELECT c_mktsegment, count(*) AS n,
+           |  sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS cents_sum,
+           |  min(c_custkey) AS min_key
+           |FROM graft.$ns.customer_t
+           |WHERE c_custkey % 3 = 0
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
+    // Copy-on-write DELETE through SQL: rows leave the table by manifest
+    // version (affected files rewritten, untouched files carried by
+    // reference) and the survivors must equal the oracle's NOT(pred)
+    // relation exactly. The pre-delete snapshot stays time-travelable —
+    // the spec pins that; this query pins the data path.
+    "q126_cow_delete" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        s.sparkContext.applicationId
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      if (orcWritten.add((s.sparkContext.applicationId, s"del:$dir"))) {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+        s.sql(s"CREATE TABLE graft.$ns.orders_t " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)")
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+          .repartition(4)
+          .writeTo(s"graft.$ns.orders_t").append()
+        s.sql(s"DELETE FROM graft.$ns.orders_t " +
+          "WHERE o_orderpriority = '1-URGENT' OR o_custkey % 10 = 3")
+      }
+      s.sql(
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents_sum,
+           |  max(o_orderkey) AS max_key
+           |FROM graft.$ns.orders_t
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }),
 
     // Schema evolution across writer generations: gen-1 files carry
@@ -375,6 +444,25 @@ object IngestOps {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // checked against the ORIGINAL parquet — the catalog DDL + DSv2
+    // append + SQL-by-name read must be lossless for the hash to match
+    "q125_catalog_sql" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+        |  min(c_custkey) AS min_key
+        |FROM customer WHERE c_custkey % 3 = 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the survivors of the copy-on-write DELETE must equal the oracle's
+    // NOT(pred) relation over the original parquet, row for row
+    "q126_cow_delete" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+        |  max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE NOT (o_orderpriority = '1-URGENT' OR o_custkey % 10 = 3)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // checked against the ORIGINAL parquet — append + compact through
     // the manifest table must be lossless for the hash to match

@@ -1,0 +1,121 @@
+package graft.sources
+
+import java.nio.file.Path
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter, ParquetWriter}
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetWriteSupport, VectorizedParquetRecordReader}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.StructType
+
+/** Parquet plumbing for the manifest table's DATA files.
+  *
+  * The manifest table's commit protocol (versioned-manifest CAS, see
+  * [[ManifestSink]]) is format-agnostic; this object supplies the
+  * production data-file format the protocol publishes:
+  *
+  *   - '''write''': each DSv2 task opens a plain parquet-hadoop
+  *     [[ParquetWriter]] whose `WriteSupport` is Spark's own
+  *     [[ParquetWriteSupport]] — the identical row encoding `df.write
+  *     .parquet` produces, configured through a self-contained Hadoop
+  *     conf so the executor-side writer needs no SparkSession.
+  *   - '''read''': scans go through Spark's
+  *     [[VectorizedParquetRecordReader]] — the same columnar decoder
+  *     behind native parquet scans — handing whole [[org.apache.spark
+  *     .sql.vectorized.ColumnarBatch]]es to DSv2 when every file in the
+  *     scan is parquet, and per-row views otherwise. Column pruning is
+  *     applied at the reader (`initialize(path, columns)`), so a
+  *     2-column projection of a 20-column table decodes 2 columns.
+  *   - '''compact''': bins merge via [[ParquetFileWriter#appendFile]] —
+  *     raw row-group copy, no decode/re-encode — preserving the
+  *     byte-exactness the TSV format got from concatenation.
+  *
+  * Legacy `.tsv` data files (the pre-round-6 demo encoding) remain
+  * readable; only the extension dispatches the decoder.
+  */
+object ManifestParquet {
+
+  /** Write-side Hadoop conf: every key [[ParquetWriteSupport.init]]
+    * requires, set explicitly (there is no session to inherit from on an
+    * executor). No timestamp/decimal columns exist in manifest tables
+    * (long/int/double/boolean/string only), so the rebase/timestamp
+    * settings are inert but must be present. */
+  private def writeConf(schema: StructType): Configuration = {
+    val conf = new Configuration()
+    ParquetWriteSupport.setSchema(schema, conf)
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.defaultValueString)
+    conf
+  }
+
+  private class RowBuilder(out: org.apache.parquet.io.OutputFile)
+      extends ParquetWriter.Builder[InternalRow, RowBuilder](out) {
+    override def self(): RowBuilder = this
+    override def getWriteSupport(conf: Configuration): WriteSupport[InternalRow] =
+      new ParquetWriteSupport()
+  }
+
+  /** Open a parquet writer for one task's data file. Mode.CREATE: the
+    * file name is attempt-unique (UUID), so an existing target means a
+    * logic bug, not a retry — fail instead of overwriting. */
+  def open(file: Path, schema: StructType): ParquetWriter[InternalRow] = {
+    val conf = writeConf(schema)
+    new RowBuilder(HadoopOutputFile.fromPath(new HPath(file.toString), conf))
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withWriteMode(ParquetFileWriter.Mode.CREATE)
+      .build()
+  }
+
+  /** Open a vectorized reader over `columns` of `file` (in file-schema
+    * order; manifest append enforces a uniform schema, so file order ==
+    * table order). `returnBatches` flips between ColumnarBatch handoff
+    * (DSv2 columnar scan) and per-row views (row scan / streaming) —
+    * the DECODE is vectorized either way. */
+  def openRead(file: String, columns: Seq[String],
+      returnBatches: Boolean): VectorizedParquetRecordReader = {
+    val r = new VectorizedParquetRecordReader(/* useOffHeap = */ false, /* capacity = */ 4096)
+    try {
+      r.initialize(file, columns.asJava)
+      if (returnBatches) r.enableReturningBatches()
+      r
+    } catch { case t: Throwable => r.close(); throw t }
+  }
+
+  /** Merge `members` (all parquet, same schema by the manifest's append
+    * invariant) into `dest` by raw row-group append — the compaction
+    * rewrite. Returns nothing; the caller publishes the manifest entry.
+    * Key-value footer metadata (including Spark's schema annotation) is
+    * carried over from the first member so readers of the merged file
+    * see exactly what they saw on the originals. */
+  def appendMerge(dest: Path, members: Seq[Path]): Unit = {
+    val conf = new Configuration()
+    val head = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(members.head.toString), conf))
+    val (schema, keyValueMeta) =
+      try (head.getFooter.getFileMetaData.getSchema,
+        head.getFooter.getFileMetaData.getKeyValueMetaData)
+      finally head.close()
+    val writer = new ParquetFileWriter(
+      HadoopOutputFile.fromPath(new HPath(dest.toString), conf),
+      schema, ParquetFileWriter.Mode.CREATE,
+      ParquetWriter.DEFAULT_BLOCK_SIZE.toLong, ParquetWriter.MAX_PADDING_SIZE_DEFAULT)
+    writer.start()
+    members.foreach { m =>
+      writer.appendFile(HadoopInputFile.fromPath(new HPath(m.toString), conf))
+    }
+    writer.end(keyValueMeta)
+  }
+}

@@ -37,11 +37,13 @@ import scala.jdk.CollectionConverters._
   *     concurrent publish by another job fails LOUDLY (the losing
   *     commit throws) instead of silently dropping the winner's files
   *
-  * The data encoding is a deliberately simple typed TSV (strings
-  * base64-encoded so any content round-trips; production would write
-  * parquet here — the protocol, not the format, is what this source
-  * demonstrates). Supported field types: long, int, double, boolean,
-  * string.
+  * Data files are PARQUET, written with Spark's own row encoding
+  * ([[graft.sources.ManifestParquet]]) and read through Spark's
+  * vectorized columnar decoder with column pruning — a manifest-table
+  * scan pays what a native parquet scan pays. Legacy `.tsv` data files
+  * (the pre-round-6 demo encoding) stay readable; the extension picks
+  * the decoder per file. Supported field types: long, int, double,
+  * boolean, string.
   *
   * Usage:
   *   df.write.format("graft.sources.ManifestSink")
@@ -257,12 +259,20 @@ object ManifestSink {
     // long-lived table, even though steady-state leaves only one
     // expirable version per GC pass
     val now = System.currentTimeMillis()
+    def pastGrace(p: Path): Boolean =
+      now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs
     val s = Files.list(root)
     try s.iterator().asScala.foreach { p =>
       p.getFileName.toString match {
         case ManifestVersionRe(n) if n.toLong <= cutoff => Files.deleteIfExists(p)
-        case n if n.startsWith("data-") && !referenced(n) &&
-            now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs =>
+        case n if n.startsWith("data-") && !referenced(n) && pastGrace(p) =>
+          Files.deleteIfExists(p)
+        // staging leftovers of writers that died between writeString and
+        // link/move accumulate forever without this sweep; the same grace
+        // window that protects an in-flight writer's data files protects
+        // its staged manifest
+        case n if (n.startsWith("manifest.tmp-") || n.startsWith("schema.json.tmp-")) &&
+            pastGrace(p) =>
           Files.deleteIfExists(p)
         case _ => ()
       }
@@ -452,48 +462,69 @@ object ManifestSink {
       truncateFirst: Boolean, newEntries: Seq[FileEntry],
       markerUpdate: Option[(String, Long)], gc: GcPolicy): Unit = {
     Files.createDirectories(root)
-    // ONE consistent snapshot: version, schema, markers and entries all
-    // come from the same manifest read (see TableState)
-    val st = readState(root)
-    val existingSchema = st.schema
-    existingSchema.foreach { s =>
-      // name+type compatibility; nullability flags may legitimately differ
-      // between a DataFrame schema and the stored one
-      require(truncateFirst ||
-        s.fields.map(f => (f.name, f.dataType)).toSeq ==
-          schema.fields.map(f => (f.name, f.dataType)).toSeq,
-        s"append schema $schema does not match table schema $s")
+    // APPEND-ONLY commits retry on a lost CAS by REBASING: an append's
+    // file set is disjoint from any concurrent commit's by construction
+    // (task files are attempt-unique), so re-reading the new table state
+    // and re-applying the same entries is always semantics-preserving —
+    // the Delta/Iceberg disjoint-file retry rule. A TRUNCATE read the
+    // table state to decide what to destroy; its loss stays loud
+    // (attempts = 1), as does a compaction's (see [[compact]]).
+    val maxAttempts = if (truncateFirst) 1 else 5
+    var attempt = 0
+    var published: Option[StructType] = None
+    while (published.isEmpty) {
+      attempt += 1
+      // ONE consistent snapshot per attempt: version, schema, markers and
+      // entries all come from the same manifest read (see TableState)
+      val st = readState(root)
+      val existingSchema = st.schema
+      existingSchema.foreach { s =>
+        // name+type compatibility; nullability flags may legitimately differ
+        // between a DataFrame schema and the stored one
+        require(truncateFirst ||
+          s.fields.map(f => (f.name, f.dataType)).toSeq ==
+            schema.fields.map(f => (f.name, f.dataType)).toSeq,
+          s"append schema $schema does not match table schema $s")
+      }
+      // On append the STORED schema wins, with nullability OR-merged: an
+      // incoming non-nullable flag must not re-label a table whose earlier
+      // files may contain nulls (the optimizer would exploit nullable=false
+      // incorrectly); the reverse widening (stored false, incoming true) is
+      // safe and recorded.
+      val schemaToStore = existingSchema match {
+        case Some(s) if !truncateFirst =>
+          StructType(s.fields.zip(schema.fields).map { case (sf, nf) =>
+            sf.copy(nullable = sf.nullable || nf.nullable)
+          })
+        case _ => schema
+      }
+      // Read-point for the CAS: the version whose entries this commit
+      // extends. If another job publishes v(base+1) first, our publish
+      // below fails — loudly past maxAttempts, else into a rebase.
+      val base = st.version
+      val all =
+        (if (truncateFirst) Seq.empty else st.entries) ++ newEntries
+      // Epoch markers survive truncate: a complete-mode epoch replaces the
+      // DATA but the exactly-once high-water mark must persist, or a
+      // restart would double-apply the epoch it just committed.
+      val markers = st.markers ++ markerUpdate
+      val markerLines = markers.toSeq.sortBy(_._1).map((markerLine _).tupled)
+      // schema line + markers + entries publish as ONE atomic unit
+      try {
+        publish(root, base,
+          ((schemaToStore.json +: markerLines) ++ all.map(entryLine)).mkString("\n"))
+        published = Some(schemaToStore)
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= maxAttempts) throw e
+          // brief backoff: contending committers de-synchronize
+          Thread.sleep(5L * attempt)
+      }
     }
-    // On append the STORED schema wins, with nullability OR-merged: an
-    // incoming non-nullable flag must not re-label a table whose earlier
-    // files may contain nulls (the optimizer would exploit nullable=false
-    // incorrectly); the reverse widening (stored false, incoming true) is
-    // safe and recorded.
-    val schemaToStore = existingSchema match {
-      case Some(s) if !truncateFirst =>
-        StructType(s.fields.zip(schema.fields).map { case (sf, nf) =>
-          sf.copy(nullable = sf.nullable || nf.nullable)
-        })
-      case _ => schema
-    }
-    // Read-point for the CAS: the version whose entries this commit
-    // extends. If another job publishes v(base+1) first, our publish
-    // below fails loudly instead of dropping its files.
-    val base = st.version
-    val all =
-      (if (truncateFirst) Seq.empty else st.entries) ++ newEntries
-    // Epoch markers survive truncate: a complete-mode epoch replaces the
-    // DATA but the exactly-once high-water mark must persist, or a
-    // restart would double-apply the epoch it just committed.
-    val markers = st.markers ++ markerUpdate
-    val markerLines = markers.toSeq.sortBy(_._1).map((markerLine _).tupled)
-    // schema line + markers + entries publish as ONE atomic unit
-    publish(root, base,
-      ((schemaToStore.json +: markerLines) ++ all.map(entryLine)).mkString("\n"))
     // best-effort legacy/debug side-car, written only after the CAS wins
     // so a losing writer can't leave its schema behind
     val schemaTmp = root.resolve(s"schema.json.tmp-${java.util.UUID.randomUUID()}")
-    Files.writeString(schemaTmp, schemaToStore.json)
+    Files.writeString(schemaTmp, published.get.json)
     Files.move(schemaTmp, schemaFile(root),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     // retention GC is best-effort: the table is already consistent, so a
@@ -532,13 +563,15 @@ object ManifestSink {
     *    the compaction deletes its merged files and throws, and the
     *    caller can re-run against the new state.
     *
-    * Because the data-file format is newline-terminated encoded TSV, the
-    * rewrite is EXACT byte concatenation — no decode/re-encode, no Spark
-    * job — and per-file stats merge losslessly (min of mins, max of
-    * maxs; a column's merged range is published only when every member
-    * file carried stats for it, since absence is indistinguishable from
-    * "not collected"). Bins are independent, so a distributed rewrite of
-    * a petabyte table would fan each bin out as one task; driver-side
+    * The rewrite never decodes a row in either format: parquet bins
+    * merge by RAW ROW-GROUP APPEND ([[ManifestParquet.appendMerge]] —
+    * the parquet-level analog of file concatenation), legacy TSV bins
+    * by exact byte concatenation. Per-file stats merge losslessly (min
+    * of mins, max of maxs; a column's merged range is published only
+    * when every member file carried stats for it, since absence is
+    * indistinguishable from "not collected"). Formats never mix inside
+    * a bin. Bins are independent, so a distributed rewrite of a
+    * petabyte table would fan each bin out as one task; driver-side
     * sequential I/O is the local[*] degenerate case of the same plan. */
   def compact(tablePath: String, targetRows: Long): CompactionResult = {
     require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
@@ -553,21 +586,28 @@ object ManifestSink {
         "(legacy manifest.txt tables upgrade on their next append)")
     val small = st.entries.filter(_.rows < targetRows)
     // first-fit in manifest order keeps neighboring appends together,
-    // which preserves any time-locality the write order had
-    val bins = small.foldLeft(List.empty[List[FileEntry]]) { (acc, e) =>
-      acc match {
-        case bin :: rest if bin.map(_.rows).sum + e.rows <= targetRows =>
-          (e :: bin) :: rest
-        case _ => List(e) :: acc
-      }
-    }.map(_.reverse).reverse.filter(_.size >= 2) // singleton bins gain nothing
+    // which preserves any time-locality the write order had; binning is
+    // per format so a bin merges homogeneously
+    def packBins(entries: Seq[FileEntry]): List[List[FileEntry]] =
+      entries.foldLeft(List.empty[List[FileEntry]]) { (acc, e) =>
+        acc match {
+          case bin :: rest if bin.map(_.rows).sum + e.rows <= targetRows =>
+            (e :: bin) :: rest
+          case _ => List(e) :: acc
+        }
+      }.map(_.reverse).reverse.filter(_.size >= 2) // singleton bins gain nothing
+    val (tsvSmall, parquetSmall) = small.partition(_.name.endsWith(".tsv"))
+    val bins = packBins(parquetSmall) ++ packBins(tsvSmall)
     if (bins.isEmpty)
       return CompactionResult(st.version, st.entries.size, st.entries.size, 0, 0L)
     val merged = bins.map { bin =>
-      val name = s"data-compact-${java.util.UUID.randomUUID()}.tsv"
-      val out = Files.newOutputStream(root.resolve(name))
-      try bin.foreach(e => Files.copy(root.resolve(e.name), out))
-      finally out.close()
+      val tsv = bin.head.name.endsWith(".tsv")
+      val name = s"data-compact-${java.util.UUID.randomUUID()}.${if (tsv) "tsv" else "parquet"}"
+      if (tsv) {
+        val out = Files.newOutputStream(root.resolve(name))
+        try bin.foreach(e => Files.copy(root.resolve(e.name), out))
+        finally out.close()
+      } else ManifestParquet.appendMerge(root.resolve(name), bin.map(e => root.resolve(e.name)))
       val statKeys = bin.map(_.mins.keySet).reduce(_ intersect _)
       FileEntry(name, bin.map(_.rows).sum,
         statKeys.map(k => k -> bin.map(_.mins(k)).min).toMap,
@@ -604,30 +644,539 @@ object ManifestSink {
       }
     }.mkString("\t")
 
-  private[sources] def decode(line: String, schema: StructType): InternalRow = {
+  /** What a [[deleteWhere]] call did. `candidateFiles` is how many files
+    * the manifest stats could NOT rule out (the rewrite working set);
+    * files whose stats are disjoint from the predicate are untouched. */
+  case class DeleteResult(version: Long, candidateFiles: Int,
+      rewrittenFiles: Int, deletedRows: Long)
+
+  /** Row-level DELETE, copy-on-write: every file the manifest stats
+    * cannot rule out is re-read, its surviving rows are written to a NEW
+    * parquet file, and one manifest version publishes the swap — the
+    * Delta/Iceberg CoW shape. Untouched files are carried by reference;
+    * history (time travel) keeps the pre-delete files alive until
+    * retention GC expires their versions; a change feed across a delete
+    * version fails the pure-append check LOUDLY (a delete is not a
+    * delta). The CAS is single-attempt: a delete decided what to remove
+    * from a state that must still hold at publish — concurrent commits
+    * lose it loudly, and the caller re-runs against the new state.
+    *
+    * A metadata-only whole-file drop (Delta's fast path) deliberately
+    * does NOT happen: per-file min/max cannot prove "every row matches"
+    * because null counts aren't tracked — a null never matches a range
+    * predicate, so a stats-proven range could still shelter a surviving
+    * null row. Rewrites are per-file independent, so a distributed
+    * engine would fan them out one task each; driver-side sequential is
+    * the local[*] degenerate case (same argument as [[compact]]).
+    *
+    * Filters compose as AND. Unsupported filter shapes are rejected by
+    * [[supportedDeleteFilter]] before any I/O. */
+  def deleteWhere(tablePath: String, filters: Seq[org.apache.spark.sql.sources.Filter],
+      gc: GcPolicy = GcPolicy(None, 3600L * 1000)): DeleteResult =
+    deleteCore(tablePath, gc,
+      schema => filters.foreach(f => require(supportedDeleteFilter(f, schema),
+        s"unsupported delete filter: $f")),
+      (row, schema) => filters.forall(f => evalFilter(f, row, schema).contains(true)),
+      e => filters.forall(f => mayMatch(e, f)))
+
+  /** SQL `DELETE FROM` arrives here as V2 [[V2Predicate]]s — evaluated
+    * DIRECTLY, never through Spark's `SupportsDelete` V2→V1 default
+    * bridge: that bridge drops a predicate whose shape has no V1
+    * `Filter` form (e.g. `c % 10 = 3`), and a dropped disjunct means a
+    * silent UNDER-delete — the worst possible failure for a DELETE.
+    * [[supportedDeletePredicate]] gates the dialect up front (in
+    * `canDeleteWhere`), so anything we cannot evaluate fails the
+    * statement loudly at analysis instead. */
+  def deleteWhereV2(tablePath: String,
+      preds: Seq[org.apache.spark.sql.connector.expressions.filter.Predicate],
+      gc: GcPolicy = GcPolicy(None, 3600L * 1000)): DeleteResult =
+    deleteCore(tablePath, gc,
+      schema => preds.foreach(p => require(supportedDeletePredicate(p, schema),
+        s"unsupported delete predicate: $p")),
+      (row, schema) => preds.forall(p => evalPredicate(p, row, schema).contains(true)),
+      e => preds.forall(p => mayMatchV2(e, p)))
+
+  private def deleteCore(tablePath: String, gc: GcPolicy,
+      validate: StructType => Unit,
+      rowMatches: (InternalRow, StructType) => Boolean,
+      filePrune: FileEntry => Boolean): DeleteResult = {
+    val root = Paths.get(tablePath)
+    val st = readState(root)
+    require(st.version > 0L,
+      s"delete requires a versioned manifest table at $tablePath " +
+        "(legacy manifest.txt tables upgrade on their next append)")
+    val schema = st.schema.getOrElse(
+      throw new IllegalStateException(s"manifest table $tablePath has no schema"))
+    validate(schema)
+    val (candidates, untouched) = st.entries.partition(filePrune)
+    var deletedRows = 0L
+    val replacements = candidates.map { e =>
+      val intCols = schema.fields.zipWithIndex.collect {
+        case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f, i)
+      }
+      val mins = scala.collection.mutable.Map.empty[String, Long]
+      val maxs = scala.collection.mutable.Map.empty[String, Long]
+      var kept = 0L
+      val newName = s"data-delete-${java.util.UUID.randomUUID()}.parquet"
+      val out = ManifestParquet.open(root.resolve(newName), schema)
+      try {
+        foreachRow(root.resolve(e.name), schema) { row =>
+          // deleted iff the conjunction is TRUE; UNKNOWN keeps the row
+          if (rowMatches(row, schema)) deletedRows += 1
+          else {
+            out.write(row); kept += 1
+            intCols.foreach { case (f, i) =>
+              if (!row.isNullAt(i)) {
+                val v = if (f.dataType == LongType) row.getLong(i) else row.getInt(i).toLong
+                mins.updateWith(f.name)(o => Some(o.fold(v)(math.min(_, v))))
+                maxs.updateWith(f.name)(o => Some(o.fold(v)(math.max(_, v))))
+              }
+            }
+          }
+        }
+      } finally out.close()
+      if (kept == e.rows) {
+        // nothing in this file matched after all (stats were only a
+        // may-match): keep the ORIGINAL file, discard the copy
+        Files.deleteIfExists(root.resolve(newName))
+        Some(e)
+      } else if (kept == 0L) {
+        // the whole file matched: no replacement at all
+        Files.deleteIfExists(root.resolve(newName))
+        None
+      } else Some(FileEntry(newName, kept, mins.toMap, maxs.toMap))
+    }
+    val rewritten = candidates.zip(replacements).count {
+      case (e, r) => !r.contains(e)
+    }
+    if (deletedRows == 0L)
+      return DeleteResult(st.version, candidates.size, 0, 0L)
+    val entries = untouched ++ replacements.flatten
+    val markerLines = st.markers.toSeq.sortBy(_._1).map((markerLine _).tupled)
+    try publish(root, st.version,
+      ((schema.json +: markerLines) ++ entries.map(entryLine)).mkString("\n"))
+    catch { case e: java.util.ConcurrentModificationException =>
+      replacements.flatten.filterNot(candidates.contains)
+        .foreach(r => Files.deleteIfExists(root.resolve(r.name)))
+      throw e
+    }
+    gc.retainVersions.foreach { k =>
+      try expireVersions(root, k, gc.orphanGraceMs)
+      catch { case e: Exception =>
+        System.err.println(s"manifest GC for $root failed (table unaffected): ${e.getMessage}")
+      }
+    }
+    DeleteResult(st.version + 1, candidates.size, rewritten, deletedRows)
+  }
+
+  /** Iterate every row of one committed data file (either format) with
+    * the FULL table schema. */
+  private def foreachRow(file: Path, schema: StructType)(f: InternalRow => Unit): Unit =
+    if (file.toString.endsWith(".tsv")) {
+      Files.readAllLines(file).forEach(l => f(decode(l, schema)))
+    } else {
+      val r = ManifestParquet.openRead(file.toString,
+        schema.fieldNames.toSeq, returnBatches = false)
+      try while (r.nextKeyValue()) f(r.getCurrentValue.asInstanceOf[InternalRow])
+      finally r.close()
+    }
+
+  /** The delete-filter dialect: equality/range/in/null tests on table
+    * columns plus AND/OR/NOT. Everything else is rejected loudly BEFORE
+    * any rewrite I/O. */
+  private[sources] def supportedDeleteFilter(f: org.apache.spark.sql.sources.Filter,
+      schema: StructType): Boolean = {
+    import org.apache.spark.sql.sources._
+    def known(c: String) = schema.fieldNames.contains(c)
+    f match {
+      case EqualTo(c, _) => known(c)
+      case EqualNullSafe(c, _) => known(c)
+      case GreaterThan(c, _) => known(c)
+      case GreaterThanOrEqual(c, _) => known(c)
+      case LessThan(c, _) => known(c)
+      case LessThanOrEqual(c, _) => known(c)
+      case In(c, _) => known(c)
+      case IsNull(c) => known(c)
+      case IsNotNull(c) => known(c)
+      case StringStartsWith(c, _) => known(c)
+      case StringEndsWith(c, _) => known(c)
+      case StringContains(c, _) => known(c)
+      case And(l, r) => supportedDeleteFilter(l, schema) && supportedDeleteFilter(r, schema)
+      case Or(l, r) => supportedDeleteFilter(l, schema) && supportedDeleteFilter(r, schema)
+      case Not(c) => supportedDeleteFilter(c, schema)
+      case AlwaysTrue() | AlwaysFalse() => true
+      case _ => false
+    }
+  }
+
+  /** SQL THREE-VALUED logic, faithfully: None is UNKNOWN. The DELETE
+    * contract collapses it at the top — a row is deleted iff the
+    * predicate is TRUE, so UNKNOWN keeps the row — but UNKNOWN must
+    * propagate correctly through Not/And/Or first (`NOT (c = 5)` over a
+    * null c is UNKNOWN, not TRUE; collapsing early would delete the
+    * null rows). */
+  /** Runtime value of column `c` in `row`: null = SQL NULL, strings as
+    * java.lang.String, numbers boxed. Shared by the V1-Filter and
+    * V2-Predicate delete evaluators. */
+  private def fieldValue(row: InternalRow, schema: StructType, c: String): Any = {
+    val i = schema.fieldIndex(c)
+    if (row.isNullAt(i)) null
+    else schema.fields(i).dataType match {
+      case LongType    => row.getLong(i)
+      case IntegerType => row.getInt(i)
+      case DoubleType  => row.getDouble(i)
+      case BooleanType => row.getBoolean(i)
+      case StringType  => row.getUTF8String(i).toString
+      case other => throw new IllegalArgumentException(s"unsupported $other")
+    }
+  }
+
+  // numeric comparisons widen to double only when a double is involved;
+  // long/int compare exactly
+  private def cmpAny(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: Boolean, y: Boolean) => Some(x.compareTo(y))
+    case (x: Number, y: Number) => (x, y) match {
+      case (_: java.lang.Double, _) | (_, _: java.lang.Double) |
+           (_: java.lang.Float, _) | (_, _: java.lang.Float) =>
+        Some(java.lang.Double.compare(x.doubleValue(), y.doubleValue()))
+      case _ => Some(java.lang.Long.compare(x.longValue(), y.longValue()))
+    }
+    case _ => None
+  }
+
+  private[sources] def evalFilter(f: org.apache.spark.sql.sources.Filter,
+      row: InternalRow, schema: StructType): Option[Boolean] = {
+    import org.apache.spark.sql.sources._
+    def value(c: String): Any = fieldValue(row, schema, c)
+    def cmp(a: Any, b: Any): Option[Int] = cmpAny(a, b)
+    def str(c: String)(p: String => Boolean): Option[Boolean] =
+      value(c) match { case s: String => Some(p(s)); case _ => None }
+    f match {
+      case EqualTo(c, v) => cmp(value(c), v).map(_ == 0)
+      case EqualNullSafe(c, v) =>
+        val a = value(c)
+        if (a == null || v == null) Some(a == null && v == null)
+        else cmp(a, v).map(_ == 0)
+      case GreaterThan(c, v) => cmp(value(c), v).map(_ > 0)
+      case GreaterThanOrEqual(c, v) => cmp(value(c), v).map(_ >= 0)
+      case LessThan(c, v) => cmp(value(c), v).map(_ < 0)
+      case LessThanOrEqual(c, v) => cmp(value(c), v).map(_ <= 0)
+      case In(c, vs) =>
+        val a = value(c)
+        if (a == null) None
+        // IN with a null member: TRUE if any non-null member matches,
+        // else UNKNOWN (never FALSE) — the SQL rule
+        else if (vs.exists(v => v != null && cmp(a, v).contains(0))) Some(true)
+        else if (vs.contains(null)) None
+        else Some(false)
+      case IsNull(c) => Some(value(c) == null)
+      case IsNotNull(c) => Some(value(c) != null)
+      case StringStartsWith(c, p) => str(c)(_.startsWith(p))
+      case StringEndsWith(c, p) => str(c)(_.endsWith(p))
+      case StringContains(c, p) => str(c)(_.contains(p))
+      case And(l, r) =>
+        (evalFilter(l, row, schema), evalFilter(r, row, schema)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+      case Or(l, r) =>
+        (evalFilter(l, row, schema), evalFilter(r, row, schema)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+      case Not(x) => evalFilter(x, row, schema).map(!_)
+      case AlwaysTrue() => Some(true)
+      case AlwaysFalse() => Some(false)
+      case other => throw new IllegalArgumentException(s"unsupported delete filter $other")
+    }
+  }
+
+  /** The V2-Predicate delete dialect: comparisons / IN / null tests /
+    * string predicates over VALUE EXPRESSIONS (column refs, literals,
+    * arithmetic `+ - * / %`, ABS, COALESCE, CAST), composed with
+    * AND/OR/NOT. Strictly wider than the V1 dialect — arithmetic like
+    * `c % 10 = 3` has no V1 `Filter` form at all. Everything outside the
+    * dialect is rejected in `canDeleteWhere`, so Spark fails the DELETE
+    * loudly at analysis rather than running it under-scoped. */
+  private[sources] def supportedDeletePredicate(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate,
+      schema: StructType): Boolean = {
+    import org.apache.spark.sql.connector.expressions._
+    def expr(e: Expression): Boolean = e match {
+      case r: NamedReference =>
+        r.fieldNames.length == 1 && schema.fieldNames.contains(r.fieldNames.head)
+      case l: Literal[_] => l.dataType match {
+        case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+             StringType => true
+        case _ => false
+      }
+      case c: Cast => (c.dataType match {
+        case LongType | IntegerType | DoubleType | StringType => true
+        case _ => false
+      }) && expr(c.expression)
+      case p2: filter.Predicate => pred(p2)
+      case g: GeneralScalarExpression => g.name match {
+        case "+" | "*" | "/" | "%" => g.children.length == 2 && g.children.forall(expr)
+        case "-" => (g.children.length == 1 || g.children.length == 2) &&
+          g.children.forall(expr)
+        case "ABS" => g.children.length == 1 && expr(g.children.head)
+        case "COALESCE" => g.children.nonEmpty && g.children.forall(expr)
+        case _ => false
+      }
+      case _ => false
+    }
+    def pred(q: filter.Predicate): Boolean = q.name match {
+      case "ALWAYS_TRUE" | "ALWAYS_FALSE" => true
+      case "AND" | "OR" =>
+        q.children.forall { case c: filter.Predicate => pred(c); case _ => false }
+      case "NOT" => q.children.head match {
+        case c: filter.Predicate => pred(c); case _ => false
+      }
+      case "IS_NULL" | "IS_NOT_NULL" => q.children.length == 1 && expr(q.children.head)
+      case "=" | "<>" | "!=" | "<=>" | "<" | "<=" | ">" | ">=" =>
+        q.children.length == 2 && q.children.forall(expr)
+      case "STARTS_WITH" | "ENDS_WITH" | "CONTAINS" =>
+        q.children.length == 2 && q.children.forall(expr)
+      case "IN" => q.children.nonEmpty && q.children.forall(expr)
+      case _ => false
+    }
+    pred(p)
+  }
+
+  /** Evaluate one V2 value expression against a row. null = SQL NULL.
+    * Arithmetic follows the evaluator's non-ANSI convention: integral
+    * `/` or `%` by zero yields NULL rather than throwing (a DELETE that
+    * aborts mid-rewrite helps nobody; the CAS makes the partial work
+    * invisible either way). */
+  private def evalV2Expr(e: org.apache.spark.sql.connector.expressions.Expression,
+      row: InternalRow, schema: StructType): Any = {
+    import org.apache.spark.sql.connector.expressions._
+    def isIntegral(x: Any) = x.isInstanceOf[java.lang.Long] || x.isInstanceOf[java.lang.Integer]
+    def arith(a: Any, b: Any, lop: (Long, Long) => Any, dop: (Double, Double) => Any): Any =
+      if (a == null || b == null) null
+      else (a, b) match {
+        case (x: Number, y: Number) =>
+          if (isIntegral(a) && isIntegral(b)) lop(x.longValue(), y.longValue())
+          else dop(x.doubleValue(), y.doubleValue())
+        case _ => null
+      }
+    e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        fieldValue(row, schema, r.fieldNames.head)
+      case l: Literal[_] => l.dataType match {
+        case StringType => if (l.value == null) null else l.value.toString
+        case _ => l.value
+      }
+      case c: Cast =>
+        val v = evalV2Expr(c.expression, row, schema)
+        if (v == null) null
+        else (v, c.dataType) match {
+          case (n: Number, LongType) => n.longValue()
+          case (n: Number, IntegerType) => n.intValue()
+          case (n: Number, DoubleType) => n.doubleValue()
+          case (x, StringType) => x.toString
+          case _ => null
+        }
+      case p: filter.Predicate => evalPredicate(p, row, schema).orNull
+      case g: GeneralScalarExpression =>
+        def ch(i: Int) = evalV2Expr(g.children()(i), row, schema)
+        g.name match {
+          case "+" => arith(ch(0), ch(1), _ + _, _ + _)
+          case "-" if g.children.length == 1 => ch(0) match {
+            case null => null
+            case n: java.lang.Long => -n
+            case n: java.lang.Integer => -n
+            case n: Number => -n.doubleValue()
+            case _ => null
+          }
+          case "-" => arith(ch(0), ch(1), _ - _, _ - _)
+          case "*" => arith(ch(0), ch(1), _ * _, _ * _)
+          case "/" => arith(ch(0), ch(1), (a, b) => if (b == 0L) null else a / b, _ / _)
+          case "%" => arith(ch(0), ch(1), (a, b) => if (b == 0L) null else a % b, _ % _)
+          case "ABS" => ch(0) match {
+            case null => null
+            case n: java.lang.Long => math.abs(n.longValue())
+            case n: java.lang.Integer => math.abs(n.intValue())
+            case n: Number => math.abs(n.doubleValue())
+            case _ => null
+          }
+          case "COALESCE" =>
+            g.children.iterator.map(evalV2Expr(_, row, schema)).find(_ != null).orNull
+          case other => throw new IllegalArgumentException(s"unsupported expression $other")
+        }
+      case other => throw new IllegalArgumentException(s"unsupported expression $other")
+    }
+  }
+
+  /** Same THREE-VALUED contract as [[evalFilter]], over the V2 shape. */
+  private[sources] def evalPredicate(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate,
+      row: InternalRow, schema: StructType): Option[Boolean] = {
+    import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Pred}
+    def ch(i: Int): Any = evalV2Expr(p.children()(i), row, schema)
+    def sub(i: Int): Option[Boolean] =
+      evalPredicate(p.children()(i).asInstanceOf[V2Pred], row, schema)
+    def strPred(f: (String, String) => Boolean): Option[Boolean] = (ch(0), ch(1)) match {
+      case (a: String, b: String) => Some(f(a, b))
+      case _ => None
+    }
+    p.name match {
+      case "ALWAYS_TRUE" => Some(true)
+      case "ALWAYS_FALSE" => Some(false)
+      case "AND" => (sub(0), sub(1)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case "OR" => (sub(0), sub(1)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case "NOT" => sub(0).map(!_)
+      case "IS_NULL" => Some(ch(0) == null)
+      case "IS_NOT_NULL" => Some(ch(0) != null)
+      case "=" => cmpAny(ch(0), ch(1)).map(_ == 0)
+      case "<>" | "!=" => cmpAny(ch(0), ch(1)).map(_ != 0)
+      case "<=>" =>
+        val (a, b) = (ch(0), ch(1))
+        if (a == null || b == null) Some(a == null && b == null)
+        else cmpAny(a, b).map(_ == 0)
+      case "<" => cmpAny(ch(0), ch(1)).map(_ < 0)
+      case "<=" => cmpAny(ch(0), ch(1)).map(_ <= 0)
+      case ">" => cmpAny(ch(0), ch(1)).map(_ > 0)
+      case ">=" => cmpAny(ch(0), ch(1)).map(_ >= 0)
+      case "STARTS_WITH" => strPred(_.startsWith(_))
+      case "ENDS_WITH" => strPred(_.endsWith(_))
+      case "CONTAINS" => strPred(_.contains(_))
+      case "IN" =>
+        val a = ch(0)
+        if (a == null) None
+        else {
+          val vs = (1 until p.children.length).map(ch)
+          if (vs.exists(v => v != null && cmpAny(a, v).contains(0))) Some(true)
+          else if (vs.contains(null)) None
+          else Some(false)
+        }
+      case other => throw new IllegalArgumentException(s"unsupported delete predicate $other")
+    }
+  }
+
+  /** Per-file min/max pruning for the V2 shape, mirroring [[mayMatch]]:
+    * only direct `column <op> literal` comparisons prune; arithmetic,
+    * NOT, and anything else conservatively may-match. `AND` prunes if
+    * either side prunes; `OR` only if both sides do. */
+  private[sources] def mayMatchV2(e: FileEntry,
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate): Boolean = {
+    import org.apache.spark.sql.connector.expressions._
+    import org.apache.spark.sql.sources
+    def colLit(flip: Boolean): Option[(String, Any)] = p.children() match {
+      case Array(r: NamedReference, l: Literal[_])
+        if !flip && r.fieldNames.length == 1 => Some((r.fieldNames.head, l.value))
+      case Array(l: Literal[_], r: NamedReference)
+        if flip && r.fieldNames.length == 1 => Some((r.fieldNames.head, l.value))
+      case _ => None
+    }
+    def range(mk: (String, Any) => sources.Filter, flipped: (String, Any) => sources.Filter) =
+      colLit(flip = false).map { case (c, v) => mayMatch(e, mk(c, v)) }
+        .orElse(colLit(flip = true).map { case (c, v) => mayMatch(e, flipped(c, v)) })
+        .getOrElse(true)
+    p.name match {
+      case "AND" => p.children.forall {
+        case c: filter.Predicate => mayMatchV2(e, c); case _ => true
+      }
+      case "OR" => p.children.exists {
+        case c: filter.Predicate => mayMatchV2(e, c); case _ => true
+      }
+      case "=" => range(sources.EqualTo.apply, sources.EqualTo.apply)
+      case "<" => range(sources.LessThan.apply, sources.GreaterThan.apply)
+      case "<=" => range(sources.LessThanOrEqual.apply, sources.GreaterThanOrEqual.apply)
+      case ">" => range(sources.GreaterThan.apply, sources.LessThan.apply)
+      case ">=" => range(sources.GreaterThanOrEqual.apply, sources.LessThanOrEqual.apply)
+      case "IN" => p.children() match {
+        case arr if arr.nonEmpty => arr.head match {
+          case r: NamedReference if r.fieldNames.length == 1 =>
+            val lits = arr.tail.collect { case l: Literal[_] => l.value.asInstanceOf[Any] }
+            if (lits.length == arr.length - 1)
+              mayMatch(e, sources.In(r.fieldNames.head, lits.toArray))
+            else true
+          case _ => true
+        }
+        case _ => true
+      }
+      case _ => true
+    }
+  }
+
+  /** Decode the PROJECTED fields of one legacy-TSV line: `indices(j)` is
+    * the file-schema position of output field j, so a pruned read decodes
+    * only what the query needs. Null sentinels: NUL (current), plus ""
+    * for NON-string columns — files written before the NUL sentinel
+    * encoded null as the empty string, which is unambiguous for numeric/
+    * boolean fields (they never serialize empty) and would otherwise
+    * throw NumberFormatException on a legacy null. A legacy STRING null
+    * still decodes as "" — base64 cannot distinguish them; acceptable for
+    * the demo-era files this path exists to keep readable. */
+  private[sources] def decode(line: String, fields: Array[StructField],
+      indices: Array[Int]): InternalRow = {
     val parts = line.split("\t", -1)
-    InternalRow.fromSeq(schema.fields.zipWithIndex.map { case (f, i) =>
-      if (parts(i) == "\u0000") null
+    InternalRow.fromSeq(indices.indices.map { j =>
+      val f = fields(j)
+      val v = parts(indices(j))
+      if (v == "\u0000") null
       else f.dataType match {
-        case LongType    => parts(i).toLong
-        case IntegerType => parts(i).toInt
-        case DoubleType  => parts(i).toDouble
-        case BooleanType => parts(i).toBoolean
         case StringType  => UTF8String.fromBytes(
-          java.util.Base64.getDecoder.decode(parts(i)))
+          java.util.Base64.getDecoder.decode(v))
+        case _ if v.isEmpty => null
+        case LongType    => v.toLong
+        case IntegerType => v.toInt
+        case DoubleType  => v.toDouble
+        case BooleanType => v.toBoolean
         case other => throw new IllegalArgumentException(s"unsupported $other")
       }
-    }.toIndexedSeq)
+    })
   }
+
+  private[sources] def decode(line: String, schema: StructType): InternalRow =
+    decode(line, schema.fields, schema.fields.indices.toArray)
 }
 
 class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None,
     changes: Option[(Long, Long)] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
     s"manifest($root${pinned.fold("")(v => s"@v$v")}" +
       s"${changes.fold("")(c => s"Δv${c._1}..${if (c._2 < 0) "now" else c._2}")})"
   override def schema(): StructType = schema0
+
+  /** SQL `DELETE FROM` lands here (via [[GraftCatalog]]): copy-on-write
+    * row-level delete, see [[ManifestSink.deleteWhere]]. The V2
+    * `Predicate` overloads are overridden DIRECTLY — `SupportsDelete`'s
+    * default V2→V1 bridge converts through `PredicateUtils.toV1`, which
+    * cannot express arithmetic shapes like `c % 10 = 3`; relying on it
+    * either fails statements our evaluator handles fine or (in
+    * `deleteWhere`, which never length-checks the conversion) silently
+    * under-deletes. Unsupported predicates are rejected in
+    * `canDeleteWhere` so Spark fails the statement loudly instead. */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    pinned.isEmpty && changes.isEmpty &&
+      predicates.forall(p => ManifestSink.supportedDeletePredicate(p, schema0))
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    ManifestSink.deleteWhereV2(root.toString, predicates.toSeq)
+
+  // V1 overloads kept for the `truncateTable` default and direct callers
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    pinned.isEmpty && changes.isEmpty &&
+      filters.forall(f => ManifestSink.supportedDeleteFilter(f, schema0))
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    ManifestSink.deleteWhere(root.toString, filters.toSeq)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
@@ -752,7 +1301,7 @@ class ManifestStreamingWriterFactory(rootStr: String, schema: StructType)
     // still comes from the UUID (a replayed epoch writes NEW files,
     // which commit() then discards)
     new ManifestDataWriter(rootStr, schema,
-      s"data-e$epochId-p$partitionId-t$taskId-${java.util.UUID.randomUUID()}.tsv")
+      s"data-e$epochId-p$partitionId-t$taskId-${java.util.UUID.randomUUID()}.parquet")
 }
 
 class ManifestWriterFactory(rootStr: String, schema: StructType)
@@ -762,9 +1311,16 @@ class ManifestWriterFactory(rootStr: String, schema: StructType)
     // partition writes a different file; only the attempt whose message
     // reaches commit() becomes visible
     new ManifestDataWriter(rootStr, schema,
-      s"data-p$partitionId-t$taskId-${java.util.UUID.randomUUID()}.tsv")
+      s"data-p$partitionId-t$taskId-${java.util.UUID.randomUUID()}.parquet")
 }
 
+/** One task's data file: PARQUET, written through Spark's own parquet
+  * row encoding (see [[ManifestParquet.open]]) so the bytes are
+  * indistinguishable from a native `df.write.parquet` file. Integer
+  * min/max stats are still collected INLINE during the write — one pass,
+  * no footer re-read — and published in the manifest entry, which keeps
+  * file skipping metadata-only at plan time (the footer carries the same
+  * ranges for row-group-level use by the vectorized reader). */
 class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String)
     extends DataWriter[InternalRow] {
   private val root = Paths.get(rootStr)
@@ -778,10 +1334,10 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String)
   private val maxs = scala.collection.mutable.Map.empty[String, Long]
   private lazy val out = {
     Files.createDirectories(root)
-    Files.newBufferedWriter(root.resolve(fileName), StandardCharsets.UTF_8)
+    ManifestParquet.open(root.resolve(fileName), schema)
   }
   override def write(record: InternalRow): Unit = {
-    out.write(ManifestSink.encode(record, schema)); out.write("\n"); rows += 1
+    out.write(record); rows += 1
     intCols.foreach { case (f, i) =>
       if (!record.isNullAt(i)) {
         val v = if (f.dataType == LongType) record.getLong(i) else record.getInt(i).toLong
@@ -791,7 +1347,7 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String)
     }
   }
   override def commit(): WriterCommitMessage = {
-    out.flush(); out.close()
+    out.close() // forces creation even for an empty task: footer-only file
     ManifestCommit(fileName, rows, mins.toMap, maxs.toMap)
   }
   override def abort(): Unit = {
@@ -813,15 +1369,31 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String)
   * values compose exactly). Anything else scans normally. */
 class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
     changes: Option[(Long, Long)] = None, maxVersionsPerTrigger: Option[Long] = None)
-    extends ScanBuilder with SupportsPushDownAggregates with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownAggregates with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
   import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 
   private var pushedAgg: Option[Aggregation] = None
   private var skipFilters: Array[Filter] = Array.empty
+  private var prunedNames: Option[Set[String]] = None
 
   private lazy val tableSchema = ManifestSink.readSchema(root, pinned)
+
+  /** Column pruning: the scan decodes ONLY the requested columns — at
+    * the parquet reader for data files (requested-schema projection, so
+    * a 2-column read of a 20-column table touches 2 column chunks) and
+    * at the TSV decoder for legacy files. Names are kept, positions are
+    * re-resolved against the table schema, so the output order is the
+    * table's regardless of the order Spark requested. */
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    prunedNames = Some(requiredSchema.fieldNames.toSet)
+
+  private def readSchemaPruned: StructType = prunedNames match {
+    case Some(names) => StructType(tableSchema.fields.filter(f => names(f.name)))
+    case None => tableSchema
+  }
 
   /** The integer table column a pushed MIN/MAX refers to, if stats can
     * answer it. */
@@ -914,7 +1486,7 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
         .filter(e => skipFilters.forall(f => ManifestSink.mayMatch(e, f)))
       // streaming reads honor changesFromVersion/changesToVersion as
       // their start offset and end cap
-      new ManifestScan(root, ManifestSink.readSchema(root, pinned), resolve,
+      new ManifestScan(root, tableSchema, readSchemaPruned, resolve,
         streamStart = changes.map(_._1).getOrElse(0L),
         streamEnd = changes.map(_._2).getOrElse(-1L),
         maxVersionsPerTrigger = maxVersionsPerTrigger)
@@ -947,7 +1519,7 @@ class ManifestAggReaderFactory(row: InternalRow) extends PartitionReaderFactory 
     }
 }
 
-class ManifestScan(root: Path, schema: StructType,
+class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     resolveEntries: () => Seq[ManifestSink.FileEntry],
     streamStart: Long = 0L, streamEnd: Long = -1L,
     maxVersionsPerTrigger: Option[Long] = None)
@@ -991,23 +1563,38 @@ class ManifestScan(root: Path, schema: StructType,
     * size. Bytes come from rows × schema default width — planning must
     * not pay per-file filesystem stats on every invocation. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val rows = entries.map(_.rows).sum
-    private val bytes = rows * math.max(1, schema.defaultSize)
-    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
-    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    // Defensive resolution: Catalyst may request stats while planning a
+    // change-feed scan whose window the table hasn't reached yet (or has
+    // GC'd) — entry resolution is deliberately lazy for exactly that
+    // case (see build()), so a stats probe must not force a failure into
+    // PLANNING; unknown stats fall back to Spark's defaults and the scan
+    // itself still fails (or waits) at execution as designed.
+    private val counted: Option[Long] =
+      try Some(entries.map(_.rows).sum)
+      catch { case _: Exception => None }
+    override def sizeInBytes(): java.util.OptionalLong =
+      counted.fold(java.util.OptionalLong.empty())(r =>
+        java.util.OptionalLong.of(r * math.max(1, schema.defaultSize)))
+    override def numRows(): java.util.OptionalLong =
+      counted.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
   }
   // one InputPartition per SURVIVING committed data file — parallelism
   // follows the manifest, uncommitted/stray files are invisible, and
   // stats-pruned files never become partitions at all
   override def planInputPartitions(): Array[InputPartition] =
     entries
-      .map(e => ManifestFilePartition(root.resolve(e.name).toString): InputPartition)
+      .map(e => ManifestFilePartition(root.resolve(e.name).toString, e.rows): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(schema)
+    // whole-batch columnar handoff only when EVERY file in the scan is
+    // parquet (Spark requires a uniform row/columnar answer across the
+    // batch); a legacy-mixed table still decodes parquet files through
+    // the vectorized reader, handing rows off one at a time
+    new ManifestReaderFactory(fileSchema, schema,
+      columnar = schema.nonEmpty && resolved.forall(_.name.endsWith(".parquet")))
 
   override def toMicroBatchStream(checkpointLocation: String): readstreaming.MicroBatchStream =
-    new ManifestMicroBatchStream(root, schema, streamStart, streamEnd,
+    new ManifestMicroBatchStream(root, fileSchema, schema, streamStart, streamEnd,
       maxVersionsPerTrigger)
 }
 
@@ -1021,7 +1608,8 @@ class ManifestScan(root: Path, schema: StructType,
   * is the first batch); `changesToVersion` caps the stream — offsets
   * never advance past it. A truncate mid-stream fails the pure-append
   * check loudly rather than replaying rewritten data. */
-class ManifestMicroBatchStream(root: Path, schema: StructType, startVersion: Long,
+class ManifestMicroBatchStream(root: Path, fileSchema: StructType,
+    schema: StructType, startVersion: Long,
     endCap: Long = -1L, maxVersionsPerTrigger: Option[Long] = None)
     extends readstreaming.MicroBatchStream
     with readstreaming.SupportsAdmissionControl {
@@ -1062,26 +1650,69 @@ class ManifestMicroBatchStream(root: Path, schema: StructType, startVersion: Lon
     val e = end.asInstanceOf[VOffset].v
     if (e <= s) Array.empty
     else ManifestSink.addedEntries(root, s, e)
-      .map(en => ManifestFilePartition(root.resolve(en.name).toString): InputPartition)
+      .map(en => ManifestFilePartition(root.resolve(en.name).toString, en.rows): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestReaderFactory(schema)
+    // row-based handoff: a stream's batches are planned per offset
+    // window, so a single columnar/row answer for the stream's lifetime
+    // can't be derived from any one batch's file set. Parquet decode is
+    // still vectorized inside the reader.
+    new ManifestReaderFactory(fileSchema, schema, columnar = false)
 }
 
-case class ManifestFilePartition(file: String) extends InputPartition
+case class ManifestFilePartition(file: String, rows: Long = 0L) extends InputPartition
 
-class ManifestReaderFactory(schema: StructType) extends PartitionReaderFactory {
+/** Per-file readers. Parquet files decode through Spark's vectorized
+  * reader — as whole ColumnarBatches when the scan is uniformly parquet
+  * (`columnar`), else as row views over the same batches; legacy `.tsv`
+  * files decode line-by-line. Only the PRUNED columns are materialized
+  * in either format. A zero-column projection (e.g. `SELECT lit(1)`)
+  * opens no file at all: the manifest's per-file row count drives an
+  * empty-row emitter. */
+class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
+    columnar: Boolean) extends PartitionReaderFactory {
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[ManifestFilePartition].file
-    new PartitionReader[InternalRow] {
-      private val lines = Files.readAllLines(Paths.get(file)).iterator()
+    val p = partition.asInstanceOf[ManifestFilePartition]
+    if (schema.isEmpty) new PartitionReader[InternalRow] {
+      private var remaining = p.rows
+      override def next(): Boolean = remaining > 0 && { remaining -= 1; true }
+      override def get(): InternalRow = InternalRow.empty
+      override def close(): Unit = ()
+    }
+    else if (p.file.endsWith(".tsv")) new PartitionReader[InternalRow] {
+      private val fields = schema.fields
+      private val indices = fields.map(f => fileSchema.fieldIndex(f.name))
+      private val lines = Files.readAllLines(Paths.get(p.file)).iterator()
       private var current: InternalRow = _
       override def next(): Boolean =
-        if (lines.hasNext) { current = ManifestSink.decode(lines.next(), schema); true }
-        else false
+        if (lines.hasNext) {
+          current = ManifestSink.decode(lines.next(), fields, indices); true
+        } else false
       override def get(): InternalRow = current
       override def close(): Unit = ()
+    }
+    else new PartitionReader[InternalRow] {
+      private val reader =
+        ManifestParquet.openRead(p.file, schema.fieldNames.toSeq, returnBatches = false)
+      override def next(): Boolean = reader.nextKeyValue()
+      override def get(): InternalRow = reader.getCurrentValue.asInstanceOf[InternalRow]
+      override def close(): Unit = reader.close()
+    }
+  }
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[ManifestFilePartition]
+    new PartitionReader[ColumnarBatch] {
+      private val reader =
+        ManifestParquet.openRead(p.file, schema.fieldNames.toSeq, returnBatches = true)
+      override def next(): Boolean = reader.nextKeyValue()
+      override def get(): ColumnarBatch = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+      override def close(): Unit = reader.close()
     }
   }
 }

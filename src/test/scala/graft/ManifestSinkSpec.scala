@@ -76,11 +76,36 @@ class ManifestSinkSpec extends AnyFunSuite {
       .forEach(p => Files.delete(p))
     val n = spark.read.format(fmt).option("path", dir.toString).load().count()
     assert(n == 42, "metadata-only count must survive missing data files")
+    // a zero-column projection also opens no data file: the manifest's
+    // per-file row counts drive an empty-row emitter
+    val ones = spark.read.format(fmt).option("path", dir.toString).load()
+      .select(lit(1).as("one")).collect()
+    assert(ones.length == 42, "zero-column scan must be answered from metadata")
     // and a real scan of course cannot
     intercept[Exception] {
       spark.read.format(fmt).option("path", dir.toString).load()
         .agg(sum("id")).collect()
     }
+  }
+
+  test("scans are columnar and column-pruned: only requested columns reach the reader") {
+    val dir = tmp().toString
+    spark.range(200).select(col("id"), lit("v").as("s"), (col("id") * 2.5).as("x"))
+      .repartition(2)
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val df = spark.read.format(fmt).option("path", dir).load()
+      .filter(col("id") >= 100).select("x", "id")
+    val scans = df.queryExecution.sparkPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.size == 1)
+    assert(scans.head.supportsColumnar,
+      "parquet-backed manifest scan must hand ColumnarBatches to Spark")
+    assert(scans.head.scan.readSchema().fieldNames.toSet == Set("id", "x"),
+      s"projection must prune column s, got ${scans.head.scan.readSchema()}")
+    assert(df.count() == 100)
+    val total = df.agg(sum("x")).head.getDouble(0)
+    assert(total == (100 until 200).map(_ * 2.5).sum)
   }
 
   test("manifest min/max stats skip files for selective range filters") {

@@ -1,0 +1,95 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DDL + DML against manifest tables BY NAME through [[GraftCatalog]]:
+  * the full life cycle a SQL user drives — namespaces, CREATE/DROP/
+  * RENAME, INSERT INTO / INSERT OVERWRITE, time travel, and the
+  * invariant that by-name and by-path access observe the SAME committed
+  * snapshot (the catalog adds resolution, never a second write path). */
+class CatalogSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  private val fmt = "graft.sources.ManifestSink"
+
+  private val wh: Path = {
+    val p = Files.createTempDirectory("graft-catalog")
+    p.toFile.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", p.toString)
+    p
+  }
+
+  test("namespace + table DDL: create, list, duplicate-create loses, drop") {
+    spark.sql("CREATE NAMESPACE gcat.ddl")
+    spark.sql("CREATE TABLE gcat.ddl.t (id BIGINT, s STRING)")
+    val shown = spark.sql("SHOW TABLES IN gcat.ddl").select("tableName")
+      .as[String].collect().toSet
+    assert(shown == Set("t"))
+    intercept[Exception] { spark.sql("CREATE TABLE gcat.ddl.t (id BIGINT)") }
+    spark.sql("DROP TABLE gcat.ddl.t")
+    assert(spark.sql("SHOW TABLES IN gcat.ddl").count() == 0)
+    intercept[Exception] { spark.table("gcat.ddl.t").count() }
+  }
+
+  test("INSERT INTO appends through the CAS; INSERT OVERWRITE truncates") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.dml")
+    spark.sql("CREATE TABLE gcat.dml.t (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO gcat.dml.t SELECT id, concat('a', id) FROM range(10)")
+    spark.sql("INSERT INTO gcat.dml.t SELECT id, concat('b', id) FROM range(10, 25)")
+    assert(spark.table("gcat.dml.t").count() == 25)
+    spark.sql("INSERT OVERWRITE gcat.dml.t SELECT id, concat('c', id) FROM range(5)")
+    val rows = spark.table("gcat.dml.t").as[(Long, String)].collect().toSet
+    assert(rows == (0L until 5L).map(i => (i, s"c$i")).toSet)
+  }
+
+  test("SQL time travel: VERSION AS OF pins the snapshot an earlier commit published") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.tt")
+    spark.sql("CREATE TABLE gcat.tt.t (id BIGINT)") // v1: empty
+    spark.sql("INSERT INTO gcat.tt.t SELECT id FROM range(10)") // v2
+    spark.sql("INSERT INTO gcat.tt.t SELECT id FROM range(10, 30)") // v3
+    assert(spark.sql("SELECT * FROM gcat.tt.t VERSION AS OF 2").count() == 10)
+    assert(spark.sql("SELECT * FROM gcat.tt.t VERSION AS OF 1").count() == 0)
+    assert(spark.table("gcat.tt.t").count() == 30)
+  }
+
+  test("ALTER TABLE RENAME moves the table; data and history survive") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.mv")
+    spark.sql("CREATE TABLE gcat.mv.a (id BIGINT)")
+    spark.sql("INSERT INTO gcat.mv.a SELECT id FROM range(7)")
+    // the RENAME target resolves inside the source's catalog: `mv.b`,
+    // not `gcat.mv.b` (which would name a `gcat.mv` namespace IN gcat)
+    spark.sql("ALTER TABLE gcat.mv.a RENAME TO mv.b")
+    assert(spark.table("gcat.mv.b").count() == 7)
+    intercept[Exception] { spark.table("gcat.mv.a").count() }
+  }
+
+  test("by-name and by-path reads observe the same committed snapshot") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.px")
+    spark.sql("CREATE TABLE gcat.px.t (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO gcat.px.t SELECT id, concat('x', id) FROM range(42)")
+    val byName = spark.table("gcat.px.t")
+    val byPath = spark.read.format(fmt)
+      .option("path", wh.resolve("px").resolve("t").toString).load()
+    assert(byName.exceptAll(byPath).isEmpty && byPath.exceptAll(byName).isEmpty)
+    // a path-side append is immediately visible by name: one commit
+    // protocol, two resolvers
+    spark.range(42, 50).select(col("id"), lit("y").as("s"))
+      .write.format(fmt)
+      .option("path", wh.resolve("px").resolve("t").toString)
+      .mode("append").save()
+    assert(spark.table("gcat.px.t").count() == 50)
+  }
+
+  test("partition transforms are rejected at CREATE: file layout is write-side") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.pt")
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.pt.t (id BIGINT, d STRING) PARTITIONED BY (d)")
+    }
+    assert(e.getMessage.contains("partition"))
+  }
+}

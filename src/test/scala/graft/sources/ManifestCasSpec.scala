@@ -451,4 +451,74 @@ class ManifestCasSpec extends AnyFunSuite {
     assert(spark.read.format(fmt).option("path", root.toString).load().count() == 2)
     assert(ManifestSink.committedEntries(root).map(_.name).contains("data-legacy.tsv"))
   }
+
+  test("pre-NUL-sentinel TSV files decode '' as null for non-string columns") {
+    val root = tmp()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType), StructField("x", DoubleType)))
+    Files.writeString(root.resolve("schema.json"), schema.json)
+    // demo-era encoding: null was the EMPTY string; a numeric null would
+    // throw NumberFormatException without the legacy decode rule, and a
+    // string null is indistinguishable from "" (decodes as "")
+    Files.writeString(root.resolve("data-legacy.tsv"), "1\t\t\n\tYQ==\t2.5\n")
+    Files.writeString(root.resolve("manifest.txt"), "data-legacy.tsv\t2\t\t")
+    val rows = spark.read.format(fmt).option("path", root.toString).load()
+      .orderBy(asc_nulls_last("id")).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(0) && rows(1).getString(1) == "a" && rows(1).getDouble(2) == 2.5)
+  }
+
+  test("append commits rebase and retry on a lost CAS: N concurrent appenders ALL land") {
+    val root = tmp()
+    Seq((0L, Some("seed"), 0.0)).toDF("id", "s", "x")
+      .write.format(fmt).option("path", root.toString).mode("overwrite").save()
+    val schema = ManifestSink.readSchema(root)
+    // protocol-level appenders racing on the same base version: without
+    // retry-with-rebase exactly one would win per round and the rest
+    // would throw; with it (append file sets are disjoint by
+    // construction, so a rebase is always semantics-preserving) every
+    // appender must land. A truncate keeps losing loudly — it decided
+    // what to destroy from a state that no longer exists.
+    val n = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val futures = (1 to n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            start.await()
+            ManifestSink.publishCommit(root, schema, truncateFirst = false,
+              Seq(ManifestSink.FileEntry(s"data-conc-$i.tsv", 1L, Map.empty, Map.empty)),
+              markerUpdate = None, GcPolicy(None, 3600000L))
+          }
+        })
+      }
+      start.countDown()
+      futures.foreach(_.get()) // every appender must succeed — no losers
+    } finally pool.shutdown()
+    assert(ManifestSink.currentVersion(root) == 1L + n,
+      "each rebased append publishes exactly one version")
+    val names = ManifestSink.committedEntries(root).map(_.name)
+    assert((1 to n).forall(i => names.contains(s"data-conc-$i.tsv")),
+      s"every concurrent append must be visible, got $names")
+  }
+
+  test("GC sweeps orphaned manifest.tmp/schema.json.tmp staging files past the grace window") {
+    val root = tmp()
+    def append(v: Long): Unit =
+      Seq((v, Some("r"), 0.0)).toDF("id", "s", "x")
+        .write.format(fmt).option("path", root.toString).mode("append").save()
+    append(1); append(2)
+    // leftovers of writers that died between writeString and link/move
+    Files.writeString(root.resolve("manifest.tmp-dead"), "{}")
+    Files.writeString(root.resolve("schema.json.tmp-dead"), "{}")
+    ManifestSink.expireVersions(root, retain = 1, orphanGraceMs = 0L)
+    assert(!Files.exists(root.resolve("manifest.tmp-dead")),
+      "orphaned manifest staging file must be swept")
+    assert(!Files.exists(root.resolve("schema.json.tmp-dead")),
+      "orphaned schema staging file must be swept")
+    // the live table is untouched
+    assert(spark.read.format(fmt).option("path", root.toString).load().count() == 2)
+  }
 }
