@@ -5,11 +5,16 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** A [[TableCatalog]] over manifest tables, so the DSv2 table format is
   * reachable BY NAME from plain SQL — the first thing a real user wants
@@ -37,7 +42,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * and writes resolve through [[ManifestTable]], so SQL-by-name and
   * path-based access observe identical snapshots.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: Path = _
 
@@ -189,6 +194,79 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         .forEach(f => Files.deleteIfExists(f))
       finally s.close()
       true
+    }
+  }
+
+  // ---- procedures -------------------------------------------------------
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(GraftCatalog.SystemNs))
+      Array(Identifier.of(GraftCatalog.SystemNs, "vacuum"))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    if (ident.namespace().sameElements(GraftCatalog.SystemNs) &&
+        ident.name().equalsIgnoreCase("vacuum"))
+      new GraftCatalog.VacuumProcedure(this)
+    else throw new IllegalArgumentException(
+      s"unknown procedure $ident; available: graft.system.vacuum")
+}
+
+object GraftCatalog {
+  private val SystemNs = Array("system")
+
+  private val VacuumOutput = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("file", StringType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("deleted", BooleanType, nullable = false)))
+
+  /** `CALL graft.system.vacuum(table => 'db.t', retain => 3)` — retention
+    * GC with an operator-reviewable preview. The DEFAULT is a dry run:
+    * the result set lists exactly what a real pass would delete (expired
+    * manifests, unreferenced data files past the orphan grace window,
+    * orphaned staging files) without touching anything, so the sweep can
+    * be reviewed before `dry_run => false` performs it. A procedure
+    * rather than a write option because VACUUM is an operator action on
+    * the table, not a property of any particular write. */
+  private class VacuumProcedure(catalog: GraftCatalog)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "List (dry_run, the default) or delete manifest-table files no " +
+        "longer reachable from the `retain` most recent versions"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name within this catalog, e.g. 'db.t'").build(),
+      ProcedureParameter.in("retain", IntegerType)
+        .comment("number of most-recent versions to keep (>= 1)").build(),
+      ProcedureParameter.in("dry_run", BooleanType).defaultValue("true")
+        .comment("preview only (default); false performs the deletions").build(),
+      ProcedureParameter.in("grace_ms", LongType).defaultValue("3600000")
+        .comment("age before an unreferenced data/tmp file is sweepable").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val tableName = input.getUTF8String(0).toString
+      val retain = input.getInt(1)
+      val dryRun = input.getBoolean(2)
+      val graceMs = input.getLong(3)
+      val parts = tableName.split('.')
+      val ident = Identifier.of(parts.init, parts.last)
+      val root = catalog.tablePath(ident)
+      if (!catalog.isTable(root)) throw new NoSuchTableException(ident)
+      val report = ManifestSink.vacuum(root, retain, graceMs, dryRun)
+      val resultRows = report.candidates.map { c =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(c.kind), UTF8String.fromString(c.name),
+          c.bytes, !report.dryRun)): InternalRow
+      }.toArray
+      util.Collections.singletonList[Scan](new LocalScan {
+        override def readSchema(): StructType = VacuumOutput
+        override def rows(): Array[InternalRow] = resultRows
+      }).iterator()
     }
   }
 }

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
@@ -240,45 +240,85 @@ object ManifestSink {
     GcPolicy(retain, grace)
   }
 
-  /** Expire manifest versions older than the `retain` most recent ones,
-    * then delete data files referenced by NO retained version — but only
-    * once a file is older than `orphanGraceMs`, so an in-flight
-    * concurrent writer's not-yet-committed files survive. Runs after a
-    * successful publish; failures here must not fail the commit (the
-    * table is already consistent), so callers best-effort it. */
-  private[sources] def expireVersions(root: Path, retain: Int, orphanGraceMs: Long): Unit = {
+  /** One file the retention sweep would remove. `kind` is `manifest`
+    * (an expired versioned manifest), `data` (a data file no retained
+    * version references), `tmp` (an orphaned staging file), or `legacy`
+    * (the pre-v1 side-car manifest). */
+  case class GcCandidate(kind: String, name: String, bytes: Long)
+
+  /** What a [[vacuum]] pass found (and, when not a dry run, removed). */
+  case class VacuumReport(dryRun: Boolean, candidates: Seq[GcCandidate]) {
+    def reclaimableBytes: Long = candidates.map(_.bytes).sum
+  }
+
+  /** Enumerate what expiring versions older than the `retain` most
+    * recent would delete, WITHOUT deleting anything: expired manifests,
+    * data files referenced by no retained version (past `orphanGraceMs`,
+    * so an in-flight concurrent writer's not-yet-committed files
+    * survive), and orphaned staging files. */
+  private def gcPlan(root: Path, retain: Int,
+      orphanGraceMs: Long): Seq[(Path, GcCandidate)] = {
+    require(retain >= 1, s"retain must be >= 1, got $retain")
     val current = currentVersion(root)
     val cutoff = current - retain // expire versions <= cutoff
-    if (cutoff < 1L) return
+    if (cutoff < 1L) return Seq.empty
     val referenced = (cutoff + 1 to current)
       .filter(v => Files.exists(manifestAt(root, v)))
       .flatMap(v => committedEntries(root, Some(v)))
       .map(_.name).toSet
-    // one directory listing drives BOTH sweeps — a blind 1..cutoff
+    // one directory listing drives ALL sweeps — a blind 1..cutoff
     // delete loop would cost O(currentVersion) syscalls per commit on a
     // long-lived table, even though steady-state leaves only one
     // expirable version per GC pass
     val now = System.currentTimeMillis()
     def pastGrace(p: Path): Boolean =
       now - Files.getLastModifiedTime(p).toMillis >= orphanGraceMs
+    def size(p: Path): Long = try Files.size(p) catch { case _: Exception => 0L }
+    def cand(p: Path, kind: String) = (p, GcCandidate(kind, p.getFileName.toString, size(p)))
+    val buf = Seq.newBuilder[(Path, GcCandidate)]
     val s = Files.list(root)
     try s.iterator().asScala.foreach { p =>
       p.getFileName.toString match {
-        case ManifestVersionRe(n) if n.toLong <= cutoff => Files.deleteIfExists(p)
+        case ManifestVersionRe(n) if n.toLong <= cutoff => buf += cand(p, "manifest")
         case n if n.startsWith("data-") && !referenced(n) && pastGrace(p) =>
-          Files.deleteIfExists(p)
+          buf += cand(p, "data")
         // staging leftovers of writers that died between writeString and
         // link/move accumulate forever without this sweep; the same grace
         // window that protects an in-flight writer's data files protects
         // its staged manifest
         case n if (n.startsWith("manifest.tmp-") || n.startsWith("schema.json.tmp-")) &&
             pastGrace(p) =>
-          Files.deleteIfExists(p)
+          buf += cand(p, "tmp")
         case _ => ()
       }
     } finally s.close()
-    Files.deleteIfExists(manifest(root)) // legacy file is pre-v1 state
+    val legacy = manifest(root) // legacy file is pre-v1 state
+    if (Files.exists(legacy)) buf += cand(legacy, "legacy")
+    buf.result()
   }
+
+  /** Retention GC with an operator-reviewable preview. `dryRun = true`
+    * lists exactly what a real pass would delete — file kind, name,
+    * bytes — and touches nothing, so a human can review the sweep the
+    * way the reference's publish flow reviews a git diff before a cron
+    * commit ([/root/reference/src/rotterdam_swimming_advice.py:248-296]'s
+    * human-gated publish). `dryRun = false` performs the deletions and
+    * reports what was removed. Also reachable from SQL:
+    * `CALL graft.system.vacuum(table => 'db.t', retain => 3)`. */
+  def vacuum(root: Path, retain: Int, orphanGraceMs: Long = 3600L * 1000,
+      dryRun: Boolean = true): VacuumReport = {
+    val plan = gcPlan(root, retain, orphanGraceMs)
+    if (!dryRun) plan.foreach { case (p, _) => Files.deleteIfExists(p) }
+    VacuumReport(dryRun, plan.map(_._2))
+  }
+
+  /** Expire manifest versions older than the `retain` most recent ones
+    * and sweep unreferenced data / orphaned tmp files (see [[gcPlan]]).
+    * Runs after a successful publish; failures here must not fail the
+    * commit (the table is already consistent), so callers best-effort
+    * it. */
+  private[sources] def expireVersions(root: Path, retain: Int, orphanGraceMs: Long): Unit =
+    vacuum(root, retain, orphanGraceMs, dryRun = false)
 
   /** Characters that would corrupt the manifest stats encoding
     * (`name:value,name:value<TAB>...`) if they appeared in a column name.
@@ -539,6 +579,35 @@ object ManifestSink {
 
   private[sources] def committedFiles(root: Path): Seq[String] =
     committedEntries(root).map(_.name)
+
+  /** Publish the commit of a group-based row-level rewrite: version
+    * `baseVersion`'s entries minus `replaced` plus `newEntries`, CAS'd
+    * against `baseVersion` so the swap only lands on the exact snapshot
+    * the rewrite scan read. On a lost CAS the new files are deleted and
+    * the loss is re-thrown — the caller re-runs against the new state.
+    * The resulting version is a data change (rows were modified), so the
+    * change feed's pure-append check fails across it by design, exactly
+    * like a copy-on-write DELETE's version. */
+  private[sources] def publishReplace(root: Path, baseVersion: Long,
+      replaced: Set[String], newEntries: Seq[FileEntry], gc: GcPolicy): Unit = {
+    val schema = readSchema(root, Some(baseVersion))
+    val markerLines = epochMarkers(root, Some(baseVersion)).toSeq.sortBy(_._1)
+      .map((markerLine _).tupled)
+    val kept = committedEntries(root, Some(baseVersion)).filterNot(e => replaced(e.name))
+    try publish(root, baseVersion,
+      ((schema.json +: markerLines) ++ (kept ++ newEntries).map(entryLine))
+        .mkString("\n"))
+    catch { case e: java.util.ConcurrentModificationException =>
+      newEntries.foreach(n => Files.deleteIfExists(root.resolve(n.name)))
+      throw e
+    }
+    gc.retainVersions.foreach { k =>
+      try expireVersions(root, k, gc.orphanGraceMs)
+      catch { case e: Exception =>
+        System.err.println(s"manifest GC for $root failed (table unaffected): ${e.getMessage}")
+      }
+    }
+  }
 
   /** What a [[compact]] call did: the version it published (or the
     * current one if nothing needed rewriting) and the file-count move. */
@@ -1148,7 +1217,8 @@ object ManifestSink {
 class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None,
     changes: Option[(Long, Long)] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with SupportsRowLevelOperations {
   override def name(): String =
     s"manifest($root${pinned.fold("")(v => s"@v$v")}" +
       s"${changes.fold("")(c => s"Δv${c._1}..${if (c._2 < 0) "now" else c._2}")})"
@@ -1194,6 +1264,30 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ManifestWriteBuilder(root, info.schema(), truncateFirst = false,
       ManifestSink.gcPolicy(info.options()), info.queryId())
+
+  /** SQL `UPDATE` and `MERGE INTO` land here (via [[GraftCatalog]]):
+    * Spark's GROUP-BASED row-level rewrite. One operation instance links
+    * the rewrite scan to the replacing write — the scan records which
+    * files it planned (after the command condition's stats pruning, via
+    * `GroupBasedRowLevelOperationScanPlanning`) pinned to the version it
+    * read, and the write's commit swaps exactly those files for the
+    * rewritten content in one CAS publish against that version.
+    * `DELETE` statements whose predicates fit the [[SupportsDelete]]
+    * dialect still take the metadata-coordinated path above
+    * (`OptimizeMetadataOnlyDeleteFromTable` converts them back); shapes
+    * outside it — subqueries, disjunctions over arithmetic — now fall
+    * through to this rewrite instead of failing. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(pinned.isEmpty && changes.isEmpty,
+      "row-level operations apply to the CURRENT snapshot, not a " +
+        "time-travel or change-feed read")
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new ManifestRowLevelOperation(root, info.command(),
+          ManifestSink.gcPolicy(info.options()))
+    }
+  }
 }
 
 /** Retention knobs parsed from WRITE options: `retainVersions = k` keeps
@@ -1238,6 +1332,82 @@ class ManifestBatchWrite(root: Path, schema: StructType, truncateFirst: Boolean,
     }
     ManifestSink.publishCommit(root, schema, truncateFirst, newEntries.toSeq,
       markerUpdate = None, gc)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case ManifestCommit(f, _, _, _) => Files.deleteIfExists(root.resolve(f))
+      case _ => ()
+    }
+}
+
+/** One SQL UPDATE / MERGE / (non-metadata) DELETE: the shared object
+  * Spark's `RowLevelOperationTable` threads between the rewrite's scan
+  * and its write. The scan side pins the table version at planning and
+  * records the file set it resolved (post stats-pruning); the write side
+  * replaces exactly that set. Copy-on-write semantics: every planned
+  * file is rewritten in full, untouched files are carried by reference. */
+class ManifestRowLevelOperation(root: Path, cmd: RowLevelOperation.Command,
+    gc: GcPolicy) extends RowLevelOperation {
+  /** (version the scan read, files it planned) — set when the rewrite
+    * scan is built, consumed by the write's commit. */
+  @volatile private var scanState: Option[(Long, Seq[ManifestSink.FileEntry])] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"manifest-cow-${cmd.name.toLowerCase}"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val v = ManifestSink.currentVersion(root)
+    require(v > 0L,
+      "row-level operations require a versioned manifest table " +
+        "(legacy manifest.txt tables upgrade on their next append)")
+    // pinned to v: the scan and the commit's carried-over entries must
+    // describe the SAME snapshot even if the table moves mid-operation
+    // (the CAS at publish then loses loudly instead of mixing states)
+    new ManifestScanBuilder(root, Some(v), None, None,
+      onBatchResolve = Some(entries => scanState = Some((v, entries))))
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val writeSchema = info.schema()
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new ManifestReplaceDataWrite(root, writeSchema,
+            ManifestRowLevelOperation.this, gc)
+      }
+    }
+  }
+
+  private[sources] def commitReplace(newEntries: Seq[ManifestSink.FileEntry]): Unit = {
+    val (v, scanned) = scanState.getOrElse(throw new IllegalStateException(
+      "row-level write committed before its rewrite scan was planned"))
+    ManifestSink.publishReplace(root, v, scanned.map(_.name).toSet, newEntries, gc)
+  }
+}
+
+/** The write half of a group-based row-level rewrite: tasks write
+  * replacement parquet through the ordinary writer factory; commit swaps
+  * the scanned files for the new ones in one CAS publish pinned to the
+  * version the scan read. A concurrent commit of ANY kind (append
+  * included) makes this one lose loudly — rebase would be unsound
+  * because the rewritten row content was decided from a state that must
+  * still hold at publish (same single-attempt rule as [[ManifestSink
+  * .deleteWhere]] and [[ManifestSink.compact]]). */
+class ManifestReplaceDataWrite(root: Path, schema: StructType,
+    op: ManifestRowLevelOperation, gc: GcPolicy) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ManifestWriterFactory(root.toString, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val (live, empty) = messages.collect {
+      case ManifestCommit(f, n, mins, maxs) => ManifestSink.FileEntry(f, n, mins, maxs)
+    }.partition(_.rows > 0L)
+    // a task whose every row was deleted (or that received no rows from
+    // the rewrite) leaves a footer-only file: drop it instead of
+    // publishing an entry that would cost a scan partition forever
+    empty.foreach(e => Files.deleteIfExists(root.resolve(e.name)))
+    op.commitReplace(live.toSeq)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1368,7 +1538,8 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String)
   * collected", and min/max ignore nulls so per-file stats over non-null
   * values compose exactly). Anything else scans normally. */
 class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
-    changes: Option[(Long, Long)] = None, maxVersionsPerTrigger: Option[Long] = None)
+    changes: Option[(Long, Long)] = None, maxVersionsPerTrigger: Option[Long] = None,
+    onBatchResolve: Option[Seq[ManifestSink.FileEntry] => Unit] = None)
     extends ScanBuilder with SupportsPushDownAggregates with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -1406,6 +1577,7 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
   }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    onBatchResolve.isEmpty && // a rewrite scan must produce real rows
     skipFilters.isEmpty && aggregation.groupByExpressions().isEmpty && {
       lazy val entries = scanEntries // ONE manifest read, at planning time
       aggregation.aggregateExpressions().nonEmpty &&
@@ -1481,9 +1653,19 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
       // entry resolution stays LAZY: a streaming read never materializes
       // the batch file set (its batches resolve per offset window — an
       // eager diff here would also reject a changesFromVersion that the
-      // stream is waiting for the table to reach)
-      val resolve = () => scanEntries
-        .filter(e => skipFilters.forall(f => ManifestSink.mayMatch(e, f)))
+      // stream is waiting for the table to reach). A row-level REWRITE
+      // scan is the exception: its file set must be resolved and
+      // recorded NOW, because the replacing write's commit swaps exactly
+      // these files (the scan is pinned, so eager == lazy in content).
+      val resolve = onBatchResolve match {
+        case Some(record) =>
+          val entries = scanEntries
+            .filter(e => skipFilters.forall(f => ManifestSink.mayMatch(e, f)))
+          record(entries)
+          () => entries
+        case None => () => scanEntries
+          .filter(e => skipFilters.forall(f => ManifestSink.mayMatch(e, f)))
+      }
       // streaming reads honor changesFromVersion/changesToVersion as
       // their start offset and end cap
       new ManifestScan(root, tableSchema, readSchemaPruned, resolve,

@@ -92,4 +92,28 @@ class CatalogSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("partition"))
   }
+
+  test("CALL gcat.system.vacuum previews by default, deletes on dry_run => false") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.vac")
+    spark.sql("CREATE TABLE gcat.vac.t (id BIGINT)")                       // v1
+    spark.sql("INSERT INTO gcat.vac.t SELECT id FROM range(10)")           // v2
+    spark.sql("INSERT OVERWRITE gcat.vac.t SELECT id FROM range(5)")       // v3: orphans v2's files
+    val preview = spark.sql(
+      "CALL gcat.system.vacuum(table => 'vac.t', retain => 1, grace_ms => 0)")
+    val prows = preview.collect()
+    assert(prows.nonEmpty && prows.forall(!_.getBoolean(3)), "default must be a dry run")
+    assert(prows.count(_.getString(0) == "manifest") == 2, "v1+v2 manifests expirable")
+    assert(prows.exists(_.getString(0) == "data"), "v2's data files orphaned")
+    // preview touched nothing: expired-window time travel still works
+    assert(spark.sql("SELECT * FROM gcat.vac.t VERSION AS OF 2").count() == 10)
+    val swept = spark.sql("CALL gcat.system.vacuum(" +
+      "table => 'vac.t', retain => 1, dry_run => false, grace_ms => 0)").collect()
+    assert(swept.map(_.getString(1)).toSet == prows.map(_.getString(1)).toSet,
+      "real pass must delete exactly the previewed set")
+    assert(swept.forall(_.getBoolean(3)))
+    assert(spark.table("gcat.vac.t").count() == 5)
+    intercept[Exception] { spark.sql("SELECT * FROM gcat.vac.t VERSION AS OF 2").count() }
+    // the procedure is discoverable and rejects unknown names
+    intercept[Exception] { spark.sql("CALL gcat.system.nope()") }
+  }
 }

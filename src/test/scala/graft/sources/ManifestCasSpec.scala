@@ -209,6 +209,39 @@ class ManifestCasSpec extends AnyFunSuite {
     assert(spark.read.format(fmt).option("path", dir).load().count() == 1)
   }
 
+  test("vacuum dry run lists the sweep without deleting; a real pass removes exactly it") {
+    val root = tmp()
+    val dir = root.toString
+    Seq((1L, Some("a"), 0.5)).toDF("id", "s", "x")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()     // v1
+    Seq((2L, Some("b"), 1.5)).toDF("id", "s", "x")
+      .write.format(fmt).option("path", dir).mode("append").save()        // v2
+    Seq((3L, Some("c"), 2.5)).toDF("id", "s", "x")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()     // v3: orphans v1+v2 data
+    val preview = ManifestSink.vacuum(root, retain = 1, orphanGraceMs = 0L) // dryRun default
+    assert(preview.dryRun)
+    val kinds = preview.candidates.groupBy(_.kind).view.mapValues(_.size).toMap
+    assert(kinds.getOrElse("manifest", 0) == 2, s"v1+v2 manifests expirable: $kinds")
+    assert(kinds.getOrElse("data", 0) == 2, s"v1+v2 data files orphaned: $kinds")
+    assert(preview.reclaimableBytes > 0)
+    // the dry run touched NOTHING: full history still present and readable
+    assert(Files.exists(ManifestSink.manifestAt(root, 1L)))
+    preview.candidates.foreach(c => assert(Files.exists(root.resolve(c.name)), c.name))
+    assert(spark.read.format(fmt).option("path", dir)
+      .option("versionAsOf", "2").load().count() == 2)
+    // the real pass deletes exactly the previewed set, nothing else
+    val swept = ManifestSink.vacuum(root, retain = 1, orphanGraceMs = 0L, dryRun = false)
+    assert(!swept.dryRun)
+    assert(swept.candidates.map(_.name).toSet == preview.candidates.map(_.name).toSet)
+    swept.candidates.foreach(c => assert(!Files.exists(root.resolve(c.name)), c.name))
+    assert(spark.read.format(fmt).option("path", dir).load().count() == 1)
+    intercept[Exception] {
+      spark.read.format(fmt).option("path", dir).option("versionAsOf", "2").load()
+    }
+    // idempotent: nothing left to sweep
+    assert(ManifestSink.vacuum(root, retain = 1, orphanGraceMs = 0L).candidates.isEmpty)
+  }
+
   test("change feed reads only the files added inside the version window") {
     val root = tmp()
     val dir = root.toString
