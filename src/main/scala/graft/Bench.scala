@@ -84,6 +84,12 @@ object Bench {
       System.err.println(s"BENCH FAIL manifest-parity: ${e.getMessage}"); (-1.0, -1.0)
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"staging_sec":$stagingSec,"repeats":2,"manifest_scan_sec":$maniSec,"native_scan_sec":$nativeSec,"spread":$sp,"queries":$qs,"sf":"$sfDir"}""")
+    // The full per-query line above grows with the suite and the driver
+    // captures only a bounded tail of sbt output — past ~120 queries the
+    // line's HEAD (metric/value/total) is truncated away and the driver
+    // records "parsed": null. This final line is self-contained and small
+    // (no per-query map), so the totals always survive tail truncation.
+    println(f"""BENCH_TOTAL_JSON {"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$nFailed,"staging_sec":$stagingSec%.3f,"manifest_scan_sec":$maniSec%.3f,"native_scan_sec":$nativeSec%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

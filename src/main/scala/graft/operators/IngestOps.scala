@@ -320,6 +320,81 @@ object IngestOps {
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // Copy-on-write UPDATE through SQL: Spark's group-based row-level
+    // rewrite (RewriteUpdateTable → ReplaceData) — only files whose
+    // stats may hold matching rows are rewritten (runtime group filter
+    // + manifest min/max pruning), untouched files carried by
+    // reference, one CAS publish swaps them. Checked against the
+    // oracle's CASE-expression relation over the original parquet: a
+    // rewrite that modified a non-matching row, dropped one, or missed
+    // a matching one hash-mismatches. No float arithmetic in the SET —
+    // updated prices are carried verbatim so cents-hashing is exact.
+    "q127_sql_update" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        s.sparkContext.applicationId
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      if (orcWritten.add((s.sparkContext.applicationId, s"upd:$dir"))) {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+        s.sql(s"CREATE TABLE graft.$ns.orders_u " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)")
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+          .repartition(4)
+          .writeTo(s"graft.$ns.orders_u").append()
+        s.sql(s"UPDATE graft.$ns.orders_u " +
+          "SET o_orderpriority = concat('U-', o_orderpriority), " +
+          "    o_custkey = o_custkey + 1000000 " +
+          "WHERE o_custkey % 7 = 0")
+      }
+      s.sql(
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents_sum,
+           |  min(o_custkey) AS min_ck, max(o_orderkey) AS max_key
+           |FROM graft.$ns.orders_u
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // MERGE INTO through SQL (RewriteMergeIntoTable → ReplaceData):
+    // matched-and-delete, matched-update and not-matched-insert clauses
+    // in one statement — the warehouse upsert shape (the reference's
+    // cron loop IS an upsert-shaped publish, generate.sh:13-17). The
+    // source shifts order keys by one so matches hit REAL key gaps in
+    // the data, and the oracle rebuilds the merged relation with a
+    // LEFT JOIN + NOT EXISTS over the original parquet.
+    "q128_sql_merge" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        s.sparkContext.applicationId
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      if (orcWritten.add((s.sparkContext.applicationId, s"mrg:$dir"))) {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+        s.sql(s"CREATE TABLE graft.$ns.orders_m " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)")
+        val src = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        src.repartition(4).writeTo(s"graft.$ns.orders_m").append()
+        src.createOrReplaceTempView("orders_merge_src")
+        s.sql(
+          s"""MERGE INTO graft.$ns.orders_m t
+             |USING (SELECT o_orderkey + 1 AS o_orderkey, o_custkey,
+             |              o_totalprice, o_orderpriority
+             |       FROM orders_merge_src WHERE o_orderkey % 4 = 0) s
+             |ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED AND t.o_custkey % 10 = 1 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET o_orderpriority = 'M-MERGED'
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      }
+      s.sql(
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents_sum,
+           |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM graft.$ns.orders_m
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // Schema evolution across writer generations: gen-1 files carry
     // (o_orderkey, o_totalprice); gen-2 files ADD a column
     // (o_orderpriority) and RENAME o_totalprice -> total_price. A
@@ -462,6 +537,45 @@ object IngestOps {
         |  max(o_orderkey) AS max_key
         |FROM orders
         |WHERE NOT (o_orderpriority = '1-URGENT' OR o_custkey % 10 = 3)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the UPDATE's effect re-derived as a CASE projection over the
+    // original parquet — per-row equivalence, not just aggregate shape
+    "q127_sql_update" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+        |  min(o_custkey) AS min_ck, max(o_orderkey) AS max_key
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CASE WHEN o_custkey % 7 = 0 THEN 'U-' || o_orderpriority
+        |         ELSE o_orderpriority END AS o_orderpriority,
+        |    CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000
+        |         ELSE o_custkey END AS o_custkey
+        |  FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the MERGE's effect rebuilt relationally: LEFT JOIN decides
+    // matched-update vs matched-delete, NOT EXISTS isolates inserts
+    "q128_sql_merge" ->
+      """WITH src AS (
+        |  SELECT o_orderkey + 1 AS o_orderkey, o_custkey, o_totalprice,
+        |         o_orderpriority
+        |  FROM orders WHERE o_orderkey % 4 = 0),
+        |kept AS (
+        |  SELECT t.o_orderkey, t.o_custkey, t.o_totalprice,
+        |    CASE WHEN s.o_orderkey IS NOT NULL THEN 'M-MERGED'
+        |         ELSE t.o_orderpriority END AS o_orderpriority
+        |  FROM orders t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        |  WHERE NOT (s.o_orderkey IS NOT NULL AND t.o_custkey % 10 = 1)),
+        |ins AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |  FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders t
+        |                    WHERE t.o_orderkey = s.o_orderkey))
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // checked against the ORIGINAL parquet — append + compact through

@@ -1397,7 +1397,7 @@ class ManifestRowLevelOperation(root: Path, cmd: RowLevelOperation.Command,
 class ManifestReplaceDataWrite(root: Path, schema: StructType,
     op: ManifestRowLevelOperation, gc: GcPolicy) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(root.toString, schema)
+    new ManifestReplaceWriterFactory(root.toString, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val (live, empty) = messages.collect {
@@ -1482,6 +1482,88 @@ class ManifestWriterFactory(rootStr: String, schema: StructType)
     // reaches commit() becomes visible
     new ManifestDataWriter(rootStr, schema,
       s"data-p$partitionId-t$taskId-${java.util.UUID.randomUUID()}.parquet")
+}
+
+/** Writer factory for the GROUP-BASED row-level rewrite (UPDATE / MERGE
+  * / rewrite-path DELETE) write. Spark 4.1's rewrite plans prepend an
+  * `__row_operation` INT column to the replacing query
+  * (`RewriteRowLevelCommand.addOperationColumn`), and the projection
+  * that strips it (`ReplaceDataProjections.rowProjection`) is only
+  * applied when the operation declares `requiredMetadataAttributes`
+  * (`ReplaceDataExec.writingTask` picks `DataAndMetadataWritingSparkTask`
+  * iff a metadata projection exists; otherwise the task writes rows
+  * RAW). A connector with no metadata columns therefore receives
+  * `[__row_operation, <row schema...>]` while `LogicalWriteInfo.schema()`
+  * reports only the row schema. This factory absorbs that shape: when an
+  * incoming row is exactly one field wider than the write schema, field
+  * 0 is the operation marker and the writer sees a shifted view; rows
+  * that already match the schema (a Spark that projects, or a metadata
+  * path upstream) pass through untouched. */
+class ManifestReplaceWriterFactory(rootStr: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val inner = new ManifestDataWriter(rootStr, schema,
+      s"data-p$partitionId-t$taskId-${java.util.UUID.randomUUID()}.parquet")
+    new DataWriter[InternalRow] {
+      private val shifted = new ShiftedInternalRow(1)
+      override def write(record: InternalRow): Unit =
+        if (record.numFields == schema.length + 1) {
+          shifted.row = record; inner.write(shifted)
+        } else if (record.numFields == schema.length) {
+          inner.write(record)
+        } else {
+          throw new IllegalStateException(
+            s"rewrite row has ${record.numFields} fields for a " +
+              s"${schema.length}-column write schema — unexpected rewrite plan shape")
+        }
+      override def commit(): WriterCommitMessage = inner.commit()
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
+/** Read-only view of an [[InternalRow]] with the first `offset` fields
+  * hidden — zero-copy, reused across rows (mutable `row` slot) so the
+  * rewrite write allocates nothing per row. */
+private[sources] class ShiftedInternalRow(offset: Int) extends InternalRow {
+  var row: InternalRow = _
+  override def numFields: Int = row.numFields - offset
+  override def isNullAt(i: Int): Boolean = row.isNullAt(i + offset)
+  override def getBoolean(i: Int): Boolean = row.getBoolean(i + offset)
+  override def getByte(i: Int): Byte = row.getByte(i + offset)
+  override def getShort(i: Int): Short = row.getShort(i + offset)
+  override def getInt(i: Int): Int = row.getInt(i + offset)
+  override def getLong(i: Int): Long = row.getLong(i + offset)
+  override def getFloat(i: Int): Float = row.getFloat(i + offset)
+  override def getDouble(i: Int): Double = row.getDouble(i + offset)
+  override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
+    row.getDecimal(i + offset, precision, scale)
+  override def getUTF8String(i: Int): UTF8String = row.getUTF8String(i + offset)
+  override def getBinary(i: Int): Array[Byte] = row.getBinary(i + offset)
+  override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
+    row.getInterval(i + offset)
+  override def getVariant(i: Int): org.apache.spark.unsafe.types.VariantVal =
+    row.getVariant(i + offset)
+  override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal =
+    row.getGeography(i + offset)
+  override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
+    row.getGeometry(i + offset)
+  override def getStruct(i: Int, numFields: Int): InternalRow =
+    row.getStruct(i + offset, numFields)
+  override def getArray(i: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    row.getArray(i + offset)
+  override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData =
+    row.getMap(i + offset)
+  override def get(i: Int, dataType: org.apache.spark.sql.types.DataType): AnyRef =
+    row.get(i + offset, dataType)
+  override def setNullAt(i: Int): Unit =
+    throw new UnsupportedOperationException("read-only row view")
+  override def update(i: Int, value: Any): Unit =
+    throw new UnsupportedOperationException("read-only row view")
+  override def copy(): InternalRow =
+    throw new UnsupportedOperationException(
+      "rewrite write path never copies rows; materialize upstream if needed")
 }
 
 /** One task's data file: PARQUET, written through Spark's own parquet

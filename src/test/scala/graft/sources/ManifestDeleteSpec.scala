@@ -125,19 +125,23 @@ class ManifestDeleteSpec extends AnyFunSuite {
     assert(left == expect, "survivors must be exactly NOT(pred)")
   }
 
-  test("SQL DELETE outside the predicate dialect fails loudly, table untouched") {
+  test("SQL DELETE outside the predicate dialect falls through to the CoW rewrite") {
+    // substring() has no V2 Predicate form our metadata-coordinated
+    // dialect accepts, so canDeleteWhere rejects it and Spark rewrites
+    // the statement as a group-based row-level operation instead
+    // (ManifestRowLevelOperation) — the DELETE still executes, copy-on-
+    // write, with exactly the predicate's rows removed.
     val wh = tmp().toString
     spark.conf.set("spark.sql.catalog.gdel2", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.gdel2.warehouse", wh)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gdel2.db")
-    spark.sql("CREATE TABLE gdel2.db.t (id BIGINT, s STRING)")
-    spark.range(20).select(col("id"), concat(lit("v"), col("id")).as("s"))
+    spark.sql("CREATE TABLE gdel2.db.t (id BIGINT, s BIGINT)")
+    spark.range(20).select(col("id"), (col("id") % 7).as("s"))
       .writeTo("gdel2.db.t").append()
-    intercept[Exception] {
-      spark.sql("DELETE FROM gdel2.db.t WHERE substring(s, 2, 1) = '1'")
-    }
-    assert(spark.table("gdel2.db.t").count() == 20,
-      "a rejected DELETE must not have removed anything")
+    spark.sql("DELETE FROM gdel2.db.t WHERE CAST(substring(CAST(s AS STRING), 1, 1) AS BIGINT) = 1")
+    val left = spark.table("gdel2.db.t").select("id").as[Long].collect().toSet
+    val expect = (0L until 20L).filter(i => i % 7 != 1).toSet
+    assert(left == expect, "rewrite-path DELETE must remove exactly the matching rows")
   }
 
   test("SQL TRUNCATE TABLE empties the table through the delete capability") {
