@@ -41,19 +41,40 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = rawScan(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = rawScan(spark, sfDir, "embeddings")
 
-  /** `events.ts` is parquet INT64 TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). We read nanos as a raw long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and floor to Spark's native
-    * microsecond timestamp with *integer* division (`div`, never `/` — a
-    * double division of an ~1.7e18 nanos value would lose precision past
-    * 2^53). The raw nanos stay available as `ts_ns` for ordering-sensitive
-    * operators that want full precision. */
+  /** `events.ts` arrives in EITHER of two generator encodings, and the
+    * loader normalizes both to the same schema (`ts_ns` long, `ts_us`
+    * long, `ts` TIMESTAMP) so every downstream operator and oracle
+    * comparison is encoding-agnostic:
+    *
+    *  - INT64 TIMESTAMP(NANOS), which Spark's vectorized reader rejects
+    *    ([PARQUET_TYPE_ILLEGAL]): read nanos as a raw long
+    *    (`spark.sql.legacy.parquet.nanosAsLong`) and floor to micros with
+    *    *integer* division (`div`, never `/` — a double division of an
+    *    ~1.7e18 nanos value would lose precision past 2^53);
+    *  - TIMESTAMP(MICROS, adjusted=false), which reads natively as
+    *    TIMESTAMP_NTZ: take `unix_micros` under the session's UTC zone
+    *    (NTZ→TZ cast is identity at UTC) and synthesize `ts_ns` as
+    *    micros×1000 (the data carries no sub-microsecond precision).
+    *
+    * Oracle-facing outputs use `ts_us` ↔ DuckDB `epoch_us(ts)` in both
+    * cases. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    rawScan(spark, sfDir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val raw = rawScan(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case _ => // TIMESTAMP_NTZ (micros) or TIMESTAMP
+        raw.withColumnRenamed("ts", "ts_raw")
+          .withColumn("ts_us", unix_micros(col("ts_raw").cast("timestamp")))
+          .withColumn("ts_ns", col("ts_us") * lit(1000L))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+          .drop("ts_raw")
+          .select("event_id", "ts_ns", "user_id", "event_type", "value",
+            "props", "ts_us", "ts")
+    }
   }
 
   /** Register every fixture table as a temp view so `spark.sql` queries can

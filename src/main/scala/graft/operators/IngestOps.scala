@@ -395,6 +395,51 @@ object IngestOps {
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // Partitioned manifest table end to end: CREATE ... PARTITIONED BY,
+    // clustered per-partition data files, then a partition-pruned read —
+    // the filter on the partition column drops non-matching files from
+    // the scan EXACTLY (manifest partition tuples, checked before
+    // min/max stats), and a dynamic INSERT OVERWRITE replaces one
+    // partition while the rest are carried by reference. Checked against
+    // the oracle's reconstruction over the original parquet. At 100 TB
+    // partition pruning is the first and cheapest 1000× : a day-filtered
+    // query over a day-partitioned table opens 1/365th of the files
+    // before any stats or data I/O.
+    "q129_partitioned_table" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        s.sparkContext.applicationId
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      if (orcWritten.add((s.sparkContext.applicationId, s"part:$dir"))) {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+        s.sql(s"CREATE TABLE graft.$ns.orders_p " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING) " +
+          "PARTITIONED BY (o_orderpriority)")
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+          .writeTo(s"graft.$ns.orders_p").append()
+        // dynamic overwrite: rebuild ONLY the 1-URGENT partition with its
+        // keys shifted — proves partition replacement composes with the
+        // pruned read below
+        val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try s.sql(
+          s"""INSERT OVERWRITE graft.$ns.orders_p
+             |SELECT o_orderkey + 10000000, o_custkey, o_totalprice, o_orderpriority
+             |FROM graft.$ns.orders_p WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+        finally prev.fold(s.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+          v => s.conf.set("spark.sql.sources.partitionOverwriteMode", v))
+      }
+      s.sql(
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents_sum,
+           |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM graft.$ns.orders_p
+           |WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // Schema evolution across writer generations: gen-1 files carry
     // (o_orderkey, o_totalprice); gen-2 files ADD a column
     // (o_orderpriority) and RENAME o_totalprice -> total_price. A
@@ -537,6 +582,20 @@ object IngestOps {
         |  max(o_orderkey) AS max_key
         |FROM orders
         |WHERE NOT (o_orderpriority = '1-URGENT' OR o_custkey % 10 = 3)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // partition-pruned read + dynamic overwrite of the 1-URGENT
+    // partition, reconstructed over the original parquet
+    "q129_partitioned_table" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM (
+        |  SELECT CASE WHEN o_orderpriority = '1-URGENT'
+        |              THEN o_orderkey + 10000000 ELSE o_orderkey END AS o_orderkey,
+        |         o_totalprice, o_orderpriority
+        |  FROM orders)
+        |WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // the UPDATE's effect re-derived as a CASE projection over the

@@ -100,18 +100,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "manifest tables do not support partition transforms; write-side " +
-        "repartitioning controls file layout instead")
+    // identity transforms only (PARTITIONED BY (col)): bucket/days/etc
+    // would need value derivation at write AND prune time; identity
+    // covers the warehouse-standard layouts and stays exact
+    val partCols = partitions.map { t =>
+      require(t.name == "identity" && t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1,
+        s"manifest tables support only identity partition transforms, got $t")
+      t.references()(0).fieldNames()(0)
+    }.toSeq
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c is not in the table schema"))
     ManifestSink.requireSafeColumnNames(schema)
     val p = tablePath(ident)
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
     Files.createDirectories(p)
-    // CREATE TABLE is itself a commit: v1 publishes the schema with an
-    // empty file list through the same CAS as any write, so a concurrent
-    // create/write to the same name resolves to exactly one winner
+    // CREATE TABLE is itself a commit: v1 publishes the schema (and the
+    // partition spec) with an empty file list through the same CAS as
+    // any write, so a concurrent create/write to the same name resolves
+    // to exactly one winner
     ManifestSink.publishCommit(p, schema, truncateFirst = true, Seq.empty,
-      markerUpdate = None, GcPolicy(None, 3600L * 1000))
+      markerUpdate = None, GcPolicy(None, 3600L * 1000), createPartCols = partCols)
     new ManifestTable(p, schema)
   }
 

@@ -386,9 +386,15 @@ object ManifestSink {
 
   /** One committed file's metadata: per-integer-column min/max collected
     * while the task wrote it — the stats that let the reader SKIP the
-    * file for a disjoint filter range, and count(*) answer without I/O. */
+    * file for a disjoint filter range, and count(*) answer without I/O.
+    * `parts` is the file's partition tuple (column → canonical string
+    * value; [[NullPartValue]] for null) — empty for files of an
+    * unpartitioned table. Partition pruning consults `parts` BEFORE the
+    * min/max stats: a partition mismatch is exact (the file can be
+    * dropped with certainty), where stats only ever prove may-match. */
   case class FileEntry(name: String, rows: Long,
-      mins: Map[String, Long], maxs: Map[String, Long])
+      mins: Map[String, Long], maxs: Map[String, Long],
+      parts: Map[String, String] = Map.empty)
 
   private def statsStr(m: Map[String, Long]): String =
     m.toSeq.sortBy(_._1).map { case (k, v) => s"$k:$v" }.mkString(",")
@@ -398,6 +404,123 @@ object ManifestSink {
     else s.split(",").map { kv =>
       val Array(k, v) = kv.split(":", 2); (k, v.toLong)
     }.toMap
+
+  /** Sentinel for a NULL partition value (the Hive
+    * `__HIVE_DEFAULT_PARTITION__` shape — a literal string collision is
+    * theoretically possible and accepted, as in every warehouse that
+    * stores partition values as strings). */
+  private[sources] val NullPartValue = "__GRAFT_NULL__"
+
+  private def urlEnc(s: String): String =
+    java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
+  private def urlDec(s: String): String =
+    java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+
+  /** Partition tuple codec: `k=v` pairs, comma-joined, both sides
+    * URL-encoded so values may contain tabs/commas/equals. */
+  private def partsStr(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s"${urlEnc(k)}=${urlEnc(v)}" }
+      .mkString(",")
+
+  private def parsePartsStr(s: String): Map[String, String] =
+    if (s.isEmpty) Map.empty
+    else s.split(",").map { kv =>
+      val Array(k, v) = kv.split("=", 2); (urlDec(k), urlDec(v))
+    }.toMap
+
+  /** Table-level partition column list, one manifest header line —
+    * `#partcols<TAB>c1,c2`. Set at CREATE, carried verbatim by every
+    * subsequent publish (partitioning is table structure, not commit
+    * payload). */
+  private val PartColsPrefix = "#partcols\t"
+
+  private[sources] def partColsLine(cols: Seq[String]): Option[String] =
+    if (cols.isEmpty) None else Some(PartColsPrefix + cols.map(urlEnc).mkString(","))
+
+  private[sources] def partitionColumns(root: Path,
+      pinned: Option[Long] = None): Seq[String] = {
+    val v = resolveVersion(root, pinned)
+    if (v == 0L) Seq.empty
+    else Files.readString(manifestAt(root, v)).linesIterator.drop(1)
+      .find(_.startsWith(PartColsPrefix))
+      .map(_.stripPrefix(PartColsPrefix).split(",").toSeq
+        .filter(_.nonEmpty).map(urlDec))
+      .getOrElse(Seq.empty)
+  }
+
+  /** Canonical string form of a pushed-filter literal, matching what the
+    * partitioned writer records from row values. */
+  private def litStr(v: Any): Option[String] = v match {
+    case null => None
+    case l: Long => Some(l.toString)
+    case i: Int => Some(i.toString)
+    case s: String => Some(s)
+    case u: UTF8String => Some(u.toString)
+    case b: Boolean => Some(b.toString)
+    case d: Double => Some(d.toString)
+    case _ => None
+  }
+
+  /** EXACT partition-tuple evaluation of a pushed V1 filter: Some(true/
+    * false) when every referenced column is a partition column of `parts`
+    * and the shape is decidable; None otherwise (caller falls back to
+    * stats may-match). Range shapes compare numerically when both sides
+    * parse as Long (date-like `p = 20240101` layouts), else lexically. */
+  private[sources] def evalPartFilter(f: org.apache.spark.sql.sources.Filter,
+      parts: Map[String, String]): Option[Boolean] = {
+    import org.apache.spark.sql.sources._
+    def pv(c: String): Option[String] = parts.get(c)
+    def cmpPart(c: String, v: Any)(p: Int => Boolean): Option[Boolean] =
+      for { x <- pv(c); if x != NullPartValue; y <- litStr(v) } yield {
+        val n = (x.toLongOption, y.toLongOption) match {
+          case (Some(a), Some(b)) => a.compare(b)
+          case _ => x.compare(y)
+        }
+        p(n)
+      }
+    f match {
+      case AlwaysTrue() => Some(true)
+      case AlwaysFalse() => Some(false)
+      case EqualTo(c, v) => cmpPart(c, v)(_ == 0)
+      // static PARTITION (c = 'x') clauses arrive null-safe
+      case EqualNullSafe(c, v) if v == null => pv(c).map(_ == NullPartValue)
+      case EqualNullSafe(c, v) =>
+        pv(c).flatMap(x => if (x == NullPartValue) Some(false)
+          else cmpPart(c, v)(_ == 0))
+      case GreaterThan(c, v) => cmpPart(c, v)(_ > 0)
+      case GreaterThanOrEqual(c, v) => cmpPart(c, v)(_ >= 0)
+      case LessThan(c, v) => cmpPart(c, v)(_ < 0)
+      case LessThanOrEqual(c, v) => cmpPart(c, v)(_ <= 0)
+      case In(c, vs) => pv(c).flatMap { x =>
+        if (x == NullPartValue) Some(false)
+        else {
+          val lits = vs.toSeq.map(litStr)
+          if (lits.exists(_.isEmpty)) None else Some(lits.flatten.contains(x))
+        }
+      }
+      case IsNull(c) => pv(c).map(_ == NullPartValue)
+      case IsNotNull(c) => pv(c).map(_ != NullPartValue)
+      case And(l, r) => (evalPartFilter(l, parts), evalPartFilter(r, parts)) match {
+        case (Some(false), _) | (_, Some(false)) => Some(false)
+        case (Some(true), Some(true)) => Some(true)
+        case _ => None
+      }
+      case Or(l, r) => (evalPartFilter(l, parts), evalPartFilter(r, parts)) match {
+        case (Some(true), _) | (_, Some(true)) => Some(true)
+        case (Some(false), Some(false)) => Some(false)
+        case _ => None
+      }
+      case Not(c) => evalPartFilter(c, parts).map(!_)
+      case _ => None
+    }
+  }
+
+  /** Can `e` possibly contain a row passing `f`? Partition-tuple check
+    * first (exact — a decided false DROPS the file), then integer
+    * min/max stats (may-match). */
+  private[sources] def mayMatchEntry(e: FileEntry,
+      f: org.apache.spark.sql.sources.Filter): Boolean =
+    evalPartFilter(f, e.parts).getOrElse(mayMatch(e, f))
 
   /** Entry line: `fileName<TAB>rowCount<TAB>mins<TAB>maxs`. In a
     * versioned manifest the first line is the schema and is skipped, as
@@ -419,14 +542,15 @@ object ManifestSink {
   }
 
   private[sources] def parseEntryLine(line: String): FileEntry = {
-    val parts = line.split("\t", 4)
+    val parts = line.split("\t", 5)
     FileEntry(parts(0), parts(1).toLong,
       parseStats(parts.lift(2).getOrElse("")),
-      parseStats(parts.lift(3).getOrElse("")))
+      parseStats(parts.lift(3).getOrElse("")),
+      parsePartsStr(parts.lift(4).getOrElse("")))
   }
 
   private[sources] def entryLine(e: FileEntry): String =
-    s"${e.name}\t${e.rows}\t${statsStr(e.mins)}\t${statsStr(e.maxs)}"
+    s"${e.name}\t${e.rows}\t${statsStr(e.mins)}\t${statsStr(e.maxs)}\t${partsStr(e.parts)}"
 
   private def asLong(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
@@ -472,7 +596,8 @@ object ManifestSink {
     * entries) and a commit doesn't pay repeated O(table) manifest
     * re-reads. */
   private[sources] case class TableState(version: Long, schema: Option[StructType],
-      markers: Map[String, Long], entries: Seq[FileEntry])
+      markers: Map[String, Long], entries: Seq[FileEntry],
+      partCols: Seq[String] = Seq.empty)
 
   private[sources] def readState(root: Path): TableState = {
     val v = currentVersion(root)
@@ -483,7 +608,11 @@ object ManifestSink {
         lines.tail.filter(_.startsWith(EpochMarkerPrefix)).map { l =>
           val p = l.split("\t"); (p(1), p(2).toLong)
         }.toMap,
-        lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).map(parseEntryLine))
+        lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).map(parseEntryLine),
+        lines.tail.find(_.startsWith(PartColsPrefix))
+          .map(_.stripPrefix(PartColsPrefix).split(",").toSeq
+            .filter(_.nonEmpty).map(urlDec))
+          .getOrElse(Seq.empty))
     } else {
       val schema =
         if (Files.exists(schemaFile(root)))
@@ -500,7 +629,8 @@ object ManifestSink {
 
   private[sources] def publishCommit(root: Path, schema: StructType,
       truncateFirst: Boolean, newEntries: Seq[FileEntry],
-      markerUpdate: Option[(String, Long)], gc: GcPolicy): Unit = {
+      markerUpdate: Option[(String, Long)], gc: GcPolicy,
+      createPartCols: Seq[String] = Seq.empty): Unit = {
     Files.createDirectories(root)
     // APPEND-ONLY commits retry on a lost CAS by REBASING: an append's
     // file set is disjoint from any concurrent commit's by construction
@@ -549,10 +679,15 @@ object ManifestSink {
       // restart would double-apply the epoch it just committed.
       val markers = st.markers ++ markerUpdate
       val markerLines = markers.toSeq.sortBy(_._1).map((markerLine _).tupled)
+      // partitioning is table STRUCTURE: an existing table's partition
+      // columns persist across every commit (truncate included);
+      // createPartCols only seeds a brand-new table's first version
+      val partCols = if (st.version > 0L) st.partCols else createPartCols
       // schema line + markers + entries publish as ONE atomic unit
       try {
         publish(root, base,
-          ((schemaToStore.json +: markerLines) ++ all.map(entryLine)).mkString("\n"))
+          ((schemaToStore.json +: (partColsLine(partCols).toSeq ++ markerLines)) ++
+            all.map(entryLine)).mkString("\n"))
         published = Some(schemaToStore)
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -593,9 +728,10 @@ object ManifestSink {
     val schema = readSchema(root, Some(baseVersion))
     val markerLines = epochMarkers(root, Some(baseVersion)).toSeq.sortBy(_._1)
       .map((markerLine _).tupled)
+    val pcLine = partColsLine(partitionColumns(root, Some(baseVersion))).toSeq
     val kept = committedEntries(root, Some(baseVersion)).filterNot(e => replaced(e.name))
     try publish(root, baseVersion,
-      ((schema.json +: markerLines) ++ (kept ++ newEntries).map(entryLine))
+      ((schema.json +: (pcLine ++ markerLines)) ++ (kept ++ newEntries).map(entryLine))
         .mkString("\n"))
     catch { case e: java.util.ConcurrentModificationException =>
       newEntries.foreach(n => Files.deleteIfExists(root.resolve(n.name)))
@@ -608,6 +744,75 @@ object ManifestSink {
       }
     }
   }
+
+  /** Publish an INSERT OVERWRITE over a PARTITION SUBSET: entries whose
+    * partition tuple is claimed by `replaceParts` (dynamic mode — the
+    * partitions the new files landed in) or matched by `filters` (static
+    * mode — `PARTITION (c = 'x')` clauses) are dropped, everything else
+    * is carried by reference, and the new files append — one CAS
+    * publish. Retries REBASE like appends: the replaced-partition set is
+    * decided by this overwrite's own payload/clauses, not by table
+    * state, so re-applying against a moved table is the documented
+    * last-writer-wins of partition overwrite (a concurrent append into
+    * a replaced partition loses its rows to the overwrite; into any
+    * other partition it is preserved). */
+  private[sources] def publishPartitionOverwrite(root: Path, schema: StructType,
+      newEntries: Seq[FileEntry],
+      replaceParts: Option[Set[Map[String, String]]],
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      gc: GcPolicy): Unit = {
+    def replaced(e: FileEntry): Boolean = replaceParts match {
+      case Some(parts) => parts.contains(e.parts)
+      // static mode: a filter UNDECIDABLE on the partition tuple would
+      // make the overwrite's victim set depend on row data we refuse to
+      // read here — the write builder rejects those shapes up front, so
+      // getOrElse(false) can only keep extra files, never drop wrong ones
+      case None => filters.forall(f => evalPartFilter(f, e.parts).getOrElse(false))
+    }
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      val st = readState(root)
+      require(st.version > 0L,
+        s"partition overwrite requires a versioned manifest table at $root")
+      val markerLines = st.markers.toSeq.sortBy(_._1).map((markerLine _).tupled)
+      val entries = st.entries.filterNot(replaced) ++ newEntries
+      try {
+        publish(root, st.version,
+          ((schema.json +: (partColsLine(st.partCols).toSeq ++ markerLines)) ++
+            entries.map(entryLine)).mkString("\n"))
+        done = true
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= 5) throw e
+          Thread.sleep(5L * attempt)
+      }
+    }
+    gc.retainVersions.foreach { k =>
+      try expireVersions(root, k, gc.orphanGraceMs)
+      catch { case e: Exception =>
+        System.err.println(s"manifest GC for $root failed (table unaffected): ${e.getMessage}")
+      }
+    }
+  }
+
+  /** Flatten writer commit messages — single-file tasks send one
+    * [[ManifestCommit]], partition-fanout tasks one [[ManifestCommitSet]]
+    * — into manifest entries. */
+  private[sources] def commitEntries(messages: Iterable[WriterCommitMessage]): Seq[FileEntry] =
+    messages.toSeq.flatMap {
+      case c: ManifestCommit => Seq(c)
+      case ManifestCommitSet(cs) => cs
+      case _ => Seq.empty
+    }.map(c => FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts))
+
+  private[sources] def commitFileNames(messages: Iterable[WriterCommitMessage]): Seq[String] =
+    messages.toSeq.flatMap {
+      case c: ManifestCommit => Seq(c.fileName)
+      case ManifestCommitSet(cs) => cs.map(_.fileName)
+      case _ => Seq.empty
+    }
 
   /** What a [[compact]] call did: the version it published (or the
     * current one if nothing needed rewriting) and the file-count move. */
@@ -665,8 +870,12 @@ object ManifestSink {
           case _ => List(e) :: acc
         }
       }.map(_.reverse).reverse.filter(_.size >= 2) // singleton bins gain nothing
+    // bins never span partitions: a merged file must keep ONE partition
+    // tuple or pruning would lose its exactness
     val (tsvSmall, parquetSmall) = small.partition(_.name.endsWith(".tsv"))
-    val bins = packBins(parquetSmall) ++ packBins(tsvSmall)
+    val bins =
+      parquetSmall.groupBy(_.parts).values.toSeq.flatMap(packBins) ++
+        tsvSmall.groupBy(_.parts).values.toSeq.flatMap(packBins)
     if (bins.isEmpty)
       return CompactionResult(st.version, st.entries.size, st.entries.size, 0, 0L)
     val merged = bins.map { bin =>
@@ -680,7 +889,8 @@ object ManifestSink {
       val statKeys = bin.map(_.mins.keySet).reduce(_ intersect _)
       FileEntry(name, bin.map(_.rows).sum,
         statKeys.map(k => k -> bin.map(_.mins(k)).min).toMap,
-        statKeys.map(k => k -> bin.map(_.maxs(k)).max).toMap)
+        statKeys.map(k => k -> bin.map(_.maxs(k)).max).toMap,
+        bin.head.parts)
     }
     val rewrittenNames = bins.flatten.map(_.name).toSet
     val entries = st.entries.filterNot(e => rewrittenNames(e.name)) ++ merged
@@ -688,8 +898,8 @@ object ManifestSink {
     val schema = st.schema.getOrElse(
       throw new IllegalStateException(s"manifest table $tablePath has no schema"))
     try publish(root, st.version,
-      ((schema.json +: RewriteMarker +: markerLines) ++ entries.map(entryLine))
-        .mkString("\n"))
+      ((schema.json +: RewriteMarker +: (partColsLine(st.partCols).toSeq ++ markerLines)) ++
+        entries.map(entryLine)).mkString("\n"))
     catch { case e: java.util.ConcurrentModificationException =>
       merged.foreach(m => Files.deleteIfExists(root.resolve(m.name)))
       throw e
@@ -813,7 +1023,7 @@ object ManifestSink {
         // the whole file matched: no replacement at all
         Files.deleteIfExists(root.resolve(newName))
         None
-      } else Some(FileEntry(newName, kept, mins.toMap, maxs.toMap))
+      } else Some(FileEntry(newName, kept, mins.toMap, maxs.toMap, e.parts))
     }
     val rewritten = candidates.zip(replacements).count {
       case (e, r) => !r.contains(e)
@@ -823,7 +1033,8 @@ object ManifestSink {
     val entries = untouched ++ replacements.flatten
     val markerLines = st.markers.toSeq.sortBy(_._1).map((markerLine _).tupled)
     try publish(root, st.version,
-      ((schema.json +: markerLines) ++ entries.map(entryLine)).mkString("\n"))
+      ((schema.json +: (partColsLine(st.partCols).toSeq ++ markerLines)) ++
+        entries.map(entryLine)).mkString("\n"))
     catch { case e: java.util.ConcurrentModificationException =>
       replacements.flatten.filterNot(candidates.contains)
         .foreach(r => Files.deleteIfExists(root.resolve(r.name)))
@@ -1224,6 +1435,14 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
       s"${changes.fold("")(c => s"Δv${c._1}..${if (c._2 < 0) "now" else c._2}")})"
   override def schema(): StructType = schema0
 
+  /** Identity partitioning, reported so Spark routes `INSERT OVERWRITE`
+    * through dynamic/static PARTITION overwrite instead of truncate, and
+    * `DESCRIBE`/`SHOW CREATE` display the layout. */
+  override def partitioning(): Array[Transform] =
+    ManifestSink.partitionColumns(root, pinned)
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
+
   /** SQL `DELETE FROM` lands here (via [[GraftCatalog]]): copy-on-write
     * row-level delete, see [[ManifestSink.deleteWhere]]. The V2
     * `Predicate` overloads are overridden DIRECTLY — `SupportsDelete`'s
@@ -1250,7 +1469,11 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
-      TableCapability.MICRO_BATCH_READ).asJava
+      TableCapability.MICRO_BATCH_READ,
+      // partition-subset INSERT OVERWRITE (ManifestWriteBuilder):
+      // static `PARTITION (p = 'x')` clauses and dynamic mode
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val maxVersions = Option(options.get("maxVersionsPerTrigger")).map { s =>
@@ -1302,43 +1525,108 @@ case class GcPolicy(retainVersions: Option[Int], orphanGraceMs: Long)
     extends Serializable
 
 class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolean,
-    gc: GcPolicy = GcPolicy(None, 3600L * 1000), queryId: String = "")
-    extends WriteBuilder with SupportsTruncate {
+    gc: GcPolicy = GcPolicy(None, 3600L * 1000), queryId: String = "",
+    overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
+    dynamicOverwrite: Boolean = false)
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+  private lazy val partCols = ManifestSink.partitionColumns(root)
+
   override def truncate(): WriteBuilder =
     new ManifestWriteBuilder(root, schema, truncateFirst = true, gc, queryId)
+
+  /** Static-mode `INSERT OVERWRITE t PARTITION (p = 'x')`: the delete
+    * side of the overwrite must be decidable from partition TUPLES
+    * alone — a filter touching a non-partition column would make the
+    * victim set depend on row data, so it is rejected at analysis. A
+    * bare AlwaysTrue (full-table INSERT OVERWRITE routed through
+    * SupportsOverwrite) degrades to truncate. */
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    import org.apache.spark.sql.sources.AlwaysTrue
+    if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue])) truncate()
+    else {
+      val pc = partCols.toSet
+      filters.foreach(f => require(f.references.forall(pc.contains),
+        s"INSERT OVERWRITE filter $f references non-partition columns " +
+          s"(partition columns: ${partCols.mkString(", ")}); " +
+          "row-level replacement goes through DELETE/UPDATE/MERGE instead"))
+      new ManifestWriteBuilder(root, schema, truncateFirst = false, gc, queryId,
+        overwriteFilters = Some(filters.toSeq))
+    }
+  }
+
+  /** Dynamic partition overwrite (`partitionOverwriteMode=dynamic`):
+    * replace exactly the partitions the incoming data lands in. */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    require(partCols.nonEmpty,
+      s"dynamic partition overwrite requires a partitioned table; $root has no partition columns")
+    new ManifestWriteBuilder(root, schema, truncateFirst = false, gc, queryId,
+      dynamicOverwrite = true)
+  }
+
   override def build(): Write = {
     ManifestSink.requireSafeColumnNames(schema)
-    new Write {
-      override def toBatch: BatchWrite = new ManifestBatchWrite(root, schema, truncateFirst, gc)
+    val pc = partCols // resolve once, on the driver
+    new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+      // cluster incoming rows by partition tuple so each partition's
+      // rows land in ONE task → one data file per partition per commit
+      // instead of (tasks × partitions) small files — the 100 TB
+      // difference between a table that needs nightly OPTIMIZE and one
+      // that doesn't. Advisory (not strictly required): a single-task
+      // local write must not force a shuffle.
+      override def requiredDistribution(): Distribution =
+        if (pc.isEmpty) Distributions.unspecified()
+        else Distributions.clustered(pc.map(c => Expressions.identity(c)).toArray)
+      override def requiredOrdering(): Array[SortOrder] = Array.empty
+      override def distributionStrictlyRequired(): Boolean = false
+      override def toBatch: BatchWrite =
+        new ManifestBatchWrite(root, schema, truncateFirst, gc, pc,
+          overwriteFilters, dynamicOverwrite)
       // streaming: truncateFirst becomes truncate-EACH-EPOCH (Spark calls
       // truncate() on the builder for Complete output mode)
       override def toStreaming: StreamingWrite =
-        new ManifestStreamingWrite(root, schema, truncateFirst, gc, queryId)
+        new ManifestStreamingWrite(root, schema, truncateFirst, gc, queryId, pc)
     }
   }
 }
 
 case class ManifestCommit(fileName: String, rows: Long,
-    mins: Map[String, Long], maxs: Map[String, Long]) extends WriterCommitMessage
+    mins: Map[String, Long], maxs: Map[String, Long],
+    parts: Map[String, String] = Map.empty) extends WriterCommitMessage
+
+/** A partition-fanout task's commit: one [[ManifestCommit]] per data
+  * file it opened (one per distinct partition tuple it received). */
+case class ManifestCommitSet(commits: Seq[ManifestCommit]) extends WriterCommitMessage
 
 class ManifestBatchWrite(root: Path, schema: StructType, truncateFirst: Boolean,
-    gc: GcPolicy = GcPolicy(None, 3600L * 1000)) extends BatchWrite {
+    gc: GcPolicy = GcPolicy(None, 3600L * 1000),
+    partCols: Seq[String] = Seq.empty,
+    overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
+    dynamicOverwrite: Boolean = false) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(root.toString, schema)
+    new ManifestWriterFactory(root.toString, schema, partCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val newEntries = messages.collect {
-      case ManifestCommit(f, n, mins, maxs) => ManifestSink.FileEntry(f, n, mins, maxs)
+    val newEntries = ManifestSink.commitEntries(messages)
+    if (dynamicOverwrite)
+      ManifestSink.publishPartitionOverwrite(root, schema, newEntries,
+        replaceParts = Some(newEntries.map(_.parts).toSet), filters = Seq.empty, gc)
+    else overwriteFilters match {
+      case Some(fs) =>
+        ManifestSink.publishPartitionOverwrite(root, schema, newEntries,
+          replaceParts = None, filters = fs, gc)
+      case None =>
+        ManifestSink.publishCommit(root, schema, truncateFirst, newEntries,
+          markerUpdate = None, gc)
     }
-    ManifestSink.publishCommit(root, schema, truncateFirst, newEntries.toSeq,
-      markerUpdate = None, gc)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case ManifestCommit(f, _, _, _) => Files.deleteIfExists(root.resolve(f))
-      case _ => ()
-    }
+    ManifestSink.commitFileNames(messages)
+      .foreach(f => Files.deleteIfExists(root.resolve(f)))
 }
 
 /** One SQL UPDATE / MERGE / (non-metadata) DELETE: the shared object
@@ -1370,11 +1658,12 @@ class ManifestRowLevelOperation(root: Path, cmd: RowLevelOperation.Command,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val writeSchema = info.schema()
+    val pc = ManifestSink.partitionColumns(root)
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new ManifestReplaceDataWrite(root, writeSchema,
-            ManifestRowLevelOperation.this, gc)
+            ManifestRowLevelOperation.this, gc, pc)
       }
     }
   }
@@ -1395,26 +1684,23 @@ class ManifestRowLevelOperation(root: Path, cmd: RowLevelOperation.Command,
   * still hold at publish (same single-attempt rule as [[ManifestSink
   * .deleteWhere]] and [[ManifestSink.compact]]). */
 class ManifestReplaceDataWrite(root: Path, schema: StructType,
-    op: ManifestRowLevelOperation, gc: GcPolicy) extends BatchWrite {
+    op: ManifestRowLevelOperation, gc: GcPolicy,
+    partCols: Seq[String] = Seq.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestReplaceWriterFactory(root.toString, schema)
+    new ManifestReplaceWriterFactory(root.toString, schema, partCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val (live, empty) = messages.collect {
-      case ManifestCommit(f, n, mins, maxs) => ManifestSink.FileEntry(f, n, mins, maxs)
-    }.partition(_.rows > 0L)
+    val (live, empty) = ManifestSink.commitEntries(messages).partition(_.rows > 0L)
     // a task whose every row was deleted (or that received no rows from
     // the rewrite) leaves a footer-only file: drop it instead of
     // publishing an entry that would cost a scan partition forever
     empty.foreach(e => Files.deleteIfExists(root.resolve(e.name)))
-    op.commitReplace(live.toSeq)
+    op.commitReplace(live)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case ManifestCommit(f, _, _, _) => Files.deleteIfExists(root.resolve(f))
-      case _ => ()
-    }
+    ManifestSink.commitFileNames(messages)
+      .foreach(f => Files.deleteIfExists(root.resolve(f)))
 }
 
 /** Streaming write path: `df.writeStream.format(...).option("path", dir)`.
@@ -1435,53 +1721,98 @@ class ManifestReplaceDataWrite(root: Path, schema: StructType,
   * streaming writers share [[ManifestSink.publishCommit]], so they
   * interleave safely under the same CAS. */
 class ManifestStreamingWrite(root: Path, schema: StructType, truncateEachEpoch: Boolean,
-    gc: GcPolicy, queryId: String) extends StreamingWrite {
+    gc: GcPolicy, queryId: String, partCols: Seq[String] = Seq.empty)
+    extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new ManifestStreamingWriterFactory(root.toString, schema)
+    new ManifestStreamingWriterFactory(root.toString, schema, partCols)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     if (ManifestSink.epochMarkers(root).get(queryId).exists(_ >= epochId)) {
       // replayed epoch after restart: already committed — drop the
       // replay's duplicate files so the re-run is a pure no-op
-      messages.foreach {
-        case ManifestCommit(f, _, _, _) => Files.deleteIfExists(root.resolve(f))
-        case _ => ()
-      }
+      ManifestSink.commitFileNames(messages)
+        .foreach(f => Files.deleteIfExists(root.resolve(f)))
     } else {
-      val newEntries = messages.collect {
-        case ManifestCommit(f, n, mins, maxs) => ManifestSink.FileEntry(f, n, mins, maxs)
-      }
-      ManifestSink.publishCommit(root, schema, truncateEachEpoch, newEntries.toSeq,
+      ManifestSink.publishCommit(root, schema, truncateEachEpoch,
+        ManifestSink.commitEntries(messages),
         markerUpdate = Some(queryId -> epochId), gc)
     }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case ManifestCommit(f, _, _, _) => Files.deleteIfExists(root.resolve(f))
-      case _ => ()
-    }
+    ManifestSink.commitFileNames(messages)
+      .foreach(f => Files.deleteIfExists(root.resolve(f)))
 }
 
-class ManifestStreamingWriterFactory(rootStr: String, schema: StructType)
-    extends StreamingDataWriterFactory {
+class ManifestStreamingWriterFactory(rootStr: String, schema: StructType,
+    partCols: Seq[String] = Seq.empty) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] =
+      epochId: Long): DataWriter[InternalRow] = {
     // epoch in the name is for operator debuggability only; uniqueness
     // still comes from the UUID (a replayed epoch writes NEW files,
     // which commit() then discards)
-    new ManifestDataWriter(rootStr, schema,
-      s"data-e$epochId-p$partitionId-t$taskId-${java.util.UUID.randomUUID()}.parquet")
+    val prefix = s"data-e$epochId-p$partitionId-t$taskId"
+    if (partCols.isEmpty)
+      new ManifestDataWriter(rootStr, schema,
+        s"$prefix-${java.util.UUID.randomUUID()}.parquet")
+    else new PartitionedDataWriter(rootStr, schema, partCols, prefix)
+  }
 }
 
-class ManifestWriterFactory(rootStr: String, schema: StructType)
-    extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+class ManifestWriterFactory(rootStr: String, schema: StructType,
+    partCols: Seq[String] = Seq.empty) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // attempt-unique name: a retried or speculative attempt of the same
     // partition writes a different file; only the attempt whose message
     // reaches commit() becomes visible
-    new ManifestDataWriter(rootStr, schema,
-      s"data-p$partitionId-t$taskId-${java.util.UUID.randomUUID()}.parquet")
+    val prefix = s"data-p$partitionId-t$taskId"
+    if (partCols.isEmpty)
+      new ManifestDataWriter(rootStr, schema,
+        s"$prefix-${java.util.UUID.randomUUID()}.parquet")
+    else new PartitionedDataWriter(rootStr, schema, partCols, prefix)
+  }
+}
+
+/** Dynamic-partition fan-out writer: routes each row to the open
+  * [[ManifestDataWriter]] of its partition tuple, opening writers
+  * lazily. The write builder asks Spark to CLUSTER input by the
+  * partition columns ([[ManifestWriteBuilder.build]]), so a task
+  * normally holds writers for only the few partitions it owns — the
+  * map is a safety net for unclustered plans (e.g. a single-partition
+  * local write), not the expected steady state. */
+class PartitionedDataWriter(rootStr: String, schema: StructType,
+    partCols: Seq[String], namePrefix: String) extends DataWriter[InternalRow] {
+  private val idx: Seq[(Int, DataType)] = partCols.map { c =>
+    val i = schema.fieldIndex(c); (i, schema.fields(i).dataType)
+  }
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[Seq[String], ManifestDataWriter]
+
+  private def partValue(row: InternalRow, i: Int, dt: DataType): String =
+    if (row.isNullAt(i)) ManifestSink.NullPartValue
+    else dt match {
+      case LongType => row.getLong(i).toString
+      case IntegerType => row.getInt(i).toString
+      case StringType => row.getUTF8String(i).toString
+      case BooleanType => row.getBoolean(i).toString
+      case DoubleType => row.getDouble(i).toString
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition column type $other for ${partCols.mkString(",")}")
+    }
+
+  override def write(record: InternalRow): Unit = {
+    val key = idx.map { case (i, dt) => partValue(record, i, dt) }
+    writers.getOrElseUpdate(key,
+      new ManifestDataWriter(rootStr, schema,
+        s"$namePrefix-${java.util.UUID.randomUUID()}.parquet",
+        partCols.zip(key).toMap)).write(record)
+  }
+
+  override def commit(): WriterCommitMessage =
+    ManifestCommitSet(writers.values.map(
+      _.commit().asInstanceOf[ManifestCommit]).toSeq)
+  override def abort(): Unit = writers.values.foreach(_.abort())
+  override def close(): Unit = writers.values.foreach(_.close())
 }
 
 /** Writer factory for the GROUP-BASED row-level rewrite (UPDATE / MERGE
@@ -1499,11 +1830,14 @@ class ManifestWriterFactory(rootStr: String, schema: StructType)
   * 0 is the operation marker and the writer sees a shifted view; rows
   * that already match the schema (a Spark that projects, or a metadata
   * path upstream) pass through untouched. */
-class ManifestReplaceWriterFactory(rootStr: String, schema: StructType)
-    extends DataWriterFactory {
+class ManifestReplaceWriterFactory(rootStr: String, schema: StructType,
+    partCols: Seq[String] = Seq.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
-    val inner = new ManifestDataWriter(rootStr, schema,
-      s"data-p$partitionId-t$taskId-${java.util.UUID.randomUUID()}.parquet")
+    // partitioned tables fan out per partition tuple here too — an
+    // UPDATE that changes a partition column's value moves the row to
+    // its new partition naturally (the writer keys on ROW values)
+    val inner = new ManifestWriterFactory(rootStr, schema, partCols)
+      .createWriter(partitionId, taskId)
     new DataWriter[InternalRow] {
       private val shifted = new ShiftedInternalRow(1)
       override def write(record: InternalRow): Unit =
@@ -1573,7 +1907,8 @@ private[sources] class ShiftedInternalRow(offset: Int) extends InternalRow {
   * no footer re-read — and published in the manifest entry, which keeps
   * file skipping metadata-only at plan time (the footer carries the same
   * ranges for row-group-level use by the vectorized reader). */
-class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String)
+class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
+    parts: Map[String, String] = Map.empty)
     extends DataWriter[InternalRow] {
   private val root = Paths.get(rootStr)
   private var rows = 0L
@@ -1600,7 +1935,7 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String)
   }
   override def commit(): WriterCommitMessage = {
     out.close() // forces creation even for an empty task: footer-only file
-    ManifestCommit(fileName, rows, mins.toMap, maxs.toMap)
+    ManifestCommit(fileName, rows, mins.toMap, maxs.toMap, parts)
   }
   override def abort(): Unit = {
     try out.close() catch { case _: Throwable => () }
@@ -1633,6 +1968,8 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
   private var prunedNames: Option[Set[String]] = None
 
   private lazy val tableSchema = ManifestSink.readSchema(root, pinned)
+  private lazy val partColsSet: Set[String] =
+    ManifestSink.partitionColumns(root, pinned).toSet
 
   /** Column pruning: the scan decodes ONLY the requested columns — at
     * the parquet reader for data files (requested-schema projection, so
@@ -1697,6 +2034,14 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
       case LessThan(_, v: Int) => true
       case LessThanOrEqual(_, v: Long) => true
       case LessThanOrEqual(_, v: Int) => true
+      // partition-column filters of ANY literal type prune files EXACTLY
+      // against the manifest's per-file partition tuples — this is the
+      // partition-first pruning pass; it runs before stats in
+      // mayMatchEntry. The filter still re-applies row-level (the data
+      // files carry partition columns as ordinary columns), so accepting
+      // a shape evalPartFilter later punts on costs nothing.
+      case f if partColsSet.nonEmpty && f.references.nonEmpty &&
+        f.references.forall(partColsSet.contains) => true
       case _ => false
     }
     filters // all residual: Spark re-applies them row-level after the scan
@@ -1742,11 +2087,11 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
       val resolve = onBatchResolve match {
         case Some(record) =>
           val entries = scanEntries
-            .filter(e => skipFilters.forall(f => ManifestSink.mayMatch(e, f)))
+            .filter(e => skipFilters.forall(f => ManifestSink.mayMatchEntry(e, f)))
           record(entries)
           () => entries
         case None => () => scanEntries
-          .filter(e => skipFilters.forall(f => ManifestSink.mayMatch(e, f)))
+          .filter(e => skipFilters.forall(f => ManifestSink.mayMatchEntry(e, f)))
       }
       // streaming reads honor changesFromVersion/changesToVersion as
       // their start offset and end cap

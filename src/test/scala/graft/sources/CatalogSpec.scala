@@ -85,12 +85,23 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.table("gcat.px.t").count() == 50)
   }
 
-  test("partition transforms are rejected at CREATE: file layout is write-side") {
+  test("identity partitioning is accepted at CREATE; derived transforms are rejected") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.pt")
+    // identity PARTITIONED BY (d): supported — PartitionedTableSpec
+    // covers the write/prune behavior end to end
+    spark.sql("CREATE TABLE gcat.pt.t (id BIGINT, d STRING) PARTITIONED BY (d)")
+    assert(ManifestSink.partitionColumns(wh.resolve("pt").resolve("t"), None) == Seq("d"))
+    // derived transforms (bucket/days/...) have no exact prune story here
     val e = intercept[Exception] {
-      spark.sql("CREATE TABLE gcat.pt.t (id BIGINT, d STRING) PARTITIONED BY (d)")
+      spark.sql("CREATE TABLE gcat.pt.t2 (id BIGINT, d STRING) PARTITIONED BY (bucket(4, id))")
     }
-    assert(e.getMessage.contains("partition"))
+    assert(e.getMessage.contains("identity"))
+    // and a partition column must exist in the schema
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.pt.t3 (id BIGINT) PARTITIONED BY (nope)")
+    }
+    assert(e2.getMessage.toLowerCase.contains("not in the table schema") ||
+      e2.getMessage.toLowerCase.contains("nope"))
   }
 
   test("CALL gcat.system.vacuum previews by default, deletes on dry_run => false") {
