@@ -210,19 +210,79 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(GraftCatalog.SystemNs))
-      Array(Identifier.of(GraftCatalog.SystemNs, "vacuum"))
+      Array(Identifier.of(GraftCatalog.SystemNs, "vacuum"),
+        Identifier.of(GraftCatalog.SystemNs, "optimize"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
     if (ident.namespace().sameElements(GraftCatalog.SystemNs) &&
         ident.name().equalsIgnoreCase("vacuum"))
       new GraftCatalog.VacuumProcedure(this)
+    else if (ident.namespace().sameElements(GraftCatalog.SystemNs) &&
+        ident.name().equalsIgnoreCase("optimize"))
+      new GraftCatalog.OptimizeProcedure(this)
     else throw new IllegalArgumentException(
-      s"unknown procedure $ident; available: graft.system.vacuum")
+      s"unknown procedure $ident; available: graft.system.vacuum, graft.system.optimize")
 }
 
 object GraftCatalog {
   private val SystemNs = Array("system")
+
+  private val OptimizeOutput = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("files_before", IntegerType, nullable = false),
+    StructField("files_after", IntegerType, nullable = false),
+    StructField("rewritten_files", IntegerType, nullable = false),
+    StructField("rewritten_rows", LongType, nullable = false)))
+
+  /** `CALL graft.system.optimize(table => 'db.t', target_rows => N)` —
+    * bin-packing compaction ([[ManifestSink.compact]]); with
+    * `zorder => 'c1,c2'` a full clustered rewrite instead
+    * ([[ManifestSink.compactZOrder]]): rows re-sorted on the Morton
+    * interleave of the named integer columns so multi-column range
+    * predicates prune files. Both publish dataChange=false rewrite
+    * versions: streams and the change feed skip them, time travel keeps
+    * the prior layout readable. */
+  private class OptimizeProcedure(catalog: GraftCatalog)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "optimize"
+    override def description(): String =
+      "Compact a manifest table: bin-pack small files, or ZORDER-cluster " +
+        "the whole table when `zorder` names columns"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name within this catalog, e.g. 'db.t'").build(),
+      ProcedureParameter.in("target_rows", LongType)
+        .comment("target rows per output file").build(),
+      ProcedureParameter.in("zorder", StringType).defaultValue("''")
+        .comment("comma-separated integer columns to cluster by; " +
+          "empty = plain bin-packing").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val tableName = input.getUTF8String(0).toString
+      val targetRows = input.getLong(1)
+      val zorder = Option(input.getUTF8String(2)).map(_.toString).getOrElse("")
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val parts = tableName.split('.')
+      val ident = Identifier.of(parts.init, parts.last)
+      val root = catalog.tablePath(ident)
+      if (!catalog.isTable(root)) throw new NoSuchTableException(ident)
+      val res =
+        if (zorder.isEmpty) ManifestSink.compact(root.toString, targetRows)
+        else ManifestSink.compactZOrder(
+          org.apache.spark.sql.SparkSession.active, root.toString, zorder, targetRows)
+      val row = new GenericInternalRow(Array[Any](
+        res.version, res.filesBefore, res.filesAfter,
+        res.rewrittenFiles, res.rewrittenRows)): InternalRow
+      util.Collections.singletonList[Scan](new LocalScan {
+        override def readSchema(): StructType = OptimizeOutput
+        override def rows(): Array[InternalRow] = Array(row)
+      }).iterator()
+    }
+  }
 
   private val VacuumOutput = StructType(Seq(
     StructField("kind", StringType, nullable = false),

@@ -908,6 +908,123 @@ object ManifestSink {
       rewrittenNames.size, merged.map(_.rows).sum)
   }
 
+  /** OPTIMIZE ... ZORDER BY: rewrite the ENTIRE table (or each table
+    * partition independently — files never cross partition tuples) with
+    * rows globally ordered by a Morton interleave of the given integer
+    * columns, packed into ~`targetRows` files, published as ONE
+    * dataChange=false rewrite version under the same CAS as any commit.
+    *
+    * Plain [[compact]] merges small files in arrival order: scan
+    * parallelism recovers but per-file min/max ranges stay as scattered
+    * as the writes were, so data skipping does not improve. Z-order
+    * compaction exists for exactly that gap: after it, a conjunctive
+    * range predicate over the clustered columns prunes to ~the files
+    * whose z-range intersects the query box (the classic multi-column
+    * layout result — a k-column box reads ~N^((k-1)/k) of the data
+    * instead of all of it).
+    *
+    * Each column is normalized to 16 bits against its GLOBAL min/max
+    * taken from manifest stats (metadata-only — no pre-pass over data),
+    * so skewed domains still spread over the full bit range. The rewrite
+    * itself is Spark: a range-repartition + within-partition sort on the
+    * z-key, one task per output file writing through the ordinary
+    * [[ManifestDataWriter]] (fresh per-file stats collected inline) — at
+    * 100 TB this is a full shuffle of the table, which is what OPTIMIZE
+    * ZORDER costs everywhere (Delta's implementation makes the same
+    * trade). Single-attempt CAS pinned to the version the rewrite read:
+    * a concurrent commit loses this optimize loudly, never data. */
+  def compactZOrder(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      zorderBy: Seq[String], targetRows: Long): CompactionResult = {
+    import org.apache.spark.sql.functions._
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    require(zorderBy.nonEmpty, "ZORDER BY needs at least one column")
+    val root = Paths.get(tablePath)
+    val st = readState(root)
+    require(st.version > 0L,
+      s"z-order compaction requires a versioned manifest table at $tablePath")
+    val schema = st.schema.getOrElse(
+      throw new IllegalStateException(s"manifest table $tablePath has no schema"))
+    zorderBy.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(s"ZORDER BY column $c is not in the table schema"))
+      require(f.dataType == LongType || f.dataType == IntegerType,
+        s"ZORDER BY supports integer columns; $c is ${f.dataType.simpleString}")
+    }
+    if (st.entries.isEmpty)
+      return CompactionResult(st.version, 0, 0, 0, 0L)
+    // global per-column ranges from manifest stats — metadata only
+    val ranges = zorderBy.map { c =>
+      val mins = st.entries.flatMap(_.mins.get(c))
+      val maxs = st.entries.flatMap(_.maxs.get(c))
+      require(mins.nonEmpty && maxs.nonEmpty,
+        s"ZORDER BY $c needs manifest min/max stats on every file")
+      (c, mins.min, math.max(maxs.max, mins.min + 1))
+    }
+    val bits = 16
+    def zExpr: org.apache.spark.sql.Column = {
+      val scaled = ranges.map { case (c, lo, hi) =>
+        // (v - lo) * 65535 div span, clamped — INTEGER arithmetic only
+        // (a double division would drift on wide domains)
+        val span = math.max(1L, hi - lo)
+        least(lit(((1L << bits) - 1)), greatest(lit(0L),
+          expr(s"((`$c` - ${lo}L) * ${(1L << bits) - 1}) div ${span}L")))
+      }
+      (0 until bits).flatMap { i =>
+        scaled.zipWithIndex.map { case (s, j) =>
+          (shiftright(s, i) % lit(2L)) * lit(1L << (i * scaled.length + j))
+        }
+      }.reduce(_ + _)
+    }
+    val typedPartVal: (String, String) => Any = (c, v) =>
+      schema.fields.find(_.name == c).get.dataType match {
+        case LongType => v.toLong
+        case IntegerType => v.toInt
+        case DoubleType => v.toDouble
+        case BooleanType => v.toBoolean
+        case _ => v
+      }
+    val snapshot = spark.read.format("graft.sources.ManifestSink")
+      .option("path", tablePath).option("versionAsOf", st.version.toString).load()
+    val groups = st.entries.groupBy(_.parts).toSeq
+    val newEntries = groups.flatMap { case (parts, groupEntries) =>
+      val groupDf = parts.foldLeft(snapshot) { case (df, (c, v)) =>
+        if (v == NullPartValue) df.filter(col(c).isNull)
+        else df.filter(col(c) === lit(typedPartVal(c, v)))
+      }
+      val total = groupEntries.map(_.rows).sum
+      val numFiles = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
+      val sorted = groupDf.withColumn("__graft_z", zExpr)
+        .repartitionByRange(numFiles, col("__graft_z"))
+        .sortWithinPartitions("__graft_z")
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      val rootStr = tablePath
+      val fileSchema = schema
+      val fileParts = parts
+      sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+        val w = new ManifestDataWriter(rootStr, fileSchema,
+          s"data-zorder-p$pid-${java.util.UUID.randomUUID()}.parquet", fileParts)
+        rows.foreach(w.write)
+        w.commit() match {
+          case m: ManifestCommit if m.rows > 0L => Iterator.single(m)
+          case m: ManifestCommit =>
+            Files.deleteIfExists(Paths.get(rootStr).resolve(m.fileName))
+            Iterator.empty
+          case _ => Iterator.empty
+        }
+      }.collect().toSeq.map(c => FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts))
+    }
+    val markerLines = st.markers.toSeq.sortBy(_._1).map((markerLine _).tupled)
+    try publish(root, st.version,
+      ((schema.json +: RewriteMarker +: (partColsLine(st.partCols).toSeq ++ markerLines)) ++
+        newEntries.map(entryLine)).mkString("\n"))
+    catch { case e: java.util.ConcurrentModificationException =>
+      newEntries.foreach(n => Files.deleteIfExists(root.resolve(n.name)))
+      throw e
+    }
+    CompactionResult(st.version + 1, st.entries.size, newEntries.size,
+      st.entries.size, newEntries.map(_.rows).sum)
+  }
+
   private[sources] def encode(row: InternalRow, schema: StructType): String =
     schema.fields.zipWithIndex.map { case (f, i) =>
       if (row.isNullAt(i)) "\u0000"
