@@ -440,6 +440,46 @@ object IngestOps {
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // ALTER TABLE schema evolution through the catalog: gen-1 files are
+    // written as (o_orderkey, o_totalprice); then ADD COLUMN
+    // o_orderpriority and RENAME o_totalprice → price, metadata-only
+    // (no file rewritten); gen-2 files carry all three. The read
+    // reconciles per file — old files null-fill the added column and
+    // resolve the renamed one through the column mapping — and coalesce
+    // supplies the default, the same `.get(key, default)` tolerance the
+    // reference's schemaless dicts give it (rws_data_ingester
+    // src/rotterdam_swimming_advice.py:169,173). q101 proves the same
+    // semantics for raw-parquet mergeSchema reads; this one proves it
+    // for the TABLE FORMAT, where history additionally pins each
+    // version's schema.
+    "q130_alter_table" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        s.sparkContext.applicationId
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      if (orcWritten.add((s.sparkContext.applicationId, s"alt:$dir"))) {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+        s.sql(s"CREATE TABLE graft.$ns.orders_a (o_orderkey BIGINT, o_totalprice DOUBLE)")
+        val src = Tables.orders(s, dir)
+        src.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_totalprice")
+          .writeTo(s"graft.$ns.orders_a").append()
+        s.sql(s"ALTER TABLE graft.$ns.orders_a ADD COLUMN o_orderpriority STRING")
+        s.sql(s"ALTER TABLE graft.$ns.orders_a RENAME COLUMN o_totalprice TO price")
+        src.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_totalprice").as("price"),
+            col("o_orderpriority"))
+          .writeTo(s"graft.$ns.orders_a").append()
+      }
+      s.sql(
+        s"""SELECT coalesce(o_orderpriority, '-') AS prio, count(*) AS n,
+           |  sum(CAST(round(price * 100) AS BIGINT)) AS cents_sum,
+           |  max(o_orderkey) AS max_key
+           |FROM graft.$ns.orders_a
+           |GROUP BY 1 ORDER BY prio""".stripMargin)
+    }),
+
     // Schema evolution across writer generations: gen-1 files carry
     // (o_orderkey, o_totalprice); gen-2 files ADD a column
     // (o_orderpriority) and RENAME o_totalprice -> total_price. A
@@ -583,6 +623,17 @@ object IngestOps {
         |FROM orders
         |WHERE NOT (o_orderpriority = '1-URGENT' OR o_custkey % 10 = 3)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the evolved table rebuilt over the original parquet: even keys
+    // are gen-1 (no priority → '-'), odd keys gen-2 (real priority)
+    "q130_alter_table" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '-'
+        |            ELSE o_orderpriority END AS prio,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+        |  max(o_orderkey) AS max_key
+        |FROM orders
+        |GROUP BY 1 ORDER BY prio""".stripMargin,
 
     // partition-pruned read + dynamic overwrite of the 1-URGENT
     // partition, reconstructed over the original parquet

@@ -124,10 +124,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     new ManifestTable(p, schema)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported for manifest tables; schema changes " +
-        "publish through INSERT OVERWRITE (truncate commits carry a new schema)")
+  /** ALTER TABLE ADD / RENAME / DROP COLUMN: metadata-only commits (see
+    * [[ManifestSink.alterSchema]]) — no data file is rewritten; readers
+    * reconcile per file (absent columns null-fill, renames resolve
+    * through the column mapping). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    ManifestSink.alterSchema(p, changes)
+    new ManifestTable(p, ManifestSink.readSchema(p))
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)

@@ -94,6 +94,27 @@ object ManifestParquet {
     } catch { case t: Throwable => r.close(); throw t }
   }
 
+  /** Top-level field names physically present in `file` (one footer
+    * read). The scan uses this under schema evolution to decide which
+    * requested columns exist in a given file and which must null-fill. */
+  def footerFields(file: String): Set[String] = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(file), new Configuration()))
+    try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .map(_.getName).toSet
+    finally r.close()
+  }
+
+  /** Stable string form of a file's physical parquet schema — the
+    * compaction grouping key under schema evolution (raw row-group
+    * append requires byte-identical schemas within a bin). */
+  def footerSchemaString(file: String): String = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(file), new Configuration()))
+    try r.getFooter.getFileMetaData.getSchema.toString
+    finally r.close()
+  }
+
   /** Merge `members` (all parquet, same schema by the manifest's append
     * invariant) into `dest` by raw row-group append — the compaction
     * rewrite. Returns nothing; the caller publishes the manifest entry.

@@ -448,6 +448,59 @@ object ManifestSink {
       .getOrElse(Seq.empty)
   }
 
+  /** Column mapping (the Delta column-mapping shape): logical (current
+    * SQL) name → PHYSICAL name, the immutable name a column carries
+    * inside data files. Present only for columns whose names diverge —
+    * i.e. after RENAME COLUMN (physical stays put; only metadata moves)
+    * or ADD COLUMN (added columns get an epoch-unique physical name so
+    * a re-added name can never resurrect a dropped column's stale
+    * bytes). One manifest header line: `#colmap<TAB>log=phys,...`. */
+  private val ColMapPrefix = "#colmap\t"
+  /** Monotone count of schema-altering commits. Non-zero tells scans
+    * that per-file schemas may differ from the table schema, so the
+    * reader probes each file's footer and null-fills absent columns;
+    * zero keeps the fast single-footer-read path. Header line:
+    * `#schemaepoch<TAB>N`. */
+  private val SchemaEpochPrefix = "#schemaepoch\t"
+
+  private def colMapLine(m: Map[String, String]): Option[String] =
+    if (m.isEmpty) None
+    else Some(ColMapPrefix + m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${urlEnc(k)}=${urlEnc(v)}" }.mkString(","))
+
+  private def schemaEpochLine(e: Long): Option[String] =
+    if (e == 0L) None else Some(s"$SchemaEpochPrefix$e")
+
+  private def parseHeaderMap(lines: Seq[String], prefix: String): Map[String, String] =
+    lines.find(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).split(",").toSeq.filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (urlDec(k), urlDec(v))
+      }.toMap).getOrElse(Map.empty)
+
+  private[sources] def columnMapping(root: Path,
+      pinned: Option[Long] = None): Map[String, String] = {
+    val v = resolveVersion(root, pinned)
+    if (v == 0L) Map.empty
+    else parseHeaderMap(
+      Files.readString(manifestAt(root, v)).linesIterator.drop(1).toSeq, ColMapPrefix)
+  }
+
+  private[sources] def schemaEpoch(root: Path, pinned: Option[Long] = None): Long = {
+    val v = resolveVersion(root, pinned)
+    if (v == 0L) 0L
+    else Files.readString(manifestAt(root, v)).linesIterator.drop(1)
+      .find(_.startsWith(SchemaEpochPrefix))
+      .map(_.stripPrefix(SchemaEpochPrefix).trim.toLong).getOrElse(0L)
+  }
+
+  /** Rename logical fields to their immutable physical names for the
+    * parquet writer / reader boundary. */
+  private[sources] def toPhysicalSchema(schema: StructType,
+      colMap: Map[String, String]): StructType =
+    if (colMap.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = colMap.getOrElse(f.name, f.name))))
+
   /** Canonical string form of a pushed-filter literal, matching what the
     * partitioned writer records from row values. */
   private def litStr(v: Any): Option[String] = v match {
@@ -597,10 +650,19 @@ object ManifestSink {
     * re-reads. */
   private[sources] case class TableState(version: Long, schema: Option[StructType],
       markers: Map[String, Long], entries: Seq[FileEntry],
-      partCols: Seq[String] = Seq.empty)
+      partCols: Seq[String] = Seq.empty,
+      colMap: Map[String, String] = Map.empty,
+      schemaEpoch: Long = 0L) {
+    /** Non-entry, non-schema header lines every publisher carries:
+      * partition spec, column mapping, schema epoch, stream markers. */
+    def metaLines: Seq[String] =
+      partColsLine(partCols).toSeq ++ colMapLine(colMap).toSeq ++
+        schemaEpochLine(schemaEpoch).toSeq ++
+        markers.toSeq.sortBy(_._1).map((markerLine _).tupled)
+  }
 
-  private[sources] def readState(root: Path): TableState = {
-    val v = currentVersion(root)
+  private[sources] def readState(root: Path, pinned: Option[Long] = None): TableState = {
+    val v = resolveVersion(root, pinned)
     if (v > 0L) {
       val lines = Files.readString(manifestAt(root, v)).linesIterator.toSeq
       TableState(v,
@@ -612,7 +674,10 @@ object ManifestSink {
         lines.tail.find(_.startsWith(PartColsPrefix))
           .map(_.stripPrefix(PartColsPrefix).split(",").toSeq
             .filter(_.nonEmpty).map(urlDec))
-          .getOrElse(Seq.empty))
+          .getOrElse(Seq.empty),
+        parseHeaderMap(lines.tail, ColMapPrefix),
+        lines.tail.find(_.startsWith(SchemaEpochPrefix))
+          .map(_.stripPrefix(SchemaEpochPrefix).trim.toLong).getOrElse(0L))
     } else {
       val schema =
         if (Files.exists(schemaFile(root)))
@@ -677,17 +742,15 @@ object ManifestSink {
       // Epoch markers survive truncate: a complete-mode epoch replaces the
       // DATA but the exactly-once high-water mark must persist, or a
       // restart would double-apply the epoch it just committed.
-      val markers = st.markers ++ markerUpdate
-      val markerLines = markers.toSeq.sortBy(_._1).map((markerLine _).tupled)
-      // partitioning is table STRUCTURE: an existing table's partition
-      // columns persist across every commit (truncate included);
+      // partitioning/column-mapping are table STRUCTURE: an existing
+      // table's persist across every commit (truncate included);
       // createPartCols only seeds a brand-new table's first version
-      val partCols = if (st.version > 0L) st.partCols else createPartCols
-      // schema line + markers + entries publish as ONE atomic unit
+      val meta = st.copy(markers = st.markers ++ markerUpdate,
+        partCols = if (st.version > 0L) st.partCols else createPartCols).metaLines
+      // schema line + meta + entries publish as ONE atomic unit
       try {
         publish(root, base,
-          ((schemaToStore.json +: (partColsLine(partCols).toSeq ++ markerLines)) ++
-            all.map(entryLine)).mkString("\n"))
+          ((schemaToStore.json +: meta) ++ all.map(entryLine)).mkString("\n"))
         published = Some(schemaToStore)
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -725,13 +788,12 @@ object ManifestSink {
     * like a copy-on-write DELETE's version. */
   private[sources] def publishReplace(root: Path, baseVersion: Long,
       replaced: Set[String], newEntries: Seq[FileEntry], gc: GcPolicy): Unit = {
-    val schema = readSchema(root, Some(baseVersion))
-    val markerLines = epochMarkers(root, Some(baseVersion)).toSeq.sortBy(_._1)
-      .map((markerLine _).tupled)
-    val pcLine = partColsLine(partitionColumns(root, Some(baseVersion))).toSeq
-    val kept = committedEntries(root, Some(baseVersion)).filterNot(e => replaced(e.name))
+    val st = readState(root, Some(baseVersion))
+    val schema = st.schema.getOrElse(
+      throw new IllegalStateException(s"manifest table $root has no schema"))
+    val kept = st.entries.filterNot(e => replaced(e.name))
     try publish(root, baseVersion,
-      ((schema.json +: (pcLine ++ markerLines)) ++ (kept ++ newEntries).map(entryLine))
+      ((schema.json +: st.metaLines) ++ (kept ++ newEntries).map(entryLine))
         .mkString("\n"))
     catch { case e: java.util.ConcurrentModificationException =>
       newEntries.foreach(n => Files.deleteIfExists(root.resolve(n.name)))
@@ -776,12 +838,10 @@ object ManifestSink {
       val st = readState(root)
       require(st.version > 0L,
         s"partition overwrite requires a versioned manifest table at $root")
-      val markerLines = st.markers.toSeq.sortBy(_._1).map((markerLine _).tupled)
       val entries = st.entries.filterNot(replaced) ++ newEntries
       try {
         publish(root, st.version,
-          ((schema.json +: (partColsLine(st.partCols).toSeq ++ markerLines)) ++
-            entries.map(entryLine)).mkString("\n"))
+          ((schema.json +: st.metaLines) ++ entries.map(entryLine)).mkString("\n"))
         done = true
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -793,6 +853,105 @@ object ManifestSink {
       try expireVersions(root, k, gc.orphanGraceMs)
       catch { case e: Exception =>
         System.err.println(s"manifest GC for $root failed (table unaffected): ${e.getMessage}")
+      }
+    }
+  }
+
+  /** ALTER TABLE: ADD / RENAME / DROP COLUMN as METADATA-ONLY commits —
+    * no data file is touched, ever.
+    *
+    *  - ADD COLUMN appends a nullable field whose PHYSICAL name is
+    *    epoch-unique (`name_eN`): files written before the add simply
+    *    lack the physical column and read as null; a column dropped and
+    *    later re-added can never resurrect the dropped bytes, because
+    *    the new physical name matches nothing historical.
+    *  - RENAME COLUMN moves only metadata: the logical schema field, the
+    *    column-mapping entry (physical name stays immutable), and every
+    *    entry's stats/partition keys are rewritten in the SAME commit, so
+    *    pruning and aggregate pushdown keep working under the new name.
+    *  - DROP COLUMN removes the field from the logical schema; the bytes
+    *    remain in files (reclaimed by the next rewrite) but are
+    *    unreachable — readers never request the physical column again.
+    *
+    * Publishes under the ordinary CAS with append-style rebase (schema
+    * changes commute with concurrent appends: the re-read state is
+    * re-altered from scratch each attempt). */
+  def alterSchema(root: Path,
+      changes: Seq[org.apache.spark.sql.connector.catalog.TableChange]): Unit = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      val st = readState(root)
+      require(st.version > 0L,
+        s"ALTER TABLE requires a versioned manifest table at $root")
+      require(st.entries.forall(_.name.endsWith(".parquet")),
+        "ALTER TABLE is not supported on tables holding legacy .tsv files")
+      var schema = st.schema.getOrElse(
+        throw new IllegalStateException(s"manifest table $root has no schema"))
+      var colMap = st.colMap
+      var partCols = st.partCols
+      var entries = st.entries
+      val newEpoch = st.schemaEpoch + 1
+
+      def single(names: Array[String], what: String): String = {
+        require(names.length == 1,
+          s"$what supports top-level columns only, got ${names.mkString(".")}")
+        names(0)
+      }
+      def renameKeys(m: Map[String, Long], from: String, to: String): Map[String, Long] =
+        m.map { case (k, v) => (if (k == from) to else k, v) }
+
+      changes.foreach {
+        case a: TableChange.AddColumn =>
+          val name = single(a.fieldNames, "ADD COLUMN")
+          require(!schema.fieldNames.contains(name), s"column $name already exists")
+          require(a.isNullable,
+            s"ADD COLUMN $name must be nullable: existing rows have no value for it")
+          requireSafeColumnNames(StructType(Seq(StructField(name, a.dataType))))
+          colMap += name -> s"${name}_e$newEpoch"
+          schema = StructType(schema.fields :+
+            StructField(name, a.dataType, nullable = true))
+        case r: TableChange.RenameColumn =>
+          val from = single(r.fieldNames, "RENAME COLUMN")
+          val to = r.newName
+          require(schema.fieldNames.contains(from), s"no column $from to rename")
+          require(!schema.fieldNames.contains(to), s"column $to already exists")
+          requireSafeColumnNames(StructType(Seq(StructField(to, StringType))))
+          val phys = colMap.getOrElse(from, from)
+          colMap = colMap - from + (to -> phys)
+          schema = StructType(schema.fields.map(f =>
+            if (f.name == from) f.copy(name = to) else f))
+          partCols = partCols.map(c => if (c == from) to else c)
+          entries = entries.map(e => e.copy(
+            mins = renameKeys(e.mins, from, to),
+            maxs = renameKeys(e.maxs, from, to),
+            parts = e.parts.map { case (k, v) => (if (k == from) to else k, v) }))
+        case d: TableChange.DeleteColumn =>
+          val name = single(d.fieldNames, "DROP COLUMN")
+          require(schema.fieldNames.contains(name), s"no column $name to drop")
+          require(!partCols.contains(name), s"cannot drop partition column $name")
+          require(schema.fields.length > 1, "cannot drop a table's last column")
+          colMap -= name
+          schema = StructType(schema.fields.filterNot(_.name == name))
+          entries = entries.map(e =>
+            e.copy(mins = e.mins - name, maxs = e.maxs - name))
+        case other => throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change for manifest tables: $other " +
+            "(supported: ADD COLUMN, RENAME COLUMN, DROP COLUMN)")
+      }
+      colMap = colMap.filter { case (k, v) => k != v }
+      val meta = st.copy(schema = Some(schema), partCols = partCols,
+        colMap = colMap, schemaEpoch = newEpoch, entries = entries).metaLines
+      try {
+        publish(root, st.version,
+          ((schema.json +: meta) ++ entries.map(entryLine)).mkString("\n"))
+        done = true
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= 5) throw e
+          Thread.sleep(5L * attempt)
       }
     }
   }
@@ -871,10 +1030,16 @@ object ManifestSink {
         }
       }.map(_.reverse).reverse.filter(_.size >= 2) // singleton bins gain nothing
     // bins never span partitions: a merged file must keep ONE partition
-    // tuple or pruning would lose its exactness
+    // tuple or pruning would lose its exactness. Under schema evolution
+    // they must not span PHYSICAL schemas either — raw row-group append
+    // requires byte-identical file schemas, so bins additionally group
+    // by footer schema (one footer read per small file, driver-local).
     val (tsvSmall, parquetSmall) = small.partition(_.name.endsWith(".tsv"))
+    val schemaKey: FileEntry => String =
+      if (st.schemaEpoch == 0L) _ => ""
+      else e => ManifestParquet.footerSchemaString(root.resolve(e.name).toString)
     val bins =
-      parquetSmall.groupBy(_.parts).values.toSeq.flatMap(packBins) ++
+      parquetSmall.groupBy(e => (e.parts, schemaKey(e))).values.toSeq.flatMap(packBins) ++
         tsvSmall.groupBy(_.parts).values.toSeq.flatMap(packBins)
     if (bins.isEmpty)
       return CompactionResult(st.version, st.entries.size, st.entries.size, 0, 0L)
@@ -894,11 +1059,10 @@ object ManifestSink {
     }
     val rewrittenNames = bins.flatten.map(_.name).toSet
     val entries = st.entries.filterNot(e => rewrittenNames(e.name)) ++ merged
-    val markerLines = st.markers.toSeq.sortBy(_._1).map((markerLine _).tupled)
     val schema = st.schema.getOrElse(
       throw new IllegalStateException(s"manifest table $tablePath has no schema"))
     try publish(root, st.version,
-      ((schema.json +: RewriteMarker +: (partColsLine(st.partCols).toSeq ++ markerLines)) ++
+      ((schema.json +: RewriteMarker +: st.metaLines) ++
         entries.map(entryLine)).mkString("\n"))
     catch { case e: java.util.ConcurrentModificationException =>
       merged.foreach(m => Files.deleteIfExists(root.resolve(m.name)))
@@ -1000,9 +1164,10 @@ object ManifestSink {
       val rootStr = tablePath
       val fileSchema = schema
       val fileParts = parts
+      val cmap = st.colMap
       sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
         val w = new ManifestDataWriter(rootStr, fileSchema,
-          s"data-zorder-p$pid-${java.util.UUID.randomUUID()}.parquet", fileParts)
+          s"data-zorder-p$pid-${java.util.UUID.randomUUID()}.parquet", fileParts, cmap)
         rows.foreach(w.write)
         w.commit() match {
           case m: ManifestCommit if m.rows > 0L => Iterator.single(m)
@@ -1013,9 +1178,8 @@ object ManifestSink {
         }
       }.collect().toSeq.map(c => FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts))
     }
-    val markerLines = st.markers.toSeq.sortBy(_._1).map((markerLine _).tupled)
     try publish(root, st.version,
-      ((schema.json +: RewriteMarker +: (partColsLine(st.partCols).toSeq ++ markerLines)) ++
+      ((schema.json +: RewriteMarker +: st.metaLines) ++
         newEntries.map(entryLine)).mkString("\n"))
     catch { case e: java.util.ConcurrentModificationException =>
       newEntries.foreach(n => Files.deleteIfExists(root.resolve(n.name)))
@@ -1114,9 +1278,10 @@ object ManifestSink {
       val maxs = scala.collection.mutable.Map.empty[String, Long]
       var kept = 0L
       val newName = s"data-delete-${java.util.UUID.randomUUID()}.parquet"
-      val out = ManifestParquet.open(root.resolve(newName), schema)
+      val out = ManifestParquet.open(root.resolve(newName),
+        toPhysicalSchema(schema, st.colMap))
       try {
-        foreachRow(root.resolve(e.name), schema) { row =>
+        foreachRow(root.resolve(e.name), schema, st.colMap, st.schemaEpoch > 0L) { row =>
           // deleted iff the conjunction is TRUE; UNKNOWN keeps the row
           if (rowMatches(row, schema)) deletedRows += 1
           else {
@@ -1148,10 +1313,8 @@ object ManifestSink {
     if (deletedRows == 0L)
       return DeleteResult(st.version, candidates.size, 0, 0L)
     val entries = untouched ++ replacements.flatten
-    val markerLines = st.markers.toSeq.sortBy(_._1).map((markerLine _).tupled)
     try publish(root, st.version,
-      ((schema.json +: (partColsLine(st.partCols).toSeq ++ markerLines)) ++
-        entries.map(entryLine)).mkString("\n"))
+      ((schema.json +: st.metaLines) ++ entries.map(entryLine)).mkString("\n"))
     catch { case e: java.util.ConcurrentModificationException =>
       replacements.flatten.filterNot(candidates.contains)
         .foreach(r => Files.deleteIfExists(root.resolve(r.name)))
@@ -1167,15 +1330,34 @@ object ManifestSink {
   }
 
   /** Iterate every row of one committed data file (either format) with
-    * the FULL table schema. */
-  private def foreachRow(file: Path, schema: StructType)(f: InternalRow => Unit): Unit =
+    * the FULL table schema — physical-name mapped and null-filled for
+    * files predating a schema change (same reconciliation as the scan). */
+  private def foreachRow(file: Path, schema: StructType,
+      colMap: Map[String, String] = Map.empty, evolved: Boolean = false)(
+      f: InternalRow => Unit): Unit =
     if (file.toString.endsWith(".tsv")) {
       Files.readAllLines(file).forEach(l => f(decode(l, schema)))
     } else {
-      val r = ManifestParquet.openRead(file.toString,
-        schema.fieldNames.toSeq, returnBatches = false)
-      try while (r.nextKeyValue()) f(r.getCurrentValue.asInstanceOf[InternalRow])
-      finally r.close()
+      val phys = schema.fieldNames.map(c => colMap.getOrElse(c, c))
+      val inFile =
+        if (evolved || colMap.nonEmpty) ManifestParquet.footerFields(file.toString)
+        else phys.toSet
+      if (phys.forall(inFile.contains)) {
+        val r = ManifestParquet.openRead(file.toString, phys.toSeq,
+          returnBatches = false)
+        try while (r.nextKeyValue()) f(r.getCurrentValue.asInstanceOf[InternalRow])
+        finally r.close()
+      } else {
+        val present = phys.filter(inFile.contains)
+        val posOf = present.zipWithIndex.toMap
+        val mapping = phys.map(p => posOf.getOrElse(p, -1))
+        val view = new MappedInternalRow(mapping, schema.fields.map(_.dataType))
+        val r = ManifestParquet.openRead(file.toString, present.toSeq,
+          returnBatches = false)
+        try while (r.nextKeyValue()) {
+          view.row = r.getCurrentValue.asInstanceOf[InternalRow]; f(view)
+        } finally r.close()
+      }
     }
 
   /** The delete-filter dialect: equality/range/in/null tests on table
@@ -1685,6 +1867,7 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
   override def build(): Write = {
     ManifestSink.requireSafeColumnNames(schema)
     val pc = partCols // resolve once, on the driver
+    val cmap = ManifestSink.columnMapping(root)
     new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
       import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
       import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
@@ -1701,11 +1884,11 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
       override def distributionStrictlyRequired(): Boolean = false
       override def toBatch: BatchWrite =
         new ManifestBatchWrite(root, schema, truncateFirst, gc, pc,
-          overwriteFilters, dynamicOverwrite)
+          overwriteFilters, dynamicOverwrite, cmap)
       // streaming: truncateFirst becomes truncate-EACH-EPOCH (Spark calls
       // truncate() on the builder for Complete output mode)
       override def toStreaming: StreamingWrite =
-        new ManifestStreamingWrite(root, schema, truncateFirst, gc, queryId, pc)
+        new ManifestStreamingWrite(root, schema, truncateFirst, gc, queryId, pc, cmap)
     }
   }
 }
@@ -1722,9 +1905,10 @@ class ManifestBatchWrite(root: Path, schema: StructType, truncateFirst: Boolean,
     gc: GcPolicy = GcPolicy(None, 3600L * 1000),
     partCols: Seq[String] = Seq.empty,
     overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
-    dynamicOverwrite: Boolean = false) extends BatchWrite {
+    dynamicOverwrite: Boolean = false,
+    colMap: Map[String, String] = Map.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(root.toString, schema, partCols)
+    new ManifestWriterFactory(root.toString, schema, partCols, colMap)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val newEntries = ManifestSink.commitEntries(messages)
@@ -1776,11 +1960,12 @@ class ManifestRowLevelOperation(root: Path, cmd: RowLevelOperation.Command,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val writeSchema = info.schema()
     val pc = ManifestSink.partitionColumns(root)
+    val cmap = ManifestSink.columnMapping(root)
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new ManifestReplaceDataWrite(root, writeSchema,
-            ManifestRowLevelOperation.this, gc, pc)
+            ManifestRowLevelOperation.this, gc, pc, cmap)
       }
     }
   }
@@ -1802,9 +1987,10 @@ class ManifestRowLevelOperation(root: Path, cmd: RowLevelOperation.Command,
   * .deleteWhere]] and [[ManifestSink.compact]]). */
 class ManifestReplaceDataWrite(root: Path, schema: StructType,
     op: ManifestRowLevelOperation, gc: GcPolicy,
-    partCols: Seq[String] = Seq.empty) extends BatchWrite {
+    partCols: Seq[String] = Seq.empty,
+    colMap: Map[String, String] = Map.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestReplaceWriterFactory(root.toString, schema, partCols)
+    new ManifestReplaceWriterFactory(root.toString, schema, partCols, colMap)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val (live, empty) = ManifestSink.commitEntries(messages).partition(_.rows > 0L)
@@ -1838,10 +2024,11 @@ class ManifestReplaceDataWrite(root: Path, schema: StructType,
   * streaming writers share [[ManifestSink.publishCommit]], so they
   * interleave safely under the same CAS. */
 class ManifestStreamingWrite(root: Path, schema: StructType, truncateEachEpoch: Boolean,
-    gc: GcPolicy, queryId: String, partCols: Seq[String] = Seq.empty)
+    gc: GcPolicy, queryId: String, partCols: Seq[String] = Seq.empty,
+    colMap: Map[String, String] = Map.empty)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new ManifestStreamingWriterFactory(root.toString, schema, partCols)
+    new ManifestStreamingWriterFactory(root.toString, schema, partCols, colMap)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     if (ManifestSink.epochMarkers(root).get(queryId).exists(_ >= epochId)) {
@@ -1862,7 +2049,8 @@ class ManifestStreamingWrite(root: Path, schema: StructType, truncateEachEpoch: 
 }
 
 class ManifestStreamingWriterFactory(rootStr: String, schema: StructType,
-    partCols: Seq[String] = Seq.empty) extends StreamingDataWriterFactory {
+    partCols: Seq[String] = Seq.empty,
+    colMap: Map[String, String] = Map.empty) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
     // epoch in the name is for operator debuggability only; uniqueness
@@ -1871,13 +2059,14 @@ class ManifestStreamingWriterFactory(rootStr: String, schema: StructType,
     val prefix = s"data-e$epochId-p$partitionId-t$taskId"
     if (partCols.isEmpty)
       new ManifestDataWriter(rootStr, schema,
-        s"$prefix-${java.util.UUID.randomUUID()}.parquet")
-    else new PartitionedDataWriter(rootStr, schema, partCols, prefix)
+        s"$prefix-${java.util.UUID.randomUUID()}.parquet", colMap = colMap)
+    else new PartitionedDataWriter(rootStr, schema, partCols, prefix, colMap)
   }
 }
 
 class ManifestWriterFactory(rootStr: String, schema: StructType,
-    partCols: Seq[String] = Seq.empty) extends DataWriterFactory {
+    partCols: Seq[String] = Seq.empty,
+    colMap: Map[String, String] = Map.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // attempt-unique name: a retried or speculative attempt of the same
     // partition writes a different file; only the attempt whose message
@@ -1885,8 +2074,8 @@ class ManifestWriterFactory(rootStr: String, schema: StructType,
     val prefix = s"data-p$partitionId-t$taskId"
     if (partCols.isEmpty)
       new ManifestDataWriter(rootStr, schema,
-        s"$prefix-${java.util.UUID.randomUUID()}.parquet")
-    else new PartitionedDataWriter(rootStr, schema, partCols, prefix)
+        s"$prefix-${java.util.UUID.randomUUID()}.parquet", colMap = colMap)
+    else new PartitionedDataWriter(rootStr, schema, partCols, prefix, colMap)
   }
 }
 
@@ -1898,7 +2087,8 @@ class ManifestWriterFactory(rootStr: String, schema: StructType,
   * map is a safety net for unclustered plans (e.g. a single-partition
   * local write), not the expected steady state. */
 class PartitionedDataWriter(rootStr: String, schema: StructType,
-    partCols: Seq[String], namePrefix: String) extends DataWriter[InternalRow] {
+    partCols: Seq[String], namePrefix: String,
+    colMap: Map[String, String] = Map.empty) extends DataWriter[InternalRow] {
   private val idx: Seq[(Int, DataType)] = partCols.map { c =>
     val i = schema.fieldIndex(c); (i, schema.fields(i).dataType)
   }
@@ -1922,7 +2112,7 @@ class PartitionedDataWriter(rootStr: String, schema: StructType,
     writers.getOrElseUpdate(key,
       new ManifestDataWriter(rootStr, schema,
         s"$namePrefix-${java.util.UUID.randomUUID()}.parquet",
-        partCols.zip(key).toMap)).write(record)
+        partCols.zip(key).toMap, colMap)).write(record)
   }
 
   override def commit(): WriterCommitMessage =
@@ -1948,12 +2138,13 @@ class PartitionedDataWriter(rootStr: String, schema: StructType,
   * that already match the schema (a Spark that projects, or a metadata
   * path upstream) pass through untouched. */
 class ManifestReplaceWriterFactory(rootStr: String, schema: StructType,
-    partCols: Seq[String] = Seq.empty) extends DataWriterFactory {
+    partCols: Seq[String] = Seq.empty,
+    colMap: Map[String, String] = Map.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // partitioned tables fan out per partition tuple here too — an
     // UPDATE that changes a partition column's value moves the row to
     // its new partition naturally (the writer keys on ROW values)
-    val inner = new ManifestWriterFactory(rootStr, schema, partCols)
+    val inner = new ManifestWriterFactory(rootStr, schema, partCols, colMap)
       .createWriter(partitionId, taskId)
     new DataWriter[InternalRow] {
       private val shifted = new ShiftedInternalRow(1)
@@ -2025,12 +2216,15 @@ private[sources] class ShiftedInternalRow(offset: Int) extends InternalRow {
   * file skipping metadata-only at plan time (the footer carries the same
   * ranges for row-group-level use by the vectorized reader). */
 class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
-    parts: Map[String, String] = Map.empty)
+    parts: Map[String, String] = Map.empty,
+    colMap: Map[String, String] = Map.empty)
     extends DataWriter[InternalRow] {
   private val root = Paths.get(rootStr)
   private var rows = 0L
   // per-integer-column min/max, collected inline while writing — the
-  // stats that power file skipping and the metadata count
+  // stats that power file skipping and the metadata count. Keyed by
+  // LOGICAL name (manifest metadata is logical; only bytes inside data
+  // files are physical).
   private val intCols = schema.fields.zipWithIndex.collect {
     case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f, i)
   }
@@ -2038,7 +2232,9 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
   private val maxs = scala.collection.mutable.Map.empty[String, Long]
   private lazy val out = {
     Files.createDirectories(root)
-    ManifestParquet.open(root.resolve(fileName), schema)
+    // data files carry PHYSICAL column names — immutable across renames
+    ManifestParquet.open(root.resolve(fileName),
+      ManifestSink.toPhysicalSchema(schema, colMap))
   }
   override def write(record: InternalRow): Unit = {
     out.write(record); rows += 1
@@ -2087,6 +2283,10 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
   private lazy val tableSchema = ManifestSink.readSchema(root, pinned)
   private lazy val partColsSet: Set[String] =
     ManifestSink.partitionColumns(root, pinned).toSet
+  private lazy val colMap: Map[String, String] =
+    ManifestSink.columnMapping(root, pinned)
+  private lazy val evolved: Boolean =
+    ManifestSink.schemaEpoch(root, pinned) > 0L
 
   /** Column pruning: the scan decodes ONLY the requested columns — at
     * the parquet reader for data files (requested-schema projection, so
@@ -2215,7 +2415,8 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
       new ManifestScan(root, tableSchema, readSchemaPruned, resolve,
         streamStart = changes.map(_._1).getOrElse(0L),
         streamEnd = changes.map(_._2).getOrElse(-1L),
-        maxVersionsPerTrigger = maxVersionsPerTrigger)
+        maxVersionsPerTrigger = maxVersionsPerTrigger,
+        colMap = colMap, evolved = evolved)
     }
   }
 
@@ -2248,7 +2449,8 @@ class ManifestAggReaderFactory(row: InternalRow) extends PartitionReaderFactory 
 class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     resolveEntries: () => Seq[ManifestSink.FileEntry],
     streamStart: Long = 0L, streamEnd: Long = -1L,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    colMap: Map[String, String] = Map.empty, evolved: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   // resolved on first BATCH use only — a pure streaming read never
@@ -2317,11 +2519,12 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     // batch); a legacy-mixed table still decodes parquet files through
     // the vectorized reader, handing rows off one at a time
     new ManifestReaderFactory(fileSchema, schema,
-      columnar = schema.nonEmpty && resolved.forall(_.name.endsWith(".parquet")))
+      columnar = schema.nonEmpty && resolved.forall(_.name.endsWith(".parquet")),
+      colMap = colMap, evolved = evolved)
 
   override def toMicroBatchStream(checkpointLocation: String): readstreaming.MicroBatchStream =
     new ManifestMicroBatchStream(root, fileSchema, schema, streamStart, streamEnd,
-      maxVersionsPerTrigger)
+      maxVersionsPerTrigger, colMap = colMap, evolved = evolved)
 }
 
 /** The table AS a stream (the Delta "table streaming" shape): offsets
@@ -2336,7 +2539,8 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
   * check loudly rather than replaying rewritten data. */
 class ManifestMicroBatchStream(root: Path, fileSchema: StructType,
     schema: StructType, startVersion: Long,
-    endCap: Long = -1L, maxVersionsPerTrigger: Option[Long] = None)
+    endCap: Long = -1L, maxVersionsPerTrigger: Option[Long] = None,
+    colMap: Map[String, String] = Map.empty, evolved: Boolean = false)
     extends readstreaming.MicroBatchStream
     with readstreaming.SupportsAdmissionControl {
   private case class VOffset(v: Long) extends readstreaming.Offset {
@@ -2384,7 +2588,8 @@ class ManifestMicroBatchStream(root: Path, fileSchema: StructType,
     // window, so a single columnar/row answer for the stream's lifetime
     // can't be derived from any one batch's file set. Parquet decode is
     // still vectorized inside the reader.
-    new ManifestReaderFactory(fileSchema, schema, columnar = false)
+    new ManifestReaderFactory(fileSchema, schema, columnar = false,
+      colMap = colMap, evolved = evolved)
 }
 
 case class ManifestFilePartition(file: String, rows: Long = 0L) extends InputPartition
@@ -2395,12 +2600,38 @@ case class ManifestFilePartition(file: String, rows: Long = 0L) extends InputPar
   * files decode line-by-line. Only the PRUNED columns are materialized
   * in either format. A zero-column projection (e.g. `SELECT lit(1)`)
   * opens no file at all: the manifest's per-file row count drives an
-  * empty-row emitter. */
+  * empty-row emitter.
+  *
+  * Schema evolution: columns are requested from parquet by their
+  * PHYSICAL names (`colMap` — identity unless the table was ALTERed),
+  * and when `evolved` (any schema-altering commit in the table's
+  * history) each file's footer decides which requested columns exist in
+  * THAT file; absent ones null-fill — per row via a mapped view, per
+  * batch via spliced constant-null vectors. Files never rewrite on
+  * ALTER; the read side reconciles. */
 class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
-    columnar: Boolean) extends PartitionReaderFactory {
-  import org.apache.spark.sql.vectorized.ColumnarBatch
+    columnar: Boolean, colMap: Map[String, String] = Map.empty,
+    evolved: Boolean = false) extends PartitionReaderFactory {
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private def physical(c: String): String = colMap.getOrElse(c, c)
 
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  /** (physical names present in the file, out-index → present-index map
+    * with -1 for null-fill), or None for the uniform fast path. */
+  private def filePlan(file: String): Option[(Seq[String], Array[Int])] =
+    if (!evolved) None
+    else {
+      val inFile = ManifestParquet.footerFields(file)
+      val phys = schema.fieldNames.map(physical)
+      if (phys.forall(inFile.contains)) None
+      else {
+        val present = phys.filter(inFile.contains)
+        val posOf = present.zipWithIndex.toMap
+        Some((present.toSeq, phys.map(p => posOf.getOrElse(p, -1))))
+      }
+    }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ManifestFilePartition]
@@ -2422,23 +2653,106 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
       override def get(): InternalRow = current
       override def close(): Unit = ()
     }
-    else new PartitionReader[InternalRow] {
-      private val reader =
-        ManifestParquet.openRead(p.file, schema.fieldNames.toSeq, returnBatches = false)
-      override def next(): Boolean = reader.nextKeyValue()
-      override def get(): InternalRow = reader.getCurrentValue.asInstanceOf[InternalRow]
-      override def close(): Unit = reader.close()
+    else filePlan(p.file) match {
+      case None => new PartitionReader[InternalRow] {
+        private val reader = ManifestParquet.openRead(p.file,
+          schema.fieldNames.map(physical).toSeq, returnBatches = false)
+        override def next(): Boolean = reader.nextKeyValue()
+        override def get(): InternalRow = reader.getCurrentValue.asInstanceOf[InternalRow]
+        override def close(): Unit = reader.close()
+      }
+      case Some((present, mapping)) => new PartitionReader[InternalRow] {
+        private val reader =
+          ManifestParquet.openRead(p.file, present, returnBatches = false)
+        private val view = new MappedInternalRow(mapping, schema.fields.map(_.dataType))
+        override def next(): Boolean = reader.nextKeyValue()
+        override def get(): InternalRow = {
+          view.row = reader.getCurrentValue.asInstanceOf[InternalRow]; view
+        }
+        override def close(): Unit = reader.close()
+      }
     }
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[ManifestFilePartition]
-    new PartitionReader[ColumnarBatch] {
-      private val reader =
-        ManifestParquet.openRead(p.file, schema.fieldNames.toSeq, returnBatches = true)
-      override def next(): Boolean = reader.nextKeyValue()
-      override def get(): ColumnarBatch = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
-      override def close(): Unit = reader.close()
+    filePlan(p.file) match {
+      case None => new PartitionReader[ColumnarBatch] {
+        private val reader = ManifestParquet.openRead(p.file,
+          schema.fieldNames.map(physical).toSeq, returnBatches = true)
+        override def next(): Boolean = reader.nextKeyValue()
+        override def get(): ColumnarBatch = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+        override def close(): Unit = reader.close()
+      }
+      case Some((present, mapping)) => new PartitionReader[ColumnarBatch] {
+        private val reader =
+          ManifestParquet.openRead(p.file, present, returnBatches = true)
+        // constant all-null vectors for absent columns, shared across
+        // batches (capacity covers the reader's 4096-row batches)
+        private val nullAt: Map[Int, ColumnVector] = mapping.zipWithIndex.collect {
+          case (-1, i) =>
+            val v = new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(
+              4096, schema.fields(i).dataType)
+            v.setNull()
+            i -> (v: ColumnVector)
+        }.toMap
+        override def next(): Boolean = reader.nextKeyValue()
+        override def get(): ColumnarBatch = {
+          val inner = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
+          val cols = Array.tabulate[ColumnVector](mapping.length) { i =>
+            if (mapping(i) >= 0) inner.column(mapping(i)) else nullAt(i)
+          }
+          new ColumnarBatch(cols, inner.numRows())
+        }
+        override def close(): Unit = reader.close()
+      }
     }
+  }
+}
+
+/** Read-only view presenting `row`'s fields re-ordered through `mapping`
+  * (output ordinal → inner ordinal; -1 reads as null) — the per-row
+  * null-fill for files predating an ADD COLUMN. Reused across rows. */
+private[sources] class MappedInternalRow(mapping: Array[Int],
+    types: Array[DataType]) extends InternalRow {
+  var row: InternalRow = _
+  private def m(i: Int): Int = mapping(i)
+  override def numFields: Int = mapping.length
+  override def isNullAt(i: Int): Boolean = m(i) < 0 || row.isNullAt(m(i))
+  override def getBoolean(i: Int): Boolean = row.getBoolean(m(i))
+  override def getByte(i: Int): Byte = row.getByte(m(i))
+  override def getShort(i: Int): Short = row.getShort(m(i))
+  override def getInt(i: Int): Int = row.getInt(m(i))
+  override def getLong(i: Int): Long = row.getLong(m(i))
+  override def getFloat(i: Int): Float = row.getFloat(m(i))
+  override def getDouble(i: Int): Double = row.getDouble(m(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
+    row.getDecimal(m(i), precision, scale)
+  override def getUTF8String(i: Int): UTF8String = row.getUTF8String(m(i))
+  override def getBinary(i: Int): Array[Byte] = row.getBinary(m(i))
+  override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
+    row.getInterval(m(i))
+  override def getVariant(i: Int): org.apache.spark.unsafe.types.VariantVal =
+    row.getVariant(m(i))
+  override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal =
+    row.getGeography(m(i))
+  override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
+    row.getGeometry(m(i))
+  override def getStruct(i: Int, numFields: Int): InternalRow =
+    row.getStruct(m(i), numFields)
+  override def getArray(i: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    row.getArray(m(i))
+  override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData =
+    row.getMap(m(i))
+  override def get(i: Int, dataType: org.apache.spark.sql.types.DataType): AnyRef =
+    if (m(i) < 0) null else row.get(m(i), dataType)
+  override def setNullAt(i: Int): Unit =
+    throw new UnsupportedOperationException("read-only row view")
+  override def update(i: Int, value: Any): Unit =
+    throw new UnsupportedOperationException("read-only row view")
+  override def copy(): InternalRow = {
+    val vals = Array.tabulate[Any](numFields)(i =>
+      if (isNullAt(i)) null else row.get(m(i), types(i)))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
   }
 }
