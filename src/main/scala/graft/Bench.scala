@@ -87,9 +87,14 @@ object Bench {
     // The full per-query line above grows with the suite and the driver
     // captures only a bounded tail of sbt output — past ~120 queries the
     // line's HEAD (metric/value/total) is truncated away and the driver
-    // records "parsed": null. This final line is self-contained and small
-    // (no per-query map), so the totals always survive tail truncation.
-    println(f"""BENCH_TOTAL_JSON {"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$nFailed,"staging_sec":$stagingSec%.3f,"manifest_scan_sec":$maniSec%.3f,"native_scan_sec":$nativeSec%.3f,"sf":"$sfDir"}""")
+    // records "parsed": null. These final lines are self-contained and
+    // small (no per-query map), so the totals always survive tail
+    // truncation: once under the BENCH_TOTAL_JSON marker, and once as
+    // bare JSON LAST so a `^{"metric"` scan that keeps the latest intact
+    // match also lands on a complete line.
+    val totalLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$nFailed,"staging_sec":$stagingSec%.3f,"manifest_scan_sec":$maniSec%.3f,"native_scan_sec":$nativeSec%.3f,"sf":"$sfDir"}"""
+    println(s"BENCH_TOTAL_JSON $totalLine")
+    println(totalLine)
     spark.stop()
   }
 }

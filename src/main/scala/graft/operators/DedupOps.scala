@@ -38,6 +38,72 @@ object DedupOps {
     * rank join (CurationOps.pageRankRanks). */
   val BroadcastMaxIds: Long = 4L * 1000 * 1000
 
+  /** q131 exact substring dedup: window width in tokens, and the
+    * boilerplate document-frequency cap (windows in more docs than this
+    * are dropped before pairing). */
+  val SubstrWindow = 20
+  val SubstrDfCap = 64
+
+  /** Exact substring dedup (public method: Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): two
+    * documents share a verbatim run of >= `w` tokens iff they share at
+    * least one w-token window, so the detector hashes every w-token
+    * window, buckets by hash, emits colliding (doc, pos) pairs, and
+    * verifies the window TEXT on candidates only.
+    *
+    * Scale design: the corpus-wide shuffle carries fixed-width
+    * (doc_id, pos, hash64) rows — never the window text — and candidate
+    * generation is an equi-join on the content hash, never all-pairs
+    * (the distributed stand-in for the paper's suffix array). Windows
+    * appearing in more than `dfCap` documents are dropped as boilerplate
+    * BEFORE pairing: a license header shared by 100k docs would
+    * otherwise expand to 10^10 rows inside one join bucket; the cap
+    * bounds any bucket's fan-out at dfCap^2 and loses only runs that
+    * are, by construction, corpus-common rather than pairwise-copied.
+    * Text re-windowing for the exact-equality guard touches candidate
+    * docs only, via the size-gated id join. */
+  private[graft] def substringDupPairs(docs: DataFrame, w: Int = SubstrWindow,
+      dfCap: Int = SubstrDfCap): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= w)
+    // one row per (doc, window start): `of` maps the joined window text,
+    // so the corpus pass emits 8-byte hashes and the candidate-only
+    // verification pass emits the text itself
+    def windows(tt: DataFrame, of: Column => Column): DataFrame =
+      tt.select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(col("t")) - lit(w - 1)),
+            i => of(array_join(slice(col("t"), i, lit(w)), " ")))))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("wval"))
+    val wins = windows(toks, xxhash64(_))
+    val keepHashes = wins.groupBy("wval")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("wval")
+    val keep = wins.join(keepHashes, "wval")
+    val hits = keep.select(col("wval"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+      .join(keep.select(col("wval"), col("doc_id").as("doc_b"), col("pos").as("pos_b")),
+        Seq("wval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .drop("wval").localCheckpoint() // eager: the candidate set is tiny
+    // hash-collision guard: rebuild the window TEXT for candidate docs
+    // only and require true equality — the result never depends on
+    // xxhash64 being collision-free
+    val candDocs = hits.select(col("doc_a").as("doc_id"))
+      .union(hits.select(col("doc_b").as("doc_id")))
+      .distinct().localCheckpoint()
+    val candWins = windows(joinIds(toks, candDocs, "doc_id"), identity)
+    hits
+      .join(candWins.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
+        col("wval").as("w_a")), Seq("doc_a", "pos_a"))
+      .join(candWins.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+        col("wval").as("w_b")), Seq("doc_b", "pos_b"))
+      .filter(col("w_a") === col("w_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("w_a")).as("n_windows"),
+        min("pos_a").as("first_a"), min("pos_b").as("first_b"))
+  }
+
   /** Join `big` to a (checkpointed) id list: broadcast while bounded,
     * shuffle-hash past the gate. `ids` must be cheap to count — callers
     * localCheckpoint it first, so the count is a scan of the
@@ -405,7 +471,15 @@ object DedupOps {
         .select(col("doc_a"), col("doc_b"), col("jac_bp"), col("est_bp"),
           abs(col("est_bp") - col("jac_bp")).as("err_bp"))
         .orderBy("doc_a", "doc_b")
-    }))
+    }),
+
+    // Exact substring dedup: pairs of documents sharing a verbatim run
+    // of >= SubstrWindow tokens, with hit/window counts and the first
+    // shared position on each side. See substringDupPairs for the
+    // hash-bucket + text-verify scale design.
+    "q131_substring_dedup" -> ((s, dir) =>
+      substringDupPairs(Tables.documents(s, dir))
+        .orderBy("doc_a", "doc_b")))
 
   // ---- DuckDB oracle ------------------------------------------------------
 
@@ -594,5 +668,24 @@ object DedupOps {
          |SELECT doc_a, doc_b, jac_bp, est_bp,
          |  abs(est_bp - jac_bp) AS err_bp
          |FROM est ORDER BY doc_a, doc_b""".stripMargin
-    })
+    },
+
+    // window join stated directly on the window text (DuckDB has no need
+    // for the hash-first shuffle optimization); df cap identical
+    "q131_substring_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+         |  WHERE len(string_split(text,' ')) >= $SubstrWindow),
+         |wins AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         |    list_aggr(t[i:i+${SubstrWindow - 1}], 'string_agg', ' ') AS w
+         |  FROM toks, unnest(range(1, len(t) - ${SubstrWindow - 1} + 1)) AS u(i)),
+         |keep AS (SELECT w FROM (SELECT w, count(DISTINCT doc_id) AS df
+         |  FROM wins GROUP BY w) WHERE df <= $SubstrDfCap),
+         |hits AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.pos AS pos_a, b.pos AS pos_b, a.w
+         |  FROM wins a JOIN wins b ON a.w = b.w AND a.doc_id < b.doc_id
+         |  WHERE a.w IN (SELECT w FROM keep))
+         |SELECT doc_a, doc_b, count(*) AS n_hits,
+         |  count(DISTINCT w) AS n_windows,
+         |  min(pos_a) AS first_a, min(pos_b) AS first_b
+         |FROM hits GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin)
 }
