@@ -480,6 +480,41 @@ object IngestOps {
            |GROUP BY 1 ORDER BY prio""".stripMargin)
     }),
 
+    // Merge-on-read DELETE via positional deletion vectors: the table is
+    // created with TBLPROPERTIES delete.mode = merge-on-read, so the
+    // same SQL DELETE that q126 runs copy-on-write instead writes
+    // dv-*.txt sidecars recording deleted row positions — no data file
+    // is rewritten (a point delete against a 1 GB file costs a kilobyte
+    // sidecar, not a 1 GB rewrite at 100 TB). Readers merge the vector
+    // at scan; OPTIMIZE later purges it. Identical oracle relation to
+    // the CoW delete: the two strategies must be observationally
+    // equivalent on reads.
+    "q132_mor_delete" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        s.sparkContext.applicationId
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      if (orcWritten.add((s.sparkContext.applicationId, s"mor:$dir"))) {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+        s.sql(s"CREATE TABLE graft.$ns.orders_mor " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING) " +
+          "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+          .repartition(4)
+          .writeTo(s"graft.$ns.orders_mor").append()
+        s.sql(s"DELETE FROM graft.$ns.orders_mor " +
+          "WHERE o_orderpriority = '1-URGENT' OR o_custkey % 10 = 3")
+      }
+      s.sql(
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents_sum,
+           |  max(o_orderkey) AS max_key
+           |FROM graft.$ns.orders_mor
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // Schema evolution across writer generations: gen-1 files carry
     // (o_orderkey, o_totalprice); gen-2 files ADD a column
     // (o_orderpriority) and RENAME o_totalprice -> total_price. A
@@ -617,6 +652,17 @@ object IngestOps {
     // the survivors of the copy-on-write DELETE must equal the oracle's
     // NOT(pred) relation over the original parquet, row for row
     "q126_cow_delete" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+        |  max(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE NOT (o_orderpriority = '1-URGENT' OR o_custkey % 10 = 3)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the merge-on-read deleted table answers the same relation as the
+    // copy-on-write one (q126): deletes must be observationally
+    // equivalent regardless of strategy
+    "q132_mor_delete" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
         |  max(o_orderkey) AS max_key

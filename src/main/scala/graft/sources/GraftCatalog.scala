@@ -112,6 +112,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     partCols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c is not in the table schema"))
     ManifestSink.requireSafeColumnNames(schema)
+    // TBLPROPERTIES ('delete.mode' = 'merge-on-read'): row deletes write
+    // positional deletion vectors instead of copy-on-write rewrites
+    val deleteMode = Option(properties.get("delete.mode"))
+      .getOrElse(ManifestSink.DeleteModeCow)
+    require(deleteMode == ManifestSink.DeleteModeCow ||
+        deleteMode == ManifestSink.DeleteModeMor,
+      s"delete.mode must be '${ManifestSink.DeleteModeCow}' or " +
+        s"'${ManifestSink.DeleteModeMor}', got '$deleteMode'")
     val p = tablePath(ident)
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
     Files.createDirectories(p)
@@ -120,7 +128,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // any write, so a concurrent create/write to the same name resolves
     // to exactly one winner
     ManifestSink.publishCommit(p, schema, truncateFirst = true, Seq.empty,
-      markerUpdate = None, GcPolicy(None, 3600L * 1000), createPartCols = partCols)
+      markerUpdate = None, GcPolicy(None, 3600L * 1000), createPartCols = partCols,
+      createDeleteMode = deleteMode)
     new ManifestTable(p, schema)
   }
 

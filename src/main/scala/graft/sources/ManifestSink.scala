@@ -144,7 +144,11 @@ object ManifestSink {
       val after = committedEntries(root, Some(v))
       val step =
         if (isRewriteVersion(root, v)) {
-          require(after.map(_.rows).sum == prev.map(_.rows).sum,
+          // LIVE rows, not physical: a rewrite that purges deletion
+          // vectors (OPTIMIZE over a MoR-deleted table) shrinks the
+          // physical count by exactly the vectored positions while
+          // preserving the logical table
+          require(after.map(_.liveRows).sum == prev.map(_.liveRows).sum,
             s"rewrite version $v of manifest table $root changed the row " +
               "count — a compaction must preserve data exactly")
           Seq.empty
@@ -155,6 +159,18 @@ object ManifestSink {
             s"manifest table $root is not pure-append between v${v - 1} and v$v " +
               s"(files removed: ${dropped.take(3).mkString(", ")}…) — a change feed " +
               "across a truncate would not be a delta; read the snapshot instead")
+          // a merge-on-read DELETE keeps every file name in place and
+          // only re-points deletion vectors — without this check the
+          // name diff would wave the version through and the feed would
+          // silently NEVER deliver the deletes
+          val prevDv = prev.map(e => e.name -> (e.dvName, e.dvRows)).toMap
+          val dvChanged = after.filter(e =>
+            prevDv.get(e.name).exists(_ != ((e.dvName, e.dvRows))))
+          require(dvChanged.isEmpty,
+            s"manifest table $root has a merge-on-read delete between v${v - 1} " +
+              s"and v$v (deletion vectors changed on: " +
+              s"${dvChanged.take(3).map(_.name).mkString(", ")}…) — a change feed " +
+              "across a row-level delete would not be a delta; read the snapshot instead")
           val prevNames = prev.map(_.name).toSet
           after.filterNot(e => prevNames(e.name))
         }
@@ -265,7 +281,7 @@ object ManifestSink {
     val referenced = (cutoff + 1 to current)
       .filter(v => Files.exists(manifestAt(root, v)))
       .flatMap(v => committedEntries(root, Some(v)))
-      .map(_.name).toSet
+      .flatMap(e => e.name +: e.dvName.toSeq).toSet
     // one directory listing drives ALL sweeps — a blind 1..cutoff
     // delete loop would cost O(currentVersion) syscalls per commit on a
     // long-lived table, even though steady-state leaves only one
@@ -282,6 +298,10 @@ object ManifestSink {
         case ManifestVersionRe(n) if n.toLong <= cutoff => buf += cand(p, "manifest")
         case n if n.startsWith("data-") && !referenced(n) && pastGrace(p) =>
           buf += cand(p, "data")
+        // deletion-vector sidecars referenced by no retained version
+        // (their entry was purged, rewritten or superseded by a newer DV)
+        case n if n.startsWith("dv-") && !referenced(n) && pastGrace(p) =>
+          buf += cand(p, "dv")
         // staging leftovers of writers that died between writeString and
         // link/move accumulate forever without this sweep; the same grace
         // window that protects an in-flight writer's data files protects
@@ -394,7 +414,30 @@ object ManifestSink {
     * dropped with certainty), where stats only ever prove may-match. */
   case class FileEntry(name: String, rows: Long,
       mins: Map[String, Long], maxs: Map[String, Long],
-      parts: Map[String, String] = Map.empty)
+      parts: Map[String, String] = Map.empty,
+      dvName: Option[String] = None, dvRows: Long = 0L) {
+    /** Rows a reader actually yields: physical rows minus the deletion
+      * vector's positions. Drives count(*) pushdown, reported stats and
+      * the zero-column emitters — `rows` stays the PHYSICAL count (what
+      * the file holds on disk), because DV positions index into it. */
+    def liveRows: Long = rows - dvRows
+  }
+
+  /** Deletion-vector sidecar files (merge-on-read deletes): one
+    * `dv-*.txt` per (version, data file) holding the 0-based positions
+    * deleted from that file, newline-separated and sorted. DV files are
+    * immutable — a second MoR delete writes a NEW sidecar with the union
+    * of positions and re-points the entry; old sidecars stay alive for
+    * time travel until retention GC finds them unreferenced. */
+  private[sources] def writeDvFile(root: Path, positions: Seq[Long]): String = {
+    val name = s"dv-${java.util.UUID.randomUUID()}.txt"
+    Files.writeString(root.resolve(name), positions.sorted.mkString("\n"))
+    name
+  }
+
+  private[sources] def readDvPositions(path: Path): Array[Long] =
+    Files.readString(path).split("\n").iterator
+      .filter(_.nonEmpty).map(_.toLong).toArray
 
   private def statsStr(m: Map[String, Long]): String =
     m.toSeq.sortBy(_._1).map { case (k, v) => s"$k:$v" }.mkString(",")
@@ -470,6 +513,25 @@ object ManifestSink {
 
   private def schemaEpochLine(e: Long): Option[String] =
     if (e == 0L) None else Some(s"$SchemaEpochPrefix$e")
+
+  /** Table-level row-delete strategy, one manifest header line —
+    * `#deletemode<TAB>merge-on-read`. Set at CREATE (TBLPROPERTIES
+    * `delete.mode`), carried by every publish like the partition spec.
+    * Default (no line) is copy-on-write. */
+  private[sources] val DeleteModeCow = "copy-on-write"
+  private[sources] val DeleteModeMor = "merge-on-read"
+  private val DeleteModePrefix = "#deletemode\t"
+
+  private def deleteModeLine(m: String): Option[String] =
+    if (m == DeleteModeCow) None else Some(s"$DeleteModePrefix$m")
+
+  private[sources] def deleteMode(root: Path): String = {
+    val v = resolveVersion(root, None)
+    if (v == 0L) DeleteModeCow
+    else Files.readString(manifestAt(root, v)).linesIterator.drop(1)
+      .find(_.startsWith(DeleteModePrefix))
+      .map(_.stripPrefix(DeleteModePrefix).trim).getOrElse(DeleteModeCow)
+  }
 
   private def parseHeaderMap(lines: Seq[String], prefix: String): Map[String, String] =
     lines.find(_.startsWith(prefix))
@@ -595,15 +657,23 @@ object ManifestSink {
   }
 
   private[sources] def parseEntryLine(line: String): FileEntry = {
-    val parts = line.split("\t", 5)
+    val parts = line.split("\t", 6)
+    val (dvName, dvRows) = parts.lift(5).filter(_.nonEmpty) match {
+      case Some(dv) =>
+        val Array(n, c) = dv.split(":", 2)
+        (Some(n), c.toLong)
+      case None => (None, 0L)
+    }
     FileEntry(parts(0), parts(1).toLong,
       parseStats(parts.lift(2).getOrElse("")),
       parseStats(parts.lift(3).getOrElse("")),
-      parsePartsStr(parts.lift(4).getOrElse("")))
+      parsePartsStr(parts.lift(4).getOrElse("")),
+      dvName, dvRows)
   }
 
   private[sources] def entryLine(e: FileEntry): String =
-    s"${e.name}\t${e.rows}\t${statsStr(e.mins)}\t${statsStr(e.maxs)}\t${partsStr(e.parts)}"
+    s"${e.name}\t${e.rows}\t${statsStr(e.mins)}\t${statsStr(e.maxs)}\t${partsStr(e.parts)}" +
+      e.dvName.fold("")(n => s"\t$n:${e.dvRows}")
 
   private def asLong(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
@@ -652,12 +722,14 @@ object ManifestSink {
       markers: Map[String, Long], entries: Seq[FileEntry],
       partCols: Seq[String] = Seq.empty,
       colMap: Map[String, String] = Map.empty,
-      schemaEpoch: Long = 0L) {
+      schemaEpoch: Long = 0L,
+      deleteMode: String = DeleteModeCow) {
     /** Non-entry, non-schema header lines every publisher carries:
-      * partition spec, column mapping, schema epoch, stream markers. */
+      * partition spec, column mapping, schema epoch, delete mode,
+      * stream markers. */
     def metaLines: Seq[String] =
       partColsLine(partCols).toSeq ++ colMapLine(colMap).toSeq ++
-        schemaEpochLine(schemaEpoch).toSeq ++
+        schemaEpochLine(schemaEpoch).toSeq ++ deleteModeLine(deleteMode).toSeq ++
         markers.toSeq.sortBy(_._1).map((markerLine _).tupled)
   }
 
@@ -677,7 +749,9 @@ object ManifestSink {
           .getOrElse(Seq.empty),
         parseHeaderMap(lines.tail, ColMapPrefix),
         lines.tail.find(_.startsWith(SchemaEpochPrefix))
-          .map(_.stripPrefix(SchemaEpochPrefix).trim.toLong).getOrElse(0L))
+          .map(_.stripPrefix(SchemaEpochPrefix).trim.toLong).getOrElse(0L),
+        lines.tail.find(_.startsWith(DeleteModePrefix))
+          .map(_.stripPrefix(DeleteModePrefix).trim).getOrElse(DeleteModeCow))
     } else {
       val schema =
         if (Files.exists(schemaFile(root)))
@@ -695,7 +769,8 @@ object ManifestSink {
   private[sources] def publishCommit(root: Path, schema: StructType,
       truncateFirst: Boolean, newEntries: Seq[FileEntry],
       markerUpdate: Option[(String, Long)], gc: GcPolicy,
-      createPartCols: Seq[String] = Seq.empty): Unit = {
+      createPartCols: Seq[String] = Seq.empty,
+      createDeleteMode: String = DeleteModeCow): Unit = {
     Files.createDirectories(root)
     // APPEND-ONLY commits retry on a lost CAS by REBASING: an append's
     // file set is disjoint from any concurrent commit's by construction
@@ -746,7 +821,8 @@ object ManifestSink {
       // table's persist across every commit (truncate included);
       // createPartCols only seeds a brand-new table's first version
       val meta = st.copy(markers = st.markers ++ markerUpdate,
-        partCols = if (st.version > 0L) st.partCols else createPartCols).metaLines
+        partCols = if (st.version > 0L) st.partCols else createPartCols,
+        deleteMode = if (st.version > 0L) st.deleteMode else createDeleteMode).metaLines
       // schema line + meta + entries publish as ONE atomic unit
       try {
         publish(root, base,
@@ -1017,7 +1093,18 @@ object ManifestSink {
     require(st.version > 0L,
       s"compact requires a versioned manifest table at $tablePath " +
         "(legacy manifest.txt tables upgrade on their next append)")
-    val small = st.entries.filter(_.rows < targetRows)
+    // Files carrying a deletion vector are NEVER raw-row-group-appended
+    // (that would resurrect the deleted positions); OPTIMIZE instead
+    // PURGES them — live rows decode into a fresh file with fresh stats,
+    // the vector drops, and the file rejoins the columnar/pushdown fast
+    // paths. Purged replacements are dataChange=false like every other
+    // rewrite here: the LIVE row set is untouched.
+    val (dvEntries, plain) = st.entries.partition(_.dvRows > 0L)
+    val purged = dvEntries.map(e => purgeDvEntry(root, e,
+      st.schema.getOrElse(throw new IllegalStateException(
+        s"manifest table $tablePath has no schema")),
+      st.colMap, st.schemaEpoch > 0L))
+    val small = plain.filter(_.rows < targetRows)
     // first-fit in manifest order keeps neighboring appends together,
     // which preserves any time-locality the write order had; binning is
     // per format so a bin merges homogeneously
@@ -1041,7 +1128,7 @@ object ManifestSink {
     val bins =
       parquetSmall.groupBy(e => (e.parts, schemaKey(e))).values.toSeq.flatMap(packBins) ++
         tsvSmall.groupBy(_.parts).values.toSeq.flatMap(packBins)
-    if (bins.isEmpty)
+    if (bins.isEmpty && purged.isEmpty)
       return CompactionResult(st.version, st.entries.size, st.entries.size, 0, 0L)
     val merged = bins.map { bin =>
       val tsv = bin.head.name.endsWith(".tsv")
@@ -1057,19 +1144,51 @@ object ManifestSink {
         statKeys.map(k => k -> bin.map(_.maxs(k)).max).toMap,
         bin.head.parts)
     }
-    val rewrittenNames = bins.flatten.map(_.name).toSet
-    val entries = st.entries.filterNot(e => rewrittenNames(e.name)) ++ merged
+    val rewrittenNames = bins.flatten.map(_.name).toSet ++ dvEntries.map(_.name)
+    val entries = st.entries.filterNot(e => rewrittenNames(e.name)) ++ merged ++ purged
     val schema = st.schema.getOrElse(
       throw new IllegalStateException(s"manifest table $tablePath has no schema"))
     try publish(root, st.version,
       ((schema.json +: RewriteMarker +: st.metaLines) ++
         entries.map(entryLine)).mkString("\n"))
     catch { case e: java.util.ConcurrentModificationException =>
-      merged.foreach(m => Files.deleteIfExists(root.resolve(m.name)))
+      (merged ++ purged).foreach(m => Files.deleteIfExists(root.resolve(m.name)))
       throw e
     }
     CompactionResult(st.version + 1, st.entries.size, entries.size,
-      rewrittenNames.size, merged.map(_.rows).sum)
+      rewrittenNames.size, merged.map(_.rows).sum + purged.map(_.rows).sum)
+  }
+
+  /** Rewrite one DV'd entry's LIVE rows into a fresh parquet file with
+    * fresh per-column stats — the deletion-vector purge step of
+    * [[compact]]. */
+  private def purgeDvEntry(root: Path, e: FileEntry, schema: StructType,
+      colMap: Map[String, String], evolved: Boolean): FileEntry = {
+    val dv = readDvPositions(root.resolve(e.dvName.get)).toSet
+    val intCols = schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f, i)
+    }
+    val mins = scala.collection.mutable.Map.empty[String, Long]
+    val maxs = scala.collection.mutable.Map.empty[String, Long]
+    var kept = 0L
+    val newName = s"data-compact-${java.util.UUID.randomUUID()}.parquet"
+    val out = ManifestParquet.open(root.resolve(newName),
+      toPhysicalSchema(schema, colMap))
+    try {
+      foreachRowPos(root.resolve(e.name), schema, colMap, evolved) { (row, pos) =>
+        if (!dv.contains(pos)) {
+          out.write(row); kept += 1
+          intCols.foreach { case (f, i) =>
+            if (!row.isNullAt(i)) {
+              val v = if (f.dataType == LongType) row.getLong(i) else row.getInt(i).toLong
+              mins.updateWith(f.name)(o => Some(o.fold(v)(math.min(_, v))))
+              maxs.updateWith(f.name)(o => Some(o.fold(v)(math.max(_, v))))
+            }
+          }
+        }
+      }
+    } finally out.close()
+    FileEntry(newName, kept, mins.toMap, maxs.toMap, e.parts)
   }
 
   /** OPTIMIZE ... ZORDER BY: rewrite the ENTIRE table (or each table
@@ -1155,7 +1274,7 @@ object ManifestSink {
         if (v == NullPartValue) df.filter(col(c).isNull)
         else df.filter(col(c) === lit(typedPartVal(c, v)))
       }
-      val total = groupEntries.map(_.rows).sum
+      val total = groupEntries.map(_.liveRows).sum
       val numFiles = math.max(1, math.ceil(total.toDouble / targetRows).toInt)
       val sorted = groupDf.withColumn("__graft_z", zExpr)
         .repartitionByRange(numFiles, col("__graft_z"))
@@ -1256,6 +1375,92 @@ object ManifestSink {
       (row, schema) => preds.forall(p => evalPredicate(p, row, schema).contains(true)),
       e => preds.forall(p => mayMatchV2(e, p)))
 
+  /** Row-level DELETE, merge-on-read: instead of rewriting every
+    * candidate file, record the matching ROW POSITIONS in a sidecar
+    * deletion-vector file and re-point the manifest entry — the
+    * Delta/Iceberg DV shape. A point delete against a 1 GB file costs
+    * one file READ and a kilobyte write, not a 1 GB rewrite; readers
+    * apply the vector at scan (positions are merged into every read
+    * path), and OPTIMIZE later purges vectors by rewriting live rows.
+    * The trade: scans of DV'd files drop out of the whole-batch
+    * columnar handoff and min/max aggregate pushdown (a deleted row may
+    * have held the extremum — count(*) stays metadata-exact via
+    * per-entry live counts). A file whose every live row matches drops
+    * from the manifest entirely — metadata-only, no DV needed.
+    * Same single-attempt CAS and same filter dialect as the CoW path. */
+  def deleteWhereMoR(tablePath: String, filters: Seq[org.apache.spark.sql.sources.Filter],
+      gc: GcPolicy = GcPolicy(None, 3600L * 1000)): DeleteResult =
+    deleteCoreMoR(tablePath, gc,
+      schema => filters.foreach(f => require(supportedDeleteFilter(f, schema),
+        s"unsupported delete filter: $f")),
+      (row, schema) => filters.forall(f => evalFilter(f, row, schema).contains(true)),
+      e => filters.forall(f => mayMatch(e, f)))
+
+  def deleteWhereMoRV2(tablePath: String,
+      preds: Seq[org.apache.spark.sql.connector.expressions.filter.Predicate],
+      gc: GcPolicy = GcPolicy(None, 3600L * 1000)): DeleteResult =
+    deleteCoreMoR(tablePath, gc,
+      schema => preds.foreach(p => require(supportedDeletePredicate(p, schema),
+        s"unsupported delete predicate: $p")),
+      (row, schema) => preds.forall(p => evalPredicate(p, row, schema).contains(true)),
+      e => preds.forall(p => mayMatchV2(e, p)))
+
+  private def deleteCoreMoR(tablePath: String, gc: GcPolicy,
+      validate: StructType => Unit,
+      rowMatches: (InternalRow, StructType) => Boolean,
+      filePrune: FileEntry => Boolean): DeleteResult = {
+    val root = Paths.get(tablePath)
+    val st = readState(root)
+    require(st.version > 0L,
+      s"delete requires a versioned manifest table at $tablePath " +
+        "(legacy manifest.txt tables upgrade on their next append)")
+    val schema = st.schema.getOrElse(
+      throw new IllegalStateException(s"manifest table $tablePath has no schema"))
+    validate(schema)
+    val (candidates, untouched) = st.entries.partition(filePrune)
+    var deletedRows = 0L
+    val newDvFiles = scala.collection.mutable.Buffer.empty[String]
+    val replacements = candidates.map { e =>
+      val prior: Set[Long] =
+        e.dvName.fold(Set.empty[Long])(n => readDvPositions(root.resolve(n)).toSet)
+      val matched = scala.collection.mutable.Buffer.empty[Long]
+      foreachRowPos(root.resolve(e.name), schema, st.colMap, st.schemaEpoch > 0L) { (row, pos) =>
+        // positions already deleted are invisible — never re-matched,
+        // never re-counted
+        if (!prior.contains(pos) && rowMatches(row, schema)) matched += pos
+      }
+      if (matched.isEmpty) Some(e) // stats were only a may-match
+      else {
+        deletedRows += matched.size
+        val union = prior ++ matched
+        if (union.size == e.rows) None // no live rows left: drop the entry
+        else {
+          val dvName = writeDvFile(root, union.toSeq)
+          newDvFiles += dvName
+          Some(e.copy(dvName = Some(dvName), dvRows = union.size))
+        }
+      }
+    }
+    if (deletedRows == 0L)
+      return DeleteResult(st.version, candidates.size, 0, 0L)
+    val entries = untouched ++ replacements.flatten
+    try publish(root, st.version,
+      ((schema.json +: st.metaLines) ++ entries.map(entryLine)).mkString("\n"))
+    catch { case e: java.util.ConcurrentModificationException =>
+      newDvFiles.foreach(n => Files.deleteIfExists(root.resolve(n)))
+      throw e
+    }
+    gc.retainVersions.foreach { k =>
+      try expireVersions(root, k, gc.orphanGraceMs)
+      catch { case e: Exception =>
+        System.err.println(s"manifest GC for $root failed (table unaffected): ${e.getMessage}")
+      }
+    }
+    // "rewritten" files here are the entries that gained/extended a DV
+    DeleteResult(st.version + 1, candidates.size,
+      candidates.zip(replacements).count { case (e, r) => !r.contains(e) }, deletedRows)
+  }
+
   private def deleteCore(tablePath: String, gc: GcPolicy,
       validate: StructType => Unit,
       rowMatches: (InternalRow, StructType) => Boolean,
@@ -1280,10 +1485,16 @@ object ManifestSink {
       val newName = s"data-delete-${java.util.UUID.randomUUID()}.parquet"
       val out = ManifestParquet.open(root.resolve(newName),
         toPhysicalSchema(schema, st.colMap))
+      // rows a prior merge-on-read delete already removed are invisible:
+      // they neither match nor survive into the rewrite (the rewrite
+      // purges the DV — the replacement entry carries none)
+      val dv: Set[Long] =
+        e.dvName.fold(Set.empty[Long])(n => readDvPositions(root.resolve(n)).toSet)
       try {
-        foreachRow(root.resolve(e.name), schema, st.colMap, st.schemaEpoch > 0L) { row =>
+        foreachRowPos(root.resolve(e.name), schema, st.colMap, st.schemaEpoch > 0L) { (row, pos) =>
+          if (dv.contains(pos)) ()
           // deleted iff the conjunction is TRUE; UNKNOWN keeps the row
-          if (rowMatches(row, schema)) deletedRows += 1
+          else if (rowMatches(row, schema)) deletedRows += 1
           else {
             out.write(row); kept += 1
             intCols.foreach { case (f, i) =>
@@ -1296,7 +1507,7 @@ object ManifestSink {
           }
         }
       } finally out.close()
-      if (kept == e.rows) {
+      if (kept == e.liveRows) {
         // nothing in this file matched after all (stats were only a
         // may-match): keep the ORIGINAL file, discard the copy
         Files.deleteIfExists(root.resolve(newName))
@@ -1331,7 +1542,16 @@ object ManifestSink {
 
   /** Iterate every row of one committed data file (either format) with
     * the FULL table schema — physical-name mapped and null-filled for
-    * files predating a schema change (same reconciliation as the scan). */
+    * files predating a schema change (same reconciliation as the scan).
+    * The callback receives the row's 0-based PHYSICAL position in the
+    * file (the coordinate a deletion vector indexes). */
+  private def foreachRowPos(file: Path, schema: StructType,
+      colMap: Map[String, String], evolved: Boolean)(
+      f: (InternalRow, Long) => Unit): Unit = {
+    var pos = -1L
+    foreachRow(file, schema, colMap, evolved) { row => pos += 1; f(row, pos) }
+  }
+
   private def foreachRow(file: Path, schema: StructType,
       colMap: Map[String, String] = Map.empty, evolved: Boolean = false)(
       f: InternalRow => Unit): Unit =
@@ -1742,29 +1962,36 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
       .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
       .toArray
 
-  /** SQL `DELETE FROM` lands here (via [[GraftCatalog]]): copy-on-write
-    * row-level delete, see [[ManifestSink.deleteWhere]]. The V2
-    * `Predicate` overloads are overridden DIRECTLY — `SupportsDelete`'s
-    * default V2→V1 bridge converts through `PredicateUtils.toV1`, which
-    * cannot express arithmetic shapes like `c % 10 = 3`; relying on it
-    * either fails statements our evaluator handles fine or (in
-    * `deleteWhere`, which never length-checks the conversion) silently
-    * under-deletes. Unsupported predicates are rejected in
-    * `canDeleteWhere` so Spark fails the statement loudly instead. */
+  /** SQL `DELETE FROM` lands here (via [[GraftCatalog]]): row-level
+    * delete — copy-on-write by default, merge-on-read (positional
+    * deletion vectors, see [[ManifestSink.deleteWhereMoR]]) when the
+    * table was created with TBLPROPERTIES `delete.mode` =
+    * `merge-on-read`. The V2 `Predicate` overloads are overridden
+    * DIRECTLY — `SupportsDelete`'s default V2→V1 bridge converts through
+    * `PredicateUtils.toV1`, which cannot express arithmetic shapes like
+    * `c % 10 = 3`; relying on it either fails statements our evaluator
+    * handles fine or (in `deleteWhere`, which never length-checks the
+    * conversion) silently under-deletes. Unsupported predicates are
+    * rejected in `canDeleteWhere` so Spark fails the statement loudly
+    * instead. */
   override def canDeleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
     pinned.isEmpty && changes.isEmpty &&
       predicates.forall(p => ManifestSink.supportedDeletePredicate(p, schema0))
   override def deleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
-    ManifestSink.deleteWhereV2(root.toString, predicates.toSeq)
+    if (ManifestSink.deleteMode(root) == ManifestSink.DeleteModeMor)
+      ManifestSink.deleteWhereMoRV2(root.toString, predicates.toSeq)
+    else ManifestSink.deleteWhereV2(root.toString, predicates.toSeq)
 
   // V1 overloads kept for the `truncateTable` default and direct callers
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
     pinned.isEmpty && changes.isEmpty &&
       filters.forall(f => ManifestSink.supportedDeleteFilter(f, schema0))
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    ManifestSink.deleteWhere(root.toString, filters.toSeq)
+    if (ManifestSink.deleteMode(root) == ManifestSink.DeleteModeMor)
+      ManifestSink.deleteWhereMoR(root.toString, filters.toSeq)
+    else ManifestSink.deleteWhere(root.toString, filters.toSeq)
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
@@ -2318,11 +2545,17 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
       lazy val entries = scanEntries // ONE manifest read, at planning time
       aggregation.aggregateExpressions().nonEmpty &&
         aggregation.aggregateExpressions().forall {
+          // count(*) stays metadata-exact under deletion vectors (live
+          // counts are in the manifest); MIN/MAX do NOT — the extremum
+          // row may be among the deleted positions, and file stats are
+          // physical — so any DV in the scan forces a real read
           case _: CountStar => true
           case m: Min =>
-            statColumn(m.column).exists(f => entries.forall(_.mins.contains(f.name)))
+            statColumn(m.column).exists(f =>
+              entries.forall(e => e.mins.contains(f.name) && e.dvRows == 0L))
           case m: Max =>
-            statColumn(m.column).exists(f => entries.forall(_.maxs.contains(f.name)))
+            statColumn(m.column).exists(f =>
+              entries.forall(e => e.maxs.contains(f.name) && e.dvRows == 0L))
           case _ => false
         }
     }
@@ -2380,7 +2613,7 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
       val (fields, values) = agg.aggregateExpressions().map {
         case _: CountStar =>
           (StructField("count(*)", LongType, nullable = false),
-            entries.map(_.rows).sum: Any)
+            entries.map(_.liveRows).sum: Any)
         case m: Min =>
           val f = statColumn(m.column).get
           (StructField(s"min(${f.name})", f.dataType),
@@ -2498,7 +2731,7 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     // PLANNING; unknown stats fall back to Spark's defaults and the scan
     // itself still fails (or waits) at execution as designed.
     private val counted: Option[Long] =
-      try Some(entries.map(_.rows).sum)
+      try Some(entries.map(_.liveRows).sum)
       catch { case _: Exception => None }
     override def sizeInBytes(): java.util.OptionalLong =
       counted.fold(java.util.OptionalLong.empty())(r =>
@@ -2511,15 +2744,19 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
   // stats-pruned files never become partitions at all
   override def planInputPartitions(): Array[InputPartition] =
     entries
-      .map(e => ManifestFilePartition(root.resolve(e.name).toString, e.rows): InputPartition)
+      .map(e => ManifestFilePartition(root.resolve(e.name).toString, e.liveRows,
+        e.dvName.map(n => root.resolve(n).toString)): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     // whole-batch columnar handoff only when EVERY file in the scan is
     // parquet (Spark requires a uniform row/columnar answer across the
-    // batch); a legacy-mixed table still decodes parquet files through
-    // the vectorized reader, handing rows off one at a time
+    // batch) AND none carries a deletion vector — DV positions apply
+    // row-by-row, so a DV'd scan hands rows off until OPTIMIZE purges
+    // the vectors; a legacy-mixed table still decodes parquet files
+    // through the vectorized reader, handing rows off one at a time
     new ManifestReaderFactory(fileSchema, schema,
-      columnar = schema.nonEmpty && resolved.forall(_.name.endsWith(".parquet")),
+      columnar = schema.nonEmpty &&
+        resolved.forall(e => e.name.endsWith(".parquet") && e.dvName.isEmpty),
       colMap = colMap, evolved = evolved)
 
   override def toMicroBatchStream(checkpointLocation: String): readstreaming.MicroBatchStream =
@@ -2579,9 +2816,22 @@ class ManifestMicroBatchStream(root: Path, fileSchema: StructType,
     val s = start.asInstanceOf[VOffset].v
     val e = end.asInstanceOf[VOffset].v
     if (e <= s) Array.empty
-    else ManifestSink.addedEntries(root, s, e)
-      .map(en => ManifestFilePartition(root.resolve(en.name).toString, en.rows): InputPartition)
-      .toArray
+    else {
+      // A stream STARTING at version 0 reads its first batch as the
+      // SNAPSHOT at the batch's end version (the Delta initial-snapshot
+      // shape), not as a version-by-version walk from the beginning:
+      // the walk would pay O(history) manifest reads on a long-lived
+      // table and — worse — fail the pure-append check on any historic
+      // row-level delete, making an old table permanently unstreamable
+      // from scratch. The snapshot carries current deletion vectors, so
+      // deleted rows are never delivered. Later batches are true deltas.
+      val ents =
+        if (s == 0L) ManifestSink.committedEntries(root, Some(e))
+        else ManifestSink.addedEntries(root, s, e)
+      ents.map(en => ManifestFilePartition(root.resolve(en.name).toString, en.liveRows,
+        en.dvName.map(n => root.resolve(n).toString)): InputPartition)
+        .toArray
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     // row-based handoff: a stream's batches are planned per offset
@@ -2592,7 +2842,8 @@ class ManifestMicroBatchStream(root: Path, fileSchema: StructType,
       colMap = colMap, evolved = evolved)
 }
 
-case class ManifestFilePartition(file: String, rows: Long = 0L) extends InputPartition
+case class ManifestFilePartition(file: String, rows: Long = 0L,
+    dvFile: Option[String] = None) extends InputPartition
 
 /** Per-file readers. Parquet files decode through Spark's vectorized
   * reader — as whole ColumnarBatches when the scan is uniformly parquet
@@ -2635,6 +2886,10 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ManifestFilePartition]
+    // deletion vector: positions to skip while handing rows off. The
+    // zero-column emitter needs no skip — its row count is already the
+    // LIVE count from the manifest entry.
+    val base: PartitionReader[InternalRow] =
     if (schema.isEmpty) new PartitionReader[InternalRow] {
       private var remaining = p.rows
       override def next(): Boolean = remaining > 0 && { remaining -= 1; true }
@@ -2672,6 +2927,11 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
         override def close(): Unit = reader.close()
       }
     }
+    p.dvFile match {
+      case Some(dv) if schema.nonEmpty =>
+        new DvSkipReader(base, ManifestSink.readDvPositions(Paths.get(dv)))
+      case _ => base
+    }
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
@@ -2708,6 +2968,26 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
       }
     }
   }
+}
+
+/** Applies a deletion vector while handing rows off: `dv` holds the
+  * SORTED 0-based physical positions deleted from the underlying file;
+  * rows at those positions are consumed from `inner` but never yielded.
+  * One merge pass — the cursor into `dv` only ever advances. */
+private[sources] class DvSkipReader(inner: PartitionReader[InternalRow],
+    dv: Array[Long]) extends PartitionReader[InternalRow] {
+  private var pos = -1L
+  private var di = 0
+  override def next(): Boolean = {
+    while (inner.next()) {
+      pos += 1
+      while (di < dv.length && dv(di) < pos) di += 1
+      if (!(di < dv.length && dv(di) == pos)) return true
+    }
+    false
+  }
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
 }
 
 /** Read-only view presenting `row`'s fields re-ordered through `mapping`
