@@ -1325,9 +1325,54 @@ object ManifestSink {
 
   /** What a [[deleteWhere]] call did. `candidateFiles` is how many files
     * the manifest stats could NOT rule out (the rewrite working set);
-    * files whose stats are disjoint from the predicate are untouched. */
+    * files whose stats are disjoint from the predicate are untouched.
+    * `provenFiles` counts candidates dropped METADATA-ONLY — the
+    * partition tuple alone proved every row matches, so the file was
+    * never even opened. */
   case class DeleteResult(version: Long, candidateFiles: Int,
-      rewrittenFiles: Int, deletedRows: Long)
+      rewrittenFiles: Int, deletedRows: Long, provenFiles: Int = 0)
+
+  /** Does the partition tuple alone prove EVERY row of `e` matches the
+    * conjunction? Partition columns are constant per file, so a filter
+    * conjunction decidable TRUE from the tuple holds for every row —
+    * the file can be dropped from the manifest without being opened.
+    * At 100 TB this is THE delete that matters operationally: `DELETE
+    * WHERE day = '2024-01-01'` retires a partition as a metadata commit
+    * instead of a partition-sized rewrite (Delta's metadata-only
+    * delete). Undecidable (non-partition references, unknown shapes)
+    * conservatively answers false and falls through to the row path. */
+  private def partProven(filters: Seq[org.apache.spark.sql.sources.Filter])(
+      e: FileEntry): Boolean =
+    filters.forall(f => evalPartFilter(f, e.parts).contains(true))
+
+  /** V2 twin of [[partProven]]: legal only when every referenced column
+    * is a partition column; evaluated over a synthetic row carrying the
+    * file's (typed) partition values — a NULL partition value is a real
+    * SQL NULL for every row of the file, so three-valued evaluation is
+    * exact, and only a decided TRUE proves the drop. */
+  private def partProvenV2(
+      preds: Seq[org.apache.spark.sql.connector.expressions.filter.Predicate],
+      schema: StructType, partCols: Set[String])(e: FileEntry): Boolean =
+    preds.forall { p =>
+      p.references().forall(r =>
+        r.fieldNames.length == 1 && partCols.contains(r.fieldNames.head)) && {
+        val vals = schema.fields.map { f =>
+          e.parts.get(f.name) match {
+            case None | Some(NullPartValue) => null
+            case Some(v) => f.dataType match {
+              case LongType => v.toLong: Any
+              case IntegerType => v.toInt: Any
+              case DoubleType => v.toDouble: Any
+              case BooleanType => v.toBoolean: Any
+              case _ => UTF8String.fromString(v): Any
+            }
+          }
+        }
+        evalPredicate(p,
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals),
+          schema).contains(true)
+      }
+    }
 
   /** Row-level DELETE, copy-on-write: every file the manifest stats
     * cannot rule out is re-read, its surviving rows are written to a NEW
@@ -1340,9 +1385,9 @@ object ManifestSink {
     * from a state that must still hold at publish — concurrent commits
     * lose it loudly, and the caller re-runs against the new state.
     *
-    * A metadata-only whole-file drop (Delta's fast path) deliberately
-    * does NOT happen: per-file min/max cannot prove "every row matches"
-    * because null counts aren't tracked — a null never matches a range
+    * Candidates whose PARTITION TUPLE proves a full match drop
+    * metadata-only ([[partProven]]); per-file min/max stats never can —
+    * null counts aren't tracked, and a null never matches a range
     * predicate, so a stats-proven range could still shelter a surviving
     * null row. Rewrites are per-file independent, so a distributed
     * engine would fan them out one task each; driver-side sequential is
@@ -1356,7 +1401,8 @@ object ManifestSink {
       schema => filters.foreach(f => require(supportedDeleteFilter(f, schema),
         s"unsupported delete filter: $f")),
       (row, schema) => filters.forall(f => evalFilter(f, row, schema).contains(true)),
-      e => filters.forall(f => mayMatch(e, f)))
+      e => filters.forall(f => mayMatch(e, f)),
+      partProven(filters))
 
   /** SQL `DELETE FROM` arrives here as V2 [[V2Predicate]]s — evaluated
     * DIRECTLY, never through Spark's `SupportsDelete` V2→V1 default
@@ -1368,12 +1414,16 @@ object ManifestSink {
     * statement loudly at analysis instead. */
   def deleteWhereV2(tablePath: String,
       preds: Seq[org.apache.spark.sql.connector.expressions.filter.Predicate],
-      gc: GcPolicy = GcPolicy(None, 3600L * 1000)): DeleteResult =
+      gc: GcPolicy = GcPolicy(None, 3600L * 1000)): DeleteResult = {
+    val (schema0, partCols0) =
+      (readSchema(Paths.get(tablePath)), partitionColumns(Paths.get(tablePath), None).toSet)
     deleteCore(tablePath, gc,
       schema => preds.foreach(p => require(supportedDeletePredicate(p, schema),
         s"unsupported delete predicate: $p")),
       (row, schema) => preds.forall(p => evalPredicate(p, row, schema).contains(true)),
-      e => preds.forall(p => mayMatchV2(e, p)))
+      e => preds.forall(p => mayMatchV2(e, p)),
+      partProvenV2(preds, schema0, partCols0))
+  }
 
   /** Row-level DELETE, merge-on-read: instead of rewriting every
     * candidate file, record the matching ROW POSITIONS in a sidecar
@@ -1394,21 +1444,27 @@ object ManifestSink {
       schema => filters.foreach(f => require(supportedDeleteFilter(f, schema),
         s"unsupported delete filter: $f")),
       (row, schema) => filters.forall(f => evalFilter(f, row, schema).contains(true)),
-      e => filters.forall(f => mayMatch(e, f)))
+      e => filters.forall(f => mayMatch(e, f)),
+      partProven(filters))
 
   def deleteWhereMoRV2(tablePath: String,
       preds: Seq[org.apache.spark.sql.connector.expressions.filter.Predicate],
-      gc: GcPolicy = GcPolicy(None, 3600L * 1000)): DeleteResult =
+      gc: GcPolicy = GcPolicy(None, 3600L * 1000)): DeleteResult = {
+    val (schema0, partCols0) =
+      (readSchema(Paths.get(tablePath)), partitionColumns(Paths.get(tablePath), None).toSet)
     deleteCoreMoR(tablePath, gc,
       schema => preds.foreach(p => require(supportedDeletePredicate(p, schema),
         s"unsupported delete predicate: $p")),
       (row, schema) => preds.forall(p => evalPredicate(p, row, schema).contains(true)),
-      e => preds.forall(p => mayMatchV2(e, p)))
+      e => preds.forall(p => mayMatchV2(e, p)),
+      partProvenV2(preds, schema0, partCols0))
+  }
 
   private def deleteCoreMoR(tablePath: String, gc: GcPolicy,
       validate: StructType => Unit,
       rowMatches: (InternalRow, StructType) => Boolean,
-      filePrune: FileEntry => Boolean): DeleteResult = {
+      filePrune: FileEntry => Boolean,
+      fileProven: FileEntry => Boolean): DeleteResult = {
     val root = Paths.get(tablePath)
     val st = readState(root)
     require(st.version > 0L,
@@ -1419,8 +1475,14 @@ object ManifestSink {
     validate(schema)
     val (candidates, untouched) = st.entries.partition(filePrune)
     var deletedRows = 0L
+    var provenFiles = 0
     val newDvFiles = scala.collection.mutable.Buffer.empty[String]
     val replacements = candidates.map { e =>
+      if (fileProven(e)) {
+        // partition tuple proves a full match: drop the entry without
+        // opening the file — no DV, no read (see partProven)
+        provenFiles += 1; deletedRows += e.liveRows; None
+      } else {
       val prior: Set[Long] =
         e.dvName.fold(Set.empty[Long])(n => readDvPositions(root.resolve(n)).toSet)
       val matched = scala.collection.mutable.Buffer.empty[Long]
@@ -1440,6 +1502,7 @@ object ManifestSink {
           Some(e.copy(dvName = Some(dvName), dvRows = union.size))
         }
       }
+      }
     }
     if (deletedRows == 0L)
       return DeleteResult(st.version, candidates.size, 0, 0L)
@@ -1458,13 +1521,15 @@ object ManifestSink {
     }
     // "rewritten" files here are the entries that gained/extended a DV
     DeleteResult(st.version + 1, candidates.size,
-      candidates.zip(replacements).count { case (e, r) => !r.contains(e) }, deletedRows)
+      candidates.zip(replacements).count { case (e, r) => !r.contains(e) }, deletedRows,
+      provenFiles)
   }
 
   private def deleteCore(tablePath: String, gc: GcPolicy,
       validate: StructType => Unit,
       rowMatches: (InternalRow, StructType) => Boolean,
-      filePrune: FileEntry => Boolean): DeleteResult = {
+      filePrune: FileEntry => Boolean,
+      fileProven: FileEntry => Boolean = _ => false): DeleteResult = {
     val root = Paths.get(tablePath)
     val st = readState(root)
     require(st.version > 0L,
@@ -1475,7 +1540,14 @@ object ManifestSink {
     validate(schema)
     val (candidates, untouched) = st.entries.partition(filePrune)
     var deletedRows = 0L
+    var provenFiles = 0
     val replacements = candidates.map { e =>
+      if (fileProven(e)) {
+        // partition tuple proves a full match: drop the entry without
+        // opening the file (see partProven) — the 100 TB partition-
+        // retirement path, a pure metadata commit
+        provenFiles += 1; deletedRows += e.liveRows; None
+      } else {
       val intCols = schema.fields.zipWithIndex.collect {
         case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f, i)
       }
@@ -1517,6 +1589,7 @@ object ManifestSink {
         Files.deleteIfExists(root.resolve(newName))
         None
       } else Some(FileEntry(newName, kept, mins.toMap, maxs.toMap, e.parts))
+      }
     }
     val rewritten = candidates.zip(replacements).count {
       case (e, r) => !r.contains(e)
@@ -1537,7 +1610,7 @@ object ManifestSink {
         System.err.println(s"manifest GC for $root failed (table unaffected): ${e.getMessage}")
       }
     }
-    DeleteResult(st.version + 1, candidates.size, rewritten, deletedRows)
+    DeleteResult(st.version + 1, candidates.size, rewritten, deletedRows, provenFiles)
   }
 
   /** Iterate every row of one committed data file (either format) with
