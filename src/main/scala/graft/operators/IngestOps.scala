@@ -515,6 +515,35 @@ object IngestOps {
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }),
 
+    // Table history as a queryable metadata view (`db.t.history` —
+    // Iceberg-style suffix identifier, planned as a LOCAL relation:
+    // manifest-derived kilobytes never touch executors). The table runs
+    // a deterministic commit sequence — create, a 4-file append, a CoW
+    // delete — and the view must report each version's operation kind
+    // and exact row counts; the oracle reconstructs the same ledger
+    // relationally from the source data.
+    "q133_table_history" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        s.sparkContext.applicationId
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      if (orcWritten.add((s.sparkContext.applicationId, s"hist:$dir"))) {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+        s.sql(s"CREATE TABLE graft.$ns.orders_h " +
+          "(o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)")
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .repartition(4)
+          .writeTo(s"graft.$ns.orders_h").append()
+        s.sql(s"DELETE FROM graft.$ns.orders_h WHERE o_orderpriority = '1-URGENT'")
+      }
+      s.sql(
+        s"""SELECT version, operation, files,
+           |  rows AS n_rows, live_rows AS n_live
+           |FROM graft.$ns.orders_h.history ORDER BY version""".stripMargin)
+    }),
+
     // Schema evolution across writer generations: gen-1 files carry
     // (o_orderkey, o_totalprice); gen-2 files ADD a column
     // (o_orderpriority) and RENAME o_totalprice -> total_price. A
@@ -658,6 +687,22 @@ object IngestOps {
         |FROM orders
         |WHERE NOT (o_orderpriority = '1-URGENT' OR o_custkey % 10 = 3)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the commit ledger reconstructed relationally: v1 empty create,
+    // v2 appends all orders as 4 files, v3 CoW-deletes the urgent rows
+    // (all 4 files contain some, so all 4 rewrite)
+    "q133_table_history" ->
+      """SELECT CAST(1 AS BIGINT) AS version, 'create' AS operation,
+        |  CAST(0 AS INTEGER) AS files, CAST(0 AS BIGINT) AS n_rows,
+        |  CAST(0 AS BIGINT) AS n_live
+        |UNION ALL
+        |SELECT 2, 'append', 4, (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders)
+        |UNION ALL
+        |SELECT 3, 'replace', 4,
+        |  (SELECT count(*) FROM orders WHERE o_orderpriority <> '1-URGENT'),
+        |  (SELECT count(*) FROM orders WHERE o_orderpriority <> '1-URGENT')
+        |ORDER BY version""".stripMargin,
 
     // the merge-on-read deleted table answers the same relation as the
     // copy-on-write one (q126): deletes must be observationally

@@ -81,8 +81,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def loadTable(ident: Identifier): Table = {
     val p = tablePath(ident)
-    if (!isTable(p)) throw new NoSuchTableException(ident)
-    new ManifestTable(p, ManifestSink.readSchema(p))
+    if (isTable(p)) return new ManifestTable(p, ManifestSink.readSchema(p))
+    // metadata views, Iceberg-style: `db.t.history` parses as namespace
+    // [db, t] + name "history" — if the namespace tail IS a table, serve
+    // the view over its manifests (driver-side kilobytes: version lines,
+    // never data files)
+    if (ident.namespace().nonEmpty) {
+      val parent = nsPath(ident.namespace())
+      if (isTable(parent)) ident.name() match {
+        case "history" => return GraftCatalog.historyTable(parent)
+        case "files" => return GraftCatalog.filesTable(parent)
+        case _ => ()
+      }
+    }
+    throw new NoSuchTableException(ident)
   }
 
   /** SQL time travel: `SELECT ... FROM graft.db.t VERSION AS OF 3` pins
@@ -226,7 +238,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(GraftCatalog.SystemNs))
       Array(Identifier.of(GraftCatalog.SystemNs, "vacuum"),
-        Identifier.of(GraftCatalog.SystemNs, "optimize"))
+        Identifier.of(GraftCatalog.SystemNs, "optimize"),
+        Identifier.of(GraftCatalog.SystemNs, "rollback"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -236,12 +249,96 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     else if (ident.namespace().sameElements(GraftCatalog.SystemNs) &&
         ident.name().equalsIgnoreCase("optimize"))
       new GraftCatalog.OptimizeProcedure(this)
+    else if (ident.namespace().sameElements(GraftCatalog.SystemNs) &&
+        ident.name().equalsIgnoreCase("rollback"))
+      new GraftCatalog.RollbackProcedure(this)
     else throw new IllegalArgumentException(
-      s"unknown procedure $ident; available: graft.system.vacuum, graft.system.optimize")
+      s"unknown procedure $ident; available: graft.system.vacuum, " +
+        "graft.system.optimize, graft.system.rollback")
 }
 
 object GraftCatalog {
   private val SystemNs = Array("system")
+
+  /** A read-only table over driver-computed rows ([[LocalScan]] — Spark
+    * plans it as a local relation, no executors touched). Metadata views
+    * are manifest-derived kilobytes, so local is the right plan. */
+  private def staticTable(tname: String, tschema: StructType,
+      trows: Array[InternalRow]): Table =
+    new Table with SupportsRead {
+      override def name(): String = tname
+      override def schema(): StructType = tschema
+      override def capabilities(): util.Set[TableCapability] =
+        util.Collections.singleton(TableCapability.BATCH_READ)
+      override def newScanBuilder(
+          options: org.apache.spark.sql.util.CaseInsensitiveStringMap): org.apache.spark.sql.connector.read.ScanBuilder =
+        new org.apache.spark.sql.connector.read.ScanBuilder {
+          override def build(): Scan = new LocalScan {
+            override def readSchema(): StructType = tschema
+            override def rows(): Array[InternalRow] = trows
+          }
+        }
+    }
+
+  private val HistorySchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("operation", StringType, nullable = false),
+    StructField("files", IntegerType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("live_rows", LongType, nullable = false)))
+
+  /** `SELECT * FROM cat.db.t.history` — one row per manifest version,
+    * with the operation kind inferred from the entry diff: append-only
+    * step = append; `#rewrite` marker = optimize; removal-only or a
+    * deletion-vector change = delete; removed AND added = replace (a
+    * copy-on-write DELETE/UPDATE/MERGE rewrite or an INSERT OVERWRITE —
+    * the manifest records file moves, not statements); no entry
+    * change = alter (schema/metadata commit); v1 with no files =
+    * create. */
+  private[sources] def historyTable(root: Path): Table = {
+    val cur = ManifestSink.currentVersion(root)
+    var prev = Seq.empty[ManifestSink.FileEntry]
+    val rows = (1L to cur).map { v =>
+      val es = ManifestSink.committedEntries(root, Some(v))
+      val prevNames = prev.map(_.name).toSet
+      val names = es.map(_.name).toSet
+      val removed = prevNames.diff(names)
+      val added = names.diff(prevNames)
+      val prevDv = prev.map(e => e.name -> (e.dvName, e.dvRows)).toMap
+      val dvChanged = es.exists(e => prevDv.get(e.name).exists(_ != ((e.dvName, e.dvRows))))
+      val op =
+        if (v == 1L && es.isEmpty) "create"
+        else if (ManifestSink.isRewriteVersion(root, v)) "optimize"
+        else if (removed.nonEmpty && added.nonEmpty) "replace"
+        else if (removed.nonEmpty || dvChanged) "delete"
+        else if (added.nonEmpty) "append"
+        else "alter"
+      prev = es
+      new GenericInternalRow(Array[Any](v, UTF8String.fromString(op),
+        es.size, es.map(_.rows).sum, es.map(_.liveRows).sum)): InternalRow
+    }.toArray
+    staticTable(s"history($root)", HistorySchema, rows)
+  }
+
+  private val FilesSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("live_rows", LongType, nullable = false),
+    StructField("dv_rows", LongType, nullable = false),
+    StructField("partition", StringType, nullable = false)))
+
+  /** `SELECT * FROM cat.db.t.files` — the current snapshot's data files
+    * with physical/live row counts, deletion-vector sizes and partition
+    * tuples. */
+  private[sources] def filesTable(root: Path): Table = {
+    val rows = ManifestSink.committedEntries(root, None).map { e =>
+      val parts = e.parts.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=$v" }.mkString(",")
+      new GenericInternalRow(Array[Any](UTF8String.fromString(e.name),
+        e.rows, e.liveRows, e.dvRows, UTF8String.fromString(parts))): InternalRow
+    }.toArray
+    staticTable(s"files($root)", FilesSchema, rows)
+  }
 
   private val OptimizeOutput = StructType(Seq(
     StructField("version", LongType, nullable = false),
@@ -294,6 +391,44 @@ object GraftCatalog {
         res.rewrittenFiles, res.rewrittenRows)): InternalRow
       util.Collections.singletonList[Scan](new LocalScan {
         override def readSchema(): StructType = OptimizeOutput
+        override def rows(): Array[InternalRow] = Array(row)
+      }).iterator()
+    }
+  }
+
+  private val RollbackOutput = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("restored_version", LongType, nullable = false)))
+
+  /** `CALL graft.system.rollback(table => 'db.t', version => N)` —
+    * RESTORE to version N as a NEW commit ([[ManifestSink.rollback]]):
+    * history stays append-only, the bad versions remain auditable, and
+    * a concurrent commit loses the CAS loudly. */
+  private class RollbackProcedure(catalog: GraftCatalog)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "rollback"
+    override def description(): String =
+      "Restore a manifest table to an earlier version as a new commit"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name within this catalog, e.g. 'db.t'").build(),
+      ProcedureParameter.in("version", LongType)
+        .comment("manifest version to restore (must be earlier than current)").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val tableName = input.getUTF8String(0).toString
+      val toVersion = input.getLong(1)
+      val parts = tableName.split('.')
+      val ident = Identifier.of(parts.init, parts.last)
+      val root = catalog.tablePath(ident)
+      if (!catalog.isTable(root)) throw new NoSuchTableException(ident)
+      val newVersion = ManifestSink.rollback(root.toString, toVersion)
+      val row = new GenericInternalRow(Array[Any](newVersion, toVersion)): InternalRow
+      util.Collections.singletonList[Scan](new LocalScan {
+        override def readSchema(): StructType = RollbackOutput
         override def rows(): Array[InternalRow] = Array(row)
       }).iterator()
     }

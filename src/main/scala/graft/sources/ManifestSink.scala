@@ -1323,6 +1323,36 @@ object ManifestSink {
       }
     }.mkString("\t")
 
+  /** RESTORE the table to an earlier version — published as a NEW
+    * version whose content (schema, structure headers, file entries,
+    * deletion vectors) equals `toVersion`'s, under the same CAS as any
+    * commit: history only ever moves forward, so the bad versions stay
+    * time-travelable and auditable (the Delta RESTORE shape). Streaming
+    * exactly-once markers are deliberately NOT rewound — rewinding them
+    * would make a running stream double-apply epochs it already
+    * committed. Fails loudly if retention GC already swept any file the
+    * target version references. Returns the new version number. */
+  def rollback(tablePath: String, toVersion: Long): Long = {
+    val root = Paths.get(tablePath)
+    val cur = readState(root)
+    require(cur.version > 0L, s"no versioned manifest table at $tablePath")
+    require(toVersion >= 1L && toVersion < cur.version,
+      s"rollback target must be an earlier version: table is at " +
+        s"v${cur.version}, requested v$toVersion")
+    val target = readState(root, Some(toVersion))
+    val missing = target.entries.flatMap(e => e.name +: e.dvName.toSeq)
+      .filterNot(n => Files.exists(root.resolve(n)))
+    require(missing.isEmpty,
+      s"cannot roll back $tablePath to v$toVersion: retention GC removed " +
+        s"${missing.take(3).mkString(", ")}…")
+    val schema = target.schema.getOrElse(
+      throw new IllegalStateException(s"version $toVersion of $tablePath has no schema"))
+    val meta = target.copy(markers = cur.markers).metaLines
+    publish(root, cur.version,
+      ((schema.json +: meta) ++ target.entries.map(entryLine)).mkString("\n"))
+    cur.version + 1
+  }
+
   /** What a [[deleteWhere]] call did. `candidateFiles` is how many files
     * the manifest stats could NOT rule out (the rewrite working set);
     * files whose stats are disjoint from the predicate are untouched.

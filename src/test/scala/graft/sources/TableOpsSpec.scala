@@ -1,0 +1,107 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator surface over table history: the `db.t.history` / `db.t.files`
+  * metadata views (Iceberg-style suffix identifiers, planned as local
+  * relations — no executor work for manifest-derived kilobytes) and
+  * `CALL graft.system.rollback` (RESTORE as a new commit: history only
+  * moves forward). */
+class TableOpsSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  private val wh: Path = {
+    val p = Files.createTempDirectory("graft-tops")
+    p.toFile.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.tcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.tcat.warehouse", p.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tcat.db")
+    p
+  }
+  private def root(t: String): Path = wh.resolve("db").resolve(t)
+
+  test("history view labels create/append/delete/optimize/alter/overwrite steps") {
+    spark.sql("CREATE TABLE tcat.db.h (id BIGINT, v BIGINT)") // v1 create
+    spark.range(0, 10).select($"id", $"id".as("v"))
+      .coalesce(1).writeTo("tcat.db.h").append() // v2 append
+    spark.sql("DELETE FROM tcat.db.h WHERE id < 3") // v3 delete (CoW)
+    spark.sql("ALTER TABLE tcat.db.h ADD COLUMN w BIGINT") // v4 alter
+    ManifestSink.compact(root("h").toString, targetRows = 1000L) // no-op (1 file)
+    spark.range(10, 20).select($"id", $"id".as("v"), $"id".as("w"))
+      .coalesce(1).writeTo("tcat.db.h").append() // v5 append
+    spark.sql("INSERT OVERWRITE tcat.db.h SELECT id, id, id FROM range(5)") // v6 overwrite
+    val hist = spark.sql("SELECT version, operation, rows, live_rows FROM tcat.db.h.history")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // v3 is a CoW delete: the file is REWRITTEN (removed + added), so
+    // the manifest-level label is replace; only removal-only and
+    // DV-change steps read as delete
+    assert(hist.map(h => (h._1, h._2)) == Seq(
+      (1L, "create"), (2L, "append"), (3L, "replace"), (4L, "alter"),
+      (5L, "append"), (6L, "replace")), s"got $hist")
+    assert(hist(1)._3 == 10L && hist(2)._3 == 7L && hist(5)._4 == 5L)
+  }
+
+  test("files view reports physical/live rows and deletion vectors") {
+    spark.sql("CREATE TABLE tcat.db.f (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    spark.range(0, 10).select($"id", $"id".as("v"))
+      .coalesce(1).writeTo("tcat.db.f").append()
+    spark.sql("DELETE FROM tcat.db.f WHERE id < 4")
+    val files = spark.sql("SELECT file, rows, live_rows, dv_rows FROM tcat.db.f.files")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(files.size == 1)
+    assert(files.head._2 == 10L && files.head._3 == 6L && files.head._4 == 4L)
+    // history marks the MoR delete as a delete even though no file moved
+    val ops = spark.sql("SELECT operation FROM tcat.db.f.history ORDER BY version")
+      .as[String].collect().toSeq
+    assert(ops == Seq("create", "append", "delete"))
+  }
+
+  test("files view shows partition tuples") {
+    spark.sql("CREATE TABLE tcat.db.p (id BIGINT, grp STRING) PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO tcat.db.p SELECT id, CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(10)")
+    val parts = spark.sql("SELECT DISTINCT partition FROM tcat.db.p.files")
+      .as[String].collect().toSet
+    assert(parts == Set("grp=a", "grp=b"))
+  }
+
+  test("rollback restores data and schema as a NEW version; bad history stays readable") {
+    spark.sql("CREATE TABLE tcat.db.r (id BIGINT, v BIGINT)") // v1
+    spark.range(0, 10).select($"id", $"id".as("v"))
+      .coalesce(1).writeTo("tcat.db.r").append() // v2
+    spark.sql("DELETE FROM tcat.db.r WHERE id < 8") // v3: the mistake
+    spark.sql("ALTER TABLE tcat.db.r ADD COLUMN oops STRING") // v4: more mistake
+    assert(spark.table("tcat.db.r").count() == 2L)
+    val res = spark.sql(
+      "CALL tcat.system.rollback(table => 'db.r', version => 2)")
+      .as[(Long, Long)].head()
+    assert(res == ((5L, 2L)), s"got $res")
+    // restored: v2's rows AND v2's schema
+    assert(spark.table("tcat.db.r").count() == 10L)
+    assert(spark.table("tcat.db.r").schema.fieldNames.toSeq == Seq("id", "v"))
+    // the mistake versions remain time-travelable
+    assert(spark.sql("SELECT count(*) FROM tcat.db.r VERSION AS OF 3").as[Long].head() == 2L)
+    // and the table keeps working after the restore
+    spark.range(10, 12).select($"id", $"id".as("v"))
+      .coalesce(1).writeTo("tcat.db.r").append()
+    assert(spark.table("tcat.db.r").count() == 12L)
+  }
+
+  test("rollback refuses a future/current version and GC'd targets") {
+    spark.sql("CREATE TABLE tcat.db.rb (id BIGINT, v BIGINT)")
+    spark.range(0, 5).select($"id", $"id".as("v"))
+      .coalesce(1).writeTo("tcat.db.rb").append()
+    intercept[Exception] { ManifestSink.rollback(root("rb").toString, 2L) }
+    intercept[Exception] { ManifestSink.rollback(root("rb").toString, 0L) }
+    // simulate GC: drop v2's data file, roll forward, then try to restore
+    spark.sql("INSERT OVERWRITE tcat.db.rb SELECT id, id FROM range(3)") // v3
+    ManifestSink.committedEntries(root("rb"), Some(2L))
+      .foreach(e => Files.delete(root("rb").resolve(e.name)))
+    val err = intercept[Exception] { ManifestSink.rollback(root("rb").toString, 2L) }
+    assert(err.getMessage.contains("retention GC"), err.getMessage)
+  }
+}
