@@ -48,6 +48,11 @@ object SimilarityOps {
   val NumProbes = 10
   val NumCentroids = 8
 
+  /** q134 semantic-dedup cosine threshold: pairs at or above it within a
+    * cluster are duplicates in MEANING; 0.3 is where this corpus's
+    * planted near-dups sit (q47 uses the same line). */
+  val SemDedupTau = 0.3
+
   /** Session-scoped override of [[Planes]] — recall/occupancy tuning is a
     * deployment decision, not a code edit. */
   def planesFor(s: SparkSession): Int =
@@ -189,6 +194,48 @@ object SimilarityOps {
           sum(col("csim_bp")).as("sum_sim_bp"))
         .withColumn("avg_sim_bp", expr("sum_sim_bp div n"))
         .orderBy("cluster")
+    }),
+
+    // Semantic dedup (public method: Abbas et al. 2023, "SemDeDup:
+    // Data-efficient learning at web-scale through semantic
+    // deduplication"): duplicates in MEANING, not bytes. Cluster the
+    // embeddings against the broadcast codebook (q106's assignment),
+    // compare pairs WITHIN a cluster only — the paper's trick: with
+    // k ~ N/1000 clusters the per-cluster quadratic term stays bounded
+    // while cross-cluster pairs are far by construction — and drop the
+    // higher id of any pair at cosine >= SemDedupTau, keeping the
+    // earliest member as the representative. At 100 TB the cluster id
+    // is the shuffle key (one exchange), the codebook broadcasts, and
+    // per-cluster pair generation is an equi-join, never corpus
+    // all-pairs. */
+    "q134_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") < NumCentroids)
+        .select(col("vec_id").as("cluster"), col("embedding").as("centroid"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("csim").desc, col("cluster"))
+      val assigned = emb.join(broadcast(cents))
+        .withColumn("csim", cosineNative(col("embedding"), col("centroid")))
+        .withColumn("crn", row_number().over(wAssign))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("cluster"), col("embedding"))
+      val a = assigned.select(col("vec_id").as("va"), col("cluster"),
+        col("embedding").as("ea"))
+      val b = assigned.select(col("vec_id").as("vb"), col("cluster"),
+        col("embedding").as("eb"))
+      val dups = a.join(b, Seq("cluster"))
+        .filter(col("va") < col("vb"))
+        .withColumn("s", cosineNative(col("ea"), col("eb")))
+        .filter(col("s") >= SemDedupTau)
+        .groupBy(col("vb").as("vec_id"))
+        .agg(min(col("va")).as("dup_of"), count(lit(1)).as("n_dups"))
+      assigned.select("vec_id", "cluster")
+        .join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          when(col("dup_of").isNull, "keep").otherwise("drop").as("verdict"),
+          coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+        .orderBy("vec_id")
     }))
 
   // ---- DuckDB oracle ------------------------------------------------------
@@ -284,5 +331,25 @@ object SimilarityOps {
          |  min(vec_id) AS min_vec, max(vec_id) AS max_vec,
          |  CAST(sum(csim_bp) AS BIGINT) AS sum_sim_bp,
          |  CAST(sum(csim_bp) AS BIGINT) // count(*) AS avg_sim_bp
-         |FROM a WHERE crn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin)
+         |FROM a WHERE crn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin,
+
+    "q134_semantic_dedup" ->
+      s"""WITH cents AS (SELECT vec_id AS cluster, embedding AS centroid
+         |  FROM embeddings WHERE vec_id < $NumCentroids),
+         |sim AS (SELECT e.vec_id, e.embedding, c.cluster,
+         |    ${cosSql("e.embedding", "c.centroid")} AS csim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |a AS (SELECT vec_id, embedding, cluster,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cluster) AS crn
+         |  FROM sim),
+         |asg AS (SELECT vec_id, embedding, cluster FROM a WHERE crn = 1),
+         |d AS (SELECT y.vec_id, min(x.vec_id) AS dup_of, count(*) AS n_dups
+         |  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |  WHERE ${cosSql("x.embedding", "y.embedding")} >= $SemDedupTau
+         |  GROUP BY y.vec_id)
+         |SELECT v.vec_id, v.cluster,
+         |  CASE WHEN d.vec_id IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
+         |  coalesce(d.dup_of, CAST(-1 AS BIGINT)) AS dup_of,
+         |  CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups
+         |FROM asg v LEFT JOIN d ON d.vec_id = v.vec_id ORDER BY v.vec_id""".stripMargin)
 }

@@ -132,6 +132,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         deleteMode == ManifestSink.DeleteModeMor,
       s"delete.mode must be '${ManifestSink.DeleteModeCow}' or " +
         s"'${ManifestSink.DeleteModeMor}', got '$deleteMode'")
+    // TBLPROPERTIES ('bloom.columns' = 'c1,c2'): writers collect a
+    // per-file bloom over each listed STRING column for equality skipping
+    val bloomCols = Option(properties.get("bloom.columns"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    bloomCols.foreach { c =>
+      val f = schema.fields.find(_.name == c)
+      require(f.isDefined, s"bloom.columns names unknown column $c")
+      require(f.get.dataType == StringType,
+        s"bloom.columns supports STRING columns; $c is ${f.get.dataType.simpleString}")
+    }
     val p = tablePath(ident)
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
     Files.createDirectories(p)
@@ -141,7 +152,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // to exactly one winner
     ManifestSink.publishCommit(p, schema, truncateFirst = true, Seq.empty,
       markerUpdate = None, GcPolicy(None, 3600L * 1000), createPartCols = partCols,
-      createDeleteMode = deleteMode)
+      createDeleteMode = deleteMode, createBloomCols = bloomCols)
     new ManifestTable(p, schema)
   }
 

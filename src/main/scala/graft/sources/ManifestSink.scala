@@ -415,12 +415,69 @@ object ManifestSink {
   case class FileEntry(name: String, rows: Long,
       mins: Map[String, Long], maxs: Map[String, Long],
       parts: Map[String, String] = Map.empty,
-      dvName: Option[String] = None, dvRows: Long = 0L) {
+      dvName: Option[String] = None, dvRows: Long = 0L,
+      blooms: Map[String, String] = Map.empty) {
     /** Rows a reader actually yields: physical rows minus the deletion
       * vector's positions. Drives count(*) pushdown, reported stats and
       * the zero-column emitters — `rows` stays the PHYSICAL count (what
       * the file holds on disk), because DV positions index into it. */
     def liveRows: Long = rows - dvRows
+  }
+
+  // ---- per-file string-equality bloom filters ---------------------------
+  //
+  // Integer columns prune by min/max; string columns get a per-file
+  // bloom filter over their distinct values instead (range stats on
+  // strings prune poorly — lexicographic ranges are usually [A..z]).
+  // 1024 bits / 4 probes ≈ 172 base64 chars per (file, column) in the
+  // manifest line; at 50 distinct values per file the false-positive
+  // rate is ~0.2%, so `WHERE cat = 'x'` opens ~only the files that
+  // really hold 'x'. Blooms are PRUNING-ONLY metadata: absence or a
+  // false positive costs a read, never correctness.
+
+  private[sources] val BloomBits = 1024
+  private[sources] val BloomK = 4
+
+  private def bloomProbe(v: String, j: Int): Int = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(v, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(v, 0x85ebca6b) | 1
+    (((h1 + j * h2) & Int.MaxValue) % BloomBits)
+  }
+
+  private[sources] def bloomAdd(bits: Array[Long], v: String): Unit = {
+    var j = 0
+    while (j < BloomK) {
+      val bit = bloomProbe(v, j)
+      bits(bit >> 6) |= 1L << (bit & 63)
+      j += 1
+    }
+  }
+
+  private[sources] def bloomEncode(bits: Array[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(BloomBits / 8)
+    bits.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+
+  private[sources] def bloomMayContain(b64: String, v: String): Boolean = {
+    val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(b64))
+    val bits = Array.fill(BloomBits / 64)(bb.getLong())
+    (0 until BloomK).forall { j =>
+      val bit = bloomProbe(v, j)
+      (bits(bit >> 6) & (1L << (bit & 63))) != 0L
+    }
+  }
+
+  /** Bitwise OR of member blooms — the lossless merge for compaction
+    * bins (a value in ANY member may be in the merged file). */
+  private[sources] def bloomUnion(b64s: Seq[String]): String = {
+    val acc = new Array[Long](BloomBits / 64)
+    b64s.foreach { b =>
+      val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(b))
+      var i = 0
+      while (i < acc.length) { acc(i) |= bb.getLong(); i += 1 }
+    }
+    bloomEncode(acc)
   }
 
   /** Deletion-vector sidecar files (merge-on-read deletes): one
@@ -513,6 +570,27 @@ object ManifestSink {
 
   private def schemaEpochLine(e: Long): Option[String] =
     if (e == 0L) None else Some(s"$SchemaEpochPrefix$e")
+
+  /** Table-level bloom-filter column list, one manifest header line —
+    * `#bloomcols<TAB>c1,c2`. Set at CREATE (TBLPROPERTIES
+    * `bloom.columns`), carried by every publish like the partition
+    * spec; writers collect a per-file bloom over each listed STRING
+    * column's values. */
+  private val BloomColsPrefix = "#bloomcols\t"
+
+  private[sources] def bloomColsLine(cols: Seq[String]): Option[String] =
+    if (cols.isEmpty) None else Some(BloomColsPrefix + cols.map(urlEnc).mkString(","))
+
+  private[sources] def bloomColumns(root: Path,
+      pinned: Option[Long] = None): Seq[String] = {
+    val v = resolveVersion(root, pinned)
+    if (v == 0L) Seq.empty
+    else Files.readString(manifestAt(root, v)).linesIterator.drop(1)
+      .find(_.startsWith(BloomColsPrefix))
+      .map(_.stripPrefix(BloomColsPrefix).split(",").toSeq
+        .filter(_.nonEmpty).map(urlDec))
+      .getOrElse(Seq.empty)
+  }
 
   /** Table-level row-delete strategy, one manifest header line —
     * `#deletemode<TAB>merge-on-read`. Set at CREATE (TBLPROPERTIES
@@ -657,23 +735,40 @@ object ManifestSink {
   }
 
   private[sources] def parseEntryLine(line: String): FileEntry = {
-    val parts = line.split("\t", 6)
+    val parts = line.split("\t", 7)
     val (dvName, dvRows) = parts.lift(5).filter(_.nonEmpty) match {
       case Some(dv) =>
         val Array(n, c) = dv.split(":", 2)
         (Some(n), c.toLong)
       case None => (None, 0L)
     }
+    // blooms field: `col=base64,...` — base64 may contain '=', so the
+    // kv split is limit-2 like the parts codec
+    val blooms = parts.lift(6).filter(_.nonEmpty) match {
+      case Some(s) => s.split(",").map { kv =>
+        val Array(k, v) = kv.split("=", 2); (urlDec(k), v)
+      }.toMap
+      case None => Map.empty[String, String]
+    }
     FileEntry(parts(0), parts(1).toLong,
       parseStats(parts.lift(2).getOrElse("")),
       parseStats(parts.lift(3).getOrElse("")),
       parsePartsStr(parts.lift(4).getOrElse("")),
-      dvName, dvRows)
+      dvName, dvRows, blooms)
   }
 
-  private[sources] def entryLine(e: FileEntry): String =
-    s"${e.name}\t${e.rows}\t${statsStr(e.mins)}\t${statsStr(e.maxs)}\t${partsStr(e.parts)}" +
-      e.dvName.fold("")(n => s"\t$n:${e.dvRows}")
+  private[sources] def entryLine(e: FileEntry): String = {
+    val base =
+      s"${e.name}\t${e.rows}\t${statsStr(e.mins)}\t${statsStr(e.maxs)}\t${partsStr(e.parts)}"
+    val dv = e.dvName.fold("")(n => s"$n:${e.dvRows}")
+    val bl = e.blooms.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${urlEnc(k)}=$v" }.mkString(",")
+    // trailing optional fields: emit the dv slot (possibly empty) when a
+    // later field needs its position
+    if (bl.nonEmpty) s"$base\t$dv\t$bl"
+    else if (dv.nonEmpty) s"$base\t$dv"
+    else base
+  }
 
   private def asLong(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
@@ -688,6 +783,12 @@ object ManifestSink {
   private[sources] def mayMatch(e: FileEntry, f: org.apache.spark.sql.sources.Filter): Boolean = {
     import org.apache.spark.sql.sources._
     f match {
+      // string equality prunes by the per-file bloom (absence = may-match)
+      case EqualTo(c, v: String) => e.blooms.get(c).forall(bloomMayContain(_, v))
+      case EqualNullSafe(c, v: String) => e.blooms.get(c).forall(bloomMayContain(_, v))
+      case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        e.blooms.get(c).forall(b =>
+          vs.exists(v => bloomMayContain(b, v.asInstanceOf[String])))
       case EqualTo(c, v) => asLong(v).forall(x =>
         e.mins.get(c).forall(_ <= x) && e.maxs.get(c).forall(_ >= x))
       case GreaterThan(c, v) => asLong(v).forall(x => e.maxs.get(c).forall(_ > x))
@@ -723,13 +824,15 @@ object ManifestSink {
       partCols: Seq[String] = Seq.empty,
       colMap: Map[String, String] = Map.empty,
       schemaEpoch: Long = 0L,
-      deleteMode: String = DeleteModeCow) {
+      deleteMode: String = DeleteModeCow,
+      bloomCols: Seq[String] = Seq.empty) {
     /** Non-entry, non-schema header lines every publisher carries:
       * partition spec, column mapping, schema epoch, delete mode,
-      * stream markers. */
+      * bloom columns, stream markers. */
     def metaLines: Seq[String] =
       partColsLine(partCols).toSeq ++ colMapLine(colMap).toSeq ++
         schemaEpochLine(schemaEpoch).toSeq ++ deleteModeLine(deleteMode).toSeq ++
+        bloomColsLine(bloomCols).toSeq ++
         markers.toSeq.sortBy(_._1).map((markerLine _).tupled)
   }
 
@@ -751,7 +854,11 @@ object ManifestSink {
         lines.tail.find(_.startsWith(SchemaEpochPrefix))
           .map(_.stripPrefix(SchemaEpochPrefix).trim.toLong).getOrElse(0L),
         lines.tail.find(_.startsWith(DeleteModePrefix))
-          .map(_.stripPrefix(DeleteModePrefix).trim).getOrElse(DeleteModeCow))
+          .map(_.stripPrefix(DeleteModePrefix).trim).getOrElse(DeleteModeCow),
+        lines.tail.find(_.startsWith(BloomColsPrefix))
+          .map(_.stripPrefix(BloomColsPrefix).split(",").toSeq
+            .filter(_.nonEmpty).map(urlDec))
+          .getOrElse(Seq.empty))
     } else {
       val schema =
         if (Files.exists(schemaFile(root)))
@@ -770,7 +877,8 @@ object ManifestSink {
       truncateFirst: Boolean, newEntries: Seq[FileEntry],
       markerUpdate: Option[(String, Long)], gc: GcPolicy,
       createPartCols: Seq[String] = Seq.empty,
-      createDeleteMode: String = DeleteModeCow): Unit = {
+      createDeleteMode: String = DeleteModeCow,
+      createBloomCols: Seq[String] = Seq.empty): Unit = {
     Files.createDirectories(root)
     // APPEND-ONLY commits retry on a lost CAS by REBASING: an append's
     // file set is disjoint from any concurrent commit's by construction
@@ -822,7 +930,8 @@ object ManifestSink {
       // createPartCols only seeds a brand-new table's first version
       val meta = st.copy(markers = st.markers ++ markerUpdate,
         partCols = if (st.version > 0L) st.partCols else createPartCols,
-        deleteMode = if (st.version > 0L) st.deleteMode else createDeleteMode).metaLines
+        deleteMode = if (st.version > 0L) st.deleteMode else createDeleteMode,
+        bloomCols = if (st.version > 0L) st.bloomCols else createBloomCols).metaLines
       // schema line + meta + entries publish as ONE atomic unit
       try {
         publish(root, base,
@@ -969,6 +1078,7 @@ object ManifestSink {
       var colMap = st.colMap
       var partCols = st.partCols
       var entries = st.entries
+      var bloomCols = st.bloomCols
       val newEpoch = st.schemaEpoch + 1
 
       def single(names: Array[String], what: String): String = {
@@ -1000,10 +1110,12 @@ object ManifestSink {
           schema = StructType(schema.fields.map(f =>
             if (f.name == from) f.copy(name = to) else f))
           partCols = partCols.map(c => if (c == from) to else c)
+          bloomCols = bloomCols.map(c => if (c == from) to else c)
           entries = entries.map(e => e.copy(
             mins = renameKeys(e.mins, from, to),
             maxs = renameKeys(e.maxs, from, to),
-            parts = e.parts.map { case (k, v) => (if (k == from) to else k, v) }))
+            parts = e.parts.map { case (k, v) => (if (k == from) to else k, v) },
+            blooms = e.blooms.map { case (k, v) => (if (k == from) to else k, v) }))
         case d: TableChange.DeleteColumn =>
           val name = single(d.fieldNames, "DROP COLUMN")
           require(schema.fieldNames.contains(name), s"no column $name to drop")
@@ -1011,15 +1123,18 @@ object ManifestSink {
           require(schema.fields.length > 1, "cannot drop a table's last column")
           colMap -= name
           schema = StructType(schema.fields.filterNot(_.name == name))
+          bloomCols = bloomCols.filterNot(_ == name)
           entries = entries.map(e =>
-            e.copy(mins = e.mins - name, maxs = e.maxs - name))
+            e.copy(mins = e.mins - name, maxs = e.maxs - name,
+              blooms = e.blooms - name))
         case other => throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change for manifest tables: $other " +
             "(supported: ADD COLUMN, RENAME COLUMN, DROP COLUMN)")
       }
       colMap = colMap.filter { case (k, v) => k != v }
       val meta = st.copy(schema = Some(schema), partCols = partCols,
-        colMap = colMap, schemaEpoch = newEpoch, entries = entries).metaLines
+        colMap = colMap, schemaEpoch = newEpoch, entries = entries,
+        bloomCols = bloomCols).metaLines
       try {
         publish(root, st.version,
           ((schema.json +: meta) ++ entries.map(entryLine)).mkString("\n"))
@@ -1040,7 +1155,8 @@ object ManifestSink {
       case c: ManifestCommit => Seq(c)
       case ManifestCommitSet(cs) => cs
       case _ => Seq.empty
-    }.map(c => FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts))
+    }.map(c => FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts,
+      blooms = c.blooms))
 
   private[sources] def commitFileNames(messages: Iterable[WriterCommitMessage]): Seq[String] =
     messages.toSeq.flatMap {
@@ -1103,7 +1219,7 @@ object ManifestSink {
     val purged = dvEntries.map(e => purgeDvEntry(root, e,
       st.schema.getOrElse(throw new IllegalStateException(
         s"manifest table $tablePath has no schema")),
-      st.colMap, st.schemaEpoch > 0L))
+      st.colMap, st.schemaEpoch > 0L, st.bloomCols))
     val small = plain.filter(_.rows < targetRows)
     // first-fit in manifest order keeps neighboring appends together,
     // which preserves any time-locality the write order had; binning is
@@ -1139,10 +1255,14 @@ object ManifestSink {
         finally out.close()
       } else ManifestParquet.appendMerge(root.resolve(name), bin.map(e => root.resolve(e.name)))
       val statKeys = bin.map(_.mins.keySet).reduce(_ intersect _)
+      // blooms merge losslessly by bitwise OR, published only when every
+      // member carried one (same absence rule as the min/max stats)
+      val bloomKeys = bin.map(_.blooms.keySet).reduce(_ intersect _)
       FileEntry(name, bin.map(_.rows).sum,
         statKeys.map(k => k -> bin.map(_.mins(k)).min).toMap,
         statKeys.map(k => k -> bin.map(_.maxs(k)).max).toMap,
-        bin.head.parts)
+        bin.head.parts,
+        blooms = bloomKeys.map(k => k -> bloomUnion(bin.map(_.blooms(k)))).toMap)
     }
     val rewrittenNames = bins.flatten.map(_.name).toSet ++ dvEntries.map(_.name)
     val entries = st.entries.filterNot(e => rewrittenNames(e.name)) ++ merged ++ purged
@@ -1163,13 +1283,20 @@ object ManifestSink {
     * fresh per-column stats — the deletion-vector purge step of
     * [[compact]]. */
   private def purgeDvEntry(root: Path, e: FileEntry, schema: StructType,
-      colMap: Map[String, String], evolved: Boolean): FileEntry = {
+      colMap: Map[String, String], evolved: Boolean,
+      bloomCols: Seq[String] = Seq.empty): FileEntry = {
     val dv = readDvPositions(root.resolve(e.dvName.get)).toSet
     val intCols = schema.fields.zipWithIndex.collect {
       case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f, i)
     }
     val mins = scala.collection.mutable.Map.empty[String, Long]
     val maxs = scala.collection.mutable.Map.empty[String, Long]
+    val bloomAt = bloomCols.flatMap { c =>
+      schema.fields.zipWithIndex.collectFirst {
+        case (f, i) if f.name == c && f.dataType == StringType =>
+          (c, i, new Array[Long](BloomBits / 64))
+      }
+    }
     var kept = 0L
     val newName = s"data-compact-${java.util.UUID.randomUUID()}.parquet"
     val out = ManifestParquet.open(root.resolve(newName),
@@ -1185,10 +1312,14 @@ object ManifestSink {
               maxs.updateWith(f.name)(o => Some(o.fold(v)(math.max(_, v))))
             }
           }
+          bloomAt.foreach { case (_, i, bits) =>
+            if (!row.isNullAt(i)) bloomAdd(bits, row.getUTF8String(i).toString)
+          }
         }
       }
     } finally out.close()
-    FileEntry(newName, kept, mins.toMap, maxs.toMap, e.parts)
+    FileEntry(newName, kept, mins.toMap, maxs.toMap, e.parts,
+      blooms = bloomAt.map { case (c, _, bits) => c -> bloomEncode(bits) }.toMap)
   }
 
   /** OPTIMIZE ... ZORDER BY: rewrite the ENTIRE table (or each table
@@ -1284,9 +1415,10 @@ object ManifestSink {
       val fileSchema = schema
       val fileParts = parts
       val cmap = st.colMap
+      val bc = st.bloomCols
       sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
         val w = new ManifestDataWriter(rootStr, fileSchema,
-          s"data-zorder-p$pid-${java.util.UUID.randomUUID()}.parquet", fileParts, cmap)
+          s"data-zorder-p$pid-${java.util.UUID.randomUUID()}.parquet", fileParts, cmap, bc)
         rows.foreach(w.write)
         w.commit() match {
           case m: ManifestCommit if m.rows > 0L => Iterator.single(m)
@@ -1295,7 +1427,8 @@ object ManifestSink {
             Iterator.empty
           case _ => Iterator.empty
         }
-      }.collect().toSeq.map(c => FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts))
+      }.collect().toSeq.map(c => FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts,
+        blooms = c.blooms))
     }
     try publish(root, st.version,
       ((schema.json +: RewriteMarker +: st.metaLines) ++
@@ -1583,6 +1716,12 @@ object ManifestSink {
       }
       val mins = scala.collection.mutable.Map.empty[String, Long]
       val maxs = scala.collection.mutable.Map.empty[String, Long]
+      val bloomAt = st.bloomCols.flatMap { c =>
+        schema.fields.zipWithIndex.collectFirst {
+          case (f, i) if f.name == c && f.dataType == StringType =>
+            (c, i, new Array[Long](BloomBits / 64))
+        }
+      }
       var kept = 0L
       val newName = s"data-delete-${java.util.UUID.randomUUID()}.parquet"
       val out = ManifestParquet.open(root.resolve(newName),
@@ -1606,6 +1745,9 @@ object ManifestSink {
                 maxs.updateWith(f.name)(o => Some(o.fold(v)(math.max(_, v))))
               }
             }
+            bloomAt.foreach { case (_, i, bits) =>
+              if (!row.isNullAt(i)) bloomAdd(bits, row.getUTF8String(i).toString)
+            }
           }
         }
       } finally out.close()
@@ -1618,7 +1760,8 @@ object ManifestSink {
         // the whole file matched: no replacement at all
         Files.deleteIfExists(root.resolve(newName))
         None
-      } else Some(FileEntry(newName, kept, mins.toMap, maxs.toMap, e.parts))
+      } else Some(FileEntry(newName, kept, mins.toMap, maxs.toMap, e.parts,
+        blooms = bloomAt.map { case (c, _, bits) => c -> bloomEncode(bits) }.toMap))
       }
     }
     val rewritten = candidates.zip(replacements).count {
@@ -1976,11 +2119,17 @@ object ManifestSink {
       p: org.apache.spark.sql.connector.expressions.filter.Predicate): Boolean = {
     import org.apache.spark.sql.connector.expressions._
     import org.apache.spark.sql.sources
+    // V2 string literals carry UTF8String — normalize to String so the
+    // V1 delegate's bloom path sees them
+    def norm(v: Any): Any = v match {
+      case u: UTF8String => u.toString
+      case other => other
+    }
     def colLit(flip: Boolean): Option[(String, Any)] = p.children() match {
       case Array(r: NamedReference, l: Literal[_])
-        if !flip && r.fieldNames.length == 1 => Some((r.fieldNames.head, l.value))
+        if !flip && r.fieldNames.length == 1 => Some((r.fieldNames.head, norm(l.value)))
       case Array(l: Literal[_], r: NamedReference)
-        if flip && r.fieldNames.length == 1 => Some((r.fieldNames.head, l.value))
+        if flip && r.fieldNames.length == 1 => Some((r.fieldNames.head, norm(l.value)))
       case _ => None
     }
     def range(mk: (String, Any) => sources.Filter, flipped: (String, Any) => sources.Filter) =
@@ -2002,7 +2151,7 @@ object ManifestSink {
       case "IN" => p.children() match {
         case arr if arr.nonEmpty => arr.head match {
           case r: NamedReference if r.fieldNames.length == 1 =>
-            val lits = arr.tail.collect { case l: Literal[_] => l.value.asInstanceOf[Any] }
+            val lits = arr.tail.collect { case l: Literal[_] => norm(l.value) }
             if (lits.length == arr.length - 1)
               mayMatch(e, sources.In(r.fieldNames.head, lits.toArray))
             else true
@@ -2198,6 +2347,7 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
     ManifestSink.requireSafeColumnNames(schema)
     val pc = partCols // resolve once, on the driver
     val cmap = ManifestSink.columnMapping(root)
+    val bc = ManifestSink.bloomColumns(root)
     new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
       import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
       import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
@@ -2214,18 +2364,19 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
       override def distributionStrictlyRequired(): Boolean = false
       override def toBatch: BatchWrite =
         new ManifestBatchWrite(root, schema, truncateFirst, gc, pc,
-          overwriteFilters, dynamicOverwrite, cmap)
+          overwriteFilters, dynamicOverwrite, cmap, bc)
       // streaming: truncateFirst becomes truncate-EACH-EPOCH (Spark calls
       // truncate() on the builder for Complete output mode)
       override def toStreaming: StreamingWrite =
-        new ManifestStreamingWrite(root, schema, truncateFirst, gc, queryId, pc, cmap)
+        new ManifestStreamingWrite(root, schema, truncateFirst, gc, queryId, pc, cmap, bc)
     }
   }
 }
 
 case class ManifestCommit(fileName: String, rows: Long,
     mins: Map[String, Long], maxs: Map[String, Long],
-    parts: Map[String, String] = Map.empty) extends WriterCommitMessage
+    parts: Map[String, String] = Map.empty,
+    blooms: Map[String, String] = Map.empty) extends WriterCommitMessage
 
 /** A partition-fanout task's commit: one [[ManifestCommit]] per data
   * file it opened (one per distinct partition tuple it received). */
@@ -2236,9 +2387,10 @@ class ManifestBatchWrite(root: Path, schema: StructType, truncateFirst: Boolean,
     partCols: Seq[String] = Seq.empty,
     overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
     dynamicOverwrite: Boolean = false,
-    colMap: Map[String, String] = Map.empty) extends BatchWrite {
+    colMap: Map[String, String] = Map.empty,
+    bloomCols: Seq[String] = Seq.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(root.toString, schema, partCols, colMap)
+    new ManifestWriterFactory(root.toString, schema, partCols, colMap, bloomCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val newEntries = ManifestSink.commitEntries(messages)
@@ -2291,11 +2443,12 @@ class ManifestRowLevelOperation(root: Path, cmd: RowLevelOperation.Command,
     val writeSchema = info.schema()
     val pc = ManifestSink.partitionColumns(root)
     val cmap = ManifestSink.columnMapping(root)
+    val bc = ManifestSink.bloomColumns(root)
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new ManifestReplaceDataWrite(root, writeSchema,
-            ManifestRowLevelOperation.this, gc, pc, cmap)
+            ManifestRowLevelOperation.this, gc, pc, cmap, bc)
       }
     }
   }
@@ -2318,9 +2471,10 @@ class ManifestRowLevelOperation(root: Path, cmd: RowLevelOperation.Command,
 class ManifestReplaceDataWrite(root: Path, schema: StructType,
     op: ManifestRowLevelOperation, gc: GcPolicy,
     partCols: Seq[String] = Seq.empty,
-    colMap: Map[String, String] = Map.empty) extends BatchWrite {
+    colMap: Map[String, String] = Map.empty,
+    bloomCols: Seq[String] = Seq.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestReplaceWriterFactory(root.toString, schema, partCols, colMap)
+    new ManifestReplaceWriterFactory(root.toString, schema, partCols, colMap, bloomCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val (live, empty) = ManifestSink.commitEntries(messages).partition(_.rows > 0L)
@@ -2355,10 +2509,11 @@ class ManifestReplaceDataWrite(root: Path, schema: StructType,
   * interleave safely under the same CAS. */
 class ManifestStreamingWrite(root: Path, schema: StructType, truncateEachEpoch: Boolean,
     gc: GcPolicy, queryId: String, partCols: Seq[String] = Seq.empty,
-    colMap: Map[String, String] = Map.empty)
+    colMap: Map[String, String] = Map.empty,
+    bloomCols: Seq[String] = Seq.empty)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new ManifestStreamingWriterFactory(root.toString, schema, partCols, colMap)
+    new ManifestStreamingWriterFactory(root.toString, schema, partCols, colMap, bloomCols)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     if (ManifestSink.epochMarkers(root).get(queryId).exists(_ >= epochId)) {
@@ -2380,7 +2535,8 @@ class ManifestStreamingWrite(root: Path, schema: StructType, truncateEachEpoch: 
 
 class ManifestStreamingWriterFactory(rootStr: String, schema: StructType,
     partCols: Seq[String] = Seq.empty,
-    colMap: Map[String, String] = Map.empty) extends StreamingDataWriterFactory {
+    colMap: Map[String, String] = Map.empty,
+    bloomCols: Seq[String] = Seq.empty) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
     // epoch in the name is for operator debuggability only; uniqueness
@@ -2389,14 +2545,16 @@ class ManifestStreamingWriterFactory(rootStr: String, schema: StructType,
     val prefix = s"data-e$epochId-p$partitionId-t$taskId"
     if (partCols.isEmpty)
       new ManifestDataWriter(rootStr, schema,
-        s"$prefix-${java.util.UUID.randomUUID()}.parquet", colMap = colMap)
-    else new PartitionedDataWriter(rootStr, schema, partCols, prefix, colMap)
+        s"$prefix-${java.util.UUID.randomUUID()}.parquet", colMap = colMap,
+        bloomCols = bloomCols)
+    else new PartitionedDataWriter(rootStr, schema, partCols, prefix, colMap, bloomCols)
   }
 }
 
 class ManifestWriterFactory(rootStr: String, schema: StructType,
     partCols: Seq[String] = Seq.empty,
-    colMap: Map[String, String] = Map.empty) extends DataWriterFactory {
+    colMap: Map[String, String] = Map.empty,
+    bloomCols: Seq[String] = Seq.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // attempt-unique name: a retried or speculative attempt of the same
     // partition writes a different file; only the attempt whose message
@@ -2404,8 +2562,9 @@ class ManifestWriterFactory(rootStr: String, schema: StructType,
     val prefix = s"data-p$partitionId-t$taskId"
     if (partCols.isEmpty)
       new ManifestDataWriter(rootStr, schema,
-        s"$prefix-${java.util.UUID.randomUUID()}.parquet", colMap = colMap)
-    else new PartitionedDataWriter(rootStr, schema, partCols, prefix, colMap)
+        s"$prefix-${java.util.UUID.randomUUID()}.parquet", colMap = colMap,
+        bloomCols = bloomCols)
+    else new PartitionedDataWriter(rootStr, schema, partCols, prefix, colMap, bloomCols)
   }
 }
 
@@ -2418,7 +2577,8 @@ class ManifestWriterFactory(rootStr: String, schema: StructType,
   * local write), not the expected steady state. */
 class PartitionedDataWriter(rootStr: String, schema: StructType,
     partCols: Seq[String], namePrefix: String,
-    colMap: Map[String, String] = Map.empty) extends DataWriter[InternalRow] {
+    colMap: Map[String, String] = Map.empty,
+    bloomCols: Seq[String] = Seq.empty) extends DataWriter[InternalRow] {
   private val idx: Seq[(Int, DataType)] = partCols.map { c =>
     val i = schema.fieldIndex(c); (i, schema.fields(i).dataType)
   }
@@ -2442,7 +2602,7 @@ class PartitionedDataWriter(rootStr: String, schema: StructType,
     writers.getOrElseUpdate(key,
       new ManifestDataWriter(rootStr, schema,
         s"$namePrefix-${java.util.UUID.randomUUID()}.parquet",
-        partCols.zip(key).toMap, colMap)).write(record)
+        partCols.zip(key).toMap, colMap, bloomCols)).write(record)
   }
 
   override def commit(): WriterCommitMessage =
@@ -2469,12 +2629,13 @@ class PartitionedDataWriter(rootStr: String, schema: StructType,
   * path upstream) pass through untouched. */
 class ManifestReplaceWriterFactory(rootStr: String, schema: StructType,
     partCols: Seq[String] = Seq.empty,
-    colMap: Map[String, String] = Map.empty) extends DataWriterFactory {
+    colMap: Map[String, String] = Map.empty,
+    bloomCols: Seq[String] = Seq.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // partitioned tables fan out per partition tuple here too — an
     // UPDATE that changes a partition column's value moves the row to
     // its new partition naturally (the writer keys on ROW values)
-    val inner = new ManifestWriterFactory(rootStr, schema, partCols, colMap)
+    val inner = new ManifestWriterFactory(rootStr, schema, partCols, colMap, bloomCols)
       .createWriter(partitionId, taskId)
     new DataWriter[InternalRow] {
       private val shifted = new ShiftedInternalRow(1)
@@ -2547,7 +2708,8 @@ private[sources] class ShiftedInternalRow(offset: Int) extends InternalRow {
   * ranges for row-group-level use by the vectorized reader). */
 class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
     parts: Map[String, String] = Map.empty,
-    colMap: Map[String, String] = Map.empty)
+    colMap: Map[String, String] = Map.empty,
+    bloomCols: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
   private val root = Paths.get(rootStr)
   private var rows = 0L
@@ -2560,6 +2722,15 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
   }
   private val mins = scala.collection.mutable.Map.empty[String, Long]
   private val maxs = scala.collection.mutable.Map.empty[String, Long]
+  // per-file bloom over each configured STRING column's values —
+  // collected inline like the min/max stats, one Array[Long] per column
+  private val bloomAt: Seq[(String, Int, Array[Long])] =
+    bloomCols.flatMap { c =>
+      schema.fields.zipWithIndex.collectFirst {
+        case (f, i) if f.name == c && f.dataType == StringType =>
+          (c, i, new Array[Long](ManifestSink.BloomBits / 64))
+      }
+    }
   private lazy val out = {
     Files.createDirectories(root)
     // data files carry PHYSICAL column names — immutable across renames
@@ -2575,10 +2746,15 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
         maxs.updateWith(f.name)(o => Some(o.fold(v)(math.max(_, v))))
       }
     }
+    bloomAt.foreach { case (_, i, bits) =>
+      if (!record.isNullAt(i))
+        ManifestSink.bloomAdd(bits, record.getUTF8String(i).toString)
+    }
   }
   override def commit(): WriterCommitMessage = {
     out.close() // forces creation even for an empty task: footer-only file
-    ManifestCommit(fileName, rows, mins.toMap, maxs.toMap, parts)
+    ManifestCommit(fileName, rows, mins.toMap, maxs.toMap, parts,
+      bloomAt.map { case (c, _, bits) => c -> ManifestSink.bloomEncode(bits) }.toMap)
   }
   override def abort(): Unit = {
     try out.close() catch { case _: Throwable => () }
@@ -2677,6 +2853,12 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
     * fully handled — exactly parquet's row-group-stats contract. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     skipFilters = filters.filter {
+      // string equality/IN prunes via per-file blooms (and partition
+      // tuples); non-bloom columns stay conservative inside mayMatch
+      case EqualTo(_, _: String) => true
+      case org.apache.spark.sql.sources.EqualNullSafe(_, _: String) => true
+      case org.apache.spark.sql.sources.In(_, vs)
+        if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) => true
       case EqualTo(_, v: Long) => true
       case EqualTo(_, v: Int) => true
       case GreaterThan(_, v: Long) => true

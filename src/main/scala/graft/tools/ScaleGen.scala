@@ -86,6 +86,19 @@ object ScaleGen {
       col("l_discount"), col("l_tax"), col("l_returnflag"), col("l_linestatus"),
       col("l_shipdate")), "lineitem", 32)
 
+    // ---- events: tile USERS, keep the time axis ---------------------------
+    // traffic scales as more concurrent users over the same window —
+    // which is how sessionization and windowed aggregates actually grow —
+    // so event/user ids shift per copy and timestamps stay put
+    val ev = read("events")
+    val nEvents = ev.agg(max("event_id")).head.getLong(0) + 1
+    val nUsers = ev.agg(max("user_id")).head.getLong(0) + 1
+    write(tiled("events").select(
+      (col("event_id") + col("copy") * nEvents).as("event_id"),
+      col("ts"),
+      (col("user_id") + col("copy") * nUsers).as("user_id"),
+      col("event_type"), col("value"), col("props")), "events", 16)
+
     // ---- documents: per-copy vocabulary rotation --------------------------
     val docs = read("documents")
     val nDocs = docs.agg(max("doc_id")).head.getLong(0) + 1
