@@ -66,15 +66,21 @@ object DedupOps {
       dfCap: Int = SubstrDfCap): DataFrame = {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= w)
-    // one row per (doc, window start): `of` maps the joined window text,
-    // so the corpus pass emits 8-byte hashes and the candidate-only
-    // verification pass emits the text itself
+    // one row per (doc, window start); the candidate-only verification
+    // pass emits the window TEXT
     def windows(tt: DataFrame, of: Column => Column): DataFrame =
       tt.select(col("doc_id"),
           posexplode(transform(sequence(lit(1), size(col("t")) - lit(w - 1)),
             i => of(array_join(slice(col("t"), i, lit(w)), " ")))))
         .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("wval"))
-    val wins = windows(toks, xxhash64(_))
+    // the CORPUS pass hashes every window via the fused byte-span
+    // kernel (WindowHashesExpr): bit-equal to
+    // xxhash64(array_join(slice(tokens, i, w), ' ')) but with zero
+    // copies — no token array, no per-window string build. Short docs
+    // yield an empty array, so no pre-filter scan is needed.
+    val wins = docs.select(col("doc_id"),
+        posexplode(graft.plans.WindowHashesExpr.windowHashes(col("text"), w)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("wval"))
     val keepHashes = wins.groupBy("wval")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= dfCap)
