@@ -143,6 +143,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       require(f.get.dataType == StringType,
         s"bloom.columns supports STRING columns; $c is ${f.get.dataType.simpleString}")
     }
+    // TBLPROPERTIES ('write.sort-by' = 'c1,c2'): appends request range
+    // distribution + in-task ordering on these columns, so files carry
+    // tight, mostly-disjoint min/max ranges from the first write
+    val sortCols = Option(properties.get("write.sort-by"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    sortCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"write.sort-by names unknown column $c"))
     val p = tablePath(ident)
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
     Files.createDirectories(p)
@@ -152,7 +160,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // to exactly one winner
     ManifestSink.publishCommit(p, schema, truncateFirst = true, Seq.empty,
       markerUpdate = None, GcPolicy(None, 3600L * 1000), createPartCols = partCols,
-      createDeleteMode = deleteMode, createBloomCols = bloomCols)
+      createDeleteMode = deleteMode, createBloomCols = bloomCols,
+      createSortCols = sortCols)
     new ManifestTable(p, schema)
   }
 

@@ -592,6 +592,30 @@ object ManifestSink {
       .getOrElse(Seq.empty)
   }
 
+  /** Table-level write-ordering column list, one manifest header line —
+    * `#sortcols<TAB>c1,c2`. Set at CREATE (TBLPROPERTIES
+    * `write.sort-by`); appends request a RANGE distribution + in-task
+    * sort on these columns from Spark, so per-file min/max ranges come
+    * out tight (disjoint for a lone write) and range predicates prune
+    * files from day one — clustering at WRITE time instead of a later
+    * OPTIMIZE ZORDER pass. Advisory: a write that cannot shuffle (single
+    * local task) still succeeds with whatever ranges it gets. */
+  private val SortColsPrefix = "#sortcols\t"
+
+  private[sources] def sortColsLine(cols: Seq[String]): Option[String] =
+    if (cols.isEmpty) None else Some(SortColsPrefix + cols.map(urlEnc).mkString(","))
+
+  private[sources] def sortColumns(root: Path,
+      pinned: Option[Long] = None): Seq[String] = {
+    val v = resolveVersion(root, pinned)
+    if (v == 0L) Seq.empty
+    else Files.readString(manifestAt(root, v)).linesIterator.drop(1)
+      .find(_.startsWith(SortColsPrefix))
+      .map(_.stripPrefix(SortColsPrefix).split(",").toSeq
+        .filter(_.nonEmpty).map(urlDec))
+      .getOrElse(Seq.empty)
+  }
+
   /** Table-level row-delete strategy, one manifest header line —
     * `#deletemode<TAB>merge-on-read`. Set at CREATE (TBLPROPERTIES
     * `delete.mode`), carried by every publish like the partition spec.
@@ -825,14 +849,15 @@ object ManifestSink {
       colMap: Map[String, String] = Map.empty,
       schemaEpoch: Long = 0L,
       deleteMode: String = DeleteModeCow,
-      bloomCols: Seq[String] = Seq.empty) {
+      bloomCols: Seq[String] = Seq.empty,
+      sortCols: Seq[String] = Seq.empty) {
     /** Non-entry, non-schema header lines every publisher carries:
       * partition spec, column mapping, schema epoch, delete mode,
-      * bloom columns, stream markers. */
+      * bloom columns, write ordering, stream markers. */
     def metaLines: Seq[String] =
       partColsLine(partCols).toSeq ++ colMapLine(colMap).toSeq ++
         schemaEpochLine(schemaEpoch).toSeq ++ deleteModeLine(deleteMode).toSeq ++
-        bloomColsLine(bloomCols).toSeq ++
+        bloomColsLine(bloomCols).toSeq ++ sortColsLine(sortCols).toSeq ++
         markers.toSeq.sortBy(_._1).map((markerLine _).tupled)
   }
 
@@ -858,6 +883,10 @@ object ManifestSink {
         lines.tail.find(_.startsWith(BloomColsPrefix))
           .map(_.stripPrefix(BloomColsPrefix).split(",").toSeq
             .filter(_.nonEmpty).map(urlDec))
+          .getOrElse(Seq.empty),
+        lines.tail.find(_.startsWith(SortColsPrefix))
+          .map(_.stripPrefix(SortColsPrefix).split(",").toSeq
+            .filter(_.nonEmpty).map(urlDec))
           .getOrElse(Seq.empty))
     } else {
       val schema =
@@ -878,7 +907,8 @@ object ManifestSink {
       markerUpdate: Option[(String, Long)], gc: GcPolicy,
       createPartCols: Seq[String] = Seq.empty,
       createDeleteMode: String = DeleteModeCow,
-      createBloomCols: Seq[String] = Seq.empty): Unit = {
+      createBloomCols: Seq[String] = Seq.empty,
+      createSortCols: Seq[String] = Seq.empty): Unit = {
     Files.createDirectories(root)
     // APPEND-ONLY commits retry on a lost CAS by REBASING: an append's
     // file set is disjoint from any concurrent commit's by construction
@@ -931,7 +961,8 @@ object ManifestSink {
       val meta = st.copy(markers = st.markers ++ markerUpdate,
         partCols = if (st.version > 0L) st.partCols else createPartCols,
         deleteMode = if (st.version > 0L) st.deleteMode else createDeleteMode,
-        bloomCols = if (st.version > 0L) st.bloomCols else createBloomCols).metaLines
+        bloomCols = if (st.version > 0L) st.bloomCols else createBloomCols,
+        sortCols = if (st.version > 0L) st.sortCols else createSortCols).metaLines
       // schema line + meta + entries publish as ONE atomic unit
       try {
         publish(root, base,
@@ -1079,6 +1110,7 @@ object ManifestSink {
       var partCols = st.partCols
       var entries = st.entries
       var bloomCols = st.bloomCols
+      var sortCols = st.sortCols
       val newEpoch = st.schemaEpoch + 1
 
       def single(names: Array[String], what: String): String = {
@@ -1111,6 +1143,7 @@ object ManifestSink {
             if (f.name == from) f.copy(name = to) else f))
           partCols = partCols.map(c => if (c == from) to else c)
           bloomCols = bloomCols.map(c => if (c == from) to else c)
+          sortCols = sortCols.map(c => if (c == from) to else c)
           entries = entries.map(e => e.copy(
             mins = renameKeys(e.mins, from, to),
             maxs = renameKeys(e.maxs, from, to),
@@ -1124,6 +1157,7 @@ object ManifestSink {
           colMap -= name
           schema = StructType(schema.fields.filterNot(_.name == name))
           bloomCols = bloomCols.filterNot(_ == name)
+          sortCols = sortCols.filterNot(_ == name)
           entries = entries.map(e =>
             e.copy(mins = e.mins - name, maxs = e.maxs - name,
               blooms = e.blooms - name))
@@ -1134,7 +1168,7 @@ object ManifestSink {
       colMap = colMap.filter { case (k, v) => k != v }
       val meta = st.copy(schema = Some(schema), partCols = partCols,
         colMap = colMap, schemaEpoch = newEpoch, entries = entries,
-        bloomCols = bloomCols).metaLines
+        bloomCols = bloomCols, sortCols = sortCols).metaLines
       try {
         publish(root, st.version,
           ((schema.json +: meta) ++ entries.map(entryLine)).mkString("\n"))
@@ -2348,6 +2382,7 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
     val pc = partCols // resolve once, on the driver
     val cmap = ManifestSink.columnMapping(root)
     val bc = ManifestSink.bloomColumns(root)
+    val sc = ManifestSink.sortColumns(root)
     new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
       import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
       import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
@@ -2358,9 +2393,23 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
       // that doesn't. Advisory (not strictly required): a single-task
       // local write must not force a shuffle.
       override def requiredDistribution(): Distribution =
-        if (pc.isEmpty) Distributions.unspecified()
-        else Distributions.clustered(pc.map(c => Expressions.identity(c)).toArray)
-      override def requiredOrdering(): Array[SortOrder] = Array.empty
+        if (pc.nonEmpty)
+          Distributions.clustered(pc.map(c => Expressions.identity(c)).toArray)
+        else if (sc.nonEmpty)
+          // write.sort-by on an unpartitioned table: RANGE-distribute by
+          // the sort key so tasks own disjoint key ranges — per-file
+          // min/max come out tight and range predicates prune from the
+          // first append, no OPTIMIZE pass needed
+          Distributions.ordered(sc.map(c =>
+            Expressions.sort(Expressions.column(c),
+              org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray)
+        else Distributions.unspecified()
+      override def requiredOrdering(): Array[SortOrder] =
+        // in-task sort on the configured columns (after the partition
+        // clustering when both are set): rows inside each file are
+        // key-ordered, which parquet row-group stats reward too
+        sc.map(c => Expressions.sort(Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
       override def distributionStrictlyRequired(): Boolean = false
       override def toBatch: BatchWrite =
         new ManifestBatchWrite(root, schema, truncateFirst, gc, pc,
