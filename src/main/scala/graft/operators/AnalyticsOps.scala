@@ -46,7 +46,62 @@ object AnalyticsOps {
   /** q118 stop-gram threshold: grams in more names than this block nothing. */
   val MaxGramDf = 50
 
+  /** q135 resample grid step: one day, in microseconds. */
+  val ResampleStepUs = 86400000000L
+
   val queries: Map[String, Q] = Map(
+    // Time-series resampling with linear interpolation: each user's
+    // value series re-sampled onto a daily grid between their first and
+    // last event, gap-filled by interpolating between the bracketing
+    // events. The classic gap-fill idiom — union the grid points with
+    // the event anchors, then per-user ordered windows carry the
+    // previous/next anchor to every grid row — so the whole operator is
+    // two keyed window passes: as parallel as the user key space, no
+    // joins, no per-gap loops. Interpolation is integer (basis points ×
+    // millisecond deltas, Long-safe for month-long gaps) so the oracle
+    // matches bit-for-bit.
+    "q135_resample_interpolate" -> ((s, dir) => {
+      val step = ResampleStepUs
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("ts_us"),
+          round(col("value") * 10000).cast("long").as("v_bp"))
+        .groupBy("user_id", "ts_us").agg(max(col("v_bp")).as("v_bp"))
+      val grid = ev.groupBy("user_id")
+        .agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+        .select(col("user_id"),
+          expr(s"(lo + ${step - 1}) div $step").as("d0"),
+          expr(s"hi div $step").as("d1"))
+        .filter(col("d0") <= col("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("d"))
+        .select(col("user_id"), (col("d") * step).as("t"))
+      val allRows = ev.select(col("user_id"), col("ts_us").as("t"),
+          col("v_bp"), lit(0).as("is_grid"))
+        .unionByName(grid.select(col("user_id"), col("t"),
+          lit(null).cast("long").as("v_bp"), lit(1).as("is_grid")))
+      // anchors sort BEFORE a grid point at the same timestamp, so a
+      // grid row landing exactly on an event reads that event's value
+      val back = Window.partitionBy("user_id").orderBy(col("t"), col("is_grid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy("user_id").orderBy(col("t"), col("is_grid"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val anchorV = when(col("is_grid") === 0, col("v_bp"))
+      val anchorT = when(col("is_grid") === 0, col("t"))
+      allRows
+        .withColumn("pv", last(anchorV, ignoreNulls = true).over(back))
+        .withColumn("pt", last(anchorT, ignoreNulls = true).over(back))
+        .withColumn("nv", first(anchorV, ignoreNulls = true).over(fwd))
+        .withColumn("nt", first(anchorT, ignoreNulls = true).over(fwd))
+        .filter(col("is_grid") === 1)
+        .select(col("user_id"), col("t").as("g_us"),
+          when(col("pt") === col("t"), col("pv"))
+            .when(expr("(nt - pt) div 1000") === 0L, col("pv"))
+            .otherwise(expr(
+              "(pv * ((nt - t) div 1000) + nv * ((t - pt) div 1000)) div ((nt - pt) div 1000)"))
+            .as("v_bp"))
+        .orderBy("user_id", "g_us")
+    }),
+
     // gap-based sessionization: a new session starts when the gap from
     // the previous event exceeds the timeout; session index = running
     // count of session starts. Both windows partition by user — the
@@ -292,6 +347,40 @@ object AnalyticsOps {
   // ---- DuckDB oracle ------------------------------------------------------
 
   val oracle: Map[String, String] = Map(
+    "q135_resample_interpolate" -> {
+      val step = ResampleStepUs
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS t,
+         |    max(CAST(round(value * 10000) AS BIGINT)) AS v_bp
+         |  FROM events GROUP BY 1, 2),
+         |b AS (SELECT user_id, min(t) AS lo, max(t) AS hi FROM ev GROUP BY user_id),
+         |grid AS (SELECT user_id, d * $step AS t FROM b,
+         |  unnest(range((lo + ${step - 1}) // $step, hi // $step + 1)) AS u(d)),
+         |allr AS (
+         |  SELECT user_id, t, v_bp, 0 AS is_grid FROM ev
+         |  UNION ALL SELECT user_id, t, NULL, 1 FROM grid),
+         |f AS (SELECT user_id, t, is_grid,
+         |    last_value(CASE WHEN is_grid = 0 THEN v_bp END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY t, is_grid
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |    last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY t, is_grid
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         |    first_value(CASE WHEN is_grid = 0 THEN v_bp END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY t, is_grid
+         |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |    first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+         |      OVER (PARTITION BY user_id ORDER BY t, is_grid
+         |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+         |  FROM allr)
+         |SELECT user_id, t AS g_us,
+         |  CASE WHEN pt = t THEN pv
+         |       WHEN (nt - pt) // 1000 = 0 THEN pv
+         |       ELSE (pv * ((nt - t) // 1000) + nv * ((t - pt) // 1000))
+         |            // ((nt - pt) // 1000)
+         |  END AS v_bp
+         |FROM f WHERE is_grid = 1 ORDER BY user_id, g_us""".stripMargin
+    },
+
     "q109_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
          |g AS (SELECT user_id, event_id, ts_us,
