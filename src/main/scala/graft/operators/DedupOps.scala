@@ -62,25 +62,36 @@ object DedupOps {
     * are, by construction, corpus-common rather than pairwise-copied.
     * Text re-windowing for the exact-equality guard touches candidate
     * docs only, via the size-gated id join. */
+  /** One row per (doc, 1-based window start) with the window's xxhash64
+    * — the CORPUS pass of the substring family, via the fused byte-span
+    * kernel (WindowHashesExpr): bit-equal to
+    * xxhash64(array_join(slice(tokens, i, w), ' ')) with zero copies —
+    * no token array, no per-window string build. Short docs yield an
+    * empty array, so no pre-filter scan is needed. */
+  private def windowHashRows(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(graft.plans.WindowHashesExpr.windowHashes(col("text"), w)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("wval"))
+
+  /** Window TEXT rows — the candidate-bounded verification pass. */
+  private def windowTextRows(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("t")) - lit(w - 1)),
+          i => array_join(slice(col("t"), i, lit(w)), " "))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("wval"))
+
   private[graft] def substringDupPairs(docs: DataFrame, w: Int = SubstrWindow,
       dfCap: Int = SubstrDfCap): DataFrame = {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= w)
-    // one row per (doc, window start); the candidate-only verification
-    // pass emits the window TEXT
     def windows(tt: DataFrame, of: Column => Column): DataFrame =
       tt.select(col("doc_id"),
           posexplode(transform(sequence(lit(1), size(col("t")) - lit(w - 1)),
             i => of(array_join(slice(col("t"), i, lit(w)), " ")))))
         .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("wval"))
-    // the CORPUS pass hashes every window via the fused byte-span
-    // kernel (WindowHashesExpr): bit-equal to
-    // xxhash64(array_join(slice(tokens, i, w), ' ')) but with zero
-    // copies — no token array, no per-window string build. Short docs
-    // yield an empty array, so no pre-filter scan is needed.
-    val wins = docs.select(col("doc_id"),
-        posexplode(graft.plans.WindowHashesExpr.windowHashes(col("text"), w)))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("wval"))
+    val wins = windowHashRows(docs, w)
     val keepHashes = wins.groupBy("wval")
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") <= dfCap)
@@ -485,7 +496,41 @@ object DedupOps {
     // hash-bucket + text-verify scale design.
     "q131_substring_dedup" -> ((s, dir) =>
       substringDupPairs(Tables.documents(s, dir))
-        .orderBy("doc_a", "doc_b")))
+        .orderBy("doc_a", "doc_b")),
+
+    // Cross-corpus VERBATIM decontamination (the substring counterpart
+    // of q104's n-gram-overlap gate; public method: Lee et al. 2022 /
+    // the GPT-3 appendix leakage checks): a training document leaks an
+    // eval document if they share any SubstrWindow-token window. The
+    // join is ASYMMETRIC by design — the eval side is the tiny one, so
+    // its distinct window hashes BROADCAST and the corpus-sized train
+    // side never shuffles for candidate generation; window text is then
+    // verified for candidate train docs only (size-gated id join), so
+    // the result never depends on hash collisions. Per leaked train
+    // doc: distinct leaked windows, first leak position, the earliest
+    // eval doc hit.
+    "q136_substring_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val isEval = col("doc_id") % 5 === 0
+      val train = docs.filter(!isEval)
+      val evalDocs = docs.filter(isEval)
+      val evalHashes = windowHashRows(evalDocs, SubstrWindow)
+        .select("wval").distinct()
+      val cand = windowHashRows(train, SubstrWindow)
+        .join(broadcast(evalHashes), "wval")
+        .select("doc_id", "pos").localCheckpoint()
+      val candDocs = cand.select("doc_id").distinct().localCheckpoint()
+      val trainT = windowTextRows(joinIds(train, candDocs, "doc_id"), SubstrWindow)
+      val evalT = windowTextRows(evalDocs, SubstrWindow)
+        .select(col("doc_id").as("eval_doc"), col("wval"))
+      trainT.join(cand, Seq("doc_id", "pos"))
+        .join(evalT, Seq("wval"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("wval")).as("n_leaked_windows"),
+          min(col("pos")).as("first_pos"),
+          min(col("eval_doc")).as("eval_doc"))
+        .orderBy("doc_id")
+    }))
 
   // ---- DuckDB oracle ------------------------------------------------------
 
@@ -693,5 +738,19 @@ object DedupOps {
          |SELECT doc_a, doc_b, count(*) AS n_hits,
          |  count(DISTINCT w) AS n_windows,
          |  min(pos_a) AS first_a, min(pos_b) AS first_b
-         |FROM hits GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin)
+         |FROM hits GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // train-vs-eval window join stated directly on window text
+    "q136_substring_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+         |  WHERE len(string_split(text,' ')) >= $SubstrWindow),
+         |wins AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         |    list_aggr(t[i:i+${SubstrWindow - 1}], 'string_agg', ' ') AS w
+         |  FROM toks, unnest(range(1, len(t) - ${SubstrWindow - 1} + 1)) AS u(i)),
+         |tw AS (SELECT * FROM wins WHERE doc_id % 5 <> 0),
+         |ew AS (SELECT doc_id AS eval_doc, w FROM wins WHERE doc_id % 5 = 0)
+         |SELECT t.doc_id, count(DISTINCT t.w) AS n_leaked_windows,
+         |  min(t.pos) AS first_pos, min(e.eval_doc) AS eval_doc
+         |FROM tw t JOIN ew e ON t.w = e.w
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
 }
