@@ -1111,7 +1111,14 @@ object ManifestSink {
       var entries = st.entries
       var bloomCols = st.bloomCols
       var sortCols = st.sortCols
-      val newEpoch = st.schemaEpoch + 1
+      var deleteMode0 = st.deleteMode
+      // a property-only ALTER must not bump the schema epoch: non-zero
+      // epoch makes every scan probe per-file footers forever after
+      val schemaChange = changes.exists {
+        case _: TableChange.SetProperty | _: TableChange.RemoveProperty => false
+        case _ => true
+      }
+      val newEpoch = if (schemaChange) st.schemaEpoch + 1 else st.schemaEpoch
 
       def single(names: Array[String], what: String): String = {
         require(names.length == 1,
@@ -1161,14 +1168,54 @@ object ManifestSink {
           entries = entries.map(e =>
             e.copy(mins = e.mins - name, maxs = e.maxs - name,
               blooms = e.blooms - name))
+        // ALTER TABLE ... SET TBLPROPERTIES: the CREATE-time knobs stay
+        // adjustable for the table's whole life. delete.mode switches
+        // strategy for FUTURE deletes (existing DVs keep applying);
+        // bloom.columns affects FUTURE files only (older files lack the
+        // bloom and stay conservative may-match); write.sort-by shapes
+        // the next append's distribution.
+        case sp: TableChange.SetProperty => sp.property match {
+          case "delete.mode" =>
+            require(sp.value == DeleteModeCow || sp.value == DeleteModeMor,
+              s"delete.mode must be '$DeleteModeCow' or '$DeleteModeMor', " +
+                s"got '${sp.value}'")
+            deleteMode0 = sp.value
+          case "bloom.columns" =>
+            val cols = sp.value.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+            cols.foreach { c =>
+              val f = schema.fields.find(_.name == c)
+              require(f.isDefined, s"bloom.columns names unknown column $c")
+              require(f.get.dataType == org.apache.spark.sql.types.StringType,
+                s"bloom.columns supports STRING columns; $c is " +
+                  f.get.dataType.simpleString)
+            }
+            bloomCols = cols
+          case "write.sort-by" =>
+            val cols = sp.value.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+            cols.foreach(c => require(schema.fieldNames.contains(c),
+              s"write.sort-by names unknown column $c"))
+            sortCols = cols
+          case other => throw new UnsupportedOperationException(
+            s"unsupported table property $other (supported: delete.mode, " +
+              "bloom.columns, write.sort-by)")
+        }
+        case rp: TableChange.RemoveProperty => rp.property match {
+          case "delete.mode" => deleteMode0 = DeleteModeCow
+          case "bloom.columns" => bloomCols = Seq.empty
+          case "write.sort-by" => sortCols = Seq.empty
+          case other => throw new UnsupportedOperationException(
+            s"unsupported table property $other (supported: delete.mode, " +
+              "bloom.columns, write.sort-by)")
+        }
         case other => throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change for manifest tables: $other " +
-            "(supported: ADD COLUMN, RENAME COLUMN, DROP COLUMN)")
+            "(supported: ADD/RENAME/DROP COLUMN, SET/UNSET TBLPROPERTIES)")
       }
       colMap = colMap.filter { case (k, v) => k != v }
       val meta = st.copy(schema = Some(schema), partCols = partCols,
         colMap = colMap, schemaEpoch = newEpoch, entries = entries,
-        bloomCols = bloomCols, sortCols = sortCols).metaLines
+        bloomCols = bloomCols, sortCols = sortCols,
+        deleteMode = deleteMode0).metaLines
       try {
         publish(root, st.version,
           ((schema.json +: meta) ++ entries.map(entryLine)).mkString("\n"))
@@ -2239,6 +2286,19 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
     s"manifest($root${pinned.fold("")(v => s"@v$v")}" +
       s"${changes.fold("")(c => s"Δv${c._1}..${if (c._2 < 0) "now" else c._2}")})"
   override def schema(): StructType = schema0
+
+  /** SHOW TBLPROPERTIES / DESCRIBE EXTENDED surface: the live knobs as
+    * recorded in the current manifest (set at CREATE or via ALTER TABLE
+    * SET TBLPROPERTIES). */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("delete.mode", ManifestSink.deleteMode(root))
+    val bc = ManifestSink.bloomColumns(root, pinned)
+    if (bc.nonEmpty) m.put("bloom.columns", bc.mkString(","))
+    val sc = ManifestSink.sortColumns(root, pinned)
+    if (sc.nonEmpty) m.put("write.sort-by", sc.mkString(","))
+    m
+  }
 
   /** Identity partitioning, reported so Spark routes `INSERT OVERWRITE`
     * through dynamic/static PARTITION overwrite instead of truncate, and
