@@ -76,6 +76,47 @@ object PipelineOps {
         .orderBy("lang", "rn")
     }),
 
+    // Temperature-based corpus mixing (public method: the multilingual
+    // sampling rule of XLM-R / mBERT — sample language l proportional to
+    // N_l^(1/T); T=2 here, i.e. sqrt, which upweights low-resource
+    // languages against the head). Quotas are derived from EXACT integer
+    // square roots (double sqrt corrected by ±1 so both engines agree at
+    // perfect-square boundaries), the budget is half the corpus, and
+    // selection within a language is the deterministic md5-hash ranking
+    // (q79's reproducible-sample idiom, a WindowGroupLimit plan). Output
+    // is the per-language mixing ledger: corpus count, quota, sampled
+    // count, and the before/after shares in basis points.
+    "q137_temperature_mix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // exact isqrt: start from the double sqrt, correct the boundary
+      def isqrt(n: org.apache.spark.sql.Column) = {
+        val s0 = floor(sqrt(n.cast("double"))).cast("long")
+        val down = when(s0 * s0 > n, s0 - 1).otherwise(s0)
+        when((down + 1) * (down + 1) <= n, down + 1).otherwise(down)
+      }
+      val stats = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", isqrt(col("n_docs")))
+      val tot = stats.agg(sum(col("n_docs")).as("total"), sum(col("w")).as("wsum"))
+      val quotas = stats.crossJoin(broadcast(tot))
+        .withColumn("quota", expr("(total div 2) * w div wsum"))
+        .select("lang", "n_docs", "quota", "total")
+      val rankW = Window.partitionBy("lang").orderBy(col("hk"), col("doc_id"))
+      val sampled = docs
+        .select(col("doc_id"), col("lang"),
+          md5Code60(concat(lit("mix:"), col("doc_id").cast("string"))).as("hk"))
+        .withColumn("rn", row_number().over(rankW))
+        .join(broadcast(quotas), "lang")
+        .filter(col("rn") <= col("quota"))
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+      val mixTot = sampled.agg(sum(col("n_sampled")).as("mix_total"))
+      quotas.join(sampled, "lang")
+        .crossJoin(broadcast(mixTot))
+        .select(col("lang"), col("n_docs"), col("quota"), col("n_sampled"),
+          expr("n_docs * 10000 div total").as("orig_bp"),
+          expr("n_sampled * 10000 div mix_total").as("mix_bp"))
+        .orderBy("lang")
+    }),
+
     // Repetition-based quality gate (the MassiveText/Gopher rule family):
     // top1_bp = fraction of tokens that are the single most frequent
     // token; dup_bg_bp = fraction of bigrams that are repeats. Both in
@@ -270,6 +311,32 @@ object PipelineOps {
          |    row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
          |  FROM (SELECT lang, doc_id, $hk AS hk FROM documents))
          |WHERE rn <= $SampleCap ORDER BY lang, rn""".stripMargin
+    },
+
+    "q137_temperature_mix" -> {
+      val hk = md5Code60Sql("'mix:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH st AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |w0 AS (SELECT lang, n_docs,
+         |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS s0 FROM st),
+         |w1 AS (SELECT lang, n_docs,
+         |    CASE WHEN s0 * s0 > n_docs THEN s0 - 1 ELSE s0 END AS d FROM w0),
+         |ws AS (SELECT lang, n_docs,
+         |    CASE WHEN (d + 1) * (d + 1) <= n_docs THEN d + 1 ELSE d END AS w FROM w1),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+         |    CAST(sum(w) AS BIGINT) AS wsum FROM ws),
+         |q AS (SELECT lang, n_docs, (total // 2) * w // wsum AS quota, total
+         |  FROM ws, tot),
+         |r AS (SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang ORDER BY $hk, doc_id) AS rn
+         |  FROM documents),
+         |smp AS (SELECT r.lang, count(*) AS n_sampled
+         |  FROM r JOIN q ON q.lang = r.lang WHERE r.rn <= q.quota GROUP BY r.lang),
+         |mt AS (SELECT CAST(sum(n_sampled) AS BIGINT) AS mix_total FROM smp)
+         |SELECT q.lang, q.n_docs, q.quota, smp.n_sampled,
+         |  q.n_docs * 10000 // q.total AS orig_bp,
+         |  smp.n_sampled * 10000 // mt.mix_total AS mix_bp
+         |FROM q JOIN smp ON smp.lang = q.lang, mt
+         |ORDER BY q.lang""".stripMargin
     },
 
     "q80_repetition_filter" ->
