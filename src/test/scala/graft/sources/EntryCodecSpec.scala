@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import ManifestSink.FileEntry
+
+/** Round-trip property of the manifest entry line codec across every
+  * combination of optional trailing fields (deletion vector, blooms) —
+  * the dv slot must hold its position when blooms follow it, and legacy
+  * 5-field lines must still parse. */
+class EntryCodecSpec extends AnyFunSuite {
+
+  private def rt(e: FileEntry): Unit =
+    assert(ManifestSink.parseEntryLine(ManifestSink.entryLine(e)) == e,
+      s"line: ${ManifestSink.entryLine(e)}")
+
+  test("entry line round-trips every optional-field combination") {
+    val base = FileEntry("data-x.parquet", 42L,
+      Map("id" -> 1L, "v" -> -7L), Map("id" -> 9L, "v" -> 100L),
+      Map("grp" -> "a b", "day" -> "2024-01-01"))
+    val bloom = {
+      val bits = new Array[Long](ManifestSink.BloomBits / 64)
+      ManifestSink.bloomAdd(bits, "hello")
+      ManifestSink.bloomEncode(bits) // base64 — may contain '=' padding
+    }
+    rt(base)
+    rt(base.copy(dvName = Some("dv-123.txt"), dvRows = 5L))
+    rt(base.copy(blooms = Map("cat" -> bloom, "s rc" -> bloom)))
+    rt(base.copy(dvName = Some("dv-123.txt"), dvRows = 5L,
+      blooms = Map("cat" -> bloom)))
+    rt(FileEntry("f.tsv", 0L, Map.empty, Map.empty))
+  }
+
+  test("legacy 5-field and 2-field lines still parse") {
+    assert(ManifestSink.parseEntryLine("old.parquet\t10\tid:1\tid:9\t") ==
+      FileEntry("old.parquet", 10L, Map("id" -> 1L), Map("id" -> 9L)))
+    assert(ManifestSink.parseEntryLine("old.tsv\t3") ==
+      FileEntry("old.tsv", 3L, Map.empty, Map.empty))
+  }
+
+  test("bloom membership survives the encode/decode round trip") {
+    val bits = new Array[Long](ManifestSink.BloomBits / 64)
+    Seq("alpha", "beta", "x=y,z").foreach(ManifestSink.bloomAdd(bits, _))
+    val b64 = ManifestSink.bloomEncode(bits)
+    val e = FileEntry("f.parquet", 1L, Map.empty, Map.empty,
+      blooms = Map("c" -> b64))
+    val back = ManifestSink.parseEntryLine(ManifestSink.entryLine(e))
+    Seq("alpha", "beta", "x=y,z").foreach(v =>
+      assert(ManifestSink.bloomMayContain(back.blooms("c"), v)))
+    assert(!ManifestSink.bloomMayContain(back.blooms("c"), "absent-value"))
+  }
+}
