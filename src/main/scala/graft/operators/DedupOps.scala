@@ -84,13 +84,6 @@ object DedupOps {
 
   private[graft] def substringDupPairs(docs: DataFrame, w: Int = SubstrWindow,
       dfCap: Int = SubstrDfCap): DataFrame = {
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("t"))
-      .filter(size(col("t")) >= w)
-    def windows(tt: DataFrame, of: Column => Column): DataFrame =
-      tt.select(col("doc_id"),
-          posexplode(transform(sequence(lit(1), size(col("t")) - lit(w - 1)),
-            i => of(array_join(slice(col("t"), i, lit(w)), " ")))))
-        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("wval"))
     val wins = windowHashRows(docs, w)
     val keepHashes = wins.groupBy("wval")
       .agg(countDistinct(col("doc_id")).as("df"))
@@ -108,7 +101,7 @@ object DedupOps {
     val candDocs = hits.select(col("doc_a").as("doc_id"))
       .union(hits.select(col("doc_b").as("doc_id")))
       .distinct().localCheckpoint()
-    val candWins = windows(joinIds(toks, candDocs, "doc_id"), identity)
+    val candWins = windowTextRows(joinIds(docs, candDocs, "doc_id"), w)
     hits
       .join(candWins.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
         col("wval").as("w_a")), Seq("doc_a", "pos_a"))

@@ -121,8 +121,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         s"manifest tables support only identity partition transforms, got $t")
       t.references()(0).fieldNames()(0)
     }.toSeq
-    partCols.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column $c is not in the table schema"))
+    partCols.foreach { c =>
+      val f = schema.fields.find(_.name == c)
+      require(f.isDefined, s"partition column $c is not in the table schema")
+      // the partition-value codec (writer fan-out, pruning literals,
+      // zorder group filters) covers exactly these types — reject the
+      // rest at CREATE instead of failing every subsequent INSERT
+      val ok = Set[org.apache.spark.sql.types.DataType](
+        LongType, IntegerType, StringType, BooleanType,
+        org.apache.spark.sql.types.DoubleType)
+      require(ok(f.get.dataType),
+        s"partition column $c has unsupported type ${f.get.dataType.simpleString} " +
+          "(supported: BIGINT, INT, STRING, BOOLEAN, DOUBLE)")
+    }
     ManifestSink.requireSafeColumnNames(schema)
     // TBLPROPERTIES ('delete.mode' = 'merge-on-read'): row deletes write
     // positional deletion vectors instead of copy-on-write rewrites

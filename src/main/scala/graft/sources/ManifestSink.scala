@@ -681,19 +681,31 @@ object ManifestSink {
   /** EXACT partition-tuple evaluation of a pushed V1 filter: Some(true/
     * false) when every referenced column is a partition column of `parts`
     * and the shape is decidable; None otherwise (caller falls back to
-    * stats may-match). Range shapes compare numerically when both sides
-    * parse as Long (date-like `p = 20240101` layouts), else lexically. */
+    * stats may-match). Comparison SEMANTICS follow the LITERAL's runtime
+    * type — in a typed pushed predicate the literal's type IS the
+    * column's SQL type — so a STRING partition column holding
+    * numeric-looking values compares as a string ('7' > '10' is TRUE),
+    * never numerically, and DOUBLE columns compare as doubles, never
+    * lexically. An exact-but-wrong decision here is not a missed
+    * optimization: callers drop files from scans and delete whole files
+    * metadata-only on its word. A stored value that does not parse under
+    * the literal's type answers None (undecidable), never a guess. */
   private[sources] def evalPartFilter(f: org.apache.spark.sql.sources.Filter,
       parts: Map[String, String]): Option[Boolean] = {
     import org.apache.spark.sql.sources._
     def pv(c: String): Option[String] = parts.get(c)
     def cmpPart(c: String, v: Any)(p: Int => Boolean): Option[Boolean] =
-      for { x <- pv(c); if x != NullPartValue; y <- litStr(v) } yield {
-        val n = (x.toLongOption, y.toLongOption) match {
-          case (Some(a), Some(b)) => a.compare(b)
-          case _ => x.compare(y)
+      pv(c).filter(_ != NullPartValue).flatMap { x =>
+        val cmp: Option[Int] = v match {
+          case l: Long => x.toLongOption.map(_.compare(l))
+          case i: Int => x.toLongOption.map(_.compare(i.toLong))
+          case s: String => Some(x.compareTo(s))
+          case u: UTF8String => Some(x.compareTo(u.toString))
+          case d: Double => x.toDoubleOption.map(_.compare(d))
+          case b: Boolean => x.toBooleanOption.map(_.compare(b))
+          case _ => None
         }
-        p(n)
+        cmp.map(p)
       }
     f match {
       case AlwaysTrue() => Some(true)
@@ -914,10 +926,14 @@ object ManifestSink {
     // file set is disjoint from any concurrent commit's by construction
     // (task files are attempt-unique), so re-reading the new table state
     // and re-applying the same entries is always semantics-preserving —
-    // the Delta/Iceberg disjoint-file retry rule. A TRUNCATE read the
-    // table state to decide what to destroy; its loss stays loud
-    // (attempts = 1), as does a compaction's (see [[compact]]).
-    val maxAttempts = if (truncateFirst) 1 else 5
+    // the Delta/Iceberg disjoint-file retry rule, which also means MORE
+    // attempts are strictly safer: under an N-way commit storm one
+    // appender can lose many consecutive races (each loser re-races the
+    // whole survivor pack), so the bound is generous rather than tight.
+    // A TRUNCATE read the table state to decide what to destroy; its
+    // loss stays loud (attempts = 1), as does a compaction's (see
+    // [[compact]]).
+    val maxAttempts = if (truncateFirst) 1 else 20
     var attempt = 0
     var published: Option[StructType] = None
     while (published.isEmpty) {
@@ -1043,9 +1059,17 @@ object ManifestSink {
       case Some(parts) => parts.contains(e.parts)
       // static mode: a filter UNDECIDABLE on the partition tuple would
       // make the overwrite's victim set depend on row data we refuse to
-      // read here — the write builder rejects those shapes up front, so
-      // getOrElse(false) can only keep extra files, never drop wrong ones
-      case None => filters.forall(f => evalPartFilter(f, e.parts).getOrElse(false))
+      // read here. The write builder's reference check does not cover
+      // SHAPE (e.g. StringStartsWith over a partition column passes it),
+      // so an undecidable evaluation must FAIL the statement — silently
+      // keeping the file would turn the overwrite into an append and
+      // double the partition's data.
+      case None => filters.forall { f =>
+        evalPartFilter(f, e.parts).getOrElse(throw new IllegalArgumentException(
+          s"static partition overwrite filter $f is not decidable from " +
+            s"partition values ${e.parts} — use equality/IN/null filters " +
+            "on partition columns, or dynamic overwrite mode"))
+      }
     }
     var attempt = 0
     var done = false
@@ -1134,6 +1158,12 @@ object ManifestSink {
           require(!schema.fieldNames.contains(name), s"column $name already exists")
           require(a.isNullable,
             s"ADD COLUMN $name must be nullable: existing rows have no value for it")
+          // honest failure beats silent misplacement: columns append at
+          // the END (per-file reconciliation is name-keyed, not
+          // position-keyed), so FIRST/AFTER cannot be honored
+          require(a.position() == null,
+            s"ADD COLUMN $name FIRST/AFTER is not supported — manifest " +
+              "tables append new columns at the end of the schema")
           requireSafeColumnNames(StructType(Seq(StructField(name, a.dataType))))
           colMap += name -> s"${name}_e$newEpoch"
           schema = StructType(schema.fields :+
@@ -1433,6 +1463,13 @@ object ManifestSink {
     import org.apache.spark.sql.functions._
     require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
     require(zorderBy.nonEmpty, "ZORDER BY needs at least one column")
+    // 16 bits per column interleave into ONE Long key: a 5th column
+    // would need bit positions >= 64, and Scala's shift silently wraps
+    // (count & 63) — the "clustered" layout would interleave garbage
+    // while reporting success
+    require(zorderBy.length <= 4,
+      s"ZORDER BY supports at most 4 columns (16 bits each in a 64-bit " +
+        s"Morton key); got ${zorderBy.length}")
     val root = Paths.get(tablePath)
     val st = readState(root)
     require(st.version > 0L,
@@ -1459,10 +1496,17 @@ object ManifestSink {
     def zExpr: org.apache.spark.sql.Column = {
       val scaled = ranges.map { case (c, lo, hi) =>
         // (v - lo) * 65535 div span, clamped — INTEGER arithmetic only
-        // (a double division would drift on wide domains)
+        // (a double division would drift on wide domains). A span wider
+        // than Long.Max/65535 would overflow the multiply and clamp
+        // every row to 0 (degenerating the sort), so wide domains are
+        // pre-shifted: dropping the same low bits from value and span
+        // preserves the 16-bit bucket to within one bucket, which is
+        // all a space-filling curve needs.
         val span = math.max(1L, hi - lo)
+        val shift = math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(span) - 47)
+        val sspan = math.max(1L, span >> shift)
         least(lit(((1L << bits) - 1)), greatest(lit(0L),
-          expr(s"((`$c` - ${lo}L) * ${(1L << bits) - 1}) div ${span}L")))
+          expr(s"(shiftright(`$c` - ${lo}L, $shift) * ${(1L << bits) - 1}) div ${sspan}L")))
       }
       (0 until bits).flatMap { i =>
         scaled.zipWithIndex.map { case (s, j) =>
@@ -2291,12 +2335,13 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
     * recorded in the current manifest (set at CREATE or via ALTER TABLE
     * SET TBLPROPERTIES). */
   override def properties(): util.Map[String, String] = {
+    // one read, and PINNED: a time-traveled table must report that
+    // version's settings, not a mix of pinned and current
+    val st = ManifestSink.readState(root, pinned)
     val m = new util.HashMap[String, String]()
-    m.put("delete.mode", ManifestSink.deleteMode(root))
-    val bc = ManifestSink.bloomColumns(root, pinned)
-    if (bc.nonEmpty) m.put("bloom.columns", bc.mkString(","))
-    val sc = ManifestSink.sortColumns(root, pinned)
-    if (sc.nonEmpty) m.put("write.sort-by", sc.mkString(","))
+    m.put("delete.mode", st.deleteMode)
+    if (st.bloomCols.nonEmpty) m.put("bloom.columns", st.bloomCols.mkString(","))
+    if (st.sortCols.nonEmpty) m.put("write.sort-by", st.sortCols.mkString(","))
     m
   }
 
@@ -2439,10 +2484,14 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
 
   override def build(): Write = {
     ManifestSink.requireSafeColumnNames(schema)
-    val pc = partCols // resolve once, on the driver
-    val cmap = ManifestSink.columnMapping(root)
-    val bc = ManifestSink.bloomColumns(root)
-    val sc = ManifestSink.sortColumns(root)
+    // ONE manifest read resolves every table-structure knob the write
+    // needs — on a 100k-file table the manifest is multi-megabyte, and
+    // per-header accessors would each re-read and re-parse it
+    val st = ManifestSink.readState(root)
+    val pc = st.partCols
+    val cmap = st.colMap
+    val bc = st.bloomCols
+    val sc = st.sortCols
     new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
       import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
       import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
@@ -2895,13 +2944,14 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
   private var skipFilters: Array[Filter] = Array.empty
   private var prunedNames: Option[Set[String]] = None
 
-  private lazy val tableSchema = ManifestSink.readSchema(root, pinned)
-  private lazy val partColsSet: Set[String] =
-    ManifestSink.partitionColumns(root, pinned).toSet
-  private lazy val colMap: Map[String, String] =
-    ManifestSink.columnMapping(root, pinned)
-  private lazy val evolved: Boolean =
-    ManifestSink.schemaEpoch(root, pinned) > 0L
+  // ONE manifest read for all table-structure lookups (schema, partition
+  // spec, column mapping, schema epoch) — not one re-read per accessor
+  private lazy val tableState = ManifestSink.readState(root, pinned)
+  private lazy val tableSchema =
+    tableState.schema.getOrElse(ManifestSink.readSchema(root, pinned))
+  private lazy val partColsSet: Set[String] = tableState.partCols.toSet
+  private lazy val colMap: Map[String, String] = tableState.colMap
+  private lazy val evolved: Boolean = tableState.schemaEpoch > 0L
 
   /** Column pruning: the scan decodes ONLY the requested columns — at
     * the parquet reader for data files (requested-schema projection, so
