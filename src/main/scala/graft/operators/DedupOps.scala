@@ -523,6 +523,23 @@ object DedupOps {
           min(col("pos")).as("first_pos"),
           min(col("eval_doc")).as("eval_doc"))
         .orderBy("doc_id")
+    }),
+
+    // Triangle enumeration over the substring-dup graph — doc triples
+    // PAIRWISE sharing verbatim runs, i.e. copy clusters, not just
+    // pairs. The classic distributed algorithm: edges are already
+    // canonically oriented (a < b), so the wedge join a<b<c emits each
+    // triangle exactly once; at scale this is two equi-joins on doc
+    // ids over the (tiny) verified pair set — the corpus never
+    // re-enters.
+    "q138_dup_triangles" -> ((s, dir) => {
+      val e = substringDupPairs(Tables.documents(s, dir))
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .join(e.select(col("doc_a").as("b"), col("doc_b").as("c")), "b")
+        .join(e.select(col("doc_a").as("a"), col("doc_b").as("c")), Seq("a", "c"))
+        .select("a", "b", "c")
+        .orderBy("a", "b", "c")
     }))
 
   // ---- DuckDB oracle ------------------------------------------------------
@@ -563,6 +580,22 @@ object DedupOps {
        |  ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
        |vp AS (SELECT doc_a, doc_b FROM ($jacSelect) x WHERE x.inter * 2 >= x.uni)""".stripMargin
   }
+
+  /** Shared CTE chain ending in `hits(doc_a, doc_b, pos_a, pos_b, w)` —
+    * the verified shared-window pairs of the substring-dedup family
+    * (q131 aggregates it; q138 builds triangles on it). */
+  private def substrHitsCtes: String =
+    s"""toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+       |  WHERE len(string_split(text,' ')) >= $SubstrWindow),
+       |wins AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+       |    list_aggr(t[i:i+${SubstrWindow - 1}], 'string_agg', ' ') AS w
+       |  FROM toks, unnest(range(1, len(t) - ${SubstrWindow - 1} + 1)) AS u(i)),
+       |keep AS (SELECT w FROM (SELECT w, count(DISTINCT doc_id) AS df
+       |  FROM wins GROUP BY w) WHERE df <= $SubstrDfCap),
+       |hits AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.pos AS pos_a, b.pos AS pos_b, a.w
+       |  FROM wins a JOIN wins b ON a.w = b.w AND a.doc_id < b.doc_id
+       |  WHERE a.w IN (SELECT w FROM keep))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q40_exact_dedup" ->
@@ -717,21 +750,24 @@ object DedupOps {
     // window join stated directly on the window text (DuckDB has no need
     // for the hash-first shuffle optimization); df cap identical
     "q131_substring_dedup" ->
-      s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
-         |  WHERE len(string_split(text,' ')) >= $SubstrWindow),
-         |wins AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
-         |    list_aggr(t[i:i+${SubstrWindow - 1}], 'string_agg', ' ') AS w
-         |  FROM toks, unnest(range(1, len(t) - ${SubstrWindow - 1} + 1)) AS u(i)),
-         |keep AS (SELECT w FROM (SELECT w, count(DISTINCT doc_id) AS df
-         |  FROM wins GROUP BY w) WHERE df <= $SubstrDfCap),
-         |hits AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.pos AS pos_a, b.pos AS pos_b, a.w
-         |  FROM wins a JOIN wins b ON a.w = b.w AND a.doc_id < b.doc_id
-         |  WHERE a.w IN (SELECT w FROM keep))
+      s"""WITH $substrHitsCtes
          |SELECT doc_a, doc_b, count(*) AS n_hits,
          |  count(DISTINCT w) AS n_windows,
          |  min(pos_a) AS first_a, min(pos_b) AS first_b
          |FROM hits GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // oriented-edge triangle enumeration over the substring-dup graph:
+    // doc triples pairwise sharing verbatim runs (copy CLUSTERS, not
+    // just pairs). Edges are canonical (a < b), so each triangle is
+    // produced exactly once by the a<b<c wedge join.
+    "q138_dup_triangles" ->
+      s"""WITH $substrHitsCtes,
+         |p AS (SELECT DISTINCT doc_a, doc_b FROM hits)
+         |SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+         |FROM p e1
+         |JOIN p e2 ON e2.doc_a = e1.doc_b
+         |JOIN p e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+         |ORDER BY a, b, c""".stripMargin,
 
     // train-vs-eval window join stated directly on window text
     "q136_substring_decontaminate" ->
