@@ -96,8 +96,11 @@ object DedupOps {
       .filter(col("doc_a") < col("doc_b"))
       .drop("wval").localCheckpoint() // eager: the candidate set is tiny
     // hash-collision guard: rebuild the window TEXT for candidate docs
-    // only and require true equality — the result never depends on
-    // xxhash64 being collision-free
+    // only and require true equality — PAIR VERIFICATION never depends
+    // on xxhash64 being collision-free. (The df-cap above does, weakly:
+    // it counts df per hash, so a cross-text collision could merge two
+    // windows' df counts past the cap and drop a legitimate run — a
+    // ~2^-64-probability missed candidate, never a false pair.)
     val candDocs = hits.select(col("doc_a").as("doc_id"))
       .union(hits.select(col("doc_b").as("doc_id")))
       .distinct().localCheckpoint()

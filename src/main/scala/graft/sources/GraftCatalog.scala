@@ -329,7 +329,14 @@ object GraftCatalog {
   private[sources] def historyTable(root: Path): Table = {
     val cur = ManifestSink.currentVersion(root)
     var prev = Seq.empty[ManifestSink.FileEntry]
+    // Vacuum / retainVersions GC may have expired early manifests; report
+    // the surviving history (an "expired" placeholder row per gap) instead
+    // of letting resolveVersion throw on the first missing file.
     val rows = (1L to cur).map { v =>
+      if (!java.nio.file.Files.exists(ManifestSink.manifestAt(root, v))) {
+        new GenericInternalRow(Array[Any](v, UTF8String.fromString("expired"),
+          0, 0L, 0L)): InternalRow
+      } else {
       val es = ManifestSink.committedEntries(root, Some(v))
       val prevNames = prev.map(_.name).toSet
       val names = es.map(_.name).toSet
@@ -347,6 +354,7 @@ object GraftCatalog {
       prev = es
       new GenericInternalRow(Array[Any](v, UTF8String.fromString(op),
         es.size, es.map(_.rows).sum, es.map(_.liveRows).sum)): InternalRow
+      }
     }.toArray
     staticTable(s"history($root)", HistorySchema, rows)
   }

@@ -665,19 +665,6 @@ object ManifestSink {
     else StructType(schema.fields.map(f =>
       f.copy(name = colMap.getOrElse(f.name, f.name))))
 
-  /** Canonical string form of a pushed-filter literal, matching what the
-    * partitioned writer records from row values. */
-  private def litStr(v: Any): Option[String] = v match {
-    case null => None
-    case l: Long => Some(l.toString)
-    case i: Int => Some(i.toString)
-    case s: String => Some(s)
-    case u: UTF8String => Some(u.toString)
-    case b: Boolean => Some(b.toString)
-    case d: Double => Some(d.toString)
-    case _ => None
-  }
-
   /** EXACT partition-tuple evaluation of a pushed V1 filter: Some(true/
     * false) when every referenced column is a partition column of `parts`
     * and the shape is decidable; None otherwise (caller falls back to
@@ -694,14 +681,23 @@ object ManifestSink {
       parts: Map[String, String]): Option[Boolean] = {
     import org.apache.spark.sql.sources._
     def pv(c: String): Option[String] = parts.get(c)
+    // Exactness demands ROW-level comparison semantics, not JVM ones:
+    // strings order by UTF-8 bytes (java.lang.String.compareTo diverges on
+    // non-BMP surrogates) and doubles follow SQL equality (-0.0 = 0.0;
+    // NaN largest and self-equal, which java Double.compare already gives).
+    def utf8Cmp(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def normZero(d: Double): Double = if (d == 0.0d) 0.0d else d
     def cmpPart(c: String, v: Any)(p: Int => Boolean): Option[Boolean] =
       pv(c).filter(_ != NullPartValue).flatMap { x =>
         val cmp: Option[Int] = v match {
           case l: Long => x.toLongOption.map(_.compare(l))
           case i: Int => x.toLongOption.map(_.compare(i.toLong))
-          case s: String => Some(x.compareTo(s))
-          case u: UTF8String => Some(x.compareTo(u.toString))
-          case d: Double => x.toDoubleOption.map(_.compare(d))
+          case s: String => Some(utf8Cmp(x, s))
+          case u: UTF8String => Some(utf8Cmp(x, u.toString))
+          case d: Double => x.toDoubleOption.map(xd =>
+            java.lang.Double.compare(normZero(xd), normZero(d)))
           case b: Boolean => x.toBooleanOption.map(_.compare(b))
           case _ => None
         }
@@ -721,10 +717,16 @@ object ManifestSink {
       case LessThan(c, v) => cmpPart(c, v)(_ < 0)
       case LessThanOrEqual(c, v) => cmpPart(c, v)(_ <= 0)
       case In(c, vs) => pv(c).flatMap { x =>
+        // Reuse the typed equality semantics per literal (so 0.0 IN(-0.0)
+        // is true and string literals compare as UTF-8 bytes); any
+        // undecidable literal with no decided-true match ⇒ None.
         if (x == NullPartValue) Some(false)
         else {
-          val lits = vs.toSeq.map(litStr)
-          if (lits.exists(_.isEmpty)) None else Some(lits.flatten.contains(x))
+          val cmps = vs.toSeq.map(v =>
+            if (v == null) Some(false) else cmpPart(c, v)(_ == 0))
+          if (cmps.contains(Some(true))) Some(true)
+          else if (cmps.forall(_.contains(false))) Some(false)
+          else None
         }
       }
       case IsNull(c) => pv(c).map(_ == NullPartValue)

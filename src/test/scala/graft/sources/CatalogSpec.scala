@@ -127,4 +127,19 @@ class CatalogSpec extends AnyFunSuite {
     // the procedure is discoverable and rejects unknown names
     intercept[Exception] { spark.sql("CALL gcat.system.nope()") }
   }
+
+  test("t.history survives vacuum: expired versions are marked, not thrown") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.vh")
+    spark.sql("CREATE TABLE gcat.vh.t (id BIGINT)")                        // v1
+    spark.sql("INSERT INTO gcat.vh.t SELECT id FROM range(10)")            // v2
+    spark.sql("INSERT OVERWRITE gcat.vh.t SELECT id FROM range(5)")        // v3
+    spark.sql("CALL gcat.system.vacuum(" +
+      "table => 'vh.t', retain => 1, dry_run => false, grace_ms => 0)").collect()
+    val hist = spark.sql(
+      "SELECT version, operation FROM gcat.vh.t.history ORDER BY version")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    assert(hist.map(_._1) == Seq(1L, 2L, 3L), s"got $hist")
+    assert(hist.take(2).forall(_._2 == "expired"), s"got $hist")
+    assert(hist.last._2 != "expired", s"got $hist")
+  }
 }

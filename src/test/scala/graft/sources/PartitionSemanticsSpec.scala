@@ -64,6 +64,28 @@ class PartitionSemanticsSpec extends AnyFunSuite {
     assert(spark.table("pscat.db.o").count() == 2L)
   }
 
+  test("exact evaluation orders strings by UTF-8 bytes and doubles by SQL equality") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan, In}
+    // U+1F600 (😀) is surrogate pair D83D/DE00 in UTF-16, so
+    // String.compareTo puts it BELOW U+FFFD — but Spark's row comparison
+    // (UTF8String bytes) puts it ABOVE. A wrong exact-false here would
+    // drop the file from scans and metadata-delete it.
+    assert(ManifestSink.evalPartFilter(GreaterThan("s", "�"),
+      Map("s" -> "😀")).contains(true))
+    assert(ManifestSink.evalPartFilter(GreaterThan("s", "😀"),
+      Map("s" -> "�")).contains(false))
+    // SQL double equality: -0.0 = 0.0 (java compare says -0.0 < 0.0)
+    assert(ManifestSink.evalPartFilter(EqualTo("d", 0.0d),
+      Map("d" -> "-0.0")).contains(true))
+    assert(ManifestSink.evalPartFilter(In("d", Array[Any](-0.0d)),
+      Map("d" -> "0.0")).contains(true))
+    // NaN is self-equal and largest under SQL semantics
+    assert(ManifestSink.evalPartFilter(EqualTo("d", Double.NaN),
+      Map("d" -> "NaN")).contains(true))
+    assert(ManifestSink.evalPartFilter(GreaterThan("d", 1e308),
+      Map("d" -> "NaN")).contains(true))
+  }
+
   test("unsupported partition column types are rejected at CREATE") {
     val err = intercept[Exception] {
       spark.sql("CREATE TABLE pscat.db.bad (id BIGINT, d DATE) PARTITIONED BY (d)")
