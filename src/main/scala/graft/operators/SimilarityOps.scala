@@ -58,6 +58,27 @@ object SimilarityOps {
   def planesFor(s: SparkSession): Int =
     s.conf.get("graft.lsh.planes", Planes.toString).toInt
 
+  /** Session-scoped override of [[NumCentroids]] for semantic dedup —
+    * SemDeDup's cost bound needs k ∝ N (the paper uses k ~ N/1000), so a
+    * compile-time k is a latent quadratic; deployments set
+    * `graft.semdedup.centroids` alongside a real codebook (q139 trains
+    * one). The DuckDB oracle mirrors the DEFAULT. */
+  def centroidsFor(s: SparkSession): Int =
+    s.conf.get("graft.semdedup.centroids", NumCentroids.toString).toInt
+
+  /** Hard per-cluster population cap for semantic dedup's within-cluster
+    * all-pairs stage. A natural-skew hot cluster makes Σ|cᵢ|² degrade no
+    * matter how k was chosen; clusters over the cap are deterministically
+    * sub-split into ⌈size/cap⌉ hash-ranked shards and pairs generated
+    * within a shard only — bounding any shard's fan-out at cap² at a
+    * documented recall cost on the split cluster (mirrors SubstrDfCap,
+    * which bounds the identical blow-up in substring-dedup buckets). The
+    * default is far above every test corpus's cluster sizes, so capped
+    * and uncapped paths coincide wherever the oracle checks. */
+  val ClusterCap = 100000
+  def clusterCapFor(s: SparkSession): Int =
+    s.conf.get("graft.semdedup.clusterCap", ClusterCap.toString).toInt
+
   /** Signed-random-projection bucket id: bit j = sign(v · plane_j), with
     * plane_j[c] = ((j*64+c-1)*2654435761 mod 1000003)/1000003 - 0.5.
     * Engine-portable HOF formulation — the one the DuckDB oracle mirrors
@@ -210,33 +231,65 @@ object SimilarityOps {
     // all-pairs. */
     "q134_semantic_dedup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val cents = emb.filter(col("vec_id") < NumCentroids)
+      val cents = emb.filter(col("vec_id") < centroidsFor(s))
         .select(col("vec_id").as("cluster"), col("embedding").as("centroid"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("csim").desc, col("cluster"))
-      val assigned = emb.join(broadcast(cents))
-        .withColumn("csim", cosineNative(col("embedding"), col("centroid")))
-        .withColumn("crn", row_number().over(wAssign))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("cluster"), col("embedding"))
-      val a = assigned.select(col("vec_id").as("va"), col("cluster"),
-        col("embedding").as("ea"))
-      val b = assigned.select(col("vec_id").as("vb"), col("cluster"),
-        col("embedding").as("eb"))
-      val dups = a.join(b, Seq("cluster"))
-        .filter(col("va") < col("vb"))
-        .withColumn("s", cosineNative(col("ea"), col("eb")))
-        .filter(col("s") >= SemDedupTau)
-        .groupBy(col("vb").as("vec_id"))
-        .agg(min(col("va")).as("dup_of"), count(lit(1)).as("n_dups"))
-      assigned.select("vec_id", "cluster")
-        .join(dups, Seq("vec_id"), "left")
-        .select(col("vec_id"), col("cluster"),
-          when(col("dup_of").isNull, "keep").otherwise("drop").as("verdict"),
-          coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
-          coalesce(col("n_dups"), lit(0L)).as("n_dups"))
-        .orderBy("vec_id")
+      semanticDedup(emb, cents, SemDedupTau, clusterCapFor(s))
     }))
+
+  /** SemDeDup core, parameterized on codebook and cluster cap: assign each
+    * vector to its nearest broadcast centroid, sub-split any cluster whose
+    * population exceeds `clusterCap` into ⌈size/cap⌉ hash-ranked shards,
+    * generate candidate pairs within a (cluster, shard) equi-join bucket
+    * only, and drop the higher id of any pair at cosine >= tau. With every
+    * cluster under the cap the shard id is constantly 0 and the result is
+    * exactly the uncapped SemDeDup; above it, per-shard work is bounded at
+    * cap² rows at a recall cost confined to the split cluster. Cluster
+    * sizes are one tiny aggregate (k rows, broadcast back), never a
+    * driver collect. */
+  /** Deterministic sub-split of oversized clusters: rows keep their
+    * columns and gain a `sub` shard id in [0, ⌈size/cap⌉) from
+    * xxhash64(vec_id) — clusters at or under the cap get the single shard
+    * 0. Sizes come from one k-row aggregate broadcast back onto the data,
+    * so the split adds no extra full shuffle beyond the cluster-keyed one
+    * the caller already pays. */
+  private[graft] def shardClusters(assigned: DataFrame, clusterCap: Int): DataFrame = {
+    val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("csz"))
+    assigned.join(broadcast(sizes), Seq("cluster"))
+      .withColumn("nsub",
+        greatest(lit(1L), ceil(col("csz").cast("double") / clusterCap).cast("long")))
+      .withColumn("sub", pmod(xxhash64(col("vec_id")), col("nsub")))
+      .drop("csz", "nsub")
+  }
+
+  private[graft] def semanticDedup(emb: DataFrame, cents: DataFrame,
+      tau: Double, clusterCap: Int): DataFrame = {
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cluster"))
+    val assigned = emb.join(broadcast(cents))
+      .withColumn("csim", cosineNative(col("embedding"), col("centroid")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cluster"), col("embedding"))
+    val sharded = shardClusters(assigned, clusterCap)
+      .select(col("vec_id"), col("cluster"), col("sub"), col("embedding"))
+    val a = sharded.select(col("vec_id").as("va"), col("cluster"), col("sub"),
+      col("embedding").as("ea"))
+    val b = sharded.select(col("vec_id").as("vb"), col("cluster"), col("sub"),
+      col("embedding").as("eb"))
+    val dups = a.join(b, Seq("cluster", "sub"))
+      .filter(col("va") < col("vb"))
+      .withColumn("s", cosineNative(col("ea"), col("eb")))
+      .filter(col("s") >= tau)
+      .groupBy(col("vb").as("vec_id"))
+      .agg(min(col("va")).as("dup_of"), count(lit(1)).as("n_dups"))
+    assigned.select("vec_id", "cluster")
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("dup_of").isNull, "keep").otherwise("drop").as("verdict"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"))
+      .orderBy("vec_id")
+  }
 
   // ---- DuckDB oracle ------------------------------------------------------
 
