@@ -79,6 +79,10 @@ object SimilarityOps {
   def clusterCapFor(s: SparkSession): Int =
     s.conf.get("graft.semdedup.clusterCap", ClusterCap.toString).toInt
 
+  /** Lloyd iteration count for q139 — fixed (not convergence-tested) so
+    * the oracle replays the exact same number of rounds. */
+  val KmIters = 3
+
   /** Signed-random-projection bucket id: bit j = sign(v · plane_j), with
     * plane_j[c] = ((j*64+c-1)*2654435761 mod 1000003)/1000003 - 0.5.
     * Engine-portable HOF formulation — the one the DuckDB oracle mirrors
@@ -234,18 +238,24 @@ object SimilarityOps {
       val cents = emb.filter(col("vec_id") < centroidsFor(s))
         .select(col("vec_id").as("cluster"), col("embedding").as("centroid"))
       semanticDedup(emb, cents, SemDedupTau, clusterCapFor(s))
-    }))
+    }),
 
-  /** SemDeDup core, parameterized on codebook and cluster cap: assign each
-    * vector to its nearest broadcast centroid, sub-split any cluster whose
-    * population exceeds `clusterCap` into ⌈size/cap⌉ hash-ranked shards,
-    * generate candidate pairs within a (cluster, shard) equi-join bucket
-    * only, and drop the higher id of any pair at cosine >= tau. With every
-    * cluster under the cap the shard id is constantly 0 and the result is
-    * exactly the uncapped SemDeDup; above it, per-shard work is bounded at
-    * cap² rows at a recall cost confined to the split cluster. Cluster
-    * sizes are one tiny aggregate (k rows, broadcast back), never a
-    * driver collect. */
+    // k-means TRAINING (Lloyd iterations) — builds the codebook q106/q48/
+    // q134 consume instead of the "first k vectors" stand-in. Every step
+    // is integer arithmetic so any engine replays it bit-exactly:
+    // embeddings quantize to nonnegative milli-units (offset +1000 makes
+    // truncating integer division unambiguous across engines), seeds are
+    // the k hash-ranked vectors (md5 code, no RNG state), assignment is
+    // argmin integer squared-Euclidean distance with cluster-id
+    // tie-break, and the update is a per-dimension truncated-mean. Per
+    // iteration: one broadcast join (k-row codebook onto the corpus) +
+    // one keyed aggregate over N×dim quantized cells — the PageRank loop
+    // shape, linear at any corpus size, centroids checkpointed per round
+    // to keep lineage flat. Output: per-cluster population, id range,
+    // inertia under the final assignment, and exact centroid checksums.
+    "q139_kmeans_train" -> ((s, dir) =>
+      kmeansTrain(Tables.embeddings(s, dir), centroidsFor(s), KmIters)))
+
   /** Deterministic sub-split of oversized clusters: rows keep their
     * columns and gain a `sub` shard id in [0, ⌈size/cap⌉) from
     * xxhash64(vec_id) — clusters at or under the cap get the single shard
@@ -261,6 +271,16 @@ object SimilarityOps {
       .drop("csz", "nsub")
   }
 
+  /** SemDeDup core, parameterized on codebook and cluster cap: assign each
+    * vector to its nearest broadcast centroid, sub-split any cluster whose
+    * population exceeds `clusterCap` into ⌈size/cap⌉ hash-ranked shards,
+    * generate candidate pairs within a (cluster, shard) equi-join bucket
+    * only, and drop the higher id of any pair at cosine >= tau. With every
+    * cluster under the cap the shard id is constantly 0 and the result is
+    * exactly the uncapped SemDeDup; above it, per-shard work is bounded at
+    * cap² rows at a recall cost confined to the split cluster. Cluster
+    * sizes are one tiny aggregate (k rows, broadcast back), never a
+    * driver collect. */
   private[graft] def semanticDedup(emb: DataFrame, cents: DataFrame,
       tau: Double, clusterCap: Int): DataFrame = {
     val wAssign = Window.partitionBy("vec_id")
@@ -289,6 +309,111 @@ object SimilarityOps {
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
         coalesce(col("n_dups"), lit(0L)).as("n_dups"))
       .orderBy("vec_id")
+  }
+
+  /** Integer Lloyd's algorithm (see the q139 entry for the determinism
+    * contract). Returns one row per non-empty final cluster:
+    * (cluster, n, min_vec, max_vec, inertia_q, csum, cnorm2) — the last
+    * two are exact integer checksums of the final updated centroids, so
+    * an oracle mismatch pinpoints whether assignment or update diverged.
+    * Empty clusters keep their previous centroid (left-join + coalesce),
+    * never resurrect a driver-side value. */
+  private[graft] def kmeansTrain(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    import graft.functions.HashFunctions.md5Code60
+    // nonnegative milli-unit quantization: components sit in (-1, 1), so
+    // +1000 keeps every cell >= 0 and `sum div n` truncation engine-safe
+    val qemb = emb.select(col("vec_id"),
+        transform(col("embedding"),
+          x => (round(x.cast("double") * 1000) + 1000).cast("long")).as("qvec"))
+      .localCheckpoint() // the stationary input of every iteration
+    val wSeed = Window.orderBy(col("hk"), col("vec_id"))
+    var cents = qemb
+      .withColumn("hk", md5Code60(concat(lit("km:"), col("vec_id").cast("string"))))
+      .orderBy(col("hk"), col("vec_id")).limit(k) // bounded: k rows
+      .withColumn("cluster", (row_number().over(wSeed) - 1).cast("long"))
+      .select(col("cluster"), col("qvec").as("cvec"))
+      .localCheckpoint()
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
+      assigned = qemb.join(broadcast(cents))
+        .withColumn("d2", aggregate(
+          zip_with(col("qvec"), col("cvec"), (x, c) => (x - c) * (x - c)),
+          lit(0L), (acc, v) => acc + v))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cluster"), col("qvec"), col("d2"))
+        .localCheckpoint()
+      val updated = assigned
+        .select(col("cluster"), posexplode(col("qvec")))
+        .groupBy(col("cluster"), (col("pos") + 1).as("dim"))
+        .agg(sum(col("col")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("c", expr("sx div n"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("cells"))
+        .select(col("cluster"), transform(col("cells"), s => s.getField("c")).as("newvec"))
+      cents = cents.withColumnRenamed("cvec", "oldvec")
+        .join(updated, Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("newvec"), col("oldvec")).as("cvec"))
+        .localCheckpoint()
+    }
+    val stats = assigned.groupBy("cluster").agg(
+      count(lit(1)).as("n"),
+      min(col("vec_id")).as("min_vec"),
+      max(col("vec_id")).as("max_vec"),
+      sum(col("d2")).as("inertia_q"))
+    val sums = cents.select(col("cluster"),
+      aggregate(col("cvec"), lit(0L), (a, v) => a + v).as("csum"),
+      aggregate(col("cvec"), lit(0L), (a, v) => a + v * v).as("cnorm2"))
+    stats.join(broadcast(sums), Seq("cluster")).orderBy("cluster")
+  }
+
+  /** q139's oracle: the same integer Lloyd loop, unrolled to [[KmIters]]
+    * CTE rounds in long (cluster, dim, c) form — the representation
+    * differs from Spark's wide arrays but every integer is the same. */
+  private def kmeansTrainSql: String = {
+    import graft.functions.HashFunctions.md5Code60Sql
+    val hk = md5Code60Sql("'km:' || CAST(vec_id AS VARCHAR)")
+    def round(i: Int): String = {
+      val prev = s"c${i - 1}"
+      s"""d$i AS (
+         |  SELECT q.vec_id, c.cluster, sum((q.x - c.c) * (q.x - c.c)) AS d2
+         |  FROM qv q JOIN $prev c USING (dim) GROUP BY 1, 2),
+         |a$i AS (
+         |  SELECT vec_id, cluster, d2 FROM (
+         |    SELECT vec_id, cluster, d2,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+         |    FROM d$i) WHERE rn = 1),
+         |u$i AS (
+         |  SELECT cluster, dim, sx // n AS c FROM (
+         |    SELECT a.cluster, q.dim, sum(q.x) AS sx, count(*) AS n
+         |    FROM a$i a JOIN qv q USING (vec_id) GROUP BY 1, 2)),
+         |c$i AS (
+         |  SELECT p.cluster, p.dim, coalesce(u.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN u$i u USING (cluster, dim))""".stripMargin
+    }
+    val t = KmIters
+    s"""WITH qv AS (
+       |  SELECT vec_id, d.d AS dim,
+       |    CAST(round(CAST(embedding[d.d] AS DOUBLE) * 1000) AS BIGINT) + 1000 AS x
+       |  FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS d) d),
+       |seeds AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster
+       |  FROM (SELECT vec_id, $hk AS h FROM embeddings)
+       |  ORDER BY h, vec_id LIMIT $NumCentroids),
+       |c0 AS (SELECT s.cluster, q.dim, q.x AS c FROM seeds s JOIN qv q USING (vec_id)),
+       |${(1 to t).map(round).mkString(",\n")}
+       |SELECT s1.cluster, s1.n, s1.min_vec, s1.max_vec, s1.inertia_q,
+       |  s2.csum, s2.cnorm2
+       |FROM (
+       |  SELECT cluster, CAST(count(*) AS BIGINT) AS n, min(vec_id) AS min_vec,
+       |    max(vec_id) AS max_vec, CAST(sum(d2) AS BIGINT) AS inertia_q
+       |  FROM a$t GROUP BY 1) s1
+       |JOIN (
+       |  SELECT cluster, CAST(sum(c) AS BIGINT) AS csum,
+       |    CAST(sum(c * c) AS BIGINT) AS cnorm2
+       |  FROM c$t GROUP BY 1) s2 USING (cluster)
+       |ORDER BY cluster""".stripMargin
   }
 
   // ---- DuckDB oracle ------------------------------------------------------
@@ -404,5 +529,7 @@ object SimilarityOps {
          |  CASE WHEN d.vec_id IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
          |  coalesce(d.dup_of, CAST(-1 AS BIGINT)) AS dup_of,
          |  CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups
-         |FROM asg v LEFT JOIN d ON d.vec_id = v.vec_id ORDER BY v.vec_id""".stripMargin)
+         |FROM asg v LEFT JOIN d ON d.vec_id = v.vec_id ORDER BY v.vec_id""".stripMargin,
+
+    "q139_kmeans_train" -> kmeansTrainSql)
 }
