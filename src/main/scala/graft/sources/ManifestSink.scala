@@ -278,10 +278,16 @@ object ManifestSink {
     val current = currentVersion(root)
     val cutoff = current - retain // expire versions <= cutoff
     if (cutoff < 1L) return Seq.empty
-    val referenced = (cutoff + 1 to current)
+    val survivors = (cutoff + 1 to current)
       .filter(v => Files.exists(manifestAt(root, v)))
+    val referenced = survivors
       .flatMap(v => committedEntries(root, Some(v)))
       .flatMap(e => e.name +: e.dvName.toSeq).toSet
+    // entry-group files (and their bloom sidecars) referenced by any
+    // surviving manifest list stay; the rest expired with their versions
+    val liveGroups = survivors
+      .flatMap(v => versionSections(root, v)._2)
+      .flatMap(r => Seq(r.name, bloomSidecarName(r.name))).toSet
     // one directory listing drives ALL sweeps — a blind 1..cutoff
     // delete loop would cost O(currentVersion) syscalls per commit on a
     // long-lived table, even though steady-state leaves only one
@@ -296,6 +302,8 @@ object ManifestSink {
     try s.iterator().asScala.foreach { p =>
       p.getFileName.toString match {
         case ManifestVersionRe(n) if n.toLong <= cutoff => buf += cand(p, "manifest")
+        case n if n.startsWith("mgroup-") && !liveGroups(n) && pastGrace(p) =>
+          buf += cand(p, "manifest")
         case n if n.startsWith("data-") && !referenced(n) && pastGrace(p) =>
           buf += cand(p, "data")
         // deletion-vector sidecars referenced by no retained version
@@ -753,23 +761,68 @@ object ManifestSink {
       f: org.apache.spark.sql.sources.Filter): Boolean =
     evalPartFilter(f, e.parts).getOrElse(mayMatch(e, f))
 
+  /** Group-level may-match: exact partition evaluation over the group's
+    * recorded distinct tuples (prune only when EVERY tuple decides
+    * false), else the merged min/max stats via a synthetic entry. A
+    * pruned group's file is never even read. */
+  private[sources] def mayMatchGroup(r: GroupRef,
+      f: org.apache.spark.sql.sources.Filter): Boolean = r.partsSet match {
+    case Some(ts) if ts.nonEmpty && ts.forall(t => evalPartFilter(f, t).contains(false)) =>
+      false
+    case _ =>
+      mayMatch(FileEntry(r.name, r.rows, r.mins, r.maxs, Map.empty, None, 0L,
+        Map.empty), f)
+  }
+
+  /** Does `f` ever consult a per-file bloom? Only string equality / IN
+    * shapes do (see [[mayMatch]]); everything else plans from stats
+    * alone, so the bloom sidecars stay unread. */
+  private[sources] def bloomEligible(f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(_, _: String) | EqualNullSafe(_, _: String) => true
+      case In(_, vs) => vs.nonEmpty && vs.forall(_.isInstanceOf[String])
+      case And(l, r) => bloomEligible(l) || bloomEligible(r)
+      case Or(l, r) => bloomEligible(l) || bloomEligible(r)
+      case Not(c) => bloomEligible(c)
+      case _ => false
+    }
+  }
+
+  /** Planning-path entry resolution for a batch scan: the manifest list
+    * is parsed (cheap — O(groups) refs), groups whose summary excludes
+    * every pushed filter are skipped WITHOUT reading their entry files,
+    * and bloom sidecars load only when some pushed filter can actually
+    * use a bloom. The survivors still pass per-entry [[mayMatchEntry]],
+    * so this returns exactly the file set the flat path would. */
+  private[sources] def plannedEntries(root: Path, pinned: Option[Long],
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[FileEntry] = {
+    val v = resolveVersion(root, pinned)
+    val (inline, refs) =
+      if (v > 0L) versionSections(root, v)
+      else (committedEntries(root, pinned), Seq.empty[GroupRef])
+    val withBlooms = filters.exists(bloomEligible)
+    val expanded = inline ++ refs
+      .filter(r => filters.forall(f => mayMatchGroup(r, f)))
+      .flatMap(readGroupEntries(root, _, withBlooms))
+    expanded.filter(e => filters.forall(f => mayMatchEntry(e, f)))
+  }
+
   /** Entry line: `fileName<TAB>rowCount<TAB>mins<TAB>maxs`. In a
     * versioned manifest the first line is the schema and is skipped, as
     * are `#`-prefixed marker lines; legacy manifest.txt holds entries
     * only. */
   private[sources] def committedEntries(root: Path,
-      pinned: Option[Long] = None): Seq[FileEntry] = {
+      pinned: Option[Long] = None, withBlooms: Boolean = true): Seq[FileEntry] = {
     val v = resolveVersion(root, pinned)
-    val source =
-      if (v > 0L) Some((manifestAt(root, v), 1))
-      else Some((manifest(root), 0)).filter(p => Files.exists(p._1))
-    source match {
-      case None => Seq.empty
-      case Some((m, dropHeader)) =>
-        Files.readString(m).split("\n").toSeq.drop(dropHeader)
-          .filter(l => l.nonEmpty && !l.startsWith("#"))
-          .map(parseEntryLine)
-    }
+    if (v > 0L) {
+      val (inline, refs) = versionSections(root, v)
+      inline ++ refs.flatMap(readGroupEntries(root, _, withBlooms))
+    } else if (Files.exists(manifest(root))) {
+      Files.readString(manifest(root)).split("\n").toSeq
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(parseEntryLine)
+    } else Seq.empty
   }
 
   private[sources] def parseEntryLine(line: String): FileEntry = {
@@ -806,6 +859,170 @@ object ManifestSink {
     if (bl.nonEmpty) s"$base\t$dv\t$bl"
     else if (dv.nonEmpty) s"$base\t$dv"
     else base
+  }
+
+  // ---- tree-structured manifests (manifest-list + entry groups) ---------
+  //
+  // A single flat manifest makes the DRIVER the scale ceiling: at 10⁵–10⁶
+  // files × per-column blooms, every query re-reads and re-parses O(table)
+  // bytes before planning starts. Past [[inlineThreshold]] entries the
+  // version file therefore stops inlining entry lines and becomes a
+  // MANIFEST LIST (the Iceberg shape, public knowledge): each `#mgroup`
+  // header line references an immutable, CONTENT-ADDRESSED entry-group
+  // file (`mgroup-<sha>.txt`, ~[[groupTargetSize]] entries) and carries
+  // the group's merged pruning stats — file/row counts, per-column
+  // min/max (a column contributes only when every member has it), and the
+  // distinct partition-tuple set (capped; '*' = unprunable). Blooms live
+  // in a `.blooms.txt` sidecar per group, loaded only when a pushed
+  // filter can actually consult one. Because group files are content-
+  // addressed and the renderer preserves the previous version's grouping,
+  // an append publishes O(delta) metadata bytes (prior groups are
+  // re-referenced by name, never rewritten), a surgical delete rewrites
+  // only the touched groups, and rollback re-references the target
+  // version's groups with zero metadata writes. Version files and group
+  // files are all immutable, so (path, name) caches need no invalidation.
+
+  private[sources] def inlineThreshold: Int =
+    sys.props.getOrElse("graft.manifest.inlineThreshold", "64").toInt
+  private[sources] def groupTargetSize: Int =
+    sys.props.getOrElse("graft.manifest.groupSize", "1000").toInt
+  /** Distinct partition tuples recorded per group ref before the summary
+    * degrades to '*' (unprunable). Partitioned writes cluster per task,
+    * so real groups are usually single-partition. */
+  private val MaxGroupParts = 8
+  private val GroupRefPrefix = "#mgroup\t"
+
+  private[sources] case class GroupRef(name: String, files: Int, rows: Long,
+      mins: Map[String, Long], maxs: Map[String, Long],
+      partsSet: Option[Seq[Map[String, String]]], hasBlooms: Boolean)
+
+  private def groupRefLine(r: GroupRef): String = {
+    val parts = r.partsSet.map(_.map(partsStr).mkString(";")).getOrElse("*")
+    s"$GroupRefPrefix${r.name}\t${r.files}\t${r.rows}\t${statsStr(r.mins)}\t" +
+      s"${statsStr(r.maxs)}\t$parts\t${if (r.hasBlooms) 1 else 0}"
+  }
+
+  private[sources] def parseGroupRefLine(l: String): GroupRef = {
+    val p = l.split("\t", 8) // p(0) is the '#mgroup' tag
+    GroupRef(p(1), p(2).toInt, p(3).toLong, parseStats(p(4)), parseStats(p(5)),
+      if (p(6) == "*") None else Some(p(6).split(";", -1).toSeq.map(parsePartsStr)),
+      p(7) == "1")
+  }
+
+  /** Tiny synchronized LRU keyed by immutable identity — safe to share
+    * across sessions because every cached file is write-once. */
+  private final class LruCache[V](capacity: Int) {
+    private val m = new java.util.LinkedHashMap[String, V](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
+        size() > capacity
+    }
+    def get(key: String)(load: => V): V = m.synchronized {
+      val hit = m.get(key)
+      if (hit != null) hit else { val v = load; m.put(key, v); v }
+    }
+  }
+  private val groupEntryCache = new LruCache[Seq[FileEntry]](512)
+  private val groupBloomCache = new LruCache[Map[String, Map[String, String]]](128)
+  private val headerStateCache = new LruCache[TableState](64)
+  private val tableStateCache = new LruCache[TableState](32)
+
+  /** Members of one entry group, blooms merged in only on request (stat
+    * pruning, counts and most rewrites never need them). */
+  private[sources] def readGroupEntries(root: Path, ref: GroupRef,
+      withBlooms: Boolean): Seq[FileEntry] = {
+    val base = groupEntryCache.get(s"$root/${ref.name}") {
+      Files.readString(root.resolve(ref.name)).split("\n").toSeq
+        .filter(_.nonEmpty).map(parseEntryLine)
+    }
+    if (!withBlooms || !ref.hasBlooms) base
+    else {
+      val blooms = groupBloomCache.get(s"$root/${ref.name}") {
+        Files.readString(root.resolve(bloomSidecarName(ref.name))).split("\n").toSeq
+          .filter(_.nonEmpty).map { l =>
+            val Array(n, kvs) = l.split("\t", 2)
+            n -> kvs.split(",").map { kv =>
+              val Array(k, v) = kv.split("=", 2); (urlDec(k), v)
+            }.toMap
+          }.toMap
+      }
+      base.map(e => blooms.get(e.name).fold(e)(b => e.copy(blooms = b)))
+    }
+  }
+
+  private[sources] def bloomSidecarName(groupName: String): String =
+    groupName.stripSuffix(".txt") + ".blooms.txt"
+
+  /** Create-if-absent write: content-addressed names make an existing
+    * target byte-identical by construction, so losing the link race is
+    * success. Stages under the `manifest.tmp-` prefix the GC sweeps. */
+  private def writeIfAbsent(target: Path, content: String): Unit = {
+    if (Files.exists(target)) return
+    val tmp = target.getParent.resolve(s"manifest.tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, content)
+    try Files.createLink(target, tmp)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** Write one content-addressed entry group (+ bloom sidecar when any
+    * member carries blooms) and return its ref with merged pruning
+    * stats. */
+  private def writeGroup(root: Path, members: Seq[FileEntry]): GroupRef = {
+    val entryLines = members.map(e => entryLine(e.copy(blooms = Map.empty)))
+    val bloomLines = members.filter(_.blooms.nonEmpty).map { e =>
+      s"${e.name}\t" + e.blooms.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${urlEnc(k)}=$v" }.mkString(",")
+    }
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest((entryLines.mkString("\n") + " " + bloomLines.mkString("\n"))
+        .getBytes("UTF-8"))
+    val name = s"mgroup-${digest.take(12).map("%02x".format(_)).mkString}.txt"
+    writeIfAbsent(root.resolve(name), entryLines.mkString("\n"))
+    if (bloomLines.nonEmpty)
+      writeIfAbsent(root.resolve(bloomSidecarName(name)), bloomLines.mkString("\n"))
+    val statCols = members.map(_.mins.keySet).reduce(_ intersect _)
+      .intersect(members.map(_.maxs.keySet).reduce(_ intersect _))
+    val parts = members.map(_.parts).distinct
+    GroupRef(name, members.size, members.map(_.rows).sum,
+      statCols.map(c => c -> members.map(_.mins(c)).min).toMap,
+      statCols.map(c => c -> members.map(_.maxs(c)).max).toMap,
+      if (parts.size <= MaxGroupParts) Some(parts) else None,
+      bloomLines.nonEmpty)
+  }
+
+  /** Render a version's entry section: inline lines at or under
+    * [[inlineThreshold]] entries, `#mgroup` refs above it. Grouping is
+    * preserved from `prevGroups`: a prior group whose surviving members
+    * are all byte-identical is re-referenced without touching disk; a
+    * group with modified or removed members is rewritten once, keeping
+    * its locality; entries in no prior group chunk into fresh groups of
+    * [[groupTargetSize]]. */
+  private[sources] def renderEntrySection(root: Path, entries: Seq[FileEntry],
+      prevGroups: Seq[GroupRef]): Seq[String] = {
+    if (entries.size <= inlineThreshold) return entries.map(entryLine)
+    Files.createDirectories(root)
+    val byName = entries.iterator.map(e => e.name -> e).toMap
+    val used = scala.collection.mutable.HashSet.empty[String]
+    val refs = Seq.newBuilder[GroupRef]
+    for (g <- prevGroups) {
+      val prev = readGroupEntries(root, g, withBlooms = true)
+      val current = prev.flatMap(pm => byName.get(pm.name))
+      current.foreach(e => used += e.name)
+      if (current == prev) refs += g
+      else if (current.nonEmpty) refs += writeGroup(root, current)
+    }
+    val fresh = entries.filterNot(e => used(e.name))
+    fresh.grouped(groupTargetSize).foreach(chunk => refs += writeGroup(root, chunk))
+    refs.result().map(groupRefLine)
+  }
+
+  /** (inline entries, group refs) of one version file — the cheap,
+    * list-level parse that planning works from. */
+  private[sources] def versionSections(root: Path,
+      v: Long): (Seq[FileEntry], Seq[GroupRef]) = {
+    val lines = Files.readString(manifestAt(root, v)).split("\n").toSeq.drop(1)
+    (lines.filter(l => l.nonEmpty && !l.startsWith("#")).map(parseEntryLine),
+      lines.filter(_.startsWith(GroupRefPrefix)).map(parseGroupRefLine))
   }
 
   private def asLong(v: Any): Option[Long] = v match {
@@ -864,7 +1081,8 @@ object ManifestSink {
       schemaEpoch: Long = 0L,
       deleteMode: String = DeleteModeCow,
       bloomCols: Seq[String] = Seq.empty,
-      sortCols: Seq[String] = Seq.empty) {
+      sortCols: Seq[String] = Seq.empty,
+      groups: Seq[GroupRef] = Seq.empty) {
     /** Non-entry, non-schema header lines every publisher carries:
       * partition spec, column mapping, schema epoch, delete mode,
       * bloom columns, write ordering, stream markers. */
@@ -875,10 +1093,17 @@ object ManifestSink {
         markers.toSeq.sortBy(_._1).map((markerLine _).tupled)
   }
 
-  private[sources] def readState(root: Path, pinned: Option[Long] = None): TableState = {
+  /** Header-only parse of a snapshot: schema, structural meta, markers,
+    * INLINE entries and group REFS — group entry files are not touched.
+    * This is the table-structure read of the planning path; use
+    * [[readState]] when the full entry list is needed (commits). Version
+    * files and their entry groups are immutable, so (root, v) fully
+    * determines the parse and the caches never invalidate. */
+  private[sources] def readHeader(root: Path, pinned: Option[Long] = None): TableState = {
     val v = resolveVersion(root, pinned)
-    if (v > 0L) {
+    if (v > 0L) headerStateCache.get(s"$root@$v") {
       val lines = Files.readString(manifestAt(root, v)).linesIterator.toSeq
+      val refs = lines.tail.filter(_.startsWith(GroupRefPrefix)).map(parseGroupRefLine)
       TableState(v,
         Some(DataType.fromJson(lines.head).asInstanceOf[StructType]),
         lines.tail.filter(_.startsWith(EpochMarkerPrefix)).map { l =>
@@ -901,8 +1126,23 @@ object ManifestSink {
         lines.tail.find(_.startsWith(SortColsPrefix))
           .map(_.stripPrefix(SortColsPrefix).split(",").toSeq
             .filter(_.nonEmpty).map(urlDec))
-          .getOrElse(Seq.empty))
-    } else {
+          .getOrElse(Seq.empty),
+        refs)
+    } else legacyState(root)
+  }
+
+  /** Fully-resolved state: [[readHeader]] plus every group expanded
+    * (blooms included — commit paths re-publish them). */
+  private[sources] def readState(root: Path, pinned: Option[Long] = None): TableState = {
+    val h = readHeader(root, pinned)
+    if (h.groups.isEmpty) h
+    else tableStateCache.get(s"$root@${h.version}") {
+      h.copy(entries = h.entries ++
+        h.groups.flatMap(readGroupEntries(root, _, withBlooms = true)))
+    }
+  }
+
+  private def legacyState(root: Path): TableState = {
       val schema =
         if (Files.exists(schemaFile(root)))
           Some(DataType.fromJson(Files.readString(schemaFile(root))).asInstanceOf[StructType])
@@ -913,7 +1153,6 @@ object ManifestSink {
             .filter(_.nonEmpty).map(parseEntryLine)
         else Seq.empty
       TableState(0L, schema, Map.empty, entries)
-    }
   }
 
   private[sources] def publishCommit(root: Path, schema: StructType,
@@ -984,7 +1223,8 @@ object ManifestSink {
       // schema line + meta + entries publish as ONE atomic unit
       try {
         publish(root, base,
-          ((schemaToStore.json +: meta) ++ all.map(entryLine)).mkString("\n"))
+          ((schemaToStore.json +: meta) ++
+            renderEntrySection(root, all, st.groups)).mkString("\n"))
         published = Some(schemaToStore)
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -1027,7 +1267,8 @@ object ManifestSink {
       throw new IllegalStateException(s"manifest table $root has no schema"))
     val kept = st.entries.filterNot(e => replaced(e.name))
     try publish(root, baseVersion,
-      ((schema.json +: st.metaLines) ++ (kept ++ newEntries).map(entryLine))
+      ((schema.json +: st.metaLines) ++
+        renderEntrySection(root, kept ++ newEntries, st.groups))
         .mkString("\n"))
     catch { case e: java.util.ConcurrentModificationException =>
       newEntries.foreach(n => Files.deleteIfExists(root.resolve(n.name)))
@@ -1083,7 +1324,8 @@ object ManifestSink {
       val entries = st.entries.filterNot(replaced) ++ newEntries
       try {
         publish(root, st.version,
-          ((schema.json +: st.metaLines) ++ entries.map(entryLine)).mkString("\n"))
+          ((schema.json +: st.metaLines) ++
+            renderEntrySection(root, entries, st.groups)).mkString("\n"))
         done = true
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -1250,7 +1492,8 @@ object ManifestSink {
         deleteMode = deleteMode0).metaLines
       try {
         publish(root, st.version,
-          ((schema.json +: meta) ++ entries.map(entryLine)).mkString("\n"))
+          ((schema.json +: meta) ++
+            renderEntrySection(root, entries, st.groups)).mkString("\n"))
         done = true
       } catch {
         case e: java.util.ConcurrentModificationException =>
@@ -1383,7 +1626,7 @@ object ManifestSink {
       throw new IllegalStateException(s"manifest table $tablePath has no schema"))
     try publish(root, st.version,
       ((schema.json +: RewriteMarker +: st.metaLines) ++
-        entries.map(entryLine)).mkString("\n"))
+        renderEntrySection(root, entries, st.groups)).mkString("\n"))
     catch { case e: java.util.ConcurrentModificationException =>
       (merged ++ purged).foreach(m => Files.deleteIfExists(root.resolve(m.name)))
       throw e
@@ -1559,7 +1802,7 @@ object ManifestSink {
     }
     try publish(root, st.version,
       ((schema.json +: RewriteMarker +: st.metaLines) ++
-        newEntries.map(entryLine)).mkString("\n"))
+        renderEntrySection(root, newEntries, st.groups)).mkString("\n"))
     catch { case e: java.util.ConcurrentModificationException =>
       newEntries.foreach(n => Files.deleteIfExists(root.resolve(n.name)))
       throw e
@@ -1608,8 +1851,12 @@ object ManifestSink {
     val schema = target.schema.getOrElse(
       throw new IllegalStateException(s"version $toVersion of $tablePath has no schema"))
     val meta = target.copy(markers = cur.markers).metaLines
+    // rollback re-references the target version's groups: entries are
+    // byte-identical, so this publishes a manifest list with ZERO group
+    // writes no matter how large the table is
     publish(root, cur.version,
-      ((schema.json +: meta) ++ target.entries.map(entryLine)).mkString("\n"))
+      ((schema.json +: meta) ++
+        renderEntrySection(root, target.entries, target.groups)).mkString("\n"))
     cur.version + 1
   }
 
@@ -1798,7 +2045,8 @@ object ManifestSink {
       return DeleteResult(st.version, candidates.size, 0, 0L)
     val entries = untouched ++ replacements.flatten
     try publish(root, st.version,
-      ((schema.json +: st.metaLines) ++ entries.map(entryLine)).mkString("\n"))
+      ((schema.json +: st.metaLines) ++
+        renderEntrySection(root, entries, st.groups)).mkString("\n"))
     catch { case e: java.util.ConcurrentModificationException =>
       newDvFiles.foreach(n => Files.deleteIfExists(root.resolve(n)))
       throw e
@@ -1898,7 +2146,8 @@ object ManifestSink {
       return DeleteResult(st.version, candidates.size, 0, 0L)
     val entries = untouched ++ replacements.flatten
     try publish(root, st.version,
-      ((schema.json +: st.metaLines) ++ entries.map(entryLine)).mkString("\n"))
+      ((schema.json +: st.metaLines) ++
+        renderEntrySection(root, entries, st.groups)).mkString("\n"))
     catch { case e: java.util.ConcurrentModificationException =>
       replacements.flatten.filterNot(candidates.contains)
         .foreach(r => Files.deleteIfExists(root.resolve(r.name)))
@@ -2946,9 +3195,10 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
   private var skipFilters: Array[Filter] = Array.empty
   private var prunedNames: Option[Set[String]] = None
 
-  // ONE manifest read for all table-structure lookups (schema, partition
-  // spec, column mapping, schema epoch) — not one re-read per accessor
-  private lazy val tableState = ManifestSink.readState(root, pinned)
+  // ONE manifest-list HEADER read for all table-structure lookups
+  // (schema, partition spec, column mapping, schema epoch) — entry
+  // groups stay unread until file planning decides which survive
+  private lazy val tableState = ManifestSink.readHeader(root, pinned)
   private lazy val tableSchema =
     tableState.schema.getOrElse(ManifestSink.readSchema(root, pinned))
   private lazy val partColsSet: Set[String] = tableState.partCols.toSet
@@ -3050,7 +3300,8 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
     * pushdown and min/max skipping both apply to either set. */
   private def scanEntries: Seq[ManifestSink.FileEntry] = changes match {
     case Some((from, to)) => ManifestSink.addedEntries(root, from, to)
-    case None => ManifestSink.committedEntries(root, pinned)
+    // aggregate pushdown consumes rows/stats only — bloom sidecars unread
+    case None => ManifestSink.committedEntries(root, pinned, withBlooms = false)
   }
 
   override def build(): Scan = pushedAgg match {
@@ -3080,14 +3331,20 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
       // scan is the exception: its file set must be resolved and
       // recorded NOW, because the replacing write's commit swaps exactly
       // these files (the scan is pinned, so eager == lazy in content).
+      // snapshot scans plan through the manifest list (group-level
+      // pruning + lazy blooms); change-feed scans resolve per window
+      def planned(): Seq[ManifestSink.FileEntry] = changes match {
+        case Some((from, to)) => ManifestSink.addedEntries(root, from, to)
+          .filter(e => skipFilters.forall(f => ManifestSink.mayMatchEntry(e, f)))
+        case None =>
+          ManifestSink.plannedEntries(root, pinned, skipFilters.toSeq)
+      }
       val resolve = onBatchResolve match {
         case Some(record) =>
-          val entries = scanEntries
-            .filter(e => skipFilters.forall(f => ManifestSink.mayMatchEntry(e, f)))
+          val entries = planned()
           record(entries)
           () => entries
-        case None => () => scanEntries
-          .filter(e => skipFilters.forall(f => ManifestSink.mayMatchEntry(e, f)))
+        case None => () => planned()
       }
       // streaming reads honor changesFromVersion/changesToVersion as
       // their start offset and end cap
@@ -3272,7 +3529,7 @@ class ManifestMicroBatchStream(root: Path, fileSchema: StructType,
       // from scratch. The snapshot carries current deletion vectors, so
       // deleted rows are never delivered. Later batches are true deltas.
       val ents =
-        if (s == 0L) ManifestSink.committedEntries(root, Some(e))
+        if (s == 0L) ManifestSink.committedEntries(root, Some(e), withBlooms = false)
         else ManifestSink.addedEntries(root, s, e)
       ents.map(en => ManifestFilePartition(root.resolve(en.name).toString, en.liveRows,
         en.dvName.map(n => root.resolve(n).toString)): InputPartition)
