@@ -254,7 +254,63 @@ object SimilarityOps {
     // to keep lineage flat. Output: per-cluster population, id range,
     // inertia under the final assignment, and exact centroid checksums.
     "q139_kmeans_train" -> ((s, dir) =>
-      kmeansTrain(Tables.embeddings(s, dir), centroidsFor(s), KmIters)))
+      kmeansTrain(Tables.embeddings(s, dir), centroidsFor(s), KmIters)),
+
+    // ANN index AT REST: the LSH bucket becomes the table's physical
+    // layout, composing two proven features — q45's bucketing and the
+    // manifest table's write-time sort clustering. Build once: the
+    // corpus lands in a manifest table with a MATERIALIZED bucket
+    // column and write.sort-by=bucket, so the range-distributed write
+    // leaves each data file holding a narrow bucket range and the
+    // per-file integer min/max stats make bucket predicates
+    // file-pruning (AnnAtRestSpec proves it by deleting the other
+    // files). Probe: the probe set's distinct buckets — a
+    // metadata-sized driver list, the "client query vectors" of a real
+    // ANN service — push down as an IN filter, so the scan opens only
+    // intersecting files; exact cosine re-ranks within the bucket.
+    // Same result as q45 (the oracle is the identical bucket join) but
+    // candidate I/O is proportional to the probed buckets, not the
+    // corpus: at 100 TB the index IS the layout — no sidecar to sync.
+    "q140_ann_at_rest" -> ((s, dir) => {
+      val t = annAtRestTable(s, dir)
+      val probes = Tables.embeddings(s, dir).filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          bucket(s, col("embedding")).as("bucket"))
+      val probeBuckets = probes.select("bucket").distinct()
+        .collect().map(_.getLong(0)).sorted // <= NumProbes longs
+      val cands = s.table(t)
+        .filter(col("bucket").isin(probeBuckets.toIndexedSeq: _*))
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("bucket"))
+      topkPerProbe(broadcast(probes)
+        .join(cands, Seq("bucket"))
+        .filter(col("probe_id") =!= col("cand_id"))
+        .withColumn("score", cosineNative(col("pe"), col("ce"))))
+    }))
+
+  /** Once-per-(application, sf-dir) build of the bucket-clustered
+    * embeddings manifest table behind q140 — the memo keeps plan-only
+    * inspection (PlanAudit) from re-running the write. Returns the
+    * table's three-part name. */
+  private val annBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  private[graft] def annAtRestTable(s: SparkSession, dir: String): String = {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+      s.sparkContext.applicationId
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val ns = s"db${Integer.toHexString(dir.hashCode)}"
+    if (annBuilt.add((s.sparkContext.applicationId, dir))) {
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      s.sql(s"CREATE TABLE graft.$ns.emb_ann " +
+        "(vec_id BIGINT, embedding ARRAY<FLOAT>, bucket BIGINT) " +
+        "TBLPROPERTIES ('write.sort-by' = 'bucket')")
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          bucket(s, col("embedding")).as("bucket"))
+        .writeTo(s"graft.$ns.emb_ann").append()
+    }
+    s"graft.$ns.emb_ann"
+  }
 
   /** Deterministic sub-split of oversized clusters: rows keep their
     * columns and gain a `sub` shard id in [0, ⌈size/cap⌉) from
@@ -531,5 +587,19 @@ object SimilarityOps {
          |  CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups
          |FROM asg v LEFT JOIN d ON d.vec_id = v.vec_id ORDER BY v.vec_id""".stripMargin,
 
-    "q139_kmeans_train" -> kmeansTrainSql)
+    "q139_kmeans_train" -> kmeansTrainSql,
+
+    // identical to q45's relation: the at-rest layout must change I/O,
+    // never the answer
+    "q140_ann_at_rest" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
+         |SELECT probe_id, cand_id, rn, score FROM (
+         |  SELECT probe_id, cand_id,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn, score
+         |  FROM (
+         |    SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |      ${cosSql("p.embedding", "c.embedding")} AS score
+         |    FROM b p JOIN b c ON p.bucket = c.bucket AND p.vec_id != c.vec_id
+         |    WHERE p.vec_id < $NumProbes))
+         |WHERE rn <= $TopK ORDER BY probe_id, rn""".stripMargin)
 }

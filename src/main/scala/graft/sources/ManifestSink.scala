@@ -424,7 +424,9 @@ object ManifestSink {
       mins: Map[String, Long], maxs: Map[String, Long],
       parts: Map[String, String] = Map.empty,
       dvName: Option[String] = None, dvRows: Long = 0L,
-      blooms: Map[String, String] = Map.empty) {
+      blooms: Map[String, String] = Map.empty,
+      slows: Map[String, String] = Map.empty,
+      sups: Map[String, String] = Map.empty) {
     /** Rows a reader actually yields: physical rows minus the deletion
       * vector's positions. Drives count(*) pushdown, reported stats and
       * the zero-column emitters — `rows` stays the PHYSICAL count (what
@@ -486,6 +488,131 @@ object ManifestSink {
       while (i < acc.length) { acc(i) |= bb.getLong(); i += 1 }
     }
     bloomEncode(acc)
+  }
+
+  // ---- per-file truncated string min/max bounds -------------------------
+  //
+  // Blooms answer string EQUALITY; string RANGE predicates
+  // (`WHERE url >= 'https://a' AND url < 'https://b'`, `LIKE 'abc%'`)
+  // need ordered bounds. Full min/max strings would bloat the manifest
+  // (a document-text column's min is a whole document), so entries carry
+  // TRUNCATED bounds, the Iceberg `truncate(L)` shape (public knowledge):
+  //  - lower bound = first [[strBoundLen]] code points of the file's min
+  //    value (a prefix sorts <= every extension in UTF-8 byte order, so
+  //    it is a valid lower bound);
+  //  - upper bound = the truncated max with its last code point
+  //    incremented when truncation dropped anything (prefix p
+  //    incremented to p' bounds every string starting with p from
+  //    above); if no code point can be incremented the upper bound is
+  //    simply ABSENT — absence always means may-match.
+  // All ordering is UTF-8 BINARY (Spark's UTF8String semantics), never
+  // java.lang.String UTF-16 code-unit order — the same rule
+  // [[evalPartFilter]] follows, because a bound compared in the wrong
+  // collation can wrongly prune a file. Bounds are PRUNING-ONLY
+  // metadata: they may never feed exact answers (the MIN/MAX aggregate
+  // pushdown stays integer-only — a truncated bound is not the value).
+
+  private[sources] def strBoundLen: Int =
+    sys.props.getOrElse("graft.manifest.strBoundLen", "16").toInt
+
+  private[sources] def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+
+  /** First `n` CODE POINTS (not chars — a surrogate pair never splits,
+    * which would produce an unencodable bound). Walks at most `n` code
+    * points, never the whole string — this runs per row on document-text
+    * columns. */
+  private[sources] def truncCp(s: String, n: Int): String = {
+    var i = 0
+    var cp = 0
+    while (i < s.length && cp < n) { i = s.offsetByCodePoints(i, 1); cp += 1 }
+    if (i >= s.length) s else s.substring(0, i)
+  }
+
+  /** Smallest-effort string strictly greater than every string with
+    * prefix `s`: increment the last incrementable code point and drop
+    * the tail. Skips the surrogate-range gap (D7FF+1 jumps to E000 —
+    * U+D800..DFFF are not scalar values). None when every code point is
+    * already U+10FFFF. */
+  private[sources] def incrementCp(s: String): Option[String] = {
+    val cps = s.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) >= 0x10FFFF) i -= 1
+    if (i < 0) None
+    else {
+      val next = if (cps(i) + 1 >= 0xD800 && cps(i) + 1 <= 0xDFFF) 0xE000 else cps(i) + 1
+      Some(new String(cps.take(i), 0, i) + new String(Character.toChars(next)))
+    }
+  }
+
+  /** Truncated bounds from the RUNNING min/max kept by a collector.
+    * The collector tracks min/max over `truncCp(v, L+1)`-truncated
+    * values (bounded per-row compare cost on long text columns —
+    * truncation is monotone in UTF-8 order, so truncated min/max sit at
+    * the same rows as the real ones). Length L+1 preserves one bit of
+    * information the bound needs: whether anything beyond the L-prefix
+    * existed, i.e. whether the upper bound must be incremented. */
+  private[sources] def strLowerBound(min: String): String = truncCp(min, strBoundLen)
+  private[sources] def strUpperBound(max: String): Option[String] =
+    if (max.codePointCount(0, max.length) <= strBoundLen) Some(max)
+    else incrementCp(truncCp(max, strBoundLen))
+
+  /** One write/rewrite task's inline stats pass: integer min/max,
+    * configured string-column blooms, and truncated string bounds for
+    * EVERY string column — the single collector behind the data writer,
+    * DV purge and CoW delete rewrites (identical stats semantics at
+    * every site, by construction). */
+  private[sources] final class FileStatsCollector(schema: StructType,
+      bloomCols: Seq[String]) {
+    private val intCols = schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f, i)
+    }
+    private val strCols = schema.fields.zipWithIndex.collect {
+      case (f, i) if f.dataType == StringType => (f.name, i)
+    }
+    private val bloomAt: Seq[(String, Int, Array[Long])] =
+      bloomCols.flatMap { c =>
+        schema.fields.zipWithIndex.collectFirst {
+          case (f, i) if f.name == c && f.dataType == StringType =>
+            (c, i, new Array[Long](BloomBits / 64))
+        }
+      }
+    private val mins = scala.collection.mutable.Map.empty[String, Long]
+    private val maxs = scala.collection.mutable.Map.empty[String, Long]
+    private val sMin = scala.collection.mutable.Map.empty[String, String]
+    private val sMax = scala.collection.mutable.Map.empty[String, String]
+
+    def add(row: InternalRow): Unit = {
+      intCols.foreach { case (f, i) =>
+        if (!row.isNullAt(i)) {
+          val v = if (f.dataType == LongType) row.getLong(i) else row.getInt(i).toLong
+          mins.updateWith(f.name)(o => Some(o.fold(v)(math.min(_, v))))
+          maxs.updateWith(f.name)(o => Some(o.fold(v)(math.max(_, v))))
+        }
+      }
+      strCols.foreach { case (name, i) =>
+        if (!row.isNullAt(i)) {
+          val t = truncCp(row.getUTF8String(i).toString, strBoundLen + 1)
+          sMin.updateWith(name)(o => Some(o.fold(t)(m =>
+            if (utf8Compare(t, m) < 0) t else m)))
+          sMax.updateWith(name)(o => Some(o.fold(t)(m =>
+            if (utf8Compare(t, m) > 0) t else m)))
+        }
+      }
+      bloomAt.foreach { case (_, i, bits) =>
+        if (!row.isNullAt(i)) bloomAdd(bits, row.getUTF8String(i).toString)
+      }
+    }
+
+    def intMins: Map[String, Long] = mins.toMap
+    def intMaxs: Map[String, Long] = maxs.toMap
+    def strLowers: Map[String, String] =
+      sMin.iterator.map { case (c, v) => c -> strLowerBound(v) }.toMap
+    def strUppers: Map[String, String] =
+      sMax.iterator.flatMap { case (c, v) => strUpperBound(v).map(c -> _) }.toMap
+    def blooms: Map[String, String] =
+      bloomAt.map { case (c, _, bits) => c -> bloomEncode(bits) }.toMap
   }
 
   /** Deletion-vector sidecar files (merge-on-read deletes): one
@@ -771,7 +898,7 @@ object ManifestSink {
       false
     case _ =>
       mayMatch(FileEntry(r.name, r.rows, r.mins, r.maxs, Map.empty, None, 0L,
-        Map.empty), f)
+        Map.empty, r.slows, r.sups), f)
   }
 
   /** Does `f` ever consult a per-file bloom? Only string equality / IN
@@ -826,7 +953,7 @@ object ManifestSink {
   }
 
   private[sources] def parseEntryLine(line: String): FileEntry = {
-    val parts = line.split("\t", 7)
+    val parts = line.split("\t", 8)
     val (dvName, dvRows) = parts.lift(5).filter(_.nonEmpty) match {
       case Some(dv) =>
         val Array(n, c) = dv.split(":", 2)
@@ -841,12 +968,36 @@ object ManifestSink {
       }.toMap
       case None => Map.empty[String, String]
     }
+    val (slows, sups) = parseStrBounds(parts.lift(7).getOrElse(""))
     FileEntry(parts(0), parts(1).toLong,
       parseStats(parts.lift(2).getOrElse("")),
       parseStats(parts.lift(3).getOrElse("")),
       parsePartsStr(parts.lift(4).getOrElse("")),
-      dvName, dvRows, blooms)
+      dvName, dvRows, blooms, slows, sups)
   }
+
+  /** Truncated string bounds field: `col=low:high` pairs, comma-joined,
+    * every token URL-encoded. An empty `high` means NO upper bound
+    * (increment overflowed) — a genuine empty-string upper bound (every
+    * value is "") degrades to absent, which only costs pruning. */
+  private[sources] def strBoundsStr(slows: Map[String, String],
+      sups: Map[String, String]): String =
+    (slows.keySet ++ sups.keySet).toSeq.sorted.map { c =>
+      s"${urlEnc(c)}=${slows.get(c).fold("")(urlEnc)}:${sups.get(c).fold("")(urlEnc)}"
+    }.mkString(",")
+
+  private[sources] def parseStrBounds(s: String):
+      (Map[String, String], Map[String, String]) =
+    if (s.isEmpty) (Map.empty, Map.empty)
+    else {
+      val kvs = s.split(",").toSeq.map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        val Array(lo, hi) = v.split(":", 2)
+        (urlDec(k), lo, hi)
+      }
+      (kvs.collect { case (k, lo, _) if lo.nonEmpty => k -> urlDec(lo) }.toMap,
+        kvs.collect { case (k, _, hi) if hi.nonEmpty => k -> urlDec(hi) }.toMap)
+    }
 
   private[sources] def entryLine(e: FileEntry): String = {
     val base =
@@ -854,9 +1005,11 @@ object ManifestSink {
     val dv = e.dvName.fold("")(n => s"$n:${e.dvRows}")
     val bl = e.blooms.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${urlEnc(k)}=$v" }.mkString(",")
-    // trailing optional fields: emit the dv slot (possibly empty) when a
-    // later field needs its position
-    if (bl.nonEmpty) s"$base\t$dv\t$bl"
+    val sb = strBoundsStr(e.slows, e.sups)
+    // trailing optional fields: emit earlier slots (possibly empty) when
+    // a later field needs its position
+    if (sb.nonEmpty) s"$base\t$dv\t$bl\t$sb"
+    else if (bl.nonEmpty) s"$base\t$dv\t$bl"
     else if (dv.nonEmpty) s"$base\t$dv"
     else base
   }
@@ -894,19 +1047,24 @@ object ManifestSink {
 
   private[sources] case class GroupRef(name: String, files: Int, rows: Long,
       mins: Map[String, Long], maxs: Map[String, Long],
-      partsSet: Option[Seq[Map[String, String]]], hasBlooms: Boolean)
+      partsSet: Option[Seq[Map[String, String]]], hasBlooms: Boolean,
+      slows: Map[String, String] = Map.empty,
+      sups: Map[String, String] = Map.empty)
 
   private def groupRefLine(r: GroupRef): String = {
     val parts = r.partsSet.map(_.map(partsStr).mkString(";")).getOrElse("*")
-    s"$GroupRefPrefix${r.name}\t${r.files}\t${r.rows}\t${statsStr(r.mins)}\t" +
+    val base = s"$GroupRefPrefix${r.name}\t${r.files}\t${r.rows}\t${statsStr(r.mins)}\t" +
       s"${statsStr(r.maxs)}\t$parts\t${if (r.hasBlooms) 1 else 0}"
+    val sb = strBoundsStr(r.slows, r.sups)
+    if (sb.nonEmpty) s"$base\t$sb" else base
   }
 
   private[sources] def parseGroupRefLine(l: String): GroupRef = {
-    val p = l.split("\t", 8) // p(0) is the '#mgroup' tag
+    val p = l.split("\t", 9) // p(0) is the '#mgroup' tag
+    val (slows, sups) = parseStrBounds(p.lift(8).getOrElse(""))
     GroupRef(p(1), p(2).toInt, p(3).toLong, parseStats(p(4)), parseStats(p(5)),
       if (p(6) == "*") None else Some(p(6).split(";", -1).toSeq.map(parsePartsStr)),
-      p(7) == "1")
+      p(7) == "1", slows, sups)
   }
 
   /** Tiny synchronized LRU keyed by immutable identity — safe to share
@@ -987,8 +1145,24 @@ object ManifestSink {
       statCols.map(c => c -> members.map(_.mins(c)).min).toMap,
       statCols.map(c => c -> members.map(_.maxs(c)).max).toMap,
       if (parts.size <= MaxGroupParts) Some(parts) else None,
-      bloomLines.nonEmpty)
+      bloomLines.nonEmpty,
+      mergeStrLowers(members.map(_.slows)), mergeStrUppers(members.map(_.sups)))
   }
+
+  /** Lossless merges for truncated string bounds — min of lowers / max
+    * of uppers, a column contributing only when EVERY member carries the
+    * bound (absence is indistinguishable from "not collected", so a
+    * missing member bound poisons the merged one to absent = may-match).
+    * Lowers and uppers merge independently: an upper can overflow away
+    * on one member while its lower survives. */
+  private[sources] def mergeStrLowers(ms: Seq[Map[String, String]]): Map[String, String] =
+    if (ms.isEmpty) Map.empty
+    else ms.map(_.keySet).reduce(_ intersect _).iterator.map(c =>
+      c -> ms.map(_(c)).reduce((a, b) => if (utf8Compare(a, b) <= 0) a else b)).toMap
+  private[sources] def mergeStrUppers(ms: Seq[Map[String, String]]): Map[String, String] =
+    if (ms.isEmpty) Map.empty
+    else ms.map(_.keySet).reduce(_ intersect _).iterator.map(c =>
+      c -> ms.map(_(c)).reduce((a, b) => if (utf8Compare(a, b) >= 0) a else b)).toMap
 
   /** Render a version's entry section: inline lines at or under
     * [[inlineThreshold]] entries, `#mgroup` refs above it. Grouping is
@@ -1037,13 +1211,52 @@ object ManifestSink {
     * filters. */
   private[sources] def mayMatch(e: FileEntry, f: org.apache.spark.sql.sources.Filter): Boolean = {
     import org.apache.spark.sql.sources._
-    f match {
-      // string equality prunes by the per-file bloom (absence = may-match)
-      case EqualTo(c, v: String) => e.blooms.get(c).forall(bloomMayContain(_, v))
-      case EqualNullSafe(c, v: String) => e.blooms.get(c).forall(bloomMayContain(_, v))
+    // truncated string bounds: every value x in the file satisfies
+    // slow <= x <= sup (UTF-8 binary order — see the bounds section);
+    // a missing side is may-match
+    def strInRange(c: String, v: String): Boolean =
+      e.slows.get(c).forall(lo => utf8Compare(v, lo) >= 0) &&
+        e.sups.get(c).forall(hi => utf8Compare(v, hi) <= 0)
+    // runtime (DPP-style) filters carry UTF8String literals where
+    // planner-pushed ones carry String — normalize so one set of string
+    // cases (blooms + bounds) serves both
+    val nf = f match {
+      case EqualTo(c, u: UTF8String) => EqualTo(c, u.toString)
+      case EqualNullSafe(c, u: UTF8String) => EqualNullSafe(c, u.toString)
+      case GreaterThan(c, u: UTF8String) => GreaterThan(c, u.toString)
+      case GreaterThanOrEqual(c, u: UTF8String) => GreaterThanOrEqual(c, u.toString)
+      case LessThan(c, u: UTF8String) => LessThan(c, u.toString)
+      case LessThanOrEqual(c, u: UTF8String) => LessThanOrEqual(c, u.toString)
+      case In(c, vs) if vs != null && vs.exists(_.isInstanceOf[UTF8String]) =>
+        In(c, vs.map { case u: UTF8String => u.toString; case x => x })
+      case other => other
+    }
+    nf match {
+      // string equality prunes by the per-file bloom AND the range
+      // (absence of either = may-match on that side)
+      case EqualTo(c, v: String) =>
+        e.blooms.get(c).forall(bloomMayContain(_, v)) && strInRange(c, v)
+      case EqualNullSafe(c, v: String) =>
+        e.blooms.get(c).forall(bloomMayContain(_, v)) && strInRange(c, v)
       case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
         e.blooms.get(c).forall(b =>
-          vs.exists(v => bloomMayContain(b, v.asInstanceOf[String])))
+          vs.exists(v => bloomMayContain(b, v.asInstanceOf[String]))) &&
+          vs.exists(v => strInRange(c, v.asInstanceOf[String]))
+      // string range predicates prune by the truncated bounds alone
+      case GreaterThan(c, v: String) =>
+        e.sups.get(c).forall(hi => utf8Compare(hi, v) > 0)
+      case GreaterThanOrEqual(c, v: String) =>
+        e.sups.get(c).forall(hi => utf8Compare(hi, v) >= 0)
+      case LessThan(c, v: String) =>
+        e.slows.get(c).forall(lo => utf8Compare(lo, v) < 0)
+      case LessThanOrEqual(c, v: String) =>
+        e.slows.get(c).forall(lo => utf8Compare(lo, v) <= 0)
+      // LIKE 'p%': values with prefix p live in [p, increment(p)) — the
+      // file may match iff that interval intersects [slow, sup]
+      case StringStartsWith(c, p) =>
+        e.sups.get(c).forall(hi => utf8Compare(hi, p) >= 0) &&
+          incrementCp(p).forall(pu =>
+            e.slows.get(c).forall(lo => utf8Compare(lo, pu) < 0))
       case EqualTo(c, v) => asLong(v).forall(x =>
         e.mins.get(c).forall(_ <= x) && e.maxs.get(c).forall(_ >= x))
       case GreaterThan(c, v) => asLong(v).forall(x => e.maxs.get(c).forall(_ > x))
@@ -1429,7 +1642,9 @@ object ManifestSink {
             mins = renameKeys(e.mins, from, to),
             maxs = renameKeys(e.maxs, from, to),
             parts = e.parts.map { case (k, v) => (if (k == from) to else k, v) },
-            blooms = e.blooms.map { case (k, v) => (if (k == from) to else k, v) }))
+            blooms = e.blooms.map { case (k, v) => (if (k == from) to else k, v) },
+            slows = e.slows.map { case (k, v) => (if (k == from) to else k, v) },
+            sups = e.sups.map { case (k, v) => (if (k == from) to else k, v) }))
         case d: TableChange.DeleteColumn =>
           val name = single(d.fieldNames, "DROP COLUMN")
           require(schema.fieldNames.contains(name), s"no column $name to drop")
@@ -1441,7 +1656,8 @@ object ManifestSink {
           sortCols = sortCols.filterNot(_ == name)
           entries = entries.map(e =>
             e.copy(mins = e.mins - name, maxs = e.maxs - name,
-              blooms = e.blooms - name))
+              blooms = e.blooms - name,
+              slows = e.slows - name, sups = e.sups - name))
         // ALTER TABLE ... SET TBLPROPERTIES: the CREATE-time knobs stay
         // adjustable for the table's whole life. delete.mode switches
         // strategy for FUTURE deletes (existing DVs keep applying);
@@ -1512,7 +1728,7 @@ object ManifestSink {
       case ManifestCommitSet(cs) => cs
       case _ => Seq.empty
     }.map(c => FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts,
-      blooms = c.blooms))
+      blooms = c.blooms, slows = c.slows, sups = c.sups))
 
   private[sources] def commitFileNames(messages: Iterable[WriterCommitMessage]): Seq[String] =
     messages.toSeq.flatMap {
@@ -1612,13 +1828,16 @@ object ManifestSink {
       } else ManifestParquet.appendMerge(root.resolve(name), bin.map(e => root.resolve(e.name)))
       val statKeys = bin.map(_.mins.keySet).reduce(_ intersect _)
       // blooms merge losslessly by bitwise OR, published only when every
-      // member carried one (same absence rule as the min/max stats)
+      // member carried one (same absence rule as the min/max stats);
+      // truncated string bounds merge min-of-lowers / max-of-uppers
       val bloomKeys = bin.map(_.blooms.keySet).reduce(_ intersect _)
       FileEntry(name, bin.map(_.rows).sum,
         statKeys.map(k => k -> bin.map(_.mins(k)).min).toMap,
         statKeys.map(k => k -> bin.map(_.maxs(k)).max).toMap,
         bin.head.parts,
-        blooms = bloomKeys.map(k => k -> bloomUnion(bin.map(_.blooms(k)))).toMap)
+        blooms = bloomKeys.map(k => k -> bloomUnion(bin.map(_.blooms(k)))).toMap,
+        slows = mergeStrLowers(bin.map(_.slows)),
+        sups = mergeStrUppers(bin.map(_.sups)))
     }
     val rewrittenNames = bins.flatten.map(_.name).toSet ++ dvEntries.map(_.name)
     val entries = st.entries.filterNot(e => rewrittenNames(e.name)) ++ merged ++ purged
@@ -1642,17 +1861,7 @@ object ManifestSink {
       colMap: Map[String, String], evolved: Boolean,
       bloomCols: Seq[String] = Seq.empty): FileEntry = {
     val dv = readDvPositions(root.resolve(e.dvName.get)).toSet
-    val intCols = schema.fields.zipWithIndex.collect {
-      case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f, i)
-    }
-    val mins = scala.collection.mutable.Map.empty[String, Long]
-    val maxs = scala.collection.mutable.Map.empty[String, Long]
-    val bloomAt = bloomCols.flatMap { c =>
-      schema.fields.zipWithIndex.collectFirst {
-        case (f, i) if f.name == c && f.dataType == StringType =>
-          (c, i, new Array[Long](BloomBits / 64))
-      }
-    }
+    val stats = new FileStatsCollector(schema, bloomCols)
     var kept = 0L
     val newName = s"data-compact-${java.util.UUID.randomUUID()}.parquet"
     val out = ManifestParquet.open(root.resolve(newName),
@@ -1661,21 +1870,12 @@ object ManifestSink {
       foreachRowPos(root.resolve(e.name), schema, colMap, evolved) { (row, pos) =>
         if (!dv.contains(pos)) {
           out.write(row); kept += 1
-          intCols.foreach { case (f, i) =>
-            if (!row.isNullAt(i)) {
-              val v = if (f.dataType == LongType) row.getLong(i) else row.getInt(i).toLong
-              mins.updateWith(f.name)(o => Some(o.fold(v)(math.min(_, v))))
-              maxs.updateWith(f.name)(o => Some(o.fold(v)(math.max(_, v))))
-            }
-          }
-          bloomAt.foreach { case (_, i, bits) =>
-            if (!row.isNullAt(i)) bloomAdd(bits, row.getUTF8String(i).toString)
-          }
+          stats.add(row)
         }
       }
     } finally out.close()
-    FileEntry(newName, kept, mins.toMap, maxs.toMap, e.parts,
-      blooms = bloomAt.map { case (c, _, bits) => c -> bloomEncode(bits) }.toMap)
+    FileEntry(newName, kept, stats.intMins, stats.intMaxs, e.parts,
+      blooms = stats.blooms, slows = stats.strLowers, sups = stats.strUppers)
   }
 
   /** OPTIMIZE ... ZORDER BY: rewrite the ENTIRE table (or each table
@@ -1798,7 +1998,7 @@ object ManifestSink {
           case _ => Iterator.empty
         }
       }.collect().toSeq.map(c => FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts,
-        blooms = c.blooms))
+        blooms = c.blooms, slows = c.slows, sups = c.sups))
     }
     try publish(root, st.version,
       ((schema.json +: RewriteMarker +: st.metaLines) ++
@@ -2086,17 +2286,7 @@ object ManifestSink {
         // retirement path, a pure metadata commit
         provenFiles += 1; deletedRows += e.liveRows; None
       } else {
-      val intCols = schema.fields.zipWithIndex.collect {
-        case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f, i)
-      }
-      val mins = scala.collection.mutable.Map.empty[String, Long]
-      val maxs = scala.collection.mutable.Map.empty[String, Long]
-      val bloomAt = st.bloomCols.flatMap { c =>
-        schema.fields.zipWithIndex.collectFirst {
-          case (f, i) if f.name == c && f.dataType == StringType =>
-            (c, i, new Array[Long](BloomBits / 64))
-        }
-      }
+      val stats = new FileStatsCollector(schema, st.bloomCols)
       var kept = 0L
       val newName = s"data-delete-${java.util.UUID.randomUUID()}.parquet"
       val out = ManifestParquet.open(root.resolve(newName),
@@ -2113,16 +2303,7 @@ object ManifestSink {
           else if (rowMatches(row, schema)) deletedRows += 1
           else {
             out.write(row); kept += 1
-            intCols.foreach { case (f, i) =>
-              if (!row.isNullAt(i)) {
-                val v = if (f.dataType == LongType) row.getLong(i) else row.getInt(i).toLong
-                mins.updateWith(f.name)(o => Some(o.fold(v)(math.min(_, v))))
-                maxs.updateWith(f.name)(o => Some(o.fold(v)(math.max(_, v))))
-              }
-            }
-            bloomAt.foreach { case (_, i, bits) =>
-              if (!row.isNullAt(i)) bloomAdd(bits, row.getUTF8String(i).toString)
-            }
+            stats.add(row)
           }
         }
       } finally out.close()
@@ -2135,8 +2316,8 @@ object ManifestSink {
         // the whole file matched: no replacement at all
         Files.deleteIfExists(root.resolve(newName))
         None
-      } else Some(FileEntry(newName, kept, mins.toMap, maxs.toMap, e.parts,
-        blooms = bloomAt.map { case (c, _, bits) => c -> bloomEncode(bits) }.toMap))
+      } else Some(FileEntry(newName, kept, stats.intMins, stats.intMaxs, e.parts,
+        blooms = stats.blooms, slows = stats.strLowers, sups = stats.strUppers))
       }
     }
     val rewritten = candidates.zip(replacements).count {
@@ -2785,7 +2966,9 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
 case class ManifestCommit(fileName: String, rows: Long,
     mins: Map[String, Long], maxs: Map[String, Long],
     parts: Map[String, String] = Map.empty,
-    blooms: Map[String, String] = Map.empty) extends WriterCommitMessage
+    blooms: Map[String, String] = Map.empty,
+    slows: Map[String, String] = Map.empty,
+    sups: Map[String, String] = Map.empty) extends WriterCommitMessage
 
 /** A partition-fanout task's commit: one [[ManifestCommit]] per data
   * file it opened (one per distinct partition tuple it received). */
@@ -3122,24 +3305,12 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
     extends DataWriter[InternalRow] {
   private val root = Paths.get(rootStr)
   private var rows = 0L
-  // per-integer-column min/max, collected inline while writing — the
-  // stats that power file skipping and the metadata count. Keyed by
-  // LOGICAL name (manifest metadata is logical; only bytes inside data
-  // files are physical).
-  private val intCols = schema.fields.zipWithIndex.collect {
-    case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f, i)
-  }
-  private val mins = scala.collection.mutable.Map.empty[String, Long]
-  private val maxs = scala.collection.mutable.Map.empty[String, Long]
-  // per-file bloom over each configured STRING column's values —
-  // collected inline like the min/max stats, one Array[Long] per column
-  private val bloomAt: Seq[(String, Int, Array[Long])] =
-    bloomCols.flatMap { c =>
-      schema.fields.zipWithIndex.collectFirst {
-        case (f, i) if f.name == c && f.dataType == StringType =>
-          (c, i, new Array[Long](ManifestSink.BloomBits / 64))
-      }
-    }
+  // per-column stats collected inline while writing — integer min/max,
+  // configured string blooms and truncated string bounds, the metadata
+  // that powers file skipping and the metadata count. Keyed by LOGICAL
+  // name (manifest metadata is logical; only bytes inside data files
+  // are physical).
+  private val stats = new ManifestSink.FileStatsCollector(schema, bloomCols)
   private lazy val out = {
     Files.createDirectories(root)
     // data files carry PHYSICAL column names — immutable across renames
@@ -3148,22 +3319,12 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
   }
   override def write(record: InternalRow): Unit = {
     out.write(record); rows += 1
-    intCols.foreach { case (f, i) =>
-      if (!record.isNullAt(i)) {
-        val v = if (f.dataType == LongType) record.getLong(i) else record.getInt(i).toLong
-        mins.updateWith(f.name)(o => Some(o.fold(v)(math.min(_, v))))
-        maxs.updateWith(f.name)(o => Some(o.fold(v)(math.max(_, v))))
-      }
-    }
-    bloomAt.foreach { case (_, i, bits) =>
-      if (!record.isNullAt(i))
-        ManifestSink.bloomAdd(bits, record.getUTF8String(i).toString)
-    }
+    stats.add(record)
   }
   override def commit(): WriterCommitMessage = {
     out.close() // forces creation even for an empty task: footer-only file
-    ManifestCommit(fileName, rows, mins.toMap, maxs.toMap, parts,
-      bloomAt.map { case (c, _, bits) => c -> ManifestSink.bloomEncode(bits) }.toMap)
+    ManifestCommit(fileName, rows, stats.intMins, stats.intMaxs, parts,
+      stats.blooms, stats.strLowers, stats.strUppers)
   }
   override def abort(): Unit = {
     try out.close() catch { case _: Throwable => () }
@@ -3280,6 +3441,13 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
       case LessThan(_, v: Int) => true
       case LessThanOrEqual(_, v: Long) => true
       case LessThanOrEqual(_, v: Int) => true
+      // string range / prefix predicates prune via the truncated
+      // per-file string bounds (absence = may-match inside mayMatch)
+      case GreaterThan(_, _: String) => true
+      case GreaterThanOrEqual(_, _: String) => true
+      case LessThan(_, _: String) => true
+      case LessThanOrEqual(_, _: String) => true
+      case org.apache.spark.sql.sources.StringStartsWith(_, _) => true
       // partition-column filters of ANY literal type prune files EXACTLY
       // against the manifest's per-file partition tuples — this is the
       // partition-first pruning pass; it runs before stats in
@@ -3416,6 +3584,17 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
 
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     runtimeFilters ++= filters
+
+  // NOTE (MERGE group filtering): Spark's row-level runtime group filter
+  // (RowLevelOperationRuntimeGroupFiltering) builds ONE InSubquery over
+  // ALL join attributes the scan can filter on. A multi-column MERGE ON
+  // clause therefore arrives as `named_struct(c1, c2, …) IN (…)`, which
+  // DataSourceV2Strategy.translateRuntimeFilterV2 cannot express as a
+  // source filter and DROPS (with a warning) before it ever reaches
+  // scan.filter — for ANY DSv2 source. Single-column ON clauses arrive
+  // as plain `In(col, values)` and prune here via mayMatch. Engine
+  // guidance: key CDC MERGEs on one column (CdcApplySpec pins the
+  // carried-by-reference behavior that falls out).
 
   /** Report exact row counts (and bytes derived from them) from manifest
     * metadata so Catalyst sizes this side of a join truthfully — without

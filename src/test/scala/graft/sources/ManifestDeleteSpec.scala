@@ -66,10 +66,17 @@ class ManifestDeleteSpec extends AnyFunSuite {
     val root = tmp(); val dir = root.toString
     threeRangeFiles(dir)
     val v = ManifestSink.currentVersion(root)
-    // strings carry no min/max stats, so every file is a candidate — but
-    // no row matches, so the table version must not advance
-    val res = ManifestSink.deleteWhere(dir, Seq(EqualTo("s", "nope")))
-    assert(res.candidateFiles == 3 && res.rewrittenFiles == 0 && res.deletedRows == 0L)
+    // "s1000" sits INSIDE the string bounds of the first two files
+    // (lexically, [s0, s99] and [s100, s199] both contain it) without
+    // matching any row: they are stats candidates, the rewrite finds
+    // nothing, and the table version must not advance. The third file
+    // ([s200, s299]) prunes by bounds — and a value below every lower
+    // bound, like "nope", is 0 candidates.
+    val res = ManifestSink.deleteWhere(dir, Seq(EqualTo("s", "s1000")))
+    assert(res.candidateFiles == 2 && res.rewrittenFiles == 0 && res.deletedRows == 0L)
+    assert(ManifestSink.currentVersion(root) == v)
+    val res2 = ManifestSink.deleteWhere(dir, Seq(EqualTo("s", "nope")))
+    assert(res2.candidateFiles == 0 && res2.deletedRows == 0L)
     assert(ManifestSink.currentVersion(root) == v)
   }
 

@@ -50,10 +50,12 @@ class TablePropertiesSpec extends AnyFunSuite {
       .coalesce(1).writeTo("prcat.db.bl").append()
     val es = entries("bl")
     assert(es.count(_.blooms.contains("cat")) == 1, s"got $es")
-    // pruning stays correct: the bloomless old file is always may-match
+    // pruning stays correct: the bloomless old file is excluded anyway
+    // by its truncated string BOUNDS ([old, old] cannot hold "new"), so
+    // only the new file is a candidate and the right rows are deleted
     import org.apache.spark.sql.sources.EqualTo
     val res = ManifestSink.deleteWhere(root("bl").toString, Seq(EqualTo("cat", "new")))
-    assert(res.candidateFiles == 2 && res.deletedRows == 5L, s"got $res")
+    assert(res.candidateFiles == 1 && res.deletedRows == 5L, s"got $res")
   }
 
   test("a property-only ALTER does not bump the schema epoch") {
