@@ -515,6 +515,10 @@ object ManifestSink {
   private[sources] def strBoundLen: Int =
     sys.props.getOrElse("graft.manifest.strBoundLen", "16").toInt
 
+  /** Name of the per-row data-file metadata column (see
+    * [[ManifestTable.metadataColumns]]). */
+  private[sources] val FileNameColumn = "_file"
+
   private[sources] def utf8Compare(a: String, b: String): Int =
     java.util.Arrays.compareUnsigned(
       a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
@@ -1232,6 +1236,12 @@ object ManifestSink {
       case other => other
     }
     nf match {
+      // `_file` membership — the row-level runtime group filter names
+      // EXACT files; this is a decision, not a may-match, but a false
+      // here only skips a read so absence-tolerance is unnecessary
+      case In(c, vs) if c == FileNameColumn && vs != null && vs.nonEmpty =>
+        vs.contains(e.name)
+      case EqualTo(c, v: String) if c == FileNameColumn => v == e.name
       // string equality prunes by the per-file bloom AND the range
       // (absence of either = may-match on that side)
       case EqualTo(c, v: String) =>
@@ -2757,11 +2767,28 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
     changes: Option[(Long, Long)] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with SupportsRowLevelOperations {
   override def name(): String =
     s"manifest($root${pinned.fold("")(v => s"@v$v")}" +
       s"${changes.fold("")(c => s"Δv${c._1}..${if (c._2 < 0) "now" else c._2}")})"
   override def schema(): StructType = schema0
+
+  /** `_file` metadata column (the Iceberg/parquet `_metadata.file_name`
+    * shape): the manifest data file each row lives in, emitted as a
+    * per-partition constant by the reader — never stored. Row-level
+    * rewrites require it (see
+    * [[ManifestRowLevelOperation.requiredMetadataAttributes]]) so
+    * Spark's runtime group filter can name EXACTLY the files with
+    * matches, and users get `SELECT _file, count(*) …` provenance for
+    * free. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = ManifestSink.FileNameColumn
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "manifest data file holding this row"
+    })
 
   /** SHOW TBLPROPERTIES / DESCRIBE EXTENDED surface: the live knobs as
     * recorded in the current manifest (set at CREATE or via ALTER TABLE
@@ -3018,6 +3045,20 @@ class ManifestRowLevelOperation(root: Path, cmd: RowLevelOperation.Command,
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"manifest-cow-${cmd.name.toLowerCase}"
+
+  /** The rewrite reads `_file` alongside the data columns so Spark's
+    * runtime group filter (RowLevelOperationRuntimeGroupFiltering) can
+    * express "groups with matches" as ONE single-column
+    * `_file IN (names…)` — the only shape
+    * `translateRuntimeFilterV2` can deliver to a source (multi-column
+    * keys become an untranslatable struct-IN and are dropped). With it,
+    * a MERGE/UPDATE touching one file rewrites one file; every other
+    * group carries by reference. The Iceberg `_file` pattern, public
+    * knowledge. */
+  override def requiredMetadataAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(ManifestSink.FileNameColumn))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val v = ManifestSink.currentVersion(root)
@@ -3375,9 +3416,18 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
   override def pruneColumns(requiredSchema: StructType): Unit =
     prunedNames = Some(requiredSchema.fieldNames.toSet)
 
-  private def readSchemaPruned: StructType = prunedNames match {
-    case Some(names) => StructType(tableSchema.fields.filter(f => names(f.name)))
-    case None => tableSchema
+  private def readSchemaPruned: StructType = {
+    val base = prunedNames match {
+      case Some(names) => StructType(tableSchema.fields.filter(f => names(f.name)))
+      case None => tableSchema
+    }
+    // `_file` is metadata, not a table column: appended LAST when
+    // requested — the reader emits it as a per-partition constant and
+    // the output layout is whatever readSchema says, so a fixed
+    // position is fine
+    if (prunedNames.exists(_.contains(ManifestSink.FileNameColumn)))
+      base.add(StructField(ManifestSink.FileNameColumn, StringType, nullable = false))
+    else base
   }
 
   /** The integer table column a pushed MIN/MAX refers to, if stats can
@@ -3520,7 +3570,11 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
         streamStart = changes.map(_._1).getOrElse(0L),
         streamEnd = changes.map(_._2).getOrElse(-1L),
         maxVersionsPerTrigger = maxVersionsPerTrigger,
-        colMap = colMap, evolved = evolved)
+        colMap = colMap, evolved = evolved,
+        // rewrite scans re-record their file set whenever a runtime
+        // group filter narrows it, so the replacing commit swaps
+        // exactly the files that were read (see ManifestScan.filter)
+        onRuntimeNarrow = onBatchResolve)
     }
   }
 
@@ -3554,7 +3608,8 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     resolveEntries: () => Seq[ManifestSink.FileEntry],
     streamStart: Long = 0L, streamEnd: Long = -1L,
     maxVersionsPerTrigger: Option[Long] = None,
-    colMap: Map[String, String] = Map.empty, evolved: Boolean = false)
+    colMap: Map[String, String] = Map.empty, evolved: Boolean = false,
+    onRuntimeNarrow: Option[Seq[ManifestSink.FileEntry] => Unit] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
   // resolved on first BATCH use only — a pure streaming read never
@@ -3575,26 +3630,36 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     * the dim side's surviving keys arrive as an IN list and whole fact
     * files whose key range misses every value are never even opened —
     * without re-planning the query. Integer stat columns only (the ones
-    * with manifest min/max). */
+    * with manifest min/max).
+    *
+    * A REWRITE scan (row-level MERGE/UPDATE/DELETE) instead advertises
+    * exactly ONE attribute: `_file`. Spark's runtime group filter
+    * (RowLevelOperationRuntimeGroupFiltering) builds a single
+    * InSubquery over ALL advertised attributes — two or more become
+    * `named_struct(…) IN (…)`, which translateRuntimeFilterV2 cannot
+    * express as a source filter and silently DROPS for any DSv2 source.
+    * One metadata attribute keeps the filter single-column
+    * (`_file IN (names…)`), names exactly the matched groups, and works
+    * for ANY merge key shape — the Iceberg `_file` pattern. */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    schema.fields.collect {
+    if (onRuntimeNarrow.isDefined)
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(ManifestSink.FileNameColumn))
+    else schema.fields.collect {
       case f if f.dataType == LongType || f.dataType == IntegerType =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
     }
 
-  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+  /** A rewrite scan re-records its file set on every runtime narrowing:
+    * the replacing write's commit swaps EXACTLY the files this scan
+    * read, so "what the group filter kept" and "what the commit
+    * replaces" must be the same set — recording here (not in
+    * planInputPartitions) also keeps the group-filter SUBQUERY's scan,
+    * which never receives runtime filters, from clobbering the record. */
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     runtimeFilters ++= filters
-
-  // NOTE (MERGE group filtering): Spark's row-level runtime group filter
-  // (RowLevelOperationRuntimeGroupFiltering) builds ONE InSubquery over
-  // ALL join attributes the scan can filter on. A multi-column MERGE ON
-  // clause therefore arrives as `named_struct(c1, c2, …) IN (…)`, which
-  // DataSourceV2Strategy.translateRuntimeFilterV2 cannot express as a
-  // source filter and DROPS (with a warning) before it ever reaches
-  // scan.filter — for ANY DSv2 source. Single-column ON clauses arrive
-  // as plain `In(col, values)` and prune here via mayMatch. Engine
-  // guidance: key CDC MERGEs on one column (CdcApplySpec pins the
-  // carried-by-reference behavior that falls out).
+    onRuntimeNarrow.foreach(record => record(entries))
+  }
 
   /** Report exact row counts (and bytes derived from them) from manifest
     * metadata so Catalyst sizes this side of a join truthfully — without
@@ -3637,7 +3702,11 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     // the vectors; a legacy-mixed table still decodes parquet files
     // through the vectorized reader, handing rows off one at a time
     new ManifestReaderFactory(fileSchema, schema,
+      // `_file` rows pass through the row-based appender — rewrite
+      // scans feed row-consuming writers anyway, so columnar buys
+      // nothing there
       columnar = schema.nonEmpty &&
+        !schema.fieldNames.contains(ManifestSink.FileNameColumn) &&
         resolved.forall(e => e.name.endsWith(".parquet") && e.dvName.isEmpty),
       colMap = colMap, evolved = evolved)
 
@@ -3749,6 +3818,14 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
 
   private def physical(c: String): String = colMap.getOrElse(c, c)
 
+  // `_file` is emitted HERE as a per-partition constant (each input
+  // partition is exactly one data file) — it is metadata, never decoded
+  // from parquet, so the decode schema drops it
+  private val emitsFile: Boolean =
+    schema.fieldNames.lastOption.contains(ManifestSink.FileNameColumn)
+  private val dataSchema: StructType =
+    if (emitsFile) StructType(schema.fields.dropRight(1)) else schema
+
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
   /** (physical names present in the file, out-index → present-index map
@@ -3757,7 +3834,7 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
     if (!evolved) None
     else {
       val inFile = ManifestParquet.footerFields(file)
-      val phys = schema.fieldNames.map(physical)
+      val phys = dataSchema.fieldNames.map(physical)
       if (phys.forall(inFile.contains)) None
       else {
         val present = phys.filter(inFile.contains)
@@ -3772,14 +3849,14 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
     // zero-column emitter needs no skip — its row count is already the
     // LIVE count from the manifest entry.
     val base: PartitionReader[InternalRow] =
-    if (schema.isEmpty) new PartitionReader[InternalRow] {
+    if (dataSchema.isEmpty) new PartitionReader[InternalRow] {
       private var remaining = p.rows
       override def next(): Boolean = remaining > 0 && { remaining -= 1; true }
       override def get(): InternalRow = InternalRow.empty
       override def close(): Unit = ()
     }
     else if (p.file.endsWith(".tsv")) new PartitionReader[InternalRow] {
-      private val fields = schema.fields
+      private val fields = dataSchema.fields
       private val indices = fields.map(f => fileSchema.fieldIndex(f.name))
       private val lines = Files.readAllLines(Paths.get(p.file)).iterator()
       private var current: InternalRow = _
@@ -3793,7 +3870,7 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
     else filePlan(p.file) match {
       case None => new PartitionReader[InternalRow] {
         private val reader = ManifestParquet.openRead(p.file,
-          schema.fieldNames.map(physical).toSeq, returnBatches = false)
+          dataSchema.fieldNames.map(physical).toSeq, returnBatches = false)
         override def next(): Boolean = reader.nextKeyValue()
         override def get(): InternalRow = reader.getCurrentValue.asInstanceOf[InternalRow]
         override def close(): Unit = reader.close()
@@ -3801,7 +3878,7 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
       case Some((present, mapping)) => new PartitionReader[InternalRow] {
         private val reader =
           ManifestParquet.openRead(p.file, present, returnBatches = false)
-        private val view = new MappedInternalRow(mapping, schema.fields.map(_.dataType))
+        private val view = new MappedInternalRow(mapping, dataSchema.fields.map(_.dataType))
         override def next(): Boolean = reader.nextKeyValue()
         override def get(): InternalRow = {
           view.row = reader.getCurrentValue.asInstanceOf[InternalRow]; view
@@ -3809,10 +3886,19 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
         override def close(): Unit = reader.close()
       }
     }
-    p.dvFile match {
-      case Some(dv) if schema.nonEmpty =>
+    val withDv = p.dvFile match {
+      case Some(dv) if dataSchema.nonEmpty =>
         new DvSkipReader(base, ManifestSink.readDvPositions(Paths.get(dv)))
       case _ => base
+    }
+    if (!emitsFile) withDv
+    else new PartitionReader[InternalRow] {
+      private val tail = InternalRow(UTF8String.fromString(
+        Paths.get(p.file).getFileName.toString))
+      private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      override def next(): Boolean = withDv.next()
+      override def get(): InternalRow = joined(withDv.get(), tail)
+      override def close(): Unit = withDv.close()
     }
   }
 
@@ -3821,7 +3907,7 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
     filePlan(p.file) match {
       case None => new PartitionReader[ColumnarBatch] {
         private val reader = ManifestParquet.openRead(p.file,
-          schema.fieldNames.map(physical).toSeq, returnBatches = true)
+          dataSchema.fieldNames.map(physical).toSeq, returnBatches = true)
         override def next(): Boolean = reader.nextKeyValue()
         override def get(): ColumnarBatch = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
         override def close(): Unit = reader.close()
@@ -3834,7 +3920,7 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
         private val nullAt: Map[Int, ColumnVector] = mapping.zipWithIndex.collect {
           case (-1, i) =>
             val v = new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(
-              4096, schema.fields(i).dataType)
+              4096, dataSchema.fields(i).dataType)
             v.setNull()
             i -> (v: ColumnVector)
         }.toMap

@@ -18,9 +18,9 @@ class AnnAtRestSpec extends AnyFunSuite {
   private val wh: Path = {
     val p = Files.createTempDirectory("graft-annrest")
     p.toFile.deleteOnExit()
-    spark.conf.set("spark.sql.catalog.acat", "graft.sources.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.acat.warehouse", p.toString)
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS acat.db")
+    spark.conf.set("spark.sql.catalog.arcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.arcat.warehouse", p.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS arcat.db")
     p
   }
   private def root(t: String): Path = wh.resolve("db").resolve(t)
@@ -28,7 +28,7 @@ class AnnAtRestSpec extends AnyFunSuite {
     ManifestSink.committedEntries(root(t), None)
 
   test("bucket-clustered layout answers a probe bucket from its files only") {
-    spark.sql("CREATE TABLE acat.db.emb " +
+    spark.sql("CREATE TABLE arcat.db.emb " +
       "(vec_id BIGINT, embedding ARRAY<FLOAT>, bucket BIGINT) " +
       "TBLPROPERTIES ('write.sort-by' = 'bucket')")
     // 8 buckets × 500 vectors, input scrambled so clustering comes from
@@ -42,7 +42,7 @@ class AnnAtRestSpec extends AnyFunSuite {
           expr("array(cast(id % 7 as float), cast(1.0 as float))").as("embedding"),
           ($"id" % 8).as("bucket"))
         .repartition(8, expr("pmod(hash(vec_id), 8)"))
-        .writeTo("acat.db.emb").append()
+        .writeTo("arcat.db.emb").append()
     } finally spark.conf.set(coalesceKey, prev)
     val es = entries("emb").filter(_.rows > 0)
     assert(es.size > 1, "expected a multi-file clustered write")
@@ -53,11 +53,11 @@ class AnnAtRestSpec extends AnyFunSuite {
     assert(keep.size < es.size, "bucket ranges must not all overlap bucket 3")
     es.filterNot(keep.contains)
       .foreach(e => Files.delete(root("emb").resolve(e.name)))
-    val got = spark.table("acat.db.emb").filter($"bucket" === 3L)
+    val got = spark.table("arcat.db.emb").filter($"bucket" === 3L)
       .select($"vec_id").as[Long].collect().sorted.toSeq
     assert(got == (0L until 4000L).filter(_ % 8 == 3), "wrong probe answer")
     // an IN-set of probe buckets (the q140 shape) prunes the same way
-    assert(spark.table("acat.db.emb").filter($"bucket".isin(3L))
+    assert(spark.table("arcat.db.emb").filter($"bucket".isin(3L))
       .count() == 500L)
   }
 

@@ -81,4 +81,100 @@ class CdcApplySpec extends AnyFunSuite {
       .as[String].collect().toSeq
     assert(ops.head == "create" && ops.count(_ != "create") >= 3, s"got $ops")
   }
+
+  test("CDC apply onto a partitioned merge-on-read table with mid-stream OPTIMIZE") {
+    // The production shape of the apply loop: the state table is
+    // PARTITIONED (part = key div 4) and deletes are MERGE-ON-READ
+    // (deletion-vector sidecars, no rewrite on the delete path). The
+    // spec pins three compositions the unpartitioned test cannot:
+    //  - a batch touching one partition leaves every other partition's
+    //    data files untouched (carried by reference — the MERGE scan
+    //    pruned them);
+    //  - the delete step writes DVs instead of rewriting files;
+    //  - OPTIMIZE between two micro-batches purges the DVs without
+    //    disturbing convergence (dataChange=false, stream keeps going).
+    spark.sql("CREATE TABLE ccat.db.pstate " +
+      "(key BIGINT, part BIGINT, value STRING, seq BIGINT) " +
+      "PARTITIONED BY (part) TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    val root = wh.resolve("db").resolve("pstate")
+    def entries: Seq[ManifestSink.FileEntry] =
+      ManifestSink.committedEntries(root, None).filter(_.rows > 0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Change]
+    val q = ms.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Change], batchId: Long) =>
+        val ss = batch.sparkSession
+        batch.createOrReplaceTempView("pchanges")
+        // upserts via MERGE on a MULTI-column key: the rewrite scan
+        // advertises only `_file`, so the runtime group filter stays a
+        // single-column `_file IN (…)` regardless of the ON shape (a
+        // multi-attribute filter would become an untranslatable
+        // struct-IN and every group would rewrite — see
+        // ManifestScan.filterAttributes)
+        ss.sql(
+          """MERGE INTO ccat.db.pstate t
+            |USING (SELECT key, key div 4 AS part, value, seq FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) rn
+            |  FROM pchanges WHERE op = 'U') WHERE rn = 1) s
+            |ON t.key = s.key AND t.part = s.part
+            |WHEN MATCHED AND s.seq > t.seq THEN UPDATE SET value = s.value, seq = s.seq
+            |WHEN NOT MATCHED THEN INSERT (key, part, value, seq)
+            |  VALUES (s.key, s.part, s.value, s.seq)""".stripMargin).collect()
+        // deletes via row-level DELETE -> deletion vectors under MoR
+        val dels = batch.filter(_.op == "D").select("key").as[Long].collect()
+        if (dels.nonEmpty)
+          ss.sql("DELETE FROM ccat.db.pstate WHERE key IN (" +
+            dels.mkString(",") + ")").collect()
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cdc-pckpt").toString)
+      .start()
+
+    // batch 1: seed keys 0..15 across the 4 partitions (part = key div 4)
+    ms.addData((0L until 16L).map(k => Change(k, s"v$k", "U", k + 1)): _*)
+    q.processAllAvailable()
+    assert(spark.table("ccat.db.pstate").count() == 16L)
+    val before = entries.groupBy(_.parts("part")).view.mapValues(_.map(_.name).toSet).toMap
+
+    // batch 2: update keys 5 and 6 (both part 1), delete key 9 (part 2)
+    ms.addData(Change(5, "v5b", "U", 20), Change(6, "v6b", "U", 21),
+      Change(9, "", "D", 22))
+    q.processAllAvailable()
+    val mid = entries
+    // untouched partitions carried by reference: parts 0 and 3 keep
+    // their exact file names through both the MERGE and the DELETE
+    Seq("0", "3").foreach { p =>
+      assert(mid.filter(_.parts("part") == p).map(_.name).toSet == before(p),
+        s"partition $p files must carry by reference")
+    }
+    // the delete produced a deletion vector, not a rewrite: the part-2
+    // file survives under its original name with dvRows set
+    val p2 = mid.filter(_.parts("part") == "2")
+    assert(p2.map(_.name).toSet == before("2"), "MoR delete must not rewrite")
+    assert(p2.exists(_.dvRows > 0L), s"expected a DV on part 2: $p2")
+    assert(spark.table("ccat.db.pstate").filter($"key" === 9L).count() == 0L)
+    assert(spark.table("ccat.db.pstate").filter($"key" === 5L)
+      .select($"value").as[String].head() == "v5b")
+
+    // mid-stream OPTIMIZE purges the DV (dataChange=false rewrite)
+    ManifestSink.compact(root.toString, targetRows = 100L)
+    assert(entries.forall(_.dvRows == 0L), "OPTIMIZE must purge DVs")
+    assert(spark.table("ccat.db.pstate").count() == 15L)
+
+    // batch 3: the stream continues over the compacted layout —
+    // re-insert the deleted key 9, MoR-delete key 12
+    ms.addData(Change(9, "v9c", "U", 30), Change(12, "", "D", 31))
+    q.processAllAvailable()
+    q.stop()
+    val fin = spark.table("ccat.db.pstate")
+      .select($"key", $"value").as[(Long, String)].collect().toMap
+    val want = (0L until 16L).filter(_ != 12L).map {
+      case 5L => 5L -> "v5b"
+      case 6L => 6L -> "v6b"
+      case 9L => 9L -> "v9c"
+      case k => k -> s"v$k"
+    }.toMap
+    assert(fin == want, s"got $fin")
+  }
 }
