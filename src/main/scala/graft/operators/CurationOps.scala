@@ -274,7 +274,55 @@ object CurationOps {
           col("lang").as("neg_lang")), "neg_id")
         .select("doc_id", "j", "neg_id", "neg_lang")
         .orderBy("doc_id", "j")
+    }),
+
+    // DSIR-style importance scoring (Data Selection with Importance
+    // Resampling, Xie et al. 2023, public): score every raw document by
+    // how much its HASHED n-gram feature distribution looks like a
+    // small target domain (here the `src1` slice standing in for
+    // "quality domain data"). Tokens hash into [[DsirBuckets]] buckets
+    // (md5-code, engine-portable); the target and corpus bucket
+    // distributions are two fixed-width aggregates; each document's
+    // score is the average per-occurrence smoothed frequency ratio in
+    // micro-units — (c_target(f)+1)·10⁶ div (c_corpus(f)+B), summed and
+    // divided by token count. Exact integer arithmetic throughout (the
+    // paper's log-ratio sum is monotone-equivalent per feature; an
+    // integer ratio avoids cross-engine libm drift). Scale: THIS is the
+    // bounded-width answer to q141's full-vocabulary shuffle — both
+    // count tables have at most B rows regardless of corpus size, so
+    // they broadcast, and scoring is one map-side join per token: a
+    // 100 TB raw crawl scores in a single linear pass, the property
+    // DSIR exists for. Resampling then keeps the top slice (the keep
+    // gate on a calibration constant mirrors q141).
+    "q142_dsir_importance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val feats = docs
+        .select(col("doc_id"), col("source"),
+          explode(tokens(col("text"))).as("token"))
+        .withColumn("f", pmod(md5Code60(col("token")), lit(DsirBuckets)))
+      val targetCounts = feats.filter(col("source") === DsirTarget)
+        .groupBy("f").agg(count(lit(1)).as("c_t"))
+      val corpusCounts = feats.groupBy("f").agg(count(lit(1)).as("c_s"))
+      feats
+        .join(broadcast(corpusCounts), Seq("f"))
+        .join(broadcast(targetCounts), Seq("f"), "left")
+        .withColumn("r_u", expr(
+          s"(coalesce(c_t, 0) + 1) * 1000000 div (c_s + $DsirBuckets)"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_toks"),
+          expr("sum(r_u) div count(1)").as("score_u"))
+        .withColumn("keep", col("score_u") >= DsirKeepU)
+        .orderBy("doc_id")
     }))
+
+  /** q142 hashed-feature space width: fixes both count tables at ≤4096
+    * rows at ANY corpus size (the DSIR trick). */
+  val DsirBuckets = 4096
+  /** q142 target domain (a source slice of the fixture corpus) and the
+    * keep threshold in micro-units — calibration constants shared with
+    * the oracle. */
+  val DsirTarget = "src1"
+  val DsirKeepU = 9800L
 
   // ---- DuckDB oracle ------------------------------------------------------
 
@@ -366,5 +414,23 @@ object CurationOps {
          |FROM drawn d JOIN documents doc ON d.neg_id = doc.doc_id
          |WHERE d.neg_id != d.doc_id
          |ORDER BY d.doc_id, j""".stripMargin
+    },
+
+    "q142_dsir_importance" -> {
+      val fk = md5Code60Sql("token")
+      s"""WITH feats AS (
+         |  SELECT doc_id, source, $fk % $DsirBuckets AS f
+         |  FROM (SELECT doc_id, source, unnest($toksSql) AS token FROM documents)),
+         |tc AS (SELECT f, count(*) AS c_t FROM feats
+         |       WHERE source = '$DsirTarget' GROUP BY f),
+         |cc AS (SELECT f, count(*) AS c_s FROM feats GROUP BY f),
+         |scored AS (
+         |  SELECT doc_id, source, count(*) AS n_toks,
+         |    CAST(sum((coalesce(c_t, 0) + 1) * 1000000 // (c_s + $DsirBuckets))
+         |      // count(*) AS BIGINT) AS score_u
+         |  FROM feats JOIN cc USING (f) LEFT JOIN tc USING (f)
+         |  GROUP BY doc_id, source)
+         |SELECT doc_id, source, n_toks, score_u, score_u >= $DsirKeepU AS keep
+         |FROM scored ORDER BY doc_id""".stripMargin
     })
 }

@@ -157,7 +157,48 @@ object TextOps {
           size(filter(col("toks"), t => length(t) >= 6)).as("n_long"),
           size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("n_pieces"))
         .orderBy("doc_id")
+    }),
+
+    // Bigram-LM corpus-fit scoring — the CCNet/Gopher perplexity-filter
+    // shape (score each document under a language model, gate on the
+    // score), self-trained here and formulated in EXACT integer
+    // arithmetic so any engine replays it bit-identically: instead of
+    // average log-probability (libm log differs across engines), the
+    // score is the average CONDITIONAL PROBABILITY of each bigram in
+    // micro-units — p_u(w1 w2) = c(w1 w2) · 10⁶ div c(w1 ·), per-doc
+    // score = Σ p_u div n_bigrams. Low scores mark documents whose word
+    // transitions the corpus finds improbable (lorem-garbage, OCR
+    // shred, wrong-language shards); the keep verdict gates on a
+    // calibration constant. Scale: training IS the two aggregates
+    // (bigram counts, prefix totals), scoring is one equi-join per
+    // bigram occurrence — all key-bounded shuffles, no corpus
+    // all-pairs. At 100 TB the bigram table itself is the big shuffle;
+    // the hashed-feature variant (q142) bounds that table at a fixed
+    // width when the full vocabulary is too wide.
+    "q141_lm_quality" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val bg = toks.select(col("doc_id"), explode(expr(
+          "transform(slice(t, 1, size(t) - 1), (x, i) -> struct(x AS w1, t[i + 1] AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_bg"))
+      val prefCounts = bgCounts.groupBy("w1").agg(sum(col("c_bg")).as("c_pref"))
+      bg.join(bgCounts, Seq("w1", "w2"))
+        .join(prefCounts, Seq("w1"))
+        .withColumn("p_u", expr("c_bg * 1000000 div c_pref"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(p_u) div count(1)").as("score_u"))
+        .withColumn("keep", col("score_u") >= LmKeepU)
+        .orderBy("doc_id")
     }))
+
+  /** q141 keep threshold in micro-units: documents whose average bigram
+    * conditional probability falls below this read as corpus-misfit. A
+    * calibration constant (deployments tune it on a scored sample), so
+    * both engines share one value. */
+  val LmKeepU = 34000L
 
   // ---- DuckDB oracle ------------------------------------------------------
 
@@ -245,5 +286,24 @@ object TextOps {
          |  CAST(len(list_filter($toksSql, t -> regexp_full_match(t, '[0-9]+'))) AS INTEGER) AS n_num,
          |  CAST(len(list_filter($toksSql, t -> length(t) >= 6)) AS INTEGER) AS n_long,
          |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_pieces
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DuckDB lists are 1-based: i in [1, len-1] pairs t[i] with t[i+1],
+    // exactly Spark's 0-based transform over slice(t, 1, n-1); two
+    // aligned unnests zip positionally
+    "q141_lm_quality" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bg AS (SELECT doc_id,
+         |    unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)), i -> t[i])) AS w1,
+         |    unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)), i -> t[i+1])) AS w2
+         |  FROM toks),
+         |bc AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2),
+         |pc AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_pref FROM bc GROUP BY 1),
+         |scored AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    CAST(sum((c_bg * 1000000) // c_pref) // count(*) AS BIGINT) AS score_u
+         |  FROM bg JOIN bc USING (w1, w2) JOIN pc USING (w1)
+         |  GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, score_u, score_u >= $LmKeepU AS keep
+         |FROM scored ORDER BY doc_id""".stripMargin)
 }
