@@ -589,6 +589,49 @@ object IngestOps {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
     }),
 
+    // Storage-partitioned join: customer and supplier staged as manifest
+    // tables PARTITIONED BY their nation key, then joined ON that key
+    // with `spark.sql.sources.v2.bucketing.enabled` — both ManifestScans
+    // report KeyGroupedPartitioning (SpjSpec proves the physical plan
+    // carries ZERO shuffle exchanges under the join), so the join aligns
+    // per-nation file groups directly. The MERGE hint keeps the plan on
+    // the sort-merge path the SPJ machinery serves (a broadcast would
+    // also avoid the shuffle here, but only because supplier is small —
+    // the co-partitioned layout is the shape that still works when BOTH
+    // sides are 100 TB facts, which is the point).
+    "q143_spj_join" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        s.sparkContext.applicationId
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      // the honest at-scale default, not a per-query toggle: grouped
+      // (per-key) tasks + storage-partitioned join planning for every
+      // manifest-table scan in the session
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      if (orcWritten.add((s.sparkContext.applicationId, s"spj:$dir"))) {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+        s.sql(s"CREATE TABLE graft.$ns.customer_sp " +
+          "(c_custkey BIGINT, c_acctbal DOUBLE, c_nationkey BIGINT) " +
+          "PARTITIONED BY (c_nationkey)")
+        Tables.customer(s, dir).select("c_custkey", "c_acctbal", "c_nationkey")
+          .writeTo(s"graft.$ns.customer_sp").append()
+        s.sql(s"CREATE TABLE graft.$ns.supplier_sp " +
+          "(s_suppkey BIGINT, s_acctbal DOUBLE, s_nationkey BIGINT) " +
+          "PARTITIONED BY (s_nationkey)")
+        Tables.supplier(s, dir).select("s_suppkey", "s_acctbal", "s_nationkey")
+          .writeTo(s"graft.$ns.supplier_sp").append()
+      }
+      s.sql(
+        s"""SELECT /*+ MERGE(c) */ c.c_nationkey AS nationkey,
+           |  count(*) AS pairs,
+           |  sum(CASE WHEN s.s_acctbal > c.c_acctbal THEN 1 ELSE 0 END) AS supp_richer,
+           |  min(c.c_custkey + s.s_suppkey) AS min_keysum
+           |FROM graft.$ns.customer_sp c
+           |JOIN graft.$ns.supplier_sp s ON c.c_nationkey = s.s_nationkey
+           |GROUP BY c.c_nationkey ORDER BY nationkey""".stripMargin)
+    }),
+
     // S3/S5: two heterogeneous sources normalized to one schema and
     // unioned — the reference's dual-endpoint gather + identifier merge.
     "q36_multi_source_union" -> ((s, dir) => {
@@ -809,6 +852,18 @@ object IngestOps {
         |  CAST(min(coalesce(CAST(json_extract(props, '$.k') AS INTEGER), -1)) AS INTEGER) AS min_k,
         |  CAST(max(coalesce(CAST(json_extract(props, '$.k') AS INTEGER), -1)) AS INTEGER) AS max_k
         |FROM events""".stripMargin,
+
+    // the storage-partitioned join's result rebuilt as the plain join
+    // over the original parquet — co-partitioned execution must be
+    // value-identical to the shuffling plan
+    "q143_spj_join" ->
+      """SELECT c.c_nationkey AS nationkey,
+        |  count(*) AS pairs,
+        |  CAST(sum(CASE WHEN s.s_acctbal > c.c_acctbal THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS supp_richer,
+        |  min(c.c_custkey + s.s_suppkey) AS min_keysum
+        |FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+        |GROUP BY c.c_nationkey ORDER BY nationkey""".stripMargin,
 
     "q36_multi_source_union" ->
       """SELECT src, payload, count(*) AS n FROM (

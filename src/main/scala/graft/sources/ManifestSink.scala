@@ -3574,7 +3574,8 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
         // rewrite scans re-record their file set whenever a runtime
         // group filter narrows it, so the replacing commit swaps
         // exactly the files that were read (see ManifestScan.filter)
-        onRuntimeNarrow = onBatchResolve)
+        onRuntimeNarrow = onBatchResolve,
+        partCols = tableState.partCols)
     }
   }
 
@@ -3609,9 +3610,10 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     streamStart: Long = 0L, streamEnd: Long = -1L,
     maxVersionsPerTrigger: Option[Long] = None,
     colMap: Map[String, String] = Map.empty, evolved: Boolean = false,
-    onRuntimeNarrow: Option[Seq[ManifestSink.FileEntry] => Unit] = None)
+    onRuntimeNarrow: Option[Seq[ManifestSink.FileEntry] => Unit] = None,
+    partCols: Seq[String] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
   // resolved on first BATCH use only — a pure streaming read never
   // materializes the batch file set
   private lazy val resolved = resolveEntries()
@@ -3686,13 +3688,69 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     override def numRows(): java.util.OptionalLong =
       counted.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
   }
+  /** The typed partition key for one entry, in table-spec column order —
+    * canonical manifest strings decoded back under each partition
+    * column's TABLE type (the exact inverse of
+    * `PartitionedDataWriter.partValue`), so two scans of two tables
+    * partitioned the same way produce row-equal keys and Spark's
+    * storage-partitioned join aligns them without a shuffle. Null when
+    * the entry's tuple is incomplete for the spec (a scan containing
+    * such a file must not claim key grouping). */
+  private def partKeyOf(e: ManifestSink.FileEntry): Array[Any] = {
+    val vals = partCols.map { c =>
+      fileSchema.fields.find(_.name == c).flatMap { f =>
+        e.parts.get(c).map {
+          case ManifestSink.NullPartValue => null: Any
+          case v => f.dataType match {
+            case LongType => v.toLong: Any
+            case IntegerType => v.toInt: Any
+            case DoubleType => v.toDouble: Any
+            case BooleanType => v.toBoolean: Any
+            case _ => UTF8String.fromString(v): Any
+          }
+        }
+      }
+    }
+    if (vals.exists(_.isEmpty)) null else vals.map(_.get).toArray
+  }
+
+  /** Storage-partitioned-join handshake: report the identity partition
+    * spec as a [[partitioning.KeyGroupedPartitioning]] whenever this
+    * scan's output still CARRIES every partition column and every
+    * surviving file has a complete key (legacy pre-partitioning files
+    * would break the grouping guarantee, so one such file reverts the
+    * whole report). With `spark.sql.sources.v2.bucketing.enabled` Spark
+    * then groups co-keyed files into single tasks and plans
+    * shuffle-free joins/aggregations over the partition keys — at
+    * 100 TB this deletes BOTH exchanges of the biggest fact-fact joins
+    * when the tables share a layout, the Iceberg SPJ shape. A rewrite
+    * scan never reports (its row-level machinery pins its own file
+    * set); a streaming-only scan resolves no batch entries and reports
+    * unknown. */
+  override def outputPartitioning(): partitioning.Partitioning =
+    try {
+      if (partCols.nonEmpty && onRuntimeNarrow.isEmpty &&
+          partCols.forall(c => schema.fieldNames.contains(c)) &&
+          resolved.forall(e => partKeyOf(e) != null))
+        new partitioning.KeyGroupedPartitioning(
+          partCols.map(c => org.apache.spark.sql.connector.expressions.Expressions
+            .identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray,
+          resolved.map(_.parts.filter(kv => partCols.contains(kv._1))).distinct.size)
+      else new partitioning.UnknownPartitioning(resolved.size)
+    } catch {
+      // a change-feed window the table hasn't reached / streaming-only
+      // scan: partitioning must not force what execution would reject
+      case _: Exception => new partitioning.UnknownPartitioning(0)
+    }
+
   // one InputPartition per SURVIVING committed data file — parallelism
   // follows the manifest, uncommitted/stray files are invisible, and
   // stats-pruned files never become partitions at all
   override def planInputPartitions(): Array[InputPartition] =
     entries
       .map(e => ManifestFilePartition(root.resolve(e.name).toString, e.liveRows,
-        e.dvName.map(n => root.resolve(n).toString)): InputPartition)
+        e.dvName.map(n => root.resolve(n).toString),
+        if (partCols.isEmpty) null else partKeyOf(e)): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     // whole-batch columnar handoff only when EVERY file in the scan is
@@ -3793,8 +3851,23 @@ class ManifestMicroBatchStream(root: Path, fileSchema: StructType,
       colMap = colMap, evolved = evolved)
 }
 
+/** One committed data file. `partKey` (when the table is partitioned
+  * and every scanned file carries a complete partition tuple) is the
+  * file's typed partition values in table-spec order — the
+  * [[HasPartitionKey]] contract that lets Spark GROUP co-keyed files
+  * into one task and, with `spark.sql.sources.v2.bucketing.enabled`,
+  * plan storage-partitioned joins (no shuffle on either side when both
+  * scans report the same key grouping). Null when the scan cannot
+  * guarantee grouping — Spark only consults it when the scan reported
+  * [[partitioning.KeyGroupedPartitioning]], and the scan only reports
+  * it when every partition carries a key. */
 case class ManifestFilePartition(file: String, rows: Long = 0L,
-    dvFile: Option[String] = None) extends InputPartition
+    dvFile: Option[String] = None,
+    partKey: Array[Any] = null) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    if (partKey == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(partKey)
+}
 
 /** Per-file readers. Parquet files decode through Spark's vectorized
   * reader — as whole ColumnarBatches when the scan is uniformly parquet

@@ -1,0 +1,192 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-partitioned joins (the Iceberg SPJ shape): two manifest
+  * tables partitioned the same way report [[ManifestScan]]'s
+  * KeyGroupedPartitioning, every file partition carries its typed key
+  * ([[ManifestFilePartition.partitionKey]]), and with
+  * `spark.sql.sources.v2.bucketing.enabled` Spark aligns the two scans
+  * key-by-key — the join plans with ZERO shuffle exchanges on either
+  * side. At 100 TB this is the one join shape where co-designing layout
+  * and query deletes the dominant cost outright: a fact-fact join over
+  * a shared partitioning moves no bytes between executors at all.
+  *
+  * The proofs here are plan-structural AND value-exact: every test
+  * asserts the executed physical plan's exchange count and checks the
+  * joined values against the same join computed the shuffling way. */
+class SpjSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  private val wh: Path = {
+    val p = Files.createTempDirectory("graft-spj")
+    p.toFile.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.spj", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.spj.warehouse", p.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS spj.db")
+    p
+  }
+
+  /** Data-distribution exchanges only: the single-partition gather a
+    * GLOBAL aggregate always ends with is not a shuffle SPJ could ever
+    * remove (it moves one row per upstream task), so the plan proofs
+    * count hash/range repartitions and ignore SinglePartition. */
+  private def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+    p.collect {
+      case s: ShuffleExchangeExec
+        if s.outputPartitioning !=
+          org.apache.spark.sql.catalyst.plans.physical.SinglePartition => s
+    }
+
+  private def executedPlan(df: DataFrame): SparkPlan = {
+    df.collect() // force execution so AQE (if any) finalizes
+    df.queryExecution.executedPlan
+  }
+
+  /** Run `body` under the SPJ confs, restoring previous values after. */
+  private def withSpjConf[A](extra: (String, String)*)(body: => A): A = {
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") ++ extra
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("co-partitioned join plans with zero shuffles and exact results") {
+    spark.sql("CREATE TABLE spj.db.fact (k BIGINT, id BIGINT, v BIGINT) PARTITIONED BY (k)")
+    spark.sql("CREATE TABLE spj.db.dim (k BIGINT, name STRING) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO spj.db.fact SELECT id % 8, id, id * 3 FROM range(400)")
+    spark.sql("INSERT INTO spj.db.dim SELECT id, concat('g', id) FROM range(8)")
+
+    withSpjConf() {
+      val joined = spark.table("spj.db.fact")
+        .join(spark.table("spj.db.dim"), "k")
+        .groupBy($"name").agg(sum($"v").as("sv"))
+      val plan = executedPlan(joined)
+      // the JOIN itself is shuffle-free: with 8 distinct keys the only
+      // permissible exchange is the one the groupBy(name) adds AFTER it
+      val sh = shuffles(plan)
+      assert(sh.size <= 1, s"expected at most the post-join aggregate exchange:\n$plan")
+      val rows = joined.as[(String, Long)].collect().toMap
+      val expect = (0L until 400L).groupBy(id => s"g${id % 8}")
+        .view.mapValues(_.map(_ * 3L).sum).toMap
+      assert(rows == expect)
+    }
+  }
+
+  test("join ON the partition key alone keeps both scans exchange-free end-to-end") {
+    spark.sql("CREATE TABLE spj.db.l (k BIGINT, a BIGINT) PARTITIONED BY (k)")
+    spark.sql("CREATE TABLE spj.db.r (k BIGINT, b BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO spj.db.l SELECT id % 4, id FROM range(40)")
+    spark.sql("INSERT INTO spj.db.r SELECT id % 4, id * 2 FROM range(40)")
+    withSpjConf() {
+      val j = spark.table("spj.db.l").join(spark.table("spj.db.r"), "k")
+        .agg(count(lit(1)).as("n"), sum($"a" + $"b").as("s"))
+      val plan = executedPlan(j)
+      assert(shuffles(plan).isEmpty, s"expected a fully shuffle-free plan:\n$plan")
+      val (n, s) = j.as[(Long, Long)].head()
+      // per key: 10 l-rows × 10 r-rows
+      assert(n == 4L * 10L * 10L)
+      val expectS = (0L until 4L).map { k =>
+        val ls = (0L until 40L).filter(_ % 4 == k)
+        val rs = (0L until 40L).filter(_ % 4 == k).map(_ * 2L)
+        ls.map(a => rs.map(b => a + b).sum).sum
+      }.sum
+      assert(s == expectS)
+    }
+  }
+
+  test("multiple files per key group into one input partition per key") {
+    spark.sql("CREATE TABLE spj.db.multi (k BIGINT, v BIGINT) PARTITIONED BY (k)")
+    // three separate inserts → three files per key
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO spj.db.multi SELECT id % 3, id + ${i * 100} FROM range(30)")
+    }
+    val root = wh.resolve("db").resolve("multi")
+    assert(ManifestSink.committedEntries(root, None).size == 9)
+    withSpjConf() {
+      val df = spark.table("spj.db.multi").groupBy($"k").agg(sum($"v").as("s"))
+      val plan = executedPlan(df)
+      // KeyGroupedPartitioning already clusters by k → aggregate needs
+      // no exchange, and the scan runs one task per key, not per file
+      assert(shuffles(plan).isEmpty, s"groupBy(partition key) must not shuffle:\n$plan")
+      val scans = plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+      assert(scans.nonEmpty)
+      assert(scans.head.inputRDD.getNumPartitions == 3,
+        "expected one grouped task per partition key")
+      assert(df.as[(Long, Long)].collect().toMap ==
+        (0L until 3L).map(k => k ->
+          (0L until 30L).filter(_ % 3 == k).map(v => 3 * v + 300).sum).toMap)
+    }
+  }
+
+  test("mismatched partition value sets still join correctly (push-part-values)") {
+    spark.sql("CREATE TABLE spj.db.lm (k BIGINT, a BIGINT) PARTITIONED BY (k)")
+    spark.sql("CREATE TABLE spj.db.rm (k BIGINT, b BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO spj.db.lm SELECT id % 6, id FROM range(60)") // keys 0..5
+    spark.sql("INSERT INTO spj.db.rm SELECT id % 4, id FROM range(40)") // keys 0..3
+    withSpjConf("spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true") {
+      val j = spark.table("spj.db.lm").join(spark.table("spj.db.rm"), "k")
+        .agg(count(lit(1)).as("n"))
+      val plan = executedPlan(j)
+      assert(shuffles(plan).isEmpty,
+        s"push-part-values must absorb the value-set mismatch:\n$plan")
+      assert(j.as[Long].head() == 4L * 10L * 10L)
+    }
+  }
+
+  test("string partition keys round-trip typed and join shuffle-free") {
+    spark.sql("CREATE TABLE spj.db.sl (g STRING, a BIGINT) PARTITIONED BY (g)")
+    spark.sql("CREATE TABLE spj.db.sr (g STRING, b BIGINT) PARTITIONED BY (g)")
+    spark.sql("INSERT INTO spj.db.sl SELECT concat('p', id % 3), id FROM range(30)")
+    spark.sql("INSERT INTO spj.db.sr SELECT concat('p', id % 3), id * 7 FROM range(30)")
+    withSpjConf() {
+      val j = spark.table("spj.db.sl").join(spark.table("spj.db.sr"), "g")
+        .agg(count(lit(1)).as("n"))
+      val plan = executedPlan(j)
+      assert(shuffles(plan).isEmpty, s"string-keyed SPJ must not shuffle:\n$plan")
+      assert(j.as[Long].head() == 3L * 10L * 10L)
+    }
+  }
+
+  test("SPJ report is withdrawn when a partition column is pruned from the output") {
+    // a scan that does not carry the key cannot claim key grouping;
+    // the query must still answer (with ordinary shuffles)
+    withSpjConf() {
+      val df = spark.table("spj.db.fact").select($"id", $"v")
+        .join(spark.range(400).select($"id"), "id")
+        .agg(count(lit(1)).as("n"))
+      assert(df.as[Long].head() == 400L)
+    }
+  }
+
+  test("deletes and compaction preserve key grouping") {
+    spark.sql("CREATE TABLE spj.db.mut (k BIGINT, v BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO spj.db.mut SELECT id % 3, id FROM range(30)")
+    spark.sql("DELETE FROM spj.db.mut WHERE v >= 20")
+    val root = wh.resolve("db").resolve("mut")
+    ManifestSink.compact(root.toString, targetRows = 1000L)
+    withSpjConf() {
+      val df = spark.table("spj.db.mut").groupBy($"k").agg(count(lit(1)).as("n"))
+      val plan = executedPlan(df)
+      assert(shuffles(plan).isEmpty, s"post-OPTIMIZE grouping lost:\n$plan")
+      assert(df.as[(Long, Long)].collect().toMap ==
+        (0L until 3L).map(k => k -> (0L until 20L).count(_ % 3 == k).toLong).toMap)
+    }
+  }
+}
