@@ -285,7 +285,111 @@ object SimilarityOps {
         .join(cands, Seq("bucket"))
         .filter(col("probe_id") =!= col("cand_id"))
         .withColumn("score", cosineNative(col("pe"), col("ce"))))
+    }),
+
+    // BM25 lexical retrieval — the sparse half of a retrieval stack
+    // (Robertson & Zaragoza 2009, the BM25+ always-positive idf
+    // variant). The plan is the inverted-index shape: tokenize once,
+    // explode to postings, keep only the query's terms (the posting
+    // lists actually consulted), aggregate tf per (doc, term), broadcast
+    // the 4-row df table and 1-row corpus stats, score, global top-k via
+    // rank-limit pushdown. At 100 TB the explode-filter is the crux:
+    // a real deployment materializes the postings table once
+    // (term-bucketed, like q140's at-rest layout) and each query touches
+    // |query| posting lists, never the corpus — this query IS that read
+    // path with the index built inline. Scores quantized to millibits
+    // before ranking so the order is stable across engines.
+    "q144_bm25" -> ((s, dir) => {
+      val w = Window.orderBy(col("score_mb").desc, col("doc_id"))
+      bm25Scored(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= Bm25TopK)
+        .orderBy("rn")
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
+    // the BM25 list (q144's scorer) with a dense cosine list against one
+    // probe embedding — the standard two-tower + lexical production
+    // stack, fused WITHOUT score calibration: RRF consumes only the
+    // RANKS (1/(k + r), k=60), so the two retrievers' incomparable score
+    // scales never meet. Ranks are integers, so the fused scores are
+    // exact in both engines — the hash compare is bit-stable by
+    // construction. FULL OUTER join of the two lists: a doc ranked by
+    // only one retriever still fuses (the other contribution is 0).
+    "q145_rrf_fusion" -> ((s, dir) => {
+      val wb = Window.orderBy(col("score_mb").desc, col("doc_id"))
+      val lex = bm25Scored(s, dir)
+        .withColumn("r_lex", row_number().over(wb))
+        .filter(col("r_lex") <= RetrievalK).select("doc_id", "r_lex")
+      val emb = Tables.embeddings(s, dir)
+      val probe = emb.filter(col("vec_id") === RrfProbeId)
+        .select(col("embedding").as("pe"))
+      val wc = Window.orderBy(col("score").desc, col("doc_id"))
+      val sem = emb.filter(col("vec_id") =!= RrfProbeId)
+        .select(col("vec_id").as("doc_id"), col("embedding").as("ce"))
+        .crossJoin(broadcast(probe)) // 1-row build side
+        .withColumn("score", cosineNative(col("pe"), col("ce")))
+        .withColumn("r_sem", row_number().over(wc))
+        .filter(col("r_sem") <= RetrievalK).select("doc_id", "r_sem")
+      val wf = Window.orderBy(col("fused_ppm").desc, col("doc_id"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("fused",
+          coalesce(lit(1.0) / (lit(RrfC) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfC) + col("r_sem")), lit(0.0)))
+        .withColumn("fused_ppm", round(col("fused") * 1e6).cast("long"))
+        .withColumn("rn", row_number().over(wf))
+        .filter(col("rn") <= TopK)
+        .select("doc_id", "r_lex", "r_sem", "fused_ppm", "rn")
+        .orderBy("rn")
     }))
+
+  /** BM25 parameters — the textbook defaults; terms chosen for idf
+    * spread on the fixture vocabulary ('dup' is rare, the others near-
+    * ubiquitous, so the rare term dominates exactly as BM25 intends). */
+  private[graft] val Bm25Terms = Seq("dup", "key", "vector", "join")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25TopK = 20
+  /** RRF: list depth per retriever, the standard k=60 damping constant,
+    * and the probe embedding the dense list ranks against. */
+  private val RetrievalK = 50
+  private val RrfC = 60
+  private val RrfProbeId = 0L
+
+  /** Per-document BM25 score over [[Bm25Terms]], quantized to millibits
+    * (`score_mb`). Shared by q144 (ranked list) and q145 (fusion input).
+    * Double math everywhere, but the only cross-engine hazard is a
+    * score landing within one ulp of a 0.0005 quantization boundary —
+    * the same accepted exposure as q47's basis-point rounding. */
+  private def bm25Scored(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t != '')").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // explode_outer: the OUTER variant keeps Catalyst from inferring a
+    // `size(toks) > 0` pre-filter on the scan — a lambda predicate that
+    // can never push to parquet and would re-evaluate the tokenizer per
+    // row; the term IN filter drops the null rows it emits anyway
+    val tf = toks
+      .select(col("doc_id"), col("dl"), explode_outer(col("toks")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfs), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(Bm25K1 + 1.0) /
+          (col("tf") + lit(Bm25K1) *
+            (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(sum(col("contrib")).as("score"))
+      .withColumn("score_mb", round(col("score") * 1000).cast("long"))
+      .select("doc_id", "score_mb")
+  }
 
   /** Once-per-(application, sf-dir) build of the bucket-clustered
     * embeddings manifest table behind q140 — the memo keeps plan-only
@@ -601,5 +705,64 @@ object SimilarityOps {
          |      ${cosSql("p.embedding", "c.embedding")} AS score
          |    FROM b p JOIN b c ON p.bucket = c.bucket AND p.vec_id != c.vec_id
          |    WHERE p.vec_id < $NumProbes))
-         |WHERE rn <= $TopK ORDER BY probe_id, rn""".stripMargin)
+         |WHERE rn <= $TopK ORDER BY probe_id, rn""".stripMargin,
+
+    "q144_bm25" ->
+      s"""WITH $bm25ScoredSql
+         |SELECT doc_id, score_mb, rn FROM (
+         |  SELECT doc_id, score_mb,
+         |    row_number() OVER (ORDER BY score_mb DESC, doc_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= $Bm25TopK ORDER BY rn""".stripMargin,
+
+    "q145_rrf_fusion" ->
+      s"""WITH $bm25ScoredSql,
+         |lex AS (
+         |  SELECT doc_id, rn AS r_lex FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY score_mb DESC, doc_id) AS rn
+         |    FROM scored) WHERE rn <= $RetrievalK),
+         |sem0 AS (
+         |  SELECT c.vec_id AS doc_id, ${cosSql("p.embedding", "c.embedding")} AS score
+         |  FROM embeddings p JOIN embeddings c ON c.vec_id != $RrfProbeId
+         |  WHERE p.vec_id = $RrfProbeId),
+         |sem AS (
+         |  SELECT doc_id, rn AS r_sem FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+         |    FROM sem0) WHERE rn <= $RetrievalK),
+         |fused AS (
+         |  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem,
+         |    CAST(round((coalesce(1.0 / ($RrfC + l.r_lex), 0.0) +
+         |                coalesce(1.0 / ($RrfC + s.r_sem), 0.0)) * 1e6) AS BIGINT)
+         |      AS fused_ppm
+         |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+         |SELECT doc_id, r_lex, r_sem, fused_ppm, rn FROM (
+         |  SELECT doc_id, r_lex, r_sem, fused_ppm,
+         |    row_number() OVER (ORDER BY fused_ppm DESC, doc_id) AS rn
+         |  FROM fused)
+         |WHERE rn <= $TopK ORDER BY rn""".stripMargin)
+
+  /** The BM25 scorer as DuckDB CTEs (ends with `scored(doc_id,
+    * score_mb)`) — expression-for-expression the same associativity as
+    * [[bm25Scored]] so the doubles agree before quantization. */
+  private def bm25ScoredSql: String =
+    s"""toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+       |  FROM documents),
+       |d AS (SELECT doc_id, len(toks) AS dl, toks FROM toks),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+       |    SELECT doc_id, dl, unnest(toks) AS term FROM d)
+       |  WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY 1, 2, 3),
+       |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT t.doc_id,
+       |    CAST(round(sum(
+       |      ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5)) * t.tf * ${Bm25K1 + 1.0} /
+       |      (t.tf + $Bm25K1 * (${1.0 - Bm25B} +
+       |        $Bm25B * t.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs)))
+       |    ) * 1000) AS BIGINT) AS score_mb
+       |  FROM tf t JOIN dfs f USING (term) CROSS JOIN stats s
+       |  GROUP BY 1)""".stripMargin
 }
