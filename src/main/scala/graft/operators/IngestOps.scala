@@ -632,6 +632,83 @@ object IngestOps {
            |GROUP BY c.c_nationkey ORDER BY nationkey""".stripMargin)
     }),
 
+    // Write-audit-publish through branches (WapSpec proves the isolation
+    // physically): half the corpus lands on main, the other half stages
+    // on an audit branch — invisible to main readers — passes an audit
+    // gate (row-count check, the minimal real-world WAP contract), and
+    // fast-forwards into main as ONE atomic commit. The final aggregate
+    // over the published table must reconstruct the plain-parquet
+    // oracle exactly: staging + publish are lossless or the hash breaks.
+    // At 100 TB this is how daily ingest ships: stage, run quality
+    // checks against real table state, publish atomically or drop.
+    "q146_wap_publish" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        s.sparkContext.applicationId
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      if (orcWritten.add((s.sparkContext.applicationId, s"wap:$dir"))) {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+        s.sql(s"CREATE TABLE graft.$ns.orders_w " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)")
+        val src = Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        src.filter(col("o_orderkey") % 2 === 0).writeTo(s"graft.$ns.orders_w").append()
+        s.sql(s"CALL graft.system.create_branch(table => '$ns.orders_w', branch => 'ingest')")
+        src.filter(col("o_orderkey") % 2 === 1)
+          .writeTo(s"graft.$ns.orders_w.branch_ingest").append()
+        // the audit gate: staged state must carry the full corpus while
+        // main still holds only its half — else do NOT publish
+        val staged = s.table(s"graft.$ns.orders_w.branch_ingest").count()
+        val main = s.table(s"graft.$ns.orders_w").count()
+        require(staged == src.count() && main < staged,
+          s"WAP audit failed: staged=$staged main=$main — not publishing")
+        s.sql(s"CALL graft.system.fast_forward(table => '$ns.orders_w', branch => 'ingest')")
+      }
+      s.sql(
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents_sum,
+           |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM graft.$ns.orders_w
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // Incrementally-maintained materialized view (IncrementalMvSpec
+    // proves the delta-only I/O physically): the source manifest table
+    // receives orders in two appends, and after EACH the MV refreshes by
+    // reading only the change-feed window and MERGE-folding the delta
+    // aggregate — never recomputing history. The final view must equal
+    // the oracle's one-shot aggregate over the original parquet: two
+    // incremental folds ≡ one full recompute, the algebraic-aggregate
+    // invariant. At 100 TB this is the nightly-rollup pattern: refresh
+    // cost follows the day's appends, not the table.
+    "q147_incremental_mv" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        s.sparkContext.applicationId
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      if (orcWritten.add((s.sparkContext.applicationId, s"mv:$dir"))) {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+        s.sql(s"CREATE TABLE graft.$ns.orders_mvsrc (prio STRING, cents BIGINT)")
+        s.sql(s"CREATE TABLE graft.$ns.orders_mv " +
+          "(prio STRING, n BIGINT, sum_cents BIGINT)")
+        val src = Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          col("o_orderpriority").as("prio"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        src.filter(col("o_orderkey") % 2 === 0).select("prio", "cents")
+          .writeTo(s"graft.$ns.orders_mvsrc").append()
+        graft.sources.IncrementalMv.refresh(s, "graft",
+          s"$ns.orders_mvsrc", s"$ns.orders_mv", Seq("prio"), Seq("cents"))
+        src.filter(col("o_orderkey") % 2 === 1).select("prio", "cents")
+          .writeTo(s"graft.$ns.orders_mvsrc").append()
+        graft.sources.IncrementalMv.refresh(s, "graft",
+          s"$ns.orders_mvsrc", s"$ns.orders_mv", Seq("prio"), Seq("cents"))
+      }
+      s.sql(s"SELECT prio, n, sum_cents FROM graft.$ns.orders_mv ORDER BY prio")
+    }),
+
     // S3/S5: two heterogeneous sources normalized to one schema and
     // unioned — the reference's dual-endpoint gather + identifier merge.
     "q36_multi_source_union" -> ((s, dir) => {
@@ -852,6 +929,22 @@ object IngestOps {
         |  CAST(min(coalesce(CAST(json_extract(props, '$.k') AS INTEGER), -1)) AS INTEGER) AS min_k,
         |  CAST(max(coalesce(CAST(json_extract(props, '$.k') AS INTEGER), -1)) AS INTEGER) AS max_k
         |FROM events""".stripMargin,
+
+    // two incremental MERGE-folds must equal the one-shot aggregate
+    // over the ORIGINAL parquet
+    "q147_incremental_mv" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin,
+
+    // stage-half + publish must be lossless: the oracle is the plain
+    // aggregate over the ORIGINAL parquet
+    "q146_wap_publish" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // the storage-partitioned join's result rebuilt as the plain join
     // over the original parquet — co-partitioned execution must be

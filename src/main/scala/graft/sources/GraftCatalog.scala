@@ -91,6 +91,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       if (isTable(parent)) ident.name() match {
         case "history" => return GraftCatalog.historyTable(parent)
         case "files" => return GraftCatalog.filesTable(parent)
+        // Iceberg-style branch identifier: `db.t.branch_audit` reads the
+        // WAP staging lane (anchor snapshot + staged appends) and
+        // accepts INSERT INTO (appends stage onto the branch)
+        case n if n.startsWith("branch_") =>
+          val b = n.stripPrefix("branch_")
+          ManifestSink.requireBranchName(b)
+          require(ManifestSink.branchCurrentVersion(parent, b) >= 1L,
+            s"no branch '$b' on table ${ident.namespace().mkString(".")} " +
+              s"(branches: ${ManifestSink.listBranches(parent).mkString(", ")})")
+          val base = ManifestSink.branchBase(parent, b)
+          return new ManifestTable(parent,
+            ManifestSink.readSchema(parent, Some(base)), branch = Some(b))
         case _ => ()
       }
     }
@@ -103,11 +115,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   override def loadTable(ident: Identifier, version: String): Table = {
     val p = tablePath(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
-    val v = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"manifest table versions are integers, got '$version'")
+    version.toLongOption match {
+      case Some(v) =>
+        new ManifestTable(p, ManifestSink.readSchema(p, Some(v)), pinned = Some(v))
+      case None =>
+        // `VERSION AS OF 'audit'` — a BRANCH read (Iceberg's branch time
+        // travel): anchor snapshot + staged appends
+        require(ManifestSink.branchCurrentVersion(p, version) >= 1L,
+          s"'$version' is neither a version number nor a branch of $ident " +
+            s"(branches: ${ManifestSink.listBranches(p).mkString(", ")})")
+        val base = ManifestSink.branchBase(p, version)
+        new ManifestTable(p, ManifestSink.readSchema(p, Some(base)),
+          branch = Some(version))
     }
-    new ManifestTable(p, ManifestSink.readSchema(p, Some(v)), pinned = Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -169,10 +189,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // partition spec) with an empty file list through the same CAS as
     // any write, so a concurrent create/write to the same name resolves
     // to exactly one winner
+    // free-form TBLPROPERTIES (minus the dedicated knobs and Spark's
+    // own catalog bookkeeping) persist from v1 onward
+    val userProps = properties.asScala.toMap
+      .filter { case (k, _) => !ManifestSink.reservedProp(k) }
     ManifestSink.publishCommit(p, schema, truncateFirst = true, Seq.empty,
       markerUpdate = None, GcPolicy(None, 3600L * 1000), createPartCols = partCols,
       createDeleteMode = deleteMode, createBloomCols = bloomCols,
-      createSortCols = sortCols)
+      createSortCols = sortCols, createProps = userProps)
     new ManifestTable(p, schema)
   }
 
@@ -270,7 +294,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     if (namespace.sameElements(GraftCatalog.SystemNs))
       Array(Identifier.of(GraftCatalog.SystemNs, "vacuum"),
         Identifier.of(GraftCatalog.SystemNs, "optimize"),
-        Identifier.of(GraftCatalog.SystemNs, "rollback"))
+        Identifier.of(GraftCatalog.SystemNs, "rollback"),
+        Identifier.of(GraftCatalog.SystemNs, "create_branch"),
+        Identifier.of(GraftCatalog.SystemNs, "fast_forward"),
+        Identifier.of(GraftCatalog.SystemNs, "drop_branch"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -283,9 +310,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     else if (ident.namespace().sameElements(GraftCatalog.SystemNs) &&
         ident.name().equalsIgnoreCase("rollback"))
       new GraftCatalog.RollbackProcedure(this)
+    else if (ident.namespace().sameElements(GraftCatalog.SystemNs) &&
+        ident.name().equalsIgnoreCase("create_branch"))
+      new GraftCatalog.BranchProcedure(this, "create_branch")
+    else if (ident.namespace().sameElements(GraftCatalog.SystemNs) &&
+        ident.name().equalsIgnoreCase("fast_forward"))
+      new GraftCatalog.BranchProcedure(this, "fast_forward")
+    else if (ident.namespace().sameElements(GraftCatalog.SystemNs) &&
+        ident.name().equalsIgnoreCase("drop_branch"))
+      new GraftCatalog.BranchProcedure(this, "drop_branch")
     else throw new IllegalArgumentException(
       s"unknown procedure $ident; available: graft.system.vacuum, " +
-        "graft.system.optimize, graft.system.rollback")
+        "graft.system.optimize, graft.system.rollback, " +
+        "graft.system.create_branch, graft.system.fast_forward, " +
+        "graft.system.drop_branch")
 }
 
 object GraftCatalog {
@@ -468,6 +506,57 @@ object GraftCatalog {
       val row = new GenericInternalRow(Array[Any](newVersion, toVersion)): InternalRow
       util.Collections.singletonList[Scan](new LocalScan {
         override def readSchema(): StructType = RollbackOutput
+        override def rows(): Array[InternalRow] = Array(row)
+      }).iterator()
+    }
+  }
+
+  private val BranchOutput = StructType(Seq(
+    StructField("branch", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+
+  /** The three WAP verbs as one procedure family:
+    *  - `CALL graft.system.create_branch(table => 'db.t', branch => 'audit')`
+    *    anchors a staging lane at the current version (returned);
+    *  - `fast_forward` publishes the staged appends onto main as one
+    *    commit (returns the new main version) — loud failure if main
+    *    moved since the anchor;
+    *  - `drop_branch` abandons the lane metadata-only (returns how many
+    *    branch manifests were removed); staged data files age into
+    *    vacuum's orphan sweep. */
+  private class BranchProcedure(catalog: GraftCatalog, verb: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = verb
+    override def description(): String = verb match {
+      case "create_branch" => "Create a WAP staging branch anchored at the current version"
+      case "fast_forward" => "Publish a staged branch onto main as one commit"
+      case _ => "Drop a staging branch (metadata-only)"
+    }
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table name within this catalog, e.g. 'db.t'").build(),
+      ProcedureParameter.in("branch", StringType)
+        .comment("branch name ([A-Za-z0-9_-], max 64 chars)").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val tableName = input.getUTF8String(0).toString
+      val b = input.getUTF8String(1).toString
+      val parts = tableName.split('.')
+      val ident = Identifier.of(parts.init, parts.last)
+      val root = catalog.tablePath(ident)
+      if (!catalog.isTable(root)) throw new NoSuchTableException(ident)
+      val v: Long = verb match {
+        case "create_branch" => ManifestSink.createBranch(root, b)
+        case "fast_forward" => ManifestSink.fastForward(root, b)
+        case _ => ManifestSink.dropBranch(root, b).toLong
+      }
+      val row = new GenericInternalRow(
+        Array[Any](UTF8String.fromString(b), v)): InternalRow
+      util.Collections.singletonList[Scan](new LocalScan {
+        override def readSchema(): StructType = BranchOutput
         override def rows(): Array[InternalRow] = Array(row)
       }).iterator()
     }

@@ -1,0 +1,92 @@
+package graft.sources
+
+import java.nio.file.{Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained materialized views over manifest tables,
+  * composed entirely from the engine's own public surfaces:
+  *
+  *   - the CHANGE FEED (`changesFromVersion`/`changesToVersion` read
+  *     options) yields exactly the rows appended between two versions,
+  *     with pure-append enforcement and `#rewrite` (OPTIMIZE) versions
+  *     contributing nothing — see [[ManifestSink.addedEntries]];
+  *   - MERGE INTO folds the delta aggregate into the view (count and
+  *     per-column sums are the classic self-maintainable aggregates:
+  *     new_state = old_state + delta, no access to history needed);
+  *   - the free-form TBLPROPERTIES bag records the view's last-consumed
+  *     source version (`mv.source-version`), so refresh is a pure
+  *     function of durable table state — any job, any session, any
+  *     machine can run the next refresh.
+  *
+  * Scale shape: a refresh reads ONLY the delta files (the spec proves it
+  * physically by deleting the already-consumed files first) and touches
+  * MV rows only for keys present in the delta (MERGE's runtime group
+  * filter rewrites only matched files). At 100 TB with daily appends of
+  * 0.1%, refresh cost is proportional to the DAY, not the decade.
+  *
+  * Delivery semantics: the MERGE commit and the property commit are two
+  * CAS publishes, so a crash BETWEEN them leaves the pointer one window
+  * behind and the next refresh re-applies that window — at-least-once,
+  * the honest default for a two-table protocol without cross-table
+  * transactions. Deployments needing exactly-once make the delta
+  * aggregate idempotent (keyed by window id) or fence refreshers; a
+  * cross-table commit is future work the format's CAS could support.
+  *
+  * Sources with row-level DELETEs/UPDATEs in the window fail LOUDLY via
+  * the change feed's pure-append check — a sum cannot be maintained from
+  * an append-only feed that silently skipped retractions. */
+object IncrementalMv {
+  private val SourceVersionProp = "mv.source-version"
+
+  private def warehouse(s: SparkSession, catalog: String): Path =
+    Paths.get(s.conf.get(s"spark.sql.catalog.$catalog.warehouse"))
+
+  private def tableRoot(s: SparkSession, catalog: String, ident: String): Path =
+    ident.split('.').foldLeft(warehouse(s, catalog))(_.resolve(_))
+
+  /** The view's last-consumed source version (0 = never refreshed). */
+  def lastSourceVersion(s: SparkSession, catalog: String, mvIdent: String): Long =
+    ManifestSink.readHeader(tableRoot(s, catalog, mvIdent))
+      .props.getOrElse(SourceVersionProp, "0").toLong
+
+  /** Refresh `mvIdent` (schema: keyCols, n BIGINT, sum_<c> per sumCol)
+    * from the rows `srcIdent` appended since the last refresh. Returns
+    * the source version the view now reflects; a no-op (source
+    * unchanged) returns it without committing anything. */
+  def refresh(s: SparkSession, catalog: String, srcIdent: String,
+      mvIdent: String, keyCols: Seq[String], sumCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "an aggregate view needs at least one key column")
+    val srcRoot = tableRoot(s, catalog, srcIdent)
+    val from = lastSourceVersion(s, catalog, mvIdent)
+    val to = ManifestSink.currentVersion(srcRoot)
+    if (to <= from) return from
+
+    // the delta: exactly the rows appended in (from, to] — never the
+    // already-consumed files
+    val delta = s.read.format("graft.sources.ManifestSink")
+      .option("path", srcRoot.toString)
+      .option("changesFromVersion", from.toString)
+      .option("changesToVersion", to.toString)
+      .load()
+    val aggs = count(lit(1)).as("n") +:
+      sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+    val view = s"mv_delta_${System.nanoTime()}"
+    delta.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .createOrReplaceTempView(view)
+
+    val on = keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
+    val updates = ("n = t.n + s.n" +:
+      sumCols.map(c => s"sum_$c = t.sum_$c + s.sum_$c")).mkString(", ")
+    try s.sql(
+      s"""MERGE INTO $catalog.$mvIdent t USING $view s ON $on
+         |WHEN MATCHED THEN UPDATE SET $updates
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    finally s.catalog.dropTempView(view)
+
+    s.sql(s"ALTER TABLE $catalog.$mvIdent SET TBLPROPERTIES " +
+      s"('$SourceVersionProp' = '$to')")
+    to
+  }
+}

@@ -278,10 +278,17 @@ object ManifestSink {
     val current = currentVersion(root)
     val cutoff = current - retain // expire versions <= cutoff
     if (cutoff < 1L) return Seq.empty
-    val survivors = (cutoff + 1 to current)
+    // a LIVE branch pins its anchor version (the branch read resolves
+    // the anchor snapshot) and every file its staged commits reference —
+    // retention must not destroy a staging lane mid-audit; DROPPED
+    // branches release both, and their data files age into the ordinary
+    // orphan sweep below
+    val branches = listBranches(root)
+    val branchAnchors = branches.map(b => branchBase(root, b)).toSet
+    val survivors = ((cutoff + 1 to current) ++ branchAnchors.filter(_ <= cutoff))
       .filter(v => Files.exists(manifestAt(root, v)))
-    val referenced = survivors
-      .flatMap(v => committedEntries(root, Some(v)))
+    val referenced = (survivors.flatMap(v => committedEntries(root, Some(v))) ++
+        branches.flatMap(b => branchEntries(root, b)))
       .flatMap(e => e.name +: e.dvName.toSeq).toSet
     // entry-group files (and their bloom sidecars) referenced by any
     // surviving manifest list stay; the rest expired with their versions
@@ -301,7 +308,8 @@ object ManifestSink {
     val s = Files.list(root)
     try s.iterator().asScala.foreach { p =>
       p.getFileName.toString match {
-        case ManifestVersionRe(n) if n.toLong <= cutoff => buf += cand(p, "manifest")
+        case ManifestVersionRe(n) if n.toLong <= cutoff &&
+            !branchAnchors(n.toLong) => buf += cand(p, "manifest")
         case n if n.startsWith("mgroup-") && !liveGroups(n) && pastGrace(p) =>
           buf += cand(p, "manifest")
         case n if n.startsWith("data-") && !referenced(n) && pastGrace(p) =>
@@ -358,6 +366,181 @@ object ManifestSink {
         s"ManifestSink column name '${f.name}' contains a manifest delimiter " +
           "(one of ':', ',', tab, newline) — rename the column before writing")
     }
+
+  // ---- WAP branches ------------------------------------------------------
+  //
+  // Write-audit-publish staging lanes (the Iceberg branch/WAP shape,
+  // public knowledge): a BRANCH is an append-only side chain anchored at
+  // the main version it was created from. Branch commits are versioned
+  // files `manifest-b-<name>-v%06d.txt` in the table directory — the
+  // name pattern is invisible to [[ManifestVersionRe]], so main readers
+  // can never resolve them, and each publishes under the same
+  // createLink CAS as main versions. A branch version file holds ONE
+  // `#branchbase` header line (v1 records the anchor; later versions
+  // repeat it) plus the entry lines of THAT commit only, so a branch
+  // append's lost CAS retries trivially: re-read the branch head and
+  // re-link the same content at the next number (entry sets are
+  // attempt-unique and disjoint, the same rebase rule as main appends).
+  //
+  // Branch READ = anchor snapshot (pinned to the base version) + the
+  // union of all branch commits' entries. Branch data files live in the
+  // table directory like any others — invisible until some manifest
+  // (branch or, after fast-forward, main) references them. FAST-FORWARD
+  // publishes main's next version as base-state + branch entries in one
+  // CAS against the anchor version, so it succeeds only while main
+  // still stands at the anchor — any main commit since staging began
+  // (including ALTERs: they bump the version) fails the publish loudly,
+  // which is exactly Iceberg's fast-forward-only guarantee. DROP is
+  // metadata-only (delete the branch manifests); the staged data files
+  // become orphans that [[vacuum]] sweeps after the grace window, while
+  // a LIVE branch's files and its anchor manifest are vacuum-protected
+  // (see [[gcPlan]]).
+  //
+  // Branches are APPEND-ONLY by design: WAP stages new data for audit.
+  // Truncate/overwrite/row-level ops on a branch are rejected at build
+  // time — auditing a destructive change is a rollback story
+  // ([[rollback]]), not a staging one.
+
+  private val BranchNameRe = "[A-Za-z0-9_][A-Za-z0-9_-]{0,63}".r
+  private val BranchFileRe = "manifest-b-([A-Za-z0-9_-]+)-v([0-9]+)\\.txt".r
+  private val BranchBasePrefix = "#branchbase\t"
+
+  private[sources] def requireBranchName(name: String): Unit =
+    require(BranchNameRe.pattern.matcher(name).matches(),
+      s"invalid branch name '$name' (allowed: [A-Za-z0-9_-], max 64 chars)")
+
+  private[sources] def branchManifestAt(root: Path, name: String, v: Long): Path =
+    root.resolve(f"manifest-b-$name-v$v%06d.txt")
+
+  private[sources] def branchCurrentVersion(root: Path, name: String): Long =
+    if (!Files.isDirectory(root)) 0L
+    else {
+      val s = Files.list(root)
+      try s.iterator().asScala.foldLeft(0L) { (acc, p) =>
+        p.getFileName.toString match {
+          case BranchFileRe(n, v) if n == name => math.max(acc, v.toLong)
+          case _ => acc
+        }
+      } finally s.close()
+    }
+
+  private[sources] def listBranches(root: Path): Seq[String] =
+    if (!Files.isDirectory(root)) Seq.empty
+    else {
+      val s = Files.list(root)
+      try s.iterator().asScala.flatMap(p => p.getFileName.toString match {
+        case BranchFileRe(n, _) => Some(n)
+        case _ => None
+      }).toSeq.distinct.sorted
+      finally s.close()
+    }
+
+  /** Create branch `name` anchored at the CURRENT main version. The v1
+    * file is the branch's existence token and records the anchor; the
+    * createLink CAS makes double-create loud. Returns the anchor. */
+  def createBranch(root: Path, name: String): Long = {
+    requireBranchName(name)
+    val base = currentVersion(root)
+    require(base >= 1L, s"no manifest table at $root to branch from")
+    require(branchCurrentVersion(root, name) == 0L,
+      s"branch '$name' already exists on $root")
+    val tmp = root.resolve(s"manifest.tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, s"$BranchBasePrefix$base")
+    try Files.createLink(branchManifestAt(root, name, 1L), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"branch '$name' was concurrently created on $root")
+    } finally Files.deleteIfExists(tmp)
+    base
+  }
+
+  /** The main version branch `name` is anchored at (from its v1 file). */
+  private[sources] def branchBase(root: Path, name: String): Long = {
+    val v1 = branchManifestAt(root, name, 1L)
+    require(Files.exists(v1), s"no branch '$name' on manifest table $root " +
+      s"(branches: ${listBranches(root).mkString(", ")})")
+    Files.readString(v1).linesIterator
+      .find(_.startsWith(BranchBasePrefix))
+      .map(_.stripPrefix(BranchBasePrefix).trim.toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"branch file $v1 has no $BranchBasePrefix header"))
+  }
+
+  /** Union of every branch commit's entries, in commit order. */
+  private[sources] def branchEntries(root: Path, name: String): Seq[FileEntry] = {
+    val cur = branchCurrentVersion(root, name)
+    (1L to cur).flatMap { v =>
+      Files.readString(branchManifestAt(root, name, v)).linesIterator
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(parseEntryLine).toSeq
+    }
+  }
+
+  /** Publish one append commit onto branch `name`: schema must match the
+    * ANCHOR snapshot's (branches never evolve schema — that is a main
+    * commit, which then blocks fast-forward as it must), and the CAS
+    * retries a lost race by re-linking the same content at the next
+    * branch version (entry sets are disjoint across writers). */
+  private[sources] def appendToBranch(root: Path, name: String,
+      schema: StructType, newEntries: Seq[FileEntry]): Unit = {
+    val base = branchBase(root, name)
+    val baseSchema = readSchema(root, Some(base))
+    require(baseSchema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"branch append schema $schema does not match branch '$name' " +
+        s"anchor schema $baseSchema")
+    val content =
+      (s"$BranchBasePrefix$base" +: newEntries.map(entryLine)).mkString("\n")
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      val next = branchCurrentVersion(root, name) + 1L
+      val tmp = root.resolve(s"manifest.tmp-${java.util.UUID.randomUUID()}")
+      Files.writeString(tmp, content)
+      try { Files.createLink(branchManifestAt(root, name, next), tmp); done = true }
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          if (attempt >= 20) throw new java.util.ConcurrentModificationException(
+            s"concurrent publish storm on branch '$name' of $root: ${e.getMessage}")
+          Thread.sleep(5L * attempt)
+      } finally Files.deleteIfExists(tmp)
+    }
+  }
+
+  /** Publish the staged branch onto main as ONE new version (base state
+    * + branch entries), CAS'd against the anchor — main must not have
+    * moved since the branch was created, the fast-forward-only rule.
+    * The branch's manifests are deleted after the publish wins (its
+    * state is now main's). Returns the published main version. */
+  def fastForward(root: Path, name: String): Long = {
+    val base = branchBase(root, name)
+    val st = readState(root)
+    require(st.version == base,
+      s"cannot fast-forward branch '$name': main is at version ${st.version} " +
+        s"but the branch is anchored at $base — main advanced since staging " +
+        "began; re-create the branch against the current state")
+    val staged = branchEntries(root, name)
+    publish(root, base,
+      ((st.schema.get.json +: st.metaLines) ++
+        renderEntrySection(root, st.entries ++ staged, st.groups)).mkString("\n"))
+    dropBranch(root, name)
+    base + 1L
+  }
+
+  /** Delete branch `name`'s manifest files (metadata-only). Its staged
+    * data files become orphans for [[vacuum]]'s grace-windowed sweep.
+    * Returns how many branch manifests were removed. */
+  def dropBranch(root: Path, name: String): Int = {
+    val cur = branchCurrentVersion(root, name)
+    require(cur >= 1L, s"no branch '$name' on manifest table $root")
+    var n = 0
+    (1L to cur).foreach { v =>
+      if (Files.deleteIfExists(branchManifestAt(root, name, v))) n += 1
+    }
+    n
+  }
 
   /** Resolve a pinned version (validating it exists) or the current one. */
   private[sources] def resolveVersion(root: Path, pinned: Option[Long]): Long =
@@ -709,6 +892,27 @@ object ManifestSink {
 
   private def schemaEpochLine(e: Long): Option[String] =
     if (e == 0L) None else Some(s"$SchemaEpochPrefix$e")
+
+  /** Arbitrary user TBLPROPERTIES (the Iceberg/Delta free-form property
+    * bag): `#tblprops<TAB>k=v,...`, every token URL-encoded. The three
+    * LIVE knobs (delete.mode, bloom.columns, write.sort-by) stay
+    * dedicated header lines with validation; everything else — pipeline
+    * bookkeeping like a materialized view's last-consumed source
+    * version, ownership tags, audit stamps — rides here, published
+    * atomically with the file list like all table structure. */
+  private val TblPropsPrefix = "#tblprops\t"
+  private def tblPropsLine(m: Map[String, String]): Option[String] =
+    if (m.isEmpty) None
+    else Some(TblPropsPrefix + m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${urlEnc(k)}=${urlEnc(v)}" }.mkString(","))
+
+  /** Property keys a manifest table refuses to store as user props:
+    * the dedicated-header knobs (they have validation and their own
+    * lines) and Spark-internal bookkeeping the catalog API injects. */
+  private[sources] def reservedProp(k: String): Boolean =
+    k == "delete.mode" || k == "bloom.columns" || k == "write.sort-by" ||
+      k == "provider" || k == "owner" || k == "location" || k == "comment" ||
+      k == "external" || k.startsWith("option.") || k.startsWith("spark.")
 
   /** Table-level bloom-filter column list, one manifest header line —
     * `#bloomcols<TAB>c1,c2`. Set at CREATE (TBLPROPERTIES
@@ -1305,14 +1509,16 @@ object ManifestSink {
       deleteMode: String = DeleteModeCow,
       bloomCols: Seq[String] = Seq.empty,
       sortCols: Seq[String] = Seq.empty,
-      groups: Seq[GroupRef] = Seq.empty) {
+      groups: Seq[GroupRef] = Seq.empty,
+      props: Map[String, String] = Map.empty) {
     /** Non-entry, non-schema header lines every publisher carries:
       * partition spec, column mapping, schema epoch, delete mode,
-      * bloom columns, write ordering, stream markers. */
+      * bloom columns, write ordering, user properties, stream markers. */
     def metaLines: Seq[String] =
       partColsLine(partCols).toSeq ++ colMapLine(colMap).toSeq ++
         schemaEpochLine(schemaEpoch).toSeq ++ deleteModeLine(deleteMode).toSeq ++
         bloomColsLine(bloomCols).toSeq ++ sortColsLine(sortCols).toSeq ++
+        tblPropsLine(props).toSeq ++
         markers.toSeq.sortBy(_._1).map((markerLine _).tupled)
   }
 
@@ -1350,7 +1556,8 @@ object ManifestSink {
           .map(_.stripPrefix(SortColsPrefix).split(",").toSeq
             .filter(_.nonEmpty).map(urlDec))
           .getOrElse(Seq.empty),
-        refs)
+        refs,
+        parseHeaderMap(lines.tail, TblPropsPrefix))
     } else legacyState(root)
   }
 
@@ -1384,7 +1591,8 @@ object ManifestSink {
       createPartCols: Seq[String] = Seq.empty,
       createDeleteMode: String = DeleteModeCow,
       createBloomCols: Seq[String] = Seq.empty,
-      createSortCols: Seq[String] = Seq.empty): Unit = {
+      createSortCols: Seq[String] = Seq.empty,
+      createProps: Map[String, String] = Map.empty): Unit = {
     Files.createDirectories(root)
     // APPEND-ONLY commits retry on a lost CAS by REBASING: an append's
     // file set is disjoint from any concurrent commit's by construction
@@ -1442,7 +1650,8 @@ object ManifestSink {
         partCols = if (st.version > 0L) st.partCols else createPartCols,
         deleteMode = if (st.version > 0L) st.deleteMode else createDeleteMode,
         bloomCols = if (st.version > 0L) st.bloomCols else createBloomCols,
-        sortCols = if (st.version > 0L) st.sortCols else createSortCols).metaLines
+        sortCols = if (st.version > 0L) st.sortCols else createSortCols,
+        props = if (st.version > 0L) st.props else createProps).metaLines
       // schema line + meta + entries publish as ONE atomic unit
       try {
         publish(root, base,
@@ -1603,6 +1812,7 @@ object ManifestSink {
       var bloomCols = st.bloomCols
       var sortCols = st.sortCols
       var deleteMode0 = st.deleteMode
+      var props0 = st.props
       // a property-only ALTER must not bump the schema epoch: non-zero
       // epoch makes every scan probe per-file footers forever after
       val schemaChange = changes.exists {
@@ -1695,17 +1905,18 @@ object ManifestSink {
             cols.foreach(c => require(schema.fieldNames.contains(c),
               s"write.sort-by names unknown column $c"))
             sortCols = cols
-          case other => throw new UnsupportedOperationException(
-            s"unsupported table property $other (supported: delete.mode, " +
-              "bloom.columns, write.sort-by)")
+          case other =>
+            // free-form property bag: anything non-reserved stores
+            // verbatim and publishes atomically with this commit
+            require(!reservedProp(other), s"table property $other is " +
+              "reserved and cannot be set on a manifest table")
+            props0 += other -> sp.value
         }
         case rp: TableChange.RemoveProperty => rp.property match {
           case "delete.mode" => deleteMode0 = DeleteModeCow
           case "bloom.columns" => bloomCols = Seq.empty
           case "write.sort-by" => sortCols = Seq.empty
-          case other => throw new UnsupportedOperationException(
-            s"unsupported table property $other (supported: delete.mode, " +
-              "bloom.columns, write.sort-by)")
+          case other => props0 -= other
         }
         case other => throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change for manifest tables: $other " +
@@ -1715,7 +1926,7 @@ object ManifestSink {
       val meta = st.copy(schema = Some(schema), partCols = partCols,
         colMap = colMap, schemaEpoch = newEpoch, entries = entries,
         bloomCols = bloomCols, sortCols = sortCols,
-        deleteMode = deleteMode0).metaLines
+        deleteMode = deleteMode0, props = props0).metaLines
       try {
         publish(root, st.version,
           ((schema.json +: meta) ++
@@ -2764,13 +2975,20 @@ object ManifestSink {
 }
 
 class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None,
-    changes: Option[(Long, Long)] = None)
+    changes: Option[(Long, Long)] = None, branch: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with SupportsRowLevelOperations {
+  require(branch.isEmpty || (pinned.isEmpty && changes.isEmpty),
+    "a branch read/write cannot combine with time travel or a change feed")
+  /** Version the table's STRUCTURE resolves at: an explicit pin, or a
+    * branch's anchor (branch commits never alter structure). */
+  private def metaPin: Option[Long] =
+    pinned.orElse(branch.map(b => ManifestSink.branchBase(root, b)))
   override def name(): String =
     s"manifest($root${pinned.fold("")(v => s"@v$v")}" +
+      s"${branch.fold("")(b => s"@branch=$b")}" +
       s"${changes.fold("")(c => s"Δv${c._1}..${if (c._2 < 0) "now" else c._2}")})"
   override def schema(): StructType = schema0
 
@@ -2796,11 +3014,12 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
   override def properties(): util.Map[String, String] = {
     // one read, and PINNED: a time-traveled table must report that
     // version's settings, not a mix of pinned and current
-    val st = ManifestSink.readState(root, pinned)
+    val st = ManifestSink.readState(root, metaPin)
     val m = new util.HashMap[String, String]()
     m.put("delete.mode", st.deleteMode)
     if (st.bloomCols.nonEmpty) m.put("bloom.columns", st.bloomCols.mkString(","))
     if (st.sortCols.nonEmpty) m.put("write.sort-by", st.sortCols.mkString(","))
+    st.props.foreach { case (k, v) => m.put(k, v) }
     m
   }
 
@@ -2808,7 +3027,7 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
     * through dynamic/static PARTITION overwrite instead of truncate, and
     * `DESCRIBE`/`SHOW CREATE` display the layout. */
   override def partitioning(): Array[Transform] =
-    ManifestSink.partitionColumns(root, pinned)
+    ManifestSink.partitionColumns(root, metaPin)
       .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
       .toArray
 
@@ -2826,7 +3045,7 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
     * instead. */
   override def canDeleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
-    pinned.isEmpty && changes.isEmpty &&
+    pinned.isEmpty && changes.isEmpty && branch.isEmpty &&
       predicates.forall(p => ManifestSink.supportedDeletePredicate(p, schema0))
   override def deleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
@@ -2836,7 +3055,7 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
 
   // V1 overloads kept for the `truncateTable` default and direct callers
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    pinned.isEmpty && changes.isEmpty &&
+    pinned.isEmpty && changes.isEmpty && branch.isEmpty &&
       filters.forall(f => ManifestSink.supportedDeleteFilter(f, schema0))
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     if (ManifestSink.deleteMode(root) == ManifestSink.DeleteModeMor)
@@ -2857,12 +3076,25 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
       require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $n")
       n
     }
-    new ManifestScanBuilder(root, pinned, changes, maxVersions)
+    branch match {
+      case Some(b) =>
+        // branch read: the anchor snapshot plus every staged commit's
+        // entries; batch-only (a stream over a staging lane has no
+        // exactly-once story until fast-forward publishes it)
+        new ManifestScanBuilder(root, Some(ManifestSink.branchBase(root, b)),
+          None, None, branchEntries = Some(() => ManifestSink.branchEntries(root, b)))
+      case None => new ManifestScanBuilder(root, pinned, changes, maxVersions)
+    }
   }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // `.option("branch", name)` on the writer (or writing to the
+    // `db.t.branch_<name>` identifier) stages the append onto the branch
+    val wb = Option(info.options().get("branch")).orElse(branch)
+    wb.foreach(ManifestSink.requireBranchName)
     new ManifestWriteBuilder(root, info.schema(), truncateFirst = false,
-      ManifestSink.gcPolicy(info.options()), info.queryId())
+      ManifestSink.gcPolicy(info.options()), info.queryId(), branch = wb)
+  }
 
   /** SQL `UPDATE` and `MERGE INTO` land here (via [[GraftCatalog]]):
     * Spark's GROUP-BASED row-level rewrite. One operation instance links
@@ -2878,9 +3110,10 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
     * through to this rewrite instead of failing. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
-    require(pinned.isEmpty && changes.isEmpty,
+    require(pinned.isEmpty && changes.isEmpty && branch.isEmpty,
       "row-level operations apply to the CURRENT snapshot, not a " +
-        "time-travel or change-feed read")
+        "time-travel, change-feed or branch read (branches are " +
+        "append-only staging lanes)")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
         new ManifestRowLevelOperation(root, info.command(),
@@ -2903,14 +3136,18 @@ case class GcPolicy(retainVersions: Option[Int], orphanGraceMs: Long)
 class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolean,
     gc: GcPolicy = GcPolicy(None, 3600L * 1000), queryId: String = "",
     overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
-    dynamicOverwrite: Boolean = false)
+    dynamicOverwrite: Boolean = false,
+    branch: Option[String] = None)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   private lazy val partCols = ManifestSink.partitionColumns(root)
 
-  override def truncate(): WriteBuilder =
+  override def truncate(): WriteBuilder = {
+    require(branch.isEmpty, "branches are append-only staging lanes: " +
+      "TRUNCATE/INSERT OVERWRITE must target the table, not a branch")
     new ManifestWriteBuilder(root, schema, truncateFirst = true, gc, queryId)
+  }
 
   /** Static-mode `INSERT OVERWRITE t PARTITION (p = 'x')`: the delete
     * side of the overwrite must be decidable from partition TUPLES
@@ -2922,6 +3159,8 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
     import org.apache.spark.sql.sources.AlwaysTrue
     if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue])) truncate()
     else {
+      require(branch.isEmpty, "branches are append-only staging lanes: " +
+        "INSERT OVERWRITE must target the table, not a branch")
       val pc = partCols.toSet
       filters.foreach(f => require(f.references.forall(pc.contains),
         s"INSERT OVERWRITE filter $f references non-partition columns " +
@@ -2935,6 +3174,8 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
   /** Dynamic partition overwrite (`partitionOverwriteMode=dynamic`):
     * replace exactly the partitions the incoming data lands in. */
   override def overwriteDynamicPartitions(): WriteBuilder = {
+    require(branch.isEmpty, "branches are append-only staging lanes: " +
+      "dynamic partition overwrite must target the table, not a branch")
     require(partCols.nonEmpty,
       s"dynamic partition overwrite requires a partitioned table; $root has no partition columns")
     new ManifestWriteBuilder(root, schema, truncateFirst = false, gc, queryId,
@@ -2981,11 +3222,14 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
       override def distributionStrictlyRequired(): Boolean = false
       override def toBatch: BatchWrite =
         new ManifestBatchWrite(root, schema, truncateFirst, gc, pc,
-          overwriteFilters, dynamicOverwrite, cmap, bc)
+          overwriteFilters, dynamicOverwrite, cmap, bc, branch)
       // streaming: truncateFirst becomes truncate-EACH-EPOCH (Spark calls
       // truncate() on the builder for Complete output mode)
-      override def toStreaming: StreamingWrite =
+      override def toStreaming: StreamingWrite = {
+        require(branch.isEmpty, "streaming writes onto a BRANCH are not " +
+          "supported — stream into the table, or stage batch appends for WAP")
         new ManifestStreamingWrite(root, schema, truncateFirst, gc, queryId, pc, cmap, bc)
+      }
     }
   }
 }
@@ -3007,13 +3251,18 @@ class ManifestBatchWrite(root: Path, schema: StructType, truncateFirst: Boolean,
     overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
     dynamicOverwrite: Boolean = false,
     colMap: Map[String, String] = Map.empty,
-    bloomCols: Seq[String] = Seq.empty) extends BatchWrite {
+    bloomCols: Seq[String] = Seq.empty,
+    branch: Option[String] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(root.toString, schema, partCols, colMap, bloomCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val newEntries = ManifestSink.commitEntries(messages)
-    if (dynamicOverwrite)
+    if (branch.isDefined)
+      // WAP staging: publish onto the branch chain — invisible to main
+      // readers until fast-forward
+      ManifestSink.appendToBranch(root, branch.get, schema, newEntries)
+    else if (dynamicOverwrite)
       ManifestSink.publishPartitionOverwrite(root, schema, newEntries,
         replaceParts = Some(newEntries.map(_.parts).toSet), filters = Seq.empty, gc)
     else overwriteFilters match {
@@ -3386,7 +3635,8 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
   * values compose exactly). Anything else scans normally. */
 class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
     changes: Option[(Long, Long)] = None, maxVersionsPerTrigger: Option[Long] = None,
-    onBatchResolve: Option[Seq[ManifestSink.FileEntry] => Unit] = None)
+    onBatchResolve: Option[Seq[ManifestSink.FileEntry] => Unit] = None,
+    branchEntries: Option[() => Seq[ManifestSink.FileEntry]] = None)
     extends ScanBuilder with SupportsPushDownAggregates with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -3518,8 +3768,10 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
     * pushdown and min/max skipping both apply to either set. */
   private def scanEntries: Seq[ManifestSink.FileEntry] = changes match {
     case Some((from, to)) => ManifestSink.addedEntries(root, from, to)
-    // aggregate pushdown consumes rows/stats only — bloom sidecars unread
-    case None => ManifestSink.committedEntries(root, pinned, withBlooms = false)
+    // aggregate pushdown consumes rows/stats only — bloom sidecars unread;
+    // a branch scan covers anchor + staged entries
+    case None => ManifestSink.committedEntries(root, pinned, withBlooms = false) ++
+      branchEntries.fold(Seq.empty[ManifestSink.FileEntry])(f => f())
   }
 
   override def build(): Scan = pushedAgg match {
@@ -3555,7 +3807,9 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
         case Some((from, to)) => ManifestSink.addedEntries(root, from, to)
           .filter(e => skipFilters.forall(f => ManifestSink.mayMatchEntry(e, f)))
         case None =>
-          ManifestSink.plannedEntries(root, pinned, skipFilters.toSeq)
+          ManifestSink.plannedEntries(root, pinned, skipFilters.toSeq) ++
+            branchEntries.fold(Seq.empty[ManifestSink.FileEntry])(f =>
+              f().filter(e => skipFilters.forall(fl => ManifestSink.mayMatchEntry(e, fl))))
       }
       val resolve = onBatchResolve match {
         case Some(record) =>
@@ -3575,7 +3829,8 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
         // group filter narrows it, so the replacing commit swaps
         // exactly the files that were read (see ManifestScan.filter)
         onRuntimeNarrow = onBatchResolve,
-        partCols = tableState.partCols)
+        partCols = tableState.partCols,
+        streamable = branchEntries.isEmpty)
     }
   }
 
@@ -3611,7 +3866,8 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     maxVersionsPerTrigger: Option[Long] = None,
     colMap: Map[String, String] = Map.empty, evolved: Boolean = false,
     onRuntimeNarrow: Option[Seq[ManifestSink.FileEntry] => Unit] = None,
-    partCols: Seq[String] = Seq.empty)
+    partCols: Seq[String] = Seq.empty,
+    streamable: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   // resolved on first BATCH use only — a pure streaming read never
@@ -3768,9 +4024,12 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
         resolved.forall(e => e.name.endsWith(".parquet") && e.dvName.isEmpty),
       colMap = colMap, evolved = evolved)
 
-  override def toMicroBatchStream(checkpointLocation: String): readstreaming.MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): readstreaming.MicroBatchStream = {
+    require(streamable, "streaming reads of a BRANCH are not supported — " +
+      "fast-forward the branch and stream the published table")
     new ManifestMicroBatchStream(root, fileSchema, schema, streamStart, streamEnd,
       maxVersionsPerTrigger, colMap = colMap, evolved = evolved)
+  }
 }
 
 /** The table AS a stream (the Delta "table streaming" shape): offsets

@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incrementally-maintained materialized views ([[IncrementalMv]]):
+  * refresh reads ONLY the delta (proved physically — the consumed files
+  * are deleted before the next refresh and it still succeeds), the view
+  * equals the full recompute after every round, compaction inside the
+  * window contributes nothing, a no-op refresh commits nothing, and a
+  * row-level delete in the source fails the refresh loudly. */
+class IncrementalMvSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  private val wh: Path = {
+    val p = Files.createTempDirectory("graft-mv")
+    p.toFile.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.mvc", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.mvc.warehouse", p.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mvc.db")
+    p
+  }
+  private def root(t: String): Path = wh.resolve("db").resolve(t)
+
+  private def mvRows(t: String): Map[Long, (Long, Long)] =
+    spark.table(s"mvc.db.$t").as[(Long, Long, Long)].collect()
+      .map { case (k, n, sv) => k -> (n, sv) }.toMap
+
+  test("refresh folds exactly the delta and matches the full recompute") {
+    spark.sql("CREATE TABLE mvc.db.src (k BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE mvc.db.mv (k BIGINT, n BIGINT, sum_v BIGINT)")
+    spark.sql("INSERT INTO mvc.db.src SELECT id % 3, id FROM range(30)")
+
+    val v1 = IncrementalMv.refresh(spark, "mvc", "db.src", "db.mv",
+      Seq("k"), Seq("v"))
+    assert(v1 == ManifestSink.currentVersion(root("src")))
+    assert(mvRows("mv") == (0L until 3L).map(k =>
+      k -> ((10L, (0L until 30L).filter(_ % 3 == k).sum))).toMap)
+
+    // round 2: consumed files DELETED first — an incremental refresh
+    // never re-opens them; a full recompute would die here
+    val consumed = ManifestSink.committedEntries(root("src"), None).map(_.name)
+    spark.sql("INSERT INTO mvc.db.src SELECT id % 3, id FROM range(30, 60)")
+    consumed.foreach(n => Files.delete(root("src").resolve(n)))
+    val v2 = IncrementalMv.refresh(spark, "mvc", "db.src", "db.mv",
+      Seq("k"), Seq("v"))
+    assert(v2 > v1)
+    assert(mvRows("mv") == (0L until 3L).map(k =>
+      k -> ((20L, (0L until 60L).filter(_ % 3 == k).sum))).toMap)
+
+    // no-op: source unchanged → same version back, no MV commit
+    val mvVer = ManifestSink.currentVersion(root("mv"))
+    assert(IncrementalMv.refresh(spark, "mvc", "db.src", "db.mv",
+      Seq("k"), Seq("v")) == v2)
+    assert(ManifestSink.currentVersion(root("mv")) == mvVer)
+  }
+
+  test("a compaction inside the refresh window contributes nothing") {
+    spark.sql("CREATE TABLE mvc.db.csrc (k BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE mvc.db.cmv (k BIGINT, n BIGINT, sum_v BIGINT)")
+    spark.sql("INSERT INTO mvc.db.csrc SELECT id % 2, id FROM range(10)")
+    spark.sql("INSERT INTO mvc.db.csrc SELECT id % 2, id FROM range(10, 20)")
+    // OPTIMIZE between the appends and the refresh: the rewrite version
+    // must not re-deliver (or double-deliver) a single row
+    ManifestSink.compact(root("csrc").toString, targetRows = 1000L)
+    spark.sql("INSERT INTO mvc.db.csrc SELECT id % 2, id FROM range(20, 25)")
+    IncrementalMv.refresh(spark, "mvc", "db.csrc", "db.cmv", Seq("k"), Seq("v"))
+    assert(mvRows("cmv") == (0L until 2L).map(k =>
+      k -> (((0L until 25L).count(_ % 2 == k).toLong,
+        (0L until 25L).filter(_ % 2 == k).sum))).toMap)
+  }
+
+  test("a row-level delete in the window fails the refresh loudly") {
+    spark.sql("CREATE TABLE mvc.db.dsrc (k BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE mvc.db.dmv (k BIGINT, n BIGINT, sum_v BIGINT)")
+    spark.sql("INSERT INTO mvc.db.dsrc SELECT id % 2, id FROM range(10)")
+    IncrementalMv.refresh(spark, "mvc", "db.dsrc", "db.dmv", Seq("k"), Seq("v"))
+    spark.sql("INSERT INTO mvc.db.dsrc SELECT id % 2, id FROM range(10, 20)")
+    spark.sql("DELETE FROM mvc.db.dsrc WHERE v = 3")
+    val e = intercept[Exception] {
+      IncrementalMv.refresh(spark, "mvc", "db.dsrc", "db.dmv", Seq("k"), Seq("v"))
+    }
+    assert(e.getMessage.contains("pure-append") ||
+      e.getMessage.contains("not pure-append"), e.getMessage)
+    // the view was not corrupted by the failed attempt: still round-1 state
+    assert(mvRows("dmv") == (0L until 2L).map(k =>
+      k -> (((0L until 10L).count(_ % 2 == k).toLong,
+        (0L until 10L).filter(_ % 2 == k).sum))).toMap)
+  }
+
+  test("refresh state is durable table metadata, not session state") {
+    spark.sql("CREATE TABLE mvc.db.psrc (k BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE mvc.db.pmv (k BIGINT, n BIGINT, sum_v BIGINT)")
+    spark.sql("INSERT INTO mvc.db.psrc SELECT id % 2, id FROM range(6)")
+    val v = IncrementalMv.refresh(spark, "mvc", "db.psrc", "db.pmv",
+      Seq("k"), Seq("v"))
+    // the pointer is readable straight off the manifest (any session
+    // could pick the next refresh up) and via SHOW TBLPROPERTIES
+    assert(IncrementalMv.lastSourceVersion(spark, "mvc", "db.pmv") == v)
+    val shown = spark.sql("SHOW TBLPROPERTIES mvc.db.pmv").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("mv.source-version").contains(v.toString))
+  }
+}

@@ -80,16 +80,37 @@ class TablePropertiesSpec extends AnyFunSuite {
     assert(!props2.contains("bloom.columns"))
   }
 
-  test("unknown properties and bad values fail loudly") {
+  test("bad values on the live knobs fail loudly") {
     spark.sql("CREATE TABLE prcat.db.bad (id BIGINT, v BIGINT)")
-    intercept[Exception] {
-      spark.sql("ALTER TABLE prcat.db.bad SET TBLPROPERTIES ('nope' = 'x')")
-    }
     intercept[Exception] {
       spark.sql("ALTER TABLE prcat.db.bad SET TBLPROPERTIES ('delete.mode' = 'sideways')")
     }
     intercept[Exception] { // v is BIGINT, blooms are string-only
       spark.sql("ALTER TABLE prcat.db.bad SET TBLPROPERTIES ('bloom.columns' = 'v')")
     }
+  }
+
+  test("free-form properties store, survive commits, show and unset") {
+    spark.sql("CREATE TABLE prcat.db.fp (id BIGINT) " +
+      "TBLPROPERTIES ('team' = 'data-eng', 'mv.source-version' = '0')")
+    def props(): Map[String, String] =
+      spark.sql("SHOW TBLPROPERTIES prcat.db.fp").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props().get("team").contains("data-eng"))
+    spark.sql("ALTER TABLE prcat.db.fp SET TBLPROPERTIES ('mv.source-version' = '7')")
+    // an unrelated commit must carry the bag forward untouched
+    spark.sql("INSERT INTO prcat.db.fp SELECT id FROM range(3)")
+    assert(props().get("mv.source-version").contains("7"))
+    assert(props().get("team").contains("data-eng"))
+    spark.sql("ALTER TABLE prcat.db.fp UNSET TBLPROPERTIES ('team')")
+    assert(!props().contains("team"))
+    // property values publish atomically with the manifest: a pinned
+    // (time-travel) read reports the pinned version's value
+    val vNow = ManifestSink.currentVersion(root("fp"))
+    spark.sql("ALTER TABLE prcat.db.fp SET TBLPROPERTIES ('mv.source-version' = '9')")
+    assert(props().get("mv.source-version").contains("9"))
+    val pinned = new ManifestTable(root("fp"),
+      ManifestSink.readSchema(root("fp"), Some(vNow)), pinned = Some(vNow))
+    assert(pinned.properties().get("mv.source-version") == "7")
   }
 }

@@ -1,0 +1,194 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Write-audit-publish branches: append-only staging lanes anchored at a
+  * main version, invisible to main readers until an atomic fast-forward
+  * publish (the Iceberg WAP shape). The isolation proofs are physical —
+  * staged data files are DELETED and main reads still answer (main
+  * never opens them), and vice versa the branch read fails, so the
+  * separation is real I/O, not bookkeeping. */
+class WapSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  private val wh: Path = {
+    val p = Files.createTempDirectory("graft-wap")
+    p.toFile.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.wcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.wcat.warehouse", p.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS wcat.db")
+    p
+  }
+
+  private def root(t: String): Path = wh.resolve("db").resolve(t)
+  private def dataFiles(t: String): Set[String] =
+    ManifestSink.committedEntries(root(t), None).map(_.name).toSet
+
+  test("full WAP cycle: stage invisibly, audit the branch, fast-forward atomically") {
+    spark.sql("CREATE TABLE wcat.db.w (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO wcat.db.w SELECT id, concat('m', id) FROM range(10)")
+    val mainFiles = dataFiles("w")
+
+    // WRITE: create the lane, stage two commits through the branch
+    // identifier — Iceberg's `db.t.branch_<name>` surface
+    val created = spark.sql(
+      "CALL wcat.system.create_branch(table => 'db.w', branch => 'audit')")
+      .as[(String, Long)].head()
+    val anchor = ManifestSink.branchBase(root("w"), "audit")
+    // the procedure returns the anchor: the current main version
+    // (create-table published v1, the seed insert v2)
+    assert(created == ("audit", anchor))
+    assert(anchor == ManifestSink.currentVersion(root("w")))
+
+    spark.sql("INSERT INTO wcat.db.w.branch_audit SELECT id, concat('s', id) FROM range(100, 105)")
+    spark.sql("INSERT INTO wcat.db.w.branch_audit SELECT id, concat('s', id) FROM range(105, 110)")
+
+    // main readers see NOTHING: same count, same files, same version
+    assert(spark.table("wcat.db.w").count() == 10L)
+    assert(dataFiles("w") == mainFiles)
+    assert(ManifestSink.currentVersion(root("w")) == anchor)
+
+    // AUDIT: both branch-read surfaces see anchor + staged
+    val viaIdent = spark.table("wcat.db.w.branch_audit")
+    assert(viaIdent.count() == 20L)
+    val viaTravel = spark.sql("SELECT * FROM wcat.db.w VERSION AS OF 'audit'")
+    assert(viaTravel.count() == 20L)
+    assert(viaIdent.select($"v").as[String].collect().count(_.startsWith("s")) == 10)
+
+    // PUBLISH: one atomic commit; branch consumed
+    val ff = spark.sql(
+      "CALL wcat.system.fast_forward(table => 'db.w', branch => 'audit')")
+      .as[(String, Long)].head()
+    assert(ff._2 == anchor + 1L)
+    assert(spark.table("wcat.db.w").count() == 20L)
+    assert(ManifestSink.listBranches(root("w")).isEmpty)
+    intercept[Exception] { spark.table("wcat.db.w.branch_audit").count() }
+    // the publish reads as ONE append in history
+    val ops = spark.sql("SELECT operation FROM wcat.db.w.history ORDER BY version")
+      .as[String].collect().toSeq
+    assert(ops == Seq("create", "append", "append"), s"got $ops")
+  }
+
+  test("isolation is physical: staged files are never opened by main reads") {
+    spark.sql("CREATE TABLE wcat.db.iso (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO wcat.db.iso SELECT id, id * 2 FROM range(8)")
+    spark.sql("CALL wcat.system.create_branch(table => 'db.iso', branch => 'b')")
+    spark.sql("INSERT INTO wcat.db.iso.branch_b SELECT id, id FROM range(50, 58)")
+    val staged = ManifestSink.branchEntries(root("iso"), "b").map(_.name)
+    assert(staged.nonEmpty)
+    // destroy the staged data files: main must still answer fully...
+    staged.foreach(n => Files.delete(root("iso").resolve(n)))
+    assert(spark.table("wcat.db.iso").select($"v").as[Long].collect().sum ==
+      (0L until 8L).map(_ * 2).sum)
+    // ...and the branch DATA read must fail (it really needs those files)
+    intercept[Exception] {
+      spark.table("wcat.db.iso.branch_b").select($"v").collect()
+    }
+    spark.sql("CALL wcat.system.drop_branch(table => 'db.iso', branch => 'b')")
+  }
+
+  test("branch count(*) answers from metadata alone (aggregate pushdown covers the lane)") {
+    spark.sql("CREATE TABLE wcat.db.agg (id BIGINT)")
+    spark.sql("INSERT INTO wcat.db.agg SELECT id FROM range(7)")
+    spark.sql("CALL wcat.system.create_branch(table => 'db.agg', branch => 'c')")
+    spark.sql("INSERT INTO wcat.db.agg.branch_c SELECT id FROM range(100, 103)")
+    // delete EVERY data file — a metadata-only count is the only way out
+    (dataFiles("agg") ++ ManifestSink.branchEntries(root("agg"), "c").map(_.name))
+      .foreach(n => Files.delete(root("agg").resolve(n)))
+    assert(spark.table("wcat.db.agg.branch_c").count() == 10L)
+    assert(spark.table("wcat.db.agg").count() == 7L)
+  }
+
+  test("fast-forward is fast-forward-ONLY: a main commit after anchoring fails the publish") {
+    spark.sql("CREATE TABLE wcat.db.ff (id BIGINT)")
+    spark.sql("INSERT INTO wcat.db.ff SELECT id FROM range(5)")
+    spark.sql("CALL wcat.system.create_branch(table => 'db.ff', branch => 'late')")
+    spark.sql("INSERT INTO wcat.db.ff.branch_late SELECT id FROM range(10, 15)")
+    // main advances — the branch's audit no longer covers main's state
+    spark.sql("INSERT INTO wcat.db.ff SELECT id FROM range(5, 8)")
+    val e = intercept[Exception] {
+      spark.sql("CALL wcat.system.fast_forward(table => 'db.ff', branch => 'late')")
+    }
+    assert(e.getMessage.contains("main advanced"), e.getMessage)
+    // nothing published, branch still auditable
+    assert(spark.table("wcat.db.ff").count() == 8L)
+    assert(spark.table("wcat.db.ff.branch_late").count() == 10L)
+  }
+
+  test("branches are append-only: truncate, overwrite and DELETE are rejected") {
+    spark.sql("CREATE TABLE wcat.db.ao (id BIGINT)")
+    spark.sql("INSERT INTO wcat.db.ao SELECT id FROM range(4)")
+    spark.sql("CALL wcat.system.create_branch(table => 'db.ao', branch => 'x')")
+    intercept[Exception] {
+      spark.sql("INSERT OVERWRITE wcat.db.ao.branch_x SELECT id FROM range(2)")
+    }
+    intercept[Exception] {
+      spark.sql("DELETE FROM wcat.db.ao.branch_x WHERE id = 1")
+    }
+    intercept[Exception] {
+      spark.sql("UPDATE wcat.db.ao.branch_x SET id = 9 WHERE id = 1")
+    }
+    // the lane still works after the rejected statements
+    spark.sql("INSERT INTO wcat.db.ao.branch_x SELECT id FROM range(20, 22)")
+    assert(spark.table("wcat.db.ao.branch_x").count() == 6L)
+  }
+
+  test("partitioned staging: branch reads prune partitions, fast-forward preserves layout") {
+    spark.sql("CREATE TABLE wcat.db.pw (id BIGINT, p BIGINT) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO wcat.db.pw SELECT id, id % 2 FROM range(10)")
+    spark.sql("CALL wcat.system.create_branch(table => 'db.pw', branch => 'pb')")
+    spark.sql("INSERT INTO wcat.db.pw.branch_pb SELECT id, id % 2 FROM range(100, 110)")
+    // partition-pruned branch read: physically delete p=1 files on BOTH
+    // sides — a p=0 read must never touch them
+    val all = ManifestSink.committedEntries(root("pw"), None) ++
+      ManifestSink.branchEntries(root("pw"), "pb")
+    all.filter(_.parts("p") == "1")
+      .foreach(e => Files.delete(root("pw").resolve(e.name)))
+    assert(spark.table("wcat.db.pw.branch_pb").filter($"p" === 0L).count() == 10L)
+    // restore by re-creating: drop the broken lane and table rows are
+    // beside the point — the pruning proof above is the test
+    spark.sql("CALL wcat.system.drop_branch(table => 'db.pw', branch => 'pb')")
+  }
+
+  test("vacuum protects a live branch's anchor and files; drop releases them") {
+    spark.sql("CREATE TABLE wcat.db.gc (id BIGINT)")
+    spark.sql("INSERT INTO wcat.db.gc SELECT id FROM range(3)") // v2
+    spark.sql("CALL wcat.system.create_branch(table => 'db.gc', branch => 'keep')")
+    spark.sql("INSERT INTO wcat.db.gc.branch_keep SELECT id FROM range(30, 33)")
+    spark.sql("INSERT INTO wcat.db.gc SELECT id FROM range(3, 6)") // v3: main moves on
+    val r = root("gc")
+    val anchor = ManifestSink.branchBase(r, "keep")
+    // aggressive retention: keep only the newest main version, zero grace
+    ManifestSink.vacuum(r, retain = 1, orphanGraceMs = 0L, dryRun = false)
+    // the anchor manifest survived (a live branch pins it) and the lane
+    // still reads — including its staged data files (vacuum spared them)
+    assert(Files.exists(ManifestSink.manifestAt(r, anchor)))
+    assert(spark.table("wcat.db.gc.branch_keep").count() == 6L)
+    // dropping the branch releases anchor + staged files to the sweeps
+    spark.sql("CALL wcat.system.drop_branch(table => 'db.gc', branch => 'keep')")
+    val swept = ManifestSink.vacuum(r, retain = 1, orphanGraceMs = 0L, dryRun = false)
+    assert(swept.candidates.exists(_.kind == "manifest"),
+      s"anchor manifest should now expire: ${swept.candidates}")
+    assert(swept.candidates.exists(_.kind == "data"),
+      s"staged data files should now sweep: ${swept.candidates}")
+    assert(spark.table("wcat.db.gc").count() == 6L)
+  }
+
+  test("double-create and unknown-branch verbs fail loudly") {
+    spark.sql("CREATE TABLE wcat.db.err (id BIGINT)")
+    spark.sql("INSERT INTO wcat.db.err SELECT id FROM range(2)")
+    spark.sql("CALL wcat.system.create_branch(table => 'db.err', branch => 'dup')")
+    intercept[Exception] {
+      spark.sql("CALL wcat.system.create_branch(table => 'db.err', branch => 'dup')")
+    }
+    intercept[Exception] {
+      spark.sql("CALL wcat.system.fast_forward(table => 'db.err', branch => 'nope')")
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM wcat.db.err VERSION AS OF 'nope'")
+    }
+  }
+}
