@@ -3690,11 +3690,33 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
     case _ => None
   }
 
+  /** The single top-level column a group-by expression names, if any. */
+  private def gbColumn(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     onBatchResolve.isEmpty && // a rewrite scan must produce real rows
-    skipFilters.isEmpty && aggregation.groupByExpressions().isEmpty && {
+    skipFilters.isEmpty && {
       lazy val entries = scanEntries // ONE manifest read, at planning time
-      aggregation.aggregateExpressions().nonEmpty &&
+      // GROUP BY is metadata-answerable exactly when every group key is
+      // a PARTITION column carried by every covered file: each file then
+      // belongs to exactly one group, so group counts are sums of
+      // per-file live counts and group min/max are folds of per-file
+      // stats — the Iceberg partition-stats query, served with zero
+      // data I/O. Any other grouping (or an incomplete tuple, possible
+      // only on pre-partitioning legacy files) scans normally.
+      def groupable: Boolean = {
+        val gb = aggregation.groupByExpressions().toSeq.map(gbColumn)
+        gb.isEmpty || (gb.forall(_.isDefined) && {
+          val cols = gb.flatten
+          cols.forall(partColsSet.contains) &&
+            entries.forall(e => cols.forall(e.parts.contains))
+        })
+      }
+      aggregation.aggregateExpressions().nonEmpty && groupable &&
         aggregation.aggregateExpressions().forall {
           // count(*) stays metadata-exact under deletion vectors (live
           // counts are in the manifest); MIN/MAX do NOT — the extremum
@@ -3777,22 +3799,51 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
   override def build(): Scan = pushedAgg match {
     case Some(agg) =>
       val entries = scanEntries
-      val (fields, values) = agg.aggregateExpressions().map {
-        case _: CountStar =>
-          (StructField("count(*)", LongType, nullable = false),
-            entries.map(_.liveRows).sum: Any)
-        case m: Min =>
-          val f = statColumn(m.column).get
-          (StructField(s"min(${f.name})", f.dataType),
-            if (entries.isEmpty) null else narrow(entries.map(_.mins(f.name)).min, f))
-        case m: Max =>
-          val f = statColumn(m.column).get
-          (StructField(s"max(${f.name})", f.dataType),
-            if (entries.isEmpty) null else narrow(entries.map(_.maxs(f.name)).max, f))
-        case other => throw new IllegalStateException(s"unpushable aggregate $other")
-      }.unzip
-      new ManifestAggScan(StructType(fields.toIndexedSeq),
-        InternalRow.fromSeq(values.toIndexedSeq))
+      def aggRow(es: Seq[ManifestSink.FileEntry])
+          : (Seq[StructField], Seq[Any]) =
+        agg.aggregateExpressions().toSeq.map {
+          case _: CountStar =>
+            (StructField("count(*)", LongType, nullable = false),
+              es.map(_.liveRows).sum: Any)
+          case m: Min =>
+            val f = statColumn(m.column).get
+            (StructField(s"min(${f.name})", f.dataType),
+              if (es.isEmpty) null else narrow(es.map(_.mins(f.name)).min, f))
+          case m: Max =>
+            val f = statColumn(m.column).get
+            (StructField(s"max(${f.name})", f.dataType),
+              if (es.isEmpty) null else narrow(es.map(_.maxs(f.name)).max, f))
+          case other => throw new IllegalStateException(s"unpushable aggregate $other")
+        }.unzip
+      val gbCols = agg.groupByExpressions().toSeq.map(e => gbColumn(e).get)
+      if (gbCols.isEmpty) {
+        val (fields, values) = aggRow(entries)
+        new ManifestAggScan(StructType(fields.toIndexedSeq),
+          Array(InternalRow.fromSeq(values.toIndexedSeq)))
+      } else {
+        // one metadata row per distinct partition tuple over the group
+        // keys — partition-stats, zero data I/O (spec proof: the data
+        // files are deleted and the grouped count still answers)
+        val gbFields = gbCols.map(c => tableSchema.fields.find(_.name == c).get)
+        def typedKey(v: String, f: StructField): Any = v match {
+          case ManifestSink.NullPartValue => null
+          case x => f.dataType match {
+            case LongType => x.toLong
+            case IntegerType => x.toInt
+            case DoubleType => x.toDouble
+            case BooleanType => x.toBoolean
+            case _ => UTF8String.fromString(x)
+          }
+        }
+        val rows = entries.groupBy(e => gbCols.map(c => e.parts(c))).toSeq
+          .map { case (key, es) =>
+            val keyVals = key.zip(gbFields).map { case (v, f) => typedKey(v, f) }
+            InternalRow.fromSeq(keyVals ++ aggRow(es)._2)
+          }
+        val aggFields = aggRow(entries)._1
+        new ManifestAggScan(StructType((gbFields ++ aggFields).toIndexedSeq),
+          rows.toArray)
+      }
     case None => {
       // entry resolution stays LAZY: a streaming read never materializes
       // the batch file set (its batches resolve per offset window — an
@@ -3839,23 +3890,25 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
     if (f.dataType == IntegerType) v.toInt else v
 }
 
-/** One metadata row answering a completely-pushed aggregation
-  * (COUNT(*) / MIN / MAX) from manifest stats alone. */
-class ManifestAggScan(schema: StructType, row: InternalRow) extends Scan with Batch {
+/** Metadata rows answering a completely-pushed aggregation — one row
+  * for a global COUNT(*)/MIN/MAX, one per partition tuple for a
+  * GROUP-BY-partition-columns aggregate — from manifest stats alone. */
+class ManifestAggScan(schema: StructType, rows: Array[InternalRow])
+    extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     Array(ManifestFilePartition("<metadata-agg>"))
   override def createReaderFactory(): PartitionReaderFactory =
-    new ManifestAggReaderFactory(row)
+    new ManifestAggReaderFactory(rows)
 }
 
-class ManifestAggReaderFactory(row: InternalRow) extends PartitionReaderFactory {
+class ManifestAggReaderFactory(rows: Array[InternalRow]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private var emitted = false
-      override def next(): Boolean = !emitted && { emitted = true; true }
-      override def get(): InternalRow = row
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = rows(i)
       override def close(): Unit = ()
     }
 }
