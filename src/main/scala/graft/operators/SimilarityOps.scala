@@ -307,6 +307,42 @@ object SimilarityOps {
         .orderBy("rn")
     }),
 
+    // BM25 over an inverted index AT REST: the postings (term, doc_id,
+    // tf, dl) live in a manifest table clustered by term
+    // (write.sort-by) with a term bloom, and the corpus constants the
+    // scorer needs (N, Σdl) ride the table's free-form TBLPROPERTIES —
+    // recorded once at build, read back without touching the corpus. A
+    // query then reads ONLY its terms' posting files: the term IN
+    // predicate prunes by bloom + truncated string bounds at the
+    // manifest (PostingsAtRestSpec deletes every other file and the
+    // query still answers). Same scores as q144 — the index changes
+    // I/O, never the answer. At 100 TB this is the search-engine
+    // contract: query cost follows |query| posting lists, not corpus
+    // size.
+    "q148_bm25_at_rest" -> ((s, dir) => {
+      val t = postingsTable(s, dir)
+      val props = s.sql(s"SHOW TBLPROPERTIES $t").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      val nDocs = props("bm25.n-docs").toLong
+      val avgdl = props("bm25.sum-dl").toLong.toDouble / nDocs
+      val posts = s.table(t).filter(col("term").isin(Bm25Terms: _*))
+      val dfs = posts.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.orderBy(col("score_mb").desc, col("doc_id"))
+      posts.join(broadcast(dfs), "term")
+        .withColumn("idf",
+          log(lit(1.0) + (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .withColumn("contrib",
+          col("idf") * col("tf") * lit(Bm25K1 + 1.0) /
+            (col("tf") + lit(Bm25K1) *
+              (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / lit(avgdl))))
+        .groupBy("doc_id").agg(sum(col("contrib")).as("score"))
+        .withColumn("score_mb", round(col("score") * 1000).cast("long"))
+        .select("doc_id", "score_mb")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= Bm25TopK)
+        .orderBy("rn")
+    }),
+
     // Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009) of
     // the BM25 list (q144's scorer) with a dense cosine list against one
     // probe embedding — the standard two-tower + lexical production
@@ -414,6 +450,43 @@ object SimilarityOps {
         .writeTo(s"graft.$ns.emb_ann").append()
     }
     s"graft.$ns.emb_ann"
+  }
+
+  /** Once-per-(application, sf-dir) build of the postings manifest table
+    * behind q148: the FULL vocabulary's (term, doc_id, tf, dl) rows,
+    * range-clustered by term (`write.sort-by`) with a term bloom for
+    * equality pruning, plus the scorer's corpus constants recorded as
+    * free-form TBLPROPERTIES in the same table — the index is
+    * self-describing, no side-channel between build and query. */
+  private val postingsBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  private[graft] def postingsTable(s: SparkSession, dir: String): String = {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+      s.sparkContext.applicationId
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val ns = s"db${Integer.toHexString(dir.hashCode)}"
+    if (postingsBuilt.add((s.sparkContext.applicationId, dir))) {
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      s.sql(s"CREATE TABLE graft.$ns.postings " +
+        "(term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT) " +
+        "TBLPROPERTIES ('write.sort-by' = 'term', 'bloom.columns' = 'term')")
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t != '')").as("toks"))
+        .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
+      toks.select(col("doc_id"), col("dl"), explode_outer(col("toks")).as("term"))
+        .filter(col("term").isNotNull)
+        .groupBy(col("term"), col("doc_id"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .select("term", "doc_id", "tf", "dl")
+        .writeTo(s"graft.$ns.postings").append()
+      val (n, sumDl) = toks.agg(count(lit(1)), sum(col("dl")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).head
+      s.sql(s"ALTER TABLE graft.$ns.postings SET TBLPROPERTIES " +
+        s"('bm25.n-docs' = '$n', 'bm25.sum-dl' = '$sumDl')")
+    }
+    s"graft.$ns.postings"
   }
 
   /** Deterministic sub-split of oversized clusters: rows keep their
@@ -708,6 +781,16 @@ object SimilarityOps {
          |WHERE rn <= $TopK ORDER BY probe_id, rn""".stripMargin,
 
     "q144_bm25" ->
+      s"""WITH $bm25ScoredSql
+         |SELECT doc_id, score_mb, rn FROM (
+         |  SELECT doc_id, score_mb,
+         |    row_number() OVER (ORDER BY score_mb DESC, doc_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= $Bm25TopK ORDER BY rn""".stripMargin,
+
+    // identical to q144's relation: the at-rest index must change I/O,
+    // never the answer
+    "q148_bm25_at_rest" ->
       s"""WITH $bm25ScoredSql
          |SELECT doc_id, score_mb, rn FROM (
          |  SELECT doc_id, score_mb,
