@@ -294,6 +294,29 @@ object CurationOps {
     // 100 TB raw crawl scores in a single linear pass, the property
     // DSIR exists for. Resampling then keeps the top slice (the keep
     // gate on a calibration constant mirrors q141).
+    // Per-source document caps (the C4/RefinedWeb domain-cap rule): no
+    // single origin may dominate the corpus, so each source keeps its
+    // top-K documents by quality (here: length, ties by doc_id — any
+    // deterministic score slots in) and the rest are dropped with
+    // per-source accounting. The plan is one KEYED window (hash
+    // exchange on source, linear) + aggregate — at 100 TB the cap is
+    // the pressure valve that stops a crawler loop or SEO farm from
+    // flooding training data; the accounting columns are the audit
+    // trail curation pipelines ship with the cut.
+    "q149_source_cap" -> ((s, dir) => {
+      val K = 10
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+        .withColumn("rn", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("rn") <= K, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") <= K, col("n_chars"))).as("kept_chars"))
+        .orderBy("source")
+    }),
+
     "q142_dsir_importance" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val feats = docs
@@ -336,6 +359,15 @@ object CurationOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q149_source_cap" ->
+      """SELECT source, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rn <= 10 THEN n_chars END) AS BIGINT) AS kept_chars
+        |FROM (SELECT doc_id, source, n_chars,
+        |  row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     "q102_pii_redact" ->
       s"""WITH r AS (SELECT doc_id,
          |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||

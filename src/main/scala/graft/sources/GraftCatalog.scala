@@ -91,6 +91,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       if (isTable(parent)) ident.name() match {
         case "history" => return GraftCatalog.historyTable(parent)
         case "files" => return GraftCatalog.filesTable(parent)
+        case "partitions" => return GraftCatalog.partitionsTable(parent)
         // Iceberg-style branch identifier: `db.t.branch_audit` reads the
         // WAP staging lane (anchor snapshot + staged appends) and
         // accepts INSERT INTO (appends stage onto the branch)
@@ -415,6 +416,33 @@ object GraftCatalog {
         e.rows, e.liveRows, e.dvRows, UTF8String.fromString(parts))): InternalRow
     }.toArray
     staticTable(s"files($root)", FilesSchema, rows)
+  }
+
+  private val PartitionsSchema = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("files", IntegerType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("live_rows", LongType, nullable = false),
+    StructField("dv_rows", LongType, nullable = false)))
+
+  /** `SELECT * FROM cat.db.t.partitions` — the Iceberg partitions
+    * metadata table: one row per partition tuple with file/row/DV
+    * accounting, straight off the manifest (kilobytes, LocalScan, no
+    * executors). The operator's first stop for skew and small-file
+    * diagnosis: at 100 TB "which partitions hold how many files of what
+    * size" IS the compaction and retention work list, and answering it
+    * must never cost a data scan. Unpartitioned tables report one
+    * all-table row with partition ''. */
+  private[sources] def partitionsTable(root: Path): Table = {
+    val rows = ManifestSink.committedEntries(root, None)
+      .groupBy(_.parts.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(","))
+      .toSeq.sortBy(_._1)
+      .map { case (part, es) =>
+        new GenericInternalRow(Array[Any](UTF8String.fromString(part),
+          es.size, es.map(_.rows).sum, es.map(_.liveRows).sum,
+          es.map(_.dvRows).sum)): InternalRow
+      }.toArray
+    staticTable(s"partitions($root)", PartitionsSchema, rows)
   }
 
   private val OptimizeOutput = StructType(Seq(

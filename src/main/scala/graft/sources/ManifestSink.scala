@@ -3638,7 +3638,7 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
     onBatchResolve: Option[Seq[ManifestSink.FileEntry] => Unit] = None,
     branchEntries: Option[() => Seq[ManifestSink.FileEntry]] = None)
     extends ScanBuilder with SupportsPushDownAggregates with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
   import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -3646,6 +3646,24 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
   private var pushedAgg: Option[Aggregation] = None
   private var skipFilters: Array[Filter] = Array.empty
   private var prunedNames: Option[Set[String]] = None
+  private var pushedLimit: Option[Int] = None
+
+  /** LIMIT n without filters plans a PREFIX of the file list: files are
+    * taken in manifest (commit) order until their live row counts cover
+    * n, and the rest never become input partitions — `SELECT * FROM t
+    * LIMIT 10` on a 10⁵-file table opens one file. PARTIAL pushdown
+    * (the default contract): the scan returns at least n rows and
+    * Spark's own Limit trims, so correctness never depends on the
+    * prefix arithmetic. With skip filters the count-prefix bound is
+    * unsound (a may-match file can contribute zero rows) and the push
+    * is refused; a limit-pruned scan also withdraws its runtime-filter
+    * attributes — a join's runtime pruning composed with a row-count
+    * prefix could cover fewer than n surviving rows. */
+  override def pushLimit(limit: Int): Boolean = {
+    val ok = skipFilters.isEmpty && changes.isEmpty && onBatchResolve.isEmpty
+    if (ok) pushedLimit = Some(limit)
+    ok
+  }
 
   // ONE manifest-list HEADER read for all table-structure lookups
   // (schema, partition spec, column mapping, schema epoch) — entry
@@ -3858,9 +3876,20 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
         case Some((from, to)) => ManifestSink.addedEntries(root, from, to)
           .filter(e => skipFilters.forall(f => ManifestSink.mayMatchEntry(e, f)))
         case None =>
-          ManifestSink.plannedEntries(root, pinned, skipFilters.toSeq) ++
+          val all = ManifestSink.plannedEntries(root, pinned, skipFilters.toSeq) ++
             branchEntries.fold(Seq.empty[ManifestSink.FileEntry])(f =>
               f().filter(e => skipFilters.forall(fl => ManifestSink.mayMatchEntry(e, fl))))
+          pushedLimit match {
+            case Some(n) => // prefix covering >= n live rows (see pushLimit)
+              val it = all.iterator
+              var acc = 0L
+              val kept = Seq.newBuilder[ManifestSink.FileEntry]
+              while (acc < n && it.hasNext) {
+                val e = it.next(); kept += e; acc += e.liveRows
+              }
+              kept.result()
+            case None => all
+          }
       }
       val resolve = onBatchResolve match {
         case Some(record) =>
@@ -3881,7 +3910,8 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
         // exactly the files that were read (see ManifestScan.filter)
         onRuntimeNarrow = onBatchResolve,
         partCols = tableState.partCols,
-        streamable = branchEntries.isEmpty)
+        streamable = branchEntries.isEmpty,
+        runtimeFilterable = pushedLimit.isEmpty)
     }
   }
 
@@ -3920,7 +3950,8 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     colMap: Map[String, String] = Map.empty, evolved: Boolean = false,
     onRuntimeNarrow: Option[Seq[ManifestSink.FileEntry] => Unit] = None,
     partCols: Seq[String] = Seq.empty,
-    streamable: Boolean = true)
+    streamable: Boolean = true,
+    runtimeFilterable: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   // resolved on first BATCH use only — a pure streaming read never
@@ -3953,7 +3984,9 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     * (`_file IN (names…)`), names exactly the matched groups, and works
     * for ANY merge key shape — the Iceberg `_file` pattern. */
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (onRuntimeNarrow.isDefined)
+    if (!runtimeFilterable)
+      Array.empty
+    else if (onRuntimeNarrow.isDefined)
       Array(org.apache.spark.sql.connector.expressions.Expressions
         .column(ManifestSink.FileNameColumn))
     else schema.fields.collect {

@@ -90,6 +90,47 @@ class IncrementalMvSpec extends AnyFunSuite {
         (0L until 10L).filter(_ % 2 == k).sum))).toMap)
   }
 
+  test("continuous maintenance: a streaming trigger drives refresh; replays are no-ops") {
+    // the production loop: the TABLE-AS-STREAM source wakes the refresher
+    // whenever the source commits; the refresh itself reads the change
+    // feed against its own durable version pointer, so a replayed or
+    // duplicate trigger (foreachBatch's at-least-once) finds to <= from
+    // and commits nothing — exactly-once by table metadata, not by
+    // checkpoint gymnastics
+    spark.sql("CREATE TABLE mvc.db.ssrc (k BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE mvc.db.smv (k BIGINT, n BIGINT, sum_v BIGINT)")
+    spark.sql("INSERT INTO mvc.db.ssrc SELECT id % 2, id FROM range(10)")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.ManifestSink")
+        .option("path", root("ssrc").toString).load()
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-mv-ckpt").toString)
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+          IncrementalMv.refresh(spark, "mvc", "db.ssrc", "db.smv",
+            Seq("k"), Seq("v")): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(mvRows("smv") == (0L until 2L).map(k =>
+      k -> (((0L until 10L).count(_ % 2 == k).toLong,
+        (0L until 10L).filter(_ % 2 == k).sum))).toMap)
+    // a SECOND full pass over the stream (fresh checkpoint = total
+    // replay) must change nothing
+    val mvVer = ManifestSink.currentVersion(root("smv"))
+    runOnce()
+    assert(ManifestSink.currentVersion(root("smv")) == mvVer)
+    // new appends then flow through the same loop
+    spark.sql("INSERT INTO mvc.db.ssrc SELECT id % 2, id FROM range(10, 16)")
+    runOnce()
+    assert(mvRows("smv") == (0L until 2L).map(k =>
+      k -> (((0L until 16L).count(_ % 2 == k).toLong,
+        (0L until 16L).filter(_ % 2 == k).sum))).toMap)
+  }
+
   test("refresh state is durable table metadata, not session state") {
     spark.sql("CREATE TABLE mvc.db.psrc (k BIGINT, v BIGINT)")
     spark.sql("CREATE TABLE mvc.db.pmv (k BIGINT, n BIGINT, sum_v BIGINT)")

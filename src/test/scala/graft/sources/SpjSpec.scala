@@ -164,6 +164,29 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("high-cardinality fact-fact join: materialized bucket columns give bucketed SPJ") {
+    // the scale pattern for join keys too selective to partition by
+    // directly (the Iceberg bucket(N, col) shape, achieved here with an
+    // identity partition over a MATERIALIZED bucket column): both facts
+    // store bucket = pmod(xxhash64(key), 8), partition by it, and join
+    // ON (bucket, key). Cluster keys ⊂ join keys needs the
+    // co-partition check relaxed; the join itself stays exchange-free.
+    spark.sql("CREATE TABLE spj.db.fa (b BIGINT, k BIGINT, x BIGINT) PARTITIONED BY (b)")
+    spark.sql("CREATE TABLE spj.db.fb (b BIGINT, k BIGINT, y BIGINT) PARTITIONED BY (b)")
+    spark.sql("INSERT INTO spj.db.fa SELECT pmod(xxhash64(id), 8), id, id * 2 FROM range(500)")
+    spark.sql("INSERT INTO spj.db.fb SELECT pmod(xxhash64(id), 8), id, id * 3 FROM range(250, 750)")
+    withSpjConf("spark.sql.requireAllClusterKeysForCoPartition" -> "false") {
+      val j = spark.table("spj.db.fa")
+        .join(spark.table("spj.db.fb"), Seq("b", "k"))
+        .agg(count(lit(1)).as("n"), sum($"x" + $"y").as("s"))
+      val plan = executedPlan(j)
+      assert(shuffles(plan).isEmpty, s"bucketed SPJ must not shuffle:\n$plan")
+      val (n, s) = j.as[(Long, Long)].head()
+      assert(n == 250L) // keys 250..499 overlap
+      assert(s == (250L until 500L).map(k => k * 2 + k * 3).sum)
+    }
+  }
+
   test("SPJ report is withdrawn when a partition column is pruned from the output") {
     // a scan that does not carry the key cannot claim key grouping;
     // the query must still answer (with ordinary shuffles)

@@ -69,6 +69,28 @@ class TableOpsSpec extends AnyFunSuite {
     assert(parts == Set("grp=a", "grp=b"))
   }
 
+  test("partitions view aggregates per-tuple file/row/DV accounting, metadata-only") {
+    spark.sql("CREATE TABLE tcat.db.pv (id BIGINT, p STRING) PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    (0 until 2).foreach { _ => // two files per partition
+      spark.sql("INSERT INTO tcat.db.pv " +
+        "SELECT id, CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END FROM range(20)")
+    }
+    spark.sql("DELETE FROM tcat.db.pv WHERE id = 0") // one DV row in p=x
+    // metadata-only: destroy the data files, the view must still answer
+    ManifestSink.committedEntries(root("pv"), None)
+      .foreach(e => Files.delete(root("pv").resolve(e.name)))
+    val got = spark.sql(
+      "SELECT partition, files, rows, live_rows, dv_rows FROM tcat.db.pv.partitions")
+      .as[(String, Int, Long, Long, Long)].collect().toSet
+    assert(got == Set(("p=x", 2, 20L, 18L, 2L), ("p=y", 2, 20L, 20L, 0L)), got)
+    // unpartitioned tables report a single all-table row
+    spark.sql("CREATE TABLE tcat.db.uv (id BIGINT)")
+    spark.sql("INSERT INTO tcat.db.uv SELECT id FROM range(5)")
+    assert(spark.sql("SELECT partition, rows FROM tcat.db.uv.partitions")
+      .as[(String, Long)].collect().toSeq == Seq(("", 5L)))
+  }
+
   test("rollback restores data and schema as a NEW version; bad history stays readable") {
     spark.sql("CREATE TABLE tcat.db.r (id BIGINT, v BIGINT)") // v1
     spark.range(0, 10).select($"id", $"id".as("v"))
