@@ -278,6 +278,41 @@ object DedupOps {
     (verified, memberShingles)
   }
 
+  /** Min-label propagation over the verified near-dup pair graph to a
+    * FIXPOINT (the Pregel pattern on DataFrames) — the loop runs ONLY
+    * over vertices that appear in an edge; every other document is a
+    * singleton cluster unioned in once at the end. Shared by q77
+    * (cluster sizes) and q150 (canonical-member retention). */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val pairs = verifiedNearDupPairs(s, dir).select("doc_a", "doc_b")
+    // undirected edges, both directions (tiny: verified near-dup pairs)
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("rep"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbor = edges
+        .join(labels.select(col("doc_id").as("dst"), col("rep").as("nrep")), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nrep")).as("nmin"))
+      val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("rep", "prev"), "doc_id")
+        .filter(col("rep") =!= col("prev")).count()
+      labels = next
+    }
+    edges.unpersist()
+    docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q40_exact_dedup" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -307,36 +342,34 @@ object DedupOps {
     // round-2 bottleneck (63 s of a 111 s bench). localCheckpoint
     // truncates lineage between rounds.
     "q77_dedup_clusters" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir).select(col("doc_id"))
-      val pairs = verifiedNearDupPairs(s, dir).select("doc_a", "doc_b")
-      // undirected edges, both directions (tiny: verified near-dup pairs)
-      val edges = pairs
-        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("src", "dst")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("rep"))
-        .localCheckpoint()
-      var changed = 1L
-      while (changed > 0) {
-        val viaNeighbor = edges
-          .join(labels.select(col("doc_id").as("dst"), col("rep").as("nrep")), "dst")
-          .groupBy(col("src").as("doc_id"))
-          .agg(min(col("nrep")).as("nmin"))
-        val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
-          .localCheckpoint()
-        changed = next.join(labels.withColumnRenamed("rep", "prev"), "doc_id")
-          .filter(col("rep") =!= col("prev")).count()
-        labels = next
-      }
-      edges.unpersist()
-      docs.join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+      clusterLabels(s, dir)
         .withColumn("cluster_size", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy("rep")))
         .select("doc_id", "rep", "cluster_size")
+        .orderBy("doc_id")
+    }),
+
+    // Retention POLICY over the duplicate clusters: instead of q40's
+    // keep-first rule, keep the BEST member of each near-dup cluster —
+    // ranked here by length then doc_id, but any deterministic quality
+    // score (q141's LM score, q58's heuristics) slots into the same
+    // window. The canonical map (every doc -> its cluster's keeper) is
+    // what a real curation pipeline persists: downstream joins route
+    // dropped docs to their surviving twin. Plan: the q77 labels + ONE
+    // keyed window over (rep) + a broadcast-size join back — nothing
+    // beyond the clustering's own cost.
+    "q150_cluster_canonical" -> ((s, dir) => {
+      val labels = clusterLabels(s, dir)
+      val quality = Tables.documents(s, dir).select("doc_id", "n_chars")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("rep")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val canon = labels.join(quality, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("rep"), col("doc_id").as("canon"))
+      labels.join(canon, "rep")
+        .select(col("doc_id"), col("rep"), col("canon"),
+          when(col("doc_id") === col("canon"), 1L).otherwise(0L).as("kept"))
         .orderBy("doc_id")
     }),
 
@@ -644,6 +677,37 @@ object DedupOps {
          |lbl AS (SELECT doc_id, min(anc) AS rep FROM reach GROUP BY doc_id)
          |SELECT doc_id, rep, count(*) OVER (PARTITION BY rep) AS cluster_size
          |FROM lbl ORDER BY doc_id""".stripMargin
+    },
+
+    // q77's clustering + best-of-cluster retention: the keeper is the
+    // longest member (ties by doc_id)
+    "q150_cluster_canonical" -> {
+      val code = md5Code60Sql("sh")
+      val affine = affineHashSql("i", "x")
+      s"""WITH RECURSIVE $setsCte,
+         |c AS (SELECT doc_id, list_transform(shingles, sh -> $code) AS codes FROM s),
+         |sg AS (SELECT doc_id, list_transform(generate_series(1, $NumHashes),
+         |        i -> list_min(list_transform(codes, x -> $affine))) AS sig FROM c),
+         |bands AS (SELECT doc_id, j,
+         |  array_to_string(sig[j*$RowsPerBand+1 : j*$RowsPerBand+$RowsPerBand], '_') AS bkey
+         |  FROM sg, generate_series(0, ${Bands - 1}) t(j)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |  ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |vp AS (SELECT doc_a, doc_b FROM ($jacSelect) x WHERE x.inter * 2 >= x.uni),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |  UNION ALL SELECT doc_b, doc_a FROM vp),
+         |reach AS (SELECT doc_id, doc_id AS anc FROM documents
+         |  UNION
+         |  SELECT e.src, r.anc FROM edges e JOIN reach r ON r.doc_id = e.dst),
+         |lbl AS (SELECT doc_id, min(anc) AS rep FROM reach GROUP BY doc_id),
+         |can AS (SELECT rep, doc_id AS canon FROM (
+         |  SELECT l.rep, d.doc_id,
+         |    row_number() OVER (PARTITION BY l.rep ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         |  FROM lbl l JOIN documents d USING (doc_id)) WHERE rn = 1)
+         |SELECT l.doc_id, l.rep, c.canon,
+         |  CAST(CASE WHEN l.doc_id = c.canon THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM lbl l JOIN can c USING (rep) ORDER BY l.doc_id""".stripMargin
     },
 
     "q42_simhash" -> {

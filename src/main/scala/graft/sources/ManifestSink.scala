@@ -3638,7 +3638,8 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
     onBatchResolve: Option[Seq[ManifestSink.FileEntry] => Unit] = None,
     branchEntries: Option[() => Seq[ManifestSink.FileEntry]] = None)
     extends ScanBuilder with SupportsPushDownAggregates with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownTopN {
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
   import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -3663,6 +3664,75 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
     val ok = skipFilters.isEmpty && changes.isEmpty && onBatchResolve.isEmpty
     if (ok) pushedLimit = Some(limit)
     ok
+  }
+
+  private var pushedTopN: Option[(String, Boolean, Int)] = None // (col, asc, n)
+
+  // both SupportsPushDownLimit and SupportsPushDownTopN declare the
+  // default; Scala requires an explicit pick. PARTIAL always: the scan
+  // prunes files, Spark's Limit/TakeOrdered does the exact trim.
+  override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY col LIMIT n prunes files by a THRESHOLD over per-file
+    * stats (ascending case; descending is the mirror): let T be the
+    * smallest per-file max such that files with max <= T cover >= n
+    * live rows — those files already hold n rows <= T, so any file
+    * whose min exceeds T cannot contain one of the n smallest and is
+    * never opened. On a time-sorted table (`write.sort-by`),
+    * `ORDER BY ts LIMIT k` opens O(1) files at any table size — the
+    * "latest events" query that would otherwise scan 100 TB. Sound
+    * under deletion vectors (a live row is still bounded by its file's
+    * physical min/max, and coverage counts live rows only); requires a
+    * single-column integer sort key that is NON-NULLABLE with stats on
+    * every file (a pruned file could otherwise hide NULLs, which sort
+    * first). PARTIAL push: Spark's TakeOrderedAndProject still does
+    * the exact ordering and trim. */
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    val ok = skipFilters.isEmpty && changes.isEmpty && onBatchResolve.isEmpty &&
+      orders.length == 1 && {
+        val o = orders(0)
+        o.expression() match {
+          case nr: NamedReference if nr.fieldNames.length == 1 =>
+            val name = nr.fieldNames()(0)
+            tableSchema.fields.find(_.name == name).exists { f =>
+              val intLike = f.dataType == LongType || f.dataType == IntegerType
+              val asc = o.direction() == SortDirection.ASCENDING
+              // default null ordering only (NULLS FIRST for asc / LAST
+              // for desc): with a non-nullable column both are moot,
+              // but a non-default request signals intent we don't model
+              val nullsOk =
+                (asc && o.nullOrdering() == NullOrdering.NULLS_FIRST) ||
+                  (!asc && o.nullOrdering() == NullOrdering.NULLS_LAST)
+              intLike && !f.nullable && nullsOk && {
+                pushedTopN = Some((name, asc, limit)); true
+              }
+            }
+          case _ => false
+        }
+      }
+    ok
+  }
+
+  /** The entries a pushed top-N keeps (see [[pushTopN]]); `all` when no
+    * threshold can be established (missing stats → keep everything). */
+  private def topNPrune(all: Seq[ManifestSink.FileEntry],
+      col: String, asc: Boolean, n: Int): Seq[ManifestSink.FileEntry] = {
+    if (all.exists(e => !e.mins.contains(col) || !e.maxs.contains(col))) return all
+    // ascending: order files by max; T = the max at which cumulative
+    // live rows first reach n. descending mirrors with negated mins.
+    def hi(e: ManifestSink.FileEntry): Long = if (asc) e.maxs(col) else -e.mins(col)
+    def lo(e: ManifestSink.FileEntry): Long = if (asc) e.mins(col) else -e.maxs(col)
+    val byHi = all.sortBy(hi)
+    var acc = 0L
+    var t = Long.MaxValue
+    val it = byHi.iterator
+    while (acc < n && it.hasNext) {
+      val e = it.next(); acc += e.liveRows; t = hi(e)
+    }
+    if (acc < n) all // table smaller than n: nothing prunable
+    else all.filter(e => lo(e) <= t)
   }
 
   // ONE manifest-list HEADER read for all table-structure lookups
@@ -3879,8 +3949,9 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
           val all = ManifestSink.plannedEntries(root, pinned, skipFilters.toSeq) ++
             branchEntries.fold(Seq.empty[ManifestSink.FileEntry])(f =>
               f().filter(e => skipFilters.forall(fl => ManifestSink.mayMatchEntry(e, fl))))
-          pushedLimit match {
-            case Some(n) => // prefix covering >= n live rows (see pushLimit)
+          (pushedTopN, pushedLimit) match {
+            case (Some((c, asc, n)), _) => topNPrune(all, c, asc, n)
+            case (None, Some(n)) => // prefix covering >= n live rows
               val it = all.iterator
               var acc = 0L
               val kept = Seq.newBuilder[ManifestSink.FileEntry]
@@ -3888,7 +3959,7 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
                 val e = it.next(); kept += e; acc += e.liveRows
               }
               kept.result()
-            case None => all
+            case _ => all
           }
       }
       val resolve = onBatchResolve match {
@@ -3911,7 +3982,7 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
         onRuntimeNarrow = onBatchResolve,
         partCols = tableState.partCols,
         streamable = branchEntries.isEmpty,
-        runtimeFilterable = pushedLimit.isEmpty)
+        runtimeFilterable = pushedLimit.isEmpty && pushedTopN.isEmpty)
     }
   }
 

@@ -55,6 +55,58 @@ class LimitPushdownSpec extends AnyFunSuite {
     assert(got == Seq((25L, 25L)))
   }
 
+  test("ORDER BY + LIMIT prunes by the stats threshold — both directions, physically") {
+    spark.sql("CREATE TABLE limc.db.ts (ts BIGINT NOT NULL, v BIGINT)")
+    (0 until 5).foreach { i => // five files with disjoint ts ranges
+      spark.range(i * 10, i * 10 + 10).select($"id".as("ts"), ($"id" * 7).as("v"))
+        .coalesce(1).writeTo("limc.db.ts").append()
+    }
+    val entries = ManifestSink.committedEntries(root("ts"), None)
+    assert(entries.size == 5)
+    // ASC top-5 needs only the first range; destroy everything else
+    entries.filter(_.mins("ts") >= 10L)
+      .foreach(e => Files.delete(root("ts").resolve(e.name)))
+    assert(spark.sql("SELECT ts FROM limc.db.ts ORDER BY ts LIMIT 5")
+      .as[Long].collect().toSeq == (0L until 5L))
+    // boundary: top-11 crosses into the (deleted) second file
+    intercept[Exception] {
+      spark.sql("SELECT ts FROM limc.db.ts ORDER BY ts LIMIT 11").collect()
+    }
+
+    // DESC mirror on a fresh table
+    spark.sql("CREATE TABLE limc.db.tsd (ts BIGINT NOT NULL)")
+    (0 until 5).foreach { i =>
+      spark.range(i * 10, i * 10 + 10).select($"id".as("ts"))
+        .coalesce(1).writeTo("limc.db.tsd").append()
+    }
+    ManifestSink.committedEntries(root("tsd"), None).filter(_.maxs("ts") < 40L)
+      .foreach(e => Files.delete(root("tsd").resolve(e.name)))
+    assert(spark.sql("SELECT ts FROM limc.db.tsd ORDER BY ts DESC LIMIT 5")
+      .as[Long].collect().toSeq == (45L to 49L).reverse)
+  }
+
+  test("top-N refuses nullable sort keys and stays exact on overlapping ranges") {
+    // nullable ts: NULLS sort first and stats cannot see them — the
+    // push must refuse, and the null row must surface
+    spark.sql("CREATE TABLE limc.db.tn (ts BIGINT, v BIGINT)")
+    spark.range(0, 10).select($"id".as("ts"), $"id".as("v"))
+      .coalesce(1).writeTo("limc.db.tn").append()
+    spark.sql("INSERT INTO limc.db.tn VALUES (NULL, 99)")
+    val first = spark.sql("SELECT v FROM limc.db.tn ORDER BY ts LIMIT 1")
+      .as[Long].head()
+    assert(first == 99L, "the NULL-ts row sorts first and must not be pruned away")
+
+    // overlapping file ranges: threshold keeps every file that can
+    // intersect the top-k — values must be exact
+    spark.sql("CREATE TABLE limc.db.tov (ts BIGINT NOT NULL)")
+    Seq((0L, 20L), (5L, 25L), (30L, 40L)).foreach { case (a, b) =>
+      spark.range(a, b).select($"id".as("ts"))
+        .coalesce(1).writeTo("limc.db.tov").append()
+    }
+    assert(spark.sql("SELECT ts FROM limc.db.tov ORDER BY ts LIMIT 8")
+      .as[Long].collect().toSeq == Seq(0L, 1L, 2L, 3L, 4L, 5L, 5L, 6L))
+  }
+
   test("limit pushdown respects deletion vectors (live rows, not physical)") {
     spark.sql("CREATE TABLE limc.db.d (id BIGINT) " +
       "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
