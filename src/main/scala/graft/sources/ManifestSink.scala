@@ -4032,7 +4032,10 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
   // is built but before partitions are planned
   private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private def entries: Seq[ManifestSink.FileEntry] =
-    resolved.filter(e => runtimeFilters.forall(f => ManifestSink.mayMatch(e, f)))
+    // partition-first exact evaluation, then stats/bloom/bounds
+    // may-match — runtime IN-sets on a partition key drop whole
+    // partitions' files, the DSv2 dynamic-partition-pruning shape
+    resolved.filter(e => runtimeFilters.forall(f => ManifestSink.mayMatchEntry(e, f)))
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -4061,7 +4064,15 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
       Array(org.apache.spark.sql.connector.expressions.Expressions
         .column(ManifestSink.FileNameColumn))
     else schema.fields.collect {
-      case f if f.dataType == LongType || f.dataType == IntegerType =>
+      // integer columns prune by per-file min/max; STRING columns by
+      // per-file blooms (when configured) + truncated bounds — string
+      // join keys are the common star-join shape (customer ids, urls,
+      // categories), and every manifest write collects string bounds,
+      // so the conservative may-match is always available. Partition
+      // columns of any type additionally get EXACT tuple evaluation in
+      // the runtime re-prune (mayMatchEntry's partition-first pass).
+      case f if f.dataType == LongType || f.dataType == IntegerType ||
+          f.dataType == StringType || partCols.contains(f.name) =>
         org.apache.spark.sql.connector.expressions.Expressions.column(f.name)
     }
 
