@@ -709,6 +709,37 @@ object IngestOps {
       s.sql(s"SELECT prio, n, sum_cents FROM graft.$ns.orders_mv ORDER BY prio")
     }),
 
+    // Dynamic partition pruning end to end (DppSpec proves the file
+    // skipping physically): the star-join shape — a selective dim
+    // filter's surviving keys arrive at the partitioned fact scan as a
+    // runtime IN-set and whole partitions' files never open. Reuses
+    // q129's priority-partitioned orders table; the dim is a manifest
+    // table so its Filter node survives to Spark's DPP selectivity
+    // check. At 100 TB this is the canonical warehouse join: the dim
+    // WHERE clause, not the fact's size, decides the I/O.
+    "q151_dpp_star_join" -> ((s, dir) => {
+      queries("q129_partitioned_table")(s, dir) // stage orders_p (memoized)
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        s.sparkContext.applicationId
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      if (orcWritten.add((s.sparkContext.applicationId, s"pdim:$dir"))) {
+        s.sql(s"CREATE TABLE graft.$ns.prio_dim (o_orderpriority STRING, urgency BIGINT)")
+        Tables.orders(s, dir).select(col("o_orderpriority")).distinct()
+          .withColumn("urgency", substring(col("o_orderpriority"), 1, 1).cast("long"))
+          .writeTo(s"graft.$ns.prio_dim").append()
+      }
+      s.sql(
+        s"""SELECT f.o_orderpriority AS prio, count(*) AS n,
+           |  sum(CAST(round(f.o_totalprice * 100) AS BIGINT)) AS cents_sum,
+           |  min(f.o_orderkey) AS min_key, max(f.o_orderkey) AS max_key
+           |FROM graft.$ns.orders_p f
+           |JOIN graft.$ns.prio_dim d ON f.o_orderpriority = d.o_orderpriority
+           |WHERE d.urgency <= 2
+           |GROUP BY f.o_orderpriority ORDER BY prio""".stripMargin)
+    }),
+
     // S3/S5: two heterogeneous sources normalized to one schema and
     // unioned — the reference's dual-endpoint gather + identifier merge.
     "q36_multi_source_union" -> ((s, dir) => {
@@ -929,6 +960,20 @@ object IngestOps {
         |  CAST(min(coalesce(CAST(json_extract(props, '$.k') AS INTEGER), -1)) AS INTEGER) AS min_k,
         |  CAST(max(coalesce(CAST(json_extract(props, '$.k') AS INTEGER), -1)) AS INTEGER) AS max_k
         |FROM events""".stripMargin,
+
+    // the DPP star join reconstructed over the original parquet,
+    // including q129's dynamic-overwrite key shift on 1-URGENT
+    "q151_dpp_star_join" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM (
+        |  SELECT CASE WHEN o_orderpriority = '1-URGENT'
+        |              THEN o_orderkey + 10000000 ELSE o_orderkey END AS o_orderkey,
+        |         o_totalprice, o_orderpriority
+        |  FROM orders)
+        |WHERE CAST(substring(o_orderpriority, 1, 1) AS BIGINT) <= 2
+        |GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
 
     // two incremental MERGE-folds must equal the one-shot aggregate
     // over the ORIGINAL parquet
