@@ -34,9 +34,12 @@ import org.apache.spark.sql.functions._
   * aggregate idempotent (keyed by window id) or fence refreshers; a
   * cross-table commit is future work the format's CAS could support.
   *
-  * Sources with row-level DELETEs/UPDATEs in the window fail LOUDLY via
-  * the change feed's pure-append check — a sum cannot be maintained from
-  * an append-only feed that silently skipped retractions. */
+  * Retractions: the refresh consumes the ROW change feed
+  * (`changeFeedMode=cdc`), so MERGE-ON-READ deletes in the source fold
+  * into the view as sign −1 row images and a key whose live count hits
+  * zero leaves the view. Copy-on-write rewrites in the window still
+  * fail LOUDLY inside the feed — their row diff is not reconstructible,
+  * and silently skipping it would corrupt every downstream fold. */
 object IncrementalMv {
   private val SourceVersionProp = "mv.source-version"
 
@@ -63,15 +66,23 @@ object IncrementalMv {
     val to = ManifestSink.currentVersion(srcRoot)
     if (to <= from) return from
 
-    // the delta: exactly the rows appended in (from, to] — never the
-    // already-consumed files
+    // the delta: the ROW change feed for (from, to] — inserted rows
+    // fold in with sign +1, merge-on-read DELETED row images with sign
+    // -1 (count and sum are self-maintainable under retraction:
+    // state' = state + Σ sign·x). Copy-on-write rewrites in the window
+    // still fail loudly inside the feed — a silent skip would corrupt
+    // the view. Only the delta files (and the delete positions' base
+    // files) are ever read.
     val delta = s.read.format("graft.sources.ManifestSink")
       .option("path", srcRoot.toString)
       .option("changesFromVersion", from.toString)
       .option("changesToVersion", to.toString)
+      .option("changeFeedMode", "cdc")
       .load()
-    val aggs = count(lit(1)).as("n") +:
-      sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+      .withColumn("_sign",
+        when(col("_change_type") === "delete", lit(-1L)).otherwise(lit(1L)))
+    val aggs = sum(col("_sign")).as("n") +:
+      sumCols.map(c => sum(col("_sign") * col(c)).as(s"sum_$c"))
     val view = s"mv_delta_${System.nanoTime()}"
     delta.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
       .createOrReplaceTempView(view)
@@ -79,8 +90,11 @@ object IncrementalMv {
     val on = keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
     val updates = ("n = t.n + s.n" +:
       sumCols.map(c => s"sum_$c = t.sum_$c + s.sum_$c")).mkString(", ")
+    // a key whose live count reaches zero leaves the view entirely —
+    // retractions must not strand n=0 tombstones
     try s.sql(
       s"""MERGE INTO $catalog.$mvIdent t USING $view s ON $on
+         |WHEN MATCHED AND t.n + s.n = 0 THEN DELETE
          |WHEN MATCHED THEN UPDATE SET $updates
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     finally s.catalog.dropTempView(view)

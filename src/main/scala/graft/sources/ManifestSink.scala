@@ -62,13 +62,18 @@ class ManifestSink extends TableProvider {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val props = options.asScala.asJava
-    ManifestSink.readSchema(ManifestSink.root(props), ManifestSink.versionAsOf(props))
+    val base =
+      ManifestSink.readSchema(ManifestSink.root(props), ManifestSink.versionAsOf(props))
+    if (ManifestSink.cdcMode(props))
+      base.add(StructField(ManifestSink.ChangeTypeColumn, StringType, nullable = false))
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new ManifestTable(ManifestSink.root(properties), schema,
-      ManifestSink.versionAsOf(properties), ManifestSink.changesRange(properties))
+      ManifestSink.versionAsOf(properties), ManifestSink.changesRange(properties),
+      cdc = ManifestSink.cdcMode(properties))
 }
 
 object ManifestSink {
@@ -111,6 +116,116 @@ object ManifestSink {
       require(to == -1L || to >= 1, s"changesToVersion must be >= 1, got $to")
       (from, to)
     }
+
+  /** Name of the change-feed row-kind metadata column. */
+  private[sources] val ChangeTypeColumn = "_change_type"
+
+  /** `changeFeedMode=cdc` turns the version-window read into a ROW
+    * change feed: appended files arrive as `insert` rows and
+    * merge-on-read deletes as `delete` rows (the deleted row images,
+    * read back from the base file at the deletion vector's new
+    * positions), with [[ChangeTypeColumn]] appended to the schema —
+    * the Delta CDF shape. Copy-on-write rewrites still fail loudly: a
+    * replaced file's row-level diff is not reconstructible from
+    * metadata, and guessing would corrupt every downstream fold. */
+  private[sources] def cdcMode(properties: util.Map[String, String]): Boolean =
+    Option(properties.get("changeFeedMode")) match {
+      case None => false
+      case Some(m) =>
+        require(m == "append" || m == "cdc",
+          s"changeFeedMode must be 'append' or 'cdc', got '$m'")
+        require(m == "append" || properties.get("changesFromVersion") != null,
+          "changeFeedMode=cdc requires changesFromVersion")
+        m == "cdc"
+    }
+
+  /** One change-feed read unit: a file to read, the change kind of its
+    * rows, and — for deletes — the exact 0-based positions to emit
+    * (the NEWLY deleted ones of this version step). */
+  private[sources] case class CdcSlice(entry: FileEntry, change: String,
+      emit: Option[Array[Long]])
+
+  /** The row change feed between versions (see [[cdcMode]]): a
+    * version-by-version walk like [[addedEntries]], but a deletion-
+    * vector change becomes a `delete` slice (positions = new minus old)
+    * instead of a loud failure. Rewrites contribute nothing; removed
+    * files still fail. Insert slices carry their entry's DV as of the
+    * ADD version (physically-present rows at publication are the
+    * insert). */
+  private[sources] def cdcSlices(root: Path, from: Long, to0: Long): Seq[CdcSlice] = {
+    val to = if (to0 < 0) currentVersion(root) else to0
+    require(from <= to, s"changesFromVersion $from is past changesToVersion $to")
+    if (to == 0L)
+      return committedEntries(root, None).map(e => CdcSlice(e, "insert", None))
+    require(from == 0L || Files.exists(manifestAt(root, from)),
+      s"changesFromVersion $from does not exist for manifest table $root " +
+        "(expired by retention GC?) — cannot compute a change feed")
+    var prev: Seq[FileEntry] =
+      if (from == 0L) Seq.empty else committedEntries(root, Some(from))
+    (from + 1 to to).flatMap { v =>
+      require(Files.exists(manifestAt(root, v)),
+        s"manifest version $v of table $root is missing (expired by " +
+          "retention GC?) — cannot compute a change feed across the gap")
+      val after = committedEntries(root, Some(v))
+      val step: Seq[CdcSlice] =
+        if (isRewriteVersion(root, v)) {
+          require(after.map(_.liveRows).sum == prev.map(_.liveRows).sum,
+            s"rewrite version $v of manifest table $root changed the row " +
+              "count — a compaction must preserve data exactly")
+          Seq.empty
+        } else {
+          val afterNames = after.map(_.name).toSet
+          val prevByName = prev.map(e => e.name -> e).toMap
+          val prevNames = prevByName.keySet
+          val dropped = prev.filterNot(e => afterNames(e.name))
+          val addedFiles = after.filterNot(e => prevNames(e.name))
+          // a step that BOTH removes and adds files is a copy-on-write
+          // rewrite: the removed rows and the re-added survivors cannot
+          // be told apart from metadata, so the feed refuses. A step
+          // that ONLY removes files is a full-file delete (a
+          // merge-on-read delete covering every live row, a metadata
+          // partition delete, or a truncate): every live row of each
+          // removed file is a delete-row image, read from the still-
+          // on-disk file (retention GC keeps it while the version that
+          // referenced it is retained).
+          require(dropped.isEmpty || addedFiles.isEmpty,
+            s"manifest table $root is not pure-append between v${v - 1} and v$v " +
+              s"(files removed: ${dropped.take(3).map(_.name).mkString(", ")}…) — " +
+              "the change feed cannot reconstruct a copy-on-write rewrite's " +
+              "row diff; use merge-on-read deletes or read the snapshot instead")
+          val dropSlices = dropped.map { pe =>
+            val oldPos = pe.dvName
+              .map(n => readDvPositions(root.resolve(n)).toSet)
+              .getOrElse(Set.empty[Long])
+            // live positions of the removed file — bounded by one
+            // file's row count (a ~1M-row file costs an 8 MB position
+            // array in the one task that reads it)
+            val live = (0L until pe.rows).filterNot(oldPos).toArray
+            CdcSlice(pe.copy(dvName = None, dvRows = 0L), "delete", Some(live))
+          }
+          val inserts = addedFiles.map(e => CdcSlice(e, "insert", None))
+          val deletes = after.flatMap { e =>
+            prevByName.get(e.name).flatMap { pe =>
+              if ((pe.dvName, pe.dvRows) == ((e.dvName, e.dvRows))) None
+              else {
+                val oldPos = pe.dvName
+                  .map(n => readDvPositions(root.resolve(n)).toSet)
+                  .getOrElse(Set.empty[Long])
+                val newPos = e.dvName
+                  .map(n => readDvPositions(root.resolve(n)).toSet)
+                  .getOrElse(Set.empty[Long])
+                val added = (newPos -- oldPos).toArray.sorted
+                if (added.isEmpty) None
+                else Some(CdcSlice(e, "delete", Some(added)))
+              }
+            }
+          }
+          inserts ++ deletes ++ dropSlices
+        }
+      prev = after
+      step
+    }
+  }
 
   /** Files added between versions `from` and `to` (pure-append check
     * included). `from` = 0 means "since the empty table".
@@ -2975,7 +3090,8 @@ object ManifestSink {
 }
 
 class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None,
-    changes: Option[(Long, Long)] = None, branch: Option[String] = None)
+    changes: Option[(Long, Long)] = None, branch: Option[String] = None,
+    cdc: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -3083,7 +3199,8 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
         // exactly-once story until fast-forward publishes it)
         new ManifestScanBuilder(root, Some(ManifestSink.branchBase(root, b)),
           None, None, branchEntries = Some(() => ManifestSink.branchEntries(root, b)))
-      case None => new ManifestScanBuilder(root, pinned, changes, maxVersions)
+      case None => new ManifestScanBuilder(root, pinned, changes, maxVersions,
+        cdc = cdc)
     }
   }
 
@@ -3636,7 +3753,8 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
 class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
     changes: Option[(Long, Long)] = None, maxVersionsPerTrigger: Option[Long] = None,
     onBatchResolve: Option[Seq[ManifestSink.FileEntry] => Unit] = None,
-    branchEntries: Option[() => Seq[ManifestSink.FileEntry]] = None)
+    branchEntries: Option[() => Seq[ManifestSink.FileEntry]] = None,
+    cdc: Boolean = false)
     extends ScanBuilder with SupportsPushDownAggregates with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -3661,7 +3779,7 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
     * attributes — a join's runtime pruning composed with a row-count
     * prefix could cover fewer than n surviving rows. */
   override def pushLimit(limit: Int): Boolean = {
-    val ok = skipFilters.isEmpty && changes.isEmpty && onBatchResolve.isEmpty
+    val ok = skipFilters.isEmpty && changes.isEmpty && onBatchResolve.isEmpty && !cdc
     if (ok) pushedLimit = Some(limit)
     ok
   }
@@ -3691,7 +3809,7 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
     val ok = skipFilters.isEmpty && changes.isEmpty && onBatchResolve.isEmpty &&
-      orders.length == 1 && {
+      !cdc && orders.length == 1 && {
         val o = orders(0)
         o.expression() match {
           case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -3759,13 +3877,17 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
       case Some(names) => StructType(tableSchema.fields.filter(f => names(f.name)))
       case None => tableSchema
     }
-    // `_file` is metadata, not a table column: appended LAST when
-    // requested — the reader emits it as a per-partition constant and
-    // the output layout is whatever readSchema says, so a fixed
-    // position is fine
+    // metadata columns append AFTER the data columns, in a fixed
+    // order (the reader emits them as per-partition constants):
+    // `_change_type` (part of a cdc read's relation schema — present
+    // unless pruned away), then `_file` (opt-in)
+    val withChange =
+      if (cdc && prunedNames.forall(_.contains(ManifestSink.ChangeTypeColumn)))
+        base.add(StructField(ManifestSink.ChangeTypeColumn, StringType, nullable = false))
+      else base
     if (prunedNames.exists(_.contains(ManifestSink.FileNameColumn)))
-      base.add(StructField(ManifestSink.FileNameColumn, StringType, nullable = false))
-    else base
+      withChange.add(StructField(ManifestSink.FileNameColumn, StringType, nullable = false))
+    else withChange
   }
 
   /** The integer table column a pushed MIN/MAX refers to, if stats can
@@ -3787,6 +3909,7 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     onBatchResolve.isEmpty && // a rewrite scan must produce real rows
+    !cdc && // delete-row counts need the slice walk, not snapshot stats
     skipFilters.isEmpty && {
       lazy val entries = scanEntries // ONE manifest read, at planning time
       // GROUP BY is metadata-answerable exactly when every group key is
@@ -3981,8 +4104,16 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
         // exactly the files that were read (see ManifestScan.filter)
         onRuntimeNarrow = onBatchResolve,
         partCols = tableState.partCols,
-        streamable = branchEntries.isEmpty,
-        runtimeFilterable = pushedLimit.isEmpty && pushedTopN.isEmpty)
+        streamable = branchEntries.isEmpty && !cdc,
+        runtimeFilterable = pushedLimit.isEmpty && pushedTopN.isEmpty && !cdc,
+        // row change feed: the scan plans per-slice partitions (insert
+        // files + delete-position reads) instead of the entry list;
+        // file-level skip filters stay sound (stats cover all physical
+        // rows of the sliced file)
+        cdcSlices = if (!cdc) None else Some(() =>
+          ManifestSink.cdcSlices(root, changes.get._1, changes.get._2)
+            .filter(sl => skipFilters.forall(f =>
+              ManifestSink.mayMatchEntry(sl.entry, f)))))
     }
   }
 
@@ -4022,12 +4153,20 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     onRuntimeNarrow: Option[Seq[ManifestSink.FileEntry] => Unit] = None,
     partCols: Seq[String] = Seq.empty,
     streamable: Boolean = true,
-    runtimeFilterable: Boolean = true)
+    runtimeFilterable: Boolean = true,
+    cdcSlices: Option[() => Seq[ManifestSink.CdcSlice]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   // resolved on first BATCH use only — a pure streaming read never
   // materializes the batch file set
   private lazy val resolved = resolveEntries()
+  // cdc reads resolve SLICES (insert files + delete-position reads)
+  private lazy val slices: Seq[ManifestSink.CdcSlice] =
+    cdcSlices.fold(Seq.empty[ManifestSink.CdcSlice])(f => f())
+  /** Rows one slice contributes: an insert's live rows, a delete's
+    * emitted positions. */
+  private def sliceRows(sl: ManifestSink.CdcSlice): Long =
+    sl.emit.fold(sl.entry.liveRows)(_.length.toLong)
   // runtime filters (below) narrow the planned file set after the scan
   // is built but before partitions are planned
   private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] = Array.empty
@@ -4104,7 +4243,9 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     // PLANNING; unknown stats fall back to Spark's defaults and the scan
     // itself still fails (or waits) at execution as designed.
     private val counted: Option[Long] =
-      try Some(entries.map(_.liveRows).sum)
+      try Some(
+        if (cdcSlices.isDefined) slices.map(sliceRows).sum
+        else entries.map(_.liveRows).sum)
       catch { case _: Exception => None }
     override def sizeInBytes(): java.util.OptionalLong =
       counted.fold(java.util.OptionalLong.empty())(r =>
@@ -4153,7 +4294,7 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     * unknown. */
   override def outputPartitioning(): partitioning.Partitioning =
     try {
-      if (partCols.nonEmpty && onRuntimeNarrow.isEmpty &&
+      if (partCols.nonEmpty && onRuntimeNarrow.isEmpty && cdcSlices.isEmpty &&
           partCols.forall(c => schema.fieldNames.contains(c)) &&
           resolved.forall(e => partKeyOf(e) != null))
         new partitioning.KeyGroupedPartitioning(
@@ -4171,7 +4312,17 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
   // follows the manifest, uncommitted/stray files are invisible, and
   // stats-pruned files never become partitions at all
   override def planInputPartitions(): Array[InputPartition] =
-    entries
+    if (cdcSlices.isDefined)
+      slices.map { sl =>
+        ManifestFilePartition(root.resolve(sl.entry.name).toString, sliceRows(sl),
+          // an insert slice applies its entry's DV (physically-present
+          // rows ARE the insert); a delete slice reads the base file at
+          // the emitted positions — its DV must NOT also skip them
+          if (sl.emit.isEmpty) sl.entry.dvName.map(n => root.resolve(n).toString)
+          else None,
+          null, sl.emit.orNull, sl.change): InputPartition
+      }.toArray
+    else entries
       .map(e => ManifestFilePartition(root.resolve(e.name).toString, e.liveRows,
         e.dvName.map(n => root.resolve(n).toString),
         if (partCols.isEmpty) null else partKeyOf(e)): InputPartition)
@@ -4187,14 +4338,14 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
       // `_file` rows pass through the row-based appender — rewrite
       // scans feed row-consuming writers anyway, so columnar buys
       // nothing there
-      columnar = schema.nonEmpty &&
+      columnar = schema.nonEmpty && cdcSlices.isEmpty &&
         !schema.fieldNames.contains(ManifestSink.FileNameColumn) &&
         resolved.forall(e => e.name.endsWith(".parquet") && e.dvName.isEmpty),
       colMap = colMap, evolved = evolved)
 
   override def toMicroBatchStream(checkpointLocation: String): readstreaming.MicroBatchStream = {
-    require(streamable, "streaming reads of a BRANCH are not supported — " +
-      "fast-forward the branch and stream the published table")
+    require(streamable, "streaming reads of a BRANCH or a cdc change feed " +
+      "are not supported — fast-forward the branch / fold the feed in batch")
     new ManifestMicroBatchStream(root, fileSchema, schema, streamStart, streamEnd,
       maxVersionsPerTrigger, colMap = colMap, evolved = evolved)
   }
@@ -4290,7 +4441,9 @@ class ManifestMicroBatchStream(root: Path, fileSchema: StructType,
   * it when every partition carries a key. */
 case class ManifestFilePartition(file: String, rows: Long = 0L,
     dvFile: Option[String] = None,
-    partKey: Array[Any] = null) extends InputPartition with HasPartitionKey {
+    partKey: Array[Any] = null,
+    emit: Array[Long] = null,
+    changeType: String = null) extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     if (partKey == null) null
     else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(partKey)
@@ -4318,13 +4471,17 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
 
   private def physical(c: String): String = colMap.getOrElse(c, c)
 
-  // `_file` is emitted HERE as a per-partition constant (each input
-  // partition is exactly one data file) — it is metadata, never decoded
-  // from parquet, so the decode schema drops it
+  // `_file` and `_change_type` are emitted HERE as per-partition
+  // constants (each input partition is exactly one data file / change
+  // slice) — they are metadata, never decoded from parquet, so the
+  // decode schema drops them. Order (readSchemaPruned): data columns,
+  // then `_change_type`, then `_file`.
   private val emitsFile: Boolean =
-    schema.fieldNames.lastOption.contains(ManifestSink.FileNameColumn)
-  private val dataSchema: StructType =
-    if (emitsFile) StructType(schema.fields.dropRight(1)) else schema
+    schema.fieldNames.contains(ManifestSink.FileNameColumn)
+  private val emitsChange: Boolean =
+    schema.fieldNames.contains(ManifestSink.ChangeTypeColumn)
+  private val dataSchema: StructType = StructType(schema.fields.filterNot(f =>
+    f.name == ManifestSink.FileNameColumn || f.name == ManifestSink.ChangeTypeColumn))
 
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
@@ -4386,20 +4543,32 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
         override def close(): Unit = reader.close()
       }
     }
-    val withDv = p.dvFile match {
-      case Some(dv) if dataSchema.nonEmpty =>
+    val withDv = (p.dvFile, p.emit) match {
+      // a delete slice emits ONLY the newly-vectored positions — the
+      // inverse of the DV skip (zero-column slices need neither: their
+      // row count was set to the slice's size at planning)
+      case (_, em) if em != null && dataSchema.nonEmpty =>
+        new DvEmitReader(base, em)
+      case (Some(dv), _) if dataSchema.nonEmpty =>
         new DvSkipReader(base, ManifestSink.readDvPositions(Paths.get(dv)))
       case _ => base
     }
-    if (!emitsFile) withDv
-    else new PartitionReader[InternalRow] {
-      private val tail = InternalRow(UTF8String.fromString(
-        Paths.get(p.file).getFileName.toString))
-      private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
-      override def next(): Boolean = withDv.next()
-      override def get(): InternalRow = joined(withDv.get(), tail)
-      override def close(): Unit = withDv.close()
-    }
+    def appendConst(inner: PartitionReader[InternalRow],
+        value: UTF8String): PartitionReader[InternalRow] =
+      new PartitionReader[InternalRow] {
+        private val tail = InternalRow(value)
+        private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        override def next(): Boolean = inner.next()
+        override def get(): InternalRow = joined(inner.get(), tail)
+        override def close(): Unit = inner.close()
+      }
+    val withChange =
+      if (!emitsChange) withDv
+      else appendConst(withDv, UTF8String.fromString(
+        if (p.changeType == null) "insert" else p.changeType))
+    if (!emitsFile) withChange
+    else appendConst(withChange, UTF8String.fromString(
+      Paths.get(p.file).getFileName.toString))
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
@@ -4451,6 +4620,23 @@ private[sources] class DvSkipReader(inner: PartitionReader[InternalRow],
       pos += 1
       while (di < dv.length && dv(di) < pos) di += 1
       if (!(di < dv.length && dv(di) == pos)) return true
+    }
+    false
+  }
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
+}
+
+/** The inverse of [[DvSkipReader]]: hand off ONLY the rows at the given
+  * sorted 0-based positions — a change feed's delete-row images. */
+private[sources] class DvEmitReader(inner: PartitionReader[InternalRow],
+    emit: Array[Long]) extends PartitionReader[InternalRow] {
+  private var pos = -1L
+  private var ei = 0
+  override def next(): Boolean = {
+    while (ei < emit.length && inner.next()) {
+      pos += 1
+      if (emit(ei) == pos) { ei += 1; return true }
     }
     false
   }

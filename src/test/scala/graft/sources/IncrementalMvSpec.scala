@@ -72,6 +72,25 @@ class IncrementalMvSpec extends AnyFunSuite {
         (0L until 25L).filter(_ % 2 == k).sum))).toMap)
   }
 
+  test("merge-on-read deletes retract from the view; an emptied key leaves it") {
+    spark.sql("CREATE TABLE mvc.db.rsrc (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    spark.sql("CREATE TABLE mvc.db.rmv (k BIGINT, n BIGINT, sum_v BIGINT)")
+    spark.sql("INSERT INTO mvc.db.rsrc SELECT id % 3, id FROM range(30)")
+    IncrementalMv.refresh(spark, "mvc", "db.rsrc", "db.rmv", Seq("k"), Seq("v"))
+    // retract part of key 0 and ALL of key 2
+    spark.sql("DELETE FROM mvc.db.rsrc WHERE k = 0 AND v < 10")
+    spark.sql("DELETE FROM mvc.db.rsrc WHERE k = 2")
+    spark.sql("INSERT INTO mvc.db.rsrc SELECT 1, 100") // and one insert
+    IncrementalMv.refresh(spark, "mvc", "db.rsrc", "db.rmv", Seq("k"), Seq("v"))
+    val live = (0L until 30L).map(v => (v % 3, v))
+      .filterNot { case (k, v) => (k == 0 && v < 10) || k == 2 } :+ ((1L, 100L))
+    val want = live.groupBy(_._1).view
+      .mapValues(xs => (xs.size.toLong, xs.map(_._2).sum)).toMap
+    assert(mvRows("rmv") == want, s"want $want got ${mvRows("rmv")}")
+    assert(!mvRows("rmv").contains(2L), "an emptied key must leave the view")
+  }
+
   test("a row-level delete in the window fails the refresh loudly") {
     spark.sql("CREATE TABLE mvc.db.dsrc (k BIGINT, v BIGINT)")
     spark.sql("CREATE TABLE mvc.db.dmv (k BIGINT, n BIGINT, sum_v BIGINT)")
