@@ -740,6 +740,49 @@ object IngestOps {
            |GROUP BY f.o_orderpriority ORDER BY prio""".stripMargin)
     }),
 
+    // Row-level change data capture (CdcFeedSpec proves the delete
+    // images are physical): orders land in a merge-on-read table, a
+    // delete retracts a slice, and the CHANGE FEED between versions
+    // yields insert and delete row images with `_change_type` — folded
+    // here into per-priority signed totals, which must equal the
+    // oracle's direct aggregate over the SURVIVING rows: feed algebra
+    // (inserts − deletes = state) checked end to end. At 100 TB the
+    // feed is how downstream consumers stay current without ever
+    // re-reading the table: I/O follows the change volume.
+    "q152_cdc_feed" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        s.sparkContext.applicationId
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      val root = s"$wh/$ns/orders_cdc"
+      if (orcWritten.add((s.sparkContext.applicationId, s"cdc:$dir"))) {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+        s.sql(s"CREATE TABLE graft.$ns.orders_cdc " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT, o_orderpriority STRING) " +
+          "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+        Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"),
+          col("o_orderpriority"))
+          .writeTo(s"graft.$ns.orders_cdc").append()
+        s.sql(s"DELETE FROM graft.$ns.orders_cdc WHERE o_custkey % 5 = 0")
+      }
+      s.read.format("graft.sources.ManifestSink")
+        .option("path", root)
+        .option("changesFromVersion", "0")
+        .option("changeFeedMode", "cdc")
+        .load()
+        .withColumn("sign",
+          when(col("_change_type") === "delete", lit(-1L)).otherwise(lit(1L)))
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(sum(col("sign")).as("n_live"),
+          sum(col("sign") * col("cents")).as("cents_live"),
+          sum(when(col("_change_type") === "delete", 1L).otherwise(0L))
+            .as("n_deleted"))
+        .orderBy("prio")
+    }),
+
     // S3/S5: two heterogeneous sources normalized to one schema and
     // unioned — the reference's dual-endpoint gather + identifier merge.
     "q36_multi_source_union" -> ((s, dir) => {
@@ -960,6 +1003,18 @@ object IngestOps {
         |  CAST(min(coalesce(CAST(json_extract(props, '$.k') AS INTEGER), -1)) AS INTEGER) AS min_k,
         |  CAST(max(coalesce(CAST(json_extract(props, '$.k') AS INTEGER), -1)) AS INTEGER) AS max_k
         |FROM events""".stripMargin,
+
+    // feed algebra over the original parquet: live = all − deleted,
+    // deleted = the custkey%5 slice
+    "q152_cdc_feed" ->
+      """SELECT o_orderpriority AS prio,
+        |  CAST(sum(CASE WHEN o_custkey % 5 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_live,
+        |  CAST(sum(CASE WHEN o_custkey % 5 = 0 THEN 0
+        |           ELSE CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+        |    AS cents_live,
+        |  CAST(sum(CASE WHEN o_custkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_deleted
+        |FROM orders GROUP BY prio ORDER BY prio""".stripMargin,
 
     // the DPP star join reconstructed over the original parquet,
     // including q129's dynamic-overwrite key shift on 1-URGENT

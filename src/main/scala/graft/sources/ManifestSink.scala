@@ -4104,7 +4104,7 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
         // exactly the files that were read (see ManifestScan.filter)
         onRuntimeNarrow = onBatchResolve,
         partCols = tableState.partCols,
-        streamable = branchEntries.isEmpty && !cdc,
+        streamable = branchEntries.isEmpty,
         runtimeFilterable = pushedLimit.isEmpty && pushedTopN.isEmpty && !cdc,
         // row change feed: the scan plans per-slice partitions (insert
         // files + delete-position reads) instead of the entry list;
@@ -4344,10 +4344,11 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
       colMap = colMap, evolved = evolved)
 
   override def toMicroBatchStream(checkpointLocation: String): readstreaming.MicroBatchStream = {
-    require(streamable, "streaming reads of a BRANCH or a cdc change feed " +
-      "are not supported — fast-forward the branch / fold the feed in batch")
+    require(streamable, "streaming reads of a BRANCH are not supported — " +
+      "fast-forward the branch and stream the published table")
     new ManifestMicroBatchStream(root, fileSchema, schema, streamStart, streamEnd,
-      maxVersionsPerTrigger, colMap = colMap, evolved = evolved)
+      maxVersionsPerTrigger, colMap = colMap, evolved = evolved,
+      cdc = cdcSlices.isDefined)
   }
 }
 
@@ -4364,7 +4365,8 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
 class ManifestMicroBatchStream(root: Path, fileSchema: StructType,
     schema: StructType, startVersion: Long,
     endCap: Long = -1L, maxVersionsPerTrigger: Option[Long] = None,
-    colMap: Map[String, String] = Map.empty, evolved: Boolean = false)
+    colMap: Map[String, String] = Map.empty, evolved: Boolean = false,
+    cdc: Boolean = false)
     extends readstreaming.MicroBatchStream
     with readstreaming.SupportsAdmissionControl {
   private case class VOffset(v: Long) extends readstreaming.Offset {
@@ -4412,12 +4414,28 @@ class ManifestMicroBatchStream(root: Path, fileSchema: StructType,
       // row-level delete, making an old table permanently unstreamable
       // from scratch. The snapshot carries current deletion vectors, so
       // deleted rows are never delivered. Later batches are true deltas.
-      val ents =
-        if (s == 0L) ManifestSink.committedEntries(root, Some(e), withBlooms = false)
-        else ManifestSink.addedEntries(root, s, e)
-      ents.map(en => ManifestFilePartition(root.resolve(en.name).toString, en.liveRows,
-        en.dvName.map(n => root.resolve(n).toString)): InputPartition)
-        .toArray
+      if (cdc && s > 0L)
+        // streaming CDC (the Delta streaming-CDF shape): each batch is
+        // the row change feed of its version window — inserts + MoR
+        // delete images; a CoW rewrite fails the batch loudly
+        ManifestSink.cdcSlices(root, s, e).map { sl =>
+          ManifestFilePartition(root.resolve(sl.entry.name).toString,
+            sl.emit.fold(sl.entry.liveRows)(_.length.toLong),
+            if (sl.emit.isEmpty) sl.entry.dvName.map(n => root.resolve(n).toString)
+            else None,
+            null, sl.emit.orNull, sl.change): InputPartition
+        }.toArray
+      else {
+        val ents =
+          if (s == 0L) ManifestSink.committedEntries(root, Some(e), withBlooms = false)
+          else ManifestSink.addedEntries(root, s, e)
+        // a cdc stream's initial snapshot arrives typed as inserts
+        // (deletion vectors applied — deleted rows never deliver)
+        ents.map(en => ManifestFilePartition(root.resolve(en.name).toString, en.liveRows,
+          en.dvName.map(n => root.resolve(n).toString),
+          null, null, if (cdc) "insert" else null): InputPartition)
+          .toArray
+      }
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =

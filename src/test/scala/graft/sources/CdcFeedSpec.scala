@@ -81,6 +81,38 @@ class CdcFeedSpec extends AnyFunSuite {
       e.getMessage.contains("not pure-append"), e.getMessage)
   }
 
+  test("the change feed STREAMS: per-version micro-batches of typed row images") {
+    spark.sql("CREATE TABLE cdf.db.s (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO cdf.db.s SELECT id, id * 2 FROM range(5)")
+    val start = ManifestSink.currentVersion(root("s"))
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val q = spark.readStream.format("graft.sources.ManifestSink")
+      .option("path", root("s").toString)
+      .option("changesFromVersion", start.toString)
+      .option("changeFeedMode", "cdc")
+      .load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("cdf-ckpt").toString)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        collected.synchronized {
+          collected ++= b.selectExpr("id", "_change_type", "v")
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        }
+        ()
+      }.start()
+    try {
+      spark.sql("INSERT INTO cdf.db.s SELECT id, id * 2 FROM range(5, 8)")
+      q.processAllAvailable()
+      spark.sql("DELETE FROM cdf.db.s WHERE id IN (1, 6)")
+      q.processAllAvailable()
+      val got = collected.synchronized(collected.toSet)
+      assert(got == Set(
+        (5L, "insert", 10L), (6L, "insert", 12L), (7L, "insert", 14L),
+        (1L, "delete", 2L), (6L, "delete", 12L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("the deleted row image is physical: it comes from the base file") {
     // delete a row, then physically destroy every OTHER file: only the
     // base file of the deleted position is needed for the delete window
