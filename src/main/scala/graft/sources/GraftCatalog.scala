@@ -131,6 +131,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     }
   }
 
+  /** SQL `SELECT ... FROM graft.db.t TIMESTAMP AS OF <ts>`: resolves to
+    * the newest version published at or before the instant
+    * ([[ManifestSink.versionAtTimestamp]]) and pins the scan there —
+    * the wall-clock twin of VERSION AS OF. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val p = tablePath(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    val v = ManifestSink.versionAtTimestamp(p, timestampMicros)
+    new ManifestTable(p, ManifestSink.readSchema(p, Some(v)), pinned = Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     // identity transforms only (PARTITIONED BY (col)): bucket/days/etc

@@ -657,6 +657,25 @@ object ManifestSink {
     n
   }
 
+  /** The newest version whose manifest was PUBLISHED at or before
+    * `micros` (epoch microseconds) — `TIMESTAMP AS OF` resolution.
+    * Publication time is the version file's mtime (the hard link lands
+    * atomically at publish, so mtime IS the commit instant on this
+    * store); versions expired by retention are skipped, and a
+    * timestamp predating the oldest retained version fails loudly
+    * rather than silently reading a newer state. */
+  private[sources] def versionAtTimestamp(root: Path, micros: Long): Long = {
+    val cur = currentVersion(root)
+    require(cur >= 1L, s"no manifest table at $root")
+    val at = (1L to cur)
+      .filter(v => Files.exists(manifestAt(root, v)))
+      .filter(v => Files.getLastModifiedTime(manifestAt(root, v)).toMillis * 1000L <= micros)
+    require(at.nonEmpty,
+      s"no version of manifest table $root existed at timestamp $micros " +
+        "(it predates the table or the oldest retained version)")
+    at.max
+  }
+
   /** Resolve a pinned version (validating it exists) or the current one. */
   private[sources] def resolveVersion(root: Path, pinned: Option[Long]): Long =
     pinned match {

@@ -91,6 +91,27 @@ class TableOpsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq == Seq(("", 5L)))
   }
 
+  test("TIMESTAMP AS OF resolves to the newest version published at or before the instant") {
+    spark.sql("CREATE TABLE tcat.db.tt (id BIGINT)")
+    spark.sql("INSERT INTO tcat.db.tt SELECT id FROM range(5)") // v2
+    Thread.sleep(1100) // distinct publish instants at mtime granularity
+    val mid = java.time.Instant.now()
+    Thread.sleep(1100)
+    spark.sql("INSERT INTO tcat.db.tt SELECT id FROM range(5, 9)") // v3
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+    assert(spark.sql(
+      s"SELECT count(*) FROM tcat.db.tt TIMESTAMP AS OF '${fmt.format(mid)}'")
+      .as[Long].head() == 5L)
+    assert(spark.table("tcat.db.tt").count() == 9L)
+    // an instant before the table existed fails loudly
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM tcat.db.tt TIMESTAMP AS OF '2000-01-01 00:00:00'")
+        .collect()
+    }
+    assert(e.getMessage.contains("predates"), e.getMessage)
+  }
+
   test("rollback restores data and schema as a NEW version; bad history stays readable") {
     spark.sql("CREATE TABLE tcat.db.r (id BIGINT, v BIGINT)") // v1
     spark.range(0, 10).select($"id", $"id".as("v"))
