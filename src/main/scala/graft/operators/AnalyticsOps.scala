@@ -50,6 +50,31 @@ object AnalyticsOps {
   val ResampleStepUs = 86400000000L
 
   val queries: Map[String, Q] = Map(
+    // Exact distributional stats per group: DISCRETE percentiles
+    // (values drawn from the data — hash-exact across engines, unlike
+    // interpolated quantiles whose float averaging drifts), the median
+    // via percentile_disc(0.5), and min/max rounding out the five-number
+    // summary. One hash-partial + sort-within-group aggregate, linear
+    // and keyed — the profile report every data-quality pass starts
+    // with. At 100 TB the per-group sort is bounded by group size;
+    // heavy-hitter groups would move to an approximate sketch (q11's
+    // approx_count_distinct is the same trade).
+    "q153_percentiles" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority"), cents(col("o_totalprice")).as("c"))
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"),
+          min(col("c")).as("p0"),
+          // Spark's percentile_disc returns DOUBLE; the picked values
+          // are set members (exact integers), so the narrowing is lossless
+          expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY c) AS BIGINT)").as("p25"),
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT)").as("p50"),
+          expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY c) AS BIGINT)").as("p75"),
+          expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY c) AS BIGINT)").as("p95"),
+          max(col("c")).as("p100"))
+        .orderBy("prio")
+    }),
+
     // Time-series resampling with linear interpolation: each user's
     // value series re-sampled onto a daily grid between their first and
     // last event, gap-filled by interpolating between the bracketing
@@ -347,6 +372,19 @@ object AnalyticsOps {
   // ---- DuckDB oracle ------------------------------------------------------
 
   val oracle: Map[String, String] = Map(
+    // DISCRETE quantiles only — interpolated ones average floats and
+    // would not hash-match across engines
+    "q153_percentiles" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  min(c) AS p0,
+        |  CAST(quantile_disc(c, 0.25) AS BIGINT) AS p25,
+        |  CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50,
+        |  CAST(quantile_disc(c, 0.75) AS BIGINT) AS p75,
+        |  CAST(quantile_disc(c, 0.95) AS BIGINT) AS p95,
+        |  max(c) AS p100
+        |FROM (SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |      FROM orders)
+        |GROUP BY prio ORDER BY prio""".stripMargin,
     "q135_resample_interpolate" -> {
       val step = ResampleStepUs
       s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS t,
