@@ -159,6 +159,53 @@ class CookbookSpec extends AnyFunSuite {
     assert(delta.count() == 10 && t.count() == 410)
   }
 
+  test("§14 lakehouse catalog: WAP, CDC, MVs, metadata views") {
+    val wh = java.nio.file.Files.createTempDirectory("cookbook-lake")
+    spark.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.lake.warehouse", wh.toString)
+    spark.sql("CREATE NAMESPACE lake.db")
+    spark.sql("CREATE TABLE lake.db.t (id BIGINT, day STRING, v DOUBLE) " +
+      "PARTITIONED BY (day) TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO lake.db.t SELECT id, concat('d', id % 3), id * 1.0 FROM range(30)")
+
+    // write-audit-publish
+    spark.sql("CALL lake.system.create_branch(table => 'db.t', branch => 'ingest')")
+    spark.range(100, 106).selectExpr("id", "concat('d', id % 3) AS day", "id * 1.0 AS v")
+      .writeTo("lake.db.t.branch_ingest").append()
+    assert(spark.table("lake.db.t").count() == 30)             // invisible to main
+    assert(spark.table("lake.db.t.branch_ingest").count() == 36) // audit
+    assert(spark.sql("SELECT * FROM lake.db.t VERSION AS OF 'ingest'").count() == 36)
+    spark.sql("CALL lake.system.fast_forward(table => 'db.t', branch => 'ingest')")
+    assert(spark.table("lake.db.t").count() == 36)
+
+    // row change feed: a MoR delete arrives as typed delete images
+    val vBefore = spark.table("lake.db.t.history")
+      .agg(max(col("version"))).head().getLong(0)
+    spark.sql("DELETE FROM lake.db.t WHERE id IN (1, 2)")
+    val feed = spark.read.format("graft.sources.ManifestSink")
+      .option("path", wh.resolve("db").resolve("t").toString)
+      .option("changesFromVersion", vBefore.toString)
+      .option("changeFeedMode", "cdc").load()
+    assert(feed.filter(col("_change_type") === "delete").count() == 2)
+
+    // incrementally-maintained view with retractions
+    spark.sql("CREATE TABLE lake.db.t_by_day (day STRING, n BIGINT, sum_v BIGINT)")
+    spark.sql("CREATE TABLE lake.db.src (day STRING, v BIGINT) " +
+      "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO lake.db.src SELECT concat('d', id % 2), id FROM range(10)")
+    graft.sources.IncrementalMv.refresh(spark, "lake", "db.src", "db.t_by_day",
+      Seq("day"), Seq("v"))
+    spark.sql("DELETE FROM lake.db.src WHERE v = 0")
+    graft.sources.IncrementalMv.refresh(spark, "lake", "db.src", "db.t_by_day",
+      Seq("day"), Seq("v"))
+    assert(spark.table("lake.db.t_by_day").count() == 2)
+
+    // metadata views answer with zero data I/O
+    assert(spark.table("lake.db.t.history").count() >= 3)
+    assert(spark.table("lake.db.t.partitions").count() == 3)
+    assert(spark.table("lake.db.t.files").count() > 0)
+  }
+
   test("§12 behavioral analytics & data quality") {
     val sessions  = SparkEntry.queries("q109_sessionize")(spark, sfDir)        // 30-min-gap sessions per user
     val retention = SparkEntry.queries("q110_retention")(spark, sfDir)         // cohort x day-offset active users

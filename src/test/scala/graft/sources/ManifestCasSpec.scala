@@ -351,7 +351,10 @@ class ManifestCasSpec extends AnyFunSuite {
     }
     val scan = new ManifestScanBuilder(root).build().asInstanceOf[ManifestScan]
     assert(scan.planInputPartitions().length == 3)
-    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("id"))
+    // integer columns prune by min/max stats; STRING columns are also
+    // advertised (blooms + truncated bounds — DppSpec proves that
+    // path); the stat-less double stays out
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("id", "s"))
     // a join's runtime key set arrives as an IN filter: only the file
     // whose [min,max] covers a key survives
     scan.filter(Array[org.apache.spark.sql.sources.Filter](
