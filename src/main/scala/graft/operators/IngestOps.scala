@@ -783,6 +783,25 @@ object IngestOps {
         .orderBy("prio")
     }),
 
+    // Partition statistics served from MANIFEST METADATA alone
+    // (GroupedAggPushdownSpec proves zero data I/O by deleting the
+    // files first): GROUP BY the partition column + COUNT/MIN/MAX
+    // completely push down — one metadata row per partition tuple. At
+    // 100 TB this is the catalog-health query (row counts and key
+    // ranges per partition) answered in milliseconds; the bench line
+    // shows the cost: planning, not scanning. Reuses q129's staged
+    // priority-partitioned table (hence the same key-shift in the
+    // oracle).
+    "q154_partition_stats" -> ((s, dir) => {
+      queries("q129_partitioned_table")(s, dir) // stage orders_p (memoized)
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      s.sql(
+        s"""SELECT o_orderpriority AS prio, count(*) AS n,
+           |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           |FROM graft.$ns.orders_p
+           |GROUP BY o_orderpriority ORDER BY prio""".stripMargin)
+    }),
+
     // S3/S5: two heterogeneous sources normalized to one schema and
     // unioned — the reference's dual-endpoint gather + identifier merge.
     "q36_multi_source_union" -> ((s, dir) => {
@@ -1003,6 +1022,18 @@ object IngestOps {
         |  CAST(min(coalesce(CAST(json_extract(props, '$.k') AS INTEGER), -1)) AS INTEGER) AS min_k,
         |  CAST(max(coalesce(CAST(json_extract(props, '$.k') AS INTEGER), -1)) AS INTEGER) AS max_k
         |FROM events""".stripMargin,
+
+    // the metadata-served partition stats rebuilt over the original
+    // parquet (q129's key shift included)
+    "q154_partition_stats" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM (
+        |  SELECT CASE WHEN o_orderpriority = '1-URGENT'
+        |              THEN o_orderkey + 10000000 ELSE o_orderkey END AS o_orderkey,
+        |         o_orderpriority
+        |  FROM orders)
+        |GROUP BY o_orderpriority ORDER BY prio""".stripMargin,
 
     // feed algebra over the original parquet: live = all − deleted,
     // deleted = the custkey%5 slice
