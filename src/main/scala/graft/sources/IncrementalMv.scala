@@ -90,13 +90,15 @@ object IncrementalMv {
     val on = keyCols.map(k => s"t.$k = s.$k").mkString(" AND ")
     val updates = ("n = t.n + s.n" +:
       sumCols.map(c => s"sum_$c = t.sum_$c + s.sum_$c")).mkString(", ")
-    // a key whose live count reaches zero leaves the view entirely —
-    // retractions must not strand n=0 tombstones
+    // a key whose live count reaches zero leaves (or never enters) the
+    // view — retractions must not strand n=0 tombstones, and a key
+    // whose inserts and deletes fully cancel WITHIN one window must not
+    // be inserted as one (the full recompute would not produce it)
     try s.sql(
       s"""MERGE INTO $catalog.$mvIdent t USING $view s ON $on
          |WHEN MATCHED AND t.n + s.n = 0 THEN DELETE
          |WHEN MATCHED THEN UPDATE SET $updates
-         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+         |WHEN NOT MATCHED AND s.n != 0 THEN INSERT *""".stripMargin)
     finally s.catalog.dropTempView(view)
 
     s.sql(s"ALTER TABLE $catalog.$mvIdent SET TBLPROPERTIES " +

@@ -152,11 +152,20 @@ object ManifestSink {
     * files still fail. Insert slices carry their entry's DV as of the
     * ADD version (physically-present rows at publication are the
     * insert). */
-  private[sources] def cdcSlices(root: Path, from: Long, to0: Long): Seq[CdcSlice] = {
+  /** The shared version-by-version walk under both change-feed readers
+    * ([[addedEntries]] and [[cdcSlices]] — ONE skeleton so the plain
+    * feed and the CDC feed can never disagree about a window): resolves
+    * the window, fails loudly on retention gaps, treats `#rewrite`
+    * versions as contributing nothing after checking they preserved the
+    * live row count, and hands every other (prev, after, v) step to the
+    * caller. `from` = 0 with `to` = 0 is the legacy single-manifest
+    * table: the whole snapshot, via `legacy`. */
+  private def versionWalk[A](root: Path, from: Long, to0: Long)(
+      legacy: Seq[FileEntry] => Seq[A])(
+      step: (Seq[FileEntry], Seq[FileEntry], Long) => Seq[A]): Seq[A] = {
     val to = if (to0 < 0) currentVersion(root) else to0
     require(from <= to, s"changesFromVersion $from is past changesToVersion $to")
-    if (to == 0L)
-      return committedEntries(root, None).map(e => CdcSlice(e, "insert", None))
+    if (to == 0L) return legacy(committedEntries(root, None))
     require(from == 0L || Files.exists(manifestAt(root, from)),
       s"changesFromVersion $from does not exist for manifest table $root " +
         "(expired by retention GC?) — cannot compute a change feed")
@@ -167,13 +176,22 @@ object ManifestSink {
         s"manifest version $v of table $root is missing (expired by " +
           "retention GC?) — cannot compute a change feed across the gap")
       val after = committedEntries(root, Some(v))
-      val step: Seq[CdcSlice] =
+      val out: Seq[A] =
         if (isRewriteVersion(root, v)) {
           require(after.map(_.liveRows).sum == prev.map(_.liveRows).sum,
             s"rewrite version $v of manifest table $root changed the row " +
               "count — a compaction must preserve data exactly")
           Seq.empty
-        } else {
+        } else step(prev, after, v)
+      prev = after
+      out
+    }
+  }
+
+  private[sources] def cdcSlices(root: Path, from: Long, to0: Long): Seq[CdcSlice] =
+    versionWalk(root, from, to0)(
+      _.map(e => CdcSlice(e, "insert", None))) { (prev, after, v) =>
+      {
           val afterNames = after.map(_.name).toSet
           val prevByName = prev.map(e => e.name -> e).toMap
           val prevNames = prevByName.keySet
@@ -221,11 +239,8 @@ object ManifestSink {
             }
           }
           inserts ++ deletes ++ dropSlices
-        }
-      prev = after
-      step
+      }
     }
-  }
 
   /** Files added between versions `from` and `to` (pure-append check
     * included). `from` = 0 means "since the empty table".
@@ -241,58 +256,30 @@ object ManifestSink {
     * therefore yields the rows as they were ORIGINALLY appended — the
     * pre-compaction files — which retention GC keeps alive exactly as
     * long as the versions that reference them. */
-  private[sources] def addedEntries(root: Path, from: Long, to0: Long): Seq[FileEntry] = {
-    val to = if (to0 < 0) currentVersion(root) else to0
-    require(from <= to, s"changesFromVersion $from is past changesToVersion $to")
-    // legacy (never-versioned) table: the whole manifest.txt snapshot is
-    // the one and only delta
-    if (to == 0L) return committedEntries(root, None)
-    require(from == 0L || Files.exists(manifestAt(root, from)),
-      s"changesFromVersion $from does not exist for manifest table $root " +
-        "(expired by retention GC?) — cannot compute a change feed")
-    var prev: Seq[FileEntry] =
-      if (from == 0L) Seq.empty else committedEntries(root, Some(from))
-    (from + 1 to to).flatMap { v =>
-      require(Files.exists(manifestAt(root, v)),
-        s"manifest version $v of table $root is missing (expired by " +
-          "retention GC?) — cannot compute a change feed across the gap")
-      val after = committedEntries(root, Some(v))
-      val step =
-        if (isRewriteVersion(root, v)) {
-          // LIVE rows, not physical: a rewrite that purges deletion
-          // vectors (OPTIMIZE over a MoR-deleted table) shrinks the
-          // physical count by exactly the vectored positions while
-          // preserving the logical table
-          require(after.map(_.liveRows).sum == prev.map(_.liveRows).sum,
-            s"rewrite version $v of manifest table $root changed the row " +
-              "count — a compaction must preserve data exactly")
-          Seq.empty
-        } else {
-          val afterNames = after.map(_.name).toSet
-          val dropped = prev.map(_.name).filterNot(afterNames)
-          require(dropped.isEmpty,
-            s"manifest table $root is not pure-append between v${v - 1} and v$v " +
-              s"(files removed: ${dropped.take(3).mkString(", ")}…) — a change feed " +
-              "across a truncate would not be a delta; read the snapshot instead")
-          // a merge-on-read DELETE keeps every file name in place and
-          // only re-points deletion vectors — without this check the
-          // name diff would wave the version through and the feed would
-          // silently NEVER deliver the deletes
-          val prevDv = prev.map(e => e.name -> (e.dvName, e.dvRows)).toMap
-          val dvChanged = after.filter(e =>
-            prevDv.get(e.name).exists(_ != ((e.dvName, e.dvRows))))
-          require(dvChanged.isEmpty,
-            s"manifest table $root has a merge-on-read delete between v${v - 1} " +
-              s"and v$v (deletion vectors changed on: " +
-              s"${dvChanged.take(3).map(_.name).mkString(", ")}…) — a change feed " +
-              "across a row-level delete would not be a delta; read the snapshot instead")
-          val prevNames = prev.map(_.name).toSet
-          after.filterNot(e => prevNames(e.name))
-        }
-      prev = after
-      step
+  private[sources] def addedEntries(root: Path, from: Long, to0: Long): Seq[FileEntry] =
+    versionWalk(root, from, to0)(identity) { (prev, after, v) =>
+      val afterNames = after.map(_.name).toSet
+      val dropped = prev.map(_.name).filterNot(afterNames)
+      require(dropped.isEmpty,
+        s"manifest table $root is not pure-append between v${v - 1} and v$v " +
+          s"(files removed: ${dropped.take(3).mkString(", ")}…) — a change feed " +
+          "across a truncate would not be a delta; read the snapshot instead")
+      // a merge-on-read DELETE keeps every file name in place and
+      // only re-points deletion vectors — without this check the
+      // name diff would wave the version through and the feed would
+      // silently NEVER deliver the deletes
+      val prevDv = prev.map(e => e.name -> (e.dvName, e.dvRows)).toMap
+      val dvChanged = after.filter(e =>
+        prevDv.get(e.name).exists(_ != ((e.dvName, e.dvRows))))
+      require(dvChanged.isEmpty,
+        s"manifest table $root has a merge-on-read delete between v${v - 1} " +
+          s"and v$v (deletion vectors changed on: " +
+          s"${dvChanged.take(3).map(_.name).mkString(", ")}…) — an append-only " +
+          "change feed across a row-level delete would not be a delta; use " +
+          "changeFeedMode=cdc or read the snapshot instead")
+      val prevNames = prev.map(_.name).toSet
+      after.filterNot(e => prevNames(e.name))
     }
-  }
 
   // ---- versioned manifests + CAS publish --------------------------------
   //
@@ -611,6 +598,16 @@ object ManifestSink {
     var done = false
     while (!done) {
       attempt += 1
+      // a branch being fast-forwarded is CLOSED: a late append must
+      // fail loudly here — the alternative is a commit the publish
+      // never saw, silently dropped. The closed check and the CAS
+      // below cover each other: an append racing the close either wins
+      // the version slot (and the closer re-reads it) or loses and
+      // lands on this require on its retry.
+      require(!isBranchClosed(root, name),
+        s"branch '$name' of $root is closed (fast-forward in progress " +
+          "or crashed mid-publish) — no further staging; finish or drop " +
+          "the branch, then re-create it")
       val next = branchCurrentVersion(root, name) + 1L
       val tmp = root.resolve(s"manifest.tmp-${java.util.UUID.randomUUID()}")
       Files.writeString(tmp, content)
@@ -631,11 +628,25 @@ object ManifestSink {
     * state is now main's). Returns the published main version. */
   def fastForward(root: Path, name: String): Long = {
     val base = branchBase(root, name)
+    // CLOSE the lane first, through the branch's own CAS: once the
+    // close wins, no append can land unseen — a racer that beat the
+    // close made our close lose, so we loop and re-read (its commit is
+    // then included); a racer that lost fails loudly in appendToBranch.
+    // A crash between close and publish leaves the branch closed-but-
+    // unmerged: re-running fast-forward proceeds (close already
+    // present); drop_branch remains the abandon path.
+    var attempts = 0
+    while (!isBranchClosed(root, name)) {
+      attempts += 1
+      require(attempts <= 20,
+        s"concurrent publish storm closing branch '$name' of $root")
+      tryCloseBranch(root, name, base)
+    }
     val st = readState(root)
     require(st.version == base,
       s"cannot fast-forward branch '$name': main is at version ${st.version} " +
         s"but the branch is anchored at $base — main advanced since staging " +
-        "began; re-create the branch against the current state")
+        "began; drop the branch and re-stage against the current state")
     val staged = branchEntries(root, name)
     publish(root, base,
       ((st.schema.get.json +: st.metaLines) ++
@@ -651,10 +662,37 @@ object ManifestSink {
     val cur = branchCurrentVersion(root, name)
     require(cur >= 1L, s"no branch '$name' on manifest table $root")
     var n = 0
-    (1L to cur).foreach { v =>
+    // DESCENDING: a crash mid-loop leaves a v1..vK prefix — still a
+    // well-formed (shorter) branch — never a headless tail whose
+    // missing v1 anchor would wedge branchBase and every vacuum after
+    (cur to 1L by -1L).foreach { v =>
       if (Files.deleteIfExists(branchManifestAt(root, name, v))) n += 1
     }
     n
+  }
+
+  private val BranchClosedMarker = "#branchclosed"
+
+  private[sources] def isBranchClosed(root: Path, name: String): Boolean = {
+    val cur = branchCurrentVersion(root, name)
+    cur >= 1L && Files.readString(branchManifestAt(root, name, cur))
+      .linesIterator.exists(_.startsWith(BranchClosedMarker))
+  }
+
+  /** Publish the CLOSE marker as the branch's next version through the
+    * same createLink CAS as any branch commit — exactly one of a racing
+    * append and a close can win a version slot, which makes
+    * [[fastForward]] lose-proof: a staged commit that beat the close is
+    * re-read and included; one that lost fails loudly at
+    * [[appendToBranch]]'s closed check instead of being silently
+    * dropped. Returns true if OUR link won. */
+  private[sources] def tryCloseBranch(root: Path, name: String, base: Long): Boolean = {
+    val next = branchCurrentVersion(root, name) + 1L
+    val tmp = root.resolve(s"manifest.tmp-${java.util.UUID.randomUUID()}")
+    Files.writeString(tmp, s"$BranchBasePrefix$base\n$BranchClosedMarker")
+    try { Files.createLink(branchManifestAt(root, name, next), tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally Files.deleteIfExists(tmp)
   }
 
   /** The newest version whose manifest was PUBLISHED at or before
@@ -966,6 +1004,21 @@ object ManifestSink {
     * theoretically possible and accepted, as in every warehouse that
     * stores partition values as strings). */
   private[sources] val NullPartValue = "__GRAFT_NULL__"
+
+  /** Decode one canonical manifest partition string back to the TYPED
+    * value under the column's table type — the exact inverse of
+    * `PartitionedDataWriter.partValue`, shared by SPJ partition keys,
+    * grouped-aggregate group keys, and V2 partition proofs so the three
+    * can never drift. */
+  private[sources] def decodePartValue(v: String, dt: DataType): Any =
+    if (v == NullPartValue) null
+    else dt match {
+      case LongType => v.toLong
+      case IntegerType => v.toInt
+      case DoubleType => v.toDouble
+      case BooleanType => v.toBoolean
+      case _ => UTF8String.fromString(v)
+    }
 
   private def urlEnc(s: String): String =
     java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
@@ -2451,13 +2504,7 @@ object ManifestSink {
         val vals = schema.fields.map { f =>
           e.parts.get(f.name) match {
             case None | Some(NullPartValue) => null
-            case Some(v) => f.dataType match {
-              case LongType => v.toLong: Any
-              case IntegerType => v.toInt: Any
-              case DoubleType => v.toDouble: Any
-              case BooleanType => v.toBoolean: Any
-              case _ => UTF8String.fromString(v): Any
-            }
+            case Some(v) => decodePartValue(v, f.dataType)
           }
         }
         evalPredicate(p,
@@ -3853,23 +3900,29 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
   }
 
   /** The entries a pushed top-N keeps (see [[pushTopN]]); `all` when no
-    * threshold can be established (missing stats → keep everything). */
+    * threshold can be established (missing stats → keep everything).
+    * Both directions work in VALUE space (no negation trick — negating
+    * a Long.MinValue sentinel would overflow back to itself and yield
+    * an unsound threshold): ascending orders files by max and keeps
+    * those whose min is at or under the threshold; descending orders by
+    * min (largest first) and keeps those whose max reaches it. */
   private def topNPrune(all: Seq[ManifestSink.FileEntry],
       col: String, asc: Boolean, n: Int): Seq[ManifestSink.FileEntry] = {
     if (all.exists(e => !e.mins.contains(col) || !e.maxs.contains(col))) return all
-    // ascending: order files by max; T = the max at which cumulative
-    // live rows first reach n. descending mirrors with negated mins.
-    def hi(e: ManifestSink.FileEntry): Long = if (asc) e.maxs(col) else -e.mins(col)
-    def lo(e: ManifestSink.FileEntry): Long = if (asc) e.mins(col) else -e.maxs(col)
-    val byHi = all.sortBy(hi)
+    val byBoundary =
+      if (asc) all.sortBy(e => e.maxs(col))
+      else all.sortBy(e => e.mins(col))(Ordering[Long].reverse)
     var acc = 0L
-    var t = Long.MaxValue
-    val it = byHi.iterator
+    var t = 0L
+    val it = byBoundary.iterator
     while (acc < n && it.hasNext) {
-      val e = it.next(); acc += e.liveRows; t = hi(e)
+      val e = it.next()
+      acc += e.liveRows
+      t = if (asc) e.maxs(col) else e.mins(col)
     }
     if (acc < n) all // table smaller than n: nothing prunable
-    else all.filter(e => lo(e) <= t)
+    else if (asc) all.filter(e => e.mins(col) <= t)
+    else all.filter(e => e.maxs(col) >= t)
   }
 
   // ONE manifest-list HEADER read for all table-structure lookups
@@ -4055,22 +4108,16 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
         // keys — partition-stats, zero data I/O (spec proof: the data
         // files are deleted and the grouped count still answers)
         val gbFields = gbCols.map(c => tableSchema.fields.find(_.name == c).get)
-        def typedKey(v: String, f: StructField): Any = v match {
-          case ManifestSink.NullPartValue => null
-          case x => f.dataType match {
-            case LongType => x.toLong
-            case IntegerType => x.toInt
-            case DoubleType => x.toDouble
-            case BooleanType => x.toBoolean
-            case _ => UTF8String.fromString(x)
-          }
-        }
         val rows = entries.groupBy(e => gbCols.map(c => e.parts(c))).toSeq
           .map { case (key, es) =>
-            val keyVals = key.zip(gbFields).map { case (v, f) => typedKey(v, f) }
+            val keyVals = key.zip(gbFields).map { case (v, f) =>
+              ManifestSink.decodePartValue(v, f.dataType)
+            }
             InternalRow.fromSeq(keyVals ++ aggRow(es)._2)
           }
-        val aggFields = aggRow(entries)._1
+        // field metadata is entry-independent: derive it from the empty
+        // fold instead of re-folding every entry's stats a second time
+        val aggFields = aggRow(Seq.empty)._1
         new ManifestAggScan(StructType((gbFields ++ aggFields).toIndexedSeq),
           rows.toArray)
       }
@@ -4274,29 +4321,28 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
   }
   /** The typed partition key for one entry, in table-spec column order —
     * canonical manifest strings decoded back under each partition
-    * column's TABLE type (the exact inverse of
-    * `PartitionedDataWriter.partValue`), so two scans of two tables
-    * partitioned the same way produce row-equal keys and Spark's
-    * storage-partitioned join aligns them without a shuffle. Null when
-    * the entry's tuple is incomplete for the spec (a scan containing
-    * such a file must not claim key grouping). */
+    * column's TABLE type ([[ManifestSink.decodePartValue]]), so two
+    * scans of two tables partitioned the same way produce row-equal
+    * keys and Spark's storage-partitioned join aligns them without a
+    * shuffle. Null when the entry's tuple is incomplete for the spec (a
+    * scan containing such a file must not claim key grouping). */
   private def partKeyOf(e: ManifestSink.FileEntry): Array[Any] = {
     val vals = partCols.map { c =>
       fileSchema.fields.find(_.name == c).flatMap { f =>
-        e.parts.get(c).map {
-          case ManifestSink.NullPartValue => null: Any
-          case v => f.dataType match {
-            case LongType => v.toLong: Any
-            case IntegerType => v.toInt: Any
-            case DoubleType => v.toDouble: Any
-            case BooleanType => v.toBoolean: Any
-            case _ => UTF8String.fromString(v): Any
-          }
-        }
+        e.parts.get(c).map(v => ManifestSink.decodePartValue(v, f.dataType))
       }
     }
     if (vals.exists(_.isEmpty)) null else vals.map(_.get).toArray
   }
+
+  /** Keys decoded ONCE per resolved entry (by file name — names are
+    * unique within a snapshot): outputPartitioning's completeness check,
+    * its distinct-key count, and planInputPartitions all read this map
+    * instead of re-decoding per pass — planning stays one O(files)
+    * decode on the driver, the path SPJ exists to keep cheap. */
+  private lazy val partKeyByName: Map[String, Array[Any]] =
+    if (partCols.isEmpty) Map.empty
+    else resolved.map(e => e.name -> partKeyOf(e)).toMap
 
   /** Storage-partitioned-join handshake: report the identity partition
     * spec as a [[partitioning.KeyGroupedPartitioning]] whenever this
@@ -4315,7 +4361,7 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     try {
       if (partCols.nonEmpty && onRuntimeNarrow.isEmpty && cdcSlices.isEmpty &&
           partCols.forall(c => schema.fieldNames.contains(c)) &&
-          resolved.forall(e => partKeyOf(e) != null))
+          partKeyByName.valuesIterator.forall(_ != null))
         new partitioning.KeyGroupedPartitioning(
           partCols.map(c => org.apache.spark.sql.connector.expressions.Expressions
             .identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray,
@@ -4344,7 +4390,7 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     else entries
       .map(e => ManifestFilePartition(root.resolve(e.name).toString, e.liveRows,
         e.dvName.map(n => root.resolve(n).toString),
-        if (partCols.isEmpty) null else partKeyOf(e)): InputPartition)
+        if (partCols.isEmpty) null else partKeyByName(e.name)): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     // whole-batch columnar handoff only when EVERY file in the scan is

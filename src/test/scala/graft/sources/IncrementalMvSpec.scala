@@ -91,6 +91,19 @@ class IncrementalMvSpec extends AnyFunSuite {
     assert(!mvRows("rmv").contains(2L), "an emptied key must leave the view")
   }
 
+  test("inserts and deletes that cancel within one window insert no tombstone") {
+    spark.sql("CREATE TABLE mvc.db.csrc2 (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    spark.sql("CREATE TABLE mvc.db.cmv2 (k BIGINT, n BIGINT, sum_v BIGINT)")
+    spark.sql("INSERT INTO mvc.db.csrc2 SELECT 0, id FROM range(5)")
+    // key 9 appears and fully disappears BEFORE the first refresh sees it
+    spark.sql("INSERT INTO mvc.db.csrc2 SELECT 9, id FROM range(3)")
+    spark.sql("DELETE FROM mvc.db.csrc2 WHERE k = 9")
+    IncrementalMv.refresh(spark, "mvc", "db.csrc2", "db.cmv2", Seq("k"), Seq("v"))
+    // the full recompute has no key-9 row; neither may the fold
+    assert(mvRows("cmv2") == Map(0L -> ((5L, 10L))), mvRows("cmv2"))
+  }
+
   test("a row-level delete in the window fails the refresh loudly") {
     spark.sql("CREATE TABLE mvc.db.dsrc (k BIGINT, v BIGINT)")
     spark.sql("CREATE TABLE mvc.db.dmv (k BIGINT, n BIGINT, sum_v BIGINT)")

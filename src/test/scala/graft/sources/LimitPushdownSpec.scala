@@ -107,6 +107,20 @@ class LimitPushdownSpec extends AnyFunSuite {
       .as[Long].collect().toSeq == Seq(0L, 1L, 2L, 3L, 4L, 5L, 5L, 6L))
   }
 
+  test("top-N stays sound with a Long.MinValue sentinel in the sort key") {
+    // regression: the old descending mirror negated mins, and
+    // -Long.MinValue overflows back to itself — an unsound threshold
+    // that pruned files holding true top rows
+    spark.sql("CREATE TABLE limc.db.sen (ts BIGINT NOT NULL)")
+    Seq(Seq(Long.MinValue, 5L), Seq(100L, 200L), Seq(300L, 400L)).foreach { vs =>
+      vs.toDF("ts").coalesce(1).writeTo("limc.db.sen").append()
+    }
+    assert(spark.sql("SELECT ts FROM limc.db.sen ORDER BY ts DESC LIMIT 2")
+      .as[Long].collect().toSeq == Seq(400L, 300L))
+    assert(spark.sql("SELECT ts FROM limc.db.sen ORDER BY ts LIMIT 2")
+      .as[Long].collect().toSeq == Seq(Long.MinValue, 5L))
+  }
+
   test("limit pushdown respects deletion vectors (live rows, not physical)") {
     spark.sql("CREATE TABLE limc.db.d (id BIGINT) " +
       "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")

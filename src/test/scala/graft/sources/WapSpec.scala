@@ -177,6 +177,24 @@ class WapSpec extends AnyFunSuite {
     assert(spark.table("wcat.db.gc").count() == 6L)
   }
 
+  test("a closed branch rejects appends; a crash-closed branch still publishes") {
+    spark.sql("CREATE TABLE wcat.db.cl (id BIGINT)")
+    spark.sql("INSERT INTO wcat.db.cl SELECT id FROM range(4)")
+    spark.sql("CALL wcat.system.create_branch(table => 'db.cl', branch => 'w')")
+    spark.sql("INSERT INTO wcat.db.cl.branch_w SELECT id FROM range(10, 13)")
+    // simulate a fast-forward that crashed between CLOSE and publish
+    val base = ManifestSink.branchBase(root("cl"), "w")
+    assert(ManifestSink.tryCloseBranch(root("cl"), "w", base))
+    // staging after the close must fail loudly — the silent-drop race
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO wcat.db.cl.branch_w SELECT id FROM range(99, 100)")
+    }
+    assert(e.getMessage.contains("closed"), e.getMessage)
+    // re-running the publish completes from the closed state
+    spark.sql("CALL wcat.system.fast_forward(table => 'db.cl', branch => 'w')")
+    assert(spark.table("wcat.db.cl").count() == 7L)
+  }
+
   test("double-create and unknown-branch verbs fail loudly") {
     spark.sql("CREATE TABLE wcat.db.err (id BIGINT)")
     spark.sql("INSERT INTO wcat.db.err SELECT id FROM range(2)")
