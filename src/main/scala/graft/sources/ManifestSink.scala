@@ -600,15 +600,20 @@ object ManifestSink {
       attempt += 1
       // a branch being fast-forwarded is CLOSED: a late append must
       // fail loudly here — the alternative is a commit the publish
-      // never saw, silently dropped. The closed check and the CAS
-      // below cover each other: an append racing the close either wins
-      // the version slot (and the closer re-reads it) or loses and
-      // lands on this require on its retry.
+      // never saw, silently dropped. ORDER MATTERS: `next` is read
+      // BEFORE the closed check, so a close that lands between the two
+      // occupies exactly the slot we target and our createLink below
+      // loses the CAS (retry → closed check fires). Reading `next`
+      // after the check would let a close slide in unseen and the
+      // append link one slot PAST it — a commit the publisher already
+      // confirmed closed and will dropBranch-delete, silent data loss.
+      // A close can never land BELOW `next` (every lower slot is
+      // already linked), so slot arithmetic alone closes the race.
+      val next = branchCurrentVersion(root, name) + 1L
       require(!isBranchClosed(root, name),
         s"branch '$name' of $root is closed (fast-forward in progress " +
           "or crashed mid-publish) — no further staging; finish or drop " +
           "the branch, then re-create it")
-      val next = branchCurrentVersion(root, name) + 1L
       val tmp = root.resolve(s"manifest.tmp-${java.util.UUID.randomUUID()}")
       Files.writeString(tmp, content)
       try { Files.createLink(branchManifestAt(root, name, next), tmp); done = true }
@@ -673,10 +678,20 @@ object ManifestSink {
 
   private val BranchClosedMarker = "#branchclosed"
 
+  /** A close marker at ANY version closes the branch permanently — not
+    * just at the head. Head-only inspection would let an append that
+    * slipped in above a close marker (a race the slot arithmetic in
+    * [[appendToBranch]] now prevents, but also any historic file from a
+    * pre-fix writer) silently REOPEN the lane; scanning every version
+    * keeps "closed" a one-way latch. Branches are short-lived staging
+    * chains, so the scan is a handful of small local files. */
   private[sources] def isBranchClosed(root: Path, name: String): Boolean = {
     val cur = branchCurrentVersion(root, name)
-    cur >= 1L && Files.readString(branchManifestAt(root, name, cur))
-      .linesIterator.exists(_.startsWith(BranchClosedMarker))
+    (1L to cur).exists { v =>
+      val p = branchManifestAt(root, name, v)
+      Files.exists(p) &&
+        Files.readString(p).linesIterator.exists(_.startsWith(BranchClosedMarker))
+    }
   }
 
   /** Publish the CLOSE marker as the branch's next version through the
@@ -711,6 +726,26 @@ object ManifestSink {
     require(at.nonEmpty,
       s"no version of manifest table $root existed at timestamp $micros " +
         "(it predates the table or the oldest retained version)")
+    // Retention-gap guard: the TRUE version for this instant is the
+    // newest one committed at-or-before it, which may have been expired
+    // while an OLDER manifest survives (a live branch's pinned anchor,
+    // say). Commit instants are monotone in version number, so any
+    // MISSING version between the resolved answer and the first
+    // surviving version newer than the instant could be that true
+    // answer — resolving to the stale survivor would silently time-
+    // travel to the wrong state. Fail loudly instead, as the contract
+    // above promises for expired history.
+    val bound = (1L to cur)
+      .filter(v => Files.exists(manifestAt(root, v)))
+      .filter(v => Files.getLastModifiedTime(manifestAt(root, v)).toMillis * 1000L > micros)
+      .minOption.getOrElse(cur + 1L)
+    val gap = ((at.max + 1L) until bound).filterNot(v => Files.exists(manifestAt(root, v)))
+    require(gap.isEmpty,
+      s"version history of manifest table $root is not contiguously retained " +
+        s"at timestamp $micros: version(s) ${gap.mkString(", ")} between the " +
+        s"newest surviving at-or-before version (${at.max}) and the next " +
+        s"surviving version were expired by retention — the state at that " +
+        "instant is unrecoverable")
     at.max
   }
 

@@ -163,6 +163,75 @@ class IncrementalMvSpec extends AnyFunSuite {
         (0L until 16L).filter(_ % 2 == k).sum))).toMap)
   }
 
+  test("NULL group keys fold into ONE view row and retract correctly") {
+    // GROUP BY treats NULL as a real group; the MERGE must match it
+    // with null-safe equality or every refresh would insert a fresh
+    // NULL-key row that no later retraction could ever find
+    spark.sql("CREATE TABLE mvc.db.nsrc (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    spark.sql("CREATE TABLE mvc.db.nmv (k BIGINT, n BIGINT, sum_v BIGINT)")
+    spark.sql("INSERT INTO mvc.db.nsrc VALUES (NULL, 1), (NULL, 2), (7, 3)")
+    IncrementalMv.refresh(spark, "mvc", "db.nsrc", "db.nmv", Seq("k"), Seq("v"))
+    // second window touches the NULL group again: must UPDATE, not insert
+    spark.sql("INSERT INTO mvc.db.nsrc VALUES (NULL, 10)")
+    IncrementalMv.refresh(spark, "mvc", "db.nsrc", "db.nmv", Seq("k"), Seq("v"))
+    val rows = spark.table("mvc.db.nmv").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((None, 3L, 13L), (Some(7L), 1L, 3L)), rows.mkString(", "))
+    // retraction finds the NULL-key row too; emptying it removes it
+    spark.sql("DELETE FROM mvc.db.nsrc WHERE k IS NULL")
+    IncrementalMv.refresh(spark, "mvc", "db.nsrc", "db.nmv", Seq("k"), Seq("v"))
+    val after = spark.table("mvc.db.nmv").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getLong(1), r.getLong(2))).toSet
+    assert(after == Set((Some(7L), 1L, 3L)), after.mkString(", "))
+  }
+
+  test("crash after staging (before the MERGE) rolls forward exactly once") {
+    spark.sql("CREATE TABLE mvc.db.c1src (k BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE mvc.db.c1mv (k BIGINT, n BIGINT, sum_v BIGINT)")
+    spark.sql("INSERT INTO mvc.db.c1src SELECT id % 2, id FROM range(10)")
+    // simulate: the previous refresher died right after step 1 — the
+    // pending marker is durable, the fold never ran
+    val to = ManifestSink.currentVersion(root("c1src"))
+    IncrementalMv.stagePending(root("c1mv"), 0L, to)
+    IncrementalMv.refresh(spark, "mvc", "db.c1src", "db.c1mv", Seq("k"), Seq("v"))
+    assert(mvRows("c1mv") == (0L until 2L).map(k =>
+      k -> (((0L until 10L).count(_ % 2 == k).toLong,
+        (0L until 10L).filter(_ % 2 == k).sum))).toMap)
+    // marker cleared, pointer advanced — the protocol fully settled
+    val props = ManifestSink.readHeader(root("c1mv")).props
+    assert(!props.contains("mv.pending-refresh"), props)
+    assert(props.get("mv.source-version").contains(to.toString))
+  }
+
+  test("crash after the MERGE (before finalize) must NOT double-count") {
+    spark.sql("CREATE TABLE mvc.db.c2src (k BIGINT, v BIGINT)")
+    spark.sql("CREATE TABLE mvc.db.c2mv (k BIGINT, n BIGINT, sum_v BIGINT)")
+    spark.sql("INSERT INTO mvc.db.c2src SELECT id % 2, id FROM range(10)")
+    // simulate: steps 1 and 2 committed, the refresher died before
+    // step 3 — the window IS folded but the pointer still says it isn't.
+    // The old two-publish protocol re-applied the window here and
+    // silently doubled every count.
+    val to = ManifestSink.currentVersion(root("c2src"))
+    IncrementalMv.stagePending(root("c2mv"), 0L, to)
+    IncrementalMv.applyWindow(spark, "mvc", root("c2src"), "db.c2mv",
+      Seq("k"), Seq("v"), 0L, to)
+    IncrementalMv.refresh(spark, "mvc", "db.c2src", "db.c2mv", Seq("k"), Seq("v"))
+    assert(mvRows("c2mv") == (0L until 2L).map(k =>
+      k -> (((0L until 10L).count(_ % 2 == k).toLong,
+        (0L until 10L).filter(_ % 2 == k).sum))).toMap,
+      "recovery re-applied an already-folded window (double-count)")
+    assert(!ManifestSink.readHeader(root("c2mv")).props.contains("mv.pending-refresh"))
+    // and the loop continues normally afterwards
+    spark.sql("INSERT INTO mvc.db.c2src SELECT id % 2, id FROM range(10, 14)")
+    IncrementalMv.refresh(spark, "mvc", "db.c2src", "db.c2mv", Seq("k"), Seq("v"))
+    assert(mvRows("c2mv") == (0L until 2L).map(k =>
+      k -> (((0L until 14L).count(_ % 2 == k).toLong,
+        (0L until 14L).filter(_ % 2 == k).sum))).toMap)
+  }
+
   test("refresh state is durable table metadata, not session state") {
     spark.sql("CREATE TABLE mvc.db.psrc (k BIGINT, v BIGINT)")
     spark.sql("CREATE TABLE mvc.db.pmv (k BIGINT, n BIGINT, sum_v BIGINT)")

@@ -112,6 +112,31 @@ class TableOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("predates"), e.getMessage)
   }
 
+  test("TIMESTAMP AS OF fails loudly when the true version was expired but an older one survives") {
+    // versions: v1 create, v2 insert, v3 insert. Expire v2 while v1
+    // survives (the shape a live branch's pinned anchor produces):
+    // an instant between v2 and v3 must NOT silently resolve to v1 —
+    // the true state at that instant (v2) is unrecoverable.
+    spark.sql("CREATE TABLE tcat.db.gap (id BIGINT)")
+    spark.sql("INSERT INTO tcat.db.gap SELECT id FROM range(3)") // v2
+    Thread.sleep(1100)
+    val betweenV2andV3 = java.time.Instant.now()
+    Thread.sleep(1100)
+    spark.sql("INSERT INTO tcat.db.gap SELECT id FROM range(3, 7)") // v3
+    Files.delete(root("gap").resolve("manifest-v000002.txt"))
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+    val e = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM tcat.db.gap TIMESTAMP AS OF " +
+        s"'${fmt.format(betweenV2andV3)}'").collect()
+    }
+    assert(e.getMessage.contains("contiguously retained") ||
+      e.getMessage.contains("expired by retention"), e.getMessage)
+    // instants at-or-after the surviving head still resolve normally
+    assert(spark.sql("SELECT count(*) FROM tcat.db.gap TIMESTAMP AS OF " +
+      s"'${fmt.format(java.time.Instant.now())}'").as[Long].head() == 7L)
+  }
+
   test("rollback restores data and schema as a NEW version; bad history stays readable") {
     spark.sql("CREATE TABLE tcat.db.r (id BIGINT, v BIGINT)") // v1
     spark.range(0, 10).select($"id", $"id".as("v"))

@@ -195,6 +195,30 @@ class WapSpec extends AnyFunSuite {
     assert(spark.table("wcat.db.cl").count() == 7L)
   }
 
+  test("a close marker below the head still closes the lane (no reopen)") {
+    // the TOCTOU shape: an append that slipped in ABOVE a close marker
+    // (possible under the old head-only check) must not reopen the
+    // branch — closed is a one-way latch, marker at ANY version counts
+    spark.sql("CREATE TABLE wcat.db.cl2 (id BIGINT)")
+    spark.sql("INSERT INTO wcat.db.cl2 SELECT id FROM range(4)")
+    spark.sql("CALL wcat.system.create_branch(table => 'db.cl2', branch => 'w')")
+    spark.sql("INSERT INTO wcat.db.cl2.branch_w SELECT id FROM range(10, 13)")
+    val base = ManifestSink.branchBase(root("cl2"), "w")
+    assert(ManifestSink.tryCloseBranch(root("cl2"), "w", base))
+    // hand-plant a stray append ABOVE the close marker (what a pre-fix
+    // racer could have produced): head is now a non-closed file
+    val head = ManifestSink.branchCurrentVersion(root("cl2"), "w")
+    Files.writeString(
+      root("cl2").resolve(f"manifest-b-w-v${head + 1}%06d.txt"),
+      s"#branchbase\t$base")
+    assert(ManifestSink.isBranchClosed(root("cl2"), "w"),
+      "a close marker below the head must still close the branch")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO wcat.db.cl2.branch_w SELECT id FROM range(99, 100)")
+    }
+    assert(e.getMessage.contains("closed"), e.getMessage)
+  }
+
   test("double-create and unknown-branch verbs fail loudly") {
     spark.sql("CREATE TABLE wcat.db.err (id BIGINT)")
     spark.sql("INSERT INTO wcat.db.err SELECT id FROM range(2)")
