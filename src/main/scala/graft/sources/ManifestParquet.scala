@@ -69,13 +69,21 @@ object ManifestParquet {
 
   /** Open a parquet writer for one task's data file. Mode.CREATE: the
     * file name is attempt-unique (UUID), so an existing target means a
-    * logic bug, not a retry — fail instead of overwriting. */
-  def open(file: Path, schema: StructType): ParquetWriter[InternalRow] = {
+    * logic bug, not a retry — fail instead of overwriting.
+    * `rowGroupBytes` (table property `write.parquet.row-group-bytes`)
+    * sizes row groups — the skip granularity of the row-group-level
+    * predicate pushdown in [[openReadFiltered]]: smaller groups skip
+    * finer but carry more footer metadata; parquet's 128 MB default is
+    * the production sweet spot. */
+  def open(file: Path, schema: StructType,
+      rowGroupBytes: Long = ParquetWriter.DEFAULT_BLOCK_SIZE.toLong)
+      : ParquetWriter[InternalRow] = {
     val conf = writeConf(schema)
     new RowBuilder(HadoopOutputFile.fromPath(new HPath(file.toString), conf))
       .withConf(conf)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .withWriteMode(ParquetFileWriter.Mode.CREATE)
+      .withRowGroupSize(rowGroupBytes)
       .build()
   }
 
@@ -94,6 +102,59 @@ object ManifestParquet {
     } catch { case t: Throwable => r.close(); throw t }
   }
 
+  /** Open a vectorized reader over `file` with a parquet
+    * [[org.apache.parquet.filter2.predicate.FilterPredicate]] applied at
+    * ROW-GROUP granularity — the reader consults each group's
+    * stats/dictionary/bloom and never decodes (or reads) groups the
+    * predicate proves empty, exactly what native parquet scans do via
+    * `ParquetInputFormat`. Goes through the production
+    * `initialize(split, context)` path instead of the test-oriented
+    * `initialize(path, columns)`, which cannot carry a filter:
+    *
+    *   - the requested schema arrives as a Spark StructType (PHYSICAL
+    *     column names) via `SPARK_ROW_REQUESTED_SCHEMA`, clipped against
+    *     the file schema by Spark's own `ParquetReadSupport`;
+    *   - the filter rides the conf under `ParquetInputFormat`'s key and
+    *     is applied by `HadoopReadOptions` when the footer is read —
+    *     each EXECUTOR task prunes from its own footer; the driver
+    *     never fans out footer reads (the Iceberg division of labor:
+    *     manifest stats prune files, footers prune row groups);
+    *   - page-level column-index filtering is disabled: whole surviving
+    *     groups surface and Spark's residual FilterExec does row-level
+    *     work, so a translation can only OVER-deliver, never drop rows.
+    *
+    * The five converter conf keys are set explicitly — the
+    * Configuration-based `ParquetToSparkSchemaConverter` ctor
+    * dereferences them without defaults. Values mirror
+    * [[writeConf]]'s dialect (no binary-as-string, no INT96). */
+  def openReadFiltered(file: String, physSchema: StructType,
+      filter: org.apache.parquet.filter2.predicate.FilterPredicate,
+      returnBatches: Boolean): VectorizedParquetRecordReader = {
+    import org.apache.parquet.hadoop.ParquetInputFormat
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+    val conf = new Configuration()
+    conf.set(ParquetInputFormat.READ_SUPPORT_CLASS, classOf[ParquetReadSupport].getName)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, physSchema.json)
+    conf.set(SQLConf.CASE_SENSITIVE.key, "false")
+    conf.set(SQLConf.PARQUET_BINARY_AS_STRING.key, "false")
+    conf.set(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, "true")
+    conf.set(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, "true")
+    conf.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, "false")
+    ParquetInputFormat.setFilterPredicate(conf, filter)
+    conf.setBoolean("parquet.filter.columnindex.enabled", false)
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new HPath(file), 0L, java.nio.file.Files.size(java.nio.file.Paths.get(file)),
+      Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    val r = new VectorizedParquetRecordReader(/* useOffHeap = */ false, /* capacity = */ 4096)
+    try {
+      r.initialize(split, ctx)
+      if (returnBatches) r.enableReturningBatches()
+      r
+    } catch { case t: Throwable => r.close(); throw t }
+  }
+
   /** Top-level field names physically present in `file` (one footer
     * read). The scan uses this under schema evolution to decide which
     * requested columns exist in a given file and which must null-fill. */
@@ -102,6 +163,15 @@ object ManifestParquet {
       HadoopInputFile.fromPath(new HPath(file), new Configuration()))
     try r.getFooter.getFileMetaData.getSchema.getFields.asScala
       .map(_.getName).toSet
+    finally r.close()
+  }
+
+  /** Number of row groups in `file` (one footer read) — fixture/spec
+    * support for the row-group skipping proofs. */
+  def rowGroupCount(file: String): Int = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(file), new Configuration()))
+    try r.getFooter.getBlocks.size
     finally r.close()
   }
 

@@ -1131,6 +1131,18 @@ object ManifestSink {
   /** Property keys a manifest table refuses to store as user props:
     * the dedicated-header knobs (they have validation and their own
     * lines) and Spark-internal bookkeeping the catalog API injects. */
+  /** Table property sizing parquet row groups on future writes — the
+    * skip granularity of row-group-level predicate pushdown. Parsed
+    * (and validated) wherever a write path resolves table structure. */
+  private[sources] val RowGroupBytesProp = "write.parquet.row-group-bytes"
+
+  private[sources] def rowGroupBytesOf(props: Map[String, String]): Option[Long] =
+    props.get(RowGroupBytesProp).map { v =>
+      require(v.matches("[0-9]+") && v.toLong >= 1024L,
+        s"$RowGroupBytesProp must be an integer byte count >= 1024, got '$v'")
+      v.toLong
+    }
+
   private[sources] def reservedProp(k: String): Boolean =
     k == "delete.mode" || k == "bloom.columns" || k == "write.sort-by" ||
       k == "provider" || k == "owner" || k == "location" || k == "comment" ||
@@ -2132,6 +2144,8 @@ object ManifestSink {
             // verbatim and publishes atomically with this commit
             require(!reservedProp(other), s"table property $other is " +
               "reserved and cannot be set on a manifest table")
+            if (other == RowGroupBytesProp)
+              rowGroupBytesOf(Map(other -> sp.value)): Unit // validate now, loudly
             props0 += other -> sp.value
         }
         case rp: TableChange.RemoveProperty => rp.property match {
@@ -2429,9 +2443,11 @@ object ManifestSink {
       val fileParts = parts
       val cmap = st.colMap
       val bc = st.bloomCols
+      val rgb = rowGroupBytesOf(st.props)
       sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
         val w = new ManifestDataWriter(rootStr, fileSchema,
-          s"data-zorder-p$pid-${java.util.UUID.randomUUID()}.parquet", fileParts, cmap, bc)
+          s"data-zorder-p$pid-${java.util.UUID.randomUUID()}.parquet", fileParts,
+          cmap, bc, rgb)
         rows.foreach(w.write)
         w.commit() match {
           case m: ManifestCommit if m.rows > 0L => Iterator.single(m)
@@ -3410,6 +3426,7 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
     val cmap = st.colMap
     val bc = st.bloomCols
     val sc = st.sortCols
+    val rgb = ManifestSink.rowGroupBytesOf(st.props)
     new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
       import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
       import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
@@ -3440,13 +3457,14 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
       override def distributionStrictlyRequired(): Boolean = false
       override def toBatch: BatchWrite =
         new ManifestBatchWrite(root, schema, truncateFirst, gc, pc,
-          overwriteFilters, dynamicOverwrite, cmap, bc, branch)
+          overwriteFilters, dynamicOverwrite, cmap, bc, branch, rgb)
       // streaming: truncateFirst becomes truncate-EACH-EPOCH (Spark calls
       // truncate() on the builder for Complete output mode)
       override def toStreaming: StreamingWrite = {
         require(branch.isEmpty, "streaming writes onto a BRANCH are not " +
           "supported — stream into the table, or stage batch appends for WAP")
-        new ManifestStreamingWrite(root, schema, truncateFirst, gc, queryId, pc, cmap, bc)
+        new ManifestStreamingWrite(root, schema, truncateFirst, gc, queryId,
+          pc, cmap, bc, rgb)
       }
     }
   }
@@ -3470,9 +3488,11 @@ class ManifestBatchWrite(root: Path, schema: StructType, truncateFirst: Boolean,
     dynamicOverwrite: Boolean = false,
     colMap: Map[String, String] = Map.empty,
     bloomCols: Seq[String] = Seq.empty,
-    branch: Option[String] = None) extends BatchWrite {
+    branch: Option[String] = None,
+    rowGroupBytes: Option[Long] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestWriterFactory(root.toString, schema, partCols, colMap, bloomCols)
+    new ManifestWriterFactory(root.toString, schema, partCols, colMap, bloomCols,
+      rowGroupBytes)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val newEntries = ManifestSink.commitEntries(messages)
@@ -3544,11 +3564,12 @@ class ManifestRowLevelOperation(root: Path, cmd: RowLevelOperation.Command,
     val pc = ManifestSink.partitionColumns(root)
     val cmap = ManifestSink.columnMapping(root)
     val bc = ManifestSink.bloomColumns(root)
+    val rgb = ManifestSink.rowGroupBytesOf(ManifestSink.readHeader(root).props)
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new ManifestReplaceDataWrite(root, writeSchema,
-            ManifestRowLevelOperation.this, gc, pc, cmap, bc)
+            ManifestRowLevelOperation.this, gc, pc, cmap, bc, rgb)
       }
     }
   }
@@ -3572,9 +3593,11 @@ class ManifestReplaceDataWrite(root: Path, schema: StructType,
     op: ManifestRowLevelOperation, gc: GcPolicy,
     partCols: Seq[String] = Seq.empty,
     colMap: Map[String, String] = Map.empty,
-    bloomCols: Seq[String] = Seq.empty) extends BatchWrite {
+    bloomCols: Seq[String] = Seq.empty,
+    rowGroupBytes: Option[Long] = None) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new ManifestReplaceWriterFactory(root.toString, schema, partCols, colMap, bloomCols)
+    new ManifestReplaceWriterFactory(root.toString, schema, partCols, colMap,
+      bloomCols, rowGroupBytes)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val (live, empty) = ManifestSink.commitEntries(messages).partition(_.rows > 0L)
@@ -3610,10 +3633,12 @@ class ManifestReplaceDataWrite(root: Path, schema: StructType,
 class ManifestStreamingWrite(root: Path, schema: StructType, truncateEachEpoch: Boolean,
     gc: GcPolicy, queryId: String, partCols: Seq[String] = Seq.empty,
     colMap: Map[String, String] = Map.empty,
-    bloomCols: Seq[String] = Seq.empty)
+    bloomCols: Seq[String] = Seq.empty,
+    rowGroupBytes: Option[Long] = None)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new ManifestStreamingWriterFactory(root.toString, schema, partCols, colMap, bloomCols)
+    new ManifestStreamingWriterFactory(root.toString, schema, partCols, colMap,
+      bloomCols, rowGroupBytes)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     if (ManifestSink.epochMarkers(root).get(queryId).exists(_ >= epochId)) {
@@ -3636,7 +3661,8 @@ class ManifestStreamingWrite(root: Path, schema: StructType, truncateEachEpoch: 
 class ManifestStreamingWriterFactory(rootStr: String, schema: StructType,
     partCols: Seq[String] = Seq.empty,
     colMap: Map[String, String] = Map.empty,
-    bloomCols: Seq[String] = Seq.empty) extends StreamingDataWriterFactory {
+    bloomCols: Seq[String] = Seq.empty,
+    rowGroupBytes: Option[Long] = None) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
     // epoch in the name is for operator debuggability only; uniqueness
@@ -3646,15 +3672,17 @@ class ManifestStreamingWriterFactory(rootStr: String, schema: StructType,
     if (partCols.isEmpty)
       new ManifestDataWriter(rootStr, schema,
         s"$prefix-${java.util.UUID.randomUUID()}.parquet", colMap = colMap,
-        bloomCols = bloomCols)
-    else new PartitionedDataWriter(rootStr, schema, partCols, prefix, colMap, bloomCols)
+        bloomCols = bloomCols, rowGroupBytes = rowGroupBytes)
+    else new PartitionedDataWriter(rootStr, schema, partCols, prefix, colMap,
+      bloomCols, rowGroupBytes)
   }
 }
 
 class ManifestWriterFactory(rootStr: String, schema: StructType,
     partCols: Seq[String] = Seq.empty,
     colMap: Map[String, String] = Map.empty,
-    bloomCols: Seq[String] = Seq.empty) extends DataWriterFactory {
+    bloomCols: Seq[String] = Seq.empty,
+    rowGroupBytes: Option[Long] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // attempt-unique name: a retried or speculative attempt of the same
     // partition writes a different file; only the attempt whose message
@@ -3663,8 +3691,9 @@ class ManifestWriterFactory(rootStr: String, schema: StructType,
     if (partCols.isEmpty)
       new ManifestDataWriter(rootStr, schema,
         s"$prefix-${java.util.UUID.randomUUID()}.parquet", colMap = colMap,
-        bloomCols = bloomCols)
-    else new PartitionedDataWriter(rootStr, schema, partCols, prefix, colMap, bloomCols)
+        bloomCols = bloomCols, rowGroupBytes = rowGroupBytes)
+    else new PartitionedDataWriter(rootStr, schema, partCols, prefix, colMap,
+      bloomCols, rowGroupBytes)
   }
 }
 
@@ -3678,7 +3707,8 @@ class ManifestWriterFactory(rootStr: String, schema: StructType,
 class PartitionedDataWriter(rootStr: String, schema: StructType,
     partCols: Seq[String], namePrefix: String,
     colMap: Map[String, String] = Map.empty,
-    bloomCols: Seq[String] = Seq.empty) extends DataWriter[InternalRow] {
+    bloomCols: Seq[String] = Seq.empty,
+    rowGroupBytes: Option[Long] = None) extends DataWriter[InternalRow] {
   private val idx: Seq[(Int, DataType)] = partCols.map { c =>
     val i = schema.fieldIndex(c); (i, schema.fields(i).dataType)
   }
@@ -3702,7 +3732,7 @@ class PartitionedDataWriter(rootStr: String, schema: StructType,
     writers.getOrElseUpdate(key,
       new ManifestDataWriter(rootStr, schema,
         s"$namePrefix-${java.util.UUID.randomUUID()}.parquet",
-        partCols.zip(key).toMap, colMap, bloomCols)).write(record)
+        partCols.zip(key).toMap, colMap, bloomCols, rowGroupBytes)).write(record)
   }
 
   override def commit(): WriterCommitMessage =
@@ -3730,13 +3760,14 @@ class PartitionedDataWriter(rootStr: String, schema: StructType,
 class ManifestReplaceWriterFactory(rootStr: String, schema: StructType,
     partCols: Seq[String] = Seq.empty,
     colMap: Map[String, String] = Map.empty,
-    bloomCols: Seq[String] = Seq.empty) extends DataWriterFactory {
+    bloomCols: Seq[String] = Seq.empty,
+    rowGroupBytes: Option[Long] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // partitioned tables fan out per partition tuple here too — an
     // UPDATE that changes a partition column's value moves the row to
     // its new partition naturally (the writer keys on ROW values)
-    val inner = new ManifestWriterFactory(rootStr, schema, partCols, colMap, bloomCols)
-      .createWriter(partitionId, taskId)
+    val inner = new ManifestWriterFactory(rootStr, schema, partCols, colMap,
+      bloomCols, rowGroupBytes).createWriter(partitionId, taskId)
     new DataWriter[InternalRow] {
       private val shifted = new ShiftedInternalRow(1)
       override def write(record: InternalRow): Unit =
@@ -3809,7 +3840,8 @@ private[sources] class ShiftedInternalRow(offset: Int) extends InternalRow {
 class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
     parts: Map[String, String] = Map.empty,
     colMap: Map[String, String] = Map.empty,
-    bloomCols: Seq[String] = Seq.empty)
+    bloomCols: Seq[String] = Seq.empty,
+    rowGroupBytes: Option[Long] = None)
     extends DataWriter[InternalRow] {
   private val root = Paths.get(rootStr)
   private var rows = 0L
@@ -3822,8 +3854,9 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
   private lazy val out = {
     Files.createDirectories(root)
     // data files carry PHYSICAL column names — immutable across renames
-    ManifestParquet.open(root.resolve(fileName),
-      ManifestSink.toPhysicalSchema(schema, colMap))
+    val phys = ManifestSink.toPhysicalSchema(schema, colMap)
+    rowGroupBytes.fold(ManifestParquet.open(root.resolve(fileName), phys))(b =>
+      ManifestParquet.open(root.resolve(fileName), phys, b))
   }
   override def write(record: InternalRow): Unit = {
     out.write(record); rows += 1
@@ -3865,6 +3898,11 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
 
   private var pushedAgg: Option[Aggregation] = None
   private var skipFilters: Array[Filter] = Array.empty
+  // EVERY pushed filter (not just the file-skip-eligible subset): the
+  // scan hands these to the parquet reader for ROW-GROUP-level skipping
+  // inside surviving files — translation eligibility is decided there
+  // (ParquetPredicates), independently of the manifest-stats shapes
+  private var allFilters: Array[Filter] = Array.empty
   private var prunedNames: Option[Set[String]] = None
   private var pushedLimit: Option[Int] = None
 
@@ -4064,6 +4102,7 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
     * cannot give), so we accept them for skipping but report none as
     * fully handled — exactly parquet's row-group-stats contract. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    allFilters = filters
     skipFilters = filters.filter {
       // string equality/IN prunes via per-file blooms (and partition
       // tuples); non-bloom columns stay conservative inside mayMatch
@@ -4200,6 +4239,7 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
         streamEnd = changes.map(_._2).getOrElse(-1L),
         maxVersionsPerTrigger = maxVersionsPerTrigger,
         colMap = colMap, evolved = evolved,
+        dataFilters = allFilters.toSeq,
         // rewrite scans re-record their file set whenever a runtime
         // group filter narrows it, so the replacing commit swaps
         // exactly the files that were read (see ManifestScan.filter)
@@ -4255,7 +4295,8 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     partCols: Seq[String] = Seq.empty,
     streamable: Boolean = true,
     runtimeFilterable: Boolean = true,
-    cdcSlices: Option[() => Seq[ManifestSink.CdcSlice]] = None)
+    cdcSlices: Option[() => Seq[ManifestSink.CdcSlice]] = None,
+    dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   // resolved on first BATCH use only — a pure streaming read never
@@ -4441,7 +4482,22 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
       columnar = schema.nonEmpty && cdcSlices.isEmpty &&
         !schema.fieldNames.contains(ManifestSink.FileNameColumn) &&
         resolved.forall(e => e.name.endsWith(".parquet") && e.dvName.isEmpty),
-      colMap = colMap, evolved = evolved)
+      colMap = colMap, evolved = evolved,
+      // row-group-level predicate pushdown inside surviving files —
+      // translated ONCE on the driver, shipped serialized (parquet
+      // predicates are Serializable). Withheld from (a) REWRITE scans:
+      // their output rewrites whole files, so dropping a non-matching
+      // row group would DELETE its rows from the table; (b) cdc scans:
+      // delete slices read by physical position; (c) evolved tables:
+      // a file written before an ADD/RENAME/TYPE change may lack the
+      // column or store another type, and parquet's schema validator
+      // throws on mismatch. DV'd / position-emitting partitions are
+      // additionally guarded per-file in the factory (row-group skips
+      // would shift physical positions).
+      rgFilter =
+        if (onRuntimeNarrow.isDefined || cdcSlices.isDefined || evolved) None
+        else ParquetPredicates.translate(dataFilters, fileSchema,
+          c => colMap.getOrElse(c, c)))
 
   override def toMicroBatchStream(checkpointLocation: String): readstreaming.MicroBatchStream = {
     require(streamable, "streaming reads of a BRANCH are not supported — " +
@@ -4584,10 +4640,25 @@ case class ManifestFilePartition(file: String, rows: Long = 0L,
   * ALTER; the read side reconciles. */
 class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
     columnar: Boolean, colMap: Map[String, String] = Map.empty,
-    evolved: Boolean = false) extends PartitionReaderFactory {
+    evolved: Boolean = false,
+    rgFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+    extends PartitionReaderFactory {
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
   private def physical(c: String): String = colMap.getOrElse(c, c)
+
+  /** Row-group filtering applies only where physical row POSITIONS don't
+    * matter: a deletion vector or a cdc emit list addresses rows by
+    * file position, which skipped groups would shift. */
+  private def rgFilterFor(p: ManifestFilePartition)
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] =
+    if (p.dvFile.isEmpty && p.emit == null && p.file.endsWith(".parquet")) rgFilter
+    else None
+
+  /** The pruned schema under PHYSICAL names — what the filtered reader
+    * requests from `ParquetReadSupport`'s clipping. */
+  private lazy val physDataSchema: StructType =
+    StructType(dataSchema.fields.map(f => f.copy(name = physical(f.name))))
 
   // `_file` and `_change_type` are emitted HERE as per-partition
   // constants (each input partition is exactly one data file / change
@@ -4644,8 +4715,13 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
     }
     else filePlan(p.file) match {
       case None => new PartitionReader[InternalRow] {
-        private val reader = ManifestParquet.openRead(p.file,
-          dataSchema.fieldNames.map(physical).toSeq, returnBatches = false)
+        private val reader = rgFilterFor(p) match {
+          case Some(f) =>
+            ManifestParquet.openReadFiltered(p.file, physDataSchema, f,
+              returnBatches = false)
+          case None => ManifestParquet.openRead(p.file,
+            dataSchema.fieldNames.map(physical).toSeq, returnBatches = false)
+        }
         override def next(): Boolean = reader.nextKeyValue()
         override def get(): InternalRow = reader.getCurrentValue.asInstanceOf[InternalRow]
         override def close(): Unit = reader.close()
@@ -4693,8 +4769,13 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
     val p = partition.asInstanceOf[ManifestFilePartition]
     filePlan(p.file) match {
       case None => new PartitionReader[ColumnarBatch] {
-        private val reader = ManifestParquet.openRead(p.file,
-          dataSchema.fieldNames.map(physical).toSeq, returnBatches = true)
+        private val reader = rgFilterFor(p) match {
+          case Some(f) =>
+            ManifestParquet.openReadFiltered(p.file, physDataSchema, f,
+              returnBatches = true)
+          case None => ManifestParquet.openRead(p.file,
+            dataSchema.fieldNames.map(physical).toSeq, returnBatches = true)
+        }
         override def next(): Boolean = reader.nextKeyValue()
         override def get(): ColumnarBatch = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
         override def close(): Unit = reader.close()
