@@ -829,55 +829,103 @@ object ManifestSink {
   // Integer columns prune by min/max; string columns get a per-file
   // bloom filter over their distinct values instead (range stats on
   // strings prune poorly — lexicographic ranges are usually [A..z]).
-  // 1024 bits / 4 probes ≈ 172 base64 chars per (file, column) in the
-  // manifest line; at 50 distinct values per file the false-positive
-  // rate is ~0.2%, so `WHERE cat = 'x'` opens ~only the files that
-  // really hold 'x'. Blooms are PRUNING-ONLY metadata: absence or a
-  // false positive costs a read, never correctness.
+  // Blooms are SIZED BY NDV at write time (the parquet/Iceberg rule): a
+  // fixed size either wastes bytes on near-constant columns or
+  // saturates (fpp→1, silently inert) on high-cardinality ones — the
+  // failure mode that matters exactly at 100 TB file sizes. The writer
+  // keeps the distinct (h1,h2) fingerprints while streaming rows, then
+  // sizes the filter to ~10 bits per distinct value (k=4 → fpp ≈ 1%),
+  // power-of-two, floored at [[MinBloomBits]] and capped at
+  // [[MaxBloomBits]] (128 KB raw — the Iceberg/parquet bloom scale,
+  // carried by entry-group lines / lazy bloom sidecars, not re-read
+  // per query). When even the cap would leave fewer than 4 bits per
+  // value (fpp ≳ 16%) the bloom is OMITTED — absence means may-match,
+  // which is honest; a saturated bloom costs bytes and prunes nothing.
+  // The SIZE is self-describing: the base64 payload's byte length IS
+  // the filter size, so old fixed-1024-bit entries decode unchanged
+  // and no manifest format change is needed. Blooms are PRUNING-ONLY
+  // metadata: absence or a false positive costs a read, never
+  // correctness.
 
-  private[sources] val BloomBits = 1024
+  private[sources] val MinBloomBits = 1024
+  private[sources] val MaxBloomBits = 1 << 20 // 128 KB raw per (file, column)
+  private[sources] val BloomBitsPerNdv = 10 // k=4 → ~1% fpp
   private[sources] val BloomK = 4
 
-  private def bloomProbe(v: String, j: Int): Int = {
-    val h1 = scala.util.hashing.MurmurHash3.stringHash(v, 0x9747b28c)
-    val h2 = scala.util.hashing.MurmurHash3.stringHash(v, 0x85ebca6b) | 1
-    (((h1 + j * h2) & Int.MaxValue) % BloomBits)
+  private def bloomHash1(v: String): Int =
+    scala.util.hashing.MurmurHash3.stringHash(v, 0x9747b28c)
+  private def bloomHash2(v: String): Int =
+    scala.util.hashing.MurmurHash3.stringHash(v, 0x85ebca6b) | 1
+
+  /** Double-hash probe j for a filter of `m` bits. The (h1, h2) pair is
+    * the value's full identity here — the writer stores fingerprints,
+    * not strings, and can therefore build a filter of ANY size from
+    * them after the row stream ends. */
+  private def bloomProbe(h1: Int, h2: Int, j: Int, m: Int): Int =
+    ((h1 + j * h2) & Int.MaxValue) % m
+
+  /** Bits for `ndv` distinct values: next power of two of 10 bits/value
+    * within [min, cap]; None when even the cap can't give 4 bits/value
+    * (the filter would pass ~every probe — publish nothing instead). */
+  private[sources] def bloomSizeFor(ndv: Int): Option[Int] = {
+    if (ndv.toLong * 4 > MaxBloomBits) None
+    else {
+      var m = MinBloomBits
+      while (m < MaxBloomBits && m.toLong < ndv.toLong * BloomBitsPerNdv) m <<= 1
+      Some(m)
+    }
   }
 
   private[sources] def bloomAdd(bits: Array[Long], v: String): Unit = {
+    val m = bits.length * 64
+    val h1 = bloomHash1(v); val h2 = bloomHash2(v)
     var j = 0
     while (j < BloomK) {
-      val bit = bloomProbe(v, j)
+      val bit = bloomProbe(h1, h2, j, m)
       bits(bit >> 6) |= 1L << (bit & 63)
       j += 1
     }
   }
 
   private[sources] def bloomEncode(bits: Array[Long]): String = {
-    val bb = java.nio.ByteBuffer.allocate(BloomBits / 8)
+    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
     bits.foreach(bb.putLong)
     java.util.Base64.getEncoder.encodeToString(bb.array())
   }
 
+  /** Probe: the filter's size comes from the payload itself (byte
+    * length × 8), so filters of every historical size answer. */
   private[sources] def bloomMayContain(b64: String, v: String): Boolean = {
-    val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(b64))
-    val bits = Array.fill(BloomBits / 64)(bb.getLong())
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val bits = Array.fill(bytes.length / 8)(bb.getLong())
+    val m = bytes.length * 8
+    val h1 = bloomHash1(v); val h2 = bloomHash2(v)
     (0 until BloomK).forall { j =>
-      val bit = bloomProbe(v, j)
+      val bit = bloomProbe(h1, h2, j, m)
       (bits(bit >> 6) & (1L << (bit & 63))) != 0L
     }
   }
 
   /** Bitwise OR of member blooms — the lossless merge for compaction
-    * bins (a value in ANY member may be in the merged file). */
-  private[sources] def bloomUnion(b64s: Seq[String]): String = {
-    val acc = new Array[Long](BloomBits / 64)
-    b64s.foreach { b =>
-      val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(b))
-      var i = 0
-      while (i < acc.length) { acc(i) |= bb.getLong(); i += 1 }
+    * bins (a value in ANY member may be in the merged file). Only
+    * EQUAL-size filters share bit positions; a mixed-size bin returns
+    * None and the merged entry publishes no bloom for the column
+    * (may-match — the raw-append rewrite never decodes values, so
+    * re-collection is impossible there; the next CoW rewrite of the
+    * file re-collects real stats). */
+  private[sources] def bloomUnion(b64s: Seq[String]): Option[String] = {
+    val decoded = b64s.map(java.util.Base64.getDecoder.decode)
+    if (decoded.map(_.length).distinct.size != 1) None
+    else {
+      val acc = new Array[Long](decoded.head.length / 8)
+      decoded.foreach { bytes =>
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        var i = 0
+        while (i < acc.length) { acc(i) |= bb.getLong(); i += 1 }
+      }
+      Some(bloomEncode(acc))
     }
-    bloomEncode(acc)
   }
 
   // ---- per-file truncated string min/max bounds -------------------------
@@ -965,11 +1013,20 @@ object ManifestSink {
     private val strCols = schema.fields.zipWithIndex.collect {
       case (f, i) if f.dataType == StringType => (f.name, i)
     }
-    private val bloomAt: Seq[(String, Int, Array[Long])] =
+    // distinct (h1, h2) fingerprints per bloom column, not bits: the
+    // filter is SIZED from the distinct count after the row stream ends
+    // (bloomSizeFor), which a streamed fixed-size bit array cannot do.
+    // Hard-capped: past the omission threshold (4 bits/value at
+    // MaxBloomBits) the column publishes no bloom anyway, so collection
+    // stops — bounded memory per (task, column) at any file size.
+    private val FingerprintCap = MaxBloomBits / 4 + 1
+    // LongMap: unboxed Long keys — the set can reach FingerprintCap
+    // (262k) entries without boxing 262k java.lang.Longs
+    private val bloomAt: Seq[(String, Int, scala.collection.mutable.LongMap[Unit])] =
       bloomCols.flatMap { c =>
         schema.fields.zipWithIndex.collectFirst {
           case (f, i) if f.name == c && f.dataType == StringType =>
-            (c, i, new Array[Long](BloomBits / 64))
+            (c, i, scala.collection.mutable.LongMap.empty[Unit])
         }
       }
     private val mins = scala.collection.mutable.Map.empty[String, Long]
@@ -994,8 +1051,14 @@ object ManifestSink {
             if (utf8Compare(t, m) > 0) t else m)))
         }
       }
-      bloomAt.foreach { case (_, i, bits) =>
-        if (!row.isNullAt(i)) bloomAdd(bits, row.getUTF8String(i).toString)
+      bloomAt.foreach { case (_, i, fps) =>
+        // stop collecting past the omission threshold — the column
+        // cannot publish a useful filter at that cardinality anyway
+        if (!row.isNullAt(i) && fps.size < FingerprintCap) {
+          val v = row.getUTF8String(i).toString
+          val fp = (bloomHash1(v).toLong << 32) | (bloomHash2(v).toLong & 0xffffffffL)
+          fps.update(fp, ())
+        }
       }
     }
 
@@ -1006,7 +1069,26 @@ object ManifestSink {
     def strUppers: Map[String, String] =
       sMax.iterator.flatMap { case (c, v) => strUpperBound(v).map(c -> _) }.toMap
     def blooms: Map[String, String] =
-      bloomAt.map { case (c, _, bits) => c -> bloomEncode(bits) }.toMap
+      bloomAt.flatMap { case (c, _, fps) =>
+        // size from NDV; None (too many distincts for even the cap, or
+        // the capped collection overflowed) → no bloom published
+        val omit = fps.size >= FingerprintCap
+        if (omit) None
+        else bloomSizeFor(fps.size).map { m =>
+          val bits = new Array[Long](m / 64)
+          fps.foreachKey { fp =>
+            val h1 = (fp >>> 32).toInt
+            val h2 = fp.toInt
+            var j = 0
+            while (j < BloomK) {
+              val bit = bloomProbe(h1, h2, j, m)
+              bits(bit >> 6) |= 1L << (bit & 63)
+              j += 1
+            }
+          }
+          c -> bloomEncode(bits)
+        }
+      }.toMap
   }
 
   /** Deletion-vector sidecar files (merge-on-read deletes): one
@@ -2285,14 +2367,19 @@ object ManifestSink {
       } else ManifestParquet.appendMerge(root.resolve(name), bin.map(e => root.resolve(e.name)))
       val statKeys = bin.map(_.mins.keySet).reduce(_ intersect _)
       // blooms merge losslessly by bitwise OR, published only when every
-      // member carried one (same absence rule as the min/max stats);
-      // truncated string bounds merge min-of-lowers / max-of-uppers
+      // member carried one (same absence rule as the min/max stats) AND
+      // the members' NDV-derived sizes agree — mixed sizes share no bit
+      // positions, so the merged entry honestly publishes none (raw
+      // row-group append never decodes values, so re-collection here is
+      // impossible); truncated string bounds merge min-of-lowers /
+      // max-of-uppers
       val bloomKeys = bin.map(_.blooms.keySet).reduce(_ intersect _)
       FileEntry(name, bin.map(_.rows).sum,
         statKeys.map(k => k -> bin.map(_.mins(k)).min).toMap,
         statKeys.map(k => k -> bin.map(_.maxs(k)).max).toMap,
         bin.head.parts,
-        blooms = bloomKeys.map(k => k -> bloomUnion(bin.map(_.blooms(k)))).toMap,
+        blooms = bloomKeys.toSeq.flatMap(k =>
+          bloomUnion(bin.map(_.blooms(k))).map(k -> _)).toMap,
         slows = mergeStrLowers(bin.map(_.slows)),
         sups = mergeStrUppers(bin.map(_.sups)))
     }

@@ -104,6 +104,81 @@ class BloomSkipSpec extends AnyFunSuite {
       "rewritten bloom must reflect surviving rows only")
   }
 
+  test("blooms size by NDV: a 10^5-distinct-value file still prunes (fpp < 5%)") {
+    // the round-9 `weak`: a fixed 1024-bit filter saturates (fpp → 1)
+    // at production distinct counts — correct but silently inert at
+    // exactly the scale it exists for. NDV sizing keeps ~10 bits per
+    // distinct value, so the measured false-positive rate stays ~1%.
+    create("big")
+    val n = 100000L
+    spark.range(0, n).select($"id", concat(lit("u-"), $"id").as("cat"))
+      .coalesce(1).writeTo("bcat.db.big").append()
+    val bloom = entries("big").head.blooms("cat")
+    val bits = java.util.Base64.getDecoder.decode(bloom).length * 8
+    assert(bits >= n * 4, s"filter has $bits bits for $n distinct values — saturated")
+    assert(bits <= ManifestSink.MaxBloomBits)
+    val probes = 10000
+    val fps = (0 until probes).count(i =>
+      ManifestSink.bloomMayContain(bloom, s"absent-$i"))
+    assert(fps.toDouble / probes < 0.05,
+      s"measured fpp ${fps.toDouble / probes} at $n NDV — bloom is inert")
+    // and present values always pass (no false negatives, ever)
+    assert(Seq(0L, 1L, n / 2, n - 1).forall(i =>
+      ManifestSink.bloomMayContain(bloom, s"u-$i")))
+  }
+
+  test("low-NDV files keep the compact floor size; sizes are self-describing") {
+    create("small")
+    insertCat("small", 0, 10, "alpha") // 1 distinct value
+    val bloom = entries("small").head.blooms("cat")
+    assert(java.util.Base64.getDecoder.decode(bloom).length * 8
+      == ManifestSink.MinBloomBits,
+      "a near-constant column must not pay a big filter")
+    // legacy fixed-1024-bit payloads (pre-NDV-sizing manifests) decode
+    // through the same probe — the byte length IS the size, no format
+    // version bump
+    val legacy = new Array[Long](ManifestSink.MinBloomBits / 64)
+    ManifestSink.bloomAdd(legacy, "old-value")
+    val b64 = ManifestSink.bloomEncode(legacy)
+    assert(ManifestSink.bloomMayContain(b64, "old-value"))
+    assert(!ManifestSink.bloomMayContain(b64, "definitely-absent-xyz"))
+  }
+
+  test("mixed-size compaction bins publish no bloom (honest absence, scan exact)") {
+    create("mix")
+    insertCat("mix", 0, 20, "alpha") // 1 distinct → floor-size filter
+    spark.range(0, 20000)
+      .select($"id", concat(lit("v-"), $"id").as("cat"))
+      .coalesce(1).writeTo("bcat.db.mix").append() // 20k distinct → bigger filter
+    val sizes = entries("mix").map(e =>
+      java.util.Base64.getDecoder.decode(e.blooms("cat")).length).distinct
+    assert(sizes.size == 2, s"fixture wants two filter sizes, got $sizes")
+    ManifestSink.compact(root("mix").toString, targetRows = 50000L)
+    val merged = entries("mix")
+    assert(merged.size == 1, s"expected one merged file, got ${merged.size}")
+    // different sizes share no bit positions: OR would be garbage, so
+    // the merged entry carries none — and absence means may-match, so
+    // the scan stays exact
+    assert(!merged.head.blooms.contains("cat"),
+      "mixed-size bloom union must publish NOTHING, not a wrong filter")
+    assert(spark.table("bcat.db.mix").filter($"cat" === "alpha").count() == 20L)
+    assert(spark.table("bcat.db.mix").filter($"cat" === "v-19999").count() == 1L)
+  }
+
+  test("beyond the cap's useful range the bloom is omitted entirely") {
+    // > MaxBloomBits/4 distinct values: even a 128 KB filter would pass
+    // ~every probe; the entry must carry NO bloom instead of a
+    // saturated one that costs manifest bytes and prunes nothing
+    create("huge")
+    val n = ManifestSink.MaxBloomBits / 4 + 5000
+    spark.range(0, n).select($"id", concat(lit("h-"), $"id").as("cat"))
+      .coalesce(1).writeTo("bcat.db.huge").append()
+    assert(!entries("huge").head.blooms.contains("cat"),
+      "a bloom at this NDV would be saturated — omit, don't publish")
+    // absence is may-match: the scan still answers exactly
+    assert(spark.table("bcat.db.huge").filter($"cat" === "h-7").count() == 1L)
+  }
+
   test("RENAME COLUMN moves the bloom column registration and per-file blooms") {
     create("rn")
     insertCat("rn", 0, 5, "alpha")

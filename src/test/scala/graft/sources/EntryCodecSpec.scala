@@ -19,7 +19,7 @@ class EntryCodecSpec extends AnyFunSuite {
       Map("id" -> 1L, "v" -> -7L), Map("id" -> 9L, "v" -> 100L),
       Map("grp" -> "a b", "day" -> "2024-01-01"))
     val bloom = {
-      val bits = new Array[Long](ManifestSink.BloomBits / 64)
+      val bits = new Array[Long](ManifestSink.MinBloomBits / 64)
       ManifestSink.bloomAdd(bits, "hello")
       ManifestSink.bloomEncode(bits) // base64 — may contain '=' padding
     }
@@ -39,7 +39,7 @@ class EntryCodecSpec extends AnyFunSuite {
   }
 
   test("bloom membership survives the encode/decode round trip") {
-    val bits = new Array[Long](ManifestSink.BloomBits / 64)
+    val bits = new Array[Long](ManifestSink.MinBloomBits / 64)
     Seq("alpha", "beta", "x=y,z").foreach(ManifestSink.bloomAdd(bits, _))
     val b64 = ManifestSink.bloomEncode(bits)
     val e = FileEntry("f.parquet", 1L, Map.empty, Map.empty,
