@@ -153,16 +153,18 @@ object SimilarityOps {
         .orderBy("vec_a", "vec_b")
     }),
 
-    // IVF-style ANN: a coarse quantizer (centroids chosen deterministically
-    // — first NumCentroids vectors, standing in for a k-means codebook)
-    // partitions the corpus into inverted lists; each probe searches only
-    // the lists of its 2 nearest centroids (nprobe=2), then exact cosine
+    // IVF-style ANN: the coarse quantizer is the TRAINED k-means
+    // codebook (q139's Lloyd output read from the codebook manifest
+    // table) — real inverted lists, not the historical "first k
+    // vectors" stand-in. Each vector joins the broadcast codebook and
+    // lands in its argmax-cosine list; each probe searches only the
+    // lists of its 2 nearest centroids (nprobe=2), then exact cosine
     // re-ranks. At 100 TB the inverted lists are the partition key: one
     // shuffle by centroid, probes broadcast, per-list scans stay local.
     "q48_ivf_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val cents = emb.filter(col("vec_id") < NumCentroids)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("centroid"))
+      val cents = trainedCents(s, dir)
+        .select(col("cluster").as("cent_id"), col("centroid"))
       // assign every vector to its nearest centroid by max cosine
       // (deterministic tie-break on cent_id)
       val wAssign = Window.partitionBy("vec_id")
@@ -192,18 +194,18 @@ object SimilarityOps {
         .orderBy("vec_id")
     }),
 
-    // k-means assignment step (one Lloyd iteration against a fixed
-    // codebook — the first NumCentroids vectors, as q48): every vector
-    // joins the broadcast centroids, argmax cosine assigns it, then a
-    // per-cluster rollup. The update step's float mean is deliberately
-    // NOT emitted (float sums are order-dependent across engines);
-    // cluster cohesion is reported as the order-independent integer sum
-    // of per-vector similarity basis points instead. One broadcast join
-    // + one keyed aggregate: linear at any corpus size.
+    // k-means assignment step against the TRAINED codebook (q139's
+    // Lloyd output, read from the codebook manifest table): every
+    // vector joins the broadcast centroids, argmax cosine assigns it,
+    // then a per-cluster rollup. The update step's float mean is
+    // deliberately NOT emitted (float sums are order-dependent across
+    // engines); cluster cohesion is reported as the order-independent
+    // integer sum of per-vector similarity basis points instead. One
+    // broadcast join + one keyed aggregate: linear at any corpus size.
     "q106_kmeans_assign" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val cents = emb.filter(col("vec_id") < NumCentroids)
-        .select(col("vec_id").as("cluster"), col("embedding").as("centroid"))
+      val cents = trainedCents(s, dir)
+        .select(col("cluster"), col("centroid"))
       val wAssign = Window.partitionBy("vec_id")
         .orderBy(col("csim").desc, col("cluster"))
       emb.join(broadcast(cents))
@@ -235,9 +237,9 @@ object SimilarityOps {
     // all-pairs. */
     "q134_semantic_dedup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val cents = emb.filter(col("vec_id") < centroidsFor(s))
-        .select(col("vec_id").as("cluster"), col("embedding").as("centroid"))
-      semanticDedup(emb, cents, SemDedupTau, clusterCapFor(s))
+      // the codebook is the TRAINED one (q139 via codebookTable);
+      // centroidsFor still sizes it — SemDeDup wants k ∝ N
+      semanticDedup(emb, trainedCents(s, dir), SemDedupTau, clusterCapFor(s))
     }),
 
     // k-means TRAINING (Lloyd iterations) — builds the codebook q106/q48/
@@ -551,13 +553,23 @@ object SimilarityOps {
     * an oracle mismatch pinpoints whether assignment or update diverged.
     * Empty clusters keep their previous centroid (left-join + coalesce),
     * never resurrect a driver-side value. */
-  private[graft] def kmeansTrain(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** Milli-unit quantization of the embedding corpus — the integer
+    * representation every Lloyd step works in. */
+  private[graft] def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => (round(x.cast("double") * 1000) + 1000).cast("long")).as("qvec"))
+
+  /** The Lloyd loop itself, factored so TRAINING (q139) and the
+    * CODEBOOK CONSUMERS (q106/q48/q134 via [[codebookTable]]) share one
+    * definition. Returns (final centroids (cluster, cvec), final
+    * assignment (vec_id, cluster, qvec, d2)). */
+  private[graft] def kmeansFit(emb: DataFrame, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
     import graft.functions.HashFunctions.md5Code60
     // nonnegative milli-unit quantization: components sit in (-1, 1), so
     // +1000 keeps every cell >= 0 and `sum div n` truncation engine-safe
-    val qemb = emb.select(col("vec_id"),
-        transform(col("embedding"),
-          x => (round(x.cast("double") * 1000) + 1000).cast("long")).as("qvec"))
+    val qemb = quantized(emb)
       .localCheckpoint() // the stationary input of every iteration
     val wSeed = Window.orderBy(col("hk"), col("vec_id"))
     var cents = qemb
@@ -590,6 +602,11 @@ object SimilarityOps {
         .select(col("cluster"), coalesce(col("newvec"), col("oldvec")).as("cvec"))
         .localCheckpoint()
     }
+    (cents, assigned)
+  }
+
+  private[graft] def kmeansTrain(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val (cents, assigned) = kmeansFit(emb, k, iters)
     val stats = assigned.groupBy("cluster").agg(
       count(lit(1)).as("n"),
       min(col("vec_id")).as("min_vec"),
@@ -601,10 +618,52 @@ object SimilarityOps {
     stats.join(broadcast(sums), Seq("cluster")).orderBy("cluster")
   }
 
-  /** q139's oracle: the same integer Lloyd loop, unrolled to [[KmIters]]
-    * CTE rounds in long (cluster, dim, c) form — the representation
-    * differs from Spark's wide arrays but every integer is the same. */
-  private def kmeansTrainSql: String = {
+  /** Once-per-(application, sf-dir) TRAINED CODEBOOK at rest: q139's
+    * Lloyd output persisted as a manifest table — (cluster, quantized
+    * centroid cells) — so the codebook consumers (q106 assignment, q48
+    * IVF coarse quantizer, q134 SemDeDup) read the REAL trained
+    * centroids instead of the "first k vectors" stand-in. The table is
+    * the composition seam a production pipeline has anyway: train once,
+    * publish the codebook, every downstream job reads it by name. */
+  private val codebookBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String, Int)]()
+  private[graft] def codebookTable(s: SparkSession, dir: String): String = {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+      s.sparkContext.applicationId
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val ns = s"db${Integer.toHexString(dir.hashCode)}"
+    val k = centroidsFor(s) // k in the memo key AND the name: a session
+                            // retune trains a NEW codebook, never reuses
+    if (codebookBuilt.add((s.sparkContext.applicationId, dir, k))) {
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      s.sql(s"CREATE TABLE graft.$ns.codebook_k$k (cluster BIGINT, cvec ARRAY<BIGINT>)")
+      val (cents, _) = kmeansFit(Tables.embeddings(s, dir), k, KmIters)
+      cents.writeTo(s"graft.$ns.codebook_k$k").append()
+    }
+    s"graft.$ns.codebook_k$k"
+  }
+
+  /** The trained codebook dequantized for cosine consumers:
+    * (cluster, centroid ARRAY<FLOAT>). Every value derives from the
+    * stored integers by the same two IEEE ops in any engine
+    * ((c−1000)/1000.0 then narrow to float), so the DuckDB oracle
+    * reproduces the centroids bit-for-bit from its own replay of the
+    * training rounds. */
+  private[graft] def trainedCents(s: SparkSession, dir: String): DataFrame =
+    s.table(codebookTable(s, dir)).select(col("cluster"),
+      transform(col("cvec"),
+        c => ((c - lit(1000L)).cast("double") / lit(1000.0)).cast("float"))
+        .as("centroid"))
+
+  /** The integer Lloyd loop unrolled to [[KmIters]] CTE rounds in long
+    * (cluster, dim, c) form — the representation differs from Spark's
+    * wide arrays but every integer is the same. Shared verbatim by the
+    * q139 oracle AND (through [[trainedCentsSql]]) the q48/q106/q134
+    * oracles, which replay the SAME training the Spark side reads from
+    * the codebook table. Ends with a$KmIters (final assignment) and
+    * c$KmIters (final centroids). */
+  private def kmeansCtesSql: String = {
     import graft.functions.HashFunctions.md5Code60Sql
     val hk = md5Code60Sql("'km:' || CAST(vec_id AS VARCHAR)")
     def round(i: Int): String = {
@@ -625,8 +684,7 @@ object SimilarityOps {
          |  SELECT p.cluster, p.dim, coalesce(u.c, p.c) AS c
          |  FROM $prev p LEFT JOIN u$i u USING (cluster, dim))""".stripMargin
     }
-    val t = KmIters
-    s"""WITH qv AS (
+    s"""qv AS (
        |  SELECT vec_id, d.d AS dim,
        |    CAST(round(CAST(embedding[d.d] AS DOUBLE) * 1000) AS BIGINT) + 1000 AS x
        |  FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS d) d),
@@ -635,7 +693,25 @@ object SimilarityOps {
        |  FROM (SELECT vec_id, $hk AS h FROM embeddings)
        |  ORDER BY h, vec_id LIMIT $NumCentroids),
        |c0 AS (SELECT s.cluster, q.dim, q.x AS c FROM seeds s JOIN qv q USING (vec_id)),
-       |${(1 to t).map(round).mkString(",\n")}
+       |${(1 to KmIters).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  /** CTE prefix ending in `cents(cluster, centroid)`: the TRAINED
+    * dequantized codebook — (c−1000)/1000.0 narrowed to REAL, the same
+    * two IEEE ops Spark's [[trainedCents]] applies to the same stored
+    * integers, so both engines score against bit-identical floats. */
+  private def trainedCentsSql: String =
+    s"""$kmeansCtesSql,
+       |cents AS (
+       |  SELECT cluster,
+       |    list(CAST(CAST(c - 1000 AS DOUBLE) / 1000.0 AS REAL) ORDER BY dim)
+       |      AS centroid
+       |  FROM c$KmIters GROUP BY cluster)""".stripMargin
+
+  /** q139's oracle: the shared Lloyd rounds + final stats. */
+  private def kmeansTrainSql: String = {
+    val t = KmIters
+    s"""WITH $kmeansCtesSql
        |SELECT s1.cluster, s1.n, s1.min_vec, s1.max_vec, s1.inertia_q,
        |  s2.csum, s2.cnorm2
        |FROM (
@@ -701,9 +777,8 @@ object SimilarityOps {
          |WHERE score >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
 
     "q48_ivf_ann" ->
-      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS centroid
-         |  FROM embeddings WHERE vec_id < $NumCentroids),
-         |sim AS (SELECT e.vec_id, e.embedding, c.cent_id,
+      s"""WITH $trainedCentsSql,
+         |sim AS (SELECT e.vec_id, e.embedding, c.cluster AS cent_id,
          |    ${cosSql("e.embedding", "c.centroid")} AS csim
          |  FROM embeddings e CROSS JOIN cents c),
          |a AS (SELECT vec_id, embedding, cent_id,
@@ -729,8 +804,7 @@ object SimilarityOps {
          |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "q106_kmeans_assign" ->
-      s"""WITH cents AS (SELECT vec_id AS cluster, embedding AS centroid
-         |  FROM embeddings WHERE vec_id < $NumCentroids),
+      s"""WITH $trainedCentsSql,
          |sim AS (SELECT e.vec_id, e.label, c.cluster,
          |    ${cosSql("e.embedding", "c.centroid")} AS csim
          |  FROM embeddings e CROSS JOIN cents c),
@@ -745,8 +819,7 @@ object SimilarityOps {
          |FROM a WHERE crn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     "q134_semantic_dedup" ->
-      s"""WITH cents AS (SELECT vec_id AS cluster, embedding AS centroid
-         |  FROM embeddings WHERE vec_id < $NumCentroids),
+      s"""WITH $trainedCentsSql,
          |sim AS (SELECT e.vec_id, e.embedding, c.cluster,
          |    ${cosSql("e.embedding", "c.centroid")} AS csim
          |  FROM embeddings e CROSS JOIN cents c),

@@ -85,4 +85,29 @@ class KmeansTrainSpec extends AnyFunSuite {
       emb.orderBy($"vec_id".desc), K, Iters).collect().toSeq
     assert(a == b)
   }
+
+  test("the trained codebook beats the first-k stand-in (inertia strictly lower)") {
+    import org.apache.spark.sql.functions._
+    // trained: sum of per-vector squared distances under the Lloyd
+    // assignment (q139's inertia_q column)
+    val trained = SimilarityOps.kmeansTrain(
+      graft.engine.Tables.embeddings(spark, TestSpark.sfDir),
+      SimilarityOps.NumCentroids, SimilarityOps.KmIters)
+      .agg(sum(col("inertia_q"))).collect().head.getLong(0)
+    // stand-in: the historical "first k vectors" codebook, scored on
+    // the same quantized cells with the same argmin rule
+    val q = SimilarityOps.quantized(
+      graft.engine.Tables.embeddings(spark, TestSpark.sfDir))
+    val standCents = q.filter(col("vec_id") < SimilarityOps.NumCentroids)
+      .select(col("vec_id").as("cluster"), col("qvec").as("cvec"))
+    val standIn = q.join(broadcast(standCents))
+      .withColumn("d2", aggregate(
+        zip_with(col("qvec"), col("cvec"), (x, c) => (x - c) * (x - c)),
+        lit(0L), (acc, v) => acc + v))
+      .groupBy("vec_id").agg(min(col("d2")).as("d2"))
+      .agg(sum(col("d2"))).collect().head.getLong(0)
+    assert(trained < standIn,
+      s"trained inertia $trained must beat the first-k stand-in $standIn — " +
+        "otherwise the codebook consumers gained nothing from training")
+  }
 }
