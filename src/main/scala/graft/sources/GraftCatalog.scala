@@ -144,28 +144,85 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    // identity transforms only (PARTITIONED BY (col)): bucket/days/etc
-    // would need value derivation at write AND prune time; identity
-    // covers the warehouse-standard layouts and stays exact
-    val partCols = partitions.map { t =>
-      require(t.name == "identity" && t.references.length == 1 &&
+    // identity + the two EXACT hidden-partitioning transforms
+    // (PARTITIONED BY (col) / days(col) / truncate(W, col)): each
+    // admitted transform covers a contiguous interval of the source
+    // domain, so file pruning and metadata-only DELETE proofs stay
+    // exact. bucket(N) stays rejected — a hash bucket proves nothing
+    // about a range predicate, which would break evalPartFilter's
+    // exact-decision contract.
+    def refCol(t: Transform): String = {
+      require(t.references.length == 1 &&
           t.references()(0).fieldNames.length == 1,
-        s"manifest tables support only identity partition transforms, got $t")
-      t.references()(0).fieldNames()(0)
-    }.toSeq
-    partCols.foreach { c =>
+        s"partition transform $t must reference exactly one top-level column")
+      val c = t.references()(0).fieldNames()(0)
+      // the spec header encodes transforms as `days(c)` tokens; a column
+      // name carrying parens would be ambiguous with a token
+      require(!c.contains("(") && !c.contains(")"),
+        s"partition column name '$c' may not contain parentheses")
+      c
+    }
+    def fieldOf(c: String) = {
       val f = schema.fields.find(_.name == c)
       require(f.isDefined, s"partition column $c is not in the table schema")
-      // the partition-value codec (writer fan-out, pruning literals,
-      // zorder group filters) covers exactly these types — reject the
-      // rest at CREATE instead of failing every subsequent INSERT
-      val ok = Set[org.apache.spark.sql.types.DataType](
-        LongType, IntegerType, StringType, BooleanType,
-        org.apache.spark.sql.types.DoubleType)
-      require(ok(f.get.dataType),
-        s"partition column $c has unsupported type ${f.get.dataType.simpleString} " +
-          "(supported: BIGINT, INT, STRING, BOOLEAN, DOUBLE)")
+      f.get
     }
+    def widthArg(t: Transform): Long = {
+      val lits = t.arguments().collect {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value() match {
+            case i: java.lang.Integer => i.longValue()
+            case l2: java.lang.Long => l2.longValue()
+            case other => throw new IllegalArgumentException(
+              s"truncate width must be an integer literal, got $other")
+          }
+      }
+      require(lits.length == 1, s"truncate needs exactly one width argument: $t")
+      require(lits.head > 0, s"truncate width must be positive, got ${lits.head}")
+      lits.head
+    }
+    val partSpec: Seq[ManifestSink.PartTransform] = partitions.map { t =>
+      t.name match {
+        case "identity" =>
+          val c = refCol(t)
+          // the partition-value codec (writer fan-out, pruning literals,
+          // zorder group filters) covers exactly these types — reject the
+          // rest at CREATE instead of failing every subsequent INSERT
+          val ok = Set[org.apache.spark.sql.types.DataType](
+            LongType, IntegerType, StringType, BooleanType,
+            org.apache.spark.sql.types.DoubleType)
+          require(ok(fieldOf(c).dataType),
+            s"partition column $c has unsupported type " +
+              s"${fieldOf(c).dataType.simpleString} " +
+              "(supported: BIGINT, INT, STRING, BOOLEAN, DOUBLE)")
+          ManifestSink.PIdentity(c)
+        case "days" =>
+          val c = refCol(t)
+          require(fieldOf(c).dataType == LongType,
+            s"days($c) requires a BIGINT epoch-microsecond column; " +
+              s"$c is ${fieldOf(c).dataType.simpleString}")
+          ManifestSink.PDays(c)
+        case "truncate" =>
+          val c = refCol(t)
+          val w = widthArg(t)
+          fieldOf(c).dataType match {
+            case LongType | IntegerType => ManifestSink.PTruncInt(c, w)
+            case StringType =>
+              require(w <= Int.MaxValue, s"truncate length $w out of range")
+              ManifestSink.PTruncStr(c, w.toInt)
+            case other => throw new IllegalArgumentException(
+              s"truncate($w, $c) requires BIGINT/INT/STRING; $c is " +
+                other.simpleString)
+          }
+        case other => throw new IllegalArgumentException(
+          s"manifest tables support identity, days and truncate partition " +
+            s"transforms, got $other($t) — bucket is rejected by design " +
+            "(hash buckets break exact range pruning)")
+      }
+    }.toSeq
+    val partCols = partSpec.map(_.col)
+    require(partCols.distinct.size == partCols.size,
+      s"each column may appear once in the partition spec: $partCols")
     ManifestSink.requireSafeColumnNames(schema)
     // TBLPROPERTIES ('delete.mode' = 'merge-on-read'): row deletes write
     // positional deletion vectors instead of copy-on-write rewrites
@@ -206,7 +263,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     val userProps = properties.asScala.toMap
       .filter { case (k, _) => !ManifestSink.reservedProp(k) }
     ManifestSink.publishCommit(p, schema, truncateFirst = true, Seq.empty,
-      markerUpdate = None, GcPolicy(None, 3600L * 1000), createPartCols = partCols,
+      markerUpdate = None, GcPolicy(None, 3600L * 1000), createPartSpec = partSpec,
       createDeleteMode = deleteMode, createBloomCols = bloomCols,
       createSortCols = sortCols, createProps = userProps)
     new ManifestTable(p, schema)

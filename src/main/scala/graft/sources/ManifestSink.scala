@@ -1154,25 +1154,107 @@ object ManifestSink {
       val Array(k, v) = kv.split("=", 2); (urlDec(k), urlDec(v))
     }.toMap
 
+  // ---- hidden partitioning: partition-spec transforms -------------------
+  //
+  // The Iceberg idea (public): a partition FIELD is a TRANSFORM of a
+  // source column, not necessarily the column itself — `days(ts)` lays
+  // a 100 TB event table out by day while queries keep filtering the
+  // raw `ts`; `truncate` groups by integer width or string prefix. Only
+  // transforms whose partition-value → predicate decision is EXACTLY
+  // decidable are admitted (each covers a contiguous interval of the
+  // source domain, so range logic is preserved) — `bucket(N)` stays
+  // rejected because a hash bucket proves nothing about a range, which
+  // would break [[evalPartFilter]]'s exact-decision contract that
+  // metadata-only DELETE ([[partProven]]) relies on. The source column
+  // is stored in data files like any other column (hidden partitioning:
+  // readers never see the derived value), so every filter still
+  // re-applies row-level and pruning exactness is the only new burden.
+
+  private[sources] val MicrosPerDay = 86400000000L
+
+  private[sources] sealed trait PartTransform extends Serializable {
+    def col: String
+    def withCol(c: String): PartTransform
+    /** Canonical header token (identity = the bare column name, the
+      * pre-transform format — old manifests parse unchanged). */
+    def token: String
+  }
+  private[sources] case class PIdentity(col: String) extends PartTransform {
+    def withCol(c: String): PartTransform = copy(col = c)
+    def token: String = col
+  }
+  /** Epoch-microsecond LONG column → day number (floorDiv keeps the
+    * covered interval [d·U, (d+1)·U) valid for negative instants). */
+  private[sources] case class PDays(col: String) extends PartTransform {
+    def withCol(c: String): PartTransform = copy(col = c)
+    def token: String = s"days($col)"
+  }
+  /** Integer width truncation: value → value − floorMod(value, w),
+    * covering [base, base + w). */
+  private[sources] case class PTruncInt(col: String, w: Long) extends PartTransform {
+    def withCol(c: String): PartTransform = copy(col = c)
+    def token: String = s"trunci($w,$col)"
+  }
+  /** String prefix truncation to n CODE POINTS (UTF-8 order preserved:
+    * a prefix lower-bounds every extension; [[incrementCp]] upper-bounds
+    * them — the same monotonicity argument as the truncated file
+    * bounds). */
+  private[sources] case class PTruncStr(col: String, n: Int) extends PartTransform {
+    def withCol(c: String): PartTransform = copy(col = c)
+    def token: String = s"truncs($n,$col)"
+  }
+
+  private val PartTokenDays = """days\((.+)\)""".r
+  private val PartTokenTruncI = """trunci\((\d+),(.+)\)""".r
+  private val PartTokenTruncS = """truncs\((\d+),(.+)\)""".r
+  private[sources] def parsePartToken(t: String): PartTransform = t match {
+    case PartTokenDays(c) => PDays(c)
+    case PartTokenTruncI(w, c) => PTruncInt(c, w.toLong)
+    case PartTokenTruncS(n, c) => PTruncStr(c, n.toInt)
+    case c => PIdentity(c)
+  }
+
+  /** Apply a transform to a row's raw canonical value, producing the
+    * PARTITION value's canonical string. Null propagates (a null source
+    * is a null partition value for every transform). */
+  private[sources] def transformValue(t: PartTransform, raw: String): String =
+    if (raw == NullPartValue) NullPartValue
+    else t match {
+      case PIdentity(_) => raw
+      case PDays(_) => Math.floorDiv(raw.toLong, MicrosPerDay).toString
+      case PTruncInt(_, w) => (raw.toLong - Math.floorMod(raw.toLong, w)).toString
+      case PTruncStr(_, n) => truncCp(raw, n)
+    }
+
   /** Table-level partition column list, one manifest header line —
-    * `#partcols<TAB>c1,c2`. Set at CREATE, carried verbatim by every
-    * subsequent publish (partitioning is table structure, not commit
-    * payload). */
+    * `#partcols<TAB>tok1,tok2` where each token is a transform
+    * ([[PartTransform.token]]; a bare name = identity, so manifests
+    * written before transforms existed parse unchanged). Set at CREATE,
+    * carried verbatim by every subsequent publish (partitioning is
+    * table structure, not commit payload). */
   private val PartColsPrefix = "#partcols\t"
 
   private[sources] def partColsLine(cols: Seq[String]): Option[String] =
-    if (cols.isEmpty) None else Some(PartColsPrefix + cols.map(urlEnc).mkString(","))
+    partSpecLine(cols.map(PIdentity))
 
-  private[sources] def partitionColumns(root: Path,
-      pinned: Option[Long] = None): Seq[String] = {
+  private[sources] def partSpecLine(spec: Seq[PartTransform]): Option[String] =
+    if (spec.isEmpty) None
+    else Some(PartColsPrefix + spec.map(t => urlEnc(t.token)).mkString(","))
+
+  private[sources] def partitionSpec(root: Path,
+      pinned: Option[Long] = None): Seq[PartTransform] = {
     val v = resolveVersion(root, pinned)
     if (v == 0L) Seq.empty
     else Files.readString(manifestAt(root, v)).linesIterator.drop(1)
       .find(_.startsWith(PartColsPrefix))
       .map(_.stripPrefix(PartColsPrefix).split(",").toSeq
-        .filter(_.nonEmpty).map(urlDec))
+        .filter(_.nonEmpty).map(t => parsePartToken(urlDec(t))))
       .getOrElse(Seq.empty)
   }
+
+  private[sources] def partitionColumns(root: Path,
+      pinned: Option[Long] = None): Seq[String] =
+    partitionSpec(root, pinned).map(_.col)
 
   /** Column mapping (the Delta column-mapping shape): logical (current
     * SQL) name → PHYSICAL name, the immutable name a column carries
@@ -1337,7 +1419,8 @@ object ManifestSink {
     * metadata-only on its word. A stored value that does not parse under
     * the literal's type answers None (undecidable), never a guess. */
   private[sources] def evalPartFilter(f: org.apache.spark.sql.sources.Filter,
-      parts: Map[String, String]): Option[Boolean] = {
+      parts: Map[String, String],
+      tf: Map[String, PartTransform] = Map.empty): Option[Boolean] = {
     import org.apache.spark.sql.sources._
     def pv(c: String): Option[String] = parts.get(c)
     // Exactness demands ROW-level comparison semantics, not JVM ones:
@@ -1347,7 +1430,21 @@ object ManifestSink {
     def utf8Cmp(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
       a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def bytePrefix(s: String, pre: String): Boolean = {
+      val sb = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val pb = pre.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      pb.length <= sb.length && java.util.Arrays.equals(
+        sb, 0, pb.length, pb, 0, pb.length)
+    }
     def normZero(d: Double): Double = if (d == 0.0d) 0.0d else d
+    // A NullPartValue tuple decides NOTHING for comparison shapes: the
+    // rows' column is NULL, so the predicate is UNKNOWN per row — and
+    // the tri-state here conflates "no row TRUE" with that, which
+    // Not(...) would then flip into a WRONG "every row TRUE" proof
+    // (partProven metadata-deletes on Some(true); NOT (c IN ...) over
+    // null rows is UNKNOWN, not TRUE). Only IsNull / IsNotNull /
+    // null-safe equality — predicates that are never UNKNOWN — decide
+    // on a null tuple.
     def cmpPart(c: String, v: Any)(p: Int => Boolean): Option[Boolean] =
       pv(c).filter(_ != NullPartValue).flatMap { x =>
         val cmp: Option[Int] = v match {
@@ -1362,27 +1459,131 @@ object ManifestSink {
         }
         cmp.map(p)
       }
+    // ---- transformed-column interval decisions ---------------------------
+    // A transformed partition value covers a CONTIGUOUS interval of the
+    // source domain; range predicates decide exactly from the interval's
+    // bounds, equality decides false outside (and true only for a
+    // singleton interval). All string order is UTF-8 bytes.
+    sealed trait Op
+    case object OpEq extends Op; case object OpGt extends Op
+    case object OpGte extends Op; case object OpLt extends Op
+    case object OpLte extends Op
+    def longInterval(lo: Long, width: Long, v: Long, op: Op): Option[Boolean] = {
+      val hiOpt: Option[Long] =
+        if (lo > Long.MaxValue - width) None else Some(lo + width)
+      op match {
+        case OpEq =>
+          if (v < lo || hiOpt.exists(h => v >= h)) Some(false)
+          else if (hiOpt.contains(lo + 1L)) Some(true) // singleton: rows == lo == v
+          else None
+        case OpGt =>
+          if (lo > v) Some(true)
+          else if (hiOpt.exists(h => h - 1L <= v)) Some(false)
+          else None
+        case OpGte =>
+          if (lo >= v) Some(true)
+          else if (hiOpt.exists(h => h <= v)) Some(false)
+          else None
+        case OpLt =>
+          if (hiOpt.exists(h => h <= v)) Some(true)
+          else if (lo >= v) Some(false)
+          else None
+        case OpLte =>
+          if (hiOpt.exists(h => h - 1L <= v)) Some(true)
+          else if (lo > v) Some(false)
+          else None
+      }
+    }
+    def strPrefixCmp(p: String, n: Int, v: String, op: Op): Option[Boolean] =
+      if (p.codePointCount(0, p.length) < n) {
+        // truncation dropped nothing: every row in this partition IS p
+        val c = utf8Cmp(p, v)
+        Some(op match {
+          case OpEq => c == 0; case OpGt => c > 0; case OpGte => c >= 0
+          case OpLt => c < 0; case OpLte => c <= 0
+        })
+      } else {
+        val ub = incrementCp(p) // exclusive upper bound, when one exists
+        op match {
+          case OpEq => if (truncCp(v, n) != p) Some(false) else None
+          case OpGt =>
+            if (utf8Cmp(p, v) > 0) Some(true)
+            else if (ub.exists(u => utf8Cmp(u, v) <= 0)) Some(false)
+            else None
+          case OpGte =>
+            if (utf8Cmp(p, v) >= 0) Some(true)
+            else if (ub.exists(u => utf8Cmp(u, v) <= 0)) Some(false)
+            else None
+          case OpLt =>
+            if (ub.exists(u => utf8Cmp(u, v) <= 0)) Some(true)
+            else if (utf8Cmp(p, v) >= 0) Some(false)
+            else None
+          case OpLte =>
+            if (ub.exists(u => utf8Cmp(u, v) <= 0)) Some(true)
+            else if (utf8Cmp(p, v) > 0) Some(false)
+            else None
+        }
+      }
+    def asLongLit(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case _ => None
+    }
+    def asStrLit(v: Any): Option[String] = v match {
+      case s: String => Some(s)
+      case u: UTF8String => Some(u.toString)
+      case _ => None
+    }
+    /** One comparison, transform-aware. */
+    def decide(c: String, v: Any, op: Op): Option[Boolean] = tf.get(c) match {
+      case None | Some(PIdentity(_)) => op match {
+        case OpEq => cmpPart(c, v)(_ == 0)
+        case OpGt => cmpPart(c, v)(_ > 0)
+        case OpGte => cmpPart(c, v)(_ >= 0)
+        case OpLt => cmpPart(c, v)(_ < 0)
+        case OpLte => cmpPart(c, v)(_ <= 0)
+      }
+      case Some(PDays(_)) =>
+        pv(c).filter(_ != NullPartValue).flatMap(x =>
+          for {
+            d <- x.toLongOption
+            vl <- asLongLit(v)
+            if d <= Long.MaxValue / MicrosPerDay && d >= Long.MinValue / MicrosPerDay
+            r <- longInterval(d * MicrosPerDay, MicrosPerDay, vl, op)
+          } yield r)
+      case Some(PTruncInt(_, w)) =>
+        pv(c).filter(_ != NullPartValue).flatMap(x =>
+          for {
+            lo <- x.toLongOption
+            vl <- asLongLit(v)
+            r <- longInterval(lo, w, vl, op)
+          } yield r)
+      case Some(PTruncStr(_, n)) =>
+        pv(c).filter(_ != NullPartValue).flatMap(x =>
+          asStrLit(v).flatMap(vs => strPrefixCmp(x, n, vs, op)))
+    }
     f match {
       case AlwaysTrue() => Some(true)
       case AlwaysFalse() => Some(false)
-      case EqualTo(c, v) => cmpPart(c, v)(_ == 0)
+      case EqualTo(c, v) => decide(c, v, OpEq)
       // static PARTITION (c = 'x') clauses arrive null-safe
       case EqualNullSafe(c, v) if v == null => pv(c).map(_ == NullPartValue)
       case EqualNullSafe(c, v) =>
         pv(c).flatMap(x => if (x == NullPartValue) Some(false)
-          else cmpPart(c, v)(_ == 0))
-      case GreaterThan(c, v) => cmpPart(c, v)(_ > 0)
-      case GreaterThanOrEqual(c, v) => cmpPart(c, v)(_ >= 0)
-      case LessThan(c, v) => cmpPart(c, v)(_ < 0)
-      case LessThanOrEqual(c, v) => cmpPart(c, v)(_ <= 0)
+          else decide(c, v, OpEq))
+      case GreaterThan(c, v) => decide(c, v, OpGt)
+      case GreaterThanOrEqual(c, v) => decide(c, v, OpGte)
+      case LessThan(c, v) => decide(c, v, OpLt)
+      case LessThanOrEqual(c, v) => decide(c, v, OpLte)
       case In(c, vs) => pv(c).flatMap { x =>
         // Reuse the typed equality semantics per literal (so 0.0 IN(-0.0)
         // is true and string literals compare as UTF-8 bytes); any
-        // undecidable literal with no decided-true match ⇒ None.
-        if (x == NullPartValue) Some(false)
+        // undecidable literal with no decided-true match ⇒ None. A null
+        // tuple stays UNDECIDED — see the three-valued note above.
+        if (x == NullPartValue) None
         else {
           val cmps = vs.toSeq.map(v =>
-            if (v == null) Some(false) else cmpPart(c, v)(_ == 0))
+            if (v == null) Some(false) else decide(c, v, OpEq))
           if (cmps.contains(Some(true))) Some(true)
           else if (cmps.forall(_.contains(false))) Some(false)
           else None
@@ -1390,17 +1591,31 @@ object ManifestSink {
       }
       case IsNull(c) => pv(c).map(_ == NullPartValue)
       case IsNotNull(c) => pv(c).map(_ != NullPartValue)
-      case And(l, r) => (evalPartFilter(l, parts), evalPartFilter(r, parts)) match {
-        case (Some(false), _) | (_, Some(false)) => Some(false)
-        case (Some(true), Some(true)) => Some(true)
+      case StringStartsWith(c, pre) => tf.get(c) match {
+        case None | Some(PIdentity(_)) =>
+          pv(c).filter(_ != NullPartValue).map(x => bytePrefix(x, pre))
+        case Some(PTruncStr(_, n)) =>
+          pv(c).filter(_ != NullPartValue).flatMap { p =>
+            if (p.codePointCount(0, p.length) < n) Some(bytePrefix(p, pre))
+            else if (bytePrefix(p, pre)) Some(true) // rows extend p; p starts with pre
+            else if (bytePrefix(pre, p)) None // pre reaches past the known prefix
+            else Some(false) // first difference inside the shared prefix
+          }
         case _ => None
       }
-      case Or(l, r) => (evalPartFilter(l, parts), evalPartFilter(r, parts)) match {
-        case (Some(true), _) | (_, Some(true)) => Some(true)
-        case (Some(false), Some(false)) => Some(false)
-        case _ => None
-      }
-      case Not(c) => evalPartFilter(c, parts).map(!_)
+      case And(l, r) =>
+        (evalPartFilter(l, parts, tf), evalPartFilter(r, parts, tf)) match {
+          case (Some(false), _) | (_, Some(false)) => Some(false)
+          case (Some(true), Some(true)) => Some(true)
+          case _ => None
+        }
+      case Or(l, r) =>
+        (evalPartFilter(l, parts, tf), evalPartFilter(r, parts, tf)) match {
+          case (Some(true), _) | (_, Some(true)) => Some(true)
+          case (Some(false), Some(false)) => Some(false)
+          case _ => None
+        }
+      case Not(c) => evalPartFilter(c, parts, tf).map(!_)
       case _ => None
     }
   }
@@ -1409,16 +1624,19 @@ object ManifestSink {
     * first (exact — a decided false DROPS the file), then integer
     * min/max stats (may-match). */
   private[sources] def mayMatchEntry(e: FileEntry,
-      f: org.apache.spark.sql.sources.Filter): Boolean =
-    evalPartFilter(f, e.parts).getOrElse(mayMatch(e, f))
+      f: org.apache.spark.sql.sources.Filter,
+      tf: Map[String, PartTransform] = Map.empty): Boolean =
+    evalPartFilter(f, e.parts, tf).getOrElse(mayMatch(e, f))
 
   /** Group-level may-match: exact partition evaluation over the group's
     * recorded distinct tuples (prune only when EVERY tuple decides
     * false), else the merged min/max stats via a synthetic entry. A
     * pruned group's file is never even read. */
   private[sources] def mayMatchGroup(r: GroupRef,
-      f: org.apache.spark.sql.sources.Filter): Boolean = r.partsSet match {
-    case Some(ts) if ts.nonEmpty && ts.forall(t => evalPartFilter(f, t).contains(false)) =>
+      f: org.apache.spark.sql.sources.Filter,
+      tf: Map[String, PartTransform] = Map.empty): Boolean = r.partsSet match {
+    case Some(ts) if ts.nonEmpty &&
+        ts.forall(t => evalPartFilter(f, t, tf).contains(false)) =>
       false
     case _ =>
       mayMatch(FileEntry(r.name, r.rows, r.mins, r.maxs, Map.empty, None, 0L,
@@ -1452,11 +1670,14 @@ object ManifestSink {
     val (inline, refs) =
       if (v > 0L) versionSections(root, v)
       else (committedEntries(root, pinned), Seq.empty[GroupRef])
+    // transform-aware pruning needs the spec; the header parse is cached
+    val tfSpec: Map[String, PartTransform] =
+      if (v > 0L) readHeader(root, pinned).partTransforms else Map.empty
     val withBlooms = filters.exists(bloomEligible)
     val expanded = inline ++ refs
-      .filter(r => filters.forall(f => mayMatchGroup(r, f)))
+      .filter(r => filters.forall(f => mayMatchGroup(r, f, tfSpec)))
       .flatMap(readGroupEntries(root, _, withBlooms))
-    expanded.filter(e => filters.forall(f => mayMatchEntry(e, f)))
+    expanded.filter(e => filters.forall(f => mayMatchEntry(e, f, tfSpec)))
   }
 
   /** Entry line: `fileName<TAB>rowCount<TAB>mins<TAB>maxs`. In a
@@ -1826,12 +2047,24 @@ object ManifestSink {
       bloomCols: Seq[String] = Seq.empty,
       sortCols: Seq[String] = Seq.empty,
       groups: Seq[GroupRef] = Seq.empty,
-      props: Map[String, String] = Map.empty) {
+      props: Map[String, String] = Map.empty,
+      // the FULL partition spec (transforms included); invariant:
+      // partSpec.map(_.col) == partCols when nonEmpty. Callers that only
+      // need source names keep reading partCols; value computation and
+      // pruning decisions consult the spec. Empty = all-identity.
+      partSpec: Seq[PartTransform] = Seq.empty) {
+    /** The spec with the all-identity fallback applied — what metaLines
+      * renders and decision sites consume. */
+    def effectiveSpec: Seq[PartTransform] =
+      if (partSpec.nonEmpty) partSpec else partCols.map(PIdentity)
+    /** column → transform, identity omitted-or-present both fine. */
+    def partTransforms: Map[String, PartTransform] =
+      effectiveSpec.map(t => t.col -> t).toMap
     /** Non-entry, non-schema header lines every publisher carries:
       * partition spec, column mapping, schema epoch, delete mode,
       * bloom columns, write ordering, user properties, stream markers. */
     def metaLines: Seq[String] =
-      partColsLine(partCols).toSeq ++ colMapLine(colMap).toSeq ++
+      partSpecLine(effectiveSpec).toSeq ++ colMapLine(colMap).toSeq ++
         schemaEpochLine(schemaEpoch).toSeq ++ deleteModeLine(deleteMode).toSeq ++
         bloomColsLine(bloomCols).toSeq ++ sortColsLine(sortCols).toSeq ++
         tblPropsLine(props).toSeq ++
@@ -1857,7 +2090,7 @@ object ManifestSink {
         lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")).map(parseEntryLine),
         lines.tail.find(_.startsWith(PartColsPrefix))
           .map(_.stripPrefix(PartColsPrefix).split(",").toSeq
-            .filter(_.nonEmpty).map(urlDec))
+            .filter(_.nonEmpty).map(t => parsePartToken(urlDec(t)).col))
           .getOrElse(Seq.empty),
         parseHeaderMap(lines.tail, ColMapPrefix),
         lines.tail.find(_.startsWith(SchemaEpochPrefix))
@@ -1873,7 +2106,11 @@ object ManifestSink {
             .filter(_.nonEmpty).map(urlDec))
           .getOrElse(Seq.empty),
         refs,
-        parseHeaderMap(lines.tail, TblPropsPrefix))
+        parseHeaderMap(lines.tail, TblPropsPrefix),
+        lines.tail.find(_.startsWith(PartColsPrefix))
+          .map(_.stripPrefix(PartColsPrefix).split(",").toSeq
+            .filter(_.nonEmpty).map(t => parsePartToken(urlDec(t))))
+          .getOrElse(Seq.empty))
     } else legacyState(root)
   }
 
@@ -1904,7 +2141,7 @@ object ManifestSink {
   private[sources] def publishCommit(root: Path, schema: StructType,
       truncateFirst: Boolean, newEntries: Seq[FileEntry],
       markerUpdate: Option[(String, Long)], gc: GcPolicy,
-      createPartCols: Seq[String] = Seq.empty,
+      createPartSpec: Seq[PartTransform] = Seq.empty,
       createDeleteMode: String = DeleteModeCow,
       createBloomCols: Seq[String] = Seq.empty,
       createSortCols: Seq[String] = Seq.empty,
@@ -1961,9 +2198,10 @@ object ManifestSink {
       // restart would double-apply the epoch it just committed.
       // partitioning/column-mapping are table STRUCTURE: an existing
       // table's persist across every commit (truncate included);
-      // createPartCols only seeds a brand-new table's first version
+      // createPartSpec only seeds a brand-new table's first version
       val meta = st.copy(markers = st.markers ++ markerUpdate,
-        partCols = if (st.version > 0L) st.partCols else createPartCols,
+        partCols = if (st.version > 0L) st.partCols else createPartSpec.map(_.col),
+        partSpec = if (st.version > 0L) st.partSpec else createPartSpec,
         deleteMode = if (st.version > 0L) st.deleteMode else createDeleteMode,
         bloomCols = if (st.version > 0L) st.bloomCols else createBloomCols,
         sortCols = if (st.version > 0L) st.sortCols else createSortCols,
@@ -2046,7 +2284,7 @@ object ManifestSink {
       replaceParts: Option[Set[Map[String, String]]],
       filters: Seq[org.apache.spark.sql.sources.Filter],
       gc: GcPolicy): Unit = {
-    def replaced(e: FileEntry): Boolean = replaceParts match {
+    def replaced(e: FileEntry, tf: Map[String, PartTransform]): Boolean = replaceParts match {
       case Some(parts) => parts.contains(e.parts)
       // static mode: a filter UNDECIDABLE on the partition tuple would
       // make the overwrite's victim set depend on row data we refuse to
@@ -2056,7 +2294,7 @@ object ManifestSink {
       // keeping the file would turn the overwrite into an append and
       // double the partition's data.
       case None => filters.forall { f =>
-        evalPartFilter(f, e.parts).getOrElse(throw new IllegalArgumentException(
+        evalPartFilter(f, e.parts, tf).getOrElse(throw new IllegalArgumentException(
           s"static partition overwrite filter $f is not decidable from " +
             s"partition values ${e.parts} — use equality/IN/null filters " +
             "on partition columns, or dynamic overwrite mode"))
@@ -2069,7 +2307,8 @@ object ManifestSink {
       val st = readState(root)
       require(st.version > 0L,
         s"partition overwrite requires a versioned manifest table at $root")
-      val entries = st.entries.filterNot(replaced) ++ newEntries
+      val entries =
+        st.entries.filterNot(e => replaced(e, st.partTransforms)) ++ newEntries
       try {
         publish(root, st.version,
           ((schema.json +: st.metaLines) ++
@@ -2124,6 +2363,7 @@ object ManifestSink {
         throw new IllegalStateException(s"manifest table $root has no schema"))
       var colMap = st.colMap
       var partCols = st.partCols
+      var partSpec0 = st.effectiveSpec
       var entries = st.entries
       var bloomCols = st.bloomCols
       var sortCols = st.sortCols
@@ -2172,6 +2412,7 @@ object ManifestSink {
           schema = StructType(schema.fields.map(f =>
             if (f.name == from) f.copy(name = to) else f))
           partCols = partCols.map(c => if (c == from) to else c)
+          partSpec0 = partSpec0.map(t => if (t.col == from) t.withCol(to) else t)
           bloomCols = bloomCols.map(c => if (c == from) to else c)
           sortCols = sortCols.map(c => if (c == from) to else c)
           entries = entries.map(e => e.copy(
@@ -2242,6 +2483,7 @@ object ManifestSink {
       }
       colMap = colMap.filter { case (k, v) => k != v }
       val meta = st.copy(schema = Some(schema), partCols = partCols,
+        partSpec = partSpec0,
         colMap = colMap, schemaEpoch = newEpoch, entries = entries,
         bloomCols = bloomCols, sortCols = sortCols,
         deleteMode = deleteMode0, props = props0).metaLines
@@ -2624,9 +2866,9 @@ object ManifestSink {
     * instead of a partition-sized rewrite (Delta's metadata-only
     * delete). Undecidable (non-partition references, unknown shapes)
     * conservatively answers false and falls through to the row path. */
-  private def partProven(filters: Seq[org.apache.spark.sql.sources.Filter])(
-      e: FileEntry): Boolean =
-    filters.forall(f => evalPartFilter(f, e.parts).contains(true))
+  private def partProven(filters: Seq[org.apache.spark.sql.sources.Filter],
+      tf: Map[String, PartTransform])(e: FileEntry): Boolean =
+    filters.forall(f => evalPartFilter(f, e.parts, tf).contains(true))
 
   /** V2 twin of [[partProven]]: legal only when every referenced column
     * is a partition column; evaluated over a synthetic row carrying the
@@ -2635,21 +2877,95 @@ object ManifestSink {
     * exact, and only a decided TRUE proves the drop. */
   private def partProvenV2(
       preds: Seq[org.apache.spark.sql.connector.expressions.filter.Predicate],
-      schema: StructType, partCols: Set[String])(e: FileEntry): Boolean =
+      schema: StructType, partCols: Set[String],
+      tf: Map[String, PartTransform] = Map.empty)(e: FileEntry): Boolean =
     preds.forall { p =>
       p.references().forall(r =>
         r.fieldNames.length == 1 && partCols.contains(r.fieldNames.head)) && {
-        val vals = schema.fields.map { f =>
-          e.parts.get(f.name) match {
-            case None | Some(NullPartValue) => null
-            case Some(v) => decodePartValue(v, f.dataType)
+        val refsTransformed = p.references().exists(r =>
+          tf.get(r.fieldNames.head).exists(t => !t.isInstanceOf[PIdentity]))
+        if (refsTransformed)
+          // a transformed partition VALUE is not the column's value, so
+          // the synthetic-row evaluation below would be WRONG; go through
+          // the transform-aware interval logic instead — common range /
+          // equality shapes translate to V1, anything else proves nothing
+          // (the delete falls back to a rewrite, which is always correct)
+          v2ToV1(p).exists(f => evalPartFilter(f, e.parts, tf).contains(true))
+        else {
+          val vals = schema.fields.map { f =>
+            e.parts.get(f.name) match {
+              case None | Some(NullPartValue) => null
+              case Some(v) => decodePartValue(v, f.dataType)
+            }
           }
+          evalPredicate(p,
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals),
+            schema).contains(true)
         }
-        evalPredicate(p,
-          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals),
-          schema).contains(true)
       }
     }
+
+  /** Minimal V2-Predicate → V1-Filter translation for the shapes the
+    * transform-aware partition proof understands: single-column
+    * comparisons with a literal, IS (NOT) NULL, AND/OR/NOT. Anything
+    * richer returns None (no proof — never wrong, just slower). */
+  private[sources] def v2ToV1(
+      p: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Lit, NamedReference}
+    import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Not => V2Not, Or => V2Or, Predicate => V2Pred}
+    import org.apache.spark.sql.sources._
+    def colLit(args: Array[V2Expr]): Option[(String, Any, Boolean)] = args match {
+      case Array(r: NamedReference, l: V2Lit[_]) if r.fieldNames.length == 1 =>
+        Some((r.fieldNames()(0), litVal(l), false))
+      case Array(l: V2Lit[_], r: NamedReference) if r.fieldNames.length == 1 =>
+        Some((r.fieldNames()(0), litVal(l), true)) // flipped: literal op column
+      case _ => None
+    }
+    def litVal(l: V2Lit[_]): Any = l.value() match {
+      case u: UTF8String => u.toString
+      case other => other
+    }
+    p match {
+      case a: V2And => for { l <- v2ToV1(a.left()); r <- v2ToV1(a.right()) } yield And(l, r)
+      case o: V2Or => for { l <- v2ToV1(o.left()); r <- v2ToV1(o.right()) } yield Or(l, r)
+      case n: V2Not => v2ToV1(n.child()).map(Not)
+      case q: V2Pred => q.name() match {
+        case "=" => colLit(q.children()).map { case (c, v, _) => EqualTo(c, v) }
+        case "<=>" => colLit(q.children()).map { case (c, v, _) => EqualNullSafe(c, v) }
+        case ">" => colLit(q.children()).map { case (c, v, flip) =>
+          if (flip) LessThan(c, v) else GreaterThan(c, v) }
+        case ">=" => colLit(q.children()).map { case (c, v, flip) =>
+          if (flip) LessThanOrEqual(c, v) else GreaterThanOrEqual(c, v) }
+        case "<" => colLit(q.children()).map { case (c, v, flip) =>
+          if (flip) GreaterThan(c, v) else LessThan(c, v) }
+        case "<=" => colLit(q.children()).map { case (c, v, flip) =>
+          if (flip) GreaterThanOrEqual(c, v) else LessThanOrEqual(c, v) }
+        case "IS_NULL" => q.children() match {
+          case Array(r: NamedReference) if r.fieldNames.length == 1 =>
+            Some(IsNull(r.fieldNames()(0)))
+          case _ => None
+        }
+        case "IS_NOT_NULL" => q.children() match {
+          case Array(r: NamedReference) if r.fieldNames.length == 1 =>
+            Some(IsNotNull(r.fieldNames()(0)))
+          case _ => None
+        }
+        case "IN" => q.children() match {
+          case arr if arr.length >= 2 => arr.head match {
+            case r: NamedReference if r.fieldNames.length == 1 &&
+                arr.tail.forall(_.isInstanceOf[V2Lit[_]]) =>
+              Some(In(r.fieldNames()(0),
+                arr.tail.map(a => litVal(a.asInstanceOf[V2Lit[_]]))))
+            case _ => None
+          }
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+  }
 
   /** Row-level DELETE, copy-on-write: every file the manifest stats
     * cannot rule out is re-read, its surviving rows are written to a NEW
@@ -2673,13 +2989,15 @@ object ManifestSink {
     * Filters compose as AND. Unsupported filter shapes are rejected by
     * [[supportedDeleteFilter]] before any I/O. */
   def deleteWhere(tablePath: String, filters: Seq[org.apache.spark.sql.sources.Filter],
-      gc: GcPolicy = GcPolicy(None, 3600L * 1000)): DeleteResult =
+      gc: GcPolicy = GcPolicy(None, 3600L * 1000)): DeleteResult = {
+    val tf = partitionSpec(Paths.get(tablePath)).map(t => t.col -> t).toMap
     deleteCore(tablePath, gc,
       schema => filters.foreach(f => require(supportedDeleteFilter(f, schema),
         s"unsupported delete filter: $f")),
       (row, schema) => filters.forall(f => evalFilter(f, row, schema).contains(true)),
-      e => filters.forall(f => mayMatch(e, f)),
-      partProven(filters))
+      e => filters.forall(f => mayMatchEntry(e, f, tf)),
+      partProven(filters, tf))
+  }
 
   /** SQL `DELETE FROM` arrives here as V2 [[V2Predicate]]s — evaluated
     * DIRECTLY, never through Spark's `SupportsDelete` V2→V1 default
@@ -2692,14 +3010,15 @@ object ManifestSink {
   def deleteWhereV2(tablePath: String,
       preds: Seq[org.apache.spark.sql.connector.expressions.filter.Predicate],
       gc: GcPolicy = GcPolicy(None, 3600L * 1000)): DeleteResult = {
+    val spec0 = partitionSpec(Paths.get(tablePath), None)
     val (schema0, partCols0) =
-      (readSchema(Paths.get(tablePath)), partitionColumns(Paths.get(tablePath), None).toSet)
+      (readSchema(Paths.get(tablePath)), spec0.map(_.col).toSet)
     deleteCore(tablePath, gc,
       schema => preds.foreach(p => require(supportedDeletePredicate(p, schema),
         s"unsupported delete predicate: $p")),
       (row, schema) => preds.forall(p => evalPredicate(p, row, schema).contains(true)),
       e => preds.forall(p => mayMatchV2(e, p)),
-      partProvenV2(preds, schema0, partCols0))
+      partProvenV2(preds, schema0, partCols0, spec0.map(t => t.col -> t).toMap))
   }
 
   /** Row-level DELETE, merge-on-read: instead of rewriting every
@@ -2716,25 +3035,28 @@ object ManifestSink {
     * from the manifest entirely — metadata-only, no DV needed.
     * Same single-attempt CAS and same filter dialect as the CoW path. */
   def deleteWhereMoR(tablePath: String, filters: Seq[org.apache.spark.sql.sources.Filter],
-      gc: GcPolicy = GcPolicy(None, 3600L * 1000)): DeleteResult =
+      gc: GcPolicy = GcPolicy(None, 3600L * 1000)): DeleteResult = {
+    val tf = partitionSpec(Paths.get(tablePath)).map(t => t.col -> t).toMap
     deleteCoreMoR(tablePath, gc,
       schema => filters.foreach(f => require(supportedDeleteFilter(f, schema),
         s"unsupported delete filter: $f")),
       (row, schema) => filters.forall(f => evalFilter(f, row, schema).contains(true)),
-      e => filters.forall(f => mayMatch(e, f)),
-      partProven(filters))
+      e => filters.forall(f => mayMatchEntry(e, f, tf)),
+      partProven(filters, tf))
+  }
 
   def deleteWhereMoRV2(tablePath: String,
       preds: Seq[org.apache.spark.sql.connector.expressions.filter.Predicate],
       gc: GcPolicy = GcPolicy(None, 3600L * 1000)): DeleteResult = {
+    val spec0 = partitionSpec(Paths.get(tablePath), None)
     val (schema0, partCols0) =
-      (readSchema(Paths.get(tablePath)), partitionColumns(Paths.get(tablePath), None).toSet)
+      (readSchema(Paths.get(tablePath)), spec0.map(_.col).toSet)
     deleteCoreMoR(tablePath, gc,
       schema => preds.foreach(p => require(supportedDeletePredicate(p, schema),
         s"unsupported delete predicate: $p")),
       (row, schema) => preds.forall(p => evalPredicate(p, row, schema).contains(true)),
       e => preds.forall(p => mayMatchV2(e, p)),
-      partProvenV2(preds, schema0, partCols0))
+      partProvenV2(preds, schema0, partCols0, spec0.map(t => t.col -> t).toMap))
   }
 
   private def deleteCoreMoR(tablePath: String, gc: GcPolicy,
@@ -3346,10 +3668,18 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
   /** Identity partitioning, reported so Spark routes `INSERT OVERWRITE`
     * through dynamic/static PARTITION overwrite instead of truncate, and
     * `DESCRIBE`/`SHOW CREATE` display the layout. */
-  override def partitioning(): Array[Transform] =
-    ManifestSink.partitionColumns(root, metaPin)
-      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c))
-      .toArray
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    ManifestSink.partitionSpec(root, metaPin).map {
+      case ManifestSink.PIdentity(c) => Expressions.identity(c)
+      case ManifestSink.PDays(c) => Expressions.days(c)
+      case ManifestSink.PTruncInt(c, w) =>
+        require(w <= Int.MaxValue, s"truncate width $w out of report range")
+        Expressions.apply("truncate", Expressions.literal(w.toInt), Expressions.column(c))
+      case ManifestSink.PTruncStr(c, n) =>
+        Expressions.apply("truncate", Expressions.literal(n), Expressions.column(c))
+    }.toArray
+  }
 
   /** SQL `DELETE FROM` lands here (via [[GraftCatalog]]): row-level
     * delete — copy-on-write by default, merge-on-read (positional
@@ -3514,6 +3844,7 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
     val bc = st.bloomCols
     val sc = st.sortCols
     val rgb = ManifestSink.rowGroupBytesOf(st.props)
+    val pspec = st.effectiveSpec
     new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
       import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
       import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
@@ -3544,14 +3875,14 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
       override def distributionStrictlyRequired(): Boolean = false
       override def toBatch: BatchWrite =
         new ManifestBatchWrite(root, schema, truncateFirst, gc, pc,
-          overwriteFilters, dynamicOverwrite, cmap, bc, branch, rgb)
+          overwriteFilters, dynamicOverwrite, cmap, bc, branch, rgb, pspec)
       // streaming: truncateFirst becomes truncate-EACH-EPOCH (Spark calls
       // truncate() on the builder for Complete output mode)
       override def toStreaming: StreamingWrite = {
         require(branch.isEmpty, "streaming writes onto a BRANCH are not " +
           "supported — stream into the table, or stage batch appends for WAP")
         new ManifestStreamingWrite(root, schema, truncateFirst, gc, queryId,
-          pc, cmap, bc, rgb)
+          pc, cmap, bc, rgb, pspec)
       }
     }
   }
@@ -3576,10 +3907,11 @@ class ManifestBatchWrite(root: Path, schema: StructType, truncateFirst: Boolean,
     colMap: Map[String, String] = Map.empty,
     bloomCols: Seq[String] = Seq.empty,
     branch: Option[String] = None,
-    rowGroupBytes: Option[Long] = None) extends BatchWrite {
+    rowGroupBytes: Option[Long] = None,
+    partSpec: Seq[ManifestSink.PartTransform] = Seq.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(root.toString, schema, partCols, colMap, bloomCols,
-      rowGroupBytes)
+      rowGroupBytes, partSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val newEntries = ManifestSink.commitEntries(messages)
@@ -3651,12 +3983,14 @@ class ManifestRowLevelOperation(root: Path, cmd: RowLevelOperation.Command,
     val pc = ManifestSink.partitionColumns(root)
     val cmap = ManifestSink.columnMapping(root)
     val bc = ManifestSink.bloomColumns(root)
-    val rgb = ManifestSink.rowGroupBytesOf(ManifestSink.readHeader(root).props)
+    val hdr = ManifestSink.readHeader(root)
+    val rgb = ManifestSink.rowGroupBytesOf(hdr.props)
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new ManifestReplaceDataWrite(root, writeSchema,
-            ManifestRowLevelOperation.this, gc, pc, cmap, bc, rgb)
+            ManifestRowLevelOperation.this, gc, pc, cmap, bc, rgb,
+            hdr.effectiveSpec)
       }
     }
   }
@@ -3681,10 +4015,11 @@ class ManifestReplaceDataWrite(root: Path, schema: StructType,
     partCols: Seq[String] = Seq.empty,
     colMap: Map[String, String] = Map.empty,
     bloomCols: Seq[String] = Seq.empty,
-    rowGroupBytes: Option[Long] = None) extends BatchWrite {
+    rowGroupBytes: Option[Long] = None,
+    partSpec: Seq[ManifestSink.PartTransform] = Seq.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestReplaceWriterFactory(root.toString, schema, partCols, colMap,
-      bloomCols, rowGroupBytes)
+      bloomCols, rowGroupBytes, partSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val (live, empty) = ManifestSink.commitEntries(messages).partition(_.rows > 0L)
@@ -3721,11 +4056,12 @@ class ManifestStreamingWrite(root: Path, schema: StructType, truncateEachEpoch: 
     gc: GcPolicy, queryId: String, partCols: Seq[String] = Seq.empty,
     colMap: Map[String, String] = Map.empty,
     bloomCols: Seq[String] = Seq.empty,
-    rowGroupBytes: Option[Long] = None)
+    rowGroupBytes: Option[Long] = None,
+    partSpec: Seq[ManifestSink.PartTransform] = Seq.empty)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new ManifestStreamingWriterFactory(root.toString, schema, partCols, colMap,
-      bloomCols, rowGroupBytes)
+      bloomCols, rowGroupBytes, partSpec)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     if (ManifestSink.epochMarkers(root).get(queryId).exists(_ >= epochId)) {
@@ -3749,7 +4085,8 @@ class ManifestStreamingWriterFactory(rootStr: String, schema: StructType,
     partCols: Seq[String] = Seq.empty,
     colMap: Map[String, String] = Map.empty,
     bloomCols: Seq[String] = Seq.empty,
-    rowGroupBytes: Option[Long] = None) extends StreamingDataWriterFactory {
+    rowGroupBytes: Option[Long] = None,
+    partSpec: Seq[ManifestSink.PartTransform] = Seq.empty) extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
     // epoch in the name is for operator debuggability only; uniqueness
@@ -3761,7 +4098,7 @@ class ManifestStreamingWriterFactory(rootStr: String, schema: StructType,
         s"$prefix-${java.util.UUID.randomUUID()}.parquet", colMap = colMap,
         bloomCols = bloomCols, rowGroupBytes = rowGroupBytes)
     else new PartitionedDataWriter(rootStr, schema, partCols, prefix, colMap,
-      bloomCols, rowGroupBytes)
+      bloomCols, rowGroupBytes, partSpec)
   }
 }
 
@@ -3769,7 +4106,8 @@ class ManifestWriterFactory(rootStr: String, schema: StructType,
     partCols: Seq[String] = Seq.empty,
     colMap: Map[String, String] = Map.empty,
     bloomCols: Seq[String] = Seq.empty,
-    rowGroupBytes: Option[Long] = None) extends DataWriterFactory {
+    rowGroupBytes: Option[Long] = None,
+    partSpec: Seq[ManifestSink.PartTransform] = Seq.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // attempt-unique name: a retried or speculative attempt of the same
     // partition writes a different file; only the attempt whose message
@@ -3780,7 +4118,7 @@ class ManifestWriterFactory(rootStr: String, schema: StructType,
         s"$prefix-${java.util.UUID.randomUUID()}.parquet", colMap = colMap,
         bloomCols = bloomCols, rowGroupBytes = rowGroupBytes)
     else new PartitionedDataWriter(rootStr, schema, partCols, prefix, colMap,
-      bloomCols, rowGroupBytes)
+      bloomCols, rowGroupBytes, partSpec)
   }
 }
 
@@ -3795,10 +4133,18 @@ class PartitionedDataWriter(rootStr: String, schema: StructType,
     partCols: Seq[String], namePrefix: String,
     colMap: Map[String, String] = Map.empty,
     bloomCols: Seq[String] = Seq.empty,
-    rowGroupBytes: Option[Long] = None) extends DataWriter[InternalRow] {
+    rowGroupBytes: Option[Long] = None,
+    partSpec: Seq[ManifestSink.PartTransform] = Seq.empty) extends DataWriter[InternalRow] {
   private val idx: Seq[(Int, DataType)] = partCols.map { c =>
     val i = schema.fieldIndex(c); (i, schema.fields(i).dataType)
   }
+  // spec-aligned transforms (identity when the spec is absent) — the
+  // HIDDEN-partitioning derivation: the row keeps its raw source value
+  // in the data file, only the routing tuple carries the transform
+  private val transforms: Seq[ManifestSink.PartTransform] =
+    if (partSpec.nonEmpty) partCols.map(c => partSpec.find(_.col == c).getOrElse(
+      ManifestSink.PIdentity(c)))
+    else partCols.map(ManifestSink.PIdentity)
   private val writers =
     scala.collection.mutable.LinkedHashMap.empty[Seq[String], ManifestDataWriter]
 
@@ -3815,7 +4161,8 @@ class PartitionedDataWriter(rootStr: String, schema: StructType,
     }
 
   override def write(record: InternalRow): Unit = {
-    val key = idx.map { case (i, dt) => partValue(record, i, dt) }
+    val key = idx.zip(transforms).map { case ((i, dt), t) =>
+      ManifestSink.transformValue(t, partValue(record, i, dt)) }
     writers.getOrElseUpdate(key,
       new ManifestDataWriter(rootStr, schema,
         s"$namePrefix-${java.util.UUID.randomUUID()}.parquet",
@@ -3848,13 +4195,14 @@ class ManifestReplaceWriterFactory(rootStr: String, schema: StructType,
     partCols: Seq[String] = Seq.empty,
     colMap: Map[String, String] = Map.empty,
     bloomCols: Seq[String] = Seq.empty,
-    rowGroupBytes: Option[Long] = None) extends DataWriterFactory {
+    rowGroupBytes: Option[Long] = None,
+    partSpec: Seq[ManifestSink.PartTransform] = Seq.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // partitioned tables fan out per partition tuple here too — an
     // UPDATE that changes a partition column's value moves the row to
     // its new partition naturally (the writer keys on ROW values)
     val inner = new ManifestWriterFactory(rootStr, schema, partCols, colMap,
-      bloomCols, rowGroupBytes).createWriter(partitionId, taskId)
+      bloomCols, rowGroupBytes, partSpec).createWriter(partitionId, taskId)
     new DataWriter[InternalRow] {
       private val shifted = new ShiftedInternalRow(1)
       override def write(record: InternalRow): Unit =
@@ -4156,6 +4504,11 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
         gb.isEmpty || (gb.forall(_.isDefined) && {
           val cols = gb.flatten
           cols.forall(partColsSet.contains) &&
+            // a TRANSFORMED partition value (day number, prefix) is not
+            // the source column's value — grouping by it would answer a
+            // different query; identity columns only
+            cols.forall(c => tableState.partTransforms.get(c)
+              .forall(_.isInstanceOf[ManifestSink.PIdentity])) &&
             entries.forall(e => cols.forall(e.parts.contains))
         })
       }
@@ -4294,11 +4647,13 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
       // pruning + lazy blooms); change-feed scans resolve per window
       def planned(): Seq[ManifestSink.FileEntry] = changes match {
         case Some((from, to)) => ManifestSink.addedEntries(root, from, to)
-          .filter(e => skipFilters.forall(f => ManifestSink.mayMatchEntry(e, f)))
+          .filter(e => skipFilters.forall(f =>
+            ManifestSink.mayMatchEntry(e, f, tableState.partTransforms)))
         case None =>
           val all = ManifestSink.plannedEntries(root, pinned, skipFilters.toSeq) ++
             branchEntries.fold(Seq.empty[ManifestSink.FileEntry])(f =>
-              f().filter(e => skipFilters.forall(fl => ManifestSink.mayMatchEntry(e, fl))))
+              f().filter(e => skipFilters.forall(fl =>
+                ManifestSink.mayMatchEntry(e, fl, tableState.partTransforms))))
           (pushedTopN, pushedLimit) match {
             case (Some((c, asc, n)), _) => topNPrune(all, c, asc, n)
             case (None, Some(n)) => // prefix covering >= n live rows
@@ -4338,10 +4693,11 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
         // files + delete-position reads) instead of the entry list;
         // file-level skip filters stay sound (stats cover all physical
         // rows of the sliced file)
+        partTransforms = tableState.partTransforms,
         cdcSlices = if (!cdc) None else Some(() =>
           ManifestSink.cdcSlices(root, changes.get._1, changes.get._2)
             .filter(sl => skipFilters.forall(f =>
-              ManifestSink.mayMatchEntry(sl.entry, f)))))
+              ManifestSink.mayMatchEntry(sl.entry, f, tableState.partTransforms)))))
     }
   }
 
@@ -4383,7 +4739,8 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     streamable: Boolean = true,
     runtimeFilterable: Boolean = true,
     cdcSlices: Option[() => Seq[ManifestSink.CdcSlice]] = None,
-    dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+    dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
+    partTransforms: Map[String, ManifestSink.PartTransform] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   // resolved on first BATCH use only — a pure streaming read never
@@ -4403,7 +4760,8 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     // partition-first exact evaluation, then stats/bloom/bounds
     // may-match — runtime IN-sets on a partition key drop whole
     // partitions' files, the DSv2 dynamic-partition-pruning shape
-    resolved.filter(e => runtimeFilters.forall(f => ManifestSink.mayMatchEntry(e, f)))
+    resolved.filter(e =>
+      runtimeFilters.forall(f => ManifestSink.mayMatchEntry(e, f, partTransforms)))
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -4523,6 +4881,10 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
   override def outputPartitioning(): partitioning.Partitioning =
     try {
       if (partCols.nonEmpty && onRuntimeNarrow.isEmpty && cdcSlices.isEmpty &&
+          // transformed specs never claim key grouping: two files sharing
+          // a DAY are not row-equal on the source column, so an identity
+          // KeyGroupedPartitioning report would be a lie Spark acts on
+          partTransforms.valuesIterator.forall(_.isInstanceOf[ManifestSink.PIdentity]) &&
           partCols.forall(c => schema.fieldNames.contains(c)) &&
           partKeyByName.valuesIterator.forall(_ != null))
         new partitioning.KeyGroupedPartitioning(

@@ -60,11 +60,19 @@ class CurationSpec extends AnyFunSuite {
     assert(dense.count() == 0)
   }
 
-  test("q106: every cluster is led by its own centroid (self-similarity wins)") {
+  test("q106: trained-codebook assignment partitions the corpus into labeled clusters") {
+    // with the TRAINED codebook (q139 via codebookTable) cluster ids are
+    // Lloyd labels, not vector ids — the old "cluster c contains vec c"
+    // invariant was an artifact of the first-k stand-in. What must hold:
+    // every vector lands in exactly one cluster, labels stay in [0, k),
+    // and cohesion is a sane cosine (<= 1.0 in basis points).
     val rows = graft.operators.SimilarityOps.queries("q106_kmeans_assign")(spark, sfDir).collect()
-    // each centroid vec assigns to itself, so cluster c contains vec c
-    assert(rows.forall(row => row.getAs[Long]("min_vec") <= row.getAs[Long]("cluster")))
+    val total = Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    assert(rows.forall(row => row.getAs[Long]("cluster") >= 0 &&
+      row.getAs[Long]("cluster") < graft.operators.SimilarityOps.NumCentroids))
     assert(rows.forall(row => row.getAs[Long]("n") >= 1))
+    assert(rows.forall(row => row.getAs[Long]("avg_sim_bp") <= 10000L))
   }
 
   test("q107: pagerank conserves mass approximately and favors high-degree parts") {

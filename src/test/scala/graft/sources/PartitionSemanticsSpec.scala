@@ -53,15 +53,26 @@ class PartitionSemanticsSpec extends AnyFunSuite {
   test("undecidable static-overwrite filters fail loudly, never append") {
     spark.sql("CREATE TABLE pscat.db.o (id BIGINT, grp STRING) PARTITIONED BY (grp)")
     spark.sql("INSERT INTO pscat.db.o VALUES (1, 'aaa'), (2, 'bbb')")
+    // endsWith has no partition-tuple decision (startsWith gained an
+    // exact one with the hidden-partitioning work, so it's no longer
+    // the undecidable example)
     val err = intercept[Exception] {
       spark.range(10, 12).select($"id", lit("aaa").as("grp"))
-        .writeTo("pscat.db.o").overwrite($"grp".startsWith("a"))
+        .writeTo("pscat.db.o").overwrite($"grp".endsWith("a"))
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(err).exists(_.contains("not decidable")), s"got: ${msgs(err)}")
+    assert(msgs(err).exists(m => m.contains("not decidable") ||
+      m.contains("Invalid overwrite") || m.contains("unsupported")), s"got: ${msgs(err)}")
     // the failed overwrite must not have appended its files
     assert(spark.table("pscat.db.o").count() == 2L)
+
+    // startsWith on a partition column is now DECIDABLE — the overwrite
+    // replaces exactly the matching partition
+    spark.range(10, 12).select($"id", lit("aaa").as("grp"))
+      .writeTo("pscat.db.o").overwrite($"grp".startsWith("a"))
+    assert(spark.table("pscat.db.o").select($"id").as[Long].collect().sorted.toSeq
+      == Seq(2L, 10L, 11L))
   }
 
   test("exact evaluation orders strings by UTF-8 bytes and doubles by SQL equality") {
