@@ -129,6 +129,21 @@ object ManifestParquet {
     * [[writeConf]]'s dialect (no binary-as-string, no INT96). */
   def openReadFiltered(file: String, physSchema: StructType,
       filter: org.apache.parquet.filter2.predicate.FilterPredicate,
+      returnBatches: Boolean): VectorizedParquetRecordReader =
+    openSplit(file, physSchema, Some(filter), returnBatches)
+
+  /** Split-based open WITHOUT a filter — used when the requested SPARK
+    * types must drive decoding rather than the file's own types: a
+    * type-WIDENED table (int→long / float→double via ALTER COLUMN TYPE)
+    * reads old narrow files through Spark's widening updaters
+    * (`ParquetVectorUpdaterFactory.IntegerToLongUpdater` etc.), which
+    * only engage on the requested-schema path. */
+  def openReadWidened(file: String, physSchema: StructType,
+      returnBatches: Boolean): VectorizedParquetRecordReader =
+    openSplit(file, physSchema, None, returnBatches)
+
+  private def openSplit(file: String, physSchema: StructType,
+      filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate],
       returnBatches: Boolean): VectorizedParquetRecordReader = {
     import org.apache.parquet.hadoop.ParquetInputFormat
     import org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
@@ -140,7 +155,7 @@ object ManifestParquet {
     conf.set(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, "true")
     conf.set(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key, "true")
     conf.set(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, "false")
-    ParquetInputFormat.setFilterPredicate(conf, filter)
+    filter.foreach(f => ParquetInputFormat.setFilterPredicate(conf, f))
     conf.setBoolean("parquet.filter.columnindex.enabled", false)
     val split = new org.apache.hadoop.mapred.FileSplit(
       new HPath(file), 0L, java.nio.file.Files.size(java.nio.file.Paths.get(file)),
@@ -163,6 +178,20 @@ object ManifestParquet {
       HadoopInputFile.fromPath(new HPath(file), new Configuration()))
     try r.getFooter.getFileMetaData.getSchema.getFields.asScala
       .map(_.getName).toSet
+    finally r.close()
+  }
+
+  /** Top-level field name → parquet primitive type name (one footer
+    * read) — the type-widening probe: a file whose physical primitive is
+    * NARROWER than the table type (INT32 under a BIGINT column after
+    * ALTER COLUMN TYPE) must decode through the widening reader. */
+  def footerPrimitiveTypes(file: String): Map[String, String] = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(file), new Configuration()))
+    try r.getFooter.getFileMetaData.getSchema.getFields.asScala.map { f =>
+      f.getName -> (if (f.isPrimitive) f.asPrimitiveType().getPrimitiveTypeName.name
+        else "GROUP")
+    }.toMap
     finally r.close()
   }
 

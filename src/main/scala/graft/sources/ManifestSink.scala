@@ -2422,6 +2422,29 @@ object ManifestSink {
             blooms = e.blooms.map { case (k, v) => (if (k == from) to else k, v) },
             slows = e.slows.map { case (k, v) => (if (k == from) to else k, v) },
             sups = e.sups.map { case (k, v) => (if (k == from) to else k, v) }))
+        case u: TableChange.UpdateColumnType =>
+          // TYPE WIDENING, metadata-only (the long-lived-table change):
+          // int→long and float→double are the two conversions the
+          // vectorized reader widens per value at scan
+          // (ParquetVectorUpdaterFactory), so old narrow files never
+          // rewrite — the schema epoch bump routes them through the
+          // widening reader. Stats widen losslessly (integer min/max
+          // already store Long). Anything lossy is refused.
+          val name = single(u.fieldNames, "ALTER COLUMN TYPE")
+          val f = schema.fields.find(_.name == name).getOrElse(
+            throw new IllegalArgumentException(s"no column $name to alter"))
+          val ok = (f.dataType, u.newDataType) match {
+            case (IntegerType, LongType) => true
+            case (org.apache.spark.sql.types.FloatType,
+              org.apache.spark.sql.types.DoubleType) => true
+            case (a, b) if a == b => true // no-op, allowed
+            case _ => false
+          }
+          require(ok, s"ALTER COLUMN $name TYPE supports lossless widening " +
+            s"only (INT->BIGINT, FLOAT->DOUBLE); ${f.dataType.simpleString} -> " +
+            s"${u.newDataType.simpleString} is not")
+          schema = StructType(schema.fields.map(x =>
+            if (x.name == name) x.copy(dataType = u.newDataType) else x))
         case d: TableChange.DeleteColumn =>
           val name = single(d.fieldNames, "DROP COLUMN")
           require(schema.fieldNames.contains(name), s"no column $name to drop")
@@ -5123,20 +5146,47 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
 
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
+  /** Parquet primitive a TABLE type stores as — the widening probe's
+    * expectation (manifest tables carry exactly these five types). */
+  private def expectedPrimitive(dt: DataType): String = dt match {
+    case LongType => "INT64"
+    case IntegerType => "INT32"
+    case DoubleType => "DOUBLE"
+    case FloatType => "FLOAT"
+    case BooleanType => "BOOLEAN"
+    case StringType => "BINARY"
+    case _ => "GROUP"
+  }
+
   /** (physical names present in the file, out-index → present-index map
-    * with -1 for null-fill), or None for the uniform fast path. */
-  private def filePlan(file: String): Option[(Seq[String], Array[Int])] =
+    * with -1 for null-fill, file-needs-WIDENING flag), or None for the
+    * uniform fast path. Widening: a file written before ALTER COLUMN
+    * TYPE carries the NARROW primitive (INT32 under a BIGINT column) —
+    * it must decode through the requested-schema reader whose updaters
+    * widen per value; reading it with file-typed vectors would hand
+    * Spark ints where longs are promised. */
+  private def filePlan(file: String): Option[(Seq[String], Array[Int], Boolean)] =
     if (!evolved) None
     else {
-      val inFile = ManifestParquet.footerFields(file)
+      val types = ManifestParquet.footerPrimitiveTypes(file)
       val phys = dataSchema.fieldNames.map(physical)
-      if (phys.forall(inFile.contains)) None
+      val widened = dataSchema.fields.exists(f =>
+        types.get(physical(f.name)).exists(t =>
+          t != "GROUP" && t != expectedPrimitive(f.dataType)))
+      if (phys.forall(types.contains) && !widened) None
       else {
-        val present = phys.filter(inFile.contains)
+        val present = phys.filter(types.contains)
         val posOf = present.zipWithIndex.toMap
-        Some((present.toSeq, phys.map(p => posOf.getOrElse(p, -1))))
+        Some((present.toSeq, phys.map(p => posOf.getOrElse(p, -1)), widened))
       }
     }
+
+  /** Present columns as a physical-named StructType under TABLE types —
+    * the widening reader's requested schema. */
+  private def physPresentSchema(present: Seq[String]): StructType = {
+    val byPhys = dataSchema.fields.map(f => physical(f.name) -> f).toMap
+    StructType(present.map(p => byPhys(p).copy(name = p)))
+  }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ManifestFilePartition]
@@ -5175,9 +5225,11 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
         override def get(): InternalRow = reader.getCurrentValue.asInstanceOf[InternalRow]
         override def close(): Unit = reader.close()
       }
-      case Some((present, mapping)) => new PartitionReader[InternalRow] {
+      case Some((present, mapping, widened)) => new PartitionReader[InternalRow] {
         private val reader =
-          ManifestParquet.openRead(p.file, present, returnBatches = false)
+          if (widened) ManifestParquet.openReadWidened(p.file,
+            physPresentSchema(present), returnBatches = false)
+          else ManifestParquet.openRead(p.file, present, returnBatches = false)
         private val view = new MappedInternalRow(mapping, dataSchema.fields.map(_.dataType))
         override def next(): Boolean = reader.nextKeyValue()
         override def get(): InternalRow = {
@@ -5229,9 +5281,11 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
         override def get(): ColumnarBatch = reader.getCurrentValue.asInstanceOf[ColumnarBatch]
         override def close(): Unit = reader.close()
       }
-      case Some((present, mapping)) => new PartitionReader[ColumnarBatch] {
+      case Some((present, mapping, widened)) => new PartitionReader[ColumnarBatch] {
         private val reader =
-          ManifestParquet.openRead(p.file, present, returnBatches = true)
+          if (widened) ManifestParquet.openReadWidened(p.file,
+            physPresentSchema(present), returnBatches = true)
+          else ManifestParquet.openRead(p.file, present, returnBatches = true)
         // constant all-null vectors for absent columns, shared across
         // batches (capacity covers the reader's 4096-row batches)
         private val nullAt: Map[Int, ColumnVector] = mapping.zipWithIndex.collect {

@@ -125,6 +125,41 @@ class AlterTableSpec extends AnyFunSuite {
     assert(spark.table("acat.db.oc").filter($"w".isNotNull).count() == 20)
   }
 
+  test("ALTER COLUMN TYPE widens int->long metadata-only; mixed files read correctly") {
+    spark.sql("CREATE TABLE acat.db.wid (id BIGINT, n INT)")
+    spark.sql("INSERT INTO acat.db.wid SELECT id, CAST(id AS INT) FROM range(5)")
+    val gen1 = fileNames("wid")
+    spark.sql("ALTER TABLE acat.db.wid ALTER COLUMN n TYPE BIGINT")
+    assert(fileNames("wid") == gen1, "widening must not rewrite data files")
+    assert(spark.table("acat.db.wid").schema("n").dataType.typeName == "long")
+    // old INT32 files decode through the widening reader; new files are
+    // written INT64 — both answer as BIGINT
+    spark.sql("INSERT INTO acat.db.wid SELECT id, id FROM range(100, 105)")
+    val got = spark.table("acat.db.wid").select($"n").as[Long].collect().sorted
+    assert(got.toSeq == (0L until 5L) ++ (100L until 105L), got.mkString(","))
+    // aggregates and filters over the widened column stay exact
+    assert(spark.table("acat.db.wid").filter($"n" >= 100L).count() == 5L)
+    assert(spark.table("acat.db.wid").agg(sum($"n")).as[Long].head() ==
+      (0L until 5L).sum + (100L until 105L).sum)
+    // stats carried losslessly: min/max pruning still works on old files
+    val e = ManifestSink.committedEntries(root("wid"), None)
+    assert(e.forall(x => x.mins.contains("n") && x.maxs.contains("n")))
+  }
+
+  test("ALTER COLUMN TYPE widens float->double; compaction stays generation-safe") {
+    spark.sql("CREATE TABLE acat.db.widf (id BIGINT, x FLOAT)")
+    spark.sql("INSERT INTO acat.db.widf SELECT id, CAST(id AS FLOAT) / 4 FROM range(8)")
+    spark.sql("ALTER TABLE acat.db.widf ALTER COLUMN x TYPE DOUBLE")
+    spark.sql("INSERT INTO acat.db.widf SELECT id, CAST(id AS DOUBLE) / 4 FROM range(8, 16)")
+    val got = spark.table("acat.db.widf").select($"x").as[Double].collect().sorted
+    assert(got.toSeq == (0 until 16).map(_ / 4.0), got.mkString(","))
+    // OPTIMIZE bins by physical parquet schema: FLOAT and DOUBLE files
+    // never merge raw — each generation compacts within itself
+    ManifestSink.compact(root("widf").toString, targetRows = 1000L)
+    assert(spark.table("acat.db.widf").select($"x").as[Double].collect().sorted.toSeq
+      == (0 until 16).map(_ / 4.0))
+  }
+
   test("unsupported ALTER shapes fail loudly") {
     spark.sql("CREATE TABLE acat.db.bad (id BIGINT, v BIGINT)")
     intercept[Exception] {
