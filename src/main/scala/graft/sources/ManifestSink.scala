@@ -176,6 +176,16 @@ object ManifestSink {
         s"manifest version $v of table $root is missing (expired by " +
           "retention GC?) — cannot compute a change feed across the gap")
       val after = committedEntries(root, Some(v))
+      // an equality-delete record appearing (or being materialized away)
+      // in this step is a row-level data change whose row images are NOT
+      // reconstructible from keys without reading data — the feed's
+      // whole point is to avoid that. Fail loudly, like CoW rewrites.
+      require(readHeader(root, Some(v)).eqDels.map(_.name).toSet ==
+          (if (v - 1 == 0L) Set.empty[String]
+           else readHeader(root, Some(v - 1)).eqDels.map(_.name).toSet),
+        s"manifest table $root has an EQUALITY DELETE between v${v - 1} and " +
+          s"v$v — its row diff is keys-only and cannot be replayed as a " +
+          "delta; read the snapshot instead")
       val out: Seq[A] =
         if (isRewriteVersion(root, v)) {
           require(after.map(_.liveRows).sum == prev.map(_.liveRows).sum,
@@ -391,7 +401,8 @@ object ManifestSink {
       .filter(v => Files.exists(manifestAt(root, v)))
     val referenced = (survivors.flatMap(v => committedEntries(root, Some(v))) ++
         branches.flatMap(b => branchEntries(root, b)))
-      .flatMap(e => e.name +: e.dvName.toSeq).toSet
+      .flatMap(e => e.name +: e.dvName.toSeq).toSet ++
+      survivors.flatMap(v => readHeader(root, Some(v)).eqDels.map(_.name)).toSet
     // entry-group files (and their bloom sidecars) referenced by any
     // surviving manifest list stay; the rest expired with their versions
     val liveGroups = survivors
@@ -420,6 +431,10 @@ object ManifestSink {
         // (their entry was purged, rewritten or superseded by a newer DV)
         case n if n.startsWith("dv-") && !referenced(n) && pastGrace(p) =>
           buf += cand(p, "dv")
+        // equality-delete sidecars whose record no retained version
+        // carries (materialized by OPTIMIZE, or their versions expired)
+        case n if n.startsWith("eqdel-") && !referenced(n) && pastGrace(p) =>
+          buf += cand(p, "eqdel")
         // staging leftovers of writers that died between writeString and
         // link/move accumulate forever without this sweep; the same grace
         // window that protects an in-flight writer's data files protects
@@ -816,7 +831,12 @@ object ManifestSink {
       dvName: Option[String] = None, dvRows: Long = 0L,
       blooms: Map[String, String] = Map.empty,
       slows: Map[String, String] = Map.empty,
-      sups: Map[String, String] = Map.empty) {
+      sups: Map[String, String] = Map.empty,
+      // data SEQUENCE number: the version this file was committed at
+      // (0 = predates sequence tracking). Equality deletes apply to
+      // files with seq < delete.seq — the Iceberg v2 sequencing rule
+      // that lets a delete-by-key commit without reading anything.
+      seq: Long = 0L) {
     /** Rows a reader actually yields: physical rows minus the deletion
       * vector's positions. Drives count(*) pushdown, reported stats and
       * the zero-column emitters — `rows` stays the PHYSICAL count (what
@@ -1089,6 +1109,100 @@ object ManifestSink {
           c -> bloomEncode(bits)
         }
       }.toMap
+  }
+
+  // ---- equality-delete files (the Iceberg v2 shape) ---------------------
+  //
+  // A DELETE-BY-KEY that never reads data: the commit writes a keys-only
+  // sidecar (`eqdel-*.txt`) and one manifest header record
+  // `#eqdel<TAB>file<TAB>col<TAB>seq` — O(keys) work regardless of table
+  // size, the path a streaming CDC producer that only knows keys needs.
+  // SEQUENCING gives exactness: the record applies to data files whose
+  // entry seq is strictly below the record's (files committed before the
+  // delete); later appends are untouched, so a re-insert of a deleted
+  // key survives. Scans subtract matching rows executor-side: a governed
+  // file's reader first makes one single-column pass over the key column
+  // to turn keys into positions, then merges those positions with the
+  // deletion-vector skip — the scan was reading the file anyway, so the
+  // extra pass costs one cheap column. OPTIMIZE materializes the
+  // deletes (rewrites governed may-match files, drops the records),
+  // exactly how it purges DVs. The append-only change feed and cdc feed
+  // FAIL LOUDLY across an equality-delete version — the dead rows are
+  // not reconstructible from keys without reads, and a silent skip
+  // would corrupt every downstream fold (the pinned semantics; same
+  // contract as copy-on-write rewrites in the feed).
+
+  private[sources] case class EqDelRec(name: String, col: String, seq: Long)
+
+  private val EqDelPrefix = "#eqdel\t"
+
+  private[sources] def eqDelLine(r: EqDelRec): String =
+    s"$EqDelPrefix${r.name}\t${urlEnc(r.col)}\t${r.seq}"
+
+  private[sources] def parseEqDelLine(l: String): EqDelRec = {
+    val p = l.stripPrefix(EqDelPrefix).split("\t")
+    EqDelRec(p(0), urlDec(p(1)), p(2).toLong)
+  }
+
+  private[sources] def writeEqDelFile(root: Path, values: Seq[String]): String = {
+    val name = s"eqdel-${java.util.UUID.randomUUID()}.txt"
+    Files.writeString(root.resolve(name),
+      values.distinct.sorted.map(urlEnc).mkString("\n"))
+    name
+  }
+
+  private[sources] def readEqDelValues(root: Path, name: String): Array[String] =
+    Files.readString(root.resolve(name)).split("\n").iterator
+      .filter(_.nonEmpty).map(urlDec).toArray
+
+  /** Publish an equality delete: keys-only sidecar + one metadata
+    * commit, ZERO data-file reads. `values` are canonical strings of the
+    * key column's type (validated). Returns the published version. */
+  def deleteWhereEq(tablePath: String, col: String, values: Seq[String],
+      gc: GcPolicy = GcPolicy(None, 3600L * 1000)): Long = {
+    val root = Paths.get(tablePath)
+    require(values.nonEmpty, "equality delete needs at least one key value")
+    var attempt = 0
+    var published = -1L
+    val name = writeEqDelFile(root, values)
+    while (published < 0L) {
+      attempt += 1
+      val st = readState(root)
+      require(st.version > 0L,
+        s"equality delete requires a versioned manifest table at $tablePath")
+      val schema = st.schema.getOrElse(throw new IllegalStateException(
+        s"manifest table $tablePath has no schema"))
+      val f = schema.fields.find(_.name == col).getOrElse(
+        throw new IllegalArgumentException(s"no column $col in $tablePath"))
+      f.dataType match {
+        case LongType | IntegerType =>
+          values.foreach(v => require(v.toLongOption.isDefined,
+            s"equality-delete value '$v' is not a valid ${f.dataType.simpleString}"))
+        case StringType => ()
+        case other => throw new IllegalArgumentException(
+          s"equality deletes support BIGINT/INT/STRING keys; $col is " +
+            other.simpleString)
+      }
+      val next = st.version + 1L
+      val meta = st.copy(eqDels = st.eqDels :+ EqDelRec(name, col, next)).metaLines
+      try {
+        publish(root, st.version,
+          ((schema.json +: meta) ++
+            renderEntrySection(root, st.entries, st.groups)).mkString("\n"))
+        published = next
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= 5) { Files.deleteIfExists(root.resolve(name)); throw e }
+          Thread.sleep(5L * attempt)
+      }
+    }
+    gc.retainVersions.foreach { k =>
+      try expireVersions(root, k, gc.orphanGraceMs)
+      catch { case e: Exception =>
+        System.err.println(s"manifest GC for $root failed (table unaffected): ${e.getMessage}")
+      }
+    }
+    published
   }
 
   /** Deletion-vector sidecar files (merge-on-read deletes): one
@@ -1698,7 +1812,7 @@ object ManifestSink {
   }
 
   private[sources] def parseEntryLine(line: String): FileEntry = {
-    val parts = line.split("\t", 8)
+    val parts = line.split("\t", 9)
     val (dvName, dvRows) = parts.lift(5).filter(_.nonEmpty) match {
       case Some(dv) =>
         val Array(n, c) = dv.split(":", 2)
@@ -1718,7 +1832,8 @@ object ManifestSink {
       parseStats(parts.lift(2).getOrElse("")),
       parseStats(parts.lift(3).getOrElse("")),
       parsePartsStr(parts.lift(4).getOrElse("")),
-      dvName, dvRows, blooms, slows, sups)
+      dvName, dvRows, blooms, slows, sups,
+      parts.lift(8).filter(_.nonEmpty).map(_.toLong).getOrElse(0L))
   }
 
   /** Truncated string bounds field: `col=low:high` pairs, comma-joined,
@@ -1753,7 +1868,9 @@ object ManifestSink {
     val sb = strBoundsStr(e.slows, e.sups)
     // trailing optional fields: emit earlier slots (possibly empty) when
     // a later field needs its position
-    if (sb.nonEmpty) s"$base\t$dv\t$bl\t$sb"
+    val sq = if (e.seq == 0L) "" else e.seq.toString
+    if (sq.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq"
+    else if (sb.nonEmpty) s"$base\t$dv\t$bl\t$sb"
     else if (bl.nonEmpty) s"$base\t$dv\t$bl"
     else if (dv.nonEmpty) s"$base\t$dv"
     else base
@@ -2052,7 +2169,9 @@ object ManifestSink {
       // partSpec.map(_.col) == partCols when nonEmpty. Callers that only
       // need source names keep reading partCols; value computation and
       // pruning decisions consult the spec. Empty = all-identity.
-      partSpec: Seq[PartTransform] = Seq.empty) {
+      partSpec: Seq[PartTransform] = Seq.empty,
+      // outstanding equality-delete records, in commit order
+      eqDels: Seq[EqDelRec] = Seq.empty) {
     /** The spec with the all-identity fallback applied — what metaLines
       * renders and decision sites consume. */
     def effectiveSpec: Seq[PartTransform] =
@@ -2068,6 +2187,7 @@ object ManifestSink {
         schemaEpochLine(schemaEpoch).toSeq ++ deleteModeLine(deleteMode).toSeq ++
         bloomColsLine(bloomCols).toSeq ++ sortColsLine(sortCols).toSeq ++
         tblPropsLine(props).toSeq ++
+        eqDels.sortBy(r => (r.seq, r.name)).map(eqDelLine) ++
         markers.toSeq.sortBy(_._1).map((markerLine _).tupled)
   }
 
@@ -2110,7 +2230,8 @@ object ManifestSink {
         lines.tail.find(_.startsWith(PartColsPrefix))
           .map(_.stripPrefix(PartColsPrefix).split(",").toSeq
             .filter(_.nonEmpty).map(t => parsePartToken(urlDec(t))))
-          .getOrElse(Seq.empty))
+          .getOrElse(Seq.empty),
+        lines.tail.filter(_.startsWith(EqDelPrefix)).map(parseEqDelLine))
     } else legacyState(root)
   }
 
@@ -2191,8 +2312,12 @@ object ManifestSink {
       // extends. If another job publishes v(base+1) first, our publish
       // below fails — loudly past maxAttempts, else into a rebase.
       val base = st.version
+      // data sequence: new files carry the version this commit publishes,
+      // so later equality deletes can govern exactly the files that
+      // preceded them
       val all =
-        (if (truncateFirst) Seq.empty else st.entries) ++ newEntries
+        (if (truncateFirst) Seq.empty else st.entries) ++
+          newEntries.map(_.copy(seq = base + 1L))
       // Epoch markers survive truncate: a complete-mode epoch replaces the
       // DATA but the exactly-once high-water mark must persist, or a
       // restart would double-apply the epoch it just committed.
@@ -2247,7 +2372,10 @@ object ManifestSink {
     * change feed's pure-append check fails across it by design, exactly
     * like a copy-on-write DELETE's version. */
   private[sources] def publishReplace(root: Path, baseVersion: Long,
-      replaced: Set[String], newEntries: Seq[FileEntry], gc: GcPolicy): Unit = {
+      replaced: Set[String], newEntries0: Seq[FileEntry], gc: GcPolicy): Unit = {
+    // row-level rewrites read through the scan (equality deletes already
+    // applied), so replacement files start a fresh sequence
+    val newEntries = newEntries0.map(_.copy(seq = baseVersion + 1L))
     val st = readState(root, Some(baseVersion))
     val schema = st.schema.getOrElse(
       throw new IllegalStateException(s"manifest table $root has no schema"))
@@ -2364,6 +2492,7 @@ object ManifestSink {
       var colMap = st.colMap
       var partCols = st.partCols
       var partSpec0 = st.effectiveSpec
+      var eqDels0 = st.eqDels
       var entries = st.entries
       var bloomCols = st.bloomCols
       var sortCols = st.sortCols
@@ -2413,6 +2542,7 @@ object ManifestSink {
             if (f.name == from) f.copy(name = to) else f))
           partCols = partCols.map(c => if (c == from) to else c)
           partSpec0 = partSpec0.map(t => if (t.col == from) t.withCol(to) else t)
+          eqDels0 = eqDels0.map(r => if (r.col == from) r.copy(col = to) else r)
           bloomCols = bloomCols.map(c => if (c == from) to else c)
           sortCols = sortCols.map(c => if (c == from) to else c)
           entries = entries.map(e => e.copy(
@@ -2449,6 +2579,9 @@ object ManifestSink {
           val name = single(d.fieldNames, "DROP COLUMN")
           require(schema.fieldNames.contains(name), s"no column $name to drop")
           require(!partCols.contains(name), s"cannot drop partition column $name")
+          require(!eqDels0.exists(_.col == name),
+            s"cannot drop column $name: an outstanding equality delete keys " +
+              "on it — OPTIMIZE the table first")
           require(schema.fields.length > 1, "cannot drop a table's last column")
           colMap -= name
           schema = StructType(schema.fields.filterNot(_.name == name))
@@ -2506,7 +2639,7 @@ object ManifestSink {
       }
       colMap = colMap.filter { case (k, v) => k != v }
       val meta = st.copy(schema = Some(schema), partCols = partCols,
-        partSpec = partSpec0,
+        partSpec = partSpec0, eqDels = eqDels0,
         colMap = colMap, schemaEpoch = newEpoch, entries = entries,
         bloomCols = bloomCols, sortCols = sortCols,
         deleteMode = deleteMode0, props = props0).metaLines
@@ -2574,9 +2707,102 @@ object ManifestSink {
     * a bin. Bins are independent, so a distributed rewrite of a
     * petabyte table would fan each bin out as one task; driver-side
     * sequential I/O is the local[*] degenerate case of the same plan. */
+  /** Materialize outstanding equality deletes: rewrite every governed
+    * file the key stats/blooms cannot rule out (dropping matching rows
+    * and any DV'd positions in the same pass) and publish ONE commit
+    * that swaps the files and clears the records — the OPTIMIZE
+    * counterpart of the DV purge. Governed files the metadata PROVES
+    * hold no matching key are left untouched (may-match=false is
+    * definitive). A real DATA change (live rows shrink), so the commit
+    * is not a `#rewrite` version and the change feed fails across it
+    * loudly — consistent with the eq-delete commit itself. Returns the
+    * number of files rewritten. */
+  def materializeEqDeletes(tablePath: String,
+      gc: GcPolicy = GcPolicy(None, 3600L * 1000)): Int = {
+    val root = Paths.get(tablePath)
+    val st = readState(root)
+    if (st.eqDels.isEmpty) return 0
+    val schema = st.schema.getOrElse(throw new IllegalStateException(
+      s"manifest table $tablePath has no schema"))
+    // typed kill sets once, per record
+    val applied = st.eqDels.map { r =>
+      EqDelApplied(r.col,
+        schema.fields.find(_.name == r.col).map(_.dataType).getOrElse(StringType),
+        readEqDelValues(root, r.name), r.seq)
+    }
+    def governed(e: FileEntry): Seq[EqDelApplied] = applied.filter(_.seq > e.seq)
+    def mayHold(e: FileEntry, a: EqDelApplied): Boolean =
+      a.values.exists { v =>
+        val f: org.apache.spark.sql.sources.Filter = a.dataType match {
+          case LongType | IntegerType =>
+            org.apache.spark.sql.sources.EqualTo(a.col, v.toLong)
+          case _ => org.apache.spark.sql.sources.EqualTo(a.col, v)
+        }
+        mayMatchEntry(e, f, st.partTransforms)
+      }
+    var rewritten = 0
+    val newEntries = st.entries.map { e =>
+      val gov = governed(e).filter(a => mayHold(e, a))
+      if (gov.isEmpty) e
+      else {
+        val kills: Map[String, (DataType, Set[String])] = gov.groupBy(_.col)
+          .map { case (c, as) =>
+            c -> (as.head.dataType, as.flatMap(_.values).toSet) }
+        val killIdx = kills.map { case (c, (dt, vs)) =>
+          (schema.fieldIndex(c), dt, dt match {
+            case LongType | IntegerType => vs.map(_.toLong)
+            case _ => vs
+          })
+        }.toSeq
+        val dv: Set[Long] =
+          e.dvName.fold(Set.empty[Long])(n => readDvPositions(root.resolve(n)).toSet)
+        val stats = new FileStatsCollector(schema, st.bloomCols)
+        var kept = 0L
+        val newName = s"data-compact-${java.util.UUID.randomUUID()}.parquet"
+        val out = ManifestParquet.open(root.resolve(newName),
+          toPhysicalSchema(schema, st.colMap))
+        def killed(row: InternalRow): Boolean = killIdx.exists { case (i, dt, vs) =>
+          !row.isNullAt(i) && (dt match {
+            case LongType => vs.asInstanceOf[Set[Long]](row.getLong(i))
+            case IntegerType => vs.asInstanceOf[Set[Long]](row.getInt(i).toLong)
+            case _ => vs.asInstanceOf[Set[String]](row.getUTF8String(i).toString)
+          })
+        }
+        try foreachRowPos(root.resolve(e.name), schema, st.colMap,
+          st.schemaEpoch > 0L) { (row, pos) =>
+          if (!dv.contains(pos) && !killed(row)) {
+            out.write(row); kept += 1; stats.add(row)
+          }
+        } finally out.close()
+        rewritten += 1
+        FileEntry(newName, kept, stats.intMins, stats.intMaxs, e.parts,
+          blooms = stats.blooms, slows = stats.strLowers, sups = stats.strUppers,
+          seq = st.version + 1L)
+      }
+    }.filter(_.rows > 0L)
+    try publish(root, st.version,
+      ((schema.json +: st.copy(eqDels = Seq.empty).metaLines) ++
+        renderEntrySection(root, newEntries, st.groups)).mkString("\n"))
+    catch { case e: java.util.ConcurrentModificationException =>
+      newEntries.filterNot(st.entries.contains)
+        .foreach(m => Files.deleteIfExists(root.resolve(m.name)))
+      throw e
+    }
+    gc.retainVersions.foreach { k =>
+      try expireVersions(root, k, gc.orphanGraceMs)
+      catch { case ex: Exception =>
+        System.err.println(s"manifest GC for $root failed (table unaffected): ${ex.getMessage}")
+      }
+    }
+    rewritten
+  }
+
   def compact(tablePath: String, targetRows: Long): CompactionResult = {
     require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
     val root = Paths.get(tablePath)
+    // phase 0: equality deletes materialize first (their own non-rewrite
+    // commit) so the bin merge below never raw-appends governed rows
+    materializeEqDeletes(tablePath)
     val st = readState(root)
     // a legacy manifest.txt table reads as version 0, and the change
     // feed models version 0 as "the empty table" — a v1 rewrite of
@@ -2717,6 +2943,10 @@ object ManifestSink {
     import org.apache.spark.sql.functions._
     require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
     require(zorderBy.nonEmpty, "ZORDER BY needs at least one column")
+    // equality deletes materialize first: the rewrite below republishes
+    // a dataChange=false version whose row-preservation check (and raw
+    // row copies) must not carry governed rows
+    materializeEqDeletes(tablePath)
     // 16 bits per column interleave into ONE Long key: a 5th column
     // would need bit positions >= 64, and Scala's shift silently wraps
     // (count & 63) — the "clustered" layout would interleave garbage
@@ -3202,7 +3432,8 @@ object ManifestSink {
         Files.deleteIfExists(root.resolve(newName))
         None
       } else Some(FileEntry(newName, kept, stats.intMins, stats.intMaxs, e.parts,
-        blooms = stats.blooms, slows = stats.strLowers, sups = stats.strUppers))
+        blooms = stats.blooms, slows = stats.strLowers, sups = stats.strUppers,
+        seq = e.seq))
       }
     }
     val rewritten = candidates.zip(replacements).count {
@@ -4376,7 +4607,11 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
     * attributes — a join's runtime pruning composed with a row-count
     * prefix could cover fewer than n surviving rows. */
   override def pushLimit(limit: Int): Boolean = {
-    val ok = skipFilters.isEmpty && changes.isEmpty && onBatchResolve.isEmpty && !cdc
+    // outstanding equality deletes make manifest live counts an
+    // OVERCOUNT (matching rows subtract at scan) — a count-prefix could
+    // cover fewer than n surviving rows, so the push is refused
+    val ok = skipFilters.isEmpty && changes.isEmpty && onBatchResolve.isEmpty &&
+      !cdc && tableState.eqDels.isEmpty
     if (ok) pushedLimit = Some(limit)
     ok
   }
@@ -4406,7 +4641,7 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
     val ok = skipFilters.isEmpty && changes.isEmpty && onBatchResolve.isEmpty &&
-      !cdc && orders.length == 1 && {
+      !cdc && tableState.eqDels.isEmpty && orders.length == 1 && {
         val o = orders(0)
         o.expression() match {
           case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -4513,6 +4748,9 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     onBatchResolve.isEmpty && // a rewrite scan must produce real rows
     !cdc && // delete-row counts need the slice walk, not snapshot stats
+    // equality deletes subtract rows at SCAN time — metadata counts and
+    // extrema are overstatements until OPTIMIZE materializes them
+    tableState.eqDels.isEmpty &&
     skipFilters.isEmpty && {
       lazy val entries = scanEntries // ONE manifest read, at planning time
       // GROUP BY is metadata-answerable exactly when every group key is
@@ -4717,6 +4955,7 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
         // file-level skip filters stay sound (stats cover all physical
         // rows of the sliced file)
         partTransforms = tableState.partTransforms,
+        eqDels = tableState.eqDels,
         cdcSlices = if (!cdc) None else Some(() =>
           ManifestSink.cdcSlices(root, changes.get._1, changes.get._2)
             .filter(sl => skipFilters.forall(f =>
@@ -4763,7 +5002,8 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     runtimeFilterable: Boolean = true,
     cdcSlices: Option[() => Seq[ManifestSink.CdcSlice]] = None,
     dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
-    partTransforms: Map[String, ManifestSink.PartTransform] = Map.empty)
+    partTransforms: Map[String, ManifestSink.PartTransform] = Map.empty,
+    eqDels: Seq[ManifestSink.EqDelRec] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
   // resolved on first BATCH use only — a pure streaming read never
@@ -4938,7 +5178,8 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     else entries
       .map(e => ManifestFilePartition(root.resolve(e.name).toString, e.liveRows,
         e.dvName.map(n => root.resolve(n).toString),
-        if (partCols.isEmpty) null else partKeyByName(e.name)): InputPartition)
+        if (partCols.isEmpty) null else partKeyByName(e.name),
+        seq = e.seq): InputPartition)
       .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     // whole-batch columnar handoff only when EVERY file in the scan is
@@ -4953,8 +5194,13 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
       // nothing there
       columnar = schema.nonEmpty && cdcSlices.isEmpty &&
         !schema.fieldNames.contains(ManifestSink.FileNameColumn) &&
-        resolved.forall(e => e.name.endsWith(".parquet") && e.dvName.isEmpty),
+        resolved.forall(e => e.name.endsWith(".parquet") && e.dvName.isEmpty &&
+          // equality-delete positions apply row-by-row, like DVs
+          !eqDels.exists(_.seq > e.seq)),
       colMap = colMap, evolved = evolved,
+      eqApplied = eqDels.map(r => EqDelApplied(r.col,
+        fileSchema.fields.find(_.name == r.col).map(_.dataType).getOrElse(StringType),
+        ManifestSink.readEqDelValues(root, r.name), r.seq)),
       // row-group-level predicate pushdown inside surviving files —
       // translated ONCE on the driver, shipped serialized (parquet
       // predicates are Serializable). Withheld from (a) REWRITE scans:
@@ -4997,6 +5243,14 @@ class ManifestMicroBatchStream(root: Path, fileSchema: StructType,
     cdc: Boolean = false)
     extends readstreaming.MicroBatchStream
     with readstreaming.SupportsAdmissionControl {
+  // equality-delete records as of stream construction: the INITIAL
+  // snapshot batch applies them (deleted rows never deliver); any
+  // record added mid-stream fails the version walk loudly, so this
+  // resolution cannot go stale silently
+  private val eqDels: Seq[ManifestSink.EqDelRec] =
+    if (ManifestSink.currentVersion(root) > 0L)
+      ManifestSink.readHeader(root).eqDels
+    else Seq.empty
   private case class VOffset(v: Long) extends readstreaming.Offset {
     override def json: String = v.toString
   }
@@ -5061,7 +5315,7 @@ class ManifestMicroBatchStream(root: Path, fileSchema: StructType,
         // (deletion vectors applied — deleted rows never deliver)
         ents.map(en => ManifestFilePartition(root.resolve(en.name).toString, en.liveRows,
           en.dvName.map(n => root.resolve(n).toString),
-          null, null, if (cdc) "insert" else null): InputPartition)
+          null, null, if (cdc) "insert" else null, seq = en.seq): InputPartition)
           .toArray
       }
     }
@@ -5072,7 +5326,10 @@ class ManifestMicroBatchStream(root: Path, fileSchema: StructType,
     // can't be derived from any one batch's file set. Parquet decode is
     // still vectorized inside the reader.
     new ManifestReaderFactory(fileSchema, schema, columnar = false,
-      colMap = colMap, evolved = evolved)
+      colMap = colMap, evolved = evolved,
+      eqApplied = eqDels.map(r => EqDelApplied(r.col,
+        fileSchema.fields.find(_.name == r.col).map(_.dataType).getOrElse(StringType),
+        ManifestSink.readEqDelValues(root, r.name), r.seq)))
 }
 
 /** One committed data file. `partKey` (when the table is partitioned
@@ -5089,7 +5346,8 @@ case class ManifestFilePartition(file: String, rows: Long = 0L,
     dvFile: Option[String] = None,
     partKey: Array[Any] = null,
     emit: Array[Long] = null,
-    changeType: String = null) extends InputPartition with HasPartitionKey {
+    changeType: String = null,
+    seq: Long = 0L) extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     if (partKey == null) null
     else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(partKey)
@@ -5110,22 +5368,75 @@ case class ManifestFilePartition(file: String, rows: Long = 0L,
   * THAT file; absent ones null-fill — per row via a mapped view, per
   * batch via spliced constant-null vectors. Files never rewrite on
   * ALTER; the read side reconciles. */
+/** One equality-delete record RESOLVED for executor-side application:
+  * the key column (logical name + table type), the canonical key values
+  * (read once on the driver — keys are bounded, the whole point), and
+  * the record's sequence. Serializable: ships inside the factory. */
+case class EqDelApplied(col: String, dataType: DataType,
+    values: Array[String], seq: Long)
+
 class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
     columnar: Boolean, colMap: Map[String, String] = Map.empty,
     evolved: Boolean = false,
-    rgFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+    rgFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None,
+    eqApplied: Seq[EqDelApplied] = Seq.empty)
     extends PartitionReaderFactory {
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
   private def physical(c: String): String = colMap.getOrElse(c, c)
 
   /** Row-group filtering applies only where physical row POSITIONS don't
-    * matter: a deletion vector or a cdc emit list addresses rows by
-    * file position, which skipped groups would shift. */
+    * matter: a deletion vector, a cdc emit list, or an equality delete
+    * (applied as positions) addresses rows by file position, which
+    * skipped groups would shift. */
   private def rgFilterFor(p: ManifestFilePartition)
       : Option[org.apache.parquet.filter2.predicate.FilterPredicate] =
-    if (p.dvFile.isEmpty && p.emit == null && p.file.endsWith(".parquet")) rgFilter
+    if (p.dvFile.isEmpty && p.emit == null && p.file.endsWith(".parquet") &&
+        governingFor(p).isEmpty) rgFilter
     else None
+
+  /** Equality deletes governing this partition's file (entry committed
+    * strictly before the record). */
+  private def governingFor(p: ManifestFilePartition): Seq[EqDelApplied] =
+    eqApplied.filter(_.seq > p.seq)
+
+  /** Physical positions of rows an equality delete kills in `p`'s file:
+    * ONE single-column vectorized pass per distinct key column — the
+    * scan reads the file anyway, so the extra pass costs one cheap
+    * column and turns key deletes into the same sorted-position skip a
+    * deletion vector uses. NULL keys never match (SQL equality). */
+  private def eqDeletePositions(p: ManifestFilePartition): Array[Long] = {
+    val gov = governingFor(p)
+    if (gov.isEmpty || !p.file.endsWith(".parquet")) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    gov.groupBy(_.col).foreach { case (c, dels) =>
+      val phys = physical(c)
+      val dt = dels.head.dataType
+      val reader = ManifestParquet.openRead(p.file, Seq(phys), returnBatches = false)
+      try dt match {
+        case LongType | IntegerType =>
+          val kill = dels.flatMap(_.values).map(_.toLong).toSet
+          var pos = -1L
+          while (reader.nextKeyValue()) {
+            pos += 1
+            val row = reader.getCurrentValue.asInstanceOf[InternalRow]
+            if (!row.isNullAt(0)) {
+              val v = if (dt == LongType) row.getLong(0) else row.getInt(0).toLong
+              if (kill(v)) out += pos
+            }
+          }
+        case _ =>
+          val kill = dels.flatMap(_.values).toSet
+          var pos = -1L
+          while (reader.nextKeyValue()) {
+            pos += 1
+            val row = reader.getCurrentValue.asInstanceOf[InternalRow]
+            if (!row.isNullAt(0) && kill(row.getUTF8String(0).toString)) out += pos
+          }
+      } finally reader.close()
+    }
+    out.distinct.sorted.toArray
+  }
 
   /** The pruned schema under PHYSICAL names — what the filtered reader
     * requests from `ParquetReadSupport`'s clipping. */
@@ -5195,7 +5506,18 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
     // LIVE count from the manifest entry.
     val base: PartitionReader[InternalRow] =
     if (dataSchema.isEmpty) new PartitionReader[InternalRow] {
-      private var remaining = p.rows
+      // governed files: the manifest live count still includes the
+      // equality-deleted rows — subtract them (positions not already in
+      // the deletion vector) before emitting
+      private var remaining = {
+        val eq = eqDeletePositions(p)
+        if (eq.isEmpty) p.rows
+        else {
+          val dv = p.dvFile.map(f => ManifestSink.readDvPositions(Paths.get(f)).toSet)
+            .getOrElse(Set.empty[Long])
+          p.rows - eq.count(!dv.contains(_))
+        }
+      }
       override def next(): Boolean = remaining > 0 && { remaining -= 1; true }
       override def get(): InternalRow = InternalRow.empty
       override def close(): Unit = ()
@@ -5245,7 +5567,14 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
       case (_, em) if em != null && dataSchema.nonEmpty =>
         new DvEmitReader(base, em)
       case (Some(dv), _) if dataSchema.nonEmpty =>
-        new DvSkipReader(base, ManifestSink.readDvPositions(Paths.get(dv)))
+        // deletion vector ∪ equality-delete positions: one merged
+        // sorted skip
+        new DvSkipReader(base,
+          (ManifestSink.readDvPositions(Paths.get(dv)) ++ eqDeletePositions(p))
+            .distinct.sorted)
+      case _ if dataSchema.nonEmpty =>
+        val eq = eqDeletePositions(p)
+        if (eq.isEmpty) base else new DvSkipReader(base, eq)
       case _ => base
     }
     def appendConst(inner: PartitionReader[InternalRow],

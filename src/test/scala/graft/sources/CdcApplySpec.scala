@@ -177,4 +177,36 @@ class CdcApplySpec extends AnyFunSuite {
     }.toMap
     assert(fin == want, s"got $fin")
   }
+
+  test("key-only changelog: the DELETE half applies with ZERO base-file reads") {
+    // a CDC producer that only knows KEYS (the common shape: upstream
+    // emits tombstones) previously had no no-read delete path — both
+    // CoW and MoR deletes must READ candidates to locate positions.
+    // Equality deletes are exactly that path: the apply loop routes
+    // tombstones to deleteWhereEq (keys-only commit) and upserts to the
+    // ordinary append; base files are MOVED AWAY during the delete half
+    // to prove it reads nothing.
+    spark.sql("CREATE TABLE ccat.db.eqstate (key BIGINT, value STRING)")
+    spark.sql("INSERT INTO ccat.db.eqstate SELECT id, concat('v', id) FROM range(10)")
+    val root = wh.resolve("db").resolve("eqstate")
+    def entries = ManifestSink.committedEntries(root, None)
+
+    // one applied micro-batch: tombstones for 2 and 8, upsert of 100
+    val tombstones = Seq(2L, 8L)
+    val stash = Files.createTempDirectory("cdc-eq-stash")
+    val names = entries.map(_.name)
+    names.foreach(n => Files.move(root.resolve(n), stash.resolve(n)))
+    ManifestSink.deleteWhereEq(root.toString, "key", tombstones.map(_.toString))
+    names.foreach(n => Files.move(stash.resolve(n), root.resolve(n)))
+    spark.sql("INSERT INTO ccat.db.eqstate VALUES (100, 'new')")
+
+    val got = spark.table("ccat.db.eqstate").as[(Long, String)].collect().toMap
+    val want = ((0L until 10L).filterNot(tombstones.contains)
+      .map(k => k -> s"v$k") :+ (100L -> "new")).toMap
+    assert(got == want, s"got $got")
+    // a later tombstone for the re-inserted key only kills the OLD data
+    // sequence if committed after it — kill 100 and verify
+    ManifestSink.deleteWhereEq(root.toString, "key", Seq("100"))
+    assert(!spark.table("ccat.db.eqstate").as[(Long, String)].collect().toMap.contains(100L))
+  }
 }

@@ -1,0 +1,154 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Equality-delete files (the Iceberg v2 shape): a DELETE-BY-KEY whose
+  * COMMIT is O(keys) — a keys-only sidecar plus one metadata publish,
+  * zero data-file reads (proved physically: the base files are MOVED
+  * AWAY during the delete). Scans subtract matching rows via a
+  * single-column position pass; sequencing keeps later re-inserts
+  * alive; OPTIMIZE materializes the records away like DV purges; the
+  * append-only/cdc feeds fail LOUDLY across an eq-delete version (keys
+  * cannot be replayed as row images — pinned semantics). */
+class EqualityDeleteSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+
+  private val wh: Path = {
+    val p = Files.createTempDirectory("graft-eqdel")
+    p.toFile.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.ecat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ecat.warehouse", p.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ecat.db")
+    p
+  }
+  private def root(t: String): Path = wh.resolve("db").resolve(t)
+  private def entries(t: String): Seq[ManifestSink.FileEntry] =
+    ManifestSink.committedEntries(root(t), None)
+  private def ids(t: String): Seq[Long] =
+    spark.sql(s"SELECT id FROM ecat.db.$t").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("the delete commit is keys-only and ZERO-read; scans subtract; re-inserts survive") {
+    spark.sql("CREATE TABLE ecat.db.e1 (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO ecat.db.e1 SELECT id, concat('v', id) FROM range(10)")
+    // PHYSICAL zero-read proof: every data file is moved away while the
+    // delete commits — any read would throw
+    val stash = Files.createTempDirectory("eqdel-stash")
+    val names = entries("e1").map(_.name)
+    names.foreach(n => Files.move(root("e1").resolve(n), stash.resolve(n)))
+    ManifestSink.deleteWhereEq(root("e1").toString, "id", Seq("3", "7"))
+    names.foreach(n => Files.move(stash.resolve(n), root("e1").resolve(n)))
+    assert(ids("e1") == Seq(0L, 1L, 2L, 4L, 5L, 6L, 8L, 9L))
+    // SEQUENCING: a re-insert of a deleted key lands at a HIGHER data
+    // sequence than the record — it must survive
+    spark.sql("INSERT INTO ecat.db.e1 VALUES (3, 'reborn')")
+    assert(ids("e1") == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 8L, 9L))
+    assert(spark.sql("SELECT v FROM ecat.db.e1 WHERE id = 3")
+      .collect().map(_.getString(0)).toSeq == Seq("reborn"))
+  }
+
+  test("metadata COUNT(*) is refused while records are outstanding; restored after OPTIMIZE") {
+    spark.sql("CREATE TABLE ecat.db.e2 (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO ecat.db.e2 SELECT id, id FROM range(20)")
+    ManifestSink.deleteWhereEq(root("e2").toString, "id", Seq("5"))
+    // count must READ (live counts overcount): prove by deleting the
+    // data files — the query has to fail
+    val stash = Files.createTempDirectory("eqdel-stash2")
+    val names = entries("e2").map(_.name)
+    names.foreach(n => Files.move(root("e2").resolve(n), stash.resolve(n)))
+    intercept[Exception] {
+      spark.sql("SELECT count(*) FROM ecat.db.e2").collect()
+    }
+    names.foreach(n => Files.move(stash.resolve(n), root("e2").resolve(n)))
+    assert(spark.sql("SELECT count(*) FROM ecat.db.e2").collect().head.getLong(0) == 19L)
+    // OPTIMIZE materializes: records drop, matching rows are gone
+    // physically, and the metadata count answers again with files ABSENT
+    val res = ManifestSink.compact(root("e2").toString, targetRows = 1000L)
+    assert(ManifestSink.readHeader(root("e2")).eqDels.isEmpty,
+      "OPTIMIZE must clear the equality-delete records")
+    assert(res.rewrittenFiles >= 0)
+    entries("e2").foreach(e => Files.delete(root("e2").resolve(e.name)))
+    assert(spark.sql("SELECT count(*) FROM ecat.db.e2").collect().head.getLong(0) == 19L,
+      "post-materialization counts must be metadata-only again")
+  }
+
+  test("string keys; DV and equality deletes compose on one file") {
+    spark.sql("CREATE TABLE ecat.db.e3 (id BIGINT, k STRING) " +
+      "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO ecat.db.e3 SELECT id, concat('k', id) FROM range(10)")
+    spark.sql("DELETE FROM ecat.db.e3 WHERE id = 2") // DV sidecar
+    assert(entries("e3").exists(_.dvName.isDefined))
+    ManifestSink.deleteWhereEq(root("e3").toString, "k", Seq("k5", "k6", "k-absent"))
+    assert(ids("e3") == Seq(0L, 1L, 3L, 4L, 7L, 8L, 9L))
+    // zero-column projection over the composed deletes is exact too
+    assert(spark.sql("SELECT count(*) FROM ecat.db.e3").collect().head.getLong(0) == 7L)
+  }
+
+  test("the change feed fails LOUDLY across an equality-delete version") {
+    spark.sql("CREATE TABLE ecat.db.e4 (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO ecat.db.e4 SELECT id, id FROM range(5)")
+    val before = ManifestSink.currentVersion(root("e4"))
+    ManifestSink.deleteWhereEq(root("e4").toString, "id", Seq("1"))
+    spark.sql("INSERT INTO ecat.db.e4 SELECT id, id FROM range(5, 8)")
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.ManifestSink")
+        .option("path", root("e4").toString)
+        .option("changesFromVersion", before.toString)
+        .load().collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("EQUALITY DELETE")), msgs(e).mkString("|"))
+    // cdc mode refuses identically
+    val e2 = intercept[Exception] {
+      spark.read.format("graft.sources.ManifestSink")
+        .option("path", root("e4").toString)
+        .option("changesFromVersion", before.toString)
+        .option("changeFeedMode", "cdc")
+        .load().collect()
+    }
+    assert(msgs(e2).exists(_.contains("EQUALITY DELETE")), msgs(e2).mkString("|"))
+  }
+
+  test("a streaming read's initial snapshot applies outstanding records") {
+    spark.sql("CREATE TABLE ecat.db.e5 (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO ecat.db.e5 SELECT id, id FROM range(6)")
+    ManifestSink.deleteWhereEq(root("e5").toString, "id", Seq("0", "4"))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft.sources.ManifestSink")
+      .option("path", root("e5").toString).load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("eqdel-ck").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen ++= b.collect().map(_.getLong(0)) }: Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(seen.sorted.toSeq == Seq(1L, 2L, 3L, 5L),
+      "deleted keys must never deliver in the initial snapshot")
+  }
+
+  test("time travel to before the delete still shows the rows; vacuum keeps live sidecars") {
+    spark.sql("CREATE TABLE ecat.db.e6 (id BIGINT)")
+    spark.sql("INSERT INTO ecat.db.e6 SELECT id FROM range(4)")
+    val vBefore = ManifestSink.currentVersion(root("e6"))
+    ManifestSink.deleteWhereEq(root("e6").toString, "id", Seq("2"))
+    assert(spark.sql(s"SELECT count(*) FROM ecat.db.e6 VERSION AS OF $vBefore")
+      .collect().head.getLong(0) == 4L)
+    assert(ids("e6") == Seq(0L, 1L, 3L))
+    // the sidecar survives a vacuum while its record is retained
+    ManifestSink.vacuum(root("e6"), retain = 1, orphanGraceMs = 0L)
+    val sidecars = {
+      val l = Files.list(root("e6"))
+      try l.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("eqdel-")).toSeq
+      finally l.close()
+    }
+    assert(sidecars.nonEmpty, "a live record's sidecar must survive vacuum")
+    assert(ids("e6") == Seq(0L, 1L, 3L))
+  }
+}
