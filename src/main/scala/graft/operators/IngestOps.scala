@@ -544,6 +544,114 @@ object IngestOps {
            |FROM graft.$ns.orders_h.history ORDER BY version""".stripMargin)
     }),
 
+    // HIDDEN PARTITIONING end to end (days(ts) — the production time
+    // layout): events land in a day-partitioned manifest table while the
+    // query filters the RAW epoch-microsecond column; partition tuples
+    // prune whole days exactly (boundary-aligned decisions are proven,
+    // interior ones fall to stats), and the derived day never leaks into
+    // results. Oracle reconstructs the same day arithmetic over the
+    // original parquet. At 100 TB this is THE layout for the event/fact
+    // shape: a week-filtered query opens 7/365ths of the files before
+    // any stats or data I/O, with zero user-managed day columns.
+    "q155_hidden_partition" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        s.sparkContext.applicationId
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      if (orcWritten.add((s.sparkContext.applicationId, s"hp:$dir"))) {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+        s.sql(s"CREATE TABLE graft.$ns.events_d " +
+          "(event_id BIGINT, user_id BIGINT, ts_us BIGINT, value DOUBLE) " +
+          "PARTITIONED BY (days(ts_us))")
+        Tables.events(s, dir)
+          .select("event_id", "user_id", "ts_us", "value")
+          .writeTo(s"graft.$ns.events_d").append()
+      }
+      // window: from the corpus's 3rd day start for 4 days — aligned
+      // bounds so the prune decisions are exact whole-partition drops
+      s.sql(
+        s"""SELECT ts_us DIV 86400000000 AS day, count(*) AS n,
+           |  sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+           |  min(event_id) AS min_ev, max(event_id) AS max_ev
+           |FROM graft.$ns.events_d
+           |WHERE ts_us >= (SELECT (min(ts_us) DIV 86400000000 + 2) * 86400000000
+           |                FROM graft.$ns.events_d)
+           |  AND ts_us < (SELECT (min(ts_us) DIV 86400000000 + 6) * 86400000000
+           |               FROM graft.$ns.events_d)
+           |GROUP BY day ORDER BY day""".stripMargin)
+    }),
+
+    // EQUALITY DELETES (Iceberg v2 shape) end to end: a keys-only
+    // delete commit (zero base-file reads — the CDC tombstone path),
+    // sequencing proven inside the query: a deleted key RE-INSERTED
+    // after the delete survives, while every pre-delete row of that key
+    // is gone. The oracle reconstructs both effects relationally.
+    "q156_equality_delete" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        s.sparkContext.applicationId
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      if (orcWritten.add((s.sparkContext.applicationId, s"eqd:$dir"))) {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+        s.sql(s"CREATE TABLE graft.$ns.orders_e " +
+          "(o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)")
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .writeTo(s"graft.$ns.orders_e").append()
+        // tombstones: every key divisible by 1000 (bounded list)
+        val keys = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 1000 === 0)
+          .select("o_orderkey").collect().map(_.getLong(0)).sorted
+        graft.sources.ManifestSink.deleteWhereEq(
+          s"$wh/$ns/orders_e", "o_orderkey", keys.map(_.toString).toSeq)
+        // sequencing: re-insert the smallest tombstoned key AFTER the
+        // delete — it must survive the records
+        keys.headOption.foreach(k =>
+          s.sql(s"INSERT INTO graft.$ns.orders_e VALUES ($k, 1.0, 'REBORN')"))
+      }
+      s.sql(
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents_sum,
+           |  min(o_orderkey) AS min_key
+           |FROM graft.$ns.orders_e
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // TYPE WIDENING end to end: gen-1 files store qty as INT32; ALTER
+    // COLUMN TYPE widens to BIGINT metadata-only; gen-2 appends values
+    // past the int range. Old files decode through the widening reader,
+    // new ones natively — one BIGINT answer. The oracle reconstructs
+    // both generations' arithmetic from the original parquet.
+    "q157_type_widening" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        s.sparkContext.applicationId
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      if (orcWritten.add((s.sparkContext.applicationId, s"wid:$dir"))) {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+        s.sql(s"CREATE TABLE graft.$ns.orders_tw (o_orderkey BIGINT, qty INT)")
+        s.sql(s"CREATE TEMPORARY VIEW orders_tw_src AS " +
+          s"SELECT * FROM parquet.`$dir/orders.parquet`")
+        s.sql(
+          s"""INSERT INTO graft.$ns.orders_tw
+             |SELECT o_orderkey, CAST(o_custkey AS INT) FROM orders_tw_src
+             |WHERE o_orderkey % 2 = 0""".stripMargin)
+        s.sql(s"ALTER TABLE graft.$ns.orders_tw ALTER COLUMN qty TYPE BIGINT")
+        s.sql(
+          s"""INSERT INTO graft.$ns.orders_tw
+             |SELECT o_orderkey, o_custkey + 3000000000 FROM orders_tw_src
+             |WHERE o_orderkey % 2 = 1""".stripMargin)
+      }
+      s.sql(
+        s"""SELECT o_orderkey % 5 AS bucket, count(*) AS n,
+           |  sum(qty) AS qty_sum, min(qty) AS qty_min, max(qty) AS qty_max
+           |FROM graft.$ns.orders_tw
+           |GROUP BY bucket ORDER BY bucket""".stripMargin)
+    }),
+
     // Schema evolution across writer generations: gen-1 files carry
     // (o_orderkey, o_totalprice); gen-2 files ADD a column
     // (o_orderpriority) and RENAME o_totalprice -> total_price. A
@@ -941,6 +1049,49 @@ object IngestOps {
 
     // partition-pruned read + dynamic overwrite of the 1-URGENT
     // partition, reconstructed over the original parquet
+    // the hidden-partitioning query re-derived over the raw parquet with
+    // the same floor-div day arithmetic (epoch_us: see the ns-timestamp
+    // gotcha — DuckDB truncates ns->us exactly like ts_us was derived)
+    "q155_hidden_partition" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |b AS (
+        |  SELECT (min(ts_us) // 86400000000 + 2) * 86400000000 AS lo,
+        |         (min(ts_us) // 86400000000 + 6) * 86400000000 AS hi FROM e)
+        |SELECT ts_us // 86400000000 AS day, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  min(event_id) AS min_ev, max(event_id) AS max_ev
+        |FROM e, b WHERE ts_us >= lo AND ts_us < hi
+        |GROUP BY day ORDER BY day""".stripMargin,
+
+    // equality-delete semantics re-derived relationally: every ORIGINAL
+    // row of a tombstoned key is gone; the one key re-inserted AFTER the
+    // records survives (sequencing)
+    "q156_equality_delete" ->
+      """WITH survivors AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  WHERE o_orderkey % 1000 != 0
+        |  UNION ALL
+        |  SELECT min(o_orderkey), CAST(1.0 AS DOUBLE), 'REBORN' FROM orders
+        |  WHERE o_orderkey % 1000 = 0 HAVING count(*) > 0)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+        |  min(o_orderkey) AS min_key
+        |FROM survivors GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // both type-widening generations' arithmetic over the raw parquet
+    "q157_type_widening" ->
+      """WITH w AS (
+        |  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS qty FROM orders
+        |  WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey + 3000000000 FROM orders
+        |  WHERE o_orderkey % 2 = 1)
+        |SELECT o_orderkey % 5 AS bucket, count(*) AS n,
+        |  CAST(sum(qty) AS BIGINT) AS qty_sum,
+        |  CAST(min(qty) AS BIGINT) AS qty_min, CAST(max(qty) AS BIGINT) AS qty_max
+        |FROM w GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "q129_partitioned_table" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
