@@ -204,6 +204,37 @@ class CookbookSpec extends AnyFunSuite {
     assert(spark.table("lake.db.t.history").count() >= 3)
     assert(spark.table("lake.db.t.partitions").count() == 3)
     assert(spark.table("lake.db.t.files").count() > 0)
+
+    // hidden partitioning: filter the RAW column, prune by derived day;
+    // a day-aligned delete retires the partition metadata-only
+    spark.sql("CREATE TABLE lake.db.ev (ts BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (days(ts))")
+    spark.sql("INSERT INTO lake.db.ev SELECT id * 43200000000, id * 1.0 FROM range(6)")
+    spark.sql("DELETE FROM lake.db.ev WHERE ts < 86400000000 * 1")
+    assert(spark.table("lake.db.ev").count() == 4)
+
+    // lossless type widening, metadata-only
+    spark.sql("CREATE TABLE lake.db.wt (id BIGINT, n INT)")
+    spark.sql("INSERT INTO lake.db.wt SELECT id, CAST(id AS INT) FROM range(3)")
+    spark.sql("ALTER TABLE lake.db.wt ALTER COLUMN n TYPE BIGINT")
+    spark.sql("INSERT INTO lake.db.wt VALUES (9, 3000000000)")
+    assert(spark.sql("SELECT max(n) FROM lake.db.wt").head().getLong(0) == 3000000000L)
+
+    // delete-by-key with a zero-read commit; re-inserts survive
+    graft.sources.ManifestSink.deleteWhereEq(
+      wh.resolve("db").resolve("wt").toString, "id", Seq("0"))
+    assert(spark.table("lake.db.wt").count() == 3)
+
+    // row-group sizing knob validates on ALTER
+    spark.sql("ALTER TABLE lake.db.wt SET TBLPROPERTIES " +
+      "('write.parquet.row-group-bytes' = '16777216')")
+
+    // the search-ingest loop: appends maintain the postings index
+    spark.sql("CREATE TABLE lake.db.docs (doc_id BIGINT, text STRING)")
+    graft.sources.PostingsMaintenance.createPostingsTable(spark, "lake", "db.postings")
+    spark.sql("INSERT INTO lake.db.docs VALUES (1, 'spark scales out')")
+    graft.sources.PostingsMaintenance.refresh(spark, "lake", "db.docs", "db.postings")
+    assert(spark.table("lake.db.postings").count() == 3)
   }
 
   test("§12 behavioral analytics & data quality") {
