@@ -4811,6 +4811,12 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
       case org.apache.spark.sql.sources.EqualNullSafe(_, _: String) => true
       case org.apache.spark.sql.sources.In(_, vs)
         if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) => true
+      // integer IN-lists prune by per-file min/max range intersection
+      // (mayMatch already evaluates the shape — runtime DPP IN-sets use
+      // it; this accepts the PLANNER-pushed twin as well)
+      case org.apache.spark.sql.sources.In(_, vs)
+        if vs.nonEmpty &&
+          vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Int]) => true
       case EqualTo(_, v: Long) => true
       case EqualTo(_, v: Int) => true
       case GreaterThan(_, v: Long) => true

@@ -129,6 +129,27 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(table.filter(col("id") === 155).count() == 1)
   }
 
+  test("integer IN-lists skip files by min/max range intersection") {
+    val dir = tmp().toString
+    spark.range(400).select(col("id"), lit("v").as("s"))
+      .repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id")
+      .write.format(fmt).option("path", dir).mode("overwrite").save()
+    val table = spark.read.format(fmt).option("path", dir).load()
+    // both keys live in one file's range — three files never plan
+    val hit = table.filter(col("id").isin(150L, 155L))
+    assert(hit.rdd.getNumPartitions == 1,
+      s"expected 1 surviving file, got ${hit.rdd.getNumPartitions}")
+    assert(hit.count() == 2)
+    // keys in two different ranges plan exactly those two files
+    val two = table.filter(col("id").isin(10L, 390L))
+    assert(two.rdd.getNumPartitions == 2)
+    assert(two.count() == 2)
+    // keys outside every range plan nothing
+    val none = table.filter(col("id").isin(100000L, 200000L))
+    assert(none.rdd.getNumPartitions == 0 && none.count() == 0)
+  }
+
   test("parallelism follows the manifest: one partition per committed file") {
     val dir = tmp().toString
     spark.range(100).select(col("id"), lit("x").as("s"), lit(0.5).as("x"))
