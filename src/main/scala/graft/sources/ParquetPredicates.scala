@@ -83,9 +83,62 @@ object ParquetPredicates {
             case (Some(a), Some(b)) => Some(FilterApi.or(a, b))
             case _ => None // every disjunct or none — a partial IN widens
           }
-      case _ => None // Not / string predicates / unknown shapes: file-level
-                     // pruning already covers them; stay conservative here
+      case StringStartsWith(c, pre) if pre != null && pre.nonEmpty =>
+        // LIKE 'x%' — the parquet UserDefinedPredicate shape Spark's own
+        // ParquetFilters uses: a row group drops when its max sorts
+        // strictly before the prefix or its min at/after the prefix's
+        // byte-increment (values with prefix p live in [p, incr(p)))
+        schema.fields.find(_.name == c).filter(_.dataType == StringType)
+          .filterNot(_ => c.contains("."))
+          .map(_ => FilterApi.userDefined(
+            FilterApi.binaryColumn(physical(c)),
+            new PrefixPredicate(pre.getBytes(java.nio.charset.StandardCharsets.UTF_8))))
+      case _ => None // Not / other string predicates / unknown shapes:
+                     // file-level pruning already covers them; stay
+                     // conservative here
     }
+
+  /** `startsWith` over a BINARY (UTF-8 string) column. Values carrying
+    * prefix p occupy exactly [p, byteIncrement(p)) in unsigned byte
+    * order, so group stats decide: drop when max < p, or when a byte-
+    * increment exists and min >= it. `keep` serves dictionary filtering
+    * (drop a group when NO dictionary value keeps). Never wrong: a
+    * surviving group still passes Spark's residual LIKE. */
+  private[sources] class PrefixPredicate(prefix: Array[Byte])
+      extends org.apache.parquet.filter2.predicate.UserDefinedPredicate[Binary]
+      with Serializable {
+    private def startsWith(v: Binary): Boolean = {
+      val b = v.getBytesUnsafe
+      b.length >= prefix.length && java.util.Arrays.equals(
+        b, 0, prefix.length, prefix, 0, prefix.length)
+    }
+    /** Unsigned lexicographic compare of v against the prefix bytes
+      * (whole-value semantics: shorter-and-equal-so-far sorts first). */
+    private def cmp(v: Binary, p: Array[Byte]): Int = {
+      val b = v.getBytesUnsafe
+      val c = java.util.Arrays.compareUnsigned(
+        b, 0, math.min(b.length, p.length), p, 0, math.min(b.length, p.length))
+      if (c != 0) c else Integer.compare(b.length, p.length)
+    }
+    /** Rightmost incrementable byte bumped, rest truncated — the
+      * EXCLUSIVE upper bound of the prefixed interval; None when every
+      * byte is 0xFF (unbounded above). */
+    private val incremented: Option[Array[Byte]] = {
+      val out = prefix.clone()
+      var i = out.length - 1
+      while (i >= 0 && out(i) == 0xFF.toByte) i -= 1
+      if (i < 0) None
+      else { out(i) = (out(i) + 1).toByte; Some(java.util.Arrays.copyOf(out, i + 1)) }
+    }
+    override def keep(v: Binary): Boolean = v != null && startsWith(v)
+    override def canDrop(
+        st: org.apache.parquet.filter2.predicate.Statistics[Binary]): Boolean =
+      cmp(st.getMax, prefix) < 0 ||
+        incremented.exists(inc => cmp(st.getMin, inc) >= 0)
+    // NOT (startsWith) is never emitted by the translator; stay safe
+    override def inverseCanDrop(
+        st: org.apache.parquet.filter2.predicate.Statistics[Binary]): Boolean = false
+  }
 
   private sealed trait Op
   private case object Eq extends Op

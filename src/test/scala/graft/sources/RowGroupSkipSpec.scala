@@ -123,6 +123,23 @@ class RowGroupSkipSpec extends AnyFunSuite {
     // only correctness (not a skip bound) is asserted here
   }
 
+  test("LIKE 'x%' prunes row groups via the prefix predicate") {
+    // zero-padded keys make byte order == numeric order, so the sorted
+    // single file's groups carry disjoint string ranges
+    spark.sql("CREATE TABLE rgc.db.rgpre (s STRING, v BIGINT) " +
+      "TBLPROPERTIES ('write.parquet.row-group-bytes' = '4096')")
+    spark.sql("INSERT INTO rgc.db.rgpre " +
+      "SELECT concat('p', lpad(CAST(id AS STRING), 6, '0')), id " +
+      "FROM range(0, 20000, 1, 1)")
+    val probe = "SELECT v FROM rgc.db.rgpre WHERE s LIKE 'p01234%'"
+    // p012340..p012349 → ten rows
+    assert(spark.sql(probe).collect().map(_.getLong(0)).sorted.toSeq ==
+      (12340L until 12350L))
+    val surfaced = scanRows(spark.sql(probe))
+    assert(surfaced < Rows / 4,
+      s"scan surfaced $surfaced of $Rows rows — prefix groups were not skipped")
+  }
+
   test("row-group skipping never fires where positions matter (DV'd files stay exact)") {
     spark.sql("CREATE TABLE rgc.db.rgmor (id BIGINT, v BIGINT) TBLPROPERTIES " +
       "('write.parquet.row-group-bytes' = '4096', 'delete.mode' = 'merge-on-read')")
