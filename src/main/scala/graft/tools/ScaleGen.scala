@@ -26,10 +26,12 @@ import org.apache.spark.sql.functions._
   *     tables, preserving referential integrity (region/nation stay
   *     fixed, as TPC-H dims do).
   *
-  * `events` is NOT generated here: its `ts` column is parquet
-  * INT64 TIMESTAMP(NANOS), which Spark reads only as a raw long
-  * (nanosAsLong) and cannot write back — scripts/gen_sf_events.py tiles
-  * it with pyarrow, preserving the physical type.
+  * `events` tiles along the USER axis (same wall-clock window, N×
+  * density — how real traffic scales); `ts` is written as a raw long
+  * (`nanosAsLong` reads it back identically). scripts/gen_sf_events.py
+  * is the pyarrow twin that preserves the INT64 TIMESTAMP(NANOS)
+  * physical annotation byte-exactly — use it when footer-level type
+  * fidelity matters; for the bench curve this Spark path suffices.
   *
   * Usage: runMain graft.tools.ScaleGen <srcSfDir> <dstSfDir> [copies=10]
   */
