@@ -668,9 +668,13 @@ object ManifestSink {
         s"but the branch is anchored at $base — main advanced since staging " +
         "began; drop the branch and re-stage against the current state")
     val staged = branchEntries(root, name)
+    // staged rows were written AFTER the anchor — they take the publish
+    // version's data sequence, so an equality delete outstanding at the
+    // anchor never governs them
     publish(root, base,
       ((st.schema.get.json +: st.metaLines) ++
-        renderEntrySection(root, st.entries ++ staged, st.groups)).mkString("\n"))
+        renderEntrySection(root, st.entries ++ staged.map(_.copy(seq = base + 1L)),
+          st.groups)).mkString("\n"))
     dropBranch(root, name)
     base + 1L
   }
@@ -2435,8 +2439,11 @@ object ManifestSink {
       val st = readState(root)
       require(st.version > 0L,
         s"partition overwrite requires a versioned manifest table at $root")
+      // fresh data sequence: the overwrite's rows arrive AFTER any
+      // outstanding equality delete and must not be governed by it
       val entries =
-        st.entries.filterNot(e => replaced(e, st.partTransforms)) ++ newEntries
+        st.entries.filterNot(e => replaced(e, st.partTransforms)) ++
+          newEntries.map(_.copy(seq = st.version + 1L))
       try {
         publish(root, st.version,
           ((schema.json +: st.metaLines) ++

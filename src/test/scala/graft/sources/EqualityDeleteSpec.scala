@@ -132,6 +132,34 @@ class EqualityDeleteSpec extends AnyFunSuite {
       "deleted keys must never deliver in the initial snapshot")
   }
 
+  test("overwritten partitions and fast-forwarded branches outrun older records") {
+    // rows arriving AFTER a delete — via dynamic partition overwrite or
+    // a WAP fast-forward — must carry a fresh data sequence; governed-
+    // by-default would silently drop matching keys from brand-new data
+    spark.sql("CREATE TABLE ecat.db.e7 (id BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO ecat.db.e7 VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+    ManifestSink.deleteWhereEq(root("e7").toString, "id", Seq("2"))
+    assert(ids("e7") == Seq(1L, 3L))
+    // dynamic overwrite of partition 'a' re-introduces id=2 as new data
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql("INSERT OVERWRITE ecat.db.e7 VALUES (2, 'a'), (9, 'a')")
+    finally prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+      v => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v))
+    assert(ids("e7") == Seq(2L, 3L, 9L),
+      "overwrite rows must not be governed by the older equality delete")
+
+    // WAP: records outstanding at the anchor never govern staged rows
+    spark.sql("CREATE TABLE ecat.db.e8 (id BIGINT)")
+    spark.sql("INSERT INTO ecat.db.e8 VALUES (1), (2)")
+    ManifestSink.deleteWhereEq(root("e8").toString, "id", Seq("2"))
+    spark.sql("CALL ecat.system.create_branch(table => 'db.e8', branch => 'w')")
+    spark.sql("INSERT INTO ecat.db.e8.branch_w VALUES (2), (5)")
+    spark.sql("CALL ecat.system.fast_forward(table => 'db.e8', branch => 'w')")
+    assert(ids("e8") == Seq(1L, 2L, 5L),
+      "fast-forwarded rows must not be governed by the pre-anchor delete")
+  }
+
   test("time travel to before the delete still shows the rows; vacuum keeps live sidecars") {
     spark.sql("CREATE TABLE ecat.db.e6 (id BIGINT)")
     spark.sql("INSERT INTO ecat.db.e6 SELECT id FROM range(4)")
