@@ -65,6 +65,9 @@ object SimilarityOps {
     * one). The DuckDB oracle mirrors the DEFAULT. */
   def centroidsFor(s: SparkSession): Int =
     s.conf.get("graft.semdedup.centroids", NumCentroids.toString).toInt
+  // NOTE: q48/q106/q134 train (and read) the codebook at this k, while
+  // their DuckDB oracles replay training at the DEFAULT — like
+  // graft.lsh.planes, session overrides are for non-oracle runs.
 
   /** Hard per-cluster population cap for semantic dedup's within-cluster
     * all-pairs stage. A natural-skew hot cluster makes Σ|cᵢ|² degrade no

@@ -69,16 +69,8 @@ object IncrementalMv {
     * records the version its own commit occupies — that is the pivot
     * recovery uses to decide whether the MERGE landed. Exposed to the
     * spec so crash states can be constructed deliberately. */
-  private[sources] def stagePending(mvRoot: Path, from: Long, to: Long): Unit = {
-    val vNext = ManifestSink.currentVersion(mvRoot) + 1L
-    ManifestSink.alterSchema(mvRoot,
-      Seq(TableChange.setProperty(PendingProp, s"$from:$to:$vNext")))
-    val landed = ManifestSink.currentVersion(mvRoot)
-    require(landed == vNext,
-      s"mv refresh staging expected to commit version $vNext of $mvRoot but " +
-        s"the table is at $landed — another writer touched the view, which " +
-        "violates the single-refresher contract exactly-once depends on")
-  }
+  private[sources] def stagePending(mvRoot: Path, from: Long, to: Long): Unit =
+    PendingWindow.stage(mvRoot, PendingProp, from, to): Unit
 
   /** Step 2: fold the (from, to] window's signed row change feed into
     * the view. Pure function of durable state — safe to re-run ONLY
@@ -145,7 +137,7 @@ object IncrementalMv {
     ManifestSink.readHeader(mvRoot).props.get(PendingProp) match {
       case None => false
       case Some(p) =>
-        val Array(pf, pt, vA) = p.split(':').map(_.trim.toLong)
+        val (pf, pt, vA) = PendingWindow.parse(p)
         val cur = ManifestSink.currentVersion(mvRoot)
         // cur == vA: the marker's commit is still the head — the MERGE
         // never landed; apply the window now. cur > vA: the MERGE (or

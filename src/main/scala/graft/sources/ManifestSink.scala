@@ -171,6 +171,9 @@ object ManifestSink {
         "(expired by retention GC?) — cannot compute a change feed")
     var prev: Seq[FileEntry] =
       if (from == 0L) Seq.empty else committedEntries(root, Some(from))
+    var prevEq: Set[String] =
+      if (from == 0L) Set.empty
+      else readHeader(root, Some(from)).eqDels.map(_.name).toSet
     (from + 1 to to).flatMap { v =>
       require(Files.exists(manifestAt(root, v)),
         s"manifest version $v of table $root is missing (expired by " +
@@ -180,12 +183,12 @@ object ManifestSink {
       // in this step is a row-level data change whose row images are NOT
       // reconstructible from keys without reading data — the feed's
       // whole point is to avoid that. Fail loudly, like CoW rewrites.
-      require(readHeader(root, Some(v)).eqDels.map(_.name).toSet ==
-          (if (v - 1 == 0L) Set.empty[String]
-           else readHeader(root, Some(v - 1)).eqDels.map(_.name).toSet),
+      val curEq = readHeader(root, Some(v)).eqDels.map(_.name).toSet
+      require(curEq == prevEq,
         s"manifest table $root has an EQUALITY DELETE between v${v - 1} and " +
           s"v$v — its row diff is keys-only and cannot be replayed as a " +
           "delta; read the snapshot instead")
+      prevEq = curEq
       val out: Seq[A] =
         if (isRewriteVersion(root, v)) {
           require(after.map(_.liveRows).sum == prev.map(_.liveRows).sum,
@@ -584,13 +587,18 @@ object ManifestSink {
         s"branch file $v1 has no $BranchBasePrefix header"))
   }
 
-  /** Union of every branch commit's entries, in commit order. */
+  /** Union of every branch commit's entries, in commit order. Entries
+    * carry the data sequence fastForward WILL publish them with
+    * (anchor + 1): a branch AUDIT read and the post-publish table must
+    * agree on which equality-delete records govern staged rows —
+    * records outstanding at the anchor never do. */
   private[sources] def branchEntries(root: Path, name: String): Seq[FileEntry] = {
     val cur = branchCurrentVersion(root, name)
+    val base = branchBase(root, name)
     (1L to cur).flatMap { v =>
       Files.readString(branchManifestAt(root, name, v)).linesIterator
         .filter(l => l.nonEmpty && !l.startsWith("#"))
-        .map(parseEntryLine).toSeq
+        .map(l => parseEntryLine(l).copy(seq = base + 1L)).toSeq
     }
   }
 
@@ -667,14 +675,10 @@ object ManifestSink {
       s"cannot fast-forward branch '$name': main is at version ${st.version} " +
         s"but the branch is anchored at $base — main advanced since staging " +
         "began; drop the branch and re-stage against the current state")
-    val staged = branchEntries(root, name)
-    // staged rows were written AFTER the anchor — they take the publish
-    // version's data sequence, so an equality delete outstanding at the
-    // anchor never governs them
+    val staged = branchEntries(root, name) // already sequenced at base+1
     publish(root, base,
       ((st.schema.get.json +: st.metaLines) ++
-        renderEntrySection(root, st.entries ++ staged.map(_.copy(seq = base + 1L)),
-          st.groups)).mkString("\n"))
+        renderEntrySection(root, st.entries ++ staged, st.groups)).mkString("\n"))
     dropBranch(root, name)
     base + 1L
   }
@@ -1538,7 +1542,8 @@ object ManifestSink {
     * the literal's type answers None (undecidable), never a guess. */
   private[sources] def evalPartFilter(f: org.apache.spark.sql.sources.Filter,
       parts: Map[String, String],
-      tf: Map[String, PartTransform] = Map.empty): Option[Boolean] = {
+      tf: Map[String, PartTransform] = Map.empty,
+      neg: Boolean = false): Option[Boolean] = {
     import org.apache.spark.sql.sources._
     def pv(c: String): Option[String] = parts.get(c)
     // Exactness demands ROW-level comparison semantics, not JVM ones:
@@ -1555,14 +1560,17 @@ object ManifestSink {
         sb, 0, pb.length, pb, 0, pb.length)
     }
     def normZero(d: Double): Double = if (d == 0.0d) 0.0d else d
-    // A NullPartValue tuple decides NOTHING for comparison shapes: the
-    // rows' column is NULL, so the predicate is UNKNOWN per row — and
-    // the tri-state here conflates "no row TRUE" with that, which
-    // Not(...) would then flip into a WRONG "every row TRUE" proof
-    // (partProven metadata-deletes on Some(true); NOT (c IN ...) over
-    // null rows is UNKNOWN, not TRUE). Only IsNull / IsNotNull /
-    // null-safe equality — predicates that are never UNKNOWN — decide
-    // on a null tuple.
+    // POLARITY-aware null handling: on a NullPartValue tuple every
+    // row's column is NULL, so comparisons and IN are UNKNOWN per row.
+    // At POSITIVE polarity (no enclosing NOT) "not TRUE" collapses to
+    // Some(false) exactly — no row passes, the file may be pruned or
+    // kept out of an overwrite's victim set. Under an odd number of
+    // NOTs the same collapse would flip into a WRONG "every row TRUE"
+    // proof (partProven metadata-deletes on Some(true); NOT (c IN ...)
+    // over null rows is UNKNOWN, not TRUE), so there the answer stays
+    // None. IsNull / IsNotNull / null-safe equality are never UNKNOWN
+    // and decide regardless of polarity.
+    def nullAnswer: Option[Boolean] = if (neg) None else Some(false)
     def cmpPart(c: String, v: Any)(p: Int => Boolean): Option[Boolean] =
       pv(c).filter(_ != NullPartValue).flatMap { x =>
         val cmp: Option[Int] = v match {
@@ -1652,8 +1660,11 @@ object ManifestSink {
       case u: UTF8String => Some(u.toString)
       case _ => None
     }
-    /** One comparison, transform-aware. */
-    def decide(c: String, v: Any, op: Op): Option[Boolean] = tf.get(c) match {
+    /** One comparison, transform-aware; a null tuple answers by
+      * polarity (see above). */
+    def decide(c: String, v: Any, op: Op): Option[Boolean] =
+      if (pv(c).contains(NullPartValue)) nullAnswer
+      else tf.get(c) match {
       case None | Some(PIdentity(_)) => op match {
         case OpEq => cmpPart(c, v)(_ == 0)
         case OpGt => cmpPart(c, v)(_ > 0)
@@ -1697,8 +1708,8 @@ object ManifestSink {
         // Reuse the typed equality semantics per literal (so 0.0 IN(-0.0)
         // is true and string literals compare as UTF-8 bytes); any
         // undecidable literal with no decided-true match ⇒ None. A null
-        // tuple stays UNDECIDED — see the three-valued note above.
-        if (x == NullPartValue) None
+        // tuple answers by POLARITY — see the note above.
+        if (x == NullPartValue) nullAnswer
         else {
           val cmps = vs.toSeq.map(v =>
             if (v == null) Some(false) else decide(c, v, OpEq))
@@ -1709,7 +1720,9 @@ object ManifestSink {
       }
       case IsNull(c) => pv(c).map(_ == NullPartValue)
       case IsNotNull(c) => pv(c).map(_ != NullPartValue)
-      case StringStartsWith(c, pre) => tf.get(c) match {
+      case StringStartsWith(c, pre) =>
+        if (pv(c).contains(NullPartValue)) nullAnswer
+        else tf.get(c) match {
         case None | Some(PIdentity(_)) =>
           pv(c).filter(_ != NullPartValue).map(x => bytePrefix(x, pre))
         case Some(PTruncStr(_, n)) =>
@@ -1720,20 +1733,20 @@ object ManifestSink {
             else Some(false) // first difference inside the shared prefix
           }
         case _ => None
-      }
+        }
       case And(l, r) =>
-        (evalPartFilter(l, parts, tf), evalPartFilter(r, parts, tf)) match {
+        (evalPartFilter(l, parts, tf, neg), evalPartFilter(r, parts, tf, neg)) match {
           case (Some(false), _) | (_, Some(false)) => Some(false)
           case (Some(true), Some(true)) => Some(true)
           case _ => None
         }
       case Or(l, r) =>
-        (evalPartFilter(l, parts, tf), evalPartFilter(r, parts, tf)) match {
+        (evalPartFilter(l, parts, tf, neg), evalPartFilter(r, parts, tf, neg)) match {
           case (Some(true), _) | (_, Some(true)) => Some(true)
           case (Some(false), Some(false)) => Some(false)
           case _ => None
         }
-      case Not(c) => evalPartFilter(c, parts, tf).map(!_)
+      case Not(c) => evalPartFilter(c, parts, tf, !neg).map(!_)
       case _ => None
     }
   }
@@ -3478,6 +3491,19 @@ object ManifestSink {
     foreachRow(file, schema, colMap, evolved) { row => pos += 1; f(row, pos) }
   }
 
+  /** Parquet primitive a TABLE type stores as (manifest tables carry
+    * exactly these) — shared by the scan factory's widening probe and
+    * [[foreachRow]]'s. */
+  private[sources] def expectedPrimitiveOf(dt: DataType): String = dt match {
+    case LongType => "INT64"
+    case IntegerType => "INT32"
+    case DoubleType => "DOUBLE"
+    case org.apache.spark.sql.types.FloatType => "FLOAT"
+    case BooleanType => "BOOLEAN"
+    case StringType => "BINARY"
+    case _ => "GROUP"
+  }
+
   private def foreachRow(file: Path, schema: StructType,
       colMap: Map[String, String] = Map.empty, evolved: Boolean = false)(
       f: InternalRow => Unit): Unit =
@@ -3485,21 +3511,42 @@ object ManifestSink {
       Files.readAllLines(file).forEach(l => f(decode(l, schema)))
     } else {
       val phys = schema.fieldNames.map(c => colMap.getOrElse(c, c))
-      val inFile =
-        if (evolved || colMap.nonEmpty) ManifestParquet.footerFields(file.toString)
-        else phys.toSet
-      if (phys.forall(inFile.contains)) {
-        val r = ManifestParquet.openRead(file.toString, phys.toSeq,
-          returnBatches = false)
+      // evolved tables probe the footer for BOTH presence and physical
+      // primitive: a file written before ALTER COLUMN TYPE stores the
+      // NARROW primitive, and the table-typed accessors the callers use
+      // (evalFilter, the rewrite writer) would read garbage off
+      // file-typed vectors — such files must decode through the
+      // widening reader, exactly like the scan path
+      val types: Map[String, String] =
+        if (evolved || colMap.nonEmpty)
+          ManifestParquet.footerPrimitiveTypes(file.toString)
+        else phys.map(p => p -> "").toMap // "" = skip the widening check
+      def widened: Boolean = schema.fields.exists(fd =>
+        types.get(colMap.getOrElse(fd.name, fd.name)).exists(t =>
+          t.nonEmpty && t != "GROUP" && t != expectedPrimitiveOf(fd.dataType)))
+      def physSchemaOf(present: Seq[String]): StructType = {
+        val byPhys = schema.fields.map(fd =>
+          (colMap.getOrElse(fd.name, fd.name), fd)).toMap
+        StructType(present.map(p => byPhys(p).copy(name = p)))
+      }
+      if (phys.forall(types.contains)) {
+        val r =
+          if (widened) ManifestParquet.openReadWidened(file.toString,
+            physSchemaOf(phys.toSeq), returnBatches = false)
+          else ManifestParquet.openRead(file.toString, phys.toSeq,
+            returnBatches = false)
         try while (r.nextKeyValue()) f(r.getCurrentValue.asInstanceOf[InternalRow])
         finally r.close()
       } else {
-        val present = phys.filter(inFile.contains)
+        val present = phys.filter(types.contains)
         val posOf = present.zipWithIndex.toMap
         val mapping = phys.map(p => posOf.getOrElse(p, -1))
         val view = new MappedInternalRow(mapping, schema.fields.map(_.dataType))
-        val r = ManifestParquet.openRead(file.toString, present.toSeq,
-          returnBatches = false)
+        val r =
+          if (widened) ManifestParquet.openReadWidened(file.toString,
+            physSchemaOf(present.toSeq), returnBatches = false)
+          else ManifestParquet.openRead(file.toString, present.toSeq,
+            returnBatches = false)
         try while (r.nextKeyValue()) {
           view.row = r.getCurrentValue.asInstanceOf[InternalRow]; f(view)
         } finally r.close()
@@ -3935,8 +3982,9 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
       case ManifestSink.PIdentity(c) => Expressions.identity(c)
       case ManifestSink.PDays(c) => Expressions.days(c)
       case ManifestSink.PTruncInt(c, w) =>
-        require(w <= Int.MaxValue, s"truncate width $w out of report range")
-        Expressions.apply("truncate", Expressions.literal(w.toInt), Expressions.column(c))
+        if (w <= Int.MaxValue)
+          Expressions.apply("truncate", Expressions.literal(w.toInt), Expressions.column(c))
+        else Expressions.apply("truncate", Expressions.literal(w), Expressions.column(c))
       case ManifestSink.PTruncStr(c, n) =>
         Expressions.apply("truncate", Expressions.literal(n), Expressions.column(c))
     }.toArray
@@ -4968,7 +5016,13 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
         // file-level skip filters stay sound (stats cover all physical
         // rows of the sliced file)
         partTransforms = tableState.partTransforms,
-        eqDels = tableState.eqDels,
+        // CHANGE-FEED windows never apply records: one inside the window
+        // fails the version walk loudly; one at-or-before `from` cannot
+        // govern window entries (their seq exceeds it); one AFTER `to`
+        // must not apply — the current header's records would wrongly
+        // subtract rows that existed at `to`, silently corrupting every
+        // incremental fold downstream. Snapshot scans apply normally.
+        eqDels = if (changes.isDefined) Seq.empty else tableState.eqDels,
         cdcSlices = if (!cdc) None else Some(() =>
           ManifestSink.cdcSlices(root, changes.get._1, changes.get._2)
             .filter(sl => skipFilters.forall(f =>
@@ -5421,11 +5475,29 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
   private def eqDeletePositions(p: ManifestFilePartition): Array[Long] = {
     val gov = governingFor(p)
     if (gov.isEmpty || !p.file.endsWith(".parquet")) return Array.empty
+    // schema evolution of the KEY column: a governed file may predate an
+    // ADD COLUMN (key is NULL there — equality never matches, no
+    // positions) or an ALTER COLUMN TYPE widening (narrow physical
+    // primitive — decode through the widening reader, table-typed)
+    val fileTypes: Option[Map[String, String]] =
+      if (evolved) Some(ManifestParquet.footerPrimitiveTypes(p.file)) else None
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    gov.groupBy(_.col).foreach { case (c, dels) =>
+    gov.groupBy(_.col).filter { case (c, _) =>
+      // key column absent from this file (predates its ADD COLUMN):
+      // every row's key is NULL, equality never matches — this RECORD
+      // contributes nothing here, others still apply
+      fileTypes.forall(_.contains(physical(c)))
+    }.foreach { case (c, dels) =>
       val phys = physical(c)
       val dt = dels.head.dataType
-      val reader = ManifestParquet.openRead(p.file, Seq(phys), returnBatches = false)
+      val needsWiden = fileTypes.exists(t =>
+        t.get(phys).exists(pt => pt != "GROUP" &&
+          pt != ManifestSink.expectedPrimitiveOf(dt)))
+      val reader =
+        if (needsWiden) ManifestParquet.openReadWidened(p.file,
+          StructType(Seq(org.apache.spark.sql.types.StructField(phys, dt))),
+          returnBatches = false)
+        else ManifestParquet.openRead(p.file, Seq(phys), returnBatches = false)
       try dt match {
         case LongType | IntegerType =>
           val kill = dels.flatMap(_.values).map(_.toLong).toSet
@@ -5470,18 +5542,6 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
 
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
-  /** Parquet primitive a TABLE type stores as — the widening probe's
-    * expectation (manifest tables carry exactly these five types). */
-  private def expectedPrimitive(dt: DataType): String = dt match {
-    case LongType => "INT64"
-    case IntegerType => "INT32"
-    case DoubleType => "DOUBLE"
-    case FloatType => "FLOAT"
-    case BooleanType => "BOOLEAN"
-    case StringType => "BINARY"
-    case _ => "GROUP"
-  }
-
   /** (physical names present in the file, out-index → present-index map
     * with -1 for null-fill, file-needs-WIDENING flag), or None for the
     * uniform fast path. Widening: a file written before ALTER COLUMN
@@ -5496,7 +5556,7 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
       val phys = dataSchema.fieldNames.map(physical)
       val widened = dataSchema.fields.exists(f =>
         types.get(physical(f.name)).exists(t =>
-          t != "GROUP" && t != expectedPrimitive(f.dataType)))
+          t != "GROUP" && t != ManifestSink.expectedPrimitiveOf(f.dataType)))
       if (phys.forall(types.contains) && !widened) None
       else {
         val present = phys.filter(types.contains)

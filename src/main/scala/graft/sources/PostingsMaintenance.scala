@@ -71,15 +71,8 @@ object PostingsMaintenance {
         expr("filter(split(text, ' '), t -> t != '')").as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"), col("toks"))
 
-  private[sources] def stagePending(postRoot: Path, from: Long, to: Long): Unit = {
-    val vNext = ManifestSink.currentVersion(postRoot) + 1L
-    ManifestSink.alterSchema(postRoot,
-      Seq(TableChange.setProperty(PendingProp, s"$from:$to:$vNext")))
-    val landed = ManifestSink.currentVersion(postRoot)
-    require(landed == vNext,
-      s"postings staging expected version $vNext of $postRoot but the table " +
-        s"is at $landed — another writer violated the single-refresher contract")
-  }
+  private[sources] def stagePending(postRoot: Path, from: Long, to: Long): Unit =
+    PendingWindow.stage(postRoot, PendingProp, from, to): Unit
 
   private[sources] def applyWindow(s: SparkSession, catalog: String,
       srcRoot: Path, postingsIdent: String, from: Long, to: Long): Unit = {
@@ -115,7 +108,7 @@ object PostingsMaintenance {
     ManifestSink.readHeader(postRoot).props.get(PendingProp) match {
       case None => false
       case Some(p) =>
-        val Array(pf, pt, vA) = p.split(':').map(_.trim.toLong)
+        val (pf, pt, vA) = PendingWindow.parse(p)
         val srcRoot = tableRoot(s, catalog, srcIdent)
         if (ManifestSink.currentVersion(postRoot) == vA)
           applyWindow(s, catalog, srcRoot, postingsIdent, pf, pt)

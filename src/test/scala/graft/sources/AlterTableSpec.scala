@@ -146,6 +146,30 @@ class AlterTableSpec extends AnyFunSuite {
     assert(e.forall(x => x.mins.contains("n") && x.maxs.contains("n")))
   }
 
+  test("row-level DML and OPTIMIZE work on pre-widening files") {
+    // the rewrite paths (CoW DELETE, MoR position finding, DV purge)
+    // decode rows with TABLE-typed accessors — old INT32 files must go
+    // through the widening reader there too, not just in scans
+    spark.sql("CREATE TABLE acat.db.wdml (id BIGINT, n INT)")
+    spark.sql("INSERT INTO acat.db.wdml SELECT id, CAST(id AS INT) FROM range(10)")
+    spark.sql("ALTER TABLE acat.db.wdml ALTER COLUMN n TYPE BIGINT")
+    // CoW delete evaluates n (now BIGINT) against rows of the narrow file
+    spark.sql("DELETE FROM acat.db.wdml WHERE n = 3")
+    assert(spark.table("acat.db.wdml").count() == 9L)
+    spark.sql("UPDATE acat.db.wdml SET n = n + 100 WHERE n = 4")
+    assert(spark.table("acat.db.wdml").filter($"n" === 104L).count() == 1L)
+    // MoR variant + OPTIMIZE purge across the widened generation
+    spark.sql("CREATE TABLE acat.db.wmor (id BIGINT, n INT) " +
+      "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO acat.db.wmor SELECT id, CAST(id AS INT) FROM range(8)")
+    spark.sql("ALTER TABLE acat.db.wmor ALTER COLUMN n TYPE BIGINT")
+    spark.sql("DELETE FROM acat.db.wmor WHERE n = 5") // DV via narrow file read
+    assert(spark.table("acat.db.wmor").count() == 7L)
+    ManifestSink.compact(root("wmor").toString, targetRows = 1000L) // DV purge rewrite
+    assert(spark.table("acat.db.wmor").select($"n").as[Long].collect().sorted.toSeq
+      == Seq(0L, 1L, 2L, 3L, 4L, 6L, 7L))
+  }
+
   test("ALTER COLUMN TYPE widens float->double; compaction stays generation-safe") {
     spark.sql("CREATE TABLE acat.db.widf (id BIGINT, x FLOAT)")
     spark.sql("INSERT INTO acat.db.widf SELECT id, CAST(id AS FLOAT) / 4 FROM range(8)")

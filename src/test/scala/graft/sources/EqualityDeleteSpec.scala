@@ -132,6 +132,46 @@ class EqualityDeleteSpec extends AnyFunSuite {
       "deleted keys must never deliver in the initial snapshot")
   }
 
+  test("a change-feed window CLOSED before the record still delivers its rows") {
+    // records committed AFTER the window's end must not subtract rows
+    // that existed at `to` — the silent-fold corruption the loud-fail
+    // guard exists to prevent, from the other direction
+    spark.sql("CREATE TABLE ecat.db.e9 (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO ecat.db.e9 SELECT id, id FROM range(5)")
+    val to = ManifestSink.currentVersion(root("e9"))
+    ManifestSink.deleteWhereEq(root("e9").toString, "id", Seq("2"))
+    val windowRows = spark.read.format("graft.sources.ManifestSink")
+      .option("path", root("e9").toString)
+      .option("changesFromVersion", "0")
+      .option("changesToVersion", to.toString)
+      .load().collect().map(_.getLong(0)).sorted
+    assert(windowRows.toSeq == (0L until 5L),
+      "the delta at `to` predates the record — id=2 must still deliver")
+    // the SNAPSHOT, of course, applies it
+    assert(ids("e9") == Seq(0L, 1L, 3L, 4L))
+  }
+
+  test("records key on evolved columns: absent-in-old-files and widened keys stay exact") {
+    // key ADDED after gen-1: old files have NULL keys — the record
+    // matches nothing there, and the scan must not crash on the
+    // missing physical column
+    spark.sql("CREATE TABLE ecat.db.e10 (id BIGINT)")
+    spark.sql("INSERT INTO ecat.db.e10 SELECT id FROM range(3)")
+    spark.sql("ALTER TABLE ecat.db.e10 ADD COLUMN k BIGINT")
+    spark.sql("INSERT INTO ecat.db.e10 VALUES (10, 7), (11, 8)")
+    ManifestSink.deleteWhereEq(root("e10").toString, "k", Seq("7"))
+    assert(ids("e10") == Seq(0L, 1L, 2L, 11L))
+
+    // key WIDENED after gen-1: old INT32 files decode through the
+    // widening reader in the position pass
+    spark.sql("CREATE TABLE ecat.db.e11 (id BIGINT, k INT)")
+    spark.sql("INSERT INTO ecat.db.e11 SELECT id, CAST(id AS INT) FROM range(4)")
+    spark.sql("ALTER TABLE ecat.db.e11 ALTER COLUMN k TYPE BIGINT")
+    spark.sql("INSERT INTO ecat.db.e11 VALUES (9, 9)")
+    ManifestSink.deleteWhereEq(root("e11").toString, "k", Seq("2", "9"))
+    assert(ids("e11") == Seq(0L, 1L, 3L))
+  }
+
   test("overwritten partitions and fast-forwarded branches outrun older records") {
     // rows arriving AFTER a delete — via dynamic partition overwrite or
     // a WAP fast-forward — must carry a fresh data sequence; governed-
@@ -155,6 +195,11 @@ class EqualityDeleteSpec extends AnyFunSuite {
     ManifestSink.deleteWhereEq(root("e8").toString, "id", Seq("2"))
     spark.sql("CALL ecat.system.create_branch(table => 'db.e8', branch => 'w')")
     spark.sql("INSERT INTO ecat.db.e8.branch_w VALUES (2), (5)")
+    // the AUDIT read must agree with what the publish will produce:
+    // staged rows are sequenced past the pre-anchor record already
+    assert(spark.sql("SELECT id FROM ecat.db.e8.branch_w")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 5L),
+      "branch audit and post-publish state must see the same rows")
     spark.sql("CALL ecat.system.fast_forward(table => 'db.e8', branch => 'w')")
     assert(ids("e8") == Seq(1L, 2L, 5L),
       "fast-forwarded rows must not be governed by the pre-anchor delete")
