@@ -202,6 +202,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             s"days($c) requires a BIGINT epoch-microsecond column; " +
               s"$c is ${fieldOf(c).dataType.simpleString}")
           ManifestSink.PDays(c)
+        case "hours" =>
+          // fixed-width sibling of days: an hour of epoch-micros IS an
+          // integer truncation, so the interval machinery is shared
+          val c = refCol(t)
+          require(fieldOf(c).dataType == LongType,
+            s"hours($c) requires a BIGINT epoch-microsecond column; " +
+              s"$c is ${fieldOf(c).dataType.simpleString}")
+          ManifestSink.PTruncInt(c, 3600000000L)
         case "truncate" =>
           val c = refCol(t)
           val w = widthArg(t)

@@ -96,6 +96,18 @@ class HiddenPartitionSpec extends AnyFunSuite {
       == 200L)
   }
 
+  test("hours(ts) rides the integer-truncate machinery (hour-aligned metadata delete)") {
+    spark.sql("CREATE TABLE hcat.db.hr (ts BIGINT, v BIGINT) PARTITIONED BY (hours(ts))")
+    spark.sql("INSERT INTO hcat.db.hr SELECT id * 1200000000, id FROM range(0, 9, 1, 1)")
+    // 9 events at 20-minute spacing -> hours 0, 1, 2 (3 per hour)
+    assert(entries("hr").map(_.parts("ts")).sorted ==
+      Seq("0", "3600000000", "7200000000"))
+    entries("hr").filter(_.parts("ts") == "0")
+      .foreach(e => Files.delete(root("hr").resolve(e.name)))
+    spark.sql("DELETE FROM hcat.db.hr WHERE ts < 3600000000") // zero reads
+    assert(spark.sql("SELECT count(*) FROM hcat.db.hr").collect().head.getLong(0) == 6L)
+  }
+
   test("NULL source values land in the null partition and answer IS NULL exactly") {
     spark.sql("CREATE TABLE hcat.db.nl (ts BIGINT, v BIGINT) PARTITIONED BY (days(ts))")
     spark.sql("INSERT INTO hcat.db.nl VALUES (NULL, 1), (NULL, 2), " +
