@@ -2344,6 +2344,10 @@ object ManifestSink {
       val meta = st.copy(markers = st.markers ++ markerUpdate,
         partCols = if (st.version > 0L) st.partCols else createPartSpec.map(_.col),
         partSpec = if (st.version > 0L) st.partSpec else createPartSpec,
+        // a truncate leaves no governed files: dropping the records here
+        // releases their sidecars to retention instead of carrying
+        // no-op metadata forever
+        eqDels = if (truncateFirst) Seq.empty else st.eqDels,
         deleteMode = if (st.version > 0L) st.deleteMode else createDeleteMode,
         bloomCols = if (st.version > 0L) st.bloomCols else createBloomCols,
         sortCols = if (st.version > 0L) st.sortCols else createSortCols,

@@ -132,6 +132,16 @@ class EqualityDeleteSpec extends AnyFunSuite {
       "deleted keys must never deliver in the initial snapshot")
   }
 
+  test("a truncate clears outstanding records (no governed files remain)") {
+    spark.sql("CREATE TABLE ecat.db.e12 (id BIGINT)")
+    spark.sql("INSERT INTO ecat.db.e12 SELECT id FROM range(4)")
+    ManifestSink.deleteWhereEq(root("e12").toString, "id", Seq("1"))
+    spark.sql("INSERT OVERWRITE ecat.db.e12 SELECT id FROM range(10, 13)")
+    assert(ManifestSink.readHeader(root("e12")).eqDels.isEmpty,
+      "truncate leaves nothing governed — records must drop with the rows")
+    assert(ids("e12") == Seq(10L, 11L, 12L))
+  }
+
   test("a change-feed window CLOSED before the record still delivers its rows") {
     // records committed AFTER the window's end must not subtract rows
     // that existed at `to` — the silent-fold corruption the loud-fail
