@@ -270,6 +270,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // own catalog bookkeeping) persist from v1 onward
     val userProps = properties.asScala.toMap
       .filter { case (k, _) => !ManifestSink.reservedProp(k) }
+    // validated knobs that ride the free-form bag must fail at CREATE,
+    // not on every subsequent INSERT
+    ManifestSink.rowGroupBytesOf(userProps): Unit
     ManifestSink.publishCommit(p, schema, truncateFirst = true, Seq.empty,
       markerUpdate = None, GcPolicy(None, 3600L * 1000), createPartSpec = partSpec,
       createDeleteMode = deleteMode, createBloomCols = bloomCols,

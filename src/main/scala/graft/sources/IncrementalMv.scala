@@ -138,6 +138,7 @@ object IncrementalMv {
       case None => false
       case Some(p) =>
         val (pf, pt, vA) = PendingWindow.parse(p)
+        PendingWindow.verifyPivot(mvRoot, PendingProp, p, vA)
         val cur = ManifestSink.currentVersion(mvRoot)
         // cur == vA: the marker's commit is still the head — the MERGE
         // never landed; apply the window now. cur > vA: the MERGE (or

@@ -224,6 +224,23 @@ object ManifestSink {
               s"(files removed: ${dropped.take(3).map(_.name).mkString(", ")}…) — " +
               "the change feed cannot reconstruct a copy-on-write rewrite's " +
               "row diff; use merge-on-read deletes or read the snapshot instead")
+          // FULL-FILE drop slices of files governed by an OUTSTANDING
+          // equality-delete record are not replayable: their live-
+          // position arithmetic (all physical rows minus the DV) counts
+          // positions the record already hid from every snapshot
+          // reader — emitting them would double-retract rows a consumer
+          // never saw. DV-DIFF deletes stay safe: merge-on-read deletes
+          // skip eq-hidden rows at write time, so new positions are
+          // always visible ones. Insert slices are safe by sequencing.
+          val recs = readHeader(root, Some(v)).eqDels
+          dropped.filter(pe => recs.exists(_.seq > pe.seq)).take(1).foreach { g =>
+            throw new IllegalStateException(
+              s"manifest table $root removes file ${g.name} between " +
+                s"v${v - 1} and v$v while an equality-delete record governs " +
+                "it — its live-row images include positions the record " +
+                "already hid from snapshot readers; OPTIMIZE to materialize " +
+                "the records, then stream from the new state")
+          }
           val dropSlices = dropped.map { pe =>
             val oldPos = pe.dvName
               .map(n => readDvPositions(root.resolve(n)).toSet)
@@ -1178,6 +1195,9 @@ object ManifestSink {
       val st = readState(root)
       require(st.version > 0L,
         s"equality delete requires a versioned manifest table at $tablePath")
+      require(st.entries.forall(_.name.endsWith(".parquet")),
+        "equality deletes are not supported on tables holding legacy .tsv " +
+          "files — the tsv reader has no position pass; OPTIMIZE first")
       val schema = st.schema.getOrElse(throw new IllegalStateException(
         s"manifest table $tablePath has no schema"))
       val f = schema.fields.find(_.name == col).getOrElse(
@@ -1424,9 +1444,10 @@ object ManifestSink {
 
   private[sources] def rowGroupBytesOf(props: Map[String, String]): Option[Long] =
     props.get(RowGroupBytesProp).map { v =>
-      require(v.matches("[0-9]+") && v.toLong >= 1024L,
+      val parsed = v.toLongOption // length-safe: 20-digit strings don't throw
+      require(parsed.exists(_ >= 1024L),
         s"$RowGroupBytesProp must be an integer byte count >= 1024, got '$v'")
-      v.toLong
+      parsed.get
     }
 
   private[sources] def reservedProp(k: String): Boolean =
@@ -1711,8 +1732,10 @@ object ManifestSink {
         // tuple answers by POLARITY — see the note above.
         if (x == NullPartValue) nullAnswer
         else {
+          // a NULL literal makes a no-match IN evaluate UNKNOWN, not
+          // FALSE — same polarity collapse as the null tuple
           val cmps = vs.toSeq.map(v =>
-            if (v == null) Some(false) else decide(c, v, OpEq))
+            if (v == null) nullAnswer else decide(c, v, OpEq))
           if (cmps.contains(Some(true))) Some(true)
           else if (cmps.forall(_.contains(false))) Some(false)
           else None
@@ -3336,6 +3359,37 @@ object ManifestSink {
       partProvenV2(preds, schema0, partCols0, spec0.map(t => t.col -> t).toMap))
   }
 
+
+  /** Row-level "already equality-deleted" test for `e` under the
+    * table's outstanding records: used by merge-on-read DELETE so
+    * hidden rows are neither re-counted nor re-vectored. Bounded: the
+    * records' sidecars are keys-only. */
+  private def eqKilledTest(root: Path, st: TableState, schema: StructType,
+      e: FileEntry): InternalRow => Boolean = {
+    val gov = st.eqDels.filter(_.seq > e.seq)
+    if (gov.isEmpty) (_: InternalRow) => false
+    else {
+      val tests = gov.groupBy(_.col).toSeq.flatMap { case (c, rs) =>
+        schema.fields.zipWithIndex.find(_._1.name == c).map { case (f, i) =>
+          val raw = rs.flatMap(r => readEqDelValues(root, r.name))
+          f.dataType match {
+            case LongType =>
+              val kill = raw.map(_.toLong).toSet
+              (row: InternalRow) => !row.isNullAt(i) && kill(row.getLong(i))
+            case IntegerType =>
+              val kill = raw.map(_.toLong).toSet
+              (row: InternalRow) => !row.isNullAt(i) && kill(row.getInt(i).toLong)
+            case _ =>
+              val kill = raw.toSet
+              (row: InternalRow) => !row.isNullAt(i) &&
+                kill(row.getUTF8String(i).toString)
+          }
+        }
+      }
+      (row: InternalRow) => tests.exists(t => t(row))
+    }
+  }
+
   private def deleteCoreMoR(tablePath: String, gc: GcPolicy,
       validate: StructType => Unit,
       rowMatches: (InternalRow, StructType) => Boolean,
@@ -3361,11 +3415,15 @@ object ManifestSink {
       } else {
       val prior: Set[Long] =
         e.dvName.fold(Set.empty[Long])(n => readDvPositions(root.resolve(n)).toSet)
+      val eqHidden = eqKilledTest(root, st, schema, e)
       val matched = scala.collection.mutable.Buffer.empty[Long]
       foreachRowPos(root.resolve(e.name), schema, st.colMap, st.schemaEpoch > 0L) { (row, pos) =>
-        // positions already deleted are invisible — never re-matched,
-        // never re-counted
-        if (!prior.contains(pos) && rowMatches(row, schema)) matched += pos
+        // positions already deleted — by a prior DV or by an outstanding
+        // equality-delete record — are invisible: never re-matched,
+        // never re-counted, never re-vectored (a DV'd eq-hidden position
+        // would otherwise leak into the cdc feed's DV diff)
+        if (!prior.contains(pos) && !eqHidden(row) && rowMatches(row, schema))
+          matched += pos
       }
       if (matched.isEmpty) Some(e) // stats were only a may-match
       else {

@@ -52,4 +52,26 @@ private[sources] object PendingWindow {
     val Array(f, t, v) = value.split(':').map(_.trim.toLong)
     (f, t, v)
   }
+
+  /** Verify the marker really committed at its recorded version before
+    * recovery trusts the pivot. `stage` predicts its slot and lands at
+    * or after it, so a marker PRESENT at vA with this exact value
+    * committed exactly there; ABSENT at a retained vA means a crash
+    * landed it later with a stale recorded version — recovery would
+    * misjudge "apply landed" and silently skip the window, so fail
+    * LOUDLY for manual adjudication instead. Expired history verifies
+    * vacuously (best effort). */
+  def verifyPivot(root: Path, prop: String, value: String, vA: Long): Unit = {
+    val atVA: Option[Option[String]] =
+      try Some(ManifestSink.readHeader(root, Some(vA)).props.get(prop))
+      catch { case _: Exception => None } // vA expired or unreadable
+    atVA.foreach { got =>
+      require(got.contains(value),
+        s"pending marker $prop='$value' claims version $vA of $root, but " +
+          s"that version records ${got.getOrElse("no marker")} — the marker " +
+          "is STALE (crash mid-staging under concurrent commits, a " +
+          "single-refresher contract violation). Decide manually whether " +
+          "the window was applied, then clear or restore the marker.")
+    }
+  }
 }

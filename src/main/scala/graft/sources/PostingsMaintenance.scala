@@ -74,24 +74,50 @@ object PostingsMaintenance {
   private[sources] def stagePending(postRoot: Path, from: Long, to: Long): Unit =
     PendingWindow.stage(postRoot, PendingProp, from, to): Unit
 
+  /** Returns the window's (docs, Σdl) observed in the SAME pass that
+    * wrote the postings — the happy path pays one delta read, not two;
+    * crash recovery re-derives them from the feed instead. */
   private[sources] def applyWindow(s: SparkSession, catalog: String,
-      srcRoot: Path, postingsIdent: String, from: Long, to: Long): Unit = {
+      srcRoot: Path, postingsIdent: String, from: Long,
+      to: Long): Option[(Long, Long)] = {
+    // Observation (listener-backed) rides the WRITE's own execution —
+    // a plain .observe + df.queryExecution would inspect a never-run
+    // sibling execution and read zeros
+    val ob = org.apache.spark.sql.Observation(s"pm_window_${System.nanoTime()}")
     val toks = windowDelta(s, srcRoot, from, to)
-    toks.select(col("doc_id"), col("dl"), explode_outer(col("toks")).as("term"))
+      .observe(ob, count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("sdl"))
+    toks
+      .select(col("doc_id"), col("dl"), explode_outer(col("toks")).as("term"))
       .filter(col("term").isNotNull)
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .select("term", "doc_id", "tf", "dl")
       .writeTo(s"$catalog.$postingsIdent").append()
+    // bounded wait: the metrics arrive with the (already-completed)
+    // write's listener callback; if this write's plan shape ever stops
+    // carrying the observation, fall back to the recovery-path
+    // recompute instead of wedging or mis-folding
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      val m = Await.result(
+        Future(ob.get)(scala.concurrent.ExecutionContext.global), 30.seconds)
+      if (m.contains("n") && m.contains("sdl"))
+        Some((m("n").asInstanceOf[Long], m("sdl").asInstanceOf[Long]))
+      else None
+    } catch { case _: Exception => None }
   }
 
   private[sources] def finalizeWindow(s: SparkSession, catalog: String,
-      srcRoot: Path, postRoot: Path, from: Long, to: Long): Unit = {
-    // window constants re-derive deterministically from the feed — safe
-    // to recompute during crash recovery
-    val (dn, dsum) = windowDelta(s, srcRoot, from, to)
+      srcRoot: Path, postRoot: Path, from: Long, to: Long,
+      observed: Option[(Long, Long)] = None): Unit = {
+    // window constants re-derive deterministically from the feed — the
+    // happy path hands them over from applyWindow's observation; crash
+    // recovery recomputes
+    val (dn, dsum) = observed.getOrElse(windowDelta(s, srcRoot, from, to)
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).head
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head)
     val props = ManifestSink.readHeader(postRoot).props
     val n0 = props.getOrElse(NDocsProp, "0").toLong
     val s0 = props.getOrElse(SumDlProp, "0").toLong
@@ -109,9 +135,10 @@ object PostingsMaintenance {
       case None => false
       case Some(p) =>
         val (pf, pt, vA) = PendingWindow.parse(p)
+        PendingWindow.verifyPivot(postRoot, PendingProp, p, vA)
         val srcRoot = tableRoot(s, catalog, srcIdent)
         if (ManifestSink.currentVersion(postRoot) == vA)
-          applyWindow(s, catalog, srcRoot, postingsIdent, pf, pt)
+          applyWindow(s, catalog, srcRoot, postingsIdent, pf, pt): Unit
         finalizeWindow(s, catalog, srcRoot, postRoot, pf, pt)
         true
     }
@@ -128,8 +155,8 @@ object PostingsMaintenance {
     val to = ManifestSink.currentVersion(srcRoot)
     if (to <= from) return from
     stagePending(postRoot, from, to)
-    applyWindow(s, catalog, srcRoot, postingsIdent, from, to)
-    finalizeWindow(s, catalog, srcRoot, postRoot, from, to)
+    val observed = applyWindow(s, catalog, srcRoot, postingsIdent, from, to)
+    finalizeWindow(s, catalog, srcRoot, postRoot, from, to, observed)
     to
   }
 }

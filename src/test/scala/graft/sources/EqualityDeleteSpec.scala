@@ -132,6 +132,62 @@ class EqualityDeleteSpec extends AnyFunSuite {
       "deleted keys must never deliver in the initial snapshot")
   }
 
+  test("a MoR delete after a record stays feed-replayable (no double retraction)") {
+    spark.sql("CREATE TABLE ecat.db.e13 (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO ecat.db.e13 SELECT id, id FROM range(6)")
+    ManifestSink.deleteWhereEq(root("e13").toString, "id", Seq("2"))
+    val fromV = ManifestSink.currentVersion(root("e13"))
+    // the predicate matches BOTH the eq-hidden row (id=2, v=2) and a
+    // visible one (id=4, v=4): only the visible one may enter the DV,
+    // or the feed would retract a row no snapshot consumer ever saw
+    spark.sql("DELETE FROM ecat.db.e13 WHERE v IN (2, 4)")
+    assert(ids("e13") == Seq(0L, 1L, 3L, 5L))
+    val feed = spark.read.format("graft.sources.ManifestSink")
+      .option("path", root("e13").toString)
+      .option("changesFromVersion", fromV.toString)
+      .option("changeFeedMode", "cdc")
+      .load().collect()
+    val deletes = feed.filter(_.getString(2) == "delete").map(_.getLong(0)).sorted
+    assert(deletes.toSeq == Seq(4L),
+      s"only the VISIBLE row's image may replay; got ${deletes.mkString(",")}")
+  }
+
+  test("NOT IN with a NULL literal proves nothing (three-valued, transform path too)") {
+    import org.apache.spark.sql.sources._
+    // x NOT IN (v, NULL) is never TRUE — a partition proof deciding
+    // Some(true) here would metadata-delete whole files of rows SQL keeps
+    val tf: Map[String, ManifestSink.PartTransform] =
+      Map("ts" -> ManifestSink.PDays("ts"))
+    val day1 = Map("ts" -> "1")
+    val f = Not(In("ts", Array[Any](1L, null)))
+    assert(ManifestSink.evalPartFilter(f, day1, tf).isEmpty,
+      "NOT IN (..., NULL) must stay undecided, never proven")
+    assert(ManifestSink.evalPartFilter(f, Map("c" -> "x"), Map.empty).isEmpty ||
+      ManifestSink.evalPartFilter(f, Map("c" -> "x"), Map.empty).contains(false))
+    // positive polarity keeps its exactness: IN with a null literal and
+    // a real match still decides true
+    assert(ManifestSink.evalPartFilter(
+      In("c", Array[Any]("x", null)), Map("c" -> "x"), Map.empty).contains(true))
+  }
+
+  test("equality deletes refuse legacy .tsv tables loudly") {
+    // the tsv reader has no position pass — a record would be silently
+    // ignored at scan; refusing the COMMIT keeps semantics honest
+    val dir = Files.createTempDirectory("eqdel-tsv")
+    dir.toFile.deleteOnExit()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+    Files.writeString(dir.resolve("d1.tsv"), "1\n2\n3\n")
+    ManifestSink.publishCommit(dir, schema, truncateFirst = true,
+      Seq(ManifestSink.FileEntry("d1.tsv", 3L, Map.empty, Map.empty)),
+      markerUpdate = None, GcPolicy(None, 3600000L))
+    val e = intercept[Exception] {
+      ManifestSink.deleteWhereEq(dir.toString, "id", Seq("1"))
+    }
+    assert(e.getMessage.contains("tsv"), e.getMessage)
+  }
+
   test("a truncate clears outstanding records (no governed files remain)") {
     spark.sql("CREATE TABLE ecat.db.e12 (id BIGINT)")
     spark.sql("INSERT INTO ecat.db.e12 SELECT id FROM range(4)")
