@@ -117,6 +117,27 @@ object DedupOps {
         min("pos_a").as("first_a"), min("pos_b").as("first_b"))
   }
 
+  /** The substring-dup pair table is consumed by two operators (q131
+    * pairs, q138 triangles) whose dominant cost is the CORPUS window
+    * pass; one session materializes it once — same staging contract as
+    * [[stagedPairs]], same non-reliable-checkpoint probe. The table is
+    * the verified pair set: kilobytes. */
+  private val substrPairCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int), DataFrame]
+
+  private[graft] def stagedSubstringDupPairs(s: SparkSession, dir: String,
+      w: Int = SubstrWindow, dfCap: Int = SubstrDfCap): DataFrame = {
+    substrPairCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    substrPairCache.get((s, dir, w, dfCap)) match {
+      case Some(t) if scala.util.Try(t.take(1)).isSuccess => t
+      case _ =>
+        val t = substringDupPairs(Tables.documents(s, dir), w, dfCap)
+          .localCheckpoint()
+        substrPairCache.put((s, dir, w, dfCap), t)
+        t
+    }
+  }
+
   /** Join `big` to a (checkpointed) id list: broadcast while bounded,
     * shuffle-hash past the gate. `ids` must be cheap to count — callers
     * localCheckpoint it first, so the count is a scan of the
@@ -524,7 +545,7 @@ object DedupOps {
     // shared position on each side. See substringDupPairs for the
     // hash-bucket + text-verify scale design.
     "q131_substring_dedup" -> ((s, dir) =>
-      substringDupPairs(Tables.documents(s, dir))
+      stagedSubstringDupPairs(s, dir)
         .orderBy("doc_a", "doc_b")),
 
     // Cross-corpus VERBATIM decontamination (the substring counterpart
@@ -569,8 +590,8 @@ object DedupOps {
     // ids over the (tiny) verified pair set — the corpus never
     // re-enters.
     "q138_dup_triangles" -> ((s, dir) => {
-      val e = substringDupPairs(Tables.documents(s, dir))
-        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      val e = stagedSubstringDupPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"))
       e.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .join(e.select(col("doc_a").as("b"), col("doc_b").as("c")), "b")
         .join(e.select(col("doc_a").as("a"), col("doc_b").as("c")), Seq("a", "c"))
