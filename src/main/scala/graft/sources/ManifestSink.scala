@@ -5342,9 +5342,16 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
       // additionally guarded per-file in the factory (row-group skips
       // would shift physical positions).
       rgFilter =
-        if (onRuntimeNarrow.isDefined || cdcSlices.isDefined || evolved) None
+        if (onRuntimeNarrow.isDefined || cdcSlices.isDefined) None
         else ParquetPredicates.translate(dataFilters, fileSchema,
-          c => colMap.getOrElse(c, c)))
+          c => colMap.getOrElse(c, c)),
+      // columns any pushed filter references (logical) — evolved tables
+      // apply the row-group filter PER FILE only when every one is
+      // physically present with the table's exact primitive (a missing
+      // or narrower column would make parquet's validator throw or the
+      // stats lie); over-approximating with all filters' refs only
+      // costs pruning, never correctness
+      rgFilterCols = dataFilters.flatMap(_.references).distinct)
 
   override def toMicroBatchStream(checkpointLocation: String): readstreaming.MicroBatchStream = {
     require(streamable, "streaming reads of a BRANCH are not supported — " +
@@ -5508,7 +5515,8 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
     columnar: Boolean, colMap: Map[String, String] = Map.empty,
     evolved: Boolean = false,
     rgFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None,
-    eqApplied: Seq[EqDelApplied] = Seq.empty)
+    eqApplied: Seq[EqDelApplied] = Seq.empty,
+    rgFilterCols: Seq[String] = Seq.empty)
     extends PartitionReaderFactory {
   import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
@@ -5521,8 +5529,25 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
   private def rgFilterFor(p: ManifestFilePartition)
       : Option[org.apache.parquet.filter2.predicate.FilterPredicate] =
     if (p.dvFile.isEmpty && p.emit == null && p.file.endsWith(".parquet") &&
-        governingFor(p).isEmpty) rgFilter
+        governingFor(p).isEmpty && rgFilterFileOk(p.file)) rgFilter
     else None
+
+  /** Evolved tables decide row-group filtering PER FILE: every column a
+    * pushed filter references must be physically present under the
+    * table's exact primitive in THAT file — files predating an ADD
+    * COLUMN or a TYPE widening fall back to full decode (correct, just
+    * unpruned), instead of one ALTER disabling the skip layer for the
+    * table's whole life. The footer is read by filePlan anyway on
+    * evolved tables; this second read hits the same cached fs pages. */
+  private def rgFilterFileOk(file: String): Boolean =
+    !evolved || rgFilter.isEmpty || {
+      val types = ManifestParquet.footerPrimitiveTypes(file)
+      rgFilterCols.forall { c =>
+        fileSchema.fields.find(_.name == c).exists(f =>
+          types.get(physical(c)).contains(
+            ManifestSink.expectedPrimitiveOf(f.dataType)))
+      }
+    }
 
   /** Equality deletes governing this partition's file (entry committed
     * strictly before the record). */

@@ -157,18 +157,41 @@ class RowGroupSkipSpec extends AnyFunSuite {
       == 4999L)
   }
 
-  test("filters on evolved tables stay correct (pushdown withheld, residual applies)") {
+  test("filters on evolved tables stay correct (per-file eligibility, residual applies)") {
     spark.sql("CREATE TABLE rgc.db.rgev (id BIGINT, v BIGINT) " +
       "TBLPROPERTIES ('write.parquet.row-group-bytes' = '4096')")
     spark.sql("INSERT INTO rgc.db.rgev SELECT id, id FROM range(0, 2000, 1, 1)")
     spark.sql("ALTER TABLE rgc.db.rgev ADD COLUMN w BIGINT")
     spark.sql("INSERT INTO rgc.db.rgev SELECT id, id, id FROM range(2000, 4000, 1, 1)")
     // w exists only in the second file; a parquet predicate naming it
-    // would blow up (or mis-prune) on the first — translation is
-    // withheld for evolved tables and the residual filter decides
+    // would blow up (or mis-prune) on the first — per-file eligibility
+    // withholds the filter exactly there and the residual decides
     val got = spark.sql("SELECT id FROM rgc.db.rgev WHERE w = 3000 OR id = 7")
       .collect().map(_.getLong(0)).sorted
     assert(got.toSeq == Seq(7L, 3000L))
+  }
+
+  test("evolved tables keep row-group skipping on files where the filter columns are exact") {
+    // one ALTER must not disable the skip layer for the table's life:
+    // a filter on an UNCHANGED column still prunes groups per file
+    spark.sql("CREATE TABLE rgc.db.rgev2 (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('write.parquet.row-group-bytes' = '4096')")
+    spark.sql("INSERT INTO rgc.db.rgev2 SELECT id, id FROM range(0, 20000, 1, 1)")
+    spark.sql("ALTER TABLE rgc.db.rgev2 ADD COLUMN note STRING")
+    val probe = "SELECT v FROM rgc.db.rgev2 WHERE id = 12345"
+    assert(spark.sql(probe).collect().map(_.getLong(0)).toSeq == Seq(12345L))
+    val surfaced = scanRows(spark.sql(probe))
+    assert(surfaced < 20000L / 4,
+      s"scan surfaced $surfaced rows — evolution disabled skipping on an exact column")
+    // a WIDENED filter column withholds the filter on old narrow files
+    // (correctness) while results stay exact
+    spark.sql("ALTER TABLE rgc.db.rgev2 ALTER COLUMN v TYPE BIGINT") // no-op widen, epoch bump
+    spark.sql("CREATE TABLE rgc.db.rgev3 (id BIGINT, n INT) " +
+      "TBLPROPERTIES ('write.parquet.row-group-bytes' = '4096')")
+    spark.sql("INSERT INTO rgc.db.rgev3 SELECT id, CAST(id AS INT) FROM range(0, 5000, 1, 1)")
+    spark.sql("ALTER TABLE rgc.db.rgev3 ALTER COLUMN n TYPE BIGINT")
+    assert(spark.sql("SELECT id FROM rgc.db.rgev3 WHERE n = 777")
+      .collect().map(_.getLong(0)).toSeq == Seq(777L))
   }
 
   test("the row-group-bytes property validates loudly") {
