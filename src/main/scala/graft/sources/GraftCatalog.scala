@@ -202,6 +202,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             s"days($c) requires a BIGINT epoch-microsecond column; " +
               s"$c is ${fieldOf(c).dataType.simpleString}")
           ManifestSink.PDays(c)
+        case "months" =>
+          val c = refCol(t)
+          require(fieldOf(c).dataType == LongType,
+            s"months($c) requires a BIGINT epoch-microsecond column; " +
+              s"$c is ${fieldOf(c).dataType.simpleString}")
+          ManifestSink.PMonths(c)
+        case "years" =>
+          val c = refCol(t)
+          require(fieldOf(c).dataType == LongType,
+            s"years($c) requires a BIGINT epoch-microsecond column; " +
+              s"$c is ${fieldOf(c).dataType.simpleString}")
+          ManifestSink.PYears(c)
         case "hours" =>
           // fixed-width sibling of days: an hour of epoch-micros IS an
           // integer truncation, so the interval machinery is shared

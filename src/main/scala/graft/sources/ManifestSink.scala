@@ -1331,6 +1331,20 @@ object ManifestSink {
     def withCol(c: String): PartTransform = copy(col = c)
     def token: String = s"days($col)"
   }
+  /** Epoch-microsecond LONG column → month index relative to 1970-01
+    * (UTC proleptic Gregorian — the SQL calendar). Variable-width, but
+    * each index still covers ONE contiguous interval of the source
+    * domain, so range decisions stay exact. */
+  private[sources] case class PMonths(col: String) extends PartTransform {
+    def withCol(c: String): PartTransform = copy(col = c)
+    def token: String = s"months($col)"
+  }
+  /** Epoch-microsecond LONG column → year index relative to 1970. */
+  private[sources] case class PYears(col: String) extends PartTransform {
+    def withCol(c: String): PartTransform = copy(col = c)
+    def token: String = s"years($col)"
+  }
+
   /** Integer width truncation: value → value − floorMod(value, w),
     * covering [base, base + w). */
   private[sources] case class PTruncInt(col: String, w: Long) extends PartTransform {
@@ -1347,14 +1361,32 @@ object ManifestSink {
   }
 
   private val PartTokenDays = """days\((.+)\)""".r
+  private val PartTokenMonths = """months\((.+)\)""".r
+  private val PartTokenYears = """years\((.+)\)""".r
   private val PartTokenTruncI = """trunci\((\d+),(.+)\)""".r
   private val PartTokenTruncS = """truncs\((\d+),(.+)\)""".r
   private[sources] def parsePartToken(t: String): PartTransform = t match {
     case PartTokenDays(c) => PDays(c)
+    case PartTokenMonths(c) => PMonths(c)
+    case PartTokenYears(c) => PYears(c)
     case PartTokenTruncI(w, c) => PTruncInt(c, w.toLong)
     case PartTokenTruncS(n, c) => PTruncStr(c, n.toInt)
     case c => PIdentity(c)
   }
+
+  /** Month index (months since 1970-01, UTC) of an epoch-micro instant. */
+  private[sources] def monthIndexOf(us: Long): Long = {
+    val d = java.time.LocalDate.ofEpochDay(Math.floorDiv(us, MicrosPerDay))
+    (d.getYear - 1970L) * 12L + (d.getMonthValue - 1L)
+  }
+  /** First epoch-micro instant of month index `idx`. */
+  private[sources] def monthStartUs(idx: Long): Long = {
+    val y = 1970L + Math.floorDiv(idx, 12L)
+    val m = Math.floorMod(idx, 12L) + 1L
+    java.time.LocalDate.of(y.toInt, m.toInt, 1).toEpochDay * MicrosPerDay
+  }
+  private[sources] def yearStartUs(idx: Long): Long =
+    java.time.LocalDate.of((1970L + idx).toInt, 1, 1).toEpochDay * MicrosPerDay
 
   /** Apply a transform to a row's raw canonical value, producing the
     * PARTITION value's canonical string. Null propagates (a null source
@@ -1364,6 +1396,10 @@ object ManifestSink {
     else t match {
       case PIdentity(_) => raw
       case PDays(_) => Math.floorDiv(raw.toLong, MicrosPerDay).toString
+      case PMonths(_) => monthIndexOf(raw.toLong).toString
+      case PYears(_) =>
+        (java.time.LocalDate.ofEpochDay(
+          Math.floorDiv(raw.toLong, MicrosPerDay)).getYear - 1970L).toString
       case PTruncInt(_, w) => (raw.toLong - Math.floorMod(raw.toLong, w)).toString
       case PTruncStr(_, n) => truncCp(raw, n)
     }
@@ -1700,6 +1736,24 @@ object ManifestSink {
             vl <- asLongLit(v)
             if d <= Long.MaxValue / MicrosPerDay && d >= Long.MinValue / MicrosPerDay
             r <- longInterval(d * MicrosPerDay, MicrosPerDay, vl, op)
+          } yield r)
+      case Some(PMonths(_)) =>
+        pv(c).filter(_ != NullPartValue).flatMap(x =>
+          for {
+            idx <- x.toLongOption
+            vl <- asLongLit(v)
+            bounds <- scala.util.Try(
+              (monthStartUs(idx), monthStartUs(idx + 1L))).toOption
+            r <- longInterval(bounds._1, bounds._2 - bounds._1, vl, op)
+          } yield r)
+      case Some(PYears(_)) =>
+        pv(c).filter(_ != NullPartValue).flatMap(x =>
+          for {
+            idx <- x.toLongOption
+            vl <- asLongLit(v)
+            bounds <- scala.util.Try(
+              (yearStartUs(idx), yearStartUs(idx + 1L))).toOption
+            r <- longInterval(bounds._1, bounds._2 - bounds._1, vl, op)
           } yield r)
       case Some(PTruncInt(_, w)) =>
         pv(c).filter(_ != NullPartValue).flatMap(x =>
@@ -4043,6 +4097,8 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
     ManifestSink.partitionSpec(root, metaPin).map {
       case ManifestSink.PIdentity(c) => Expressions.identity(c)
       case ManifestSink.PDays(c) => Expressions.days(c)
+      case ManifestSink.PMonths(c) => Expressions.months(c)
+      case ManifestSink.PYears(c) => Expressions.years(c)
       case ManifestSink.PTruncInt(c, w) =>
         if (w <= Int.MaxValue)
           Expressions.apply("truncate", Expressions.literal(w.toInt), Expressions.column(c))

@@ -108,6 +108,39 @@ class HiddenPartitionSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM hcat.db.hr").collect().head.getLong(0) == 6L)
   }
 
+  test("months(ts)/years(ts): calendar intervals stay exact (leap boundaries included)") {
+    // months are VARIABLE-width — the interval bounds come from real
+    // calendar arithmetic, so Feb/leap-year edges must decide exactly
+    spark.sql("CREATE TABLE hcat.db.mo (ts BIGINT, v BIGINT) PARTITIONED BY (months(ts))")
+    // 2024 is a leap year: Jan 31, Feb 29 (leap day!), Mar 1
+    val jan31 = java.time.LocalDate.of(2024, 1, 31).toEpochDay * U
+    val feb29 = java.time.LocalDate.of(2024, 2, 29).toEpochDay * U
+    val mar01 = java.time.LocalDate.of(2024, 3, 1).toEpochDay * U
+    spark.sql(s"INSERT INTO hcat.db.mo VALUES ($jan31, 1), ($feb29, 2), ($mar01, 3)")
+    val idx = (2024 - 1970) * 12 // Jan 2024
+    assert(entries("mo").map(_.parts("ts")).sorted ==
+      Seq(idx, idx + 1, idx + 2).map(_.toString))
+    // month-aligned delete retires February metadata-only: the leap day
+    // must go WITH it, March must survive
+    entries("mo").filter(_.parts("ts") == (idx + 1).toString)
+      .foreach(e => Files.delete(root("mo").resolve(e.name)))
+    val febStart = java.time.LocalDate.of(2024, 2, 1).toEpochDay * U
+    spark.sql(s"DELETE FROM hcat.db.mo WHERE ts >= $febStart AND ts < $mar01")
+    assert(spark.sql("SELECT v FROM hcat.db.mo").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 3L))
+
+    spark.sql("CREATE TABLE hcat.db.yr (ts BIGINT) PARTITIONED BY (years(ts))")
+    val dec31 = java.time.LocalDate.of(2023, 12, 31).toEpochDay * U
+    val jan01 = java.time.LocalDate.of(2024, 1, 1).toEpochDay * U
+    spark.sql(s"INSERT INTO hcat.db.yr VALUES ($dec31), ($jan01)")
+    assert(entries("yr").map(_.parts("ts")).sorted == Seq("53", "54"))
+    // year-boundary range filter prunes exactly (physical proof)
+    entries("yr").filter(_.parts("ts") == "53")
+      .foreach(e => Files.delete(root("yr").resolve(e.name)))
+    assert(spark.sql(s"SELECT count(*) FROM hcat.db.yr WHERE ts >= $jan01")
+      .collect().head.getLong(0) == 1L)
+  }
+
   test("NULL source values land in the null partition and answer IS NULL exactly") {
     spark.sql("CREATE TABLE hcat.db.nl (ts BIGINT, v BIGINT) PARTITIONED BY (days(ts))")
     spark.sql("INSERT INTO hcat.db.nl VALUES (NULL, 1), (NULL, 2), " +
