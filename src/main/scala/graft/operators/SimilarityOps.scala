@@ -357,6 +357,26 @@ object SimilarityOps {
     // exact in both engines — the hash compare is bit-stable by
     // construction. FULL OUTER join of the two lists: a doc ranked by
     // only one retriever still fuses (the other contribution is 0).
+    // The INCREMENTALLY-MAINTAINED index inside the correctness gate:
+    // documents arrive in two batches, PostingsMaintenance.refresh
+    // consumes each batch's change feed (delta-only I/O, exactly-once
+    // pending-window protocol), and the query reports the maintained
+    // index's per-term statistics PLUS the corpus constants read back
+    // from the index's own TBLPROPERTIES — the oracle recomputes all of
+    // it from the raw documents, so any drift (double-applied window,
+    // missed doc, constant mis-fold) hash-fails. At 100 TB this is the
+    // search-ingest loop: refresh cost follows the day's appends, never
+    // the corpus.
+    "q158_postings_maintained" -> ((s, dir) => {
+      val (t, nDocs, sumDl) = maintainedPostingsTable(s, dir)
+      s.table(t).groupBy("term")
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_sum"),
+          sum(col("dl")).as("dl_sum"))
+        .withColumn("n_docs", lit(nDocs))
+        .withColumn("sum_dl", lit(sumDl))
+        .orderBy("term")
+    }),
+
     "q145_rrf_fusion" -> ((s, dir) => {
       val wb = Window.orderBy(col("score_mb").desc, col("doc_id"))
       val lex = bm25Scored(s, dir)
@@ -492,6 +512,42 @@ object SimilarityOps {
         s"('bm25.n-docs' = '$n', 'bm25.sum-dl' = '$sumDl')")
     }
     s"graft.$ns.postings"
+  }
+
+  /** Once-per-(application, sf-dir) INCREMENTALLY-MAINTAINED postings
+    * table: the documents land in a manifest table in TWO batches with a
+    * [[graft.sources.PostingsMaintenance.refresh]] after each — the
+    * production search-ingest loop exercised inside the correctness
+    * gate, not just in specs. Returns (postings table name, n_docs,
+    * sum_dl) with the constants read back from the index's own
+    * TBLPROPERTIES. */
+  private val maintainedBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  private[graft] def maintainedPostingsTable(s: SparkSession,
+      dir: String): (String, Long, Long) = {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+      s.sparkContext.applicationId
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val ns = s"db${Integer.toHexString(dir.hashCode)}"
+    if (maintainedBuilt.add((s.sparkContext.applicationId, dir))) {
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      s.sql(s"CREATE TABLE graft.$ns.docs_m (doc_id BIGINT, text STRING)")
+      graft.sources.PostingsMaintenance.createPostingsTable(
+        s, "graft", s"$ns.postings_m")
+      Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "text").writeTo(s"graft.$ns.docs_m").append()
+      graft.sources.PostingsMaintenance.refresh(
+        s, "graft", s"$ns.docs_m", s"$ns.postings_m")
+      Tables.documents(s, dir).filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "text").writeTo(s"graft.$ns.docs_m").append()
+      graft.sources.PostingsMaintenance.refresh(
+        s, "graft", s"$ns.docs_m", s"$ns.postings_m")
+    }
+    val props = s.sql(s"SHOW TBLPROPERTIES graft.$ns.postings_m").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    (s"graft.$ns.postings_m",
+      props("bm25.n-docs").toLong, props("bm25.sum-dl").toLong)
   }
 
   /** Deterministic sub-split of oversized clusters: rows keep their
@@ -873,6 +929,20 @@ object SimilarityOps {
          |    row_number() OVER (ORDER BY score_mb DESC, doc_id) AS rn
          |  FROM scored)
          |WHERE rn <= $Bm25TopK ORDER BY rn""".stripMargin,
+
+    "q158_postings_maintained" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, len(toks) AS dl, toks FROM toks),
+        |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+        |pt AS (SELECT term, doc_id, dl, count(*) AS tf FROM p GROUP BY 1, 2, 3),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(dl), 0) AS BIGINT) AS sum_dl FROM d)
+        |SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS tf_sum, CAST(sum(dl) AS BIGINT) AS dl_sum,
+        |  c.n_docs, c.sum_dl
+        |FROM pt, c GROUP BY term, c.n_docs, c.sum_dl ORDER BY term""".stripMargin,
 
     "q145_rrf_fusion" ->
       s"""WITH $bm25ScoredSql,
