@@ -1157,39 +1157,59 @@ object ManifestSink {
   // would corrupt every downstream fold (the pinned semantics; same
   // contract as copy-on-write rewrites in the feed).
 
-  private[sources] case class EqDelRec(name: String, col: String, seq: Long)
+  /** One equality-delete record: `cols` is the (possibly COMPOSITE) key
+    * — Iceberg v2 allows multi-column equality deletes, and real CDC
+    * keys often are composite. The header token joins the urlEnc'd
+    * column names with ','; single-column records round-trip the
+    * original format unchanged. */
+  private[sources] case class EqDelRec(name: String, cols: Seq[String], seq: Long)
 
   private val EqDelPrefix = "#eqdel\t"
 
   private[sources] def eqDelLine(r: EqDelRec): String =
-    s"$EqDelPrefix${r.name}\t${urlEnc(r.col)}\t${r.seq}"
+    s"$EqDelPrefix${r.name}\t${r.cols.map(urlEnc).mkString(",")}\t${r.seq}"
 
   private[sources] def parseEqDelLine(l: String): EqDelRec = {
     val p = l.stripPrefix(EqDelPrefix).split("\t")
-    EqDelRec(p(0), urlDec(p(1)), p(2).toLong)
+    EqDelRec(p(0), p(1).split(",").toSeq.map(urlDec), p(2).toLong)
   }
 
-  private[sources] def writeEqDelFile(root: Path, values: Seq[String]): String = {
+  /** Sidecar: one key TUPLE per line, components urlEnc'd and
+    * tab-joined — a single-column key writes exactly the old one-value
+    * lines, so pre-composite sidecars parse unchanged. */
+  private[sources] def writeEqDelFile(root: Path, keys: Seq[Seq[String]]): String = {
     val name = s"eqdel-${java.util.UUID.randomUUID()}.txt"
     Files.writeString(root.resolve(name),
-      values.distinct.sorted.map(urlEnc).mkString("\n"))
+      keys.map(_.map(urlEnc).mkString("\t")).distinct.sorted.mkString("\n"))
     name
   }
 
-  private[sources] def readEqDelValues(root: Path, name: String): Array[String] =
+  private[sources] def readEqDelKeys(root: Path, name: String): Array[Seq[String]] =
     Files.readString(root.resolve(name)).split("\n").iterator
-      .filter(_.nonEmpty).map(urlDec).toArray
+      .filter(_.nonEmpty).map(_.split("\t", -1).toSeq.map(urlDec)).toArray
 
-  /** Publish an equality delete: keys-only sidecar + one metadata
-    * commit, ZERO data-file reads. `values` are canonical strings of the
-    * key column's type (validated). Returns the published version. */
+  /** Publish a single-column equality delete — sugar over
+    * [[deleteWhereEqKeys]]. */
   def deleteWhereEq(tablePath: String, col: String, values: Seq[String],
+      gc: GcPolicy = GcPolicy(None, 3600L * 1000)): Long =
+    deleteWhereEqKeys(tablePath, Seq(col), values.map(Seq(_)), gc)
+
+  /** Publish an equality delete on a (possibly COMPOSITE) key: keys-only
+    * sidecar + one metadata commit, ZERO data-file reads. Each key is a
+    * tuple of canonical strings aligned with `cols` (validated per
+    * column type). Returns the published version. */
+  def deleteWhereEqKeys(tablePath: String, cols: Seq[String],
+      keys: Seq[Seq[String]],
       gc: GcPolicy = GcPolicy(None, 3600L * 1000)): Long = {
     val root = Paths.get(tablePath)
-    require(values.nonEmpty, "equality delete needs at least one key value")
+    require(cols.nonEmpty, "equality delete needs at least one key column")
+    require(cols.distinct.size == cols.size, s"duplicate key columns: $cols")
+    require(keys.nonEmpty, "equality delete needs at least one key tuple")
+    keys.foreach(k => require(k.length == cols.length,
+      s"key tuple $k does not match the ${cols.length}-column key $cols"))
     var attempt = 0
     var published = -1L
-    val name = writeEqDelFile(root, values)
+    val name = writeEqDelFile(root, keys)
     while (published < 0L) {
       attempt += 1
       val st = readState(root)
@@ -1200,19 +1220,22 @@ object ManifestSink {
           "files — the tsv reader has no position pass; OPTIMIZE first")
       val schema = st.schema.getOrElse(throw new IllegalStateException(
         s"manifest table $tablePath has no schema"))
-      val f = schema.fields.find(_.name == col).getOrElse(
-        throw new IllegalArgumentException(s"no column $col in $tablePath"))
-      f.dataType match {
-        case LongType | IntegerType =>
-          values.foreach(v => require(v.toLongOption.isDefined,
-            s"equality-delete value '$v' is not a valid ${f.dataType.simpleString}"))
-        case StringType => ()
-        case other => throw new IllegalArgumentException(
-          s"equality deletes support BIGINT/INT/STRING keys; $col is " +
-            other.simpleString)
+      cols.zipWithIndex.foreach { case (col, ci) =>
+        val f = schema.fields.find(_.name == col).getOrElse(
+          throw new IllegalArgumentException(s"no column $col in $tablePath"))
+        f.dataType match {
+          case LongType | IntegerType =>
+            keys.foreach(k => require(k(ci).toLongOption.isDefined,
+              s"equality-delete value '${k(ci)}' is not a valid " +
+                f.dataType.simpleString))
+          case StringType => ()
+          case other => throw new IllegalArgumentException(
+            s"equality deletes support BIGINT/INT/STRING keys; $col is " +
+              other.simpleString)
+        }
       }
       val next = st.version + 1L
-      val meta = st.copy(eqDels = st.eqDels :+ EqDelRec(name, col, next)).metaLines
+      val meta = st.copy(eqDels = st.eqDels :+ EqDelRec(name, cols, next)).metaLines
       try {
         publish(root, st.version,
           ((schema.json +: meta) ++
@@ -2643,7 +2666,8 @@ object ManifestSink {
             if (f.name == from) f.copy(name = to) else f))
           partCols = partCols.map(c => if (c == from) to else c)
           partSpec0 = partSpec0.map(t => if (t.col == from) t.withCol(to) else t)
-          eqDels0 = eqDels0.map(r => if (r.col == from) r.copy(col = to) else r)
+          eqDels0 = eqDels0.map(r =>
+            r.copy(cols = r.cols.map(c => if (c == from) to else c)))
           bloomCols = bloomCols.map(c => if (c == from) to else c)
           sortCols = sortCols.map(c => if (c == from) to else c)
           entries = entries.map(e => e.copy(
@@ -2680,7 +2704,7 @@ object ManifestSink {
           val name = single(d.fieldNames, "DROP COLUMN")
           require(schema.fieldNames.contains(name), s"no column $name to drop")
           require(!partCols.contains(name), s"cannot drop partition column $name")
-          require(!eqDels0.exists(_.col == name),
+          require(!eqDels0.exists(_.cols.contains(name)),
             s"cannot drop column $name: an outstanding equality delete keys " +
               "on it — OPTIMIZE the table first")
           require(schema.fields.length > 1, "cannot drop a table's last column")
@@ -2827,34 +2851,30 @@ object ManifestSink {
       s"manifest table $tablePath has no schema"))
     // typed kill sets once, per record
     val applied = st.eqDels.map { r =>
-      EqDelApplied(r.col,
-        schema.fields.find(_.name == r.col).map(_.dataType).getOrElse(StringType),
-        readEqDelValues(root, r.name), r.seq)
+      EqDelApplied(r.cols,
+        r.cols.map(c => schema.fields.find(_.name == c)
+          .map(_.dataType).getOrElse(StringType)),
+        readEqDelKeys(root, r.name), r.seq)
     }
     def governed(e: FileEntry): Seq[EqDelApplied] = applied.filter(_.seq > e.seq)
     def mayHold(e: FileEntry, a: EqDelApplied): Boolean =
-      a.values.exists { v =>
-        val f: org.apache.spark.sql.sources.Filter = a.dataType match {
-          case LongType | IntegerType =>
-            org.apache.spark.sql.sources.EqualTo(a.col, v.toLong)
-          case _ => org.apache.spark.sql.sources.EqualTo(a.col, v)
-        }
-        mayMatchEntry(e, f, st.partTransforms)
-      }
+      // a key tuple may live in the file iff EVERY component may match
+      a.keys.exists(k => a.cols.lazyZip(a.dataTypes).lazyZip(k).forall {
+        (c, dt, v) =>
+          val f: org.apache.spark.sql.sources.Filter = dt match {
+            case LongType | IntegerType =>
+              org.apache.spark.sql.sources.EqualTo(c, v.toLong)
+            case _ => org.apache.spark.sql.sources.EqualTo(c, v)
+          }
+          mayMatchEntry(e, f, st.partTransforms)
+      })
     var rewritten = 0
     val newEntries = st.entries.map { e =>
       val gov = governed(e).filter(a => mayHold(e, a))
       if (gov.isEmpty) e
       else {
-        val kills: Map[String, (DataType, Set[String])] = gov.groupBy(_.col)
-          .map { case (c, as) =>
-            c -> (as.head.dataType, as.flatMap(_.values).toSet) }
-        val killIdx = kills.map { case (c, (dt, vs)) =>
-          (schema.fieldIndex(c), dt, dt match {
-            case LongType | IntegerType => vs.map(_.toLong)
-            case _ => vs
-          })
-        }.toSeq
+        val killTests: Seq[InternalRow => Boolean] =
+          gov.map(a => rowKillTest(schema, a))
         val dv: Set[Long] =
           e.dvName.fold(Set.empty[Long])(n => readDvPositions(root.resolve(n)).toSet)
         val stats = new FileStatsCollector(schema, st.bloomCols)
@@ -2862,13 +2882,7 @@ object ManifestSink {
         val newName = s"data-compact-${java.util.UUID.randomUUID()}.parquet"
         val out = ManifestParquet.open(root.resolve(newName),
           toPhysicalSchema(schema, st.colMap))
-        def killed(row: InternalRow): Boolean = killIdx.exists { case (i, dt, vs) =>
-          !row.isNullAt(i) && (dt match {
-            case LongType => vs.asInstanceOf[Set[Long]](row.getLong(i))
-            case IntegerType => vs.asInstanceOf[Set[Long]](row.getInt(i).toLong)
-            case _ => vs.asInstanceOf[Set[String]](row.getUTF8String(i).toString)
-          })
-        }
+        def killed(row: InternalRow): Boolean = killTests.exists(t => t(row))
         try foreachRowPos(root.resolve(e.name), schema, st.colMap,
           st.schemaEpoch > 0L) { (row, pos) =>
           if (!dv.contains(pos) && !killed(row)) {
@@ -3414,6 +3428,31 @@ object ManifestSink {
   }
 
 
+  /** Row-level kill test for ONE record against `schema`-shaped rows:
+    * a row dies iff its key TUPLE (typed; any NULL component never
+    * matches — SQL equality) is in the record's key set. */
+  private[sources] def rowKillTest(schema: StructType,
+      a: EqDelApplied): InternalRow => Boolean = {
+    val idx = a.cols.map(schema.fieldIndex)
+    val dts = a.dataTypes
+    val keys = a.typedKeys
+    (row: InternalRow) => {
+      var i = 0
+      var nullComponent = false
+      val tuple = Seq.newBuilder[Any]
+      while (i < idx.length && !nullComponent) {
+        if (row.isNullAt(idx(i))) nullComponent = true
+        else tuple += (dts(i) match {
+          case LongType => row.getLong(idx(i))
+          case IntegerType => row.getInt(idx(i)).toLong
+          case _ => row.getUTF8String(idx(i)).toString
+        })
+        i += 1
+      }
+      !nullComponent && keys(tuple.result())
+    }
+  }
+
   /** Row-level "already equality-deleted" test for `e` under the
     * table's outstanding records: used by merge-on-read DELETE so
     * hidden rows are neither re-counted nor re-vectored. Bounded: the
@@ -3423,22 +3462,11 @@ object ManifestSink {
     val gov = st.eqDels.filter(_.seq > e.seq)
     if (gov.isEmpty) (_: InternalRow) => false
     else {
-      val tests = gov.groupBy(_.col).toSeq.flatMap { case (c, rs) =>
-        schema.fields.zipWithIndex.find(_._1.name == c).map { case (f, i) =>
-          val raw = rs.flatMap(r => readEqDelValues(root, r.name))
-          f.dataType match {
-            case LongType =>
-              val kill = raw.map(_.toLong).toSet
-              (row: InternalRow) => !row.isNullAt(i) && kill(row.getLong(i))
-            case IntegerType =>
-              val kill = raw.map(_.toLong).toSet
-              (row: InternalRow) => !row.isNullAt(i) && kill(row.getInt(i).toLong)
-            case _ =>
-              val kill = raw.toSet
-              (row: InternalRow) => !row.isNullAt(i) &&
-                kill(row.getUTF8String(i).toString)
-          }
-        }
+      val tests = gov.map { r =>
+        rowKillTest(schema, EqDelApplied(r.cols,
+          r.cols.map(c => schema.fields.find(_.name == c)
+            .map(_.dataType).getOrElse(StringType)),
+          readEqDelKeys(root, r.name), r.seq))
       }
       (row: InternalRow) => tests.exists(t => t(row))
     }
@@ -5383,9 +5411,10 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
           // equality-delete positions apply row-by-row, like DVs
           !eqDels.exists(_.seq > e.seq)),
       colMap = colMap, evolved = evolved,
-      eqApplied = eqDels.map(r => EqDelApplied(r.col,
-        fileSchema.fields.find(_.name == r.col).map(_.dataType).getOrElse(StringType),
-        ManifestSink.readEqDelValues(root, r.name), r.seq)),
+      eqApplied = eqDels.map(r => EqDelApplied(r.cols,
+        r.cols.map(c => fileSchema.fields.find(_.name == c)
+          .map(_.dataType).getOrElse(StringType)),
+        ManifestSink.readEqDelKeys(root, r.name), r.seq)),
       // row-group-level predicate pushdown inside surviving files —
       // translated ONCE on the driver, shipped serialized (parquet
       // predicates are Serializable). Withheld from (a) REWRITE scans:
@@ -5519,9 +5548,10 @@ class ManifestMicroBatchStream(root: Path, fileSchema: StructType,
     // still vectorized inside the reader.
     new ManifestReaderFactory(fileSchema, schema, columnar = false,
       colMap = colMap, evolved = evolved,
-      eqApplied = eqDels.map(r => EqDelApplied(r.col,
-        fileSchema.fields.find(_.name == r.col).map(_.dataType).getOrElse(StringType),
-        ManifestSink.readEqDelValues(root, r.name), r.seq)))
+      eqApplied = eqDels.map(r => EqDelApplied(r.cols,
+        r.cols.map(c => fileSchema.fields.find(_.name == c)
+          .map(_.dataType).getOrElse(StringType)),
+        ManifestSink.readEqDelKeys(root, r.name), r.seq)))
 }
 
 /** One committed data file. `partKey` (when the table is partitioned
@@ -5564,8 +5594,15 @@ case class ManifestFilePartition(file: String, rows: Long = 0L,
   * the key column (logical name + table type), the canonical key values
   * (read once on the driver — keys are bounded, the whole point), and
   * the record's sequence. Serializable: ships inside the factory. */
-case class EqDelApplied(col: String, dataType: DataType,
-    values: Array[String], seq: Long)
+case class EqDelApplied(cols: Seq[String], dataTypes: Seq[DataType],
+    keys: Array[Seq[String]], seq: Long) {
+  /** Canonical strings → typed tuples, per the key columns' types. */
+  lazy val typedKeys: Set[Seq[Any]] = keys.iterator.map(_.zip(dataTypes).map {
+    case (v, LongType) => v.toLong
+    case (v, IntegerType) => v.toLong // compared as long row-side
+    case (v, _) => v
+  }).toSet
+}
 
 class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
     columnar: Boolean, colMap: Map[String, String] = Map.empty,
@@ -5618,51 +5655,57 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
   private def eqDeletePositions(p: ManifestFilePartition): Array[Long] = {
     val gov = governingFor(p)
     if (gov.isEmpty || !p.file.endsWith(".parquet")) return Array.empty
-    // schema evolution of the KEY column: a governed file may predate an
-    // ADD COLUMN (key is NULL there — equality never matches, no
-    // positions) or an ALTER COLUMN TYPE widening (narrow physical
-    // primitive — decode through the widening reader, table-typed)
+    // schema evolution of KEY columns: a governed file may predate an
+    // ADD COLUMN (that key component is NULL there — equality never
+    // matches, the record contributes nothing to this file) or an ALTER
+    // COLUMN TYPE widening (narrow physical primitive — decode through
+    // the widening reader, table-typed)
     val fileTypes: Option[Map[String, String]] =
       if (evolved) Some(ManifestParquet.footerPrimitiveTypes(p.file)) else None
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
-    gov.groupBy(_.col).filter { case (c, _) =>
-      // key column absent from this file (predates its ADD COLUMN):
-      // every row's key is NULL, equality never matches — this RECORD
-      // contributes nothing here, others still apply
-      fileTypes.forall(_.contains(physical(c)))
-    }.foreach { case (c, dels) =>
-      val phys = physical(c)
-      val dt = dels.head.dataType
-      val needsWiden = fileTypes.exists(t =>
-        t.get(phys).exists(pt => pt != "GROUP" &&
-          pt != ManifestSink.expectedPrimitiveOf(dt)))
-      val reader =
-        if (needsWiden) ManifestParquet.openReadWidened(p.file,
-          StructType(Seq(org.apache.spark.sql.types.StructField(phys, dt))),
-          returnBatches = false)
-        else ManifestParquet.openRead(p.file, Seq(phys), returnBatches = false)
-      try dt match {
-        case LongType | IntegerType =>
-          val kill = dels.flatMap(_.values).map(_.toLong).toSet
+    // one single-pass reader per distinct key-column SET (records with
+    // the same key shape share the pass); the read stays one narrow
+    // column per key component
+    gov.filter(a =>
+      fileTypes.forall(t => a.cols.forall(c => t.contains(physical(c)))))
+      .groupBy(_.cols).foreach { case (cols, dels) =>
+        val physCols = cols.map(physical)
+        val dts = dels.head.dataTypes
+        val needsWiden = fileTypes.exists(t =>
+          physCols.zip(dts).exists { case (pc, dt) =>
+            t.get(pc).exists(pt => pt != "GROUP" &&
+              pt != ManifestSink.expectedPrimitiveOf(dt)) })
+        val reader =
+          if (needsWiden) ManifestParquet.openReadWidened(p.file,
+            StructType(physCols.zip(dts).map { case (pc, dt) =>
+              org.apache.spark.sql.types.StructField(pc, dt) }),
+            returnBatches = false)
+          else ManifestParquet.openRead(p.file, physCols, returnBatches = false)
+        val keySets = dels.map(_.typedKeys)
+        try {
           var pos = -1L
           while (reader.nextKeyValue()) {
             pos += 1
             val row = reader.getCurrentValue.asInstanceOf[InternalRow]
-            if (!row.isNullAt(0)) {
-              val v = if (dt == LongType) row.getLong(0) else row.getInt(0).toLong
-              if (kill(v)) out += pos
+            var nullComponent = false
+            val tuple = Seq.newBuilder[Any]
+            var i = 0
+            while (i < dts.length && !nullComponent) {
+              if (row.isNullAt(i)) nullComponent = true
+              else tuple += (dts(i) match {
+                case LongType => row.getLong(i)
+                case IntegerType => row.getInt(i).toLong
+                case _ => row.getUTF8String(i).toString
+              })
+              i += 1
+            }
+            if (!nullComponent) {
+              val t = tuple.result()
+              if (keySets.exists(_.contains(t))) out += pos
             }
           }
-        case _ =>
-          val kill = dels.flatMap(_.values).toSet
-          var pos = -1L
-          while (reader.nextKeyValue()) {
-            pos += 1
-            val row = reader.getCurrentValue.asInstanceOf[InternalRow]
-            if (!row.isNullAt(0) && kill(row.getUTF8String(0).toString)) out += pos
-          }
-      } finally reader.close()
-    }
+        } finally reader.close()
+      }
     out.distinct.sorted.toArray
   }
 

@@ -188,6 +188,39 @@ class EqualityDeleteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("tsv"), e.getMessage)
   }
 
+  test("COMPOSITE keys: tuples delete exactly, components alone never match") {
+    // the real CDC shape — tombstones on a multi-column key. The tuple
+    // (1,'a') must die; rows sharing only ONE component (1,'b') and
+    // (2,'a') must survive, on scans, counts and MoR interplay alike.
+    spark.sql("CREATE TABLE ecat.db.e14 (id BIGINT, site STRING, v BIGINT)")
+    spark.sql("INSERT INTO ecat.db.e14 VALUES " +
+      "(1, 'a', 10), (1, 'b', 11), (2, 'a', 12), (2, 'b', 13), (3, 'a', 14)")
+    // zero-read proof holds for composite keys too
+    val stash = Files.createTempDirectory("eqdel-stash14")
+    val names = entries("e14").map(_.name)
+    names.foreach(n => Files.move(root("e14").resolve(n), stash.resolve(n)))
+    ManifestSink.deleteWhereEqKeys(root("e14").toString, Seq("id", "site"),
+      Seq(Seq("1", "a"), Seq("3", "a")))
+    names.foreach(n => Files.move(stash.resolve(n), root("e14").resolve(n)))
+    val got = spark.sql("SELECT v FROM ecat.db.e14")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(11L, 12L, 13L),
+      s"only the exact tuples may die; got ${got.mkString(",")}")
+    // re-insert of a deleted tuple survives (sequencing, composite)
+    spark.sql("INSERT INTO ecat.db.e14 VALUES (1, 'a', 99)")
+    assert(spark.sql("SELECT v FROM ecat.db.e14 WHERE id = 1 AND site = 'a'")
+      .collect().map(_.getLong(0)).toSeq == Seq(99L))
+    // OPTIMIZE materializes composite records away identically
+    ManifestSink.compact(root("e14").toString, targetRows = 1000L)
+    assert(ManifestSink.readHeader(root("e14")).eqDels.isEmpty)
+    assert(spark.sql("SELECT count(*) FROM ecat.db.e14").collect().head.getLong(0) == 4L)
+    // arity mismatches fail loudly
+    intercept[Exception] {
+      ManifestSink.deleteWhereEqKeys(root("e14").toString, Seq("id", "site"),
+        Seq(Seq("1")))
+    }
+  }
+
   test("a truncate clears outstanding records (no governed files remain)") {
     spark.sql("CREATE TABLE ecat.db.e12 (id BIGINT)")
     spark.sql("INSERT INTO ecat.db.e12 SELECT id FROM range(4)")
