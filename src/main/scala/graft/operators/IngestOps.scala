@@ -27,6 +27,15 @@ object IngestOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** (applicationId, sfDir) pairs whose q85 ORC copy is already written. */
+
+  /** Once-per-key staging that UN-POISONS on failure (see
+    * SimilarityOps.buildOnce — same contract). */
+  private def buildOnce[K](set: java.util.Set[K], key: K)(build: => Unit): Unit =
+    if (set.add(key)) {
+      try build
+      catch { case t: Throwable => set.remove(key); throw t }
+    }
+
   private val orcWritten =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 
@@ -230,7 +239,7 @@ object IngestOps {
     "q124_manifest_optimize" -> ((s, dir) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_opt_" +
         s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
-      if (orcWritten.add((s.sparkContext.applicationId, s"opt:$dir"))) {
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"opt:$dir")) {
         val o = Tables.orders(s, dir).select(
           col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
           col("o_orderpriority"))
@@ -273,7 +282,7 @@ object IngestOps {
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.warehouse", wh)
       val ns = s"db${Integer.toHexString(dir.hashCode)}"
-      if (orcWritten.add((s.sparkContext.applicationId, s"cat:$dir"))) {
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"cat:$dir")) {
         s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
         s.sql(s"CREATE TABLE graft.$ns.customer_t " +
           "(c_custkey BIGINT, c_nationkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)")
@@ -301,7 +310,7 @@ object IngestOps {
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.warehouse", wh)
       val ns = s"db${Integer.toHexString(dir.hashCode)}"
-      if (orcWritten.add((s.sparkContext.applicationId, s"del:$dir"))) {
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"del:$dir")) {
         s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
         s.sql(s"CREATE TABLE graft.$ns.orders_t " +
           "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)")
@@ -335,7 +344,7 @@ object IngestOps {
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.warehouse", wh)
       val ns = s"db${Integer.toHexString(dir.hashCode)}"
-      if (orcWritten.add((s.sparkContext.applicationId, s"upd:$dir"))) {
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"upd:$dir")) {
         s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
         s.sql(s"CREATE TABLE graft.$ns.orders_u " +
           "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)")
@@ -369,7 +378,7 @@ object IngestOps {
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.warehouse", wh)
       val ns = s"db${Integer.toHexString(dir.hashCode)}"
-      if (orcWritten.add((s.sparkContext.applicationId, s"mrg:$dir"))) {
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"mrg:$dir")) {
         s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
         s.sql(s"CREATE TABLE graft.$ns.orders_m " +
           "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)")
@@ -411,7 +420,7 @@ object IngestOps {
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.warehouse", wh)
       val ns = s"db${Integer.toHexString(dir.hashCode)}"
-      if (orcWritten.add((s.sparkContext.applicationId, s"part:$dir"))) {
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"part:$dir")) {
         s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
         s.sql(s"CREATE TABLE graft.$ns.orders_p " +
           "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING) " +
@@ -458,7 +467,7 @@ object IngestOps {
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.warehouse", wh)
       val ns = s"db${Integer.toHexString(dir.hashCode)}"
-      if (orcWritten.add((s.sparkContext.applicationId, s"alt:$dir"))) {
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"alt:$dir")) {
         s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
         s.sql(s"CREATE TABLE graft.$ns.orders_a (o_orderkey BIGINT, o_totalprice DOUBLE)")
         val src = Tables.orders(s, dir)
@@ -495,7 +504,7 @@ object IngestOps {
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.warehouse", wh)
       val ns = s"db${Integer.toHexString(dir.hashCode)}"
-      if (orcWritten.add((s.sparkContext.applicationId, s"mor:$dir"))) {
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"mor:$dir")) {
         s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
         s.sql(s"CREATE TABLE graft.$ns.orders_mor " +
           "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING) " +
@@ -528,7 +537,7 @@ object IngestOps {
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.warehouse", wh)
       val ns = s"db${Integer.toHexString(dir.hashCode)}"
-      if (orcWritten.add((s.sparkContext.applicationId, s"hist:$dir"))) {
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"hist:$dir")) {
         s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
         s.sql(s"CREATE TABLE graft.$ns.orders_h " +
           "(o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)")
@@ -559,7 +568,7 @@ object IngestOps {
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.warehouse", wh)
       val ns = s"db${Integer.toHexString(dir.hashCode)}"
-      if (orcWritten.add((s.sparkContext.applicationId, s"hp:$dir"))) {
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"hp:$dir")) {
         s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
         s.sql(s"CREATE TABLE graft.$ns.events_d " +
           "(event_id BIGINT, user_id BIGINT, ts_us BIGINT, value DOUBLE) " +
@@ -593,7 +602,7 @@ object IngestOps {
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.warehouse", wh)
       val ns = s"db${Integer.toHexString(dir.hashCode)}"
-      if (orcWritten.add((s.sparkContext.applicationId, s"eqd:$dir"))) {
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"eqd:$dir")) {
         s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
         s.sql(s"CREATE TABLE graft.$ns.orders_e " +
           "(o_orderkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)")
@@ -630,7 +639,7 @@ object IngestOps {
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.warehouse", wh)
       val ns = s"db${Integer.toHexString(dir.hashCode)}"
-      if (orcWritten.add((s.sparkContext.applicationId, s"wid:$dir"))) {
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"wid:$dir")) {
         s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
         s.sql(s"CREATE TABLE graft.$ns.orders_tw (o_orderkey BIGINT, qty INT)")
         s.sql(s"CREATE TEMPORARY VIEW orders_tw_src AS " +
@@ -664,7 +673,7 @@ object IngestOps {
     "q101_schema_evolution" -> ((s, dir) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_evo_" +
         s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
-      if (orcWritten.add((s.sparkContext.applicationId, s"evo:$dir"))) {
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"evo:$dir")) {
         val o = Tables.orders(s, dir)
         o.filter(col("o_orderkey") % 2 === 0)
           .select(col("o_orderkey"), col("o_totalprice"))
@@ -717,7 +726,7 @@ object IngestOps {
       // manifest-table scan in the session
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       val ns = s"db${Integer.toHexString(dir.hashCode)}"
-      if (orcWritten.add((s.sparkContext.applicationId, s"spj:$dir"))) {
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"spj:$dir")) {
         s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
         s.sql(s"CREATE TABLE graft.$ns.customer_sp " +
           "(c_custkey BIGINT, c_acctbal DOUBLE, c_nationkey BIGINT) " +
@@ -755,7 +764,7 @@ object IngestOps {
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.warehouse", wh)
       val ns = s"db${Integer.toHexString(dir.hashCode)}"
-      if (orcWritten.add((s.sparkContext.applicationId, s"wap:$dir"))) {
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"wap:$dir")) {
         s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
         s.sql(s"CREATE TABLE graft.$ns.orders_w " +
           "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING)")
@@ -796,7 +805,7 @@ object IngestOps {
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.warehouse", wh)
       val ns = s"db${Integer.toHexString(dir.hashCode)}"
-      if (orcWritten.add((s.sparkContext.applicationId, s"mv:$dir"))) {
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"mv:$dir")) {
         s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
         s.sql(s"CREATE TABLE graft.$ns.orders_mvsrc (prio STRING, cents BIGINT)")
         s.sql(s"CREATE TABLE graft.$ns.orders_mv " +
@@ -832,7 +841,7 @@ object IngestOps {
       s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft.warehouse", wh)
       val ns = s"db${Integer.toHexString(dir.hashCode)}"
-      if (orcWritten.add((s.sparkContext.applicationId, s"pdim:$dir"))) {
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"pdim:$dir")) {
         s.sql(s"CREATE TABLE graft.$ns.prio_dim (o_orderpriority STRING, urgency BIGINT)")
         Tables.orders(s, dir).select(col("o_orderpriority")).distinct()
           .withColumn("urgency", substring(col("o_orderpriority"), 1, 1).cast("long"))
@@ -864,7 +873,7 @@ object IngestOps {
       s.conf.set("spark.sql.catalog.graft.warehouse", wh)
       val ns = s"db${Integer.toHexString(dir.hashCode)}"
       val root = s"$wh/$ns/orders_cdc"
-      if (orcWritten.add((s.sparkContext.applicationId, s"cdc:$dir"))) {
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"cdc:$dir")) {
         s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
         s.sql(s"CREATE TABLE graft.$ns.orders_cdc " +
           "(o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT, o_orderpriority STRING) " +

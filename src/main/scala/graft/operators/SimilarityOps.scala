@@ -456,6 +456,16 @@ object SimilarityOps {
     * embeddings manifest table behind q140 — the memo keeps plan-only
     * inspection (PlanAudit) from re-running the write. Returns the
     * table's three-part name. */
+
+  /** Once-per-key staging that UN-POISONS on failure: a mid-build crash
+    * removes the memo key so the next caller retries instead of
+    * querying a half-built table forever. */
+  private def buildOnce[K](set: java.util.Set[K], key: K)(build: => Unit): Unit =
+    if (set.add(key)) {
+      try build
+      catch { case t: Throwable => set.remove(key); throw t }
+    }
+
   private val annBuilt =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
   private[graft] def annAtRestTable(s: SparkSession, dir: String): String = {
@@ -464,7 +474,7 @@ object SimilarityOps {
     s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     s.conf.set("spark.sql.catalog.graft.warehouse", wh)
     val ns = s"db${Integer.toHexString(dir.hashCode)}"
-    if (annBuilt.add((s.sparkContext.applicationId, dir))) {
+    buildOnce(annBuilt, (s.sparkContext.applicationId, dir)) {
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
       s.sql(s"CREATE TABLE graft.$ns.emb_ann " +
         "(vec_id BIGINT, embedding ARRAY<FLOAT>, bucket BIGINT) " +
@@ -491,7 +501,7 @@ object SimilarityOps {
     s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     s.conf.set("spark.sql.catalog.graft.warehouse", wh)
     val ns = s"db${Integer.toHexString(dir.hashCode)}"
-    if (postingsBuilt.add((s.sparkContext.applicationId, dir))) {
+    buildOnce(postingsBuilt, (s.sparkContext.applicationId, dir)) {
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
       s.sql(s"CREATE TABLE graft.$ns.postings " +
         "(term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT) " +
@@ -530,7 +540,7 @@ object SimilarityOps {
     s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     s.conf.set("spark.sql.catalog.graft.warehouse", wh)
     val ns = s"db${Integer.toHexString(dir.hashCode)}"
-    if (maintainedBuilt.add((s.sparkContext.applicationId, dir))) {
+    buildOnce(maintainedBuilt, (s.sparkContext.applicationId, dir)) {
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
       s.sql(s"CREATE TABLE graft.$ns.docs_m (doc_id BIGINT, text STRING)")
       graft.sources.PostingsMaintenance.createPostingsTable(
@@ -694,7 +704,7 @@ object SimilarityOps {
     val ns = s"db${Integer.toHexString(dir.hashCode)}"
     val k = centroidsFor(s) // k in the memo key AND the name: a session
                             // retune trains a NEW codebook, never reuses
-    if (codebookBuilt.add((s.sparkContext.applicationId, dir, k))) {
+    buildOnce(codebookBuilt, (s.sparkContext.applicationId, dir, k)) {
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
       s.sql(s"CREATE TABLE graft.$ns.codebook_k$k (cluster BIGINT, cvec ARRAY<BIGINT>)")
       val (cents, _) = kmeansFit(Tables.embeddings(s, dir), k, KmIters)

@@ -3453,25 +3453,6 @@ object ManifestSink {
     }
   }
 
-  /** Row-level "already equality-deleted" test for `e` under the
-    * table's outstanding records: used by merge-on-read DELETE so
-    * hidden rows are neither re-counted nor re-vectored. Bounded: the
-    * records' sidecars are keys-only. */
-  private def eqKilledTest(root: Path, st: TableState, schema: StructType,
-      e: FileEntry): InternalRow => Boolean = {
-    val gov = st.eqDels.filter(_.seq > e.seq)
-    if (gov.isEmpty) (_: InternalRow) => false
-    else {
-      val tests = gov.map { r =>
-        rowKillTest(schema, EqDelApplied(r.cols,
-          r.cols.map(c => schema.fields.find(_.name == c)
-            .map(_.dataType).getOrElse(StringType)),
-          readEqDelKeys(root, r.name), r.seq))
-      }
-      (row: InternalRow) => tests.exists(t => t(row))
-    }
-  }
-
   private def deleteCoreMoR(tablePath: String, gc: GcPolicy,
       validate: StructType => Unit,
       rowMatches: (InternalRow, StructType) => Boolean,
@@ -3489,6 +3470,12 @@ object ManifestSink {
     var deletedRows = 0L
     var provenFiles = 0
     val newDvFiles = scala.collection.mutable.Buffer.empty[String]
+    // records resolved ONCE (sidecar read + typed key set), filtered per
+    // entry by sequence — not re-read per data file
+    val eqApplied = st.eqDels.map(r => EqDelApplied(r.cols,
+      r.cols.map(c => schema.fields.find(_.name == c)
+        .map(_.dataType).getOrElse(StringType)),
+      readEqDelKeys(root, r.name), r.seq))
     val replacements = candidates.map { e =>
       if (fileProven(e)) {
         // partition tuple proves a full match: drop the entry without
@@ -3497,7 +3484,8 @@ object ManifestSink {
       } else {
       val prior: Set[Long] =
         e.dvName.fold(Set.empty[Long])(n => readDvPositions(root.resolve(n)).toSet)
-      val eqHidden = eqKilledTest(root, st, schema, e)
+      val eqTests = eqApplied.filter(_.seq > e.seq).map(a => rowKillTest(schema, a))
+      val eqHidden: InternalRow => Boolean = row => eqTests.exists(t => t(row))
       val matched = scala.collection.mutable.Buffer.empty[Long]
       foreachRowPos(root.resolve(e.name), schema, st.colMap, st.schemaEpoch > 0L) { (row, pos) =>
         // positions already deleted — by a prior DV or by an outstanding
@@ -5420,10 +5408,10 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
       // predicates are Serializable). Withheld from (a) REWRITE scans:
       // their output rewrites whole files, so dropping a non-matching
       // row group would DELETE its rows from the table; (b) cdc scans:
-      // delete slices read by physical position; (c) evolved tables:
-      // a file written before an ADD/RENAME/TYPE change may lack the
-      // column or store another type, and parquet's schema validator
-      // throws on mismatch. DV'd / position-emitting partitions are
+      // delete slices read by physical position. Evolved tables carry
+      // the filter and decide PER FILE (rgFilterFileOk: every
+      // referenced column physically present with the exact primitive).
+      // DV'd / eq-governed / position-emitting partitions are
       // additionally guarded per-file in the factory (row-group skips
       // would shift physical positions).
       rgFilter =

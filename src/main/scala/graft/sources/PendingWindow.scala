@@ -64,7 +64,14 @@ private[sources] object PendingWindow {
   def verifyPivot(root: Path, prop: String, value: String, vA: Long): Unit = {
     val atVA: Option[Option[String]] =
       try Some(ManifestSink.readHeader(root, Some(vA)).props.get(prop))
-      catch { case _: Exception => None } // vA expired or unreadable
+      catch {
+        // ONLY expired history verifies vacuously — a transient read
+        // failure must not slip past the stale-marker check (that would
+        // re-open the silent-skip hole this method closes)
+        case _: java.nio.file.NoSuchFileException => None
+        case e: IllegalArgumentException
+          if Option(e.getMessage).exists(_.contains("does not exist")) => None
+      }
     atVA.foreach { got =>
       require(got.contains(value),
         s"pending marker $prop='$value' claims version $vA of $root, but " +
