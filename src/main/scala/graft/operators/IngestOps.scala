@@ -661,6 +661,38 @@ object IngestOps {
            |GROUP BY bucket ORDER BY bucket""".stripMargin)
     }),
 
+    // BUCKET PARTITIONING (the Iceberg v2 hash transform), PRUNE-ONLY:
+    // customers lay out as murmur3(c_custkey) % 16 hash buckets, and a
+    // point-lookup IN-list opens only the literals' buckets — at 100 TB
+    // the key-value read pattern (dim enrichment, GDPR lookups) touches
+    // ≤|IN| buckets instead of the whole table, with NO sort order
+    // required at write. Ranges and metadata-delete proofs deliberately
+    // fall back (a hash bucket never proves TRUE) — BucketPartitionSpec
+    // pins both directions physically.
+    "q159_bucket_partition" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        s.sparkContext.applicationId
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"bkt:$dir")) {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+        s.sql(s"CREATE TABLE graft.$ns.customer_b " +
+          "(c_custkey BIGINT, c_nationkey BIGINT, c_mktsegment STRING, " +
+          "c_acctbal DOUBLE) PARTITIONED BY (bucket(16, c_custkey))")
+        Tables.customer(s, dir)
+          .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
+          .writeTo(s"graft.$ns.customer_b").append()
+      }
+      s.sql(
+        s"""SELECT c_mktsegment, count(*) AS n,
+           |  sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS bal_cents,
+           |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
+           |FROM graft.$ns.customer_b
+           |WHERE c_custkey IN (3, 7, 77, 101, 149)
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    }),
+
     // Schema evolution across writer generations: gen-1 files carry
     // (o_orderkey, o_totalprice); gen-2 files ADD a column
     // (o_orderpriority) and RENAME o_totalprice -> total_price. A
@@ -1100,6 +1132,15 @@ object IngestOps {
         |  CAST(sum(qty) AS BIGINT) AS qty_sum,
         |  CAST(min(qty) AS BIGINT) AS qty_min, CAST(max(qty) AS BIGINT) AS qty_max
         |FROM w GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // hash-bucket layout changes WHERE rows live, never WHAT they are
+    "q159_bucket_partition" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents,
+        |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
+        |FROM customer
+        |WHERE c_custkey IN (3, 7, 77, 101, 149)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q129_partitioned_table" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -42,7 +42,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * and writes resolve through [[ManifestTable]], so SQL-by-name and
   * path-based access observe identical snapshots.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
+    with FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: Path = _
 
@@ -55,6 +56,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     Files.createDirectories(warehouse)
   }
   override def name(): String = catalogName
+
+  // ---- functions --------------------------------------------------------
+  // The single catalog function is the `bucket` transform identity:
+  // Spark's SPJ machinery (V2ScanPartitioningAndOrdering →
+  // V2ExpressionUtils.loadV2FunctionOpt) resolves a scan-reported
+  // bucket(N, col) through the TABLE's catalog-as-FunctionCatalog, and
+  // two bucketed scans join shuffle-free iff both sides bind to the
+  // same canonical function — see [[GraftBucketFunction]].
+  override def listFunctions(namespace: Array[String]):
+      Array[Identifier] =
+    if (namespace.isEmpty || Files.isDirectory(nsPath(namespace)))
+      Array(Identifier.of(namespace, "bucket"))
+    else throw new NoSuchNamespaceException(namespace)
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   private def nsPath(ns: Array[String]): Path = ns.foldLeft(warehouse)(_.resolve(_))
   private def tablePath(ident: Identifier): Path =
@@ -144,13 +163,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    // identity + the two EXACT hidden-partitioning transforms
-    // (PARTITIONED BY (col) / days(col) / truncate(W, col)): each
-    // admitted transform covers a contiguous interval of the source
-    // domain, so file pruning and metadata-only DELETE proofs stay
-    // exact. bucket(N) stays rejected — a hash bucket proves nothing
-    // about a range predicate, which would break evalPartFilter's
-    // exact-decision contract.
+    // identity + the EXACT interval transforms (days/months/years/hours,
+    // truncate — each covers a contiguous interval of the source domain,
+    // so file pruning and metadata-only DELETE proofs stay exact) +
+    // PRUNE-ONLY bucket(N) (equality/IN skip non-matching buckets;
+    // ranges and full-match proofs fall back to the read path).
     def refCol(t: Transform): String = {
       require(t.references.length == 1 &&
           t.references()(0).fieldNames.length == 1,
@@ -174,11 +191,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
             case i: java.lang.Integer => i.longValue()
             case l2: java.lang.Long => l2.longValue()
             case other => throw new IllegalArgumentException(
-              s"truncate width must be an integer literal, got $other")
+              s"transform width must be an integer literal, got $other")
           }
       }
-      require(lits.length == 1, s"truncate needs exactly one width argument: $t")
-      require(lits.head > 0, s"truncate width must be positive, got ${lits.head}")
+      require(lits.length == 1, s"transform needs exactly one integer argument: $t")
+      require(lits.head > 0, s"transform width must be positive, got ${lits.head}")
       lits.head
     }
     val partSpec: Seq[ManifestSink.PartTransform] = partitions.map { t =>
@@ -234,10 +251,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
               s"truncate($w, $c) requires BIGINT/INT/STRING; $c is " +
                 other.simpleString)
           }
+        case "bucket" =>
+          // hash bucketing (the Iceberg v2 transform): PRUNE-ONLY —
+          // equality/IN filters skip buckets the literal cannot live in;
+          // ranges and full-match proofs fall back to the read path
+          // (evalPartFilter never answers TRUE for a bucket). INT columns
+          // hash as 64-bit so INT->BIGINT widening never re-routes rows.
+          val c = refCol(t)
+          val n = widthArg(t)
+          require(n > 1 && n <= (1 << 20),
+            s"bucket count must be in (1, 2^20], got $n")
+          fieldOf(c).dataType match {
+            case LongType | IntegerType => ManifestSink.PBucketInt(c, n.toInt)
+            case StringType => ManifestSink.PBucketStr(c, n.toInt)
+            case other => throw new IllegalArgumentException(
+              s"bucket($n, $c) requires BIGINT/INT/STRING; $c is " +
+                other.simpleString)
+          }
         case other => throw new IllegalArgumentException(
-          s"manifest tables support identity, days and truncate partition " +
-            s"transforms, got $other($t) — bucket is rejected by design " +
-            "(hash buckets break exact range pruning)")
+          s"manifest tables support identity, days/months/years/hours, " +
+            s"truncate and bucket partition transforms, got $other($t)")
       }
     }.toSeq
     val partCols = partSpec.map(_.col)

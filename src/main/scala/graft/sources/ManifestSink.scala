@@ -1324,13 +1324,16 @@ object ManifestSink {
   // The Iceberg idea (public): a partition FIELD is a TRANSFORM of a
   // source column, not necessarily the column itself — `days(ts)` lays
   // a 100 TB event table out by day while queries keep filtering the
-  // raw `ts`; `truncate` groups by integer width or string prefix. Only
-  // transforms whose partition-value → predicate decision is EXACTLY
-  // decidable are admitted (each covers a contiguous interval of the
-  // source domain, so range logic is preserved) — `bucket(N)` stays
-  // rejected because a hash bucket proves nothing about a range, which
-  // would break [[evalPartFilter]]'s exact-decision contract that
-  // metadata-only DELETE ([[partProven]]) relies on. The source column
+  // raw `ts`; `truncate` groups by integer width or string prefix. The
+  // interval transforms (days/months/years/hours/truncate) each cover a
+  // contiguous interval of the source domain, so range logic decides
+  // EXACTLY. `bucket(N)` is admitted PRUNE-ONLY: a hash bucket decides
+  // equality/IN to FALSE when the literal hashes elsewhere but never
+  // proves TRUE and never answers a range, so every consumer of a
+  // decided TRUE (metadata-only DELETE via [[partProven]], static
+  // overwrite victim selection) automatically falls back to its
+  // always-correct read/rewrite path — the Option contract, not a new
+  // mode. The source column
   // is stored in data files like any other column (hidden partitioning:
   // readers never see the derived value), so every filter still
   // re-applies row-level and pruning exactness is the only new burden.
@@ -1383,19 +1386,81 @@ object ManifestSink {
     def token: String = s"truncs($n,$col)"
   }
 
+  /** Hash bucketing of an integer column (`bucket(N, col)`, the Iceberg
+    * v2 transform shape): value → `(murmur3(littleEndian64(v)) &
+    * Int.MaxValue) % n`. INT columns hash AS 64-bit, so an
+    * `ALTER COLUMN TYPE INT->BIGINT` widening never re-routes rows — the
+    * same widening-stability rule the public Iceberg spec mandates.
+    * PRUNE-ONLY: a bucket decides equality/IN to FALSE when the literal
+    * hashes elsewhere and NEVER proves TRUE (other values share the
+    * bucket), so metadata-delete proofs and range predicates fall back
+    * to the read path — see [[evalPartFilter]]. */
+  private[sources] case class PBucketInt(col: String, n: Int) extends PartTransform {
+    def withCol(c: String): PartTransform = copy(col = c)
+    def token: String = s"bucketi($n,$col)"
+  }
+  /** Hash bucketing of a STRING column: murmur3 over the UTF-8 bytes. */
+  private[sources] case class PBucketStr(col: String, n: Int) extends PartTransform {
+    def withCol(c: String): PartTransform = copy(col = c)
+    def token: String = s"buckets($n,$col)"
+  }
+
   private val PartTokenDays = """days\((.+)\)""".r
   private val PartTokenMonths = """months\((.+)\)""".r
   private val PartTokenYears = """years\((.+)\)""".r
   private val PartTokenTruncI = """trunci\((\d+),(.+)\)""".r
   private val PartTokenTruncS = """truncs\((\d+),(.+)\)""".r
+  private val PartTokenBucketI = """bucketi\((\d+),(.+)\)""".r
+  private val PartTokenBucketS = """buckets\((\d+),(.+)\)""".r
   private[sources] def parsePartToken(t: String): PartTransform = t match {
     case PartTokenDays(c) => PDays(c)
     case PartTokenMonths(c) => PMonths(c)
     case PartTokenYears(c) => PYears(c)
     case PartTokenTruncI(w, c) => PTruncInt(c, w.toLong)
     case PartTokenTruncS(n, c) => PTruncStr(c, n.toInt)
+    case PartTokenBucketI(n, c) => PBucketInt(c, n.toInt)
+    case PartTokenBucketS(n, c) => PBucketStr(c, n.toInt)
     case c => PIdentity(c)
   }
+
+  /** Murmur3 x86 32-bit, seed 0 — the standard public algorithm
+    * (Appleby), written out so the ON-DISK bucket routing is owned by
+    * this format and can never drift with a library upgrade. */
+  private[sources] def murmur3Bytes(data: Array[Byte]): Int = {
+    val c1 = 0xcc9e2d51; val c2 = 0x1b873593
+    var h = 0; var i = 0
+    val nBlocks = data.length / 4
+    while (i < nBlocks * 4) {
+      var k = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+      h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+      i += 4
+    }
+    var k = 0
+    (data.length & 3) match {
+      case 3 => k ^= (data(i + 2) & 0xff) << 16
+        k ^= (data(i + 1) & 0xff) << 8; k ^= data(i) & 0xff
+      case 2 => k ^= (data(i + 1) & 0xff) << 8; k ^= data(i) & 0xff
+      case 1 => k ^= data(i) & 0xff
+      case _ =>
+    }
+    if ((data.length & 3) != 0) {
+      k *= c1; k = Integer.rotateLeft(k, 15); k *= c2; h ^= k
+    }
+    h ^= data.length
+    h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35
+    h ^ (h >>> 16)
+  }
+  private[sources] def bucketOfLong(v: Long, n: Int): Int = {
+    val b = new Array[Byte](8)
+    var x = v; var i = 0
+    while (i < 8) { b(i) = (x & 0xff).toByte; x >>>= 8; i += 1 }
+    (murmur3Bytes(b) & Int.MaxValue) % n
+  }
+  private[sources] def bucketOfStr(s: String, n: Int): Int =
+    (murmur3Bytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)) &
+      Int.MaxValue) % n
 
   /** Month index (months since 1970-01, UTC) of an epoch-micro instant. */
   private[sources] def monthIndexOf(us: Long): Long = {
@@ -1425,6 +1490,8 @@ object ManifestSink {
           Math.floorDiv(raw.toLong, MicrosPerDay)).getYear - 1970L).toString
       case PTruncInt(_, w) => (raw.toLong - Math.floorMod(raw.toLong, w)).toString
       case PTruncStr(_, n) => truncCp(raw, n)
+      case PBucketInt(_, n) => bucketOfLong(raw.toLong, n).toString
+      case PBucketStr(_, n) => bucketOfStr(raw, n).toString
     }
 
   /** Table-level partition column list, one manifest header line —
@@ -1788,6 +1855,28 @@ object ManifestSink {
       case Some(PTruncStr(_, n)) =>
         pv(c).filter(_ != NullPartValue).flatMap(x =>
           asStrLit(v).flatMap(vs => strPrefixCmp(x, n, vs, op)))
+      // bucket transforms are PRUNE-ONLY: equality (and, via the generic
+      // In case, each IN literal) decides FALSE when the literal hashes
+      // to a different bucket; a matching bucket proves nothing (other
+      // values share it) and ranges are undecidable by construction —
+      // both stay None, so metadata-delete proofs and static-overwrite
+      // victim selection fall back to their always-correct paths.
+      case Some(PBucketInt(_, n)) =>
+        if (op != OpEq) None
+        else for {
+          x <- pv(c).filter(_ != NullPartValue)
+          b <- x.toLongOption
+          vl <- asLongLit(v)
+          r <- if (bucketOfLong(vl, n).toLong == b) None else Some(false)
+        } yield r
+      case Some(PBucketStr(_, n)) =>
+        if (op != OpEq) None
+        else for {
+          x <- pv(c).filter(_ != NullPartValue)
+          b <- x.toLongOption
+          vs <- asStrLit(v)
+          r <- if (bucketOfStr(vs, n).toLong == b) None else Some(false)
+        } yield r
     }
     f match {
       case AlwaysTrue() => Some(true)
@@ -4121,6 +4210,8 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
         else Expressions.apply("truncate", Expressions.literal(w), Expressions.column(c))
       case ManifestSink.PTruncStr(c, n) =>
         Expressions.apply("truncate", Expressions.literal(n), Expressions.column(c))
+      case ManifestSink.PBucketInt(c, n) => Expressions.bucket(n, c)
+      case ManifestSink.PBucketStr(c, n) => Expressions.bucket(n, c)
     }.toArray
   }
 
@@ -5312,9 +5403,20 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     * shuffle. Null when the entry's tuple is incomplete for the spec (a
     * scan containing such a file must not claim key grouping). */
   private def partKeyOf(e: ManifestSink.FileEntry): Array[Any] = {
+    val tf = partTransforms
     val vals = partCols.map { c =>
-      fileSchema.fields.find(_.name == c).flatMap { f =>
-        e.parts.get(c).map(v => ManifestSink.decodePartValue(v, f.dataType))
+      tf.get(c) match {
+        // a bucket field's key IS the transform result (the INT bucket
+        // id) — that is the dataType of the reported bucket(N, col)
+        // expression, so two bucketed scans produce row-equal keys
+        case Some(_: ManifestSink.PBucketInt) | Some(_: ManifestSink.PBucketStr) =>
+          e.parts.get(c).map(v =>
+            if (v == ManifestSink.NullPartValue) null
+            else Integer.valueOf(v.toInt): Any)
+        case _ =>
+          fileSchema.fields.find(_.name == c).flatMap { f =>
+            e.parts.get(c).map(v => ManifestSink.decodePartValue(v, f.dataType))
+          }
       }
     }
     if (vals.exists(_.isEmpty)) null else vals.map(_.get).toArray
@@ -5345,17 +5447,36 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
   override def outputPartitioning(): partitioning.Partitioning =
     try {
       if (partCols.nonEmpty && onRuntimeNarrow.isEmpty && cdcSlices.isEmpty &&
-          // transformed specs never claim key grouping: two files sharing
-          // a DAY are not row-equal on the source column, so an identity
-          // KeyGroupedPartitioning report would be a lie Spark acts on
-          partTransforms.valuesIterator.forall(_.isInstanceOf[ManifestSink.PIdentity]) &&
+          // interval transforms never claim key grouping: two files
+          // sharing a DAY are not row-equal on the source column, so an
+          // identity KeyGroupedPartitioning report would be a lie Spark
+          // acts on. BUCKET fields DO report — as the bucket(N, col)
+          // expression itself, which Spark resolves through the table
+          // catalog's FunctionCatalog ([[GraftBucketFunction]]) and
+          // aligns with the other side's transform, the Iceberg
+          // bucketed-SPJ shape (the per-file key is the INT bucket id,
+          // see [[partKeyOf]])
+          partTransforms.valuesIterator.forall {
+            case _: ManifestSink.PIdentity => true
+            case _: ManifestSink.PBucketInt => true
+            case _: ManifestSink.PBucketStr => true
+            case _ => false
+          } &&
           partCols.forall(c => schema.fieldNames.contains(c)) &&
-          partKeyByName.valuesIterator.forall(_ != null))
-        new partitioning.KeyGroupedPartitioning(
-          partCols.map(c => org.apache.spark.sql.connector.expressions.Expressions
-            .identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray,
+          partKeyByName.valuesIterator.forall(_ != null)) {
+        val tf = partTransforms
+        val exprs = partCols.map { c =>
+          import org.apache.spark.sql.connector.expressions.Expressions
+          val e = tf.get(c) match {
+            case Some(ManifestSink.PBucketInt(_, n)) => Expressions.bucket(n, c)
+            case Some(ManifestSink.PBucketStr(_, n)) => Expressions.bucket(n, c)
+            case _ => Expressions.identity(c)
+          }
+          e: org.apache.spark.sql.connector.expressions.Expression
+        }
+        new partitioning.KeyGroupedPartitioning(exprs.toArray,
           resolved.map(_.parts.filter(kv => partCols.contains(kv._1))).distinct.size)
-      else new partitioning.UnknownPartitioning(resolved.size)
+      } else new partitioning.UnknownPartitioning(resolved.size)
     } catch {
       // a change-feed window the table hasn't reached / streaming-only
       // scan: partitioning must not force what execution would reject

@@ -85,17 +85,19 @@ class CatalogSpec extends AnyFunSuite {
     assert(spark.table("gcat.px.t").count() == 50)
   }
 
-  test("identity partitioning is accepted at CREATE; derived transforms are rejected") {
+  test("identity partitioning is accepted at CREATE; unknown transforms are rejected") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.pt")
     // identity PARTITIONED BY (d): supported — PartitionedTableSpec
     // covers the write/prune behavior end to end
     spark.sql("CREATE TABLE gcat.pt.t (id BIGINT, d STRING) PARTITIONED BY (d)")
     assert(ManifestSink.partitionColumns(wh.resolve("pt").resolve("t"), None) == Seq("d"))
-    // derived transforms (bucket/days/...) have no exact prune story here
+    // derived transforms route through their own machinery now
+    // (HiddenPartitionSpec, BucketPartitionSpec); an unknown transform
+    // still fails at CREATE instead of every later INSERT
     val e = intercept[Exception] {
-      spark.sql("CREATE TABLE gcat.pt.t2 (id BIGINT, d STRING) PARTITIONED BY (bucket(4, id))")
+      spark.sql("CREATE TABLE gcat.pt.t2 (id BIGINT, d STRING) PARTITIONED BY (years(d))")
     }
-    assert(e.getMessage.contains("identity"))
+    assert(e.getMessage.contains("BIGINT"))
     // and a partition column must exist in the schema
     val e2 = intercept[Exception] {
       spark.sql("CREATE TABLE gcat.pt.t3 (id BIGINT) PARTITIONED BY (nope)")

@@ -10,9 +10,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * string prefixes — while queries keep filtering the RAW column. The
   * proofs are physical wherever they matter: pruned files are deleted
   * before the scan, and a day-aligned DELETE retires whole partitions
-  * with the doomed data files already gone (zero reads). bucket(N)
-  * stays rejected by design — hash buckets cannot answer range
-  * predicates exactly, which would break the metadata-delete proof. */
+  * with the doomed data files already gone (zero reads). bucket(N) is
+  * PRUNE-ONLY (covered by BucketPartitionSpec): equality/IN skip
+  * non-matching buckets, ranges and full-match proofs fall back. */
 class HiddenPartitionSpec extends AnyFunSuite {
   import graft.TestSpark.spark
 
@@ -176,9 +176,12 @@ class HiddenPartitionSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 1L)
   }
 
-  test("bucket stays rejected; days demands BIGINT; truncate demands INT/BIGINT/STRING") {
+  test("bucket demands INT/BIGINT/STRING and a sane count; days demands BIGINT; truncate demands INT/BIGINT/STRING") {
     intercept[Exception] {
-      spark.sql("CREATE TABLE hcat.db.bad1 (id BIGINT) PARTITIONED BY (bucket(8, id))")
+      spark.sql("CREATE TABLE hcat.db.bad1 (d DOUBLE) PARTITIONED BY (bucket(8, d))")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE hcat.db.bad1b (id BIGINT) PARTITIONED BY (bucket(1, id))")
     }
     intercept[Exception] {
       spark.sql("CREATE TABLE hcat.db.bad2 (s STRING) PARTITIONED BY (days(s))")

@@ -198,6 +198,63 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("NATIVE bucket(N, k) transforms join shuffle-free through the FunctionCatalog handshake") {
+    // the real Iceberg bucketed-SPJ shape — no materialized bucket
+    // column: both facts declare PARTITIONED BY (bucket(8, k)), each
+    // scan reports bucket(8, k) as its KeyGroupedPartitioning, Spark
+    // binds both through GraftCatalog's FunctionCatalog (same
+    // canonicalName -> compatible), and the join on the RAW key plans
+    // with zero exchanges. At 100 TB this is the fact-fact join with
+    // high-cardinality keys: layout does the shuffle once at write
+    // time, every subsequent join is free.
+    spark.sql("CREATE TABLE spj.db.na (k BIGINT, x BIGINT) PARTITIONED BY (bucket(8, k))")
+    spark.sql("CREATE TABLE spj.db.nb (k BIGINT, y BIGINT) PARTITIONED BY (bucket(8, k))")
+    spark.sql("INSERT INTO spj.db.na SELECT id, id * 2 FROM range(500)")
+    spark.sql("INSERT INTO spj.db.nb SELECT id, id * 3 FROM range(250, 750)")
+    withSpjConf() {
+      val j = spark.table("spj.db.na").join(spark.table("spj.db.nb"), "k")
+        .agg(count(lit(1)).as("n"), sum($"x" + $"y").as("s"))
+      val plan = executedPlan(j)
+      assert(shuffles(plan).isEmpty, s"native bucket SPJ must not shuffle:\n$plan")
+      val (n, s) = j.as[(Long, Long)].head()
+      assert(n == 250L)
+      assert(s == (250L until 500L).map(k => k * 2 + k * 3).sum)
+    }
+  }
+
+  test("mismatched bucket counts never lie: the join falls back to shuffles, values exact") {
+    spark.sql("CREATE TABLE spj.db.ma (k BIGINT, x BIGINT) PARTITIONED BY (bucket(8, k))")
+    spark.sql("CREATE TABLE spj.db.mb (k BIGINT, y BIGINT) PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO spj.db.ma SELECT id, id FROM range(100)")
+    spark.sql("INSERT INTO spj.db.mb SELECT id, id FROM range(100)")
+    withSpjConf() {
+      val j = spark.table("spj.db.ma").join(spark.table("spj.db.mb"), "k")
+        .agg(count(lit(1)).as("n"))
+      val plan = executedPlan(j)
+      // bucket(8) and bucket(4) are NOT compatible partitionings — an
+      // aligned read would mis-join; correctness comes first, so Spark
+      // must insert exchanges
+      assert(shuffles(plan).nonEmpty,
+        s"incompatible bucket counts must shuffle:\n$plan")
+      assert(j.as[Long].head() == 100L)
+    }
+  }
+
+  test("bucketed groupBy of the raw key still shuffles (a bucket is not the key)") {
+    // the dual guard: KeyGroupedPartitioning(bucket(8, k)) must NOT
+    // satisfy a clustering on raw k for aggregation — two k values
+    // share a bucket, so a per-task aggregate would merge them only
+    // with an exchange. Wrong here = silently wrong GROUP BY results.
+    spark.sql("CREATE TABLE spj.db.gb (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO spj.db.gb SELECT id % 10, id FROM range(100)")
+    withSpjConf() {
+      val df = spark.table("spj.db.gb").groupBy($"k").agg(sum($"v").as("s"))
+      val got = df.as[(Long, Long)].collect().toMap
+      assert(got == (0L until 10L).map(k =>
+        k -> (0L until 100L).filter(_ % 10 == k).sum).toMap)
+    }
+  }
+
   test("deletes and compaction preserve key grouping") {
     spark.sql("CREATE TABLE spj.db.mut (k BIGINT, v BIGINT) PARTITIONED BY (k)")
     spark.sql("INSERT INTO spj.db.mut SELECT id % 3, id FROM range(30)")
