@@ -693,6 +693,45 @@ object IngestOps {
            |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
     }),
 
+    // PARTITION-SPEC EVOLUTION (the Iceberg shape) end to end: gen-1
+    // events land UNPARTITIONED; `evolve_spec` installs days(ts_us)
+    // metadata-only; gen-2 lands day-partitioned. Old files keep their
+    // (tuple-less) spec id and prune by stats; new files prune by day;
+    // one raw-column range query answers across both generations — the
+    // 100 TB reality where layouts change mid-life and history never
+    // rewrites. SpecEvolutionSpec proves the physical side (old tuples
+    // never re-interpreted, loud dynamic-overwrite guard, migration).
+    "q160_spec_evolution" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        s.sparkContext.applicationId
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"evs:$dir")) {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+        s.sql(s"CREATE TABLE graft.$ns.events_ev " +
+          "(event_id BIGINT, user_id BIGINT, ts_us BIGINT, value DOUBLE)")
+        val ev = Tables.events(s, dir)
+          .select("event_id", "user_id", "ts_us", "value")
+        ev.filter(col("event_id") % 2 === 0)
+          .writeTo(s"graft.$ns.events_ev").append()
+        s.sql(s"CALL graft.system.evolve_spec(table => '$ns.events_ev', " +
+          "spec => 'days(ts_us)')")
+        ev.filter(col("event_id") % 2 === 1)
+          .writeTo(s"graft.$ns.events_ev").append()
+      }
+      s.sql(
+        s"""SELECT ts_us DIV 86400000000 AS day, count(*) AS n,
+           |  sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+           |  min(event_id) AS min_ev, max(event_id) AS max_ev
+           |FROM graft.$ns.events_ev
+           |WHERE ts_us >= (SELECT (min(ts_us) DIV 86400000000 + 1) * 86400000000
+           |                FROM graft.$ns.events_ev)
+           |  AND ts_us < (SELECT (min(ts_us) DIV 86400000000 + 4) * 86400000000
+           |               FROM graft.$ns.events_ev)
+           |GROUP BY day ORDER BY day""".stripMargin)
+    }),
+
     // Schema evolution across writer generations: gen-1 files carry
     // (o_orderkey, o_totalprice); gen-2 files ADD a column
     // (o_orderpriority) and RENAME o_totalprice -> total_price. A
@@ -1141,6 +1180,19 @@ object IngestOps {
         |FROM customer
         |WHERE c_custkey IN (3, 7, 77, 101, 149)
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // spec evolution changes the LAYOUT mid-life, never the rows: the
+    // oracle is the plain union of both generations (ts is parquet-ns
+    // in DuckDB — epoch_us matches the engine's BIGINT micros)
+    "q160_spec_evolution" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, value FROM events)
+        |SELECT ts_us // 86400000000 AS day, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  min(event_id) AS min_ev, max(event_id) AS max_ev
+        |FROM ev
+        |WHERE ts_us >= (SELECT (min(ts_us) // 86400000000 + 1) * 86400000000 FROM ev)
+        |  AND ts_us < (SELECT (min(ts_us) // 86400000000 + 4) * 86400000000 FROM ev)
+        |GROUP BY day ORDER BY day""".stripMargin,
 
     "q129_partitioned_table" ->
       """SELECT o_orderpriority, count(*) AS n,

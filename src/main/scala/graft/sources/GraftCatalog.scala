@@ -422,7 +422,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         Identifier.of(GraftCatalog.SystemNs, "rollback"),
         Identifier.of(GraftCatalog.SystemNs, "create_branch"),
         Identifier.of(GraftCatalog.SystemNs, "fast_forward"),
-        Identifier.of(GraftCatalog.SystemNs, "drop_branch"))
+        Identifier.of(GraftCatalog.SystemNs, "drop_branch"),
+        Identifier.of(GraftCatalog.SystemNs, "evolve_spec"),
+        Identifier.of(GraftCatalog.SystemNs, "migrate_spec"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -444,6 +446,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     else if (ident.namespace().sameElements(GraftCatalog.SystemNs) &&
         ident.name().equalsIgnoreCase("drop_branch"))
       new GraftCatalog.BranchProcedure(this, "drop_branch")
+    else if (ident.namespace().sameElements(GraftCatalog.SystemNs) &&
+        ident.name().equalsIgnoreCase("evolve_spec"))
+      new GraftCatalog.SpecProcedure(this, evolve = true)
+    else if (ident.namespace().sameElements(GraftCatalog.SystemNs) &&
+        ident.name().equalsIgnoreCase("migrate_spec"))
+      new GraftCatalog.SpecProcedure(this, evolve = false)
     else throw new IllegalArgumentException(
       s"unknown procedure $ident; available: graft.system.vacuum, " +
         "graft.system.optimize, graft.system.rollback, " +
@@ -620,6 +628,65 @@ object GraftCatalog {
         res.rewrittenFiles, res.rewrittenRows)): InternalRow
       util.Collections.singletonList[Scan](new LocalScan {
         override def readSchema(): StructType = OptimizeOutput
+        override def rows(): Array[InternalRow] = Array(row)
+      }).iterator()
+    }
+  }
+
+  private val SpecOutput = StructType(Seq(
+    StructField("spec_id", LongType, nullable = false),
+    StructField("migrated_files", LongType, nullable = false),
+    StructField("migrated_rows", LongType, nullable = false)))
+
+  /** `CALL graft.system.evolve_spec(table => 'db.t', spec => 'days(ts)')`
+    * — metadata-only partition-spec evolution
+    * ([[ManifestSink.evolvePartitionSpec]]); existing files keep
+    * pruning under the spec they were written with.
+    * `CALL graft.system.migrate_spec(table => 'db.t')` rewrites
+    * stale-spec files through the current layout
+    * ([[ManifestSink.migrateToCurrentSpec]]), unlocking dynamic
+    * overwrite / ZORDER / SPJ after an evolution. */
+  private class SpecProcedure(catalog: GraftCatalog, evolve: Boolean)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = if (evolve) "evolve_spec" else "migrate_spec"
+    override def description(): String =
+      if (evolve) "Change a manifest table's partition spec (metadata-only)"
+      else "Rewrite files still laid out under archived partition specs"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] =
+      if (evolve) Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("table name within this catalog, e.g. 'db.t'").build(),
+        ProcedureParameter.in("spec", StringType)
+          .comment("new spec, e.g. 'days(ts)' or 'bucket(16, k), region'; " +
+            "empty = unpartitioned").build())
+      else Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("table name within this catalog, e.g. 'db.t'").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val tableName = input.getUTF8String(0).toString
+      val parts = tableName.split('.')
+      val ident = Identifier.of(parts.init, parts.last)
+      val root = catalog.tablePath(ident)
+      if (!catalog.isTable(root)) throw new NoSuchTableException(ident)
+      val row: InternalRow =
+        if (evolve) {
+          val schema = ManifestSink.readSchema(root)
+          val spec = ManifestSink.parseSpecString(
+            Option(input.getUTF8String(1)).map(_.toString).getOrElse(""), schema)
+          val id = ManifestSink.evolvePartitionSpec(root.toString, spec)
+          new GenericInternalRow(Array[Any](id, 0L, 0L))
+        } else {
+          val res = ManifestSink.migrateToCurrentSpec(root.toString)
+          new GenericInternalRow(Array[Any](
+            ManifestSink.readHeader(root).specId,
+            res.rewrittenFiles.toLong, res.rewrittenRows))
+        }
+      util.Collections.singletonList[Scan](new LocalScan {
+        override def readSchema(): StructType = SpecOutput
         override def rows(): Array[InternalRow] = Array(row)
       }).iterator()
     }

@@ -861,7 +861,11 @@ object ManifestSink {
       // (0 = predates sequence tracking). Equality deletes apply to
       // files with seq < delete.seq — the Iceberg v2 sequencing rule
       // that lets a delete-by-key commit without reading anything.
-      seq: Long = 0L) {
+      seq: Long = 0L,
+      // id of the partition spec `parts` was computed under (0 = the
+      // CREATE-time spec). Pruning must read the tuple with THIS spec's
+      // transforms — see [[TableState.transformsFor]].
+      specId: Long = 0L) {
     /** Rows a reader actually yields: physical rows minus the deletion
       * vector's positions. Drives count(*) pushdown, reported stats and
       * the zero-column emitters — `rows` stays the PHYSICAL count (what
@@ -1509,6 +1513,22 @@ object ManifestSink {
     if (spec.isEmpty) None
     else Some(PartColsPrefix + spec.map(t => urlEnc(t.token)).mkString(","))
 
+  // spec evolution: `#specid<TAB>N` marks the CURRENT spec's id (absent
+  // = 0, so pre-evolution manifests parse unchanged), and one
+  // `#pastspec<TAB>id<TAB>tokens` line archives each superseded spec —
+  // entries written under it keep pruning exactly forever.
+  private val SpecIdPrefix = "#specid\t"
+  private val PastSpecPrefix = "#pastspec\t"
+  private[sources] def specIdLine(id: Long): Option[String] =
+    if (id == 0L) None else Some(s"$SpecIdPrefix$id")
+  private[sources] def pastSpecLine(id: Long, spec: Seq[PartTransform]): String =
+    s"$PastSpecPrefix$id\t${spec.map(t => urlEnc(t.token)).mkString(",")}"
+  private[sources] def parsePastSpecLine(l: String): (Long, Seq[PartTransform]) = {
+    val p = l.stripPrefix(PastSpecPrefix).split("\t", 2)
+    (p(0).toLong, p.lift(1).getOrElse("").split(",").toSeq
+      .filter(_.nonEmpty).map(t => parsePartToken(urlDec(t))))
+  }
+
   private[sources] def partitionSpec(root: Path,
       pinned: Option[Long] = None): Seq[PartTransform] = {
     val v = resolveVersion(root, pinned)
@@ -1948,12 +1968,25 @@ object ManifestSink {
       tf: Map[String, PartTransform] = Map.empty): Boolean =
     evalPartFilter(f, e.parts, tf).getOrElse(mayMatch(e, f))
 
+  /** Spec-aware twin of [[mayMatchEntry]]: resolves the transforms of
+    * the spec the ENTRY was written under; an unknown spec skips tuple
+    * pruning and decides from stats alone (conservative, never wrong). */
+  private[sources] def entryMayMatch(st: TableState, e: FileEntry,
+      f: org.apache.spark.sql.sources.Filter): Boolean =
+    st.transformsForOpt(e) match {
+      case Some(tf) => mayMatchEntry(e, f, tf)
+      case None => mayMatch(e, f)
+    }
+
   /** Group-level may-match: exact partition evaluation over the group's
     * recorded distinct tuples (prune only when EVERY tuple decides
     * false), else the merged min/max stats via a synthetic entry. A
     * pruned group's file is never even read. */
   private[sources] def mayMatchGroup(r: GroupRef,
       f: org.apache.spark.sql.sources.Filter,
+      // transforms of the SPEC THE GROUP WAS WRITTEN UNDER (r.specId) —
+      // the caller resolves it; a current-spec map applied to old-spec
+      // tuples would prune wrong groups
       tf: Map[String, PartTransform] = Map.empty): Boolean = r.partsSet match {
     case Some(ts) if ts.nonEmpty &&
         ts.forall(t => evalPartFilter(f, t, tf).contains(false)) =>
@@ -1990,14 +2023,20 @@ object ManifestSink {
     val (inline, refs) =
       if (v > 0L) versionSections(root, v)
       else (committedEntries(root, pinned), Seq.empty[GroupRef])
-    // transform-aware pruning needs the spec; the header parse is cached
-    val tfSpec: Map[String, PartTransform] =
-      if (v > 0L) readHeader(root, pinned).partTransforms else Map.empty
+    // transform-aware pruning needs the spec — resolved PER entry/group
+    // (spec evolution: an old-spec tuple read under the current
+    // transforms would prune wrong files); the header parse is cached
+    val hdr: Option[TableState] = if (v > 0L) Some(readHeader(root, pinned)) else None
+    def tfOfSpec(id: Long): Map[String, PartTransform] = hdr.fold(
+      Map.empty[String, PartTransform])(h =>
+      if (id == h.specId) h.partTransforms
+      else h.pastSpecs.get(id).fold(Map.empty[String, PartTransform])(
+        _.map(t => t.col -> t).toMap))
     val withBlooms = filters.exists(bloomEligible)
     val expanded = inline ++ refs
-      .filter(r => filters.forall(f => mayMatchGroup(r, f, tfSpec)))
+      .filter(r => filters.forall(f => mayMatchGroup(r, f, tfOfSpec(r.specId))))
       .flatMap(readGroupEntries(root, _, withBlooms))
-    expanded.filter(e => filters.forall(f => mayMatchEntry(e, f, tfSpec)))
+    expanded.filter(e => filters.forall(f => mayMatchEntry(e, f, tfOfSpec(e.specId))))
   }
 
   /** Entry line: `fileName<TAB>rowCount<TAB>mins<TAB>maxs`. In a
@@ -2018,7 +2057,7 @@ object ManifestSink {
   }
 
   private[sources] def parseEntryLine(line: String): FileEntry = {
-    val parts = line.split("\t", 9)
+    val parts = line.split("\t", 10)
     val (dvName, dvRows) = parts.lift(5).filter(_.nonEmpty) match {
       case Some(dv) =>
         val Array(n, c) = dv.split(":", 2)
@@ -2039,7 +2078,8 @@ object ManifestSink {
       parseStats(parts.lift(3).getOrElse("")),
       parsePartsStr(parts.lift(4).getOrElse("")),
       dvName, dvRows, blooms, slows, sups,
-      parts.lift(8).filter(_.nonEmpty).map(_.toLong).getOrElse(0L))
+      parts.lift(8).filter(_.nonEmpty).map(_.toLong).getOrElse(0L),
+      parts.lift(9).filter(_.nonEmpty).map(_.toLong).getOrElse(0L))
   }
 
   /** Truncated string bounds field: `col=low:high` pairs, comma-joined,
@@ -2075,7 +2115,9 @@ object ManifestSink {
     // trailing optional fields: emit earlier slots (possibly empty) when
     // a later field needs its position
     val sq = if (e.seq == 0L) "" else e.seq.toString
-    if (sq.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq"
+    val sp = if (e.specId == 0L) "" else e.specId.toString
+    if (sp.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp"
+    else if (sq.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq"
     else if (sb.nonEmpty) s"$base\t$dv\t$bl\t$sb"
     else if (bl.nonEmpty) s"$base\t$dv\t$bl"
     else if (dv.nonEmpty) s"$base\t$dv"
@@ -2117,22 +2159,30 @@ object ManifestSink {
       mins: Map[String, Long], maxs: Map[String, Long],
       partsSet: Option[Seq[Map[String, String]]], hasBlooms: Boolean,
       slows: Map[String, String] = Map.empty,
-      sups: Map[String, String] = Map.empty)
+      sups: Map[String, String] = Map.empty,
+      // the spec EVERY member's tuple was written under (groups with
+      // mixed specs never record a partsSet — see [[writeGroup]]);
+      // absent in pre-evolution manifests, when only spec 0 existed
+      specId: Long = 0L)
 
   private def groupRefLine(r: GroupRef): String = {
     val parts = r.partsSet.map(_.map(partsStr).mkString(";")).getOrElse("*")
     val base = s"$GroupRefPrefix${r.name}\t${r.files}\t${r.rows}\t${statsStr(r.mins)}\t" +
       s"${statsStr(r.maxs)}\t$parts\t${if (r.hasBlooms) 1 else 0}"
     val sb = strBoundsStr(r.slows, r.sups)
-    if (sb.nonEmpty) s"$base\t$sb" else base
+    val sp = if (r.specId == 0L) "" else r.specId.toString
+    if (sp.nonEmpty) s"$base\t$sb\t$sp"
+    else if (sb.nonEmpty) s"$base\t$sb"
+    else base
   }
 
   private[sources] def parseGroupRefLine(l: String): GroupRef = {
-    val p = l.split("\t", 9) // p(0) is the '#mgroup' tag
+    val p = l.split("\t", 10) // p(0) is the '#mgroup' tag
     val (slows, sups) = parseStrBounds(p.lift(8).getOrElse(""))
     GroupRef(p(1), p(2).toInt, p(3).toLong, parseStats(p(4)), parseStats(p(5)),
       if (p(6) == "*") None else Some(p(6).split(";", -1).toSeq.map(parsePartsStr)),
-      p(7) == "1", slows, sups)
+      p(7) == "1", slows, sups,
+      p.lift(9).filter(_.nonEmpty).map(_.toLong).getOrElse(0L))
   }
 
   /** Tiny synchronized LRU keyed by immutable identity — safe to share
@@ -2209,12 +2259,17 @@ object ManifestSink {
     val statCols = members.map(_.mins.keySet).reduce(_ intersect _)
       .intersect(members.map(_.maxs.keySet).reduce(_ intersect _))
     val parts = members.map(_.parts).distinct
+    // a recorded tuple set is only decidable under ONE spec: mixed-spec
+    // groups degrade to '*' (stats still prune; entry-level tuple
+    // pruning stays exact after the group loads)
+    val specIds = members.map(_.specId).distinct
     GroupRef(name, members.size, members.map(_.rows).sum,
       statCols.map(c => c -> members.map(_.mins(c)).min).toMap,
       statCols.map(c => c -> members.map(_.maxs(c)).max).toMap,
-      if (parts.size <= MaxGroupParts) Some(parts) else None,
+      if (parts.size <= MaxGroupParts && specIds.size == 1) Some(parts) else None,
       bloomLines.nonEmpty,
-      mergeStrLowers(members.map(_.slows)), mergeStrUppers(members.map(_.sups)))
+      mergeStrLowers(members.map(_.slows)), mergeStrUppers(members.map(_.sups)),
+      specIds.headOption.getOrElse(0L))
   }
 
   /** Lossless merges for truncated string bounds — min of lowers / max
@@ -2377,7 +2432,16 @@ object ManifestSink {
       // pruning decisions consult the spec. Empty = all-identity.
       partSpec: Seq[PartTransform] = Seq.empty,
       // outstanding equality-delete records, in commit order
-      eqDels: Seq[EqDelRec] = Seq.empty) {
+      eqDels: Seq[EqDelRec] = Seq.empty,
+      // PARTITION-SPEC EVOLUTION (the Iceberg shape): the CURRENT spec's
+      // id (0 = the spec the table was created with) and every ARCHIVED
+      // spec by id. A file entry carries the id of the spec it was
+      // WRITTEN under; pruning decisions always evaluate an entry's
+      // tuple with ITS spec's transforms ([[transformsFor]]) — a raw
+      // identity value interpreted as a bucket id (or vice versa) would
+      // prune or prove WRONG files.
+      specId: Long = 0L,
+      pastSpecs: Map[Long, Seq[PartTransform]] = Map.empty) {
     /** The spec with the all-identity fallback applied — what metaLines
       * renders and decision sites consume. */
     def effectiveSpec: Seq[PartTransform] =
@@ -2385,11 +2449,22 @@ object ManifestSink {
     /** column → transform, identity omitted-or-present both fine. */
     def partTransforms: Map[String, PartTransform] =
       effectiveSpec.map(t => t.col -> t).toMap
+    /** The transforms an ENTRY's partition tuple must be read under: its
+      * own spec. None for an unknown archived id (never produced by the
+      * evolve path, which always archives) — callers must then refuse
+      * tuple decisions entirely: evalPartFilter treats a missing
+      * transform as IDENTITY, so "empty map" would misread transformed
+      * tuples, the one wrong direction. */
+    def transformsForOpt(e: FileEntry): Option[Map[String, PartTransform]] =
+      if (e.specId == specId) Some(partTransforms)
+      else pastSpecs.get(e.specId).map(_.map(t => t.col -> t).toMap)
     /** Non-entry, non-schema header lines every publisher carries:
       * partition spec, column mapping, schema epoch, delete mode,
       * bloom columns, write ordering, user properties, stream markers. */
     def metaLines: Seq[String] =
-      partSpecLine(effectiveSpec).toSeq ++ colMapLine(colMap).toSeq ++
+      partSpecLine(effectiveSpec).toSeq ++ specIdLine(specId).toSeq ++
+        pastSpecs.toSeq.sortBy(_._1).map((pastSpecLine _).tupled) ++
+        colMapLine(colMap).toSeq ++
         schemaEpochLine(schemaEpoch).toSeq ++ deleteModeLine(deleteMode).toSeq ++
         bloomColsLine(bloomCols).toSeq ++ sortColsLine(sortCols).toSeq ++
         tblPropsLine(props).toSeq ++
@@ -2437,7 +2512,11 @@ object ManifestSink {
           .map(_.stripPrefix(PartColsPrefix).split(",").toSeq
             .filter(_.nonEmpty).map(t => parsePartToken(urlDec(t))))
           .getOrElse(Seq.empty),
-        lines.tail.filter(_.startsWith(EqDelPrefix)).map(parseEqDelLine))
+        lines.tail.filter(_.startsWith(EqDelPrefix)).map(parseEqDelLine),
+        lines.tail.find(_.startsWith(SpecIdPrefix))
+          .map(_.stripPrefix(SpecIdPrefix).trim.toLong).getOrElse(0L),
+        lines.tail.filter(_.startsWith(PastSpecPrefix))
+          .map(parsePastSpecLine).toMap)
     } else legacyState(root)
   }
 
@@ -2645,10 +2724,30 @@ object ManifestSink {
       val st = readState(root)
       require(st.version > 0L,
         s"partition overwrite requires a versioned manifest table at $root")
+      // DYNAMIC overwrite matches victims by tuple EQUALITY, which is
+      // only meaningful against entries of the SAME spec as the new
+      // files (an identity value and a bucket id can share the same
+      // string); old-spec survivors may also hold rows belonging to a
+      // replaced partition — undecidable without reading, so fail
+      // loudly instead of silently turning the overwrite into an append
+      if (replaceParts.isDefined) {
+        val stale = st.entries.filter(e =>
+          e.specId != newEntries.headOption.fold(st.specId)(_.specId))
+        require(stale.isEmpty,
+          s"dynamic partition overwrite across partition-spec evolution " +
+            s"is not decidable (${stale.size} file(s) carry older specs); " +
+            "run migrateToCurrentSpec first, or use REPLACE WHERE with " +
+            "decidable filters")
+      }
       // fresh data sequence: the overwrite's rows arrive AFTER any
-      // outstanding equality delete and must not be governed by it
+      // outstanding equality delete and must not be governed by it.
+      // Static victims evaluate per entry under ITS OWN spec — exact for
+      // interval transforms, loud for bucket-undecidable shapes.
       val entries =
-        st.entries.filterNot(e => replaced(e, st.partTransforms)) ++
+        st.entries.filterNot(e => replaced(e, st.transformsForOpt(e).getOrElse(
+          throw new IllegalArgumentException(
+            s"file ${e.name} was written under unknown partition spec " +
+              s"${e.specId} — overwrite victim selection is undecidable")))) ++
           newEntries.map(_.copy(seq = st.version + 1L))
       try {
         publish(root, st.version,
@@ -2705,6 +2804,7 @@ object ManifestSink {
       var colMap = st.colMap
       var partCols = st.partCols
       var partSpec0 = st.effectiveSpec
+      var pastSpecs0 = st.pastSpecs
       var eqDels0 = st.eqDels
       var entries = st.entries
       var bloomCols = st.bloomCols
@@ -2755,6 +2855,8 @@ object ManifestSink {
             if (f.name == from) f.copy(name = to) else f))
           partCols = partCols.map(c => if (c == from) to else c)
           partSpec0 = partSpec0.map(t => if (t.col == from) t.withCol(to) else t)
+          pastSpecs0 = pastSpecs0.view.mapValues(_.map(t =>
+            if (t.col == from) t.withCol(to) else t)).toMap
           eqDels0 = eqDels0.map(r =>
             r.copy(cols = r.cols.map(c => if (c == from) to else c)))
           bloomCols = bloomCols.map(c => if (c == from) to else c)
@@ -2853,7 +2955,7 @@ object ManifestSink {
       }
       colMap = colMap.filter { case (k, v) => k != v }
       val meta = st.copy(schema = Some(schema), partCols = partCols,
-        partSpec = partSpec0, eqDels = eqDels0,
+        partSpec = partSpec0, pastSpecs = pastSpecs0, eqDels = eqDels0,
         colMap = colMap, schemaEpoch = newEpoch, entries = entries,
         bloomCols = bloomCols, sortCols = sortCols,
         deleteMode = deleteMode0, props = props0).metaLines
@@ -2955,7 +3057,7 @@ object ManifestSink {
               org.apache.spark.sql.sources.EqualTo(c, v.toLong)
             case _ => org.apache.spark.sql.sources.EqualTo(c, v)
           }
-          mayMatchEntry(e, f, st.partTransforms)
+          entryMayMatch(st, e, f)
       })
     var rewritten = 0
     val newEntries = st.entries.map { e =>
@@ -2981,7 +3083,7 @@ object ManifestSink {
         rewritten += 1
         FileEntry(newName, kept, stats.intMins, stats.intMaxs, e.parts,
           blooms = stats.blooms, slows = stats.strLowers, sups = stats.strUppers,
-          seq = st.version + 1L)
+          seq = st.version + 1L, specId = e.specId)
       }
     }.filter(_.rows > 0L)
     try publish(root, st.version,
@@ -3048,8 +3150,9 @@ object ManifestSink {
       if (st.schemaEpoch == 0L) _ => ""
       else e => ManifestParquet.footerSchemaString(root.resolve(e.name).toString)
     val bins =
-      parquetSmall.groupBy(e => (e.parts, schemaKey(e))).values.toSeq.flatMap(packBins) ++
-        tsvSmall.groupBy(_.parts).values.toSeq.flatMap(packBins)
+      parquetSmall.groupBy(e => (e.specId, e.parts, schemaKey(e))).values.toSeq
+        .flatMap(packBins) ++
+        tsvSmall.groupBy(e => (e.specId, e.parts)).values.toSeq.flatMap(packBins)
     if (bins.isEmpty && purged.isEmpty)
       return CompactionResult(st.version, st.entries.size, st.entries.size, 0, 0L)
     val merged = bins.map { bin =>
@@ -3076,7 +3179,8 @@ object ManifestSink {
         blooms = bloomKeys.toSeq.flatMap(k =>
           bloomUnion(bin.map(_.blooms(k))).map(k -> _)).toMap,
         slows = mergeStrLowers(bin.map(_.slows)),
-        sups = mergeStrUppers(bin.map(_.sups)))
+        sups = mergeStrUppers(bin.map(_.sups)),
+        specId = bin.head.specId)
     }
     val rewrittenNames = bins.flatten.map(_.name).toSet ++ dvEntries.map(_.name)
     val entries = st.entries.filterNot(e => rewrittenNames(e.name)) ++ merged ++ purged
@@ -3114,7 +3218,174 @@ object ManifestSink {
       }
     } finally out.close()
     FileEntry(newName, kept, stats.intMins, stats.intMaxs, e.parts,
-      blooms = stats.blooms, slows = stats.strLowers, sups = stats.strUppers)
+      blooms = stats.blooms, slows = stats.strLowers, sups = stats.strUppers,
+      specId = e.specId)
+  }
+
+  /** Structural validation of a partition spec against a schema — the
+    * single rulebook shared by CREATE TABLE ([[GraftCatalog]]) and
+    * [[evolvePartitionSpec]]. */
+  private[sources] def requireSpecValid(spec: Seq[PartTransform],
+      schema: StructType): Unit = {
+    val cols = spec.map(_.col)
+    require(cols.distinct.size == cols.size,
+      s"each column may appear once in the partition spec: $cols")
+    spec.foreach { t =>
+      val c = t.col
+      require(!c.contains("(") && !c.contains(")"),
+        s"partition column name '$c' may not contain parentheses")
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column $c is not in the table schema"))
+      val integral = f.dataType == LongType || f.dataType == IntegerType
+      t match {
+        case PIdentity(_) => require(
+          integral || f.dataType == StringType || f.dataType == BooleanType ||
+            f.dataType == DoubleType,
+          s"partition column $c has unsupported type ${f.dataType.simpleString}")
+        case PDays(_) | PMonths(_) | PYears(_) => require(f.dataType == LongType,
+          s"${t.token} requires a BIGINT epoch-microsecond column; " +
+            s"$c is ${f.dataType.simpleString}")
+        case PTruncInt(_, w) => require(integral && w > 0,
+          s"${t.token} requires BIGINT/INT and a positive width")
+        case PTruncStr(_, n) => require(f.dataType == StringType && n > 0,
+          s"${t.token} requires STRING and a positive length")
+        case PBucketInt(_, n) => require(integral && n > 1 && n <= (1 << 20),
+          s"${t.token} requires BIGINT/INT and a bucket count in (1, 2^20]")
+        case PBucketStr(_, n) => require(
+          f.dataType == StringType && n > 1 && n <= (1 << 20),
+          s"${t.token} requires STRING and a bucket count in (1, 2^20]")
+      }
+    }
+  }
+
+  /** Parse a human-written spec string — `"days(ts)"`,
+    * `"bucket(16, k), truncate(2, cat)"`, a bare column for identity —
+    * into transforms, resolving width-style tokens by column type.
+    * Commas split at paren depth 0 only. */
+  def parseSpecString(spec: String, schema: StructType): Seq[PartTransform] = {
+    val toks = scala.collection.mutable.Buffer.empty[String]
+    val sb = new StringBuilder; var depth = 0
+    spec.foreach {
+      case ',' if depth == 0 => toks += sb.result(); sb.clear()
+      case c =>
+        if (c == '(') depth += 1
+        if (c == ')') depth -= 1
+        sb += c
+    }
+    toks += sb.result()
+    val Fn = """(\w+)\s*\(\s*([^)]*)\s*\)""".r
+    def typeOf(c: String): DataType = schema.fields.find(_.name == c)
+      .map(_.dataType).getOrElse(throw new IllegalArgumentException(
+        s"partition column $c is not in the table schema"))
+    def intArg(fn: String, a: String): Long = a.trim.toLongOption.getOrElse(
+      throw new IllegalArgumentException(s"$fn needs an integer argument, got '$a'"))
+    toks.map(_.trim).filter(_.nonEmpty).map {
+      case Fn("days", c) => PDays(c.trim)
+      case Fn("months", c) => PMonths(c.trim)
+      case Fn("years", c) => PYears(c.trim)
+      case Fn("hours", c) => PTruncInt(c.trim, 3600000000L)
+      case Fn(fn @ ("truncate" | "bucket"), args) =>
+        val parts = args.split(",").map(_.trim)
+        require(parts.length == 2, s"$fn takes (width, column), got '$args'")
+        val (n, c) = (intArg(fn, parts(0)), parts(1))
+        (fn, typeOf(c)) match {
+          case ("truncate", StringType) => PTruncStr(c, n.toInt)
+          case ("truncate", _) => PTruncInt(c, n)
+          case ("bucket", StringType) => PBucketStr(c, n.toInt)
+          case ("bucket", _) => PBucketInt(c, n.toInt)
+        }
+      case Fn(other, _) => throw new IllegalArgumentException(
+        s"unknown partition transform $other (supported: identity column, " +
+          "days/months/years/hours, truncate(W, col), bucket(N, col))")
+      case c => PIdentity(c)
+    }.toSeq
+  }
+
+  /** PARTITION-SPEC EVOLUTION (the Iceberg shape), metadata-only: one
+    * CAS commit archives the current spec under its id and installs
+    * `newSpec` as id+1. Existing files keep their tuples AND their spec
+    * id, so every pruning/proof decision keeps evaluating them under
+    * the spec they were written with — exactly forever, never
+    * re-interpreted ([[TableState.transformsForOpt]]). New writes route
+    * by the new spec from their next planning read. Queries need no
+    * change (hidden partitioning filters RAW columns throughout);
+    * operations whose semantics cannot span two specs fail loudly and
+    * name [[migrateToCurrentSpec]] as the unlock (dynamic partition
+    * overwrite, OPTIMIZE ZORDER, grouped-agg pushdown and SPJ simply
+    * withdraw). Returns the new spec id. */
+  def evolvePartitionSpec(tablePath: String,
+      newSpec: Seq[PartTransform]): Long = {
+    val root = Paths.get(tablePath)
+    val st = readState(root)
+    require(st.version > 0L,
+      s"spec evolution requires a versioned manifest table at $tablePath")
+    val schema = st.schema.getOrElse(throw new IllegalStateException(
+      s"manifest table $tablePath has no schema"))
+    requireSpecValid(newSpec, schema)
+    if (newSpec == st.effectiveSpec) return st.specId
+    val newId = st.specId + 1L
+    val meta = st.copy(partCols = newSpec.map(_.col), partSpec = newSpec,
+      specId = newId,
+      pastSpecs = st.pastSpecs + (st.specId -> st.effectiveSpec)).metaLines
+    // dataChange=false: no row is added or removed by a spec change
+    publish(root, st.version,
+      ((schema.json +: RewriteMarker +: meta) ++
+        renderEntrySection(root, st.entries, st.groups)).mkString("\n"))
+    newId
+  }
+
+  /** Rewrite every file still laid out under an ARCHIVED spec through
+    * the current spec's fan-out writer — the migration that unlocks
+    * dynamic overwrite / ZORDER / SPJ after an evolution. Rows are
+    * read once (deletion vectors applied, schema drift reconciled) and
+    * re-routed; a dataChange=false CAS publish swaps the stale entries
+    * for the re-routed files. Old-spec data files become orphans for
+    * vacuum. Driver-sequential by design: migration is a rare admin
+    * operation, and the row path is the same streaming decode the
+    * rewrite paths use. */
+  def migrateToCurrentSpec(tablePath: String): CompactionResult = {
+    materializeEqDeletes(tablePath)
+    val root = Paths.get(tablePath)
+    val st = readState(root)
+    require(st.version > 0L,
+      s"spec migration requires a versioned manifest table at $tablePath")
+    val schema = st.schema.getOrElse(throw new IllegalStateException(
+      s"manifest table $tablePath has no schema"))
+    val (stale, fresh) = st.entries.partition(_.specId != st.specId)
+    if (stale.isEmpty)
+      return CompactionResult(st.version, st.entries.size, st.entries.size, 0, 0L)
+    val w = new ManifestWriterFactory(tablePath, schema, st.partCols, st.colMap,
+      st.bloomCols, rowGroupBytesOf(st.props), st.effectiveSpec)
+      .createWriter(0, System.nanoTime())
+    var moved = 0L
+    stale.foreach { e =>
+      val dv: Set[Long] =
+        e.dvName.fold(Set.empty[Long])(n => readDvPositions(root.resolve(n)).toSet)
+      foreachRowPos(root.resolve(e.name), schema, st.colMap,
+          st.schemaEpoch > 0L) { (row, pos) =>
+        if (!dv.contains(pos)) { w.write(row); moved += 1 }
+      }
+    }
+    val commits = w.commit() match {
+      case ManifestCommitSet(cs) => cs
+      case c: ManifestCommit => Seq(c)
+      case _ => Seq.empty
+    }
+    commits.filter(_.rows == 0L)
+      .foreach(c => Files.deleteIfExists(root.resolve(c.fileName)))
+    val migrated = commits.filter(_.rows > 0L).map(c =>
+      FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts,
+        blooms = c.blooms, slows = c.slows, sups = c.sups, specId = st.specId))
+    try publish(root, st.version,
+      ((schema.json +: RewriteMarker +: st.metaLines) ++
+        renderEntrySection(root, fresh ++ migrated, st.groups)).mkString("\n"))
+    catch { case e: java.util.ConcurrentModificationException =>
+      migrated.foreach(m => Files.deleteIfExists(root.resolve(m.name)))
+      throw e
+    }
+    CompactionResult(st.version + 1L, st.entries.size,
+      fresh.size + migrated.size, stale.size, moved)
   }
 
   /** OPTIMIZE ... ZORDER BY: rewrite the ENTIRE table (or each table
@@ -3162,6 +3433,13 @@ object ManifestSink {
     val st = readState(root)
     require(st.version > 0L,
       s"z-order compaction requires a versioned manifest table at $tablePath")
+    // the per-partition row recovery below filters RAW columns by tuple
+    // VALUE — only identity tuples support that, and only when every
+    // entry was written under the current (identity) spec
+    require(st.effectiveSpec.forall(_.isInstanceOf[PIdentity]) &&
+        st.entries.forall(_.specId == st.specId),
+      "OPTIMIZE ZORDER supports identity-partitioned tables with no " +
+        "partition-spec evolution outstanding (run migrateToCurrentSpec first)")
     val schema = st.schema.getOrElse(
       throw new IllegalStateException(s"manifest table $tablePath has no schema"))
     zorderBy.foreach { c =>
@@ -3243,7 +3521,7 @@ object ManifestSink {
           case _ => Iterator.empty
         }
       }.collect().toSeq.map(c => FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts,
-        blooms = c.blooms, slows = c.slows, sups = c.sups))
+        blooms = c.blooms, slows = c.slows, sups = c.sups, specId = st.specId))
     }
     try publish(root, st.version,
       ((schema.json +: RewriteMarker +: st.metaLines) ++
@@ -3447,13 +3725,13 @@ object ManifestSink {
     * [[supportedDeleteFilter]] before any I/O. */
   def deleteWhere(tablePath: String, filters: Seq[org.apache.spark.sql.sources.Filter],
       gc: GcPolicy = GcPolicy(None, 3600L * 1000)): DeleteResult = {
-    val tf = partitionSpec(Paths.get(tablePath)).map(t => t.col -> t).toMap
+    val hdr = readHeader(Paths.get(tablePath))
     deleteCore(tablePath, gc,
       schema => filters.foreach(f => require(supportedDeleteFilter(f, schema),
         s"unsupported delete filter: $f")),
       (row, schema) => filters.forall(f => evalFilter(f, row, schema).contains(true)),
-      e => filters.forall(f => mayMatchEntry(e, f, tf)),
-      partProven(filters, tf))
+      e => filters.forall(f => entryMayMatch(hdr, e, f)),
+      e => hdr.transformsForOpt(e).exists(tf => partProven(filters, tf)(e)))
   }
 
   /** SQL `DELETE FROM` arrives here as V2 [[V2Predicate]]s — evaluated
@@ -3467,15 +3745,15 @@ object ManifestSink {
   def deleteWhereV2(tablePath: String,
       preds: Seq[org.apache.spark.sql.connector.expressions.filter.Predicate],
       gc: GcPolicy = GcPolicy(None, 3600L * 1000)): DeleteResult = {
-    val spec0 = partitionSpec(Paths.get(tablePath), None)
-    val (schema0, partCols0) =
-      (readSchema(Paths.get(tablePath)), spec0.map(_.col).toSet)
+    val hdr = readHeader(Paths.get(tablePath))
+    val schema0 = readSchema(Paths.get(tablePath))
     deleteCore(tablePath, gc,
       schema => preds.foreach(p => require(supportedDeletePredicate(p, schema),
         s"unsupported delete predicate: $p")),
       (row, schema) => preds.forall(p => evalPredicate(p, row, schema).contains(true)),
       e => preds.forall(p => mayMatchV2(e, p)),
-      partProvenV2(preds, schema0, partCols0, spec0.map(t => t.col -> t).toMap))
+      e => hdr.transformsForOpt(e).exists(tf =>
+        partProvenV2(preds, schema0, tf.keySet, tf)(e)))
   }
 
   /** Row-level DELETE, merge-on-read: instead of rewriting every
@@ -3493,27 +3771,27 @@ object ManifestSink {
     * Same single-attempt CAS and same filter dialect as the CoW path. */
   def deleteWhereMoR(tablePath: String, filters: Seq[org.apache.spark.sql.sources.Filter],
       gc: GcPolicy = GcPolicy(None, 3600L * 1000)): DeleteResult = {
-    val tf = partitionSpec(Paths.get(tablePath)).map(t => t.col -> t).toMap
+    val hdr = readHeader(Paths.get(tablePath))
     deleteCoreMoR(tablePath, gc,
       schema => filters.foreach(f => require(supportedDeleteFilter(f, schema),
         s"unsupported delete filter: $f")),
       (row, schema) => filters.forall(f => evalFilter(f, row, schema).contains(true)),
-      e => filters.forall(f => mayMatchEntry(e, f, tf)),
-      partProven(filters, tf))
+      e => filters.forall(f => entryMayMatch(hdr, e, f)),
+      e => hdr.transformsForOpt(e).exists(tf => partProven(filters, tf)(e)))
   }
 
   def deleteWhereMoRV2(tablePath: String,
       preds: Seq[org.apache.spark.sql.connector.expressions.filter.Predicate],
       gc: GcPolicy = GcPolicy(None, 3600L * 1000)): DeleteResult = {
-    val spec0 = partitionSpec(Paths.get(tablePath), None)
-    val (schema0, partCols0) =
-      (readSchema(Paths.get(tablePath)), spec0.map(_.col).toSet)
+    val hdr = readHeader(Paths.get(tablePath))
+    val schema0 = readSchema(Paths.get(tablePath))
     deleteCoreMoR(tablePath, gc,
       schema => preds.foreach(p => require(supportedDeletePredicate(p, schema),
         s"unsupported delete predicate: $p")),
       (row, schema) => preds.forall(p => evalPredicate(p, row, schema).contains(true)),
       e => preds.forall(p => mayMatchV2(e, p)),
-      partProvenV2(preds, schema0, partCols0, spec0.map(t => t.col -> t).toMap))
+      e => hdr.transformsForOpt(e).exists(tf =>
+        partProvenV2(preds, schema0, tf.keySet, tf)(e)))
   }
 
 
@@ -3674,7 +3952,7 @@ object ManifestSink {
         None
       } else Some(FileEntry(newName, kept, stats.intMins, stats.intMaxs, e.parts,
         blooms = stats.blooms, slows = stats.strLowers, sups = stats.strUppers,
-        seq = e.seq))
+        seq = e.seq, specId = e.specId))
       }
     }
     val rewritten = candidates.zip(replacements).count {
@@ -4379,6 +4657,7 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
     val sc = st.sortCols
     val rgb = ManifestSink.rowGroupBytesOf(st.props)
     val pspec = st.effectiveSpec
+    val pspecId = st.specId
     new Write with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
       import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
       import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
@@ -4409,14 +4688,15 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
       override def distributionStrictlyRequired(): Boolean = false
       override def toBatch: BatchWrite =
         new ManifestBatchWrite(root, schema, truncateFirst, gc, pc,
-          overwriteFilters, dynamicOverwrite, cmap, bc, branch, rgb, pspec)
+          overwriteFilters, dynamicOverwrite, cmap, bc, branch, rgb, pspec,
+          pspecId)
       // streaming: truncateFirst becomes truncate-EACH-EPOCH (Spark calls
       // truncate() on the builder for Complete output mode)
       override def toStreaming: StreamingWrite = {
         require(branch.isEmpty, "streaming writes onto a BRANCH are not " +
           "supported — stream into the table, or stage batch appends for WAP")
         new ManifestStreamingWrite(root, schema, truncateFirst, gc, queryId,
-          pc, cmap, bc, rgb, pspec)
+          pc, cmap, bc, rgb, pspec, pspecId)
       }
     }
   }
@@ -4442,13 +4722,18 @@ class ManifestBatchWrite(root: Path, schema: StructType, truncateFirst: Boolean,
     bloomCols: Seq[String] = Seq.empty,
     branch: Option[String] = None,
     rowGroupBytes: Option[Long] = None,
-    partSpec: Seq[ManifestSink.PartTransform] = Seq.empty) extends BatchWrite {
+    partSpec: Seq[ManifestSink.PartTransform] = Seq.empty,
+    // spec id the fan-out ROUTED rows with, recorded on every entry — a
+    // commit racing a spec evolution honestly publishes old-spec files
+    // (pruned forever under their archived spec), exactly like files
+    // written before the evolution
+    specId: Long = 0L) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(root.toString, schema, partCols, colMap, bloomCols,
       rowGroupBytes, partSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val newEntries = ManifestSink.commitEntries(messages)
+    val newEntries = ManifestSink.commitEntries(messages).map(_.copy(specId = specId))
     if (branch.isDefined)
       // WAP staging: publish onto the branch chain — invisible to main
       // readers until fast-forward
@@ -4524,7 +4809,7 @@ class ManifestRowLevelOperation(root: Path, cmd: RowLevelOperation.Command,
         override def toBatch: BatchWrite =
           new ManifestReplaceDataWrite(root, writeSchema,
             ManifestRowLevelOperation.this, gc, pc, cmap, bc, rgb,
-            hdr.effectiveSpec)
+            hdr.effectiveSpec, hdr.specId)
       }
     }
   }
@@ -4550,13 +4835,15 @@ class ManifestReplaceDataWrite(root: Path, schema: StructType,
     colMap: Map[String, String] = Map.empty,
     bloomCols: Seq[String] = Seq.empty,
     rowGroupBytes: Option[Long] = None,
-    partSpec: Seq[ManifestSink.PartTransform] = Seq.empty) extends BatchWrite {
+    partSpec: Seq[ManifestSink.PartTransform] = Seq.empty,
+    specId: Long = 0L) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestReplaceWriterFactory(root.toString, schema, partCols, colMap,
       bloomCols, rowGroupBytes, partSpec)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val (live, empty) = ManifestSink.commitEntries(messages).partition(_.rows > 0L)
+    val (live0, empty) = ManifestSink.commitEntries(messages).partition(_.rows > 0L)
+    val live = live0.map(_.copy(specId = specId))
     // a task whose every row was deleted (or that received no rows from
     // the rewrite) leaves a footer-only file: drop it instead of
     // publishing an entry that would cost a scan partition forever
@@ -4591,7 +4878,8 @@ class ManifestStreamingWrite(root: Path, schema: StructType, truncateEachEpoch: 
     colMap: Map[String, String] = Map.empty,
     bloomCols: Seq[String] = Seq.empty,
     rowGroupBytes: Option[Long] = None,
-    partSpec: Seq[ManifestSink.PartTransform] = Seq.empty)
+    partSpec: Seq[ManifestSink.PartTransform] = Seq.empty,
+    specId: Long = 0L)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new ManifestStreamingWriterFactory(root.toString, schema, partCols, colMap,
@@ -4605,7 +4893,7 @@ class ManifestStreamingWrite(root: Path, schema: StructType, truncateEachEpoch: 
         .foreach(f => Files.deleteIfExists(root.resolve(f)))
     } else {
       ManifestSink.publishCommit(root, schema, truncateEachEpoch,
-        ManifestSink.commitEntries(messages),
+        ManifestSink.commitEntries(messages).map(_.copy(specId = specId)),
         markerUpdate = Some(queryId -> epochId), gc)
     }
   }
@@ -5047,9 +5335,12 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
           cols.forall(partColsSet.contains) &&
             // a TRANSFORMED partition value (day number, prefix) is not
             // the source column's value — grouping by it would answer a
-            // different query; identity columns only
+            // different query; identity columns only, and every entry
+            // must have been written under the CURRENT spec (an
+            // old-spec tuple means a different value semantics)
             cols.forall(c => tableState.partTransforms.get(c)
               .forall(_.isInstanceOf[ManifestSink.PIdentity])) &&
+            entries.forall(_.specId == tableState.specId) &&
             entries.forall(e => cols.forall(e.parts.contains))
         })
       }
@@ -5195,12 +5486,12 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
       def planned(): Seq[ManifestSink.FileEntry] = changes match {
         case Some((from, to)) => ManifestSink.addedEntries(root, from, to)
           .filter(e => skipFilters.forall(f =>
-            ManifestSink.mayMatchEntry(e, f, tableState.partTransforms)))
+            ManifestSink.entryMayMatch(tableState, e, f)))
         case None =>
           val all = ManifestSink.plannedEntries(root, pinned, skipFilters.toSeq) ++
             branchEntries.fold(Seq.empty[ManifestSink.FileEntry])(f =>
               f().filter(e => skipFilters.forall(fl =>
-                ManifestSink.mayMatchEntry(e, fl, tableState.partTransforms))))
+                ManifestSink.entryMayMatch(tableState, e, fl))))
           (pushedTopN, pushedLimit) match {
             case (Some((c, asc, n)), _) => topNPrune(all, c, asc, n)
             case (None, Some(n)) => // prefix covering >= n live rows
@@ -5241,6 +5532,8 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
         // file-level skip filters stay sound (stats cover all physical
         // rows of the sliced file)
         partTransforms = tableState.partTransforms,
+        specId = tableState.specId,
+        pastSpecs = tableState.pastSpecs,
         // CHANGE-FEED windows never apply records: one inside the window
         // fails the version walk loudly; one at-or-before `from` cannot
         // govern window entries (their seq exceeds it); one AFTER `to`
@@ -5251,7 +5544,7 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
         cdcSlices = if (!cdc) None else Some(() =>
           ManifestSink.cdcSlices(root, changes.get._1, changes.get._2)
             .filter(sl => skipFilters.forall(f =>
-              ManifestSink.mayMatchEntry(sl.entry, f, tableState.partTransforms)))))
+              ManifestSink.entryMayMatch(tableState, sl.entry, f)))))
     }
   }
 
@@ -5295,9 +5588,20 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     cdcSlices: Option[() => Seq[ManifestSink.CdcSlice]] = None,
     dataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
     partTransforms: Map[String, ManifestSink.PartTransform] = Map.empty,
-    eqDels: Seq[ManifestSink.EqDelRec] = Seq.empty)
+    eqDels: Seq[ManifestSink.EqDelRec] = Seq.empty,
+    // spec evolution: the CURRENT spec's id and the archived specs —
+    // runtime-filter pruning resolves each entry's OWN transforms, and
+    // SPJ key grouping is only claimed when every file is current-spec
+    specId: Long = 0L,
+    pastSpecs: Map[Long, Seq[ManifestSink.PartTransform]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
+  /** Transforms of the spec entry `e` was written under; None = unknown
+    * (tuple decisions must be skipped — see TableState.transformsForOpt). */
+  private def tfFor(e: ManifestSink.FileEntry):
+      Option[Map[String, ManifestSink.PartTransform]] =
+    if (e.specId == specId) Some(partTransforms)
+    else pastSpecs.get(e.specId).map(_.map(t => t.col -> t).toMap)
   // resolved on first BATCH use only — a pure streaming read never
   // materializes the batch file set
   private lazy val resolved = resolveEntries()
@@ -5316,7 +5620,10 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     // may-match — runtime IN-sets on a partition key drop whole
     // partitions' files, the DSv2 dynamic-partition-pruning shape
     resolved.filter(e =>
-      runtimeFilters.forall(f => ManifestSink.mayMatchEntry(e, f, partTransforms)))
+      runtimeFilters.forall(f => tfFor(e) match {
+        case Some(tf) => ManifestSink.mayMatchEntry(e, f, tf)
+        case None => ManifestSink.mayMatch(e, f)
+      }))
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -5462,6 +5769,9 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
             case _: ManifestSink.PBucketStr => true
             case _ => false
           } &&
+          // spec evolution: an old-spec file's tuple is not a key of the
+          // current spec — one such file withdraws the grouping claim
+          resolved.forall(_.specId == specId) &&
           partCols.forall(c => schema.fieldNames.contains(c)) &&
           partKeyByName.valuesIterator.forall(_ != null)) {
         val tf = partTransforms
