@@ -394,6 +394,22 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
+    // LEAK-SAFE train/eval SPLIT: near-duplicate documents must land in
+    // the SAME split, or eval examples leak into training through their
+    // textual twins (the decontamination failure q104/q136 guard
+    // against, closed here at assignment time instead of after the
+    // fact). The unit of assignment is the q77 dup-CLUSTER: split =
+    // hash(cluster rep) % 10, so every member inherits its cluster's
+    // split by construction. Cost: the clustering itself + one hash —
+    // no new shuffle shape at 100 TB.
+    "q161_leak_safe_split" -> ((s, dir) => {
+      clusterLabels(s, dir)
+        .select(col("doc_id"), col("rep"),
+          (md5Code60(concat(lit("split:"), col("rep").cast("string")))
+            % lit(10L)).as("split"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash built relationally: explode tokens, hash each ONCE, and
     // compute the 16 per-bit +/-1 score sums as map-side-combining
     // aggregates (the same CollapseProject-inlines-into-lambda trap that
@@ -697,6 +713,33 @@ object DedupOps {
          |  SELECT e.src, r.anc FROM edges e JOIN reach r ON r.doc_id = e.dst),
          |lbl AS (SELECT doc_id, min(anc) AS rep FROM reach GROUP BY doc_id)
          |SELECT doc_id, rep, count(*) OVER (PARTITION BY rep) AS cluster_size
+         |FROM lbl ORDER BY doc_id""".stripMargin
+    },
+
+    // q77's clustering + the split hash: same recursive reachability,
+    // final projection assigns hash(rep) % 10
+    "q161_leak_safe_split" -> {
+      val code = md5Code60Sql("sh")
+      val affine = affineHashSql("i", "x")
+      val splitHash = md5Code60Sql("'split:' || CAST(rep AS VARCHAR)")
+      s"""WITH RECURSIVE $setsCte,
+         |c AS (SELECT doc_id, list_transform(shingles, sh -> $code) AS codes FROM s),
+         |sg AS (SELECT doc_id, list_transform(generate_series(1, $NumHashes),
+         |        i -> list_min(list_transform(codes, x -> $affine))) AS sig FROM c),
+         |bands AS (SELECT doc_id, j,
+         |  array_to_string(sig[j*$RowsPerBand+1 : j*$RowsPerBand+$RowsPerBand], '_') AS bkey
+         |  FROM sg, generate_series(0, ${Bands - 1}) t(j)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |  ON a.j = b.j AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |vp AS (SELECT doc_a, doc_b FROM ($jacSelect) x WHERE x.inter * 2 >= x.uni),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
+         |  UNION ALL SELECT doc_b, doc_a FROM vp),
+         |reach AS (SELECT doc_id, doc_id AS anc FROM documents
+         |  UNION
+         |  SELECT e.src, r.anc FROM edges e JOIN reach r ON r.doc_id = e.dst),
+         |lbl AS (SELECT doc_id, min(anc) AS rep FROM reach GROUP BY doc_id)
+         |SELECT doc_id, rep, CAST(($splitHash) % 10 AS BIGINT) AS split
          |FROM lbl ORDER BY doc_id""".stripMargin
     },
 

@@ -153,4 +153,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(r1.sameElements(r2))
     assert(r1.forall(_.contains("ADVICE[")))
   }
+
+  test("leak-safe split: every verified near-dup pair lands in the SAME split, all docs covered") {
+    import spark.implicits._
+    val split = DedupOps.queries("q161_leak_safe_split")(spark, sfDir)
+      .select("doc_id", "split").as[(Long, Long)].collect().toMap
+    // total coverage, sane split ids
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .select("doc_id").as[Long].collect()
+    assert(docs.forall(split.contains))
+    assert(split.values.forall(v => v >= 0L && v < 10L))
+    // the invariant the operator exists for: near-dup twins never
+    // straddle a split boundary (no eval leakage through textual twins)
+    val pairs = DedupOps.queries("q41_minhash_lsh")(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    val leaked = pairs.filter { case (a, b) => split(a) != split(b) }
+    assert(leaked.isEmpty, s"near-dup pairs split across train/eval: ${leaked.take(5).toSeq}")
+    // and the split is a real partition, not a constant
+    assert(split.values.toSet.size > 1)
+  }
 }

@@ -66,4 +66,28 @@ class DppSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"))
     assert(joined.as[Long].head() == 10L)
   }
+
+  test("a BUCKETED fact prunes whole buckets from a filtered dim at runtime") {
+    // the star-join probe on a hash-bucketed layout: the dim's surviving
+    // keys arrive as an IN-set, each key hashes to its bucket, and every
+    // bucket holding none of them drops before any read — bucket-level
+    // DPP, the point-lookup economics of q159 driven by a join instead
+    // of a literal list
+    spark.sql("CREATE TABLE dpp.db.bkf (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(16, k))")
+    spark.sql("INSERT INTO dpp.db.bkf SELECT id, id * 10 FROM range(160)")
+    spark.sql("CREATE TABLE dpp.db.bkd (k BIGINT, w BIGINT)")
+    spark.sql("INSERT INTO dpp.db.bkd SELECT id, id % 2 FROM range(0, 10)")
+    // survivors of the dim filter: odd keys 1,3,5,7,9 → their buckets
+    val keep = (1L to 9L by 2).map(k => ManifestSink.bucketOfLong(k, 16).toString).toSet
+    ManifestSink.committedEntries(root("bkf"), None)
+      .filterNot(e => keep(e.parts("k")))
+      .foreach(e => Files.delete(root("bkf").resolve(e.name)))
+    val dim = spark.table("dpp.db.bkd").filter($"w" === 1L)
+    val joined = spark.table("dpp.db.bkf").join(dim, "k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    val (n, sv) = joined.as[(Long, Long)].head()
+    assert(n == 5L)
+    assert(sv == (1L to 9L by 2).map(_ * 10).sum)
+  }
 }
