@@ -732,6 +732,48 @@ object IngestOps {
            |GROUP BY day ORDER BY day""".stripMargin)
     }),
 
+    // COLUMN DEFAULTS end to end (Spark's CURRENT_DEFAULT /
+    // EXISTS_DEFAULT encoding, persisted in the schema JSON): gen-1
+    // orders predate the `tier` column; ADD COLUMN ... DEFAULT is
+    // metadata-only — gen-1 rows serve the FROZEN existence default at
+    // scan, gen-2 INSERTs omitting the column resolve the current
+    // default at analysis, and explicitly-valued rows keep their
+    // values. The oracle reconstructs all three populations.
+    "q162_column_defaults" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        s.sparkContext.applicationId
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"dft:$dir")) {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+        s.sql(s"CREATE TABLE graft.$ns.orders_df " +
+          "(o_orderkey BIGINT, o_totalprice DOUBLE)")
+        s.sql(s"CREATE TEMPORARY VIEW orders_df_src AS " +
+          s"SELECT * FROM parquet.`$dir/orders.parquet`")
+        s.sql(
+          s"""INSERT INTO graft.$ns.orders_df
+             |SELECT o_orderkey, o_totalprice FROM orders_df_src
+             |WHERE o_orderkey % 3 = 0""".stripMargin)
+        s.sql(s"ALTER TABLE graft.$ns.orders_df " +
+          "ADD COLUMN tier STRING DEFAULT 'LEGACY'")
+        s.sql(
+          s"""INSERT INTO graft.$ns.orders_df (o_orderkey, o_totalprice)
+             |SELECT o_orderkey, o_totalprice FROM orders_df_src
+             |WHERE o_orderkey % 3 = 1""".stripMargin)
+        s.sql(
+          s"""INSERT INTO graft.$ns.orders_df
+             |SELECT o_orderkey, o_totalprice, o_orderpriority
+             |FROM orders_df_src WHERE o_orderkey % 3 = 2""".stripMargin)
+      }
+      s.sql(
+        s"""SELECT tier, count(*) AS n,
+           |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+           |  min(o_orderkey) AS min_key
+           |FROM graft.$ns.orders_df
+           |GROUP BY tier ORDER BY tier""".stripMargin)
+    }),
+
     // Schema evolution across writer generations: gen-1 files carry
     // (o_orderkey, o_totalprice); gen-2 files ADD a column
     // (o_orderpriority) and RENAME o_totalprice -> total_price. A
@@ -1193,6 +1235,23 @@ object IngestOps {
         |WHERE ts_us >= (SELECT (min(ts_us) // 86400000000 + 1) * 86400000000 FROM ev)
         |  AND ts_us < (SELECT (min(ts_us) // 86400000000 + 4) * 86400000000 FROM ev)
         |GROUP BY day ORDER BY day""".stripMargin,
+
+    // the three populations a DEFAULT creates: pre-ADD rows frozen to
+    // 'LEGACY', omitting INSERTs resolved to 'LEGACY', explicit rows
+    "q162_column_defaults" ->
+      """WITH w AS (
+        |  SELECT o_orderkey, o_totalprice, 'LEGACY' AS tier FROM orders
+        |  WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 'LEGACY' FROM orders
+        |  WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |  WHERE o_orderkey % 3 = 2)
+        |SELECT tier, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |  min(o_orderkey) AS min_key
+        |FROM w GROUP BY tier ORDER BY tier""".stripMargin,
 
     "q129_partitioned_table" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -57,6 +57,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
   override def name(): String = catalogName
 
+  /** Column DEFAULTs are supported end to end: CREATE/ALTER carry the
+    * default in the column metadata (Spark's CURRENT_DEFAULT /
+    * EXISTS_DEFAULT keys, persisted inside the schema JSON), INSERTs
+    * omitting the column resolve CURRENT_DEFAULT at analysis, and scans
+    * fill EXISTS_DEFAULT for files written before the column existed —
+    * see the per-file reconciliation in ManifestSink. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   // ---- functions --------------------------------------------------------
   // The single catalog function is the `bucket` transform identity:
   // Spark's SPJ machinery (V2ScanPartitioningAndOrdering →
@@ -552,6 +561,7 @@ object GraftCatalog {
 
   private val PartitionsSchema = StructType(Seq(
     StructField("partition", StringType, nullable = false),
+    StructField("spec_id", LongType, nullable = false),
     StructField("files", IntegerType, nullable = false),
     StructField("rows", LongType, nullable = false),
     StructField("live_rows", LongType, nullable = false),
@@ -566,11 +576,15 @@ object GraftCatalog {
     * must never cost a data scan. Unpartitioned tables report one
     * all-table row with partition ''. */
   private[sources] def partitionsTable(root: Path): Table = {
+    // group by (spec id, tuple): under spec evolution the same tuple
+    // string can mean different things (identity "3" vs bucket id 3) —
+    // one row per meaning, the Iceberg partitions-view shape
     val rows = ManifestSink.committedEntries(root, None)
-      .groupBy(_.parts.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(","))
+      .groupBy(e => (e.specId,
+        e.parts.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")))
       .toSeq.sortBy(_._1)
-      .map { case (part, es) =>
-        new GenericInternalRow(Array[Any](UTF8String.fromString(part),
+      .map { case ((spec, part), es) =>
+        new GenericInternalRow(Array[Any](UTF8String.fromString(part), spec,
           es.size, es.map(_.rows).sum, es.map(_.liveRows).sum,
           es.map(_.dvRows).sum)): InternalRow
       }.toArray

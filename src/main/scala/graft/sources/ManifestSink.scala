@@ -1968,6 +1968,35 @@ object ManifestSink {
       tf: Map[String, PartTransform] = Map.empty): Boolean =
     evalPartFilter(f, e.parts, tf).getOrElse(mayMatch(e, f))
 
+  /** EXISTS_DEFAULT values per field (catalyst-typed; null where the
+    * column has no default): what a scan serves for columns ABSENT from
+    * a file's footer — Spark's own initial-default machinery, reading
+    * the metadata ALTER/CREATE recorded. */
+  private[sources] def existenceDefaults(schema: StructType): Array[Any] =
+    org.apache.spark.sql.catalyst.util.ResolveDefaultColumns
+      .existenceDefaultValues(schema).asInstanceOf[Array[Any]]
+
+  /** A shared constant vector serving `v` (catalyst-typed) for every
+    * row of a batch — the columnar twin of the MappedInternalRow fill. */
+  private[sources] def constantVector(dt: DataType, v: Any):
+      org.apache.spark.sql.vectorized.ColumnVector = {
+    val c = new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(4096, dt)
+    (v, dt) match {
+      case (null, _) => c.setNull()
+      case (b: Boolean, BooleanType) => c.setBoolean(b)
+      case (i: Int, IntegerType) => c.setInt(i)
+      case (l: Long, LongType) => c.setLong(l)
+      case (f: Float, org.apache.spark.sql.types.FloatType) => c.setFloat(f)
+      case (d: Double, DoubleType) => c.setDouble(d)
+      case (u: UTF8String, StringType) => c.setUtf8String(u)
+      case (b: Array[Byte], org.apache.spark.sql.types.BinaryType) => c.setBinary(b)
+      case (other, t) => throw new UnsupportedOperationException(
+        s"column DEFAULT of type ${t.simpleString} ($other) has no " +
+          "columnar constant fill — drop the default or read row-wise")
+    }
+    c
+  }
+
   /** Spec-aware twin of [[mayMatchEntry]]: resolves the transforms of
     * the spec the ENTRY was written under; an unknown spec skips tuple
     * pruning and decides from stats alone (conservative, never wrong). */
@@ -2831,8 +2860,11 @@ object ManifestSink {
         case a: TableChange.AddColumn =>
           val name = single(a.fieldNames, "ADD COLUMN")
           require(!schema.fieldNames.contains(name), s"column $name already exists")
-          require(a.isNullable,
-            s"ADD COLUMN $name must be nullable: existing rows have no value for it")
+          // a DEFAULT gives existing rows a value, so non-null is sound
+          // with one; without one, existing rows can only read NULL
+          require(a.isNullable || a.defaultValue() != null,
+            s"ADD COLUMN $name must be nullable or carry a DEFAULT: " +
+              "existing rows have no value for it")
           // honest failure beats silent misplacement: columns append at
           // the END (per-file reconciliation is name-keyed, not
           // position-keyed), so FIRST/AFTER cannot be honored
@@ -2841,8 +2873,32 @@ object ManifestSink {
               "tables append new columns at the end of the schema")
           requireSafeColumnNames(StructType(Seq(StructField(name, a.dataType))))
           colMap += name -> s"${name}_e$newEpoch"
+          // DEFAULT rides the column metadata in Spark's own encoding:
+          // CURRENT_DEFAULT (applied to future INSERTs omitting the
+          // column, resolved by Spark analysis) and EXISTS_DEFAULT (the
+          // value frozen NOW, filled at scan for files written before
+          // the column existed — the Iceberg/Delta initial-default)
+          val metadata = Option(a.defaultValue()) match {
+            case Some(d) =>
+              val cl = org.apache.spark.sql.catalyst.expressions.Literal(
+                d.getValue.value, d.getValue.dataType)
+              require(org.apache.spark.sql.catalyst.expressions.Cast
+                  .canUpCast(d.getValue.dataType, a.dataType),
+                s"DEFAULT ${cl.sql} (${d.getValue.dataType.simpleString}) " +
+                  s"cannot widen to ${a.dataType.simpleString}")
+              val frozen = org.apache.spark.sql.catalyst.expressions.Literal(
+                org.apache.spark.sql.catalyst.expressions.Cast(
+                  cl, a.dataType, ansiEnabled = true).eval(null), a.dataType)
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putString("CURRENT_DEFAULT",
+                  Option(d.getSql).getOrElse(frozen.sql))
+                .putString("EXISTS_DEFAULT", frozen.sql)
+                .build()
+            case None => org.apache.spark.sql.types.Metadata.empty
+          }
           schema = StructType(schema.fields :+
-            StructField(name, a.dataType, nullable = true))
+            StructField(name, a.dataType, nullable = a.isNullable,
+              metadata = metadata))
         case r: TableChange.RenameColumn =>
           val from = single(r.fieldNames, "RENAME COLUMN")
           val to = r.newName
@@ -4040,7 +4096,8 @@ object ManifestSink {
         val present = phys.filter(types.contains)
         val posOf = present.zipWithIndex.toMap
         val mapping = phys.map(p => posOf.getOrElse(p, -1))
-        val view = new MappedInternalRow(mapping, schema.fields.map(_.dataType))
+        val view = new MappedInternalRow(mapping, schema.fields.map(_.dataType),
+          existenceDefaults(schema))
         val r =
           if (widened) ManifestParquet.openReadWidened(file.toString,
             physSchemaOf(present.toSeq), returnBatches = false)
@@ -6144,6 +6201,10 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
     schema.fieldNames.contains(ManifestSink.ChangeTypeColumn)
   private val dataSchema: StructType = StructType(schema.fields.filterNot(f =>
     f.name == ManifestSink.FileNameColumn || f.name == ManifestSink.ChangeTypeColumn))
+  // EXISTS_DEFAULT per output ordinal (null = no default) — computed
+  // lazily per JVM (the metadata parse is driver/executor-agnostic)
+  @transient private lazy val existDefaults: Array[Any] =
+    ManifestSink.existenceDefaults(dataSchema)
 
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
@@ -6230,7 +6291,8 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
           if (widened) ManifestParquet.openReadWidened(p.file,
             physPresentSchema(present), returnBatches = false)
           else ManifestParquet.openRead(p.file, present, returnBatches = false)
-        private val view = new MappedInternalRow(mapping, dataSchema.fields.map(_.dataType))
+        private val view = new MappedInternalRow(mapping,
+          dataSchema.fields.map(_.dataType), existDefaults)
         override def next(): Boolean = reader.nextKeyValue()
         override def get(): InternalRow = {
           view.row = reader.getCurrentValue.asInstanceOf[InternalRow]; view
@@ -6293,14 +6355,13 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
           if (widened) ManifestParquet.openReadWidened(p.file,
             physPresentSchema(present), returnBatches = true)
           else ManifestParquet.openRead(p.file, present, returnBatches = true)
-        // constant all-null vectors for absent columns, shared across
+        // constant vectors for absent columns — the column's
+        // EXISTS_DEFAULT when one exists, else all-null — shared across
         // batches (capacity covers the reader's 4096-row batches)
         private val nullAt: Map[Int, ColumnVector] = mapping.zipWithIndex.collect {
           case (-1, i) =>
-            val v = new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(
-              4096, dataSchema.fields(i).dataType)
-            v.setNull()
-            i -> (v: ColumnVector)
+            i -> ManifestSink.constantVector(
+              dataSchema.fields(i).dataType, existDefaults(i))
         }.toMap
         override def next(): Boolean = reader.nextKeyValue()
         override def get(): ColumnarBatch = {
@@ -6357,22 +6418,36 @@ private[sources] class DvEmitReader(inner: PartitionReader[InternalRow],
   * (output ordinal → inner ordinal; -1 reads as null) — the per-row
   * null-fill for files predating an ADD COLUMN. Reused across rows. */
 private[sources] class MappedInternalRow(mapping: Array[Int],
-    types: Array[DataType]) extends InternalRow {
+    types: Array[DataType],
+    // per-output-ordinal EXISTS_DEFAULT values (catalyst-typed; null =
+    // no default → absent columns read as NULL, the pre-DEFAULT shape)
+    defaults: Array[Any] = null) extends InternalRow {
   var row: InternalRow = _
   private def m(i: Int): Int = mapping(i)
+  private def d(i: Int): Any = if (defaults == null) null else defaults(i)
   override def numFields: Int = mapping.length
-  override def isNullAt(i: Int): Boolean = m(i) < 0 || row.isNullAt(m(i))
-  override def getBoolean(i: Int): Boolean = row.getBoolean(m(i))
-  override def getByte(i: Int): Byte = row.getByte(m(i))
-  override def getShort(i: Int): Short = row.getShort(m(i))
-  override def getInt(i: Int): Int = row.getInt(m(i))
-  override def getLong(i: Int): Long = row.getLong(m(i))
-  override def getFloat(i: Int): Float = row.getFloat(m(i))
-  override def getDouble(i: Int): Double = row.getDouble(m(i))
+  override def isNullAt(i: Int): Boolean =
+    if (m(i) < 0) d(i) == null else row.isNullAt(m(i))
+  override def getBoolean(i: Int): Boolean =
+    if (m(i) < 0) d(i).asInstanceOf[Boolean] else row.getBoolean(m(i))
+  override def getByte(i: Int): Byte =
+    if (m(i) < 0) d(i).asInstanceOf[Byte] else row.getByte(m(i))
+  override def getShort(i: Int): Short =
+    if (m(i) < 0) d(i).asInstanceOf[Short] else row.getShort(m(i))
+  override def getInt(i: Int): Int =
+    if (m(i) < 0) d(i).asInstanceOf[Int] else row.getInt(m(i))
+  override def getLong(i: Int): Long =
+    if (m(i) < 0) d(i).asInstanceOf[Long] else row.getLong(m(i))
+  override def getFloat(i: Int): Float =
+    if (m(i) < 0) d(i).asInstanceOf[Float] else row.getFloat(m(i))
+  override def getDouble(i: Int): Double =
+    if (m(i) < 0) d(i).asInstanceOf[Double] else row.getDouble(m(i))
   override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
     row.getDecimal(m(i), precision, scale)
-  override def getUTF8String(i: Int): UTF8String = row.getUTF8String(m(i))
-  override def getBinary(i: Int): Array[Byte] = row.getBinary(m(i))
+  override def getUTF8String(i: Int): UTF8String =
+    if (m(i) < 0) d(i).asInstanceOf[UTF8String] else row.getUTF8String(m(i))
+  override def getBinary(i: Int): Array[Byte] =
+    if (m(i) < 0) d(i).asInstanceOf[Array[Byte]] else row.getBinary(m(i))
   override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
     row.getInterval(m(i))
   override def getVariant(i: Int): org.apache.spark.unsafe.types.VariantVal =
@@ -6388,14 +6463,16 @@ private[sources] class MappedInternalRow(mapping: Array[Int],
   override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData =
     row.getMap(m(i))
   override def get(i: Int, dataType: org.apache.spark.sql.types.DataType): AnyRef =
-    if (m(i) < 0) null else row.get(m(i), dataType)
+    if (m(i) < 0) d(i).asInstanceOf[AnyRef] else row.get(m(i), dataType)
   override def setNullAt(i: Int): Unit =
     throw new UnsupportedOperationException("read-only row view")
   override def update(i: Int, value: Any): Unit =
     throw new UnsupportedOperationException("read-only row view")
   override def copy(): InternalRow = {
     val vals = Array.tabulate[Any](numFields)(i =>
-      if (isNullAt(i)) null else row.get(m(i), types(i)))
+      if (isNullAt(i)) null
+      else if (m(i) < 0) d(i)
+      else row.get(m(i), types(i)))
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
   }
 }

@@ -189,9 +189,39 @@ class AlterTableSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("ALTER TABLE acat.db.bad ALTER COLUMN v TYPE STRING")
     }
-    intercept[Exception] { // non-nullable add is impossible for existing rows
+    intercept[Exception] { // non-nullable add without a DEFAULT is
+      // impossible for existing rows (with one it is fine — see below)
       spark.sql("ALTER TABLE acat.db.bad ADD COLUMN must BIGINT NOT NULL")
     }
     assert(spark.table("acat.db.bad").schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  test("ADD COLUMN DEFAULT: old files read the frozen default, new inserts resolve it, nothing rewritten") {
+    spark.sql("CREATE TABLE acat.db.dft (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO acat.db.dft VALUES (1, 10), (2, 20)") // gen-1: no 'score'
+    val gen1 = ManifestSink.committedEntries(wh.resolve("db").resolve("dft"), None)
+      .map(_.name).toSet
+    spark.sql("ALTER TABLE acat.db.dft ADD COLUMN score BIGINT DEFAULT 42")
+    spark.sql("ALTER TABLE acat.db.dft ADD COLUMN tag STRING DEFAULT 'none'")
+    // INSERT omitting the new columns → CURRENT_DEFAULT resolves
+    spark.sql("INSERT INTO acat.db.dft (id, v) VALUES (3, 30)")
+    // INSERT with explicit values
+    spark.sql("INSERT INTO acat.db.dft VALUES (4, 40, 7, 'real')")
+    val got = spark.sql(
+      "SELECT id, score, tag FROM acat.db.dft ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    // gen-1 rows read the FROZEN existence default — no rewrite happened
+    assert(got == Seq((1L, 42L, "none"), (2L, 42L, "none"),
+      (3L, 42L, "none"), (4L, 7L, "real")), s"got $got")
+    assert(ManifestSink.committedEntries(wh.resolve("db").resolve("dft"), None)
+      .map(_.name).toSet.intersect(gen1) == gen1,
+      "ADD COLUMN DEFAULT must be metadata-only: gen-1 files untouched")
+    // the default also participates in filters and aggregates
+    assert(spark.sql("SELECT sum(score) FROM acat.db.dft WHERE tag = 'none'")
+      .collect().head.getLong(0) == 42L * 3)
+    // and a NOT NULL add WITH a default is legal
+    spark.sql("ALTER TABLE acat.db.dft ADD COLUMN must BIGINT NOT NULL DEFAULT 0")
+    assert(spark.sql("SELECT count(*) FROM acat.db.dft WHERE must = 0")
+      .collect().head.getLong(0) == 4L)
   }
 }

@@ -167,6 +167,21 @@ class SpecEvolutionSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 0L)
   }
 
+  test("the partitions metadata view separates spec generations") {
+    spark.sql("CREATE TABLE evcat.db.pv (k BIGINT, v BIGINT) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO evcat.db.pv VALUES (3, 30)") // identity tuple "k=3"
+    spark.sql("CALL evcat.system.evolve_spec(table => 'db.pv', spec => 'bucket(4, k)')")
+    // route a key into bucket 3 so the tuple STRING collides with the
+    // identity generation's "k=3"
+    val x = (1L to 200L).find(x => ManifestSink.bucketOfLong(x, 4) == 3).get
+    spark.sql(s"INSERT INTO evcat.db.pv VALUES ($x, 99)")
+    val rows = spark.sql(
+      "SELECT partition, spec_id, rows FROM evcat.db.pv.partitions")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set(("k=3", 0L, 1L), ("k=3", 1L, 1L)),
+      s"same tuple string, two meanings -> two rows; got $rows")
+  }
+
   test("evolve validates the spec and is a no-op for an identical one") {
     spark.sql("CREATE TABLE evcat.db.vd (k BIGINT, s STRING) PARTITIONED BY (k)")
     spark.sql("INSERT INTO evcat.db.vd VALUES (1, 'a')")
