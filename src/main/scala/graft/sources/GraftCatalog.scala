@@ -465,7 +465,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       s"unknown procedure $ident; available: graft.system.vacuum, " +
         "graft.system.optimize, graft.system.rollback, " +
         "graft.system.create_branch, graft.system.fast_forward, " +
-        "graft.system.drop_branch")
+        "graft.system.drop_branch, graft.system.evolve_spec, " +
+        "graft.system.migrate_spec")
 }
 
 object GraftCatalog {

@@ -1990,6 +1990,11 @@ object ManifestSink {
       case (d: Double, DoubleType) => c.setDouble(d)
       case (u: UTF8String, StringType) => c.setUtf8String(u)
       case (b: Array[Byte], org.apache.spark.sql.types.BinaryType) => c.setBinary(b)
+      case (i: Int, org.apache.spark.sql.types.DateType) => c.setInt(i)
+      case (l: Long, org.apache.spark.sql.types.TimestampType) => c.setLong(l)
+      case (l: Long, org.apache.spark.sql.types.TimestampNTZType) => c.setLong(l)
+      case (dec: org.apache.spark.sql.types.Decimal,
+        t: org.apache.spark.sql.types.DecimalType) => c.setDecimal(dec, t.precision)
       case (other, t) => throw new UnsupportedOperationException(
         s"column DEFAULT of type ${t.simpleString} ($other) has no " +
           "columnar constant fill — drop the default or read row-wise")
@@ -2059,8 +2064,7 @@ object ManifestSink {
     def tfOfSpec(id: Long): Map[String, PartTransform] = hdr.fold(
       Map.empty[String, PartTransform])(h =>
       if (id == h.specId) h.partTransforms
-      else h.pastSpecs.get(id).fold(Map.empty[String, PartTransform])(
-        _.map(t => t.col -> t).toMap))
+      else h.pastTransformMaps.getOrElse(id, Map.empty))
     val withBlooms = filters.exists(bloomEligible)
     val expanded = inline ++ refs
       .filter(r => filters.forall(f => mayMatchGroup(r, f, tfOfSpec(r.specId))))
@@ -2475,9 +2479,13 @@ object ManifestSink {
       * renders and decision sites consume. */
     def effectiveSpec: Seq[PartTransform] =
       if (partSpec.nonEmpty) partSpec else partCols.map(PIdentity)
-    /** column → transform, identity omitted-or-present both fine. */
-    def partTransforms: Map[String, PartTransform] =
+    /** column → transform, identity omitted-or-present both fine.
+      * Memoized: pruning consults this once per entry per filter. */
+    lazy val partTransforms: Map[String, PartTransform] =
       effectiveSpec.map(t => t.col -> t).toMap
+    /** Archived specs as transform maps, memoized once per state. */
+    lazy val pastTransformMaps: Map[Long, Map[String, PartTransform]] =
+      pastSpecs.map { case (id, sp) => id -> sp.map(t => t.col -> t).toMap }
     /** The transforms an ENTRY's partition tuple must be read under: its
       * own spec. None for an unknown archived id (never produced by the
       * evolve path, which always archives) — callers must then refuse
@@ -2486,7 +2494,7 @@ object ManifestSink {
       * tuples, the one wrong direction. */
     def transformsForOpt(e: FileEntry): Option[Map[String, PartTransform]] =
       if (e.specId == specId) Some(partTransforms)
-      else pastSpecs.get(e.specId).map(_.map(t => t.col -> t).toMap)
+      else pastTransformMaps.get(e.specId)
     /** Non-entry, non-schema header lines every publisher carries:
       * partition spec, column mapping, schema epoch, delete mode,
       * bloom columns, write ordering, user properties, stream markers. */
@@ -3345,6 +3353,10 @@ object ManifestSink {
         val parts = args.split(",").map(_.trim)
         require(parts.length == 2, s"$fn takes (width, column), got '$args'")
         val (n, c) = (intArg(fn, parts(0)), parts(1))
+        // validate the LONG before narrowing — a toInt truncation would
+        // silently reinterpret an out-of-range width
+        require(n >= 1 && n <= Int.MaxValue,
+          s"$fn width $n out of range (1 .. ${Int.MaxValue})")
         (fn, typeOf(c)) match {
           case ("truncate", StringType) => PTruncStr(c, n.toInt)
           case ("truncate", _) => PTruncInt(c, n)
@@ -3379,16 +3391,32 @@ object ManifestSink {
     val schema = st.schema.getOrElse(throw new IllegalStateException(
       s"manifest table $tablePath has no schema"))
     requireSpecValid(newSpec, schema)
-    if (newSpec == st.effectiveSpec) return st.specId
-    val newId = st.specId + 1L
-    val meta = st.copy(partCols = newSpec.map(_.col), partSpec = newSpec,
-      specId = newId,
-      pastSpecs = st.pastSpecs + (st.specId -> st.effectiveSpec)).metaLines
-    // dataChange=false: no row is added or removed by a spec change
-    publish(root, st.version,
-      ((schema.json +: RewriteMarker +: meta) ++
-        renderEntrySection(root, st.entries, st.groups)).mkString("\n"))
-    newId
+    // rebase on a lost CAS like every metadata-only commit: a spec
+    // change commutes with concurrent appends/deletes (their entries
+    // carry their own spec ids), so re-reading and re-applying is
+    // always semantics-preserving
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val cur = readState(root)
+      if (newSpec == cur.effectiveSpec) return cur.specId
+      val newId = cur.specId + 1L
+      val meta = cur.copy(partCols = newSpec.map(_.col), partSpec = newSpec,
+        specId = newId,
+        pastSpecs = cur.pastSpecs + (cur.specId -> cur.effectiveSpec)).metaLines
+      // dataChange=false: no row is added or removed by a spec change
+      try {
+        publish(root, cur.version,
+          ((schema.json +: RewriteMarker +: meta) ++
+            renderEntrySection(root, cur.entries, cur.groups)).mkString("\n"))
+        return newId
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= 5) throw e
+          Thread.sleep(5L * attempt)
+      }
+    }
+    st.specId // unreachable
   }
 
   /** Rewrite every file still laid out under an ARCHIVED spec through
@@ -5767,6 +5795,11 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     * shuffle. Null when the entry's tuple is incomplete for the spec (a
     * scan containing such a file must not claim key grouping). */
   private def partKeyOf(e: ManifestSink.FileEntry): Array[Any] = {
+    // an archived-spec entry's tuple is NOT a key of the current spec —
+    // decoding it under the current transforms would crash (identity
+    // string under a bucket spec) or fabricate a wrong key; null
+    // withdraws the grouping claim, same contract as incomplete tuples
+    if (e.specId != specId) return null
     val tf = partTransforms
     val vals = partCols.map { c =>
       tf.get(c) match {
@@ -6443,13 +6476,15 @@ private[sources] class MappedInternalRow(mapping: Array[Int],
   override def getDouble(i: Int): Double =
     if (m(i) < 0) d(i).asInstanceOf[Double] else row.getDouble(m(i))
   override def getDecimal(i: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal =
-    row.getDecimal(m(i), precision, scale)
+    if (m(i) < 0) d(i).asInstanceOf[org.apache.spark.sql.types.Decimal]
+    else row.getDecimal(m(i), precision, scale)
   override def getUTF8String(i: Int): UTF8String =
     if (m(i) < 0) d(i).asInstanceOf[UTF8String] else row.getUTF8String(m(i))
   override def getBinary(i: Int): Array[Byte] =
     if (m(i) < 0) d(i).asInstanceOf[Array[Byte]] else row.getBinary(m(i))
   override def getInterval(i: Int): org.apache.spark.unsafe.types.CalendarInterval =
-    row.getInterval(m(i))
+    if (m(i) < 0) d(i).asInstanceOf[org.apache.spark.unsafe.types.CalendarInterval]
+    else row.getInterval(m(i))
   override def getVariant(i: Int): org.apache.spark.unsafe.types.VariantVal =
     row.getVariant(m(i))
   override def getGeography(i: Int): org.apache.spark.unsafe.types.GeographyVal =
@@ -6457,11 +6492,13 @@ private[sources] class MappedInternalRow(mapping: Array[Int],
   override def getGeometry(i: Int): org.apache.spark.unsafe.types.GeometryVal =
     row.getGeometry(m(i))
   override def getStruct(i: Int, numFields: Int): InternalRow =
-    row.getStruct(m(i), numFields)
+    if (m(i) < 0) d(i).asInstanceOf[InternalRow] else row.getStruct(m(i), numFields)
   override def getArray(i: Int): org.apache.spark.sql.catalyst.util.ArrayData =
-    row.getArray(m(i))
+    if (m(i) < 0) d(i).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    else row.getArray(m(i))
   override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData =
-    row.getMap(m(i))
+    if (m(i) < 0) d(i).asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+    else row.getMap(m(i))
   override def get(i: Int, dataType: org.apache.spark.sql.types.DataType): AnyRef =
     if (m(i) < 0) d(i).asInstanceOf[AnyRef] else row.get(m(i), dataType)
   override def setNullAt(i: Int): Unit =

@@ -224,4 +224,27 @@ class AlterTableSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM acat.db.dft WHERE must = 0")
       .collect().head.getLong(0) == 4L)
   }
+
+  test("DECIMAL/DATE/TIMESTAMP defaults serve on BOTH read paths (columnar and row rewrite)") {
+    spark.sql("CREATE TABLE acat.db.dtt (id BIGINT)")
+    spark.sql("INSERT INTO acat.db.dtt VALUES (1), (2), (3)")
+    spark.sql("ALTER TABLE acat.db.dtt ADD COLUMN price DECIMAL(10,2) DEFAULT 1.50")
+    spark.sql("ALTER TABLE acat.db.dtt ADD COLUMN d DATE DEFAULT DATE'2024-02-29'")
+    spark.sql("ALTER TABLE acat.db.dtt " +
+      "ADD COLUMN ts TIMESTAMP DEFAULT TIMESTAMP'2024-01-01 00:00:00'")
+    // columnar scan of pre-ADD files fills typed constant vectors
+    val r = spark.sql(
+      "SELECT id, CAST(price AS STRING), CAST(d AS STRING), CAST(ts AS STRING) " +
+        "FROM acat.db.dtt WHERE id = 2").collect().head
+    assert((r.getLong(0), r.getString(1), r.getString(2)) ==
+      ((2L, "1.50", "2024-02-29")), s"got $r")
+    assert(r.getString(3).startsWith("2024-01-01"))
+    // row-wise rewrite path (CoW DELETE reads old rows through the
+    // default-aware mapped view) must materialize the frozen defaults
+    spark.sql("DELETE FROM acat.db.dtt WHERE id = 1")
+    val sums = spark.sql(
+      "SELECT count(*), CAST(sum(price) AS STRING) FROM acat.db.dtt " +
+        "WHERE d = DATE'2024-02-29'").collect().head
+    assert((sums.getLong(0), sums.getString(1)) == ((2L, "3.00")), s"got $sums")
+  }
 }

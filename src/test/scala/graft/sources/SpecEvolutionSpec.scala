@@ -167,6 +167,19 @@ class SpecEvolutionSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 0L)
   }
 
+  test("identity(STRING) -> bucket evolution keeps every scan readable (no key decode crash)") {
+    // regression: partKeyOf used to decode old-spec tuples under the
+    // CURRENT transforms — a non-numeric identity tuple under a bucket
+    // spec crashed planInputPartitions with NumberFormatException
+    spark.sql("CREATE TABLE evcat.db.sk (s STRING, v BIGINT) PARTITIONED BY (s)")
+    spark.sql("INSERT INTO evcat.db.sk VALUES ('alpha', 1), ('beta', 2)")
+    spark.sql("CALL evcat.system.evolve_spec(table => 'db.sk', spec => 'bucket(8, s)')")
+    spark.sql("INSERT INTO evcat.db.sk VALUES ('gamma', 3)")
+    assert(spark.sql("SELECT sum(v) FROM evcat.db.sk").collect().head.getLong(0) == 6L)
+    assert(spark.sql("SELECT v FROM evcat.db.sk WHERE s = 'beta'")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("the partitions metadata view separates spec generations") {
     spark.sql("CREATE TABLE evcat.db.pv (k BIGINT, v BIGINT) PARTITIONED BY (k)")
     spark.sql("INSERT INTO evcat.db.pv VALUES (3, 30)") // identity tuple "k=3"
