@@ -64,7 +64,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     * fill EXISTS_DEFAULT for files written before the column existed —
     * see the per-file reconciliation in ManifestSink. */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   // ---- functions --------------------------------------------------------
   // The single catalog function is the `bucket` transform identity:

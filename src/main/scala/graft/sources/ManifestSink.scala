@@ -1968,6 +1968,25 @@ object ManifestSink {
       tf: Map[String, PartTransform] = Map.empty): Boolean =
     evalPartFilter(f, e.parts, tf).getOrElse(mayMatch(e, f))
 
+  /** Reserved property prefix persisting CHECK constraints:
+    * `graft.constraint.<name>` -> predicate SQL. */
+  private[sources] val ConstraintPropPrefix = "graft.constraint."
+
+  /** The table's CHECK constraints, rebuilt from properties — enforced
+    * and validated (ADD scanned existing rows before persisting). */
+  private[sources] def constraintsOf(props: Map[String, String]):
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    props.toSeq.collect {
+      case (k, sql) if k.startsWith(ConstraintPropPrefix) =>
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check(k.stripPrefix(ConstraintPropPrefix))
+          .predicateSql(sql)
+          .enforced(true)
+          .validationStatus(org.apache.spark.sql.connector.catalog
+            .constraints.Constraint.ValidationStatus.VALID)
+          .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.sortBy(_.name).toArray
+
   /** EXISTS_DEFAULT values per field (catalyst-typed; null where the
     * column has no default): what a scan serves for columns ABSENT from
     * a file's footer — Spark's own initial-default machinery, reading
@@ -2852,6 +2871,7 @@ object ManifestSink {
       // epoch makes every scan probe per-file footers forever after
       val schemaChange = changes.exists {
         case _: TableChange.SetProperty | _: TableChange.RemoveProperty => false
+        case _: TableChange.AddConstraint | _: TableChange.DropConstraint => false
         case _ => true
       }
       val newEpoch = if (schemaChange) st.schemaEpoch + 1 else st.schemaEpoch
@@ -3013,9 +3033,31 @@ object ManifestSink {
           case "write.sort-by" => sortCols = Seq.empty
           case other => props0 -= other
         }
+        case ac: TableChange.AddConstraint => ac.constraint() match {
+          // CHECK constraints persist as a reserved table property; the
+          // Table surfaces them via constraints() and Spark does the
+          // rest — ResolveTableConstraints injects CheckInvariant into
+          // every v2 write (violating INSERTs fail row-exactly), and
+          // AddCheckConstraintExec validates EXISTING rows with a scan
+          // before this alter is ever called
+          case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            val key = s"${ConstraintPropPrefix}${ck.name}"
+            require(!props0.contains(key),
+              s"constraint ${ck.name} already exists")
+            props0 += key -> ck.predicateSql
+          case other => throw new UnsupportedOperationException(
+            s"manifest tables enforce CHECK constraints only; " +
+              s"${other.getClass.getSimpleName} (${other.name}) is not supported")
+        }
+        case dc: TableChange.DropConstraint =>
+          val key = s"${ConstraintPropPrefix}${dc.name}"
+          require(dc.ifExists || props0.contains(key),
+            s"no constraint ${dc.name} to drop")
+          props0 -= key
         case other => throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change for manifest tables: $other " +
-            "(supported: ADD/RENAME/DROP COLUMN, SET/UNSET TBLPROPERTIES)")
+            "(supported: ADD/RENAME/DROP COLUMN, ADD/DROP CONSTRAINT " +
+            "(CHECK), SET/UNSET TBLPROPERTIES)")
       }
       colMap = colMap.filter { case (k, v) => k != v }
       val meta = st.copy(schema = Some(schema), partCols = partCols,
@@ -4525,6 +4567,15 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
       s"${branch.fold("")(b => s"@branch=$b")}" +
       s"${changes.fold("")(c => s"Δv${c._1}..${if (c._2 < 0) "now" else c._2}")})"
   override def schema(): StructType = schema0
+
+  /** Enforced CHECK constraints (persisted as reserved properties):
+    * Spark's ResolveTableConstraints reads these and injects a
+    * CheckInvariant into every write of this table, so a violating
+    * INSERT/UPDATE/MERGE fails row-exactly — the Delta CHECK shape. */
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    if (ManifestSink.currentVersion(root) <= 0L) Array.empty
+    else ManifestSink.constraintsOf(ManifestSink.readHeader(root, metaPin).props)
 
   /** `_file` metadata column (the Iceberg/parquet `_metadata.file_name`
     * shape): the manifest data file each row lives in, emitted as a
