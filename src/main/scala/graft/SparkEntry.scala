@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnalyticsOps, CurationOps, DedupOps, EnrichOps, IngestOps, MultimodalOps, PipelineOps, Relational, SimilarityOps, StreamingOps, TextOps, UdfOps}
+import graft.operators.{AnalyticsOps, BpeOps, CurationOps, DedupOps, EnrichOps, IngestOps, MultimodalOps, PipelineOps, Relational, SimilarityOps, StreamingOps, TextOps, UdfOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,8 @@ object SparkEntry {
     Relational.queries ++ IngestOps.queries ++ DedupOps.queries ++
       SimilarityOps.queries ++ TextOps.queries ++ MultimodalOps.queries ++
       StreamingOps.queries ++ EnrichOps.queries ++ UdfOps.queries ++
-      PipelineOps.queries ++ CurationOps.queries ++ AnalyticsOps.queries
+      PipelineOps.queries ++ CurationOps.queries ++ AnalyticsOps.queries ++
+      BpeOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     Relational.oracle ++ IngestOps.oracle ++ DedupOps.oracle ++
       SimilarityOps.oracle ++ TextOps.oracle ++ MultimodalOps.oracle ++
       StreamingOps.oracle ++ EnrichOps.oracle ++ UdfOps.oracle ++
-      PipelineOps.oracle ++ CurationOps.oracle ++ AnalyticsOps.oracle
+      PipelineOps.oracle ++ CurationOps.oracle ++ AnalyticsOps.oracle ++
+      BpeOps.oracle
 }

@@ -172,7 +172,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
   }
 
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    createTableImpl(ident, schema, partitions, properties, Map.empty)
+
+  /** CREATE TABLE with inline constraints: Spark's CreateTableExec calls
+    * THIS overload (the legacy one via the default implementation would
+    * silently DISCARD `TableInfo.constraints` — verified in 4.1.2's
+    * default `TableCatalog.createTable(ident, TableInfo)`). The table is
+    * created empty, so the constraints are trivially valid; they persist
+    * exactly like ADD CONSTRAINT's and every subsequent write enforces
+    * them. */
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    import org.apache.spark.sql.connector.catalog.constraints.Check
+    val names = info.constraints().map(_.name.toLowerCase(java.util.Locale.ROOT))
+    require(names.distinct.length == names.length,
+      s"duplicate constraint names in CREATE TABLE: ${names.mkString(", ")}")
+    val known = info.schema().fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val cprops = info.constraints().map {
+      case ck: Check =>
+        require(ck.enforced(),
+          s"constraint ${ck.name}: manifest tables support ENFORCED CHECK " +
+            "constraints only — write-side invariant injection does not " +
+            "honor NOT ENFORCED")
+        val refs = ManifestSink.constraintRefCols(ck.predicateSql)
+        require(refs.subsetOf(known),
+          s"constraint ${ck.name} (${ck.predicateSql}) references unknown " +
+            s"column(s) ${(refs -- known).mkString(", ")}")
+        s"${ManifestSink.ConstraintPropPrefix}${ck.name}" ->
+          ManifestSink.encodeConstraint(ck.rely(), ck.predicateSql)
+      case other => throw new UnsupportedOperationException(
+        s"manifest tables enforce CHECK constraints only; " +
+          s"${other.getClass.getSimpleName} (${other.name}) is not supported")
+    }.toMap
+    createTableImpl(ident, info.schema(), info.partitions(), info.properties(),
+      cprops)
+  }
+
+  private def createTableImpl(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      constraintProps: Map[String, String]): Table = {
     // identity + the EXACT interval transforms (days/months/years/hours,
     // truncate — each covers a contiguous interval of the source domain,
     // so file pruning and metadata-only DELETE proofs stay exact) +
@@ -323,6 +363,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // to exactly one winner
     // free-form TBLPROPERTIES (minus the dedicated knobs and Spark's
     // own catalog bookkeeping) persist from v1 onward
+    // a TBLPROPERTIES forgery of the constraint prefix would persist an
+    // unvalidated "constraint" — loud refusal, not silent filtering
+    properties.asScala.keys.foreach(k =>
+      require(!k.startsWith(ManifestSink.ConstraintPropPrefix),
+        s"table property $k is reserved — declare constraints with " +
+          "CONSTRAINT ... CHECK (...)"))
     val userProps = properties.asScala.toMap
       .filter { case (k, _) => !ManifestSink.reservedProp(k) }
     // validated knobs that ride the free-form bag must fail at CREATE,
@@ -331,7 +377,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     ManifestSink.publishCommit(p, schema, truncateFirst = true, Seq.empty,
       markerUpdate = None, GcPolicy(None, 3600L * 1000), createPartSpec = partSpec,
       createDeleteMode = deleteMode, createBloomCols = bloomCols,
-      createSortCols = sortCols, createProps = userProps)
+      createSortCols = sortCols, createProps = userProps ++ constraintProps)
     new ManifestTable(p, schema)
   }
 

@@ -1599,7 +1599,11 @@ object ManifestSink {
   private[sources] def reservedProp(k: String): Boolean =
     k == "delete.mode" || k == "bloom.columns" || k == "write.sort-by" ||
       k == "provider" || k == "owner" || k == "location" || k == "comment" ||
-      k == "external" || k.startsWith("option.") || k.startsWith("spark.")
+      k == "external" || k.startsWith("option.") || k.startsWith("spark.") ||
+      // constraints may only enter through ADD CONSTRAINT (which
+      // validates existing rows with a scan) — a SET TBLPROPERTIES
+      // forgery would skip the validation and lie about enforcement
+      k.startsWith(ConstraintPropPrefix)
 
   /** Table-level bloom-filter column list, one manifest header line —
     * `#bloomcols<TAB>c1,c2`. Set at CREATE (TBLPROPERTIES
@@ -1972,20 +1976,106 @@ object ManifestSink {
     * `graft.constraint.<name>` -> predicate SQL. */
   private[sources] val ConstraintPropPrefix = "graft.constraint."
 
+  /** Persisted value for a CHECK constraint. `v2<TAB><rely><TAB><sql>`
+    * carries the RELY optimizer hint; a bare value (no `v2` prefix) is
+    * the round-10 legacy encoding, read as rely=false. Enforcement is
+    * not a flag: manifest tables accept ENFORCED CHECK constraints only
+    * (Spark's ResolveTableConstraints injects a CheckInvariant for
+    * every reported Check regardless of its enforced bit — verified in
+    * 4.1.2 — so a NOT ENFORCED constraint could not be honored and is
+    * refused at ADD instead of silently misbehaving). */
+  private[sources] def encodeConstraint(rely: Boolean, sql: String): String =
+    s"v2\t${if (rely) 1 else 0}\t$sql"
+
+  private[sources] def decodeConstraint(v: String): (Boolean, String) =
+    if (v.startsWith("v2\t")) {
+      val rest = v.stripPrefix("v2\t")
+      val i = rest.indexOf('\t')
+      (rest.substring(0, i) == "1", rest.substring(i + 1))
+    } else (false, v)
+
+  /** Resolve `name` against persisted constraint keys the way SQL
+    * resolves identifiers: case-insensitively (ADD CONSTRAINT Positive
+    * / DROP CONSTRAINT positive address the same constraint). */
+  private[sources] def constraintKeyOf(props: Map[String, String],
+      name: String): Option[String] =
+    props.keys.find(k => k.startsWith(ConstraintPropPrefix) &&
+      k.stripPrefix(ConstraintPropPrefix).equalsIgnoreCase(name))
+
+  /** Top-level column names a CHECK predicate references (lowercased),
+    * from the parsed-but-unresolved expression — what DROP/RENAME
+    * COLUMN must guard against to keep the table writable. */
+  private[sources] def constraintRefCols(sql: String): Set[String] =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+      }.toSet
+
+  /** Name of a persisted CHECK constraint whose predicate references
+    * column `col` (case-insensitive), if any. */
+  private[sources] def constraintReferencing(props: Map[String, String],
+      col: String): Option[String] = {
+    val lc = col.toLowerCase(java.util.Locale.ROOT)
+    props.collectFirst {
+      case (k, v) if k.startsWith(ConstraintPropPrefix) &&
+          constraintRefCols(decodeConstraint(v)._2).contains(lc) =>
+        k.stripPrefix(ConstraintPropPrefix)
+    }
+  }
+
   /** The table's CHECK constraints, rebuilt from properties — enforced
-    * and validated (ADD scanned existing rows before persisting). */
+    * and validated (ADD scanned existing rows before persisting; CREATE
+    * persisted them against an empty table). */
   private[sources] def constraintsOf(props: Map[String, String]):
       Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
     props.toSeq.collect {
-      case (k, sql) if k.startsWith(ConstraintPropPrefix) =>
+      case (k, v) if k.startsWith(ConstraintPropPrefix) =>
+        val (rely, sql) = decodeConstraint(v)
         org.apache.spark.sql.connector.catalog.constraints.Constraint
           .check(k.stripPrefix(ConstraintPropPrefix))
           .predicateSql(sql)
           .enforced(true)
+          .rely(rely)
           .validationStatus(org.apache.spark.sql.connector.catalog
             .constraints.Constraint.ValidationStatus.VALID)
           .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
     }.sortBy(_.name).toArray
+
+  /** CHECK predicates of `props` resolved and BOUND against `schema`
+    * (driver-side; needs an active session): what a write path that
+    * Spark's analyzer rule cannot instrument — the streaming sink plans
+    * through `WriteToMicroBatchDataSource`, which is not a
+    * `V2WriteCommand`, so `ResolveTableConstraints` never sees it —
+    * must evaluate per row itself. Returns (name, sql, bound predicate
+    * expression); the expression is already null-tolerant (SQL CHECK
+    * semantics: only FALSE violates, NULL passes). */
+  private[sources] def boundConstraintExprs(schema: StructType,
+      props: Map[String, String]):
+      Seq[(String, String, org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{BindReferences, IsNull, Or}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+    val checks = props.toSeq.collect {
+      case (k, v) if k.startsWith(ConstraintPropPrefix) =>
+        (k.stripPrefix(ConstraintPropPrefix), decodeConstraint(v)._2)
+    }.sortBy(_._1)
+    if (checks.isEmpty) Seq.empty
+    else {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val rel = LocalRelation(
+        org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema))
+      checks.map { case (name, sql) =>
+        val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+        val analyzed = spark.sessionState.analyzer.execute(Filter(parsed, rel))
+        val cond = analyzed.collectFirst { case f: Filter => f.condition }
+          .getOrElse(throw new IllegalStateException(
+            s"CHECK constraint $name ($sql) did not analyze to a filter"))
+        require(cond.resolved,
+          s"CHECK constraint $name ($sql) does not resolve against the write schema")
+        (name, sql, BindReferences.bindReference(Or(cond, IsNull(cond)), rel.output))
+      }
+    }
+  }
 
   /** EXISTS_DEFAULT values per field (catalyst-typed; null where the
     * column has no default): what a scan serves for columns ABSENT from
@@ -2931,6 +3021,13 @@ object ManifestSink {
           val from = single(r.fieldNames, "RENAME COLUMN")
           val to = r.newName
           require(schema.fieldNames.contains(from), s"no column $from to rename")
+          // a CHECK predicate stores SQL text: renaming a referenced
+          // column would leave it binding to nothing (or, after a later
+          // ADD COLUMN of the old name, to the WRONG column) — refuse;
+          // drop the constraint, rename, re-add
+          constraintReferencing(props0, from).foreach(c => throw
+            new IllegalArgumentException(s"cannot rename column $from: " +
+              s"CHECK constraint $c references it — DROP CONSTRAINT first"))
           require(!schema.fieldNames.contains(to), s"column $to already exists")
           requireSafeColumnNames(StructType(Seq(StructField(to, StringType))))
           val phys = colMap.getOrElse(from, from)
@@ -2982,6 +3079,12 @@ object ManifestSink {
           require(!eqDels0.exists(_.cols.contains(name)),
             s"cannot drop column $name: an outstanding equality delete keys " +
               "on it — OPTIMIZE the table first")
+          // a constraint referencing a dropped column would make every
+          // later write fail at analysis (the predicate SQL no longer
+          // resolves) — the table would be unwritable through DDL
+          constraintReferencing(props0, name).foreach(c => throw
+            new IllegalArgumentException(s"cannot drop column $name: " +
+              s"CHECK constraint $c references it — DROP CONSTRAINT first"))
           require(schema.fields.length > 1, "cannot drop a table's last column")
           colMap -= name
           schema = StructType(schema.fields.filterNot(_.name == name))
@@ -3031,7 +3134,13 @@ object ManifestSink {
           case "delete.mode" => deleteMode0 = DeleteModeCow
           case "bloom.columns" => bloomCols = Seq.empty
           case "write.sort-by" => sortCols = Seq.empty
-          case other => props0 -= other
+          case other =>
+            // UNSET TBLPROPERTIES must not silently delete a constraint
+            // (DROP CONSTRAINT is the audited path for that)
+            require(!other.startsWith(ConstraintPropPrefix),
+              s"property $other is reserved — use ALTER TABLE ... " +
+                "DROP CONSTRAINT to remove a constraint")
+            props0 -= other
         }
         case ac: TableChange.AddConstraint => ac.constraint() match {
           // CHECK constraints persist as a reserved table property; the
@@ -3041,19 +3150,47 @@ object ManifestSink {
           // AddCheckConstraintExec validates EXISTING rows with a scan
           // before this alter is ever called
           case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
-            val key = s"${ConstraintPropPrefix}${ck.name}"
-            require(!props0.contains(key),
+            // the validation scan ran at a specific version (Spark
+            // passes it from Table.version()); a commit landing between
+            // the scan and this publish could hold violating rows the
+            // scan never saw — refuse instead of persisting a
+            // constraint whose VALID status would be a lie. The same
+            // guard refuses the CAS rebase below (attempt > 1 implies
+            // the table advanced mid-ALTER).
+            Option(ac.validatedTableVersion()).foreach { v =>
+              require(v == st.version.toString,
+                s"table advanced from version $v to ${st.version} since " +
+                  s"the ADD CONSTRAINT ${ck.name} validation scan — " +
+                  "concurrent writes may violate the predicate; retry")
+            }
+            require(attempt == 1,
+              s"table advanced during ADD CONSTRAINT ${ck.name} — " +
+                "concurrent writes may violate the predicate; retry")
+            require(ck.enforced(),
+              s"constraint ${ck.name}: manifest tables support ENFORCED " +
+                "CHECK constraints only — Spark's write-side invariant " +
+                "injection does not honor NOT ENFORCED, so accepting it " +
+                "would enforce anyway; drop NOT ENFORCED")
+            require(constraintKeyOf(props0, ck.name).isEmpty,
               s"constraint ${ck.name} already exists")
-            props0 += key -> ck.predicateSql
+            val refs = constraintRefCols(ck.predicateSql)
+            val known = schema.fieldNames
+              .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+            require(refs.subsetOf(known),
+              s"constraint ${ck.name} (${ck.predicateSql}) references " +
+                s"unknown column(s) ${(refs -- known).mkString(", ")}")
+            props0 += s"${ConstraintPropPrefix}${ck.name}" ->
+              encodeConstraint(ck.rely(), ck.predicateSql)
           case other => throw new UnsupportedOperationException(
             s"manifest tables enforce CHECK constraints only; " +
               s"${other.getClass.getSimpleName} (${other.name}) is not supported")
         }
         case dc: TableChange.DropConstraint =>
-          val key = s"${ConstraintPropPrefix}${dc.name}"
-          require(dc.ifExists || props0.contains(key),
-            s"no constraint ${dc.name} to drop")
-          props0 -= key
+          constraintKeyOf(props0, dc.name) match {
+            case Some(key) => props0 -= key
+            case None => require(dc.ifExists,
+              s"no constraint ${dc.name} to drop")
+          }
         case other => throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change for manifest tables: $other " +
             "(supported: ADD/RENAME/DROP COLUMN, ADD/DROP CONSTRAINT " +
@@ -4568,14 +4705,29 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
       s"${changes.fold("")(c => s"Δv${c._1}..${if (c._2 < 0) "now" else c._2}")})"
   override def schema(): StructType = schema0
 
+  /** The version this table instance's metadata resolves at, reported
+    * through the connector API. ADD CONSTRAINT's validation scan
+    * records it (`TableChange.AddConstraint.validatedTableVersion`) and
+    * [[ManifestSink.alterSchema]] refuses to persist the constraint if
+    * the table has advanced past it — the scan's VALID verdict only
+    * covers the scanned version. */
+  override def version(): String =
+    metaPin.getOrElse(ManifestSink.currentVersion(root)).toString
+
   /** Enforced CHECK constraints (persisted as reserved properties):
     * Spark's ResolveTableConstraints reads these and injects a
     * CheckInvariant into every write of this table, so a violating
-    * INSERT/UPDATE/MERGE fails row-exactly — the Delta CHECK shape. */
-  override def constraints():
+    * INSERT/UPDATE/MERGE fails row-exactly — the Delta CHECK shape.
+    * Computed once per table instance: Spark calls constraints() up to
+    * three times per write analysis, and a snapshot-consistent answer
+    * beats three directory listings. */
+  private lazy val constraints0:
       Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
     if (ManifestSink.currentVersion(root) <= 0L) Array.empty
     else ManifestSink.constraintsOf(ManifestSink.readHeader(root, metaPin).props)
+  override def constraints():
+      Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    constraints0
 
   /** `_file` metadata column (the Iceberg/parquet `_metadata.file_name`
     * shape): the manifest data file each row lives in, emitted as a
@@ -4604,7 +4756,11 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
     m.put("delete.mode", st.deleteMode)
     if (st.bloomCols.nonEmpty) m.put("bloom.columns", st.bloomCols.mkString(","))
     if (st.sortCols.nonEmpty) m.put("write.sort-by", st.sortCols.mkString(","))
-    st.props.foreach { case (k, v) => m.put(k, v) }
+    // constraints surface through constraints()/DESCRIBE, not as raw
+    // encoded properties (and SHOW output must never round-trip back
+    // through SET TBLPROPERTIES, which rejects the reserved prefix)
+    st.props.foreach { case (k, v) =>
+      if (!k.startsWith(ManifestSink.ConstraintPropPrefix)) m.put(k, v) }
     m
   }
 
@@ -4831,8 +4987,13 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
       override def toStreaming: StreamingWrite = {
         require(branch.isEmpty, "streaming writes onto a BRANCH are not " +
           "supported — stream into the table, or stage batch appends for WAP")
+        // the analyzer rule that injects CheckInvariant only matches
+        // V2WriteCommand/WriteDelta; the micro-batch write plan is
+        // neither, so CHECK constraints are bound here (driver) and
+        // enforced per row in the stream's writers
         new ManifestStreamingWrite(root, schema, truncateFirst, gc, queryId,
-          pc, cmap, bc, rgb, pspec, pspecId)
+          pc, cmap, bc, rgb, pspec, pspecId,
+          checks = ManifestSink.boundConstraintExprs(schema, st.props))
       }
     }
   }
@@ -5015,11 +5176,12 @@ class ManifestStreamingWrite(root: Path, schema: StructType, truncateEachEpoch: 
     bloomCols: Seq[String] = Seq.empty,
     rowGroupBytes: Option[Long] = None,
     partSpec: Seq[ManifestSink.PartTransform] = Seq.empty,
-    specId: Long = 0L)
+    specId: Long = 0L,
+    checks: Seq[(String, String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new ManifestStreamingWriterFactory(root.toString, schema, partCols, colMap,
-      bloomCols, rowGroupBytes, partSpec)
+      bloomCols, rowGroupBytes, partSpec, checks)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     if (ManifestSink.epochMarkers(root).get(queryId).exists(_ >= epochId)) {
@@ -5044,20 +5206,56 @@ class ManifestStreamingWriterFactory(rootStr: String, schema: StructType,
     colMap: Map[String, String] = Map.empty,
     bloomCols: Seq[String] = Seq.empty,
     rowGroupBytes: Option[Long] = None,
-    partSpec: Seq[ManifestSink.PartTransform] = Seq.empty) extends StreamingDataWriterFactory {
+    partSpec: Seq[ManifestSink.PartTransform] = Seq.empty,
+    checks: Seq[(String, String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+    extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
     // epoch in the name is for operator debuggability only; uniqueness
     // still comes from the UUID (a replayed epoch writes NEW files,
     // which commit() then discards)
     val prefix = s"data-e$epochId-p$partitionId-t$taskId"
-    if (partCols.isEmpty)
-      new ManifestDataWriter(rootStr, schema,
-        s"$prefix-${java.util.UUID.randomUUID()}.parquet", colMap = colMap,
-        bloomCols = bloomCols, rowGroupBytes = rowGroupBytes)
-    else new PartitionedDataWriter(rootStr, schema, partCols, prefix, colMap,
-      bloomCols, rowGroupBytes, partSpec)
+    val inner: DataWriter[InternalRow] =
+      if (partCols.isEmpty)
+        new ManifestDataWriter(rootStr, schema,
+          s"$prefix-${java.util.UUID.randomUUID()}.parquet", colMap = colMap,
+          bloomCols = bloomCols, rowGroupBytes = rowGroupBytes)
+      else new PartitionedDataWriter(rootStr, schema, partCols, prefix, colMap,
+        bloomCols, rowGroupBytes, partSpec)
+    if (checks.isEmpty) inner
+    else new CheckEnforcingWriter(inner, schema, checks)
   }
+}
+
+/** Per-row CHECK enforcement for write paths the analyzer cannot
+  * instrument (streaming micro-batches): evaluates every bound
+  * constraint predicate — null-tolerant, so only an explicit FALSE
+  * violates, matching SQL CHECK and Spark's own CheckInvariant — and
+  * fails the task before a violating row reaches the file. The task
+  * abort then deletes the partial file, so nothing commits. */
+class CheckEnforcingWriter(inner: DataWriter[InternalRow],
+    schema: StructType,
+    checks: Seq[(String, String, org.apache.spark.sql.catalyst.expressions.Expression)])
+    extends DataWriter[InternalRow] {
+  // compiled lazily ON THE EXECUTOR (codegen with interpreted fallback)
+  private lazy val preds = checks.map { case (name, sql, bound) =>
+    (name, sql, org.apache.spark.sql.catalyst.expressions.Predicate.create(bound))
+  }
+  override def write(row: InternalRow): Unit = {
+    preds.foreach { case (name, sql, p) =>
+      if (!p.eval(row)) {
+        val rendered = schema.fields.zipWithIndex.map { case (f, i) =>
+          s"${f.name}=${if (row.isNullAt(i)) "null" else row.get(i, f.dataType)}"
+        }.mkString(", ")
+        throw new IllegalStateException(
+          s"CHECK constraint $name ($sql) violated by row [$rendered]")
+      }
+    }
+    inner.write(row)
+  }
+  override def commit(): WriterCommitMessage = inner.commit()
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
 }
 
 class ManifestWriterFactory(rootStr: String, schema: StructType,
