@@ -143,8 +143,13 @@ object BpeOps {
 
   // ---- DuckDB oracle ------------------------------------------------------
 
+  // Every CTE is AS MATERIALIZED: DuckDB INLINES plain CTEs, and the
+  // unrolled training rounds reference each round's tables 3–5 times —
+  // inlining makes the expansion (and the number of times
+  // documents.parquet is re-opened) EXPONENTIAL in the round count.
+  // Materialization pins each round to one evaluation (DuckDB ≥0.9).
   private val wordsSql =
-    """words AS (
+    """words AS MATERIALIZED (
       |  SELECT word, CAST(count(*) AS BIGINT) AS wc
       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       |  WHERE length(word) >= 1 GROUP BY word)""".stripMargin
@@ -163,38 +168,38 @@ object BpeOps {
       s"""pos$k AS (
          |  SELECT word_t, wc, unnest(generate_series(1, length(word_t) - 1)) AS i
          |  FROM w$prev),
-         |p$k AS (
+         |p$k AS MATERIALIZED (
          |  SELECT substr(word_t, i, 1) AS lc, substr(word_t, i + 1, 1) AS rc,
          |    CAST(sum(wc) AS BIGINT) AS cnt
          |  FROM pos$k GROUP BY 1, 2),
-         |t$k AS (
+         |t$k AS MATERIALIZED (
          |  SELECT lc, rc, cnt FROM (
          |    SELECT p.lc, p.rc, p.cnt,
          |      row_number() OVER (ORDER BY p.cnt DESC, vl.tok, vr.tok) AS rn
          |    FROM p$k p
          |    JOIN v$prev vl ON vl.ch = p.lc
          |    JOIN v$prev vr ON vr.ch = p.rc) WHERE rn = 1),
-         |o$k AS (
+         |o$k AS MATERIALIZED (
          |  SELECT $k AS round, vl.tok AS left_tok, vr.tok AS right_tok, t.cnt AS cnt
          |  FROM t$k t
          |  JOIN v$prev vl ON vl.ch = t.lc
          |  JOIN v$prev vr ON vr.ch = t.rc),
-         |v$k AS (
+         |v$k AS MATERIALIZED (
          |  SELECT ch, tok FROM v$prev
          |  UNION ALL
          |  SELECT chr(${pu(k)}) AS ch, vl.tok || vr.tok AS tok
          |  FROM t$k t
          |  JOIN v$prev vl ON vl.ch = t.lc
          |  JOIN v$prev vr ON vr.ch = t.rc),
-         |w$k AS (
+         |w$k AS MATERIALIZED (
          |  SELECT w.word, replace(w.word_t, t.lc || t.rc, chr(${pu(k)})) AS word_t, w.wc
          |  FROM w$prev w, t$k t)""".stripMargin
     }
     s"""$wordsSql,
-       |w0 AS (SELECT word, word AS word_t, wc FROM words),
-       |allpos AS (
+       |w0 AS MATERIALIZED (SELECT word, word AS word_t, wc FROM words),
+       |allpos AS MATERIALIZED (
        |  SELECT word, unnest(generate_series(1, length(word))) AS i FROM words),
-       |v0 AS (
+       |v0 AS MATERIALIZED (
        |  SELECT DISTINCT substr(word, i, 1) AS ch, substr(word, i, 1) AS tok
        |  FROM allpos),
        |${(1 to rounds).map(round).mkString(",\n")}""".stripMargin
@@ -203,10 +208,10 @@ object BpeOps {
   val oracle: Map[String, String] = Map(
     "q162_bpe_pairs" ->
       s"""WITH $wordsSql,
-         |pos AS (
+         |pos AS MATERIALIZED (
          |  SELECT word, wc, unnest(generate_series(1, length(word) - 1)) AS i
          |  FROM words),
-         |p AS (
+         |p AS MATERIALIZED (
          |  SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
          |    CAST(sum(wc) AS BIGINT) AS cnt
          |  FROM pos GROUP BY 1, 2)
@@ -220,9 +225,9 @@ object BpeOps {
 
     "q164_bpe_encode" ->
       s"""WITH ${bpeCtesSql(BpeRounds)},
-         |docw AS (
+         |docw AS MATERIALIZED (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-         |enc AS (
+         |enc AS MATERIALIZED (
          |  SELECT d.doc_id, length(w.word_t) AS ntok, length(d.word) AS nch
          |  FROM docw d JOIN w$BpeRounds w USING (word)
          |  WHERE length(d.word) >= 1)
