@@ -10,12 +10,12 @@ import graft.plans.BpeApplyExpr
   * the tokenizer story (q54 extracts BPE-ish pieces with a fixed regex;
   * this LEARNS the merge table from the corpus):
   *
-  *   - q162 round-0 merge candidates: adjacent character-pair counts
+  *   - q165 round-0 merge candidates: adjacent character-pair counts
   *     over the word-frequency table, top-20
-  *   - q163 the trained merge table itself — [[BpeRounds]] rounds of
+  *   - q166 the trained merge table itself — [[BpeRounds]] rounds of
   *     (count pairs → argmax → merge), the exact greedy loop of the
   *     original paper and of every production trainer
-  *   - q164 corpus encoded under the trained merges: per-document BPE
+  *   - q167 corpus encoded under the trained merges: per-document BPE
   *     token counts (the compression the tokenizer buys)
   *
   * Scale design — the word-frequency formulation every real trainer
@@ -28,7 +28,7 @@ import graft.plans.BpeApplyExpr
   * churn) + one pair-keyed aggregate (map-side combine; key space =
   * observed token pairs) + an ordered LIMIT 1 (TakeOrdered — one
   * driver row per round, the same driver footprint as q139's Lloyd
-  * codebook). Encoding (q164) is embarrassingly parallel: the merge
+  * codebook). Encoding (q167) is embarrassingly parallel: the merge
   * list rides inside [[BpeApplyExpr]] like a broadcast codebook.
   *
   * Determinism contract (both engines, exact): counts are integer word
@@ -50,7 +50,7 @@ object BpeOps {
     * convergence-tested) so the oracle replays identical rounds. */
   val BpeRounds = 6
 
-  /** Top-k for the round-0 candidate listing (q162). */
+  /** Top-k for the round-0 candidate listing (q165). */
   val PairTopK = 20
 
   /** One corpus pass: the word-frequency table (space tokenization —
@@ -70,12 +70,12 @@ object BpeOps {
       .otherwise(array().cast("array<struct<l:string,r:string>>"))
 
   /** The greedy training loop: returns (round, left, right, count) per
-    * merge, memoized per (sfDir, rounds) so q163 and q164 share one
+    * merge, memoized per (sfDir, rounds) so q166 and q167 share one
     * training run per session. */
   private val mergeMemo =
     scala.collection.concurrent.TrieMap[(String, Int), Seq[(Int, String, String, Long)]]()
 
-  private[operators] def trainedMerges(s: SparkSession, dir: String,
+  private[graft] def trainedMerges(s: SparkSession, dir: String,
       rounds: Int = BpeRounds): Seq[(Int, String, String, Long)] =
     mergeMemo.getOrElseUpdate((dir, rounds), {
       // the word table is every round's input: pin it (small — the
@@ -105,7 +105,7 @@ object BpeOps {
   val queries: Map[String, Q] = Map(
     // round-0 merge candidates: the character-bigram frequency table
     // every BPE run starts from
-    "q162_bpe_pairs" -> ((s, dir) => {
+    "q165_bpe_pairs" -> ((s, dir) => {
       val chars = BpeApplyExpr.bpeApply(col("word"), Seq.empty)
       wordFreq(Tables.documents(s, dir))
         .select(col("wc"), explode(pairCol(chars)).as("p"))
@@ -117,7 +117,7 @@ object BpeOps {
 
     // the trained merge table (the tokenizer artifact a real pipeline
     // ships): one row per greedy round
-    "q163_bpe_train" -> ((s, dir) => {
+    "q166_bpe_train" -> ((s, dir) => {
       import s.implicits._
       trainedMerges(s, dir).toDF("round", "left_tok", "right_tok", "cnt")
     }),
@@ -125,7 +125,7 @@ object BpeOps {
     // the corpus under the trained tokenizer: per-document token counts
     // — the compression-ratio statistic that decides whether a merge
     // table is worth shipping
-    "q164_bpe_encode" -> ((s, dir) => {
+    "q167_bpe_encode" -> ((s, dir) => {
       val merges = trainedMerges(s, dir).map(m => (m._2, m._3))
       Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -161,7 +161,7 @@ object BpeOps {
     * output read real tokens while the merge itself stays a one-char
     * `replace`. Ends with `w$rounds(word, word_t, wc)` (the encoded
     * vocabulary) and `o1..o$rounds` (one merge row each). */
-  private def bpeCtesSql(rounds: Int): String = {
+  private[operators] def bpeCtesSql(rounds: Int): String = {
     def pu(k: Int): Int = 0xE000 + k - 1
     def round(k: Int): String = {
       val prev = k - 1
@@ -206,7 +206,7 @@ object BpeOps {
   }
 
   val oracle: Map[String, String] = Map(
-    "q162_bpe_pairs" ->
+    "q165_bpe_pairs" ->
       s"""WITH $wordsSql,
          |pos AS MATERIALIZED (
          |  SELECT word, wc, unnest(generate_series(1, length(word) - 1)) AS i
@@ -217,13 +217,13 @@ object BpeOps {
          |  FROM pos GROUP BY 1, 2)
          |SELECT l, r, cnt FROM p ORDER BY cnt DESC, l, r LIMIT $PairTopK""".stripMargin,
 
-    "q163_bpe_train" ->
+    "q166_bpe_train" ->
       s"""WITH ${bpeCtesSql(BpeRounds)}
          |SELECT round, left_tok, right_tok, cnt
          |FROM (${(1 to BpeRounds).map(k => s"SELECT * FROM o$k").mkString(" UNION ALL ")})
          |ORDER BY round""".stripMargin,
 
-    "q164_bpe_encode" ->
+    "q167_bpe_encode" ->
       s"""WITH ${bpeCtesSql(BpeRounds)},
          |docw AS MATERIALIZED (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),

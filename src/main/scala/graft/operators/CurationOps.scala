@@ -336,7 +336,100 @@ object CurationOps {
           expr("sum(r_u) div count(1)").as("score_u"))
         .withColumn("keep", col("score_u") >= DsirKeepU)
         .orderBy("doc_id")
+    }),
+
+    // Distilled quality probe, TRAINING (the fastText/CCNet pattern of
+    // distilling an expensive quality gate into a cheap linear scorer —
+    // Wenzek et al. 2020): the q52 'high' bucket is the teacher label,
+    // two length dummies are the cheap student features, and the probe
+    // is trained by [[ProbeRounds]] fixed rounds of full-batch integer
+    // gradient descent in exact milli-units (the q139/q166 replayable-
+    // training pattern). Scale shape: the feature table is computed
+    // ONCE (three ints per doc) and pinned; each round is one partial-
+    // aggregated scan producing THREE driver longs (the gradient), and
+    // the weight update is Math.floorDiv — order-independent integer
+    // sums, so the oracle replays bit-identical rounds. At 100 TB the
+    // cost is R narrow scans of a columnar int table, nothing else.
+    "q168_probe_train" -> ((s, dir) => {
+      import s.implicits._
+      probeWeights(s, dir).toDF("round", "w0", "w1", "w2")
+    }),
+
+    // Distilled quality probe, EVALUATION: confusion matrix of the
+    // trained probe against its teacher on the full corpus — the
+    // accept/reject economics a curation pipeline reads before swapping
+    // the expensive gate for the cheap probe. One broadcast of three
+    // weights; one aggregated scan.
+    "q169_probe_distill" -> ((s, dir) => {
+      val (_, w0, w1, w2) = probeWeights(s, dir).last
+      probeFeatures(s, dir)
+        .withColumn("label", (col("y") === 1000L).cast("int"))
+        .withColumn("pred",
+          (lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2") >= ProbeThreshold)
+            .cast("int"))
+        .groupBy("label", "pred").agg(count(lit(1)).as("n_docs"))
+        .orderBy("label", "pred")
     }))
+
+  /** q168/q169 probe constants — shared verbatim with the oracle.
+    * Thresholds bucket `n_tok` into nested dummies (docs ≤20 / ≤40
+    * tokens); LrDen=2 is lr=1/(2N), contractive for this 3-feature
+    * design (max eigenvalue of XᵀX/N < 3); 8 rounds reaches a usable
+    * fit without convergence-testing (fixed rounds keep the oracle an
+    * exact replay, the q139 contract). Score space is milli-units:
+    * y ∈ {0, 1000}, accept at ≥500. */
+  val ProbeRounds = 8
+  val ProbeT1 = 20
+  val ProbeT2 = 40
+  val ProbeLrDen = 2L
+  val ProbeThreshold = 500L
+
+  /** Per-doc probe features: nested length dummies x1/x2 and the
+    * teacher label y (q52's 'high' bucket, in milli-units). Kept to
+    * exactly q52's token/stopword algebra so the teacher IS the gate
+    * being distilled. */
+  private[graft] def probeFeatures(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+        size(filter(col("toks"), t => t.isin(TextOps.Stopwords: _*)))
+          .cast("long").as("stop_cnt"))
+      .select(col("doc_id"),
+        when(col("n_tok") <= ProbeT1, 1L).otherwise(0L).as("x1"),
+        when(col("n_tok") <= ProbeT2, 1L).otherwise(0L).as("x2"),
+        when(col("n_uniq") * 10 >= col("n_tok") * 7 &&
+          col("stop_cnt") * 10 <= col("n_tok") * 3, 1000L).otherwise(0L).as("y"))
+
+  /** The fixed-round GD loop, memoized per sfDir so q168 and q169 share
+    * one training run per session (the q166 trainedMerges pattern).
+    * Each element is (round, w0, w1, w2) AFTER that round's update. */
+  private val probeMemo =
+    scala.collection.concurrent.TrieMap[String, Seq[(Int, Long, Long, Long)]]()
+
+  private[graft] def probeWeights(s: SparkSession, dir: String): Seq[(Int, Long, Long, Long)] =
+    probeMemo.getOrElseUpdate(dir, {
+      val f = probeFeatures(s, dir).localCheckpoint()
+      val n = f.count()
+      require(n > 0, "probe training needs a non-empty corpus")
+      var (w0, w1, w2) = (0L, 0L, 0L)
+      val out = Vector.newBuilder[(Int, Long, Long, Long)]
+      for (r <- 1 to ProbeRounds) {
+        // resid = prediction − teacher, in milli-units; the gradient of
+        // ½Σresid² per weight is Σ resid·x_j — three exact integer sums
+        val resid = lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2") - col("y")
+        val g = f.select(
+          sum(resid).as("g0"),
+          sum(resid * col("x1")).as("g1"),
+          sum(resid * col("x2")).as("g2")).head()
+        w0 -= Math.floorDiv(g.getLong(0), ProbeLrDen * n)
+        w1 -= Math.floorDiv(g.getLong(1), ProbeLrDen * n)
+        w2 -= Math.floorDiv(g.getLong(2), ProbeLrDen * n)
+        out += ((r, w0, w1, w2))
+      }
+      out.result()
+    })
 
   /** q142 hashed-feature space width: fixes both count tables at ≤4096
     * rows at ANY corpus size (the DSIR trick). */
@@ -464,5 +557,67 @@ object CurationOps {
          |  GROUP BY doc_id, source)
          |SELECT doc_id, source, n_toks, score_u, score_u >= $DsirKeepU AS keep
          |FROM scored ORDER BY doc_id""".stripMargin
-    })
+    },
+
+    "q168_probe_train" ->
+      s"""WITH ${probeCtesSql(ProbeRounds)}
+         |SELECT round, w0, w1, w2 FROM (
+         |${(1 to ProbeRounds).map(k => s"  SELECT $k AS round, w0, w1, w2 FROM pw$k").mkString(" UNION ALL\n")})
+         |ORDER BY round""".stripMargin,
+
+    "q169_probe_distill" ->
+      s"""WITH ${probeCtesSql(ProbeRounds)}
+         |SELECT CASE WHEN f.y = 1000 THEN 1 ELSE 0 END AS label,
+         |  CASE WHEN w.w0 + w.w1*f.x1 + w.w2*f.x2 >= $ProbeThreshold
+         |    THEN 1 ELSE 0 END AS pred,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM pf f, pw$ProbeRounds w
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  /** Oracle-side floor division `a / b` for b > 0: DuckDB's `%` follows
+    * the dividend's sign, so the pmod correction makes the numerator
+    * exactly divisible — integer `//` then agrees with the engine's
+    * Math.floorDiv regardless of either's rounding convention. */
+  private def floorDivSql(a: String, b: String): String =
+    s"(($a - ((($a % $b) + $b) % $b)) // $b)"
+
+  /** The q168 training replay, unrolled to `rounds` MATERIALIZED CTE
+    * rounds (the q166 pattern — materialization is load-bearing: DuckDB
+    * inlines plain CTEs and each round references the previous one
+    * several times, which would expand exponentially). Ends with
+    * `pf(doc_id, x1, x2, y)` and `pw$rounds(w0, w1, w2)`. */
+  private def probeCtesSql(rounds: Int): String = {
+    val stops = TextOps.Stopwords.map("'" + _ + "'").mkString(", ")
+    val base =
+      s"""pf AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CASE WHEN n_tok <= $ProbeT1 THEN CAST(1 AS BIGINT) ELSE 0 END AS x1,
+         |    CASE WHEN n_tok <= $ProbeT2 THEN CAST(1 AS BIGINT) ELSE 0 END AS x2,
+         |    CASE WHEN n_uniq*10 >= n_tok*7 AND stop_cnt*10 <= n_tok*3
+         |      THEN CAST(1000 AS BIGINT) ELSE 0 END AS y
+         |  FROM (SELECT doc_id,
+         |      CAST(len($toksSql) AS BIGINT) AS n_tok,
+         |      CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_uniq,
+         |      CAST(len(list_filter($toksSql, t -> t IN ($stops))) AS BIGINT) AS stop_cnt
+         |    FROM documents)),
+         |pn AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) * $ProbeLrDen AS m FROM pf),
+         |pw0 AS MATERIALIZED (
+         |  SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+         |    CAST(0 AS BIGINT) AS w2)""".stripMargin
+    def round(k: Int): String = {
+      val p = k - 1
+      s"""pg$k AS MATERIALIZED (
+         |  SELECT CAST(sum(w.w0 + w.w1*f.x1 + w.w2*f.x2 - f.y) AS BIGINT) AS g0,
+         |    CAST(sum((w.w0 + w.w1*f.x1 + w.w2*f.x2 - f.y) * f.x1) AS BIGINT) AS g1,
+         |    CAST(sum((w.w0 + w.w1*f.x1 + w.w2*f.x2 - f.y) * f.x2) AS BIGINT) AS g2
+         |  FROM pf f, pw$p w),
+         |pw$k AS MATERIALIZED (
+         |  SELECT w.w0 - ${floorDivSql("g.g0", "n.m")} AS w0,
+         |    w.w1 - ${floorDivSql("g.g1", "n.m")} AS w1,
+         |    w.w2 - ${floorDivSql("g.g2", "n.m")} AS w2
+         |  FROM pw$p w, pg$k g, pn n)""".stripMargin
+    }
+    base + ",\n" + (1 to rounds).map(round).mkString(",\n")
+  }
 }

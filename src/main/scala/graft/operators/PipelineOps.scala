@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.Tables
 import graft.functions.GraftFunctions._
 import graft.functions.HashFunctions._
+import graft.plans.BpeApplyExpr
 
 /** Corpus-curation operators a large-scale training-data pipeline runs
   * between ingestion and training — the decision layer on top of the
@@ -285,7 +286,47 @@ object PipelineOps {
           col("ts_us").as("last_ts_us"), col("event_type").as("last_event_type"),
           cents(col("value")).as("last_value_cents"))
         .orderBy("user_id")
+    }),
+
+    // BPE sequence packing — the GPT-style "concatenate and chunk" step
+    // that turns a tokenized corpus into fixed-length training rows:
+    // documents are tokenized under the q166 trained merge table,
+    // concatenated in doc_id order within each language stratum, and cut
+    // into [[PackSeqLen]]-token sequences; a document may span several
+    // sequences (its span count is ⌈ntok/PackSeqLen⌉+1, never unbounded
+    // fan-out). Output is the packing manifest — per sequence: how many
+    // docs feed it, its fill (== PackSeqLen except each stratum's tail),
+    // and the doc range — exactly what a shard writer consumes. Scale
+    // shape: per-doc token counts are one explode→sum aggregate (the
+    // q167 plan); the running offset is a PER-STRATUM window (the q83
+    // contract — never a global single-partition sort); the span explode
+    // is sequence() over two integers.
+    "q170_sequence_pack" -> ((s, dir) => {
+      val merges = BpeOps.trainedMerges(s, dir).map(m => (m._2, m._3))
+      val counts = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("word"))
+        .filter(length(col("word")) >= 1)
+        .groupBy("doc_id", "lang")
+        .agg(sum(size(BpeApplyExpr.bpeApply(col("word"), merges)).cast("long")).as("ntok"))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      counts
+        .withColumn("off_start", coalesce(sum(col("ntok")).over(w), lit(0L)))
+        .withColumn("off_end", col("off_start") + col("ntok"))
+        .withColumn("seq_id", explode(sequence(
+          expr(s"off_start div $PackSeqLen"),
+          expr(s"(off_end - 1) div $PackSeqLen"))))
+        .groupBy("lang", "seq_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least(col("off_end"), (col("seq_id") + 1) * PackSeqLen)
+            - greatest(col("off_start"), col("seq_id") * PackSeqLen)).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("lang", "seq_id")
     }))
+
+  /** q170 training-sequence length (tokens per packed row). */
+  val PackSeqLen = 128L
 
   // ---- DuckDB oracle ------------------------------------------------------
 
@@ -439,5 +480,32 @@ object PipelineOps {
         |FROM (SELECT *, row_number() OVER
         |    (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events)
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q170_sequence_pack" ->
+      s"""WITH ${BpeOps.bpeCtesSql(BpeOps.BpeRounds)},
+         |pdw AS MATERIALIZED (
+         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |pdc AS MATERIALIZED (
+         |  SELECT d.doc_id, d.lang, CAST(sum(length(w.word_t)) AS BIGINT) AS ntok
+         |  FROM pdw d JOIN w${BpeOps.BpeRounds} w USING (word)
+         |  WHERE length(d.word) >= 1 GROUP BY d.doc_id, d.lang),
+         |poff AS MATERIALIZED (
+         |  SELECT doc_id, lang, ntok,
+         |    CAST(coalesce(sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS off_start
+         |  FROM pdc),
+         |pex AS MATERIALIZED (
+         |  SELECT lang, doc_id, off_start, off_start + ntok AS off_end,
+         |    unnest(generate_series(off_start // $PackSeqLen,
+         |      (off_start + ntok - 1) // $PackSeqLen)) AS seq_id
+         |  FROM poff)
+         |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(least(off_end, (seq_id + 1) * $PackSeqLen)
+         |    - greatest(off_start, seq_id * $PackSeqLen)) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM pex GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin)
 }
