@@ -865,7 +865,14 @@ object ManifestSink {
       // id of the partition spec `parts` was computed under (0 = the
       // CREATE-time spec). Pruning must read the tuple with THIS spec's
       // transforms — see [[TableState.transformsFor]].
-      specId: Long = 0L) {
+      specId: Long = 0L,
+      // CBO statistics (never used for pruning): exact per-file integer
+      // distinct counts (absent = unknown/over-cap) and exact per-file
+      // null counts over PHYSICAL rows (int + string columns; a present
+      // zero is a real zero). Bin-merge compaction drops both (NDV does
+      // not merge); full rewrites re-collect them.
+      ndvs: Map[String, Long] = Map.empty,
+      nulls: Map[String, Long] = Map.empty) {
     /** Rows a reader actually yields: physical rows minus the deletion
       * vector's positions. Drives count(*) pushdown, reported stats and
       * the zero-column emitters — `rows` stays the PHYSICAL count (what
@@ -1082,14 +1089,27 @@ object ManifestSink {
     private val maxs = scala.collection.mutable.Map.empty[String, Long]
     private val sMin = scala.collection.mutable.Map.empty[String, String]
     private val sMax = scala.collection.mutable.Map.empty[String, String]
+    // per-column null counts (int + string columns) and exact integer
+    // distinct sets — CBO food ([[ManifestScan.estimateStatistics]]).
+    // The distinct set is hard-capped like the bloom fingerprints:
+    // past the cap the column publishes no NDV (absent = unknown), so
+    // memory per (task, column) stays bounded at any file size.
+    private val nullCnt = scala.collection.mutable.Map.empty[String, Long]
+    private val ndvSets: Seq[(String, scala.collection.mutable.LongMap[Unit])] =
+      intCols.map { case (f, _) => (f.name, scala.collection.mutable.LongMap.empty[Unit]) }
+    private val ndvAt = ndvSets.map(_._2)
 
     def add(row: InternalRow): Unit = {
+      var ic = 0
       intCols.foreach { case (f, i) =>
         if (!row.isNullAt(i)) {
           val v = if (f.dataType == LongType) row.getLong(i) else row.getInt(i).toLong
           mins.updateWith(f.name)(o => Some(o.fold(v)(math.min(_, v))))
           maxs.updateWith(f.name)(o => Some(o.fold(v)(math.max(_, v))))
-        }
+          val s = ndvAt(ic)
+          if (s.size < FingerprintCap) s.update(v, ())
+        } else nullCnt.updateWith(f.name)(o => Some(o.fold(1L)(_ + 1L)))
+        ic += 1
       }
       strCols.foreach { case (name, i) =>
         if (!row.isNullAt(i)) {
@@ -1098,7 +1118,7 @@ object ManifestSink {
             if (utf8Compare(t, m) < 0) t else m)))
           sMax.updateWith(name)(o => Some(o.fold(t)(m =>
             if (utf8Compare(t, m) > 0) t else m)))
-        }
+        } else nullCnt.updateWith(name)(o => Some(o.fold(1L)(_ + 1L)))
       }
       bloomAt.foreach { case (_, i, fps) =>
         // stop collecting past the omission threshold — the column
@@ -1113,6 +1133,19 @@ object ManifestSink {
 
     def intMins: Map[String, Long] = mins.toMap
     def intMaxs: Map[String, Long] = maxs.toMap
+    /** Exact per-column null counts for every tracked (int + string)
+      * column — zero is a real zero (the collector saw every row), so
+      * the map is COMPLETE over tracked columns, unlike min/max whose
+      * absence means all-null. */
+    def nullCounts: Map[String, Long] =
+      (intCols.map(_._1.name) ++ strCols.map(_._1)).map(c =>
+        c -> nullCnt.getOrElse(c, 0L)).toMap
+    /** Exact integer NDV per column; a column past the collection cap
+      * publishes nothing (absent = unknown, never an underestimate). */
+    def intNdvs: Map[String, Long] =
+      ndvSets.collect {
+        case (c, s) if s.size < FingerprintCap => c -> s.size.toLong
+      }.toMap
     def strLowers: Map[String, String] =
       sMin.iterator.map { case (c, v) => c -> strLowerBound(v) }.toMap
     def strUppers: Map[String, String] =
@@ -2199,7 +2232,7 @@ object ManifestSink {
   }
 
   private[sources] def parseEntryLine(line: String): FileEntry = {
-    val parts = line.split("\t", 10)
+    val parts = line.split("\t", 11)
     val (dvName, dvRows) = parts.lift(5).filter(_.nonEmpty) match {
       case Some(dv) =>
         val Array(n, c) = dv.split(":", 2)
@@ -2215,14 +2248,39 @@ object ManifestSink {
       case None => Map.empty[String, String]
     }
     val (slows, sups) = parseStrBounds(parts.lift(7).getOrElse(""))
+    val (ndvs, nulls) = parseColCounts(parts.lift(10).getOrElse(""))
     FileEntry(parts(0), parts(1).toLong,
       parseStats(parts.lift(2).getOrElse("")),
       parseStats(parts.lift(3).getOrElse("")),
       parsePartsStr(parts.lift(4).getOrElse("")),
       dvName, dvRows, blooms, slows, sups,
       parts.lift(8).filter(_.nonEmpty).map(_.toLong).getOrElse(0L),
-      parts.lift(9).filter(_.nonEmpty).map(_.toLong).getOrElse(0L))
+      parts.lift(9).filter(_.nonEmpty).map(_.toLong).getOrElse(0L),
+      ndvs, nulls)
   }
+
+  /** CBO count-stats field: `col=ndv:nulls` pairs, comma-joined, either
+    * token may be empty (absent stat), column names URL-encoded — the
+    * same shape as the string-bounds field. Old manifests simply lack
+    * the slot (format-versioned by position, like seq/specId). */
+  private[sources] def colCountsStr(ndvs: Map[String, Long],
+      nulls: Map[String, Long]): String =
+    (ndvs.keySet ++ nulls.keySet).toSeq.sorted.map { c =>
+      s"${urlEnc(c)}=${ndvs.get(c).fold("")(_.toString)}:${nulls.get(c).fold("")(_.toString)}"
+    }.mkString(",")
+
+  private[sources] def parseColCounts(s: String):
+      (Map[String, Long], Map[String, Long]) =
+    if (s.isEmpty) (Map.empty, Map.empty)
+    else {
+      val kvs = s.split(",").toSeq.map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        val Array(nd, nl) = v.split(":", 2)
+        (urlDec(k), nd, nl)
+      }
+      (kvs.collect { case (k, nd, _) if nd.nonEmpty => k -> nd.toLong }.toMap,
+        kvs.collect { case (k, _, nl) if nl.nonEmpty => k -> nl.toLong }.toMap)
+    }
 
   /** Truncated string bounds field: `col=low:high` pairs, comma-joined,
     * every token URL-encoded. An empty `high` means NO upper bound
@@ -2258,7 +2316,9 @@ object ManifestSink {
     // a later field needs its position
     val sq = if (e.seq == 0L) "" else e.seq.toString
     val sp = if (e.specId == 0L) "" else e.specId.toString
-    if (sp.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp"
+    val cc = colCountsStr(e.ndvs, e.nulls)
+    if (cc.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp\t$cc"
+    else if (sp.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp"
     else if (sq.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq"
     else if (sb.nonEmpty) s"$base\t$dv\t$bl\t$sb"
     else if (bl.nonEmpty) s"$base\t$dv\t$bl"
@@ -3048,7 +3108,9 @@ object ManifestSink {
             parts = e.parts.map { case (k, v) => (if (k == from) to else k, v) },
             blooms = e.blooms.map { case (k, v) => (if (k == from) to else k, v) },
             slows = e.slows.map { case (k, v) => (if (k == from) to else k, v) },
-            sups = e.sups.map { case (k, v) => (if (k == from) to else k, v) }))
+            sups = e.sups.map { case (k, v) => (if (k == from) to else k, v) },
+            ndvs = renameKeys(e.ndvs, from, to),
+            nulls = renameKeys(e.nulls, from, to)))
         case u: TableChange.UpdateColumnType =>
           // TYPE WIDENING, metadata-only (the long-lived-table change):
           // int→long and float→double are the two conversions the
@@ -3093,7 +3155,8 @@ object ManifestSink {
           entries = entries.map(e =>
             e.copy(mins = e.mins - name, maxs = e.maxs - name,
               blooms = e.blooms - name,
-              slows = e.slows - name, sups = e.sups - name))
+              slows = e.slows - name, sups = e.sups - name,
+              ndvs = e.ndvs - name, nulls = e.nulls - name))
         // ALTER TABLE ... SET TBLPROPERTIES: the CREATE-time knobs stay
         // adjustable for the table's whole life. delete.mode switches
         // strategy for FUTURE deletes (existing DVs keep applying);
@@ -3224,7 +3287,8 @@ object ManifestSink {
       case ManifestCommitSet(cs) => cs
       case _ => Seq.empty
     }.map(c => FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts,
-      blooms = c.blooms, slows = c.slows, sups = c.sups))
+      blooms = c.blooms, slows = c.slows, sups = c.sups,
+      ndvs = c.ndvs, nulls = c.nulls))
 
   private[sources] def commitFileNames(messages: Iterable[WriterCommitMessage]): Seq[String] =
     messages.toSeq.flatMap {
@@ -3326,7 +3390,8 @@ object ManifestSink {
         rewritten += 1
         FileEntry(newName, kept, stats.intMins, stats.intMaxs, e.parts,
           blooms = stats.blooms, slows = stats.strLowers, sups = stats.strUppers,
-          seq = st.version + 1L, specId = e.specId)
+          seq = st.version + 1L, specId = e.specId,
+          ndvs = stats.intNdvs, nulls = stats.nullCounts)
       }
     }.filter(_.rows > 0L)
     try publish(root, st.version,
@@ -3462,7 +3527,7 @@ object ManifestSink {
     } finally out.close()
     FileEntry(newName, kept, stats.intMins, stats.intMaxs, e.parts,
       blooms = stats.blooms, slows = stats.strLowers, sups = stats.strUppers,
-      specId = e.specId)
+      specId = e.specId, ndvs = stats.intNdvs, nulls = stats.nullCounts)
   }
 
   /** Structural validation of a partition spec against a schema — the
@@ -3639,7 +3704,8 @@ object ManifestSink {
       .foreach(c => Files.deleteIfExists(root.resolve(c.fileName)))
     val migrated = commits.filter(_.rows > 0L).map(c =>
       FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts,
-        blooms = c.blooms, slows = c.slows, sups = c.sups, specId = st.specId))
+        blooms = c.blooms, slows = c.slows, sups = c.sups, specId = st.specId,
+        ndvs = c.ndvs, nulls = c.nulls))
     try publish(root, st.version,
       ((schema.json +: RewriteMarker +: st.metaLines) ++
         renderEntrySection(root, fresh ++ migrated, st.groups)).mkString("\n"))
@@ -3784,7 +3850,8 @@ object ManifestSink {
           case _ => Iterator.empty
         }
       }.collect().toSeq.map(c => FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts,
-        blooms = c.blooms, slows = c.slows, sups = c.sups, specId = st.specId))
+        blooms = c.blooms, slows = c.slows, sups = c.sups, specId = st.specId,
+        ndvs = c.ndvs, nulls = c.nulls))
     }
     try publish(root, st.version,
       ((schema.json +: RewriteMarker +: st.metaLines) ++
@@ -4215,7 +4282,8 @@ object ManifestSink {
         None
       } else Some(FileEntry(newName, kept, stats.intMins, stats.intMaxs, e.parts,
         blooms = stats.blooms, slows = stats.strLowers, sups = stats.strUppers,
-        seq = e.seq, specId = e.specId))
+        seq = e.seq, specId = e.specId,
+        ndvs = stats.intNdvs, nulls = stats.nullCounts))
       }
     }
     val rewritten = candidates.zip(replacements).count {
@@ -5004,7 +5072,9 @@ case class ManifestCommit(fileName: String, rows: Long,
     parts: Map[String, String] = Map.empty,
     blooms: Map[String, String] = Map.empty,
     slows: Map[String, String] = Map.empty,
-    sups: Map[String, String] = Map.empty) extends WriterCommitMessage
+    sups: Map[String, String] = Map.empty,
+    ndvs: Map[String, Long] = Map.empty,
+    nulls: Map[String, Long] = Map.empty) extends WriterCommitMessage
 
 /** A partition-fanout task's commit: one [[ManifestCommit]] per data
   * file it opened (one per distinct partition tuple it received). */
@@ -5456,7 +5526,8 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
   override def commit(): WriterCommitMessage = {
     out.close() // forces creation even for an empty task: footer-only file
     ManifestCommit(fileName, rows, stats.intMins, stats.intMaxs, parts,
-      stats.blooms, stats.strLowers, stats.strUppers)
+      stats.blooms, stats.strLowers, stats.strUppers,
+      stats.intNdvs, stats.nullCounts)
   }
   override def abort(): Unit = {
     try out.close() catch { case _: Throwable => () }
@@ -5929,7 +6000,8 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     specId: Long = 0L,
     pastSpecs: Map[Long, Seq[ManifestSink.PartTransform]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering with SupportsReportPartitioning {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
   /** Transforms of the spec entry `e` was written under; None = unknown
     * (tuple decisions must be skipped — see TableState.transformsForOpt). */
   private def tfFor(e: ManifestSink.FileEntry):
@@ -6035,6 +6107,96 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
         java.util.OptionalLong.of(r * math.max(1, schema.defaultSize)))
     override def numRows(): java.util.OptionalLong =
       counted.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+
+    /** Column-level statistics for Spark's cost-based optimizer
+      * (`spark.sql.cbo.enabled`), derived entirely from manifest
+      * metadata the scan already holds — no data I/O, no ANALYZE pass:
+      *
+      *   - integer columns: table-level min/max folded from the
+      *     per-file stats (valid outer bounds even under DVs — deleted
+      *     rows can only narrow them), feeding FilterEstimation's range
+      *     selectivity;
+      *   - identity partition columns additionally get an EXACT
+      *     distinct count (the spec makes every file's value part of
+      *     its key, so NDV is the distinct tuple count) and an EXACT
+      *     null count (live rows of null-keyed files) — the join-key
+      *     cardinalities join reordering runs on.
+      *
+      * Stats reflect the same pruned entry set `counted` reads, so a
+      * narrowed scan reports narrowed column stats. Columns a file is
+      * missing stats for (legacy entries, non-integer types) simply
+      * don't report — CBO falls back to its defaults rather than
+      * trusting a partial fold. */
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      import org.apache.spark.sql.connector.expressions.Expressions
+      import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
+      val es = try { if (cdcSlices.isDefined) return m else entries }
+        catch { case _: Exception => return m }
+      if (es.isEmpty) return m
+      schema.fields.foreach { f =>
+        val name = f.name
+        val intish = f.dataType == LongType || f.dataType == IntegerType
+        val identityKey = partCols.contains(name) &&
+          partTransforms.get(name).forall(_.isInstanceOf[ManifestSink.PIdentity]) &&
+          es.forall(e => e.specId == specId && e.parts.contains(name))
+        val (mn, mx): (Option[Long], Option[Long]) =
+          if (intish && es.forall(e => e.mins.contains(name) && e.maxs.contains(name)))
+            (Some(es.map(_.mins(name)).min), Some(es.map(_.maxs(name)).max))
+          else if (intish && identityKey &&
+              es.exists(_.parts(name) != ManifestSink.NullPartValue)) {
+            // integral identity keys: bounds from the decoded tuple
+            // values themselves (partition columns carry no file stats)
+            val vs = es.map(_.parts(name))
+              .filter(_ != ManifestSink.NullPartValue)
+              .map(v => ManifestSink.decodePartValue(v, f.dataType) match {
+                case i: java.lang.Integer => i.longValue()
+                case l: java.lang.Long => l.longValue()
+                case other => other.toString.toLong
+              })
+            (Some(vs.min), Some(vs.max))
+          } else (None, None)
+        val ndv: Option[Long] =
+          if (identityKey)
+            // identity keys: EXACT — the distinct tuple count
+            Some(es.map(_.parts(name)).distinct
+              .count(_ != ManifestSink.NullPartValue).toLong)
+          else if (es.forall(_.ndvs.contains(name)))
+            // data columns: per-file exact counts fold to an UPPER
+            // bound (sum, capped at live rows) — overestimated NDV
+            // biases CBO toward shuffles over broadcasts, the
+            // conservative direction
+            Some(math.min(es.map(_.ndvs(name)).sum, es.map(_.liveRows).sum))
+          else None
+        val nulls: Option[Long] =
+          if (identityKey)
+            Some(es.filter(_.parts(name) == ManifestSink.NullPartValue)
+              .map(_.liveRows).sum)
+          else if (es.forall(_.nulls.contains(name)))
+            // physical-row null counts: exact on clean files, an upper
+            // bound once DVs/equality deletes govern some rows
+            Some(es.map(_.nulls(name)).sum)
+          else None
+        def box(v: Long): Object =
+          if (f.dataType == IntegerType) Integer.valueOf(v.toInt)
+          else java.lang.Long.valueOf(v)
+        if (mn.isDefined || ndv.isDefined)
+          m.put(Expressions.column(name), new ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              ndv.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+            override def min(): java.util.Optional[Object] =
+              mn.fold(java.util.Optional.empty[Object]())(v => java.util.Optional.of(box(v)))
+            override def max(): java.util.Optional[Object] =
+              mx.fold(java.util.Optional.empty[Object]())(v => java.util.Optional.of(box(v)))
+            override def nullCount(): java.util.OptionalLong =
+              nulls.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+          })
+      }
+      m
+    }
   }
   /** The typed partition key for one entry, in table-spec column order —
     * canonical manifest strings decoded back under each partition
@@ -6130,6 +6292,41 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
       // a change-feed window the table hasn't reached / streaming-only
       // scan: partitioning must not force what execution would reject
       case _: Exception => new partitioning.UnknownPartitioning(0)
+    }
+
+  /** Sorted-scan handshake ([[org.apache.spark.sql.connector.read.SupportsReportOrdering]]):
+    * within every planned partition the IDENTITY partition columns are
+    * CONSTANT — a partition is either one data file (whose key tuple is
+    * a single value by construction) or a same-key group of such files
+    * — so any ordering over them holds vacuously, and the scan reports
+    * ascending over the spec columns. Spark's
+    * V2ScanPartitioningAndOrdering rule turns the report into the
+    * scan's outputOrdering, and EnsureRequirements then drops BOTH
+    * SortExecs of a storage-partitioned sort-merge join on the
+    * partition key: SPJ plans with zero exchanges AND zero sorts. The
+    * guards mirror [[outputPartitioning]]'s, narrowed to identity
+    * transforms only — a bucket id is constant per partition but the
+    * RAW column is not (and SMJ orders by the raw key), and an
+    * interval transform's partitions span many source values; both
+    * would make the report a lie Spark acts on. A file with an
+    * incomplete or archived-spec key withdraws the claim the same way
+    * it withdraws key grouping. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    try {
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+      if (partCols.nonEmpty && onRuntimeNarrow.isEmpty && cdcSlices.isEmpty &&
+          partCols.forall(c =>
+            partTransforms.get(c).forall(_.isInstanceOf[ManifestSink.PIdentity])) &&
+          resolved.forall(_.specId == specId) &&
+          partCols.forall(c => schema.fieldNames.contains(c)) &&
+          partKeyByName.valuesIterator.forall(_ != null))
+        partCols.map(c =>
+          Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
+      else Array.empty
+    } catch {
+      // same defensive posture as outputPartitioning: a stats/planning
+      // probe on an unreachable change-feed window must not fail
+      case _: Exception => Array.empty
     }
 
   // one InputPartition per SURVIVING committed data file — parallelism

@@ -29,6 +29,15 @@ class EntryCodecSpec extends AnyFunSuite {
     rt(base.copy(dvName = Some("dv-123.txt"), dvRows = 5L,
       blooms = Map("cat" -> bloom)))
     rt(FileEntry("f.tsv", 0L, Map.empty, Map.empty))
+    // CBO count-stats slot: ndv-only, nulls-only, both, with and
+    // without the seq/spec slots it trails (and an encoded column name)
+    rt(base.copy(ndvs = Map("id" -> 9L)))
+    rt(base.copy(nulls = Map("id" -> 0L, "v" -> 3L)))
+    rt(base.copy(ndvs = Map("id" -> 9L, "a b" -> 2L),
+      nulls = Map("id" -> 0L), seq = 7L, specId = 2L))
+    rt(base.copy(dvName = Some("dv-1.txt"), dvRows = 1L,
+      blooms = Map("cat" -> bloom), ndvs = Map("v" -> 4L),
+      nulls = Map("v" -> 1L, "cat" -> 0L)))
   }
 
   test("legacy 5-field and 2-field lines still parse") {

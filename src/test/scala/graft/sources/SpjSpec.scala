@@ -255,6 +255,52 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("identity-keyed SMJ plans with ZERO sorts: the scan reports its ordering") {
+    // SupportsReportOrdering: identity partition columns are constant
+    // within every planned partition, so the scan reports them as
+    // ascending output ordering and EnsureRequirements drops BOTH
+    // SortExecs of the storage-partitioned sort-merge join — zero
+    // exchanges AND zero sorts.
+    spark.sql("CREATE TABLE spj.db.sfact (k BIGINT, id BIGINT, v BIGINT) PARTITIONED BY (k)")
+    spark.sql("CREATE TABLE spj.db.sdim (k BIGINT, name STRING) PARTITIONED BY (k)")
+    spark.sql("INSERT INTO spj.db.sfact SELECT id % 8, id, id * 3 FROM range(400)")
+    spark.sql("INSERT INTO spj.db.sdim SELECT id, concat('g', id) FROM range(8)")
+    withSpjConf() {
+      val joined = spark.table("spj.db.sfact")
+        .join(spark.table("spj.db.sdim"), "k")
+        .select($"k", $"id", $"v", $"name")
+      val plan = executedPlan(joined)
+      assert(shuffles(plan).isEmpty, s"expected zero exchanges:\n$plan")
+      assert(plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.isEmpty, s"expected zero sorts:\n$plan")
+      // values exact against the analytic truth
+      val expected = (0L until 400L)
+        .map(id => (id % 8, id, id * 3, s"g${id % 8}")).sorted
+      assert(joined.as[(Long, Long, Long, String)].collect().sorted.toSeq === expected)
+    }
+  }
+
+  test("bucket transforms do NOT report ordering: bucketed SMJ keeps its sorts") {
+    // the dual guard: a bucket id is constant per partition but the RAW
+    // key is not — reporting ordering there would let SMJ merge unsorted
+    // streams and return wrong rows. The bucketed SPJ join must still
+    // sort (while staying exchange-free).
+    spark.sql("CREATE TABLE spj.db.obf (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE spj.db.obd (k BIGINT, name STRING) PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO spj.db.obf SELECT id % 10, id FROM range(100)")
+    spark.sql("INSERT INTO spj.db.obd SELECT id, concat('g', id) FROM range(10)")
+    withSpjConf() {
+      val joined = spark.table("spj.db.obf").join(spark.table("spj.db.obd"), "k")
+      val plan = executedPlan(joined)
+      assert(shuffles(plan).isEmpty, s"bucketed SPJ lost:\n$plan")
+      assert(plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.nonEmpty, s"bucketed SMJ must keep its sorts:\n$plan")
+      assert(joined.count() === 100L)
+    }
+  }
+
   test("deletes and compaction preserve key grouping") {
     spark.sql("CREATE TABLE spj.db.mut (k BIGINT, v BIGINT) PARTITIONED BY (k)")
     spark.sql("INSERT INTO spj.db.mut SELECT id % 3, id FROM range(30)")
