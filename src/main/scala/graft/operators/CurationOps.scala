@@ -408,6 +408,15 @@ object CurationOps {
   private val probeMemo =
     scala.collection.concurrent.TrieMap[String, Seq[(Int, Long, Long, Long)]]()
 
+  /** Per-doc probe score under the FINAL trained weights, in
+    * milli-units — the reusable scoring surface (q169's confusion
+    * matrix and q171's curriculum both read it). */
+  private[graft] def probeScores(s: SparkSession, dir: String): DataFrame = {
+    val (_, w0, w1, w2) = probeWeights(s, dir).last
+    probeFeatures(s, dir).select(col("doc_id"),
+      (lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2")).as("sc"))
+  }
+
   private[graft] def probeWeights(s: SparkSession, dir: String): Seq[(Int, Long, Long, Long)] =
     probeMemo.getOrElseUpdate(dir, {
       val f = probeFeatures(s, dir).localCheckpoint()
@@ -578,7 +587,7 @@ object CurationOps {
     * the dividend's sign, so the pmod correction makes the numerator
     * exactly divisible — integer `//` then agrees with the engine's
     * Math.floorDiv regardless of either's rounding convention. */
-  private def floorDivSql(a: String, b: String): String =
+  private[operators] def floorDivSql(a: String, b: String): String =
     s"(($a - ((($a % $b) + $b) % $b)) // $b)"
 
   /** The q168 training replay, unrolled to `rounds` MATERIALIZED CTE
@@ -586,7 +595,7 @@ object CurationOps {
     * inlines plain CTEs and each round references the previous one
     * several times, which would expand exponentially). Ends with
     * `pf(doc_id, x1, x2, y)` and `pw$rounds(w0, w1, w2)`. */
-  private def probeCtesSql(rounds: Int): String = {
+  private[operators] def probeCtesSql(rounds: Int): String = {
     val stops = TextOps.Stopwords.map("'" + _ + "'").mkString(", ")
     val base =
       s"""pf AS MATERIALIZED (

@@ -302,31 +302,67 @@ object PipelineOps {
     // contract — never a global single-partition sort); the span explode
     // is sequence() over two integers.
     "q170_sequence_pack" -> ((s, dir) => {
-      val merges = BpeOps.trainedMerges(s, dir).map(m => (m._2, m._3))
-      val counts = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("word"))
-        .filter(length(col("word")) >= 1)
-        .groupBy("doc_id", "lang")
-        .agg(sum(size(BpeApplyExpr.bpeApply(col("word"), merges)).cast("long")).as("ntok"))
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      counts
-        .withColumn("off_start", coalesce(sum(col("ntok")).over(w), lit(0L)))
-        .withColumn("off_end", col("off_start") + col("ntok"))
-        .withColumn("seq_id", explode(sequence(
-          expr(s"off_start div $PackSeqLen"),
-          expr(s"(off_end - 1) div $PackSeqLen"))))
+      packedSpans(s, dir)
         .groupBy("lang", "seq_id")
         .agg(count(lit(1)).as("n_docs"),
-          sum(least(col("off_end"), (col("seq_id") + 1) * PackSeqLen)
-            - greatest(col("off_start"), col("seq_id") * PackSeqLen)).as("n_tokens"),
+          sum(col("tok")).as("n_tokens"),
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
         .orderBy("lang", "seq_id")
+    }),
+
+    // Curriculum scheduling over the packed sequences — the composition
+    // of q170's packing manifest with q168's distilled probe: each
+    // training sequence is priced as the token-weighted mean probe
+    // score of the documents feeding it (exact integer milli-units),
+    // and ranked within its language stratum (quality-descending) — the
+    // deterministic "order training data easy-to-hard" schedule a
+    // curriculum loader consumes. One keyed join (spans × per-doc
+    // scores, both doc_id-keyed), one keyed aggregate, one per-stratum
+    // rank window — no global sort, nothing corpus-quadratic.
+    "q171_curriculum" -> ((s, dir) => {
+      val spans = packedSpans(s, dir)
+      val scored = spans.join(CurationOps.probeScores(s, dir), "doc_id")
+      val w = Window.partitionBy("lang")
+        .orderBy(col("q_milli").desc, col("seq_id"))
+      scored.groupBy("lang", "seq_id")
+        .agg(sum(col("tok")).as("n_tokens"),
+          sum(col("tok") * col("sc")).as("wsum"))
+        .withColumn("q_milli", expr("(wsum - pmod(wsum, n_tokens)) div n_tokens"))
+        .withColumn("rank", row_number().over(w))
+        .select("lang", "seq_id", "n_tokens", "q_milli", "rank")
+        .orderBy("lang", "rank")
     }))
 
   /** q170 training-sequence length (tokens per packed row). */
   val PackSeqLen = 128L
+
+  /** Shared q170/q171 stage: one row per (document, sequence it feeds),
+    * with the token count it contributes (`tok`). Per-doc BPE token
+    * counts are one explode→sum aggregate (the q167 plan); running
+    * offsets are a PER-STRATUM window (the q83 contract — never a
+    * global single-partition sort); a doc spans ⌈ntok/PackSeqLen⌉+1
+    * sequences at most, so the explode is bounded. */
+  private[graft] def packedSpans(s: SparkSession, dir: String): DataFrame = {
+    val merges = BpeOps.trainedMerges(s, dir).map(m => (m._2, m._3))
+    val counts = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("doc_id", "lang")
+      .agg(sum(size(BpeApplyExpr.bpeApply(col("word"), merges)).cast("long")).as("ntok"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .withColumn("off_start", coalesce(sum(col("ntok")).over(w), lit(0L)))
+      .withColumn("off_end", col("off_start") + col("ntok"))
+      .withColumn("seq_id", explode(sequence(
+        expr(s"off_start div $PackSeqLen"),
+        expr(s"(off_end - 1) div $PackSeqLen"))))
+      .withColumn("tok",
+        least(col("off_end"), (col("seq_id") + 1) * PackSeqLen)
+          - greatest(col("off_start"), col("seq_id") * PackSeqLen))
+      .select("lang", "doc_id", "seq_id", "tok")
+  }
 
   // ---- DuckDB oracle ------------------------------------------------------
 
@@ -484,28 +520,57 @@ object PipelineOps {
 
     "q170_sequence_pack" ->
       s"""WITH ${BpeOps.bpeCtesSql(BpeOps.BpeRounds)},
-         |pdw AS MATERIALIZED (
-         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
-         |  FROM documents),
-         |pdc AS MATERIALIZED (
-         |  SELECT d.doc_id, d.lang, CAST(sum(length(w.word_t)) AS BIGINT) AS ntok
-         |  FROM pdw d JOIN w${BpeOps.BpeRounds} w USING (word)
-         |  WHERE length(d.word) >= 1 GROUP BY d.doc_id, d.lang),
-         |poff AS MATERIALIZED (
-         |  SELECT doc_id, lang, ntok,
-         |    CAST(coalesce(sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-         |      AS off_start
-         |  FROM pdc),
-         |pex AS MATERIALIZED (
-         |  SELECT lang, doc_id, off_start, off_start + ntok AS off_end,
-         |    unnest(generate_series(off_start // $PackSeqLen,
-         |      (off_start + ntok - 1) // $PackSeqLen)) AS seq_id
-         |  FROM poff)
+         |$packCtesSql
          |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
          |  CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(least(off_end, (seq_id + 1) * $PackSeqLen)
-         |    - greatest(off_start, seq_id * $PackSeqLen)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(tok) AS BIGINT) AS n_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-         |FROM pex GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin)
+         |FROM pspan GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin,
+
+    "q171_curriculum" ->
+      s"""WITH ${BpeOps.bpeCtesSql(BpeOps.BpeRounds)},
+         |$packCtesSql,
+         |${CurationOps.probeCtesSql(CurationOps.ProbeRounds)},
+         |psc AS MATERIALIZED (
+         |  SELECT f.doc_id, w.w0 + w.w1*f.x1 + w.w2*f.x2 AS sc
+         |  FROM pf f, pw${CurationOps.ProbeRounds} w),
+         |pagg AS MATERIALIZED (
+         |  SELECT lang, seq_id, CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |    CAST(sum(tok * sc) AS BIGINT) AS wsum
+         |  FROM pspan JOIN psc USING (doc_id) GROUP BY 1, 2)
+         |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id, n_tokens,
+         |  ${CurationOps.floorDivSql("wsum", "n_tokens")} AS q_milli,
+         |  CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${CurationOps.floorDivSql("wsum", "n_tokens")} DESC, seq_id)
+         |    AS INTEGER) AS rank
+         |FROM pagg ORDER BY lang, rank""".stripMargin)
+
+  /** q170/q171 shared packing CTEs (ride on the BPE CTEs' `w$rounds`
+    * encoded vocabulary): ends with `pspan(lang, doc_id, seq_id, tok)`
+    * — one row per (doc, sequence it feeds) with the contributed token
+    * count, the SQL twin of [[packedSpans]]. */
+  private def packCtesSql: String =
+    s"""pdw AS MATERIALIZED (
+       |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |pdc AS MATERIALIZED (
+       |  SELECT d.doc_id, d.lang, CAST(sum(length(w.word_t)) AS BIGINT) AS ntok
+       |  FROM pdw d JOIN w${BpeOps.BpeRounds} w USING (word)
+       |  WHERE length(d.word) >= 1 GROUP BY d.doc_id, d.lang),
+       |poff AS MATERIALIZED (
+       |  SELECT doc_id, lang, ntok,
+       |    CAST(coalesce(sum(ntok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS off_start
+       |  FROM pdc),
+       |pex AS MATERIALIZED (
+       |  SELECT lang, doc_id, off_start, off_start + ntok AS off_end,
+       |    unnest(generate_series(off_start // $PackSeqLen,
+       |      (off_start + ntok - 1) // $PackSeqLen)) AS seq_id
+       |  FROM poff),
+       |pspan AS MATERIALIZED (
+       |  SELECT lang, doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+       |    least(off_end, (seq_id + 1) * $PackSeqLen)
+       |      - greatest(off_start, seq_id * $PackSeqLen) AS tok
+       |  FROM pex)""".stripMargin
 }

@@ -121,6 +121,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         case "history" => return GraftCatalog.historyTable(parent)
         case "files" => return GraftCatalog.filesTable(parent)
         case "partitions" => return GraftCatalog.partitionsTable(parent)
+        case "stats" => return GraftCatalog.statsTable(parent)
         // Iceberg-style branch identifier: `db.t.branch_audit` reads the
         // WAP staging lane (anchor snapshot + staged appends) and
         // accepts INSERT INTO (appends stage onto the branch)
@@ -637,6 +638,62 @@ object GraftCatalog {
           es.map(_.dvRows).sum)): InternalRow
       }.toArray
     staticTable(s"partitions($root)", PartitionsSchema, rows)
+  }
+
+  private val StatsSchema = StructType(Seq(
+    StructField("column", StringType, nullable = false),
+    StructField("ndv", LongType, nullable = true),
+    StructField("exact_ndv", BooleanType, nullable = false),
+    StructField("null_count", LongType, nullable = true),
+    StructField("min", LongType, nullable = true),
+    StructField("max", LongType, nullable = true)))
+
+  /** `SELECT * FROM cat.db.t.stats` — per-column table statistics, the
+    * operational twin of the scan's CBO `columnStats` report: one row
+    * per schema column with the NDV (exact for identity partition keys
+    * — the distinct tuple set — and for single-file tables; otherwise
+    * the per-file-exact counts folded to an upper bound), the null
+    * count, and integer bounds, all from manifest metadata alone
+    * (kilobytes, LocalScan, no executors). Columns the manifest has no
+    * stats for report NULLs — absence is visible, never fabricated.
+    * This is what an operator reads to decide whether a join key needs
+    * a layout change or a filter is worth a z-order. */
+  private[sources] def statsTable(root: Path): Table = {
+    val st = ManifestSink.readState(root)
+    val es = st.entries
+    val schema = st.schema.getOrElse(StructType(Nil))
+    val tfByCol = st.partSpec.map(t => t.col -> t).toMap
+    val rows = schema.fields.map { f =>
+      val name = f.name
+      val intish = f.dataType == LongType || f.dataType == IntegerType
+      val identityKey = es.nonEmpty && st.partCols.contains(name) &&
+        tfByCol.get(name).forall(_.isInstanceOf[ManifestSink.PIdentity]) &&
+        es.forall(e => e.specId == st.specId && e.parts.contains(name))
+      val ndv: Option[Long] =
+        if (identityKey)
+          Some(es.map(_.parts(name)).distinct
+            .count(_ != ManifestSink.NullPartValue).toLong)
+        else if (es.nonEmpty && es.forall(_.ndvs.contains(name)))
+          Some(math.min(es.map(_.ndvs(name)).sum, es.map(_.liveRows).sum))
+        else None
+      val nulls: Option[Long] =
+        if (identityKey)
+          Some(es.filter(_.parts(name) == ManifestSink.NullPartValue)
+            .map(_.liveRows).sum)
+        else if (es.nonEmpty && es.forall(_.nulls.contains(name)))
+          Some(es.map(_.nulls(name)).sum)
+        else None
+      val (mn, mx): (Option[Long], Option[Long]) =
+        if (intish && es.nonEmpty &&
+            es.forall(e => e.mins.contains(name) && e.maxs.contains(name)))
+          (Some(es.map(_.mins(name)).min), Some(es.map(_.maxs(name)).max))
+        else (None, None)
+      new GenericInternalRow(Array[Any](UTF8String.fromString(name),
+        ndv.map(Long.box).orNull, identityKey || es.size == 1,
+        nulls.map(Long.box).orNull,
+        mn.map(Long.box).orNull, mx.map(Long.box).orNull)): InternalRow
+    }
+    staticTable(s"stats($root)", StatsSchema, rows)
   }
 
   private val OptimizeOutput = StructType(Seq(

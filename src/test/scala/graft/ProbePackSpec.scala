@@ -130,4 +130,30 @@ class ProbePackSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q171: curriculum ranks are per-stratum permutations ordered by quality") {
+    val pack = PipelineOps.queries("q170_sequence_pack")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val rows = PipelineOps.queries("q171_curriculum")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      // every packed sequence is priced and ranked exactly once
+      assert(rs.map(_._2).toSet === pack(lang), s"lang=$lang")
+      assert(rs.map(_._5).sorted.toSeq === (1 to rs.length), s"lang=$lang")
+      // rank order IS quality order (ties broken by seq_id ascending)
+      val byRank = rs.sortBy(_._5)
+      byRank.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 > b._4 || (a._4 == b._4 && a._2 < b._2),
+            s"lang=$lang rank ${a._5} -> ${b._5}")
+        case _ =>
+      }
+      // token-weighted mean stays inside the probe's score range
+      val (_, w0, w1, w2) = CurationOps.probeWeights(spark, sfDir).last
+      val lo = math.min(w0, math.min(w0 + w1, math.min(w0 + w2, w0 + w1 + w2)))
+      val hi = math.max(w0, math.max(w0 + w1, math.max(w0 + w2, w0 + w1 + w2)))
+      rs.foreach(r => assert(r._4 >= lo - 1 && r._4 <= hi, s"lang=$lang q=${r._4}"))
+    }
+  }
 }

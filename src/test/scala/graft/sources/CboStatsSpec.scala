@@ -74,6 +74,21 @@ class CboStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("db.t.stats metadata view reports per-column stats with exactness flags") {
+    wh // force setup
+    val rows = spark.sql("SELECT * FROM cbo.db.t.stats").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("k", "v", "s"))
+    val k = rows("k")
+    assert(k.getLong(1) === 5L && k.getBoolean(2), s"k: $k") // exact NDV
+    assert(k.getLong(3) === 0L && k.getLong(4) === 0L && k.getLong(5) === 4L)
+    val v = rows("v")
+    assert(v.getLong(1) === 100L && !v.getBoolean(2), s"v: $v") // folded bound
+    assert(v.getLong(3) === 0L && v.getLong(4) === 0L && v.getLong(5) === 693L)
+    val s = rows("s")
+    assert(s.isNullAt(1) && s.getLong(3) === 0L && s.isNullAt(4), s"s: $s")
+  }
+
   test("FilterEstimation prices a range predicate off the manifest bounds") {
     withCbo {
       // v ∈ [0, 693]; v >= 630 covers ~9% of the range — CBO must
