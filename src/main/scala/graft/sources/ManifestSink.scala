@@ -872,7 +872,12 @@ object ManifestSink {
       // zero is a real zero). Bin-merge compaction drops both (NDV does
       // not merge); full rewrites re-collect them.
       ndvs: Map[String, Long] = Map.empty,
-      nulls: Map[String, Long] = Map.empty) {
+      nulls: Map[String, Long] = Map.empty,
+      // ATTESTED sort order: the write.sort-by columns this file's rows
+      // were VERIFIED monotone under while being written (empty = no
+      // claim — legacy files, bin-merged concatenations, z-ordered
+      // rewrites). Grounds the scan's per-file ordering report.
+      sorted: Seq[String] = Seq.empty) {
     /** Rows a reader actually yields: physical rows minus the deletion
       * vector's positions. Drives count(*) pushdown, reported stats and
       * the zero-column emitters — `rows` stays the PHYSICAL count (what
@@ -1062,7 +1067,59 @@ object ManifestSink {
     * DV purge and CoW delete rewrites (identical stats semantics at
     * every site, by construction). */
   private[sources] final class FileStatsCollector(schema: StructType,
-      bloomCols: Seq[String]) {
+      bloomCols: Seq[String], sortCols: Seq[String] = Seq.empty) {
+    // ---- attested sort order ---------------------------------------------
+    // VERIFY (never assume) that rows arrive monotone non-decreasing
+    // under the table's write.sort-by columns — ascending, nulls first,
+    // Spark's in-task sort contract. The write path normally guarantees
+    // it (RequiresDistributionAndOrdering), but legacy files, z-ordered
+    // rewrites and raw concatenations must not inherit the claim: only
+    // a file whose every row was CHECKED publishes `sorted`, which is
+    // what lets the scan report a per-file output ordering soundly.
+    private val sortAt: Seq[(Int, DataType)] = sortCols.flatMap(c =>
+      schema.fields.zipWithIndex.collectFirst {
+        case (f, i) if f.name == c && (f.dataType == LongType ||
+            f.dataType == IntegerType || f.dataType == StringType) =>
+          (i, f.dataType)
+      })
+    private val sortComparable = sortCols.nonEmpty && sortAt.length == sortCols.length
+    private var sortOk = sortComparable
+    private var prevSort: Array[Any] = null
+    private def sortVal(row: InternalRow, i: Int, dt: DataType): Any =
+      if (row.isNullAt(i)) null
+      else dt match {
+        case LongType => row.getLong(i)
+        case IntegerType => row.getInt(i).toLong
+        case _ => row.getUTF8String(i).toString
+      }
+    private def cmpSort(a: Any, b: Any): Int = (a, b) match {
+      case (null, null) => 0
+      case (null, _) => -1 // nulls first
+      case (_, null) => 1
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case (x: String, y: String) => utf8Compare(x, y)
+      case _ => 0
+    }
+    private def checkSorted(row: InternalRow): Unit = {
+      val cur = new Array[Any](sortAt.length)
+      var i = 0
+      while (i < sortAt.length) {
+        cur(i) = sortVal(row, sortAt(i)._1, sortAt(i)._2); i += 1
+      }
+      if (prevSort != null) {
+        var c = 0; i = 0
+        while (c == 0 && i < sortAt.length) {
+          c = cmpSort(prevSort(i), cur(i)); i += 1
+        }
+        if (c > 0) sortOk = false
+      }
+      prevSort = cur
+    }
+    /** The columns this file's rows are ATTESTED sorted by (the full
+      * configured list, or nothing — a partial claim would still be
+      * unusable for ordering reports). Empty files attest trivially. */
+    def sortedBy: Seq[String] = if (sortComparable && sortOk) sortCols else Seq.empty
+
     private val intCols = schema.fields.zipWithIndex.collect {
       case (f, i) if f.dataType == LongType || f.dataType == IntegerType => (f, i)
     }
@@ -1100,6 +1157,7 @@ object ManifestSink {
     private val ndvAt = ndvSets.map(_._2)
 
     def add(row: InternalRow): Unit = {
+      if (sortOk) checkSorted(row)
       var ic = 0
       intCols.foreach { case (f, i) =>
         if (!row.isNullAt(i)) {
@@ -2232,7 +2290,7 @@ object ManifestSink {
   }
 
   private[sources] def parseEntryLine(line: String): FileEntry = {
-    val parts = line.split("\t", 11)
+    val parts = line.split("\t", 12)
     val (dvName, dvRows) = parts.lift(5).filter(_.nonEmpty) match {
       case Some(dv) =>
         val Array(n, c) = dv.split(":", 2)
@@ -2256,7 +2314,9 @@ object ManifestSink {
       dvName, dvRows, blooms, slows, sups,
       parts.lift(8).filter(_.nonEmpty).map(_.toLong).getOrElse(0L),
       parts.lift(9).filter(_.nonEmpty).map(_.toLong).getOrElse(0L),
-      ndvs, nulls)
+      ndvs, nulls,
+      parts.lift(11).filter(_.nonEmpty)
+        .map(_.split(",").toSeq.map(urlDec)).getOrElse(Seq.empty))
   }
 
   /** CBO count-stats field: `col=ndv:nulls` pairs, comma-joined, either
@@ -2317,7 +2377,9 @@ object ManifestSink {
     val sq = if (e.seq == 0L) "" else e.seq.toString
     val sp = if (e.specId == 0L) "" else e.specId.toString
     val cc = colCountsStr(e.ndvs, e.nulls)
-    if (cc.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp\t$cc"
+    val so = e.sorted.map(urlEnc).mkString(",")
+    if (so.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp\t$cc\t$so"
+    else if (cc.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp\t$cc"
     else if (sp.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp"
     else if (sq.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq"
     else if (sb.nonEmpty) s"$base\t$dv\t$bl\t$sb"
@@ -3288,7 +3350,7 @@ object ManifestSink {
       case _ => Seq.empty
     }.map(c => FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts,
       blooms = c.blooms, slows = c.slows, sups = c.sups,
-      ndvs = c.ndvs, nulls = c.nulls))
+      ndvs = c.ndvs, nulls = c.nulls, sorted = c.sorted))
 
   private[sources] def commitFileNames(messages: Iterable[WriterCommitMessage]): Seq[String] =
     messages.toSeq.flatMap {
@@ -3375,7 +3437,7 @@ object ManifestSink {
           gov.map(a => rowKillTest(schema, a))
         val dv: Set[Long] =
           e.dvName.fold(Set.empty[Long])(n => readDvPositions(root.resolve(n)).toSet)
-        val stats = new FileStatsCollector(schema, st.bloomCols)
+        val stats = new FileStatsCollector(schema, st.bloomCols, st.sortCols)
         var kept = 0L
         val newName = s"data-compact-${java.util.UUID.randomUUID()}.parquet"
         val out = ManifestParquet.open(root.resolve(newName),
@@ -3391,7 +3453,8 @@ object ManifestSink {
         FileEntry(newName, kept, stats.intMins, stats.intMaxs, e.parts,
           blooms = stats.blooms, slows = stats.strLowers, sups = stats.strUppers,
           seq = st.version + 1L, specId = e.specId,
-          ndvs = stats.intNdvs, nulls = stats.nullCounts)
+          ndvs = stats.intNdvs, nulls = stats.nullCounts,
+          sorted = stats.sortedBy)
       }
     }.filter(_.rows > 0L)
     try publish(root, st.version,
@@ -3435,7 +3498,7 @@ object ManifestSink {
     val purged = dvEntries.map(e => purgeDvEntry(root, e,
       st.schema.getOrElse(throw new IllegalStateException(
         s"manifest table $tablePath has no schema")),
-      st.colMap, st.schemaEpoch > 0L, st.bloomCols))
+      st.colMap, st.schemaEpoch > 0L, st.bloomCols, st.sortCols))
     val small = plain.filter(_.rows < targetRows)
     // first-fit in manifest order keeps neighboring appends together,
     // which preserves any time-locality the write order had; binning is
@@ -3510,9 +3573,10 @@ object ManifestSink {
     * [[compact]]. */
   private def purgeDvEntry(root: Path, e: FileEntry, schema: StructType,
       colMap: Map[String, String], evolved: Boolean,
-      bloomCols: Seq[String] = Seq.empty): FileEntry = {
+      bloomCols: Seq[String] = Seq.empty,
+      sortCols: Seq[String] = Seq.empty): FileEntry = {
     val dv = readDvPositions(root.resolve(e.dvName.get)).toSet
-    val stats = new FileStatsCollector(schema, bloomCols)
+    val stats = new FileStatsCollector(schema, bloomCols, sortCols)
     var kept = 0L
     val newName = s"data-compact-${java.util.UUID.randomUUID()}.parquet"
     val out = ManifestParquet.open(root.resolve(newName),
@@ -3527,7 +3591,8 @@ object ManifestSink {
     } finally out.close()
     FileEntry(newName, kept, stats.intMins, stats.intMaxs, e.parts,
       blooms = stats.blooms, slows = stats.strLowers, sups = stats.strUppers,
-      specId = e.specId, ndvs = stats.intNdvs, nulls = stats.nullCounts)
+      specId = e.specId, ndvs = stats.intNdvs, nulls = stats.nullCounts,
+      sorted = stats.sortedBy)
   }
 
   /** Structural validation of a partition spec against a schema — the
@@ -3684,7 +3749,7 @@ object ManifestSink {
     if (stale.isEmpty)
       return CompactionResult(st.version, st.entries.size, st.entries.size, 0, 0L)
     val w = new ManifestWriterFactory(tablePath, schema, st.partCols, st.colMap,
-      st.bloomCols, rowGroupBytesOf(st.props), st.effectiveSpec)
+      st.bloomCols, rowGroupBytesOf(st.props), st.effectiveSpec, st.sortCols)
       .createWriter(0, System.nanoTime())
     var moved = 0L
     stale.foreach { e =>
@@ -3705,7 +3770,7 @@ object ManifestSink {
     val migrated = commits.filter(_.rows > 0L).map(c =>
       FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts,
         blooms = c.blooms, slows = c.slows, sups = c.sups, specId = st.specId,
-        ndvs = c.ndvs, nulls = c.nulls))
+        ndvs = c.ndvs, nulls = c.nulls, sorted = c.sorted))
     try publish(root, st.version,
       ((schema.json +: RewriteMarker +: st.metaLines) ++
         renderEntrySection(root, fresh ++ migrated, st.groups)).mkString("\n"))
@@ -3851,7 +3916,7 @@ object ManifestSink {
         }
       }.collect().toSeq.map(c => FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts,
         blooms = c.blooms, slows = c.slows, sups = c.sups, specId = st.specId,
-        ndvs = c.ndvs, nulls = c.nulls))
+        ndvs = c.ndvs, nulls = c.nulls, sorted = c.sorted))
     }
     try publish(root, st.version,
       ((schema.json +: RewriteMarker +: st.metaLines) ++
@@ -4250,7 +4315,7 @@ object ManifestSink {
         // retirement path, a pure metadata commit
         provenFiles += 1; deletedRows += e.liveRows; None
       } else {
-      val stats = new FileStatsCollector(schema, st.bloomCols)
+      val stats = new FileStatsCollector(schema, st.bloomCols, st.sortCols)
       var kept = 0L
       val newName = s"data-delete-${java.util.UUID.randomUUID()}.parquet"
       val out = ManifestParquet.open(root.resolve(newName),
@@ -4283,7 +4348,8 @@ object ManifestSink {
       } else Some(FileEntry(newName, kept, stats.intMins, stats.intMaxs, e.parts,
         blooms = stats.blooms, slows = stats.strLowers, sups = stats.strUppers,
         seq = e.seq, specId = e.specId,
-        ndvs = stats.intNdvs, nulls = stats.nullCounts))
+        ndvs = stats.intNdvs, nulls = stats.nullCounts,
+        sorted = stats.sortedBy))
       }
     }
     val rewritten = candidates.zip(replacements).count {
@@ -5049,7 +5115,7 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
       override def toBatch: BatchWrite =
         new ManifestBatchWrite(root, schema, truncateFirst, gc, pc,
           overwriteFilters, dynamicOverwrite, cmap, bc, branch, rgb, pspec,
-          pspecId)
+          pspecId, sortCols = sc)
       // streaming: truncateFirst becomes truncate-EACH-EPOCH (Spark calls
       // truncate() on the builder for Complete output mode)
       override def toStreaming: StreamingWrite = {
@@ -5061,7 +5127,8 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
         // enforced per row in the stream's writers
         new ManifestStreamingWrite(root, schema, truncateFirst, gc, queryId,
           pc, cmap, bc, rgb, pspec, pspecId,
-          checks = ManifestSink.boundConstraintExprs(schema, st.props))
+          checks = ManifestSink.boundConstraintExprs(schema, st.props),
+          sortCols = sc)
       }
     }
   }
@@ -5074,7 +5141,8 @@ case class ManifestCommit(fileName: String, rows: Long,
     slows: Map[String, String] = Map.empty,
     sups: Map[String, String] = Map.empty,
     ndvs: Map[String, Long] = Map.empty,
-    nulls: Map[String, Long] = Map.empty) extends WriterCommitMessage
+    nulls: Map[String, Long] = Map.empty,
+    sorted: Seq[String] = Seq.empty) extends WriterCommitMessage
 
 /** A partition-fanout task's commit: one [[ManifestCommit]] per data
   * file it opened (one per distinct partition tuple it received). */
@@ -5094,10 +5162,11 @@ class ManifestBatchWrite(root: Path, schema: StructType, truncateFirst: Boolean,
     // commit racing a spec evolution honestly publishes old-spec files
     // (pruned forever under their archived spec), exactly like files
     // written before the evolution
-    specId: Long = 0L) extends BatchWrite {
+    specId: Long = 0L,
+    sortCols: Seq[String] = Seq.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(root.toString, schema, partCols, colMap, bloomCols,
-      rowGroupBytes, partSpec)
+      rowGroupBytes, partSpec, sortCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val newEntries = ManifestSink.commitEntries(messages).map(_.copy(specId = specId))
@@ -5247,11 +5316,12 @@ class ManifestStreamingWrite(root: Path, schema: StructType, truncateEachEpoch: 
     rowGroupBytes: Option[Long] = None,
     partSpec: Seq[ManifestSink.PartTransform] = Seq.empty,
     specId: Long = 0L,
-    checks: Seq[(String, String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+    checks: Seq[(String, String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+    sortCols: Seq[String] = Seq.empty)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new ManifestStreamingWriterFactory(root.toString, schema, partCols, colMap,
-      bloomCols, rowGroupBytes, partSpec, checks)
+      bloomCols, rowGroupBytes, partSpec, checks, sortCols)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     if (ManifestSink.epochMarkers(root).get(queryId).exists(_ >= epochId)) {
@@ -5277,7 +5347,8 @@ class ManifestStreamingWriterFactory(rootStr: String, schema: StructType,
     bloomCols: Seq[String] = Seq.empty,
     rowGroupBytes: Option[Long] = None,
     partSpec: Seq[ManifestSink.PartTransform] = Seq.empty,
-    checks: Seq[(String, String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+    checks: Seq[(String, String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+    sortCols: Seq[String] = Seq.empty)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
@@ -5289,9 +5360,10 @@ class ManifestStreamingWriterFactory(rootStr: String, schema: StructType,
       if (partCols.isEmpty)
         new ManifestDataWriter(rootStr, schema,
           s"$prefix-${java.util.UUID.randomUUID()}.parquet", colMap = colMap,
-          bloomCols = bloomCols, rowGroupBytes = rowGroupBytes)
+          bloomCols = bloomCols, rowGroupBytes = rowGroupBytes,
+          sortCols = sortCols)
       else new PartitionedDataWriter(rootStr, schema, partCols, prefix, colMap,
-        bloomCols, rowGroupBytes, partSpec)
+        bloomCols, rowGroupBytes, partSpec, sortCols)
     if (checks.isEmpty) inner
     else new CheckEnforcingWriter(inner, schema, checks)
   }
@@ -5333,7 +5405,8 @@ class ManifestWriterFactory(rootStr: String, schema: StructType,
     colMap: Map[String, String] = Map.empty,
     bloomCols: Seq[String] = Seq.empty,
     rowGroupBytes: Option[Long] = None,
-    partSpec: Seq[ManifestSink.PartTransform] = Seq.empty) extends DataWriterFactory {
+    partSpec: Seq[ManifestSink.PartTransform] = Seq.empty,
+    sortCols: Seq[String] = Seq.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // attempt-unique name: a retried or speculative attempt of the same
     // partition writes a different file; only the attempt whose message
@@ -5342,9 +5415,10 @@ class ManifestWriterFactory(rootStr: String, schema: StructType,
     if (partCols.isEmpty)
       new ManifestDataWriter(rootStr, schema,
         s"$prefix-${java.util.UUID.randomUUID()}.parquet", colMap = colMap,
-        bloomCols = bloomCols, rowGroupBytes = rowGroupBytes)
+        bloomCols = bloomCols, rowGroupBytes = rowGroupBytes,
+        sortCols = sortCols)
     else new PartitionedDataWriter(rootStr, schema, partCols, prefix, colMap,
-      bloomCols, rowGroupBytes, partSpec)
+      bloomCols, rowGroupBytes, partSpec, sortCols)
   }
 }
 
@@ -5360,7 +5434,8 @@ class PartitionedDataWriter(rootStr: String, schema: StructType,
     colMap: Map[String, String] = Map.empty,
     bloomCols: Seq[String] = Seq.empty,
     rowGroupBytes: Option[Long] = None,
-    partSpec: Seq[ManifestSink.PartTransform] = Seq.empty) extends DataWriter[InternalRow] {
+    partSpec: Seq[ManifestSink.PartTransform] = Seq.empty,
+    sortCols: Seq[String] = Seq.empty) extends DataWriter[InternalRow] {
   private val idx: Seq[(Int, DataType)] = partCols.map { c =>
     val i = schema.fieldIndex(c); (i, schema.fields(i).dataType)
   }
@@ -5392,7 +5467,8 @@ class PartitionedDataWriter(rootStr: String, schema: StructType,
     writers.getOrElseUpdate(key,
       new ManifestDataWriter(rootStr, schema,
         s"$namePrefix-${java.util.UUID.randomUUID()}.parquet",
-        partCols.zip(key).toMap, colMap, bloomCols, rowGroupBytes)).write(record)
+        partCols.zip(key).toMap, colMap, bloomCols, rowGroupBytes,
+        sortCols)).write(record)
   }
 
   override def commit(): WriterCommitMessage =
@@ -5502,7 +5578,8 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
     parts: Map[String, String] = Map.empty,
     colMap: Map[String, String] = Map.empty,
     bloomCols: Seq[String] = Seq.empty,
-    rowGroupBytes: Option[Long] = None)
+    rowGroupBytes: Option[Long] = None,
+    sortCols: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
   private val root = Paths.get(rootStr)
   private var rows = 0L
@@ -5511,7 +5588,7 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
   // that powers file skipping and the metadata count. Keyed by LOGICAL
   // name (manifest metadata is logical; only bytes inside data files
   // are physical).
-  private val stats = new ManifestSink.FileStatsCollector(schema, bloomCols)
+  private val stats = new ManifestSink.FileStatsCollector(schema, bloomCols, sortCols)
   private lazy val out = {
     Files.createDirectories(root)
     // data files carry PHYSICAL column names — immutable across renames
@@ -5527,7 +5604,7 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
     out.close() // forces creation even for an empty task: footer-only file
     ManifestCommit(fileName, rows, stats.intMins, stats.intMaxs, parts,
       stats.blooms, stats.strLowers, stats.strUppers,
-      stats.intNdvs, stats.nullCounts)
+      stats.intNdvs, stats.nullCounts, stats.sortedBy)
   }
   override def abort(): Unit = {
     try out.close() catch { case _: Throwable => () }
@@ -5939,6 +6016,7 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
         partTransforms = tableState.partTransforms,
         specId = tableState.specId,
         pastSpecs = tableState.pastSpecs,
+        sortCols = tableState.sortCols,
         // CHANGE-FEED windows never apply records: one inside the window
         // fails the version walk loudly; one at-or-before `from` cannot
         // govern window entries (their seq exceeds it); one AFTER `to`
@@ -5998,7 +6076,10 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     // runtime-filter pruning resolves each entry's OWN transforms, and
     // SPJ key grouping is only claimed when every file is current-spec
     specId: Long = 0L,
-    pastSpecs: Map[Long, Seq[ManifestSink.PartTransform]] = Map.empty)
+    pastSpecs: Map[Long, Seq[ManifestSink.PartTransform]] = Map.empty,
+    // the table's write.sort-by columns — grounds the ATTESTED part of
+    // the ordering report (per-entry `sorted` lists must cover these)
+    sortCols: Seq[String] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -6314,15 +6395,48 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     try {
       import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
-      if (partCols.nonEmpty && onRuntimeNarrow.isEmpty && cdcSlices.isEmpty &&
-          partCols.forall(c =>
-            partTransforms.get(c).forall(_.isInstanceOf[ManifestSink.PIdentity])) &&
-          resolved.forall(_.specId == specId) &&
-          partCols.forall(c => schema.fieldNames.contains(c)) &&
-          partKeyByName.valuesIterator.forall(_ != null))
-        partCols.map(c =>
-          Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
-      else Array.empty
+      if (onRuntimeNarrow.isDefined || cdcSlices.isDefined)
+        return Array.empty
+      // CONSTANT prefix: identity partition keys — each planned
+      // partition is one file or a same-key group of files, so the key
+      // columns are constant within it and any ordering over them holds
+      // vacuously. Guards mirror outputPartitioning's.
+      val prefixOk = partCols.nonEmpty &&
+        partCols.forall(c =>
+          partTransforms.get(c).forall(_.isInstanceOf[ManifestSink.PIdentity])) &&
+        resolved.forall(_.specId == specId) &&
+        partCols.forall(c => schema.fieldNames.contains(c)) &&
+        partKeyByName.valuesIterator.forall(_ != null)
+      // ATTESTED suffix: every surviving file was VERIFIED monotone
+      // under (a prefix covering) the current write.sort-by columns at
+      // write time — legacy files, bin-merged concatenations and
+      // z-ordered rewrites carry no attestation and withdraw the claim.
+      // Concatenation hazard: Spark groups same-key files into one
+      // partition only when this scan claims KeyGroupedPartitioning, so
+      // under a claim the suffix additionally requires ONE file per key
+      // (two sorted files appended are not sorted); without a claim
+      // every partition IS one file.
+      val claimsGrouping = partCols.nonEmpty &&
+        partTransforms.valuesIterator.forall {
+          case _: ManifestSink.PIdentity => true
+          case _: ManifestSink.PBucketInt => true
+          case _: ManifestSink.PBucketStr => true
+          case _ => false
+        } &&
+        resolved.forall(_.specId == specId) &&
+        partCols.forall(c => schema.fieldNames.contains(c)) &&
+        partKeyByName.valuesIterator.forall(_ != null)
+      val suffixOk = sortCols.nonEmpty &&
+        sortCols.forall(c => schema.fieldNames.contains(c)) &&
+        resolved.nonEmpty &&
+        resolved.forall(e => e.sorted.take(sortCols.length) == sortCols) &&
+        (!claimsGrouping ||
+          resolved.groupBy(e => e.parts.filter(kv => partCols.contains(kv._1)))
+            .valuesIterator.forall(_.size <= 1))
+      val prefix = if (prefixOk) partCols else Seq.empty
+      val cols = prefix ++ (if (suffixOk) sortCols.filterNot(prefix.contains) else Seq.empty)
+      cols.map(c =>
+        Expressions.sort(Expressions.identity(c), SortDirection.ASCENDING)).toArray
     } catch {
       // same defensive posture as outputPartitioning: a stats/planning
       // probe on an unreachable change-feed window must not fail

@@ -38,6 +38,11 @@ class EntryCodecSpec extends AnyFunSuite {
     rt(base.copy(dvName = Some("dv-1.txt"), dvRows = 1L,
       blooms = Map("cat" -> bloom), ndvs = Map("v" -> 4L),
       nulls = Map("v" -> 1L, "cat" -> 0L)))
+    // attested-sort slot: alone, with earlier slots, encoded names
+    rt(base.copy(sorted = Seq("id")))
+    rt(base.copy(sorted = Seq("id", "a b"), seq = 3L))
+    rt(base.copy(ndvs = Map("id" -> 9L), nulls = Map("id" -> 0L),
+      sorted = Seq("v"), specId = 1L))
   }
 
   test("legacy 5-field and 2-field lines still parse") {

@@ -301,6 +301,72 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables with ATTESTED sort order join with zero exchanges AND zero sorts") {
+    // the Hive/Iceberg bucketed-sorted-table join: bucket(N, k) layout
+    // gives the zero-exchange SPJ, write.sort-by=k gives per-file
+    // k-ordering which the writer VERIFIES and the manifest attests —
+    // with one file per bucket the scan reports k-ascending ordering
+    // and the SMJ drops both sorts too
+    spark.sql("CREATE TABLE spj.db.bsf (k BIGINT, v BIGINT) PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('write.sort-by'='k')")
+    spark.sql("CREATE TABLE spj.db.bsd (k BIGINT, name STRING) PARTITIONED BY (bucket(4, k)) " +
+      "TBLPROPERTIES ('write.sort-by'='k')")
+    spark.sql("INSERT INTO spj.db.bsf SELECT id % 10, id FROM range(100)")
+    spark.sql("INSERT INTO spj.db.bsd SELECT id, concat('g', id) FROM range(10)")
+    withSpjConf() {
+      val joined = spark.table("spj.db.bsf").join(spark.table("spj.db.bsd"), "k")
+      val plan = executedPlan(joined)
+      assert(shuffles(plan).isEmpty, s"bucketed SPJ lost:\n$plan")
+      assert(plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.isEmpty, s"attested ordering should remove BOTH sorts:\n$plan")
+      val got = joined.select($"k", $"v", $"name")
+        .as[(Long, Long, String)].collect().sorted.toSeq
+      assert(got === (0L until 100L).map(id => (id % 10, id, s"g${id % 10}")).sorted)
+    }
+  }
+
+  test("a second file per bucket withdraws the attested suffix: sorts return") {
+    // two sorted files concatenated into one bucket partition are not
+    // sorted — the scan must stop reporting the suffix the moment a
+    // key group holds more than one file (while the zero-exchange SPJ
+    // claim survives)
+    spark.sql("INSERT INTO spj.db.bsf SELECT id % 10, id + 100 FROM range(100)")
+    withSpjConf() {
+      val joined = spark.table("spj.db.bsf").join(spark.table("spj.db.bsd"), "k")
+      val plan = executedPlan(joined)
+      assert(shuffles(plan).isEmpty, s"bucketed SPJ lost:\n$plan")
+      assert(plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.nonEmpty, s"multi-file buckets must sort again:\n$plan")
+      assert(joined.count() === 200L)
+    }
+  }
+
+  test("identity partitioning + attested sort-by: a (k, t) sort-aggregate needs no sorts") {
+    // partition-key constancy orders the prefix, the attested file
+    // order the suffix — a SortAggregate over (k, t) (collect_list has
+    // no hash-aggregate form) runs with zero exchanges (KeyGrouped(k)
+    // satisfies the (k, t) clustering) and ZERO sorts
+    spark.sql("CREATE TABLE spj.db.ksf (k BIGINT, t BIGINT, v BIGINT) PARTITIONED BY (k) " +
+      "TBLPROPERTIES ('write.sort-by'='t')")
+    spark.sql("INSERT INTO spj.db.ksf SELECT id % 4, id % 20, id FROM range(200)")
+    withSpjConf() {
+      val agg = spark.table("spj.db.ksf").groupBy($"k", $"t")
+        .agg(sum($"v").as("sv"), collect_list($"v").as("vs"))
+        .select($"k", $"t", $"sv")
+      val plan = executedPlan(agg)
+      assert(shuffles(plan).isEmpty, s"grouped-by-superset exchange appeared:\n$plan")
+      assert(plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.isEmpty, s"attested (k, t) ordering should feed SortAggregate sortless:\n$plan")
+      val got = agg.as[(Long, Long, Long)].collect().sorted.toSeq
+      val expected = (0L until 200L).groupBy(id => (id % 4, id % 20)).toSeq
+        .map { case ((k, t), ids) => (k, t, ids.sum) }.sorted
+      assert(got === expected)
+    }
+  }
+
   test("deletes and compaction preserve key grouping") {
     spark.sql("CREATE TABLE spj.db.mut (k BIGINT, v BIGINT) PARTITIONED BY (k)")
     spark.sql("INSERT INTO spj.db.mut SELECT id % 3, id FROM range(30)")
