@@ -688,8 +688,12 @@ object GraftCatalog {
             es.forall(e => e.mins.contains(name) && e.maxs.contains(name)))
           (Some(es.map(_.mins(name)).min), Some(es.map(_.maxs(name)).max))
         else (None, None)
+      // outstanding equality deletes hide rows the manifest still
+      // counts — every count degrades to an upper bound until OPTIMIZE
+      // materializes them, so exactness is only claimed on a clean table
       new GenericInternalRow(Array[Any](UTF8String.fromString(name),
-        ndv.map(Long.box).orNull, identityKey || es.size == 1,
+        ndv.map(Long.box).orNull,
+        (identityKey || es.size == 1) && st.eqDels.isEmpty,
         nulls.map(Long.box).orNull,
         mn.map(Long.box).orNull, mx.map(Long.box).orNull)): InternalRow
     }

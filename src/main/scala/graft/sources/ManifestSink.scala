@@ -3172,7 +3172,8 @@ object ManifestSink {
             slows = e.slows.map { case (k, v) => (if (k == from) to else k, v) },
             sups = e.sups.map { case (k, v) => (if (k == from) to else k, v) },
             ndvs = renameKeys(e.ndvs, from, to),
-            nulls = renameKeys(e.nulls, from, to)))
+            nulls = renameKeys(e.nulls, from, to),
+            sorted = e.sorted.map(c => if (c == from) to else c)))
         case u: TableChange.UpdateColumnType =>
           // TYPE WIDENING, metadata-only (the long-lived-table change):
           // int→long and float→double are the two conversions the
@@ -3218,7 +3219,11 @@ object ManifestSink {
             e.copy(mins = e.mins - name, maxs = e.maxs - name,
               blooms = e.blooms - name,
               slows = e.slows - name, sups = e.sups - name,
-              ndvs = e.ndvs - name, nulls = e.nulls - name))
+              ndvs = e.ndvs - name, nulls = e.nulls - name,
+              // a dropped column truncates the attestation AT the drop:
+              // ordering under the surviving prefix still holds, the
+              // suffix beyond it is meaningless
+              sorted = e.sorted.takeWhile(_ != name)))
         // ALTER TABLE ... SET TBLPROPERTIES: the CREATE-time knobs stay
         // adjustable for the table's whole life. delete.mode switches
         // strategy for FUTURE deletes (existing DVs keep applying);
@@ -6201,7 +6206,12 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
       *     distinct count (the spec makes every file's value part of
       *     its key, so NDV is the distinct tuple count) and an EXACT
       *     null count (live rows of null-keyed files) — the join-key
-      *     cardinalities join reordering runs on.
+      *     cardinalities join reordering runs on. Outstanding equality
+      *     deletes degrade every count to an upper bound (they hide
+      *     rows the manifest still counts); CBO stats are estimates by
+      *     contract, so the report stays useful — the `db.t.stats`
+      *     view is where exactness is FLAGGED, and it withdraws the
+      *     flag on eq-del-governed tables.
       *
       * Stats reflect the same pruned entry set `counted` reads, so a
       * narrowed scan reports narrowed column stats. Columns a file is

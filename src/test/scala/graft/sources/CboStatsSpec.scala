@@ -89,6 +89,18 @@ class CboStatsSpec extends AnyFunSuite {
     assert(s.isNullAt(1) && s.getLong(3) === 0L && s.isNullAt(4), s"s: $s")
   }
 
+  test("outstanding equality deletes withdraw the stats view's exactness flag") {
+    spark.sql("CREATE TABLE cbo.db.eq (id BIGINT, v BIGINT) PARTITIONED BY (id)")
+    spark.sql("INSERT INTO cbo.db.eq SELECT id % 3, id FROM range(9)")
+    def exactFlags() = spark.sql("SELECT column, exact_ndv FROM cbo.db.eq.stats")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(exactFlags()("id"), "clean table: identity key NDV is exact")
+    ManifestSink.deleteWhereEq(wh.resolve("db").resolve("eq").toString, "id", Seq("2"))
+    // the record hides rows the manifest still counts — every count is
+    // now an upper bound, so exactness must not be claimed
+    assert(!exactFlags()("id"), "eq-del-governed table must not claim exactness")
+  }
+
   test("FilterEstimation prices a range predicate off the manifest bounds") {
     withCbo {
       // v ∈ [0, 693]; v >= 630 covers ~9% of the range — CBO must

@@ -367,6 +367,29 @@ class SpjSpec extends AnyFunSuite {
     }
   }
 
+  test("RENAME carries the attestation; DROP truncates it at the dropped column") {
+    spark.sql("CREATE TABLE spj.db.rsf (k BIGINT, t BIGINT, x BIGINT) PARTITIONED BY (k) " +
+      "TBLPROPERTIES ('write.sort-by'='t')")
+    spark.sql("INSERT INTO spj.db.rsf SELECT id % 3, id, id * 2 FROM range(30)")
+    def sortedOf(): Seq[Seq[String]] =
+      ManifestSink.committedEntries(wh.resolve("db").resolve("rsf"), None).map(_.sorted)
+    assert(sortedOf().forall(_ == Seq("t")))
+    spark.sql("ALTER TABLE spj.db.rsf RENAME COLUMN t TO ts")
+    assert(sortedOf().forall(_ == Seq("ts")), "rename must carry the attestation")
+    withSpjConf() {
+      // ordering survives the rename end-to-end: the sort-aggregate on
+      // (k, ts) still plans sortless
+      val agg = spark.table("spj.db.rsf").groupBy($"k", $"ts")
+        .agg(collect_list($"x").as("xs")).select($"k", $"ts")
+      val plan = executedPlan(agg)
+      assert(plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s
+      }.isEmpty, s"renamed sort column lost its attestation:\n$plan")
+    }
+    spark.sql("ALTER TABLE spj.db.rsf DROP COLUMN ts")
+    assert(sortedOf().forall(_.isEmpty), "dropping the sort column clears the claim")
+  }
+
   test("deletes and compaction preserve key grouping") {
     spark.sql("CREATE TABLE spj.db.mut (k BIGINT, v BIGINT) PARTITIONED BY (k)")
     spark.sql("INSERT INTO spj.db.mut SELECT id % 3, id FROM range(30)")
