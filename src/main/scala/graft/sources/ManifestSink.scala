@@ -3531,7 +3531,31 @@ object ManifestSink {
         tsvSmall.groupBy(e => (e.specId, e.parts)).values.toSeq.flatMap(packBins)
     if (bins.isEmpty && purged.isEmpty)
       return CompactionResult(st.version, st.entries.size, st.entries.size, 0, 0L)
-    val merged = bins.map { bin =>
+    val merged = bins.map { bin0 =>
+      // SORTED COMPACTION: a concatenation of attested-sorted runs is
+      // itself sorted when the runs are ordered by key and their key
+      // ranges are STRICTLY disjoint on the first sort column
+      // (max(prev) < min(next) — strictness carries the lexicographic
+      // claim past ties into later columns) and no run after the first
+      // holds nulls in it (nulls sort first). Reordering inside a bin
+      // is free — same files, same bytes — so the merge tries the key
+      // order first and attests only what it PROVED, keeping the
+      // zero-sort join/aggregate plans alive across OPTIMIZE instead of
+      // silently degrading them.
+      val lists = bin0.map(_.sorted)
+      val attestable = lists.head.nonEmpty && lists.distinct.size == 1
+      val c1 = if (attestable) lists.head.head else ""
+      val (bin, mergedSorted) =
+        if (attestable &&
+            bin0.forall(e => e.mins.contains(c1) && e.maxs.contains(c1) &&
+              e.nulls.contains(c1))) {
+          val ordered = bin0.sortBy(_.mins(c1))
+          val disjoint = ordered.sliding(2).forall {
+            case Seq(a, b) => a.maxs(c1) < b.mins(c1) && b.nulls(c1) == 0L
+            case _ => true
+          }
+          if (disjoint) (ordered, lists.head) else (bin0, Seq.empty[String])
+        } else (bin0, Seq.empty[String])
       val tsv = bin.head.name.endsWith(".tsv")
       val name = s"data-compact-${java.util.UUID.randomUUID()}.${if (tsv) "tsv" else "parquet"}"
       if (tsv) {
@@ -3556,7 +3580,14 @@ object ManifestSink {
           bloomUnion(bin.map(_.blooms(k))).map(k -> _)).toMap,
         slows = mergeStrLowers(bin.map(_.slows)),
         sups = mergeStrUppers(bin.map(_.sups)),
-        specId = bin.head.specId)
+        specId = bin.head.specId,
+        // null counts sum exactly (bin members carry no DVs — DV'd
+        // entries purge separately); NDVs do not merge and stay absent
+        nulls = {
+          val nullKeys = bin.map(_.nulls.keySet).reduce(_ intersect _)
+          nullKeys.map(k => k -> bin.map(_.nulls(k)).sum).toMap
+        },
+        sorted = mergedSorted)
     }
     val rewrittenNames = bins.flatten.map(_.name).toSet ++ dvEntries.map(_.name)
     val entries = st.entries.filterNot(e => rewrittenNames(e.name)) ++ merged ++ purged

@@ -351,20 +351,75 @@ class SpjSpec extends AnyFunSuite {
     spark.sql("CREATE TABLE spj.db.ksf (k BIGINT, t BIGINT, v BIGINT) PARTITIONED BY (k) " +
       "TBLPROPERTIES ('write.sort-by'='t')")
     spark.sql("INSERT INTO spj.db.ksf SELECT id % 4, id % 20, id FROM range(200)")
-    withSpjConf() {
+    // object-hash agg off so collect_list genuinely plans SortAggregate
+    withSpjConf("spark.sql.execution.useObjectHashAggregateExec" -> "false") {
       val agg = spark.table("spj.db.ksf").groupBy($"k", $"t")
         .agg(sum($"v").as("sv"), collect_list($"v").as("vs"))
-        .select($"k", $"t", $"sv")
+        .select($"k", $"t", $"sv", size($"vs").as("nv"))
       val plan = executedPlan(agg)
+      assert(plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }.nonEmpty, s"test premise: must plan SortAggregate:\n$plan")
       assert(shuffles(plan).isEmpty, s"grouped-by-superset exchange appeared:\n$plan")
       assert(plan.collect {
         case s: org.apache.spark.sql.execution.SortExec => s
       }.isEmpty, s"attested (k, t) ordering should feed SortAggregate sortless:\n$plan")
-      val got = agg.as[(Long, Long, Long)].collect().sorted.toSeq
+      val got = agg.as[(Long, Long, Long, Int)].collect().sorted.toSeq
       val expected = (0L until 200L).groupBy(id => (id % 4, id % 20)).toSeq
-        .map { case ((k, t), ids) => (k, t, ids.sum) }.sorted
+        .map { case ((k, t), ids) => (k, t, ids.sum, ids.size) }.sorted
       assert(got === expected)
     }
+  }
+
+  test("SORTED COMPACTION: OPTIMIZE restores the zero-sort plan it would otherwise destroy") {
+    spark.sql("CREATE TABLE spj.db.scf (k BIGINT, t BIGINT, v BIGINT) PARTITIONED BY (k) " +
+      "TBLPROPERTIES ('write.sort-by'='t')")
+    // two appends with DISJOINT t ranges per key: each file is attested
+    // sorted, but two files per key withdraw the ordering suffix
+    spark.sql("INSERT INTO spj.db.scf SELECT id % 3, id, id * 2 FROM range(0, 30)")
+    spark.sql("INSERT INTO spj.db.scf SELECT id % 3, id, id * 2 FROM range(30, 60)")
+    def aggPlan() =
+      withSpjConf("spark.sql.execution.useObjectHashAggregateExec" -> "false") {
+        val agg = spark.table("spj.db.scf").groupBy($"k", $"t")
+          .agg(collect_list($"v").as("vs"))
+          .select($"k", $"t", size($"vs").as("nv"))
+        val plan = executedPlan(agg)
+        assert(plan.collect {
+          case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+        }.nonEmpty, s"test premise: must plan SortAggregate:\n$plan")
+        plan
+      }
+    assert(aggPlan().collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.nonEmpty, "two files per key must sort")
+    // compaction reorders each bin by the sort key, proves the ranges
+    // strictly disjoint, and attests the merged file — the sortless
+    // plan comes BACK after OPTIMIZE
+    ManifestSink.compact(wh.resolve("db").resolve("scf").toString, targetRows = 1000L)
+    val entries = ManifestSink.committedEntries(wh.resolve("db").resolve("scf"), None)
+    assert(entries.size === 3 && entries.forall(_.sorted == Seq("t")),
+      s"merged entries must attest: ${entries.map(e => (e.name, e.sorted))}")
+    assert(aggPlan().collect {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.isEmpty, "compacted single-file keys must plan sortless again")
+    // values exact through the whole cycle
+    val got = spark.table("spj.db.scf").select($"k", $"t", $"v")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got === (0L until 60L).map(id => (id % 3, id, id * 2)).sorted)
+  }
+
+  test("overlapping key ranges refuse the compaction attestation") {
+    spark.sql("CREATE TABLE spj.db.sco (k BIGINT, t BIGINT) PARTITIONED BY (k) " +
+      "TBLPROPERTIES ('write.sort-by'='t')")
+    // both appends cover the SAME t range: concatenation in any order
+    // is unsorted, so the merged file must NOT attest
+    spark.sql("INSERT INTO spj.db.sco SELECT id % 3, id FROM range(0, 30)")
+    spark.sql("INSERT INTO spj.db.sco SELECT id % 3, id FROM range(0, 30)")
+    ManifestSink.compact(wh.resolve("db").resolve("sco").toString, targetRows = 1000L)
+    val entries = ManifestSink.committedEntries(wh.resolve("db").resolve("sco"), None)
+    assert(entries.forall(_.sorted.isEmpty),
+      s"overlapping ranges must refuse: ${entries.map(e => (e.name, e.sorted))}")
+    assert(spark.table("spj.db.sco").count() === 60L)
   }
 
   test("RENAME carries the attestation; DROP truncates it at the dropped column") {
@@ -376,11 +431,12 @@ class SpjSpec extends AnyFunSuite {
     assert(sortedOf().forall(_ == Seq("t")))
     spark.sql("ALTER TABLE spj.db.rsf RENAME COLUMN t TO ts")
     assert(sortedOf().forall(_ == Seq("ts")), "rename must carry the attestation")
-    withSpjConf() {
+    withSpjConf("spark.sql.execution.useObjectHashAggregateExec" -> "false") {
       // ordering survives the rename end-to-end: the sort-aggregate on
       // (k, ts) still plans sortless
       val agg = spark.table("spj.db.rsf").groupBy($"k", $"ts")
-        .agg(collect_list($"x").as("xs")).select($"k", $"ts")
+        .agg(collect_list($"x").as("xs"))
+        .select($"k", $"ts", size($"xs").as("nx"))
       val plan = executedPlan(agg)
       assert(plan.collect {
         case s: org.apache.spark.sql.execution.SortExec => s
