@@ -118,6 +118,38 @@ object PipelineOps {
         .orderBy("lang")
     }),
 
+    // Data-constrained epoch allocation (Muennighoff et al. 2023 shape):
+    // given a token budget (60% of the corpus) and per-source unique
+    // token counts, decide how many EPOCHS of each source to train on.
+    // Repeated data decays in value — the e-th epoch of a source is
+    // worth decay(e) of a fresh epoch (1000/500/250/125 milli, capped
+    // at 4 epochs, the paper's "repeating ~4 times is nearly free"
+    // regime) — so the greedy optimum takes (source, epoch) candidates
+    // in marginal-utility order until the budget runs out, clipping the
+    // last pick. Scale shape: candidates live at SOURCE cardinality
+    // (kilobytes at any corpus size — domains, not documents), so the
+    // greedy prefix sum runs on a coalesce(1)'d aggregate: no shuffle,
+    // no data-sized single-partition funnel, one corpus scan total.
+    "q172_epoch_allocation" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("n"))
+        .groupBy("source").agg(sum(col("n")).as("u"))
+        .coalesce(1)
+      val total = toks.agg(sum(col("u")).as("t"))
+      val w = Window.orderBy(col("mu").desc, col("source"), col("epoch"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      toks.crossJoin(broadcast(total))
+        .withColumn("budget", expr("(t * 6) div 10"))
+        .withColumn("epoch", explode(sequence(lit(1), lit(4))))
+        .withColumn("mu", expr(
+          "u * (CASE epoch WHEN 1 THEN 1000 WHEN 2 THEN 500 WHEN 3 THEN 250 ELSE 125 END)"))
+        .withColumn("cum_before", coalesce(sum(col("u")).over(w), lit(0L)))
+        .withColumn("alloc_tokens", least(col("u"), col("budget") - col("cum_before")))
+        .filter(col("alloc_tokens") > 0)
+        .select("source", "epoch", "mu", "alloc_tokens")
+        .orderBy("source", "epoch")
+    }),
+
     // Repetition-based quality gate (the MassiveText/Gopher rule family):
     // top1_bp = fraction of tokens that are the single most frequent
     // token; dup_bg_bp = fraction of bigrams that are repeats. Both in
@@ -526,6 +558,27 @@ object PipelineOps {
          |  CAST(sum(tok) AS BIGINT) AS n_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM pspan GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin,
+
+    "q172_epoch_allocation" ->
+      s"""WITH ut AS MATERIALIZED (
+         |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS u
+         |  FROM documents GROUP BY source),
+         |tt AS MATERIALIZED (SELECT CAST(sum(u) AS BIGINT) AS t FROM ut),
+         |cand AS MATERIALIZED (
+         |  SELECT source, u, (t * 6) // 10 AS budget, epoch,
+         |    u * (CASE epoch WHEN 1 THEN 1000 WHEN 2 THEN 500
+         |         WHEN 3 THEN 250 ELSE 125 END) AS mu
+         |  FROM ut, tt, (SELECT unnest(generate_series(1, 4)) AS epoch)),
+         |ranked AS MATERIALIZED (
+         |  SELECT source, u, budget, epoch, mu,
+         |    CAST(coalesce(sum(u) OVER (ORDER BY mu DESC, source, epoch
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cum_before
+         |  FROM cand)
+         |SELECT source, CAST(epoch AS INTEGER) AS epoch, CAST(mu AS BIGINT) AS mu,
+         |  CAST(least(u, budget - cum_before) AS BIGINT) AS alloc_tokens
+         |FROM ranked WHERE least(u, budget - cum_before) > 0
+         |ORDER BY source, epoch""".stripMargin,
 
     "q171_curriculum" ->
       s"""WITH ${BpeOps.bpeCtesSql(BpeOps.BpeRounds)},
