@@ -150,14 +150,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       case Some(v) =>
         new ManifestTable(p, ManifestSink.readSchema(p, Some(v)), pinned = Some(v))
       case None =>
-        // `VERSION AS OF 'audit'` — a BRANCH read (Iceberg's branch time
-        // travel): anchor snapshot + staged appends
-        require(ManifestSink.branchCurrentVersion(p, version) >= 1L,
-          s"'$version' is neither a version number nor a branch of $ident " +
-            s"(branches: ${ManifestSink.listBranches(p).mkString(", ")})")
-        val base = ManifestSink.branchBase(p, version)
-        new ManifestTable(p, ManifestSink.readSchema(p, Some(base)),
-          branch = Some(version))
+        // `VERSION AS OF 'v1-release'` — a TAG read: pinned to the
+        // version the tag names (immutable by construction)
+        ManifestSink.tagsOf(p).get(version) match {
+          case Some(v) =>
+            new ManifestTable(p, ManifestSink.readSchema(p, Some(v)), pinned = Some(v))
+          case None =>
+            // `VERSION AS OF 'audit'` — a BRANCH read (Iceberg's branch
+            // time travel): anchor snapshot + staged appends
+            require(ManifestSink.branchCurrentVersion(p, version) >= 1L,
+              s"'$version' is neither a version number, a tag nor a branch of " +
+                s"$ident (tags: ${ManifestSink.tagsOf(p).keys.mkString(", ")}; " +
+                s"branches: ${ManifestSink.listBranches(p).mkString(", ")})")
+            val base = ManifestSink.branchBase(p, version)
+            new ManifestTable(p, ManifestSink.readSchema(p, Some(base)),
+              branch = Some(version))
+        }
     }
   }
 
@@ -481,7 +489,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         Identifier.of(GraftCatalog.SystemNs, "fast_forward"),
         Identifier.of(GraftCatalog.SystemNs, "drop_branch"),
         Identifier.of(GraftCatalog.SystemNs, "evolve_spec"),
-        Identifier.of(GraftCatalog.SystemNs, "migrate_spec"))
+        Identifier.of(GraftCatalog.SystemNs, "migrate_spec"),
+        Identifier.of(GraftCatalog.SystemNs, "tag"),
+        Identifier.of(GraftCatalog.SystemNs, "drop_tag"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -509,12 +519,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     else if (ident.namespace().sameElements(GraftCatalog.SystemNs) &&
         ident.name().equalsIgnoreCase("migrate_spec"))
       new GraftCatalog.SpecProcedure(this, evolve = false)
+    else if (ident.namespace().sameElements(GraftCatalog.SystemNs) &&
+        ident.name().equalsIgnoreCase("tag"))
+      new GraftCatalog.TagProcedure(this, create = true)
+    else if (ident.namespace().sameElements(GraftCatalog.SystemNs) &&
+        ident.name().equalsIgnoreCase("drop_tag"))
+      new GraftCatalog.TagProcedure(this, create = false)
     else throw new IllegalArgumentException(
       s"unknown procedure $ident; available: graft.system.vacuum, " +
         "graft.system.optimize, graft.system.rollback, " +
         "graft.system.create_branch, graft.system.fast_forward, " +
         "graft.system.drop_branch, graft.system.evolve_spec, " +
-        "graft.system.migrate_spec")
+        "graft.system.migrate_spec, graft.system.tag, graft.system.drop_tag")
 }
 
 object GraftCatalog {
@@ -899,6 +915,61 @@ object GraftCatalog {
         Array[Any](UTF8String.fromString(b), v)): InternalRow
       util.Collections.singletonList[Scan](new LocalScan {
         override def readSchema(): StructType = BranchOutput
+        override def rows(): Array[InternalRow] = Array(row)
+      }).iterator()
+    }
+  }
+
+  private val TagOutput = StructType(Seq(
+    StructField("tag", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+
+  /** `CALL graft.system.tag(table => 'db.t', name => 'v1-release')`
+    * pins the CURRENT version under an immutable name (pass
+    * `version => N` for an older snapshot); `drop_tag` releases it.
+    * Both are metadata-only CAS commits; vacuum pins tagged versions
+    * like live branch anchors, and `VERSION AS OF '<name>'` resolves
+    * tags before branches. */
+  private class TagProcedure(catalog: GraftCatalog, create: Boolean)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = if (create) "tag" else "drop_tag"
+    override def description(): String =
+      if (create) "Pin the current (or a named) version under an immutable tag"
+      else "Drop a tag (metadata-only; the snapshot ages back into retention)"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] =
+      if (create) Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("table name within this catalog, e.g. 'db.t'").build(),
+        ProcedureParameter.in("name", StringType)
+          .comment("tag name ([A-Za-z0-9_-], max 64 chars)").build(),
+        ProcedureParameter.in("version", LongType).defaultValue("-1")
+          .comment("version to pin (default: the current one)").build())
+      else Array(
+        ProcedureParameter.in("table", StringType)
+          .comment("table name within this catalog, e.g. 'db.t'").build(),
+        ProcedureParameter.in("name", StringType)
+          .comment("tag to drop").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val tableName = input.getUTF8String(0).toString
+      val t = input.getUTF8String(1).toString
+      val parts = tableName.split('.')
+      val ident = Identifier.of(parts.init, parts.last)
+      val root = catalog.tablePath(ident)
+      if (!catalog.isTable(root)) throw new NoSuchTableException(ident)
+      val v: Long =
+        if (create) {
+          val at = input.getLong(2)
+          ManifestSink.createTag(root.toString, t,
+            if (at < 0L) None else Some(at))
+        } else ManifestSink.dropTag(root.toString, t)
+      val row = new GenericInternalRow(
+        Array[Any](UTF8String.fromString(t), v)): InternalRow
+      util.Collections.singletonList[Scan](new LocalScan {
+        override def readSchema(): StructType = TagOutput
         override def rows(): Array[InternalRow] = Array(row)
       }).iterator()
     }

@@ -417,7 +417,11 @@ object ManifestSink {
     // orphan sweep below
     val branches = listBranches(root)
     val branchAnchors = branches.map(b => branchBase(root, b)).toSet
-    val survivors = ((cutoff + 1 to current) ++ branchAnchors.filter(_ <= cutoff))
+    // TAGGED versions are pinned exactly like live branch anchors: a
+    // tag is a promise that VERSION AS OF '<name>' keeps resolving
+    val tagPins = tagsOf(root).values.toSet
+    val pins = branchAnchors ++ tagPins
+    val survivors = ((cutoff + 1 to current) ++ pins.filter(_ <= cutoff))
       .filter(v => Files.exists(manifestAt(root, v)))
     val referenced = (survivors.flatMap(v => committedEntries(root, Some(v))) ++
         branches.flatMap(b => branchEntries(root, b)))
@@ -442,7 +446,7 @@ object ManifestSink {
     try s.iterator().asScala.foreach { p =>
       p.getFileName.toString match {
         case ManifestVersionRe(n) if n.toLong <= cutoff &&
-            !branchAnchors(n.toLong) => buf += cand(p, "manifest")
+            !pins(n.toLong) => buf += cand(p, "manifest")
         case n if n.startsWith("mgroup-") && !liveGroups(n) && pastGrace(p) =>
           buf += cand(p, "manifest")
         case n if n.startsWith("data-") && !referenced(n) && pastGrace(p) =>
@@ -503,6 +507,98 @@ object ManifestSink {
         s"ManifestSink column name '${f.name}' contains a manifest delimiter " +
           "(one of ':', ',', tab, newline) — rename the column before writing")
     }
+
+  // ---- snapshot tags -----------------------------------------------------
+  //
+  // A TAG is a named IMMUTABLE reference to one manifest version (the
+  // Iceberg tag shape, public knowledge) — "the snapshot we trained
+  // run X on", "the audited quarterly close". Tags live as reserved
+  // table properties (`graft.tag.<name>` -> version), so they ride the
+  // ordinary props persistence: one metadata-only CAS commit to create
+  // or drop, visible in SHOW TBLPROPERTIES, resolved by
+  // `VERSION AS OF '<name>'`, and PINNED by vacuum exactly like a live
+  // branch anchor (retention must never destroy a tagged snapshot).
+  // The prefix is reserved from SET TBLPROPERTIES (a forged tag would
+  // dodge the existence check and could pin nothing).
+
+  private[sources] val TagPropPrefix = "graft.tag."
+
+  /** Current tags of a table: name -> pinned version. */
+  def tagsOf(root: Path): Map[String, Long] =
+    readState(root).props.collect {
+      case (k, v) if k.startsWith(TagPropPrefix) =>
+        k.stripPrefix(TagPropPrefix) -> v.toLong
+    }
+
+  /** Create tag `name` at `at` (default: the current version). One
+    * metadata-only CAS commit; returns the pinned version. Refuses a
+    * duplicate tag, a live branch's name (one namespace for
+    * `VERSION AS OF` strings), and a target that never existed or has
+    * already expired. */
+  def createTag(tablePath: String, name: String, at: Option[Long] = None): Long = {
+    val root = Paths.get(tablePath)
+    require(name.matches("[A-Za-z0-9_-]{1,64}"),
+      s"tag name '$name' must match [A-Za-z0-9_-]{1,64}")
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val st = readState(root)
+      val v = at.getOrElse(st.version)
+      require(v >= 1L && v <= st.version,
+        s"tag target v$v does not exist (table is at v${st.version})")
+      require(Files.exists(manifestAt(root, v)),
+        s"tag target v$v has been expired by retention — nothing to pin")
+      require(!st.props.contains(TagPropPrefix + name),
+        s"tag '$name' already exists (tags are immutable — drop it first)")
+      require(!listBranches(root).contains(name),
+        s"'$name' is a live branch — tags and branches share the " +
+          "VERSION AS OF namespace")
+      val schema = st.schema.getOrElse(throw new IllegalStateException(
+        s"manifest table $tablePath has no schema"))
+      val meta = st.copy(props = st.props + (TagPropPrefix + name -> v.toString)).metaLines
+      try {
+        publish(root, st.version,
+          ((schema.json +: meta) ++
+            renderEntrySection(root, st.entries, st.groups)).mkString("\n"))
+        return v
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= 5) throw e
+          Thread.sleep(5L * attempt)
+      }
+    }
+    0L // unreachable
+  }
+
+  /** Drop tag `name` (metadata-only); returns the version it pinned.
+    * The snapshot ages into ordinary retention from the next vacuum. */
+  def dropTag(tablePath: String, name: String): Long = {
+    val root = Paths.get(tablePath)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val st = readState(root)
+      val key = TagPropPrefix + name
+      val v = st.props.getOrElse(key,
+        throw new IllegalArgumentException(s"no tag '$name' on $tablePath " +
+          s"(tags: ${st.props.keys.filter(_.startsWith(TagPropPrefix))
+            .map(_.stripPrefix(TagPropPrefix)).mkString(", ")})")).toLong
+      val schema = st.schema.getOrElse(throw new IllegalStateException(
+        s"manifest table $tablePath has no schema"))
+      val meta = st.copy(props = st.props - key).metaLines
+      try {
+        publish(root, st.version,
+          ((schema.json +: meta) ++
+            renderEntrySection(root, st.entries, st.groups)).mkString("\n"))
+        return v
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (attempt >= 5) throw e
+          Thread.sleep(5L * attempt)
+      }
+    }
+    0L // unreachable
+  }
 
   // ---- WAP branches ------------------------------------------------------
   //
@@ -1694,7 +1790,10 @@ object ManifestSink {
       // constraints may only enter through ADD CONSTRAINT (which
       // validates existing rows with a scan) — a SET TBLPROPERTIES
       // forgery would skip the validation and lie about enforcement
-      k.startsWith(ConstraintPropPrefix)
+      k.startsWith(ConstraintPropPrefix) ||
+      // tags only enter through CALL graft.system.tag (which validates
+      // the target version exists) — a forged tag could pin nothing
+      k.startsWith(TagPropPrefix)
 
   /** Table-level bloom-filter column list, one manifest header line —
     * `#bloomcols<TAB>c1,c2`. Set at CREATE (TBLPROPERTIES
