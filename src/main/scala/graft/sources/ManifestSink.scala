@@ -6355,6 +6355,10 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
       import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
       val m = new java.util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
+      // the fold below is O(columns × files) of driver work per
+      // planning call — only pay it when the optimizer actually
+      // consumes column stats (spark.sql.cbo.enabled)
+      if (!org.apache.spark.sql.internal.SQLConf.get.cboEnabled) return m
       val es = try { if (cdcSlices.isDefined) return m else entries }
         catch { case _: Exception => return m }
       if (es.isEmpty) return m
