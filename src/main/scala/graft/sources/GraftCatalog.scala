@@ -122,6 +122,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         case "files" => return GraftCatalog.filesTable(parent)
         case "partitions" => return GraftCatalog.partitionsTable(parent)
         case "stats" => return GraftCatalog.statsTable(parent)
+        case "refs" => return GraftCatalog.refsTable(parent)
         // Iceberg-style branch identifier: `db.t.branch_audit` reads the
         // WAP staging lane (anchor snapshot + staged appends) and
         // accepts INSERT INTO (appends stage onto the branch)
@@ -918,6 +919,31 @@ object GraftCatalog {
         override def rows(): Array[InternalRow] = Array(row)
       }).iterator()
     }
+  }
+
+  private val RefsSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("version", LongType, nullable = false)))
+
+  /** `SELECT * FROM cat.db.t.refs` — every named reference on the table
+    * (the Iceberg refs metadata table): `main` at the current version,
+    * each TAG at its pinned version, each live BRANCH at its anchor.
+    * What an operator reads before a vacuum or a retention change —
+    * "what would break if this snapshot expired". Manifest-derived
+    * kilobytes, LocalScan, no executors. */
+  private[sources] def refsTable(root: Path): Table = {
+    val rows =
+      (Seq(("main", "branch", ManifestSink.currentVersion(root))) ++
+        ManifestSink.tagsOf(root).toSeq.sortBy(_._1)
+          .map { case (n, v) => (n, "tag", v) } ++
+        ManifestSink.listBranches(root).sorted
+          .map(b => (b, "branch", ManifestSink.branchBase(root, b))))
+        .map { case (n, t, v) =>
+          new GenericInternalRow(Array[Any](UTF8String.fromString(n),
+            UTF8String.fromString(t), v)): InternalRow
+        }.toArray
+    staticTable(s"refs($root)", RefsSchema, rows)
   }
 
   private val TagOutput = StructType(Seq(

@@ -57,6 +57,18 @@ class TagSpec extends AnyFunSuite {
     assert(e.getMessage.contains("keep") || e.getMessage.contains("version"))
   }
 
+  test("db.t.refs lists main, tags and branch anchors") {
+    spark.sql("CREATE TABLE tg.db.r (id BIGINT)")
+    spark.sql("INSERT INTO tg.db.r SELECT id FROM range(2)") // v2
+    spark.sql("CALL tg.system.tag(table => 'db.r', name => 'rel')")  // v3 (tag commit)
+    spark.sql("CALL tg.system.create_branch(table => 'db.r', branch => 'wip')")
+    spark.sql("INSERT INTO tg.db.r SELECT id + 10 FROM range(2)") // v4
+    val refs = spark.sql("SELECT name, type, version FROM tg.db.r.refs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(refs === Set(("main", "branch", 4L), ("rel", "tag", 2L),
+      ("wip", "branch", 3L)), refs.toString)
+  }
+
   test("tag guards: duplicates, missing targets, branch collisions, forgery") {
     spark.sql("CREATE TABLE tg.db.g (id BIGINT)")
     spark.sql("INSERT INTO tg.db.g SELECT id FROM range(2)")
