@@ -2508,6 +2508,18 @@ object ManifestSink {
   // version's groups with zero metadata writes. Version files and group
   // files are all immutable, so (path, name) caches need no invalidation.
 
+  /** Small-file read coalescing target: scan partitions bin files until
+    * ~this many LIVE rows (0 disables; files at or past the target stay
+    * solo). Session-overridable
+    * (`spark.conf.set("graft.scan.bin-rows", n)`) — read-side task
+    * sizing is a deployment decision. The planning-time twin of
+    * `spark.sql.files.maxPartitionBytes`, in rows because rows are what
+    * the manifest records exactly. */
+  private[sources] def scanBinRows: Long =
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("graft.scan.bin-rows", "1048576").toLong
+    catch { case _: Exception => 1048576L }
+
   private[sources] def inlineThreshold: Int =
     sys.props.getOrElse("graft.manifest.inlineThreshold", "64").toInt
   private[sources] def groupTargetSize: Int =
@@ -6559,7 +6571,8 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
       // partition only when this scan claims KeyGroupedPartitioning, so
       // under a claim the suffix additionally requires ONE file per key
       // (two sorted files appended are not sorted); without a claim
-      // every partition IS one file.
+      // every partition is one file OR a read bin that [[binEntries]]
+      // built disjoint-ordered precisely to keep this claim true.
       val claimsGrouping = partCols.nonEmpty &&
         partTransforms.valuesIterator.forall {
           case _: ManifestSink.PIdentity => true
@@ -6601,12 +6614,57 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
           else None,
           null, sl.emit.orNull, sl.change): InputPartition
       }.toArray
-    else entries
-      .map(e => ManifestFilePartition(root.resolve(e.name).toString, e.liveRows,
-        e.dvName.map(n => root.resolve(n).toString),
-        if (partCols.isEmpty) null else partKeyByName(e.name),
-        seq = e.seq): InputPartition)
-      .toArray
+    else {
+      def single(e: ManifestSink.FileEntry): ManifestFilePartition =
+        ManifestFilePartition(root.resolve(e.name).toString, e.liveRows,
+          e.dvName.map(n => root.resolve(n).toString),
+          if (partCols.isEmpty) null else partKeyByName(e.name),
+          seq = e.seq)
+      // small-file read coalescing, UNPARTITIONED scans only (key-grouped
+      // scans already merge same-key files into one task, and a rewrite
+      // scan's row-level machinery wants per-file identity)
+      if (partCols.isEmpty && onRuntimeNarrow.isEmpty)
+        binEntries(entries).map {
+          case Seq(e) => single(e): InputPartition
+          case bin => ManifestBinPartition(bin.map(single)): InputPartition
+        }.toArray
+      else entries.map(e => single(e): InputPartition).toArray
+    }
+
+  /** Pack `es` into read bins of ≤ [[ManifestSink.scanBinRows]] live
+    * rows. ORDERING-AWARE: when every file attests the table's sort
+    * columns, members are ordered by the first sort column's min and a
+    * file joins a bin only across a STRICTLY disjoint boundary
+    * (max(prev) < min(next), no nulls past the first member — the
+    * sorted-compaction rule), so a bin's concatenated rows stay sorted
+    * and [[outputOrdering]]'s suffix claim remains TRUE by
+    * construction. Files that can't prove the boundary open their own
+    * bin; oversized files stay solo. */
+  private def binEntries(es: Seq[ManifestSink.FileEntry]): Seq[Seq[ManifestSink.FileEntry]] = {
+    val target = ManifestSink.scanBinRows
+    if (target <= 0L || es.size <= 1) return es.map(Seq(_))
+    val attested = sortCols.nonEmpty &&
+      es.forall(e => e.sorted.take(sortCols.length) == sortCols)
+    val c1 = sortCols.headOption.getOrElse("")
+    val haveStats = attested &&
+      es.forall(e => e.mins.contains(c1) && e.maxs.contains(c1) && e.nulls.contains(c1))
+    val ordered = if (haveStats) es.sortBy(_.mins(c1)) else es
+    def boundaryOk(prev: ManifestSink.FileEntry, next: ManifestSink.FileEntry): Boolean =
+      !attested || (haveStats && prev.maxs(c1) < next.mins(c1) && next.nulls(c1) == 0L)
+    val bins = Seq.newBuilder[Seq[ManifestSink.FileEntry]]
+    var cur = Vector.empty[ManifestSink.FileEntry]
+    var curRows = 0L
+    ordered.foreach { e =>
+      if (cur.nonEmpty && curRows + e.liveRows <= target && boundaryOk(cur.last, e)) {
+        cur :+= e; curRows += e.liveRows
+      } else {
+        if (cur.nonEmpty) bins += cur
+        cur = Vector(e); curRows = e.liveRows
+      }
+    }
+    if (cur.nonEmpty) bins += cur
+    bins.result()
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     // whole-batch columnar handoff only when EVERY file in the scan is
     // parquet (Spark requires a uniform row/columnar answer across the
@@ -6787,6 +6845,16 @@ case class ManifestFilePartition(file: String, rows: Long = 0L,
     if (partKey == null) null
     else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(partKey)
 }
+
+/** A BIN of small files read sequentially by one task ([[ManifestScan]]'s
+  * small-file read coalescing): at 100 TB a frequently-appended
+  * unpartitioned table accumulates tasks-per-file scans long before
+  * OPTIMIZE runs, and scheduling 10⁵ sub-second tasks costs more than
+  * the read. The reader chains the members' ordinary per-file readers —
+  * DV skips, equality-delete passes, widening and `_file` all resolve
+  * per member exactly as they would standalone. */
+case class ManifestBinPartition(members: Seq[ManifestFilePartition])
+    extends InputPartition
 
 /** Per-file readers. Parquet files decode through Spark's vectorized
   * reader — as whole ColumnarBatches when the scan is uniformly parquet
@@ -6975,7 +7043,37 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
     StructType(present.map(p => byPhys(p).copy(name = p)))
   }
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+  /** Sequential chain over a bin's members — each member gets its own
+    * ordinary reader (opened lazily, closed before the next opens), so
+    * per-file machinery (DV skip, eq-delete pass, widening, `_file`)
+    * is untouched. */
+  private def chain[T](members: Seq[InputPartition],
+      mk: InputPartition => PartitionReader[T]): PartitionReader[T] =
+    new PartitionReader[T] {
+      private val it = members.iterator
+      private var cur: PartitionReader[T] = null
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            if (!it.hasNext) return false
+            cur = mk(it.next())
+          }
+          if (cur.next()) return true
+          cur.close(); cur = null
+        }
+        false
+      }
+      override def get(): T = cur.get()
+      override def close(): Unit = if (cur != null) cur.close()
+    }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case b: ManifestBinPartition => chain(b.members, fileRowReader)
+      case p => fileRowReader(p)
+    }
+
+  private def fileRowReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ManifestFilePartition]
     // deletion vector: positions to skip while handing rows off. The
     // zero-column emitter needs no skip — its row count is already the
@@ -7072,7 +7170,13 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
       Paths.get(p.file).getFileName.toString))
   }
 
-  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
+    partition match {
+      case b: ManifestBinPartition => chain(b.members, fileColumnarReader)
+      case p => fileColumnarReader(p)
+    }
+
+  private def fileColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[ManifestFilePartition]
     filePlan(p.file) match {
       case None => new PartitionReader[ColumnarBatch] {

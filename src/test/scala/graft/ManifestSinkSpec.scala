@@ -108,6 +108,17 @@ class ManifestSinkSpec extends AnyFunSuite {
     assert(total == (100 until 200).map(_ * 2.5).sum)
   }
 
+  /** Files the scan actually plans, unpacked from read bins (binning
+    * coalesces small files into shared tasks; file-skipping proofs must
+    * count member FILES, not tasks). */
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.inputPartitions.flatMap {
+      case bin: graft.sources.ManifestBinPartition => bin.members
+      case p => Seq(p)
+    }.size
+
   test("manifest min/max stats skip files for selective range filters") {
     val dir = tmp().toString
     // 4 files with DISJOINT id ranges (repartitionByRange + sort)
@@ -116,15 +127,15 @@ class ManifestSinkSpec extends AnyFunSuite {
       .sortWithinPartitions("id")
       .write.format(fmt).option("path", dir).mode("overwrite").save()
     val table = spark.read.format(fmt).option("path", dir).load()
-    assert(table.rdd.getNumPartitions == 4)
+    assert(plannedFiles(table) == 4)
     // a one-range filter must plan ONE file, not four
     val narrow = table.filter(col("id") >= 150 && col("id") < 160)
-    assert(narrow.rdd.getNumPartitions == 1,
-      s"expected 1 surviving file, got ${narrow.rdd.getNumPartitions}")
+    assert(plannedFiles(narrow) == 1,
+      s"expected 1 surviving file, got ${plannedFiles(narrow)}")
     assert(narrow.count() == 10)
     // a filter matching nothing plans zero files
     val none = table.filter(col("id") > 100000)
-    assert(none.rdd.getNumPartitions == 0 && none.count() == 0)
+    assert(plannedFiles(none) == 0 && none.count() == 0)
     // and the row-level residual still applies inside the surviving file
     assert(table.filter(col("id") === 155).count() == 1)
   }
@@ -138,25 +149,30 @@ class ManifestSinkSpec extends AnyFunSuite {
     val table = spark.read.format(fmt).option("path", dir).load()
     // both keys live in one file's range — three files never plan
     val hit = table.filter(col("id").isin(150L, 155L))
-    assert(hit.rdd.getNumPartitions == 1,
-      s"expected 1 surviving file, got ${hit.rdd.getNumPartitions}")
+    assert(plannedFiles(hit) == 1,
+      s"expected 1 surviving file, got ${plannedFiles(hit)}")
     assert(hit.count() == 2)
     // keys in two different ranges plan exactly those two files
     val two = table.filter(col("id").isin(10L, 390L))
-    assert(two.rdd.getNumPartitions == 2)
+    assert(plannedFiles(two) == 2)
     assert(two.count() == 2)
     // keys outside every range plan nothing
     val none = table.filter(col("id").isin(100000L, 200000L))
-    assert(none.rdd.getNumPartitions == 0 && none.count() == 0)
+    assert(plannedFiles(none) == 0 && none.count() == 0)
   }
 
-  test("parallelism follows the manifest: one partition per committed file") {
+  test("parallelism follows the DATA: small files bin, bin-rows=0 restores per-file tasks") {
     val dir = tmp().toString
     spark.range(100).select(col("id"), lit("x").as("s"), lit(0.5).as("x"))
       .repartition(8)
       .write.format(fmt).option("path", dir).mode("overwrite").save()
     val read = spark.read.format(fmt).option("path", dir).load()
-    assert(read.rdd.getNumPartitions == 8)
+    // 100 tiny rows in 8 files: one binned task, all files planned
+    assert(read.rdd.getNumPartitions == 1 && plannedFiles(read) == 8)
     assert(read.count() == 100)
+    spark.conf.set("graft.scan.bin-rows", "0")
+    try assert(spark.read.format(fmt).option("path", dir).load()
+      .rdd.getNumPartitions == 8)
+    finally spark.conf.unset("graft.scan.bin-rows")
   }
 }

@@ -18,6 +18,15 @@ class ManifestCasSpec extends AnyFunSuite {
 
   private val fmt = "graft.sources.ManifestSink"
 
+  /** Files the scan actually plans, unpacked from read bins. */
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.inputPartitions.flatMap {
+      case bin: ManifestBinPartition => bin.members
+      case p => Seq(p)
+    }.size
+
   private def tmp(): Path = {
     val p = Files.createTempDirectory("manifest-cas")
     p.toFile.deleteOnExit()
@@ -350,7 +359,14 @@ class ManifestCasSpec extends AnyFunSuite {
         .write.format(fmt).option("path", dir).mode("append").save()
     }
     val scan = new ManifestScanBuilder(root).build().asInstanceOf[ManifestScan]
-    assert(scan.planInputPartitions().length == 3)
+    // binned read partitions still PLAN all three files
+    def files(ps: Array[org.apache.spark.sql.connector.read.InputPartition]) =
+      ps.flatMap {
+        case b: ManifestBinPartition => b.members
+        case p: ManifestFilePartition => Seq(p)
+      }
+    assert(files(scan.planInputPartitions()).length == 3)
+    def planned() = files(scan.planInputPartitions()).length
     // integer columns prune by min/max stats; STRING columns are also
     // advertised (blooms + truncated bounds — DppSpec proves that
     // path); the stat-less double stays out
@@ -359,12 +375,12 @@ class ManifestCasSpec extends AnyFunSuite {
     // whose [min,max] covers a key survives
     scan.filter(Array[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.In("id", Array(5L, 7L))))
-    assert(scan.planInputPartitions().length == 1)
+    assert(planned() == 1)
     // reported statistics narrow with the pruned set
     assert(scan.estimateStatistics().numRows().getAsLong == 10L)
     scan.filter(Array[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.In("id", Array(999L))))
-    assert(scan.planInputPartitions().isEmpty)
+    assert(planned() == 0)
   }
 
   test("compact bin-packs small files into a rewrite version: same data, fewer files, history intact") {
@@ -392,7 +408,7 @@ class ManifestCasSpec extends AnyFunSuite {
     val pinned = spark.read.format(fmt).option("path", dir)
       .option("versionAsOf", "6").load()
     assert(pinned.count() == 6)
-    assert(pinned.rdd.getNumPartitions == 6, "v6 snapshot keeps one partition per original file")
+    assert(plannedFiles(pinned) == 6, "v6 snapshot keeps all six original files")
     // idempotent: nothing left under targetRows worth packing
     val again = ManifestSink.compact(dir, targetRows = 3L)
     assert(again.rewrittenFiles == 0 && again.version == 7L,
@@ -417,7 +433,7 @@ class ManifestCasSpec extends AnyFunSuite {
     assert(changes(4) == Seq(4L), "from the rewrite version itself: only the later append")
     // the snapshot read, by contrast, uses the compacted layout
     val snap = spark.read.format(fmt).option("path", dir).load()
-    assert(snap.count() == 4 && snap.rdd.getNumPartitions == 2,
+    assert(snap.count() == 4 && plannedFiles(snap) == 2,
       "post-compaction snapshot: one merged file + one appended file")
   }
 
