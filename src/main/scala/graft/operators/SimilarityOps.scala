@@ -44,6 +44,8 @@ object SimilarityOps {
     * overrides are for non-oracle runs. ScaleGenSpec pins the 2×-per-plane
     * occupancy scaling empirically on the tiled corpus. */
   val Planes = 8
+  /** q173 neighborhood size for the margin denominator. */
+  val MarginK = 4
   val TopK = 10
   val NumProbes = 10
   val NumCentroids = 8
@@ -154,6 +156,51 @@ object SimilarityOps {
         .select(col("vec_a"), col("vec_b"),
           round(col("score") * 10000).cast("long").as("score_bp"))
         .orderBy("vec_a", "vec_b")
+    }),
+
+    // Margin-based bitext mining (Artetxe & Schwenk 2019): the parallel-
+    // corpus construction step — for each "source" vector (even ids, a
+    // stand-in for language A) find the "target" vector (odd ids) whose
+    // cosine stands out most from both vectors' NEIGHBORHOODS:
+    // margin(a,b) = cos(a,b) / ((meanNNk(a) + meanNNk(b)) / 2). A raw
+    // top-1 cosine mines hubs (vectors near everything); the margin
+    // ratio cancels hubness — the published retrieval fix. Scale shape:
+    // candidates form only inside LSH buckets (the q45/q47 contract,
+    // never all-pairs); neighborhood means are integer micro-unit sums
+    // over top-k windows (order-independent — double summation would
+    // hash-drift); probes broadcast. Pairs with non-positive cosine are
+    // not mineable and leave before any division, keeping both engines'
+    // integer division on positive ground.
+    "q173_margin_mining" -> ((s, dir) => {
+      val b = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), bucket(s, col("embedding")).as("bucket"))
+      val probes = b.filter(col("vec_id") % 2 === 0 && col("vec_id") < NumProbes * 2)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("bucket"))
+      val cands = b.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("bucket"))
+      val pairs = broadcast(probes).join(cands, Seq("bucket"))
+        .withColumn("cos_u",
+          floor(cosineNative(col("pe"), col("ce")) * 1000000).cast("long"))
+        .filter(col("cos_u") > 0)
+        .select("probe_id", "cand_id", "cos_u")
+        .localCheckpoint()
+      val wa = Window.partitionBy("probe_id").orderBy(col("cos_u").desc, col("cand_id"))
+      val wb = Window.partitionBy("cand_id").orderBy(col("cos_u").desc, col("probe_id"))
+      val na = pairs.withColumn("rn", row_number().over(wa))
+        .filter(col("rn") <= MarginK)
+        .groupBy("probe_id").agg(expr("sum(cos_u) div count(1)").as("na_u"))
+      val nb = pairs.withColumn("rn", row_number().over(wb))
+        .filter(col("rn") <= MarginK)
+        .groupBy("cand_id").agg(expr("sum(cos_u) div count(1)").as("nb_u"))
+      val wbest = Window.partitionBy("probe_id")
+        .orderBy(col("margin_ppm").desc, col("cand_id"))
+      pairs.join(broadcast(na), "probe_id").join(broadcast(nb), "cand_id")
+        .withColumn("den", expr("(na_u + nb_u) div 2"))
+        .filter(col("den") > 0)
+        .withColumn("margin_ppm", expr("cos_u * 1000000 div den"))
+        .withColumn("rn", row_number().over(wbest)).filter(col("rn") === 1)
+        .select("probe_id", "cand_id", "cos_u", "margin_ppm")
+        .orderBy("probe_id")
     }),
 
     // IVF-style ANN: the coarse quantizer is the TRAINED k-means
@@ -824,6 +871,42 @@ object SimilarityOps {
          |    FROM embeddings p JOIN embeddings c ON p.vec_id != c.vec_id
          |    WHERE p.vec_id < $NumProbes))
          |WHERE rn <= $TopK ORDER BY probe_id, rn""".stripMargin,
+
+    "q173_margin_mining" ->
+      s"""WITH meb AS MATERIALIZED (
+         |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |mpr AS MATERIALIZED (
+         |  SELECT vec_id AS probe_id, embedding AS pe, bucket FROM meb
+         |  WHERE vec_id % 2 = 0 AND vec_id < ${NumProbes * 2}),
+         |mcd AS MATERIALIZED (
+         |  SELECT vec_id AS cand_id, embedding AS ce, bucket FROM meb
+         |  WHERE vec_id % 2 = 1),
+         |mpair AS MATERIALIZED (
+         |  SELECT probe_id, cand_id, cos_u FROM (
+         |    SELECT probe_id, cand_id,
+         |      CAST(floor((${cosSql("pe", "ce")}) * 1000000) AS BIGINT) AS cos_u
+         |    FROM mpr JOIN mcd USING (bucket))
+         |  WHERE cos_u > 0),
+         |mna AS MATERIALIZED (
+         |  SELECT probe_id, CAST(sum(cos_u) // count(*) AS BIGINT) AS na_u FROM (
+         |    SELECT probe_id, cos_u, row_number() OVER (
+         |      PARTITION BY probe_id ORDER BY cos_u DESC, cand_id) AS rn
+         |    FROM mpair) WHERE rn <= $MarginK GROUP BY probe_id),
+         |mnb AS MATERIALIZED (
+         |  SELECT cand_id, CAST(sum(cos_u) // count(*) AS BIGINT) AS nb_u FROM (
+         |    SELECT cand_id, cos_u, row_number() OVER (
+         |      PARTITION BY cand_id ORDER BY cos_u DESC, probe_id) AS rn
+         |    FROM mpair) WHERE rn <= $MarginK GROUP BY cand_id)
+         |SELECT probe_id, cand_id, cos_u,
+         |  CAST(margin_ppm AS BIGINT) AS margin_ppm FROM (
+         |  SELECT p.probe_id, p.cand_id, p.cos_u,
+         |    p.cos_u * 1000000 // ((na_u + nb_u) // 2) AS margin_ppm,
+         |    row_number() OVER (PARTITION BY p.probe_id
+         |      ORDER BY p.cos_u * 1000000 // ((na_u + nb_u) // 2) DESC,
+         |        p.cand_id) AS rn
+         |  FROM mpair p JOIN mna USING (probe_id) JOIN mnb USING (cand_id)
+         |  WHERE (na_u + nb_u) // 2 > 0)
+         |WHERE rn = 1 ORDER BY probe_id""".stripMargin,
 
     "q45_ann_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings)
