@@ -159,6 +159,29 @@ class CookbookSpec extends AnyFunSuite {
     assert(delta.count() == 10 && t.count() == 410)
   }
 
+  test("§15 snapshot refs, column stats, read coalescing") {
+    val wh = java.nio.file.Files.createTempDirectory("cookbook-refs")
+    spark.conf.set("spark.sql.catalog.ck15", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ck15.warehouse", wh.toString)
+    spark.sql("CREATE NAMESPACE ck15.db")
+    spark.sql("CREATE TABLE ck15.db.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO ck15.db.t SELECT id, id * 2 FROM range(20)")
+
+    spark.sql("CALL ck15.system.tag(table => 'db.t', name => 'run-2024-06')")
+    spark.sql("INSERT INTO ck15.db.t SELECT id + 100, id FROM range(5)")
+    assert(spark.sql("SELECT * FROM ck15.db.t VERSION AS OF 'run-2024-06'").count() == 20)
+    assert(spark.sql("SELECT * FROM ck15.db.t.refs").count() >= 2) // main + tag
+    spark.sql("CALL ck15.system.drop_tag(table => 'db.t', name => 'run-2024-06')")
+
+    val stats = spark.sql("SELECT * FROM ck15.db.t.stats")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(stats("id").getLong(1) == 25L) // NDV from per-file counts
+
+    spark.conf.set("graft.scan.bin-rows", "1048576")
+    try assert(spark.table("ck15.db.t").rdd.getNumPartitions >= 1)
+    finally spark.conf.unset("graft.scan.bin-rows")
+  }
+
   test("§14 lakehouse catalog: WAP, CDC, MVs, metadata views") {
     val wh = java.nio.file.Files.createTempDirectory("cookbook-lake")
     spark.conf.set("spark.sql.catalog.lake", "graft.sources.GraftCatalog")
