@@ -4115,7 +4115,15 @@ object ManifestSink {
         s"${missing.take(3).mkString(", ")}…")
     val schema = target.schema.getOrElse(
       throw new IllegalStateException(s"version $toVersion of $tablePath has no schema"))
-    val meta = target.copy(markers = cur.markers).metaLines
+    // TAGS are REFS, not table state: a rollback restores the target's
+    // DATA and schema but must carry the CURRENT tag set — restoring
+    // the target's tag props would silently drop tags created since
+    // (vacuum would then expire their pinned snapshots) and resurrect
+    // tags deliberately dropped. Streaming markers carry for the same
+    // reason (they describe consumers, not the table).
+    val meta = target.copy(markers = cur.markers,
+      props = target.props.filterNot(_._1.startsWith(TagPropPrefix)) ++
+        cur.props.filter(_._1.startsWith(TagPropPrefix))).metaLines
     // rollback re-references the target version's groups: entries are
     // byte-identical, so this publishes a manifest list with ZERO group
     // writes no matter how large the table is

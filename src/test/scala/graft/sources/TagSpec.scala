@@ -69,6 +69,22 @@ class TagSpec extends AnyFunSuite {
       ("wip", "branch", 3L)), refs.toString)
   }
 
+  test("rollback carries the CURRENT tag set: refs survive, none resurrect") {
+    spark.sql("CREATE TABLE tg.db.rb (id BIGINT)")
+    spark.sql("INSERT INTO tg.db.rb SELECT id FROM range(3)") // v2
+    spark.sql("CALL tg.system.tag(table => 'db.rb', name => 'old')") // v3
+    spark.sql("CALL tg.system.drop_tag(table => 'db.rb', name => 'old')") // v4
+    spark.sql("INSERT INTO tg.db.rb SELECT id + 10 FROM range(3)") // v5
+    spark.sql("CALL tg.system.tag(table => 'db.rb', name => 'live')") // v6
+    // roll back to v3 — where 'old' existed and 'live' did not
+    ManifestSink.rollback(root("rb").toString, 3L)
+    val tags = ManifestSink.tagsOf(root("rb"))
+    assert(tags == Map("live" -> 5L),
+      s"rollback must keep current refs and not resurrect dropped ones: $tags")
+    // the live tag still reads its snapshot
+    assert(ids("SELECT id FROM tg.db.rb VERSION AS OF 'live'").size == 6)
+  }
+
   test("tag guards: duplicates, missing targets, branch collisions, forgery") {
     spark.sql("CREATE TABLE tg.db.g (id BIGINT)")
     spark.sql("INSERT INTO tg.db.g SELECT id FROM range(2)")
