@@ -2508,17 +2508,21 @@ object ManifestSink {
   // version's groups with zero metadata writes. Version files and group
   // files are all immutable, so (path, name) caches need no invalidation.
 
-  /** Small-file read coalescing target: scan partitions bin files until
-    * ~this many LIVE rows (0 disables; files at or past the target stay
-    * solo). Session-overridable
-    * (`spark.conf.set("graft.scan.bin-rows", n)`) — read-side task
-    * sizing is a deployment decision. The planning-time twin of
+  /** Small-file read coalescing target, EXPLICIT setting: scan
+    * partitions bin files until ~this many LIVE rows (0 disables; files
+    * at or past the target stay solo). Unset (None) means ADAPTIVE:
+    * the scan sizes bins to `ceil(totalLiveRows / defaultParallelism)`
+    * capped at [[DefaultBinRowsCap]] — tiny tables still fan out to
+    * every core while a 10⁵-small-file table collapses to
+    * parallelism-many tasks. The planning-time twin of
     * `spark.sql.files.maxPartitionBytes`, in rows because rows are what
     * the manifest records exactly. */
-  private[sources] def scanBinRows: Long =
-    try org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("graft.scan.bin-rows", "1048576").toLong
-    catch { case _: Exception => 1048576L }
+  private[sources] def scanBinRowsOpt: Option[Long] =
+    try Option(org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("graft.scan.bin-rows", null)).map(_.toLong)
+    catch { case _: Exception => None }
+
+  private[sources] val DefaultBinRowsCap = 1048576L
 
   private[sources] def inlineThreshold: Int =
     sys.props.getOrElse("graft.manifest.inlineThreshold", "64").toInt
@@ -6649,7 +6653,17 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
     * construction. Files that can't prove the boundary open their own
     * bin; oversized files stay solo. */
   private def binEntries(es: Seq[ManifestSink.FileEntry]): Seq[Seq[ManifestSink.FileEntry]] = {
-    val target = ManifestSink.scanBinRows
+    val target = ManifestSink.scanBinRowsOpt.getOrElse {
+      // adaptive default: keep every core busy on small-to-medium
+      // tables (binning must coalesce the FILE-COUNT problem, not
+      // starve read parallelism), cap task size on huge ones
+      val par = try org.apache.spark.sql.SparkSession.active
+        .sparkContext.defaultParallelism
+      catch { case _: Exception => 8 }
+      val total = es.map(_.liveRows).sum
+      math.min(ManifestSink.DefaultBinRowsCap,
+        math.max(1L, (total + par - 1) / math.max(1, par)))
+    }
     if (target <= 0L || es.size <= 1) return es.map(Seq(_))
     val attested = sortCols.nonEmpty &&
       es.forall(e => e.sorted.take(sortCols.length) == sortCols)

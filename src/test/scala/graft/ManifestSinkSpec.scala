@@ -167,8 +167,9 @@ class ManifestSinkSpec extends AnyFunSuite {
       .repartition(8)
       .write.format(fmt).option("path", dir).mode("overwrite").save()
     val read = spark.read.format(fmt).option("path", dir).load()
-    // 100 tiny rows in 8 files: one binned task, all files planned
-    assert(read.rdd.getNumPartitions == 1 && plannedFiles(read) == 8)
+    // 100 tiny rows in 8 files: fewer binned tasks than files (the
+    // adaptive default keeps every core fed), all files still planned
+    assert(read.rdd.getNumPartitions < 8 && plannedFiles(read) == 8)
     assert(read.count() == 100)
     spark.conf.set("graft.scan.bin-rows", "0")
     try assert(spark.read.format(fmt).option("path", dir).load()

@@ -36,8 +36,9 @@ class ScanBinSpec extends AnyFunSuite {
     (0 until 12).foreach(i =>
       spark.sql(s"INSERT INTO bn.db.t SELECT id + ${i * 10}, id FROM range(10)"))
     assert(ManifestSink.committedEntries(wh.resolve("db").resolve("t"), None).size >= 12)
-    // 120 tiny rows << 1M default target → ONE read partition
-    assert(scanPartitions("bn.db.t") === 1)
+    // ADAPTIVE default: 120 live rows over local[4] → ~30-row bins →
+    // one task per core, not one per file and not one total
+    assert(scanPartitions("bn.db.t") === 4)
     // a deletion vector rides inside the bin (row-based path)
     spark.sql("DELETE FROM bn.db.t WHERE id % 10 = 3")
     val got = spark.table("bn.db.t").select($"id").as[Long].collect().sorted.toSeq
@@ -63,11 +64,14 @@ class ScanBinSpec extends AnyFunSuite {
   test("attested-sorted files bin ONLY across disjoint boundaries and stay sorted per task") {
     spark.sql("CREATE TABLE bn.db.o (t BIGINT, v BIGINT) " +
       "TBLPROPERTIES ('write.sort-by'='t')")
-    // disjoint t ranges: binnable while provably sorted
+    // disjoint t ranges: binnable while provably sorted (explicit
+    // target so the whole table fits one bin)
     spark.sql("INSERT INTO bn.db.o SELECT id, id FROM range(0, 50)")
     spark.sql("INSERT INTO bn.db.o SELECT id, id FROM range(50, 100)")
     spark.sql("INSERT INTO bn.db.o SELECT id, id FROM range(100, 150)")
-    assert(scanPartitions("bn.db.o") === 1)
+    spark.conf.set("graft.scan.bin-rows", "100000")
+    try {
+      assert(scanPartitions("bn.db.o") === 1)
     // PHYSICAL within-task ordering proof: rows of every read partition
     // arrive non-decreasing in t
     val byPart = spark.table("bn.db.o")
@@ -77,6 +81,7 @@ class ScanBinSpec extends AnyFunSuite {
       val ts = rows.map(_._2).toSeq
       assert(ts === ts.sorted, "bin members concatenated out of order")
     }
+    } finally spark.conf.unset("graft.scan.bin-rows")
 
     spark.sql("CREATE TABLE bn.db.ov (t BIGINT, v BIGINT) " +
       "TBLPROPERTIES ('write.sort-by'='t')")
@@ -84,7 +89,12 @@ class ScanBinSpec extends AnyFunSuite {
     // every file must keep its own partition
     spark.sql("INSERT INTO bn.db.ov SELECT id, id FROM range(0, 50)")
     spark.sql("INSERT INTO bn.db.ov SELECT id, id FROM range(0, 50)")
-    assert(scanPartitions("bn.db.ov") === 2,
+    spark.conf.set("graft.scan.bin-rows", "100000")
+    // each append's files have disjoint ranges (range-distributed
+    // write) and chain into one bin; the overlap BETWEEN appends
+    // forces the second run into its own bin
+    try assert(scanPartitions("bn.db.ov") === 2,
       "overlapping attested files must not share a bin")
+    finally spark.conf.unset("graft.scan.bin-rows")
   }
 }
