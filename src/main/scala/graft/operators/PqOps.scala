@@ -1,0 +1,235 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.HashFunctions.{md5Code60, md5Code60Sql}
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") over `embeddings.embedding`:
+  *
+  *   - q174 PQ TRAINING — the 64-dim space splits into [[M]] contiguous
+  *     16-dim subspaces and an independent [[Ksub]]-entry codebook is
+  *     Lloyd-trained in each (the same integer milli-unit contract as
+  *     q139, so the DuckDB oracle replays every round bit-for-bit).
+  *   - q175 ADC SEARCH — each database vector is its [[M]] codes
+  *     (64 floats → 4 small ints, a 32–64× memory cut); a query builds a
+  *     distance table (query-subvector → every centroid, Q×M×Ksub
+  *     integers), and the approximate distance of any database vector is
+  *     M table lookups summed — no float math ever touches the corpus.
+  *
+  * Scale design: training touches the corpus once per iteration with the
+  * codebook broadcast (M×Ksub rows regardless of corpus size); encoding
+  * is one scan; search streams the CODES table (M ints/vector — the
+  * representation that fits 100 TB of raw vectors in executor memory)
+  * against a broadcast distance table, partial-aggregating the per-sub
+  * sums map-side before the (qid, vec_id) shuffle. Everything is exact
+  * integer arithmetic on milli-unit cells, so the oracle check is exact.
+  *
+  * Reference behavior: the reference engine exposes embedding-similarity
+  * retrieval over enriched records (rws_data_ingester retrieval path);
+  * PQ is the standard at-scale compression of that capability.
+  */
+object PqOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Subspace count; [[SimilarityOps.Dim]] / M dims per subspace. */
+  val M = 4
+  val SubDim: Int = SimilarityOps.Dim / M
+  /** Codebook entries per subspace (k* in the paper; 256 in production —
+    * 8 here keeps the unrolled oracle CTEs small while exercising the
+    * identical plan shape). */
+  val Ksub = 8
+  /** Lloyd rounds per subspace — fixed so the oracle replays the same
+    * number (q139's convention). */
+  val PqIters = 2
+  /** q175 probe set: vec_id < PqProbes (deterministic, broadcast). */
+  val PqProbes = 4
+  val PqTopK = 5
+
+  /** Quantized subvectors: (vec_id, sub, sv ARRAY<LONG>) — sub s covers
+    * raw dims [s*SubDim+1, (s+1)*SubDim]. Shares q139's milli-unit
+    * quantization ([[SimilarityOps.quantized]]) so one integer contract
+    * covers every vector operator. */
+  private[graft] def subvecs(emb: DataFrame, m: Int, subDim: Int): DataFrame =
+    SimilarityOps.quantized(emb)
+      .select(col("vec_id"), explode(transform(sequence(lit(0), lit(m - 1)),
+        s => struct(s.cast("long").as("sub"),
+          slice(col("qvec"), s * subDim + 1, lit(subDim)).as("sv")))).as("e"))
+      .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+
+  /** Per-subspace integer Lloyd loop. Seeds are the [[Ksub]] hash-ranked
+    * vectors' subvectors (the same seed VECTORS in every subspace, so the
+    * oracle seeds once); empty codes carry their previous centroid.
+    * Returns (codebook (sub, code, cv), final assignment
+    * (vec_id, sub, code, sv, d2)). */
+  private[graft] def pqFit(emb: DataFrame, m: Int, subDim: Int, ksub: Int,
+      iters: Int): (DataFrame, DataFrame) = {
+    val sv = subvecs(emb, m, subDim).localCheckpoint()
+    val wSeed = Window.partitionBy("sub").orderBy(col("hk"), col("vec_id"))
+    var cents = sv
+      .withColumn("hk", md5Code60(concat(lit("pq:"), col("vec_id").cast("string"))))
+      .withColumn("rn", row_number().over(wSeed))
+      .filter(col("rn") <= ksub) // bounded: m*ksub rows
+      .select(col("sub"), (col("rn") - 1).cast("long").as("code"),
+        col("sv").as("cv"))
+      .localCheckpoint()
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      val wA = Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("code"))
+      assigned = sv.join(broadcast(cents), Seq("sub"))
+        .withColumn("d2", aggregate(
+          zip_with(col("sv"), col("cv"), (x, c) => (x - c) * (x - c)),
+          lit(0L), (acc, v) => acc + v))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("code"), col("sv"), col("d2"))
+        .localCheckpoint()
+      val updated = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")))
+        .groupBy(col("sub"), col("code"), (col("pos") + 1).as("dim"))
+        .agg(sum(col("col")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("c", expr("sx div n"))
+        .groupBy("sub", "code")
+        .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("cells"))
+        .select(col("sub"), col("code"),
+          transform(col("cells"), s => s.getField("c")).as("newv"))
+      cents = cents.withColumnRenamed("cv", "oldv")
+        .join(updated, Seq("sub", "code"), "left")
+        .select(col("sub"), col("code"),
+          coalesce(col("newv"), col("oldv")).as("cv"))
+        .localCheckpoint()
+    }
+    (cents, assigned)
+  }
+
+  /** q175's ADC core, factored for the spec: distance table from the
+    * probes, then M lookups + sum per (probe, vector). */
+  private[graft] def adcSearch(cents: DataFrame, assigned: DataFrame,
+      probes: DataFrame, topK: Int): DataFrame = {
+    val dtab = probes
+      .select(col("vec_id").as("qid"), col("sub"), col("sv").as("qsv"))
+      .join(cents, Seq("sub"))
+      .withColumn("d", aggregate(
+        zip_with(col("qsv"), col("cv"), (x, c) => (x - c) * (x - c)),
+        lit(0L), (acc, v) => acc + v))
+      .select(col("qid"), col("sub"), col("code"), col("d"))
+    val wTop = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    assigned.select("vec_id", "sub", "code")
+      .join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("vec_id"), col("adist"))
+  }
+
+  def queries: Map[String, Q] = Map(
+    // PQ TRAINING: one independent Lloyd codebook per 16-dim subspace.
+    // Output is the per-(sub, code) population + inertia from the final
+    // assignment and exact integer checksums of the final centroids —
+    // a mismatch pinpoints whether assignment or update diverged, per
+    // subspace.
+    "q174_pq_train" -> ((s, dir) => {
+      val (cents, assigned) = pqFit(Tables.embeddings(s, dir), M, SubDim, Ksub, PqIters)
+      val stats = assigned.groupBy("sub", "code").agg(
+        count(lit(1)).as("n"),
+        sum(col("d2")).as("inertia_q"))
+      val sums = cents.select(col("sub"), col("code"),
+        aggregate(col("cv"), lit(0L), (a, v) => a + v).as("csum"),
+        aggregate(col("cv"), lit(0L), (a, v) => a + v * v).as("cnorm2"))
+      stats.join(broadcast(sums), Seq("sub", "code")).orderBy("sub", "code")
+    }),
+    // ADC SEARCH: probes vec_id < PqProbes, top-5 nearest by summed
+    // per-subspace table distances (ties broken by vec_id; the probe
+    // itself excluded). The corpus side of the join carries CODES only.
+    "q175_pq_search" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (cents, assigned) = pqFit(emb, M, SubDim, Ksub, PqIters)
+      val probes = subvecs(emb.filter(col("vec_id") < PqProbes), M, SubDim)
+      adcSearch(cents, assigned, probes, PqTopK).orderBy("qid", "rank")
+    }))
+
+  // ---- DuckDB oracle ------------------------------------------------------
+
+  /** The per-subspace Lloyd rounds unrolled to [[PqIters]] MATERIALIZED
+    * CTE rounds in (sub, code, sdim, c) long form. Every multi-referenced
+    * CTE is MATERIALIZED — DuckDB inlines plain CTEs at every reference
+    * site, which explodes exponentially over chained training rounds.
+    * Ends with a$PqIters (final assignment) and c$PqIters (codebooks). */
+  private def pqCtesSql: String = {
+    val hk = md5Code60Sql("'pq:' || CAST(vec_id AS VARCHAR)")
+    def round(i: Int): String = {
+      val prev = s"c${i - 1}"
+      s"""d$i AS MATERIALIZED (
+         |  SELECT s.vec_id, s.sub, c.code, sum((s.x - c.c) * (s.x - c.c)) AS d2
+         |  FROM sv s JOIN $prev c ON s.sub = c.sub AND s.sdim = c.sdim
+         |  GROUP BY 1, 2, 3),
+         |a$i AS MATERIALIZED (
+         |  SELECT vec_id, sub, code, d2 FROM (
+         |    SELECT vec_id, sub, code, d2, row_number()
+         |      OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+         |    FROM d$i) WHERE rn = 1),
+         |u$i AS (
+         |  SELECT sub, code, sdim, sx // n AS c FROM (
+         |    SELECT a.sub, a.code, s.sdim, sum(s.x) AS sx, count(*) AS n
+         |    FROM a$i a JOIN sv s ON a.vec_id = s.vec_id AND a.sub = s.sub
+         |    GROUP BY 1, 2, 3)),
+         |c$i AS MATERIALIZED (
+         |  SELECT p.sub, p.code, p.sdim, coalesce(u.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN u$i u
+         |    ON p.sub = u.sub AND p.code = u.code AND p.sdim = u.sdim)""".stripMargin
+    }
+    s"""sv AS MATERIALIZED (
+       |  SELECT vec_id, (d.d - 1) // $SubDim AS sub,
+       |    (d.d - 1) % $SubDim + 1 AS sdim,
+       |    CAST(round(CAST(embedding[d.d] AS DOUBLE) * 1000) AS BIGINT) + 1000 AS x
+       |  FROM embeddings,
+       |    (SELECT unnest(generate_series(1, ${SimilarityOps.Dim})) AS d) d),
+       |seeds AS MATERIALIZED (
+       |  SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS code
+       |  FROM (SELECT vec_id, $hk AS h FROM embeddings)
+       |  ORDER BY h, vec_id LIMIT $Ksub),
+       |c0 AS MATERIALIZED (
+       |  SELECT s.sub, se.code, s.sdim, s.x AS c
+       |  FROM seeds se JOIN sv s USING (vec_id)),
+       |${(1 to PqIters).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  def oracle: Map[String, String] = {
+    val t = PqIters
+    Map(
+      "q174_pq_train" ->
+        s"""WITH $pqCtesSql
+           |SELECT s1.sub, s1.code, s1.n, s1.inertia_q, s2.csum, s2.cnorm2
+           |FROM (
+           |  SELECT sub, code, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(d2) AS BIGINT) AS inertia_q
+           |  FROM a$t GROUP BY 1, 2) s1
+           |JOIN (
+           |  SELECT sub, code, CAST(sum(c) AS BIGINT) AS csum,
+           |    CAST(sum(c * c) AS BIGINT) AS cnorm2
+           |  FROM c$t GROUP BY 1, 2) s2 ON s1.sub = s2.sub AND s1.code = s2.code
+           |ORDER BY 1, 2""".stripMargin,
+      "q175_pq_search" ->
+        s"""WITH $pqCtesSql,
+           |qsub AS MATERIALIZED (
+           |  SELECT vec_id AS qid, sub, sdim, x FROM sv WHERE vec_id < $PqProbes),
+           |dtab AS MATERIALIZED (
+           |  SELECT q.qid, c.sub, c.code, sum((q.x - c.c) * (q.x - c.c)) AS d
+           |  FROM qsub q JOIN c$t c ON q.sub = c.sub AND q.sdim = c.sdim
+           |  GROUP BY 1, 2, 3),
+           |ad AS (
+           |  SELECT d.qid, a.vec_id, CAST(sum(d.d) AS BIGINT) AS adist
+           |  FROM a$t a JOIN dtab d ON a.sub = d.sub AND a.code = d.code
+           |  WHERE a.vec_id <> d.qid GROUP BY 1, 2)
+           |SELECT qid, rank, vec_id, adist FROM (
+           |  SELECT qid, vec_id, adist, row_number()
+           |    OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rank
+           |  FROM ad) WHERE rank <= $PqTopK
+           |ORDER BY qid, rank""".stripMargin)
+  }
+}
