@@ -788,9 +788,12 @@ object ManifestSink {
       s"cannot fast-forward branch '$name': main is at version ${st.version} " +
         s"but the branch is anchored at $base — main advanced since staging " +
         "began; drop the branch and re-stage against the current state")
-    val staged = branchEntries(root, name) // already sequenced at base+1
+    val staged0 = branchEntries(root, name) // already sequenced at base+1
+    // WAP rows enter MAIN history here: lineage assignment happens at
+    // the fast-forward (the branch's own counter never touched main's)
+    val (staged, nextRid) = assignLineage(staged0, st.nextRowId, base + 1L)
     publish(root, base,
-      ((st.schema.get.json +: st.metaLines) ++
+      ((st.schema.get.json +: st.copy(nextRowId = nextRid).metaLines) ++
         renderEntrySection(root, st.entries ++ staged, st.groups)).mkString("\n"))
     dropBranch(root, name)
     base + 1L
@@ -973,7 +976,17 @@ object ManifestSink {
       // were VERIFIED monotone under while being written (empty = no
       // claim — legacy files, bin-merged concatenations, z-ordered
       // rewrites). Grounds the scan's per-file ordering report.
-      sorted: Seq[String] = Seq.empty) {
+      sorted: Seq[String] = Seq.empty,
+      // ROW LINEAGE (Iceberg v3 row-lineage shape): piecewise-linear
+      // map from PHYSICAL file position to the table-unique row id.
+      // Each segment (startPos, firstRowId, seq) covers positions
+      // [startPos, next segment's startPos): row id = firstRowId +
+      // (pos − startPos), last-updated version = seq. firstRowId = -1
+      // marks a lineage GAP (rows whose ids were lost — legacy members
+      // of a merge). Empty on a COMMITTED entry = the file predates
+      // lineage (ids read NULL); empty on an entry being ADDED = the
+      // publisher assigns a fresh single segment at commit.
+      lineage: Seq[(Long, Long, Long)] = Seq.empty) {
     /** Rows a reader actually yields: physical rows minus the deletion
       * vector's positions. Drives count(*) pushdown, reported stats and
       * the zero-column emitters — `rows` stays the PHYSICAL count (what
@@ -1113,6 +1126,15 @@ object ManifestSink {
   /** Name of the per-row data-file metadata column (see
     * [[ManifestTable.metadataColumns]]). */
   private[sources] val FileNameColumn = "_file"
+
+  /** Row-lineage metadata columns (Iceberg v3 `_row_id` /
+    * `_last_updated_sequence_number` shape): the table-unique id a row
+    * was assigned when it first entered the table, and the version of
+    * the commit that last produced it. Served from manifest lineage
+    * segments + physical file position — never stored in data files.
+    * NULL for files that predate lineage tracking. */
+  private[sources] val RowIdColumn = "_row_id"
+  private[sources] val LastUpdatedColumn = "_last_updated_version"
 
   private[sources] def utf8Compare(a: String, b: String): Int =
     java.util.Arrays.compareUnsigned(
@@ -1754,6 +1776,10 @@ object ManifestSink {
   private def schemaEpochLine(e: Long): Option[String] =
     if (e == 0L) None else Some(s"$SchemaEpochPrefix$e")
 
+  private val NextRowIdPrefix = "#nextrowid\t"
+  private def nextRowIdLine(n: Long): Option[String] =
+    if (n == 0L) None else Some(s"$NextRowIdPrefix$n")
+
   /** Arbitrary user TBLPROPERTIES (the Iceberg/Delta free-form property
     * bag): `#tblprops<TAB>k=v,...`, every token URL-encoded. The three
     * LIVE knobs (delete.mode, bloom.columns, write.sort-by) stay
@@ -2389,7 +2415,7 @@ object ManifestSink {
   }
 
   private[sources] def parseEntryLine(line: String): FileEntry = {
-    val parts = line.split("\t", 12)
+    val parts = line.split("\t", 13)
     val (dvName, dvRows) = parts.lift(5).filter(_.nonEmpty) match {
       case Some(dv) =>
         val Array(n, c) = dv.split(":", 2)
@@ -2415,8 +2441,22 @@ object ManifestSink {
       parts.lift(9).filter(_.nonEmpty).map(_.toLong).getOrElse(0L),
       ndvs, nulls,
       parts.lift(11).filter(_.nonEmpty)
-        .map(_.split(",").toSeq.map(urlDec)).getOrElse(Seq.empty))
+        .map(_.split(",").toSeq.map(urlDec)).getOrElse(Seq.empty),
+      parseLineageStr(parts.lift(12).getOrElse("")))
   }
+
+  /** Row-lineage field: `startPos:firstRowId:seq` triples, comma-joined,
+    * segments in position order. Old manifests simply lack the slot
+    * (format-versioned by position, like seq/specId/colCounts). */
+  private[sources] def lineageStr(segs: Seq[(Long, Long, Long)]): String =
+    segs.map { case (p, f, q) => s"$p:$f:$q" }.mkString(",")
+
+  private[sources] def parseLineageStr(s: String): Seq[(Long, Long, Long)] =
+    if (s.isEmpty) Seq.empty
+    else s.split(",").toSeq.map { t =>
+      val Array(p, f, q) = t.split(":", 3)
+      (p.toLong, f.toLong, q.toLong)
+    }
 
   /** CBO count-stats field: `col=ndv:nulls` pairs, comma-joined, either
     * token may be empty (absent stat), column names URL-encoded — the
@@ -2477,7 +2517,9 @@ object ManifestSink {
     val sp = if (e.specId == 0L) "" else e.specId.toString
     val cc = colCountsStr(e.ndvs, e.nulls)
     val so = e.sorted.map(urlEnc).mkString(",")
-    if (so.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp\t$cc\t$so"
+    val li = lineageStr(e.lineage)
+    if (li.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp\t$cc\t$so\t$li"
+    else if (so.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp\t$cc\t$so"
     else if (cc.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp\t$cc"
     else if (sp.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp"
     else if (sq.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq"
@@ -2820,7 +2862,13 @@ object ManifestSink {
       // identity value interpreted as a bucket id (or vice versa) would
       // prune or prove WRONG files.
       specId: Long = 0L,
-      pastSpecs: Map[Long, Seq[PartTransform]] = Map.empty) {
+      pastSpecs: Map[Long, Seq[PartTransform]] = Map.empty,
+      // ROW-LINEAGE high-water mark (Iceberg v3 next-row-id): the next
+      // unassigned row id. Publishers that add fresh data files assign
+      // [nextRowId, nextRowId + rows) per file and bump this; every
+      // publisher carries it forward. 0 on legacy tables — the first
+      // lineage-assigning commit starts numbering there.
+      nextRowId: Long = 0L) {
     /** The spec with the all-identity fallback applied — what metaLines
       * renders and decision sites consume. */
     def effectiveSpec: Seq[PartTransform] =
@@ -2845,7 +2893,8 @@ object ManifestSink {
       * partition spec, column mapping, schema epoch, delete mode,
       * bloom columns, write ordering, user properties, stream markers. */
     def metaLines: Seq[String] =
-      partSpecLine(effectiveSpec).toSeq ++ specIdLine(specId).toSeq ++
+      nextRowIdLine(nextRowId).toSeq ++
+        partSpecLine(effectiveSpec).toSeq ++ specIdLine(specId).toSeq ++
         pastSpecs.toSeq.sortBy(_._1).map((pastSpecLine _).tupled) ++
         colMapLine(colMap).toSeq ++
         schemaEpochLine(schemaEpoch).toSeq ++ deleteModeLine(deleteMode).toSeq ++
@@ -2899,7 +2948,9 @@ object ManifestSink {
         lines.tail.find(_.startsWith(SpecIdPrefix))
           .map(_.stripPrefix(SpecIdPrefix).trim.toLong).getOrElse(0L),
         lines.tail.filter(_.startsWith(PastSpecPrefix))
-          .map(parsePastSpecLine).toMap)
+          .map(parsePastSpecLine).toMap,
+        lines.tail.find(_.startsWith(NextRowIdPrefix))
+          .map(_.stripPrefix(NextRowIdPrefix).trim.toLong).getOrElse(0L))
     } else legacyState(root)
   }
 
@@ -2925,6 +2976,79 @@ object ManifestSink {
             .filter(_.nonEmpty).map(parseEntryLine)
         else Seq.empty
       TableState(0L, schema, Map.empty, entries)
+  }
+
+  /** Segment-count cap for remapped/merged lineage: past this a
+    * pathological delete pattern would bloat the manifest line, so the
+    * rewritten file honestly drops to one gap segment (ids NULL)
+    * instead. */
+  private[sources] val MaxLineageSegs = 1024
+
+  /** Remap a file's lineage through a SURVIVORS-IN-ORDER rewrite (DV
+    * purge, equality-delete materialization, copy-on-write delete):
+    * feed each SURVIVING row's old physical position in increasing
+    * order; [[segments]] is the rewritten file's lineage — row ids are
+    * PRESERVED across the rewrite (the Iceberg v3 guarantee), with
+    * consecutive survivors folding into one segment. Rows falling in a
+    * lineage gap fold into `-1` gap segments; a file with no lineage at
+    * all yields none (the rewrite stays pre-lineage). */
+  private[sources] final class LineageRemapper(old: Seq[(Long, Long, Long)]) {
+    private val segs = old.toArray
+    private var si = 0
+    private val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    private var newPos = -1L
+    def add(oldPos: Long): Unit = {
+      newPos += 1
+      if (segs.isEmpty) return
+      while (si + 1 < segs.length && segs(si + 1)._1 <= oldPos) si += 1
+      val known = segs(si)._1 <= oldPos && segs(si)._2 != -1L
+      val id = if (known) segs(si)._2 + (oldPos - segs(si)._1) else -1L
+      val sq = if (known) segs(si)._3 else 0L
+      val extend = out.nonEmpty && {
+        val (s, f, q) = out.last
+        if (f == -1L) id == -1L
+        else id != -1L && q == sq && id - f == newPos - s
+      }
+      if (!extend) out += ((newPos, id, sq))
+    }
+    def segments: Seq[(Long, Long, Long)] =
+      if (out.isEmpty) Seq.empty
+      else if (out.size > MaxLineageSegs) Seq((0L, -1L, 0L))
+      else out.toSeq
+  }
+
+  /** Concatenation lineage of a bin-merge: each member's segments shift
+    * by the member's offset in the merged file; members without lineage
+    * contribute a gap. All-gap or over-cap results degrade honestly. */
+  private[sources] def concatLineage(members: Seq[FileEntry]): Seq[(Long, Long, Long)] = {
+    var off = 0L
+    val segs = members.flatMap { m =>
+      val s =
+        if (m.lineage.isEmpty) Seq((off, -1L, 0L))
+        else m.lineage.map { case (p, f, q) => (off + p, f, q) }
+      off += m.rows
+      s
+    }
+    if (segs.forall(_._2 == -1L)) Seq.empty
+    else if (segs.size > MaxLineageSegs) Seq((0L, -1L, 0L))
+    else segs
+  }
+
+  /** Assign fresh row lineage to entries that carry none: one segment
+    * covering physical positions [0, rows) starting at the table's
+    * next-row-id, stamped with the committing version (Iceberg v3
+    * first-row-id assignment, done commit-side so CAS rebases
+    * re-assign consistently). Entries whose lineage was computed by the
+    * caller (a merge preserving member ids) pass through untouched.
+    * Returns the updated entries and the new high-water mark. */
+  private[sources] def assignLineage(entries: Seq[FileEntry], startId: Long,
+      version: Long): (Seq[FileEntry], Long) = {
+    var nid = startId
+    val out = entries.map { e =>
+      if (e.lineage.nonEmpty) e
+      else { val f = nid; nid += e.rows; e.copy(lineage = Seq((0L, f, version))) }
+    }
+    (out, nid)
   }
 
   private[sources] def publishCommit(root: Path, schema: StructType,
@@ -2983,9 +3107,10 @@ object ManifestSink {
       // data sequence: new files carry the version this commit publishes,
       // so later equality deletes can govern exactly the files that
       // preceded them
+      val (assignedNew, nextRid) = assignLineage(
+        newEntries.map(_.copy(seq = base + 1L)), st.nextRowId, base + 1L)
       val all =
-        (if (truncateFirst) Seq.empty else st.entries) ++
-          newEntries.map(_.copy(seq = base + 1L))
+        (if (truncateFirst) Seq.empty else st.entries) ++ assignedNew
       // Epoch markers survive truncate: a complete-mode epoch replaces the
       // DATA but the exactly-once high-water mark must persist, or a
       // restart would double-apply the epoch it just committed.
@@ -3002,7 +3127,8 @@ object ManifestSink {
         deleteMode = if (st.version > 0L) st.deleteMode else createDeleteMode,
         bloomCols = if (st.version > 0L) st.bloomCols else createBloomCols,
         sortCols = if (st.version > 0L) st.sortCols else createSortCols,
-        props = if (st.version > 0L) st.props else createProps).metaLines
+        props = if (st.version > 0L) st.props else createProps,
+        nextRowId = nextRid).metaLines
       // schema line + meta + entries publish as ONE atomic unit
       try {
         publish(root, base,
@@ -3047,13 +3173,18 @@ object ManifestSink {
       replaced: Set[String], newEntries0: Seq[FileEntry], gc: GcPolicy): Unit = {
     // row-level rewrites read through the scan (equality deletes already
     // applied), so replacement files start a fresh sequence
-    val newEntries = newEntries0.map(_.copy(seq = baseVersion + 1L))
+    val newEntries1 = newEntries0.map(_.copy(seq = baseVersion + 1L))
     val st = readState(root, Some(baseVersion))
     val schema = st.schema.getOrElse(
       throw new IllegalStateException(s"manifest table $root has no schema"))
     val kept = st.entries.filterNot(e => replaced(e.name))
+    // rewrite outputs whose lineage the caller preserved (a bin-merge's
+    // member segments) pass through; anything else is spec-fallback NEW
+    // rows — fresh ids, last-updated = this version
+    val (newEntries, nextRid) =
+      assignLineage(newEntries1, st.nextRowId, baseVersion + 1L)
     try publish(root, baseVersion,
-      ((schema.json +: st.metaLines) ++
+      ((schema.json +: st.copy(nextRowId = nextRid).metaLines) ++
         renderEntrySection(root, kept ++ newEntries, st.groups))
         .mkString("\n"))
     catch { case e: java.util.ConcurrentModificationException =>
@@ -3126,15 +3257,18 @@ object ManifestSink {
       // outstanding equality delete and must not be governed by it.
       // Static victims evaluate per entry under ITS OWN spec — exact for
       // interval transforms, loud for bucket-undecidable shapes.
+      val (assignedNew, nextRid) = assignLineage(
+        newEntries.map(_.copy(seq = st.version + 1L)), st.nextRowId,
+        st.version + 1L)
       val entries =
         st.entries.filterNot(e => replaced(e, st.transformsForOpt(e).getOrElse(
           throw new IllegalArgumentException(
             s"file ${e.name} was written under unknown partition spec " +
               s"${e.specId} — overwrite victim selection is undecidable")))) ++
-          newEntries.map(_.copy(seq = st.version + 1L))
+          assignedNew
       try {
         publish(root, st.version,
-          ((schema.json +: st.metaLines) ++
+          ((schema.json +: st.copy(nextRowId = nextRid).metaLines) ++
             renderEntrySection(root, entries, st.groups)).mkString("\n"))
         done = true
       } catch {
@@ -3563,10 +3697,11 @@ object ManifestSink {
         val out = ManifestParquet.open(root.resolve(newName),
           toPhysicalSchema(schema, st.colMap))
         def killed(row: InternalRow): Boolean = killTests.exists(t => t(row))
+        val remap = new LineageRemapper(e.lineage)
         try foreachRowPos(root.resolve(e.name), schema, st.colMap,
           st.schemaEpoch > 0L) { (row, pos) =>
           if (!dv.contains(pos) && !killed(row)) {
-            out.write(row); kept += 1; stats.add(row)
+            out.write(row); kept += 1; stats.add(row); remap.add(pos)
           }
         } finally out.close()
         rewritten += 1
@@ -3574,7 +3709,7 @@ object ManifestSink {
           blooms = stats.blooms, slows = stats.strLowers, sups = stats.strUppers,
           seq = st.version + 1L, specId = e.specId,
           ndvs = stats.intNdvs, nulls = stats.nullCounts,
-          sorted = stats.sortedBy)
+          sorted = stats.sortedBy, lineage = remap.segments)
       }
     }.filter(_.rows > 0L)
     try publish(root, st.version,
@@ -3702,7 +3837,9 @@ object ManifestSink {
           val nullKeys = bin.map(_.nulls.keySet).reduce(_ intersect _)
           nullKeys.map(k => k -> bin.map(_.nulls(k)).sum).toMap
         },
-        sorted = mergedSorted)
+        // raw row-group concatenation keeps every member's rows at a
+        // fixed offset: lineage is the members' segments, shifted
+        sorted = mergedSorted, lineage = concatLineage(bin))
     }
     val rewrittenNames = bins.flatten.map(_.name).toSet ++ dvEntries.map(_.name)
     val entries = st.entries.filterNot(e => rewrittenNames(e.name)) ++ merged ++ purged
@@ -3729,6 +3866,7 @@ object ManifestSink {
     val dv = readDvPositions(root.resolve(e.dvName.get)).toSet
     val stats = new FileStatsCollector(schema, bloomCols, sortCols)
     var kept = 0L
+    val remap = new LineageRemapper(e.lineage)
     val newName = s"data-compact-${java.util.UUID.randomUUID()}.parquet"
     val out = ManifestParquet.open(root.resolve(newName),
       toPhysicalSchema(schema, colMap))
@@ -3736,14 +3874,14 @@ object ManifestSink {
       foreachRowPos(root.resolve(e.name), schema, colMap, evolved) { (row, pos) =>
         if (!dv.contains(pos)) {
           out.write(row); kept += 1
-          stats.add(row)
+          stats.add(row); remap.add(pos)
         }
       }
     } finally out.close()
     FileEntry(newName, kept, stats.intMins, stats.intMaxs, e.parts,
       blooms = stats.blooms, slows = stats.strLowers, sups = stats.strUppers,
       specId = e.specId, ndvs = stats.intNdvs, nulls = stats.nullCounts,
-      sorted = stats.sortedBy)
+      sorted = stats.sortedBy, lineage = remap.segments)
   }
 
   /** Structural validation of a partition spec against a schema — the
@@ -3918,12 +4056,16 @@ object ManifestSink {
     }
     commits.filter(_.rows == 0L)
       .foreach(c => Files.deleteIfExists(root.resolve(c.fileName)))
-    val migrated = commits.filter(_.rows > 0L).map(c =>
+    val migrated0 = commits.filter(_.rows > 0L).map(c =>
       FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts,
         blooms = c.blooms, slows = c.slows, sups = c.sups, specId = st.specId,
         ndvs = c.ndvs, nulls = c.nulls, sorted = c.sorted))
+    // the layout migration re-routes rows across files: a non-preserving
+    // rewrite, so migrated rows are NEW rows to lineage (fresh ids)
+    val (migrated, nextRid) =
+      assignLineage(migrated0, st.nextRowId, st.version + 1L)
     try publish(root, st.version,
-      ((schema.json +: RewriteMarker +: st.metaLines) ++
+      ((schema.json +: RewriteMarker +: st.copy(nextRowId = nextRid).metaLines) ++
         renderEntrySection(root, fresh ++ migrated, st.groups)).mkString("\n"))
     catch { case e: java.util.ConcurrentModificationException =>
       migrated.foreach(m => Files.deleteIfExists(root.resolve(m.name)))
@@ -4069,9 +4211,13 @@ object ManifestSink {
         blooms = c.blooms, slows = c.slows, sups = c.sups, specId = st.specId,
         ndvs = c.ndvs, nulls = c.nulls, sorted = c.sorted))
     }
+    // a z-order rewrite REORDERS rows across files: non-preserving, so
+    // the rewritten rows are NEW rows to lineage (fresh ids)
+    val (newAssigned, nextRid) =
+      assignLineage(newEntries, st.nextRowId, st.version + 1L)
     try publish(root, st.version,
-      ((schema.json +: RewriteMarker +: st.metaLines) ++
-        renderEntrySection(root, newEntries, st.groups)).mkString("\n"))
+      ((schema.json +: RewriteMarker +: st.copy(nextRowId = nextRid).metaLines) ++
+        renderEntrySection(root, newAssigned, st.groups)).mkString("\n"))
     catch { case e: java.util.ConcurrentModificationException =>
       newEntries.foreach(n => Files.deleteIfExists(root.resolve(n.name)))
       throw e
@@ -4484,6 +4630,7 @@ object ManifestSink {
       // purges the DV — the replacement entry carries none)
       val dv: Set[Long] =
         e.dvName.fold(Set.empty[Long])(n => readDvPositions(root.resolve(n)).toSet)
+      val remap = new LineageRemapper(e.lineage)
       try {
         foreachRowPos(root.resolve(e.name), schema, st.colMap, st.schemaEpoch > 0L) { (row, pos) =>
           if (dv.contains(pos)) ()
@@ -4491,7 +4638,7 @@ object ManifestSink {
           else if (rowMatches(row, schema)) deletedRows += 1
           else {
             out.write(row); kept += 1
-            stats.add(row)
+            stats.add(row); remap.add(pos)
           }
         }
       } finally out.close()
@@ -4508,7 +4655,8 @@ object ManifestSink {
         blooms = stats.blooms, slows = stats.strLowers, sups = stats.strUppers,
         seq = e.seq, specId = e.specId,
         ndvs = stats.intNdvs, nulls = stats.nullCounts,
-        sorted = stats.sortedBy))
+        // survivors keep their row ids across the copy-on-write rewrite
+        sorted = stats.sortedBy, lineage = remap.segments))
       }
     }
     val rewritten = candidates.zip(replacements).count {
@@ -5036,6 +5184,20 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
       override def dataType(): DataType = StringType
       override def isNullable: Boolean = false
       override def comment(): String = "manifest data file holding this row"
+    }, new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = ManifestSink.RowIdColumn
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "table-unique row id assigned when the row first entered the table " +
+          "(NULL for pre-lineage files)"
+    }, new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = ManifestSink.LastUpdatedColumn
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "version of the commit that last produced this row (NULL for " +
+          "pre-lineage files)"
     })
 
   /** SHOW TBLPROPERTIES / DESCRIBE EXTENDED surface: the live knobs as
@@ -5932,9 +6094,17 @@ class ManifestScanBuilder(root: Path, pinned: Option[Long] = None,
       if (cdc && prunedNames.forall(_.contains(ManifestSink.ChangeTypeColumn)))
         base.add(StructField(ManifestSink.ChangeTypeColumn, StringType, nullable = false))
       else base
-    if (prunedNames.exists(_.contains(ManifestSink.FileNameColumn)))
-      withChange.add(StructField(ManifestSink.FileNameColumn, StringType, nullable = false))
-    else withChange
+    val withFile =
+      if (prunedNames.exists(_.contains(ManifestSink.FileNameColumn)))
+        withChange.add(StructField(ManifestSink.FileNameColumn, StringType, nullable = false))
+      else withChange
+    val withRowId =
+      if (prunedNames.exists(_.contains(ManifestSink.RowIdColumn)))
+        withFile.add(StructField(ManifestSink.RowIdColumn, LongType, nullable = true))
+      else withFile
+    if (prunedNames.exists(_.contains(ManifestSink.LastUpdatedColumn)))
+      withRowId.add(StructField(ManifestSink.LastUpdatedColumn, LongType, nullable = true))
+    else withRowId
   }
 
   /** The integer table column a pushed MIN/MAX refers to, if stats can
@@ -6624,14 +6794,15 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
           // the emitted positions — its DV must NOT also skip them
           if (sl.emit.isEmpty) sl.entry.dvName.map(n => root.resolve(n).toString)
           else None,
-          null, sl.emit.orNull, sl.change): InputPartition
+          null, sl.emit.orNull, sl.change,
+          lineage = sl.entry.lineage): InputPartition
       }.toArray
     else {
       def single(e: ManifestSink.FileEntry): ManifestFilePartition =
         ManifestFilePartition(root.resolve(e.name).toString, e.liveRows,
           e.dvName.map(n => root.resolve(n).toString),
           if (partCols.isEmpty) null else partKeyByName(e.name),
-          seq = e.seq)
+          seq = e.seq, lineage = e.lineage)
       // small-file read coalescing, UNPARTITIONED scans only (key-grouped
       // scans already merge same-key files into one task, and a rewrite
       // scan's row-level machinery wants per-file identity)
@@ -6700,6 +6871,10 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
       // nothing there
       columnar = schema.nonEmpty && cdcSlices.isEmpty &&
         !schema.fieldNames.contains(ManifestSink.FileNameColumn) &&
+        // lineage columns are computed from per-row physical positions —
+        // row-based handoff, like `_file`
+        !schema.fieldNames.contains(ManifestSink.RowIdColumn) &&
+        !schema.fieldNames.contains(ManifestSink.LastUpdatedColumn) &&
         resolved.forall(e => e.name.endsWith(".parquet") && e.dvName.isEmpty &&
           // equality-delete positions apply row-by-row, like DVs
           !eqDels.exists(_.seq > e.seq)),
@@ -6819,7 +6994,8 @@ class ManifestMicroBatchStream(root: Path, fileSchema: StructType,
             sl.emit.fold(sl.entry.liveRows)(_.length.toLong),
             if (sl.emit.isEmpty) sl.entry.dvName.map(n => root.resolve(n).toString)
             else None,
-            null, sl.emit.orNull, sl.change): InputPartition
+            null, sl.emit.orNull, sl.change,
+            lineage = sl.entry.lineage): InputPartition
         }.toArray
       else {
         val ents =
@@ -6829,7 +7005,8 @@ class ManifestMicroBatchStream(root: Path, fileSchema: StructType,
         // (deletion vectors applied — deleted rows never deliver)
         ents.map(en => ManifestFilePartition(root.resolve(en.name).toString, en.liveRows,
           en.dvName.map(n => root.resolve(n).toString),
-          null, null, if (cdc) "insert" else null, seq = en.seq): InputPartition)
+          null, null, if (cdc) "insert" else null, seq = en.seq,
+          lineage = en.lineage): InputPartition)
           .toArray
       }
     }
@@ -6862,7 +7039,11 @@ case class ManifestFilePartition(file: String, rows: Long = 0L,
     partKey: Array[Any] = null,
     emit: Array[Long] = null,
     changeType: String = null,
-    seq: Long = 0L) extends InputPartition with HasPartitionKey {
+    seq: Long = 0L,
+    // row-lineage segments of this file's entry (see FileEntry.lineage);
+    // empty = no lineage, `_row_id`/`_last_updated_version` read NULL
+    lineage: Seq[(Long, Long, Long)] = Seq.empty)
+    extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     if (partKey == null) null
     else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(partKey)
@@ -6925,7 +7106,10 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
   private def rgFilterFor(p: ManifestFilePartition)
       : Option[org.apache.parquet.filter2.predicate.FilterPredicate] =
     if (p.dvFile.isEmpty && p.emit == null && p.file.endsWith(".parquet") &&
-        governingFor(p).isEmpty && rgFilterFileOk(p.file)) rgFilter
+        governingFor(p).isEmpty && rgFilterFileOk(p.file) &&
+        // lineage columns derive from physical positions, which skipped
+        // row groups would shift
+        !emitsLineage) rgFilter
     else None
 
   /** Evolved tables decide row-group filtering PER FILE: every column a
@@ -7026,8 +7210,16 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
     schema.fieldNames.contains(ManifestSink.FileNameColumn)
   private val emitsChange: Boolean =
     schema.fieldNames.contains(ManifestSink.ChangeTypeColumn)
+  // row-lineage metadata columns: computed per row from the partition's
+  // lineage segments + the row's PHYSICAL file position
+  private val emitsRowId: Boolean =
+    schema.fieldNames.contains(ManifestSink.RowIdColumn)
+  private val emitsLastUpdated: Boolean =
+    schema.fieldNames.contains(ManifestSink.LastUpdatedColumn)
+  private def emitsLineage: Boolean = emitsRowId || emitsLastUpdated
   private val dataSchema: StructType = StructType(schema.fields.filterNot(f =>
-    f.name == ManifestSink.FileNameColumn || f.name == ManifestSink.ChangeTypeColumn))
+    f.name == ManifestSink.FileNameColumn || f.name == ManifestSink.ChangeTypeColumn ||
+      f.name == ManifestSink.RowIdColumn || f.name == ManifestSink.LastUpdatedColumn))
   // EXISTS_DEFAULT per output ordinal (null = no default) — computed
   // lazily per JVM (the metadata parse is driver/executor-agnostic)
   @transient private lazy val existDefaults: Array[Any] =
@@ -7097,11 +7289,33 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
 
   private def fileRowReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ManifestFilePartition]
+    // physical position of the row currently being served — advanced by
+    // the tracking wrapper under the DV/emit layers (they consume
+    // skipped rows through it), read by the lineage appender
+    val posRef = new ManifestPosRef
     // deletion vector: positions to skip while handing rows off. The
     // zero-column emitter needs no skip — its row count is already the
     // LIVE count from the manifest entry.
     val base: PartitionReader[InternalRow] =
-    if (dataSchema.isEmpty) new PartitionReader[InternalRow] {
+    if (dataSchema.isEmpty && emitsLineage) new PartitionReader[InternalRow] {
+      // lineage-only projection (`SELECT _row_id FROM t`): positions come
+      // from the manifest alone — the data file is never opened. Live
+      // positions = [0, physicalRows) minus DV/eq-delete positions; a
+      // delete slice emits exactly its emitted positions.
+      private val it: Iterator[Long] =
+        if (p.emit != null) p.emit.iterator
+        else {
+          val dv = p.dvFile.map(f =>
+            ManifestSink.readDvPositions(Paths.get(f))).getOrElse(Array.empty[Long])
+          val skip = (dv ++ eqDeletePositions(p)).toSet
+          val physical = p.rows + dv.length // p.rows is the LIVE count
+          (0L until physical).iterator.filterNot(skip)
+        }
+      override def next(): Boolean = it.hasNext && { posRef.pos = it.next(); true }
+      override def get(): InternalRow = InternalRow.empty
+      override def close(): Unit = ()
+    }
+    else if (dataSchema.isEmpty) new PartitionReader[InternalRow] {
       // governed files: the manifest live count still includes the
       // equality-deleted rows — subtract them (positions not already in
       // the deletion vector) before emitting
@@ -7157,21 +7371,32 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
         override def close(): Unit = reader.close()
       }
     }
+    // physical-position tracking under the DV/emit layers: every row
+    // they consume (served OR skipped) advances the shared counter, so
+    // the lineage appender reads the served row's true file position
+    val tracked: PartitionReader[InternalRow] =
+      if (!emitsLineage || dataSchema.isEmpty) base
+      else new PartitionReader[InternalRow] {
+        override def next(): Boolean =
+          base.next() && { posRef.pos += 1; true }
+        override def get(): InternalRow = base.get()
+        override def close(): Unit = base.close()
+      }
     val withDv = (p.dvFile, p.emit) match {
       // a delete slice emits ONLY the newly-vectored positions — the
       // inverse of the DV skip (zero-column slices need neither: their
       // row count was set to the slice's size at planning)
       case (_, em) if em != null && dataSchema.nonEmpty =>
-        new DvEmitReader(base, em)
+        new DvEmitReader(tracked, em)
       case (Some(dv), _) if dataSchema.nonEmpty =>
         // deletion vector ∪ equality-delete positions: one merged
         // sorted skip
-        new DvSkipReader(base,
+        new DvSkipReader(tracked,
           (ManifestSink.readDvPositions(Paths.get(dv)) ++ eqDeletePositions(p))
             .distinct.sorted)
       case _ if dataSchema.nonEmpty =>
         val eq = eqDeletePositions(p)
-        if (eq.isEmpty) base else new DvSkipReader(base, eq)
+        if (eq.isEmpty) tracked else new DvSkipReader(tracked, eq)
       case _ => base
     }
     def appendConst(inner: PartitionReader[InternalRow],
@@ -7187,9 +7412,38 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
       if (!emitsChange) withDv
       else appendConst(withDv, UTF8String.fromString(
         if (p.changeType == null) "insert" else p.changeType))
-    if (!emitsFile) withChange
-    else appendConst(withChange, UTF8String.fromString(
-      Paths.get(p.file).getFileName.toString))
+    val withFile =
+      if (!emitsFile) withChange
+      else appendConst(withChange, UTF8String.fromString(
+        Paths.get(p.file).getFileName.toString))
+    if (!emitsLineage) withFile
+    else new PartitionReader[InternalRow] {
+      // segment cursor only ever advances: physical positions are served
+      // nondecreasing by every upstream reader shape
+      private val segs = p.lineage.toArray
+      private var si = 0
+      private val nTail = (if (emitsRowId) 1 else 0) + (if (emitsLastUpdated) 1 else 0)
+      private val tail =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(nTail)
+      private val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      override def next(): Boolean = withFile.next()
+      override def get(): InternalRow = {
+        val pos = posRef.pos
+        while (si + 1 < segs.length && segs(si + 1)._1 <= pos) si += 1
+        val known = segs.nonEmpty && segs(si)._1 <= pos && segs(si)._2 != -1L
+        var i = 0
+        if (emitsRowId) {
+          if (known) tail.update(i, segs(si)._2 + (pos - segs(si)._1))
+          else tail.update(i, null)
+          i += 1
+        }
+        if (emitsLastUpdated) {
+          if (known) tail.update(i, segs(si)._3) else tail.update(i, null)
+        }
+        joined(withFile.get(), tail)
+      }
+      override def close(): Unit = withFile.close()
+    }
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
@@ -7239,6 +7493,11 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
     }
   }
 }
+
+/** Mutable physical-position cell shared between a file reader's
+  * position-tracking wrapper (or the manifest-only position emitter)
+  * and its row-lineage appender. */
+private[sources] class ManifestPosRef { var pos: Long = -1L }
 
 /** Applies a deletion vector while handing rows off: `dv` holds the
   * SORTED 0-based physical positions deleted from the underlying file;

@@ -1,0 +1,169 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ROW LINEAGE (the Iceberg v3 row-lineage shape): every row gets a
+  * table-unique `_row_id` when it first enters the table and a
+  * `_last_updated_version` stamp, both served from manifest lineage
+  * segments + physical file position — never stored in data files.
+  * Appends assign contiguous id ranges from the CAS-carried
+  * next-row-id high-water mark; deletes never disturb survivors' ids;
+  * rewrites that cannot prove preservation mint fresh ids (the spec's
+  * fallback for non-preserving writers). */
+class RowLineageSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+
+  private val wh: Path = {
+    val p = Files.createTempDirectory("graft-rowlineage")
+    p.toFile.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.rl", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rl.warehouse", p.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rl.db")
+    p
+  }
+  private def root(t: String): Path = wh.resolve("db").resolve(t)
+  private def lineageOf(t: String): Map[Long, (Long, Long)] =
+    spark.sql(s"SELECT id, _row_id, _last_updated_version FROM rl.db.$t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("appends assign contiguous ids; a second append continues numbering") {
+    spark.sql("CREATE TABLE rl.db.a (id BIGINT)")
+    spark.sql("INSERT INTO rl.db.a SELECT id FROM range(5)") // v2
+    spark.sql("INSERT INTO rl.db.a SELECT id + 100 FROM range(3)") // v3
+    val m = lineageOf("a")
+    assert(m.size == 8)
+    // all ids distinct, exactly [0, 8)
+    assert(m.values.map(_._1).toSeq.sorted == (0L until 8L))
+    // batch membership: the first batch's 5 ids are 0..4 with version 2,
+    // the second's are 5..7 with version 3
+    val batch1 = m.filter { case (id, _) => id < 100 }.values
+    val batch2 = m.filter { case (id, _) => id >= 100 }.values
+    assert(batch1.map(_._1).toSeq.sorted == (0L until 5L))
+    assert(batch1.forall(_._2 == 2L))
+    assert(batch2.map(_._1).toSeq.sorted == (5L until 8L))
+    assert(batch2.forall(_._2 == 3L))
+  }
+
+  test("a MoR delete removes ids without renumbering survivors") {
+    spark.sql("CREATE TABLE rl.db.d (id BIGINT) TBLPROPERTIES ('delete.mode'='merge-on-read')")
+    spark.sql("INSERT INTO rl.db.d SELECT id FROM range(10)")
+    val before = lineageOf("d")
+    spark.sql("DELETE FROM rl.db.d WHERE id IN (2, 3, 7)")
+    val after = lineageOf("d")
+    assert(after.keySet == before.keySet -- Set(2L, 3L, 7L))
+    after.foreach { case (id, l) => assert(l == before(id), s"id $id") }
+  }
+
+  test("lineage survives time travel and is exact per version") {
+    spark.sql("CREATE TABLE rl.db.tt (id BIGINT)")
+    spark.sql("INSERT INTO rl.db.tt SELECT id FROM range(4)") // v2
+    spark.sql("INSERT INTO rl.db.tt SELECT id + 10 FROM range(2)") // v3
+    val v2 = spark.sql(
+      "SELECT id, _row_id FROM rl.db.tt VERSION AS OF 2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(v2.values.toSeq.sorted == (0L until 4L))
+    val cur = spark.sql("SELECT id, _row_id FROM rl.db.tt")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    v2.foreach { case (id, rid) => assert(cur(id) == rid) }
+  }
+
+  test("a lineage-only projection answers from the manifest (zero data columns)") {
+    spark.sql("CREATE TABLE rl.db.z (id BIGINT)")
+    spark.sql("INSERT INTO rl.db.z SELECT id FROM range(6)")
+    val rids = spark.sql("SELECT _row_id FROM rl.db.z")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rids == (0L until 6L))
+    // with a MoR delete the dead positions' ids disappear from the
+    // zero-data-column path too
+    spark.sql("CREATE TABLE rl.db.z2 (id BIGINT) TBLPROPERTIES ('delete.mode'='merge-on-read')")
+    spark.sql("INSERT INTO rl.db.z2 SELECT id FROM range(6)")
+    val mapped = spark.sql("SELECT id, _row_id FROM rl.db.z2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.sql("DELETE FROM rl.db.z2 WHERE id IN (1, 4)")
+    val rids2 = spark.sql("SELECT _row_id FROM rl.db.z2")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rids2 == (mapped -- Set(1L, 4L)).values.toSeq.sorted)
+  }
+
+  test("a copy-on-write delete PRESERVES survivor ids through the rewrite") {
+    spark.sql("CREATE TABLE rl.db.c (id BIGINT)")
+    spark.sql("INSERT INTO rl.db.c SELECT id FROM range(6)") // v2
+    val before = lineageOf("c")
+    spark.sql("DELETE FROM rl.db.c WHERE id IN (0, 3)") // CoW: rewrites the file, v3
+    val after = lineageOf("c")
+    assert(after.keySet == Set(1L, 2L, 4L, 5L))
+    // the Iceberg v3 guarantee: survivors keep their ids AND their
+    // last-updated version across the physical rewrite (the rows
+    // themselves were not modified)
+    after.foreach { case (id, l) => assert(l == before(id), s"id $id") }
+  }
+
+  test("OPTIMIZE (bin-merge) preserves every row's id via concatenation lineage") {
+    spark.sql("CREATE TABLE rl.db.m (id BIGINT)")
+    spark.sql("INSERT INTO rl.db.m SELECT id FROM range(4)") // v2
+    spark.sql("INSERT INTO rl.db.m SELECT id + 10 FROM range(4)") // v3
+    spark.sql("INSERT INTO rl.db.m SELECT id + 20 FROM range(4)") // v4
+    val before = lineageOf("m")
+    val res = ManifestSink.compact(root("m").toString, targetRows = 1000L)
+    assert(res.filesAfter < res.filesBefore, "files actually merged")
+    val after = lineageOf("m")
+    assert(after == before)
+    // and the merged file reads them through ONE entry's segments
+    val files = spark.sql("SELECT DISTINCT _file FROM rl.db.m").collect()
+    assert(files.length == 1)
+  }
+
+  test("DV purge (OPTIMIZE after MoR deletes) preserves survivor ids by run-splitting") {
+    spark.sql("CREATE TABLE rl.db.pv (id BIGINT) TBLPROPERTIES ('delete.mode'='merge-on-read')")
+    spark.sql("INSERT INTO rl.db.pv SELECT id FROM range(10)")
+    spark.sql("DELETE FROM rl.db.pv WHERE id IN (0, 4, 5, 9)") // DV, v3
+    val before = lineageOf("pv")
+    ManifestSink.compact(root("pv").toString, targetRows = 1000L) // purges the DV
+    val after = lineageOf("pv")
+    assert(after == before)
+    // the purged file carries no DV anymore
+    val st = ManifestSink.readState(root("pv"))
+    assert(st.entries.forall(_.dvName.isEmpty))
+  }
+
+  test("equality-delete materialization preserves survivor ids") {
+    spark.sql("CREATE TABLE rl.db.eq (id BIGINT, k STRING)")
+    spark.sql("INSERT INTO rl.db.eq SELECT id, concat('k', id) FROM range(8)")
+    val before = lineageOf2("eq")
+    ManifestSink.deleteWhereEq(root("eq").toString, "k", Seq("k2", "k5"))
+    val mid = lineageOf2("eq")
+    assert(mid == before -- Set(2L, 5L))
+    ManifestSink.materializeEqDeletes(root("eq").toString)
+    val after = lineageOf2("eq")
+    assert(after == mid)
+    assert(ManifestSink.readState(root("eq")).eqDels.isEmpty)
+  }
+
+  private def lineageOf2(t: String): Map[Long, (Long, Long)] =
+    spark.sql(s"SELECT id, _row_id, _last_updated_version FROM rl.db.$t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("pre-lineage files read NULL, later appends still number from the high-water mark") {
+    spark.sql("CREATE TABLE rl.db.l (id BIGINT)")
+    spark.sql("INSERT INTO rl.db.l SELECT id FROM range(3)")
+    // publish a lineage-stripped snapshot (next-row-id reset): simulates
+    // a table whose files were committed before lineage tracking
+    val st = ManifestSink.readState(root("l"))
+    val schemaJson = st.schema.get.json
+    val stripped = st.entries.map(e => ManifestSink.entryLine(
+      e.copy(lineage = Seq.empty)))
+    ManifestSink.publish(root("l"), st.version,
+      ((schemaJson +: st.copy(nextRowId = 0L).metaLines) ++ stripped)
+        .mkString("\n"))
+    val rows = spark.sql("SELECT id, _row_id, _last_updated_version FROM rl.db.l")
+      .collect()
+    assert(rows.length == 3 && rows.forall(r => r.isNullAt(1) && r.isNullAt(2)))
+    spark.sql("INSERT INTO rl.db.l SELECT id + 10 FROM range(2)")
+    val after = spark.sql(
+      "SELECT id, _row_id FROM rl.db.l WHERE _row_id IS NOT NULL")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == Map(10L -> 0L, 11L -> 1L))
+  }
+}
