@@ -1,35 +1,41 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 
 /** Distributed PCA over `embeddings.embedding` — the classic one-pass
-  * covariance + power-iteration pipeline, in the engine's exact-integer
+  * Gram accumulation + power iteration, in the engine's exact-integer
   * replay contract (q139/q174's convention):
   *
   *   - q176 TOP PRINCIPAL COMPONENT — the corpus is touched EXACTLY
-  *     ONCE to accumulate the d×d Gram matrix (per-row outer products,
-  *     map-side partial aggregation; d²=4096 cells regardless of corpus
-  *     size), the covariance derives by the computational formula
-  *     `N·Σxᵢxⱼ − Σxᵢ·Σxⱼ` (integers only — no mean subtraction, no
-  *     division), and a fixed number of power-iteration rounds runs
-  *     over the TINY d²-cell matrix with L∞ (max-abs) normalization in
-  *     portable truncated integer division.
+  *     ONCE: a typed Aggregator accumulates the per-dim column sums,
+  *     the upper-triangle Gram products and the row count in one fused
+  *     buffer (d + d(d+1)/2 + 1 = 2,145 longs at d=64), partial
+  *     map-side, merged across partitions — communication is
+  *     O(partitions · d²), independent of N, with zero per-row object
+  *     explosion. The covariance derives by the computational formula
+  *     `N·Σxᵢxⱼ − Σxᵢ·Σxⱼ` (integers only), and the fixed
+  *     power-iteration rounds run DRIVER-SIDE on the bounded d²-cell
+  *     matrix (the public MLlib RowMatrix pattern: Gram distributed,
+  *     eigen-iteration local — d is a model constant, so this is O(1)
+  *     work at any corpus size, and it replaces 12 tiny cluster jobs
+  *     per training with none).
   *   - q177 PROJECTION — every vector's exact integer score along the
-  *     trained component (`Σⱼ (N·xⱼ−Sⱼ)·vⱼ`), top-10. One scan,
-  *     partial-aggregated; component + column sums broadcast.
+  *     trained component, algebraically split as
+  *     `N·Σⱼxⱼvⱼ − Σⱼ Sⱼvⱼ` so the per-row work is ONE zip_with dot
+  *     product against a literal component array (no explode, no
+  *     probe-side join, no per-vector shuffle); top-10 via
+  *     TakeOrderedAndProject's bounded per-task heaps.
   *
-  * Scale design: the only data-sized stage is the Gram accumulation —
-  * one scan emitting d² products per row into a d²-group partial
-  * aggregate (the textbook outer-product covariance; communication is
-  * O(partitions·d²), independent of N). Power iteration never touches
-  * the corpus: it runs on the 4096-cell matrix. All arithmetic is
-  * exact-integer with sign-split truncated division, so the DuckDB
-  * oracle replays every round bit-for-bit. (At N ≳ 10⁹ rows the
-  * `N·Σxᵢxⱼ` term approaches int64 range — production at that scale
-  * moves the Gram cells to DECIMAL(38,0); the plan shape is unchanged.)
+  * All arithmetic is exact-integer with sign-split truncated division,
+  * so the DuckDB oracle replays every round bit-for-bit. (At N ≳ 10⁹
+  * rows the `N·Σxᵢxⱼ` term approaches int64 range — production at that
+  * scale moves the Gram cells to DECIMAL(38,0); the plan shape is
+  * unchanged.)
   */
 object PcaOps {
   type Q = (SparkSession, String) => DataFrame
@@ -43,84 +49,123 @@ object PcaOps {
   val CellCap = 1000000L
   val PcaTopK = 10
 
-  /** Sign-split truncated integer division over NAMED columns —
-    * identical in Spark and DuckDB because both operands of the inner
-    * `div`/`//` are nonnegative (negative-operand integer-division
-    * semantics differ between engines). */
-  private def tdiv(a: String, b: String): Column =
-    expr(s"CASE WHEN $a < 0 THEN -((-($a)) div $b) ELSE ($a) div $b END")
+  /** Truncated integer division with sign split — both operands of the
+    * inner `/` are nonnegative, so Spark, DuckDB and JVM semantics all
+    * agree (negative-operand integer division differs between engines). */
+  private def tdiv(a: Long, b: Long): Long =
+    if (a < 0) -((-a) / b) else a / b
 
-  /** (cov (i, j, c) rescaled, sums (j, sx, n)) — the one corpus scan. */
-  private[graft] def covariance(emb: DataFrame): (DataFrame, DataFrame) = {
-    val q = SimilarityOps.quantized(emb)
-    val sums = q.select(posexplode(col("qvec")))
-      .groupBy((col("pos") + 1).cast("long").as("j"))
-      .agg(sum(col("col")).as("sx"), count(lit(1)).as("n"))
-    val gram = q.select(explode(flatten(
-        transform(sequence(lit(1), lit(Dim)), i =>
-          transform(sequence(lit(1), lit(Dim)), j =>
-            struct(i.cast("long").as("i"), j.cast("long").as("j"),
-              (element_at(col("qvec"), i) * element_at(col("qvec"), j)).as("p"))))))
-        .as("e"))
-      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
-      .agg(sum(col("e.p")).as("sp"))
-    val si = sums.select(col("j").as("i"), col("sx").as("sxi"), col("n"))
-    val sj = sums.select(col("j"), col("sx").as("sxj"))
-    val cov = gram
-      .join(broadcast(si), Seq("i"))
-      .join(broadcast(sj), Seq("j"))
-      .select(col("i"), col("j"),
-        (col("n") * col("sp") - col("sxi") * col("sxj")).as("c"))
-    val dscale = cov.agg(expr(s"max(abs(c)) div $CellCap + 1").as("d"))
-    val rescaled = cov.crossJoin(broadcast(dscale))
-      .select(col("i"), col("j"), tdiv("c", "d").as("c"))
-    (rescaled, sums)
+  /** Trained model: row count, per-dim column sums, and the final
+    * component v (L∞-normalized milli-units) with its pre-normalization
+    * image w (two independent integer checksums of the round replay). */
+  private[graft] final case class PcaModel(
+      n: Long, sx: Array[Long], v: Array[Long], w: Array[Long])
+
+  /** Fused one-pass buffer: per-dim column sums, upper-triangle Gram
+    * products (row-major, k walks i then j≥i) and the row count, all in
+    * one long array — partial map-side, element-wise merge. Top-level
+    * class so the closure carries no session state. */
+  private final class GramAgg(dim: Int)
+      extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    private val tri = dim * (dim + 1) / 2
+    override def zero: Array[Long] = new Array[Long](dim + tri + 1)
+    override def reduce(b: Array[Long], x: Seq[Long]): Array[Long] = {
+      if (x != null && x.length == dim) {
+        val a = x.toArray
+        var i = 0
+        var k = dim
+        while (i < dim) {
+          b(i) += a(i)
+          var j = i
+          while (j < dim) { b(k) += a(i) * a(j); k += 1; j += 1 }
+          i += 1
+        }
+        b(dim + tri) += 1L
+      }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
   }
 
-  /** [[PcaIters]] power-iteration rounds from v₀ = (1000, …, 1000):
-    * wᵢ = Σⱼ cᵢⱼ·vⱼ, then L∞ renormalize to milli-units. Returns
-    * (j, v, w) — the final component and its pre-normalization image
-    * (two independent integer checksums of the round replay). */
-  private[graft] def powerIterate(cov: DataFrame, iters: Int): DataFrame = {
-    val cs = cov.localCheckpoint()
-    var v = cs.sparkSession.range(1, Dim + 1)
-      .select(col("id").as("j"), lit(1000L).as("v"))
-    var w: DataFrame = null
-    for (_ <- 1 to iters) {
-      w = cs.join(broadcast(v), Seq("j"))
-        .groupBy(col("i").as("jn")).agg(sum(col("c") * col("v")).as("w"))
-        .select(col("jn").as("j"), col("w"))
-        .localCheckpoint()
-      val m = w.agg(greatest(max(abs(col("w"))), lit(1L)).as("m"))
-      v = w.crossJoin(broadcast(m))
-        .select(col("j"), expr(
-          "CASE WHEN w < 0 THEN -((abs(w) * 1000) div m) ELSE (w * 1000) div m END")
-          .as("v"))
-        .localCheckpoint()
+  /** ONE corpus pass: fused (column sums, upper-triangle Gram, count)
+    * accumulation, then the fixed power-iteration rounds on the
+    * driver-resident d×d matrix. The collect is bounded by construction
+    * (one row of d + d(d+1)/2 + 1 longs — a model, not data). */
+  private[graft] def train(emb: DataFrame): PcaModel = {
+    val dim = Dim
+    val tri = dim * (dim + 1) / 2
+    val b = SimilarityOps.quantized(emb)
+      .select(udaf(new GramAgg(dim), ExpressionEncoder[Seq[Long]]())(col("qvec")))
+      .head.getSeq[Long](0).toArray
+    val sx = b.slice(0, dim)
+    val n = b(dim + tri)
+    // expand the triangle via the computational covariance formula
+    val cov = Array.ofDim[Long](dim, dim)
+    var k = dim
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = n * b(k) - sx(i) * sx(j)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        k += 1
+        j += 1
+      }
+      i += 1
     }
-    v.join(w, Seq("j")).select(col("j").as("dim"), col("v"), col("w"))
+    val d = cov.map(_.map(math.abs).max).max / CellCap + 1
+    val cs = cov.map(_.map(tdiv(_, d)))
+    // power rounds from v₀ = (1000, …, 1000): w = cs·v, then L∞
+    // renormalize to milli-units — identical integers to the oracle's
+    // unrolled rounds
+    var v = Array.fill(dim)(1000L)
+    var w = Array.fill(dim)(0L)
+    for (_ <- 1 to PcaIters) {
+      w = Array.tabulate(dim) { r =>
+        var s = 0L
+        var j = 0
+        while (j < dim) { s += cs(r)(j) * v(j); j += 1 }
+        s
+      }
+      val m = math.max(w.map(math.abs).max, 1L)
+      v = w.map(x => if (x < 0) -((-x * 1000L) / m) else (x * 1000L) / m)
+    }
+    PcaModel(n, sx, v, w)
   }
 
   def queries: Map[String, Q] = Map(
     // Top principal component in milli-units (L∞-normalized) with the
     // final un-normalized image w as a second checksum. 64 rows.
     "q176_pca_power" -> ((s, dir) => {
-      val (cov, _) = covariance(Tables.embeddings(s, dir))
-      powerIterate(cov, PcaIters).orderBy("dim")
+      import s.implicits._
+      val m = train(Tables.embeddings(s, dir))
+      (1 to Dim).map(j => (j.toLong, m.v(j - 1), m.w(j - 1)))
+        .toDF("dim", "v", "w").orderBy("dim")
     }),
     // Exact integer projection of every vector onto the component
     // (centered by the computational formula: N·x−S), top-10 by score.
+    // score = Σⱼ(N·xⱼ−Sⱼ)·vⱼ = N·Σⱼxⱼvⱼ − Σⱼ Sⱼvⱼ — the second term is
+    // a scalar and the first is a per-row zip_with dot product against
+    // the literal component, so the probe scan carries no join, no
+    // explode and no shuffle; the only data movement is TakeOrdered's
+    // bounded per-task top-k merge.
     "q177_pca_project" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val (cov, sums) = covariance(emb)
-      val comp = powerIterate(cov, PcaIters).select(col("dim").as("j"), col("v"))
+      val m = train(emb)
+      val c0 = (0 until Dim).map(j => m.sx(j) * m.v(j)).sum
       SimilarityOps.quantized(emb)
-        .select(col("vec_id"), posexplode(col("qvec")))
-        .select(col("vec_id"), (col("pos") + 1).cast("long").as("j"), col("col").as("x"))
-        .join(broadcast(sums), Seq("j"))
-        .join(broadcast(comp), Seq("j"))
-        .groupBy("vec_id")
-        .agg(sum((col("n") * col("x") - col("sx")) * col("v")).as("score"))
+        .select(col("vec_id"),
+          (lit(m.n) * aggregate(
+            zip_with(col("qvec"), typedlit(m.v.toSeq), (x, v) => x * v),
+            lit(0L), (acc, e) => acc + e) - lit(c0)).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(PcaTopK)
     }))

@@ -62,13 +62,11 @@ class PcaSpec extends AnyFunSuite {
 
   test("distributed covariance + power iteration matches the integer reference exactly") {
     val (refV, refW) = reference()
-    val (cov, _) = PcaOps.covariance(emb)
-    val got = PcaOps.powerIterate(cov, PcaOps.PcaIters)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(got.size == D)
+    val m = PcaOps.train(emb)
+    assert(m.n == N.toLong)
     for (j <- 0 until D) {
-      assert(got(j + 1L)._1 == refV(j), s"v at dim ${j + 1}")
-      assert(got(j + 1L)._2 == refW(j), s"w at dim ${j + 1}")
+      assert(m.v(j) == refV(j), s"v at dim ${j + 1}")
+      assert(m.w(j) == refW(j), s"w at dim ${j + 1}")
     }
   }
 
@@ -86,11 +84,7 @@ class PcaSpec extends AnyFunSuite {
   test("training is independent of input row order") {
     val shuffled = vecs.toSeq.sortBy { case (id, _) => id.toString.hashCode }
       .toDF("vec_id", "embedding")
-    def run(df: DataFrame): List[(Long, Long)] = {
-      val (cov, _) = PcaOps.covariance(df)
-      PcaOps.powerIterate(cov, PcaOps.PcaIters)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toList.sortBy(_._1)
-    }
+    def run(df: DataFrame): List[Long] = PcaOps.train(df).v.toList
     assert(run(emb) == run(shuffled))
   }
 }
