@@ -145,6 +145,31 @@ class RowLineageSpec extends AnyFunSuite {
     spark.sql(s"SELECT id, _row_id, _last_updated_version FROM rl.db.$t")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
 
+  test("the CDC feed carries each change row's lineage: a stable upsert key") {
+    spark.sql("CREATE TABLE rl.db.cf (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO rl.db.cf SELECT id, concat('a', id) FROM range(6)") // v2
+    val snap = lineageOf2b("cf") // id -> row id, from the snapshot read
+    spark.sql("DELETE FROM rl.db.cf WHERE id IN (1, 4)") // v3: DV delete slices
+    val feed = spark.read.format("graft.sources.ManifestSink")
+      .option("path", root("cf").toString)
+      .option("changesFromVersion", "0")
+      .option("changeFeedMode", "cdc").load()
+      .select("id", "_row_id", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // insert rows carry the ids the snapshot serves; delete rows carry
+    // the DELETED rows' original ids — consumers key on _row_id directly
+    assert(feed.count(_._3 == "insert") == 6)
+    feed.filter(_._3 == "insert").foreach { case (id, rid, _) =>
+      assert(rid == snap(id), s"insert id $id") }
+    assert(feed.filter(_._3 == "delete").map(r => (r._1, r._2)).toSet ==
+      Set((1L, snap(1L)), (4L, snap(4L))))
+  }
+
+  private def lineageOf2b(t: String): Map[Long, Long] =
+    spark.sql(s"SELECT id, _row_id FROM rl.db.$t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   test("pre-lineage files read NULL, later appends still number from the high-water mark") {
     spark.sql("CREATE TABLE rl.db.l (id BIGINT)")
     spark.sql("INSERT INTO rl.db.l SELECT id FROM range(3)")
