@@ -2448,8 +2448,12 @@ object ManifestSink {
   /** Row-lineage field: `startPos:firstRowId:seq` triples, comma-joined,
     * segments in position order. Old manifests simply lack the slot
     * (format-versioned by position, like seq/specId/colCounts). */
-  private[sources] def lineageStr(segs: Seq[(Long, Long, Long)]): String =
+  private[sources] def lineageStr(segs: Seq[(Long, Long, Long)]): String = {
+    require(segs.forall(s => s._2 >= -1L && s._3 >= 0L),
+      "unresolved fresh-row-id / stamp-version placeholder reached manifest " +
+        "rendering — the publisher must assignLineage before rendering entries")
     segs.map { case (p, f, q) => s"$p:$f:$q" }.mkString(",")
+  }
 
   private[sources] def parseLineageStr(s: String): Seq[(Long, Long, Long)] =
     if (s.isEmpty) Seq.empty
@@ -3034,19 +3038,45 @@ object ManifestSink {
     else segs
   }
 
-  /** Assign fresh row lineage to entries that carry none: one segment
+  /** Writer-side marker for a run of rows that need FRESH ids at
+    * commit (UPDATE/MERGE-produced rows inside an otherwise
+    * id-preserving rewrite file). Resolved by [[assignLineage]]; must
+    * never reach a rendered manifest line. */
+  private[sources] val FreshRowIdMarker = -2L
+
+  /** Writer-side marker in a segment's version slot: the row KEPT its
+    * id but its last-updated was nullified by the rewrite (an UPDATEd
+    * row under PRESERVE_ON_UPDATE=false) — stamp the committing
+    * version at publish. Never rendered. */
+  private[sources] val StampVersionMarker = -1L
+
+  /** Assign fresh row lineage: entries that carry none get one segment
     * covering physical positions [0, rows) starting at the table's
     * next-row-id, stamped with the committing version (Iceberg v3
     * first-row-id assignment, done commit-side so CAS rebases
-    * re-assign consistently). Entries whose lineage was computed by the
-    * caller (a merge preserving member ids) pass through untouched.
-    * Returns the updated entries and the new high-water mark. */
+    * re-assign consistently). Entries carrying [[FreshRowIdMarker]]
+    * runs (a row-level rewrite's changed/inserted rows interleaved
+    * with preserved carry-over runs) have each marker run filled with
+    * a contiguous fresh range. Fully-resolved lineage passes through
+    * untouched. Returns the updated entries and the new high-water
+    * mark. */
   private[sources] def assignLineage(entries: Seq[FileEntry], startId: Long,
       version: Long): (Seq[FileEntry], Long) = {
     var nid = startId
     val out = entries.map { e =>
-      if (e.lineage.nonEmpty) e
-      else { val f = nid; nid += e.rows; e.copy(lineage = Seq((0L, f, version))) }
+      if (e.lineage.isEmpty) {
+        val f = nid; nid += e.rows; e.copy(lineage = Seq((0L, f, version)))
+      } else if (e.lineage.exists(s =>
+          s._2 == FreshRowIdMarker || s._3 == StampVersionMarker)) {
+        // run length = next segment's start (or the file's row count)
+        val ends = e.lineage.drop(1).map(_._1) :+ e.rows
+        val filled = e.lineage.zip(ends).map { case ((p, f, q), end) =>
+          if (f == FreshRowIdMarker) { val a = nid; nid += end - p; (p, a, version) }
+          else if (q == StampVersionMarker) (p, f, version)
+          else (p, f, q)
+        }
+        e.copy(lineage = filled)
+      } else e
     }
     (out, nid)
   }
@@ -3604,7 +3634,7 @@ object ManifestSink {
       case _ => Seq.empty
     }.map(c => FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts,
       blooms = c.blooms, slows = c.slows, sups = c.sups,
-      ndvs = c.ndvs, nulls = c.nulls, sorted = c.sorted))
+      ndvs = c.ndvs, nulls = c.nulls, sorted = c.sorted, lineage = c.lineage))
 
   private[sources] def commitFileNames(messages: Iterable[WriterCommitMessage]): Seq[String] =
     messages.toSeq.flatMap {
@@ -5198,6 +5228,13 @@ class ManifestTable(root: Path, schema0: StructType, pinned: Option[Long] = None
       override def comment(): String =
         "version of the commit that last produced this row (NULL for " +
           "pre-lineage files)"
+      // the Iceberg v3 update semantic through Spark's public knob:
+      // UPDATE/MERGE-updated rows keep _row_id (preserved by default)
+      // but their last-updated NULLIFIES through the rewrite
+      // (RewriteRowLevelCommand.nullifyMetadataOnUpdate) so the writer
+      // can stamp the committing version
+      override def metadataInJSON(): String =
+        s"""{"${org.apache.spark.sql.connector.catalog.MetadataColumn.PRESERVE_ON_UPDATE}": false}"""
     })
 
   /** SHOW TBLPROPERTIES / DESCRIBE EXTENDED surface: the live knobs as
@@ -5463,7 +5500,10 @@ case class ManifestCommit(fileName: String, rows: Long,
     sups: Map[String, String] = Map.empty,
     ndvs: Map[String, Long] = Map.empty,
     nulls: Map[String, Long] = Map.empty,
-    sorted: Seq[String] = Seq.empty) extends WriterCommitMessage
+    sorted: Seq[String] = Seq.empty,
+    // row-lineage segments captured while writing (row-level rewrites
+    // only; [[ManifestSink.FreshRowIdMarker]] runs resolve at publish)
+    lineage: Seq[(Long, Long, Long)] = Seq.empty) extends WriterCommitMessage
 
 /** A partition-fanout task's commit: one [[ManifestCommit]] per data
   * file it opened (one per distinct partition tuple it received). */
@@ -5539,8 +5579,18 @@ class ManifestRowLevelOperation(root: Path, cmd: RowLevelOperation.Command,
     * knowledge. */
   override def requiredMetadataAttributes():
       Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions
-      .column(ManifestSink.FileNameColumn))
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(ManifestSink.FileNameColumn),
+      // row lineage threads through the rewrite: Spark's
+      // DataAndMetadataWritingSparkTask hands carried-over rows to the
+      // writer WITH their metadata projection (`write(meta, row)`), so
+      // unchanged rows in rewritten groups keep their ids — see
+      // ManifestReplaceWriterFactory
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(ManifestSink.RowIdColumn),
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(ManifestSink.LastUpdatedColumn))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val v = ManifestSink.currentVersion(root)
@@ -5728,7 +5778,8 @@ class ManifestWriterFactory(rootStr: String, schema: StructType,
     rowGroupBytes: Option[Long] = None,
     partSpec: Seq[ManifestSink.PartTransform] = Seq.empty,
     sortCols: Seq[String] = Seq.empty) extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+  def createWriter(partitionId: Int, taskId: Long,
+      lineageCell: Option[LineageCell]): DataWriter[InternalRow] = {
     // attempt-unique name: a retried or speculative attempt of the same
     // partition writes a different file; only the attempt whose message
     // reaches commit() becomes visible
@@ -5737,10 +5788,25 @@ class ManifestWriterFactory(rootStr: String, schema: StructType,
       new ManifestDataWriter(rootStr, schema,
         s"$prefix-${java.util.UUID.randomUUID()}.parquet", colMap = colMap,
         bloomCols = bloomCols, rowGroupBytes = rowGroupBytes,
-        sortCols = sortCols)
+        sortCols = sortCols, lineageCell = lineageCell)
     else new PartitionedDataWriter(rootStr, schema, partCols, prefix, colMap,
-      bloomCols, rowGroupBytes, partSpec, sortCols)
+      bloomCols, rowGroupBytes, partSpec, sortCols, lineageCell)
   }
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    createWriter(partitionId, taskId, None)
+}
+
+/** Mutable per-row lineage handoff between a row-level rewrite's
+  * metadata-aware outer writer and the file writers it routes rows to:
+  * the outer writer stamps the CURRENT row's preserved identity (or
+  * marks it fresh) before each inner write; the receiving
+  * [[ManifestDataWriter]] folds it into that file's segment run. */
+private[sources] final class LineageCell {
+  /** false = this row has no preserved identity (operation-produced or
+    * pre-lineage) and mints a fresh id at publish. */
+  var has: Boolean = false
+  var id: Long = -1L
+  var seq: Long = 0L
 }
 
 /** Dynamic-partition fan-out writer: routes each row to the open
@@ -5756,7 +5822,8 @@ class PartitionedDataWriter(rootStr: String, schema: StructType,
     bloomCols: Seq[String] = Seq.empty,
     rowGroupBytes: Option[Long] = None,
     partSpec: Seq[ManifestSink.PartTransform] = Seq.empty,
-    sortCols: Seq[String] = Seq.empty) extends DataWriter[InternalRow] {
+    sortCols: Seq[String] = Seq.empty,
+    lineageCell: Option[LineageCell] = None) extends DataWriter[InternalRow] {
   private val idx: Seq[(Int, DataType)] = partCols.map { c =>
     val i = schema.fieldIndex(c); (i, schema.fields(i).dataType)
   }
@@ -5789,7 +5856,7 @@ class PartitionedDataWriter(rootStr: String, schema: StructType,
       new ManifestDataWriter(rootStr, schema,
         s"$namePrefix-${java.util.UUID.randomUUID()}.parquet",
         partCols.zip(key).toMap, colMap, bloomCols, rowGroupBytes,
-        sortCols)).write(record)
+        sortCols, lineageCell)).write(record)
   }
 
   override def commit(): WriterCommitMessage =
@@ -5824,11 +5891,23 @@ class ManifestReplaceWriterFactory(rootStr: String, schema: StructType,
     // partitioned tables fan out per partition tuple here too — an
     // UPDATE that changes a partition column's value moves the row to
     // its new partition naturally (the writer keys on ROW values)
+    val cell = new LineageCell
     val inner = new ManifestWriterFactory(rootStr, schema, partCols, colMap,
-      bloomCols, rowGroupBytes, partSpec).createWriter(partitionId, taskId)
+      bloomCols, rowGroupBytes, partSpec).createWriter(partitionId, taskId, Some(cell))
     new DataWriter[InternalRow] {
       private val shifted = new ShiftedInternalRow(1)
-      override def write(record: InternalRow): Unit =
+      // ordinals of (_row_id, _last_updated_version) in the metadata
+      // projection, resolved once from the first carried row's schema
+      // (Spark hands the metadata side as a ProjectingInternalRow);
+      // (-1,-1) = not resolvable, lineage stays fresh-only
+      private var metaIdx: (Int, Int) = _
+      private def resolveMetaIdx(meta: InternalRow): (Int, Int) = meta match {
+        case p: org.apache.spark.sql.catalyst.ProjectingInternalRow =>
+          (p.schema.fieldNames.indexOf(ManifestSink.RowIdColumn),
+            p.schema.fieldNames.indexOf(ManifestSink.LastUpdatedColumn))
+        case _ => (-1, -1)
+      }
+      private def writeRow(record: InternalRow): Unit =
         if (record.numFields == schema.length + 1) {
           shifted.row = record; inner.write(shifted)
         } else if (record.numFields == schema.length) {
@@ -5838,6 +5917,34 @@ class ManifestReplaceWriterFactory(rootStr: String, schema: StructType,
             s"rewrite row has ${record.numFields} fields for a " +
               s"${schema.length}-column write schema — unexpected rewrite plan shape")
         }
+      /** Rows arriving WITH their metadata projection. Carried-over
+        * rows bring both fields and preserve them verbatim. UPDATED
+        * rows keep `_row_id` but their `_last_updated_version` was
+        * NULLIFIED by the rewrite (PRESERVE_ON_UPDATE=false on that
+        * column) — the exact Iceberg v3 semantic: same identity, fresh
+        * update stamp, encoded as [[ManifestSink.StampVersionMarker]]
+        * and resolved to the committing version at publish. NULL ids
+        * (pre-lineage files, MERGE inserts) mint fresh — the lazy
+        * lineage upgrade. */
+      override def write(meta: InternalRow, record: InternalRow): Unit = {
+        if (metaIdx == null) metaIdx = resolveMetaIdx(meta)
+        val (ri, li) = metaIdx
+        if (ri >= 0 && !meta.isNullAt(ri)) {
+          cell.has = true
+          cell.id = meta.getLong(ri)
+          cell.seq =
+            if (li >= 0 && !meta.isNullAt(li)) meta.getLong(li)
+            else ManifestSink.StampVersionMarker
+        } else cell.has = false
+        writeRow(record)
+        cell.has = false
+      }
+      /** Rows arriving WITHOUT metadata (a plan shape that dropped the
+        * metadata projection): new rows to lineage, fresh at publish. */
+      override def write(record: InternalRow): Unit = {
+        cell.has = false
+        writeRow(record)
+      }
       override def commit(): WriterCommitMessage = inner.commit()
       override def abort(): Unit = inner.abort()
       override def close(): Unit = inner.close()
@@ -5900,10 +6007,42 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
     colMap: Map[String, String] = Map.empty,
     bloomCols: Seq[String] = Seq.empty,
     rowGroupBytes: Option[Long] = None,
-    sortCols: Seq[String] = Seq.empty)
+    sortCols: Seq[String] = Seq.empty,
+    lineageCell: Option[LineageCell] = None)
     extends DataWriter[InternalRow] {
   private val root = Paths.get(rootStr)
   private var rows = 0L
+  // row-lineage segment runs built while writing (row-level rewrites
+  // only): (startPos, firstRowId | FreshRowIdMarker, lastUpdated).
+  // Consecutive rows with contiguous ids and equal versions fold into
+  // one run; past the segment cap the file honestly degrades to
+  // all-fresh (the pre-lineage rewrite behavior) instead of bloating
+  // the manifest line.
+  private val lsegs =
+    if (lineageCell.isDefined)
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    else null
+  private var lineageOverflow = false
+  private def noteLineage(c: LineageCell): Unit = {
+    if (lineageOverflow) return
+    val p = rows
+    val (f, q) = if (c.has) (c.id, c.seq) else (ManifestSink.FreshRowIdMarker, 0L)
+    if (lsegs.nonEmpty) {
+      val (s0, f0, q0) = lsegs.last
+      val extend =
+        if (f0 == ManifestSink.FreshRowIdMarker) f == ManifestSink.FreshRowIdMarker
+        else f != ManifestSink.FreshRowIdMarker && q0 == q && f - f0 == p - s0
+      if (extend) return
+    }
+    if (lsegs.size >= ManifestSink.MaxLineageSegs) { lineageOverflow = true; return }
+    lsegs += ((p, f, q))
+  }
+  private def capturedLineage: Seq[(Long, Long, Long)] =
+    if (lsegs == null || lineageOverflow) Seq.empty
+    // all-fresh compresses to "no lineage": the publisher assigns the
+    // whole file one fresh segment either way, without the detour
+    else if (lsegs.forall(_._2 == ManifestSink.FreshRowIdMarker)) Seq.empty
+    else lsegs.toSeq
   // per-column stats collected inline while writing — integer min/max,
   // configured string blooms and truncated string bounds, the metadata
   // that powers file skipping and the metadata count. Keyed by LOGICAL
@@ -5918,14 +6057,16 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
       ManifestParquet.open(root.resolve(fileName), phys, b))
   }
   override def write(record: InternalRow): Unit = {
-    out.write(record); rows += 1
+    out.write(record)
+    lineageCell.foreach(noteLineage) // position = rows, pre-increment
+    rows += 1
     stats.add(record)
   }
   override def commit(): WriterCommitMessage = {
     out.close() // forces creation even for an empty task: footer-only file
     ManifestCommit(fileName, rows, stats.intMins, stats.intMaxs, parts,
       stats.blooms, stats.strLowers, stats.strUppers,
-      stats.intNdvs, stats.nullCounts, stats.sortedBy)
+      stats.intNdvs, stats.nullCounts, stats.sortedBy, capturedLineage)
   }
   override def abort(): Unit = {
     try out.close() catch { case _: Throwable => () }

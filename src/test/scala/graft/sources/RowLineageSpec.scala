@@ -170,6 +170,54 @@ class RowLineageSpec extends AnyFunSuite {
     spark.sql(s"SELECT id, _row_id FROM rl.db.$t")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("UPDATE: all rows keep their ids; updated rows alone bump last-updated") {
+    spark.sql("CREATE TABLE rl.db.up (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO rl.db.up SELECT id, id * 10 FROM range(8)") // v2: ids 0..7
+    val before = lineageOf("up")
+    spark.sql("UPDATE rl.db.up SET v = v + 1 WHERE id IN (2, 5)") // v3: CoW group rewrite
+    val after = lineageOf("up")
+    assert(after.keySet == before.keySet)
+    // carried-over rows keep BOTH their id and their last-updated stamp
+    // through the physical rewrite (metadata projection carry-over)
+    (before.keySet -- Set(2L, 5L)).foreach(id =>
+      assert(after(id) == before(id), s"carried id $id"))
+    // the full Iceberg v3 update semantic: updated rows KEEP their ids
+    // (row identity survives the update) while last-updated bumps to
+    // the rewrite version (PRESERVE_ON_UPDATE=false nullifies it
+    // through the plan; the publisher stamps the committing version)
+    Seq(2L, 5L).foreach { id =>
+      assert(after(id)._1 == before(id)._1, s"updated row $id keeps its id")
+      assert(after(id)._2 == 3L, s"updated row $id version")
+    }
+    assert(after.values.map(_._1).toSeq.distinct.size == after.size)
+  }
+
+  test("MERGE: carried and updated rows keep ids, updates bump version, inserts number fresh") {
+    spark.sql("CREATE TABLE rl.db.mg (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO rl.db.mg SELECT id, id * 10 FROM range(6)") // v2: ids 0..5
+    val before = lineageOf("mg")
+    spark.sql(
+      """MERGE INTO rl.db.mg t
+        |USING (SELECT id FROM range(4, 9)) s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = t.v + 1
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.id * 100)
+        |""".stripMargin) // updates 4,5; inserts 6,7,8
+    val after = lineageOf("mg")
+    assert(after.keySet == (0L until 9L).toSet)
+    (0L until 4L).foreach(id => assert(after(id) == before(id), s"carried id $id"))
+    // matched updates keep identity, bump version
+    (4L until 6L).foreach { id =>
+      assert(after(id)._1 == before(id)._1, s"updated row $id keeps its id")
+      assert(after(id)._2 == 3L, s"updated row $id version")
+    }
+    // not-matched inserts are NEW rows: fresh ids past the high-water mark
+    (6L until 9L).foreach { id =>
+      assert(after(id)._1 >= 6L, s"inserted row $id id ${after(id)._1}")
+      assert(after(id)._2 == 3L, s"inserted row $id version")
+    }
+    assert(after.values.map(_._1).toSeq.distinct.size == after.size)
+  }
+
   test("pre-lineage files read NULL, later appends still number from the high-water mark") {
     spark.sql("CREATE TABLE rl.db.l (id BIGINT)")
     spark.sql("INSERT INTO rl.db.l SELECT id FROM range(3)")
