@@ -553,6 +553,46 @@ object IngestOps {
            |FROM graft.$ns.orders_h.history ORDER BY version""".stripMargin)
     }),
 
+    // ROW LINEAGE end to end (_row_id/_last_updated_version — the
+    // Iceberg v3 shape): a range-partitioned SORTED append makes id
+    // assignment deterministic (the publisher numbers files in commit
+    // order, so ids = global o_orderkey rank no matter where the range
+    // boundaries fall), a copy-on-write DELETE must carry survivor ids
+    // through the physical rewrite, and an UPDATE must keep every
+    // row's id while bumping ONLY the updated rows' last-updated
+    // (PRESERVE_ON_UPDATE=false on that column). The oracle replays
+    // the numbering with row_number() and both predicates — any
+    // renumbering, id loss, or version mis-stamp hash-mismatches. At
+    // 100 TB lineage is what makes incremental consumers exact:
+    // a stable key that survives compaction, deletes and updates,
+    // costing ~20 manifest bytes per file instead of a stored column.
+    "q178_row_lineage" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        s.sparkContext.applicationId
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"rl:$dir")) {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+        s.sql(s"CREATE TABLE graft.$ns.orders_rl " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_orderpriority STRING)") // v1
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_orderpriority")
+          .repartitionByRange(4, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey")
+          .writeTo(s"graft.$ns.orders_rl").append() // v2: ids 0..N-1 by key rank
+        s.sql(s"DELETE FROM graft.$ns.orders_rl WHERE o_custkey % 5 = 2") // v3: CoW
+        s.sql(s"UPDATE graft.$ns.orders_rl SET o_orderpriority = 'L-TOUCHED' " +
+          "WHERE o_orderkey % 3 = 0") // v4: ids kept, last-updated bumps
+      }
+      s.sql(
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |  sum(_row_id) AS rid_sum, min(_row_id) AS rid_min,
+           |  max(_row_id) AS rid_max, sum(_last_updated_version) AS lu_sum
+           |FROM graft.$ns.orders_rl
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // HIDDEN PARTITIONING end to end (days(ts) — the production time
     // layout): events land in a day-partitioned manifest table while the
     // query filters the RAW epoch-microsecond column; partition tuples
@@ -1279,6 +1319,27 @@ object IngestOps {
         |         ELSE o_custkey END AS o_custkey
         |  FROM orders)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the row-lineage numbering replayed relationally: ids are the
+    // global key rank at append (v2), deletes remove ids without
+    // renumbering, updates keep ids and stamp version 4
+    "q178_row_lineage" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT o_orderkey, o_custkey, o_orderpriority,
+        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        |  FROM orders),
+        |kept AS (
+        |  SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'L-TOUCHED'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |    rid,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN 4 ELSE 2 END AS lu
+        |  FROM base WHERE o_custkey % 5 <> 2)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(rid) AS BIGINT) AS rid_sum,
+        |  CAST(min(rid) AS BIGINT) AS rid_min,
+        |  CAST(max(rid) AS BIGINT) AS rid_max,
+        |  CAST(sum(lu) AS BIGINT) AS lu_sum
+        |FROM kept GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // the MERGE's effect rebuilt relationally: LEFT JOIN decides
     // matched-update vs matched-delete, NOT EXISTS isolates inserts

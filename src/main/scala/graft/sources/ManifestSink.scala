@@ -425,7 +425,7 @@ object ManifestSink {
       .filter(v => Files.exists(manifestAt(root, v)))
     val referenced = (survivors.flatMap(v => committedEntries(root, Some(v))) ++
         branches.flatMap(b => branchEntries(root, b)))
-      .flatMap(e => e.name +: e.dvName.toSeq).toSet ++
+      .flatMap(e => e.name +: (e.dvName.toSeq ++ e.lineageRef.toSeq)).toSet ++
       survivors.flatMap(v => readHeader(root, Some(v)).eqDels.map(_.name)).toSet
     // entry-group files (and their bloom sidecars) referenced by any
     // surviving manifest list stay; the rest expired with their versions
@@ -459,6 +459,10 @@ object ManifestSink {
         // carries (materialized by OPTIMIZE, or their versions expired)
         case n if n.startsWith("eqdel-") && !referenced(n) && pastGrace(p) =>
           buf += cand(p, "eqdel")
+        // lineage spill sidecars whose entry no retained version carries
+        // (rewritten away, or the spill's tmp staging died mid-move)
+        case n if n.startsWith("lineage-") && !referenced(n) && pastGrace(p) =>
+          buf += cand(p, "lineage")
         // staging leftovers of writers that died between writeString and
         // link/move accumulate forever without this sweep; the same grace
         // window that protects an in-flight writer's data files protects
@@ -984,14 +988,28 @@ object ManifestSink {
       // (pos − startPos), last-updated version = seq. firstRowId = -1
       // marks a lineage GAP (rows whose ids were lost — legacy members
       // of a merge). Empty on a COMMITTED entry = the file predates
-      // lineage (ids read NULL); empty on an entry being ADDED = the
-      // publisher assigns a fresh single segment at commit.
-      lineage: Seq[(Long, Long, Long)] = Seq.empty) {
+      // lineage (ids read NULL) UNLESS lineageRef points at a sidecar;
+      // empty on an entry being ADDED = the publisher assigns a fresh
+      // single segment at commit.
+      lineage: Seq[(Long, Long, Long)] = Seq.empty,
+      // segment-spill sidecar: entries whose segment list outgrows the
+      // inline cap (an UPDATE interleaving carried and updated rows
+      // alternates versions every few rows) carry their segments in a
+      // content-addressed `lineage-*.bin` file instead of the manifest
+      // line — fidelity unbounded, manifest line stays ~60 bytes.
+      // Mutually exclusive with a nonempty `lineage`.
+      lineageRef: Option[String] = None) {
     /** Rows a reader actually yields: physical rows minus the deletion
       * vector's positions. Drives count(*) pushdown, reported stats and
       * the zero-column emitters — `rows` stays the PHYSICAL count (what
       * the file holds on disk), because DV positions index into it. */
     def liveRows: Long = rows - dvRows
+
+    /** The entry's full lineage segments, loading the spill sidecar
+      * when present (driver-side rewrite paths; the scan hands the ref
+      * to executors instead). */
+    def lineageSegs(root: Path): Seq[(Long, Long, Long)] =
+      lineageRef.fold(lineage)(n => ManifestSink.readLineageFile(root.resolve(n)))
   }
 
   // ---- per-file string-equality bloom filters ---------------------------
@@ -2442,7 +2460,11 @@ object ManifestSink {
       ndvs, nulls,
       parts.lift(11).filter(_.nonEmpty)
         .map(_.split(",").toSeq.map(urlDec)).getOrElse(Seq.empty),
-      parseLineageStr(parts.lift(12).getOrElse("")))
+      {
+        val li = parts.lift(12).getOrElse("")
+        if (li.startsWith("@")) Seq.empty else parseLineageStr(li)
+      },
+      parts.lift(12).filter(_.startsWith("@")).map(_.drop(1)))
   }
 
   /** Row-lineage field: `startPos:firstRowId:seq` triples, comma-joined,
@@ -2460,6 +2482,53 @@ object ManifestSink {
     else s.split(",").toSeq.map { t =>
       val Array(p, f, q) = t.split(":", 3)
       (p.toLong, f.toLong, q.toLong)
+    }
+
+  // ---- lineage spill sidecars --------------------------------------------
+  //
+  // A rewrite that interleaves preserved and updated rows alternates
+  // the segment's version every few rows — a realistic scattered UPDATE
+  // over a 1M-row file produces ~#updated·2 segments, far past anything
+  // a manifest LINE should carry. Past [[MaxLineageSegs]] the segments
+  // spill to a content-addressed binary sidecar (`lineage-<hash>.bin`:
+  // 8-byte big-endian triples), exactly like oversized blooms spill to
+  // bloom sidecars. Content addressing makes the spill idempotent
+  // across CAS retries and dedupes identical spills; vacuum retains
+  // sidecars referenced by any retained version.
+
+  private[sources] def lineageFileBytes(segs: Seq[(Long, Long, Long)]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(segs.size * 24)
+    segs.foreach { case (p, f, q) => bb.putLong(p).putLong(f).putLong(q) }
+    bb.array()
+  }
+
+  private[sources] def readLineageFile(p: Path): Seq[(Long, Long, Long)] = {
+    val bytes = Files.readAllBytes(p)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Seq.fill(bytes.length / 24)((bb.getLong(), bb.getLong(), bb.getLong()))
+  }
+
+  /** Spill an entry's over-cap inline lineage to its sidecar; no-op for
+    * inline-sized (or already-spilled) entries. Applied centrally at
+    * entry rendering so every publish path is covered. */
+  private[sources] def spillLineage(root: Path, e: FileEntry): FileEntry =
+    if (e.lineage.size <= MaxLineageSegs) e
+    else {
+      require(e.lineage.forall(s => s._2 >= -1L && s._3 >= 0L),
+        "unresolved lineage placeholder at spill — assignLineage must run first")
+      val bytes = lineageFileBytes(e.lineage)
+      val md = java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
+      val name = "lineage-" + md.take(10).map("%02x".format(_)).mkString + ".bin"
+      val p = root.resolve(name)
+      if (!Files.exists(p)) {
+        Files.createDirectories(root)
+        val tmp = root.resolve(s"$name.tmp-${java.util.UUID.randomUUID()}")
+        Files.write(tmp, bytes)
+        try Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp) }
+      }
+      e.copy(lineage = Seq.empty, lineageRef = Some(name))
     }
 
   /** CBO count-stats field: `col=ndv:nulls` pairs, comma-joined, either
@@ -2521,7 +2590,8 @@ object ManifestSink {
     val sp = if (e.specId == 0L) "" else e.specId.toString
     val cc = colCountsStr(e.ndvs, e.nulls)
     val so = e.sorted.map(urlEnc).mkString(",")
-    val li = lineageStr(e.lineage)
+    // a spilled entry renders its sidecar reference in the lineage slot
+    val li = e.lineageRef.fold(lineageStr(e.lineage))("@" + _)
     if (li.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp\t$cc\t$so\t$li"
     else if (so.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp\t$cc\t$so"
     else if (cc.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp\t$cc"
@@ -2719,8 +2789,11 @@ object ManifestSink {
     * group with modified or removed members is rewritten once, keeping
     * its locality; entries in no prior group chunk into fresh groups of
     * [[groupTargetSize]]. */
-  private[sources] def renderEntrySection(root: Path, entries: Seq[FileEntry],
+  private[sources] def renderEntrySection(root: Path, entries0: Seq[FileEntry],
       prevGroups: Seq[GroupRef]): Seq[String] = {
+    // over-cap lineage spills to content-addressed sidecars HERE so
+    // every publish path is covered by one seam
+    val entries = entries0.map(e => spillLineage(root, e))
     if (entries.size <= inlineThreshold) return entries.map(entryLine)
     Files.createDirectories(root)
     val byName = entries.iterator.map(e => e.name -> e).toMap
@@ -2982,11 +3055,17 @@ object ManifestSink {
       TableState(0L, schema, Map.empty, entries)
   }
 
-  /** Segment-count cap for remapped/merged lineage: past this a
-    * pathological delete pattern would bloat the manifest line, so the
-    * rewritten file honestly drops to one gap segment (ids NULL)
-    * instead. */
+  /** Inline segment-count cap: past this the segments live in a
+    * content-addressed sidecar (see [[spillLineage]]) instead of the
+    * manifest line. */
   private[sources] val MaxLineageSegs = 1024
+
+  /** Absolute segment-count ceiling (sidecars included): a per-row-
+    * alternating pathology on a huge file would otherwise make the
+    * lineage map rival the data in size. Past this the rewritten file
+    * honestly degrades (gap for remaps/merges, fresh for writer
+    * capture) instead. 2^20 segments = 24 MB sidecar worst case. */
+  private[sources] val MaxCapturedSegs = 1 << 20
 
   /** Remap a file's lineage through a SURVIVORS-IN-ORDER rewrite (DV
     * purge, equality-delete materialization, copy-on-write delete):
@@ -3017,24 +3096,27 @@ object ManifestSink {
     }
     def segments: Seq[(Long, Long, Long)] =
       if (out.isEmpty) Seq.empty
-      else if (out.size > MaxLineageSegs) Seq((0L, -1L, 0L))
+      else if (out.size > MaxCapturedSegs) Seq((0L, -1L, 0L))
       else out.toSeq
   }
 
   /** Concatenation lineage of a bin-merge: each member's segments shift
     * by the member's offset in the merged file; members without lineage
-    * contribute a gap. All-gap or over-cap results degrade honestly. */
-  private[sources] def concatLineage(members: Seq[FileEntry]): Seq[(Long, Long, Long)] = {
+    * contribute a gap. All-gap or over-ceiling results degrade
+    * honestly. Spilled members load their sidecars through `root`. */
+  private[sources] def concatLineage(root: Path,
+      members: Seq[FileEntry]): Seq[(Long, Long, Long)] = {
     var off = 0L
     val segs = members.flatMap { m =>
+      val ml = m.lineageSegs(root)
       val s =
-        if (m.lineage.isEmpty) Seq((off, -1L, 0L))
-        else m.lineage.map { case (p, f, q) => (off + p, f, q) }
+        if (ml.isEmpty) Seq((off, -1L, 0L))
+        else ml.map { case (p, f, q) => (off + p, f, q) }
       off += m.rows
       s
     }
     if (segs.forall(_._2 == -1L)) Seq.empty
-    else if (segs.size > MaxLineageSegs) Seq((0L, -1L, 0L))
+    else if (segs.size > MaxCapturedSegs) Seq((0L, -1L, 0L))
     else segs
   }
 
@@ -3064,7 +3146,7 @@ object ManifestSink {
       version: Long): (Seq[FileEntry], Long) = {
     var nid = startId
     val out = entries.map { e =>
-      if (e.lineage.isEmpty) {
+      if (e.lineage.isEmpty && e.lineageRef.isEmpty) {
         val f = nid; nid += e.rows; e.copy(lineage = Seq((0L, f, version)))
       } else if (e.lineage.exists(s =>
           s._2 == FreshRowIdMarker || s._3 == StampVersionMarker)) {
@@ -3727,7 +3809,7 @@ object ManifestSink {
         val out = ManifestParquet.open(root.resolve(newName),
           toPhysicalSchema(schema, st.colMap))
         def killed(row: InternalRow): Boolean = killTests.exists(t => t(row))
-        val remap = new LineageRemapper(e.lineage)
+        val remap = new LineageRemapper(e.lineageSegs(root))
         try foreachRowPos(root.resolve(e.name), schema, st.colMap,
           st.schemaEpoch > 0L) { (row, pos) =>
           if (!dv.contains(pos) && !killed(row)) {
@@ -3869,7 +3951,7 @@ object ManifestSink {
         },
         // raw row-group concatenation keeps every member's rows at a
         // fixed offset: lineage is the members' segments, shifted
-        sorted = mergedSorted, lineage = concatLineage(bin))
+        sorted = mergedSorted, lineage = concatLineage(root, bin))
     }
     val rewrittenNames = bins.flatten.map(_.name).toSet ++ dvEntries.map(_.name)
     val entries = st.entries.filterNot(e => rewrittenNames(e.name)) ++ merged ++ purged
@@ -3896,7 +3978,7 @@ object ManifestSink {
     val dv = readDvPositions(root.resolve(e.dvName.get)).toSet
     val stats = new FileStatsCollector(schema, bloomCols, sortCols)
     var kept = 0L
-    val remap = new LineageRemapper(e.lineage)
+    val remap = new LineageRemapper(e.lineageSegs(root))
     val newName = s"data-compact-${java.util.UUID.randomUUID()}.parquet"
     val out = ManifestParquet.open(root.resolve(newName),
       toPhysicalSchema(schema, colMap))
@@ -4660,7 +4742,7 @@ object ManifestSink {
       // purges the DV — the replacement entry carries none)
       val dv: Set[Long] =
         e.dvName.fold(Set.empty[Long])(n => readDvPositions(root.resolve(n)).toSet)
-      val remap = new LineageRemapper(e.lineage)
+      val remap = new LineageRemapper(e.lineageSegs(root))
       try {
         foreachRowPos(root.resolve(e.name), schema, st.colMap, st.schemaEpoch > 0L) { (row, pos) =>
           if (dv.contains(pos)) ()
@@ -6034,7 +6116,7 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
         else f != ManifestSink.FreshRowIdMarker && q0 == q && f - f0 == p - s0
       if (extend) return
     }
-    if (lsegs.size >= ManifestSink.MaxLineageSegs) { lineageOverflow = true; return }
+    if (lsegs.size >= ManifestSink.MaxCapturedSegs) { lineageOverflow = true; return }
     lsegs += ((p, f, q))
   }
   private def capturedLineage: Seq[(Long, Long, Long)] =
@@ -6936,14 +7018,16 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
           if (sl.emit.isEmpty) sl.entry.dvName.map(n => root.resolve(n).toString)
           else None,
           null, sl.emit.orNull, sl.change,
-          lineage = sl.entry.lineage): InputPartition
+          lineage = sl.entry.lineage,
+          lineageFile = sl.entry.lineageRef.map(n => root.resolve(n).toString).orNull): InputPartition
       }.toArray
     else {
       def single(e: ManifestSink.FileEntry): ManifestFilePartition =
         ManifestFilePartition(root.resolve(e.name).toString, e.liveRows,
           e.dvName.map(n => root.resolve(n).toString),
           if (partCols.isEmpty) null else partKeyByName(e.name),
-          seq = e.seq, lineage = e.lineage)
+          seq = e.seq, lineage = e.lineage,
+          lineageFile = e.lineageRef.map(n => root.resolve(n).toString).orNull)
       // small-file read coalescing, UNPARTITIONED scans only (key-grouped
       // scans already merge same-key files into one task, and a rewrite
       // scan's row-level machinery wants per-file identity)
@@ -7136,7 +7220,8 @@ class ManifestMicroBatchStream(root: Path, fileSchema: StructType,
             if (sl.emit.isEmpty) sl.entry.dvName.map(n => root.resolve(n).toString)
             else None,
             null, sl.emit.orNull, sl.change,
-            lineage = sl.entry.lineage): InputPartition
+            lineage = sl.entry.lineage,
+          lineageFile = sl.entry.lineageRef.map(n => root.resolve(n).toString).orNull): InputPartition
         }.toArray
       else {
         val ents =
@@ -7147,7 +7232,8 @@ class ManifestMicroBatchStream(root: Path, fileSchema: StructType,
         ents.map(en => ManifestFilePartition(root.resolve(en.name).toString, en.liveRows,
           en.dvName.map(n => root.resolve(n).toString),
           null, null, if (cdc) "insert" else null, seq = en.seq,
-          lineage = en.lineage): InputPartition)
+          lineage = en.lineage,
+          lineageFile = en.lineageRef.map(n => root.resolve(n).toString).orNull): InputPartition)
           .toArray
       }
     }
@@ -7182,9 +7268,17 @@ case class ManifestFilePartition(file: String, rows: Long = 0L,
     changeType: String = null,
     seq: Long = 0L,
     // row-lineage segments of this file's entry (see FileEntry.lineage);
-    // empty = no lineage, `_row_id`/`_last_updated_version` read NULL
-    lineage: Seq[(Long, Long, Long)] = Seq.empty)
+    // empty = no lineage (unless lineageFile points at a spill sidecar,
+    // loaded executor-side), `_row_id`/`_last_updated_version` read NULL
+    lineage: Seq[(Long, Long, Long)] = Seq.empty,
+    lineageFile: String = null)
     extends InputPartition with HasPartitionKey {
+  /** Resolve the partition's full lineage, loading the spill sidecar on
+    * first use (per task — the sidecar is tiny next to the data file). */
+  @transient lazy val lineageResolved: Seq[(Long, Long, Long)] =
+    if (lineageFile != null)
+      ManifestSink.readLineageFile(java.nio.file.Paths.get(lineageFile))
+    else lineage
   override def partitionKey(): InternalRow =
     if (partKey == null) null
     else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(partKey)
@@ -7561,7 +7655,7 @@ class ManifestReaderFactory(fileSchema: StructType, schema: StructType,
     else new PartitionReader[InternalRow] {
       // segment cursor only ever advances: physical positions are served
       // nondecreasing by every upstream reader shape
-      private val segs = p.lineage.toArray
+      private val segs = p.lineageResolved.toArray
       private var si = 0
       private val nTail = (if (emitsRowId) 1 else 0) + (if (emitsLastUpdated) 1 else 0)
       private val tail =

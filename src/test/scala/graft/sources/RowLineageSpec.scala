@@ -218,6 +218,53 @@ class RowLineageSpec extends AnyFunSuite {
     assert(after.values.map(_._1).toSeq.distinct.size == after.size)
   }
 
+  test("a scattered UPDATE past the inline cap spills segments to a sidecar, ids exact") {
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE TABLE rl.db.sp (k BIGINT, p STRING)")
+    // one file, 5000 rows in key order
+    spark.range(0, 5000)
+      .select(col("id").as("k"), lit("X").as("p"))
+      .coalesce(1).sortWithinPartitions("k")
+      .writeTo("rl.db.sp").append() // v2: ids 0..4999
+    val before = spark.sql("SELECT k, _row_id FROM rl.db.sp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every other row updates: carried/updated alternate per row →
+    // ~5000 version-alternating segments, far past the 1024 inline cap
+    spark.sql("UPDATE rl.db.sp SET p = 'Y' WHERE k % 2 = 0") // v3
+    val after = spark.sql("SELECT k, _row_id, _last_updated_version FROM rl.db.sp")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(after.size == 5000)
+    // EVERY id preserved exactly — the spill keeps full fidelity where
+    // the old inline cap silently re-minted the whole file
+    after.foreach { case (k, (rid, lu)) =>
+      assert(rid == before(k), s"id at k=$k")
+      assert(lu == (if (k % 2 == 0) 3L else 2L), s"version at k=$k")
+    }
+    // the segments physically live in a content-addressed sidecar
+    val st = ManifestSink.readState(root("sp"))
+    val spilled = st.entries.filter(_.lineageRef.isDefined)
+    assert(spilled.nonEmpty, "expected a lineage spill sidecar")
+    spilled.foreach { e =>
+      assert(e.lineage.isEmpty)
+      assert(java.nio.file.Files.exists(root("sp").resolve(e.lineageRef.get)))
+      assert(e.lineageSegs(root("sp")).size > 1024)
+    }
+    // vacuum keeps referenced sidecars, drops them once unreferenced
+    ManifestSink.vacuum(root("sp"), retain = 1, orphanGraceMs = 0L, dryRun = false)
+    spilled.foreach(e =>
+      assert(java.nio.file.Files.exists(root("sp").resolve(e.lineageRef.get)),
+        "referenced sidecar survived vacuum"))
+    spark.sql("UPDATE rl.db.sp SET p = 'Z' WHERE k % 2 = 1") // v4: re-spills
+    ManifestSink.vacuum(root("sp"), retain = 1, orphanGraceMs = 0L, dryRun = false)
+    val names = java.nio.file.Files.list(root("sp")).iterator()
+    val live = ManifestSink.readState(root("sp")).entries
+      .flatMap(_.lineageRef).toSet
+    import scala.jdk.CollectionConverters._
+    names.asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("lineage-")).foreach(n =>
+        assert(live(n), s"unreferenced sidecar $n swept"))
+  }
+
   test("pre-lineage files read NULL, later appends still number from the high-water mark") {
     spark.sql("CREATE TABLE rl.db.l (id BIGINT)")
     spark.sql("INSERT INTO rl.db.l SELECT id FROM range(3)")
