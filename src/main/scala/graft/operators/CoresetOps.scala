@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+
+/** Diversity-based CORESET SELECTION over `embeddings.embedding` —
+  * k-Center-Greedy (Sener & Savarese 2018, the active-learning /
+  * data-pruning selection rule: repeatedly pick the point farthest from
+  * everything already selected), in the engine's exact-integer replay
+  * contract (q139/q176's convention):
+  *
+  *   - q179 K-CENTER GREEDY — seed at the smallest vec_id, then
+  *     [[CoresetRounds]] rounds of "argmax over the corpus of the min
+  *     squared L2 distance to the selected set". Each round is ONE
+  *     corpus scan: the selected centers are literal arrays folded into
+  *     a per-row `least(zip_with-dot, …)` expression (no join, no
+  *     explode), and the argmax plans as TakeOrderedAndProject —
+  *     bounded per-task heaps, one row through the final merge. The
+  *     single-row collect per round is a model fetch, not data
+  *     movement. All arithmetic is exact integer over milli-unit
+  *     quantized components (max term 64·4·10⁶ ≈ 2.6×10⁸ — far inside
+  *     int64), so the DuckDB oracle replays every selection (including
+  *     vec_id tie-breaks) bit-for-bit.
+  *
+  * Scale design: k scans with an O(k·d)-byte broadcast each — the
+  * textbook distributed k-center-greedy; selection cost grows linearly
+  * in corpus size and k, never quadratically. (Production at 100 TB
+  * runs the greedy loop on a cluster-proportional subsample and this
+  * operator unchanged on the sample — the selection quality bound in
+  * the paper is on the k-center objective either way.) The coverage
+  * radius (last selection's distance) is the standard stopping
+  * diagnostic and lands in the output.
+  */
+object CoresetOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val Dim: Int = SimilarityOps.Dim
+  /** Selection rounds AFTER the seed — fixed so the oracle replays the
+    * same count. */
+  val CoresetRounds = 5
+
+  /** Exact integer squared L2 distance from `qvec` to a literal
+    * center. */
+  private def sqDist(center: Seq[Long]): Column =
+    aggregate(
+      zip_with(col("qvec"), typedlit(center), (x, c) => (x - c) * (x - c)),
+      lit(0L), (acc, e) => acc + e)
+
+  /** Run the greedy loop: returns (selection order, vec_id, distance to
+    * the previously-selected set at selection time; 0 for the seed). */
+  private[graft] def kCenterGreedy(emb: DataFrame,
+      rounds: Int): Seq[(Long, Long, Long)] = {
+    val q = SimilarityOps.quantized(emb)
+    // seed: the smallest vec_id — deterministic, oracle-replayable
+    val seed = q.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("qvec")).head
+    var centers = Vector(seed.getSeq[Long](1).toVector)
+    var picked = Vector((1L, seed.getLong(0), 0L))
+    for (r <- 2 to rounds + 1) {
+      val dmin = centers.map(c => sqDist(c)).reduce(least(_, _))
+      // farthest-first: max distance, smallest vec_id on ties
+      val next = q.select(col("vec_id"), col("qvec"), dmin.as("d"))
+        .orderBy(col("d").desc, col("vec_id")).limit(1).head
+      picked :+= ((r.toLong, next.getLong(0), next.getLong(2)))
+      centers :+= next.getSeq[Long](1).toVector
+    }
+    picked
+  }
+
+  def queries: Map[String, Q] = Map(
+    // The selected coreset in selection order with each pick's distance
+    // to the set selected before it (the k-center objective trace; the
+    // last distance is the corpus coverage radius). 6 rows.
+    "q179_kcenter_coreset" -> ((s, dir) => {
+      import s.implicits._
+      kCenterGreedy(Tables.embeddings(s, dir), CoresetRounds)
+        .toDF("sel_order", "vec_id", "dist").orderBy("sel_order")
+    }))
+
+  // ---- DuckDB oracle ------------------------------------------------------
+
+  /** Unrolled greedy rounds. Every multi-referenced CTE is MATERIALIZED
+    * (DuckDB inlines plain CTEs at every reference site — exponential
+    * over chained rounds). Round r: dist of every vector to pick r−1,
+    * fold into the running min, argmax with vec_id tie-break. */
+  def oracle: Map[String, String] = {
+    def round(i: Int): String =
+      s"""nd$i AS MATERIALIZED (
+         |  SELECT a.vec_id, CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d
+         |  FROM qv a JOIN qv b USING (j)
+         |  WHERE b.vec_id = (SELECT vec_id FROM p${i - 1})
+         |  GROUP BY 1),
+         |dm$i AS MATERIALIZED (
+         |  SELECT m.vec_id, least(m.d, n.d) AS d
+         |  FROM dm${i - 1} m JOIN nd$i n USING (vec_id)),
+         |p$i AS MATERIALIZED (
+         |  SELECT vec_id, d FROM dm$i ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin
+    val rounds = (2 to CoresetRounds + 1).map(round).mkString(",\n")
+    val picks = (2 to CoresetRounds + 1)
+      .map(i => s"SELECT $i AS sel_order, vec_id, d AS dist FROM p$i")
+      .mkString("\nUNION ALL ")
+    Map(
+      "q179_kcenter_coreset" ->
+        s"""WITH qv AS MATERIALIZED (
+           |  SELECT vec_id, d.d AS j,
+           |    CAST(round(CAST(embedding[d.d] AS DOUBLE) * 1000) AS BIGINT) + 1000 AS x
+           |  FROM embeddings,
+           |    (SELECT unnest(generate_series(1, $Dim)) AS d) d),
+           |p1 AS MATERIALIZED (
+           |  SELECT min(vec_id) AS vec_id FROM qv),
+           |dm1 AS MATERIALIZED (
+           |  SELECT a.vec_id, CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d
+           |  FROM qv a JOIN qv b USING (j)
+           |  WHERE b.vec_id = (SELECT vec_id FROM p1)
+           |  GROUP BY 1),
+           |$rounds
+           |SELECT CAST(sel_order AS BIGINT) AS sel_order,
+           |  vec_id, CAST(dist AS BIGINT) AS dist
+           |FROM (
+           |  SELECT 1 AS sel_order, (SELECT vec_id FROM p1) AS vec_id,
+           |    CAST(0 AS BIGINT) AS dist
+           |  UNION ALL $picks)
+           |ORDER BY sel_order""".stripMargin)
+  }
+}
