@@ -2852,7 +2852,42 @@ object ManifestSink {
         In(c, vs.map { case u: UTF8String => u.toString; case x => x })
       case other => other
     }
+    // lineage-column pruning: the INCREMENTAL-CONSUMER path — a filter
+    // like `_last_updated_version > V` ("rows changed since V") skips
+    // every file whose segments all predate V, metadata-only. Bounds
+    // derive from the entry's inline segments: id ranges from non-gap
+    // runs, versions from segment stamps. A spill sidecar is may-match
+    // (loading it at planning would put sidecar I/O on every query's
+    // plan path); a pre-lineage file serves NULL, which no comparison
+    // matches — prunable. Deletes only remove rows, so bounds stay
+    // sound under DVs and equality deletes.
+    def lineageBounds(idCol: Boolean): (Boolean, Option[(Long, Long)]) =
+      if (e.lineageRef.isDefined) (true, None) // unknown: may-match
+      else {
+        val known = e.lineage.zip(e.lineage.drop(1).map(_._1) :+ e.rows)
+          .collect { case ((p, f, q), end) if f >= 0L =>
+            if (idCol) (f, f + (end - p) - 1L) else (q, q) }
+        (false,
+          if (known.isEmpty) None // all rows read NULL
+          else Some((known.map(_._1).min, known.map(_._2).max)))
+      }
+    def cmpLineage(c: String, test: (Long, Long) => Boolean): Boolean = {
+      val (unknown, b) = lineageBounds(c == RowIdColumn)
+      unknown || b.exists { case (lo, hi) => test(lo, hi) }
+    }
+    def isLineageCol(c: String): Boolean =
+      c == RowIdColumn || c == LastUpdatedColumn
     nf match {
+      case EqualTo(c, v) if isLineageCol(c) => asLong(v).forall(x =>
+        cmpLineage(c, (lo, hi) => lo <= x && x <= hi))
+      case GreaterThan(c, v) if isLineageCol(c) =>
+        asLong(v).forall(x => cmpLineage(c, (_, hi) => hi > x))
+      case GreaterThanOrEqual(c, v) if isLineageCol(c) =>
+        asLong(v).forall(x => cmpLineage(c, (_, hi) => hi >= x))
+      case LessThan(c, v) if isLineageCol(c) =>
+        asLong(v).forall(x => cmpLineage(c, (lo, _) => lo < x))
+      case LessThanOrEqual(c, v) if isLineageCol(c) =>
+        asLong(v).forall(x => cmpLineage(c, (lo, _) => lo <= x))
       // `_file` membership — the row-level runtime group filter names
       // EXACT files; this is a decision, not a may-match, but a false
       // here only skips a read so absence-tolerance is unnecessary

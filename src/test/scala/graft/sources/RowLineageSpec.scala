@@ -265,6 +265,31 @@ class RowLineageSpec extends AnyFunSuite {
         assert(live(n), s"unreferenced sidecar $n swept"))
   }
 
+  test("'changed since V' prunes files by lineage version, metadata-only") {
+    spark.sql("CREATE TABLE rl.db.inc (id BIGINT)")
+    spark.sql("INSERT INTO rl.db.inc SELECT id FROM range(5)") // v2
+    spark.sql("INSERT INTO rl.db.inc SELECT id + 10 FROM range(5)") // v3
+    spark.sql("INSERT INTO rl.db.inc SELECT id + 20 FROM range(5)") // v4
+    // physically delete every file whose rows predate v3: if the
+    // incremental filter actually prunes by lineage version, the scan
+    // never opens them — the repo's standard no-read proof
+    val st = ManifestSink.readState(root("inc"))
+    val old = st.entries.filter(_.lineageSegs(root("inc")).forall(_._3 < 3L))
+    assert(old.nonEmpty)
+    old.foreach(e => Files.delete(root("inc").resolve(e.name)))
+    val changed = spark.sql(
+      "SELECT id, _last_updated_version FROM rl.db.inc WHERE _last_updated_version >= 3")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(changed == ((10L until 15L).map(i => (i, 3L)) ++
+      (20L until 25L).map(i => (i, 4L))).toSet)
+    // row-id range scans prune the same way (positions [0,5) live in
+    // the deleted first file; ids >= 5 never touch it)
+    val byId = spark.sql(
+      "SELECT id FROM rl.db.inc WHERE _row_id >= 5")
+      .collect().map(_.getLong(0)).toSet
+    assert(byId == ((10L until 15L) ++ (20L until 25L)).toSet)
+  }
+
   test("pre-lineage files read NULL, later appends still number from the high-water mark") {
     spark.sql("CREATE TABLE rl.db.l (id BIGINT)")
     spark.sql("INSERT INTO rl.db.l SELECT id FROM range(3)")
