@@ -610,7 +610,16 @@ object GraftCatalog {
     StructField("rows", LongType, nullable = false),
     StructField("live_rows", LongType, nullable = false),
     StructField("dv_rows", LongType, nullable = false),
-    StructField("partition", StringType, nullable = false)))
+    StructField("partition", StringType, nullable = false),
+    // row-lineage accounting (Iceberg v3 files-table shape): id bounds
+    // over non-gap segments, version-stamp bounds, segment count and
+    // whether segments spilled to a sidecar; NULLs = pre-lineage file
+    StructField("first_row_id", LongType, nullable = true),
+    StructField("last_row_id", LongType, nullable = true),
+    StructField("min_last_updated", LongType, nullable = true),
+    StructField("max_last_updated", LongType, nullable = true),
+    StructField("lineage_segments", LongType, nullable = false),
+    StructField("lineage_spilled", BooleanType, nullable = false)))
 
   /** `SELECT * FROM cat.db.t.files` — the current snapshot's data files
     * with physical/live row counts, deletion-vector sizes and partition
@@ -619,8 +628,19 @@ object GraftCatalog {
     val rows = ManifestSink.committedEntries(root, None).map { e =>
       val parts = e.parts.toSeq.sortBy(_._1)
         .map { case (k, v) => s"$k=$v" }.mkString(",")
+      // the view READS spilled sidecars (an operator readout, priced per
+      // view query, not per table scan) so accounting stays exact
+      val segs = e.lineageSegs(root)
+      val known = segs.zip(segs.drop(1).map(_._1) :+ e.rows)
+        .collect { case ((p, f, q), end) if f >= 0L => (f, f + (end - p) - 1L, q) }
+      val (fid, lid, mnv, mxv): (Any, Any, Any, Any) =
+        if (known.isEmpty) (null, null, null, null)
+        else (known.map(_._1).min, known.map(_._2).max,
+          known.map(_._3).min, known.map(_._3).max)
       new GenericInternalRow(Array[Any](UTF8String.fromString(e.name),
-        e.rows, e.liveRows, e.dvRows, UTF8String.fromString(parts))): InternalRow
+        e.rows, e.liveRows, e.dvRows, UTF8String.fromString(parts),
+        fid, lid, mnv, mxv, segs.size.toLong,
+        e.lineageRef.isDefined)): InternalRow
     }.toArray
     staticTable(s"files($root)", FilesSchema, rows)
   }

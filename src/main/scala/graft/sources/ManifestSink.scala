@@ -3181,7 +3181,8 @@ object ManifestSink {
       version: Long): (Seq[FileEntry], Long) = {
     var nid = startId
     val out = entries.map { e =>
-      if (e.lineage.isEmpty && e.lineageRef.isEmpty) {
+      if (e.rows == 0L) e.copy(lineage = Seq.empty) // nothing to number
+      else if (e.lineage.isEmpty && e.lineageRef.isEmpty) {
         val f = nid; nid += e.rows; e.copy(lineage = Seq((0L, f, version)))
       } else if (e.lineage.exists(s =>
           s._2 == FreshRowIdMarker || s._3 == StampVersionMarker)) {

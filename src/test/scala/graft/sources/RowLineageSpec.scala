@@ -290,6 +290,22 @@ class RowLineageSpec extends AnyFunSuite {
     assert(byId == ((10L until 15L) ++ (20L until 25L)).toSet)
   }
 
+  test("db.t.files reports per-file lineage accounting, sidecars included") {
+    spark.sql("CREATE TABLE rl.db.fv (id BIGINT)")
+    spark.sql("INSERT INTO rl.db.fv SELECT /*+ COALESCE(1) */ id FROM range(7)") // v2: ids 0..6
+    spark.sql("INSERT INTO rl.db.fv SELECT /*+ COALESCE(1) */ id + 10 FROM range(3)") // v3: ids 7..9
+    val rows = spark.sql(
+      """SELECT file, first_row_id, last_row_id, min_last_updated,
+        |  max_last_updated, lineage_segments, lineage_spilled
+        |FROM rl.db.fv.files ORDER BY first_row_id""".stripMargin).collect()
+    assert(rows.length == 2)
+    assert((rows(0).getLong(1), rows(0).getLong(2),
+      rows(0).getLong(3), rows(0).getLong(4)) == (0L, 6L, 2L, 2L))
+    assert((rows(1).getLong(1), rows(1).getLong(2),
+      rows(1).getLong(3), rows(1).getLong(4)) == (7L, 9L, 3L, 3L))
+    assert(rows.forall(r => r.getLong(5) == 1L && !r.getBoolean(6)))
+  }
+
   test("pre-lineage files read NULL, later appends still number from the high-water mark") {
     spark.sql("CREATE TABLE rl.db.l (id BIGINT)")
     spark.sql("INSERT INTO rl.db.l SELECT id FROM range(3)")
