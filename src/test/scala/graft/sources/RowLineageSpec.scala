@@ -306,6 +306,36 @@ class RowLineageSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(5) == 1L && !r.getBoolean(6)))
   }
 
+  test("lineage flows through coalesced small-file bins (chained per-file readers)") {
+    spark.sql("CREATE TABLE rl.db.bn (id BIGINT)")
+    for (i <- 0 until 4)
+      spark.sql(s"INSERT INTO rl.db.bn SELECT id + ${i * 10} FROM range(3)")
+    val prev = spark.conf.getOption("graft.scan.bin-rows")
+    try {
+      spark.conf.set("graft.scan.bin-rows", "1000000") // bin EVERYTHING into one task
+      val m = spark.sql("SELECT id, _row_id, _last_updated_version FROM rl.db.bn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(m.length == 12)
+      assert(m.map(_._2).sorted.toSeq == (0L until 12L))
+      // version stamps follow each member file's own segments even
+      // inside one chained task
+      m.foreach { case (id, rid, lu) => assert(lu == 2L + rid / 3, s"id $id") }
+    } finally {
+      prev.fold(spark.conf.unset("graft.scan.bin-rows"))(
+        spark.conf.set("graft.scan.bin-rows", _))
+    }
+  }
+
+  // NOTE deliberately NOT covered: lineage columns on `readStream` —
+  // Spark's DSv2 STREAMING planner resolves metadata columns on the
+  // relation but never routes them through pruneColumns when the scan
+  // is built at stream start, so no connector can serve them there
+  // (the analyzer accepts the query and the task then reads ordinals
+  // past the reader's row — a Spark surface gap, not a graft one).
+  // Streaming incremental consumers use the CDC feed (whose BATCH read
+  // carries lineage, test above) or the changed-since-V pruned batch
+  // read (test above) per micro-batch via foreachBatch.
+
   test("pre-lineage files read NULL, later appends still number from the high-water mark") {
     spark.sql("CREATE TABLE rl.db.l (id BIGINT)")
     spark.sql("INSERT INTO rl.db.l SELECT id FROM range(3)")
