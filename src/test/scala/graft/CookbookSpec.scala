@@ -159,6 +159,38 @@ class CookbookSpec extends AnyFunSuite {
     assert(delta.count() == 10 && t.count() == 410)
   }
 
+  test("§16 row lineage & incremental consumption") {
+    val wh = java.nio.file.Files.createTempDirectory("cookbook-lineage")
+    spark.conf.set("spark.sql.catalog.ck16", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ck16.warehouse", wh.toString)
+    spark.sql("CREATE NAMESPACE ck16.db")
+    spark.sql("CREATE TABLE ck16.db.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO ck16.db.t SELECT id, id * 2 FROM range(9)") // v2
+
+    val ids = spark.sql("SELECT id, _row_id FROM ck16.db.t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids.values.toSeq.sorted == (0L until 9L))
+
+    spark.sql("UPDATE ck16.db.t SET v = v + 1 WHERE id % 3 = 0") // v3
+    val after = spark.sql(
+      "SELECT id, _row_id, _last_updated_version FROM ck16.db.t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    after.foreach { case (id, (rid, lu)) =>
+      assert(rid == ids(id)) // identity survives the update
+      assert(lu == (if (id % 3 == 0) 3L else 2L))
+    }
+
+    // incremental read: only rows changed after v2
+    val changed = spark.sql(
+      "SELECT id FROM ck16.db.t WHERE _last_updated_version > 2")
+      .collect().map(_.getLong(0)).toSet
+    assert(changed == Set(0L, 3L, 6L))
+
+    // per-file lineage accounting readout
+    assert(spark.sql(
+      "SELECT * FROM ck16.db.t.files WHERE first_row_id IS NOT NULL").count() >= 1)
+  }
+
   test("§15 snapshot refs, column stats, read coalescing") {
     val wh = java.nio.file.Files.createTempDirectory("cookbook-refs")
     spark.conf.set("spark.sql.catalog.ck15", "graft.sources.GraftCatalog")
