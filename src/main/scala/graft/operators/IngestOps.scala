@@ -39,6 +39,33 @@ object IngestOps {
   private val orcWritten =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 
+  /** Shared staging for the row-lineage queries (q178/q180): the
+    * deterministically-numbered orders_rl table — v1 CREATE, v2
+    * range-sorted append (ids = global o_orderkey rank), v3 CoW DELETE,
+    * v4 UPDATE (ids preserved, versions stamped). Returns the
+    * namespace. */
+  private def stageLineageTable(s: SparkSession, dir: String): String = {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+      s.sparkContext.applicationId
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val ns = s"db${Integer.toHexString(dir.hashCode)}"
+    buildOnce(orcWritten, (s.sparkContext.applicationId, s"rl:$dir")) {
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      s.sql(s"CREATE TABLE graft.$ns.orders_rl " +
+        "(o_orderkey BIGINT, o_custkey BIGINT, o_orderpriority STRING)") // v1
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .writeTo(s"graft.$ns.orders_rl").append() // v2: ids 0..N-1 by key rank
+      s.sql(s"DELETE FROM graft.$ns.orders_rl WHERE o_custkey % 5 = 2") // v3: CoW
+      s.sql(s"UPDATE graft.$ns.orders_rl SET o_orderpriority = 'L-TOUCHED' " +
+        "WHERE o_orderkey % 3 = 0") // v4: ids kept, last-updated bumps
+    }
+    ns
+  }
+
   /** Exact 2-decimal rendering of integer cents — portable to DuckDB
     * without printf rounding-mode drift. Handles negatives. */
   private def centsToString(c: org.apache.spark.sql.Column) = {
@@ -566,30 +593,35 @@ object IngestOps {
     // 100 TB lineage is what makes incremental consumers exact:
     // a stable key that survives compaction, deletes and updates,
     // costing ~20 manifest bytes per file instead of a stored column.
+    // (Staging shared with q180: v1 CREATE, v2 sorted append, v3 CoW
+    // DELETE o_custkey%5=2, v4 UPDATE o_orderkey%3=0 → 'L-TOUCHED'.)
     "q178_row_lineage" -> ((s, dir) => {
-      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
-        s.sparkContext.applicationId
-      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
-      val ns = s"db${Integer.toHexString(dir.hashCode)}"
-      buildOnce(orcWritten, (s.sparkContext.applicationId, s"rl:$dir")) {
-        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
-        s.sql(s"CREATE TABLE graft.$ns.orders_rl " +
-          "(o_orderkey BIGINT, o_custkey BIGINT, o_orderpriority STRING)") // v1
-        Tables.orders(s, dir)
-          .select("o_orderkey", "o_custkey", "o_orderpriority")
-          .repartitionByRange(4, col("o_orderkey"))
-          .sortWithinPartitions("o_orderkey")
-          .writeTo(s"graft.$ns.orders_rl").append() // v2: ids 0..N-1 by key rank
-        s.sql(s"DELETE FROM graft.$ns.orders_rl WHERE o_custkey % 5 = 2") // v3: CoW
-        s.sql(s"UPDATE graft.$ns.orders_rl SET o_orderpriority = 'L-TOUCHED' " +
-          "WHERE o_orderkey % 3 = 0") // v4: ids kept, last-updated bumps
-      }
+      val ns = stageLineageTable(s, dir)
       s.sql(
         s"""SELECT o_orderpriority, count(*) AS n,
            |  sum(_row_id) AS rid_sum, min(_row_id) AS rid_min,
            |  max(_row_id) AS rid_max, sum(_last_updated_version) AS lu_sum
            |FROM graft.$ns.orders_rl
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // INCREMENTAL CONSUMPTION by lineage version ("rows changed since
+    // V" — the Iceberg v3 incremental-compute path, no CDC mode
+    // required): a filter on _last_updated_version prunes files whose
+    // segments all predate V from the scan METADATA-ONLY
+    // (RowLineageSpec proves the no-read physically by deleting the
+    // old files), and _row_id gives consumers the stable upsert key.
+    // Here: everything the v4 UPDATE touched — the oracle re-derives
+    // the same set from the update predicate over the survivor
+    // relation, keyed by the replayed row ids.
+    "q180_changed_since" -> ((s, dir) => {
+      val ns = stageLineageTable(s, dir)
+      s.sql(
+        s"""SELECT o_orderpriority, count(*) AS n,
+           |  sum(_row_id) AS rid_sum, min(o_orderkey) AS min_key,
+           |  max(o_orderkey) AS max_key
+           |FROM graft.$ns.orders_rl
+           |WHERE _last_updated_version > 3
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     }),
 
@@ -1340,6 +1372,20 @@ object IngestOps {
         |  CAST(max(rid) AS BIGINT) AS rid_max,
         |  CAST(sum(lu) AS BIGINT) AS lu_sum
         |FROM kept GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the changed-since read re-derived: exactly the survivor rows the
+    // v4 UPDATE touched, keyed by the replayed row ids
+    "q180_changed_since" ->
+      """WITH base AS MATERIALIZED (
+        |  SELECT o_orderkey, o_custkey,
+        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS rid
+        |  FROM orders)
+        |SELECT 'L-TOUCHED' AS o_orderpriority, count(*) AS n,
+        |  CAST(sum(rid) AS BIGINT) AS rid_sum,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM base
+        |WHERE o_custkey % 5 <> 2 AND o_orderkey % 3 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the MERGE's effect rebuilt relationally: LEFT JOIN decides
     // matched-update vs matched-delete, NOT EXISTS isolates inserts
