@@ -87,7 +87,14 @@ object CoresetOps {
     * fold into the running min, argmax with vec_id tie-break. */
   def oracle: Map[String, String] = {
     def round(i: Int): String =
-      s"""nd$i AS MATERIALIZED (
+      // round 2's min-distance to the selected set IS dm1 (the set is
+      // just the seed) — recomputing nd2 would re-run the expensive
+      // qv self-join for a no-op least() fold
+      if (i == 2)
+        """dm2 AS MATERIALIZED (SELECT * FROM dm1),
+          |p2 AS MATERIALIZED (
+          |  SELECT vec_id, d FROM dm2 ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin
+      else s"""nd$i AS MATERIALIZED (
          |  SELECT a.vec_id, CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d
          |  FROM qv a JOIN qv b USING (j)
          |  WHERE b.vec_id = (SELECT vec_id FROM p${i - 1})

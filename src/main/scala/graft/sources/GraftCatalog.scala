@@ -631,8 +631,7 @@ object GraftCatalog {
       // the view READS spilled sidecars (an operator readout, priced per
       // view query, not per table scan) so accounting stays exact
       val segs = e.lineageSegs(root)
-      val known = segs.zip(segs.drop(1).map(_._1) :+ e.rows)
-        .collect { case ((p, f, q), end) if f >= 0L => (f, f + (end - p) - 1L, q) }
+      val known = ManifestSink.lineageRuns(segs, e.rows)
       val (fid, lid, mnv, mxv): (Any, Any, Any, Any) =
         if (known.isEmpty) (null, null, null, null)
         else (known.map(_._1).min, known.map(_._2).max,

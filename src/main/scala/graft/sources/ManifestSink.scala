@@ -2508,6 +2508,17 @@ object ManifestSink {
     Seq.fill(bytes.length / 24)((bb.getLong(), bb.getLong(), bb.getLong()))
   }
 
+  /** The non-gap id RUNS of a segment list over a file of `rows`
+    * physical rows: (firstId, lastId, version) per run — the single
+    * bounds derivation shared by file-skip pruning (mayMatch) and the
+    * files metadata view, so the readout can never disagree with the
+    * pruning decisions. */
+  private[sources] def lineageRuns(segs: Seq[(Long, Long, Long)],
+      rows: Long): Seq[(Long, Long, Long)] =
+    segs.zip(segs.drop(1).map(_._1) :+ rows).collect {
+      case ((p, f, q), end) if f >= 0L => (f, f + (end - p) - 1L, q)
+    }
+
   /** Spill an entry's over-cap inline lineage to its sidecar; no-op for
     * inline-sized (or already-spilled) entries. Applied centrally at
     * entry rendering so every publish path is covered. */
@@ -2864,9 +2875,8 @@ object ManifestSink {
     def lineageBounds(idCol: Boolean): (Boolean, Option[(Long, Long)]) =
       if (e.lineageRef.isDefined) (true, None) // unknown: may-match
       else {
-        val known = e.lineage.zip(e.lineage.drop(1).map(_._1) :+ e.rows)
-          .collect { case ((p, f, q), end) if f >= 0L =>
-            if (idCol) (f, f + (end - p) - 1L) else (q, q) }
+        val known = lineageRuns(e.lineage, e.rows)
+          .map { case (f, l, q) => if (idCol) (f, l) else (q, q) }
         (false,
           if (known.isEmpty) None // all rows read NULL
           else Some((known.map(_._1).min, known.map(_._2).max)))
@@ -2888,6 +2898,12 @@ object ManifestSink {
         asLong(v).forall(x => cmpLineage(c, (lo, _) => lo < x))
       case LessThanOrEqual(c, v) if isLineageCol(c) =>
         asLong(v).forall(x => cmpLineage(c, (lo, _) => lo <= x))
+      // the runtime/planner IN-set shape on lineage columns — the
+      // documented _row_id probe pattern: the file survives iff ANY key
+      // may fall inside its id/version bounds
+      case In(c, vs) if isLineageCol(c) && vs != null && vs.nonEmpty =>
+        vs.exists(v => asLong(v).forall(x =>
+          cmpLineage(c, (lo, hi) => lo <= x && x <= hi)))
       // `_file` membership — the row-level runtime group filter names
       // EXACT files; this is a decision, not a may-match, but a false
       // here only skips a read so absence-tolerance is unnecessary
@@ -7255,9 +7271,9 @@ class ManifestMicroBatchStream(root: Path, fileSchema: StructType,
             sl.emit.fold(sl.entry.liveRows)(_.length.toLong),
             if (sl.emit.isEmpty) sl.entry.dvName.map(n => root.resolve(n).toString)
             else None,
-            null, sl.emit.orNull, sl.change,
-            lineage = sl.entry.lineage,
-          lineageFile = sl.entry.lineageRef.map(n => root.resolve(n).toString).orNull): InputPartition
+            // no lineage: Spark's DSv2 STREAMING planner cannot route
+            // metadata columns to a stream scan (see RowLineageSpec)
+            null, sl.emit.orNull, sl.change): InputPartition
         }.toArray
       else {
         val ents =
@@ -7267,9 +7283,7 @@ class ManifestMicroBatchStream(root: Path, fileSchema: StructType,
         // (deletion vectors applied — deleted rows never deliver)
         ents.map(en => ManifestFilePartition(root.resolve(en.name).toString, en.liveRows,
           en.dvName.map(n => root.resolve(n).toString),
-          null, null, if (cdc) "insert" else null, seq = en.seq,
-          lineage = en.lineage,
-          lineageFile = en.lineageRef.map(n => root.resolve(n).toString).orNull): InputPartition)
+          null, null, if (cdc) "insert" else null, seq = en.seq): InputPartition)
           .toArray
       }
     }

@@ -288,6 +288,12 @@ class RowLineageSpec extends AnyFunSuite {
       "SELECT id FROM rl.db.inc WHERE _row_id >= 5")
       .collect().map(_.getLong(0)).toSet
     assert(byId == ((10L until 15L) ++ (20L until 25L)).toSet)
+    // the documented upsert-key probe shape: an IN-set on _row_id prunes
+    // by each file's id runs too (ids 7 and 12 live in files 2 and 3)
+    val byIn = spark.sql(
+      "SELECT id FROM rl.db.inc WHERE _row_id IN (7, 12)")
+      .collect().map(_.getLong(0)).toSet
+    assert(byIn == Set(12L, 22L))
   }
 
   test("db.t.files reports per-file lineage accounting, sidecars included") {
