@@ -54,8 +54,13 @@ object PqOps {
     * quantization ([[SimilarityOps.quantized]]) so one integer contract
     * covers every vector operator. */
   private[graft] def subvecs(emb: DataFrame, m: Int, subDim: Int): DataFrame =
-    SimilarityOps.quantized(emb)
-      .select(col("vec_id"), explode(transform(sequence(lit(0), lit(m - 1)),
+    subvecsQ(SimilarityOps.quantized(emb), m, subDim)
+
+  /** [[subvecs]] over an ALREADY-quantized (vec_id, qvec ARRAY<LONG>)
+    * frame — the seam [[IvfPqOps]] uses to product-quantize coarse-cell
+    * RESIDUALS with the identical splitter. */
+  private[graft] def subvecsQ(qv: DataFrame, m: Int, subDim: Int): DataFrame =
+    qv.select(col("vec_id"), explode(transform(sequence(lit(0), lit(m - 1)),
         s => struct(s.cast("long").as("sub"),
           slice(col("qvec"), s * subDim + 1, lit(subDim)).as("sv")))).as("e"))
       .select(col("vec_id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
@@ -66,11 +71,18 @@ object PqOps {
     * Returns (codebook (sub, code, cv), final assignment
     * (vec_id, sub, code, sv, d2)). */
   private[graft] def pqFit(emb: DataFrame, m: Int, subDim: Int, ksub: Int,
-      iters: Int): (DataFrame, DataFrame) = {
-    val sv = subvecs(emb, m, subDim).localCheckpoint()
+      iters: Int): (DataFrame, DataFrame) =
+    pqFitQ(SimilarityOps.quantized(emb), m, subDim, ksub, iters, "pq:")
+
+  /** [[pqFit]] over a pre-quantized integer frame, with the seed-hash
+    * tag a parameter so independent trainings (raw PQ vs IVF residual
+    * PQ) rank their seed vectors by distinct hash streams. */
+  private[graft] def pqFitQ(qv: DataFrame, m: Int, subDim: Int, ksub: Int,
+      iters: Int, seedTag: String): (DataFrame, DataFrame) = {
+    val sv = subvecsQ(qv, m, subDim).localCheckpoint()
     val wSeed = Window.partitionBy("sub").orderBy(col("hk"), col("vec_id"))
     var cents = sv
-      .withColumn("hk", md5Code60(concat(lit("pq:"), col("vec_id").cast("string"))))
+      .withColumn("hk", md5Code60(concat(lit(seedTag), col("vec_id").cast("string"))))
       .withColumn("rn", row_number().over(wSeed))
       .filter(col("rn") <= ksub) // bounded: m*ksub rows
       .select(col("sub"), (col("rn") - 1).cast("long").as("code"),

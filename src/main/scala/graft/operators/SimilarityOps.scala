@@ -779,7 +779,7 @@ object SimilarityOps {
     * oracles, which replay the SAME training the Spark side reads from
     * the codebook table. Ends with a$KmIters (final assignment) and
     * c$KmIters (final centroids). */
-  private def kmeansCtesSql: String = {
+  private[operators] def kmeansCtesSql: String = {
     import graft.functions.HashFunctions.md5Code60Sql
     val hk = md5Code60Sql("'km:' || CAST(vec_id AS VARCHAR)")
     def round(i: Int): String = {
