@@ -88,17 +88,12 @@ object IvfPqOps {
     (pqc, codes, assigned)
   }
 
-  /** ADC search: probes pick their [[NProbeCells]] nearest coarse cells,
-    * residualize against EACH probed cell, build the per-(probe, cell)
-    * distance table, and sum M lookups per candidate inside the probed
-    * cells only. Output (qid, rank, vec_id, cell, adist). */
-  private[graft] def ivfpqSearch(emb: DataFrame, cents: DataFrame,
-      probes: DataFrame, nProbeCells: Int, topK: Int,
-      m: Int = PqOps.M, subDim: Int = PqOps.SubDim, ksub: Int = PqOps.Ksub,
-      iters: Int = PqOps.PqIters): DataFrame = {
-    val (pqc, codes, _) = ivfpqFit(emb, cents, m, subDim, ksub, iters)
+  /** Probe-side cell selection + per-probed-cell re-offset residuals:
+    * (qid, cluster, qrvec). One broadcast of the coarse codebook. */
+  private[graft] def probedResiduals(probes: DataFrame, cents: DataFrame,
+      nProbeCells: Int): DataFrame = {
     val wCell = Window.partitionBy("qid").orderBy(col("d2c"), col("cluster"))
-    val probed = SimilarityOps.quantized(probes)
+    SimilarityOps.quantized(probes)
       .select(col("vec_id").as("qid"), col("qvec"))
       .join(broadcast(cents))
       .withColumn("d2c", aggregate(
@@ -108,19 +103,37 @@ object IvfPqOps {
       .filter(col("rn") <= nProbeCells)
       .select(col("qid"), col("cluster"),
         zip_with(col("qvec"), col("cvec"), (x, c) => x - c + lit(ROff)).as("qrvec"))
-    // per-(probe, cell) residual subvectors -> distance table: one row per
-    // (qid, cell, sub, code) — |probes| * nProbeCells * M * Ksub rows,
-    // metadata-sized at any corpus size, broadcast onto the codes
+  }
+
+  /** ADC distance table from probed residuals x residual codebooks: one
+    * row per (qid, cluster, sub, code) — |probes| * nProbeCells * M *
+    * Ksub rows, metadata-sized at any corpus size, broadcast onto the
+    * codes. */
+  private[graft] def distTable(probed: DataFrame, pqc: DataFrame,
+      m: Int, subDim: Int): DataFrame = {
     val qsub = probed.select(col("qid"), col("cluster"),
         explode(transform(sequence(lit(0), lit(m - 1)),
           s => struct(s.cast("long").as("sub"),
             slice(col("qrvec"), s * subDim + 1, lit(subDim)).as("sv")))).as("e"))
       .select(col("qid"), col("cluster"), col("e.sub").as("sub"), col("e.sv").as("sv"))
-    val dtab = qsub.join(pqc, Seq("sub"))
+    qsub.join(pqc, Seq("sub"))
       .withColumn("d", aggregate(
         zip_with(col("sv"), col("cv"), (x, c) => (x - c) * (x - c)),
         lit(0L), (acc, v) => acc + v))
       .select(col("qid"), col("cluster"), col("sub"), col("code"), col("d"))
+  }
+
+  /** ADC search: probes pick their [[NProbeCells]] nearest coarse cells,
+    * residualize against EACH probed cell, build the per-(probe, cell)
+    * distance table, and sum M lookups per candidate inside the probed
+    * cells only. Output (qid, rank, vec_id, cell, adist). */
+  private[graft] def ivfpqSearch(emb: DataFrame, cents: DataFrame,
+      probes: DataFrame, nProbeCells: Int, topK: Int,
+      m: Int = PqOps.M, subDim: Int = PqOps.SubDim, ksub: Int = PqOps.Ksub,
+      iters: Int = PqOps.PqIters): DataFrame = {
+    val (pqc, codes, _) = ivfpqFit(emb, cents, m, subDim, ksub, iters)
+    val probed = probedResiduals(probes, cents, nProbeCells)
+    val dtab = distTable(probed, pqc, m, subDim)
     val wTop = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
     codes.join(broadcast(dtab), Seq("cluster", "sub", "code"))
       .filter(col("vec_id") =!= col("qid"))
@@ -130,6 +143,75 @@ object IvfPqOps {
       .filter(col("rank") <= topK)
       .select(col("qid"), col("rank"), col("vec_id"), col("cell"), col("adist"))
   }
+
+  /** ADC over an AT-REST codes table: the probed cells collapse to a
+    * driver-sized IN list (<= |probes| * nProbeCells values — the q140
+    * probe-bucket pattern), so the scan opens only files whose cell
+    * range intersects the probed lists; candidates decompress by
+    * posexplode of their M-code array. Same answer as [[ivfpqSearch]] —
+    * the layout changes I/O, never the result. */
+  private[graft] def adcFromCodes(s: SparkSession, codesTbl: String,
+      pqc: DataFrame, cents: DataFrame, probes: DataFrame,
+      nProbeCells: Int, topK: Int, m: Int, subDim: Int): DataFrame = {
+    val probed = probedResiduals(probes, cents, nProbeCells)
+    val cells = probed.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded: probed lists only
+    val dtab = distTable(probed, pqc, m, subDim)
+      .withColumnRenamed("cluster", "cell")
+    val cand = s.table(codesTbl).filter(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("cell"), posexplode(col("codes")))
+      .select(col("vec_id"), col("cell"),
+        col("pos").cast("long").as("sub"), col("col").as("code"))
+    val wTop = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    cand.join(broadcast(dtab), Seq("cell", "sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"), col("cell"))
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("vec_id"), col("cell"), col("adist"))
+  }
+
+  /** Once-per-(application, sf-dir) IVFPQ INDEX AT REST: the codes
+    * persisted as a manifest table CLUSTERED BY COARSE CELL
+    * (write.sort-by), so probing a cell is file pruning on ordinary
+    * integer stats — the q140 composition, but over the compressed
+    * representation (one M-long code array per vector instead of the
+    * raw floats). The residual codebooks land in a second, k-row table:
+    * index and codebooks both at rest, no side-channel between build
+    * and query. */
+  private val atRestBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  private[graft] def codesTables(s: SparkSession, dir: String): (String, String) = {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+      s.sparkContext.applicationId
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val ns = s"db${Integer.toHexString(dir.hashCode)}"
+    buildOnce(atRestBuilt, (s.sparkContext.applicationId, dir)) {
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      s.sql(s"CREATE TABLE graft.$ns.ivfpq_codes " +
+        "(vec_id BIGINT, cell BIGINT, codes ARRAY<BIGINT>) " +
+        "TBLPROPERTIES ('write.sort-by' = 'cell')")
+      s.sql(s"CREATE TABLE graft.$ns.ivfpq_pqc " +
+        "(sub BIGINT, code BIGINT, cv ARRAY<BIGINT>)")
+      val cents = s.table(SimilarityOps.codebookTable(s, dir))
+      val (pqc, codes, _) = ivfpqFit(Tables.embeddings(s, dir), cents)
+      codes.groupBy(col("vec_id"), col("cluster").as("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+          e => e.getField("code")).as("codes"))
+        .writeTo(s"graft.$ns.ivfpq_codes").append()
+      pqc.writeTo(s"graft.$ns.ivfpq_pqc").append()
+    }
+    (s"graft.$ns.ivfpq_codes", s"graft.$ns.ivfpq_pqc")
+  }
+
+  /** [[SimilarityOps.buildOnce]]'s un-poisoning contract, local copy. */
+  private def buildOnce[K](set: java.util.Set[K], key: K)(build: => Unit): Unit =
+    if (set.add(key)) {
+      try build
+      catch { case t: Throwable => set.remove(key); throw t }
+    }
 
   /** Integer coarse codebook for the fixture corpus: the q139-trained
     * codebook manifest table — the SAME table q106/q48/q134 consume. */
@@ -157,6 +239,17 @@ object IvfPqOps {
       val emb = Tables.embeddings(s, dir)
       ivfpqSearch(emb, fixtureCents(s, dir),
         emb.filter(col("vec_id") < IvfProbes), NProbeCells, IvfTopK)
+        .orderBy("qid", "rank")
+    }),
+    // IVFPQ INDEX AT REST: the same search answered from the persisted
+    // cell-clustered codes table — probed cells push down as an IN
+    // filter, so candidate I/O follows the probed lists, not the corpus.
+    "q183_ivfpq_at_rest" -> ((s, dir) => {
+      val (ct, pt) = codesTables(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      adcFromCodes(s, ct, s.table(pt), fixtureCents(s, dir),
+        emb.filter(col("vec_id") < IvfProbes), NProbeCells, IvfTopK,
+        PqOps.M, PqOps.SubDim)
         .orderBy("qid", "rank")
     }))
 
@@ -223,7 +316,7 @@ object IvfPqOps {
 
   def oracle: Map[String, String] = {
     val t = PqOps.PqIters
-    Map(
+    val m = Map(
       "q181_ivfpq_train" ->
         s"""WITH $ivfCtesSql
            |SELECT s1.sub, s1.code, s1.n, s1.inertia_q, s2.csum, s2.cnorm2
@@ -270,5 +363,8 @@ object IvfPqOps {
            |    OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rank
            |  FROM ad) WHERE rank <= $IvfTopK
            |ORDER BY qid, rank""".stripMargin)
+    // the at-rest layout is an I/O statement, not a semantic one: q183's
+    // oracle IS q182's — any drift between the two plans is a bug
+    m + ("q183_ivfpq_at_rest" -> m("q182_ivfpq_search"))
   }
 }

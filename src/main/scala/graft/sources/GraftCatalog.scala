@@ -705,13 +705,24 @@ object GraftCatalog {
       val identityKey = es.nonEmpty && st.partCols.contains(name) &&
         tfByCol.get(name).forall(_.isInstanceOf[ManifestSink.PIdentity]) &&
         es.forall(e => e.specId == st.specId && e.parts.contains(name))
-      val ndv: Option[Long] =
+      // (value, exact): identity keys and single clean files are exact;
+      // multi-file tables answer from the merged HLL sketches (6.5%
+      // standard error — cross-file duplicates deduplicate); legacy
+      // sketch-less files fall back to the exact-count sum upper bound
+      val (ndv, ndvExact): (Option[Long], Boolean) =
         if (identityKey)
-          Some(es.map(_.parts(name)).distinct
-            .count(_ != ManifestSink.NullPartValue).toLong)
+          (Some(es.map(_.parts(name)).distinct
+            .count(_ != ManifestSink.NullPartValue).toLong), true)
+        else if (es.size == 1 && es.head.ndvs.contains(name))
+          (Some(es.head.ndvs(name)), true)
+        else if (es.nonEmpty && es.forall(_.ndvSk.contains(name)))
+          (Some(math.min(
+            NdvSketch.estimate(es.map(e => NdvSketch.decode(e.ndvSk(name)))
+              .reduce(NdvSketch.merge)),
+            es.map(_.liveRows).sum)), false)
         else if (es.nonEmpty && es.forall(_.ndvs.contains(name)))
-          Some(math.min(es.map(_.ndvs(name)).sum, es.map(_.liveRows).sum))
-        else None
+          (Some(math.min(es.map(_.ndvs(name)).sum, es.map(_.liveRows).sum)), false)
+        else (None, false)
       val nulls: Option[Long] =
         if (identityKey)
           Some(es.filter(_.parts(name) == ManifestSink.NullPartValue)
@@ -729,7 +740,7 @@ object GraftCatalog {
       // materializes them, so exactness is only claimed on a clean table
       new GenericInternalRow(Array[Any](UTF8String.fromString(name),
         ndv.map(Long.box).orNull,
-        (identityKey || es.size == 1) && st.eqDels.isEmpty,
+        ndvExact && st.eqDels.isEmpty,
         nulls.map(Long.box).orNull,
         mn.map(Long.box).orNull, mx.map(Long.box).orNull)): InternalRow
     }

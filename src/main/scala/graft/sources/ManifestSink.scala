@@ -998,7 +998,12 @@ object ManifestSink {
       // content-addressed `lineage-*.bin` file instead of the manifest
       // line — fidelity unbounded, manifest line stays ~60 bytes.
       // Mutually exclusive with a nonempty `lineage`.
-      lineageRef: Option[String] = None) {
+      lineageRef: Option[String] = None,
+      // mergeable distinct-count sketches ([[NdvSketch]]): encoded HLL
+      // registers per integer column. Unlike `ndvs` these survive
+      // bin-merge compaction (register-max) and fold across files to a
+      // deduplicated table-level estimate.
+      ndvSk: Map[String, String] = Map.empty) {
     /** Rows a reader actually yields: physical rows minus the deletion
       * vector's positions. Drives count(*) pushdown, reported stats and
       * the zero-column emitters — `rows` stays the PHYSICAL count (what
@@ -1291,6 +1296,10 @@ object ManifestSink {
     private val ndvSets: Seq[(String, scala.collection.mutable.LongMap[Unit])] =
       intCols.map { case (f, _) => (f.name, scala.collection.mutable.LongMap.empty[Unit]) }
     private val ndvAt = ndvSets.map(_._2)
+    // mergeable HLL registers alongside the exact sets — NEVER capped:
+    // fixed 256 bytes per column at any file size, and register-max
+    // merging is what lets compaction keep distinct-count stats
+    private val ndvSkAt: Seq[Array[Byte]] = intCols.map(_ => NdvSketch.empty())
 
     def add(row: InternalRow): Unit = {
       if (sortOk) checkSorted(row)
@@ -1302,6 +1311,7 @@ object ManifestSink {
           maxs.updateWith(f.name)(o => Some(o.fold(v)(math.max(_, v))))
           val s = ndvAt(ic)
           if (s.size < FingerprintCap) s.update(v, ())
+          NdvSketch.add(ndvSkAt(ic), v)
         } else nullCnt.updateWith(f.name)(o => Some(o.fold(1L)(_ + 1L)))
         ic += 1
       }
@@ -1339,6 +1349,12 @@ object ManifestSink {
     def intNdvs: Map[String, Long] =
       ndvSets.collect {
         case (c, s) if s.size < FingerprintCap => c -> s.size.toLong
+      }.toMap
+    /** Encoded HLL sketch per integer column — present even when the
+      * exact set overflowed (the sketch never goes silent). */
+    def ndvSketches: Map[String, String] =
+      ndvSets.map(_._1).zip(ndvSkAt).map {
+        case (c, r) => c -> NdvSketch.encode(r)
       }.toMap
     def strLowers: Map[String, String] =
       sMin.iterator.map { case (c, v) => c -> strLowerBound(v) }.toMap
@@ -2432,8 +2448,34 @@ object ManifestSink {
     } else Seq.empty
   }
 
+  /** Nullability erased at every nesting level — the shape two schemas
+    * must share for an append to be type-compatible. */
+  private[sources] def stripNullability(dt: DataType): DataType = dt match {
+    case ArrayType(e, _) => ArrayType(stripNullability(e), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(stripNullability(k), stripNullability(v), valueContainsNull = true)
+    case StructType(fs) => StructType(fs.map(f =>
+      f.copy(dataType = stripNullability(f.dataType), nullable = true)))
+    case other => other
+  }
+
+  /** Pointwise nullability OR of two type-compatible DataTypes — the
+    * stored-schema merge rule extended through nesting. */
+  private[sources] def orNullability(a: DataType, b: DataType): DataType = (a, b) match {
+    case (ArrayType(ae, an), ArrayType(be, bn)) =>
+      ArrayType(orNullability(ae, be), an || bn)
+    case (MapType(ak, av, an), MapType(bk, bv, bn)) =>
+      MapType(orNullability(ak, bk), orNullability(av, bv), an || bn)
+    case (StructType(af), StructType(bf)) =>
+      StructType(af.zip(bf).map { case (x, y) =>
+        x.copy(dataType = orNullability(x.dataType, y.dataType),
+          nullable = x.nullable || y.nullable)
+      })
+    case _ => a
+  }
+
   private[sources] def parseEntryLine(line: String): FileEntry = {
-    val parts = line.split("\t", 13)
+    val parts = line.split("\t", 14)
     val (dvName, dvRows) = parts.lift(5).filter(_.nonEmpty) match {
       case Some(dv) =>
         val Array(n, c) = dv.split(":", 2)
@@ -2464,7 +2506,15 @@ object ManifestSink {
         val li = parts.lift(12).getOrElse("")
         if (li.startsWith("@")) Seq.empty else parseLineageStr(li)
       },
-      parts.lift(12).filter(_.startsWith("@")).map(_.drop(1)))
+      parts.lift(12).filter(_.startsWith("@")).map(_.drop(1)),
+      // NDV sketch slot: `col=encoded` pairs (the codec is base64, so
+      // the kv split is limit-2 like the bloom field)
+      parts.lift(13).filter(_.nonEmpty) match {
+        case Some(x) => x.split(",").map { kv =>
+          val Array(k, v) = kv.split("=", 2); (urlDec(k), v)
+        }.toMap
+        case None => Map.empty[String, String]
+      })
   }
 
   /** Row-lineage field: `startPos:firstRowId:seq` triples, comma-joined,
@@ -2603,7 +2653,10 @@ object ManifestSink {
     val so = e.sorted.map(urlEnc).mkString(",")
     // a spilled entry renders its sidecar reference in the lineage slot
     val li = e.lineageRef.fold(lineageStr(e.lineage))("@" + _)
-    if (li.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp\t$cc\t$so\t$li"
+    val nk = e.ndvSk.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${urlEnc(k)}=$v" }.mkString(",")
+    if (nk.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp\t$cc\t$so\t$li\t$nk"
+    else if (li.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp\t$cc\t$so\t$li"
     else if (so.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp\t$cc\t$so"
     else if (cc.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp\t$cc"
     else if (sp.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp"
@@ -3245,22 +3298,27 @@ object ManifestSink {
       val st = readState(root)
       val existingSchema = st.schema
       existingSchema.foreach { s =>
-        // name+type compatibility; nullability flags may legitimately differ
-        // between a DataFrame schema and the stored one
+        // name+type compatibility; nullability flags may legitimately
+        // differ between a DataFrame schema and the stored one — and for
+        // nested types (array element / map value / struct field) the
+        // flag lives INSIDE the DataType, so the comparison strips it
+        // recursively (an aggregate-produced ARRAY<BIGINT NOT NULL>
+        // appends fine into an ARRAY<BIGINT> column)
         require(truncateFirst ||
-          s.fields.map(f => (f.name, f.dataType)).toSeq ==
-            schema.fields.map(f => (f.name, f.dataType)).toSeq,
+          s.fields.map(f => (f.name, stripNullability(f.dataType))).toSeq ==
+            schema.fields.map(f => (f.name, stripNullability(f.dataType))).toSeq,
           s"append schema $schema does not match table schema $s")
       }
-      // On append the STORED schema wins, with nullability OR-merged: an
-      // incoming non-nullable flag must not re-label a table whose earlier
-      // files may contain nulls (the optimizer would exploit nullable=false
-      // incorrectly); the reverse widening (stored false, incoming true) is
-      // safe and recorded.
+      // On append the STORED schema wins, with nullability OR-merged AT
+      // EVERY NESTING LEVEL: an incoming non-nullable flag must not
+      // re-label a table whose earlier files may contain nulls (the
+      // optimizer would exploit nullable=false incorrectly); the reverse
+      // widening (stored false, incoming true) is safe and recorded.
       val schemaToStore = existingSchema match {
         case Some(s) if !truncateFirst =>
           StructType(s.fields.zip(schema.fields).map { case (sf, nf) =>
-            sf.copy(nullable = sf.nullable || nf.nullable)
+            sf.copy(dataType = orNullability(sf.dataType, nf.dataType),
+              nullable = sf.nullable || nf.nullable)
           })
         case _ => schema
       }
@@ -3586,6 +3644,7 @@ object ManifestSink {
             sups = e.sups.map { case (k, v) => (if (k == from) to else k, v) },
             ndvs = renameKeys(e.ndvs, from, to),
             nulls = renameKeys(e.nulls, from, to),
+            ndvSk = e.ndvSk.map { case (k, v) => (if (k == from) to else k, v) },
             sorted = e.sorted.map(c => if (c == from) to else c)))
         case u: TableChange.UpdateColumnType =>
           // TYPE WIDENING, metadata-only (the long-lived-table change):
@@ -3633,6 +3692,7 @@ object ManifestSink {
               blooms = e.blooms - name,
               slows = e.slows - name, sups = e.sups - name,
               ndvs = e.ndvs - name, nulls = e.nulls - name,
+              ndvSk = e.ndvSk - name,
               // a dropped column truncates the attestation AT the drop:
               // ordering under the surviving prefix still holds, the
               // suffix beyond it is meaningless
@@ -3768,7 +3828,8 @@ object ManifestSink {
       case _ => Seq.empty
     }.map(c => FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts,
       blooms = c.blooms, slows = c.slows, sups = c.sups,
-      ndvs = c.ndvs, nulls = c.nulls, sorted = c.sorted, lineage = c.lineage))
+      ndvs = c.ndvs, nulls = c.nulls, sorted = c.sorted, lineage = c.lineage,
+      ndvSk = c.ndvSk))
 
   private[sources] def commitFileNames(messages: Iterable[WriterCommitMessage]): Seq[String] =
     messages.toSeq.flatMap {
@@ -3873,7 +3934,8 @@ object ManifestSink {
           blooms = stats.blooms, slows = stats.strLowers, sups = stats.strUppers,
           seq = st.version + 1L, specId = e.specId,
           ndvs = stats.intNdvs, nulls = stats.nullCounts,
-          sorted = stats.sortedBy, lineage = remap.segments)
+          sorted = stats.sortedBy, lineage = remap.segments,
+          ndvSk = stats.ndvSketches)
       }
     }.filter(_.rows > 0L)
     try publish(root, st.version,
@@ -3996,11 +4058,16 @@ object ManifestSink {
         sups = mergeStrUppers(bin.map(_.sups)),
         specId = bin.head.specId,
         // null counts sum exactly (bin members carry no DVs — DV'd
-        // entries purge separately); NDVs do not merge and stay absent
+        // entries purge separately); exact NDVs do not merge and stay
+        // absent, but the HLL sketches merge losslessly by register max
         nulls = {
           val nullKeys = bin.map(_.nulls.keySet).reduce(_ intersect _)
           nullKeys.map(k => k -> bin.map(_.nulls(k)).sum).toMap
         },
+        ndvSk = bin.map(_.ndvSk.keySet).reduce(_ intersect _).toSeq.map { k =>
+          k -> NdvSketch.encode(
+            bin.map(e => NdvSketch.decode(e.ndvSk(k))).reduce(NdvSketch.merge))
+        }.toMap,
         // raw row-group concatenation keeps every member's rows at a
         // fixed offset: lineage is the members' segments, shifted
         sorted = mergedSorted, lineage = concatLineage(root, bin))
@@ -4045,7 +4112,8 @@ object ManifestSink {
     FileEntry(newName, kept, stats.intMins, stats.intMaxs, e.parts,
       blooms = stats.blooms, slows = stats.strLowers, sups = stats.strUppers,
       specId = e.specId, ndvs = stats.intNdvs, nulls = stats.nullCounts,
-      sorted = stats.sortedBy, lineage = remap.segments)
+      sorted = stats.sortedBy, lineage = remap.segments,
+      ndvSk = stats.ndvSketches)
   }
 
   /** Structural validation of a partition spec against a schema — the
@@ -4223,7 +4291,7 @@ object ManifestSink {
     val migrated0 = commits.filter(_.rows > 0L).map(c =>
       FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts,
         blooms = c.blooms, slows = c.slows, sups = c.sups, specId = st.specId,
-        ndvs = c.ndvs, nulls = c.nulls, sorted = c.sorted))
+        ndvs = c.ndvs, nulls = c.nulls, sorted = c.sorted, ndvSk = c.ndvSk))
     // the layout migration re-routes rows across files: a non-preserving
     // rewrite, so migrated rows are NEW rows to lineage (fresh ids)
     val (migrated, nextRid) =
@@ -4373,7 +4441,7 @@ object ManifestSink {
         }
       }.collect().toSeq.map(c => FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts,
         blooms = c.blooms, slows = c.slows, sups = c.sups, specId = st.specId,
-        ndvs = c.ndvs, nulls = c.nulls, sorted = c.sorted))
+        ndvs = c.ndvs, nulls = c.nulls, sorted = c.sorted, ndvSk = c.ndvSk))
     }
     // a z-order rewrite REORDERS rows across files: non-preserving, so
     // the rewritten rows are NEW rows to lineage (fresh ids)
@@ -4820,7 +4888,8 @@ object ManifestSink {
         seq = e.seq, specId = e.specId,
         ndvs = stats.intNdvs, nulls = stats.nullCounts,
         // survivors keep their row ids across the copy-on-write rewrite
-        sorted = stats.sortedBy, lineage = remap.segments))
+        sorted = stats.sortedBy, lineage = remap.segments,
+        ndvSk = stats.ndvSketches))
       }
     }
     val rewritten = candidates.zip(replacements).count {
@@ -5637,7 +5706,9 @@ case class ManifestCommit(fileName: String, rows: Long,
     sorted: Seq[String] = Seq.empty,
     // row-lineage segments captured while writing (row-level rewrites
     // only; [[ManifestSink.FreshRowIdMarker]] runs resolve at publish)
-    lineage: Seq[(Long, Long, Long)] = Seq.empty) extends WriterCommitMessage
+    lineage: Seq[(Long, Long, Long)] = Seq.empty,
+    // encoded mergeable NDV sketches ([[NdvSketch]]) per integer column
+    ndvSk: Map[String, String] = Map.empty) extends WriterCommitMessage
 
 /** A partition-fanout task's commit: one [[ManifestCommit]] per data
   * file it opened (one per distinct partition tuple it received). */
@@ -6200,7 +6271,8 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
     out.close() // forces creation even for an empty task: footer-only file
     ManifestCommit(fileName, rows, stats.intMins, stats.intMaxs, parts,
       stats.blooms, stats.strLowers, stats.strUppers,
-      stats.intNdvs, stats.nullCounts, stats.sortedBy, capturedLineage)
+      stats.intNdvs, stats.nullCounts, stats.sortedBy, capturedLineage,
+      stats.ndvSketches)
   }
   override def abort(): Unit = {
     try out.close() catch { case _: Throwable => () }
@@ -6858,11 +6930,22 @@ class ManifestScan(root: Path, fileSchema: StructType, schema: StructType,
             // identity keys: EXACT — the distinct tuple count
             Some(es.map(_.parts(name)).distinct
               .count(_ != ManifestSink.NullPartValue).toLong)
+          else if (es.size == 1 && es.head.ndvs.contains(name))
+            // single clean file: the per-file count IS the table NDV
+            Some(es.head.ndvs(name))
+          else if (es.forall(_.ndvSk.contains(name)))
+            // data columns, multi-file: merge the HLL sketches FIRST
+            // and estimate once — cross-file duplicates deduplicate,
+            // unlike the exact-count sum (which can only overestimate)
+            Some(math.min(
+              NdvSketch.estimate(es.map(e => NdvSketch.decode(e.ndvSk(name)))
+                .reduce(NdvSketch.merge)),
+              es.map(_.liveRows).sum))
           else if (es.forall(_.ndvs.contains(name)))
-            // data columns: per-file exact counts fold to an UPPER
-            // bound (sum, capped at live rows) — overestimated NDV
-            // biases CBO toward shuffles over broadcasts, the
-            // conservative direction
+            // legacy files without sketches: per-file exact counts fold
+            // to an UPPER bound (sum, capped at live rows) —
+            // overestimated NDV biases CBO toward shuffles over
+            // broadcasts, the conservative direction
             Some(math.min(es.map(_.ndvs(name)).sum, es.map(_.liveRows).sum))
           else None
         val nulls: Option[Long] =

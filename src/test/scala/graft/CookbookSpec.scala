@@ -207,7 +207,9 @@ class CookbookSpec extends AnyFunSuite {
 
     val stats = spark.sql("SELECT * FROM ck15.db.t.stats")
       .collect().map(r => r.getString(0) -> r).toMap
-    assert(stats("id").getLong(1) == 25L) // NDV from per-file counts
+    // multi-file NDV answers from the MERGED per-file HLL sketches
+    // (deterministic, ~6.5% standard error; true distinct count is 25)
+    assert(math.abs(stats("id").getLong(1) - 25L) <= 3L, s"ndv: ${stats("id")}")
 
     spark.conf.set("graft.scan.bin-rows", "1048576")
     try assert(spark.table("ck15.db.t").rdd.getNumPartitions >= 1)

@@ -247,4 +247,22 @@ class AlterTableSpec extends AnyFunSuite {
         "WHERE d = DATE'2024-02-29'").collect().head
     assert((sums.getLong(0), sums.getString(1)) == ((2L, "3.00")), s"got $sums")
   }
+
+  test("append accepts nullability-narrower NESTED types; stored schema stays nullable") {
+    // an aggregate-produced ARRAY<BIGINT NOT NULL> must append into an
+    // ARRAY<BIGINT> column: the flag lives inside the DataType, so the
+    // compatibility check strips nullability recursively and the stored
+    // schema keeps (ORs) its nullable shape
+    spark.sql("CREATE TABLE acat.db.nn (k BIGINT, vs ARRAY<BIGINT>)")
+    spark.range(0, 12)
+      .groupBy((org.apache.spark.sql.functions.col("id") % 3).as("k"))
+      .agg(org.apache.spark.sql.functions.collect_list("id").as("vs"))
+      .writeTo("acat.db.nn").append()
+    assert(spark.sql("SELECT sum(size(vs)) FROM acat.db.nn").collect()
+      .head.getLong(0) == 12L)
+    val stored = spark.table("acat.db.nn").schema("vs").dataType
+    assert(stored == org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = true),
+      s"stored element nullability must not narrow: $stored")
+  }
 }

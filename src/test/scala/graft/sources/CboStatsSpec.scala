@@ -48,10 +48,12 @@ class CboStatsSpec extends AnyFunSuite {
       assert(k.nullCount.contains(BigInt(0)), s"k stats: $k")
       val v = byName("v")
       assert(v.min.contains(0L) && v.max.contains(693L), s"v stats: $v")
-      // data-column counts from the per-file manifest stats: 5 files ×
-      // 20 distinct v fold to the (here exact) 100; zero nulls is a
-      // recorded zero, not an absence
-      assert(v.distinctCount.contains(BigInt(100)), s"v stats: $v")
+      // data-column counts now answer from the MERGED per-file HLL
+      // sketches (deterministic; ~6.5% standard error): 5 files × 20
+      // distinct v estimate the true 100 within the sketch band. Zero
+      // nulls is a recorded zero, not an absence.
+      assert(v.distinctCount.exists(d => d >= BigInt(90) && d <= BigInt(110)),
+        s"v stats: $v")
       assert(v.nullCount.contains(BigInt(0)), s"v stats: $v")
       // the string column reports its (exact) null count but no
       // integer bounds
@@ -83,7 +85,8 @@ class CboStatsSpec extends AnyFunSuite {
     assert(k.getLong(1) === 5L && k.getBoolean(2), s"k: $k") // exact NDV
     assert(k.getLong(3) === 0L && k.getLong(4) === 0L && k.getLong(5) === 4L)
     val v = rows("v")
-    assert(v.getLong(1) === 100L && !v.getBoolean(2), s"v: $v") // folded bound
+    // multi-file data column: merged-sketch estimate, flagged inexact
+    assert(v.getLong(1) >= 90L && v.getLong(1) <= 110L && !v.getBoolean(2), s"v: $v")
     assert(v.getLong(3) === 0L && v.getLong(4) === 0L && v.getLong(5) === 693L)
     val s = rows("s")
     assert(s.isNullAt(1) && s.getLong(3) === 0L && s.isNullAt(4), s"s: $s")
