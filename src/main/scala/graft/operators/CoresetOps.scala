@@ -40,6 +40,10 @@ object CoresetOps {
   /** Selection rounds AFTER the seed — fixed so the oracle replays the
     * same count. */
   val CoresetRounds = 5
+  /** q184 keep rate: the hardest KeepPct% of each cluster survives —
+    * Sorscher et al.'s data-abundant regime rule (keep hard examples;
+    * easy/prototypical ones are the redundant mass). */
+  val KeepPct = 70
 
   /** Exact integer squared L2 distance from `qvec` to a literal
     * center. */
@@ -77,6 +81,41 @@ object CoresetOps {
       import s.implicits._
       kCenterGreedy(Tables.embeddings(s, dir), CoresetRounds)
         .toDF("sel_order", "vec_id", "dist").orderBy("sel_order")
+    }),
+
+    // PROTOTYPE-BASED DATA PRUNING (Sorscher et al. 2022, "Beyond
+    // neural scaling laws: beating power law scaling via data
+    // pruning"): the paper's self-supervised metric — distance to the
+    // assigned k-means prototype — ranked WITHIN each cluster, keeping
+    // the hardest KeepPct% (when data is abundant, prototypical
+    // examples are the redundant mass; pruning them beats random and
+    // can beat the power law). Composes the q139-trained codebook the
+    // way q106/q48/q134 do: one broadcast assignment pass + one
+    // cluster-keyed window — no pairwise work, linear at any corpus
+    // size. Integer d2 over milli-unit cells, so the verdicts (and
+    // every tie-break) replay exactly in the oracle.
+    "q184_prototype_pruning" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val qemb = SimilarityOps.quantized(Tables.embeddings(s, dir))
+      val cents = s.table(SimilarityOps.codebookTable(s, dir))
+      val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
+      val assigned = qemb.join(broadcast(cents))
+        .withColumn("d2", aggregate(
+          zip_with(col("qvec"), col("cvec"), (x, c) => (x - c) * (x - c)),
+          lit(0L), (acc, v) => acc + v))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cluster"), col("d2"))
+      val wH = Window.partitionBy("cluster").orderBy(col("d2").desc, col("vec_id"))
+      val wC = Window.partitionBy("cluster")
+      assigned
+        .withColumn("hard_rank", row_number().over(wH).cast("long"))
+        .withColumn("csz", count(lit(1)).over(wC))
+        .withColumn("verdict",
+          when(col("hard_rank") * 100 <= col("csz") * KeepPct, "keep")
+            .otherwise("drop"))
+        .select("vec_id", "cluster", "d2", "hard_rank", "csz", "verdict")
+        .orderBy("vec_id")
     }))
 
   // ---- DuckDB oracle ------------------------------------------------------
@@ -108,7 +147,34 @@ object CoresetOps {
     val picks = (2 to CoresetRounds + 1)
       .map(i => s"SELECT $i AS sel_order, vec_id, d AS dist FROM p$i")
       .mkString("\nUNION ALL ")
+    val t = SimilarityOps.KmIters
     Map(
+      // fresh assignment against the FINAL trained centroids (what a
+      // codebook-table consumer computes), then the per-cluster
+      // hardness rank — shares q139's Lloyd CTEs verbatim
+      "q184_prototype_pruning" ->
+        s"""WITH ${SimilarityOps.kmeansCtesSql},
+           |cT AS MATERIALIZED (SELECT cluster, dim, c FROM c$t),
+           |dF AS (
+           |  SELECT q.vec_id, c.cluster, sum((q.x - c.c) * (q.x - c.c)) AS d2
+           |  FROM qv q JOIN cT c USING (dim) GROUP BY 1, 2),
+           |aF AS MATERIALIZED (
+           |  SELECT vec_id, cluster, d2 FROM (
+           |    SELECT vec_id, cluster, d2, row_number()
+           |      OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+           |    FROM dF) WHERE rn = 1)
+           |SELECT vec_id, cluster, CAST(d2 AS BIGINT) AS d2,
+           |  CAST(hard_rank AS BIGINT) AS hard_rank,
+           |  CAST(csz AS BIGINT) AS csz,
+           |  CASE WHEN hard_rank * 100 <= csz * $KeepPct
+           |    THEN 'keep' ELSE 'drop' END AS verdict
+           |FROM (
+           |  SELECT vec_id, cluster, d2,
+           |    row_number() OVER (PARTITION BY cluster ORDER BY d2 DESC, vec_id)
+           |      AS hard_rank,
+           |    count(*) OVER (PARTITION BY cluster) AS csz
+           |  FROM aF)
+           |ORDER BY vec_id""".stripMargin,
       "q179_kcenter_coreset" ->
         s"""WITH qv AS MATERIALIZED (
            |  SELECT vec_id, d.d AS j,

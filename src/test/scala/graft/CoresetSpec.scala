@@ -79,4 +79,28 @@ class CoresetSpec extends AnyFunSuite {
     assert(CoresetOps.kCenterGreedy(shuffled, CoresetOps.CoresetRounds) ==
       CoresetOps.kCenterGreedy(emb, CoresetOps.CoresetRounds))
   }
+
+  test("q184 prototype pruning: exact keep quota, hardness dominance, total coverage") {
+    val dir = TestSpark.sfDir
+    val rows = CoresetOps.queries("q184_prototype_pruning")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    // every corpus vector verdicted exactly once
+    val n = graft.engine.Tables.embeddings(spark, dir).count()
+    assert(rows.length.toLong == n && rows.map(_._1).distinct.length.toLong == n)
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      val csz = members.head._5
+      assert(csz == members.length.toLong, s"csz must be the cluster size: $cl")
+      // keep quota is exactly floor(csz * KeepPct / 100)
+      val kept = members.filter(_._6 == "keep")
+      assert(kept.length.toLong == csz * CoresetOps.KeepPct / 100,
+        s"cluster $cl keep quota")
+      // dominance: every kept example is at least as hard (far from the
+      // prototype) as every dropped one
+      val dropped = members.filter(_._6 == "drop")
+      if (kept.nonEmpty && dropped.nonEmpty)
+        assert(kept.map(_._3).min >= dropped.map(_._3).max,
+          s"cluster $cl hardness dominance")
+    }
+  }
 }
