@@ -1298,8 +1298,12 @@ object ManifestSink {
     private val ndvAt = ndvSets.map(_._2)
     // mergeable HLL registers alongside the exact sets — NEVER capped:
     // fixed 256 bytes per column at any file size, and register-max
-    // merging is what lets compaction keep distinct-count stats
+    // merging is what lets compaction keep distinct-count stats.
+    // String columns sketch too (the only NDV signal they have): the
+    // 64-bit value identity is the same (h1, h2) fingerprint the blooms
+    // store, mixed once more before the register probe
     private val ndvSkAt: Seq[Array[Byte]] = intCols.map(_ => NdvSketch.empty())
+    private val strSkAt: Seq[Array[Byte]] = strCols.map(_ => NdvSketch.empty())
 
     def add(row: InternalRow): Unit = {
       if (sortOk) checkSorted(row)
@@ -1315,14 +1319,19 @@ object ManifestSink {
         } else nullCnt.updateWith(f.name)(o => Some(o.fold(1L)(_ + 1L)))
         ic += 1
       }
+      var sc = 0
       strCols.foreach { case (name, i) =>
         if (!row.isNullAt(i)) {
-          val t = truncCp(row.getUTF8String(i).toString, strBoundLen + 1)
+          val raw = row.getUTF8String(i).toString
+          NdvSketch.add(strSkAt(sc),
+            (bloomHash1(raw).toLong << 32) | (bloomHash2(raw).toLong & 0xffffffffL))
+          val t = truncCp(raw, strBoundLen + 1)
           sMin.updateWith(name)(o => Some(o.fold(t)(m =>
             if (utf8Compare(t, m) < 0) t else m)))
           sMax.updateWith(name)(o => Some(o.fold(t)(m =>
             if (utf8Compare(t, m) > 0) t else m)))
         } else nullCnt.updateWith(name)(o => Some(o.fold(1L)(_ + 1L)))
+        sc += 1
       }
       bloomAt.foreach { case (_, i, fps) =>
         // stop collecting past the omission threshold — the column
@@ -1353,7 +1362,7 @@ object ManifestSink {
     /** Encoded HLL sketch per integer column — present even when the
       * exact set overflowed (the sketch never goes silent). */
     def ndvSketches: Map[String, String] =
-      ndvSets.map(_._1).zip(ndvSkAt).map {
+      (ndvSets.map(_._1).zip(ndvSkAt) ++ strCols.map(_._1).zip(strSkAt)).map {
         case (c, r) => c -> NdvSketch.encode(r)
       }.toMap
     def strLowers: Map[String, String] =

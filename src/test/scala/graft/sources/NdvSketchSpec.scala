@@ -101,6 +101,17 @@ class NdvSketchSpec extends AnyFunSuite {
       s"estimate unchanged through compaction: $pre -> $post")
   }
 
+  test("string columns get a distinct count — the only NDV signal they have") {
+    wh
+    spark.sql("CREATE TABLE ndvsk.db.s (k BIGINT, s STRING)")
+    // two overlapping appends: 120 distinct strings total, 80 per file
+    spark.sql("INSERT INTO ndvsk.db.s SELECT id, concat('u', id % 80) FROM range(160)")
+    spark.sql("INSERT INTO ndvsk.db.s SELECT id, concat('u', 40 + id % 80) FROM range(160)")
+    val (ndv, exact) = tableNdv("s", "s")
+    assert(!exact && ndv.exists(e => math.abs(e - 120L) <= 12L),
+      s"string NDV from merged sketches: $ndv (true 120)")
+  }
+
   test("sketches ride renames and drops like the other column stats") {
     wh
     spark.sql("CREATE TABLE ndvsk.db.r (a BIGINT, b BIGINT)")
