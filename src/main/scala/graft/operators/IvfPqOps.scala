@@ -195,8 +195,7 @@ object IvfPqOps {
         "TBLPROPERTIES ('write.sort-by' = 'cell')")
       s.sql(s"CREATE TABLE graft.$ns.ivfpq_pqc " +
         "(sub BIGINT, code BIGINT, cv ARRAY<BIGINT>)")
-      val cents = s.table(SimilarityOps.codebookTable(s, dir))
-      val (pqc, codes, _) = ivfpqFit(Tables.embeddings(s, dir), cents)
+      val (pqc, codes, _) = fitFixture(s, dir)
       codes.groupBy(col("vec_id"), col("cluster").as("cell"))
         .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
           e => e.getField("code")).as("codes"))
@@ -218,12 +217,19 @@ object IvfPqOps {
   private def fixtureCents(s: SparkSession, dir: String): DataFrame =
     s.table(SimilarityOps.codebookTable(s, dir))
 
+  /** The fixture residual-PQ fit, trained once per (application, dir)
+    * and shared by q181, q182 and [[codesTables]]'s build. */
+  private def fitFixture(s: SparkSession, dir: String):
+      (DataFrame, DataFrame, DataFrame) =
+    SimilarityOps.memoFit(s, dir, "ivfpqfit")(
+      ivfpqFit(Tables.embeddings(s, dir), fixtureCents(s, dir)))
+
   def queries: Map[String, Q] = Map(
     // IVFPQ TRAINING: residual-PQ codebook health per (sub, code) — a
     // mismatch pinpoints whether the coarse assignment, the residual,
     // or a Lloyd round diverged.
     "q181_ivfpq_train" -> ((s, dir) => {
-      val (pqc, _, assigned) = ivfpqFit(Tables.embeddings(s, dir), fixtureCents(s, dir))
+      val (pqc, _, assigned) = fitFixture(s, dir)
       val stats = assigned.groupBy("sub", "code").agg(
         count(lit(1)).as("n"),
         sum(col("d2")).as("inertia_q"))
@@ -237,8 +243,19 @@ object IvfPqOps {
     // (ties by vec_id; the probe itself excluded).
     "q182_ivfpq_search" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      ivfpqSearch(emb, fixtureCents(s, dir),
-        emb.filter(col("vec_id") < IvfProbes), NProbeCells, IvfTopK)
+      val cents = fixtureCents(s, dir)
+      val (pqc, codes, _) = fitFixture(s, dir)
+      val probed = probedResiduals(emb.filter(col("vec_id") < IvfProbes),
+        cents, NProbeCells)
+      val dtab = distTable(probed, pqc, PqOps.M, PqOps.SubDim)
+      val wTop = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+      codes.join(broadcast(dtab), Seq("cluster", "sub", "code"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy(col("qid"), col("vec_id"), col("cluster").as("cell"))
+        .agg(sum(col("d")).as("adist"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= IvfTopK)
+        .select(col("qid"), col("rank"), col("vec_id"), col("cell"), col("adist"))
         .orderBy("qid", "rank")
     }),
     // IVFPQ INDEX AT REST: the same search answered from the persisted

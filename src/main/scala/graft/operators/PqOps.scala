@@ -74,6 +74,13 @@ object PqOps {
       iters: Int): (DataFrame, DataFrame) =
     pqFitQ(SimilarityOps.quantized(emb), m, subDim, ksub, iters, "pq:")
 
+  /** The fixture corpus PQ fit, trained once per (application, dir) and
+    * shared by q174 and q175 — the session-staged training contract
+    * ([[SimilarityOps.memoFit]]). */
+  private[graft] def pqFitFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    SimilarityOps.memoFit(s, dir, "pqfit")(
+      pqFit(Tables.embeddings(s, dir), M, SubDim, Ksub, PqIters))
+
   /** [[pqFit]] over a pre-quantized integer frame, with the seed-hash
     * tag a parameter so independent trainings (raw PQ vs IVF residual
     * PQ) rank their seed vectors by distinct hash streams. */
@@ -146,7 +153,7 @@ object PqOps {
     // a mismatch pinpoints whether assignment or update diverged, per
     // subspace.
     "q174_pq_train" -> ((s, dir) => {
-      val (cents, assigned) = pqFit(Tables.embeddings(s, dir), M, SubDim, Ksub, PqIters)
+      val (cents, assigned) = pqFitFixture(s, dir)
       val stats = assigned.groupBy("sub", "code").agg(
         count(lit(1)).as("n"),
         sum(col("d2")).as("inertia_q"))
@@ -160,7 +167,7 @@ object PqOps {
     // itself excluded). The corpus side of the join carries CODES only.
     "q175_pq_search" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val (cents, assigned) = pqFit(emb, M, SubDim, Ksub, PqIters)
+      val (cents, assigned) = pqFitFixture(s, dir)
       val probes = subvecs(emb.filter(col("vec_id") < PqProbes), M, SubDim)
       adcSearch(cents, assigned, probes, PqTopK).orderBy("qid", "rank")
     }))

@@ -305,8 +305,10 @@ object SimilarityOps {
     // shape, linear at any corpus size, centroids checkpointed per round
     // to keep lineage flat. Output: per-cluster population, id range,
     // inertia under the final assignment, and exact centroid checksums.
-    "q139_kmeans_train" -> ((s, dir) =>
-      kmeansTrain(Tables.embeddings(s, dir), centroidsFor(s), KmIters)),
+    "q139_kmeans_train" -> ((s, dir) => {
+      val (cents, assigned) = kmeansFitMemo(s, dir, centroidsFor(s))
+      kmeansStats(cents, assigned)
+    }),
 
     // ANN index AT REST: the LSH bucket becomes the table's physical
     // layout, composing two proven features — q45's bucketing and the
@@ -503,6 +505,19 @@ object SimilarityOps {
     * embeddings manifest table behind q140 — the memo keeps plan-only
     * inspection (PlanAudit) from re-running the write. Returns the
     * table's three-part name. */
+
+  /** Session-scoped memo for deterministic TRAINING artifacts: the
+    * Lloyd/PQ fits are pure functions of (fixture dir, hyperparams), so
+    * queries sharing one (q139 + the codebook consumers, q174/q175,
+    * q181/q182/q183's build) pay the training ONCE per application —
+    * the same "session-staged" contract as q90's LSH pairs. The fits
+    * localCheckpoint their outputs, so reuse reads materialized blocks. */
+  private val fitMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), AnyRef]()
+  private[graft] def memoFit[T <: AnyRef](s: SparkSession, dir: String,
+      tag: String)(f: => T): T =
+    fitMemo.computeIfAbsent((s.sparkContext.applicationId, dir, tag),
+      _ => f).asInstanceOf[T]
 
   /** Once-per-key staging that UN-POISONS on failure: a mid-build crash
     * removes the memo key so the next caller retries instead of
@@ -723,6 +738,10 @@ object SimilarityOps {
 
   private[graft] def kmeansTrain(emb: DataFrame, k: Int, iters: Int): DataFrame = {
     val (cents, assigned) = kmeansFit(emb, k, iters)
+    kmeansStats(cents, assigned)
+  }
+
+  private def kmeansStats(cents: DataFrame, assigned: DataFrame): DataFrame = {
     val stats = assigned.groupBy("cluster").agg(
       count(lit(1)).as("n"),
       min(col("vec_id")).as("min_vec"),
@@ -733,6 +752,12 @@ object SimilarityOps {
       aggregate(col("cvec"), lit(0L), (a, v) => a + v * v).as("cnorm2"))
     stats.join(broadcast(sums), Seq("cluster")).orderBy("cluster")
   }
+
+  /** The fixture corpus Lloyd fit, trained once per (application, dir,
+    * k) and shared by q139 and [[codebookTable]]. */
+  private[graft] def kmeansFitMemo(s: SparkSession, dir: String,
+      k: Int): (DataFrame, DataFrame) =
+    memoFit(s, dir, s"kmfit:$k")(kmeansFit(Tables.embeddings(s, dir), k, KmIters))
 
   /** Once-per-(application, sf-dir) TRAINED CODEBOOK at rest: q139's
     * Lloyd output persisted as a manifest table — (cluster, quantized
@@ -754,7 +779,7 @@ object SimilarityOps {
     buildOnce(codebookBuilt, (s.sparkContext.applicationId, dir, k)) {
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
       s.sql(s"CREATE TABLE graft.$ns.codebook_k$k (cluster BIGINT, cvec ARRAY<BIGINT>)")
-      val (cents, _) = kmeansFit(Tables.embeddings(s, dir), k, KmIters)
+      val (cents, _) = kmeansFitMemo(s, dir, k)
       cents.writeTo(s"graft.$ns.codebook_k$k").append()
     }
     s"graft.$ns.codebook_k$k"
