@@ -88,6 +88,37 @@ object IvfPqOps {
     (pqc, codes, assigned)
   }
 
+  /** Fresh PQ-code assignment of pre-split subvectors against a FROZEN
+    * codebook: (vec_id, sub, code). The index-maintenance encode — a
+    * pure function of (vector, codebook), which is what makes
+    * incremental maintenance EXACT (delta encodes equal a full
+    * re-encode). */
+  private[graft] def encodeAgainst(sv: DataFrame, pqc: DataFrame): DataFrame = {
+    val wA = Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("code"))
+    sv.join(broadcast(pqc), Seq("sub"))
+      .withColumn("d2", aggregate(
+        zip_with(col("sv"), col("cv"), (x, c) => (x - c) * (x - c)),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("rn", row_number().over(wA))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("sub"), col("code"))
+  }
+
+  /** Fresh full encode of an embeddings frame against frozen coarse +
+    * residual codebooks: (vec_id, cell, codes ARRAY). Used by the
+    * maintained index for BOTH the create-time snapshot and every
+    * refresh delta — one contract, so incremental == rebuild. */
+  private[graft] def freshEncode(emb: DataFrame, coarse: DataFrame,
+      pqc: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val res = residuals(SimilarityOps.quantized(emb), coarse)
+    val sv = PqOps.subvecsQ(res.select(col("vec_id"), col("rvec").as("qvec")), m, subDim)
+    encodeAgainst(sv, pqc)
+      .join(res.select("vec_id", "cluster"), Seq("vec_id"))
+      .groupBy(col("vec_id"), col("cluster").as("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        e => e.getField("code")).as("codes"))
+  }
+
   /** Probe-side cell selection + per-probed-cell re-offset residuals:
     * (qid, cluster, qrvec). One broadcast of the coarse codebook. */
   private[graft] def probedResiduals(probes: DataFrame, cents: DataFrame,
@@ -205,6 +236,39 @@ object IvfPqOps {
     (s"graft.$ns.ivfpq_codes", s"graft.$ns.ivfpq_pqc")
   }
 
+  /** Once-per-(application, sf-dir) INCREMENTALLY-MAINTAINED IVFPQ
+    * index: the embeddings land in a manifest table in TWO batches
+    * (even vec_ids, then odd) with an
+    * [[graft.sources.AnnIndexMaintenance.refresh]] after each — the
+    * production ANN-ingest loop exercised inside the correctness gate.
+    * Codebooks train on batch 1 ONLY (create-time snapshot) and stay
+    * frozen; the oracle replays that training and a from-scratch
+    * re-encode of the full corpus, so a double-applied window, missed
+    * vector, or silently retrained codebook all hash-fail. */
+  private val annmBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+  private[graft] def maintainedAnnIndex(s: SparkSession, dir: String): String = {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+      s.sparkContext.applicationId
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val ns = s"db${Integer.toHexString(dir.hashCode)}"
+    buildOnce(annmBuilt, (s.sparkContext.applicationId, dir)) {
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      s.sql(s"CREATE TABLE graft.$ns.emb_m (vec_id BIGINT, embedding ARRAY<FLOAT>)")
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      emb.filter(col("vec_id") % 2 === 0)
+        .writeTo(s"graft.$ns.emb_m").append()
+      graft.sources.AnnIndexMaintenance.createIndex(
+        s, "graft", s"$ns.emb_m", s"$ns.annidx_m")
+      emb.filter(col("vec_id") % 2 === 1)
+        .writeTo(s"graft.$ns.emb_m").append()
+      graft.sources.AnnIndexMaintenance.refresh(
+        s, "graft", s"$ns.emb_m", s"$ns.annidx_m")
+    }
+    s"graft.$ns.annidx_m"
+  }
+
   /** [[SimilarityOps.buildOnce]]'s un-poisoning contract, local copy. */
   private def buildOnce[K](set: java.util.Set[K], key: K)(build: => Unit): Unit =
     if (set.add(key)) {
@@ -268,6 +332,18 @@ object IvfPqOps {
         emb.filter(col("vec_id") < IvfProbes), NProbeCells, IvfTopK,
         PqOps.M, PqOps.SubDim)
         .orderBy("qid", "rank")
+    }),
+    // INCREMENTALLY-MAINTAINED ANN INDEX: two arrival batches, one
+    // refresh each against FROZEN batch-1 codebooks; output is the
+    // maintained codes table in long form, hash-matched against the
+    // oracle's from-scratch training + full re-encode.
+    "q185_ann_maintained" -> ((s, dir) => {
+      val t = maintainedAnnIndex(s, dir)
+      s.table(t)
+        .select(col("vec_id"), col("cell"), posexplode(col("codes")))
+        .select(col("vec_id"), col("cell"),
+          col("pos").cast("long").as("sub"), col("col").as("code"))
+        .orderBy("vec_id", "sub")
     }))
 
   // ---- DuckDB oracle ------------------------------------------------------
@@ -382,6 +458,83 @@ object IvfPqOps {
            |ORDER BY qid, rank""".stripMargin)
     // the at-rest layout is an I/O statement, not a semantic one: q183's
     // oracle IS q182's — any drift between the two plans is a bug
-    m + ("q183_ivfpq_at_rest" -> m("q182_ivfpq_search"))
+    m + ("q183_ivfpq_at_rest" -> m("q182_ivfpq_search")) +
+      ("q185_ann_maintained" -> annMaintainedSql)
+  }
+
+  /** q185's from-scratch replay: coarse Lloyd rounds trained on the
+    * EVEN-vec_id batch only (the create-time snapshot —
+    * [[SimilarityOps.kmeansCtesSqlFrom]] parameterizes the training
+    * source), residual-PQ rounds over the even residuals with the
+    * 'annm:' seed stream, then a fresh encode of the FULL corpus against
+    * both frozen codebooks. The maintained table must match bit for bit:
+    * incremental == rebuild is the whole maintenance contract. */
+  private def annMaintainedSql: String = {
+    import graft.functions.HashFunctions.md5Code60Sql
+    val km = SimilarityOps.KmIters
+    val t = PqOps.PqIters
+    val hk = md5Code60Sql("'annm:' || CAST(vec_id AS VARCHAR)")
+    def round(i: Int): String = {
+      val prev = s"pc${i - 1}"
+      s"""pd$i AS MATERIALIZED (
+         |  SELECT s.vec_id, s.sub, c.code, sum((s.x - c.c) * (s.x - c.c)) AS d2
+         |  FROM rsvT s JOIN $prev c ON s.sub = c.sub AND s.sdim = c.sdim
+         |  GROUP BY 1, 2, 3),
+         |pa$i AS MATERIALIZED (
+         |  SELECT vec_id, sub, code, d2 FROM (
+         |    SELECT vec_id, sub, code, d2, row_number()
+         |      OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+         |    FROM pd$i) WHERE rn = 1),
+         |pu$i AS (
+         |  SELECT sub, code, sdim, sx // n AS c FROM (
+         |    SELECT a.sub, a.code, s.sdim, sum(s.x) AS sx, count(*) AS n
+         |    FROM pa$i a JOIN rsvT s ON a.vec_id = s.vec_id AND a.sub = s.sub
+         |    GROUP BY 1, 2, 3)),
+         |pc$i AS MATERIALIZED (
+         |  SELECT p.sub, p.code, p.sdim, coalesce(u.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN pu$i u
+         |    ON p.sub = u.sub AND p.code = u.code AND p.sdim = u.sdim)""".stripMargin
+    }
+    val trainSrc = "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0)"
+    s"""WITH ${SimilarityOps.kmeansCtesSqlFrom(trainSrc)},
+       |cT AS MATERIALIZED (SELECT cluster, dim, c FROM c$km),
+       |qvAll AS MATERIALIZED (
+       |  SELECT vec_id, d.d AS dim,
+       |    CAST(round(CAST(embedding[d.d] AS DOUBLE) * 1000) AS BIGINT) + 1000 AS x
+       |  FROM embeddings, (SELECT unnest(generate_series(1, ${SimilarityOps.Dim})) AS d) d),
+       |dA AS (
+       |  SELECT q.vec_id, c.cluster, sum((q.x - c.c) * (q.x - c.c)) AS d2
+       |  FROM qvAll q JOIN cT c USING (dim) GROUP BY 1, 2),
+       |aA AS MATERIALIZED (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT vec_id, cluster, row_number()
+       |      OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+       |    FROM dA) WHERE rn = 1),
+       |rsvA AS MATERIALIZED (
+       |  SELECT q.vec_id, (q.dim - 1) // ${PqOps.SubDim} AS sub,
+       |    (q.dim - 1) % ${PqOps.SubDim} + 1 AS sdim, q.x - c.c + $ROff AS x
+       |  FROM qvAll q JOIN aA a USING (vec_id)
+       |  JOIN cT c ON a.cluster = c.cluster AND q.dim = c.dim),
+       |rsvT AS MATERIALIZED (SELECT * FROM rsvA WHERE vec_id % 2 = 0),
+       |pseeds AS MATERIALIZED (
+       |  SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS code
+       |  FROM (SELECT vec_id, $hk AS h FROM embeddings WHERE vec_id % 2 = 0)
+       |  ORDER BY h, vec_id LIMIT ${PqOps.Ksub}),
+       |pc0 AS MATERIALIZED (
+       |  SELECT s.sub, se.code, s.sdim, s.x AS c
+       |  FROM pseeds se JOIN rsvT s USING (vec_id)),
+       |${(1 to t).map(round).mkString(",\n")},
+       |pdA AS (
+       |  SELECT r.vec_id, r.sub, p.code, sum((r.x - p.c) * (r.x - p.c)) AS d2
+       |  FROM rsvA r JOIN pc$t p ON r.sub = p.sub AND r.sdim = p.sdim
+       |  GROUP BY 1, 2, 3),
+       |paA AS (
+       |  SELECT vec_id, sub, code FROM (
+       |    SELECT vec_id, sub, code, row_number()
+       |      OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+       |    FROM pdA) WHERE rn = 1)
+       |SELECT p.vec_id, a.cluster AS cell, p.sub, p.code
+       |FROM paA p JOIN aA a USING (vec_id)
+       |ORDER BY p.vec_id, p.sub""".stripMargin
   }
 }

@@ -804,7 +804,12 @@ object SimilarityOps {
     * oracles, which replay the SAME training the Spark side reads from
     * the codebook table. Ends with a$KmIters (final assignment) and
     * c$KmIters (final centroids). */
-  private[operators] def kmeansCtesSql: String = {
+  private[operators] def kmeansCtesSql: String = kmeansCtesSqlFrom("embeddings")
+
+  /** [[kmeansCtesSql]] with the TRAINING SOURCE a parameter — q185
+    * trains its maintained index's codebooks on the first arrival batch
+    * only, so its oracle replays the rounds over that subset. */
+  private[operators] def kmeansCtesSqlFrom(src: String): String = {
     import graft.functions.HashFunctions.md5Code60Sql
     val hk = md5Code60Sql("'km:' || CAST(vec_id AS VARCHAR)")
     def round(i: Int): String = {
@@ -828,10 +833,10 @@ object SimilarityOps {
     s"""qv AS (
        |  SELECT vec_id, d.d AS dim,
        |    CAST(round(CAST(embedding[d.d] AS DOUBLE) * 1000) AS BIGINT) + 1000 AS x
-       |  FROM embeddings, (SELECT unnest(generate_series(1, $Dim)) AS d) d),
+       |  FROM $src src_t, (SELECT unnest(generate_series(1, $Dim)) AS d) d),
        |seeds AS (
        |  SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) - 1 AS cluster
-       |  FROM (SELECT vec_id, $hk AS h FROM embeddings)
+       |  FROM (SELECT vec_id, $hk AS h FROM $src src_s)
        |  ORDER BY h, vec_id LIMIT $NumCentroids),
        |c0 AS (SELECT s.cluster, q.dim, q.x AS c FROM seeds s JOIN qv q USING (vec_id)),
        |${(1 to KmIters).map(round).mkString(",\n")}""".stripMargin
