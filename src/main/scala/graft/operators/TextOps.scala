@@ -97,6 +97,57 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // GOPHER QUALITY RULE PACK (Rae et al. 2022, Appendix A — the
+    // published per-document heuristics production web pipelines apply
+    // verbatim): word-count bounds, mean-word-length band, symbol-to-
+    // word ratio (# and ellipsis), bullet/ellipsis line fractions,
+    // alphabetic-word share, and the >=2-distinct-stopwords requirement.
+    // Every rule is integer-exact (ratios compare as cross-multiplied
+    // integers, never floats), so the verdict — and each per-rule flag,
+    // which is what a curation pipeline logs for drift dashboards —
+    // replays bit-for-bit in any engine. One scan, one projection: the
+    // rule pack is embarrassingly parallel at any corpus size.
+    "q186_gopher_rules" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t != '')").as("toks"),
+          col("text"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_words"),
+          expr("aggregate(toks, 0L, (a, w) -> a + length(w))").as("sum_len"),
+          (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+            .cast("long").as("n_hash"),
+          ((length(col("text")) -
+            length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+            .cast("long").as("n_ellipsis"),
+          expr("size(filter(split(text, '\n'), l -> l LIKE '- %' OR l LIKE '* %'))")
+            .cast("long").as("bullet_lines"),
+          expr("size(split(text, '\n'))").cast("long").as("n_lines"),
+          expr("size(filter(split(text, '\n'), l -> l LIKE '%...'))")
+            .cast("long").as("ellipsis_lines"),
+          expr("size(filter(toks, w -> w rlike '[A-Za-z]'))")
+            .cast("long").as("alpha_words"),
+          expr("size(array_intersect(array_distinct(toks), " +
+            "array('the','be','to','of','and','that','have','with')))")
+            .cast("long").as("stop_hits"))
+        .withColumn("ok_words",
+          col("n_words") >= 50 && col("n_words") <= 100000)
+        .withColumn("ok_wordlen",
+          col("sum_len") >= col("n_words") * 3 &&
+            col("sum_len") <= col("n_words") * 10)
+        .withColumn("ok_symbols",
+          (col("n_hash") + col("n_ellipsis")) * 10 <= col("n_words"))
+        .withColumn("ok_lines",
+          col("bullet_lines") * 10 <= col("n_lines") * 9 &&
+            col("ellipsis_lines") * 10 <= col("n_lines") * 3)
+        .withColumn("ok_alpha", col("alpha_words") * 5 >= col("n_words") * 4)
+        .withColumn("ok_stop", col("stop_hits") >= 2)
+        .withColumn("keep",
+          col("ok_words") && col("ok_wordlen") && col("ok_symbols") &&
+            col("ok_lines") && col("ok_alpha") && col("ok_stop"))
+        .orderBy("doc_id")
+    }),
+
     "q53_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("doc_id"), rollingFingerprint(col("text")).as("fp"))
@@ -205,6 +256,44 @@ object TextOps {
   private val toksSql = "string_split(text,' ')"
 
   val oracle: Map[String, String] = Map(
+    "q186_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t != '') AS toks,
+        |    text
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(coalesce(list_sum(list_transform(toks, w -> strlen(w))), 0)
+        |      AS BIGINT) AS sum_len,
+        |    CAST(strlen(text) - strlen(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |    CAST((strlen(text) - strlen(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS n_ellipsis,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS bullet_lines,
+        |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(string_split(text, chr(10)),
+        |      l -> l LIKE '%...')) AS BIGINT) AS ellipsis_lines,
+        |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+        |      AS BIGINT) AS alpha_words,
+        |    CAST(len(list_intersect(list_distinct(toks),
+        |      ['the','be','to','of','and','that','have','with']))
+        |      AS BIGINT) AS stop_hits
+        |  FROM base)
+        |SELECT *,
+        |  (ok_words AND ok_wordlen AND ok_symbols AND ok_lines
+        |   AND ok_alpha AND ok_stop) AS keep
+        |FROM (
+        |  SELECT *,
+        |    (n_words >= 50 AND n_words <= 100000) AS ok_words,
+        |    (sum_len >= n_words * 3 AND sum_len <= n_words * 10) AS ok_wordlen,
+        |    ((n_hash + n_ellipsis) * 10 <= n_words) AS ok_symbols,
+        |    (bullet_lines * 10 <= n_lines * 9
+        |     AND ellipsis_lines * 10 <= n_lines * 3) AS ok_lines,
+        |    (alpha_words * 5 >= n_words * 4) AS ok_alpha,
+        |    (stop_hits >= 2) AS ok_stop
+        |  FROM m) ORDER BY doc_id""".stripMargin,
     "q50_token_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
          |  CAST(sum(len($toksSql)) AS BIGINT) AS sum_tokens,

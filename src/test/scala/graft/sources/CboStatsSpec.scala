@@ -89,7 +89,10 @@ class CboStatsSpec extends AnyFunSuite {
     assert(v.getLong(1) >= 90L && v.getLong(1) <= 110L && !v.getBoolean(2), s"v: $v")
     assert(v.getLong(3) === 0L && v.getLong(4) === 0L && v.getLong(5) === 693L)
     val s = rows("s")
-    assert(s.isNullAt(1) && s.getLong(3) === 0L && s.isNullAt(4), s"s: $s")
+    // string columns answer from their fingerprint-fed sketches too
+    // (inexact), with null counts exact and no integer bounds
+    assert(s.getLong(1) >= 90L && s.getLong(1) <= 110L && !s.getBoolean(2) &&
+      s.getLong(3) === 0L && s.isNullAt(4), s"s: $s")
   }
 
   test("outstanding equality deletes withdraw the stats view's exactness flag") {
