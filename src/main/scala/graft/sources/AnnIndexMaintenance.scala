@@ -141,4 +141,113 @@ object AnnIndexMaintenance {
     finalizeWindow(idxRoot, to)
     to
   }
+
+  // ---- CDC-aware refresh: deletes propagate without reading anything ----
+
+  private val CdcPendingProp = "ann.pending-cdc"
+
+  /** The window's ROW CHANGE FEED: inserts + merge-on-read delete
+    * images (a CoW rewrite in the window still fails loudly — that is
+    * the feed's own contract). */
+  private def windowChanges(s: SparkSession, srcRoot: Path,
+      from: Long, to: Long): DataFrame =
+    s.read.format("graft.sources.ManifestSink")
+      .option("path", srcRoot.toString)
+      .option("changesFromVersion", from.toString)
+      .option("changesToVersion", to.toString)
+      .option("changeFeedMode", "cdc")
+      .load()
+      .select(col("vec_id"), col("embedding"), col("_change_type"))
+
+  /** Deterministic two-commit apply: encode-append the window's inserts
+    * (first commit), then retire its deletes as ONE EQUALITY DELETE on
+    * the index keyed by vec_id (second commit) — the q156 zero-read
+    * delete path: O(delete keys), no index base file is ever opened.
+    * The key lists are window-bounded driver lists — the same
+    * metadata-sized shape the equality-delete sidecar itself stores.
+    * A key both inserted and deleted inside one window is REFUSED (the
+    * feed carries no intra-window ordering to replay it faithfully);
+    * refresh more often than you churn a key. Returns (hadInserts,
+    * hadDeletes) so recovery can count the expected commits. */
+  private[sources] def applyWindowCdc(s: SparkSession, catalog: String,
+      srcRoot: Path, idxRoot: Path, idxIdent: String, from: Long,
+      to: Long, skipInsert: Boolean = false): (Boolean, Boolean) = {
+    val ch = windowChanges(s, srcRoot, from, to).localCheckpoint()
+    val delKeys = ch.filter(col("_change_type") === "delete")
+      .select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val ins = ch.filter(col("_change_type") === "insert")
+      .select(col("vec_id"), col("embedding"))
+    val insDel = ins.join(
+      ch.filter(col("_change_type") === "delete").select("vec_id"),
+      Seq("vec_id"), "left_semi").limit(1).collect()
+    require(insDel.isEmpty,
+      s"refresh window ($from, $to] both inserts and deletes vec_id " +
+        s"${insDel.headOption.map(_.getLong(0)).getOrElse(-1L)} — the change " +
+        "feed carries no intra-window ordering; refresh with a narrower window")
+    val hasIns = !ins.isEmpty
+    if (hasIns && !skipInsert)
+      IvfPqOps.freshEncode(ins,
+          s.table(s"$catalog.${coarseIdent(idxIdent)}"),
+          s.table(s"$catalog.${pqcIdent(idxIdent)}"),
+          PqOps.M, PqOps.SubDim)
+        .writeTo(s"$catalog.$idxIdent").append()
+    if (delKeys.nonEmpty)
+      ManifestSink.deleteWhereEq(idxRoot.toString, "vec_id",
+        delKeys.map(_.toString))
+    (hasIns, delKeys.nonEmpty)
+  }
+
+  private[sources] def recoverPendingCdc(s: SparkSession, catalog: String,
+      srcIdent: String, idxIdent: String): Boolean = {
+    val idxRoot = tableRoot(s, catalog, idxIdent)
+    ManifestSink.readHeader(idxRoot).props.get(CdcPendingProp) match {
+      case None => false
+      case Some(p) =>
+        val (pf, pt, vA) = PendingWindow.parse(p)
+        PendingWindow.verifyPivot(idxRoot, CdcPendingProp, p, vA)
+        val srcRoot = tableRoot(s, catalog, srcIdent)
+        val cur = ManifestSink.currentVersion(idxRoot)
+        // the apply order is deterministic (append, then delete), so the
+        // landed-commit count disambiguates exactly which half remains
+        if (cur == vA)
+          applyWindowCdc(s, catalog, srcRoot, idxRoot, idxIdent, pf, pt)
+        else {
+          // at least the first commit landed; re-derive the window shape
+          // and apply only what the landed count says is missing
+          val ch = windowChanges(s, srcRoot, pf, pt)
+          val hasIns = !ch.filter(col("_change_type") === "insert").isEmpty
+          val hasDel = !ch.filter(col("_change_type") === "delete").isEmpty
+          val expected = vA + (if (hasIns) 1L else 0L) + (if (hasDel) 1L else 0L)
+          if (cur < expected && hasIns && hasDel && cur == vA + 1L)
+            applyWindowCdc(s, catalog, srcRoot, idxRoot, idxIdent, pf, pt,
+              skipInsert = true)
+        }
+        finalizeWindowCdc(idxRoot, pt)
+        true
+    }
+  }
+
+  private def finalizeWindowCdc(idxRoot: Path, to: Long): Unit =
+    ManifestSink.alterSchema(idxRoot, Seq(
+      TableChange.setProperty(SourceVersionProp, to.toString),
+      TableChange.removeProperty(CdcPendingProp)))
+
+  /** [[refresh]] for sources that DELETE: consumes the row change feed,
+    * so merge-on-read deletes in the window retire index rows through
+    * the equality-delete path instead of failing the refresh. Same
+    * exactly-once pivot; two deterministic commits per window. */
+  def refreshCdc(s: SparkSession, catalog: String, srcIdent: String,
+      idxIdent: String): Long = {
+    val srcRoot = tableRoot(s, catalog, srcIdent)
+    val idxRoot = tableRoot(s, catalog, idxIdent)
+    recoverPendingCdc(s, catalog, srcIdent, idxIdent)
+    val from = lastSourceVersion(s, catalog, idxIdent)
+    val to = ManifestSink.currentVersion(srcRoot)
+    if (to <= from) return from
+    PendingWindow.stage(idxRoot, CdcPendingProp, from, to)
+    applyWindowCdc(s, catalog, srcRoot, idxRoot, idxIdent, from, to)
+    finalizeWindowCdc(idxRoot, to)
+    to
+  }
 }

@@ -103,6 +103,53 @@ class AnnMaintenanceSpec extends AnyFunSuite {
       "recovery re-appended an already-applied window (duplicate codes)")
   }
 
+  test("CDC refresh: MoR deletes retire index rows with ZERO index reads") {
+    spark.sql("CREATE TABLE amcat.db.src4 (vec_id BIGINT, embedding ARRAY<FLOAT>) " +
+      "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    val b1 = mkVecs(0 until 30)
+    b1.writeTo("amcat.db.src4").append()
+    AnnIndexMaintenance.createIndex(spark, "amcat", "db.src4", "db.idx4")
+    // window: MoR-delete five vectors (no inserts)
+    spark.sql("DELETE FROM amcat.db.src4 WHERE vec_id % 6 = 0")
+    // move EVERY index data file away during the refresh: the delete
+    // half must be pure metadata — any read of the codes would crash
+    val idxRoot = root("idx4")
+    val dataFiles = ManifestSink.committedEntries(idxRoot, None).map(_.name)
+    val hidden = Files.createTempDirectory("annm-hide")
+    dataFiles.foreach(n => Files.move(idxRoot.resolve(n), hidden.resolve(n)))
+    try AnnIndexMaintenance.refreshCdc(spark, "amcat", "db.src4", "db.idx4")
+    finally dataFiles.foreach(n => Files.move(hidden.resolve(n), idxRoot.resolve(n)))
+    // the index now answers WITHOUT the deleted vectors, matching a
+    // re-encode of the live rows only
+    val live = b1.filter(col("vec_id") % 6 =!= 0)
+    assert(codes("idx4") == reencode(live, "idx4"))
+    assert(ManifestSink.readHeader(idxRoot).eqDels.nonEmpty,
+      "the delete must land as an equality-delete record, not a rewrite")
+    // a mixed window (inserts + other deletes) applies both halves;
+    // vec 30 arrives AFTER the %6 delete, so it stays live
+    val b2 = mkVecs(30 until 36)
+    b2.writeTo("amcat.db.src4").append()
+    spark.sql("DELETE FROM amcat.db.src4 WHERE vec_id = 1")
+    AnnIndexMaintenance.refreshCdc(spark, "amcat", "db.src4", "db.idx4")
+    val live2 = b1.filter(col("vec_id") % 6 =!= 0 && col("vec_id") =!= 1)
+      .unionAll(b2)
+    assert(codes("idx4") == reencode(live2, "idx4"))
+  }
+
+  test("a key inserted AND deleted in one CDC window is refused loudly") {
+    spark.sql("CREATE TABLE amcat.db.src5 (vec_id BIGINT, embedding ARRAY<FLOAT>) " +
+      "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    mkVecs(0 until 8).writeTo("amcat.db.src5").append()
+    AnnIndexMaintenance.createIndex(spark, "amcat", "db.src5", "db.idx5")
+    mkVecs(8 until 12).writeTo("amcat.db.src5").append()
+    spark.sql("DELETE FROM amcat.db.src5 WHERE vec_id = 9")
+    val e = intercept[Exception] {
+      AnnIndexMaintenance.refreshCdc(spark, "amcat", "db.src5", "db.idx5")
+    }
+    assert(Option(e.getMessage).exists(_.contains("intra-window ordering")),
+      e.getMessage)
+  }
+
   test("a row-level delete in the window fails the refresh loudly") {
     spark.sql("CREATE TABLE amcat.db.src3 (vec_id BIGINT, embedding ARRAY<FLOAT>)")
     mkVecs(0 until 10).writeTo("amcat.db.src3").append()
