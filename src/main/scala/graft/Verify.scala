@@ -1,8 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{CompletableFuture, TimeUnit, TimeoutException}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Hardened after the round-10 gate came back `{}`: the sweep is built so
+  * that a driver-side timeout, a wedged query, or a mid-run process kill
+  * degrades to PARTIAL correctness instead of zero.
+  *  - oracle_sql.json is written FIRST (it is pure metadata): whatever
+  *    subset of query dumps exists when the process dies is gradeable.
+  *  - every query runs under a watchdog (SPARK_GRAFT_VERIFY_TIMEOUT_SEC,
+  *    default 600 s): on expiry its Spark job group is cancelled and the
+  *    sweep continues, so one pathological query can no longer starve
+  *    every query after it out of the gate.
+  *  - per-query wall timings go to stderr so a slow gate is diagnosable
+  *    from the driver's captured log.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -15,23 +29,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Optional single-query loop: SPARK_GRAFT_ONLY=q124_x,q07_y dumps just
-    // those queries (the driver never sets it, so its sweep stays full).
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach { names =>
-      val unknown = names.diff(SparkEntry.queries.keySet)
-      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: $unknown")
-    }
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -47,6 +44,61 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Optional single-query loop: SPARK_GRAFT_ONLY=q124_x,q07_y dumps just
+    // those queries (the driver never sets it, so its sweep stays full).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: $unknown")
+    }
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_SEC", "600").toLong
+    val todo = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .toSeq.sortBy(_._1)
+    val t0 = System.nanoTime()
+    var nOk, nFail = 0
+    todo.foreach { case (name, fn) =>
+      val tq = System.nanoTime()
+      // The query runs on its own (daemon) thread inside a named job
+      // group so the watchdog can cancel its Spark jobs; driver-side
+      // loops additionally get an interrupt. The sweep itself never dies
+      // with a query.
+      val done = new CompletableFuture[Unit]()
+      val worker = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          done.complete(())
+        } catch { case e: Throwable => done.completeExceptionally(e) }
+      }, s"verify-$name")
+      worker.setDaemon(true)
+      worker.start()
+      try { done.get(timeoutSec, TimeUnit.SECONDS); nOk += 1 }
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          worker.interrupt()
+          nFail += 1
+          System.err.println(s"[verify] $name TIMED OUT after $timeoutSec s (cancelled)")
+        case e: Throwable =>
+          nFail += 1
+          val cause = Option(e.getCause).getOrElse(e)
+          System.err.println(s"[verify] $name failed: ${cause.getMessage}")
+      }
+      System.err.println(f"[verify] $name ${(System.nanoTime() - tq) / 1e9}%.2f s" +
+        f" (${nOk + nFail}/${todo.size}, total ${(System.nanoTime() - t0) / 1e9}%.1f s)")
+    }
+    System.err.println(
+      f"VERIFY_SUMMARY ok=$nOk fail=$nFail total_sec=${(System.nanoTime() - t0) / 1e9}%.1f")
     spark.stop()
+    // A timed-out query's daemon thread may still hold non-daemon Spark
+    // resources; exit explicitly so a wedged straggler can't hang the
+    // process after the sweep (and its partial results) are complete.
+    // rc stays 0: per-query failures are visible in the dump (missing
+    // query dirs) and in stderr, and a non-zero rc must not discard the
+    // queries that DID pass.
+    sys.exit(0)
   }
 }
