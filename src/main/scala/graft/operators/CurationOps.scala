@@ -369,6 +369,67 @@ object CurationOps {
             .cast("int"))
         .groupBy("label", "pred").agg(count(lit(1)).as("n_docs"))
         .orderBy("label", "pred")
+    }),
+
+    // Weighted sampling without replacement by PRIORITY SAMPLING
+    // (Duffield, Lund & Thorup 2007): each doc draws priority
+    // p = w/u with weight w = n_chars and a deterministic uniform
+    // u = md5('ps:'||doc_id) ∈ [1, 2^60]; the per-source sample is the
+    // top-k by priority, and total weight is estimated by the
+    // Horvitz–Thompson form Σ max(w_i, τ) with τ the (k+1)-th priority.
+    // The output puts the estimate NEXT TO the exact per-source weight
+    // sum, so the estimator's quality is part of the oracle check.
+    // Scale shape: one pass for per-source totals (partial agg), one
+    // rank-limited window for the sample — the rn ≤ k+1 filter plans
+    // through InferWindowGroupLimit into per-partition group limits, so
+    // only k+1 rows per source cross the final exchange; τ is a
+    // #sources-row broadcast. No doubles are ever summed: the HT terms
+    // are floored to integers row-wise first (IEEE division of the same
+    // integers is bit-identical in any engine, so the floor is too).
+    "q187_priority_sample" -> ((s, dir) => {
+      val k = PrioSampleK
+      val base = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"), col("n_chars"),
+        (md5Code60(concat(lit("ps:"), col("doc_id").cast("string"))) + 1L).as("u"))
+        .withColumn("p", col("n_chars").cast("double") / col("u").cast("double"))
+      val totals = base.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("exact_sum_w"))
+      // τ rides the SAME window partitioning as the rank (consecutive
+      // window functions over one partitionBy evaluate in one Window
+      // exec): the rn ≤ k+1 filter group-limits the shuffle, then the
+      // unbounded-frame max sees only those k+1 rows per source — no
+      // second corpus pass and no join to carry τ back.
+      val top = base.withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("p").desc, col("doc_id"))))
+        .filter(col("rn") <= k + 1)
+        .withColumn("tau", coalesce(
+          max(when(col("rn") === k + 1, col("p"))).over(Window.partitionBy("source")),
+          lit(0.0)))
+      val est = top.filter(col("rn") <= k)
+        .select(col("source"),
+          floor(greatest(col("n_chars").cast("double"), col("tau"))).cast("long").as("ht"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"), sum(col("ht")).as("ht_est_w"))
+      totals.join(est, Seq("source")).orderBy("source")
+    }),
+
+    // DoReMi-shaped domain reweighting (Xie et al. 2023, the
+    // exponentiated-gradient step in integer ppm): each source domain's
+    // excess proxy loss (stopword-density milli-loss above the best
+    // domain's) multiplies its mixture weight each round, weights
+    // renormalize to 1e6 ppm by integer division, and the full
+    // round-by-round trajectory is the output — the mixture schedule a
+    // training pipeline consumes. The reference DoReMi re-trains the
+    // proxy between steps; this fixture keeps the per-domain loss fixed
+    // so every round is an exact integer replay (the q139/q168
+    // replayable-training contract). Scale shape: ONE partial-aggregated
+    // corpus scan produces #domains (loss, count) rows; the R-round
+    // update is driver math over that bounded vector, exactly like
+    // q139's k-row codebook — no per-round corpus work at all.
+    "q188_doremi_weights" -> ((s, dir) => {
+      import s.implicits._
+      doremiTrajectory(s, dir).toDF("round", "source", "w_ppm")
+        .orderBy("round", "source")
     }))
 
   /** q168/q169 probe constants — shared verbatim with the oracle.
@@ -440,6 +501,59 @@ object CurationOps {
       out.result()
     })
 
+  /** q187 per-source sample size (k). The window is rank-limited to
+    * k+1 — the extra row is the HT threshold τ. */
+  val PrioSampleK = 20
+
+  /** q188 constants, shared verbatim with the oracle: fixed rounds
+    * (exact-replay contract), and the exponentiated-gradient step size
+    * in ppm-per-milli-loss — a domain one full milli-loss unit above
+    * the best one grows its weight ×1.2 per round before
+    * renormalization. */
+  val DoremiRounds = 4
+  val DoremiEtaPpm = 200L
+
+  /** The q188 trajectory: (round, source, weight_ppm) rows, round 0 =
+    * uniform start, rounds 1..R after each multiplicative update +
+    * integer renormalization. One aggregated corpus scan yields the
+    * per-domain milli-loss vector; everything after is exact integer
+    * math over #domains values on the driver (bounded like q139's
+    * k-row codebook — domains are a mixture schedule, not data). */
+  private val doremiMemo =
+    scala.collection.concurrent.TrieMap[String, Seq[(Int, String, Long)]]()
+
+  private[graft] def doremiTrajectory(s: SparkSession, dir: String): Seq[(Int, String, Long)] =
+    doremiMemo.getOrElseUpdate(dir, {
+      val perDomain = Tables.documents(s, dir)
+        .select(col("source"), tokens(col("text")).as("toks"))
+        .select(col("source"),
+          size(col("toks")).cast("long").as("n_tok"),
+          size(filter(col("toks"), t => t.isin(TextOps.Stopwords: _*)))
+            .cast("long").as("stop_cnt"))
+        .select(col("source"),
+          expr("stop_cnt * 1000 div greatest(n_tok, 1)").as("loss_m"))
+        .groupBy("source")
+        .agg(expr("sum(loss_m) div count(1)").as("avg_m"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+        .sortBy(_._1)
+      require(perDomain.nonEmpty, "doremi needs a non-empty corpus")
+      val base = perDomain.map(_._2).min
+      val excess = perDomain.map { case (src, m) => (src, m - base) }
+      val d = excess.size
+      var w: Seq[Long] = excess.map(_ => 1000000L / d)
+      val out = Vector.newBuilder[(Int, String, Long)]
+      excess.zip(w).foreach { case ((src, _), wi) => out += ((0, src, wi)) }
+      for (r <- 1 to DoremiRounds) {
+        val up = excess.zip(w).map { case ((_, ex), wi) =>
+          wi * (1000000L + DoremiEtaPpm * ex) / 1000000L }
+        val tot = up.sum
+        w = up.map(_ * 1000000L / tot)
+        excess.zip(w).foreach { case ((src, _), wi) => out += ((r, src, wi)) }
+      }
+      out.result()
+    })
+
   /** q142 hashed-feature space width: fixes both count tables at ≤4096
     * rows at ANY corpus size (the DSIR trick). */
   val DsirBuckets = 4096
@@ -461,6 +575,53 @@ object CurationOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q187_priority_sample" -> {
+      val u = md5Code60Sql("'ps:' || CAST(doc_id AS VARCHAR)")
+      val k = PrioSampleK
+      s"""WITH b AS (SELECT doc_id, source, n_chars, ($u) + 1 AS u FROM documents),
+         |p AS (SELECT doc_id, source, n_chars,
+         |    CAST(n_chars AS DOUBLE) / CAST(u AS DOUBLE) AS p FROM b),
+         |t AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS exact_sum_w FROM documents GROUP BY source),
+         |r AS (SELECT source, n_chars, p,
+         |    row_number() OVER (PARTITION BY source ORDER BY p DESC, doc_id) AS rn FROM p),
+         |tau AS (SELECT source,
+         |    coalesce(max(CASE WHEN rn = ${k + 1} THEN p END), 0.0) AS tau
+         |  FROM r WHERE rn <= ${k + 1} GROUP BY source),
+         |e AS (SELECT r.source, count(*) AS n_sampled,
+         |    CAST(sum(CAST(floor(greatest(CAST(n_chars AS DOUBLE), tau)) AS BIGINT))
+         |      AS BIGINT) AS ht_est_w
+         |  FROM r JOIN tau ON r.source = tau.source WHERE rn <= $k
+         |  GROUP BY r.source)
+         |SELECT t.source, n_docs, exact_sum_w, n_sampled, ht_est_w
+         |FROM t JOIN e ON t.source = e.source ORDER BY t.source""".stripMargin
+    },
+
+    "q188_doremi_weights" -> {
+      val stops = TextOps.Stopwords.map("'" + _ + "'").mkString(", ")
+      val rounds = (1 to DoremiRounds).map { r =>
+        s"""u$r AS (SELECT e.source, w * (1000000 + $DoremiEtaPpm * ex) // 1000000 AS wu
+           |  FROM w${r - 1} JOIN e USING (source)),
+           |w$r AS (SELECT source,
+           |  CAST(wu * 1000000 // (SELECT sum(wu) FROM u$r) AS BIGINT) AS w FROM u$r)"""
+          .stripMargin
+      }.mkString(",\n")
+      val branches = (0 to DoremiRounds).map { r =>
+        if (r == 0) s"SELECT 0 AS round, source, w AS w_ppm FROM w0"
+        else s"SELECT $r, source, w FROM w$r"
+      }.mkString("\nUNION ALL ")
+      s"""WITH d1 AS (SELECT source, len(toks) AS n_tok,
+         |    len(list_filter(toks, t -> t IN ($stops))) AS stop_cnt
+         |  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)),
+         |f AS (SELECT source,
+         |    CAST(sum(stop_cnt * 1000 // greatest(n_tok, 1)) // count(*) AS BIGINT) AS avg_m
+         |  FROM d1 GROUP BY source),
+         |e AS (SELECT source, avg_m - (SELECT min(avg_m) FROM f) AS ex FROM f),
+         |w0 AS (SELECT source, CAST(1000000 // (SELECT count(*) FROM e) AS BIGINT) AS w FROM e),
+         |$rounds
+         |SELECT * FROM ($branches) ORDER BY round, source""".stripMargin
+    },
+
     "q149_source_cap" ->
       """SELECT source, count(*) AS n_total,
         |  CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

@@ -126,6 +126,43 @@ class CurationSpec extends AnyFunSuite {
     assert(ranks(2L) > ranks(1L) && ranks(1L) == 150000L)
   }
 
+  test("q187: priority sampling — exhausted groups estimate exactly, others stay k-bounded") {
+    val k = CurationOps.PrioSampleK
+    val r = CurationOps.queries("q187_priority_sample")(spark, sfDir)
+    // never more than k sampled, never more than the group holds
+    assert(r.filter(col("n_sampled") > k || col("n_sampled") > col("n_docs"))
+      .count() == 0)
+    // a group with ≤ k docs is fully sampled with τ = 0, so the
+    // Horvitz–Thompson estimate degenerates to the exact sum — the
+    // estimator's anchor case
+    val small = r.filter(col("n_docs") <= k)
+    assert(small.filter(col("ht_est_w") =!= col("exact_sum_w")).count() == 0)
+    // sampled groups estimate positive weight
+    assert(r.filter(col("ht_est_w") <= 0).count() == 0)
+  }
+
+  test("q188: doremi weights start uniform, renormalize each round, favor the worst domain") {
+    val r = CurationOps.queries("q188_doremi_weights")(spark, sfDir).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getLong(2)))
+    val byRound = r.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val d = byRound(0).size
+    assert(byRound(0).map(_._3).distinct.size == 1, "round 0 must be uniform")
+    for (round <- 0 to CurationOps.DoremiRounds) {
+      val tot = byRound(round).map(_._3).sum
+      // integer renormalization loses < 1 ppm per domain
+      assert(tot <= 1000000L && tot > 1000000L - d, s"round $round sums to $tot")
+      assert(byRound(round).forall(_._3 > 0), s"round $round has a zero weight")
+    }
+    // the final round's max-weight domain must be a max-excess domain:
+    // multiplicative updates are monotone in excess loss
+    val finalW = byRound(CurationOps.DoremiRounds)
+    val w1 = byRound(1)
+    val maxExcessDomains = w1.filter(_._3 == w1.map(_._3).max).map(_._2).toSet
+    val maxFinal = finalW.filter(_._3 == finalW.map(_._3).max).map(_._2).toSet
+    assert(maxFinal.subsetOf(maxExcessDomains),
+      s"final winners $maxFinal not among round-1 winners $maxExcessDomains")
+  }
+
   test("q108: band decomposition equals the nested-loop join on the bounded probe set") {
     // q08 (BNLJ, s_suppkey < 100) must agree with q108 restricted the
     // same way — at sf0.001 ALL suppliers have s_suppkey < 100, so the
