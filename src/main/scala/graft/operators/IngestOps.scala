@@ -297,6 +297,43 @@ object IngestOps {
         .orderBy("bucket")
     }),
 
+    // Quantile statistics served from manifest metadata: orders land in
+    // a manifest table that opted a column into per-file value-sample
+    // sketches (TBLPROPERTIES 'quantile.columns'), across four appends
+    // (four files, four independent sketches), then OPTIMIZE bin-merges
+    // the files — and the sketches with them. The stats view answers
+    // quartiles from the MERGED table-level sample without touching a
+    // data file, and the oracle replays the identical bottom-k (same
+    // md5 priorities) from the raw rows: a dropped value, a biased
+    // merge, or a quantile convention drift all hash-fail. At 100 TB
+    // this is how an operator reads a join key's distribution (skew,
+    // spread, salting decisions) in milliseconds from kilobytes of
+    // metadata instead of a full-column scan.
+    "q189_quantile_stats" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        s.sparkContext.applicationId
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"qs:$dir")) {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+        s.sql(s"CREATE TABLE graft.$ns.orders_qs " +
+          "(o_orderkey BIGINT, o_custkey BIGINT) " +
+          "TBLPROPERTIES ('quantile.columns' = 'o_custkey')")
+        val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+        (0 to 3).foreach(b =>
+          o.filter(col("o_orderkey") % 4 === b)
+            .writeTo(s"graft.$ns.orders_qs").append())
+        val n = s.table(s"graft.$ns.orders_qs").count()
+        val res = s.sql(s"CALL graft.system.optimize(table => '$ns.orders_qs', " +
+          s"target_rows => ${math.max(1L, n / 2)})").collect().head
+        require(res.getAs[Int]("rewritten_files") > 0,
+          "q189 compaction rewrote nothing — the sketch-merge path must run")
+      }
+      s.sql(s"SELECT column, q25, q50, q75 FROM graft.$ns.orders_qs.stats " +
+        "WHERE column = 'o_custkey'")
+    }),
+
     // Catalog SQL end to end: the manifest table reachable BY NAME —
     // CREATE NAMESPACE/TABLE through graft.sources.GraftCatalog, a DSv2
     // append via writeTo, then plain spark.sql against the three-part
@@ -1410,6 +1447,24 @@ object IngestOps {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the manifest-served quartiles replayed from the raw rows: same
+    // md5 priorities, same bottom-64 distinct-value sample, same
+    // floor(q·n) index convention (QuantileSketch.quantile)
+    "q189_quantile_stats" -> {
+      val pri = graft.functions.HashFunctions
+        .md5Code60Sql("'qk:' || CAST(v AS VARCHAR)")
+      s"""WITH vals AS (SELECT DISTINCT o_custkey AS v FROM orders),
+         |bot AS (SELECT v FROM (SELECT v, ($pri) AS p FROM vals)
+         |        ORDER BY p, v LIMIT 64),
+         |ord AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS i,
+         |        count(*) OVER () AS n FROM bot)
+         |SELECT 'o_custkey' AS "column",
+         |  max(CASE WHEN i = least(n - 1, n * 1 // 4) THEN v END) AS q25,
+         |  max(CASE WHEN i = least(n - 1, n * 2 // 4) THEN v END) AS q50,
+         |  max(CASE WHEN i = least(n - 1, n * 3 // 4) THEN v END) AS q75
+         |FROM ord""".stripMargin
+    },
 
     // checked against the ORIGINAL parquet — append + compact through
     // the manifest table must be lossless for the hash to match

@@ -384,6 +384,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     // validated knobs that ride the free-form bag must fail at CREATE,
     // not on every subsequent INSERT
     ManifestSink.rowGroupBytesOf(userProps): Unit
+    ManifestSink.validateQuantCols(schema, userProps)
     ManifestSink.publishCommit(p, schema, truncateFirst = true, Seq.empty,
       markerUpdate = None, GcPolicy(None, 3600L * 1000), createPartSpec = partSpec,
       createDeleteMode = deleteMode, createBloomCols = bloomCols,
@@ -682,7 +683,13 @@ object GraftCatalog {
     StructField("exact_ndv", BooleanType, nullable = false),
     StructField("null_count", LongType, nullable = true),
     StructField("min", LongType, nullable = true),
-    StructField("max", LongType, nullable = true)))
+    StructField("max", LongType, nullable = true),
+    // distribution quartiles from the merged per-file value samples
+    // ([[ManifestSink]] 'quantile.columns' sketches) — NULL for columns
+    // without a complete sketch cover, never fabricated
+    StructField("q25", LongType, nullable = true),
+    StructField("q50", LongType, nullable = true),
+    StructField("q75", LongType, nullable = true)))
 
   /** `SELECT * FROM cat.db.t.stats` — per-column table statistics, the
     * operational twin of the scan's CBO `columnStats` report: one row
@@ -735,6 +742,18 @@ object GraftCatalog {
             es.forall(e => e.mins.contains(name) && e.maxs.contains(name)))
           (Some(es.map(_.mins(name)).min), Some(es.map(_.maxs(name)).max))
         else (None, None)
+      // quartiles: only when EVERY entry carries this column's value
+      // sample (a partial cover would bias toward the sketched files);
+      // the merged bottom-k is exactly the sketch one writer over the
+      // whole table would have produced, so the estimate is
+      // split-invariant
+      val qsks =
+        if (es.nonEmpty && es.forall(_.qsk.contains(name)))
+          Some(es.map(e => QuantileSketch.decode(e.qsk(name)))
+            .reduce(QuantileSketch.merge))
+        else None
+      def quart(num: Int): Option[Long] =
+        qsks.flatMap(entries => QuantileSketch.quantile(entries, num, 4))
       // outstanding equality deletes hide rows the manifest still
       // counts — every count degrades to an upper bound until OPTIMIZE
       // materializes them, so exactness is only claimed on a clean table
@@ -742,7 +761,10 @@ object GraftCatalog {
         ndv.map(Long.box).orNull,
         ndvExact && st.eqDels.isEmpty,
         nulls.map(Long.box).orNull,
-        mn.map(Long.box).orNull, mx.map(Long.box).orNull)): InternalRow
+        mn.map(Long.box).orNull, mx.map(Long.box).orNull,
+        quart(1).map(Long.box).orNull,
+        quart(2).map(Long.box).orNull,
+        quart(3).map(Long.box).orNull)): InternalRow
     }
     staticTable(s"stats($root)", StatsSchema, rows)
   }

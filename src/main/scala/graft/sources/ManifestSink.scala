@@ -1003,7 +1003,12 @@ object ManifestSink {
       // registers per integer column. Unlike `ndvs` these survive
       // bin-merge compaction (register-max) and fold across files to a
       // deduplicated table-level estimate.
-      ndvSk: Map[String, String] = Map.empty) {
+      ndvSk: Map[String, String] = Map.empty,
+      // mergeable bottom-k value samples ([[QuantileSketch]]) per
+      // opted-in integer column (TBLPROPERTIES 'quantile.columns'):
+      // survive bin-merge compaction exactly (bottom-k of the union),
+      // and fold across files to table-level quantile estimates.
+      qsk: Map[String, String] = Map.empty) {
     /** Rows a reader actually yields: physical rows minus the deletion
       * vector's positions. Drives count(*) pushdown, reported stats and
       * the zero-column emitters — `rows` stays the PHYSICAL count (what
@@ -1208,7 +1213,8 @@ object ManifestSink {
     * DV purge and CoW delete rewrites (identical stats semantics at
     * every site, by construction). */
   private[sources] final class FileStatsCollector(schema: StructType,
-      bloomCols: Seq[String], sortCols: Seq[String] = Seq.empty) {
+      bloomCols: Seq[String], sortCols: Seq[String] = Seq.empty,
+      quantCols: Seq[String] = Seq.empty) {
     // ---- attested sort order ---------------------------------------------
     // VERIFY (never assume) that rows arrive monotone non-decreasing
     // under the table's write.sort-by columns — ascending, nulls first,
@@ -1304,6 +1310,20 @@ object ManifestSink {
     // store, mixed once more before the register probe
     private val ndvSkAt: Seq[Array[Byte]] = intCols.map(_ => NdvSketch.empty())
     private val strSkAt: Seq[Array[Byte]] = strCols.map(_ => NdvSketch.empty())
+    // bottom-k value-sample collectors for the opted-in integer columns
+    // (TBLPROPERTIES 'quantile.columns'). The LongMap is a pure md5
+    // cache (values already hashed), capped like the fingerprint sets —
+    // overflow re-hashes, which the sketch's idempotent insert absorbs.
+    private val quantAt: Seq[(String, Int, Boolean,
+        QuantileSketch.Collector, scala.collection.mutable.LongMap[Unit])] =
+      quantCols.flatMap { c =>
+        schema.fields.zipWithIndex.collectFirst {
+          case (f, i) if f.name == c &&
+              (f.dataType == LongType || f.dataType == IntegerType) =>
+            (c, i, f.dataType == LongType, new QuantileSketch.Collector,
+              scala.collection.mutable.LongMap.empty[Unit])
+        }
+      }
 
     def add(row: InternalRow): Unit = {
       if (sortOk) checkSorted(row)
@@ -1342,6 +1362,15 @@ object ManifestSink {
           fps.update(fp, ())
         }
       }
+      quantAt.foreach { case (_, i, isLong, coll, cache) =>
+        if (!row.isNullAt(i)) {
+          val v = if (isLong) row.getLong(i) else row.getInt(i).toLong
+          if (!cache.contains(v)) {
+            coll.add(v)
+            if (cache.size < FingerprintCap) cache.update(v, ())
+          }
+        }
+      }
     }
 
     def intMins: Map[String, Long] = mins.toMap
@@ -1365,6 +1394,11 @@ object ManifestSink {
       (ndvSets.map(_._1).zip(ndvSkAt) ++ strCols.map(_._1).zip(strSkAt)).map {
         case (c, r) => c -> NdvSketch.encode(r)
       }.toMap
+    /** Encoded bottom-k value sample per opted-in column; an all-null
+      * column publishes an empty (but present) sketch. */
+    def quantSketches: Map[String, String] =
+      quantAt.map { case (c, _, _, coll, _) =>
+        c -> QuantileSketch.encode(coll.entries) }.toMap
     def strLowers: Map[String, String] =
       sMin.iterator.map { case (c, v) => c -> strLowerBound(v) }.toMap
     def strUppers: Map[String, String] =
@@ -1873,6 +1907,30 @@ object ManifestSink {
 
   private[sources] def bloomColsLine(cols: Seq[String]): Option[String] =
     if (cols.isEmpty) None else Some(BloomColsPrefix + cols.map(urlEnc).mkString(","))
+
+  /** Table-level quantile-sketch column list — rides the free-form
+    * property bag (persisted by tblPropsLine like any user property)
+    * rather than a dedicated header line, but is VALIDATED wherever it
+    * can be set (CREATE, SET TBLPROPERTIES): integer columns only.
+    * Writers collect a per-file bottom-k value sample
+    * ([[QuantileSketch]]) for each listed column; compaction merges the
+    * samples losslessly; `db.t.stats` serves q25/q50/q75 from the
+    * table-level merge. */
+  private[sources] val QuantColsProp = "quantile.columns"
+
+  private[sources] def quantColsOf(props: Map[String, String]): Seq[String] =
+    props.get(QuantColsProp).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+
+  private[sources] def validateQuantCols(schema: StructType,
+      props: Map[String, String]): Unit =
+    quantColsOf(props).foreach { c =>
+      val f = schema.fields.find(_.name == c)
+      require(f.isDefined, s"quantile.columns names unknown column $c")
+      require(f.get.dataType == LongType || f.get.dataType == IntegerType,
+        s"quantile.columns supports integer columns; $c is " +
+          f.get.dataType.simpleString)
+    }
 
   private[sources] def bloomColumns(root: Path,
       pinned: Option[Long] = None): Seq[String] = {
@@ -2484,7 +2542,7 @@ object ManifestSink {
   }
 
   private[sources] def parseEntryLine(line: String): FileEntry = {
-    val parts = line.split("\t", 14)
+    val parts = line.split("\t", 15)
     val (dvName, dvRows) = parts.lift(5).filter(_.nonEmpty) match {
       case Some(dv) =>
         val Array(n, c) = dv.split(":", 2)
@@ -2519,6 +2577,13 @@ object ManifestSink {
       // NDV sketch slot: `col=encoded` pairs (the codec is base64, so
       // the kv split is limit-2 like the bloom field)
       parts.lift(13).filter(_.nonEmpty) match {
+        case Some(x) => x.split(",").map { kv =>
+          val Array(k, v) = kv.split("=", 2); (urlDec(k), v)
+        }.toMap
+        case None => Map.empty[String, String]
+      },
+      // quantile sketch slot: same `col=base64` shape as the NDV slot
+      parts.lift(14).filter(_.nonEmpty) match {
         case Some(x) => x.split(",").map { kv =>
           val Array(k, v) = kv.split("=", 2); (urlDec(k), v)
         }.toMap
@@ -2664,7 +2729,10 @@ object ManifestSink {
     val li = e.lineageRef.fold(lineageStr(e.lineage))("@" + _)
     val nk = e.ndvSk.toSeq.sortBy(_._1)
       .map { case (k, v) => s"${urlEnc(k)}=$v" }.mkString(",")
-    if (nk.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp\t$cc\t$so\t$li\t$nk"
+    val qk = e.qsk.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${urlEnc(k)}=$v" }.mkString(",")
+    if (qk.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp\t$cc\t$so\t$li\t$nk\t$qk"
+    else if (nk.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp\t$cc\t$so\t$li\t$nk"
     else if (li.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp\t$cc\t$so\t$li"
     else if (so.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp\t$cc\t$so"
     else if (cc.nonEmpty) s"$base\t$dv\t$bl\t$sb\t$sq\t$sp\t$cc"
@@ -3654,7 +3722,13 @@ object ManifestSink {
             ndvs = renameKeys(e.ndvs, from, to),
             nulls = renameKeys(e.nulls, from, to),
             ndvSk = e.ndvSk.map { case (k, v) => (if (k == from) to else k, v) },
+            qsk = e.qsk.map { case (k, v) => (if (k == from) to else k, v) },
             sorted = e.sorted.map(c => if (c == from) to else c)))
+          // the quantile-column list rides the prop bag: follow the rename
+          props0.get(QuantColsProp).foreach { v =>
+            props0 += QuantColsProp -> v.split(',').map(_.trim)
+              .map(c => if (c == from) to else c).mkString(",")
+          }
         case u: TableChange.UpdateColumnType =>
           // TYPE WIDENING, metadata-only (the long-lived-table change):
           // int→long and float→double are the two conversions the
@@ -3702,10 +3776,16 @@ object ManifestSink {
               slows = e.slows - name, sups = e.sups - name,
               ndvs = e.ndvs - name, nulls = e.nulls - name,
               ndvSk = e.ndvSk - name,
+              qsk = e.qsk - name,
               // a dropped column truncates the attestation AT the drop:
               // ordering under the surviving prefix still holds, the
               // suffix beyond it is meaningless
               sorted = e.sorted.takeWhile(_ != name)))
+          props0.get(QuantColsProp).foreach { v =>
+            val kept = v.split(',').map(_.trim).filterNot(_ == name)
+            if (kept.isEmpty) props0 -= QuantColsProp
+            else props0 += QuantColsProp -> kept.mkString(",")
+          }
         // ALTER TABLE ... SET TBLPROPERTIES: the CREATE-time knobs stay
         // adjustable for the table's whole life. delete.mode switches
         // strategy for FUTURE deletes (existing DVs keep applying);
@@ -3733,6 +3813,13 @@ object ManifestSink {
             cols.foreach(c => require(schema.fieldNames.contains(c),
               s"write.sort-by names unknown column $c"))
             sortCols = cols
+          case QuantColsProp =>
+            // validated knob that rides the free-form bag: fail HERE,
+            // not on every subsequent INSERT; affects FUTURE files only
+            // (older files lack the sample and the stats view degrades
+            // to absence, never a fabricated quantile)
+            validateQuantCols(schema, Map(QuantColsProp -> sp.value))
+            props0 += QuantColsProp -> sp.value
           case other =>
             // free-form property bag: anything non-reserved stores
             // verbatim and publishes atomically with this commit
@@ -3838,7 +3925,7 @@ object ManifestSink {
     }.map(c => FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts,
       blooms = c.blooms, slows = c.slows, sups = c.sups,
       ndvs = c.ndvs, nulls = c.nulls, sorted = c.sorted, lineage = c.lineage,
-      ndvSk = c.ndvSk))
+      ndvSk = c.ndvSk, qsk = c.qsk))
 
   private[sources] def commitFileNames(messages: Iterable[WriterCommitMessage]): Seq[String] =
     messages.toSeq.flatMap {
@@ -3925,7 +4012,8 @@ object ManifestSink {
           gov.map(a => rowKillTest(schema, a))
         val dv: Set[Long] =
           e.dvName.fold(Set.empty[Long])(n => readDvPositions(root.resolve(n)).toSet)
-        val stats = new FileStatsCollector(schema, st.bloomCols, st.sortCols)
+        val stats = new FileStatsCollector(schema, st.bloomCols, st.sortCols,
+          quantColsOf(st.props))
         var kept = 0L
         val newName = s"data-compact-${java.util.UUID.randomUUID()}.parquet"
         val out = ManifestParquet.open(root.resolve(newName),
@@ -3944,7 +4032,7 @@ object ManifestSink {
           seq = st.version + 1L, specId = e.specId,
           ndvs = stats.intNdvs, nulls = stats.nullCounts,
           sorted = stats.sortedBy, lineage = remap.segments,
-          ndvSk = stats.ndvSketches)
+          ndvSk = stats.ndvSketches, qsk = stats.quantSketches)
       }
     }.filter(_.rows > 0L)
     try publish(root, st.version,
@@ -3988,7 +4076,8 @@ object ManifestSink {
     val purged = dvEntries.map(e => purgeDvEntry(root, e,
       st.schema.getOrElse(throw new IllegalStateException(
         s"manifest table $tablePath has no schema")),
-      st.colMap, st.schemaEpoch > 0L, st.bloomCols, st.sortCols))
+      st.colMap, st.schemaEpoch > 0L, st.bloomCols, st.sortCols,
+      quantColsOf(st.props)))
     val small = plain.filter(_.rows < targetRows)
     // first-fit in manifest order keeps neighboring appends together,
     // which preserves any time-locality the write order had; binning is
@@ -4077,6 +4166,13 @@ object ManifestSink {
           k -> NdvSketch.encode(
             bin.map(e => NdvSketch.decode(e.ndvSk(k))).reduce(NdvSketch.merge))
         }.toMap,
+        // value samples merge EXACTLY: bottom-k of the union is the
+        // bottom-k of the members' bottom-k's — the concatenated file
+        // carries the sketch a single writer would have produced
+        qsk = bin.map(_.qsk.keySet).reduce(_ intersect _).toSeq.map { k =>
+          k -> QuantileSketch.encode(
+            bin.map(e => QuantileSketch.decode(e.qsk(k))).reduce(QuantileSketch.merge))
+        }.toMap,
         // raw row-group concatenation keeps every member's rows at a
         // fixed offset: lineage is the members' segments, shifted
         sorted = mergedSorted, lineage = concatLineage(root, bin))
@@ -4102,9 +4198,10 @@ object ManifestSink {
   private def purgeDvEntry(root: Path, e: FileEntry, schema: StructType,
       colMap: Map[String, String], evolved: Boolean,
       bloomCols: Seq[String] = Seq.empty,
-      sortCols: Seq[String] = Seq.empty): FileEntry = {
+      sortCols: Seq[String] = Seq.empty,
+      quantCols: Seq[String] = Seq.empty): FileEntry = {
     val dv = readDvPositions(root.resolve(e.dvName.get)).toSet
-    val stats = new FileStatsCollector(schema, bloomCols, sortCols)
+    val stats = new FileStatsCollector(schema, bloomCols, sortCols, quantCols)
     var kept = 0L
     val remap = new LineageRemapper(e.lineageSegs(root))
     val newName = s"data-compact-${java.util.UUID.randomUUID()}.parquet"
@@ -4122,7 +4219,7 @@ object ManifestSink {
       blooms = stats.blooms, slows = stats.strLowers, sups = stats.strUppers,
       specId = e.specId, ndvs = stats.intNdvs, nulls = stats.nullCounts,
       sorted = stats.sortedBy, lineage = remap.segments,
-      ndvSk = stats.ndvSketches)
+      ndvSk = stats.ndvSketches, qsk = stats.quantSketches)
   }
 
   /** Structural validation of a partition spec against a schema — the
@@ -4279,7 +4376,8 @@ object ManifestSink {
     if (stale.isEmpty)
       return CompactionResult(st.version, st.entries.size, st.entries.size, 0, 0L)
     val w = new ManifestWriterFactory(tablePath, schema, st.partCols, st.colMap,
-      st.bloomCols, rowGroupBytesOf(st.props), st.effectiveSpec, st.sortCols)
+      st.bloomCols, rowGroupBytesOf(st.props), st.effectiveSpec, st.sortCols,
+      quantColsOf(st.props))
       .createWriter(0, System.nanoTime())
     var moved = 0L
     stale.foreach { e =>
@@ -4300,7 +4398,8 @@ object ManifestSink {
     val migrated0 = commits.filter(_.rows > 0L).map(c =>
       FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts,
         blooms = c.blooms, slows = c.slows, sups = c.sups, specId = st.specId,
-        ndvs = c.ndvs, nulls = c.nulls, sorted = c.sorted, ndvSk = c.ndvSk))
+        ndvs = c.ndvs, nulls = c.nulls, sorted = c.sorted, ndvSk = c.ndvSk,
+        qsk = c.qsk))
     // the layout migration re-routes rows across files: a non-preserving
     // rewrite, so migrated rows are NEW rows to lineage (fresh ids)
     val (migrated, nextRid) =
@@ -4435,11 +4534,12 @@ object ManifestSink {
       val fileParts = parts
       val cmap = st.colMap
       val bc = st.bloomCols
+      val qc = quantColsOf(st.props)
       val rgb = rowGroupBytesOf(st.props)
       sorted.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
         val w = new ManifestDataWriter(rootStr, fileSchema,
           s"data-zorder-p$pid-${java.util.UUID.randomUUID()}.parquet", fileParts,
-          cmap, bc, rgb)
+          cmap, bc, rgb, quantCols = qc)
         rows.foreach(w.write)
         w.commit() match {
           case m: ManifestCommit if m.rows > 0L => Iterator.single(m)
@@ -4450,7 +4550,8 @@ object ManifestSink {
         }
       }.collect().toSeq.map(c => FileEntry(c.fileName, c.rows, c.mins, c.maxs, c.parts,
         blooms = c.blooms, slows = c.slows, sups = c.sups, specId = st.specId,
-        ndvs = c.ndvs, nulls = c.nulls, sorted = c.sorted, ndvSk = c.ndvSk))
+        ndvs = c.ndvs, nulls = c.nulls, sorted = c.sorted, ndvSk = c.ndvSk,
+        qsk = c.qsk))
     }
     // a z-order rewrite REORDERS rows across files: non-preserving, so
     // the rewritten rows are NEW rows to lineage (fresh ids)
@@ -4861,7 +4962,8 @@ object ManifestSink {
         // retirement path, a pure metadata commit
         provenFiles += 1; deletedRows += e.liveRows; None
       } else {
-      val stats = new FileStatsCollector(schema, st.bloomCols, st.sortCols)
+      val stats = new FileStatsCollector(schema, st.bloomCols, st.sortCols,
+        quantColsOf(st.props))
       var kept = 0L
       val newName = s"data-delete-${java.util.UUID.randomUUID()}.parquet"
       val out = ManifestParquet.open(root.resolve(newName),
@@ -4898,7 +5000,7 @@ object ManifestSink {
         ndvs = stats.intNdvs, nulls = stats.nullCounts,
         // survivors keep their row ids across the copy-on-write rewrite
         sorted = stats.sortedBy, lineage = remap.segments,
-        ndvSk = stats.ndvSketches))
+        ndvSk = stats.ndvSketches, qsk = stats.quantSketches))
       }
     }
     val rewritten = candidates.zip(replacements).count {
@@ -5651,6 +5753,7 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
     val cmap = st.colMap
     val bc = st.bloomCols
     val sc = st.sortCols
+    val qc = ManifestSink.quantColsOf(st.props)
     val rgb = ManifestSink.rowGroupBytesOf(st.props)
     val pspec = st.effectiveSpec
     val pspecId = st.specId
@@ -5685,7 +5788,7 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
       override def toBatch: BatchWrite =
         new ManifestBatchWrite(root, schema, truncateFirst, gc, pc,
           overwriteFilters, dynamicOverwrite, cmap, bc, branch, rgb, pspec,
-          pspecId, sortCols = sc)
+          pspecId, sortCols = sc, quantCols = qc)
       // streaming: truncateFirst becomes truncate-EACH-EPOCH (Spark calls
       // truncate() on the builder for Complete output mode)
       override def toStreaming: StreamingWrite = {
@@ -5698,7 +5801,7 @@ class ManifestWriteBuilder(root: Path, schema: StructType, truncateFirst: Boolea
         new ManifestStreamingWrite(root, schema, truncateFirst, gc, queryId,
           pc, cmap, bc, rgb, pspec, pspecId,
           checks = ManifestSink.boundConstraintExprs(schema, st.props),
-          sortCols = sc)
+          sortCols = sc, quantCols = qc)
       }
     }
   }
@@ -5717,7 +5820,10 @@ case class ManifestCommit(fileName: String, rows: Long,
     // only; [[ManifestSink.FreshRowIdMarker]] runs resolve at publish)
     lineage: Seq[(Long, Long, Long)] = Seq.empty,
     // encoded mergeable NDV sketches ([[NdvSketch]]) per integer column
-    ndvSk: Map[String, String] = Map.empty) extends WriterCommitMessage
+    ndvSk: Map[String, String] = Map.empty,
+    // encoded bottom-k value samples ([[QuantileSketch]]) per opted-in
+    // integer column
+    qsk: Map[String, String] = Map.empty) extends WriterCommitMessage
 
 /** A partition-fanout task's commit: one [[ManifestCommit]] per data
   * file it opened (one per distinct partition tuple it received). */
@@ -5738,10 +5844,11 @@ class ManifestBatchWrite(root: Path, schema: StructType, truncateFirst: Boolean,
     // (pruned forever under their archived spec), exactly like files
     // written before the evolution
     specId: Long = 0L,
-    sortCols: Seq[String] = Seq.empty) extends BatchWrite {
+    sortCols: Seq[String] = Seq.empty,
+    quantCols: Seq[String] = Seq.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestWriterFactory(root.toString, schema, partCols, colMap, bloomCols,
-      rowGroupBytes, partSpec, sortCols)
+      rowGroupBytes, partSpec, sortCols, quantCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val newEntries = ManifestSink.commitEntries(messages).map(_.copy(specId = specId))
@@ -5825,12 +5932,13 @@ class ManifestRowLevelOperation(root: Path, cmd: RowLevelOperation.Command,
     val bc = ManifestSink.bloomColumns(root)
     val hdr = ManifestSink.readHeader(root)
     val rgb = ManifestSink.rowGroupBytesOf(hdr.props)
+    val qc = ManifestSink.quantColsOf(hdr.props)
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new ManifestReplaceDataWrite(root, writeSchema,
             ManifestRowLevelOperation.this, gc, pc, cmap, bc, rgb,
-            hdr.effectiveSpec, hdr.specId)
+            hdr.effectiveSpec, hdr.specId, quantCols = qc)
       }
     }
   }
@@ -5857,10 +5965,11 @@ class ManifestReplaceDataWrite(root: Path, schema: StructType,
     bloomCols: Seq[String] = Seq.empty,
     rowGroupBytes: Option[Long] = None,
     partSpec: Seq[ManifestSink.PartTransform] = Seq.empty,
-    specId: Long = 0L) extends BatchWrite {
+    specId: Long = 0L,
+    quantCols: Seq[String] = Seq.empty) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new ManifestReplaceWriterFactory(root.toString, schema, partCols, colMap,
-      bloomCols, rowGroupBytes, partSpec)
+      bloomCols, rowGroupBytes, partSpec, quantCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val (live0, empty) = ManifestSink.commitEntries(messages).partition(_.rows > 0L)
@@ -5902,11 +6011,12 @@ class ManifestStreamingWrite(root: Path, schema: StructType, truncateEachEpoch: 
     partSpec: Seq[ManifestSink.PartTransform] = Seq.empty,
     specId: Long = 0L,
     checks: Seq[(String, String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
-    sortCols: Seq[String] = Seq.empty)
+    sortCols: Seq[String] = Seq.empty,
+    quantCols: Seq[String] = Seq.empty)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new ManifestStreamingWriterFactory(root.toString, schema, partCols, colMap,
-      bloomCols, rowGroupBytes, partSpec, checks, sortCols)
+      bloomCols, rowGroupBytes, partSpec, checks, sortCols, quantCols)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     if (ManifestSink.epochMarkers(root).get(queryId).exists(_ >= epochId)) {
@@ -5933,7 +6043,8 @@ class ManifestStreamingWriterFactory(rootStr: String, schema: StructType,
     rowGroupBytes: Option[Long] = None,
     partSpec: Seq[ManifestSink.PartTransform] = Seq.empty,
     checks: Seq[(String, String, org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
-    sortCols: Seq[String] = Seq.empty)
+    sortCols: Seq[String] = Seq.empty,
+    quantCols: Seq[String] = Seq.empty)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] = {
@@ -5946,9 +6057,9 @@ class ManifestStreamingWriterFactory(rootStr: String, schema: StructType,
         new ManifestDataWriter(rootStr, schema,
           s"$prefix-${java.util.UUID.randomUUID()}.parquet", colMap = colMap,
           bloomCols = bloomCols, rowGroupBytes = rowGroupBytes,
-          sortCols = sortCols)
+          sortCols = sortCols, quantCols = quantCols)
       else new PartitionedDataWriter(rootStr, schema, partCols, prefix, colMap,
-        bloomCols, rowGroupBytes, partSpec, sortCols)
+        bloomCols, rowGroupBytes, partSpec, sortCols, quantCols = quantCols)
     if (checks.isEmpty) inner
     else new CheckEnforcingWriter(inner, schema, checks)
   }
@@ -5991,7 +6102,8 @@ class ManifestWriterFactory(rootStr: String, schema: StructType,
     bloomCols: Seq[String] = Seq.empty,
     rowGroupBytes: Option[Long] = None,
     partSpec: Seq[ManifestSink.PartTransform] = Seq.empty,
-    sortCols: Seq[String] = Seq.empty) extends DataWriterFactory {
+    sortCols: Seq[String] = Seq.empty,
+    quantCols: Seq[String] = Seq.empty) extends DataWriterFactory {
   def createWriter(partitionId: Int, taskId: Long,
       lineageCell: Option[LineageCell]): DataWriter[InternalRow] = {
     // attempt-unique name: a retried or speculative attempt of the same
@@ -6002,9 +6114,9 @@ class ManifestWriterFactory(rootStr: String, schema: StructType,
       new ManifestDataWriter(rootStr, schema,
         s"$prefix-${java.util.UUID.randomUUID()}.parquet", colMap = colMap,
         bloomCols = bloomCols, rowGroupBytes = rowGroupBytes,
-        sortCols = sortCols, lineageCell = lineageCell)
+        sortCols = sortCols, lineageCell = lineageCell, quantCols = quantCols)
     else new PartitionedDataWriter(rootStr, schema, partCols, prefix, colMap,
-      bloomCols, rowGroupBytes, partSpec, sortCols, lineageCell)
+      bloomCols, rowGroupBytes, partSpec, sortCols, lineageCell, quantCols)
   }
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     createWriter(partitionId, taskId, None)
@@ -6037,7 +6149,8 @@ class PartitionedDataWriter(rootStr: String, schema: StructType,
     rowGroupBytes: Option[Long] = None,
     partSpec: Seq[ManifestSink.PartTransform] = Seq.empty,
     sortCols: Seq[String] = Seq.empty,
-    lineageCell: Option[LineageCell] = None) extends DataWriter[InternalRow] {
+    lineageCell: Option[LineageCell] = None,
+    quantCols: Seq[String] = Seq.empty) extends DataWriter[InternalRow] {
   private val idx: Seq[(Int, DataType)] = partCols.map { c =>
     val i = schema.fieldIndex(c); (i, schema.fields(i).dataType)
   }
@@ -6070,7 +6183,7 @@ class PartitionedDataWriter(rootStr: String, schema: StructType,
       new ManifestDataWriter(rootStr, schema,
         s"$namePrefix-${java.util.UUID.randomUUID()}.parquet",
         partCols.zip(key).toMap, colMap, bloomCols, rowGroupBytes,
-        sortCols, lineageCell)).write(record)
+        sortCols, lineageCell, quantCols)).write(record)
   }
 
   override def commit(): WriterCommitMessage =
@@ -6100,14 +6213,16 @@ class ManifestReplaceWriterFactory(rootStr: String, schema: StructType,
     colMap: Map[String, String] = Map.empty,
     bloomCols: Seq[String] = Seq.empty,
     rowGroupBytes: Option[Long] = None,
-    partSpec: Seq[ManifestSink.PartTransform] = Seq.empty) extends DataWriterFactory {
+    partSpec: Seq[ManifestSink.PartTransform] = Seq.empty,
+    quantCols: Seq[String] = Seq.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     // partitioned tables fan out per partition tuple here too — an
     // UPDATE that changes a partition column's value moves the row to
     // its new partition naturally (the writer keys on ROW values)
     val cell = new LineageCell
     val inner = new ManifestWriterFactory(rootStr, schema, partCols, colMap,
-      bloomCols, rowGroupBytes, partSpec).createWriter(partitionId, taskId, Some(cell))
+      bloomCols, rowGroupBytes, partSpec,
+      quantCols = quantCols).createWriter(partitionId, taskId, Some(cell))
     new DataWriter[InternalRow] {
       private val shifted = new ShiftedInternalRow(1)
       // ordinals of (_row_id, _last_updated_version) in the metadata
@@ -6222,7 +6337,8 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
     bloomCols: Seq[String] = Seq.empty,
     rowGroupBytes: Option[Long] = None,
     sortCols: Seq[String] = Seq.empty,
-    lineageCell: Option[LineageCell] = None)
+    lineageCell: Option[LineageCell] = None,
+    quantCols: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
   private val root = Paths.get(rootStr)
   private var rows = 0L
@@ -6262,7 +6378,8 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
   // that powers file skipping and the metadata count. Keyed by LOGICAL
   // name (manifest metadata is logical; only bytes inside data files
   // are physical).
-  private val stats = new ManifestSink.FileStatsCollector(schema, bloomCols, sortCols)
+  private val stats =
+    new ManifestSink.FileStatsCollector(schema, bloomCols, sortCols, quantCols)
   private lazy val out = {
     Files.createDirectories(root)
     // data files carry PHYSICAL column names — immutable across renames
@@ -6281,7 +6398,7 @@ class ManifestDataWriter(rootStr: String, schema: StructType, fileName: String,
     ManifestCommit(fileName, rows, stats.intMins, stats.intMaxs, parts,
       stats.blooms, stats.strLowers, stats.strUppers,
       stats.intNdvs, stats.nullCounts, stats.sortedBy, capturedLineage,
-      stats.ndvSketches)
+      stats.ndvSketches, stats.quantSketches)
   }
   override def abort(): Unit = {
     try out.close() catch { case _: Throwable => () }

@@ -43,6 +43,15 @@ class EntryCodecSpec extends AnyFunSuite {
     rt(base.copy(sorted = Seq("id", "a b"), seq = 3L))
     rt(base.copy(ndvs = Map("id" -> 9L), nulls = Map("id" -> 0L),
       sorted = Seq("v"), specId = 1L))
+    // quantile-sample slot (position 14): alone — every earlier slot
+    // must render (possibly empty) to hold its position — and stacked
+    // with the NDV-sketch slot it trails; encoded column name; empty
+    // sketch payload
+    val qs = QuantileSketch.encode(Seq((3L, 40L), (9L, 7L)))
+    rt(base.copy(qsk = Map("id" -> qs)))
+    rt(base.copy(qsk = Map("a b" -> qs, "id" -> QuantileSketch.encode(Seq.empty))))
+    rt(base.copy(ndvSk = Map("id" -> "sAAA"), qsk = Map("id" -> qs),
+      sorted = Seq("id"), seq = 5L, specId = 1L))
   }
 
   test("legacy 5-field and 2-field lines still parse") {
