@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -30,6 +31,12 @@ object DedupOps {
   val Bands = 4
   val RowsPerBand = 4
   val ShingleN = 3
+
+  /** q190 shingle-set Jaccard threshold in basis points — 0.5, the
+    * same predicate q41's LSH verification applies (inter*2 >= uni), so
+    * the two operators answer the same question by different candidate
+    * generators and the exact one must dominate. */
+  val SetSimTBp = 5000L
 
   /** Id-set size up to which candidate-doc semi-joins broadcast (8-byte
     * ids; 4M ≈ 32 MB serialized). The near-dup fraction of a 100 TB
@@ -62,6 +69,40 @@ object DedupOps {
     * are, by construction, corpus-common rather than pairwise-copied.
     * Text re-windowing for the exact-equality guard touches candidate
     * docs only, via the size-gated id join. */
+  /** The q190 engine, factored over an arbitrary (doc_id, text) frame
+    * so specs can drive adversarial micro-corpora through the exact
+    * algorithm and compare against brute force. See the q190 entry for
+    * the design commentary. */
+  private[graft] def setSimJoin(docs: DataFrame,
+      t: Long = SetSimTBp): DataFrame = {
+    val tk = docs.select(col("doc_id"),
+      explode(graft.plans.ShinglesExpr.shinglesNative(col("text"), ShingleN))
+        .as("token"))
+    val dfreq = tk.groupBy("token").agg(count(lit(1)).as("df"))
+    val pos = tk.join(dfreq, "token")
+      .withColumn("m", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("token"))))
+    val pre = pos.filter(
+      col("pos") <= col("m") - expr(s"($t * m + 9999) div 10000") + 1)
+    val cand = pre.as("a").join(pre.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.m") * t <= col("a.m") * 10000 &&
+          col("a.m") * t <= col("b.m") * 10000)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.m").as("size_a"), col("b.m").as("size_b"))
+      .distinct()
+    cand
+      .join(tk.select(col("doc_id").as("doc_a"), col("token")), Seq("doc_a"))
+      .join(tk.select(col("doc_id").as("doc_b"), col("token")), Seq("doc_b", "token"))
+      .groupBy("doc_a", "doc_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * 10000 >=
+        (col("size_a") + col("size_b") - col("inter")) * t)
+      .withColumn("jacc_bp", expr("inter * 10000L div (size_a + size_b - inter)"))
+  }
+
   /** One row per (doc, 1-based window start) with the window's xxhash64
     * — the CORPUS pass of the substring family, via the fused byte-span
     * kernel (WindowHashesExpr): bit-equal to
@@ -335,6 +376,28 @@ object DedupOps {
   }
 
   val queries: Map[String, Q] = Map(
+    // EXACT set-similarity join by prefix filtering (the SSJoin/PPJoin
+    // family — Chaudhuri et al. 2006, Xiao et al. 2008): every document
+    // pair with shingle-set Jaccard ≥ 0.5 — the SAME space and
+    // threshold as q41's LSH pipeline, but with the guarantee LSH
+    // cannot give: NO missed pairs (LSH admits only band-colliding
+    // candidates; banding is probabilistic). Shingles order globally by
+    // (document frequency, shingle); a doc of m shingles exposes only
+    // its first m − ceil(t·m) + 1 RAREST shingles as join keys (a pair
+    // at J ≥ t must collide inside these prefixes — the prefix-filter
+    // theorem), candidates equi-join on those keys plus the
+    // t ≤ |a|/|b| ≤ 1/t length filter, and exact Jaccard verifies
+    // candidates only. The DuckDB oracle deliberately runs the NAIVE
+    // pairs-sharing-any-shingle join instead — a hash-match PROVES the
+    // prefix filter dropped nothing on this corpus, and
+    // SetSimExactnessSpec pins q41 ⊆ q190 (the LSH-miss theorem).
+    // Scale shape: prefix join keys are the globally rarest shingles
+    // (boilerplate never becomes a join key), both windows ride one
+    // doc_id partitioning, verification cost follows the candidate set,
+    // never corpus². All comparisons are cross-multiplied integers.
+    "q190_setsim_join" -> ((s, dir) =>
+      setSimJoin(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+
     "q40_exact_dedup" -> ((s, dir) => {
       Tables.documents(s, dir)
         .groupBy("text")
@@ -671,6 +734,25 @@ object DedupOps {
        |  WHERE a.w IN (SELECT w FROM keep))""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the NAIVE algorithm on purpose: every pair sharing ≥1 shingle,
+    // exact Jaccard, threshold filter — hash-matching this proves the
+    // Spark side's prefix filter is lossless on the corpus
+    "q190_setsim_join" ->
+      s"""WITH $setsCte,
+         |tk AS (SELECT doc_id, unnest(shingles) AS token FROM s),
+         |sz AS (SELECT doc_id, count(*) AS m FROM tk GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM tk a JOIN tk b ON a.token = b.token AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |j AS (SELECT doc_a, doc_b, sa.m AS size_a, sb.m AS size_b, inter
+         |  FROM pairs JOIN sz sa ON sa.doc_id = doc_a
+         |             JOIN sz sb ON sb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, size_a, size_b, inter,
+         |  CAST(inter * 10000 // (size_a + size_b - inter) AS BIGINT) AS jacc_bp
+         |FROM j
+         |WHERE inter * 10000 >= $SetSimTBp * (size_a + size_b - inter)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q40_exact_dedup" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, md5(text) AS text_md5
         |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
