@@ -53,15 +53,27 @@ object Verify {
       require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names unknown queries: $unknown")
     }
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_SEC", "600").toLong
+    // Concurrent sweep: Spark sessions are thread-safe and the staged
+    // fixtures build once-per-key with BLOCKING guards
+    // (graft.engine.Staging), so queries are independent units of work.
+    // local[32] at sf0.01 leaves most cores idle under a sequential
+    // sweep — a small pool roughly divides the wall-clock that the
+    // driver's gate timeout is spent against. SPARK_GRAFT_VERIFY_PAR=1
+    // restores the sequential sweep.
+    val par = math.max(1, sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "4").toInt)
     val todo = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .toSeq.sortBy(_._1)
     val t0 = System.nanoTime()
-    var nOk, nFail = 0
-    todo.foreach { case (name, fn) =>
+    val nOk = new java.util.concurrent.atomic.AtomicInteger
+    val nFail = new java.util.concurrent.atomic.AtomicInteger
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par, r => {
+      val t = new Thread(r, "verify-pool"); t.setDaemon(true); t
+    })
+    todo.foreach { case (name, fn) => pool.submit(new Runnable { def run(): Unit = {
       val tq = System.nanoTime()
-      // The query runs on its own (daemon) thread inside a named job
-      // group so the watchdog can cancel its Spark jobs; driver-side
+      // The query body runs on its own (daemon) thread inside a named
+      // job group so the watchdog can cancel its Spark jobs; driver-side
       // loops additionally get an interrupt. The sweep itself never dies
       // with a query.
       val done = new CompletableFuture[Unit]()
@@ -75,23 +87,28 @@ object Verify {
       }, s"verify-$name")
       worker.setDaemon(true)
       worker.start()
-      try { done.get(timeoutSec, TimeUnit.SECONDS); nOk += 1 }
+      try { done.get(timeoutSec, TimeUnit.SECONDS); nOk.incrementAndGet() }
       catch {
         case _: TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
           worker.interrupt()
-          nFail += 1
+          nFail.incrementAndGet()
           System.err.println(s"[verify] $name TIMED OUT after $timeoutSec s (cancelled)")
         case e: Throwable =>
-          nFail += 1
+          nFail.incrementAndGet()
           val cause = Option(e.getCause).getOrElse(e)
           System.err.println(s"[verify] $name failed: ${cause.getMessage}")
       }
       System.err.println(f"[verify] $name ${(System.nanoTime() - tq) / 1e9}%.2f s" +
-        f" (${nOk + nFail}/${todo.size}, total ${(System.nanoTime() - t0) / 1e9}%.1f s)")
-    }
+        f" (${nOk.get + nFail.get}/${todo.size}, total ${(System.nanoTime() - t0) / 1e9}%.1f s)")
+    }})}
+    pool.shutdown()
+    // generous hard stop: the per-query watchdogs bound each unit, so
+    // this only fires if the pool itself wedges
+    pool.awaitTermination(todo.size.toLong * timeoutSec + 60L, TimeUnit.SECONDS)
     System.err.println(
-      f"VERIFY_SUMMARY ok=$nOk fail=$nFail total_sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+      f"VERIFY_SUMMARY ok=${nOk.get} fail=${nFail.get} " +
+        f"total_sec=${(System.nanoTime() - t0) / 1e9}%.1f")
     spark.stop()
     // A timed-out query's daemon thread may still hold non-daemon Spark
     // resources; exit explicitly so a wedged straggler can't hang the

@@ -77,7 +77,10 @@ object BpeOps {
 
   private[graft] def trainedMerges(s: SparkSession, dir: String,
       rounds: Int = BpeRounds): Seq[(Int, String, String, Long)] =
-    mergeMemo.getOrElseUpdate((dir, rounds), {
+    // synchronized: TrieMap.getOrElseUpdate may evaluate the op twice
+    // under contention — duplicate TRAINING runs, not corruption; the
+    // lock makes a concurrent sweep pay training once
+    mergeMemo.synchronized { mergeMemo.getOrElseUpdate((dir, rounds), {
       // the word table is every round's input: pin it (small — the
       // vocabulary) so rounds don't re-read and re-aggregate the corpus
       val words = wordFreq(Tables.documents(s, dir)).localCheckpoint()
@@ -100,7 +103,7 @@ object BpeOps {
         out += ((r, l, rr, c))
       }
       out.result()
-    })
+    }) }
 
   val queries: Map[String, Q] = Map(
     // round-0 merge candidates: the character-bigram frequency table

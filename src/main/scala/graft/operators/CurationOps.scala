@@ -479,7 +479,9 @@ object CurationOps {
   }
 
   private[graft] def probeWeights(s: SparkSession, dir: String): Seq[(Int, Long, Long, Long)] =
-    probeMemo.getOrElseUpdate(dir, {
+    // synchronized: once-per-key under a concurrent sweep (see
+    // BpeOps.trainedMerges)
+    probeMemo.synchronized { probeMemo.getOrElseUpdate(dir, {
       val f = probeFeatures(s, dir).localCheckpoint()
       val n = f.count()
       require(n > 0, "probe training needs a non-empty corpus")
@@ -499,7 +501,7 @@ object CurationOps {
         out += ((r, w0, w1, w2))
       }
       out.result()
-    })
+    }) }
 
   /** q187 per-source sample size (k). The window is rank-limited to
     * k+1 — the extra row is the HT threshold τ. */
@@ -523,7 +525,7 @@ object CurationOps {
     scala.collection.concurrent.TrieMap[String, Seq[(Int, String, Long)]]()
 
   private[graft] def doremiTrajectory(s: SparkSession, dir: String): Seq[(Int, String, Long)] =
-    doremiMemo.getOrElseUpdate(dir, {
+    doremiMemo.synchronized { doremiMemo.getOrElseUpdate(dir, {
       val perDomain = Tables.documents(s, dir)
         .select(col("source"), tokens(col("text")).as("toks"))
         .select(col("source"),
@@ -552,7 +554,7 @@ object CurationOps {
         excess.zip(w).foreach { case ((src, _), wi) => out += ((r, src, wi)) }
       }
       out.result()
-    })
+    }) }
 
   /** q142 hashed-feature space width: fixes both count tables at ≤4096
     * rows at ANY corpus size (the DSIR trick). */

@@ -167,7 +167,8 @@ object DedupOps {
     .empty[(SparkSession, String, Int, Int), DataFrame]
 
   private[graft] def stagedSubstringDupPairs(s: SparkSession, dir: String,
-      w: Int = SubstrWindow, dfCap: Int = SubstrDfCap): DataFrame = {
+      w: Int = SubstrWindow,
+      dfCap: Int = SubstrDfCap): DataFrame = substrPairCache.synchronized {
     substrPairCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
     substrPairCache.get((s, dir, w, dfCap)) match {
       case Some(t) if scala.util.Try(t.take(1)).isSuccess => t
@@ -272,7 +273,11 @@ object DedupOps {
   private[graft] def pairMemberShingles(s: SparkSession, dir: String): DataFrame =
     stagedPairs(s, dir)._2
 
-  private def stagedPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  // synchronized: under a concurrent sweep two consumers (q41/q77)
+  // would otherwise BOTH run the expensive corpus staging — get/put is
+  // lock-free-correct but double-evaluates; the lock makes it
+  // once-per-key like Staging.once while keeping the health probe
+  private def stagedPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = pairCache.synchronized {
     // evict entries for stopped sessions (otherwise the memo — and its
     // localCheckpoint RDDs — leaks for the life of the process)
     pairCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)

@@ -31,10 +31,7 @@ object IngestOps {
   /** Once-per-key staging that UN-POISONS on failure (see
     * SimilarityOps.buildOnce — same contract). */
   private def buildOnce[K](set: java.util.Set[K], key: K)(build: => Unit): Unit =
-    if (set.add(key)) {
-      try build
-      catch { case t: Throwable => set.remove(key); throw t }
-    }
+    graft.engine.Staging.once(set, key)(build)
 
   private val orcWritten =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
@@ -243,10 +240,11 @@ object IngestOps {
       // write job on every construction.
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
         s"${s.sparkContext.applicationId}_${Integer.toHexString(dir.hashCode)}"
-      if (orcWritten.add((s.sparkContext.applicationId, dir)))
+      buildOnce(orcWritten, (s.sparkContext.applicationId, dir)) {
         Tables.events(s, dir)
           .select("event_id", "user_id", "event_type", "value", "ts_us")
           .write.mode("overwrite").orc(out)
+      }
       s.read.orc(out)
         .filter(col("value") > 50)
         .groupBy("event_type")

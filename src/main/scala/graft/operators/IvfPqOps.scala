@@ -269,12 +269,9 @@ object IvfPqOps {
     s"graft.$ns.annidx_m"
   }
 
-  /** [[SimilarityOps.buildOnce]]'s un-poisoning contract, local copy. */
+  /** [[SimilarityOps.buildOnce]]'s blocking un-poisoning contract. */
   private def buildOnce[K](set: java.util.Set[K], key: K)(build: => Unit): Unit =
-    if (set.add(key)) {
-      try build
-      catch { case t: Throwable => set.remove(key); throw t }
-    }
+    graft.engine.Staging.once(set, key)(build)
 
   /** Integer coarse codebook for the fixture corpus: the q139-trained
     * codebook manifest table — the SAME table q106/q48/q134 consume. */

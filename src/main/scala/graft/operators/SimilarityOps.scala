@@ -519,14 +519,11 @@ object SimilarityOps {
     fitMemo.computeIfAbsent((s.sparkContext.applicationId, dir, tag),
       _ => f).asInstanceOf[T]
 
-  /** Once-per-key staging that UN-POISONS on failure: a mid-build crash
-    * removes the memo key so the next caller retries instead of
-    * querying a half-built table forever. */
+  /** Once-per-key staging — BLOCKING and un-poisoning via
+    * [[graft.engine.Staging]]: concurrent callers wait for the build,
+    * a failed build stores nothing and the next caller retries. */
   private def buildOnce[K](set: java.util.Set[K], key: K)(build: => Unit): Unit =
-    if (set.add(key)) {
-      try build
-      catch { case t: Throwable => set.remove(key); throw t }
-    }
+    graft.engine.Staging.once(set, key)(build)
 
   private val annBuilt =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
