@@ -371,6 +371,33 @@ object CurationOps {
         .orderBy("label", "pred")
     }),
 
+    // RHO-loss data selection (Mindermann et al. 2022, "Prioritized
+    // training on points that are learnable, worth learning, and not
+    // yet learnt"): score(x) = L(x; current model) − L(x; holdout
+    // model), keep the top-K. High current-model loss alone selects
+    // noise (unlearnable points score high on BOTH models and cancel);
+    // subtracting the holdout-trained reference keeps exactly the
+    // points that are learnable but not yet learnt. Both models are
+    // the distilled probe trained by the same fixed-round integer GD
+    // (q168's replayable-training contract) — the current model on the
+    // full corpus, the reference on the doc_id % 7 ≡ 3 holdout
+    // stratum; losses are exact integer squared milli-residuals.
+    // Scale shape: two bounded trainings (R aggregated scans each),
+    // then ONE scoring scan with both weight vectors as literals and a
+    // TakeOrderedAndProject top-K — no join, no window, no shuffle
+    // beyond the final K rows.
+    "q191_rho_selection" -> ((s, dir) => {
+      val (_, w0, w1, w2) = probeWeights(s, dir).last
+      val (h0, h1, h2) = holdoutProbeWeights(s, dir)
+      val rc = lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2") - col("y")
+      val rh = lit(h0) + lit(h1) * col("x1") + lit(h2) * col("x2") - col("y")
+      probeFeatures(s, dir)
+        .select(col("doc_id"), (rc * rc).as("l_cur"), (rh * rh).as("l_ho"))
+        .withColumn("rho", col("l_cur") - col("l_ho"))
+        .orderBy(col("rho").desc, col("doc_id"))
+        .limit(RhoK)
+    }),
+
     // Weighted sampling without replacement by PRIORITY SAMPLING
     // (Duffield, Lund & Thorup 2007): each doc draws priority
     // p = w/u with weight w = n_chars and a deterministic uniform
@@ -445,6 +472,13 @@ object CurationOps {
   val ProbeLrDen = 2L
   val ProbeThreshold = 500L
 
+  /** q191 RHO-loss selection constants: the holdout stratum (a
+    * doc_id congruence class disjoint in spirit from q104's %97 eval
+    * set) and the selection budget. */
+  val RhoHoldoutMod = 7L
+  val RhoHoldoutRes = 3L
+  val RhoK = 40
+
   /** Per-doc probe features: nested length dummies x1/x2 and the
     * teacher label y (q52's 'high' bucket, in milli-units). Kept to
     * exactly q52's token/stopword algebra so the teacher IS the gate
@@ -478,30 +512,51 @@ object CurationOps {
       (lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2")).as("sc"))
   }
 
+  /** The fixed-round integer-GD loop over an arbitrary feature frame —
+    * shared by the full-corpus probe (q168) and the holdout-trained
+    * reference model (q191). */
+  private def gdTrajectory(f0: DataFrame): Seq[(Int, Long, Long, Long)] = {
+    val f = f0.localCheckpoint()
+    val n = f.count()
+    require(n > 0, "probe training needs a non-empty corpus")
+    var (w0, w1, w2) = (0L, 0L, 0L)
+    val out = Vector.newBuilder[(Int, Long, Long, Long)]
+    for (r <- 1 to ProbeRounds) {
+      // resid = prediction − teacher, in milli-units; the gradient of
+      // ½Σresid² per weight is Σ resid·x_j — three exact integer sums
+      val resid = lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2") - col("y")
+      val g = f.select(
+        sum(resid).as("g0"),
+        sum(resid * col("x1")).as("g1"),
+        sum(resid * col("x2")).as("g2")).head()
+      w0 -= Math.floorDiv(g.getLong(0), ProbeLrDen * n)
+      w1 -= Math.floorDiv(g.getLong(1), ProbeLrDen * n)
+      w2 -= Math.floorDiv(g.getLong(2), ProbeLrDen * n)
+      out += ((r, w0, w1, w2))
+    }
+    out.result()
+  }
+
   private[graft] def probeWeights(s: SparkSession, dir: String): Seq[(Int, Long, Long, Long)] =
     // synchronized: once-per-key under a concurrent sweep (see
     // BpeOps.trainedMerges)
-    probeMemo.synchronized { probeMemo.getOrElseUpdate(dir, {
-      val f = probeFeatures(s, dir).localCheckpoint()
-      val n = f.count()
-      require(n > 0, "probe training needs a non-empty corpus")
-      var (w0, w1, w2) = (0L, 0L, 0L)
-      val out = Vector.newBuilder[(Int, Long, Long, Long)]
-      for (r <- 1 to ProbeRounds) {
-        // resid = prediction − teacher, in milli-units; the gradient of
-        // ½Σresid² per weight is Σ resid·x_j — three exact integer sums
-        val resid = lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2") - col("y")
-        val g = f.select(
-          sum(resid).as("g0"),
-          sum(resid * col("x1")).as("g1"),
-          sum(resid * col("x2")).as("g2")).head()
-        w0 -= Math.floorDiv(g.getLong(0), ProbeLrDen * n)
-        w1 -= Math.floorDiv(g.getLong(1), ProbeLrDen * n)
-        w2 -= Math.floorDiv(g.getLong(2), ProbeLrDen * n)
-        out += ((r, w0, w1, w2))
-      }
-      out.result()
-    }) }
+    probeMemo.synchronized {
+      probeMemo.getOrElseUpdate(dir, gdTrajectory(probeFeatures(s, dir)))
+    }
+
+  /** q191 holdout-trained reference probe: the SAME GD loop over only
+    * the holdout stratum (doc_id ≡ RhoHoldoutRes mod RhoHoldoutMod). */
+  private val holdoutMemo =
+    scala.collection.concurrent.TrieMap[String, (Long, Long, Long)]()
+
+  private[graft] def holdoutProbeWeights(s: SparkSession, dir: String): (Long, Long, Long) =
+    holdoutMemo.synchronized {
+      holdoutMemo.getOrElseUpdate(dir, {
+        val (_, w0, w1, w2) = gdTrajectory(probeFeatures(s, dir)
+          .filter(col("doc_id") % RhoHoldoutMod === RhoHoldoutRes)).last
+        (w0, w1, w2)
+      })
+    }
 
   /** q187 per-source sample size (k). The window is rank-limited to
     * k+1 — the extra row is the HT threshold τ. */
@@ -731,6 +786,24 @@ object CurationOps {
          |FROM scored ORDER BY doc_id""".stripMargin
     },
 
+    // two trainings in one statement: the full-corpus model (p-prefix)
+    // and the holdout-stratum reference (h-prefix over hf ⊂ pf), then
+    // per-doc squared milli-residuals under each and the top-K by
+    // reducible loss
+    "q191_rho_selection" ->
+      s"""WITH ${probeCtesSql(ProbeRounds)},
+         |hf AS MATERIALIZED (
+         |  SELECT * FROM pf WHERE doc_id % $RhoHoldoutMod = $RhoHoldoutRes),
+         |${probeTrainCtesSql("h", "hf", ProbeRounds)}
+         |SELECT doc_id, l_cur, l_ho, l_cur - l_ho AS rho FROM (
+         |  SELECT f.doc_id,
+         |    CAST((p.w0 + p.w1*f.x1 + p.w2*f.x2 - f.y)
+         |      * (p.w0 + p.w1*f.x1 + p.w2*f.x2 - f.y) AS BIGINT) AS l_cur,
+         |    CAST((h.w0 + h.w1*f.x1 + h.w2*f.x2 - f.y)
+         |      * (h.w0 + h.w1*f.x1 + h.w2*f.x2 - f.y) AS BIGINT) AS l_ho
+         |  FROM pf f, pw$ProbeRounds p, hw$ProbeRounds h)
+         |ORDER BY rho DESC, doc_id LIMIT $RhoK""".stripMargin,
+
     "q168_probe_train" ->
       s"""WITH ${probeCtesSql(ProbeRounds)}
          |SELECT round, w0, w1, w2 FROM (
@@ -753,43 +826,56 @@ object CurationOps {
   private[operators] def floorDivSql(a: String, b: String): String =
     s"(($a - ((($a % $b) + $b) % $b)) // $b)"
 
-  /** The q168 training replay, unrolled to `rounds` MATERIALIZED CTE
-    * rounds (the q166 pattern — materialization is load-bearing: DuckDB
-    * inlines plain CTEs and each round references the previous one
-    * several times, which would expand exponentially). Ends with
-    * `pf(doc_id, x1, x2, y)` and `pw$rounds(w0, w1, w2)`. */
-  private[operators] def probeCtesSql(rounds: Int): String = {
+  /** The probe FEATURE table CTE — `pf(doc_id, x1, x2, y)`. */
+  private[operators] def probeBaseCteSql: String = {
     val stops = TextOps.Stopwords.map("'" + _ + "'").mkString(", ")
+    s"""pf AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN n_tok <= $ProbeT1 THEN CAST(1 AS BIGINT) ELSE 0 END AS x1,
+       |    CASE WHEN n_tok <= $ProbeT2 THEN CAST(1 AS BIGINT) ELSE 0 END AS x2,
+       |    CASE WHEN n_uniq*10 >= n_tok*7 AND stop_cnt*10 <= n_tok*3
+       |      THEN CAST(1000 AS BIGINT) ELSE 0 END AS y
+       |  FROM (SELECT doc_id,
+       |      CAST(len($toksSql) AS BIGINT) AS n_tok,
+       |      CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_uniq,
+       |      CAST(len(list_filter($toksSql, t -> t IN ($stops))) AS BIGINT) AS stop_cnt
+       |    FROM documents))""".stripMargin
+  }
+
+  /** The GD replay over feature CTE `src`, unrolled to `rounds`
+    * MATERIALIZED CTE rounds (the q166 pattern — materialization is
+    * load-bearing: DuckDB inlines plain CTEs and each round references
+    * the previous one several times, which would expand exponentially).
+    * CTE names carry `pre` so two trainings (q191's current + holdout
+    * models) coexist in one statement. Ends with
+    * `${"$"}{pre}w${"$"}rounds(w0, w1, w2)`. */
+  private[operators] def probeTrainCtesSql(pre: String, src: String,
+      rounds: Int): String = {
     val base =
-      s"""pf AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    CASE WHEN n_tok <= $ProbeT1 THEN CAST(1 AS BIGINT) ELSE 0 END AS x1,
-         |    CASE WHEN n_tok <= $ProbeT2 THEN CAST(1 AS BIGINT) ELSE 0 END AS x2,
-         |    CASE WHEN n_uniq*10 >= n_tok*7 AND stop_cnt*10 <= n_tok*3
-         |      THEN CAST(1000 AS BIGINT) ELSE 0 END AS y
-         |  FROM (SELECT doc_id,
-         |      CAST(len($toksSql) AS BIGINT) AS n_tok,
-         |      CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_uniq,
-         |      CAST(len(list_filter($toksSql, t -> t IN ($stops))) AS BIGINT) AS stop_cnt
-         |    FROM documents)),
-         |pn AS MATERIALIZED (
-         |  SELECT CAST(count(*) AS BIGINT) * $ProbeLrDen AS m FROM pf),
-         |pw0 AS MATERIALIZED (
+      s"""${pre}n AS MATERIALIZED (
+         |  SELECT CAST(count(*) AS BIGINT) * $ProbeLrDen AS m FROM $src),
+         |${pre}w0 AS MATERIALIZED (
          |  SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
          |    CAST(0 AS BIGINT) AS w2)""".stripMargin
     def round(k: Int): String = {
       val p = k - 1
-      s"""pg$k AS MATERIALIZED (
+      s"""${pre}g$k AS MATERIALIZED (
          |  SELECT CAST(sum(w.w0 + w.w1*f.x1 + w.w2*f.x2 - f.y) AS BIGINT) AS g0,
          |    CAST(sum((w.w0 + w.w1*f.x1 + w.w2*f.x2 - f.y) * f.x1) AS BIGINT) AS g1,
          |    CAST(sum((w.w0 + w.w1*f.x1 + w.w2*f.x2 - f.y) * f.x2) AS BIGINT) AS g2
-         |  FROM pf f, pw$p w),
-         |pw$k AS MATERIALIZED (
+         |  FROM $src f, ${pre}w$p w),
+         |${pre}w$k AS MATERIALIZED (
          |  SELECT w.w0 - ${floorDivSql("g.g0", "n.m")} AS w0,
          |    w.w1 - ${floorDivSql("g.g1", "n.m")} AS w1,
          |    w.w2 - ${floorDivSql("g.g2", "n.m")} AS w2
-         |  FROM pw$p w, pg$k g, pn n)""".stripMargin
+         |  FROM ${pre}w$p w, ${pre}g$k g, ${pre}n n)""".stripMargin
     }
     base + ",\n" + (1 to rounds).map(round).mkString(",\n")
   }
+
+  /** The q168 training replay: feature table + the "p"-prefixed
+    * training rounds (names `pn`/`pw0`/`pg1`…`pw8` — byte-compatible
+    * with the pre-refactor SQL). */
+  private[operators] def probeCtesSql(rounds: Int): String =
+    probeBaseCteSql + ",\n" + probeTrainCtesSql("p", "pf", rounds)
 }

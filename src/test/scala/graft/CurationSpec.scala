@@ -163,6 +163,31 @@ class CurationSpec extends AnyFunSuite {
       s"final winners $maxFinal not among round-1 winners $maxExcessDomains")
   }
 
+  test("q191: rho selection takes exactly the top-K reducible-loss docs") {
+    val sel = CurationOps.queries("q191_rho_selection")(spark, sfDir).collect()
+    assert(sel.length == CurationOps.RhoK)
+    // the published score must be the difference of the published losses,
+    // and rows must arrive in (rho desc, doc_id) order
+    sel.foreach(r => assert(
+      r.getAs[Long]("rho") == r.getAs[Long]("l_cur") - r.getAs[Long]("l_ho")))
+    val rhos = sel.map(_.getAs[Long]("rho"))
+    assert(rhos.zip(rhos.tail).forall { case (a, b) => a >= b })
+    // no unselected doc may outscore a selected one: recompute every
+    // doc's rho under the same two trained models
+    val (_, w0, w1, w2) = CurationOps.probeWeights(spark, sfDir).last
+    val (h0, h1, h2) = CurationOps.holdoutProbeWeights(spark, sfDir)
+    val rc = lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2") - col("y")
+    val rh = lit(h0) + lit(h1) * col("x1") + lit(h2) * col("x2") - col("y")
+    val all = CurationOps.probeFeatures(spark, sfDir)
+      .select(col("doc_id"), (rc * rc - rh * rh).as("rho")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val selectedIds = sel.map(_.getAs[Long]("doc_id")).toSet
+    val minSel = sel.map(_.getAs[Long]("rho")).min
+    val maxUnsel = all.collect { case (id, rho) if !selectedIds(id) => rho }.max
+    assert(maxUnsel <= minSel,
+      s"an unselected doc scores $maxUnsel > selected minimum $minSel")
+  }
+
   test("q108: band decomposition equals the nested-loop join on the bounded probe set") {
     // q08 (BNLJ, s_suppkey < 100) must agree with q108 restricted the
     // same way — at sf0.001 ALL suppliers have s_suppkey < 100, so the
