@@ -371,6 +371,45 @@ object CurationOps {
         .orderBy("label", "pred")
     }),
 
+    // T5/UL2-style SPAN CORRUPTION example accounting (Raffel et al.
+    // 2020; Tay et al. 2022): the denoising-objective preprocessing
+    // that turns each document into (inputs, targets) — masked spans
+    // replaced by one sentinel each, targets = sentinels + the masked
+    // tokens. The noise schedule is a deterministic block tiling:
+    // positions tile into 10-token blocks, each block masks a span at
+    // offset md5(doc,blk)%7 of length 1+md5'(doc,blk)%3 — ~20%
+    // corruption, mean span 2, non-overlapping by construction, and
+    // exactly replayable (no RNG state — the q105 shuffle-shard
+    // doctrine applied to noise). Output per doc: token/mask/span
+    // counts, derived input/target lengths, and an order-independent
+    // integer fingerprint of the masked tokens themselves — the oracle
+    // re-derives WHICH tokens were masked, not just how many. Scale
+    // shape: pure per-row map work + one keyed aggregate; the sequence
+    // length of the example pair is decided here, so a packing stage
+    // (q170) can consume these lengths without materializing text.
+    "q192_span_corruption" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .select(col("doc_id"), col("pos"), col("col").as("tok"))
+      val blocked = toks
+        .withColumn("blk", expr(s"pos div $SpanBlock"))
+        .withColumn("off", expr(s"pos % $SpanBlock"))
+        .withColumn("o", md5Code60(concat(lit("sc:"), col("doc_id").cast("string"),
+          lit(":"), col("blk").cast("string"))) % SpanOffMod)
+        .withColumn("len", md5Code60(concat(lit("sl:"), col("doc_id").cast("string"),
+          lit(":"), col("blk").cast("string"))) % SpanLenMod + 1)
+        .withColumn("masked", col("off") >= col("o") && col("off") < col("o") + col("len"))
+      blocked.groupBy("doc_id").agg(
+          count(lit(1)).as("n_tok"),
+          sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+          countDistinct(when(col("masked"), col("blk"))).as("n_spans"),
+          sum(when(col("masked"), md5Code60(col("tok")) % 1000000L)
+            .otherwise(0L)).as("mask_fp"))
+        .withColumn("inputs_len", col("n_tok") - col("n_masked") + col("n_spans"))
+        .withColumn("targets_len", col("n_masked") + col("n_spans"))
+        .orderBy("doc_id")
+    }),
+
     // RHO-loss data selection (Mindermann et al. 2022, "Prioritized
     // training on points that are learnable, worth learning, and not
     // yet learnt"): score(x) = L(x; current model) − L(x; holdout
@@ -478,6 +517,13 @@ object CurationOps {
   val RhoHoldoutMod = 7L
   val RhoHoldoutRes = 3L
   val RhoK = 40
+
+  /** q192 span-corruption schedule: block width, span-offset modulus
+    * (offset ∈ [0,7)) and span-length modulus (length ∈ [1,3]) —
+    * o+len ≤ 9 < block, so spans never cross blocks. ~20% corruption. */
+  val SpanBlock = 10
+  val SpanOffMod = 7L
+  val SpanLenMod = 3L
 
   /** Per-doc probe features: nested length dummies x1/x2 and the
     * teacher label y (q52's 'high' bucket, in milli-units). Kept to
@@ -784,6 +830,35 @@ object CurationOps {
          |  GROUP BY doc_id, source)
          |SELECT doc_id, source, n_toks, score_u, score_u >= $DsirKeepU AS keep
          |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    "q192_span_corruption" -> {
+      val oSeed = md5Code60Sql(
+        "'sc:' || CAST(doc_id AS VARCHAR) || ':' || CAST(blk AS VARCHAR)")
+      val lSeed = md5Code60Sql(
+        "'sl:' || CAST(doc_id AS VARCHAR) || ':' || CAST(blk AS VARCHAR)")
+      val tokFp = md5Code60Sql("tok")
+      s"""WITH tk AS (SELECT doc_id,
+         |    unnest(generate_series(1, len(toks))) - 1 AS pos,
+         |    unnest(toks) AS tok
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+         |b AS (SELECT doc_id, tok, pos // $SpanBlock AS blk,
+         |    pos % $SpanBlock AS off FROM tk),
+         |m AS (SELECT doc_id, blk, tok,
+         |    (off >= ($oSeed) % $SpanOffMod AND
+         |     off < ($oSeed) % $SpanOffMod + ($lSeed) % $SpanLenMod + 1) AS masked
+         |  FROM b)
+         |SELECT doc_id, n_tok, n_masked, n_spans, mask_fp,
+         |  n_tok - n_masked + n_spans AS inputs_len,
+         |  n_masked + n_spans AS targets_len
+         |FROM (SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         |    CAST(count(DISTINCT CASE WHEN masked THEN blk END) AS BIGINT) AS n_spans,
+         |    CAST(sum(CASE WHEN masked THEN ($tokFp) % 1000000 ELSE 0 END)
+         |      AS BIGINT) AS mask_fp
+         |  FROM m GROUP BY doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
 
     // two trainings in one statement: the full-corpus model (p-prefix)

@@ -188,6 +188,29 @@ class CurationSpec extends AnyFunSuite {
       s"an unselected doc scores $maxUnsel > selected minimum $minSel")
   }
 
+  test("q192: span corruption conserves tokens and hits the schedule's corruption band") {
+    val r = CurationOps.queries("q192_span_corruption")(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(r.length == nDocs, "every document must yield an example")
+    r.foreach { row =>
+      val (nTok, nMask, nSpans) = (row.getAs[Long]("n_tok"),
+        row.getAs[Long]("n_masked"), row.getAs[Long]("n_spans"))
+      // sentinel algebra: inputs keep unmasked tokens + one sentinel per
+      // span; targets carry each span's sentinel + its tokens — together
+      // they hold every original token plus two sentinels per span
+      assert(row.getAs[Long]("inputs_len") + row.getAs[Long]("targets_len")
+        == nTok + 2 * nSpans)
+      assert(nSpans <= nMask && nMask <= nTok)
+      // a block contributes at most one span
+      assert(nSpans <= nTok / CurationOps.SpanBlock + 1)
+    }
+    // corpus-wide corruption rate: the schedule targets ~20%
+    val tot = r.map(_.getAs[Long]("n_tok")).sum
+    val masked = r.map(_.getAs[Long]("n_masked")).sum
+    assert(masked * 100 > tot * 10 && masked * 100 < tot * 30,
+      s"corruption rate ${masked * 100 / tot}% outside the 10-30% band")
+  }
+
   test("q108: band decomposition equals the nested-loop join on the bounded probe set") {
     // q08 (BNLJ, s_suppkey < 100) must agree with q108 restricted the
     // same way — at sf0.001 ALL suppliers have s_suppkey < 100, so the
