@@ -332,6 +332,37 @@ object IngestOps {
         "WHERE column = 'o_custkey'")
     }),
 
+    // SQL VIEW on the lakehouse catalog end to end (GraftCatalog as a
+    // DSv2 ViewCatalog + the GraftViews analyzer wiring): CREATE VIEW
+    // stores the SQL text beside the table directories, a SELECT
+    // through the view re-resolves it against the table's CURRENT
+    // manifest snapshot, and the outer predicate pushes through the
+    // expanded body into the scan. Checked against the raw parquet:
+    // the view's aggregate must be lossless. At 100 TB views are the
+    // governed query surface — consumers address curated SQL by name,
+    // never a physical layout.
+    "q193_catalog_view" -> ((s, dir) => {
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+        s.sparkContext.applicationId
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      val ns = s"db${Integer.toHexString(dir.hashCode)}"
+      buildOnce(orcWritten, (s.sparkContext.applicationId, s"view:$dir")) {
+        s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+        s.sql(s"CREATE TABLE graft.$ns.orders_v " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+        Tables.orders(s, dir)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .writeTo(s"graft.$ns.orders_v").append()
+        s.sql(s"CREATE OR REPLACE VIEW graft.$ns.even_orders AS " +
+          "SELECT o_custkey, count(*) AS n, " +
+          "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents " +
+          s"FROM graft.$ns.orders_v WHERE o_orderkey % 2 = 0 GROUP BY o_custkey")
+      }
+      s.sql(s"SELECT o_custkey, n, cents FROM graft.$ns.even_orders " +
+        "WHERE o_custkey % 10 = 1 ORDER BY o_custkey")
+    }),
+
     // Catalog SQL end to end: the manifest table reachable BY NAME —
     // CREATE NAMESPACE/TABLE through graft.sources.GraftCatalog, a DSv2
     // append via writeTo, then plain spark.sql against the three-part
@@ -1445,6 +1476,15 @@ object IngestOps {
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // the view's aggregate replayed over the raw parquet — creation
+    // context, body expansion and predicate-through-view must all be
+    // value-lossless
+    "q193_catalog_view" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders WHERE o_orderkey % 2 = 0 AND o_custkey % 10 = 1
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // the manifest-served quartiles replayed from the raw rows: same
     // md5 priorities, same bottom-64 distinct-value sample, same

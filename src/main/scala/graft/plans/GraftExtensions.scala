@@ -16,6 +16,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // optimizer tier: portable HOF dot-product pattern -> native codegen
     ext.injectOptimizerRule(_ => NativeVectorDotRule)
+    // SQL views on the DSv2 catalog (GraftViews): commands rewrite and
+    // reads expand in the HINT batch, which runs before
+    // ResolveSessionCatalog can throw MISSING_CATALOG_ABILITY
+    ext.injectHintResolutionRule(GraftViewCommandRewrite)
+    ext.injectHintResolutionRule(GraftViewResolution)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "graft_dot"),

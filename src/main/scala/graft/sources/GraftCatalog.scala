@@ -43,7 +43,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * path-based access observe identical snapshots.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog
-    with FunctionCatalog {
+    with FunctionCatalog with ViewCatalog {
   private var catalogName: String = _
   private var warehouse: Path = _
 
@@ -366,6 +366,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
       s"write.sort-by names unknown column $c"))
     val p = tablePath(ident)
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
+    require(!viewExists(ident),
+      s"cannot create table ${ident.name()}: a view with that name exists")
     Files.createDirectories(p)
     // CREATE TABLE is itself a commit: v1 publishes the schema (and the
     // partition spec) with an empty file list through the same CAS as
@@ -401,6 +403,117 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     if (!isTable(p)) throw new NoSuchTableException(ident)
     ManifestSink.alterSchema(p, changes)
     new ManifestTable(p, ManifestSink.readSchema(p))
+  }
+
+  // ---- SQL views (DSv2 ViewCatalog) -------------------------------------
+  //
+  // Persisted SQL views: `CREATE VIEW graft.db.v AS SELECT ...` stores
+  // the view TEXT (plus its resolution context — current catalog /
+  // namespace, the analyzed schema, query column names and aliases) as
+  // one flat FILE `<name>.view` inside the namespace directory. Tables
+  // are directories, views are files — the filesystem itself keeps the
+  // two spaces disjoint, and create paths double-check so a view can
+  // never shadow a table or vice versa. Spark re-parses the stored SQL
+  // against the stored context at resolution, so a view tracks its
+  // underlying tables' CURRENT data (including manifest time-travel
+  // semantics of the moment it is queried) — exactly the lazy-SQL
+  // contract of a warehouse view. Creates are atomic (CREATE_NEW);
+  // replace/alter write a temp file and ATOMIC_MOVE it over.
+
+  private def viewPath(ident: Identifier): Path =
+    nsPath(ident.namespace()).resolve(ident.name() + ".view")
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    val p = nsPath(ns)
+    if (!Files.isDirectory(p)) throw new NoSuchNamespaceException(ns)
+    val s = Files.list(p)
+    try s.iterator().asScala
+      .filter(f => Files.isRegularFile(f) && f.getFileName.toString.endsWith(".view"))
+      .map(f => Identifier.of(ns, f.getFileName.toString.stripSuffix(".view")))
+      .toArray
+    finally s.close()
+  }
+
+  override def viewExists(ident: Identifier): Boolean =
+    Files.isRegularFile(viewPath(ident))
+
+  override def loadView(ident: Identifier): View = {
+    val p = viewPath(ident)
+    if (!Files.isRegularFile(p))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    GraftCatalog.decodeView(ident.name(), Files.readString(p))
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident()
+    if (!Files.isDirectory(nsPath(ident.namespace())))
+      throw new NoSuchNamespaceException(ident.namespace())
+    require(!isTable(tablePath(ident)),
+      s"cannot create view ${ident.name()}: a table with that name exists")
+    val body = GraftCatalog.encodeView(info.sql(), info.currentCatalog(),
+      info.currentNamespace(), info.schema(), info.queryColumnNames(),
+      info.columnAliases(), info.columnComments(), info.properties().asScala.toMap)
+    try Files.writeString(viewPath(ident), body,
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .ViewAlreadyExistsException(ident)
+    }
+    GraftCatalog.decodeView(ident.name(), body)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    val ident = info.ident()
+    if (!orCreate && !viewExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    require(!isTable(tablePath(ident)),
+      s"cannot replace view ${ident.name()}: a table with that name exists")
+    val body = GraftCatalog.encodeView(info.sql(), info.currentCatalog(),
+      info.currentNamespace(), info.schema(), info.queryColumnNames(),
+      info.columnAliases(), info.columnComments(), info.properties().asScala.toMap)
+    val tmp = Files.createTempFile(nsPath(ident.namespace()), ".view-", ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, viewPath(ident),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    GraftCatalog.decodeView(ident.name(), body)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    val v = loadView(ident)
+    var props = v.properties().asScala.toMap
+    changes.foreach {
+      case sp: ViewChange.SetProperty => props += sp.property() -> sp.value()
+      case rp: ViewChange.RemoveProperty => props -= rp.property()
+      case other => throw new UnsupportedOperationException(
+        s"unsupported view change $other")
+    }
+    val body = GraftCatalog.encodeView(v.query(), v.currentCatalog(),
+      v.currentNamespace(), v.schema(), v.queryColumnNames(),
+      v.columnAliases(), v.columnComments(), props)
+    val tmp = Files.createTempFile(nsPath(ident.namespace()), ".view-", ".tmp")
+    Files.writeString(tmp, body)
+    Files.move(tmp, viewPath(ident),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    GraftCatalog.decodeView(ident.name(), body)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    Files.deleteIfExists(viewPath(ident))
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!viewExists(oldIdent))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
+    if (viewExists(newIdent))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    require(!isTable(tablePath(newIdent)),
+      s"cannot rename view to ${newIdent.name()}: a table with that name exists")
+    Files.createDirectories(nsPath(newIdent.namespace()))
+    Files.move(viewPath(oldIdent), viewPath(newIdent))
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -536,6 +649,79 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 }
 
 object GraftCatalog {
+  // ---- view file codec ---------------------------------------------------
+  // Line-based, URL-encoded fields (the manifest header convention):
+  //   graft-view\t1            format marker + version
+  //   sql\t<enc>               the view text, verbatim
+  //   ctx\t<enc catalog>\t<enc ns part>...
+  //   schema\t<enc schema.json>
+  //   qcols / aliases / comments\t<enc>...   (absent = empty)
+  //   prop\t<enc k>\t<enc v>   (repeated)
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+  private[sources] def encodeView(sql: String, cat: String, ns: Array[String],
+      schema: StructType, qcols: Array[String], aliases: Array[String],
+      comments: Array[String], props: Map[String, String]): String = {
+    def arr(tag: String, a: Array[String]): Option[String] =
+      if (a == null || a.isEmpty) None
+      else Some((tag +: a.map(enc).toSeq).mkString("\t"))
+    (Seq(
+      "graft-view\t1",
+      s"sql\t${enc(sql)}",
+      (Seq("ctx", enc(cat)) ++ Option(ns).getOrElse(Array.empty).map(enc)).mkString("\t"),
+      s"schema\t${enc(schema.json)}") ++
+      arr("qcols", qcols) ++ arr("aliases", aliases) ++
+      // comments may contain nulls (no comment on that column): encode a
+      // null as the bare marker " " which enc() never produces
+      Option(comments).filter(_.nonEmpty).map(cs =>
+        ("comments" +: cs.map(c => if (c == null) " " else enc(c)).toSeq)
+          .mkString("\t")) ++
+      props.toSeq.sortBy(_._1).map { case (k, v) => s"prop\t${enc(k)}\t${enc(v)}" })
+      .mkString("\n")
+  }
+
+  private[sources] def decodeView(name: String, body: String): View = {
+    val lines = body.linesIterator.toSeq
+    require(lines.headOption.exists(_.startsWith("graft-view\t")),
+      s"not a graft view file: ${lines.headOption.getOrElse("<empty>")}")
+    def field(tag: String): Option[Seq[String]] =
+      lines.find(_.startsWith(tag + "\t")).map(_.split("\t", -1).toSeq.tail)
+    val sql = dec(field("sql").get.head)
+    val ctx = field("ctx").get
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(dec(field("schema").get.head)).asInstanceOf[StructType]
+    def arr(tag: String): Array[String] =
+      field(tag).map(_.map(dec).toArray).getOrElse(Array.empty)
+    val comments = field("comments")
+      .map(_.map(c => if (c == " ") null else dec(c)).toArray)
+      .getOrElse(Array.empty[String])
+    val props = lines.filter(_.startsWith("prop\t")).map { l =>
+      val Array(_, k, v) = l.split("\t", 3)
+      dec(k) -> dec(v)
+    }.toMap
+    new GraftView(name, sql, dec(ctx.head), ctx.tail.map(dec).toArray,
+      schema, arr("qcols"), arr("aliases"), comments, props)
+  }
+
+  private[sources] final class GraftView(viewName: String, viewSql: String,
+      cat: String, ns: Array[String], viewSchema: StructType,
+      qcols: Array[String], aliases: Array[String], comments: Array[String],
+      props: Map[String, String]) extends View {
+    override def name(): String = viewName
+    override def query(): String = viewSql
+    override def currentCatalog(): String = cat
+    override def currentNamespace(): Array[String] = ns
+    override def schema(): StructType = viewSchema
+    override def queryColumnNames(): Array[String] = qcols
+    override def columnAliases(): Array[String] = aliases
+    override def columnComments(): Array[String] = comments
+    override def properties(): util.Map[String, String] = props.asJava
+  }
+
   private val SystemNs = Array("system")
 
   /** A read-only table over driver-computed rows ([[LocalScan]] — Spark
