@@ -4052,7 +4052,15 @@ object ManifestSink {
     rewritten
   }
 
-  def compact(tablePath: String, targetRows: Long): CompactionResult = {
+  def compact(tablePath: String, targetRows: Long): CompactionResult =
+    compact(tablePath, targetRows, () => ())
+
+  /** `beforePublish` fires once, just before the FIRST publish attempt —
+    * a test-only seam so the concurrent-commit rebase below is provable
+    * deterministically (the joinIds(maxIds) pattern), never set in
+    * production paths. */
+  private[sources] def compact(tablePath: String, targetRows: Long,
+      beforePublish: () => Unit): CompactionResult = {
     require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
     val root = Paths.get(tablePath)
     // phase 0: equality deletes materialize first (their own non-rewrite
@@ -4178,18 +4186,53 @@ object ManifestSink {
         sorted = mergedSorted, lineage = concatLineage(root, bin))
     }
     val rewrittenNames = bins.flatten.map(_.name).toSet ++ dvEntries.map(_.name)
-    val entries = st.entries.filterNot(e => rewrittenNames(e.name)) ++ merged ++ purged
     val schema = st.schema.getOrElse(
       throw new IllegalStateException(s"manifest table $tablePath has no schema"))
-    try publish(root, st.version,
-      ((schema.json +: RewriteMarker +: st.metaLines) ++
-        renderEntrySection(root, entries, st.groups)).mkString("\n"))
-    catch { case e: java.util.ConcurrentModificationException =>
-      (merged ++ purged).foreach(m => Files.deleteIfExists(root.resolve(m.name)))
-      throw e
+    // CAS with APPEND-ONLY REBASE (the Iceberg commit.retry shape for
+    // rewrites): a compaction only replaces the files it READ, so a
+    // concurrent commit that merely ADDED files cannot conflict with it
+    // — losing the CAS to a pure append re-reads the state, verifies
+    // that every input file is still present untouched and that no
+    // structural knob (schema, spec, delete mode, eq-deletes, props)
+    // moved, and re-publishes on top. Anything else — a delete, an
+    // UPDATE, a schema change, an equality-delete commit — still loses
+    // LOUDLY, because the rewritten bytes were decided from a state
+    // that no longer holds. Nightly OPTIMIZE and streaming ingest can
+    // therefore interleave without retry loops in the operator's cron.
+    def structural(ts: TableState): Seq[String] = ts.metaLines.filterNot(l =>
+      l.startsWith(EpochMarkerPrefix) || l.startsWith(NextRowIdPrefix))
+    var attempt = 0
+    var base = st
+    var result: Option[CompactionResult] = None
+    while (result.isEmpty) {
+      attempt += 1
+      if (attempt == 1) beforePublish()
+      val entries = base.entries.filterNot(e => rewrittenNames(e.name)) ++ merged ++ purged
+      try {
+        publish(root, base.version,
+          ((schema.json +: RewriteMarker +: base.metaLines) ++
+            renderEntrySection(root, entries, base.groups)).mkString("\n"))
+        result = Some(CompactionResult(base.version + 1, base.entries.size,
+          entries.size, rewrittenNames.size,
+          merged.map(_.rows).sum + purged.map(_.rows).sum))
+      } catch { case e: java.util.ConcurrentModificationException =>
+        val st2 = readState(root)
+        val byName = st2.entries.map(x => x.name -> x).toMap
+        val inputsIntact = (rewrittenNames ++
+          base.entries.filterNot(x => rewrittenNames(x.name)).map(_.name))
+          .forall(n => base.entries.find(_.name == n)
+            .exists(old => byName.get(n).exists(now => entryLine(now) == entryLine(old))))
+        val appendOnly = inputsIntact &&
+          st2.schema.map(_.json) == base.schema.map(_.json) &&
+          structural(st2) == structural(base)
+        if (attempt >= 4 || !appendOnly) {
+          (merged ++ purged).foreach(m => Files.deleteIfExists(root.resolve(m.name)))
+          throw e
+        }
+        base = st2
+      }
     }
-    CompactionResult(st.version + 1, st.entries.size, entries.size,
-      rewrittenNames.size, merged.map(_.rows).sum + purged.map(_.rows).sum)
+    result.get
   }
 
   /** Rewrite one DV'd entry's LIVE rows into a fresh parquet file with
