@@ -119,6 +119,30 @@ object SimilarityOps {
   }
 
   val queries: Map[String, Q] = Map(
+    // ANN QUALITY ACCOUNTING — recall@k of the IVF index against exact
+    // brute force, per probe: |topK(IVF) ∩ topK(exact)| / k, THE
+    // published ANN evaluation metric (the recall axis of every
+    // ann-benchmarks curve). Both sides are this engine's own
+    // deterministic operators (q44 exact, q48 IVF over the TRAINED
+    // codebook), so the metric is oracle-checkable end to end — the
+    // DuckDB replay recomputes both pipelines and must agree on every
+    // per-probe hit count. An index change that silently degrades
+    // recall now FAILS CORRECTNESS instead of shipping. Scale shape:
+    // both sides are probe-bounded (≤ NumProbes·k rows each); the
+    // intersection is an equi-join on (probe, cand) — metric cost is
+    // O(probes·k), independent of corpus size.
+    "q194_ann_recall" -> ((s, dir) => {
+      val exact = queries("q44_cosine_topk")(s, dir).select("probe_id", "cand_id")
+      val ann = queries("q48_ivf_ann")(s, dir)
+        .select(col("probe_id"), col("cand_id"), lit(1).as("hit"))
+      exact.join(ann, Seq("probe_id", "cand_id"), "left")
+        .groupBy("probe_id")
+        .agg(count(col("hit")).as("hits"))
+        .select(col("probe_id"), lit(TopK).as("k"), col("hits"),
+          expr(s"hits * 10000 div $TopK").as("recall_bp"))
+        .orderBy("probe_id")
+    }),
+
     "q44_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val probes = emb.filter(col("vec_id") < NumProbes)
@@ -888,6 +912,39 @@ object SimilarityOps {
        | (acc, b) -> acc*2 + b)""".stripMargin.replace("\n", " ")
 
   val oracle: Map[String, String] = Map(
+    // both pipelines replayed, intersected per probe
+    "q194_ann_recall" ->
+      s"""WITH $trainedCentsSql,
+         |ex AS (SELECT probe_id, cand_id FROM (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY ${cosSql("p.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+         |  FROM embeddings p JOIN embeddings c ON p.vec_id != c.vec_id
+         |  WHERE p.vec_id < $NumProbes) WHERE rn <= $TopK),
+         |sim AS (SELECT e.vec_id, e.embedding, c.cluster AS cent_id,
+         |    ${cosSql("e.embedding", "c.centroid")} AS csim
+         |  FROM embeddings e CROSS JOIN cents c),
+         |a AS (SELECT vec_id, embedding, cent_id,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crn
+         |  FROM sim),
+         |lists AS (SELECT vec_id AS cand_id, embedding AS ce, cent_id AS list_id
+         |  FROM a WHERE crn = 1),
+         |probes AS (SELECT vec_id AS probe_id, embedding AS pe, cent_id AS list_id
+         |  FROM a WHERE vec_id < $NumProbes AND crn <= 2),
+         |annk AS (SELECT probe_id, cand_id FROM (
+         |  SELECT probe_id, cand_id,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id) AS rn
+         |  FROM (SELECT probe_id, cand_id, ${cosSql("p.pe", "l.ce")} AS score
+         |    FROM probes p JOIN lists l USING (list_id)
+         |    WHERE probe_id != cand_id)) WHERE rn <= $TopK)
+         |SELECT probe_id, $TopK AS k, hits,
+         |  CAST(hits * 10000 // $TopK AS BIGINT) AS recall_bp
+         |FROM (SELECT e.probe_id, CAST(count(a.cand_id) AS BIGINT) AS hits
+         |  FROM ex e LEFT JOIN annk a
+         |    ON e.probe_id = a.probe_id AND e.cand_id = a.cand_id
+         |  GROUP BY e.probe_id)
+         |ORDER BY probe_id""".stripMargin,
+
     "q44_cosine_topk" ->
       s"""SELECT probe_id, cand_id, rn, score FROM (
          |  SELECT probe_id, cand_id,

@@ -70,4 +70,23 @@ class VectorSpec extends AnyFunSuite {
     assert(both.nonEmpty)
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
+
+  test("q194: recall@k covers every probe, bounded, and matches a direct intersection") {
+    import graft.operators.SimilarityOps
+    val r = SimilarityOps.queries("q194_ann_recall")(spark, TestSpark.sfDir).collect()
+    assert(r.length == SimilarityOps.NumProbes, "one row per probe")
+    r.foreach { row =>
+      val hits = row.getAs[Long]("hits")
+      assert(hits >= 0 && hits <= SimilarityOps.TopK)
+      assert(row.getAs[Long]("recall_bp") == hits * 10000 / SimilarityOps.TopK)
+    }
+    // cross-check one probe against a hand intersection of the two queries
+    def pairs(q: String) = SimilarityOps.queries(q)(spark, TestSpark.sfDir)
+      .select("probe_id", "cand_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val direct = pairs("q44_cosine_topk").intersect(pairs("q48_ivf_ann"))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    r.foreach(row => assert(
+      row.getAs[Long]("hits") == direct.getOrElse(row.getAs[Long]("probe_id"), 0L)))
+  }
 }
