@@ -371,6 +371,26 @@ object CurationOps {
         .orderBy("label", "pred")
     }),
 
+    // DISTRIBUTION DRIFT GATE between two corpus slices — the
+    // two-sample chi-square statistic over length buckets, the check a
+    // pipeline runs between yesterday's snapshot and today's before
+    // training consumes the delta (same role PSI plays in ML
+    // monitoring; chi-square is chosen because it stays EXACT in
+    // integers — no logarithms, so the oracle matches bit-for-bit).
+    // Per bucket: counts a, b from the two slices and the scaled
+    // contribution (a·N_b − b·N_a)² div (a+b) — zero iff the slices
+    // have identical bucket proportions. The fixture slices by
+    // doc_id parity (a drift-free split: the spec asserts near-zero,
+    // and a planted shift asserts detection). Scale shape: one
+    // partial-aggregated scan into #buckets rows; contributions are
+    // driver-free integer math per bucket. At 100 TB counts overflow
+    // the cross-product first — normalize counts to ppm per slice
+    // before crossing (same formula, scaled inputs).
+    "q195_drift_chi2" -> ((s, dir) =>
+      driftChi2(Tables.documents(s, dir),
+        col("doc_id") % 2 === 0, expr(s"n_chars div $DriftBucketWidth"))
+        .orderBy("bucket")),
+
     // T5/UL2-style SPAN CORRUPTION example accounting (Raffel et al.
     // 2020; Tay et al. 2022): the denoising-objective preprocessing
     // that turns each document into (inputs, targets) — masked spans
@@ -517,6 +537,25 @@ object CurationOps {
   val RhoHoldoutMod = 7L
   val RhoHoldoutRes = 3L
   val RhoK = 40
+
+  /** q195 drift-gate bucket width over n_chars. */
+  val DriftBucketWidth = 100L
+
+  /** The q195 engine over an arbitrary frame: slice membership and
+    * bucket expressions as columns, so specs can drive drift-free and
+    * planted-shift corpora through the exact algebra. */
+  private[graft] def driftChi2(docs: DataFrame, isA: Column,
+      bucket: Column): DataFrame = {
+    val b = docs.select(isA.as("is_a"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("a_cnt"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("b_cnt"))
+    val tot = b.agg(sum("a_cnt").as("na"), sum("b_cnt").as("nb"))
+    b.join(broadcast(tot))
+      .select(col("bucket"), col("a_cnt"), col("b_cnt"),
+        expr("(a_cnt * nb - b_cnt * na) * (a_cnt * nb - b_cnt * na) " +
+          "div (a_cnt + b_cnt)").as("contrib"))
+  }
 
   /** q192 span-corruption schedule: block width, span-offset modulus
     * (offset ∈ [0,7)) and span-length modulus (length ∈ [1,3]) —
@@ -831,6 +870,18 @@ object CurationOps {
          |SELECT doc_id, source, n_toks, score_u, score_u >= $DsirKeepU AS keep
          |FROM scored ORDER BY doc_id""".stripMargin
     },
+
+    "q195_drift_chi2" ->
+      s"""WITH b AS (SELECT n_chars // $DriftBucketWidth AS bucket,
+         |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a_cnt,
+         |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt
+         |  FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(a_cnt) AS BIGINT) AS na,
+         |    CAST(sum(b_cnt) AS BIGINT) AS nb FROM b)
+         |SELECT bucket, a_cnt, b_cnt,
+         |  CAST((a_cnt * nb - b_cnt * na) * (a_cnt * nb - b_cnt * na)
+         |    // (a_cnt + b_cnt) AS BIGINT) AS contrib
+         |FROM b, t ORDER BY bucket""".stripMargin,
 
     "q192_span_corruption" -> {
       val oSeed = md5Code60Sql(

@@ -211,6 +211,36 @@ class CurationSpec extends AnyFunSuite {
       s"corruption rate ${masked * 100 / tot}% outside the 10-30% band")
   }
 
+  test("q195: drift gate is zero on identical slices, fires on a planted shift") {
+    import spark.implicits._
+    // identical distributions: duplicate every row into both slices —
+    // every bucket's cross-term cancels exactly
+    val base = (0 until 200).map(i => (i.toLong, (i % 7).toLong * 100))
+    val sym = (base.map { case (id, n) => (id * 2, n) } ++
+      base.map { case (id, n) => (id * 2 + 1, n) }).toDF("doc_id", "n_chars")
+    val zero = CurationOps.driftChi2(sym, col("doc_id") % 2 === 0,
+      expr("n_chars div 100")).collect()
+    assert(zero.nonEmpty && zero.forall(_.getAs[Long]("contrib") == 0L))
+    // planted shift: slice B moves a third of its mass two buckets up —
+    // the moved buckets light up, untouched buckets stay near zero
+    val shifted = (base.map { case (id, n) => (id * 2, n) } ++
+      base.map { case (id, n) =>
+        (id * 2 + 1, if (id % 3 == 0) n + 200 else n) }).toDF("doc_id", "n_chars")
+    val hot = CurationOps.driftChi2(shifted, col("doc_id") % 2 === 0,
+      expr("n_chars div 100")).collect()
+    assert(hot.map(_.getAs[Long]("contrib")).max > 0L,
+      "a planted shift must produce a positive contribution")
+    // the fixture query itself: parity split over a shared generator is
+    // drift-free relative to the worst case — total far below a full
+    // separation's na*nb*N scale
+    val r = CurationOps.queries("q195_drift_chi2")(spark, sfDir).collect()
+    val na = r.map(_.getAs[Long]("a_cnt")).sum
+    val nb = r.map(_.getAs[Long]("b_cnt")).sum
+    val total = r.map(_.getAs[Long]("contrib")).sum
+    assert(total < na * nb * (na + nb) / 10,
+      s"parity slices should not read as drifted: $total")
+  }
+
   test("q108: band decomposition equals the nested-loop join on the bounded probe set") {
     // q08 (BNLJ, s_suppkey < 100) must agree with q108 restricted the
     // same way — at sf0.001 ALL suppliers have s_suppkey < 100, so the
