@@ -119,6 +119,29 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(quartiles("n", "v")._2.isDefined, "v stays covered")
   }
 
+  test("streaming writes collect the sample too — the ingest loop keeps stats") {
+    wh
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("CREATE TABLE qsk.db.s (v BIGINT) " +
+      "TBLPROPERTIES ('quantile.columns' = 'v')")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Long]
+    in.addData(0L until 500L: _*)
+    val q = in.toDF().toDF("v").writeStream
+      .format("graft.sources.ManifestSink")
+      .option("path", wh.resolve("db").resolve("s").toString)
+      .option("checkpointLocation",
+        Files.createTempDirectory("qsk-ckpt").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000L)
+    val (q25, q50, q75) = quartiles("s", "v")
+    assert(q25.isDefined && q50.isDefined && q75.isDefined,
+      "a streamed file must carry the value sample")
+    assert(q25.get < q50.get && q50.get < q75.get)
+  }
+
   test("the knob validates, follows renames, and drops with the column") {
     wh
     intercept[IllegalArgumentException] {
