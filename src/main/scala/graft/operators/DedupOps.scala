@@ -32,11 +32,17 @@ object DedupOps {
   val RowsPerBand = 4
   val ShingleN = 3
 
-  /** q190 shingle-set Jaccard threshold in basis points — 0.5, the
-    * same predicate q41's LSH verification applies (inter*2 >= uni), so
-    * the two operators answer the same question by different candidate
-    * generators and the exact one must dominate. */
-  val SetSimTBp = 5000L
+  /** q190 shingle-set Jaccard threshold in basis points — 0.8, the
+    * high-similarity operating point where prefix filtering is strong
+    * (prefix ≈ 0.2·m). This is the published SSJoin regime: at t=0.5
+    * the prefix is HALF of every document and candidate generation
+    * degrades toward all-pairs-sharing-a-shingle (measured: the sf1
+    * tiling, whose vocab shift wraps and cross-links tiles, pushed the
+    * t=0.5 join past the 600 s verify watchdog). The LSH path (q41)
+    * covers the recall-oriented ≥0.5 band probabilistically; the exact
+    * join guarantees the ≥0.8 band completely, and on that shared band
+    * q41 ⊆ q190 still holds (SetSimSpec). */
+  val SetSimTBp = 8000L
 
   /** Id-set size up to which candidate-doc semi-joins broadcast (8-byte
     * ids; 4M ≈ 32 MB serialized). The near-dup fraction of a 100 TB
@@ -383,8 +389,8 @@ object DedupOps {
   val queries: Map[String, Q] = Map(
     // EXACT set-similarity join by prefix filtering (the SSJoin/PPJoin
     // family — Chaudhuri et al. 2006, Xiao et al. 2008): every document
-    // pair with shingle-set Jaccard ≥ 0.5 — the SAME space and
-    // threshold as q41's LSH pipeline, but with the guarantee LSH
+    // pair with shingle-set Jaccard ≥ 0.8 — the SAME space as q41's
+    // LSH pipeline at a stricter threshold, with the guarantee LSH
     // cannot give: NO missed pairs (LSH admits only band-colliding
     // candidates; banding is probabilistic). Shingles order globally by
     // (document frequency, shingle); a doc of m shingles exposes only
