@@ -85,12 +85,21 @@ object DedupOps {
       explode(graft.plans.ShinglesExpr.shinglesNative(col("text"), ShingleN))
         .as("token"))
     val dfreq = tk.groupBy("token").agg(count(lit(1)).as("df"))
-    val pos = tk.join(dfreq, "token")
-      .withColumn("m", count(lit(1)).over(Window.partitionBy("doc_id")))
-      .withColumn("pos", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("df"), col("token"))))
-    val pre = pos.filter(
-      col("pos") <= col("m") - expr(s"($t * m + 9999) div 10000") + 1)
+    // per-doc prefix by AGGREGATE, not window: collect the doc's
+    // (df, token) pairs, array_sort them (struct ordering = (df, token)
+    // — exactly the global rarity order), slice the prefix. Same
+    // shuffle volume as a window but no relation-wide sort: each doc
+    // sorts its own bounded array inside ObjectHashAggregate — the
+    // difference between sorting 10^8 rows and 10^6 arrays of ~10^2.
+    val pre = tk.join(dfreq, "token")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("df").as("df"), col("token").as("tok")))
+        .as("all"))
+      .select(col("doc_id"), size(col("all")).cast("long").as("m"),
+        expr(s"slice(array_sort(all), 1, " +
+          s"size(all) - (($t * size(all) + 9999) div 10000) + 1)").as("pref"))
+      .select(col("doc_id"), col("m"), explode(col("pref")).as("p"))
+      .select(col("doc_id"), col("m"), col("p.tok").as("token"))
     val cand = pre.as("a").join(pre.as("b"),
         col("a.token") === col("b.token") &&
           col("a.doc_id") < col("b.doc_id") &&
