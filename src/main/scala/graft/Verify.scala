@@ -68,6 +68,12 @@ object Verify {
     val t0 = System.nanoTime()
     val nOk = new java.util.concurrent.atomic.AtomicInteger
     val nFail = new java.util.concurrent.atomic.AtomicInteger
+    // queries whose watchdog fired: their workers may still be running
+    // driver-side (cancelJobGroup only stops ACTIVE jobs, and an
+    // interrupt cannot break a lock wait) — their output dirs are
+    // deleted again at sweep end so a late half-written dump can never
+    // be graded as a present-but-wrong result
+    val timedOut = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par, r => {
       val t = new Thread(r, "verify-pool"); t.setDaemon(true); t
     })
@@ -93,6 +99,7 @@ object Verify {
         case _: TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
           worker.interrupt()
+          timedOut.add(name)
           nFail.incrementAndGet()
           System.err.println(s"[verify] $name TIMED OUT after $timeoutSec s (cancelled)")
         case e: Throwable =>
@@ -107,6 +114,17 @@ object Verify {
     // generous hard stop: the per-query watchdogs bound each unit, so
     // this only fires if the pool itself wedges
     pool.awaitTermination(todo.size.toLong * timeoutSec + 60L, TimeUnit.SECONDS)
+    // second sweep over the timed-out stragglers: cancel whatever jobs
+    // they started since, and remove any partial dump they landed
+    timedOut.forEach { name =>
+      spark.sparkContext.cancelJobGroup(name)
+      val d = new java.io.File(s"$outDir/$name")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      if (d.exists()) { rm(d)
+        System.err.println(s"[verify] $name: partial dump removed") }
+    }
     System.err.println(
       f"VERIFY_SUMMARY ok=${nOk.get} fail=${nFail.get} " +
         f"total_sec=${(System.nanoTime() - t0) / 1e9}%.1f")

@@ -43,19 +43,25 @@ object GraftViews {
         case v: ViewCatalog => Some(v)
         case _ => None
       }
-    if (parts.size >= 2) {
-      asViewCat(parts.head) match {
-        case Some(v) =>
-          Some((parts.head, v,
-            Identifier.of(parts.tail.init.toArray, parts.last)))
-        case None =>
-          // relative reference under a current V2 view catalog
-          cm.currentCatalog match {
-            case v: ViewCatalog =>
-              Some((cm.currentCatalog.name(), v,
-                Identifier.of(parts.init.toArray, parts.last)))
-            case _ => None
-          }
+    // temp and global-temp views ALWAYS win over stored catalog views —
+    // the precedence every Spark catalog observes; without this guard a
+    // 1-part (or global_temp.x) reference would resolve to the stored
+    // view in the hint batch, BEFORE the analyzer's own temp-view lookup
+    if (parts.size <= 2 &&
+        spark.sessionState.catalog.isTempView(parts)) None
+    else if (parts.size >= 2) {
+      if (cm.isCatalogRegistered(parts.head))
+        // the head names a real catalog: route there or nowhere — a
+        // registered NON-view catalog (spark_catalog) must NOT fall back
+        // to a relative read under the current catalog
+        asViewCat(parts.head).map(v =>
+          (parts.head, v, Identifier.of(parts.tail.init.toArray, parts.last)))
+      else cm.currentCatalog match {
+        // relative reference under a current V2 view catalog
+        case v: ViewCatalog =>
+          Some((cm.currentCatalog.name(), v,
+            Identifier.of(parts.init.toArray, parts.last)))
+        case _ => None
       }
     } else if (parts.size == 1) {
       cm.currentCatalog match {
@@ -155,11 +161,15 @@ case class GraftViewCommandRewrite(spark: SparkSession) extends Rule[LogicalPlan
     case r @ RenameTable(UnresolvedTableOrView(parts, _, _), newName, true) =>
       viewCatalogAndIdent(spark, parts) match {
         case Some((catName, cat, ident)) =>
-          // ALTER VIEW ... RENAME TO takes a catalog-relative name
+          // ALTER VIEW ... RENAME TO takes a catalog-relative name; a
+          // BARE name stays in the source view's namespace (an empty
+          // namespace would silently move the file to the warehouse root)
           val toParts = if (newName.headOption.contains(catName)) newName.tail
             else newName
-          GraftRenameViewCommand(cat, ident,
-            Identifier.of(toParts.init.toArray, toParts.last))
+          val to =
+            if (toParts.size == 1) Identifier.of(ident.namespace(), toParts.head)
+            else Identifier.of(toParts.init.toArray, toParts.last)
+          GraftRenameViewCommand(cat, ident, to)
         case None => r
       }
     case a @ AlterViewAs(UnresolvedView(parts, _, _, _), originalText, _) =>

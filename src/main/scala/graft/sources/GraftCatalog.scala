@@ -512,7 +512,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         .ViewAlreadyExistsException(newIdent)
     require(!isTable(tablePath(newIdent)),
       s"cannot rename view to ${newIdent.name()}: a table with that name exists")
-    Files.createDirectories(nsPath(newIdent.namespace()))
+    // the target namespace must already exist — silently inventing one
+    // would turn a typo'd RENAME into a stray directory
+    if (!Files.isDirectory(nsPath(newIdent.namespace())))
+      throw new NoSuchNamespaceException(newIdent.namespace())
     Files.move(viewPath(oldIdent), viewPath(newIdent))
   }
 

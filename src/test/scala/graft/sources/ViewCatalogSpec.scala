@@ -94,6 +94,37 @@ class ViewCatalogSpec extends AnyFunSuite {
     assert(!cat.viewExists(ident))
   }
 
+  test("bare RENAME stays in the source namespace; unknown target namespace refuses") {
+    wh
+    spark.sql("CREATE VIEW vcat.db.rn AS SELECT id FROM vcat.db.base")
+    spark.sql("ALTER VIEW vcat.db.rn RENAME TO rn2")
+    assert(spark.sql("SELECT * FROM vcat.db.rn2").count() >= 30,
+      "a bare target name must stay in db, not move to the warehouse root")
+    val ex = intercept[Exception](
+      spark.sql("ALTER VIEW vcat.db.rn2 RENAME TO nodb.rn3"))
+    assert(ex.toString.toLowerCase.contains("namespace"), s"got $ex")
+  }
+
+  test("temp views win over stored views; session-catalog references are not hijacked") {
+    wh
+    spark.sql("USE vcat.db")
+    try {
+      spark.sql("CREATE VIEW IF NOT EXISTS vcat.db.tshadow AS " +
+        "SELECT id FROM vcat.db.base")
+      // a TEMP view with the same bare name must take precedence
+      spark.range(3).createOrReplaceTempView("tshadow")
+      assert(spark.sql("SELECT * FROM tshadow").count() == 3,
+        "temp view must shadow the stored catalog view")
+      spark.catalog.dropTempView("tshadow")
+      assert(spark.sql("SELECT * FROM tshadow").count() >= 30,
+        "with the temp view gone, the stored view resolves")
+      // an explicit session-catalog reference must not be routed to vcat
+      val ex = intercept[Exception](
+        spark.sql("DROP VIEW spark_catalog.default.never_existed"))
+      assert(!ex.toString.contains("graft"), s"misrouted to the view catalog: $ex")
+    } finally spark.sql("USE spark_catalog.default")
+  }
+
   test("views and tables cannot shadow each other") {
     wh
     intercept[Exception](
