@@ -33,15 +33,23 @@ object DedupOps {
 
   /** q190 shingle-set Jaccard threshold in basis points — 0.8, the
     * high-similarity operating point where prefix filtering is strong
-    * (prefix ≈ 0.2·m). This is the published SSJoin regime: at t=0.5
-    * the prefix is HALF of every document and candidate generation
-    * degrades toward all-pairs-sharing-a-shingle (measured: the sf1
-    * tiling, whose vocab shift wraps and cross-links tiles, pushed the
-    * t=0.5 join past the 600 s verify watchdog). The LSH path (q41)
-    * covers the recall-oriented ≥0.5 band probabilistically; the exact
-    * join guarantees the ≥0.8 band completely, and on that shared band
-    * q41 ⊆ q190 still holds (SetSimSpec). */
+    * (prefix ≈ 0.2·m, the published SSJoin regime; at t=0.5 the prefix
+    * is HALF of every document and candidate generation degrades
+    * toward all-pairs). */
   val SetSimTBp = 8000L
+
+  /** q190 shingle width — 5, WIDER than q41's 3, and the knob that
+    * decides whether prefix filtering can work AT ALL: the filter
+    * needs a Zipfian tail of RARE join keys, and shingle rarity falls
+    * out of alphabet^width. The fixture corpus is a ~31-word alphabet,
+    * so every possible 3-shingle saturates (29,791 distincts across
+    * 7.8M rows at sf3, median df 262 — measured; the sf3 prefix join's
+    * candidate bound was 3.3·10⁸ and blew the verify watchdog), while
+    * 5-shingles are combinatorially diverse and the same join prices
+    * in seconds. Real text has the Zipf tail at width 3; a saturated
+    * alphabet needs width ≥ 5 — that is a DATA property, and the width
+    * is the declared contract of the operator's similarity space. */
+  val SetSimShingleN = 5
 
   /** Id-set size up to which candidate-doc semi-joins broadcast (8-byte
     * ids; 4M ≈ 32 MB serialized). The near-dup fraction of a 100 TB
@@ -80,8 +88,19 @@ object DedupOps {
     * the design commentary. */
   private[graft] def setSimJoin(docs: DataFrame,
       t: Long = SetSimTBp): DataFrame = {
-    val tk = docs.select(col("doc_id"),
-      explode(graft.plans.ShinglesExpr.shinglesNative(col("text"), ShingleN))
+    // EXACT-DUP CANONICALIZATION FIRST — the published pipeline order
+    // (and q117's): byte-identical copies collapse to one
+    // representative (min doc_id) before any similarity work. This is
+    // not an optimization nicety but an asymptotic requirement: a
+    // clone cluster of size c contributes c² qualifying PAIRS to a
+    // J ≥ t join (every copy pairs with every copy at J = 1), so on a
+    // duplicate-heavy corpus the exact join's OUTPUT — not its
+    // algorithm — goes quadratic. Near-dup structure among clones is
+    // recoverable by composing with q40's clone groups.
+    val canon = docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val tk = canon.select(col("doc_id"),
+      explode(graft.plans.ShinglesExpr.shinglesNative(col("text"), SetSimShingleN))
         .as("token"))
     val dfreq = tk.groupBy("token").agg(count(lit(1)).as("df"))
     // per-doc prefix by AGGREGATE, not window: collect the doc's
@@ -397,10 +416,11 @@ object DedupOps {
   val queries: Map[String, Q] = Map(
     // EXACT set-similarity join by prefix filtering (the SSJoin/PPJoin
     // family — Chaudhuri et al. 2006, Xiao et al. 2008): every document
-    // pair with shingle-set Jaccard ≥ 0.8 — the SAME space as q41's
-    // LSH pipeline at a stricter threshold, with the guarantee LSH
-    // cannot give: NO missed pairs (LSH admits only band-colliding
-    // candidates; banding is probabilistic). Shingles order globally by
+    // pair with 5-shingle-set Jaccard ≥ 0.8, with the guarantee LSH
+    // (q41) cannot give: NO missed pairs (LSH admits only
+    // band-colliding candidates; banding is probabilistic). The width
+    // and threshold are the operating point where prefix filtering has
+    // teeth — see SetSimShingleN. Shingles order globally by
     // (document frequency, shingle); a doc of m shingles exposes only
     // its first m − ceil(t·m) + 1 RAREST shingles as join keys (a pair
     // at J ≥ t must collide inside these prefixes — the prefix-filter
@@ -757,7 +777,13 @@ object DedupOps {
     // exact Jaccard, threshold filter — hash-matching this proves the
     // Spark side's prefix filter is lossless on the corpus
     "q190_setsim_join" ->
-      s"""WITH $setsCte,
+      s"""WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents
+         |               GROUP BY text),
+         |s AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, len(string_split(text,' ')) - 4),
+         |    i -> (string_split(text,' '))[i] || ' ' || (string_split(text,' '))[i+1] || ' ' || (string_split(text,' '))[i+2] || ' ' || (string_split(text,' '))[i+3] || ' ' || (string_split(text,' '))[i+4])) AS shingles
+         |  FROM canon WHERE len(string_split(text,' ')) >= 5),
          |tk AS (SELECT doc_id, unnest(shingles) AS token FROM s),
          |sz AS (SELECT doc_id, count(*) AS m FROM tk GROUP BY doc_id),
          |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

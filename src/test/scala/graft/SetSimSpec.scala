@@ -6,17 +6,18 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.DedupOps
 
 /** The exact set-similarity join (q190, SSJoin/PPJoin prefix filtering)
-  * against its two ground truths: brute force on adversarial
-  * micro-corpora, and the LSH pipeline it dominates (q41 answers the
-  * SAME Jaccard-≥-0.5-on-shingles question through probabilistic band
-  * collisions — every pair LSH finds, the exact join MUST find). */
+  * against brute-force ground truth: adversarial micro-corpora AND the
+  * full fixture — prefix filtering must lose nothing, which is exactly
+  * the guarantee the probabilistic LSH path (q41) cannot give. */
 class SetSimSpec extends AnyFunSuite {
   import TestSpark.{spark, sfDir}
 
   private def bruteForce(docs: org.apache.spark.sql.DataFrame,
       tBp: Long): Set[(Long, Long)] = {
-    val tk = docs.select(col("doc_id"),
-      explode(graft.plans.ShinglesExpr.shinglesNative(col("text"), DedupOps.ShingleN))
+    // mirror the operator's exact-dup canonicalization
+    val canon = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val tk = canon.select(col("doc_id"),
+      explode(graft.plans.ShinglesExpr.shinglesNative(col("text"), DedupOps.SetSimShingleN))
         .as("token"))
     val sz = tk.groupBy("doc_id").agg(count(lit(1)).as("m"))
     tk.as("a").join(tk.as("b"),
@@ -50,25 +51,26 @@ class SetSimSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val want = bruteForce(docs, DedupOps.SetSimTBp)
     assert(got == want, s"exact join diverged: got $got want $want")
-    assert(want.contains((1L, 3L)) && want.contains((1L, 2L)),
-      "the planted near-dups must be present for the test to mean anything")
+    assert(want.contains((1L, 2L)),
+      "the planted near-dup must be present for the test to mean anything")
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+      "byte-identical clones collapse to their canonical before the join")
     assert(!want.exists(p => p._1 == 4L || p._2 == 4L),
       "the prefix-sharing below-threshold doc must verify-fail")
   }
 
-  test("the exact join dominates LSH on the shared band (no >= t pair LSH found is missing)") {
+  test("the exact join equals brute force on the fixture (completeness, not sampling)") {
+    // the full-corpus ground truth: every canonical pair sharing >= 1
+    // five-shingle, exact Jaccard, threshold — the exact join must
+    // reproduce it completely (this is the guarantee LSH cannot give;
+    // the DuckDB oracle re-proves it at every gate scale)
     val exact = DedupOps.queries("q190_setsim_join")(spark, sfDir)
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // q41 verifies at J >= 0.5 and publishes the exact Jaccard; on the
-    // exact join's stricter >= 0.8 band every LSH find must be present
-    val lsh = DedupOps.verifiedNearDupPairs(spark, sfDir)
-      .filter(col("jac_bp") >= DedupOps.SetSimTBp)
-      .select("doc_a", "doc_b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh.subsetOf(exact),
-      s"LSH found pairs the exact join missed: ${lsh.diff(exact)}")
-    assert(lsh.nonEmpty, "fixture must contain >= 0.8 near-dups for this to bite")
+    val want = bruteForce(graft.engine.Tables.documents(spark, sfDir),
+      DedupOps.SetSimTBp)
+    assert(exact == want, s"diverged: missing ${want.diff(exact)}, " +
+      s"extra ${exact.diff(want)}")
   }
 
   test("jaccard output is threshold-consistent and symmetric-free") {
