@@ -72,8 +72,13 @@ object Verify {
     // driver-side (cancelJobGroup only stops ACTIVE jobs, and an
     // interrupt cannot break a lock wait) — their output dirs are
     // deleted again at sweep end so a late half-written dump can never
-    // be graded as a present-but-wrong result
-    val timedOut = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    // be graded as a present-but-wrong result. The worker THREAD is
+    // tracked alongside the name: the cleanup sweep joins it (bounded)
+    // and only removes dumps after spark.stop(), because a still-live
+    // worker could otherwise commit its parquet write BETWEEN the rm
+    // and process exit, re-landing the dump the rm just deleted.
+    val timedOut =
+      new java.util.concurrent.ConcurrentHashMap[String, Thread]()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par, r => {
       val t = new Thread(r, "verify-pool"); t.setDaemon(true); t
     })
@@ -99,7 +104,7 @@ object Verify {
         case _: TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
           worker.interrupt()
-          timedOut.add(name)
+          timedOut.put(name, worker)
           nFail.incrementAndGet()
           System.err.println(s"[verify] $name TIMED OUT after $timeoutSec s (cancelled)")
         case e: Throwable =>
@@ -115,9 +120,23 @@ object Verify {
     // this only fires if the pool itself wedges
     pool.awaitTermination(todo.size.toLong * timeoutSec + 60L, TimeUnit.SECONDS)
     // second sweep over the timed-out stragglers: cancel whatever jobs
-    // they started since, and remove any partial dump they landed
-    timedOut.forEach { name =>
+    // they started since and give each worker a bounded join so the
+    // common case (a straggler that dies promptly once cancelled)
+    // finishes BEFORE the dump removal below
+    timedOut.forEach { (name, worker) =>
       spark.sparkContext.cancelJobGroup(name)
+      worker.interrupt()
+      worker.join(5000L)
+    }
+    System.err.println(
+      f"VERIFY_SUMMARY ok=${nOk.get} fail=${nFail.get} " +
+        f"total_sec=${(System.nanoTime() - t0) / 1e9}%.1f")
+    // stop Spark FIRST, then remove the stragglers' dumps: after stop()
+    // no parquet commit can land, so a worker that outlived its bounded
+    // join (an interrupt cannot break a lock wait) can no longer
+    // re-land the dump this sweep deletes
+    spark.stop()
+    timedOut.keySet.forEach { name =>
       val d = new java.io.File(s"$outDir/$name")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
@@ -125,10 +144,6 @@ object Verify {
       if (d.exists()) { rm(d)
         System.err.println(s"[verify] $name: partial dump removed") }
     }
-    System.err.println(
-      f"VERIFY_SUMMARY ok=${nOk.get} fail=${nFail.get} " +
-        f"total_sec=${(System.nanoTime() - t0) / 1e9}%.1f")
-    spark.stop()
     // A timed-out query's daemon thread may still hold non-daemon Spark
     // resources; exit explicitly so a wedged straggler can't hang the
     // process after the sweep (and its partial results) are complete.

@@ -6,22 +6,31 @@ package graft.engine
   * LOSER of the add returned immediately and read a table the winner
   * was still building. Harmless under a sequential Verify sweep, wrong
   * the moment queries run concurrently (parallel Verify, sbt's
-  * parallel suites). `ConcurrentHashMap.computeIfAbsent` runs the
-  * builder under the key's bin lock, so concurrent callers for the
-  * same key BLOCK until the build completes — and a build that throws
-  * stores nothing, so the next caller (including one that was blocked
-  * on the failing build) retries instead of consuming a half-built
-  * table forever (the un-poisoning contract the old guards had).
+  * parallel suites).
+  *
+  * The build runs OUTSIDE any map lock: `putIfAbsent` claims the key
+  * with an incomplete CompletableFuture, the winner builds and
+  * completes it, losers block on `join()`. The earlier
+  * `computeIfAbsent` form held the ConcurrentHashMap BIN lock for the
+  * whole build, so a build that (even transitively) staged another key
+  * in the same bin could hit the map's recursive-update
+  * IllegalStateException or livelock — hash-dependent and
+  * nondeterministic. With the future form, unrelated keys never
+  * serialize and a nested `once` for a DIFFERENT key is always safe.
+  * (A build that re-enters `once` for its OWN key is a programming
+  * error and self-deadlocks on join — same as any once-guard.)
+  *
+  * A build that throws removes its claim and completes the future
+  * exceptionally, so every caller — the winner, anyone blocked on it,
+  * and anyone arriving later — retries instead of consuming a
+  * half-built table forever (the un-poisoning contract the old guards
+  * had).
   *
   * Keys are namespaced by the OWNER — the guard-set instance each call
   * site already passes — compared by reference identity: several
   * staging features key on the same (applicationId, dir) tuple, and a
   * value-equality owner (an empty Set equals every other empty Set)
   * would silently fuse them into one build.
-  *
-  * Different keys in the same hash bin serialize against each other —
-  * a rare, bounded perf cost (staging keys number in the dozens),
-  * never a correctness one.
   */
 object Staging {
   private final class IdKey(val owner: AnyRef, val k: Any) {
@@ -32,10 +41,32 @@ object Staging {
     }
   }
 
-  private val done = new java.util.concurrent.ConcurrentHashMap[IdKey, AnyRef]()
+  private val done = new java.util.concurrent.ConcurrentHashMap[
+    IdKey, java.util.concurrent.CompletableFuture[Unit]]()
 
+  @annotation.tailrec
   def once(owner: AnyRef, key: Any)(build: => Unit): Unit = {
-    done.computeIfAbsent(new IdKey(owner, key), _ => { build; java.lang.Boolean.TRUE })
-    ()
+    val k = new IdKey(owner, key)
+    val fresh = new java.util.concurrent.CompletableFuture[Unit]()
+    val existing = done.putIfAbsent(k, fresh)
+    if (existing == null) {
+      try { build; fresh.complete(()); () }
+      catch {
+        case t: Throwable =>
+          done.remove(k, fresh)
+          fresh.completeExceptionally(t)
+          throw t
+      }
+    } else {
+      val ok =
+        try { existing.join(); true }
+        catch {
+          // the claimant's build failed (it already removed the claim);
+          // retry — this caller may become the new builder
+          case _: java.util.concurrent.CompletionException |
+               _: java.util.concurrent.CancellationException => false
+        }
+      if (!ok) once(owner, key)(build)
+    }
   }
 }

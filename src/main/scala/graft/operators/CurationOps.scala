@@ -377,15 +377,15 @@ object CurationOps {
     // training consumes the delta (same role PSI plays in ML
     // monitoring; chi-square is chosen because it stays EXACT in
     // integers — no logarithms, so the oracle matches bit-for-bit).
-    // Per bucket: counts a, b from the two slices and the scaled
-    // contribution (a·N_b − b·N_a)² div (a+b) — zero iff the slices
-    // have identical bucket proportions. The fixture slices by
+    // Per bucket: counts a, b from the two slices normalize to ppm of
+    // their slice, and the contribution is (a_ppm − b_ppm)² div
+    // (a_ppm + b_ppm) — zero iff the slices have identical bucket
+    // proportions (ppm terms are ≤10⁶ so the square is ≤10¹², exact in
+    // int64 at any corpus size; see driftChi2). The fixture slices by
     // doc_id parity (a drift-free split: the spec asserts near-zero,
     // and a planted shift asserts detection). Scale shape: one
     // partial-aggregated scan into #buckets rows; contributions are
-    // driver-free integer math per bucket. At 100 TB counts overflow
-    // the cross-product first — normalize counts to ppm per slice
-    // before crossing (same formula, scaled inputs).
+    // driver-free integer math per bucket.
     "q195_drift_chi2" -> ((s, dir) =>
       driftChi2(Tables.documents(s, dir),
         col("doc_id") % 2 === 0, expr(s"n_chars div $DriftBucketWidth"))
@@ -551,10 +551,22 @@ object CurationOps {
       .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("a_cnt"),
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("b_cnt"))
     val tot = b.agg(sum("a_cnt").as("na"), sum("b_cnt").as("nb"))
+    // counts normalize to PPM per slice BEFORE crossing: the raw
+    // cross-term (a·N_b − b·N_a)² overflows int64 once |a·N_b − b·N_a|
+    // exceeds ~3×10⁹ — reachable at low-millions of rows exactly when
+    // drift is present (the gate's purpose), and Spark's non-ANSI
+    // wrap-around would silently diverge from DuckDB's overflow error.
+    // In ppm space every term is ≤ 10⁶, the square ≤ 10¹², and the
+    // slice totals themselves hold to ~9×10¹² rows per slice — the
+    // statistic stays exact-integer at any realistic corpus size.
     b.join(broadcast(tot))
       .select(col("bucket"), col("a_cnt"), col("b_cnt"),
-        expr("(a_cnt * nb - b_cnt * na) * (a_cnt * nb - b_cnt * na) " +
-          "div (a_cnt + b_cnt)").as("contrib"))
+        expr("a_cnt * 1000000 div na").as("a_ppm"),
+        expr("b_cnt * 1000000 div nb").as("b_ppm"))
+      .select(col("bucket"), col("a_cnt"), col("b_cnt"),
+        when(col("a_ppm") + col("b_ppm") > 0,
+          expr("(a_ppm - b_ppm) * (a_ppm - b_ppm) div (a_ppm + b_ppm)"))
+          .otherwise(0L).as("contrib"))
   }
 
   /** q192 span-corruption schedule: block width, span-offset modulus
@@ -877,11 +889,16 @@ object CurationOps {
          |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt
          |  FROM documents GROUP BY 1),
          |t AS (SELECT CAST(sum(a_cnt) AS BIGINT) AS na,
-         |    CAST(sum(b_cnt) AS BIGINT) AS nb FROM b)
+         |    CAST(sum(b_cnt) AS BIGINT) AS nb FROM b),
+         |p AS (SELECT bucket, a_cnt, b_cnt,
+         |    a_cnt * 1000000 // na AS a_ppm,
+         |    b_cnt * 1000000 // nb AS b_ppm
+         |  FROM b, t)
          |SELECT bucket, a_cnt, b_cnt,
-         |  CAST((a_cnt * nb - b_cnt * na) * (a_cnt * nb - b_cnt * na)
-         |    // (a_cnt + b_cnt) AS BIGINT) AS contrib
-         |FROM b, t ORDER BY bucket""".stripMargin,
+         |  CAST(CASE WHEN a_ppm + b_ppm > 0
+         |    THEN (a_ppm - b_ppm) * (a_ppm - b_ppm) // (a_ppm + b_ppm)
+         |    ELSE 0 END AS BIGINT) AS contrib
+         |FROM p ORDER BY bucket""".stripMargin,
 
     "q192_span_corruption" -> {
       val oSeed = md5Code60Sql(

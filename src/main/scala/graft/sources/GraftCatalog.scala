@@ -445,8 +445,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     GraftCatalog.decodeView(ident.name(), Files.readString(p))
   }
 
+  /** A view identifier with an EMPTY namespace (e.g. `CREATE VIEW
+    * graft.v` — the head consumed as the catalog, nothing left as the
+    * namespace) would land the .view file at the warehouse ROOT: the
+    * namespace-exists check passes vacuously (the root directory
+    * exists) and per-namespace SHOW VIEWS can never list the result.
+    * Reject it loudly on every path that creates or moves a view. */
+  private def requireViewNamespace(ident: Identifier): Unit =
+    require(ident.namespace().nonEmpty,
+      s"view ${ident.name()} needs a namespace — a reference like " +
+        s"<catalog>.${ident.name()} leaves the namespace empty; use " +
+        s"<catalog>.<namespace>.${ident.name()}")
+
   override def createView(info: ViewInfo): View = {
     val ident = info.ident()
+    requireViewNamespace(ident)
     if (!Files.isDirectory(nsPath(ident.namespace())))
       throw new NoSuchNamespaceException(ident.namespace())
     require(!isTable(tablePath(ident)),
@@ -466,6 +479,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
 
   override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
     val ident = info.ident()
+    requireViewNamespace(ident)
     if (!orCreate && !viewExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
     require(!isTable(tablePath(ident)),
@@ -505,6 +519,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     Files.deleteIfExists(viewPath(ident))
 
   override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    requireViewNamespace(newIdent)
     if (!viewExists(oldIdent))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(oldIdent)
     if (viewExists(newIdent))

@@ -713,9 +713,11 @@ object ManifestSink {
     val cur = branchCurrentVersion(root, name)
     val base = branchBase(root, name)
     (1L to cur).flatMap { v =>
-      Files.readString(branchManifestAt(root, name, v)).linesIterator
-        .filter(l => l.nonEmpty && !l.startsWith("#"))
-        .map(l => parseEntryLine(l).copy(seq = base + 1L)).toSeq
+      val lines = Files.readString(branchManifestAt(root, name, v))
+        .linesIterator.toSeq
+      checkMinReader(lines, s"$root branch $name@v$v")
+      lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(l => parseEntryLine(l).copy(seq = base + 1L))
     }
   }
 
@@ -733,7 +735,8 @@ object ManifestSink {
       s"branch append schema $schema does not match branch '$name' " +
         s"anchor schema $baseSchema")
     val content =
-      (s"$BranchBasePrefix$base" +: newEntries.map(entryLine)).mkString("\n")
+      (s"$BranchBasePrefix$base" +: (minReaderLines(newEntries) ++
+        newEntries.map(entryLine))).mkString("\n")
     var attempt = 0
     var done = false
     while (!done) {
@@ -2509,8 +2512,9 @@ object ManifestSink {
       val (inline, refs) = versionSections(root, v)
       inline ++ refs.flatMap(readGroupEntries(root, _, withBlooms))
     } else if (Files.exists(manifest(root))) {
-      Files.readString(manifest(root)).split("\n").toSeq
-        .filter(l => l.nonEmpty && !l.startsWith("#"))
+      val lines = Files.readString(manifest(root)).split("\n").toSeq
+      checkMinReader(lines, root)
+      lines.filter(l => l.nonEmpty && !l.startsWith("#"))
         .map(parseEntryLine)
     } else Seq.empty
   }
@@ -2711,6 +2715,44 @@ object ManifestSink {
       (kvs.collect { case (k, lo, _) if lo.nonEmpty => k -> urlDec(lo) }.toMap,
         kvs.collect { case (k, _, hi) if hi.nonEmpty => k -> urlDec(hi) }.toMap)
     }
+
+  // ---- entry-line format generations -------------------------------------
+  //
+  // Entry lines are format-versioned BY POSITION: a new trailing slot is
+  // invisible to a reader that splits with a lower limit — it silently
+  // folds the new field into the previous slot (a tab embedded in the
+  // last value) and crashes, or worse mis-decodes, far from the cause.
+  // The `#minreader` header line is the explicit gate: a version file
+  // whose entries use a slot the reader doesn't know carries
+  // `#minreader<TAB>N`, and every reader REFUSES files demanding more
+  // than its own generation with a clear upgrade error instead of a
+  // parse crash. Tables never using the new slot emit no marker, so
+  // older readers keep reading them (exactly Iceberg's format-version
+  // contract, applied per-feature).
+  //
+  // Generations: 1 = slots 0..13 (through ndvSk); 2 = slot 14 (qsk,
+  // quantile sketches).
+  private[sources] val ReaderFormatVersion = 2L
+  private[sources] val MinReaderPrefix = "#minreader\t"
+
+  private[sources] def checkMinReader(lines: Iterable[String], where: Any): Unit =
+    lines.foreach { l =>
+      if (l.startsWith(MinReaderPrefix)) {
+        val need = l.stripPrefix(MinReaderPrefix).trim.toLong
+        if (need > ReaderFormatVersion)
+          throw new UnsupportedOperationException(
+            s"manifest $where requires reader format version $need; this " +
+              s"build reads up to $ReaderFormatVersion — upgrade the reader")
+      }
+    }
+
+  /** The `#minreader` lines a batch of entries demands — one marker at
+    * generation 2 when any entry carries a quantile sketch, nothing
+    * otherwise (so generation-1 readers keep reading sketch-free
+    * tables). */
+  private[sources] def minReaderLines(entries: Seq[FileEntry]): Seq[String] =
+    if (entries.exists(_.qsk.nonEmpty)) Seq(s"$MinReaderPrefix$ReaderFormatVersion")
+    else Seq.empty
 
   private[sources] def entryLine(e: FileEntry): String = {
     val base =
@@ -2935,7 +2977,8 @@ object ManifestSink {
     // over-cap lineage spills to content-addressed sidecars HERE so
     // every publish path is covered by one seam
     val entries = entries0.map(e => spillLineage(root, e))
-    if (entries.size <= inlineThreshold) return entries.map(entryLine)
+    if (entries.size <= inlineThreshold)
+      return minReaderLines(entries) ++ entries.map(entryLine)
     Files.createDirectories(root)
     val byName = entries.iterator.map(e => e.name -> e).toMap
     val used = scala.collection.mutable.HashSet.empty[String]
@@ -2949,7 +2992,10 @@ object ManifestSink {
     }
     val fresh = entries.filterNot(e => used(e.name))
     fresh.grouped(groupTargetSize).foreach(chunk => refs += writeGroup(root, chunk))
-    refs.result().map(groupRefLine)
+    // the marker guards the version file even when the format-2 entry
+    // lines live in group files: every group read resolves through this
+    // version file first
+    minReaderLines(entries) ++ refs.result().map(groupRefLine)
   }
 
   /** (inline entries, group refs) of one version file — the cheap,
@@ -2957,6 +3003,7 @@ object ManifestSink {
   private[sources] def versionSections(root: Path,
       v: Long): (Seq[FileEntry], Seq[GroupRef]) = {
     val lines = Files.readString(manifestAt(root, v)).split("\n").toSeq.drop(1)
+    checkMinReader(lines, s"$root@v$v")
     (lines.filter(l => l.nonEmpty && !l.startsWith("#")).map(parseEntryLine),
       lines.filter(_.startsWith(GroupRefPrefix)).map(parseGroupRefLine))
   }
@@ -3172,6 +3219,7 @@ object ManifestSink {
     val v = resolveVersion(root, pinned)
     if (v > 0L) headerStateCache.get(s"$root@$v") {
       val lines = Files.readString(manifestAt(root, v)).linesIterator.toSeq
+      checkMinReader(lines.tail, s"$root@v$v")
       val refs = lines.tail.filter(_.startsWith(GroupRefPrefix)).map(parseGroupRefLine)
       TableState(v,
         Some(DataType.fromJson(lines.head).asInstanceOf[StructType]),

@@ -72,6 +72,10 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // parity with the product session (Verify/Bench): without the
+      // extensions the ViewCatalog analyzer wiring is missing and the
+      // view queries (q193) cannot even plan here
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val only = args.drop(1).toSet

@@ -231,14 +231,27 @@ class CurationSpec extends AnyFunSuite {
     assert(hot.map(_.getAs[Long]("contrib")).max > 0L,
       "a planted shift must produce a positive contribution")
     // the fixture query itself: parity split over a shared generator is
-    // drift-free relative to the worst case — total far below a full
-    // separation's na*nb*N scale
+    // drift-free relative to the worst case. In ppm space a FULL
+    // separation totals ≈2·10⁶ (each slice's ppm mass lands in buckets
+    // the other slice misses, contributing ~its own ppm); parity slices
+    // must sit far below that.
     val r = CurationOps.queries("q195_drift_chi2")(spark, sfDir).collect()
     val na = r.map(_.getAs[Long]("a_cnt")).sum
     val nb = r.map(_.getAs[Long]("b_cnt")).sum
     val total = r.map(_.getAs[Long]("contrib")).sum
-    assert(total < na * nb * (na + nb) / 10,
+    assert(total < 2000000L / 10,
       s"parity slices should not read as drifted: $total")
+    // exact replay of the ppm algebra — the overflow fix's contract:
+    // every engine contribution equals the integer ppm formula, whose
+    // terms are ≤10⁶ so the square is ≤10¹² (int64-safe at ANY na/nb,
+    // unlike the raw cross-term (a·N_b − b·N_a)² this replaced)
+    r.foreach { row =>
+      val aPpm = row.getAs[Long]("a_cnt") * 1000000L / na
+      val bPpm = row.getAs[Long]("b_cnt") * 1000000L / nb
+      val want = if (aPpm + bPpm > 0) (aPpm - bPpm) * (aPpm - bPpm) / (aPpm + bPpm)
+        else 0L
+      assert(row.getAs[Long]("contrib") == want)
+    }
   }
 
   test("q108: band decomposition equals the nested-loop join on the bounded probe set") {

@@ -170,4 +170,37 @@ class QuantileSketchSpec extends AnyFunSuite {
       .exists(t => Option(t.getMessage).exists(_.contains("quantile.columns"))),
       s"unexpected failure: $ex")
   }
+
+  test("format gate: qsk entries stamp #minreader 2; a higher demand is refused") {
+    wh
+    spark.sql("CREATE TABLE qsk.db.fmt (v BIGINT) " +
+      "TBLPROPERTIES ('quantile.columns' = 'v')")
+    spark.sql("INSERT INTO qsk.db.fmt SELECT id FROM range(50)")
+    val root = java.nio.file.Paths.get(wh.resolve("db").resolve("fmt").toString)
+    val v = ManifestSink.currentVersion(root)
+    val content = Files.readString(ManifestSink.manifestAt(root, v))
+    assert(content.linesIterator.contains(
+      s"#minreader\t${ManifestSink.ReaderFormatVersion}"),
+      "a version whose entries carry quantile sketches must declare format 2")
+    // a sketch-free table emits NO marker — generation-1 readers keep
+    // reading it (the per-feature gate, not a blanket bump)
+    spark.sql("CREATE TABLE qsk.db.plain (v BIGINT)")
+    spark.sql("INSERT INTO qsk.db.plain SELECT id FROM range(10)")
+    val proot = java.nio.file.Paths.get(wh.resolve("db").resolve("plain").toString)
+    assert(!Files.readString(ManifestSink.manifestAt(proot,
+      ManifestSink.currentVersion(proot))).contains("#minreader"))
+    // plant a future-generation demand as a FRESH version (version files
+    // are immutable and header parses are cached per (root, version), so
+    // the probe must be a version this session has never read): the
+    // reader must refuse with the upgrade error, not mis-split slots
+    val lines = content.linesIterator.toSeq
+    Files.writeString(ManifestSink.manifestAt(root, v + 1),
+      (lines.head +: ("#minreader\t99" +: lines.tail)).mkString("\n"))
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM qsk.db.fmt").collect()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(t => Option(t.getMessage).exists(_.contains("upgrade the reader"))),
+      s"unexpected failure: $e")
+  }
 }

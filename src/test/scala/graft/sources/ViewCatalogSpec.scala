@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Path}
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Persisted SQL views on the DSv2 catalog ([[GraftCatalog]] as a
@@ -132,5 +134,36 @@ class ViewCatalogSpec extends AnyFunSuite {
     spark.sql("CREATE VIEW vcat.db.vname AS SELECT 1 AS x")
     intercept[Exception](
       spark.sql("CREATE TABLE vcat.db.vname (id BIGINT)"))
+  }
+
+  test("an empty view namespace is refused on create, replace and rename") {
+    wh
+    // CREATE VIEW vcat.v: the head is consumed as the catalog, leaving
+    // the namespace EMPTY — accepting it would land the .view file at
+    // the warehouse ROOT (the namespace-exists check passes vacuously
+    // because the root directory exists) where per-namespace SHOW VIEWS
+    // can never list it
+    val e = intercept[Exception](
+      spark.sql("CREATE VIEW vcat.rootless AS SELECT 1 AS x"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null).take(5)
+      .exists(t => Option(t.getMessage).exists(_.contains("needs a namespace"))),
+      s"unexpected failure: $e")
+    intercept[Exception](
+      spark.sql("CREATE OR REPLACE VIEW vcat.rootless AS SELECT 1 AS x"))
+    val rootFiles = Files.list(wh)
+    try assert(rootFiles.iterator().asScala
+      .forall(p => !p.getFileName.toString.contains("rootless")),
+      "no root-level view file may be created")
+    finally rootFiles.close()
+    // rename to a root-level target is the same hole through a side
+    // door — SQL can't reach it (the bare-name rule keeps RENAME in the
+    // source namespace) but the catalog API can
+    spark.sql("CREATE VIEW vcat.db.mv AS SELECT 1 AS x")
+    val cat = spark.sessionState.catalogManager.catalog("vcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.ViewCatalog]
+    import org.apache.spark.sql.connector.catalog.Identifier
+    intercept[IllegalArgumentException](cat.renameView(
+      Identifier.of(Array("db"), "mv"), Identifier.of(Array.empty, "rootless")))
+    spark.sql("DROP VIEW vcat.db.mv")
   }
 }
