@@ -41,8 +41,7 @@ def hash_class(t):
         return "hugeint"
     return s
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+def connect(sf_dir):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
@@ -51,6 +50,47 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
         elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+def time_oracles(sf_dir, out_dir, budget_sec):
+    """Pre-round gate risk scan: run EVERY oracle SQL in DuckDB and flag
+    anything slower than budget_sec (a pathological oracle is the class
+    that zeroed round 10's correctness gate). Usage:
+        python3 scripts/check_oracle.py --time <sfDir> <verifyOutDir> [budget]
+    """
+    import time
+    con = connect(sf_dir)
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    slow = []
+    rows = []
+    for name in sorted(oracle):
+        t0 = time.time()
+        try:
+            con.sql(oracle[name]).fetchall()
+            dt = time.time() - t0
+        except Exception as e:
+            print(f"  {name}: ERROR {str(e).splitlines()[0][:160]}")
+            slow.append((name, float("inf")))
+            continue
+        rows.append((dt, name))
+        if dt > budget_sec:
+            slow.append((name, dt))
+    for dt, name in sorted(rows, reverse=True)[:10]:
+        print(f"  {dt:6.1f}s {name}")
+    if slow:
+        print(f"GATE RISK: {len(slow)} oracle(s) over {budget_sec}s: {slow}")
+    else:
+        print(f"ALL ORACLES within {budget_sec}s budget "
+              f"(max {max(rows)[0]:.1f}s {max(rows)[1]})")
+    sys.exit(1 if slow else 0)
+
+def main():
+    if sys.argv[1] == "--time":
+        time_oracles(sys.argv[2], sys.argv[3],
+                     float(sys.argv[4]) if len(sys.argv) > 4 else 30.0)
+        return
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(os.listdir(out_dir)):
