@@ -82,42 +82,60 @@ object DedupOps {
     * are, by construction, corpus-common rather than pairwise-copied.
     * Text re-windowing for the exact-equality guard touches candidate
     * docs only, via the size-gated id join. */
-  /** The q190 engine, factored over an arbitrary (doc_id, text) frame
-    * so specs can drive adversarial micro-corpora through the exact
-    * algorithm and compare against brute force. See the q190 entry for
-    * the design commentary. */
-  private[graft] def setSimJoin(docs: DataFrame,
-      t: Long = SetSimTBp): DataFrame = {
-    // EXACT-DUP CANONICALIZATION FIRST — the published pipeline order
-    // (and q117's): byte-identical copies collapse to one
-    // representative (min doc_id) before any similarity work. This is
-    // not an optimization nicety but an asymptotic requirement: a
-    // clone cluster of size c contributes c² qualifying PAIRS to a
-    // J ≥ t join (every copy pairs with every copy at J = 1), so on a
-    // duplicate-heavy corpus the exact join's OUTPUT — not its
-    // algorithm — goes quadratic. Near-dup structure among clones is
-    // recoverable by composing with q40's clone groups.
+  /** q196 threshold — 0.5 in basis points, the MODERATE operating
+    * point where plain prefix filtering loses its teeth: the prefix is
+    * HALF of every document, so prefix-only candidate generation
+    * degrades toward all-pairs. q196 holds there by adding PPJoin's
+    * positional filter (Xiao et al. 2008, public algorithm). */
+  val SetSimPpTBp = 5000L
+
+  /** Shared prelude of the exact set-similarity family: exact-dup
+    * canonicalization, shingle tokens, global document frequencies.
+    *
+    * CANONICALIZATION FIRST — the published pipeline order (and
+    * q117's): byte-identical copies collapse to one representative
+    * (min doc_id) before any similarity work. This is not an
+    * optimization nicety but an asymptotic requirement: a clone
+    * cluster of size c contributes c² qualifying PAIRS to a J ≥ t
+    * join (every copy pairs with every copy at J = 1), so on a
+    * duplicate-heavy corpus the exact join's OUTPUT — not its
+    * algorithm — goes quadratic. Near-dup structure among clones is
+    * recoverable by composing with q40's clone groups. */
+  private[graft] def setSimTokens(docs: DataFrame): (DataFrame, DataFrame) = {
     val canon = docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
     val tk = canon.select(col("doc_id"),
       explode(graft.plans.ShinglesExpr.shinglesNative(col("text"), SetSimShingleN))
         .as("token"))
     val dfreq = tk.groupBy("token").agg(count(lit(1)).as("df"))
-    // per-doc prefix by AGGREGATE, not window: collect the doc's
-    // (df, token) pairs, array_sort them (struct ordering = (df, token)
-    // — exactly the global rarity order), slice the prefix. Same
-    // shuffle volume as a window but no relation-wide sort: each doc
-    // sorts its own bounded array inside ObjectHashAggregate — the
-    // difference between sorting 10^8 rows and 10^6 arrays of ~10^2.
-    val pre = tk.join(dfreq, "token")
-      .groupBy("doc_id")
-      .agg(collect_list(struct(col("df").as("df"), col("token").as("tok")))
-        .as("all"))
-      .select(col("doc_id"), size(col("all")).cast("long").as("m"),
-        expr(s"slice(array_sort(all), 1, " +
-          s"size(all) - (($t * size(all) + 9999) div 10000) + 1)").as("pref"))
-      .select(col("doc_id"), col("m"), explode(col("pref")).as("p"))
-      .select(col("doc_id"), col("m"), col("p.tok").as("token"))
+    (tk, dfreq)
+  }
+
+  /** Exact-intersection verification shared by the set-sim joins:
+    * candidates (doc_a, doc_b, size_a, size_b) → qualifying pairs with
+    * exact Jaccard in basis points. doc_a tokens come from `tkA`,
+    * doc_b tokens from `tkB` (the same frame for self-joins, batch vs
+    * corpus for the incremental form). Cost follows the candidate set,
+    * never corpus². */
+  private def setSimVerify(cand: DataFrame, tkA: DataFrame, tkB: DataFrame,
+      t: Long): DataFrame =
+    cand
+      .join(tkA.select(col("doc_id").as("doc_a"), col("token")), Seq("doc_a"))
+      .join(tkB.select(col("doc_id").as("doc_b"), col("token")), Seq("doc_b", "token"))
+      .groupBy("doc_a", "doc_b", "size_a", "size_b")
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * 10000 >=
+        (col("size_a") + col("size_b") - col("inter")) * t)
+      .withColumn("jacc_bp", expr("inter * 10000L div (size_a + size_b - inter)"))
+
+  /** The q190 engine, factored over an arbitrary (doc_id, text) frame
+    * so specs can drive adversarial micro-corpora through the exact
+    * algorithm and compare against brute force. See the q190 entry for
+    * the design commentary. */
+  private[graft] def setSimJoin(docs: DataFrame,
+      t: Long = SetSimTBp): DataFrame = {
+    val (tk, dfreq) = setSimTokens(docs)
+    val pre = prefixTokens(tk.join(dfreq, "token"), t)
     val cand = pre.as("a").join(pre.as("b"),
         col("a.token") === col("b.token") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -126,14 +144,122 @@ object DedupOps {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.m").as("size_a"), col("b.m").as("size_b"))
       .distinct()
-    cand
-      .join(tk.select(col("doc_id").as("doc_a"), col("token")), Seq("doc_a"))
-      .join(tk.select(col("doc_id").as("doc_b"), col("token")), Seq("doc_b", "token"))
+    setSimVerify(cand, tk, tk, t)
+  }
+
+  /** Per-doc rarity-ordered PREFIX — the q190/q198 candidate index,
+    * over a (doc_id, token, df) frame. The prefix is built by
+    * AGGREGATE, not window: collect the doc's (df, token) pairs,
+    * array_sort them (struct ordering = (df, token) — exactly the
+    * global rarity order), slice the prefix. Same shuffle volume as a
+    * window but no relation-wide sort: each doc sorts its own bounded
+    * array inside ObjectHashAggregate — the difference between
+    * sorting 10^8 rows and 10^6 arrays of ~10^2. */
+  private[graft] def prefixTokens(tkWithDf: DataFrame, t: Long): DataFrame =
+    tkWithDf.groupBy("doc_id")
+      .agg(collect_list(struct(col("df").as("df"), col("token").as("tok")))
+        .as("all"))
+      .select(col("doc_id"), size(col("all")).cast("long").as("m"),
+        expr(s"slice(array_sort(all), 1, " +
+          s"size(all) - (($t * size(all) + 9999) div 10000) + 1)").as("pref"))
+      .select(col("doc_id"), col("m"), explode(col("pref")).as("p"))
+      .select(col("doc_id"), col("m"), col("p.tok").as("token"))
+
+  /** Per-doc rarity-ordered PREFIX with POSITIONS — the q196 candidate
+    * index. Same ObjectHashAggregate shape as q190's prefix (each doc
+    * sorts its own bounded array; no relation-wide window sort), plus a
+    * posexplode so every prefix token knows its 1-based rank in the
+    * doc's global-rarity order. */
+  private[graft] def ppjoinPrefixes(tk: DataFrame, dfreq: DataFrame,
+      t: Long): DataFrame =
+    tk.join(dfreq, "token")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("df").as("df"), col("token").as("tok")))
+        .as("all"))
+      .select(col("doc_id"), size(col("all")).cast("long").as("m"),
+        posexplode(expr(s"slice(array_sort(all), 1, " +
+          s"size(all) - (($t * size(all) + 9999) div 10000) + 1)")))
+      .select(col("doc_id"), col("m"), (col("pos") + 1L).cast("long").as("pos"),
+        col("col.tok").as("token"))
+
+  /** q196 candidate generation: prefix equi-join + length filter +
+    * PPJoin POSITIONAL filter. For a shared token at ranks (i, j) of
+    * docs sized (mₐ, m_b), the overlap O obeys
+    *   O ≤ 1 + min(i−1, j−1) + min(mₐ−i, m_b−j)
+    * — shared tokens strictly before it occupy ranks < i AND < j
+    * (both lists sort by the SAME global order), shared tokens after
+    * it fit in the shorter remaining tail. The bound holds for EVERY
+    * shared token, so a qualifying pair (O ≥ α) clears it at every
+    * prefix collision and `min(bound) ≥ α` never drops a true pair,
+    * while a spurious collision on one early-vs-late token dies here
+    * instead of reaching verification. α is the Jaccard-t overlap
+    * requirement t·(mₐ+m_b)/(1+t), kept in cross-multiplied integers:
+    * ub·(10000+t) ≥ t·(mₐ+m_b). */
+  private[graft] def ppjoinCandidates(tk: DataFrame, dfreq: DataFrame,
+      t: Long): DataFrame = {
+    val pre = ppjoinPrefixes(tk, dfreq, t)
+    pre.as("a").join(pre.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.m") * t <= col("a.m") * 10000 &&
+          col("a.m") * t <= col("b.m") * 10000)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.m").as("size_a"), col("b.m").as("size_b"),
+        (lit(1L) + least(col("a.pos") - 1L, col("b.pos") - 1L) +
+          least(col("a.m") - col("a.pos"), col("b.m") - col("b.pos")))
+          .as("ub"))
       .groupBy("doc_a", "doc_b", "size_a", "size_b")
-      .agg(count(lit(1)).as("inter"))
-      .filter(col("inter") * 10000 >=
-        (col("size_a") + col("size_b") - col("inter")) * t)
-      .withColumn("jacc_bp", expr("inter * 10000L div (size_a + size_b - inter)"))
+      .agg(min(col("ub")).as("ub"))
+      .filter(col("ub") * (10000L + t) >= (col("size_a") + col("size_b")) * t)
+      .select("doc_a", "doc_b", "size_a", "size_b")
+  }
+
+  /** The q196 engine: exact set-similarity self-join at a MODERATE
+    * threshold via positional filtering. Identical output contract to
+    * q190 (exact, lossless — the naive oracle hash-match proves it);
+    * the difference is WHERE candidates die. At t = 0.5 the prefix is
+    * half of every document, so prefix-only filtering admits nearly
+    * every co-occurring pair; the positional filter re-prunes them
+    * with rank arithmetic BEFORE the verification join, which is what
+    * keeps the operator's cost candidate-bound rather than
+    * all-pairs-bound at moderate thresholds. */
+  private[graft] def setSimJoinPos(docs: DataFrame,
+      t: Long = SetSimPpTBp): DataFrame = {
+    val (tk, dfreq) = setSimTokens(docs)
+    setSimVerify(ppjoinCandidates(tk, dfreq, t), tk, tk, t)
+  }
+
+  /** The q198 engine: batch-vs-corpus EXACT set-similarity join — the
+    * ingest-loop twin of q190 (the q119 incremental pattern with exact
+    * Jaccard instead of MinHash estimates). The corpus side's
+    * document frequencies and prefixes are the STANDING statistic (in
+    * production they persist beside the corpus, like q119's band
+    * index); the new batch joins AGAINST them, so there is never
+    * corpus×corpus work and ingest cost follows batch size. Batch
+    * tokens order by the CORPUS df (absent → 0: a shingle the corpus
+    * has never seen is maximally rare), which keeps ONE consistent
+    * global total order across both sides — all the prefix-filter
+    * theorem requires. Both sides canonicalize within themselves
+    * first (the clone-quadratic guard); a byte-identical batch/corpus
+    * text surfaces as a J=10000 pair, so the output is the complete
+    * "what does this batch duplicate in the corpus" answer at J ≥ t. */
+  private[graft] def setSimIncremental(corpus: DataFrame, batch: DataFrame,
+      t: Long = SetSimTBp): DataFrame = {
+    val (ctk, dfreq) = setSimTokens(corpus)
+    val btk = setSimTokens(batch)._1
+    val cpre = prefixTokens(ctk.join(dfreq, "token"), t)
+    val bpre = prefixTokens(
+      btk.join(dfreq, Seq("token"), "left")
+        .select(col("doc_id"), col("token"),
+          coalesce(col("df"), lit(0L)).as("df")), t)
+    val cand = bpre.as("a").join(cpre.as("b"),
+        col("a.token") === col("b.token") &&
+          col("b.m") * t <= col("a.m") * 10000 &&
+          col("a.m") * t <= col("b.m") * 10000)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.m").as("size_a"), col("b.m").as("size_b"))
+      .distinct()
+    setSimVerify(cand, btk, ctk, t)
   }
 
   /** One row per (doc, 1-based window start) with the window's xxhash64
@@ -436,6 +562,30 @@ object DedupOps {
     // never corpus². All comparisons are cross-multiplied integers.
     "q190_setsim_join" -> ((s, dir) =>
       setSimJoin(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // q196: the SAME exact-join contract at t = 0.5, the regime q190's
+    // scaladoc declares out of prefix filtering's reach (the prefix is
+    // HALF of every doc). PPJoin's positional filter (Xiao et al.
+    // 2008) restores candidate-bound cost there: every prefix
+    // collision carries its rank pair, and rank arithmetic kills
+    // pairs whose shared-rare-token positions cannot possibly reach
+    // the α overlap — BEFORE the verification join. Oracle is the
+    // naive all-pairs algorithm at t=0.5, so the hash match proves
+    // the positional filter dropped nothing on this corpus.
+    "q196_setsim_ppjoin" -> ((s, dir) =>
+      setSimJoinPos(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // q198: the ingest-loop form — this round's batch (doc_id%10==7,
+    // q119's split) against the standing corpus, exact Jaccard at
+    // q190's threshold, no corpus×corpus work (see setSimIncremental).
+    // Oracle is the naive batch×corpus join, proving the asymmetric
+    // prefix filter (batch ordered by CORPUS df) lossless.
+    "q198_setsim_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val batchPred = col("doc_id") % 10 === 7
+      setSimIncremental(docs.filter(!batchPred), docs.filter(batchPred))
+        .orderBy("doc_a", "doc_b")
+    }),
 
     "q40_exact_dedup" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -772,26 +922,55 @@ object DedupOps {
        |  FROM wins a JOIN wins b ON a.w = b.w AND a.doc_id < b.doc_id
        |  WHERE a.w IN (SELECT w FROM keep))""".stripMargin
 
+  /** Canonicalize-then-5-shingle CTE pair for the naive set-sim
+    * oracles: `${p}s` (per-doc distinct shingles) and `${p}tk`
+    * (unnested), over `documents` rows passing `where`. */
+  private def shingleCtes(p: String, where: String): String =
+    s"""${p}canon AS (SELECT min(doc_id) AS doc_id, text FROM documents
+       |               $where GROUP BY text),
+       |${p}s AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(string_split(text,' ')) - 4),
+       |    i -> (string_split(text,' '))[i] || ' ' || (string_split(text,' '))[i+1] || ' ' || (string_split(text,' '))[i+2] || ' ' || (string_split(text,' '))[i+3] || ' ' || (string_split(text,' '))[i+4])) AS shingles
+       |  FROM ${p}canon WHERE len(string_split(text,' ')) >= 5),
+       |${p}tk AS (SELECT doc_id, unnest(shingles) AS token FROM ${p}s),
+       |${p}sz AS (SELECT doc_id, count(*) AS m FROM ${p}tk GROUP BY doc_id)""".stripMargin
+
+  /** The NAIVE self-join algorithm on purpose: every pair sharing ≥1
+    * shingle, exact Jaccard, threshold filter — hash-matching this
+    * proves the Spark side's candidate filters are lossless on the
+    * corpus. Shared by q190 (t=0.8, prefix filter) and q196 (t=0.5,
+    * prefix + positional filter). */
+  private def naiveSetSimSql(t: Long): String =
+    s"""WITH ${shingleCtes("", "")},
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM tk a JOIN tk b ON a.token = b.token AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |j AS (SELECT doc_a, doc_b, sa.m AS size_a, sb.m AS size_b, inter
+       |  FROM pairs JOIN sz sa ON sa.doc_id = doc_a
+       |             JOIN sz sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, size_a, size_b, inter,
+       |  CAST(inter * 10000 // (size_a + size_b - inter) AS BIGINT) AS jacc_bp
+       |FROM j
+       |WHERE inter * 10000 >= $t * (size_a + size_b - inter)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    // the NAIVE algorithm on purpose: every pair sharing ≥1 shingle,
-    // exact Jaccard, threshold filter — hash-matching this proves the
-    // Spark side's prefix filter is lossless on the corpus
-    "q190_setsim_join" ->
-      s"""WITH canon AS (SELECT min(doc_id) AS doc_id, text FROM documents
-         |               GROUP BY text),
-         |s AS (
-         |  SELECT doc_id, list_distinct(list_transform(
-         |    generate_series(1, len(string_split(text,' ')) - 4),
-         |    i -> (string_split(text,' '))[i] || ' ' || (string_split(text,' '))[i+1] || ' ' || (string_split(text,' '))[i+2] || ' ' || (string_split(text,' '))[i+3] || ' ' || (string_split(text,' '))[i+4])) AS shingles
-         |  FROM canon WHERE len(string_split(text,' ')) >= 5),
-         |tk AS (SELECT doc_id, unnest(shingles) AS token FROM s),
-         |sz AS (SELECT doc_id, count(*) AS m FROM tk GROUP BY doc_id),
+    "q190_setsim_join" -> naiveSetSimSql(SetSimTBp),
+    "q196_setsim_ppjoin" -> naiveSetSimSql(SetSimPpTBp),
+
+    // naive batch×corpus: every cross pair sharing ≥1 shingle, exact
+    // Jaccard — proves the asymmetric (corpus-df-ordered) prefix
+    // filter lossless
+    "q198_setsim_incremental" ->
+      s"""WITH ${shingleCtes("c", "WHERE doc_id % 10 <> 7")},
+         |${shingleCtes("b", "WHERE doc_id % 10 = 7")},
          |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM tk a JOIN tk b ON a.token = b.token AND a.doc_id < b.doc_id
+         |  FROM btk a JOIN ctk b ON a.token = b.token
          |  GROUP BY a.doc_id, b.doc_id),
          |j AS (SELECT doc_a, doc_b, sa.m AS size_a, sb.m AS size_b, inter
-         |  FROM pairs JOIN sz sa ON sa.doc_id = doc_a
-         |             JOIN sz sb ON sb.doc_id = doc_b)
+         |  FROM pairs JOIN bsz sa ON sa.doc_id = doc_a
+         |             JOIN csz sb ON sb.doc_id = doc_b)
          |SELECT doc_a, doc_b, size_a, size_b, inter,
          |  CAST(inter * 10000 // (size_a + size_b - inter) AS BIGINT) AS jacc_bp
          |FROM j
