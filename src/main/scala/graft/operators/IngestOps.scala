@@ -184,6 +184,50 @@ object IngestOps {
     // schema (the reference's response.json() with explicit structure).
     // The JSON lines are derived in-memory from the fixture so the oracle
     // can check the round-trip exactly.
+    // P1 CLOSED OUT: raw-MARKUP text extraction with no HTML
+    // dependency (reference src/rotterdam_swimming_advice.py:52-95 —
+    // BeautifulSoup get_text/select over page markup; SURVEY §7.3
+    // records the no-JVM-parser constraint this regexp form answers).
+    // The markup column is built deterministically from `documents`
+    // (title/h1/two paragraphs/a list item; every 7th doc omits the h1
+    // so the P2 first-match DEFAULT path runs), then parsed back with
+    // pure codegen'd string expressions: tag-content extraction via
+    // regexp_extract_all with a capture group, tag STRIPPING via
+    // `<[^>]+>` → space + whitespace normalization — the get_text()
+    // twin. Both regex dialects (Java here, RE2 in the oracle) treat
+    // `.` as not-newline and `*?` lazily, so the semantics replay
+    // bit-for-bit. Scale shape: one scan, zero joins/shuffles before
+    // the final orderBy; at 100 TB this is the mapper every HTML
+    // ingest pipeline runs.
+    "q197_html_extract" -> ((s, dir) => {
+      val head = concat(lit("<html><head><title>d"), col("doc_id"),
+        lit("</title></head><body>"))
+      val h1 = concat(lit("<h1 class=\"src\">"), col("source"), lit("</h1>"))
+      val body = concat(
+        lit("<p id=\"a\">"),
+        expr("substring(text, 1, n_chars div 2)"), lit("</p>"),
+        lit("<p id=\"b\">"),
+        expr("substring(text, n_chars div 2 + 1, n_chars)"), lit("</p>"),
+        lit("<ul><li>lang="), col("lang"), lit("</li></ul></body></html>"))
+      Tables.documents(s, dir)
+        .withColumn("markup",
+          when(col("doc_id") % 7 === 0, concat(head, body))
+            .otherwise(concat(head, h1, body)))
+        .select(col("doc_id"),
+          coalesce(try_element_at(
+            regexp_extract_all(col("markup"), lit("<h1[^>]*>(.*?)</h1>"), lit(1)),
+            lit(1)), lit("untitled")).as("title"),
+          size(regexp_extract_all(col("markup"), lit("<p[^>]*>(.*?)</p>"), lit(1)))
+            .cast("long").as("n_paras"),
+          element_at(
+            regexp_extract_all(col("markup"), lit("<p[^>]*>(.*?)</p>"), lit(1)),
+            1).as("first_para"),
+          trim(regexp_replace(
+            regexp_replace(col("markup"), "<[^>]+>", " "), " +", " "))
+            .as("clean_text"))
+        .orderBy("doc_id")
+    }),
+
     "q38_json_source" -> ((s, dir) => {
       import s.implicits._
       val lines = Tables.events(s, dir)
@@ -1239,6 +1283,27 @@ object IngestOps {
         |FROM (VALUES (2),(5),(7),(11)) AS ids(user_id)
         |LEFT JOIN events e ON e.user_id = ids.user_id
         |GROUP BY ids.user_id ORDER BY user_id""".stripMargin,
+
+    "q197_html_extract" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>d' || CAST(doc_id AS VARCHAR) ||
+        |    '</title></head><body>' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN ''
+        |         ELSE '<h1 class="src">' || source || '</h1>' END ||
+        |    '<p id="a">' || substring(text, 1, n_chars // 2) || '</p>' ||
+        |    '<p id="b">' || substring(text, n_chars // 2 + 1, n_chars) || '</p>' ||
+        |    '<ul><li>lang=' || lang || '</li></ul></body></html>' AS markup
+        |  FROM documents)
+        |SELECT doc_id,
+        |  coalesce(regexp_extract_all(markup, '<h1[^>]*>(.*?)</h1>', 1)[1],
+        |           'untitled') AS title,
+        |  CAST(len(regexp_extract_all(markup, '<p[^>]*>(.*?)</p>', 1)) AS BIGINT)
+        |    AS n_paras,
+        |  regexp_extract_all(markup, '<p[^>]*>(.*?)</p>', 1)[1] AS first_para,
+        |  trim(regexp_replace(regexp_replace(markup, '<[^>]+>', ' ', 'g'),
+        |       ' +', ' ', 'g')) AS clean_text
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q38_json_source" ->
       """SELECT event_type, count(*) AS n,

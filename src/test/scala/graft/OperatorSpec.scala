@@ -173,4 +173,33 @@ class OperatorSpec extends AnyFunSuite {
     // and the split is a real partition, not a constant
     assert(split.values.toSet.size > 1)
   }
+
+  test("q197 markup round-trip: extraction inverts the tag assembly exactly") {
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source").collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getString(3))).toMap
+    val rows = graft.operators.IngestOps.queries("q197_html_extract")(spark, sfDir)
+      .collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (text, lang, source) = docs(id)
+      // the h1 is omitted for every 7th doc — the P2 default must fire
+      assert(r.getAs[String]("title") ==
+        (if (id % 7 == 0) "untitled" else source))
+      assert(r.getAs[Long]("n_paras") == 2L)
+      // paragraph split halves the text at n_chars div 2
+      assert(r.getAs[String]("first_para") == text.substring(0, text.length / 2))
+      // tag stripping + whitespace normalization = get_text(): the
+      // clean text is precisely the visible content in document order
+      val expected = (s"d$id " +
+        (if (id % 7 == 0) "" else s"$source ") +
+        s"${text.substring(0, text.length / 2)} " +
+        s"${text.substring(text.length / 2)} lang=$lang").trim
+          .replaceAll(" +", " ")
+      assert(r.getAs[String]("clean_text") == expected,
+        s"doc $id clean_text diverged")
+    }
+  }
 }
