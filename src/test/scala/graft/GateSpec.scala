@@ -155,6 +155,47 @@ class GateSpec extends AnyFunSuite {
     }
   }
 
+  test("fanout timeout policy: a hung endpoint trips timeoutMs and lands in the error column") {
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    withServer { _ =>
+      hits.getAndIncrement()
+      Thread.sleep(2000) // well past the reader's timeout
+      (200, "too late")
+    } { port =>
+      val t0 = System.nanoTime()
+      val rows = spark.read.format("graft.sources.FanoutSource")
+        .option("ids", "5").option("rowsPerId", "1")
+        .option("payload", "http")
+        .option("endpoint", s"http://127.0.0.1:$port/slow?id={id}&seq={seq}")
+        .option("timeoutMs", "150")
+        .option("maxRetries", "1").option("retryBackoffMs", "1")
+        .option("errorMode", "permissive")
+        .load().collect()
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      assert(rows.length == 1 && rows(0).isNullAt(2))
+      assert(rows(0).getString(3).contains("after 2 attempts"),
+        s"timeout must burn the retry budget: ${rows(0).getString(3)}")
+      // the single-threaded server may still be sleeping on attempt 1
+      // when the retry arrives, so only the first hit is guaranteed to
+      // reach the handler; "after 2 attempts" above proves the retry
+      assert(hits.get() >= 1)
+      // the 2 s server sleep never gates the reader — proof the
+      // request timeout (not the server) bounded each attempt
+      assert(wallMs < 1800, s"reader waited on the hung server: ${wallMs}ms")
+    }
+  }
+
+  test("HttpChat trips its request timeout on a hung endpoint") {
+    withServer { _ => Thread.sleep(2000); (200, "too late") } { port =>
+      val svc = new HttpChat(s"http://127.0.0.1:$port/complete", "k",
+        timeoutMs = 150)
+      val t0 = System.nanoTime()
+      intercept[Exception](svc.complete("p"))
+      assert((System.nanoTime() - t0) / 1000000 < 1800,
+        "the client must bound the wait, not the server")
+    }
+  }
+
   test("fanout source fetches payloads over HTTP per (id, seq)") {
     withServer { ex =>
       (200, "payload" + ex.getRequestURI.getQuery)

@@ -70,6 +70,20 @@ class TableFormatCompositionSpec extends AnyFunSuite {
     model ++= (100L until 110L).map(i => i -> (("east", "green", s"n$i")))
     expectModel()
 
+    // a stored VIEW joins the journey from here: lazy SQL re-resolved
+    // against the CURRENT snapshot, so every maintenance step below
+    // must be visible through it with zero view-side action
+    spark.sql("CREATE VIEW xcat.db.vsum AS " +
+      "SELECT grp, count(*) AS n, sum(id) AS sum_id FROM xcat.db.t GROUP BY grp")
+    def viewModel(): Unit = {
+      val got = spark.sql("SELECT * FROM xcat.db.vsum").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val want = model.toSeq.groupBy(_._2._1).map { case (g, rows) =>
+        (g, rows.size.toLong, rows.map(_._1).sum) }.toSet
+      assert(got == want, s"view drifted from the model: $got vs $want")
+    }
+    viewModel()
+
     // v6: UPDATE (CoW rewrite) — stats-pruned to the green file only
     // (ids 100+), so the seed files' deletion vectors SURVIVE the
     // rewrite and OPTIMIZE gets to purge them later
@@ -77,6 +91,7 @@ class TableFormatCompositionSpec extends AnyFunSuite {
     model = model.map { case (id, (g, c, n)) =>
       id -> ((g, c, if (id >= 100 && id < 105) "u" else n)) }
     expectModel()
+    viewModel() // CoW UPDATE visible through the view
     assert(entries.exists(_.dvRows > 0L),
       "the pruned UPDATE must not have touched the DV'd seed files")
 
@@ -84,6 +99,7 @@ class TableFormatCompositionSpec extends AnyFunSuite {
     spark.sql("ALTER TABLE xcat.db.t RENAME COLUMN cat TO category")
     assert(spark.table("xcat.db.t").filter($"category" === "green").count() == 10L)
     assert(ManifestSink.bloomColumns(root, None) == Seq("category"))
+    viewModel() // the view's columns survived the rename untouched
 
     // v8: metadata-only partition retirement — no file opened
     spark.sql("DELETE FROM xcat.db.t WHERE grp = 'west'")
@@ -93,6 +109,7 @@ class TableFormatCompositionSpec extends AnyFunSuite {
       .as[(Long, String, String, String)].collect().toSet ==
       model.map { case (id, (g, c, n)) => (id, g, c, n) }.toSet)
     assert(entries.forall(_.parts.get("grp").contains("east")))
+    viewModel() // metadata-only partition retirement visible lazily
 
     // v9: OPTIMIZE purges the remaining vectors, preserves live rows,
     // keeps files inside partitions, keeps blooms prunable
@@ -102,6 +119,7 @@ class TableFormatCompositionSpec extends AnyFunSuite {
     assert(entries.forall(_.dvName.isEmpty), "OPTIMIZE must purge DVs")
     assert(spark.table("xcat.db.t").count() == before)
     assert(entries.forall(_.parts.get("grp").contains("east")))
+    viewModel() // the rewrite changed layout, never view-visible rows
 
     // history reflects the whole journey, live counts consistent
     val hist = spark.sql(
@@ -142,5 +160,24 @@ class TableFormatCompositionSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$out/data").count() ==
       spark.table("xcat.db.t").count(),
       "snapshot-first stream must deliver the current live rows")
+
+    // the view tracked rollback + the post-rollback append too: compare
+    // against a direct recompute of the restored-and-extended table
+    val viewNow = spark.sql("SELECT * FROM xcat.db.vsum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val tableNow = spark.table("xcat.db.t").groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum($"id").as("sum_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viewNow == tableNow, "view must reflect the rolled-back state")
+
+    // partition pruning THROUGH a view, physically proven: delete every
+    // west data file — a view read that opened them would throw
+    spark.sql("CREATE VIEW xcat.db.veast AS " +
+      "SELECT id FROM xcat.db.t WHERE grp = 'east'")
+    val eastCount = spark.table("xcat.db.t").filter($"grp" === "east").count()
+    entries.filterNot(_.parts.get("grp").contains("east"))
+      .foreach(e => Files.delete(root.resolve(e.name)))
+    assert(spark.sql("SELECT * FROM xcat.db.veast").count() == eastCount,
+      "the view's stored predicate must prune the deleted partition's files")
   }
 }
