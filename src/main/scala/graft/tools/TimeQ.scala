@@ -15,6 +15,8 @@ object TimeQ {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // product-session parity (q193's views need the analyzer wiring)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val explain = sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")
