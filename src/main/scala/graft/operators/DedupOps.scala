@@ -262,6 +262,120 @@ object DedupOps {
     setSimVerify(cand, btk, ctk, t)
   }
 
+  // ---- q199: the exact set-sim PREFIX INDEX at rest ----------------------
+
+  /** Probe-token gate for the at-rest index: while a batch's distinct
+    * prefix tokens stay under this, they push into the index scan as an
+    * IN-list and the token sort-ranges + blooms prune whole data files
+    * (the q183 at-rest pattern); past it the probe degrades to the
+    * plain shuffle join — correctness identical, pruning lost. */
+  val ProbeMaxTokens: Long = 1L * 1000 * 1000
+
+  /** Build the index CONTENT into existing tables: the frozen
+    * document-frequency statistic and the corpus canonical prefixes
+    * under it. The df table IS the index's declared total order —
+    * every later append and probe must rank tokens by it (stale df
+    * only costs pruning power; a MIXED order would break the prefix
+    * theorem and lose pairs). */
+  private[graft] def ssimBuildIndex(corpus: DataFrame, dfTable: String,
+      preTable: String): Unit = {
+    val (ctk, dfreq) = setSimTokens(corpus)
+    dfreq.select(col("token"), col("df")).writeTo(dfTable).append()
+    prefixTokens(ctk.join(dfreq, "token"), SetSimTBp)
+      .select(col("token"), col("doc_id"), col("m"))
+      .writeTo(preTable).append()
+  }
+
+  /** Incremental index maintenance: append one batch's canonical
+    * prefixes under the FROZEN order (a token the statistic has never
+    * seen ranks as maximally rare — df 0, ties by token string — the
+    * same rule probes use, so index and probe stay in ONE total
+    * order). Pure insertion, no merge: prefixes of distinct docs are
+    * disjoint rows, exactly the postings-maintenance shape. */
+  private[graft] def ssimAppend(s: SparkSession, batch: DataFrame,
+      dfTable: String, preTable: String): Unit = {
+    val btk = setSimTokens(batch)._1
+    prefixTokens(
+      btk.join(s.table(dfTable), Seq("token"), "left")
+        .select(col("doc_id"), col("token"),
+          coalesce(col("df"), lit(0L)).as("df")), SetSimTBp)
+      .select(col("token"), col("doc_id"), col("m"))
+      .writeTo(preTable).append()
+  }
+
+  /** Probe the at-rest index with a batch: batch prefixes under the
+    * frozen order, candidate join against the STORED prefix table
+    * (IN-list-pruned under the gate), then exact verification that
+    * fetches ONLY candidate-touched docs from `indexedDocs` (the
+    * size-gated id join — probe I/O follows the candidate set, never
+    * the corpus). */
+  private[graft] def ssimProbe(s: SparkSession, batch: DataFrame,
+      indexedDocs: DataFrame, dfTable: String, preTable: String,
+      t: Long = SetSimTBp,
+      maxProbeTokens: Long = ProbeMaxTokens): DataFrame = {
+    val btk = setSimTokens(batch)._1.localCheckpoint()
+    val bpre = prefixTokens(
+      btk.join(s.table(dfTable), Seq("token"), "left")
+        .select(col("doc_id"), col("token"),
+          coalesce(col("df"), lit(0L)).as("df")), t)
+      .localCheckpoint()
+    val idx0 = s.table(preTable)
+    val probeTokens = bpre.select("token").distinct()
+    val idx = if (probeTokens.count() <= maxProbeTokens)
+        idx0.filter(col("token").isin(
+          probeTokens.collect().map(_.getString(0)).toIndexedSeq: _*))
+      else idx0
+    val cand = bpre.as("a").join(idx.as("b"),
+        col("a.token") === col("b.token") &&
+          col("b.m") * t <= col("a.m") * 10000 &&
+          col("a.m") * t <= col("b.m") * 10000)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.m").as("size_a"), col("b.m").as("size_b"))
+      .distinct().localCheckpoint()
+    val candDocs = cand.select(col("doc_b").as("doc_id")).distinct()
+      .localCheckpoint()
+    // candidate ids are CANONICAL ids (the index stores canon prefixes),
+    // and the canonical row's own text is the canon text — fetch it
+    // directly, no re-canonicalization needed
+    val ctk = joinIds(indexedDocs, candDocs, "doc_id")
+      .select(col("doc_id"),
+        explode(graft.plans.ShinglesExpr.shinglesNative(col("text"), SetSimShingleN))
+          .as("token"))
+    setSimVerify(cand, btk, ctk, t)
+  }
+
+  private def buildOnce[K](set: java.util.Set[K], key: K)(build: => Unit): Unit =
+    graft.engine.Staging.once(set, key)(build)
+
+  private val ssimBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  /** Once-per-(application, sf-dir) staged index over the fixture's
+    * corpus side (doc_id%10≠7, q119/q198's split): two manifest tables
+    * — `ssim_df` (the frozen order) and `ssim_prefix`
+    * (token-sort-clustered with a token bloom, the q148 postings
+    * layout) — so candidate generation runs against data files a probe
+    * can PRUNE. */
+  private[graft] def ssimIndexTables(s: SparkSession, dir: String): (String, String) = {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+      s.sparkContext.applicationId
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val ns = s"db${Integer.toHexString(dir.hashCode)}"
+    buildOnce(ssimBuilt, (s.sparkContext.applicationId, dir)) {
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+      s.sql(s"CREATE TABLE graft.$ns.ssim_df (token STRING, df BIGINT) " +
+        "TBLPROPERTIES ('bloom.columns' = 'token')")
+      s.sql(s"CREATE TABLE graft.$ns.ssim_prefix " +
+        "(token STRING, doc_id BIGINT, m BIGINT) " +
+        "TBLPROPERTIES ('write.sort-by' = 'token', 'bloom.columns' = 'token')")
+      ssimBuildIndex(
+        graft.engine.Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7),
+        s"graft.$ns.ssim_df", s"graft.$ns.ssim_prefix")
+    }
+    (s"graft.$ns.ssim_df", s"graft.$ns.ssim_prefix")
+  }
+
   /** One row per (doc, 1-based window start) with the window's xxhash64
     * — the CORPUS pass of the substring family, via the fused byte-span
     * kernel (WindowHashesExpr): bit-equal to
@@ -584,6 +698,22 @@ object DedupOps {
       val docs = Tables.documents(s, dir)
       val batchPred = col("doc_id") % 10 === 7
       setSimIncremental(docs.filter(!batchPred), docs.filter(batchPred))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // q199: q198's semantics served from the index AT REST — the
+    // frozen-order df statistic and the corpus prefixes live as
+    // manifest tables (token-sort-clustered + token bloom, the q148
+    // postings layout), the batch probes them with a gated IN-list
+    // that prunes index data files, and verification fetches only
+    // candidate-touched corpus docs. Same naive batch×corpus oracle as
+    // q198: the hash match proves the at-rest path loses nothing vs
+    // the inline computation (frozen df == current df at build time).
+    "q199_setsim_index" -> ((s, dir) => {
+      val (dfT, preT) = ssimIndexTables(s, dir)
+      val docs = Tables.documents(s, dir)
+      val batchPred = col("doc_id") % 10 === 7
+      ssimProbe(s, docs.filter(batchPred), docs.filter(!batchPred), dfT, preT)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -955,14 +1085,12 @@ object DedupOps {
        |WHERE inter * 10000 >= $t * (size_a + size_b - inter)
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  val oracle: Map[String, String] = Map(
-    "q190_setsim_join" -> naiveSetSimSql(SetSimTBp),
-    "q196_setsim_ppjoin" -> naiveSetSimSql(SetSimPpTBp),
-
-    // naive batch×corpus: every cross pair sharing ≥1 shingle, exact
-    // Jaccard — proves the asymmetric (corpus-df-ordered) prefix
-    // filter lossless
-    "q198_setsim_incremental" ->
+  /** Naive batch×corpus ground truth shared by q198 (inline
+    * incremental) and q199 (the same semantics probed from the at-rest
+    * index): every cross pair sharing ≥1 shingle, exact Jaccard —
+    * proves the asymmetric (frozen-corpus-df-ordered) prefix filter
+    * lossless on both paths. */
+  private def naiveIncrementalSql: String =
       s"""WITH ${shingleCtes("c", "WHERE doc_id % 10 <> 7")},
          |${shingleCtes("b", "WHERE doc_id % 10 = 7")},
          |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -975,7 +1103,13 @@ object DedupOps {
          |  CAST(inter * 10000 // (size_a + size_b - inter) AS BIGINT) AS jacc_bp
          |FROM j
          |WHERE inter * 10000 >= $SetSimTBp * (size_a + size_b - inter)
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |ORDER BY doc_a, doc_b""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q190_setsim_join" -> naiveSetSimSql(SetSimTBp),
+    "q196_setsim_ppjoin" -> naiveSetSimSql(SetSimPpTBp),
+    "q198_setsim_incremental" -> naiveIncrementalSql,
+    "q199_setsim_index" -> naiveIncrementalSql,
 
     "q40_exact_dedup" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, md5(text) AS text_md5

@@ -166,6 +166,44 @@ class SetSimSpec extends AnyFunSuite {
       "rank arithmetic must kill the (rank 9, rank 2) single-token collision")
   }
 
+  test("randomized parity: both exact joins equal brute force across corpora and thresholds") {
+    import spark.implicits._
+    // deterministic pseudo-random corpora over a TINY vocabulary — the
+    // worst case for prefix filtering (few distinct shingles, rich
+    // mid-band similarity structure) — swept across thresholds from
+    // well below to well above the two operating points. Every (corpus,
+    // t) must reproduce brute force EXACTLY for both the prefix-only
+    // and the positional engine; this is the property the per-corpus
+    // oracle hash-match proves at gate scales, here probed across 8
+    // adversarial corpora instead of one fixture.
+    val vocab = Vector("ape", "bee", "cat", "dog", "eel", "fox", "gnu", "hen")
+    val rnd = new scala.util.Random(0x5EED12L)
+    for (trial <- 0 until 4) {
+      val nDocs = 8 + rnd.nextInt(10)
+      val texts = (0 until nDocs).map { i =>
+        val n = 3 + rnd.nextInt(22) // includes docs too short to shingle
+        (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      // a planted byte-clone exercises canonicalization every trial
+      val docs = (texts :+ texts.head).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      for (t <- Seq(3000L, 5000L, 8000L)) {
+        val want = bruteForce(docs, t)
+        def pairs(df: org.apache.spark.sql.DataFrame) =
+          df.select("doc_a", "doc_b").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val prefixOnly = pairs(DedupOps.setSimJoin(docs, t))
+        val positional = pairs(DedupOps.setSimJoinPos(docs, t))
+        assert(prefixOnly == want,
+          s"trial $trial t=$t prefix join diverged: " +
+            s"missing ${want.diff(prefixOnly)}, extra ${prefixOnly.diff(want)}")
+        assert(positional == want,
+          s"trial $trial t=$t positional join diverged: " +
+            s"missing ${want.diff(positional)}, extra ${positional.diff(want)}")
+      }
+    }
+  }
+
   // ---- q198: incremental batch-vs-corpus ----------------------------------
 
   test("q198 incremental equals from-scratch on a two-batch split") {
@@ -218,6 +256,56 @@ class SetSimSpec extends AnyFunSuite {
     val clone = DedupOps.setSimIncremental(corpus0.union(batch1), batch2)
       .filter(col("doc_a") === 21L).collect().head
     assert(clone.getAs[Long]("jacc_bp") == 10000L)
+  }
+
+  // ---- q199: the index at rest ---------------------------------------------
+
+  test("q199 equals q198 on the fixture — the at-rest path loses nothing") {
+    def rows(n: String) = DedupOps.queries(n)(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("inter"), r.getAs[Long]("jacc_bp"))).toSet
+    assert(rows("q199_setsim_index") == rows("q198_setsim_incremental"))
+  }
+
+  test("at-rest index: build, probe, append, probe again == the inline incremental join") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-ssim-inc")
+    wh.toFile.deleteOnExit()
+    spark.conf.set("spark.sql.catalog.sscat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.sscat.warehouse", wh.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS sscat.db")
+    spark.sql("CREATE TABLE sscat.db.sdf (token STRING, df BIGINT)")
+    spark.sql("CREATE TABLE sscat.db.spre (token STRING, doc_id BIGINT, m BIGINT) " +
+      "TBLPROPERTIES ('write.sort-by' = 'token', 'bloom.columns' = 'token')")
+    def words(p: String, n: Int) = (1 to n).map(i => f"$p$i%02d").mkString(" ")
+    val corpus0 = Seq(
+      1L -> words("c", 20), 2L -> words("d", 20), 3L -> words("e", 12)
+    ).toDF("doc_id", "text")
+    val batch1 = Seq(
+      11L -> (words("c", 19) + " zz99"), 12L -> words("f", 15)
+    ).toDF("doc_id", "text")
+    val batch2 = Seq(
+      21L -> words("d", 20), 22L -> (words("f", 14) + " gg01")
+    ).toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    DedupOps.ssimBuildIndex(corpus0, "sscat.db.sdf", "sscat.db.spre")
+    val p1 = pairs(DedupOps.ssimProbe(spark, batch1, corpus0,
+      "sscat.db.sdf", "sscat.db.spre"))
+    assert(p1 == pairs(DedupOps.setSimIncremental(corpus0, batch1)),
+      "probe against the stored index must equal the inline join")
+    // maintenance: batch 1's prefixes append under the FROZEN order;
+    // the next probe sees them with no rebuild. The inline twin
+    // computes df from the CURRENT corpus — candidate orders differ,
+    // exact outputs must not
+    DedupOps.ssimAppend(spark, batch1, "sscat.db.sdf", "sscat.db.spre")
+    val p2 = pairs(DedupOps.ssimProbe(spark, batch2, corpus0.union(batch1),
+      "sscat.db.sdf", "sscat.db.spre"))
+    assert(p2 == pairs(DedupOps.setSimIncremental(corpus0.union(batch1), batch2)),
+      "post-append probe must equal the inline join over the grown corpus")
+    assert(p2 == Set((21L, 2L), (22L, 12L)),
+      "the corpus clone AND the batch-1 near-dup are both found at rest")
   }
 
   // ---- skew hardening ------------------------------------------------------
