@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -39,6 +39,45 @@ object TextOps {
 
   /** MG sketch capacity: exact-output threshold is count > N/(K+1). */
   val HeavyHitterK = 31
+
+  /** The q200 engine over an arbitrary (doc_id, text) frame, so specs
+    * can drive planted spam/diverse/block-repetition corpora through
+    * the exact algebra. See the q200 entry for the design commentary. */
+  private[graft] def repetitionRules(docs: DataFrame): DataFrame = {
+    def gramCounts(n: Int) = docs
+      .select(col("doc_id"),
+        explode(graft.plans.ShinglesExpr.shinglesAllNative(col("text"), n))
+          .as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+    def topCover(n: Int) = gramCounts(n)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("gram"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"),
+        (col("cnt") * length(col("gram"))).cast("long").as(s"top${n}_chars"))
+    val dup10 = gramCounts(10).filter(col("cnt") >= 2)
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * length(col("gram"))).cast("long").as("dup10_chars"))
+    val base = docs.select(col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"))
+    def bp(src: String, out: String): Column =
+      expr(s"CASE WHEN n_chars > 0 " +
+        s"THEN coalesce($src, 0L) * 10000 div n_chars ELSE 0L END").as(out)
+    base
+      .join(topCover(2), Seq("doc_id"), "left")
+      .join(topCover(3), Seq("doc_id"), "left")
+      .join(topCover(4), Seq("doc_id"), "left")
+      .join(dup10, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        bp("top2_chars", "top2_bp"),
+        bp("top3_chars", "top3_bp"),
+        bp("top4_chars", "top4_bp"),
+        bp("dup10_chars", "dup10_bp"))
+      .withColumn("keep",
+        col("top2_bp") <= 2000 && col("top3_bp") <= 1800 &&
+          col("top4_bp") <= 1600 && col("dup10_bp") <= 1000)
+      .orderBy("doc_id")
+  }
 
   val queries: Map[String, Q] = Map(
     "q50_token_stats" -> ((s, dir) => {
@@ -147,6 +186,27 @@ object TextOps {
             col("ok_lines") && col("ok_alpha") && col("ok_stop"))
         .orderBy("doc_id")
     }),
+
+    // GOPHER REPETITION RULES (Rae et al. 2021, Table A1 — the half of
+    // the Gopher filter q186 doesn't cover): documents dominated by
+    // REPEATED n-grams are boilerplate/spam regardless of their other
+    // quality stats. Signals, all exact integer basis points of the
+    // doc's characters:
+    //   - top{2,3,4}_bp — characters occupied by ALL occurrences of the
+    //     doc's single most frequent word n-gram (ties broken by gram
+    //     text; removal thresholds 0.20/0.18/0.16);
+    //   - dup10_bp — characters of every occurrence of 10-grams seen
+    //     more than once (the published convention counts overlapping
+    //     occurrences independently, so the figure can exceed 10000 on
+    //     pathological repetition — consumers clip; threshold 0.10).
+    // Gram chars include the joining spaces (both engines build grams
+    // identically, so the statistic replays bit-for-bit). Scale shape:
+    // one multiplicity-preserving shingle explode per n (the codegen'd
+    // ShinglesExpr kernel), per-(doc, gram) counts partial-aggregate
+    // map-side, the top pick is a per-doc window over the doc's OWN
+    // grams — never a relation-wide sort.
+    "q200_repetition_rules" -> ((s, dir) =>
+      repetitionRules(Tables.documents(s, dir))),
 
     "q53_fingerprint" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -294,6 +354,55 @@ object TextOps {
         |    (alpha_words * 5 >= n_words * 4) AS ok_alpha,
         |    (stop_hits >= 2) AS ok_stop
         |  FROM m) ORDER BY doc_id""".stripMargin,
+    "q200_repetition_rules" -> {
+      def gramSql(n: Int): String = {
+        val parts = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+        s"""SELECT doc_id, unnest(list_transform(
+           |    generate_series(1, len(w) - ${n - 1}), i -> $parts)) AS gram
+           |  FROM t""".stripMargin
+      }
+      def topSql(n: Int): String =
+        s"""top$n AS (
+           |  SELECT doc_id, cnt * strlen(gram) AS top${n}_chars
+           |  FROM (SELECT doc_id, gram, count(*) AS cnt,
+           |          row_number() OVER (PARTITION BY doc_id
+           |            ORDER BY count(*) DESC, gram) AS rn
+           |        FROM (${gramSql(n)}) GROUP BY doc_id, gram)
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+         |           FROM documents),
+         |${topSql(2)},
+         |${topSql(3)},
+         |${topSql(4)},
+         |dup10 AS (
+         |  SELECT doc_id, sum(cnt * strlen(gram)) AS dup10_chars
+         |  FROM (SELECT doc_id, gram, count(*) AS cnt
+         |        FROM (${gramSql(10)}) GROUP BY doc_id, gram)
+         |  WHERE cnt >= 2 GROUP BY doc_id),
+         |b AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_chars FROM t)
+         |SELECT doc_id, n_chars,
+         |  CAST(CASE WHEN n_chars > 0
+         |    THEN coalesce(top2_chars, 0) * 10000 // n_chars ELSE 0 END
+         |    AS BIGINT) AS top2_bp,
+         |  CAST(CASE WHEN n_chars > 0
+         |    THEN coalesce(top3_chars, 0) * 10000 // n_chars ELSE 0 END
+         |    AS BIGINT) AS top3_bp,
+         |  CAST(CASE WHEN n_chars > 0
+         |    THEN coalesce(top4_chars, 0) * 10000 // n_chars ELSE 0 END
+         |    AS BIGINT) AS top4_bp,
+         |  CAST(CASE WHEN n_chars > 0
+         |    THEN coalesce(dup10_chars, 0) * 10000 // n_chars ELSE 0 END
+         |    AS BIGINT) AS dup10_bp,
+         |  (coalesce(top2_chars, 0) * 10000 // n_chars <= 2000
+         |   AND coalesce(top3_chars, 0) * 10000 // n_chars <= 1800
+         |   AND coalesce(top4_chars, 0) * 10000 // n_chars <= 1600
+         |   AND coalesce(dup10_chars, 0) * 10000 // n_chars <= 1000) AS keep
+         |FROM b
+         |LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
+         |LEFT JOIN top4 USING (doc_id) LEFT JOIN dup10 USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "q50_token_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
          |  CAST(sum(len($toksSql)) AS BIGINT) AS sum_tokens,

@@ -211,6 +211,32 @@ class CurationSpec extends AnyFunSuite {
       s"corruption rate ${masked * 100 / tot}% outside the 10-30% band")
   }
 
+  test("q200: repetition rules fire on planted spam, pass diverse text, replay exactly") {
+    import spark.implicits._
+    val diverse = (1 to 40).map(i => f"w$i%02d").mkString(" ")
+    val spam2 = (("ham spam " * 30).trim + " end")
+    val block = (1 to 10).map(i => f"b$i%02d").mkString(" ")
+    val dup10 = s"$block $block " + (1 to 20).map(i => f"f$i%02d").mkString(" ")
+    val rows = graft.operators.TextOps.repetitionRules(
+      Seq((1L, diverse), (2L, spam2), (3L, dup10)).toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // diverse: every gram unique -> top coverage is one gram's chars
+    assert(rows(1L).getAs[Boolean]("keep"),
+      s"diverse text must pass: ${rows(1L)}")
+    // the 2-gram spam doc: 'spam ham' (or 'ham spam') dominates
+    assert(rows(2L).getAs[Long]("top2_bp") > 2000 &&
+      !rows(2L).getAs[Boolean]("keep"),
+      s"2-gram spam must trip top2: ${rows(2L)}")
+    // the duplicated 10-word block: its 10-gram occurs twice
+    assert(rows(3L).getAs[Long]("dup10_bp") > 1000 &&
+      !rows(3L).getAs[Boolean]("keep"),
+      s"block repetition must trip dup10: ${rows(3L)}")
+    // exact replay of one hand case: doc 3's duplicated 10-gram is the
+    // block itself (2 occurrences x 49 chars) over the doc's characters
+    val nChars = dup10.length.toLong
+    assert(rows(3L).getAs[Long]("dup10_bp") == 2L * block.length * 10000 / nChars)
+  }
+
   test("q195: drift gate is zero on identical slices, fires on a planted shift") {
     import spark.implicits._
     // identical distributions: duplicate every row into both slices —
