@@ -28,11 +28,13 @@ class BucketingSpec extends AnyFunSuite {
       .option("path", s"$wh/ord_b").saveAsTable("ord_b")
 
     // disable auto-broadcast so the join is a genuine large-large SMJ —
-    // the case bucketing exists for
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // the case bucketing exists for. Confs live in a DERIVED session
+    // (shared external catalog, own SQLConf): mutating the shared
+    // session's conf races with concurrently-running suites.
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val joined = spark.table("li_b").join(spark.table("ord_b"), "key")
+      val joined = ss.table("li_b").join(ss.table("ord_b"), "key")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"))
 
@@ -52,7 +54,6 @@ class BucketingSpec extends AnyFunSuite {
       val got = joined.collect().map(_.toString).sorted.toSeq
       assert(got == expected)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS li_b")
       spark.sql("DROP TABLE IF EXISTS ord_b")
     }

@@ -123,6 +123,18 @@ class CookbookSpec extends AnyFunSuite {
       Seq("doc_a", "doc_b", "jac_bp", "est_bp", "err_bp"))
   }
 
+  test("§6c exact set-similarity family") {
+    val allPairs    = SparkEntry.queries("q190_setsim_join")(spark, sfDir)
+    val midPairs    = SparkEntry.queries("q196_setsim_ppjoin")(spark, sfDir)
+    val batchPairs  = SparkEntry.queries("q198_setsim_incremental")(spark, sfDir)
+    val atRestPairs = SparkEntry.queries("q199_setsim_index")(spark, sfDir)
+    // t=0.5 finds a superset of t=0.8's pairs; at-rest equals inline
+    def ab(df: org.apache.spark.sql.DataFrame) = df.select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ab(allPairs).subsetOf(ab(midPairs)))
+    assert(ab(atRestPairs) == ab(batchPairs))
+  }
+
   test("§13 DSv2 sources & sinks") {
     // fanout scan with the permissive error channel (deterministic
     // payloads here; GateSpec drives the HTTP + retry path end to end)

@@ -23,6 +23,30 @@ class CoverageDocSpec extends AnyFunSuite {
       s"queries with no COVERAGE.md mention: ${missing.mkString(", ")}")
   }
 
+  test("test suites register unique catalog names — the shared-session collision guard") {
+    // suites run in parallel against ONE shared session; two suites
+    // registering the same catalog name with different warehouses race
+    // on `spark.sql.catalog.<name>.warehouse` and whoever loses reads
+    // the other's tables (the TablePropertiesSpec/SetSimAtRestSpec
+    // 'prcat' collision this guard now prevents). 'graft' is reserved
+    // for the operators' own staged tables.
+    def files(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(files)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Seq.empty
+    val re = """spark\.sql\.catalog\.([a-z0-9]+)"""".r
+    val byName = files(new java.io.File("src/test/scala"))
+      .flatMap { f =>
+        val src = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        re.findAllMatchIn(src).map(_.group(1)).distinct.map(_ -> f.getName)
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val clashes = byName.filter(_._2.size > 1)
+    assert(clashes.isEmpty,
+      s"catalog names registered by multiple suites: $clashes")
+    assert(!byName.contains("graft"),
+      "'graft' is the operators' staged-table catalog — tests must not rebind it")
+  }
+
   test("no COVERAGE.md query reference is stale") {
     // bare `qNN`/`qNNN` shorthands (q30–q33 style ranges) are prose;
     // only full `qN*_name` identifiers are checked against the registry

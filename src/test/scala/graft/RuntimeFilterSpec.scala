@@ -17,30 +17,27 @@ class RuntimeFilterSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("selective dim filter injects a bloom filter on the fact side of a shuffle join") {
-    val confs = Seq(
+    // a DERIVED session (same context, own SQLConf): mutating the
+    // shared session's conf races with concurrently-running suites
+    val ss = spark.newSession()
+    Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      val fact = Tables.lineitem(spark, TestSpark.sfDir)
-      val dim = Tables.orders(spark, TestSpark.sfDir)
-        .filter(col("o_orderpriority") === "1-URGENT")
-      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
-        .agg(count(lit(1)).as("n"))
-      val optimized = joined.queryExecution.optimizedPlan.toString
-      assert(optimized.contains("bloom_filter") || optimized.contains("might_contain"),
-        s"no runtime bloom filter injected:\n$optimized")
-      // the filtered plan must still produce the exact join count
-      val expected = fact.join(
-        Tables.orders(spark, TestSpark.sfDir)
-          .filter(col("o_orderpriority") === "1-URGENT"),
-        col("l_orderkey") === col("o_orderkey")).count()
-      assert(joined.collect().head.getLong(0) == expected)
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    ).foreach { case (k, v) => ss.conf.set(k, v) }
+    val fact = Tables.lineitem(ss, TestSpark.sfDir)
+    val dim = Tables.orders(ss, TestSpark.sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n"))
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("bloom_filter") || optimized.contains("might_contain"),
+      s"no runtime bloom filter injected:\n$optimized")
+    // the filtered plan must still produce the exact join count
+    val expected = fact.join(
+      Tables.orders(ss, TestSpark.sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT"),
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined.collect().head.getLong(0) == expected)
   }
 }

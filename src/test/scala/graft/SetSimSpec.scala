@@ -338,7 +338,6 @@ class SetSimSpec extends AnyFunSuite {
   }
 
   test("a heavy PREFIX key triggers the AQE skew split in the candidate self-join") {
-    import spark.implicits._
     // When rarity CANNOT save the prefix join — every doc's rarest
     // token is the SAME token (the saturated-alphabet corner that burnt
     // sf3 in round 11) — the self-join's heavy partition is quadratic
@@ -348,12 +347,12 @@ class SetSimSpec extends AnyFunSuite {
     // be split because the sibling partition can't be duplicated).
     // Token frame: 500 docs, identical 6-token sets, dfs all tie at 500
     // so "aaaa" sorts first by name and is a prefix key for every doc.
-    val rows = (0 until 500).flatMap { i =>
-      ("aaaa" +: (1 to 5).map(j => s"zz$j")).map(tok => (i.toLong, tok))
-    }
-    val tk = rows.toDF("doc_id", "token")
-    val dfreq = tk.groupBy("token").agg(count(lit(1)).as("df"))
-    val confs = Seq(
+    // Confs live in a DERIVED session (same context, own SQLConf):
+    // mutating the shared session's conf races with concurrently-running
+    // suites whose plans are shape-sensitive — the TablePropertiesSpec
+    // flake this isolation fixed.
+    val ss = spark.newSession()
+    Seq(
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       // fixture-scaled thresholds; production keeps the 256MB default —
@@ -363,20 +362,19 @@ class SetSimSpec extends AnyFunSuite {
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      val cand = DedupOps.ppjoinCandidates(tk, dfreq, DedupOps.SetSimPpTBp)
-      // identical sets: every pair survives every filter — the exact
-      // count proves the split changed the schedule, not the answer
-      assert(cand.collect().length == 500 * 499 / 2)
-      val finalPlan = cand.queryExecution.executedPlan.toString
-      assert(finalPlan.contains("skew=true"),
-        s"AQE did not split the heavy prefix partition:\n${finalPlan.take(4000)}")
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    ).foreach { case (k, v) => ss.conf.set(k, v) }
+    val rows = (0 until 500).flatMap { i =>
+      ("aaaa" +: (1 to 5).map(j => s"zz$j")).map(tok => (i.toLong, tok))
     }
+    val tk = ss.createDataFrame(rows).toDF("doc_id", "token")
+    val dfreq = tk.groupBy("token").agg(count(lit(1)).as("df"))
+    val cand = DedupOps.ppjoinCandidates(tk, dfreq, DedupOps.SetSimPpTBp)
+    // identical sets: every pair survives every filter — the exact
+    // count proves the split changed the schedule, not the answer
+    assert(cand.collect().length == 500 * 499 / 2)
+    val finalPlan = cand.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true"),
+      s"AQE did not split the heavy prefix partition:\n${finalPlan.take(4000)}")
   }
 }

@@ -12,35 +12,32 @@ class SkewJoinSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   test("AQE splits a skewed shuffle partition at runtime") {
-    val confs = Seq(
+    // a DERIVED session (same context, own SQLConf): mutating the
+    // shared session's conf races with concurrently-running suites
+    val ss = spark.newSession()
+    Seq(
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
       "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      // 99.5% of rows share key 7 — one shuffle partition dwarfs the rest
-      val big = spark.range(200000)
-        .select(when(col("id") % 200 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
-          col("id").as("v"))
-      val dim = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("w"))
-      val joined = big.join(dim, "k")
-      // collect() executes THIS dataset's QueryExecution — count() would
-      // build a separate one and leave this plan un-finalized
-      val n = joined.collect().length
-      // key 7 matches dim row 7 (199000 rows); every other key < 1000 matches once
-      assert(n > 0)
-      val finalPlan = joined.queryExecution.executedPlan.toString
-      assert(finalPlan.contains("skew=true"),
-        s"AQE did not mark the skewed join:\n$finalPlan")
-    } finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    ).foreach { case (k, v) => ss.conf.set(k, v) }
+    // 99.5% of rows share key 7 — one shuffle partition dwarfs the rest
+    val big = ss.range(200000)
+      .select(when(col("id") % 200 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+    val dim = ss.range(1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+    val joined = big.join(dim, "k")
+    // collect() executes THIS dataset's QueryExecution — count() would
+    // build a separate one and leave this plan un-finalized
+    val n = joined.collect().length
+    // key 7 matches dim row 7 (199000 rows); every other key < 1000 matches once
+    assert(n > 0)
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true"),
+      s"AQE did not mark the skewed join:\n$finalPlan")
   }
 
   test("AQE coalesces undersized shuffle partitions at runtime") {

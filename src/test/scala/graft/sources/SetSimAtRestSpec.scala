@@ -17,9 +17,9 @@ class SetSimAtRestSpec extends AnyFunSuite {
   private val wh: Path = {
     val p = Files.createTempDirectory("graft-ssim-rest")
     p.toFile.deleteOnExit()
-    spark.conf.set("spark.sql.catalog.prcat", "graft.sources.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.prcat.warehouse", p.toString)
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS prcat.db")
+    spark.conf.set("spark.sql.catalog.ssrcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ssrcat.warehouse", p.toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ssrcat.db")
     p
   }
 
@@ -28,8 +28,8 @@ class SetSimAtRestSpec extends AnyFunSuite {
 
   test("probe IN-list prunes index files — physical no-read proof") {
     wh
-    spark.sql("CREATE TABLE prcat.db.sdf (token STRING, df BIGINT)")
-    spark.sql("CREATE TABLE prcat.db.spre (token STRING, doc_id BIGINT, m BIGINT) " +
+    spark.sql("CREATE TABLE ssrcat.db.sdf (token STRING, df BIGINT)")
+    spark.sql("CREATE TABLE ssrcat.db.spre (token STRING, doc_id BIGINT, m BIGINT) " +
       "TBLPROPERTIES ('write.sort-by' = 'token', 'bloom.columns' = 'token')")
     // two token universes in two COMMITS → disjoint index files:
     // the 'aa' corpus at build time, a 'zz' batch appended after
@@ -38,10 +38,10 @@ class SetSimAtRestSpec extends AnyFunSuite {
       2L -> (words("aa", 19) + " aaxx"), // near-dup of doc 1 (J = 15/17)
       3L -> words("ab", 12)
     ).toDF("doc_id", "text")
-    DedupOps.ssimBuildIndex(aCorpus, "prcat.db.sdf", "prcat.db.spre")
+    DedupOps.ssimBuildIndex(aCorpus, "ssrcat.db.sdf", "ssrcat.db.spre")
     val zBatch = Seq(100L -> words("zz", 20), 101L -> words("zy", 16))
       .toDF("doc_id", "text")
-    DedupOps.ssimAppend(spark, zBatch, "prcat.db.sdf", "prcat.db.spre")
+    DedupOps.ssimAppend(spark, zBatch, "ssrcat.db.sdf", "ssrcat.db.spre")
     val root = wh.resolve("db").resolve("spre")
     val es = ManifestSink.committedEntries(root, None)
     val zFiles = es.filter(_.slows.get("token").exists(_.startsWith("z")))
@@ -54,7 +54,7 @@ class SetSimAtRestSpec extends AnyFunSuite {
     val probeBatch = Seq(10L -> (words("aa", 19) + " aazz"))
       .toDF("doc_id", "text")
     val got = DedupOps.ssimProbe(spark, probeBatch,
-        aCorpus.union(zBatch), "prcat.db.sdf", "prcat.db.spre")
+        aCorpus.union(zBatch), "ssrcat.db.sdf", "ssrcat.db.spre")
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((10L, 1L), (10L, 2L)),
