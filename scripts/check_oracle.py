@@ -79,9 +79,11 @@ def time_oracles(sf_dir, out_dir, budget_sec):
         print(f"  {dt:6.1f}s {name}")
     if slow:
         print(f"GATE RISK: {len(slow)} oracle(s) over {budget_sec}s: {slow}")
-    else:
+    elif rows:
         print(f"ALL ORACLES within {budget_sec}s budget "
               f"(max {max(rows)[0]:.1f}s {max(rows)[1]})")
+    else:
+        print("no oracles found in oracle_sql.json")
     sys.exit(1 if slow else 0)
 
 def main():

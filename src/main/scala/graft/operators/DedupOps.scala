@@ -128,6 +128,73 @@ object DedupOps {
         (col("size_a") + col("size_b") - col("inter")) * t)
       .withColumn("jacc_bp", expr("inter * 10000L div (size_a + size_b - inter)"))
 
+  /** Row-count skew bound for the candidate self-joins: a prefix token
+    * with df > this puts up to df² pair evaluations into ONE join task,
+    * and AQE's skew split can miss it because split decisions weigh
+    * COMPRESSED partition bytes (PERF.md's measurement: a low-entropy
+    * hot key is 10× the rows at ~1.2× the bytes). Unlike AQE, the
+    * engine knows the per-key row count BEFORE the join — df IS that
+    * count — so keys past the bound are salted instead (see
+    * [[saltedPrefixSelfJoin]]). 2^13 ⇒ one unsplit key would mean up to
+    * ~6.7·10⁷ pair evaluations in a single task. */
+  val SetSimHotDf: Long = 1L << 13
+
+  /** Salt fan-out for hot prefix keys — sized to the executor-thread
+    * scale so one hot key spreads across the whole stage. */
+  val SetSimSalts: Int = 32
+
+  /** Candidate self-join on prefix tokens with a ROW-COUNT skew guard.
+    * `pre` must carry (doc_id, token, df, …) and be cheap to rescan
+    * (callers localCheckpoint it — it also feeds both join sides).
+    * Tokens at df ≤ hotDf join plainly (the AQE-splittable bare-shuffle
+    * shape SetSimSpec pins); hotter tokens are salted: the left
+    * occurrence lands on hash(doc_id) % salts, the right replicates to
+    * every salt, so one key's df² work spreads over `salts` tasks. A
+    * token has ONE global df, so each collision is produced by exactly
+    * one branch and a pair colliding on several tokens is deduped by
+    * the caller's distinct/groupBy exactly as before. Fixture dfs sit
+    * far below the bound — the hot branch is empty there, so plans stay
+    * oracle-identical; SetSimSaltSpec forces the branch on. */
+  private[graft] def saltedPrefixSelfJoin(pre: DataFrame, joinCond: Column,
+      outCols: Seq[Column], hotDf: Long = SetSimHotDf,
+      salts: Int = SetSimSalts): DataFrame = {
+    val cold = pre.filter(col("df") <= hotDf)
+    val hot = pre.filter(col("df") > hotDf)
+    val coldJ = cold.as("a").join(cold.as("b"),
+        col("a.token") === col("b.token") && joinCond)
+      .select(outCols: _*)
+    val hotA = hot.withColumn("salt",
+      pmod(xxhash64(col("doc_id")), lit(salts.toLong)))
+    val hotB = hot.withColumn("salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+    val hotJ = hotA.as("a").join(hotB.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.salt") === col("b.salt") && joinCond)
+      .select(outCols: _*)
+    coldJ.unionByName(hotJ)
+  }
+
+  /** The q190 engine over a pre-staged (tk, dfreq) pair — the shape the
+    * session-staged corpus tokens feed (see [[stagedSetSimTokens]]).
+    * The prefix table is localCheckpoint'd once: it feeds both sides of
+    * the candidate join (plus the skew guard's hot/cold branches), and
+    * without the checkpoint each branch re-runs the per-doc array-sort
+    * aggregate. */
+  private[graft] def setSimJoinTk(tk: DataFrame, dfreq: DataFrame,
+      t: Long, hotDf: Long = SetSimHotDf,
+      salts: Int = SetSimSalts): DataFrame = {
+    val pre = prefixTokens(tk.join(dfreq, "token"), t).localCheckpoint()
+    val cand = saltedPrefixSelfJoin(pre,
+        col("a.doc_id") < col("b.doc_id") &&
+          col("b.m") * t <= col("a.m") * 10000 &&
+          col("a.m") * t <= col("b.m") * 10000,
+        Seq(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.m").as("size_a"), col("b.m").as("size_b")),
+        hotDf, salts)
+      .distinct()
+    setSimVerify(cand, tk, tk, t)
+  }
+
   /** The q190 engine, factored over an arbitrary (doc_id, text) frame
     * so specs can drive adversarial micro-corpora through the exact
     * algorithm and compare against brute force. See the q190 entry for
@@ -135,16 +202,7 @@ object DedupOps {
   private[graft] def setSimJoin(docs: DataFrame,
       t: Long = SetSimTBp): DataFrame = {
     val (tk, dfreq) = setSimTokens(docs)
-    val pre = prefixTokens(tk.join(dfreq, "token"), t)
-    val cand = pre.as("a").join(pre.as("b"),
-        col("a.token") === col("b.token") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          col("b.m") * t <= col("a.m") * 10000 &&
-          col("a.m") * t <= col("b.m") * 10000)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.m").as("size_a"), col("b.m").as("size_b"))
-      .distinct()
-    setSimVerify(cand, tk, tk, t)
+    setSimJoinTk(tk, dfreq, t)
   }
 
   /** Per-doc rarity-ordered PREFIX — the q190/q198 candidate index,
@@ -154,7 +212,9 @@ object DedupOps {
     * global rarity order), slice the prefix. Same shuffle volume as a
     * window but no relation-wide sort: each doc sorts its own bounded
     * array inside ObjectHashAggregate — the difference between
-    * sorting 10^8 rows and 10^6 arrays of ~10^2. */
+    * sorting 10^8 rows and 10^6 arrays of ~10^2. Each prefix row keeps
+    * its token's global df: the self-join's row-count skew guard
+    * splits hot keys on it (see [[saltedPrefixSelfJoin]]). */
   private[graft] def prefixTokens(tkWithDf: DataFrame, t: Long): DataFrame =
     tkWithDf.groupBy("doc_id")
       .agg(collect_list(struct(col("df").as("df"), col("token").as("tok")))
@@ -163,7 +223,8 @@ object DedupOps {
         expr(s"slice(array_sort(all), 1, " +
           s"size(all) - (($t * size(all) + 9999) div 10000) + 1)").as("pref"))
       .select(col("doc_id"), col("m"), explode(col("pref")).as("p"))
-      .select(col("doc_id"), col("m"), col("p.tok").as("token"))
+      .select(col("doc_id"), col("m"), col("p.tok").as("token"),
+        col("p.df").as("df"))
 
   /** Per-doc rarity-ordered PREFIX with POSITIONS — the q196 candidate
     * index. Same ObjectHashAggregate shape as q190's prefix (each doc
@@ -180,7 +241,7 @@ object DedupOps {
         posexplode(expr(s"slice(array_sort(all), 1, " +
           s"size(all) - (($t * size(all) + 9999) div 10000) + 1)")))
       .select(col("doc_id"), col("m"), (col("pos") + 1L).cast("long").as("pos"),
-        col("col.tok").as("token"))
+        col("col.tok").as("token"), col("col.df").as("df"))
 
   /** q196 candidate generation: prefix equi-join + length filter +
     * PPJoin POSITIONAL filter. For a shared token at ranks (i, j) of
@@ -197,17 +258,16 @@ object DedupOps {
     * ub·(10000+t) ≥ t·(mₐ+m_b). */
   private[graft] def ppjoinCandidates(tk: DataFrame, dfreq: DataFrame,
       t: Long): DataFrame = {
-    val pre = ppjoinPrefixes(tk, dfreq, t)
-    pre.as("a").join(pre.as("b"),
-        col("a.token") === col("b.token") &&
-          col("a.doc_id") < col("b.doc_id") &&
+    val pre = ppjoinPrefixes(tk, dfreq, t).localCheckpoint()
+    saltedPrefixSelfJoin(pre,
+        col("a.doc_id") < col("b.doc_id") &&
           col("b.m") * t <= col("a.m") * 10000 &&
-          col("a.m") * t <= col("b.m") * 10000)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.m").as("size_a"), col("b.m").as("size_b"),
-        (lit(1L) + least(col("a.pos") - 1L, col("b.pos") - 1L) +
-          least(col("a.m") - col("a.pos"), col("b.m") - col("b.pos")))
-          .as("ub"))
+          col("a.m") * t <= col("b.m") * 10000,
+        Seq(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.m").as("size_a"), col("b.m").as("size_b"),
+          (lit(1L) + least(col("a.pos") - 1L, col("b.pos") - 1L) +
+            least(col("a.m") - col("a.pos"), col("b.m") - col("b.pos")))
+            .as("ub")))
       .groupBy("doc_a", "doc_b", "size_a", "size_b")
       .agg(min(col("ub")).as("ub"))
       .filter(col("ub") * (10000L + t) >= (col("size_a") + col("size_b")) * t)
@@ -246,7 +306,13 @@ object DedupOps {
   private[graft] def setSimIncremental(corpus: DataFrame, batch: DataFrame,
       t: Long = SetSimTBp): DataFrame = {
     val (ctk, dfreq) = setSimTokens(corpus)
-    val btk = setSimTokens(batch)._1
+    setSimIncrementalTk(ctk, dfreq, setSimTokens(batch)._1, t)
+  }
+
+  /** q198's engine over pre-staged corpus tokens + df and batch tokens
+    * (the [[stagedSetSimTokens]] shape). */
+  private[graft] def setSimIncrementalTk(ctk: DataFrame, dfreq: DataFrame,
+      btk: DataFrame, t: Long = SetSimTBp): DataFrame = {
     val cpre = prefixTokens(ctk.join(dfreq, "token"), t)
     val bpre = prefixTokens(
       btk.join(dfreq, Seq("token"), "left")
@@ -264,12 +330,23 @@ object DedupOps {
 
   // ---- q199: the exact set-sim PREFIX INDEX at rest ----------------------
 
-  /** Probe-token gate for the at-rest index: while a batch's distinct
-    * prefix tokens stay under this, they push into the index scan as an
-    * IN-list and the token sort-ranges + blooms prune whole data files
-    * (the q183 at-rest pattern); past it the probe degrades to the
-    * plain shuffle join — correctness identical, pruning lost. */
-  val ProbeMaxTokens: Long = 1L * 1000 * 1000
+  /** Probe-size gate for the at-rest index: while the batch's token
+    * rows (an upper bound on its prefix rows) stay under this, the
+    * batch prefixes BROADCAST into the candidate join and Spark's
+    * runtime (DPP-shaped) filtering pushes the broadcast's surviving
+    * tokens into the index's manifest scan, where token sort-ranges +
+    * per-file blooms prune whole data files (the DppSpec chain — no
+    * literal IN-list ever enters the plan, so the driver never holds a
+    * million-element `In`). Past the gate the probe degrades to the
+    * plain shuffle join — correctness identical, pruning lost; at that
+    * batch size the probe tokens blanket most index files anyway, so
+    * pruning had little to give. */
+  val ProbeBroadcastMaxTokens: Long = 2L * 1000 * 1000
+
+  /** The threshold the stored corpus prefixes are built at. Probing
+    * below it would silently drop qualifying pairs (the stored prefixes
+    * are too short for a looser threshold), so [[ssimProbe]] refuses. */
+  val SsimIndexBuildTBp: Long = SetSimTBp
 
   /** Build the index CONTENT into existing tables: the frozen
     * document-frequency statistic and the corpus canonical prefixes
@@ -280,8 +357,16 @@ object DedupOps {
   private[graft] def ssimBuildIndex(corpus: DataFrame, dfTable: String,
       preTable: String): Unit = {
     val (ctk, dfreq) = setSimTokens(corpus)
+    ssimBuildIndexTk(ctk.localCheckpoint(), dfreq.localCheckpoint(),
+      dfTable, preTable)
+  }
+
+  /** [[ssimBuildIndex]] over pre-staged corpus tokens (both frames feed
+    * two writes — callers hand in checkpointed stages). */
+  private[graft] def ssimBuildIndexTk(ctk: DataFrame, dfreq: DataFrame,
+      dfTable: String, preTable: String): Unit = {
     dfreq.select(col("token"), col("df")).writeTo(dfTable).append()
-    prefixTokens(ctk.join(dfreq, "token"), SetSimTBp)
+    prefixTokens(ctk.join(dfreq, "token"), SsimIndexBuildTBp)
       .select(col("token"), col("doc_id"), col("m"))
       .writeTo(preTable).append()
   }
@@ -304,28 +389,52 @@ object DedupOps {
   }
 
   /** Probe the at-rest index with a batch: batch prefixes under the
-    * frozen order, candidate join against the STORED prefix table
-    * (IN-list-pruned under the gate), then exact verification that
-    * fetches ONLY candidate-touched docs from `indexedDocs` (the
-    * size-gated id join — probe I/O follows the candidate set, never
-    * the corpus). */
+    * frozen order, candidate join against the STORED prefix table,
+    * then exact verification that fetches ONLY candidate-touched docs
+    * from `indexedDocs` (the size-gated id join — probe I/O follows
+    * the candidate set, never the corpus).
+    *
+    * File pruning is RUNTIME filtering, not a literal list: under the
+    * gate the batch prefixes carry a broadcast hint, and Spark's
+    * dynamic-pruning machinery feeds the broadcast's tokens into the
+    * manifest scan's `SupportsRuntimeFiltering.filter` — per-file
+    * token blooms + sort-range bounds then drop whole index files
+    * before any read (SetSimAtRestSpec's physical no-read proof). The
+    * plan never embeds token literals and the driver's only copy of
+    * the tokens is the broadcast it was paying for the join anyway. */
   private[graft] def ssimProbe(s: SparkSession, batch: DataFrame,
       indexedDocs: DataFrame, dfTable: String, preTable: String,
       t: Long = SetSimTBp,
-      maxProbeTokens: Long = ProbeMaxTokens): DataFrame = {
-    val btk = setSimTokens(batch)._1.localCheckpoint()
+      maxProbeTokens: Long = ProbeBroadcastMaxTokens): DataFrame =
+    ssimProbeTk(s, setSimTokens(batch)._1.localCheckpoint(), indexedDocs,
+      dfTable, preTable, t, maxProbeTokens)
+
+  /** [[ssimProbe]] over pre-staged batch tokens (a checkpointed frame —
+    * it feeds prefix building, the candidate join, and verification). */
+  private[graft] def ssimProbeTk(s: SparkSession, btk: DataFrame,
+      indexedDocs: DataFrame, dfTable: String, preTable: String,
+      t: Long = SetSimTBp,
+      maxProbeTokens: Long = ProbeBroadcastMaxTokens): DataFrame = {
+    require(t >= SsimIndexBuildTBp,
+      s"stored prefixes were built at t=$SsimIndexBuildTBp bp; probing at " +
+        s"$t would silently drop qualifying pairs (corpus prefixes too short)")
+    // The trailing `m >= 1` is semantically a no-op (every prefix row's
+    // doc has >= 1 token) but LOAD-BEARING: btk is a checkpoint, so the
+    // batch's real selectivity (it is a small slice of the corpus) left
+    // the plan with the Filter node the checkpoint erased — and Spark
+    // only injects runtime filters into the scan side of a join whose
+    // OTHER side visibly carries a selective predicate
+    // (PartitionPruning.hasSelectivePredicate). Re-asserting a true
+    // predicate restores what the optimizer can no longer see.
     val bpre = prefixTokens(
       btk.join(s.table(dfTable), Seq("token"), "left")
         .select(col("doc_id"), col("token"),
           coalesce(col("df"), lit(0L)).as("df")), t)
-      .localCheckpoint()
-    val idx0 = s.table(preTable)
-    val probeTokens = bpre.select("token").distinct()
-    val idx = if (probeTokens.count() <= maxProbeTokens)
-        idx0.filter(col("token").isin(
-          probeTokens.collect().map(_.getString(0)).toIndexedSeq: _*))
-      else idx0
-    val cand = bpre.as("a").join(idx.as("b"),
+      .filter(col("m") >= 1L)
+    val idx = s.table(preTable)
+    val probeSide =
+      if (btk.count() <= maxProbeTokens) broadcast(bpre) else bpre
+    val cand = probeSide.as("a").join(idx.as("b"),
         col("a.token") === col("b.token") &&
           col("b.m") * t <= col("a.m") * 10000 &&
           col("a.m") * t <= col("b.m") * 10000)
@@ -350,6 +459,37 @@ object DedupOps {
   private val ssimBuilt =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
 
+  /** Session-staged set-sim prelude: ONE canonicalize + shingle + df
+    * pass per (session, sf-dir, slice), shared by every consumer of
+    * that slice — q190/q196 ("all"), q198's corpus side and the q199
+    * index build ("corpus"), q198's batch side and the q199 probe
+    * ("batch"). Before this existed each query re-ran the full pass
+    * independently (~4 passes over 7.8M shingle rows at sf3 — the
+    * entire round-12 sf3 slope regression). Both frames are
+    * localCheckpoints probed for executor-loss health, the
+    * [[stagedPairs]] contract; at 100 TB the analog is a materialized
+    * staging table beside the corpus. */
+  private val tokenCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), (DataFrame, DataFrame)]
+
+  private[graft] def stagedSetSimTokens(s: SparkSession, dir: String,
+      slice: String): (DataFrame, DataFrame) = tokenCache.synchronized {
+    tokenCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    tokenCache.get((s, dir, slice)) match {
+      case Some(t) if scala.util.Try { t._1.take(1); t._2.take(1) }.isSuccess => t
+      case _ =>
+        val docs = slice match {
+          case "corpus" => Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7)
+          case "batch" => Tables.documents(s, dir).filter(col("doc_id") % 10 === 7)
+          case _ => Tables.documents(s, dir)
+        }
+        val (tk0, df0) = setSimTokens(docs)
+        val t = (tk0.localCheckpoint(), df0.localCheckpoint())
+        tokenCache.put((s, dir, slice), t)
+        t
+    }
+  }
+
   /** Once-per-(application, sf-dir) staged index over the fixture's
     * corpus side (doc_id%10≠7, q119/q198's split): two manifest tables
     * — `ssim_df` (the frozen order) and `ssim_prefix`
@@ -369,9 +509,8 @@ object DedupOps {
       s.sql(s"CREATE TABLE graft.$ns.ssim_prefix " +
         "(token STRING, doc_id BIGINT, m BIGINT) " +
         "TBLPROPERTIES ('write.sort-by' = 'token', 'bloom.columns' = 'token')")
-      ssimBuildIndex(
-        graft.engine.Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 7),
-        s"graft.$ns.ssim_df", s"graft.$ns.ssim_prefix")
+      val (ctk, dfreq) = stagedSetSimTokens(s, dir, "corpus")
+      ssimBuildIndexTk(ctk, dfreq, s"graft.$ns.ssim_df", s"graft.$ns.ssim_prefix")
     }
     (s"graft.$ns.ssim_df", s"graft.$ns.ssim_prefix")
   }
@@ -674,8 +813,10 @@ object DedupOps {
     // (boilerplate never becomes a join key), both windows ride one
     // doc_id partitioning, verification cost follows the candidate set,
     // never corpus². All comparisons are cross-multiplied integers.
-    "q190_setsim_join" -> ((s, dir) =>
-      setSimJoin(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+    "q190_setsim_join" -> ((s, dir) => {
+      val (tk, dfreq) = stagedSetSimTokens(s, dir, "all")
+      setSimJoinTk(tk, dfreq, SetSimTBp).orderBy("doc_a", "doc_b")
+    }),
 
     // q196: the SAME exact-join contract at t = 0.5, the regime q190's
     // scaladoc declares out of prefix filtering's reach (the prefix is
@@ -686,8 +827,11 @@ object DedupOps {
     // the α overlap — BEFORE the verification join. Oracle is the
     // naive all-pairs algorithm at t=0.5, so the hash match proves
     // the positional filter dropped nothing on this corpus.
-    "q196_setsim_ppjoin" -> ((s, dir) =>
-      setSimJoinPos(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+    "q196_setsim_ppjoin" -> ((s, dir) => {
+      val (tk, dfreq) = stagedSetSimTokens(s, dir, "all")
+      setSimVerify(ppjoinCandidates(tk, dfreq, SetSimPpTBp), tk, tk,
+        SetSimPpTBp).orderBy("doc_a", "doc_b")
+    }),
 
     // q198: the ingest-loop form — this round's batch (doc_id%10==7,
     // q119's split) against the standing corpus, exact Jaccard at
@@ -695,9 +839,8 @@ object DedupOps {
     // Oracle is the naive batch×corpus join, proving the asymmetric
     // prefix filter (batch ordered by CORPUS df) lossless.
     "q198_setsim_incremental" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val batchPred = col("doc_id") % 10 === 7
-      setSimIncremental(docs.filter(!batchPred), docs.filter(batchPred))
+      val (ctk, dfreq) = stagedSetSimTokens(s, dir, "corpus")
+      setSimIncrementalTk(ctk, dfreq, stagedSetSimTokens(s, dir, "batch")._1)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -712,8 +855,8 @@ object DedupOps {
     "q199_setsim_index" -> ((s, dir) => {
       val (dfT, preT) = ssimIndexTables(s, dir)
       val docs = Tables.documents(s, dir)
-      val batchPred = col("doc_id") % 10 === 7
-      ssimProbe(s, docs.filter(batchPred), docs.filter(!batchPred), dfT, preT)
+      ssimProbeTk(s, stagedSetSimTokens(s, dir, "batch")._1,
+          docs.filter(col("doc_id") % 10 =!= 7), dfT, preT)
         .orderBy("doc_a", "doc_b")
     }),
 

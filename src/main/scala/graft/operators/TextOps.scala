@@ -363,7 +363,7 @@ object TextOps {
       }
       def topSql(n: Int): String =
         s"""top$n AS (
-           |  SELECT doc_id, cnt * strlen(gram) AS top${n}_chars
+           |  SELECT doc_id, cnt * length(gram) AS top${n}_chars
            |  FROM (SELECT doc_id, gram, count(*) AS cnt,
            |          row_number() OVER (PARTITION BY doc_id
            |            ORDER BY count(*) DESC, gram) AS rn
@@ -375,31 +375,31 @@ object TextOps {
          |${topSql(3)},
          |${topSql(4)},
          |dup10 AS (
-         |  SELECT doc_id, sum(cnt * strlen(gram)) AS dup10_chars
+         |  SELECT doc_id, sum(cnt * length(gram)) AS dup10_chars
          |  FROM (SELECT doc_id, gram, count(*) AS cnt
          |        FROM (${gramSql(10)}) GROUP BY doc_id, gram)
          |  WHERE cnt >= 2 GROUP BY doc_id),
-         |b AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_chars FROM t)
-         |SELECT doc_id, n_chars,
-         |  CAST(CASE WHEN n_chars > 0
-         |    THEN coalesce(top2_chars, 0) * 10000 // n_chars ELSE 0 END
-         |    AS BIGINT) AS top2_bp,
-         |  CAST(CASE WHEN n_chars > 0
-         |    THEN coalesce(top3_chars, 0) * 10000 // n_chars ELSE 0 END
-         |    AS BIGINT) AS top3_bp,
-         |  CAST(CASE WHEN n_chars > 0
-         |    THEN coalesce(top4_chars, 0) * 10000 // n_chars ELSE 0 END
-         |    AS BIGINT) AS top4_bp,
-         |  CAST(CASE WHEN n_chars > 0
-         |    THEN coalesce(dup10_chars, 0) * 10000 // n_chars ELSE 0 END
-         |    AS BIGINT) AS dup10_bp,
-         |  (coalesce(top2_chars, 0) * 10000 // n_chars <= 2000
-         |   AND coalesce(top3_chars, 0) * 10000 // n_chars <= 1800
-         |   AND coalesce(top4_chars, 0) * 10000 // n_chars <= 1600
-         |   AND coalesce(dup10_chars, 0) * 10000 // n_chars <= 1000) AS keep
-         |FROM b
-         |LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
-         |LEFT JOIN top4 USING (doc_id) LEFT JOIN dup10 USING (doc_id)
+         |b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM t)
+         |SELECT doc_id, n_chars, top2_bp, top3_bp, top4_bp, dup10_bp,
+         |  (top2_bp <= 2000 AND top3_bp <= 1800
+         |   AND top4_bp <= 1600 AND dup10_bp <= 1000) AS keep
+         |FROM (
+         |  SELECT doc_id, n_chars,
+         |    CAST(CASE WHEN n_chars > 0
+         |      THEN coalesce(top2_chars, 0) * 10000 // n_chars ELSE 0 END
+         |      AS BIGINT) AS top2_bp,
+         |    CAST(CASE WHEN n_chars > 0
+         |      THEN coalesce(top3_chars, 0) * 10000 // n_chars ELSE 0 END
+         |      AS BIGINT) AS top3_bp,
+         |    CAST(CASE WHEN n_chars > 0
+         |      THEN coalesce(top4_chars, 0) * 10000 // n_chars ELSE 0 END
+         |      AS BIGINT) AS top4_bp,
+         |    CAST(CASE WHEN n_chars > 0
+         |      THEN coalesce(dup10_chars, 0) * 10000 // n_chars ELSE 0 END
+         |      AS BIGINT) AS dup10_bp
+         |  FROM b
+         |  LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
+         |  LEFT JOIN top4 USING (doc_id) LEFT JOIN dup10 USING (doc_id))
          |ORDER BY doc_id""".stripMargin
     },
 

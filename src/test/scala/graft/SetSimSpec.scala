@@ -337,6 +337,42 @@ class SetSimSpec extends AnyFunSuite {
       "the df=2000 boilerplate shingle must never be a prefix join key")
   }
 
+  test("a LOW-ENTROPY hot prefix key is salted by row count — AQE's blind spot") {
+    import spark.implicits._
+    // AQE's skew split weighs COMPRESSED partition bytes, so a hot key
+    // whose rows are near-identical strings (low entropy — 10× the rows
+    // at ~1.2× the bytes, PERF.md's measurement) can escape splitting.
+    // The engine's guard is df-driven instead: df IS the per-key row
+    // count, known before the join. Corpus: 100 docs all sharing three
+    // hot tokens (df=100, maximally compressible — the same bytes over
+    // and over) plus one unique token each; at t=0.5 every prefix is
+    // {unique, hot1, hot2}, so EVERY candidate collision rides a hot
+    // key and the salted branch produces the entire answer. Parity
+    // against the unsalted path proves the salt is lossless; the
+    // all-pairs expectation proves it is complete.
+    val n = 100
+    val rows = (0 until n).flatMap { i =>
+      Seq("hot1", "hot2", "hot3", f"uniq$i%03d").map(tok => (i.toLong, tok))
+    }
+    val tk = rows.toDF("doc_id", "token")
+    val dfreq = tk.groupBy("token").agg(count(lit(1)).as("df"))
+    assert(dfreq.filter(col("df") > 4).count() == 3,
+      "the three hot tokens must exceed the test's salt bound")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = DedupOps.setSimJoinTk(tk, dfreq, 5000L, hotDf = 4L, salts = 8)
+    val unsalted = DedupOps.setSimJoinTk(tk, dfreq, 5000L,
+      hotDf = Long.MaxValue)
+    val all = (for (a <- 0 until n; b <- a + 1 until n)
+      yield (a.toLong, b.toLong)).toSet
+    assert(pairs(salted) == all,
+      "the salted hot branch must produce every qualifying pair")
+    assert(pairs(unsalted) == all, "parity baseline")
+    // every pair scores J = 3/5 exactly
+    salted.collect().foreach(r => assert(r.getAs[Long]("jacc_bp") == 6000L))
+  }
+
   test("a heavy PREFIX key triggers the AQE skew split in the candidate self-join") {
     // When rarity CANNOT save the prefix join — every doc's rarest
     // token is the SAME token (the saturated-alphabet corner that burnt

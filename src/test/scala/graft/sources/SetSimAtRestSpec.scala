@@ -6,10 +6,15 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.DedupOps
 
-/** The exact set-sim prefix index AT REST (q199): the probe's gated
-  * IN-list must reach the manifest scan and PRUNE whole index data
-  * files — proved physically by deleting every file outside the
-  * probe's token range; a probe that opened them would throw. */
+/** The exact set-sim prefix index AT REST (q199): the probe's token
+  * set must reach the manifest scan as a RUNTIME filter (the broadcast
+  * batch prefixes feed Spark's dynamic-pruning machinery into
+  * `SupportsRuntimeFiltering.filter` — no literal IN-list in the plan)
+  * and PRUNE whole index data files — proved physically by deleting
+  * every file outside the probe's token range; a probe that opened
+  * them would throw. A static plan cannot pass this test: the probe's
+  * tokens are join-derived, so the only way the deleted files stay
+  * unread is runtime file pruning. */
 class SetSimAtRestSpec extends AnyFunSuite {
   import graft.TestSpark.spark
   import spark.implicits._
@@ -26,7 +31,7 @@ class SetSimAtRestSpec extends AnyFunSuite {
   private def words(p: String, n: Int) =
     (1 to n).map(i => f"$p$i%02d").mkString(" ")
 
-  test("probe IN-list prunes index files — physical no-read proof") {
+  test("probe runtime filter prunes index files — physical no-read proof") {
     wh
     spark.sql("CREATE TABLE ssrcat.db.sdf (token STRING, df BIGINT)")
     spark.sql("CREATE TABLE ssrcat.db.spre (token STRING, doc_id BIGINT, m BIGINT) " +
