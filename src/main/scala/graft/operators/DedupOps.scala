@@ -490,6 +490,24 @@ object DedupOps {
     }
   }
 
+  private val nsBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  /** Configure the session-scoped `graft` catalog and ensure this
+    * sf-dir's namespace exists — shared by every staged index builder
+    * so concurrent builders never race the namespace creation. */
+  private def graftNs(s: SparkSession, dir: String): String = {
+    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
+      s.sparkContext.applicationId
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    val ns = s"db${Integer.toHexString(dir.hashCode)}"
+    buildOnce(nsBuilt, (s.sparkContext.applicationId, ns)) {
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
+    }
+    ns
+  }
+
   /** Once-per-(application, sf-dir) staged index over the fixture's
     * corpus side (doc_id%10≠7, q119/q198's split): two manifest tables
     * — `ssim_df` (the frozen order) and `ssim_prefix`
@@ -497,13 +515,8 @@ object DedupOps {
     * layout) — so candidate generation runs against data files a probe
     * can PRUNE. */
   private[graft] def ssimIndexTables(s: SparkSession, dir: String): (String, String) = {
-    val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
-      s.sparkContext.applicationId
-    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
-    val ns = s"db${Integer.toHexString(dir.hashCode)}"
+    val ns = graftNs(s, dir)
     buildOnce(ssimBuilt, (s.sparkContext.applicationId, dir)) {
-      s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft.$ns")
       s.sql(s"CREATE TABLE graft.$ns.ssim_df (token STRING, df BIGINT) " +
         "TBLPROPERTIES ('bloom.columns' = 'token')")
       s.sql(s"CREATE TABLE graft.$ns.ssim_prefix " +
@@ -513,6 +526,41 @@ object DedupOps {
       ssimBuildIndexTk(ctk, dfreq, s"graft.$ns.ssim_df", s"graft.$ns.ssim_prefix")
     }
     (s"graft.$ns.ssim_df", s"graft.$ns.ssim_prefix")
+  }
+
+  private val ssimMaintBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  /** Once-per-(application, sf-dir) MAINTAINED set-sim index — the full
+    * ingest+churn loop of [[graft.sources.SsimIndexMaintenance]], staged
+    * so q201 probes a genuinely maintained index rather than a one-shot
+    * build: the fixture corpus arrives in TWO appends to a manifest
+    * source table; CREATE consumes arrival 1's snapshot (freezing the
+    * df order); REFRESH folds arrival 2 through the change feed under
+    * the frozen order; a merge-on-read DELETE (doc_id % 100 = 11) then
+    * retires docs from the source and REFRESH-CDC propagates it as one
+    * equality delete on the prefix table — zero prefix reads. The index
+    * is ROW-keyed (no byte-clone canonicalization): deletes must retire
+    * exactly the deleted doc. */
+  private[graft] def ssimMaintainedTables(s: SparkSession,
+      dir: String): (String, String, String) = {
+    val ns = graftNs(s, dir)
+    val (src, dfT, preT) =
+      (s"$ns.ssimm_src", s"$ns.ssimm_df", s"$ns.ssimm_prefix")
+    buildOnce(ssimMaintBuilt, (s.sparkContext.applicationId, dir)) {
+      s.sql(s"CREATE TABLE graft.$src (doc_id BIGINT, text STRING) " +
+        "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+      val corpus = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 10 =!= 7)
+      corpus.filter(col("doc_id") % 10 <= 4).writeTo(s"graft.$src").append()
+      graft.sources.SsimIndexMaintenance.createIndex(s, "graft", src, dfT, preT)
+      corpus.filter(col("doc_id") % 10 >= 5).writeTo(s"graft.$src").append()
+      graft.sources.SsimIndexMaintenance.refresh(s, "graft", src, dfT, preT)
+      s.sql(s"DELETE FROM graft.$src WHERE doc_id % 100 = 11")
+      graft.sources.SsimIndexMaintenance.refreshCdc(s, "graft", src, dfT, preT)
+    }
+    (s"graft.$src", s"graft.$dfT", s"graft.$preT")
   }
 
   /** One row per (doc, 1-based window start) with the window's xxhash64
@@ -857,6 +905,25 @@ object DedupOps {
       val docs = Tables.documents(s, dir)
       ssimProbeTk(s, stagedSetSimTokens(s, dir, "batch")._1,
           docs.filter(col("doc_id") % 10 =!= 7), dfT, preT)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // q201: the at-rest probe against a MAINTAINED index — created on
+    // arrival 1's snapshot, refreshed for arrival 2 through the change
+    // feed under the frozen order, then a merge-on-read source DELETE
+    // propagated by refreshCdc as a zero-read equality delete on the
+    // prefix table (see ssimMaintainedTables). ROW-keyed — no byte-clone
+    // canonicalization on either side. The oracle is the naive
+    // batch × surviving-corpus join: its hash match proves the refresh
+    // window, the frozen-order appends, AND the CDC delete all landed
+    // exactly — a stale or over-deleted index cannot match.
+    "q201_setsim_maintained" -> ((s, dir) => {
+      val (srcT, dfT, preT) = ssimMaintainedTables(s, dir)
+      val batch = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 7).select(col("doc_id"), col("text"))
+      ssimProbeTk(s,
+          graft.sources.SsimIndexMaintenance.docTokens(batch).localCheckpoint(),
+          s.table(srcT), dfT, preT)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -1248,11 +1315,42 @@ object DedupOps {
          |WHERE inter * 10000 >= $SetSimTBp * (size_a + size_b - inter)
          |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Non-canonicalizing twin of [[shingleCtes]] for the ROW-keyed
+    * maintained index (q201): every `documents` row passing `where`
+    * shingles individually. `where` must be a full WHERE clause. */
+  private def rawShingleCtes(p: String, where: String): String =
+    s"""${p}s AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(string_split(text,' ')) - 4),
+       |    i -> (string_split(text,' '))[i] || ' ' || (string_split(text,' '))[i+1] || ' ' || (string_split(text,' '))[i+2] || ' ' || (string_split(text,' '))[i+3] || ' ' || (string_split(text,' '))[i+4])) AS shingles
+       |  FROM documents $where AND len(string_split(text,' ')) >= 5),
+       |${p}tk AS (SELECT doc_id, unnest(shingles) AS token FROM ${p}s),
+       |${p}sz AS (SELECT doc_id, count(*) AS m FROM ${p}tk GROUP BY doc_id)""".stripMargin
+
+  /** q201's ground truth: the naive batch × corpus join over the rows
+    * the maintained source still holds (the CDC delete excluded), with
+    * NO canonicalization — the maintained index's row-keyed contract. */
+  private def naiveMaintainedSql: String =
+    s"""WITH ${rawShingleCtes("c", "WHERE doc_id % 10 <> 7 AND doc_id % 100 <> 11")},
+       |${rawShingleCtes("b", "WHERE doc_id % 10 = 7")},
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM btk a JOIN ctk b ON a.token = b.token
+       |  GROUP BY a.doc_id, b.doc_id),
+       |j AS (SELECT doc_a, doc_b, sa.m AS size_a, sb.m AS size_b, inter
+       |  FROM pairs JOIN bsz sa ON sa.doc_id = doc_a
+       |             JOIN csz sb ON sb.doc_id = doc_b)
+       |SELECT doc_a, doc_b, size_a, size_b, inter,
+       |  CAST(inter * 10000 // (size_a + size_b - inter) AS BIGINT) AS jacc_bp
+       |FROM j
+       |WHERE inter * 10000 >= $SetSimTBp * (size_a + size_b - inter)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q190_setsim_join" -> naiveSetSimSql(SetSimTBp),
     "q196_setsim_ppjoin" -> naiveSetSimSql(SetSimPpTBp),
     "q198_setsim_incremental" -> naiveIncrementalSql,
     "q199_setsim_index" -> naiveIncrementalSql,
+    "q201_setsim_maintained" -> naiveMaintainedSql,
 
     "q40_exact_dedup" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, md5(text) AS text_md5

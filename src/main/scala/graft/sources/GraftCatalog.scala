@@ -624,7 +624,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
         Identifier.of(GraftCatalog.SystemNs, "evolve_spec"),
         Identifier.of(GraftCatalog.SystemNs, "migrate_spec"),
         Identifier.of(GraftCatalog.SystemNs, "tag"),
-        Identifier.of(GraftCatalog.SystemNs, "drop_tag"))
+        Identifier.of(GraftCatalog.SystemNs, "drop_tag"),
+        Identifier.of(GraftCatalog.SystemNs, "ssim_reindex"))
     else Array.empty
 
   override def loadProcedure(ident: Identifier): UnboundProcedure =
@@ -658,12 +659,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCa
     else if (ident.namespace().sameElements(GraftCatalog.SystemNs) &&
         ident.name().equalsIgnoreCase("drop_tag"))
       new GraftCatalog.TagProcedure(this, create = false)
+    else if (ident.namespace().sameElements(GraftCatalog.SystemNs) &&
+        ident.name().equalsIgnoreCase("ssim_reindex"))
+      new GraftCatalog.SsimReindexProcedure(this)
     else throw new IllegalArgumentException(
       s"unknown procedure $ident; available: graft.system.vacuum, " +
         "graft.system.optimize, graft.system.rollback, " +
         "graft.system.create_branch, graft.system.fast_forward, " +
         "graft.system.drop_branch, graft.system.evolve_spec, " +
-        "graft.system.migrate_spec, graft.system.tag, graft.system.drop_tag")
+        "graft.system.migrate_spec, graft.system.tag, graft.system.drop_tag, " +
+        "graft.system.ssim_reindex")
 }
 
 object GraftCatalog {
@@ -1024,6 +1029,59 @@ object GraftCatalog {
         res.rewrittenFiles, res.rewrittenRows)): InternalRow
       util.Collections.singletonList[Scan](new LocalScan {
         override def readSchema(): StructType = OptimizeOutput
+        override def rows(): Array[InternalRow] = Array(row)
+      }).iterator()
+    }
+  }
+
+  private val SsimReindexOutput = StructType(Seq(
+    StructField("source_version", LongType, nullable = false),
+    StructField("prefix_files_before", IntegerType, nullable = false),
+    StructField("prefix_files_after", IntegerType, nullable = false)))
+
+  /** `CALL graft.system.ssim_reindex(source => 'db.docs',
+    * df_table => 'db.sdf', prefix_table => 'db.spre')` — rebuild the
+    * set-sim prefix index's frozen df order and every stored prefix
+    * from the source's current snapshot ([[SsimIndexMaintenance
+    * .reindex]]): the scheduled drift repair q199's frozen-df contract
+    * calls for. Probe results are invariant (exact verification); what
+    * the rebuild restores is pruning power — and the per-append prefix
+    * files consolidate back into one token-clustered layout. */
+  private class SsimReindexProcedure(catalog: GraftCatalog)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = "ssim_reindex"
+    override def description(): String =
+      "Rebuild a set-sim prefix index (frozen df + prefixes) from the " +
+        "source's current snapshot"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("source", StringType)
+        .comment("document source table within this catalog, e.g. 'db.docs'").build(),
+      ProcedureParameter.in("df_table", StringType)
+        .comment("the index's document-frequency table").build(),
+      ProcedureParameter.in("prefix_table", StringType)
+        .comment("the index's prefix table").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val Seq(src, dfT, preT) = (0 to 2)
+        .map(i => input.getUTF8String(i).toString)
+      Seq(src, dfT, preT).foreach { t =>
+        val parts = t.split('.')
+        val ident = Identifier.of(parts.init, parts.last)
+        if (!catalog.isTable(catalog.tablePath(ident)))
+          throw new NoSuchTableException(ident)
+      }
+      val s = org.apache.spark.sql.SparkSession.active
+      val preRoot = catalog.tablePath(
+        Identifier.of(preT.split('.').init, preT.split('.').last))
+      val before = ManifestSink.committedEntries(preRoot, None).size
+      val v = SsimIndexMaintenance.reindex(s, catalog.name(), src, dfT, preT)
+      val after = ManifestSink.committedEntries(preRoot, None).size
+      val row = new GenericInternalRow(Array[Any](v, before, after)): InternalRow
+      util.Collections.singletonList[Scan](new LocalScan {
+        override def readSchema(): StructType = SsimReindexOutput
         override def rows(): Array[InternalRow] = Array(row)
       }).iterator()
     }

@@ -1,0 +1,315 @@
+package graft.sources
+
+import java.nio.file.{Path, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.TableChange
+import org.apache.spark.sql.functions._
+
+import graft.operators.DedupOps
+
+/** Incremental maintenance of the exact set-similarity PREFIX index AT
+  * REST — the set-sim analogue of [[PostingsMaintenance]] (BM25) and
+  * [[AnnIndexMaintenance]] (IVFPQ), sharing the same durable-state
+  * protocol:
+  *
+  *   - CREATE computes the document-frequency statistic on the source
+  *     SNAPSHOT — the index's FROZEN total order — plus every doc's
+  *     rarity prefix under it, lands both as manifest tables (prefixes
+  *     token-sort-clustered with a token bloom, the q199 layout), and
+  *     records the consumed source version;
+  *   - REFRESH reads the source's change feed since the last refresh
+  *     (append-only enforced) and appends the delta docs' prefixes
+  *     under the frozen order (a token the statistic has never seen
+  *     ranks maximally rare — df 0 — the same rule probes use, so
+  *     index and probe stay in ONE total order). Prefixes of distinct
+  *     docs are disjoint rows: maintenance is pure insertion, no merge.
+  *   - REFRESH-CDC consumes the row change feed, so merge-on-read
+  *     deletes retire the deleted docs' prefix rows as ONE equality
+  *     delete keyed by doc_id — the zero-read path: no prefix base
+  *     file is ever opened (the spec hides them all to prove it).
+  *   - REINDEX rebuilds BOTH tables from the current source snapshot —
+  *     the drift repair q199's frozen-df contract calls for (stale df
+  *     only costs pruning POWER, never pairs; reindex restores the
+  *     power). Each table is rewritten by a single truncate+append
+  *     commit pinned to one source version (`versionAsOf`), so a crash
+  *     replay recomputes the identical content; history keeps every
+  *     prior index version readable.
+  *
+  * KEYING: unlike the q190 family this index is ROW-keyed — every
+  * source doc_id is indexed individually, with NO byte-clone
+  * canonicalization — because deletes must retire exactly the deleted
+  * doc (a canonical representative would silently take its folded
+  * clones' representation with it). Compose with exact dedup (q40)
+  * upstream when clone folding is wanted; that is the same contract as
+  * the postings and ANN indexes, which key on vec_id/doc_id verbatim.
+  *
+  * EXACTLY-ONCE under the single-refresher contract via the
+  * [[PendingWindow]] three-step pivot. Scale shape: refresh I/O is
+  * proportional to the delta (only window files are read — the spec
+  * deletes consumed files to prove it); deletes are metadata-sized;
+  * reindex is the only corpus-proportional operation and is an explicit
+  * scheduled repair, exactly like ANN codebook re-creates. */
+object SsimIndexMaintenance {
+  private val SourceVersionProp = "ssim.source-version"
+  private val PendingProp = "ssim.pending"
+  private val CdcPendingProp = "ssim.pending-cdc"
+  private val ReindexPendingProp = "ssim.pending-reindex"
+
+  private def warehouse(s: SparkSession, catalog: String): Path =
+    Paths.get(s.conf.get(s"spark.sql.catalog.$catalog.warehouse"))
+  private def tableRoot(s: SparkSession, catalog: String, ident: String): Path =
+    ident.split('.').foldLeft(warehouse(s, catalog))(_.resolve(_))
+
+  def lastSourceVersion(s: SparkSession, catalog: String, preIdent: String): Long =
+    ManifestSink.readHeader(tableRoot(s, catalog, preIdent))
+      .props.getOrElse(SourceVersionProp, "0").toLong
+
+  /** Non-canonicalizing doc → distinct-shingle tokens (see KEYING). */
+  private[graft] def docTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.plans.ShinglesExpr.shinglesNative(col("text"),
+        DedupOps.SetSimShingleN)).as("token"))
+
+  /** Prefixes of `docs` under the FROZEN stored order (absent → df 0). */
+  private def frozenOrderPrefixes(s: SparkSession, catalog: String,
+      dfIdent: String, docs: DataFrame): DataFrame =
+    DedupOps.prefixTokens(
+      docTokens(docs).join(s.table(s"$catalog.$dfIdent"), Seq("token"), "left")
+        .select(col("doc_id"), col("token"),
+          coalesce(col("df"), lit(0L)).as("df")),
+      DedupOps.SsimIndexBuildTBp)
+      .select(col("token"), col("doc_id"), col("m"))
+
+  /** Fresh (tokens, dfreq) of a source snapshot; both checkpointed —
+    * each feeds two downstream writes. */
+  private def snapshotStats(docs: DataFrame): (DataFrame, DataFrame) = {
+    val tk = docTokens(docs).localCheckpoint()
+    (tk, tk.groupBy("token").agg(count(lit(1)).as("df")).localCheckpoint())
+  }
+
+  /** Build the index on the source's CURRENT snapshot, record the
+    * consumed version. Returns it. */
+  def createIndex(s: SparkSession, catalog: String, srcIdent: String,
+      dfIdent: String, preIdent: String): Long = {
+    val v0 = ManifestSink.currentVersion(tableRoot(s, catalog, srcIdent))
+    s.sql(s"CREATE TABLE $catalog.$dfIdent (token STRING, df BIGINT) " +
+      "TBLPROPERTIES ('bloom.columns' = 'token')")
+    s.sql(s"CREATE TABLE $catalog.$preIdent " +
+      "(token STRING, doc_id BIGINT, m BIGINT) " +
+      "TBLPROPERTIES ('write.sort-by' = 'token', 'bloom.columns' = 'token')")
+    val (tk, dfreq) = snapshotStats(s.table(s"$catalog.$srcIdent"))
+    dfreq.select(col("token"), col("df")).writeTo(s"$catalog.$dfIdent").append()
+    DedupOps.prefixTokens(tk.join(dfreq, "token"), DedupOps.SsimIndexBuildTBp)
+      .select(col("token"), col("doc_id"), col("m"))
+      .writeTo(s"$catalog.$preIdent").append()
+    ManifestSink.alterSchema(tableRoot(s, catalog, preIdent),
+      Seq(TableChange.setProperty(SourceVersionProp, v0.toString)))
+    v0
+  }
+
+  /** The window's docs — from the CHANGE FEED, so only delta files are
+    * ever opened (append-only enforced by the feed itself). */
+  private def windowDelta(s: SparkSession, srcRoot: Path,
+      from: Long, to: Long): DataFrame =
+    s.read.format("graft.sources.ManifestSink")
+      .option("path", srcRoot.toString)
+      .option("changesFromVersion", from.toString)
+      .option("changesToVersion", to.toString)
+      .load()
+      .select(col("doc_id"), col("text"))
+
+  private[sources] def applyWindow(s: SparkSession, catalog: String,
+      srcRoot: Path, dfIdent: String, preIdent: String,
+      from: Long, to: Long): Unit =
+    frozenOrderPrefixes(s, catalog, dfIdent, windowDelta(s, srcRoot, from, to))
+      .writeTo(s"$catalog.$preIdent").append()
+
+  private def finalizeWindow(preRoot: Path, prop: String, to: Long): Unit =
+    ManifestSink.alterSchema(preRoot, Seq(
+      TableChange.setProperty(SourceVersionProp, to.toString),
+      TableChange.removeProperty(prop)))
+
+  private[sources] def recoverPending(s: SparkSession, catalog: String,
+      srcIdent: String, dfIdent: String, preIdent: String): Boolean = {
+    val preRoot = tableRoot(s, catalog, preIdent)
+    ManifestSink.readHeader(preRoot).props.get(PendingProp) match {
+      case None => false
+      case Some(p) =>
+        val (pf, pt, vA) = PendingWindow.parse(p)
+        PendingWindow.verifyPivot(preRoot, PendingProp, p, vA)
+        if (ManifestSink.currentVersion(preRoot) == vA)
+          applyWindow(s, catalog, tableRoot(s, catalog, srcIdent),
+            dfIdent, preIdent, pf, pt)
+        finalizeWindow(preRoot, PendingProp, pt)
+        true
+    }
+  }
+
+  /** Refresh from the docs appended since the last refresh. Returns the
+    * source version the index now reflects. */
+  def refresh(s: SparkSession, catalog: String, srcIdent: String,
+      dfIdent: String, preIdent: String): Long = {
+    val srcRoot = tableRoot(s, catalog, srcIdent)
+    val preRoot = tableRoot(s, catalog, preIdent)
+    recoverPending(s, catalog, srcIdent, dfIdent, preIdent)
+    val from = lastSourceVersion(s, catalog, preIdent)
+    val to = ManifestSink.currentVersion(srcRoot)
+    if (to <= from) return from
+    PendingWindow.stage(preRoot, PendingProp, from, to)
+    applyWindow(s, catalog, srcRoot, dfIdent, preIdent, from, to)
+    finalizeWindow(preRoot, PendingProp, to)
+    to
+  }
+
+  // ---- CDC-aware refresh: deletes propagate without reading anything ----
+
+  private def windowChanges(s: SparkSession, srcRoot: Path,
+      from: Long, to: Long): DataFrame =
+    s.read.format("graft.sources.ManifestSink")
+      .option("path", srcRoot.toString)
+      .option("changesFromVersion", from.toString)
+      .option("changesToVersion", to.toString)
+      .option("changeFeedMode", "cdc")
+      .load()
+      .select(col("doc_id"), col("text"), col("_change_type"))
+
+  /** Deterministic two-commit apply: append the window's inserted docs'
+    * prefixes (first commit), then retire its deletes as ONE EQUALITY
+    * DELETE on the prefix table keyed by doc_id (second commit) — the
+    * zero-read delete path: O(delete keys), no prefix base file is ever
+    * opened. A key both inserted and deleted inside one window is
+    * REFUSED (the feed carries no intra-window ordering); refresh more
+    * often than you churn a key. */
+  private[sources] def applyWindowCdc(s: SparkSession, catalog: String,
+      srcRoot: Path, preRoot: Path, dfIdent: String, preIdent: String,
+      from: Long, to: Long, skipInsert: Boolean = false): (Boolean, Boolean) = {
+    val ch = windowChanges(s, srcRoot, from, to).localCheckpoint()
+    val delKeys = ch.filter(col("_change_type") === "delete")
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val ins = ch.filter(col("_change_type") === "insert")
+      .select(col("doc_id"), col("text"))
+    val insDel = ins.join(
+      ch.filter(col("_change_type") === "delete").select("doc_id"),
+      Seq("doc_id"), "left_semi").limit(1).collect()
+    require(insDel.isEmpty,
+      s"refresh window ($from, $to] both inserts and deletes doc_id " +
+        s"${insDel.headOption.map(_.getLong(0)).getOrElse(-1L)} — the change " +
+        "feed carries no intra-window ordering; refresh with a narrower window")
+    val hasIns = !ins.isEmpty
+    if (hasIns && !skipInsert)
+      frozenOrderPrefixes(s, catalog, dfIdent, ins)
+        .writeTo(s"$catalog.$preIdent").append()
+    if (delKeys.nonEmpty)
+      ManifestSink.deleteWhereEq(preRoot.toString, "doc_id",
+        delKeys.map(_.toString))
+    (hasIns, delKeys.nonEmpty)
+  }
+
+  private[sources] def recoverPendingCdc(s: SparkSession, catalog: String,
+      srcIdent: String, dfIdent: String, preIdent: String): Boolean = {
+    val preRoot = tableRoot(s, catalog, preIdent)
+    ManifestSink.readHeader(preRoot).props.get(CdcPendingProp) match {
+      case None => false
+      case Some(p) =>
+        val (pf, pt, vA) = PendingWindow.parse(p)
+        PendingWindow.verifyPivot(preRoot, CdcPendingProp, p, vA)
+        val srcRoot = tableRoot(s, catalog, srcIdent)
+        val cur = ManifestSink.currentVersion(preRoot)
+        // apply order is deterministic (append, then delete), so the
+        // landed-commit count disambiguates exactly which half remains
+        if (cur == vA)
+          applyWindowCdc(s, catalog, srcRoot, preRoot, dfIdent, preIdent, pf, pt)
+        else {
+          val ch = windowChanges(s, srcRoot, pf, pt)
+          val hasIns = !ch.filter(col("_change_type") === "insert").isEmpty
+          val hasDel = !ch.filter(col("_change_type") === "delete").isEmpty
+          val expected = vA + (if (hasIns) 1L else 0L) + (if (hasDel) 1L else 0L)
+          if (cur < expected && hasIns && hasDel && cur == vA + 1L)
+            applyWindowCdc(s, catalog, srcRoot, preRoot, dfIdent, preIdent,
+              pf, pt, skipInsert = true)
+        }
+        finalizeWindow(preRoot, CdcPendingProp, pt)
+        true
+    }
+  }
+
+  /** [[refresh]] for sources that DELETE: consumes the row change feed,
+    * so merge-on-read deletes in the window retire prefix rows through
+    * the equality-delete path instead of failing the refresh. */
+  def refreshCdc(s: SparkSession, catalog: String, srcIdent: String,
+      dfIdent: String, preIdent: String): Long = {
+    val srcRoot = tableRoot(s, catalog, srcIdent)
+    val preRoot = tableRoot(s, catalog, preIdent)
+    recoverPendingCdc(s, catalog, srcIdent, dfIdent, preIdent)
+    val from = lastSourceVersion(s, catalog, preIdent)
+    val to = ManifestSink.currentVersion(srcRoot)
+    if (to <= from) return from
+    PendingWindow.stage(preRoot, CdcPendingProp, from, to)
+    applyWindowCdc(s, catalog, srcRoot, preRoot, dfIdent, preIdent, from, to)
+    finalizeWindow(preRoot, CdcPendingProp, to)
+    to
+  }
+
+  // ---- REINDEX: the drift repair ------------------------------------------
+
+  /** Rewrite both index tables from the source snapshot at `to`
+    * (idempotent: a replay recomputes identical content from the pinned
+    * version, and each overwrite is one truncate+append commit). */
+  private def applyReindex(s: SparkSession, catalog: String,
+      srcIdent: String, dfIdent: String, preIdent: String, to: Long): Unit = {
+    val snap = s.read.format("graft.sources.ManifestSink")
+      .option("path", tableRoot(s, catalog, srcIdent).toString)
+      .option("versionAsOf", to.toString)
+      .load()
+      .select(col("doc_id"), col("text"))
+    val (tk, dfreq) = snapshotStats(snap)
+    dfreq.select(col("token"), col("df"))
+      .writeTo(s"$catalog.$dfIdent").overwrite(lit(true))
+    DedupOps.prefixTokens(tk.join(dfreq, "token"), DedupOps.SsimIndexBuildTBp)
+      .select(col("token"), col("doc_id"), col("m"))
+      .writeTo(s"$catalog.$preIdent").overwrite(lit(true))
+  }
+
+  private[sources] def recoverReindex(s: SparkSession, catalog: String,
+      srcIdent: String, dfIdent: String, preIdent: String): Boolean = {
+    val preRoot = tableRoot(s, catalog, preIdent)
+    ManifestSink.readHeader(preRoot).props.get(ReindexPendingProp) match {
+      case None => false
+      case Some(p) =>
+        val (_, pt, _) = PendingWindow.parse(p)
+        // overwrites are idempotent against the pinned snapshot: redo
+        // both unconditionally, then finalize
+        applyReindex(s, catalog, srcIdent, dfIdent, preIdent, pt)
+        finalizeWindow(preRoot, ReindexPendingProp, pt)
+        true
+    }
+  }
+
+  /** Rebuild the frozen-df order and every prefix from the source's
+    * CURRENT snapshot — the scheduled repair for df drift. Probe
+    * RESULTS are invariant (the order only steers candidate pruning;
+    * verification is exact either way — the spec pins it); what the
+    * rebuild restores is PRUNING POWER: prefixes are again the truly
+    * rarest tokens, and the prefix table consolidates back into
+    * token-clustered files a probe's runtime filter can skip. Runs
+    * under the single-refresher contract: probes racing the two-commit
+    * cutover should read pinned versions (history keeps the prior
+    * index readable). Returns the source version reindexed to. */
+  def reindex(s: SparkSession, catalog: String, srcIdent: String,
+      dfIdent: String, preIdent: String): Long = {
+    val preRoot = tableRoot(s, catalog, preIdent)
+    recoverReindex(s, catalog, srcIdent, dfIdent, preIdent)
+    // fold in any un-refreshed appends first so the rebuild consumes
+    // the same windows a refresh would (keeps the version pointer
+    // monotone and the pending protocols disjoint)
+    recoverPending(s, catalog, srcIdent, dfIdent, preIdent)
+    recoverPendingCdc(s, catalog, srcIdent, dfIdent, preIdent)
+    val to = ManifestSink.currentVersion(tableRoot(s, catalog, srcIdent))
+    PendingWindow.stage(preRoot, ReindexPendingProp, 0L, to)
+    applyReindex(s, catalog, srcIdent, dfIdent, preIdent, to)
+    finalizeWindow(preRoot, ReindexPendingProp, to)
+    to
+  }
+}
