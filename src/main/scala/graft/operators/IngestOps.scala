@@ -74,6 +74,51 @@ object IngestOps {
   private val centsToStringSql = (c: String) =>
     s"(CASE WHEN $c < 0 THEN '-' ELSE '' END || CAST(abs($c)//100 AS VARCHAR) || '.' || lpad(CAST(abs($c)%100 AS VARCHAR), 2, '0'))"
 
+  /** q197's raw-markup kernels, factored over an arbitrary markup
+    * column so specs can drive ADVERSARIAL markup through the exact
+    * expressions the query runs. `tagContents` captures inner text of
+    * every well-formed `<tag …>…</tag>` pair (lazy match, `.` stops at
+    * nothing — (?s) not set so content is same-line… the fixture
+    * builder emits single-line markup and the oracle mirrors the
+    * dialect); `strippedText` is the get_text() twin. */
+  private[graft] def tagContents(markup: org.apache.spark.sql.Column,
+      tag: String): org.apache.spark.sql.Column =
+    regexp_extract_all(markup, lit(s"<$tag[^>]*>(.*?)</$tag>"), lit(1))
+
+  private[graft] def strippedText(
+      markup: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(markup, "<[^>]+>", " "), " +", " "))
+
+  /** The regex kernels' WELL-FORMEDNESS boundary, made explicit: they
+    * assume balanced open/close pairs, no same-tag nesting, and no `>`
+    * inside attribute values (SURVEY §7.3's no-JVM-parser constraint —
+    * the reference's BeautifulSoup+lxml silently REPAIRS such markup,
+    * rotterdam_swimming_advice.py:52-95). This guard detects each
+    * violation and returns its message — NULL only for markup the
+    * kernels parse faithfully — so a pipeline routes broken pages into
+    * the q33-style error channel instead of shipping silently
+    * mis-extracted text. One scan, pure codegen'd string expressions;
+    * spec-only contract (q197's fixture markup is well-formed by
+    * construction, so its oracle is untouched). */
+  private[graft] def markupError(markup: org.apache.spark.sql.Column,
+      tags: Seq[String]): org.apache.spark.sql.Column = {
+    val perTag = tags.flatMap { t =>
+      val opens = size(regexp_extract_all(markup, lit(s"<$t(\\s[^>]*)?>"), lit(0)))
+      val closes = size(regexp_extract_all(markup, lit(s"</$t>"), lit(0)))
+      val nested = markup.rlike(s"(?s)<$t(\\s[^>]*)?>((?!</$t>).)*?<$t[\\s>]")
+      Seq(
+        when(opens =!= closes, lit(s"unbalanced <$t> (unclosed or stray close)")),
+        when(nested, lit(s"nested <$t> inside <$t>")))
+    }
+    // a tag-open whose quote count is odd means a quoted attribute value
+    // contained '>' and the `[^>]*` boundary cut it mid-value
+    val oddQuote = exists(
+      regexp_extract_all(markup, lit("<[^>]+>"), lit(0)),
+      t => (length(t) - length(regexp_replace(t, "\"", ""))) % 2 === 1)
+    coalesce(perTag :+
+      when(oddQuote, lit("attribute value contains '>' (tag boundary cut mid-quote)")): _*)
+  }
+
   val queries: Map[String, Q] = Map(
     // P2/E2: first element of an ordered collection matching a contains-
     // predicate, with a default when nothing matches — the reference's
@@ -214,17 +259,11 @@ object IngestOps {
           when(col("doc_id") % 7 === 0, concat(head, body))
             .otherwise(concat(head, h1, body)))
         .select(col("doc_id"),
-          coalesce(try_element_at(
-            regexp_extract_all(col("markup"), lit("<h1[^>]*>(.*?)</h1>"), lit(1)),
-            lit(1)), lit("untitled")).as("title"),
-          size(regexp_extract_all(col("markup"), lit("<p[^>]*>(.*?)</p>"), lit(1)))
-            .cast("long").as("n_paras"),
-          element_at(
-            regexp_extract_all(col("markup"), lit("<p[^>]*>(.*?)</p>"), lit(1)),
-            1).as("first_para"),
-          trim(regexp_replace(
-            regexp_replace(col("markup"), "<[^>]+>", " "), " +", " "))
-            .as("clean_text"))
+          coalesce(try_element_at(tagContents(col("markup"), "h1"), lit(1)),
+            lit("untitled")).as("title"),
+          size(tagContents(col("markup"), "p")).cast("long").as("n_paras"),
+          element_at(tagContents(col("markup"), "p"), 1).as("first_para"),
+          strippedText(col("markup")).as("clean_text"))
         .orderBy("doc_id")
     }),
 

@@ -202,4 +202,35 @@ class OperatorSpec extends AnyFunSuite {
         s"doc $id clean_text diverged")
     }
   }
+
+  test("q197 adversarial markup lands in the error channel, never as silent mis-extraction") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, when, element_at}
+    import graft.operators.IngestOps.{markupError, tagContents}
+    // the three markup shapes the regex kernels CANNOT parse faithfully
+    // (the reference's lxml parser silently repairs them,
+    // rotterdam_swimming_advice.py:52-95); each must be DETECTED — the
+    // guarded pipeline routes it to the q33-style error channel —
+    // rather than extracting plausible-but-wrong text
+    val docs = Seq(
+      (1L, "<p>alpha</p><p>beta</p>"), // clean: parses faithfully
+      (2L, "<p>alpha <p>beta</p>"), // unclosed first <p>
+      (3L, "<p title=\"x>y\">text</p>"), // '>' inside an attribute value
+      (4L, "<p>outer <p>inner</p> tail</p>") // nested same-tag
+    ).toDF("doc_id", "markup")
+    val got = docs.select(col("doc_id"),
+        markupError(col("markup"), Seq("p")).as("error"),
+        when(markupError(col("markup"), Seq("p")).isNull,
+          element_at(tagContents(col("markup"), "p"), 1)).as("first_para"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[String]("error")), Option(r.getAs[String]("first_para"))))
+      .toMap
+    assert(got(1L) == (None, Some("alpha")), s"clean markup must parse: ${got(1L)}")
+    assert(got(2L)._1.exists(_.contains("unbalanced <p>")), s"unclosed: ${got(2L)}")
+    assert(got(3L)._1.exists(_.contains("contains '>'")), s"attr '>': ${got(3L)}")
+    assert(got(4L)._1.exists(_.contains("nested <p>")), s"nested: ${got(4L)}")
+    // and none of the broken shapes produced text — the silent-mis-parse
+    // failure mode is structurally closed
+    Seq(2L, 3L, 4L).foreach(id => assert(got(id)._2.isEmpty, s"doc $id leaked text"))
+  }
 }
