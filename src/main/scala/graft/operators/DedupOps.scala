@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
@@ -88,6 +89,30 @@ object DedupOps {
     * degrades toward all-pairs. q196 holds there by adding PPJoin's
     * positional filter (Xiao et al. 2008, public algorithm). */
   val SetSimPpTBp = 5000L
+
+  /** q202 line-level dedup: "line" width in words (this corpus is
+    * single-line, so lines are the fixed word-window segmentation; a
+    * newline corpus substitutes its real lines), and the document
+    * frequency at which a line counts as cross-document boilerplate —
+    * CCNet/RefinedWeb drop at >= 2 distinct docs. */
+  val LineWords = 10
+  val LineDupMinDocs = 2
+
+  /** q203 truncation-dup prefix-key width in words: the long side emits
+    * one key per k <= this bound, so candidate fan-out per doc is
+    * bounded by it; 10 words is selective far past any boilerplate
+    * opening (the same width q202 uses for a whole line). */
+  val PrefixKeyWords = 10
+
+  /** Split `text` into LineWords-word chunks: the doc's word array
+    * sliced at fixed offsets, each chunk re-joined with single spaces.
+    * The last chunk keeps its partial tail (slice clamps). */
+  private def lineChunks(text: Column, words: Int): Column = {
+    val ws = tokens(text)
+    transform(
+      sequence(lit(0), floor((size(ws) - 1) / lit(words)).cast("int")),
+      j => array_join(slice(ws, j * words + 1, lit(words)), " "))
+  }
 
   /** Shared prelude of the exact set-similarity family: exact-dup
     * canonicalization, shingle tokens, global document frequencies.
@@ -1205,7 +1230,111 @@ object DedupOps {
         .join(e.select(col("doc_a").as("a"), col("doc_b").as("c")), Seq("a", "c"))
         .select("a", "b", "c")
         .orderBy("a", "b", "c")
-    }))
+    }),
+
+    // LINE-level dedup (public method: CCNet, Wenzek et al. 2020 — also
+    // RefinedWeb/FineWeb's "remove lines duplicated across documents"):
+    // one corpus-wide pass counts each distinct line's DOCUMENT frequency;
+    // lines appearing in >= LineDupMinDocs distinct docs are boilerplate
+    // (headers, navigation, license blurbs) and are removed from EVERY
+    // document — CCNet drops all copies, not all-but-one — then survivors
+    // reassemble in original order. "Lines" here are the LineWords-word
+    // segmentation of each doc (this corpus is single-line; a
+    // newline-delimited corpus plugs its real lines into the same
+    // algebra). Scale shape: explode -> two-phase count-distinct on the
+    // line key -> one equi-join back on the line -> per-doc re-aggregate.
+    // No all-pairs anywhere; the duplicated-line table is NOT assumed
+    // broadcastable (boilerplate volume grows with the corpus), so the
+    // join-back shuffles by line and AQE handles hot boilerplate keys.
+    // collect_list drops null structs, so survivors gather without a
+    // second scan; array_sort on (pos, line) structs restores document
+    // order exactly.
+    "q202_line_dedup" -> ((s, dir) =>
+      lineDedup(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // TRUNCATION-duplicate detection: documents whose full token sequence
+    // is a word-aligned PREFIX of a strictly longer document (the classic
+    // crawl artifact — the same page captured once complete and once cut
+    // off mid-stream; doc-level MinHash misses these when the truncation
+    // is short, and q131's substring windows report shared runs without
+    // the containment-from-position-0 keep rule). Candidates form on an
+    // equi-join over the first-k-words prefix key: the short side emits
+    // ONE key at k = min(PrefixKeyWords, |doc|); the long side emits its
+    // first-k prefixes for every k <= PrefixKeyWords (a bounded <= 10-row
+    // fan-out per doc, NOT per-length keys over the whole doc). Word
+    // alignment makes verification exact and cheap: startswith(long,
+    // short || ' ') — a char-level prefix that splits a token is not a
+    // truncation. Keep rule: each contained doc maps to its LONGEST
+    // container (tie: min doc_id) — the canonical "keep the most complete
+    // capture". Exact-equal texts are q40's domain and are excluded by
+    // the strict length filter.
+    "q203_prefix_dedup" -> ((s, dir) =>
+      prefixDups(Tables.documents(s, dir)).orderBy("dup_id")))
+
+  /** q202's engine over an arbitrary (doc_id, text) frame — see the
+    * q202 entry for the design commentary. */
+  private[graft] def lineDedup(docs: DataFrame): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(lineChunks(col("text"), LineWords)).as(Seq("pos", "line")))
+    val dupLines = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= LineDupMinDocs)
+      .select(col("line"), lit(1).as("dup"))
+    lines.join(dupLines, Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        count(col("dup")).as("n_dup_lines"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("dup").isNull,
+            struct(col("pos"), col("line"))))),
+          x => x("line")), " ")).as("clean_md5"))
+      .select("doc_id", "n_lines", "n_dup_lines", "clean_md5")
+  }
+
+  /** q203's engine over an arbitrary (doc_id, text) frame — see the
+    * q203 entry for the design commentary.
+    *
+    * The long side's shuffle rows carry the keeper TEXT only on the
+    * k = PrefixKeyWords row — the sole case verification reads it. A
+    * dup with fewer than PrefixKeyWords words joins at k = |dup|,
+    * where the prefix key IS the dup's whole text, so pk equality
+    * already proves the word-prefix and the strict char-length test
+    * alone proves the keeper continues past it (equal first-k words
+    * + more chars forces a word k+1). Without this, the join would
+    * shuffle every document's text PrefixKeyWords times — 10× corpus
+    * write amplification for bytes nothing reads. */
+  private[graft] def prefixDups(docs0: DataFrame): DataFrame = {
+    // explicit null gate: a null text can never pair, and stating it on
+    // the raw column (not through derived exprs like length(text), which
+    // the join constraints otherwise propagate un-simplified) gives the
+    // scan a PUSHABLE IsNotNull instead of an unpushed scan-adjacent
+    // filter (PlanAudit's NO-PUSHDOWN smell)
+    val docs = docs0.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("ws"))
+      .withColumn("nw", size(col("ws")))
+    val shortSide = docs.select(col("doc_id").as("dup_id"),
+      col("text").as("dup_text"),
+      least(lit(PrefixKeyWords), col("nw")).as("k"),
+      array_join(slice(col("ws"), lit(1), least(lit(PrefixKeyWords), col("nw"))), " ").as("pk"))
+    val longSide = docs
+      .withColumn("k", explode(sequence(lit(1), least(lit(PrefixKeyWords), col("nw")))))
+      .select(col("doc_id").as("keeper_id"),
+        when(col("k") === PrefixKeyWords, col("text")).as("keeper_full_text"),
+        length(col("text")).cast("long").as("keeper_chars"),
+        col("k"), array_join(slice(col("ws"), lit(1), col("k")), " ").as("pk"))
+    val w = Window.partitionBy("dup_id")
+      .orderBy(col("keeper_chars").desc, col("keeper_id"))
+    shortSide.join(longSide, Seq("k", "pk"))
+      .filter(col("keeper_chars") > length(col("dup_text")) &&
+        (col("k") < PrefixKeyWords ||
+          col("keeper_full_text").startsWith(concat(col("dup_text"), lit(" ")))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("dup_id"), col("keeper_id"),
+        length(col("dup_text")).cast("long").as("dup_chars"),
+        col("keeper_chars"))
+  }
 
   // ---- DuckDB oracle ------------------------------------------------------
 
@@ -1351,6 +1480,39 @@ object DedupOps {
     "q198_setsim_incremental" -> naiveIncrementalSql,
     "q199_setsim_index" -> naiveIncrementalSql,
     "q201_setsim_maintained" -> naiveMaintainedSql,
+
+    "q202_line_dedup" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |l AS (SELECT doc_id, j AS pos,
+         |    array_to_string(ws[j*$LineWords+1 : j*$LineWords+$LineWords], ' ') AS line
+         |  FROM w, unnest(generate_series(0, CAST((len(ws)-1)//$LineWords AS BIGINT))) t(j)),
+         |d AS (SELECT line FROM l GROUP BY line
+         |  HAVING count(DISTINCT doc_id) >= $LineDupMinDocs)
+         |SELECT l.doc_id, count(*) AS n_lines, count(d.line) AS n_dup_lines,
+         |  md5(coalesce(string_agg(CASE WHEN d.line IS NULL THEN l.line END,
+         |    ' ' ORDER BY l.pos), '')) AS clean_md5
+         |FROM l LEFT JOIN d ON l.line = d.line
+         |GROUP BY l.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q203_prefix_dedup" ->
+      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+         |a AS (SELECT doc_id AS dup_id, text AS dup_text,
+         |    least($PrefixKeyWords, len(ws)) AS k,
+         |    array_to_string(ws[1 : least($PrefixKeyWords, len(ws))], ' ') AS pk FROM w),
+         |b AS (SELECT doc_id AS keeper_id, text AS keeper_text, k,
+         |    array_to_string(ws[1 : k], ' ') AS pk
+         |  FROM w, unnest(generate_series(1, least($PrefixKeyWords, CAST(len(ws) AS BIGINT)))) t(k))
+         |SELECT dup_id, keeper_id,
+         |  CAST(length(dup_text) AS BIGINT) AS dup_chars,
+         |  CAST(length(keeper_text) AS BIGINT) AS keeper_chars
+         |FROM (
+         |  SELECT dup_id, keeper_id, dup_text, keeper_text,
+         |    row_number() OVER (PARTITION BY dup_id
+         |      ORDER BY length(keeper_text) DESC, keeper_id) AS rn
+         |  FROM a JOIN b USING (k, pk)
+         |  WHERE length(keeper_text) > length(dup_text)
+         |    AND starts_with(keeper_text, dup_text || ' '))
+         |WHERE rn = 1 ORDER BY dup_id""".stripMargin,
 
     "q40_exact_dedup" ->
       """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies, md5(text) AS text_md5

@@ -55,6 +55,12 @@ object SimilarityOps {
     * planted near-dups sit (q47 uses the same line). */
   val SemDedupTau = 0.3
 
+  /** q204 semantic-contamination threshold in basis points — the same
+    * 0.3 near-duplicate operating point as [[SemDedupTau]]/q47, scored
+    * as exact integer bp (floor) so the witness ranking is
+    * engine-stable. */
+  val SemContamBp = 3000L
+
   /** Session-scoped override of [[Planes]] — recall/occupancy tuning is a
     * deployment decision, not a code edit. */
   def planesFor(s: SparkSession): Int =
@@ -109,6 +115,30 @@ object SimilarityOps {
 
   private def bucket(s: SparkSession, vec: Column): Column =
     graft.plans.LshBucketExpr.bucketNative(vec, planesFor(s), Dim)
+
+  /** q204's engine over an arbitrary (vec_id, embedding) frame: `isEval`
+    * marks the benchmark stratum (broadcast side); flags every OTHER
+    * vector whose LSH-bucket cosine to some eval vector reaches `tauBp`,
+    * with hit count and the worst (eval, score) witness. */
+  private[graft] def semanticContam(s: SparkSession, emb: DataFrame,
+      isEval: Column, tauBp: Long): DataFrame = {
+    val b = emb.select(col("vec_id"), col("embedding"),
+      bucket(s, col("embedding")).as("bucket"), isEval.as("is_eval"))
+    val evalSide = b.filter(col("is_eval"))
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ee"), col("bucket"))
+    val train = b.filter(!col("is_eval"))
+      .select(col("vec_id").as("train_id"), col("embedding").as("te"), col("bucket"))
+    val wWitness = Window.partitionBy("train_id")
+      .orderBy(col("score_bp").desc, col("eval_id"))
+    train.join(broadcast(evalSide), Seq("bucket"))
+      .withColumn("score_bp",
+        floor(cosineNative(col("te"), col("ee")) * 10000).cast("long"))
+      .filter(col("score_bp") >= tauBp)
+      .withColumn("n_hits", count(lit(1)).over(Window.partitionBy("train_id")))
+      .withColumn("rn", row_number().over(wWitness))
+      .filter(col("rn") === 1)
+      .select(col("train_id"), col("eval_id"), col("score_bp"), col("n_hits"))
+  }
 
   private def topkPerProbe(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("cand_id"))
@@ -315,6 +345,23 @@ object SimilarityOps {
       // centroidsFor still sizes it — SemDeDup wants k ∝ N
       semanticDedup(emb, trainedCents(s, dir), SemDedupTau, clusterCapFor(s))
     }),
+
+    // Cross-corpus SEMANTIC decontamination — the embedding-space
+    // counterpart of q104's n-gram gate and q136's verbatim-window gate:
+    // a training item whose embedding sits at near-duplicate cosine to
+    // an eval item is a PARAPHRASE leak no lexical detector sees
+    // (the published extension of the GPT-3/Llama n-gram contamination
+    // audits; same similarity space as SemDeDup, pointed across corpora).
+    // Scale shape: candidates form inside LSH buckets only (the q45/q47
+    // contract — recall bounded by the bucketing, stated not hidden),
+    // and the JOIN IS ASYMMETRIC like q136's: the eval stratum is a
+    // benchmark suite — small by construction — so it BROADCASTS and
+    // the train corpus never shuffles; exact cosine verifies candidates
+    // only. Output per flagged train item: hit count and the worst
+    // (eval, score) witness, so a quarantine pass can act on it.
+    "q204_semantic_decontaminate" -> ((s, dir) =>
+      semanticContam(s, Tables.embeddings(s, dir),
+        col("vec_id") % 10 === 0, SemContamBp).orderBy("train_id")),
 
     // k-means TRAINING (Lloyd iterations) — builds the codebook q106/q48/
     // q134 consume instead of the "first k vectors" stand-in. Every step
@@ -1011,6 +1058,21 @@ object SimilarityOps {
          |    ${cosSql("a.embedding", "c.embedding")} AS score
          |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
          |WHERE score >= 0.3 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q204_semantic_decontaminate" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+         |e AS (SELECT vec_id AS eval_id, embedding AS ee, bucket FROM b WHERE vec_id % 10 = 0),
+         |t AS (SELECT vec_id AS train_id, embedding AS te, bucket FROM b WHERE vec_id % 10 <> 0),
+         |p AS (SELECT train_id, eval_id,
+         |    CAST(floor((${cosSql("te", "ee")}) * 10000) AS BIGINT) AS score_bp
+         |  FROM t JOIN e USING (bucket))
+         |SELECT train_id, eval_id, score_bp, n_hits FROM (
+         |  SELECT train_id, eval_id, score_bp,
+         |    count(*) OVER (PARTITION BY train_id) AS n_hits,
+         |    row_number() OVER (PARTITION BY train_id
+         |      ORDER BY score_bp DESC, eval_id) AS rn
+         |  FROM p WHERE score_bp >= $SemContamBp)
+         |WHERE rn = 1 ORDER BY train_id""".stripMargin,
 
     "q48_ivf_ann" ->
       s"""WITH $trainedCentsSql,

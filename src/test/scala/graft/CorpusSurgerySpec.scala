@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DedupOps, SimilarityOps}
+
+/** The round-13 corpus-surgery operators against planted micro-corpora:
+  *
+  *   - q202 line-level dedup (CCNet): cross-document boilerplate lines
+  *     are removed from EVERY copy, within-document repeats are NOT
+  *     (document frequency, not occurrence count, is the trigger), and
+  *     survivors reassemble in original order.
+  *   - q203 truncation-dup detection: word-aligned prefixes only, keep
+  *     the longest container, both key paths (short dup entirely inside
+  *     the prefix key vs long dup verified against the keeper text).
+  *   - q204 semantic decontamination: planted eval near-dups are
+  *     flagged with the right witness and hit count; dissimilar and
+  *     opposite vectors are not.
+  */
+class CorpusSurgerySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def words(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  private def md5Of(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q202: cross-doc boilerplate lines vanish from every copy, unique lines survive in order") {
+    val boiler = words("nav", 10) // one full 10-word line
+    val docs = Seq(
+      1L -> s"$boiler ${words("a", 10)}",  // boiler at line 0
+      2L -> s"${words("b", 10)} $boiler",  // boiler at line 1
+      3L -> words("c", 15)                 // untouched, 2 lines
+    ).toDF("doc_id", "text")
+    val got = DedupOps.lineDedup(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got === Array(
+      (1L, 2L, 1L, md5Of(words("a", 10))),
+      (2L, 2L, 1L, md5Of(words("b", 10))),
+      (3L, 2L, 0L, md5Of(words("c", 15)))))
+  }
+
+  test("q202: document frequency triggers removal, within-doc repetition does not; full removal yields the empty doc") {
+    val rep = words("r", 10)
+    val boiler = words("nav", 10)
+    val docs = Seq(
+      1L -> s"$rep $rep",          // same line TWICE in one doc: df = 1, kept
+      2L -> boiler,                // every line shared with doc 3:
+      3L -> boiler                 //   both collapse to the empty doc
+    ).toDF("doc_id", "text")
+    val got = DedupOps.lineDedup(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got === Array(
+      (1L, 2L, 0L, md5Of(s"$rep $rep")),
+      (2L, 1L, 1L, md5Of("")),
+      (3L, 1L, 1L, md5Of(""))))
+  }
+
+  test("q203: word-aligned truncations pair with their LONGEST container; char-aligned fakes and post-key divergence do not") {
+    val base = words("w", 30)
+    val docs = Seq(
+      // 12-word truncation of docs 2 and 3 -> keeper must be 3 (longer)
+      1L -> (1 to 12).map(i => s"w$i").mkString(" "),
+      2L -> words("w", 20),
+      3L -> base,
+      // char-level prefix of doc 3 that SPLITS a token ("w1 w" vs "w1 w2"):
+      // never a truncation
+      4L -> "w1 w",
+      // shares doc 3's full 10-word key then diverges at word 11:
+      // candidate forms, verification must reject
+      5L -> ((1 to 10).map(i => s"w$i") ++ Seq("x11", "x12")).mkString(" "),
+      // 3-word truncation: the short-dup path (key is the whole text)
+      6L -> "w1 w2 w3"
+    ).toDF("doc_id", "text")
+    val got = DedupOps.prefixDups(docs).orderBy("dup_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 3L), (2L, 3L), (6L, 3L)))
+  }
+
+  test("q204: planted eval near-dups are flagged with witness and hit count; opposite/dissimilar vectors are not") {
+    val e = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
+    val far = Array.tabulate(64)(i => (math.cos(3 * i + 2) * 0.5).toFloat)
+    val emb = Seq(
+      10L -> e,                  // eval (vec_id % 10 == 0)
+      20L -> e,                  // eval, identical -> second witness
+      11L -> e,                  // train clone: 2 hits, witness eval 10
+      12L -> e.map(-_),          // train opposite: cosine -1, never flagged
+      13L -> far                 // train dissimilar
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.semanticContam(spark, emb,
+        col("vec_id") % 10 === 0, SimilarityOps.SemContamBp)
+      .orderBy("train_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got === Array((11L, 10L, 10000L, 2L)))
+  }
+}
