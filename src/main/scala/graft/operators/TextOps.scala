@@ -40,6 +40,11 @@ object TextOps {
   /** MG sketch capacity: exact-output threshold is count > N/(K+1). */
   val HeavyHitterK = 31
 
+  /** q205 collision-probability ceiling in basis points: the fixture's
+    * Zipf-free baseline sits near 1/|vocab| ≈ 320 bp with a p99 of ~550;
+    * 800 flags only the genuinely repetition-heavy tail. */
+  val DiversityMaxBp = 800L
+
   /** The q200 engine over an arbitrary (doc_id, text) frame, so specs
     * can drive planted spam/diverse/block-repetition corpora through
     * the exact algebra. See the q200 entry for the design commentary. */
@@ -77,6 +82,32 @@ object TextOps {
         col("top2_bp") <= 2000 && col("top3_bp") <= 1800 &&
           col("top4_bp") <= 1600 && col("dup10_bp") <= 1000)
       .orderBy("doc_id")
+  }
+
+  /** q205's engine over an arbitrary (doc_id, text) frame — see the
+    * q205 entry for the design commentary. The fold computes Σc(c−1)
+    * incrementally over the SORTED token array: appending a token whose
+    * run length was k adds (k+1)k − k(k−1) = 2k. */
+  private[graft] def diversityGate(docs: DataFrame): DataFrame = {
+    val ws = array_sort(tokens(col("text")))
+    // prev seeds to "" — an actual empty first token compares equal to
+    // the seed, which is still coll-correct (its run starts at 0, so the
+    // first occurrence adds 2·0), but would leak one type out of a
+    // fold-computed uniq; the type count therefore uses array_distinct.
+    val acc0 = struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("coll"))
+    val fold = aggregate(ws, acc0, (a, w) => struct(
+      w.as("prev"),
+      when(w === a("prev"), a("run") + 1).otherwise(lit(1L)).as("run"),
+      (a("coll") + when(w === a("prev"), a("run") * 2).otherwise(lit(0L))).as("coll")))
+    docs
+      .select(col("doc_id"), size(ws).cast("long").as("n_tok"),
+        size(array_distinct(ws)).cast("long").as("n_uniq"), fold.as("f"))
+      .select(col("doc_id"), col("n_tok"), col("n_uniq"),
+        col("f.coll").as("coll"))
+      .withColumn("coll_bp", expr(
+        "CASE WHEN n_tok > 1 THEN coll * 10000 div (n_tok * (n_tok - 1)) ELSE 0L END"))
+      .withColumn("keep", col("coll_bp") <= DiversityMaxBp)
+      .select("doc_id", "n_tok", "n_uniq", "coll_bp", "keep")
   }
 
   val queries: Map[String, Q] = Map(
@@ -118,6 +149,21 @@ object TextOps {
           when(predicted === col("lang"), 1).otherwise(0).as("correct"))
         .orderBy("doc_id")
     }),
+
+    // RÉNYI-2 / SIMPSON DIVERSITY GATE: the collision probability of the
+    // doc's unigram distribution — Σ c_w(c_w−1) / (N(N−1)) in exact basis
+    // points. This is exp(−H₂) (second-order entropy) WITHOUT logarithms:
+    // an entropy-in-floats gate would drift between engines in the last
+    // ulp of ln(); the collision form is pure integer arithmetic, so it
+    // replays bit-for-bit. It is the 2nd-order complement of q52's
+    // distinct-ratio (1st order: how many types) — collision probability
+    // weights the HEAD of the distribution, catching "one word repeated,
+    // padded with variety" spam that a type-token ratio forgives. Scale
+    // shape: ZERO exchanges — one fold over the sorted token array per
+    // row computes Σc(c−1) incrementally (appending a token whose run was
+    // k adds 2k), so the gate rides any scan at any corpus size.
+    "q205_diversity_gate" -> ((s, dir) =>
+      diversityGate(Tables.documents(s, dir)).orderBy("doc_id")),
 
     "q52_quality_score" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -432,6 +478,21 @@ object TextOps {
          |  CASE WHEN coalesce(p.vlang, 'xx') = d.lang THEN 1 ELSE 0 END AS correct
          |FROM documents d LEFT JOIN pred p ON d.doc_id = p.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // the oracle states the SEMANTICS (per-token counts via group-by);
+    // the engine's single-fold incremental form must agree exactly
+    "q205_diversity_gate" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |c AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+         |  count(*) AS n_uniq,
+         |  CAST(CASE WHEN sum(c) > 1
+         |    THEN sum(c*(c-1)) * 10000 // (sum(c) * (sum(c)-1))
+         |    ELSE 0 END AS BIGINT) AS coll_bp,
+         |  (CASE WHEN sum(c) > 1
+         |    THEN sum(c*(c-1)) * 10000 // (sum(c) * (sum(c)-1))
+         |    ELSE 0 END) <= $DiversityMaxBp AS keep
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q52_quality_score" ->
       s"""SELECT doc_id, n_chars, n_tok, n_uniq,

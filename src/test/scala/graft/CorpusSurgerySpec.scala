@@ -81,6 +81,30 @@ class CorpusSurgerySpec extends AnyFunSuite {
     assert(got === Seq((1L, 3L), (2L, 3L), (6L, 3L)))
   }
 
+  test("q205: collision-probability fold equals the hand-computed per-token-count form; spam trips, diversity passes") {
+    val docs = Seq(
+      // x:5, a..e:1 -> coll = 5*4 = 20, N = 10 -> 20*10000//90 = 2222
+      1L -> "x x x x x a b c d e",
+      // interleaved repeats: a:3, b:2 -> coll = 6+2 = 8, N = 5 -> 4000
+      2L -> "a b a b a",
+      // all distinct -> coll 0, keep
+      3L -> words("d", 12),
+      // single token: N = 1 -> guarded division, bp 0, keep
+      4L -> "solo"
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.queries("q205_diversity_gate")
+      .apply(TestSpark.spark, TestSpark.sfDir) // fixture run only proves it executes
+    assert(got.columns.toSeq ===
+      Seq("doc_id", "n_tok", "n_uniq", "coll_bp", "keep"))
+    val planted = graft.operators.TextOps.diversityGate(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(planted === Array(
+      (1L, 10L, 6L, 2222L, false),
+      (2L, 5L, 2L, 4000L, false),
+      (3L, 12L, 12L, 0L, true),
+      (4L, 1L, 1L, 0L, true)))
+  }
+
   test("q204: planted eval near-dups are flagged with witness and hit count; opposite/dissimilar vectors are not") {
     val e = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
     val far = Array.tabulate(64)(i => (math.cos(3 * i + 2) * 0.5).toFloat)
