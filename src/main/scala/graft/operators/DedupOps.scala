@@ -104,6 +104,17 @@ object DedupOps {
     * opening (the same width q202 uses for a whole line). */
   val PrefixKeyWords = 10
 
+  /** q203 prefix-key document-frequency cap — the SubstrDfCap pattern: a
+    * 10-word OPENING shared by more than this many docs (a boilerplate
+    * header) would otherwise expand the candidate equi-join toward
+    * cap-free M² inside one key bucket; keys past the cap drop from the
+    * keeper side, bounding any bucket's fan-out at dfCap per dup row, at
+    * a documented recall cost confined to capped keys (a truncation of a
+    * boilerplate-headed doc whose header alone fills the key). Far above
+    * every fixture key's df, so capped and uncapped paths coincide
+    * wherever the oracle checks — the oracle mirrors the cap anyway. */
+  val PrefixDfCap = 256
+
   /** Split `text` into LineWords-word chunks: the doc's word array
     * sliced at fixed offsets, each chunk re-joined with single spaces.
     * The last chunk keeps its partial tail (slice clamps). */
@@ -1304,7 +1315,8 @@ object DedupOps {
     * + more chars forces a word k+1). Without this, the join would
     * shuffle every document's text PrefixKeyWords times — 10× corpus
     * write amplification for bytes nothing reads. */
-  private[graft] def prefixDups(docs0: DataFrame): DataFrame = {
+  private[graft] def prefixDups(docs0: DataFrame,
+      dfCap: Int = PrefixDfCap): DataFrame = {
     // explicit null gate: a null text can never pair, and stating it on
     // the raw column (not through derived exprs like length(text), which
     // the join constraints otherwise propagate un-simplified) gives the
@@ -1317,12 +1329,19 @@ object DedupOps {
       col("text").as("dup_text"),
       least(lit(PrefixKeyWords), col("nw")).as("k"),
       array_join(slice(col("ws"), lit(1), least(lit(PrefixKeyWords), col("nw"))), " ").as("pk"))
+    // df cap: the per-key window counts on the SAME (k, pk) partitioning
+    // the join needs, so the exchange is shared; dropping over-cap keys
+    // from the keeper side alone starves their dup rows of matches
+    val wDf = Window.partitionBy("k", "pk")
     val longSide = docs
       .withColumn("k", explode(sequence(lit(1), least(lit(PrefixKeyWords), col("nw")))))
       .select(col("doc_id").as("keeper_id"),
         when(col("k") === PrefixKeyWords, col("text")).as("keeper_full_text"),
         length(col("text")).cast("long").as("keeper_chars"),
         col("k"), array_join(slice(col("ws"), lit(1), col("k")), " ").as("pk"))
+      .withColumn("kdf", count(lit(1)).over(wDf))
+      .filter(col("kdf") <= dfCap)
+      .drop("kdf")
     val w = Window.partitionBy("dup_id")
       .orderBy(col("keeper_chars").desc, col("keeper_id"))
     shortSide.join(longSide, Seq("k", "pk"))
@@ -1499,9 +1518,12 @@ object DedupOps {
          |a AS (SELECT doc_id AS dup_id, text AS dup_text,
          |    least($PrefixKeyWords, len(ws)) AS k,
          |    array_to_string(ws[1 : least($PrefixKeyWords, len(ws))], ' ') AS pk FROM w),
-         |b AS (SELECT doc_id AS keeper_id, text AS keeper_text, k,
+         |b0 AS (SELECT doc_id AS keeper_id, text AS keeper_text, k,
          |    array_to_string(ws[1 : k], ' ') AS pk
-         |  FROM w, unnest(generate_series(1, least($PrefixKeyWords, CAST(len(ws) AS BIGINT)))) t(k))
+         |  FROM w, unnest(generate_series(1, least($PrefixKeyWords, CAST(len(ws) AS BIGINT)))) t(k)),
+         |b AS (SELECT * FROM (SELECT b0.*,
+         |    count(*) OVER (PARTITION BY k, pk) AS kdf FROM b0)
+         |  WHERE kdf <= $PrefixDfCap)
          |SELECT dup_id, keeper_id,
          |  CAST(length(dup_text) AS BIGINT) AS dup_chars,
          |  CAST(length(keeper_text) AS BIGINT) AS keeper_chars

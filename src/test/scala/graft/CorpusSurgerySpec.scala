@@ -105,6 +105,30 @@ class CorpusSurgerySpec extends AnyFunSuite {
       (4L, 1L, 1L, 0L, true)))
   }
 
+  test("q203: boilerplate-opening keys past the df cap drop (bounded fan-out), under-cap recall is untouched") {
+    // 6 docs share the SAME 10-word opening then diverge — with cap 4
+    // the k=10 key is dropped, so even a REAL truncation among them
+    // (doc 100 is a word-aligned prefix of doc 101) is sacrificed: the
+    // documented recall cost, confined to capped keys. The pair with a
+    // distinct opening (200 -> 201) must survive unaffected.
+    val opening = words("hot", 10)
+    val docs = (Seq(
+      100L -> s"$opening one two",
+      101L -> s"$opening one two three four", // 100 is its word-prefix
+      200L -> words("z", 12),
+      201L -> s"${words("z", 12)} tail more"  // 200 is its word-prefix
+    ) ++ (102L to 105L).map(i => i -> s"$opening ${words(s"v$i", 5)}"))
+      .toDF("doc_id", "text")
+    val capped = DedupOps.prefixDups(docs, dfCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((200L, 201L)),
+      "hot-key pairs must be sacrificed at the cap; distinct-opening recall untouched")
+    val uncapped = DedupOps.prefixDups(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped === Set((100L, 101L), (200L, 201L)),
+      "default cap far above the planted df: full recall")
+  }
+
   test("q204: planted eval near-dups are flagged with witness and hit count; opposite/dissimilar vectors are not") {
     val e = Array.tabulate(64)(i => (math.sin(i + 1) * 0.5).toFloat)
     val far = Array.tabulate(64)(i => (math.cos(3 * i + 2) * 0.5).toFloat)
