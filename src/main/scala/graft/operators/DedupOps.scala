@@ -1280,7 +1280,29 @@ object DedupOps {
     // capture". Exact-equal texts are q40's domain and are excluded by
     // the strict length filter.
     "q203_prefix_dedup" -> ((s, dir) =>
-      prefixDups(Tables.documents(s, dir)).orderBy("dup_id")))
+      prefixDups(Tables.documents(s, dir)).orderBy("dup_id")),
+
+    // INCREMENTAL line-level dedup — the q119/q198 batch-vs-corpus
+    // pattern at LINE granularity, completing the family matrix (exact
+    // doc, MinHash near-dup, exact set-sim, substring and line dedup
+    // all now have both inline and incremental forms): an arriving
+    // batch is cleaned against the STANDING corpus — any batch line
+    // already present in the reference shard is boilerplate relative to
+    // it and drops (CCNet run in its production shape: the line
+    // frequency table is computed ONCE on a reference shard and every
+    // incoming shard is cleaned against it, so ingest cost follows the
+    // batch, never corpus × corpus). The corpus's distinct-line table
+    // is the standing statistic: buildable offline, maintainable by the
+    // change feed exactly like the set-sim prefix index (q201's
+    // protocol applies unchanged — the table is one column keyed by
+    // line).
+    "q206_line_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      lineDedupIncremental(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7)
+      ).orderBy("doc_id")
+    }))
 
   /** q202's engine over an arbitrary (doc_id, text) frame — see the
     * q202 entry for the design commentary. */
@@ -1301,6 +1323,28 @@ object DedupOps {
             struct(col("pos"), col("line"))))),
           x => x("line")), " ")).as("clean_md5"))
       .select("doc_id", "n_lines", "n_dup_lines", "clean_md5")
+  }
+
+  /** q206's engine: clean `batch` against `corpus`'s standing distinct
+    * line set — see the q206 entry for the design commentary. The
+    * corpus side reduces to one distinct-line column before the join,
+    * so the shuffle carries corpus lines once and batch lines once;
+    * reassembly is q202's null-skipping collect_list. */
+  private[graft] def lineDedupIncremental(corpus: DataFrame,
+      batch: DataFrame): DataFrame = {
+    def lines(df: DataFrame) = df.select(col("doc_id"),
+      posexplode(lineChunks(col("text"), LineWords)).as(Seq("pos", "line")))
+    val corpusLines = lines(corpus).select("line").distinct()
+      .withColumn("hit", lit(1))
+    lines(batch).join(corpusLines, Seq("line"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        count(col("hit")).as("n_dropped"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("hit").isNull,
+            struct(col("pos"), col("line"))))),
+          x => x("line")), " ")).as("clean_md5"))
+      .select("doc_id", "n_lines", "n_dropped", "clean_md5")
   }
 
   /** q203's engine over an arbitrary (doc_id, text) frame — see the
@@ -1512,6 +1556,19 @@ object DedupOps {
          |    ' ' ORDER BY l.pos), '')) AS clean_md5
          |FROM l LEFT JOIN d ON l.line = d.line
          |GROUP BY l.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q206_line_dedup_incremental" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |l AS (SELECT doc_id, j AS pos,
+         |    array_to_string(ws[j*$LineWords+1 : j*$LineWords+$LineWords], ' ') AS line
+         |  FROM w, unnest(generate_series(0, CAST((len(ws)-1)//$LineWords AS BIGINT))) t(j)),
+         |cl AS (SELECT DISTINCT line FROM l WHERE doc_id % 10 <> 7),
+         |bl AS (SELECT doc_id, pos, l.line, cl.line AS hit
+         |  FROM l LEFT JOIN cl ON l.line = cl.line WHERE doc_id % 10 = 7)
+         |SELECT doc_id, count(*) AS n_lines, count(hit) AS n_dropped,
+         |  md5(coalesce(string_agg(CASE WHEN hit IS NULL THEN line END,
+         |    ' ' ORDER BY pos), '')) AS clean_md5
+         |FROM bl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q203_prefix_dedup" ->
       s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),

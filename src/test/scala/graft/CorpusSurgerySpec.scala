@@ -81,6 +81,23 @@ class CorpusSurgerySpec extends AnyFunSuite {
     assert(got === Seq((1L, 3L), (2L, 3L), (6L, 3L)))
   }
 
+  test("q206: batch lines drop on corpus membership only — batch-internal repeats survive, full coverage empties the doc") {
+    val ref = words("ref", 10)
+    val mine = words("mine", 10)
+    val corpus = Seq(1L -> s"$ref ${words("c", 10)}").toDF("doc_id", "text")
+    val batch = Seq(
+      10L -> s"$ref $mine",            // ref drops (corpus), mine survives
+      11L -> s"$mine $mine",           // batch-internal repeat: NOT corpus boilerplate, both survive
+      12L -> ref                       // fully corpus-covered -> empty doc
+    ).toDF("doc_id", "text")
+    val got = DedupOps.lineDedupIncremental(corpus, batch).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got === Array(
+      (10L, 2L, 1L, md5Of(mine)),
+      (11L, 2L, 0L, md5Of(s"$mine $mine")),
+      (12L, 1L, 1L, md5Of(""))))
+  }
+
   test("q205: collision-probability fold equals the hand-computed per-token-count form; spam trips, diversity passes") {
     val docs = Seq(
       // x:5, a..e:1 -> coll = 5*4 = 20, N = 10 -> 20*10000//90 = 2222
