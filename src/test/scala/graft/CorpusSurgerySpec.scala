@@ -122,6 +122,33 @@ class CorpusSurgerySpec extends AnyFunSuite {
       (4L, 1L, 1L, 0L, true)))
   }
 
+  test("q202: line segmentation is lossless — chunks rejoin to the exact original text") {
+    // the reassembly contract everything else rests on: with no dup
+    // lines, clean_md5 IS the original text's md5 for every length,
+    // including non-multiples of LineWords and the 1-word doc
+    val docs = Seq(
+      1L -> words("a", 10),   // exactly one line
+      2L -> words("b", 25),   // partial tail line
+      3L -> words("c", 9),    // shorter than one line
+      4L -> "solo"
+    ).toDF("doc_id", "text")
+    val got = DedupOps.lineDedup(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(got === Array(
+      (1L, md5Of(words("a", 10))), (2L, md5Of(words("b", 25))),
+      (3L, md5Of(words("c", 9))), (4L, md5Of("solo"))))
+  }
+
+  test("q202: a boilerplate line hot across hundreds of docs stays correct (linear join-back fan-out)") {
+    val boiler = words("nav", 10)
+    val docs = ((1L to 400L).map(i => i -> s"$boiler ${words(s"u$i", 10)}")
+      :+ (500L -> words("clean", 20))).toDF("doc_id", "text")
+    val got = DedupOps.lineDedup(docs)
+    assert(got.filter(col("n_dup_lines") =!= 1L).count() === 1L) // only doc 500 untouched
+    val d1 = got.filter(col("doc_id") === 1L).head()
+    assert(d1.getLong(2) === 1L && d1.getString(3) === md5Of(words("u1", 10)))
+  }
+
   test("q203: boilerplate-opening keys past the df cap drop (bounded fan-out), under-cap recall is untouched") {
     // 6 docs share the SAME 10-word opening then diverge — with cap 4
     // the k=10 key is dropped, so even a REAL truncation among them
@@ -144,6 +171,14 @@ class CorpusSurgerySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped === Set((100L, 101L), (200L, 201L)),
       "default cap far above the planted df: full recall")
+  }
+
+  test("q204 plan: the eval stratum broadcasts — the train side never shuffles for candidate generation") {
+    val plan = graft.operators.SimilarityOps.queries("q204_semantic_decontaminate")
+      .apply(TestSpark.spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q204's bucket join must broadcast the eval side:\n${plan.take(2000)}")
   }
 
   test("q204: planted eval near-dups are flagged with witness and hit count; opposite/dissimilar vectors are not") {
