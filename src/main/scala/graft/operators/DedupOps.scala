@@ -115,6 +115,11 @@ object DedupOps {
     * wherever the oracle checks — the oracle mirrors the cap anyway. */
   val PrefixDfCap = 256
 
+  /** [[lineChunks]] at the operator family's declared width — the line
+    * definition q202/q206/q207 and the maintenance path share. */
+  private[graft] def lineChunksOf(text: Column): Column =
+    lineChunks(text, LineWords)
+
   /** Split `text` into LineWords-word chunks: the doc's word array
     * sliced at fixed offsets, each chunk re-joined with single spaces.
     * The last chunk keeps its partial tail (slice clamps). */
@@ -597,6 +602,39 @@ object DedupOps {
       graft.sources.SsimIndexMaintenance.refreshCdc(s, "graft", src, dfT, preT)
     }
     (s"graft.$src", s"graft.$dfT", s"graft.$preT")
+  }
+
+  private val lineMaintBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  /** Staged MAINTAINED line table over a two-arrival + CDC-delete source
+    * history (the [[ssimMaintainedTables]] shape): CREATE on arrival 1's
+    * snapshot, REFRESH-CDC folds arrival 2, a merge-on-read DELETE
+    * retires the {45, 267, 413} docs and REFRESH-CDC folds the delete
+    * images as refcount decrements. That delete predicate is deliberate:
+    * at the gate scale those docs form a near-dup CLIQUE carrying
+    * batch-hit lines, so the delete is ORACLE-VISIBLE both ways — lines
+    * held only by the clique vanish (df reaches 0, rows MERGE-deleted),
+    * lines shared with surviving docs keep cleaning (df stays >= 1). A
+    * predicate whose deletes are all refcount-shadowed (e.g. one clique
+    * member) would leave the decrement path unproven. */
+  private[graft] def lineMaintainedTables(s: SparkSession, dir: String): (String, String) = {
+    val ns = graftNs(s, dir)
+    val (src, lines) = (s"$ns.linem_src", s"$ns.linem_lines")
+    buildOnce(lineMaintBuilt, (s.sparkContext.applicationId, dir)) {
+      s.sql(s"CREATE TABLE graft.$src (doc_id BIGINT, text STRING) " +
+        "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+      val corpus = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 10 =!= 7)
+      corpus.filter(col("doc_id") % 10 <= 4).writeTo(s"graft.$src").append()
+      graft.sources.LineTableMaintenance.create(s, "graft", src, lines)
+      corpus.filter(col("doc_id") % 10 >= 5).writeTo(s"graft.$src").append()
+      graft.sources.LineTableMaintenance.refreshCdc(s, "graft", src, lines)
+      s.sql(s"DELETE FROM graft.$src WHERE doc_id IN (45, 267, 413)")
+      graft.sources.LineTableMaintenance.refreshCdc(s, "graft", src, lines)
+    }
+    (s"graft.$src", s"graft.$lines")
   }
 
   /** One row per (doc, 1-based window start) with the window's xxhash64
@@ -1302,6 +1340,22 @@ object DedupOps {
         docs.filter(col("doc_id") % 10 =!= 7),
         docs.filter(col("doc_id") % 10 === 7)
       ).orderBy("doc_id")
+    }),
+
+    // q206 against a MAINTAINED standing line table — q201's protocol
+    // applied to the refcounted case (see LineTableMaintenance: the
+    // line is not owned by one doc, so maintenance is the IncrementalMv
+    // MERGE retraction shape, not an equality delete). The oracle is
+    // the naive batch vs SURVIVING corpus: its hash match proves both
+    // arrivals landed, the delete decremented refcounts exactly —
+    // clique-only lines stopped cleaning, shared lines kept cleaning —
+    // and nothing else moved.
+    "q207_line_dedup_maintained" -> ((s, dir) => {
+      val (_, linesT) = lineMaintainedTables(s, dir)
+      cleanAgainstLines(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 7),
+        s.table(linesT)
+      ).orderBy("doc_id")
     }))
 
   /** q202's engine over an arbitrary (doc_id, text) frame — see the
@@ -1331,12 +1385,18 @@ object DedupOps {
     * so the shuffle carries corpus lines once and batch lines once;
     * reassembly is q202's null-skipping collect_list. */
   private[graft] def lineDedupIncremental(corpus: DataFrame,
-      batch: DataFrame): DataFrame = {
-    def lines(df: DataFrame) = df.select(col("doc_id"),
-      posexplode(lineChunks(col("text"), LineWords)).as(Seq("pos", "line")))
-    val corpusLines = lines(corpus).select("line").distinct()
-      .withColumn("hit", lit(1))
-    lines(batch).join(corpusLines, Seq("line"), "left")
+      batch: DataFrame): DataFrame =
+    cleanAgainstLines(batch,
+      corpus.select(explode(lineChunksOf(col("text"))).as("line")).distinct())
+
+  /** Clean `batch` against a standing line set (`corpusLines`: one
+    * `line` column, distinct) — shared by q206 (inline distinct pass)
+    * and q207 (the MAINTAINED line table). */
+  private[graft] def cleanAgainstLines(batch: DataFrame,
+      corpusLines: DataFrame): DataFrame =
+    batch.select(col("doc_id"),
+        posexplode(lineChunksOf(col("text"))).as(Seq("pos", "line")))
+      .join(corpusLines.select(col("line"), lit(1).as("hit")), Seq("line"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
         count(col("hit")).as("n_dropped"),
@@ -1345,7 +1405,6 @@ object DedupOps {
             struct(col("pos"), col("line"))))),
           x => x("line")), " ")).as("clean_md5"))
       .select("doc_id", "n_lines", "n_dropped", "clean_md5")
-  }
 
   /** q203's engine over an arbitrary (doc_id, text) frame — see the
     * q203 entry for the design commentary.
@@ -1563,6 +1622,20 @@ object DedupOps {
          |    array_to_string(ws[j*$LineWords+1 : j*$LineWords+$LineWords], ' ') AS line
          |  FROM w, unnest(generate_series(0, CAST((len(ws)-1)//$LineWords AS BIGINT))) t(j)),
          |cl AS (SELECT DISTINCT line FROM l WHERE doc_id % 10 <> 7),
+         |bl AS (SELECT doc_id, pos, l.line, cl.line AS hit
+         |  FROM l LEFT JOIN cl ON l.line = cl.line WHERE doc_id % 10 = 7)
+         |SELECT doc_id, count(*) AS n_lines, count(hit) AS n_dropped,
+         |  md5(coalesce(string_agg(CASE WHEN hit IS NULL THEN line END,
+         |    ' ' ORDER BY pos), '')) AS clean_md5
+         |FROM bl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q207_line_dedup_maintained" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |l AS (SELECT doc_id, j AS pos,
+         |    array_to_string(ws[j*$LineWords+1 : j*$LineWords+$LineWords], ' ') AS line
+         |  FROM w, unnest(generate_series(0, CAST((len(ws)-1)//$LineWords AS BIGINT))) t(j)),
+         |cl AS (SELECT DISTINCT line FROM l
+         |  WHERE doc_id % 10 <> 7 AND doc_id NOT IN (45, 267, 413)),
          |bl AS (SELECT doc_id, pos, l.line, cl.line AS hit
          |  FROM l LEFT JOIN cl ON l.line = cl.line WHERE doc_id % 10 = 7)
          |SELECT doc_id, count(*) AS n_lines, count(hit) AS n_dropped,
