@@ -100,6 +100,12 @@ object TextOps {
       when(w === a("prev"), a("run") + 1).otherwise(lit(1L)).as("run"),
       (a("coll") + when(w === a("prev"), a("run") * 2).otherwise(lit(0L))).as("coll")))
     docs
+      // null-text docs are DROPPED, not emitted as null rows — the
+      // oracle's unnest over NULL yields no rows, and the sibling
+      // line-dedup engines (q202/q206) drop such docs the same way;
+      // the fixture has no null text, but the engine must not depend
+      // on that invariant (ADVICE r13).
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), size(ws).cast("long").as("n_tok"),
         size(array_distinct(ws)).cast("long").as("n_uniq"), fold.as("f"))
       .select(col("doc_id"), col("n_tok"), col("n_uniq"),

@@ -107,7 +107,9 @@ class CorpusSurgerySpec extends AnyFunSuite {
       // all distinct -> coll 0, keep
       3L -> words("d", 12),
       // single token: N = 1 -> guarded division, bp 0, keep
-      4L -> "solo"
+      4L -> "solo",
+      // null text: DROPPED (oracle's unnest over NULL yields no rows)
+      5L -> (null: String)
     ).toDF("doc_id", "text")
     val got = graft.operators.TextOps.queries("q205_diversity_gate")
       .apply(TestSpark.spark, TestSpark.sfDir) // fixture run only proves it executes
