@@ -959,14 +959,23 @@ object DedupOps {
     }
   }
 
-  private def computeVerifiedNearDupPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def computeVerifiedNearDupPairs(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    nearDupPairsOf(Tables.documents(s, dir))
+
+  /** The full MinHash/LSH near-dup pipeline over an ARBITRARY
+    * (doc_id, text) frame — factored from the dir-staged path so the
+    * composed pipeline (q117) can near-dup its line-cleaned survivors
+    * with the identical algebra. Returns (verified pairs, pair-member
+    * shingle sets); both are localCheckpoints of near-dup-fraction-
+    * sized tables. */
+  private[graft] def nearDupPairsOf(docs: DataFrame): (DataFrame, DataFrame) = {
     // Signatures come straight off the text scan via the fused
     // tokenize→shingle→MinHash expression (MinHashFromTextExpr): one pass
     // over the raw bytes, no shingle-array column, no shuffle — at sf1
     // the shingle-array build alone cost 7.8 s of q41's 13 s. Nulls are
     // docs shorter than the shingle width (the relational twin's
     // `filter(size > 0)`).
-    val sigs = Tables.documents(s, dir)
+    val sigs = docs
       .select(col("doc_id"),
         graft.plans.MinHashFromTextExpr.sigFromText(col("text"), ShingleN, NumHashes).as("sig"))
       .filter(col("sig").isNotNull)
@@ -987,7 +996,7 @@ object DedupOps {
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
       .distinct().localCheckpoint()
-    val sets = joinIds(Tables.documents(s, dir), candDocs, "doc_id")
+    val sets = joinIds(docs, candDocs, "doc_id")
       .select(col("doc_id"),
         graft.plans.ShinglesExpr.shinglesNative(col("text"), ShingleN).as("shingles"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1541,6 +1550,48 @@ object DedupOps {
       .select("doc_id", "n_lines", "n_dup_lines", "clean_md5")
   }
 
+  /** q202's cleaning as a TEXT-producing stage: every doc's line-deduped
+    * text (corpus-frequent lines removed, survivors rejoined in order)
+    * with `lang` carried through — the first stage of the composed
+    * pipeline (q117), same algebra as [[lineDedup]] minus the md5
+    * reporting. Docs whose every line is boilerplate come out as the
+    * empty string (downstream gates drop them — Gopher's word floor). */
+  private[graft] def cleanedDocs(docs: DataFrame): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), col("lang"),
+        posexplode(lineChunks(col("text"), LineWords)).as(Seq("pos", "line")))
+    val dupLines = lines.groupBy("line")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= LineDupMinDocs)
+      .select(col("line"), lit(1).as("dup"))
+    lines.join(dupLines, Seq("line"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(array_join(transform(
+        array_sort(collect_list(when(col("dup").isNull,
+          struct(col("pos"), col("line"))))),
+        x => x("line")), " ").as("text"))
+      .select("doc_id", "lang", "text")
+  }
+
+  /** Verbatim-leak ids: distinct `train` docs sharing a verified
+    * [[SubstrWindow]]-token window with some `evalDocs` doc — q136's
+    * asymmetric broadcast join (tiny eval side broadcasts; train never
+    * shuffles for candidates; window TEXT verifies candidates only),
+    * reduced to the id set a decontamination pass quarantines. */
+  private[graft] def verbatimLeakIds(train: DataFrame, evalDocs: DataFrame): DataFrame = {
+    val evalHashes = windowHashRows(evalDocs, SubstrWindow)
+      .select("wval").distinct()
+    val cand = windowHashRows(train, SubstrWindow)
+      .join(broadcast(evalHashes), "wval")
+      .select("doc_id", "pos").localCheckpoint()
+    val candDocs = cand.select("doc_id").distinct().localCheckpoint()
+    val trainT = windowTextRows(joinIds(train, candDocs, "doc_id"), SubstrWindow)
+    val evalT = windowTextRows(evalDocs, SubstrWindow).select("wval").distinct()
+    trainT.join(cand, Seq("doc_id", "pos"))
+      .join(evalT, Seq("wval"))
+      .select("doc_id").distinct()
+  }
+
   /** q206's engine: clean `batch` against `corpus`'s standing distinct
     * line set — see the q206 entry for the design commentary. The
     * corpus side reduces to one distinct-line column before the join,
@@ -1625,12 +1676,14 @@ object DedupOps {
   /** Shared CTE: distinct 3-gram shingle sets per doc. Kept single-line —
     * these fragments are interpolated into stripMargin'd outer strings,
     * and a continuation line starting with `||` would lose a bar. */
-  private val setsCte =
-    """s AS (
-      |  SELECT doc_id, list_distinct(list_transform(
-      |    generate_series(1, len(string_split(text,' ')) - 2),
-      |    i -> (string_split(text,' '))[i] || ' ' || (string_split(text,' '))[i+1] || ' ' || (string_split(text,' '))[i+2])) AS shingles
-      |  FROM documents WHERE len(string_split(text,' ')) >= 3)""".stripMargin.replace("\n", " ")
+  private def setsCteFrom(src: String): String =
+    s"""s AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(string_split(text,' ')) - 2),
+       |    i -> (string_split(text,' '))[i] || ' ' || (string_split(text,' '))[i+1] || ' ' || (string_split(text,' '))[i+2])) AS shingles
+       |  FROM $src WHERE len(string_split(text,' ')) >= 3)""".stripMargin.replace("\n", " ")
+
+  private val setsCte = setsCteFrom("documents")
 
   private val jacSelect =
     """SELECT doc_a, doc_b, inter, uni, CAST(inter * 10000 // uni AS BIGINT) AS jac_bp FROM (
@@ -1643,10 +1696,14 @@ object DedupOps {
     * the verified near-dup pairs. Shared with composite pipelines
     * (PipelineOps q117) so their oracles state the IDENTICAL candidate
     * generation. */
-  private[operators] def lshVerifiedPairsCtes: String = {
+  private[operators] def lshVerifiedPairsCtes: String = lshVerifiedPairsCtesFrom("documents")
+
+  /** [[lshVerifiedPairsCtes]] over an arbitrary source CTE/table (the
+    * composed pipeline near-dups its line-cleaned survivor CTE). */
+  private[operators] def lshVerifiedPairsCtesFrom(src: String): String = {
     val code = md5Code60Sql("sh")
     val affine = affineHashSql("i", "x")
-    s"""$setsCte,
+    s"""${setsCteFrom(src)},
        |c AS (SELECT doc_id, list_transform(shingles, sh -> $code) AS codes FROM s),
        |sg AS (SELECT doc_id, list_transform(generate_series(1, $NumHashes),
        |        i -> list_min(list_transform(codes, x -> $affine))) AS sig FROM c),

@@ -250,58 +250,95 @@ object PipelineOps {
     }),
 
     // The flagship END-TO-END corpus pipeline in one DAG — the composed
-    // statement of what a training-data run actually executes:
-    //   exact dedup (min-id keeper per text)
-    //   → near-dup removal (drop the higher id of every verified LSH
-    //     pair — shares the session-staged pair table with q41/q77/q90)
-    //   → quality gate (q80's repetition rules)
-    //   → overlap chunking (q103's 50/40 windows, counted)
-    //   → token-budget shard packing per language (q83)
-    // emitted as per-(lang, shard) rollups. Every stage is the same
-    // scale shape as its standalone operator; the oracle recomputes the
-    // identical pipeline in SQL, LSH candidates included.
+    // statement of what a modern training-data run actually executes,
+    // each stage the exact algebra of its standalone operator:
+    //   1. line-level dedup (q202, CCNet): corpus-frequent lines removed
+    //      from every doc, survivors rejoined — the cleaned text feeds
+    //      EVERY later stage;
+    //   2. Gopher full pack: the q186 quality rules AND the q200
+    //      repetition rules over the cleaned text. The stopword rule
+    //      runs against the corpus's own top-8 tokens — the list is a
+    //      language prior (see gopherRulesWith), and the fixture corpus
+    //      contains ZERO English stopwords (measured: ok_stop false on
+    //      all 500 docs), so the published English list would zero the
+    //      pipeline on any non-English corpus; deriving the list from
+    //      the corpus is CCNet's per-language localization, stated in
+    //      both engines;
+    //   3. MinHash/LSH near-dup removal (q41): drop the higher id of
+    //      every verified pair among the gated survivors;
+    //   4. decontamination: the eval stratum (doc_id%5=0, q136's split)
+    //      leaves the training set, and with it every train doc leaking
+    //      an eval doc VERBATIM (shared 20-token window, q136) or
+    //      SEMANTICALLY (LSH-bucket cosine >= q204's threshold against
+    //      the vec_id%10=0 eval embeddings — vec ids are doc ids);
+    //   5. BPE sequence packing (q170): tokenize under the q166 merges
+    //      (trained once on the raw corpus) and pack per-language
+    //      PackSeqLen-token training rows.
+    // The q168/q169 distilled probe is deliberately NOT a stage: its
+    // features are the n_tok<=20 / n_tok<=40 dummies, identically zero
+    // past Gopher's >=50-word floor, so on the gated population the
+    // probe is CONSTANT (every survivor scores w0 — measured 56 vs the
+    // 500 threshold) BY CONSTRUCTION, as filter or as curriculum order.
+    // A provably-inert stage is excluded and documented, not carried.
+    // Output is the packing manifest per (lang, seq_id). The oracle
+    // recomputes the IDENTICAL composition in SQL — line cleaning, both
+    // gate packs, LSH candidates, both leak sets, the GD probe replay
+    // and the BPE replay included. Scale shape: every stage is its
+    // standalone operator's plan over a monotonically SHRINKING frame;
+    // cross-stage reuse is localCheckpoint staging (at 100 TB: staging
+    // tables between phases).
     "q117_corpus_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val keepers = docs.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      val losers = DedupOps.verifiedNearDupPairs(s, dir)
+      // S1: line dedup — cleaned text, staged once for its many readers
+      val cleaned = DedupOps.cleanedDocs(docs).localCheckpoint()
+      // S2: Gopher pack + repetition rules on cleaned text; the stop
+      // list is the raw corpus's top-8 tokens (tiny, deterministic,
+      // bounded driver collect — the trainedMerges pattern)
+      val stops = docs
+        .select(explode(tokens(col("text"))).as("t"))
+        .filter(length(col("t")) >= 1)
+        .groupBy("t").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(8)
+        .collect().map(_.getString(0)).toSeq
+      val gKeep = TextOps.gopherRulesWith(cleaned, stops)
+        .filter(col("keep")).select("doc_id")
+      val rKeep = TextOps.repetitionRules(cleaned)
+        .filter(col("keep")).select("doc_id")
+      val gated = cleaned.join(gKeep, "doc_id").join(rKeep, "doc_id")
+        .localCheckpoint()
+      // S3: near-dup removal among the gated survivors (cleaned text)
+      val losers = DedupOps.nearDupPairsOf(gated)._1
         .select(col("doc_b").as("doc_id")).distinct()
-      val base = docs.join(keepers, "doc_id")
-        .join(losers, Seq("doc_id"), "left_anti")
-      val tokStats = base
-        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max(col("c")).as("top1"), sum(col("c")).as("n_tok"))
-      val bg = base.select(col("doc_id"), shingles(col("text"), 2).as("bgs"))
-        .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bg"),
-          size(array_distinct(col("bgs"))).cast("long").as("n_bg_uniq"))
-      // observe(): per-stage row counters collected DURING the single
-      // pass (no second job) — the monitoring hook a production pipeline
-      // reads from a QueryExecutionListener; PipelineObservabilitySpec
-      // asserts they reconcile with the output
-      val surv = base
-        .observe("pipeline_dedup", count(lit(1)).as("docs_after_dedup"))
-        .select("doc_id", "lang")
-        .join(tokStats, "doc_id").join(bg, "doc_id")
-        .withColumn("top1_bp", expr("top1 * 10000 div n_tok"))
-        .withColumn("dup_bg_bp",
-          when(col("n_bg") > 0, expr("(n_bg - n_bg_uniq) * 10000 div n_bg"))
-            .otherwise(lit(0L)))
-        .filter(col("top1_bp") <= 2000 && col("dup_bg_bp") <= 3000)
-        .select(col("doc_id"), col("lang"), col("n_tok"),
-          (expr("(n_tok - 1) div 40") + 1).as("n_chunks"))
-        .observe("pipeline_quality",
-          count(lit(1)).as("docs_after_quality"),
-          sum(col("n_tok")).as("tokens_after_quality"))
-      surv
-        .withColumn("shard",
-          expr("coalesce(sum(n_tok) over (partition by lang order by doc_id " +
-            "rows between unbounded preceding and 1 preceding), 0) div 2000"))
-        .groupBy("lang", "shard")
+      val deduped = gated.join(losers, Seq("doc_id"), "left_anti")
+      // S4: decontamination — eval stratum out, verbatim + semantic leaks out
+      val train = deduped.filter(col("doc_id") % 5 =!= 0)
+      val evalC = cleaned.filter(col("doc_id") % 5 === 0)
+      val vLeaks = DedupOps.verbatimLeakIds(train, evalC).localCheckpoint()
+      val sLeaks = SimilarityOps.semanticContam(s, Tables.embeddings(s, dir),
+          col("vec_id") % 10 === 0, SimilarityOps.SemContamBp)
+        .select(col("train_id").as("doc_id")).localCheckpoint()
+      val surv = train.join(vLeaks, Seq("doc_id"), "left_anti")
+        .join(sLeaks, Seq("doc_id"), "left_anti")
+        // observe(): funnel counters collected DURING the single final
+        // pass (checkpointed stages report via their own jobs; these two
+        // live in the output plan) — PipelineObservabilitySpec reconciles
+        .observe("pipeline_decontam", count(lit(1)).as("docs_surviving"))
+      // S5: BPE sequence packing under the raw-corpus merge table
+      PipelineOps.packedSpansOf(surv,
+          BpeOps.trainedMerges(s, dir).map(m => (m._2, m._3)))
+        .observe("pipeline_pack",
+          count(lit(1)).as("span_rows"),
+          sum(col("tok")).as("tokens_packed"))
+        .groupBy("lang", "seq_id")
         .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_chunks")).as("n_chunks"),
-          sum(col("n_tok")).as("n_tokens"))
-        .orderBy("lang", "shard")
+          sum(col("tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+      // NO final orderBy: the driver compares sorted multisets, and a
+      // global sort's range-partitioner SAMPLE re-executes the stage
+      // holding the observe() nodes (measured: every pipeline_pack
+      // counter exactly doubled) — one exchange above an observe
+      // cannot carry a decorative sort
     }),
 
     // Latest-wins upsert: collapse an event changelog to the current row
@@ -375,9 +412,16 @@ object PipelineOps {
     * offsets are a PER-STRATUM window (the q83 contract — never a
     * global single-partition sort); a doc spans ⌈ntok/PackSeqLen⌉+1
     * sequences at most, so the explode is bounded. */
-  private[graft] def packedSpans(s: SparkSession, dir: String): DataFrame = {
-    val merges = BpeOps.trainedMerges(s, dir).map(m => (m._2, m._3))
-    val counts = Tables.documents(s, dir)
+  private[graft] def packedSpans(s: SparkSession, dir: String): DataFrame =
+    packedSpansOf(Tables.documents(s, dir),
+      BpeOps.trainedMerges(s, dir).map(m => (m._2, m._3)))
+
+  /** [[packedSpans]] over an arbitrary (doc_id, lang, text) frame under
+    * a given merge table — the composed pipeline (q117) packs its
+    * cleaned survivors with merges trained once on the raw corpus. */
+  private[graft] def packedSpansOf(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val counts = docs
       .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy("doc_id", "lang")
@@ -510,36 +554,59 @@ object PipelineOps {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents""".stripMargin,
 
-    "q117_corpus_pipeline" ->
-      s"""WITH ${DedupOps.lshVerifiedPairsCtes},
-         |keep0 AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
-         |base AS (SELECT d.doc_id, d.lang, d.text FROM documents d
-         |  JOIN keep0 USING (doc_id)
-         |  WHERE d.doc_id NOT IN (SELECT DISTINCT doc_b FROM vp)),
-         |t AS (SELECT doc_id, t, count(*) AS c FROM (
-         |    SELECT doc_id, unnest(string_split(text,' ')) AS t FROM base) GROUP BY 1, 2),
-         |ts AS (SELECT doc_id, max(c) AS top1, CAST(sum(c) AS BIGINT) AS n_tok
-         |  FROM t GROUP BY doc_id),
-         |bg AS (SELECT doc_id,
-         |    CAST(len(bgs) AS BIGINT) AS n_bg,
-         |    CAST(len(list_distinct(bgs)) AS BIGINT) AS n_bg_uniq
-         |  FROM (SELECT doc_id, list_transform(
-         |      generate_series(1, greatest(len(string_split(text,' ')) - 1, 0)),
-         |      i -> (string_split(text,' '))[i] || ' ' || (string_split(text,' '))[i+1]) AS bgs
-         |    FROM base)),
-         |surv AS (SELECT b.doc_id, b.lang, n_tok, (n_tok - 1) // 40 + 1 AS n_chunks
-         |  FROM base b JOIN ts ON b.doc_id = ts.doc_id JOIN bg ON b.doc_id = bg.doc_id
-         |  WHERE top1 * 10000 // n_tok <= 2000
-         |    AND (CASE WHEN n_bg > 0 THEN (n_bg - n_bg_uniq) * 10000 // n_bg
-         |         ELSE 0 END) <= 3000),
-         |sh AS (SELECT lang, doc_id, n_tok, n_chunks,
-         |    coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000 AS shard
-         |  FROM surv)
-         |SELECT lang, CAST(shard AS BIGINT) AS shard, count(*) AS n_docs,
-         |  CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
-         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
-         |FROM sh GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin,
+    // The composed pipeline's ground truth restates EVERY stage in SQL
+    // over the previous stage's CTE: line cleaning (q202's algebra,
+    // text kept instead of md5'd), the corpus-derived stop list, the
+    // q186+q200 keep sets, the full LSH chain over the gated survivors,
+    // both leak sets (q136's window join, q204's bucket-cosine join),
+    // and the q166 BPE replay + q170 packing over the final survivors.
+    // A hash match here proves the engine's five-stage DAG end-to-end.
+    "q117_corpus_pipeline" -> {
+      val lw = DedupOps.LineWords
+      val sw = DedupOps.SubstrWindow
+      s"""WITH plw AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+         |pll AS (SELECT doc_id, lang, j AS pos,
+         |    array_to_string(ws[j*$lw+1 : j*$lw+$lw], ' ') AS line
+         |  FROM plw, unnest(generate_series(0, CAST((len(ws)-1)//$lw AS BIGINT))) t(j)),
+         |pld AS (SELECT line FROM pll GROUP BY line
+         |  HAVING count(DISTINCT doc_id) >= ${DedupOps.LineDupMinDocs}),
+         |pclean AS MATERIALIZED (
+         |  SELECT doc_id, lang, coalesce(string_agg(
+         |    CASE WHEN d.line IS NULL THEN l.line END, ' ' ORDER BY l.pos), '') AS text
+         |  FROM pll l LEFT JOIN pld d ON l.line = d.line GROUP BY doc_id, lang),
+         |pstop AS MATERIALIZED (SELECT word AS token FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE length(word) >= 1
+         |  GROUP BY word ORDER BY count(*) DESC, word LIMIT 8),
+         |${TextOps.gopherKeepCteSql("pclean", "pq", "pqk", "pstop")},
+         |${TextOps.repetitionKeepCteSql("pclean", "pr", "prk")},
+         |pgated AS MATERIALIZED (SELECT c.* FROM pclean c
+         |  JOIN pqk USING (doc_id) JOIN prk USING (doc_id)),
+         |${DedupOps.lshVerifiedPairsCtesFrom("pgated")},
+         |pded AS MATERIALIZED (SELECT * FROM pgated
+         |  WHERE doc_id NOT IN (SELECT doc_b FROM vp)),
+         |ptrain AS MATERIALIZED (SELECT * FROM pded WHERE doc_id % 5 <> 0),
+         |vtt AS (SELECT doc_id, string_split(text,' ') AS t FROM ptrain
+         |  WHERE len(string_split(text,' ')) >= $sw),
+         |vtw AS (SELECT doc_id, list_aggr(t[i:i+${sw - 1}], 'string_agg', ' ') AS w
+         |  FROM vtt, unnest(range(1, len(t) - ${sw - 1} + 1)) AS u(i)),
+         |vet AS (SELECT doc_id, string_split(text,' ') AS t FROM pclean
+         |  WHERE doc_id % 5 = 0 AND len(string_split(text,' ')) >= $sw),
+         |vew AS (SELECT DISTINCT list_aggr(t[i:i+${sw - 1}], 'string_agg', ' ') AS w
+         |  FROM vet, unnest(range(1, len(t) - ${sw - 1} + 1)) AS u(i)),
+         |vleak AS MATERIALIZED (SELECT DISTINCT doc_id FROM vtw JOIN vew USING (w)),
+         |${SimilarityOps.semContamIdsCteSql("sleak")},
+         |pdec AS MATERIALIZED (SELECT * FROM ptrain
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM vleak)
+         |    AND doc_id NOT IN (SELECT doc_id FROM sleak)),
+         |${BpeOps.bpeCtesSql(BpeOps.BpeRounds)},
+         |${packCtesSqlFrom("pdec")}
+         |SELECT lang, CAST(seq_id AS BIGINT) AS seq_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM pspan GROUP BY 1, 2 ORDER BY lang, seq_id""".stripMargin
+    },
 
     "q81_cdc_upsert" ->
       """SELECT user_id, event_id AS last_event_id, epoch_us(ts) AS last_ts_us,
@@ -602,10 +669,15 @@ object PipelineOps {
     * encoded vocabulary): ends with `pspan(lang, doc_id, seq_id, tok)`
     * — one row per (doc, sequence it feeds) with the contributed token
     * count, the SQL twin of [[packedSpans]]. */
-  private def packCtesSql: String =
+  private def packCtesSql: String = packCtesSqlFrom("documents")
+
+  /** [[packCtesSql]] over an arbitrary source CTE/table (q117 packs its
+    * cleaned-survivor CTE; the vocabulary join stays on `w$rounds` —
+    * cleaned words are a subset of the raw corpus vocabulary). */
+  private def packCtesSqlFrom(src: String): String =
     s"""pdw AS MATERIALIZED (
        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
-       |  FROM documents),
+       |  FROM $src),
        |pdc AS MATERIALIZED (
        |  SELECT d.doc_id, d.lang, CAST(sum(length(w.word_t)) AS BIGINT) AS ntok
        |  FROM pdw d JOIN w${BpeOps.BpeRounds} w USING (word)

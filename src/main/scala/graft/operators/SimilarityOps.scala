@@ -958,6 +958,20 @@ object SimilarityOps {
        |   (x, y) -> x + y) > 0 THEN 1 ELSE 0 END AS BIGINT))),
        | (acc, b) -> acc*2 + b)""".stripMargin.replace("\n", " ")
 
+  /** Oracle fragment: CTEs `semb` + `$out(doc_id)` — the q204
+    * semantically contaminated TRAIN ids (vec_id%10=0 eval stratum,
+    * LSH-bucket candidates, cosine >= [[SemContamBp]]), for the
+    * composed pipeline's quarantine join (vec ids are doc ids). */
+  private[operators] def semContamIdsCteSql(out: String): String =
+    s"""semb AS MATERIALIZED (
+       |  SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+       |$out AS MATERIALIZED (
+       |  SELECT DISTINCT t.vec_id AS doc_id
+       |  FROM semb t JOIN semb e ON t.bucket = e.bucket
+       |    AND e.vec_id % 10 = 0 AND t.vec_id % 10 <> 0
+       |  WHERE CAST(floor((${cosSql("t.embedding", "e.embedding")}) * 10000)
+       |    AS BIGINT) >= $SemContamBp)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // both pipelines replayed, intersected per probe
     "q194_ann_recall" ->

@@ -45,6 +45,146 @@ object TextOps {
     * 800 flags only the genuinely repetition-heavy tail. */
   val DiversityMaxBp = 800L
 
+  /** q186's published stopword list — an ENGLISH prior: the rule wants
+    * evidence of connective prose, and these are English's connectives. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The q186 Gopher rule pack over an arbitrary (doc_id, text) frame —
+    * factored from the query entry so the composed pipeline (q117) can
+    * gate its line-cleaned survivors with the identical algebra. See
+    * the q186 entry for the design commentary. */
+  private[graft] def gopherRules(docs: DataFrame): DataFrame =
+    gopherRulesWith(docs, GopherStopwords)
+
+  /** [[gopherRules]] under an arbitrary stopword list. The list is a
+    * LANGUAGE PRIOR, not part of the rule algebra: on a non-English
+    * corpus a pipeline localizes it (CCNet trains per-language; the
+    * composed q117 derives it from the corpus's own top tokens — the
+    * language-agnostic reading of "contains common connectives"). */
+  private[graft] def gopherRulesWith(docs: DataFrame,
+      stops: Seq[String]): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t != '')").as("toks"),
+        col("text"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        expr("aggregate(toks, 0L, (a, w) -> a + length(w))").as("sum_len"),
+        (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+          .cast("long").as("n_hash"),
+        ((length(col("text")) -
+          length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+          .cast("long").as("n_ellipsis"),
+        expr("size(filter(split(text, '\n'), l -> l LIKE '- %' OR l LIKE '* %'))")
+          .cast("long").as("bullet_lines"),
+        expr("size(split(text, '\n'))").cast("long").as("n_lines"),
+        expr("size(filter(split(text, '\n'), l -> l LIKE '%...'))")
+          .cast("long").as("ellipsis_lines"),
+        expr("size(filter(toks, w -> w rlike '[A-Za-z]'))")
+          .cast("long").as("alpha_words"),
+        size(array_intersect(array_distinct(col("toks")),
+          array(stops.map(lit): _*))).cast("long").as("stop_hits"))
+      .withColumn("ok_words",
+        col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("ok_wordlen",
+        col("sum_len") >= col("n_words") * 3 &&
+          col("sum_len") <= col("n_words") * 10)
+      .withColumn("ok_symbols",
+        (col("n_hash") + col("n_ellipsis")) * 10 <= col("n_words"))
+      .withColumn("ok_lines",
+        col("bullet_lines") * 10 <= col("n_lines") * 9 &&
+          col("ellipsis_lines") * 10 <= col("n_lines") * 3)
+      .withColumn("ok_alpha", col("alpha_words") * 5 >= col("n_words") * 4)
+      .withColumn("ok_stop", col("stop_hits") >= 2)
+      .withColumn("keep",
+        col("ok_words") && col("ok_wordlen") && col("ok_symbols") &&
+          col("ok_lines") && col("ok_alpha") && col("ok_stop"))
+
+  /** Oracle fragment: CTEs prefixed `$pre` ending in `$out(doc_id)` —
+    * the docs of `$src` passing the full q186 Gopher pack against the
+    * stopword set held by CTE `$stopsCte(token)` (the localized-list
+    * contract of [[gopherRulesWith]]). */
+  private[operators] def gopherKeepCteSql(src: String, pre: String,
+      out: String, stopsCte: String): String =
+    s"""${pre}base AS MATERIALIZED (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), t -> t != '') AS toks, text
+       |  FROM $src),
+       |${pre}hit AS MATERIALIZED (
+       |  SELECT doc_id, count(DISTINCT t) AS stop_hits
+       |  FROM (SELECT doc_id, unnest(list_distinct(toks)) AS t FROM ${pre}base) x
+       |  JOIN $stopsCte st ON x.t = st.token GROUP BY doc_id),
+       |$out AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT b.doc_id,
+       |      CAST(len(toks) AS BIGINT) AS n_words,
+       |      CAST(coalesce(list_sum(list_transform(toks, w -> strlen(w))), 0)
+       |        AS BIGINT) AS sum_len,
+       |      CAST(strlen(text) - strlen(replace(text, '#', '')) AS BIGINT) AS n_hash,
+       |      CAST((strlen(text) - strlen(replace(text, '...', ''))) // 3
+       |        AS BIGINT) AS n_ellipsis,
+       |      CAST(len(list_filter(string_split(text, chr(10)),
+       |        l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT) AS bullet_lines,
+       |      CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+       |      CAST(len(list_filter(string_split(text, chr(10)),
+       |        l -> l LIKE '%...')) AS BIGINT) AS ellipsis_lines,
+       |      CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+       |        AS BIGINT) AS alpha_words,
+       |      CAST(coalesce(h.stop_hits, 0) AS BIGINT) AS stop_hits
+       |    FROM ${pre}base b LEFT JOIN ${pre}hit h USING (doc_id))
+       |  WHERE n_words >= 50 AND n_words <= 100000
+       |    AND sum_len >= n_words * 3 AND sum_len <= n_words * 10
+       |    AND (n_hash + n_ellipsis) * 10 <= n_words
+       |    AND bullet_lines * 10 <= n_lines * 9
+       |    AND ellipsis_lines * 10 <= n_lines * 3
+       |    AND alpha_words * 5 >= n_words * 4
+       |    AND stop_hits >= 2)""".stripMargin
+
+  /** Oracle fragment: CTEs prefixed `$pre` ending in `$out(doc_id)` —
+    * the docs of `$src` passing the q200 repetition thresholds. */
+  private[operators] def repetitionKeepCteSql(src: String, pre: String,
+      out: String): String = {
+    def gramSql(n: Int): String = {
+      val parts = (0 until n).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+      s"""SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, len(w) - ${n - 1}), i -> $parts)) AS gram
+         |  FROM ${pre}t""".stripMargin
+    }
+    def topSql(n: Int): String =
+      s"""${pre}top$n AS MATERIALIZED (
+         |  SELECT doc_id, cnt * length(gram) AS chars
+         |  FROM (SELECT doc_id, gram, count(*) AS cnt,
+         |          row_number() OVER (PARTITION BY doc_id
+         |            ORDER BY count(*) DESC, gram) AS rn
+         |        FROM (${gramSql(n)}) GROUP BY doc_id, gram)
+         |  WHERE rn = 1)""".stripMargin
+    s"""${pre}t AS MATERIALIZED (SELECT doc_id, text, string_split(text, ' ') AS w
+       |           FROM $src),
+       |${topSql(2)},
+       |${topSql(3)},
+       |${topSql(4)},
+       |${pre}dup10 AS MATERIALIZED (
+       |  SELECT doc_id, sum(cnt * length(gram)) AS chars
+       |  FROM (SELECT doc_id, gram, count(*) AS cnt
+       |        FROM (${gramSql(10)}) GROUP BY doc_id, gram)
+       |  WHERE cnt >= 2 GROUP BY doc_id),
+       |$out AS MATERIALIZED (
+       |  SELECT b.doc_id FROM
+       |    (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM ${pre}t) b
+       |  LEFT JOIN ${pre}top2 v2 USING (doc_id)
+       |  LEFT JOIN ${pre}top3 v3 USING (doc_id)
+       |  LEFT JOIN ${pre}top4 v4 USING (doc_id)
+       |  LEFT JOIN ${pre}dup10 vd USING (doc_id)
+       |  WHERE (CASE WHEN n_chars > 0
+       |      THEN coalesce(v2.chars, 0) * 10000 // n_chars ELSE 0 END) <= 2000
+       |    AND (CASE WHEN n_chars > 0
+       |      THEN coalesce(v3.chars, 0) * 10000 // n_chars ELSE 0 END) <= 1800
+       |    AND (CASE WHEN n_chars > 0
+       |      THEN coalesce(v4.chars, 0) * 10000 // n_chars ELSE 0 END) <= 1600
+       |    AND (CASE WHEN n_chars > 0
+       |      THEN coalesce(vd.chars, 0) * 10000 // n_chars ELSE 0 END) <= 1000)""".stripMargin
+  }
+
   /** The q200 engine over an arbitrary (doc_id, text) frame, so specs
     * can drive planted spam/diverse/block-repetition corpora through
     * the exact algebra. See the q200 entry for the design commentary. */
@@ -198,46 +338,8 @@ object TextOps {
     // which is what a curation pipeline logs for drift dashboards —
     // replays bit-for-bit in any engine. One scan, one projection: the
     // rule pack is embarrassingly parallel at any corpus size.
-    "q186_gopher_rules" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          expr("filter(split(text, ' '), t -> t != '')").as("toks"),
-          col("text"))
-        .select(col("doc_id"),
-          size(col("toks")).cast("long").as("n_words"),
-          expr("aggregate(toks, 0L, (a, w) -> a + length(w))").as("sum_len"),
-          (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
-            .cast("long").as("n_hash"),
-          ((length(col("text")) -
-            length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
-            .cast("long").as("n_ellipsis"),
-          expr("size(filter(split(text, '\n'), l -> l LIKE '- %' OR l LIKE '* %'))")
-            .cast("long").as("bullet_lines"),
-          expr("size(split(text, '\n'))").cast("long").as("n_lines"),
-          expr("size(filter(split(text, '\n'), l -> l LIKE '%...'))")
-            .cast("long").as("ellipsis_lines"),
-          expr("size(filter(toks, w -> w rlike '[A-Za-z]'))")
-            .cast("long").as("alpha_words"),
-          expr("size(array_intersect(array_distinct(toks), " +
-            "array('the','be','to','of','and','that','have','with')))")
-            .cast("long").as("stop_hits"))
-        .withColumn("ok_words",
-          col("n_words") >= 50 && col("n_words") <= 100000)
-        .withColumn("ok_wordlen",
-          col("sum_len") >= col("n_words") * 3 &&
-            col("sum_len") <= col("n_words") * 10)
-        .withColumn("ok_symbols",
-          (col("n_hash") + col("n_ellipsis")) * 10 <= col("n_words"))
-        .withColumn("ok_lines",
-          col("bullet_lines") * 10 <= col("n_lines") * 9 &&
-            col("ellipsis_lines") * 10 <= col("n_lines") * 3)
-        .withColumn("ok_alpha", col("alpha_words") * 5 >= col("n_words") * 4)
-        .withColumn("ok_stop", col("stop_hits") >= 2)
-        .withColumn("keep",
-          col("ok_words") && col("ok_wordlen") && col("ok_symbols") &&
-            col("ok_lines") && col("ok_alpha") && col("ok_stop"))
-        .orderBy("doc_id")
-    }),
+    "q186_gopher_rules" -> ((s, dir) =>
+      gopherRules(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // GOPHER REPETITION RULES (Rae et al. 2021, Table A1 — the half of
     // the Gopher filter q186 doesn't cover): documents dominated by

@@ -5,10 +5,11 @@ import org.apache.spark.sql.SparkSession
 /** The engine's CLI entry point — the analog of the reference's
   * `./generate.sh` run (rws_data_ingester generate.sh:1-17: run the
   * pipeline, publish the artifact): execute the flagship corpus pipeline
-  * (q117: exact dedup → LSH near-dup removal → quality gate → chunk →
-  * shard) against a table directory, publish the result through the
-  * atomically-committed ManifestSink, and print one JSON line with the
-  * observe()-collected stage metrics.
+  * (q117: line dedup → Gopher pack → LSH near-dup removal →
+  * verbatim+semantic decontamination → BPE sequence packing) against a
+  * table directory, publish the result through the atomically-committed
+  * ManifestSink, and print one JSON line with the observe()-collected
+  * stage metrics.
   *
   * Usage: runMain graft.tools.RunPipeline <sfDir> <outDir>
   */
@@ -43,13 +44,13 @@ object RunPipeline {
     df.unpersist()
     val shards = spark.read.format("graft.sources.ManifestSink")
       .option("path", outDir).load().count()
-    val dedup = df.queryExecution.observedMetrics("pipeline_dedup")
-    val quality = df.queryExecution.observedMetrics("pipeline_quality")
+    val decontam = df.queryExecution.observedMetrics("pipeline_decontam")
+    val pack = df.queryExecution.observedMetrics("pipeline_pack")
     val secs = (System.nanoTime() - t0) / 1e9
     f"""{"pipeline":"corpus","sf_dir":"$sfDir","out":"$outDir",""" +
-      s""""docs_after_dedup":${dedup.getAs[Long]("docs_after_dedup")},""" +
-      s""""docs_after_quality":${quality.getAs[Long]("docs_after_quality")},""" +
-      s""""tokens_after_quality":${quality.getAs[Long]("tokens_after_quality")},""" +
-      f""""shard_rows":$shards,"sec":$secs%.2f}"""
+      s""""docs_surviving":${decontam.getAs[Long]("docs_surviving")},""" +
+      s""""span_rows":${pack.getAs[Long]("span_rows")},""" +
+      s""""tokens_packed":${pack.getAs[Long]("tokens_packed")},""" +
+      f""""seq_rows":$shards,"sec":$secs%.2f}"""
   }
 }
