@@ -112,9 +112,18 @@ object CurationOps {
     // degree table is vertex-sized: one map-side-combined aggregate
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     val useBroadcast = deg.count() <= broadcastMaxVertices
+    // In broadcast mode the degree-annotated edge table is a NARROW map
+    // over the columnar scan (scan → broadcast-join): rereading it per
+    // iteration costs three compressed column scans, while
+    // localCheckpoint-ing it materializes the full edge table (36M
+    // uncompressed rows at sf3) through the block manager — the bench's
+    // noisiest disk write (12.7–23.9 s swings on identical plans, r13's
+    // watch item). Only the SHUFFLE path keeps the checkpoint: there the
+    // per-iteration recompute would be a repartition + merge join, which
+    // is exactly what the materialization exists to amortize.
     val edgesDeg =
-      (if (useBroadcast) edges.join(broadcast(deg), "src")
-       else edges.repartition(col("src")).join(deg.hint("merge"), "src"))
+      if (useBroadcast) edges.join(broadcast(deg), "src")
+      else edges.repartition(col("src")).join(deg.hint("merge"), "src")
         .localCheckpoint()
     // the vertex spine is src ∪ dst: a sink vertex (no outgoing edge)
     // has no degree row but still RECEIVES rank — building nodes from
@@ -238,6 +247,10 @@ object CurationOps {
       // Vertex ids are LONGS (supplier k -> 2k, part k -> 2k+1): the graph
       // shuffles integer pairs, not formatted strings — labels render
       // once, on the 50 output rows' side of the sort.
+      // both directions as a UNION of two scans, not one explode pass:
+      // measured at sf3, the generator breaks whole-stage codegen on
+      // the hot path and prices 30% above the second columnar scan
+      // (31 s vs 22 s per run)
       val li = Tables.lineitem(s, dir)
         .select((col("l_suppkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
       val edges = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
