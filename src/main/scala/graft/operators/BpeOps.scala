@@ -141,6 +141,30 @@ object BpeOps {
           sum(col("ntok")).as("n_bpe_tokens"),
           sum(col("nch")).as("n_chars"))
         .orderBy("doc_id")
+    }),
+
+    // BPE DECODE / round-trip gate: detok(encode(word)) == word for
+    // every word of every document — the inversion check q167 lacked.
+    // The engine decodes by concatenating bpe_apply's token strings;
+    // the oracle decodes by UNWINDING its placeholder encoding (see the
+    // oracle entry) — two different inversions whose hash match proves
+    // the tokenizer is lossless corpus-wide. Scale shape: one narrow
+    // projection per word (the q167 plan) plus a per-doc aggregate.
+    "q212_bpe_roundtrip" -> ((s, dir) => {
+      val merges = trainedMerges(s, dir).map(m => (m._2, m._3))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+        .select(col("doc_id"),
+          size(BpeApplyExpr.bpeApply(col("word"), merges)).as("ntok"),
+          (array_join(BpeApplyExpr.bpeApply(col("word"), merges), "")
+            === col("word")).as("ok"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("ntok")).as("n_bpe_tokens"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_roundtrip"))
+        .withColumn("lossless", col("n_roundtrip") === col("n_words"))
+        .orderBy("doc_id")
     })
   )
 
@@ -237,6 +261,35 @@ object BpeOps {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
          |  CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens,
          |  CAST(sum(nch) AS BIGINT) AS n_chars
-         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The two decode paths are structurally DIFFERENT inversions: the
+    // engine concatenates bpe_apply's real token strings; the oracle
+    // unwinds the placeholder ENCODING (each word_t character maps back
+    // through v$rounds to its real token, re-joined in position order).
+    // A hash match therefore proves the placeholder machinery — the
+    // private-use alphabet, the leftmost-nonoverlapping replaces, the
+    // v-table union chain — is losslessly invertible on the whole
+    // corpus, not just that concatenation is concatenation.
+    "q212_bpe_roundtrip" ->
+      s"""WITH ${bpeCtesSql(BpeRounds)},
+         |dch AS MATERIALIZED (
+         |  SELECT word, i, substr(word_t, i, 1) AS ch
+         |  FROM w$BpeRounds, unnest(generate_series(1, length(word_t))) t(i)),
+         |ddec AS MATERIALIZED (
+         |  SELECT d.word, length(string_agg(v.tok, '' ORDER BY d.i)) > 0
+         |      AND string_agg(v.tok, '' ORDER BY d.i) = d.word AS ok,
+         |    count(*) AS ntok
+         |  FROM dch d JOIN v$BpeRounds v USING (ch)
+         |  GROUP BY d.word),
+         |docw AS MATERIALIZED (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip,
+         |  (sum(CASE WHEN ok THEN 1 ELSE 0 END) = count(*)) AS lossless
+         |FROM docw JOIN ddec USING (word)
+         |WHERE length(word) >= 1
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

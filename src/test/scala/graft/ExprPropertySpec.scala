@@ -74,4 +74,28 @@ class ExprPropertySpec extends AnyFunSuite {
       assert(both.filter(col("native") =!= col("hof")).count() == 0, s"n=$n")
     }
   }
+
+  test("BPE round-trip: concat(bpe_apply(word)) == word under adversarial merges") {
+    import spark.implicits._
+    // arbitrary words (multibyte, surrogate pairs, empty) plus the
+    // classic overlap/chain torture cases
+    val words = (sample(word, 200) ++ Seq("", "aaa", "aaaa", "abab",
+      "aabb", "baaab", "𝒜𝒜𝒜", "ééé")).distinct
+    val mergeTables: Seq[Seq[(String, String)]] = Seq(
+      Seq("a" -> "a"),                              // self-overlap ("aaa" -> [aa, a])
+      Seq("a" -> "a", "aa" -> "aa"),                // chained onto its own output
+      Seq("a" -> "b", "ab" -> "ab", "abab" -> "a"), // multi-char partners
+      Seq("é" -> "é", "𝒜" -> "𝒜"), // multibyte + non-BMP
+      Seq("b" -> "a", "a" -> "b", "ba" -> "ab"),    // interleaved directions
+      Seq.fill(50)("a" -> "a"))                     // repeated identical merges
+    mergeTables.zipWithIndex.foreach { case (merges, mi) =>
+      val bad = words.zipWithIndex.map(_.swap).toDF("id", "w")
+        .select(col("w"),
+          array_join(graft.plans.BpeApplyExpr.bpeApply(col("w"), merges), "")
+            .as("rt"))
+        .filter(col("rt") =!= col("w")).collect()
+      assert(bad.isEmpty,
+        s"merge table #$mi broke the round-trip: ${bad.take(3).toSeq}")
+    }
+  }
 }
