@@ -1090,15 +1090,41 @@ object DedupOps {
     *     (the merge map's row set is the touched reps; the spec pins
     *     it). The final update is ONE left join of the standing labels
     *     against the (tiny) merge map. */
+  private def sigBands(docs: DataFrame): DataFrame = bands(docs
+    .select(col("doc_id"),
+      graft.plans.MinHashFromTextExpr.sigFromText(col("text"), ShingleN, NumHashes).as("sig"))
+    .filter(col("sig").isNotNull)).localCheckpoint()
+
+  /** The STANDING side of q210 — arrival-1 labels + corpus band table —
+    * staged once per (session, sf-dir): in production both are AT REST
+    * (a labels manifest table and the q208 band index); recomputing
+    * them per probe would bill the corpus pass to every fold (the
+    * stagedPairs contract, same health-probed memo). */
+  private val clusterStateCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private def stagedClusterState(s: SparkSession, dir: String,
+      corpus: DataFrame): (DataFrame, DataFrame) = clusterStateCache.synchronized {
+    clusterStateCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    clusterStateCache.get((s, dir)) match {
+      case Some(t) if scala.util.Try { t._1.take(1); t._2.take(1) }.isSuccess => t
+      case _ =>
+        val standing = labelsFor(corpus.select("doc_id"),
+          nearDupPairsOf(corpus)._1.select("doc_a", "doc_b")).localCheckpoint()
+        val t = (standing, sigBands(corpus))
+        clusterStateCache.put((s, dir), t)
+        t
+    }
+  }
+
   private[graft] def incrementalClusterLabels(corpus: DataFrame,
-      batch: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val standing = labelsFor(corpus.select("doc_id"),
-      nearDupPairsOf(corpus)._1.select("doc_a", "doc_b")).localCheckpoint()
-    def sigBands(docs: DataFrame): DataFrame = bands(docs
-      .select(col("doc_id"),
-        graft.plans.MinHashFromTextExpr.sigFromText(col("text"), ShingleN, NumHashes).as("sig"))
-      .filter(col("sig").isNotNull)).localCheckpoint()
-    val cBands = sigBands(corpus)
+      batch: DataFrame,
+      staged: Option[(DataFrame, DataFrame)] = None): (DataFrame, DataFrame, DataFrame) = {
+    val (standing, cBands) = staged.getOrElse {
+      (labelsFor(corpus.select("doc_id"),
+        nearDupPairsOf(corpus)._1.select("doc_a", "doc_b")).localCheckpoint(),
+        sigBands(corpus))
+    }
     val bBands = sigBands(batch)
     val candBB = bBands.as("a").join(bBands.as("b"),
         col("a.j") === col("b.j") && col("a.bkey") === col("b.bkey") &&
@@ -1266,9 +1292,10 @@ object DedupOps {
     // label, or an over-merge cannot match.
     "q210_clusters_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val (labels, _, _) = incrementalClusterLabels(
-        docs.filter(col("doc_id") % 10 =!= 7).select("doc_id", "text"),
-        docs.filter(col("doc_id") % 10 === 7).select("doc_id", "text"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 7).select("doc_id", "text")
+      val (labels, _, _) = incrementalClusterLabels(corpus,
+        docs.filter(col("doc_id") % 10 === 7).select("doc_id", "text"),
+        staged = Some(stagedClusterState(s, dir, corpus)))
       val quality = docs.select("doc_id", "n_chars")
       val w = org.apache.spark.sql.expressions.Window.partitionBy("rep")
         .orderBy(col("n_chars").desc, col("doc_id"))
