@@ -155,10 +155,14 @@ object BpeOps {
       Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) >= 1)
+        // bpe_apply projected ONCE (whole-stage codegen does not CSE a
+        // custom expression — a second call would run the query's most
+        // expensive kernel twice); ntok and ok derive from the column.
+        .select(col("doc_id"), col("word"),
+          BpeApplyExpr.bpeApply(col("word"), merges).as("toks"))
         .select(col("doc_id"),
-          size(BpeApplyExpr.bpeApply(col("word"), merges)).as("ntok"),
-          (array_join(BpeApplyExpr.bpeApply(col("word"), merges), "")
-            === col("word")).as("ok"))
+          size(col("toks")).as("ntok"),
+          (array_join(col("toks"), "") === col("word")).as("ok"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"),
           sum(col("ntok")).as("n_bpe_tokens"),

@@ -228,8 +228,16 @@ object MultimodalOps {
   private[graft] def phashBandsOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
-        expr("CASE WHEN doc_id % 10 <= 2 THEN doc_id div 10 " +
-          "ELSE 100000 + doc_id END").as("sc"),
+        // Scene keyspaces are PARITY-disjoint at every scale: planted
+        // triples (vr 0–2) share the even scene 2·(doc_id div 10);
+        // negative controls (vr 3–9) get the odd scene 2·doc_id + 1 — a
+        // planted scene can never equal a control scene, at any doc_id
+        // (an additive offset like 100000 + doc_id collides once ids
+        // reach ~1M). Non-negative by construction: Spark's div/% and
+        // DuckDB's ///% disagree on NEGATIVE operands (truncate vs
+        // floor), so a signed keyspace would silently split the oracle.
+        expr("CASE WHEN doc_id % 10 <= 2 THEN (doc_id div 10) * 2 " +
+          "ELSE doc_id * 2 + 1 END").as("sc"),
         expr("doc_id % 10").as("vr"))
       .withColumn("px", expr(phashGridSpark))
       .withColumn("tot", expr("aggregate(px, 0L, (a, x) -> a + x)"))
@@ -256,8 +264,8 @@ object MultimodalOps {
     def p(u: String, v: String) = s"(${phashPixDuck(u, v)})"
     val (r, c) = ("(i // 8)", "(i % 8)")
     s"""WITH d AS (SELECT doc_id,
-       |    CASE WHEN doc_id % 10 <= 2 THEN doc_id // 10
-       |      ELSE 100000 + doc_id END AS sc,
+       |    CASE WHEN doc_id % 10 <= 2 THEN (doc_id // 10) * 2
+       |      ELSE doc_id * 2 + 1 END AS sc,
        |    doc_id % 10 AS vr FROM documents),
        |g AS MATERIALIZED (SELECT doc_id, list_transform(generate_series(0, 63), i -> CASE
        |    WHEN vr = 2 THEN (${p(s"$r*4+1", s"$c*4+1")} + ${p(s"$r*4+1", s"$c*4+3")}

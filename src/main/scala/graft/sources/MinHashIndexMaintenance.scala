@@ -107,52 +107,64 @@ object MinHashIndexMaintenance {
       .load()
       .select(col("doc_id"), col("text"), col("_change_type"))
 
+  /** Equality-delete key chunk size: the driver never holds more than
+    * one sorted partition (via toLocalIterator) and never passes more
+    * than this many keys to one deleteWhereEq commit. Each chunk is an
+    * independent idempotent metadata commit, so a crash between chunks
+    * is healed by the same scrub + re-apply recovery as any other
+    * partial window. Bounds DRIVER memory, not window size — a window
+    * of any size streams through; the remaining (documented) bound is
+    * the eq-delete SIDECAR count: a window of K deleted keys lands
+    * ceil(K / chunk) sidecar files per table, so refresh cadence should
+    * keep windows well under ~1e8 keys or OPTIMIZE afterwards. */
+  private val EqDelChunk = 100000
+
+  /** Stream `keyDf`'s single BIGINT column to equality deletes on every
+    * root in `roots`, in sorted EqDelChunk-sized slices. Returns true
+    * iff at least one key was deleted. */
+  private[sources] def chunkedEqDelete(keyDf: DataFrame, column: String,
+      roots: Seq[Path]): Boolean = {
+    import scala.jdk.CollectionConverters._
+    var any = false
+    keyDf.distinct().sort(column).toLocalIterator().asScala
+      .map(_.getLong(0).toString).grouped(EqDelChunk).foreach { ks =>
+        any = true
+        roots.foreach(r =>
+          ManifestSink.deleteWhereEq(r.toString, column, ks.toSeq))
+      }
+    any
+  }
+
   /** Apply one window: append the inserted docs' digest + band rows,
-    * then retire its deletes as ONE equality delete per table keyed by
-    * doc_id — zero base-file reads. `scrub = true` (recovery) first
-    * equality-deletes the window's INSERT keys from both tables so a
-    * partially-landed prior attempt is erased before the re-apply (see
-    * the object doc for why this is exact). A key both inserted and
-    * deleted inside one window is REFUSED — the feed carries no
-    * intra-window ordering. */
+    * then retire its deletes as equality deletes keyed by doc_id —
+    * zero base-file reads, driver-bounded via [[chunkedEqDelete]].
+    * `scrub = true` (recovery) first equality-deletes the window's
+    * INSERT keys from both tables so a partially-landed prior attempt
+    * is erased before the re-apply (see the object doc for why this is
+    * exact). A key both inserted and deleted inside one window is
+    * REFUSED — the feed carries no intra-window ordering. */
   private[sources] def applyWindowCdc(s: SparkSession, catalog: String,
       srcRoot: Path, digIdent: String, bandIdent: String,
       from: Long, to: Long, scrub: Boolean = false): Unit = {
     val digRoot = tableRoot(s, catalog, digIdent)
     val bandRoot = tableRoot(s, catalog, bandIdent)
     val ch = windowChanges(s, srcRoot, from, to).localCheckpoint()
-    val delKeys = ch.filter(col("_change_type") === "delete")
-      .select(col("doc_id")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    val dels = ch.filter(col("_change_type") === "delete").select("doc_id")
     val ins = ch.filter(col("_change_type") === "insert")
       .select(col("doc_id"), col("text")).localCheckpoint()
-    val insDel = ins.join(
-      ch.filter(col("_change_type") === "delete").select("doc_id"),
-      Seq("doc_id"), "left_semi").limit(1).collect()
+    val insDel = ins.join(dels, Seq("doc_id"), "left_semi").limit(1).collect()
     require(insDel.isEmpty,
       s"refresh window ($from, $to] both inserts and deletes doc_id " +
         s"${insDel.headOption.map(_.getLong(0)).getOrElse(-1L)} — the change " +
         "feed carries no intra-window ordering; refresh with a narrower window")
     if (scrub) {
-      val insKeys = ins.select(col("doc_id")).distinct()
-        .collect().map(_.getLong(0)).sorted
-      if (insKeys.nonEmpty) {
-        ManifestSink.deleteWhereEq(digRoot.toString, "doc_id",
-          insKeys.map(_.toString))
-        ManifestSink.deleteWhereEq(bandRoot.toString, "doc_id",
-          insKeys.map(_.toString))
-      }
+      chunkedEqDelete(ins.select("doc_id"), "doc_id", Seq(digRoot, bandRoot))
     }
     if (!ins.isEmpty) {
       digestRows(ins).writeTo(s"$catalog.$digIdent").append()
       bandRows(ins).writeTo(s"$catalog.$bandIdent").append()
     }
-    if (delKeys.nonEmpty) {
-      ManifestSink.deleteWhereEq(digRoot.toString, "doc_id",
-        delKeys.map(_.toString))
-      ManifestSink.deleteWhereEq(bandRoot.toString, "doc_id",
-        delKeys.map(_.toString))
-    }
+    chunkedEqDelete(dels, "doc_id", Seq(digRoot, bandRoot))
   }
 
   private def finalizeWindow(bandRoot: Path, to: Long): Unit =
