@@ -42,10 +42,16 @@ object Bench {
     // regressions. The per-query max/min spread is emitted alongside so a
     // noisy run is VISIBLE in the artifact instead of silently inflating it.
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // transient-checkpoint scope: per-call stage checkpoints (q117's
+      // five stages) free as soon as the consuming count returns, so one
+      // query's residue never prices the NEXT line's eviction (measured
+      // at sf3: q118/q136/q141 inflated 2-6x by q117's resident blocks)
+      graft.engine.Staging.beginTransient()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"BENCH FAIL $name: ${e.getMessage}"); -1.0 }
+      finally graft.engine.Staging.releaseTransient()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val a = once(name, fn)

@@ -92,8 +92,13 @@ object Verify {
       val worker = new Thread(() => {
         try {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
-          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          // transient-checkpoint scope (see Staging): per-call stage
+          // checkpoints free once this query's write lands, instead of
+          // residing until the ContextCleaner notices
+          graft.engine.Staging.beginTransient()
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
+          finally graft.engine.Staging.releaseTransient()
           done.complete(())
         } catch { case e: Throwable => done.completeExceptionally(e) }
       }, s"verify-$name")

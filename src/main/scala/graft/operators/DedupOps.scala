@@ -968,7 +968,13 @@ object DedupOps {
     * with the identical algebra. Returns (verified pairs, pair-member
     * shingle sets); both are localCheckpoints of near-dup-fraction-
     * sized tables. */
-  private[graft] def nearDupPairsOf(docs: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def nearDupPairsOf(docs: DataFrame,
+      transient: Boolean = false): (DataFrame, DataFrame) = {
+    // transient = true registers every internal checkpoint in the
+    // harness's transient scope (q117's per-call use); the SESSION-staged
+    // memo path keeps the default — a freed checkpoint cannot recompute.
+    def cp(df: DataFrame): DataFrame =
+      if (transient) graft.engine.Staging.trackCp(df) else df.localCheckpoint()
     // Signatures come straight off the text scan via the fused
     // tokenize→shingle→MinHash expression (MinHashFromTextExpr): one pass
     // over the raw bytes, no shingle-array column, no shuffle — at sf1
@@ -982,20 +988,20 @@ object DedupOps {
     // the band table feeds BOTH sides of the candidate self-join; with no
     // aggregate exchange left to reuse, checkpoint it once so neither
     // side recomputes the md5 kernel
-    val b = bands(sigs).localCheckpoint()
-    val cand = b.as("a").join(b.as("b"),
+    val b = cp(bands(sigs))
+    val cand = cp(b.as("a").join(b.as("b"),
         col("a.j") === col("b.j") && col("a.bkey") === col("b.bkey")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct().localCheckpoint()
+      .distinct())
     // exact-Jaccard verification needs shingle ARRAYS only for docs that
     // appear in a candidate pair — the near-dup fraction of the corpus —
     // so only those docs are shingled. The id list is fixed-width longs
     // (broadcastable far beyond where the text columns would be), but
     // size-gated: past BroadcastMaxIds the semi-join shuffles instead.
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
+    val candDocs = cp(cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
-      .distinct().localCheckpoint()
+      .distinct())
     val sets = joinIds(docs, candDocs, "doc_id")
       .select(col("doc_id"),
         graft.plans.ShinglesExpr.shinglesNative(col("text"), ShingleN).as("shingles"))
@@ -1008,14 +1014,14 @@ object DedupOps {
       .withColumn("uni", uni)
       .filter(col("inter") * 2 >= col("uni"))
       .withColumn("jac_bp", expr("inter * 10000L div uni"))
-      .localCheckpoint() // eager: materializes the small pair set now
+      .transform(cp) // eager: materializes the small pair set now
     // stage the pair members' shingles while `sets` is still cached: the
     // member set is tiny (near-dup fraction), so this join is one cheap
     // probe of the cache, and q90 never touches `documents` again
     val members = verified.select(col("doc_a").as("doc_id"))
       .union(verified.select(col("doc_b").as("doc_id")))
       .distinct()
-    val memberShingles = sets.join(members, "doc_id").localCheckpoint()
+    val memberShingles = cp(sets.join(members, "doc_id"))
     sets.unpersist()
     (verified, memberShingles)
   }
@@ -1054,6 +1060,11 @@ object DedupOps {
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("rep", "prev"), "doc_id")
         .filter(col("rep") =!= col("prev")).count()
+      // the previous iteration's checkpoint is dead once `changed` is
+      // counted — free it now instead of waiting for the ContextCleaner
+      // (an iterative loop otherwise accumulates one resident copy of
+      // the vertex set per round)
+      org.apache.spark.sql.graft.GraftBridge.freeCheckpoint(labels)
       labels = next
     }
     edges.unpersist()
@@ -1090,10 +1101,14 @@ object DedupOps {
     *     (the merge map's row set is the touched reps; the spec pins
     *     it). The final update is ONE left join of the standing labels
     *     against the (tiny) merge map. */
-  private def sigBands(docs: DataFrame): DataFrame = bands(docs
-    .select(col("doc_id"),
-      graft.plans.MinHashFromTextExpr.sigFromText(col("text"), ShingleN, NumHashes).as("sig"))
-    .filter(col("sig").isNotNull)).localCheckpoint()
+  private def sigBands(docs: DataFrame,
+      transient: Boolean = false): DataFrame = {
+    val b = bands(docs
+      .select(col("doc_id"),
+        graft.plans.MinHashFromTextExpr.sigFromText(col("text"), ShingleN, NumHashes).as("sig"))
+      .filter(col("sig").isNotNull))
+    if (transient) graft.engine.Staging.trackCp(b) else b.localCheckpoint()
+  }
 
   /** The STANDING side of q210 — arrival-1 labels + corpus band table —
     * staged once per (session, sf-dir): in production both are AT REST
@@ -1125,7 +1140,7 @@ object DedupOps {
         nearDupPairsOf(corpus)._1.select("doc_a", "doc_b")).localCheckpoint(),
         sigBands(corpus))
     }
-    val bBands = sigBands(batch)
+    val bBands = sigBands(batch, transient = true)
     val candBB = bBands.as("a").join(bBands.as("b"),
         col("a.j") === col("b.j") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -1134,31 +1149,34 @@ object DedupOps {
         col("a.j") === col("b.j") && col("a.bkey") === col("b.bkey"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
-    val cand = candBB.union(candBC).distinct().localCheckpoint()
+    val cand = graft.engine.Staging.trackCp(
+      candBB.union(candBC).distinct())
     val all = corpus.select("doc_id", "text")
       .unionByName(batch.select("doc_id", "text"))
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct().localCheckpoint()
+    val candDocs = graft.engine.Staging.trackCp(
+      cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct())
     val sets = joinIds(all, candDocs, "doc_id")
       .select(col("doc_id"),
         graft.plans.ShinglesExpr.shinglesNative(col("text"), ShingleN).as("shingles"))
-      .localCheckpoint()
+      .transform(graft.engine.Staging.trackCp)
     val (inter, uni) = jaccardCols(col("sh_a"), col("sh_b"))
     val newEdges = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .withColumn("inter", inter).withColumn("uni", uni)
       .filter(col("inter") * 2 >= col("uni"))
-      .select("doc_a", "doc_b").localCheckpoint()
+      .select("doc_a", "doc_b").transform(graft.engine.Staging.trackCp)
     val l0 = standing
       .unionByName(batch.select(col("doc_id"), col("doc_id").as("rep")))
-      .localCheckpoint()
+      .transform(graft.engine.Staging.trackCp)
     val repEdges = newEdges
       .join(l0.select(col("doc_id").as("doc_a"), col("rep").as("rep_a")), "doc_a")
       .join(l0.select(col("doc_id").as("doc_b"), col("rep").as("rep_b")), "doc_b")
       .filter(col("rep_a") =!= col("rep_b"))
       .select("rep_a", "rep_b").distinct()
-    val mergeMap = propagateMin(repEdges).toDF("rep", "nrep").localCheckpoint()
+    val mergeMap = graft.engine.Staging.trackCp(
+      propagateMin(repEdges).toDF("rep", "nrep"))
     val labels = l0.join(mergeMap, Seq("rep"), "left")
       .select(col("doc_id"), coalesce(col("nrep"), col("rep")).as("rep"))
     (labels, mergeMap, newEdges)
@@ -1718,10 +1736,13 @@ object DedupOps {
   private[graft] def verbatimLeakIds(train: DataFrame, evalDocs: DataFrame): DataFrame = {
     val evalHashes = windowHashRows(evalDocs, SubstrWindow)
       .select("wval").distinct()
-    val cand = windowHashRows(train, SubstrWindow)
+    // per-call frames (q117's S4): registered in the harness's
+    // transient scope so their blocks free when the query's action ends
+    val cand = graft.engine.Staging.trackCp(windowHashRows(train, SubstrWindow)
       .join(broadcast(evalHashes), "wval")
-      .select("doc_id", "pos").localCheckpoint()
-    val candDocs = cand.select("doc_id").distinct().localCheckpoint()
+      .select("doc_id", "pos"))
+    val candDocs = graft.engine.Staging.trackCp(
+      cand.select("doc_id").distinct())
     val trainT = windowTextRows(joinIds(train, candDocs, "doc_id"), SubstrWindow)
     val evalT = windowTextRows(evalDocs, SubstrWindow).select("wval").distinct()
     trainT.join(cand, Seq("doc_id", "pos"))

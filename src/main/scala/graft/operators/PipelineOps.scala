@@ -290,7 +290,7 @@ object PipelineOps {
     "q117_corpus_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // S1: line dedup — cleaned text, staged once for its many readers
-      val cleaned = DedupOps.cleanedDocs(docs).localCheckpoint()
+      val cleaned = graft.engine.Staging.trackCp(DedupOps.cleanedDocs(docs))
       // S2: Gopher pack + repetition rules on cleaned text; the stop
       // list is the raw corpus's top-8 tokens (tiny, deterministic,
       // bounded driver collect — the trainedMerges pattern)
@@ -304,19 +304,21 @@ object PipelineOps {
         .filter(col("keep")).select("doc_id")
       val rKeep = TextOps.repetitionRules(cleaned)
         .filter(col("keep")).select("doc_id")
-      val gated = cleaned.join(gKeep, "doc_id").join(rKeep, "doc_id")
-        .localCheckpoint()
+      val gated = graft.engine.Staging.trackCp(
+        cleaned.join(gKeep, "doc_id").join(rKeep, "doc_id"))
       // S3: near-dup removal among the gated survivors (cleaned text)
-      val losers = DedupOps.nearDupPairsOf(gated)._1
+      val losers = DedupOps.nearDupPairsOf(gated, transient = true)._1
         .select(col("doc_b").as("doc_id")).distinct()
       val deduped = gated.join(losers, Seq("doc_id"), "left_anti")
       // S4: decontamination — eval stratum out, verbatim + semantic leaks out
       val train = deduped.filter(col("doc_id") % 5 =!= 0)
       val evalC = cleaned.filter(col("doc_id") % 5 === 0)
-      val vLeaks = DedupOps.verbatimLeakIds(train, evalC).localCheckpoint()
-      val sLeaks = SimilarityOps.semanticContam(s, Tables.embeddings(s, dir),
-          col("vec_id") % 10 === 0, SimilarityOps.SemContamBp)
-        .select(col("train_id").as("doc_id")).localCheckpoint()
+      val vLeaks = graft.engine.Staging.trackCp(
+        DedupOps.verbatimLeakIds(train, evalC))
+      val sLeaks = graft.engine.Staging.trackCp(
+        SimilarityOps.semanticContam(s, Tables.embeddings(s, dir),
+            col("vec_id") % 10 === 0, SimilarityOps.SemContamBp)
+          .select(col("train_id").as("doc_id")))
       val surv = train.join(vLeaks, Seq("doc_id"), "left_anti")
         .join(sLeaks, Seq("doc_id"), "left_anti")
         // observe(): funnel counters collected DURING the single final

@@ -25,11 +25,14 @@ object TimeQ {
       // eager staging (localCheckpoint loops — q107, the staged index
       // builders) do their real work during CONSTRUCTION, and timing
       // only the count() under-measured them by 20x+
+      graft.engine.Staging.beginTransient() // Bench.once parity
       val t0 = System.nanoTime()
-      val df = graft.SparkEntry.queries(n)(spark, sfDir)
-      if (explain) { println(s"=== PLAN $n ==="); df.explain("formatted") }
-      val rows = df.count()
-      println(f"TIMEQ $n ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$rows")
+      try {
+        val df = graft.SparkEntry.queries(n)(spark, sfDir)
+        if (explain) { println(s"=== PLAN $n ==="); df.explain("formatted") }
+        val rows = df.count()
+        println(f"TIMEQ $n ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$rows")
+      } finally graft.engine.Staging.releaseTransient()
     }
     spark.stop()
   }

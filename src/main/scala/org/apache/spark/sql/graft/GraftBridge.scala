@@ -23,4 +23,20 @@ object GraftBridge {
   def dataFrame(spark: SparkSession, p: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], p)
+
+  /** Unpersist the block-store data behind a locally-checkpointed
+    * DataFrame (LogicalRDD). localCheckpoint truncates lineage, so its
+    * blocks are otherwise freed only when the ContextCleaner notices
+    * the RDD is garbage — under a benchmark loop the residue of one
+    * query evicts the next query's working set (measured: q117's stage
+    * checkpoints inflating its sf3 bench neighbors 2-6x). Callers must
+    * guarantee the frame (and anything sharing its RDD) is CONSUMED —
+    * a freed local checkpoint cannot recompute. No-op on frames that
+    * are not local checkpoints. */
+  def freeCheckpoint(df: DataFrame): Unit =
+    plan(df).foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }
