@@ -709,6 +709,199 @@ object DedupOps {
     (s"graft.$src", s"graft.$digT", s"graft.$bandT")
   }
 
+  // ---- cluster index at rest, maintained under DELETE (q213) ------------
+
+  /** Engine-identical DRIVER-side MinHash: the same fused kernel the
+    * corpus scan runs (MinHashFromTextExpr.compute) evaluated on a local
+    * string — the bridge-chain builder verifies band collisions against
+    * the exact algebra the index will compute, so a chain that verifies
+    * here collides there by construction, not by probability. */
+  private lazy val sigKernel = graft.plans.MinHashFromTextExpr(
+    org.apache.spark.sql.catalyst.expressions.Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(""),
+      org.apache.spark.sql.types.StringType), ShingleN, NumHashes)
+
+  private def sigLocal(tokens: Seq[String]): Option[Array[Long]] =
+    sigKernel.compute(org.apache.spark.unsafe.types.UTF8String
+        .fromString(tokens.mkString(" "))) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData => Some(a.toLongArray)
+      case _ => None
+    }
+
+  private def shinglesLocal(tokens: Seq[String]): Set[String] =
+    if (tokens.length < ShingleN) Set.empty
+    else tokens.sliding(ShingleN).map(_.mkString(" ")).toSet
+
+  /** Near-dup per the engine's own verdict: ≥1 LSH band collision AND
+    * exact Jaccard ≥ 0.5 — a pair that passes here is a q41 pair. */
+  private[graft] def linkedLocal(a: Seq[String], b: Seq[String]): Boolean =
+    (sigLocal(a), sigLocal(b)) match {
+      case (Some(sa), Some(sb)) =>
+        val bandHit = (0 until Bands).exists(j =>
+          (0 until RowsPerBand).forall(r =>
+            sa(j * RowsPerBand + r) == sb(j * RowsPerBand + r)))
+        bandHit && {
+          val (x, y) = (shinglesLocal(a), shinglesLocal(b))
+          2 * x.intersect(y).size >= x.union(y).size
+        }
+      case _ => false
+    }
+
+  /** Deterministic NEAR-DUP PATH from doc text A to doc text B — the
+    * q213 fixture's cluster bridge. Every adjacent pair (including the
+    * links to the natural endpoints) is a verified near-dup under the
+    * engine's exact algebra, so appending the chain MERGES A's and B's
+    * clusters, and deleting it must SPLIT them — the maintenance
+    * behavior min-propagation cannot express.
+    *
+    * Construction: single-shingle moves (append one token, then trim
+    * the A-prefix token-by-token, then remove accumulated detour
+    * tokens), each verified with [[linkedLocal]]; a failed link (the
+    * new/most bands happen to change minima) retries through a pool of
+    * 1-shingle detours with fresh md5 draws, including the
+    * preserve-front-trigram move that keeps a dying super-minimal
+    * shingle alive across a trim. Returns None when a link resists the
+    * detour budget — the caller then tries a different endpoint pair
+    * (the cliff is a property of the pair's texts). */
+  private[graft] def bridgeWalk(aTok: Seq[String], bTok: Seq[String],
+      budget: Int = 2500): Option[Seq[String]] = {
+    type St = Vector[(String, Boolean)] // (token, isDetourJunk)
+    var cur: St = aTok.map((_, false)).toVector
+    val chain = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    var spent = 0
+    def toks(c: St): Seq[String] = c.map(_._1)
+    def detourCands(c: St): Seq[St] = {
+      val w = toks(c)
+      val front = if (w.length >= 3)
+        Seq(c ++ Vector((w(0), true), (w(1), true), (w(2), true))) else Seq.empty
+      val pool = Seq(w.last, w.head, w(w.length / 2),
+        w(math.max(w.length - 2, 0)), w(w.length / 3), w(2 * w.length / 3))
+      front ++ pool.map(t => c :+ ((t, true))) :+
+        (c ++ Vector((w.last, true), (w.last, true)))
+    }
+    def advance(op: St => St): Boolean = {
+      var stuck = 0
+      while (true) {
+        val nxt = op(cur)
+        if (linkedLocal(toks(cur), toks(nxt))) {
+          chain += toks(nxt); cur = nxt; return true
+        }
+        spent += 1; stuck += 1
+        if (spent > budget || stuck > 40) return false
+        val s0 = sigLocal(toks(cur)).map(_.toSeq)
+        val moved = Seq(true, false).exists(wantDiff =>
+          detourCands(cur).find(d => linkedLocal(toks(cur), toks(d)) &&
+              (!wantDiff || sigLocal(toks(d)).map(_.toSeq) != s0)) match {
+            case Some(d) => chain += toks(d); cur = d; true
+            case None => false
+          })
+        if (!moved) return false
+      }
+      false
+    }
+    bTok.foreach { t => if (!advance(c => c :+ ((t, false)))) return None }
+    aTok.foreach { _ => if (!advance(c => c.tail)) return None }
+    var guard = 0
+    while (cur.exists(_._2)) {
+      guard += 1; spent += 1
+      if (guard > 200 || spent > budget) return None
+      val idxs = cur.zipWithIndex.filter(_._1._2).map(_._2)
+      val removal = (1 to idxs.length).iterator.flatMap(size =>
+        idxs.reverse.combinations(size).map(_.toSet))
+        .map(drop => cur.zipWithIndex.filterNot(x => drop(x._2)).map(_._1))
+        .find(cand => linkedLocal(toks(cur), toks(cand)))
+      removal match {
+        case Some(cand) => chain += toks(cand); cur = cand
+        case None =>
+          val w = toks(cur)
+          val shaken = Seq(w.head, w(w.length / 2), w.last, w(w.length / 3))
+            .map(t => cur :+ ((t, true)))
+            .find(d => linkedLocal(w, toks(d)))
+          shaken match {
+            case Some(d) => chain += toks(d); cur = d
+            case None => return None
+          }
+      }
+    }
+    // cur == B byte-exact now; drop it — its predecessor verified its
+    // link to the natural endpoint
+    Some((if (chain.nonEmpty && chain.last == bTok) chain.init else chain)
+      .map(_.mkString(" ")).toSeq)
+  }
+
+  /** Stitch ids live far above any natural doc_id at any scale factor. */
+  private[graft] val StitchBase = 1000000000L
+
+  /** The q213 bridge: pick two cluster reps of the CURRENT corpus (first
+    * convergent pair from the smallest reps — the band-cliff that blocks
+    * a walk is a property of the endpoint texts, so the pair is chosen
+    * adaptively per sf), and return the verified chain as stitch docs.
+    * Empty when no candidate pair converges — the fixture then degrades
+    * to a delete-only exercise and the oracle (from-scratch over
+    * survivors) still matches. */
+  private def bridgeChainDocs(s: SparkSession, dir: String): Seq[(Long, String)] = {
+    val reps = propagateMin(verifiedNearDupPairs(s, dir).select("doc_a", "doc_b"))
+      .select("rep").distinct().orderBy("rep").limit(8)
+      .collect().map(_.getLong(0)).toSeq
+    val pairs = for {
+      i <- 0 until math.min(4, reps.length)
+      j <- (i + 1) until math.min(6, reps.length)
+    } yield (reps(i), reps(j))
+    val docs = Tables.documents(s, dir)
+    pairs.view.flatMap { case (ra, rb) =>
+      val t = docs.filter(col("doc_id").isin(ra, rb))
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      bridgeWalk(t(ra).split(' ').toSeq, t(rb).split(' ').toSeq)
+        .map(_.zipWithIndex.map { case (txt, i) => (StitchBase + i, txt) })
+    }.headOption.getOrElse {
+      System.err.println(s"[q213] no bridge pair converged for $dir — " +
+        "delete-only exercise")
+      Seq.empty
+    }
+  }
+
+  private val clMaintBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  /** Once-per-(application, sf-dir) MAINTAINED cluster index — the full
+    * churn loop of [[graft.sources.ClusterIndexMaintenance]]: the corpus
+    * arrives in TWO appends to a merge-on-read source; CREATE builds
+    * labels/edges/bands on arrival 1; REFRESH-CDC folds arrival 2 —
+    * which carries the BRIDGE CHAIN ([[bridgeChainDocs]]): a verified
+    * near-dup path between two natural cluster reps, so the refresh
+    * provably MERGES two standing components; a merge-on-read DELETE
+    * then retires the whole chain plus natural doc 45, and the final
+    * REFRESH-CDC must SPLIT the merged component back apart (and, at
+    * sfs where 45 is clustered, move its component's rep — at sf0.01 it
+    * is the {45, 267, 413} clique's minimum, so rep 45 → 267). The
+    * split is exactly what q210's min-propagation fold cannot do; here
+    * the touched components are recomputed from surviving EDGE rows at
+    * rest. */
+  private[graft] def clusterMaintainedTables(s: SparkSession, dir: String): String = {
+    val ns = graftNs(s, dir)
+    val (src, lab, edg, bnd) =
+      (s"$ns.clm_src", s"$ns.clm_labels", s"$ns.clm_edges", s"$ns.clm_bands")
+    buildOnce(clMaintBuilt, (s.sparkContext.applicationId, dir)) {
+      s.sql(s"CREATE TABLE graft.$src (doc_id BIGINT, text STRING) " +
+        "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      docs.filter(col("doc_id") % 10 <= 4).writeTo(s"graft.$src").append()
+      graft.sources.ClusterIndexMaintenance.createIndex(s, "graft", src, lab, edg, bnd)
+      val chain = bridgeChainDocs(s, dir)
+      val chainDf = {
+        import s.implicits._
+        chain.toDF("doc_id", "text")
+      }
+      docs.filter(col("doc_id") % 10 >= 5).unionByName(chainDf)
+        .writeTo(s"graft.$src").append()
+      graft.sources.ClusterIndexMaintenance.refreshCdc(s, "graft", src, lab, edg, bnd)
+      s.sql(s"DELETE FROM graft.$src WHERE doc_id >= $StitchBase OR doc_id = 45")
+      graft.sources.ClusterIndexMaintenance.refreshCdc(s, "graft", src, lab, edg, bnd)
+    }
+    s"graft.$lab"
+  }
+
   /** q119's exact/near/new verdict served from the AT-REST index: the
     * exact arm probes `mh_digest` by md5, the near arm probes
     * `mh_bands` by band key — both joins broadcast the (small) batch
@@ -1315,6 +1508,32 @@ object DedupOps {
         docs.filter(col("doc_id") % 10 === 7).select("doc_id", "text"),
         staged = Some(stagedClusterState(s, dir, corpus)))
       val quality = docs.select("doc_id", "n_chars")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("rep")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val canon = labels.join(quality, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("rep"), col("doc_id").as("canon"))
+      labels.join(canon, "rep")
+        .select(col("doc_id"), col("rep"), col("canon"),
+          when(col("doc_id") === col("canon"), 1L).otherwise(0L).as("kept"))
+        .orderBy("doc_id")
+    }),
+
+    // q213: q150's canonical map served from the MAINTAINED cluster
+    // index — labels/edges/bands live as manifest tables, created on
+    // arrival 1, refreshed for arrival 2 (whose bridge chain provably
+    // MERGES two natural components — see clusterMaintainedTables), then
+    // a merge-on-read DELETE retires the whole chain plus doc 45 and the
+    // final refresh recomputes the touched components from surviving
+    // edge rows — the SPLIT q210's min-propagation fold structurally
+    // cannot produce. Oracle is q150's from-scratch SQL over the
+    // survivors: a stale label, an over-merge the delete failed to undo,
+    // an under-split, or a leftover stitch row cannot match.
+    "q213_clusters_maintained" -> ((s, dir) => {
+      val labT = clusterMaintainedTables(s, dir)
+      val labels = s.table(labT)
+      val quality = Tables.documents(s, dir).select("doc_id", "n_chars")
       val w = org.apache.spark.sql.expressions.Window.partitionBy("rep")
         .orderBy(col("n_chars").desc, col("doc_id"))
       val canon = labels.join(quality, "doc_id")
@@ -2013,10 +2232,15 @@ object DedupOps {
   /** From-scratch clustering + canonical-map ground truth, shared by
     * q150 (the inline clustering) and q210 (the two-arrival incremental
     * fold — its hash match against this proves fold == from-scratch). */
-  private def clusterCanonicalSql: String = {
+  private def clusterCanonicalSql: String = clusterCanonicalSqlFrom("documents")
+
+  /** q150's from-scratch clustering SQL over an arbitrary doc source —
+    * `pre` prepends extra CTEs (q213 scopes it to the survivors of the
+    * maintained fixture's CDC delete). */
+  private def clusterCanonicalSqlFrom(src: String, pre: String = ""): String = {
     val code = md5Code60Sql("sh")
     val affine = affineHashSql("i", "x")
-    s"""WITH RECURSIVE $setsCte,
+    s"""WITH RECURSIVE $pre${setsCteFrom(src)},
        |c AS (SELECT doc_id, list_transform(shingles, sh -> $code) AS codes FROM s),
        |sg AS (SELECT doc_id, list_transform(generate_series(1, $NumHashes),
        |        i -> list_min(list_transform(codes, x -> $affine))) AS sig FROM c),
@@ -2029,14 +2253,14 @@ object DedupOps {
        |vp AS (SELECT doc_a, doc_b FROM ($jacSelect) x WHERE x.inter * 2 >= x.uni),
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM vp
        |  UNION ALL SELECT doc_b, doc_a FROM vp),
-       |reach AS (SELECT doc_id, doc_id AS anc FROM documents
+       |reach AS (SELECT doc_id, doc_id AS anc FROM $src
        |  UNION
        |  SELECT e.src, r.anc FROM edges e JOIN reach r ON r.doc_id = e.dst),
        |lbl AS (SELECT doc_id, min(anc) AS rep FROM reach GROUP BY doc_id),
        |can AS (SELECT rep, doc_id AS canon FROM (
        |  SELECT l.rep, d.doc_id,
        |    row_number() OVER (PARTITION BY l.rep ORDER BY d.n_chars DESC, d.doc_id) AS rn
-       |  FROM lbl l JOIN documents d USING (doc_id)) WHERE rn = 1)
+       |  FROM lbl l JOIN $src d USING (doc_id)) WHERE rn = 1)
        |SELECT l.doc_id, l.rep, c.canon,
        |  CAST(CASE WHEN l.doc_id = c.canon THEN 1 ELSE 0 END AS BIGINT) AS kept
        |FROM lbl l JOIN can c USING (rep) ORDER BY l.doc_id""".stripMargin
@@ -2190,6 +2414,8 @@ object DedupOps {
     // q210 folds the corpus in two arrivals; its ground truth is the
     // IDENTICAL from-scratch clustering
     "q210_clusters_incremental" -> clusterCanonicalSql,
+    "q213_clusters_maintained" -> clusterCanonicalSqlFrom("dsurv",
+      "dsurv AS (SELECT * FROM documents WHERE doc_id <> 45), "),
 
     "q42_simhash" -> {
       val code = md5Code60Sql("t")
