@@ -30,6 +30,9 @@ object Bench {
         graft.operators.DedupOps.verifiedNearDupPairs(spark, sfDir).count()
         Seq("all", "corpus", "batch").foreach(sl =>
           graft.operators.DedupOps.stagedSetSimTokens(spark, sfDir, sl)._1.count())
+        // the rendered media grid (q211/q214/q215 read stored pixels —
+        // decode-once is a staging cost, not a probe cost)
+        spark.table(graft.operators.MultimodalOps.mediaGridTable(spark, sfDir)).count()
         (System.nanoTime() - tStage) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"BENCH FAIL staging: ${e.getMessage}"); -1.0 }

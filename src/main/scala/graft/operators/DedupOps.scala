@@ -494,7 +494,7 @@ object DedupOps {
     setSimVerify(cand, btk, ctk, t)
   }
 
-  private def buildOnce[K](set: java.util.Set[K], key: K)(build: => Unit): Unit =
+  private[graft] def buildOnce[K](set: java.util.Set[K], key: K)(build: => Unit): Unit =
     graft.engine.Staging.once(set, key)(build)
 
   private val ssimBuilt =
@@ -537,7 +537,7 @@ object DedupOps {
   /** Configure the session-scoped `graft` catalog and ensure this
     * sf-dir's namespace exists — shared by every staged index builder
     * so concurrent builders never race the namespace creation. */
-  private def graftNs(s: SparkSession, dir: String): String = {
+  private[graft] def graftNs(s: SparkSession, dir: String): String = {
     val wh = s"${System.getProperty("java.io.tmpdir")}/graft_wh_" +
       s.sparkContext.applicationId
     s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")

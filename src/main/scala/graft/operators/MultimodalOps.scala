@@ -181,6 +181,29 @@ object MultimodalOps {
         .filter(col("hamming") <= PhashMaxHam)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // q214: q211's verdict served from the phash index AT REST — hash +
+    // band-key tables built once over the staged media table (the q208
+    // protocol for media), candidates from the bloomed band table's
+    // self-join, Hamming verification from the hash table; no pixel is
+    // read at query time. Same oracle as q211: the hash match proves
+    // the at-rest path loses nothing vs the inline computation.
+    "q214_phash_index" -> ((s, dir) => {
+      val (hashT, bandT) = phashIndexTables(s, dir)
+      phashVerdictFrom(s, hashT, bandT)
+    }),
+
+    // q215: the verdict against a MAINTAINED phash index — created on
+    // arrival 1 of the media source, refreshed for arrival 2 through
+    // the change feed, then a merge-on-read DELETE of doc 10 (the base
+    // member of planted triple {10,11,12} — visible at EVERY sf)
+    // propagated as zero-read equality deletes on both arms. Oracle is
+    // q211's SQL over the SURVIVING media: pairs (10,11)/(10,12) gone,
+    // (11,12) kept — a stale or over-deleted index cannot match.
+    "q215_phash_maintained" -> ((s, dir) => {
+      val (hashT, bandT) = phashMaintainedTables(s, dir)
+      phashVerdictFrom(s, hashT, bandT)
     }))
 
   /** q211 Hamming verification threshold (measured planted max across
@@ -215,17 +238,12 @@ object MultimodalOps {
        | ELSE ${p(s"$r*4+2", s"$c*4+2")} END)""".stripMargin.replace("\n", " ")
   }
 
-  /** doc_id → the 4 × 16-bit aHash bands (bit = pixel·64 > Σpixels,
-    * integer-exact — no mean division), over the synthetic grid.
-    * Variants 0/1/2 of each decade share a scene (the planted triple);
-    * variants 3–9 get unique scenes (negative controls). */
-  private[graft] def phashTable(s: SparkSession, dir: String): DataFrame =
-    phashBandsOf(Tables.documents(s, dir))
-
-  /** [[phashTable]] over an arbitrary frame with a `doc_id` column
-    * (pixels derive from doc_id alone), so specs drive planted id sets
-    * through the exact algebra. */
-  private[graft] def phashBandsOf(docs: DataFrame): DataFrame =
+  /** doc_id → rendered 64-cell pixel grid — the DECODE stage of the
+    * media pipeline, factored so the grid can be staged AT REST: a real
+    * pipeline renders pixels once and every downstream hash probe reads
+    * the stored media table, it does not re-decode per query (r14's
+    * q211 line was dominated by exactly this re-derivation). */
+  private[graft] def phashPixelsOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         // Scene keyspaces are PARITY-disjoint at every scale: planted
@@ -240,11 +258,114 @@ object MultimodalOps {
           "ELSE doc_id * 2 + 1 END").as("sc"),
         expr("doc_id % 10").as("vr"))
       .withColumn("px", expr(phashGridSpark))
+      .select("doc_id", "px")
+
+  /** (doc_id, px) → the 4 × 16-bit aHash bands (bit = pixel·64 >
+    * Σpixels, integer-exact — no mean division). */
+  private[graft] def bandsFromPx(px: DataFrame): DataFrame =
+    px
       .withColumn("tot", expr("aggregate(px, 0L, (a, x) -> a + x)"))
       .withColumn("bits", expr("transform(px, x -> IF(x * 64 > tot, 1L, 0L))"))
       .withColumn("bands", expr("transform(sequence(0, 3), " +
         "j -> aggregate(slice(bits, j*16 + 1, 16), 0L, (a, b) -> a * 2 + b))"))
       .select("doc_id", "bands")
+
+  private val mediaGridBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  /** Once-per-(application, sf-dir) MEDIA TABLE at rest: the rendered
+    * pixel grid as a doc_id-sorted manifest table — the storage shape a
+    * real pipeline reads (decode once, hash many). q211/q214 read this
+    * table, so their lines price the hash + LSH algebra, not fixture
+    * rendering. */
+  private[graft] def mediaGridTable(s: SparkSession, dir: String): String = {
+    val ns = DedupOps.graftNs(s, dir)
+    DedupOps.buildOnce(mediaGridBuilt, (s.sparkContext.applicationId, dir)) {
+      s.sql(s"CREATE TABLE graft.$ns.media_px (doc_id BIGINT, px ARRAY<BIGINT>) " +
+        "TBLPROPERTIES ('write.sort-by' = 'doc_id')")
+      phashPixelsOf(Tables.documents(s, dir))
+        .writeTo(s"graft.$ns.media_px").append()
+    }
+    s"graft.$ns.media_px"
+  }
+
+  /** doc_id → aHash bands, served from the staged media table. */
+  private[graft] def phashTable(s: SparkSession, dir: String): DataFrame =
+    bandsFromPx(s.table(mediaGridTable(s, dir)))
+
+  /** [[phashTable]] over an arbitrary frame with a `doc_id` column
+    * (pixels derive from doc_id alone), so specs drive planted id sets
+    * through the exact algebra. */
+  private[graft] def phashBandsOf(docs: DataFrame): DataFrame =
+    bandsFromPx(phashPixelsOf(docs))
+
+  /** The q211 verdict served from (hash, band) index tables: band-key
+    * equi-self-join for candidates, exact Hamming ≤ PhashMaxHam via the
+    * hash table — the index family's probe shape (q208), no pixel ever
+    * read. */
+  private def phashVerdictFrom(s: SparkSession, hashT: String,
+      bandT: String): DataFrame = {
+    val b = s.table(bandT)
+    val h = s.table(hashT)
+    val cand = b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(h.select(col("doc_id").as("doc_a"), col("bands").as("ba")), "doc_a")
+      .join(h.select(col("doc_id").as("doc_b"), col("bands").as("bb")), "doc_b")
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (a, v) -> a + v)"))
+      .filter(col("hamming") <= PhashMaxHam)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val phIndexBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  /** Once-per-(application, sf-dir) phash index AT REST over the staged
+    * media table's snapshot (q214). */
+  private[graft] def phashIndexTables(s: SparkSession, dir: String): (String, String) = {
+    val ns = DedupOps.graftNs(s, dir)
+    DedupOps.buildOnce(phIndexBuilt, (s.sparkContext.applicationId, dir)) {
+      graft.sources.PhashIndexMaintenance.createIndex(s, "graft",
+        mediaGridTable(s, dir).stripPrefix("graft."),
+        s"$ns.ph_hash", s"$ns.ph_bands")
+    }
+    (s"graft.$ns.ph_hash", s"graft.$ns.ph_bands")
+  }
+
+  private val phMaintBuilt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
+  /** Once-per-(application, sf-dir) MAINTAINED phash index (q215): the
+    * media grid arrives in TWO appends to a merge-on-read source; CREATE
+    * consumes arrival 1; REFRESH-CDC folds arrival 2; a merge-on-read
+    * DELETE retires doc 10 — the BASE member of planted triple
+    * {10, 11, 12}, so the delete is ORACLE-VISIBLE at EVERY scale factor
+    * (the triple is doc_id-derived): pairs (10,11) and (10,12) must
+    * vanish while (11,12) survives — then the final REFRESH-CDC
+    * propagates it as equality deletes on both arms, zero base-file
+    * reads. Doc 10 sits in arrival 1 (CREATE-indexed) and its twins in
+    * arrivals 1-2, so the delete provably reaches create-time rows. */
+  private[graft] def phashMaintainedTables(s: SparkSession,
+      dir: String): (String, String) = {
+    val ns = DedupOps.graftNs(s, dir)
+    val (src, hashT, bandT) = (s"$ns.phm_src", s"$ns.phm_hash", s"$ns.phm_bands")
+    DedupOps.buildOnce(phMaintBuilt, (s.sparkContext.applicationId, dir)) {
+      s.sql(s"CREATE TABLE graft.$src (doc_id BIGINT, px ARRAY<BIGINT>) " +
+        "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+      val media = s.table(mediaGridTable(s, dir))
+      media.filter(col("doc_id") % 10 <= 4).writeTo(s"graft.$src").append()
+      graft.sources.PhashIndexMaintenance.createIndex(s, "graft", src, hashT, bandT)
+      media.filter(col("doc_id") % 10 >= 5).writeTo(s"graft.$src").append()
+      graft.sources.PhashIndexMaintenance.refreshCdc(s, "graft", src, hashT, bandT)
+      s.sql(s"DELETE FROM graft.$src WHERE doc_id = 10")
+      graft.sources.PhashIndexMaintenance.refreshCdc(s, "graft", src, hashT, bandT)
+    }
+    (s"graft.$hashT", s"graft.$bandT")
+  }
 
   /** substring(text, idx*len+1, len) with a column start — helper because
     * functions.substring takes Int literals only. */
@@ -260,13 +381,17 @@ object MultimodalOps {
       s" + (((($u) // 16) + (($v) // 16) * ((sc // 2) % 2) + sc % 2) % 2) * 32" +
       s" + (($u) * 3 + ($v) * 5) % 16"
 
-  private def phashSql: String = {
+  private def phashSql: String = phashSqlFrom("documents")
+
+  /** q211's oracle over an arbitrary doc source — q215 scopes it to the
+    * survivors of the maintained fixture's CDC delete. */
+  private def phashSqlFrom(src: String, pre: String = ""): String = {
     def p(u: String, v: String) = s"(${phashPixDuck(u, v)})"
     val (r, c) = ("(i // 8)", "(i % 8)")
-    s"""WITH d AS (SELECT doc_id,
+    s"""WITH ${pre}d AS (SELECT doc_id,
        |    CASE WHEN doc_id % 10 <= 2 THEN (doc_id // 10) * 2
        |      ELSE doc_id * 2 + 1 END AS sc,
-       |    doc_id % 10 AS vr FROM documents),
+       |    doc_id % 10 AS vr FROM $src),
        |g AS MATERIALIZED (SELECT doc_id, list_transform(generate_series(0, 63), i -> CASE
        |    WHEN vr = 2 THEN (${p(s"$r*4+1", s"$c*4+1")} + ${p(s"$r*4+1", s"$c*4+3")}
        |      + ${p(s"$r*4+3", s"$c*4+1")} + ${p(s"$r*4+3", s"$c*4+3")}) // 4
@@ -294,6 +419,9 @@ object MultimodalOps {
 
   val oracle: Map[String, String] = Map(
     "q211_phash_neardup" -> phashSql,
+    "q214_phash_index" -> phashSql,
+    "q215_phash_maintained" -> phashSqlFrom("dsurv",
+      "dsurv AS (SELECT * FROM documents WHERE doc_id <> 10), "),
 
     "q55_multimodal_meta" ->
       """SELECT doc_id,

@@ -76,4 +76,24 @@ class MediaPhashSpec extends AnyFunSuite {
     assert(shouldHave.nonEmpty && shouldHave.forall(out.contains),
       "a pair below the pigeonhole bound escaped the banded candidates")
   }
+
+  test("q214 at-rest index verdict equals q211's inline verdict") {
+    val inline = MultimodalOps.queries("q211_phash_neardup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val atRest = MultimodalOps.queries("q214_phash_index")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(atRest == inline,
+      s"at-rest verdict diverged: extra=${atRest.diff(inline)} missing=${inline.diff(atRest)}")
+  }
+
+  test("q215 maintained index: the CDC delete of doc 10 retires exactly its pairs") {
+    val inline = MultimodalOps.queries("q211_phash_neardup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val maintained = MultimodalOps.queries("q215_phash_maintained")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(maintained == inline.filterNot(r => r._1 == 10L || r._2 == 10L),
+      "the maintained verdict must be q211's minus every pair touching doc 10")
+    assert(maintained.exists(r => r._1 == 11L && r._2 == 12L),
+      "the surviving twin pair (11, 12) must remain")
+  }
 }
