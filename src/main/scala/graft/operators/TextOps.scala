@@ -256,7 +256,90 @@ object TextOps {
       .select("doc_id", "n_tok", "n_uniq", "coll_bp", "keep")
   }
 
+  // ---- space-free scripts (q216/q217) ------------------------------------
+  //
+  // Real pretraining corpora carry CJK/Thai text with NO spaces; every
+  // word-split gate (tokens = split(text, ' ')) silently sees one giant
+  // token there. The script-aware path: detect space-free scripts by
+  // codepoint range, tokenize them as codepoint n-grams (CharNgramsExpr,
+  // the CCNet/SentencePiece fallback), words otherwise. The fixture has
+  // no CJK bytes, so the stratum is DERIVED deterministically in-query
+  // (the q211 pattern — both engines share the derivation bit-for-bit):
+  // every doc_id % 3 == 0 doc transliterates its 36-char lowercase+digit
+  // alphabet into 36 contiguous CJK codepoints and drops spaces.
+  // ScaleGen is deliberately NOT extended: the driver's correctness gate
+  // runs on ITS OWN sf0.01 fixture, which no ScaleGen stratum can reach —
+  // the in-query derivation is the only form the gate can grade, and it
+  // scales with the corpus at every sweep sf automatically.
+
+  /** The 36-codepoint CJK alphabet (U+4E00..U+4E23) + the transliterate
+    * source alphabet; space sits LAST in `from` with no counterpart, so
+    * translate() drops it in both engines. */
+  private[graft] val CjkAlphabet = "一丁丂七丄丅丆万丈三上下丌不与丏丐丑丒专且丕世丗丘丙业丛东丝丞丟丠両丢丣"
+  private val TranslitFrom = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+  /** The mixed-script corpus: doc_id % 3 == 0 → space-free CJK
+    * transliteration, others keep their Latin text. */
+  private[graft] def scriptMixed(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        translate(col("text"), TranslitFrom, CjkAlphabet))
+        .otherwise(col("text")).as("text"))
+
+  /** Space-free-script detection by codepoint range: a doc is `cjk` when
+    * more than half its codepoints sit in the CJK alphabet — counted by
+    * length-difference after translate-removal, no regex dialect risk. */
+  private def scriptOf(text: Column): Column =
+    when((length(text) - length(translate(text, CjkAlphabet, ""))) * 2
+      > length(text), lit("cjk")).otherwise(lit("latin"))
+
+  /** Script-aware tokens: codepoint BIGRAMS for space-free scripts (the
+    * standard CJK unit), whitespace words otherwise. */
+  private def scriptTokens(text: Column, script: Column): Column =
+    when(script === "cjk",
+      graft.plans.CharNgramsExpr.charNgrams(text, 2))
+      .otherwise(split(text, " "))
+
   val queries: Map[String, Q] = Map(
+    // Script-aware tokenization over the mixed-script corpus: per doc,
+    // the detected script, codepoint count, token count under the
+    // script's tokenizer, distinct-token count, and an order-sensitive
+    // digest of the token stream — the oracle recomputes all of it with
+    // DuckDB's codepoint algebra (substring/length count CODEPOINTS in
+    // both engines; translate drops unmatched chars in both).
+    "q216_script_tokenize" -> ((s, dir) => {
+      val mixed = scriptMixed(Tables.documents(s, dir))
+        .withColumn("script", scriptOf(col("text")))
+      mixed
+        .withColumn("toks", scriptTokens(col("text"), col("script")))
+        .select(col("doc_id"), col("script"),
+          length(col("text")).as("n_cp"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          md5(array_join(col("toks"), "|")).as("tok_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // q80's repetition rule RE-RUN on the space-free stratum with
+    // script-aware tokens: the duplicate-token ratio gate that word
+    // tokens compute for Latin docs now computes over codepoint bigrams
+    // for the CJK docs — on the OLD path every CJK doc was one token
+    // (ratio 0, trivially kept), so the gate was blind to the stratum.
+    "q217_script_repetition" -> ((s, dir) => {
+      val mixed = scriptMixed(Tables.documents(s, dir))
+        .withColumn("script", scriptOf(col("text")))
+      mixed
+        .withColumn("toks", scriptTokens(col("text"), col("script")))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("script"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"))
+        .withColumn("dup_bp",
+          expr("(n_tokens - n_distinct) * 10000L div n_tokens"))
+        .withColumn("keep", col("dup_bp") <= 6000L)
+        .orderBy("doc_id")
+    }),
+
     "q50_token_stats" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("lang"), tokens(col("text")).as("toks"))
@@ -469,7 +552,42 @@ object TextOps {
 
   private val toksSql = "string_split(text,' ')"
 
+  private val scriptMixedSql =
+    s"""m AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN translate(text, 'abcdefghijklmnopqrstuvwxyz0123456789 ', '$CjkAlphabet')
+       |      ELSE text END AS text
+       |  FROM documents),
+       |sc AS (SELECT doc_id, text,
+       |    CASE WHEN (length(text) - length(translate(text, '$CjkAlphabet', ''))) * 2
+       |      > length(text) THEN 'cjk' ELSE 'latin' END AS script
+       |  FROM m),
+       |tk AS (SELECT doc_id, script,
+       |    CAST(length(text) AS INTEGER) AS n_cp,
+       |    CASE WHEN script = 'cjk'
+       |      THEN list_transform(generate_series(1, length(text) - 1),
+       |        i -> substring(text, CAST(i AS INTEGER), 2))
+       |      ELSE string_split(text, ' ') END AS toks
+       |  FROM sc)""".stripMargin.replace("\n", " ")
+
   val oracle: Map[String, String] = Map(
+    "q216_script_tokenize" ->
+      s"""WITH $scriptMixedSql
+         |SELECT doc_id, script, n_cp,
+         |  CAST(len(toks) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+         |  md5(array_to_string(toks, '|')) AS tok_md5
+         |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "q217_script_repetition" ->
+      s"""WITH $scriptMixedSql
+         |SELECT doc_id, script,
+         |  CAST(len(toks) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+         |  CAST((len(toks) - len(list_distinct(toks))) * 10000 // len(toks) AS BIGINT) AS dup_bp,
+         |  ((len(toks) - len(list_distinct(toks))) * 10000 // len(toks)) <= 6000 AS keep
+         |FROM tk WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin,
+
     "q186_gopher_rules" ->
       """WITH base AS (
         |  SELECT doc_id,

@@ -1,0 +1,95 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.GraftBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** CODEPOINT n-grams — the tokenizer for SPACE-FREE scripts (CJK, Thai,
+  * ...): real pretraining corpora carry text with no word delimiters,
+  * where `split(text, ' ')` (GraftFunctions.tokens) returns the whole
+  * document as one "token" and every word-based gate silently degrades.
+  * The standard fallback (CCNet, Gopher appendices; kenlm's SentencePiece
+  * normalization) is character n-grams over codepoints.
+  *
+  * Works directly on UTF-8 bytes (the ShinglesExpr pattern): a byte
+  * starts a codepoint iff (b & 0xC0) != 0x80, so the n-gram spans are
+  * byte slices between codepoint starts — one pass, zero string copies
+  * beyond the output slices, whole-stage-codegen friendly via the
+  * shared scalar kernel. Oracle twin: DuckDB
+  * `list_transform(generate_series(1, length(s)-n+1), i -> substring(s, i, n))`
+  * (both engines' substring counts CODEPOINTS). */
+case class CharNgramsExpr(child: Expression, n: Int, distinct: Boolean = false)
+    extends UnaryExpression {
+  require(n >= 1, s"char n-grams need n >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_ngrams"
+  override def nullable: Boolean = true
+
+  /** Shared scalar kernel (also called from generated code). */
+  def compute(text: UTF8String): Any = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    // codepoint start offsets
+    var nCp = 0
+    var i = 0
+    while (i < len) { if ((bytes(i) & 0xC0) != 0x80) nCp += 1; i += 1 }
+    if (nCp < n) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nCp + 1)
+    var k = 0
+    i = 0
+    while (i < len) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(k) = i; k += 1 }
+      i += 1
+    }
+    starts(nCp) = len
+    val last = nCp - n
+    def slice(s: Int): UTF8String = {
+      val from = starts(s)
+      val until = starts(s + n)
+      val out = new Array[Byte](until - from)
+      System.arraycopy(bytes, from, out, 0, until - from)
+      UTF8String.fromBytes(out)
+    }
+    if (!distinct) {
+      val out = new Array[Any](last + 1)
+      var s = 0
+      while (s <= last) { out(s) = slice(s); s += 1 }
+      return new GenericArrayData(out)
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var s = 0
+    while (s <= last) { seen.add(slice(s)); s += 1 }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("charNgramsExpr", this, classOf[CharNgramsExpr].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramsExpr =
+    copy(child = newChild)
+}
+
+object CharNgramsExpr {
+  /** Multiplicity-preserving codepoint n-grams. */
+  def charNgrams(text: Column, n: Int): Column =
+    GraftBridge.column(CharNgramsExpr(GraftBridge.expression(text), n))
+
+  /** First-occurrence-ordered DISTINCT codepoint n-grams. */
+  def charNgramsDistinct(text: Column, n: Int): Column =
+    GraftBridge.column(CharNgramsExpr(GraftBridge.expression(text), n, distinct = true))
+}

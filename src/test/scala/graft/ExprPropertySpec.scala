@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.GraftFunctions.shingleSet
 import graft.operators.DedupOps
-import graft.plans.{MinHashFromTextExpr, ShinglesExpr}
+import graft.plans.{CharNgramsExpr, MinHashFromTextExpr, ShinglesExpr}
 
 /** Property-style hardening for the byte-slice expressions: on ARBITRARY
   * texts — multibyte UTF-8 words, repeated/leading/trailing spaces, empty
@@ -97,5 +97,30 @@ class ExprPropertySpec extends AnyFunSuite {
       assert(bad.isEmpty,
         s"merge table #$mi broke the round-trip: ${bad.take(3).toSeq}")
     }
+  }
+
+  test("CharNgramsExpr equals the HOF substring twin on arbitrary multibyte texts, n in 1..4") {
+    import spark.implicits._
+    // the HOF twin mirrors the DuckDB oracle algebra exactly:
+    // transform(sequence(1, length - n + 1), i -> substring(text, i, n));
+    // both engines' substring/length count CODEPOINTS
+    for (n <- 1 to 4) {
+      val both = corpus.filter(length(col("text")) >= n).select(
+        CharNgramsExpr.charNgrams(col("text"), n).as("native"),
+        expr(s"transform(sequence(1, length(text) - $n + 1), " +
+          s"i -> substring(text, i, $n))").as("hof"))
+      assert(both.filter(col("native") =!= col("hof")).count() == 0,
+        s"codepoint $n-grams diverged from the substring algebra")
+    }
+    // shorter than n -> empty, never null, never a partial gram
+    val short = Seq((1L, "日"), (2L, "ab"), (3L, "")).toDF("doc_id", "text")
+    val got = short.select(CharNgramsExpr.charNgrams(col("text"), 3).as("g"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(got == Seq(Seq(), Seq(), Seq()))
+    // distinct variant: first-occurrence order, set semantics
+    val d = Seq((1L, "ababa")).toDF("doc_id", "text")
+      .select(CharNgramsExpr.charNgramsDistinct(col("text"), 2).as("g"))
+      .collect().head.getSeq[String](0).toSeq
+    assert(d == Seq("ab", "ba"))
   }
 }
