@@ -326,7 +326,11 @@ object TextOps {
     // for the CJK docs — on the OLD path every CJK doc was one token
     // (ratio 0, trivially kept), so the gate was blind to the stratum.
     "q217_script_repetition" -> ((s, dir) => {
-      val mixed = scriptMixed(Tables.documents(s, dir))
+      // the raw-column null gate gives the scan a PUSHABLE IsNotNull
+      // (the prefixDups pattern) — the real gate below is on a computed
+      // column and can never push
+      val mixed = scriptMixed(Tables.documents(s, dir)
+          .filter(col("text").isNotNull))
         .withColumn("script", scriptOf(col("text")))
       mixed
         .withColumn("toks", scriptTokens(col("text"), col("script")))

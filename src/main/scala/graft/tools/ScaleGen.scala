@@ -108,9 +108,22 @@ object ScaleGen {
       .filter(length(col("w")) > 0).distinct()
       .orderBy("w").collect().map(_.getString(0))
     val v = vocab.length
-    // copy c -> map(word_i -> word_{(i + 3c) mod v}); copy 0 is identity
+    // copy c -> map(word_i -> word_{(i + 3c) mod v}); copy 0 is identity.
+    // The rotation group CYCLES with period v/gcd(shift, v) (31 here):
+    // at 100 copies, copies 31+ would be EXACT text clones of copies
+    // 0-30, every line would turn corpus-frequent, and line dedup would
+    // (correctly!) empty the whole corpus — measured at the first sf10
+    // tiling: q117 output 0 rows. Past one full cycle each cycle GROUP
+    // suffixes its target vocabulary ('~1', '~2', ...): still a word
+    // bijection per copy (within-copy Jaccard/MinHash structure exactly
+    // preserved), cross-group word sets fully disjoint, within-group
+    // cross-copy similarity the same coincidence level as group 0.
+    // Copies < cycle are byte-identical to the unsuffixed form, so
+    // existing sf1/sf3 fixtures are unchanged.
+    val cycle = (1 to v).find(k => (VocabShift * k) % v == 0).getOrElse(v)
     val rotMaps: IndexedSeq[Column] = (0 until copies).map { c =>
-      val rotated = vocab.indices.map(i => vocab((i + VocabShift * c) % v))
+      val suffix = if (c / cycle == 0) "" else s"~${c / cycle}"
+      val rotated = vocab.indices.map(i => vocab((i + VocabShift * c) % v) + suffix)
       map_from_arrays(
         array(vocab.map(lit(_)): _*), array(rotated.map(lit(_)): _*))
     }
