@@ -89,33 +89,41 @@ object Staging {
   // false, and trackCp outside any scope degrades to a plain
   // localCheckpoint (spec code keeps today's GC-driven lifecycle).
   private val cpScope =
-    new ThreadLocal[scala.collection.mutable.ArrayBuffer[
-      org.apache.spark.sql.DataFrame]]
+    new ThreadLocal[List[scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.DataFrame]]] {
+      override def initialValue = Nil
+    }
 
-  /** Open a transient-checkpoint scope on this thread (idempotent). */
+  /** Open a transient-checkpoint scope on this thread. Scopes NEST:
+    * each begin pushes a fresh registration buffer and the matching
+    * releaseTransient frees only that buffer, so a helper that opens
+    * its own scope inside a harness scope cannot free the harness's
+    * checkpoints mid-query. Every begin must be paired with exactly
+    * one release (all callers are try/finally). */
   def beginTransient(): Unit =
-    if (cpScope.get() == null)
-      cpScope.set(scala.collection.mutable.ArrayBuffer.empty)
+    cpScope.set(scala.collection.mutable.ArrayBuffer.empty[
+      org.apache.spark.sql.DataFrame] :: cpScope.get())
 
   /** localCheckpoint `df`; if a scope is open on this thread, register
-    * the result for release at scope end. */
+    * the result for release at the INNERMOST scope's end. */
   def trackCp(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val c = df.localCheckpoint()
-    val b = cpScope.get()
-    if (b != null) b += c
+    cpScope.get() match {
+      case b :: _ => b += c
+      case Nil    => ()
+    }
     c
   }
 
-  /** Free every checkpoint registered on this thread's scope and close
-    * it. Safe when no scope is open. */
-  def releaseTransient(): Unit = {
-    val b = cpScope.get()
-    if (b != null) {
+  /** Free every checkpoint registered on this thread's innermost scope
+    * and close it. Safe when no scope is open. */
+  def releaseTransient(): Unit = cpScope.get() match {
+    case b :: rest =>
       b.foreach { c =>
         try org.apache.spark.sql.graft.GraftBridge.freeCheckpoint(c)
         catch { case _: Throwable => () }
       }
-      cpScope.remove()
-    }
+      if (rest.isEmpty) cpScope.remove() else cpScope.set(rest)
+    case Nil => ()
   }
 }

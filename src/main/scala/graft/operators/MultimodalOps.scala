@@ -347,8 +347,9 @@ object MultimodalOps {
     * (the triple is doc_id-derived): pairs (10,11) and (10,12) must
     * vanish while (11,12) survives — then the final REFRESH-CDC
     * propagates it as equality deletes on both arms, zero base-file
-    * reads. Doc 10 sits in arrival 1 (CREATE-indexed) and its twins in
-    * arrivals 1-2, so the delete provably reaches create-time rows. */
+    * reads. Doc 10 and both its twins (11, 12 — all doc_id % 10 <= 4)
+    * land in arrival 1, so the delete provably reaches CREATE-time
+    * index rows, not just refresh-folded ones. */
   private[graft] def phashMaintainedTables(s: SparkSession,
       dir: String): (String, String) = {
     val ns = DedupOps.graftNs(s, dir)

@@ -163,8 +163,8 @@ object AnnIndexMaintenance {
     * (first commit), then retire its deletes as ONE EQUALITY DELETE on
     * the index keyed by vec_id (second commit) — the q156 zero-read
     * delete path: O(delete keys), no index base file is ever opened.
-    * The key lists are window-bounded driver lists — the same
-    * metadata-sized shape the equality-delete sidecar itself stores.
+    * The key list streams through [[MinHashIndexMaintenance.chunkedEqDelete]]
+    * (100k-key commits) — it never materializes whole on the driver.
     * A key both inserted and deleted inside one window is REFUSED (the
     * feed carries no intra-window ordering to replay it faithfully);
     * refresh more often than you churn a key. Returns (hadInserts,
@@ -173,14 +173,10 @@ object AnnIndexMaintenance {
       srcRoot: Path, idxRoot: Path, idxIdent: String, from: Long,
       to: Long, skipInsert: Boolean = false): (Boolean, Boolean) = {
     val ch = windowChanges(s, srcRoot, from, to).localCheckpoint()
-    val delKeys = ch.filter(col("_change_type") === "delete")
-      .select(col("vec_id")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    val dels = ch.filter(col("_change_type") === "delete").select("vec_id")
     val ins = ch.filter(col("_change_type") === "insert")
       .select(col("vec_id"), col("embedding"))
-    val insDel = ins.join(
-      ch.filter(col("_change_type") === "delete").select("vec_id"),
-      Seq("vec_id"), "left_semi").limit(1).collect()
+    val insDel = ins.join(dels, Seq("vec_id"), "left_semi").limit(1).collect()
     require(insDel.isEmpty,
       s"refresh window ($from, $to] both inserts and deletes vec_id " +
         s"${insDel.headOption.map(_.getLong(0)).getOrElse(-1L)} — the change " +
@@ -192,10 +188,9 @@ object AnnIndexMaintenance {
           s.table(s"$catalog.${pqcIdent(idxIdent)}"),
           PqOps.M, PqOps.SubDim)
         .writeTo(s"$catalog.$idxIdent").append()
-    if (delKeys.nonEmpty)
-      ManifestSink.deleteWhereEq(idxRoot.toString, "vec_id",
-        delKeys.map(_.toString))
-    (hasIns, delKeys.nonEmpty)
+    val hasDel =
+      MinHashIndexMaintenance.chunkedEqDelete(dels, "vec_id", Seq(idxRoot))
+    (hasIns, hasDel)
   }
 
   private[sources] def recoverPendingCdc(s: SparkSession, catalog: String,

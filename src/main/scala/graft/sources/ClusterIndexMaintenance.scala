@@ -209,7 +209,11 @@ object ClusterIndexMaintenance {
     MinHashIndexMaintenance.chunkedEqDelete(dels, "doc_id", Seq(bandRoot))
     // 2. new edges (batch×batch + batch×standing), deletes excluded
     val newEdges =
-      if (ins.isEmpty) ins.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"))
+      if (ins.isEmpty)
+        // delete-only window: checkpoint the empty frame too, so the
+        // touchedIds union below does not re-run the CDC window read
+        ins.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"))
+          .localCheckpoint()
       else newEdgesOf(s, ins,
           s.read.format("graft.sources.ManifestSink")
             .option("path", srcRoot.toString).load()

@@ -185,14 +185,10 @@ object SsimIndexMaintenance {
       srcRoot: Path, preRoot: Path, dfIdent: String, preIdent: String,
       from: Long, to: Long, skipInsert: Boolean = false): (Boolean, Boolean) = {
     val ch = windowChanges(s, srcRoot, from, to).localCheckpoint()
-    val delKeys = ch.filter(col("_change_type") === "delete")
-      .select(col("doc_id")).distinct()
-      .collect().map(_.getLong(0)).sorted
+    val dels = ch.filter(col("_change_type") === "delete").select("doc_id")
     val ins = ch.filter(col("_change_type") === "insert")
       .select(col("doc_id"), col("text"))
-    val insDel = ins.join(
-      ch.filter(col("_change_type") === "delete").select("doc_id"),
-      Seq("doc_id"), "left_semi").limit(1).collect()
+    val insDel = ins.join(dels, Seq("doc_id"), "left_semi").limit(1).collect()
     require(insDel.isEmpty,
       s"refresh window ($from, $to] both inserts and deletes doc_id " +
         s"${insDel.headOption.map(_.getLong(0)).getOrElse(-1L)} — the change " +
@@ -201,10 +197,11 @@ object SsimIndexMaintenance {
     if (hasIns && !skipInsert)
       frozenOrderPrefixes(s, catalog, dfIdent, ins)
         .writeTo(s"$catalog.$preIdent").append()
-    if (delKeys.nonEmpty)
-      ManifestSink.deleteWhereEq(preRoot.toString, "doc_id",
-        delKeys.map(_.toString))
-    (hasIns, delKeys.nonEmpty)
+    // delete keys stream through the 100k-key chunked path — the window's
+    // key list never materializes whole on the driver
+    val hasDel =
+      MinHashIndexMaintenance.chunkedEqDelete(dels, "doc_id", Seq(preRoot))
+    (hasIns, hasDel)
   }
 
   private[sources] def recoverPendingCdc(s: SparkSession, catalog: String,

@@ -31,10 +31,12 @@ object GraftBridge {
     * query evicts the next query's working set (measured: q117's stage
     * checkpoints inflating its sf3 bench neighbors 2-6x). Callers must
     * guarantee the frame (and anything sharing its RDD) is CONSUMED —
-    * a freed local checkpoint cannot recompute. No-op on frames that
-    * are not local checkpoints. */
+    * a freed local checkpoint cannot recompute. Only the plan ROOT is
+    * matched: a derived frame (filter/join over a checkpoint) is a
+    * guaranteed no-op, so shared or session-memoized checkpoints buried
+    * inside a caller's plan can never be freed by accident. */
   def freeCheckpoint(df: DataFrame): Unit =
-    plan(df).foreach {
+    plan(df) match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()
