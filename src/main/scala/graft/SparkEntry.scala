@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnalyticsOps, BpeOps, CoresetOps, CurationOps, DedupOps, EnrichOps, IngestOps, IvfPqOps, MultimodalOps, PcaOps, PipelineOps, PqOps, Relational, SimilarityOps, StreamingOps, TextOps, UdfOps}
+import graft.operators.{AnalyticsOps, BpeOps, CoresetOps, CurationOps, DedupOps, EnrichOps, IngestOps, IvfPqOps, MultimodalOps, PcaOps, PipelineOps, PqOps, Relational, ScriptDedupOps, SimilarityOps, StreamingOps, TextOps, UdfOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,8 @@ object SparkEntry {
       SimilarityOps.queries ++ TextOps.queries ++ MultimodalOps.queries ++
       StreamingOps.queries ++ EnrichOps.queries ++ UdfOps.queries ++
       PipelineOps.queries ++ CurationOps.queries ++ AnalyticsOps.queries ++
-      BpeOps.queries ++ PqOps.queries ++ PcaOps.queries ++ CoresetOps.queries ++ IvfPqOps.queries
+      BpeOps.queries ++ PqOps.queries ++ PcaOps.queries ++ CoresetOps.queries ++
+      IvfPqOps.queries ++ ScriptDedupOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       SimilarityOps.oracle ++ TextOps.oracle ++ MultimodalOps.oracle ++
       StreamingOps.oracle ++ EnrichOps.oracle ++ UdfOps.oracle ++
       PipelineOps.oracle ++ CurationOps.oracle ++ AnalyticsOps.oracle ++
-      BpeOps.oracle ++ PqOps.oracle ++ PcaOps.oracle ++ CoresetOps.oracle ++ IvfPqOps.oracle
+      BpeOps.oracle ++ PqOps.oracle ++ PcaOps.oracle ++ CoresetOps.oracle ++
+      IvfPqOps.oracle ++ ScriptDedupOps.oracle
 }

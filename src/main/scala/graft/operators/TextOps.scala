@@ -289,13 +289,13 @@ object TextOps {
   /** Space-free-script detection by codepoint range: a doc is `cjk` when
     * more than half its codepoints sit in the CJK alphabet — counted by
     * length-difference after translate-removal, no regex dialect risk. */
-  private def scriptOf(text: Column): Column =
+  private[graft] def scriptOf(text: Column): Column =
     when((length(text) - length(translate(text, CjkAlphabet, ""))) * 2
       > length(text), lit("cjk")).otherwise(lit("latin"))
 
   /** Script-aware tokens: codepoint BIGRAMS for space-free scripts (the
     * standard CJK unit), whitespace words otherwise. */
-  private def scriptTokens(text: Column, script: Column): Column =
+  private[graft] def scriptTokens(text: Column, script: Column): Column =
     when(script === "cjk",
       graft.plans.CharNgramsExpr.charNgrams(text, 2))
       .otherwise(split(text, " "))
