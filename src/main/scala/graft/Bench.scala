@@ -36,6 +36,32 @@ object Bench {
         (System.nanoTime() - tStage) / 1e9 }
       catch { case e: Throwable =>
         System.err.println(s"BENCH FAIL staging: ${e.getMessage}"); -1.0 }
+    // The at-rest index FIXTURES (q139/q148/q158/q181-185/q194/q199/
+    // q201/q208/q209/q213/q214/q215) are once-per-session builds that
+    // otherwise run inside the FIRST query that touches each index —
+    // best-of-2 min correctly reports the steady-state line, but the
+    // one-time create then lands in no reported phase (at sf3 the
+    // cluster-index create alone is minutes). Build them all here as
+    // their own billed phase so the bench phases sum to wall-clock:
+    // total = staging + index_build + per-query steady-state lines.
+    val tIdx = System.nanoTime()
+    val indexBuildSec =
+      try {
+        graft.operators.SimilarityOps.codebookTable(spark, sfDir)
+        graft.operators.SimilarityOps.postingsTable(spark, sfDir)
+        graft.operators.SimilarityOps.maintainedPostingsTable(spark, sfDir)
+        graft.operators.IvfPqOps.codesTables(spark, sfDir)
+        graft.operators.IvfPqOps.maintainedAnnIndex(spark, sfDir)
+        graft.operators.DedupOps.ssimIndexTables(spark, sfDir)
+        graft.operators.DedupOps.ssimMaintainedTables(spark, sfDir)
+        graft.operators.DedupOps.mhIndexTables(spark, sfDir)
+        graft.operators.DedupOps.mhMaintainedTables(spark, sfDir)
+        graft.operators.DedupOps.clusterMaintainedTables(spark, sfDir)
+        graft.operators.MultimodalOps.phashIndexTables(spark, sfDir)
+        graft.operators.MultimodalOps.phashMaintainedTables(spark, sfDir)
+        (System.nanoTime() - tIdx) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH FAIL index-build: ${e.getMessage}"); -1.0 }
     // a failed query records -1, never a normal-looking timing — a broken
     // query must read as broken in the bench JSON, not as a fast one.
     // Each query runs TWICE and reports the min: a single-shot timing on a
@@ -67,8 +93,10 @@ object Bench {
       .mkString("{", ",", "}")
     val sp = results.map { case (k, _, s) => s"\"" + k + "\":" + f"$s%.2f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum + math.max(stagingSec, 0)
-    val nFailed = results.count(_._2 < 0) + (if (stagingSec < 0) 1 else 0)
+    val total = results.map(_._2).filter(_ >= 0).sum +
+      math.max(stagingSec, 0) + math.max(indexBuildSec, 0)
+    val nFailed = results.count(_._2 < 0) + (if (stagingSec < 0) 1 else 0) +
+      (if (indexBuildSec < 0) 1 else 0)
     // Manifest-table scan parity: the same lineitem projection written
     // once as a manifest table and once as native parquet (same rows,
     // same file count), then scanned with an identical full-decode
@@ -99,7 +127,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"BENCH FAIL manifest-parity: ${e.getMessage}"); (-1.0, -1.0)
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"staging_sec":$stagingSec,"repeats":2,"manifest_scan_sec":$maniSec,"native_scan_sec":$nativeSec,"spread":$sp,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$nFailed,"staging_sec":$stagingSec,"index_build_sec":$indexBuildSec,"repeats":2,"manifest_scan_sec":$maniSec,"native_scan_sec":$nativeSec,"spread":$sp,"queries":$qs,"sf":"$sfDir"}""")
     // The full per-query line above grows with the suite and the driver
     // captures only a bounded tail of sbt output — past ~120 queries the
     // line's HEAD (metric/value/total) is truncated away and the driver
@@ -108,7 +136,7 @@ object Bench {
     // truncation: once under the BENCH_TOTAL_JSON marker, and once as
     // bare JSON LAST so a `^{"metric"` scan that keeps the latest intact
     // match also lands on a complete line.
-    val totalLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$nFailed,"staging_sec":$stagingSec%.3f,"manifest_scan_sec":$maniSec%.3f,"native_scan_sec":$nativeSec%.3f,"sf":"$sfDir"}"""
+    val totalLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"failed":$nFailed,"staging_sec":$stagingSec%.3f,"index_build_sec":$indexBuildSec%.3f,"manifest_scan_sec":$maniSec%.3f,"native_scan_sec":$nativeSec%.3f,"sf":"$sfDir"}"""
     println(s"BENCH_TOTAL_JSON $totalLine")
     println(totalLine)
     spark.stop()

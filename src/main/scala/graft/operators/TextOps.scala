@@ -279,9 +279,11 @@ object TextOps {
   private val TranslitFrom = "abcdefghijklmnopqrstuvwxyz0123456789 "
 
   /** The mixed-script corpus: doc_id % 3 == 0 → space-free CJK
-    * transliteration, others keep their Latin text. */
+    * transliteration, others keep their Latin text. `lang` rides along
+    * for the stratified consumers (the script pipeline packs per
+    * stratum); single-column consumers project it away. */
   private[graft] def scriptMixed(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    docs.select(col("doc_id"), col("lang"),
       when(col("doc_id") % 3 === 0,
         translate(col("text"), TranslitFrom, CjkAlphabet))
         .otherwise(col("text")).as("text"))
