@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnalyticsOps, BpeOps, CoresetOps, CurationOps, DedupOps, EnrichOps, IngestOps, IvfPqOps, MultimodalOps, PcaOps, PipelineOps, PqOps, Relational, ScriptDedupOps, SimilarityOps, StreamingOps, TextOps, UdfOps}
+import graft.operators.{AnalyticsOps, BpeOps, CoresetOps, CurationOps, DedupOps, EnrichOps, IngestOps, IvfPqOps, MultimodalOps, PcaOps, PipelineOps, PqOps, Relational, ScriptDedupOps, SimilarityOps, StreamingOps, TextOps, UdfOps, UnigramOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,7 @@ object SparkEntry {
       StreamingOps.queries ++ EnrichOps.queries ++ UdfOps.queries ++
       PipelineOps.queries ++ CurationOps.queries ++ AnalyticsOps.queries ++
       BpeOps.queries ++ PqOps.queries ++ PcaOps.queries ++ CoresetOps.queries ++
-      IvfPqOps.queries ++ ScriptDedupOps.queries
+      IvfPqOps.queries ++ ScriptDedupOps.queries ++ UnigramOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +35,5 @@ object SparkEntry {
       StreamingOps.oracle ++ EnrichOps.oracle ++ UdfOps.oracle ++
       PipelineOps.oracle ++ CurationOps.oracle ++ AnalyticsOps.oracle ++
       BpeOps.oracle ++ PqOps.oracle ++ PcaOps.oracle ++ CoresetOps.oracle ++
-      IvfPqOps.oracle ++ ScriptDedupOps.oracle
+      IvfPqOps.oracle ++ ScriptDedupOps.oracle ++ UnigramOps.oracle
 }
