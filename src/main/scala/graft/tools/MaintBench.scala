@@ -46,6 +46,15 @@ object MaintBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE headroom: start shuffles fine-grained (8x cores) and let
+      // coalescing shrink the small ones — a fixed 1-partition-per-core
+      // count makes the heavy set-sim verification shuffles spill at
+      // sf3+ (the r15 sf10 spot-check's q190 5.2x reading; one bench
+      // session recorded q190/q196 OOM at sf3 under accumulated state).
+      // At cluster scale this IS the documented knob; adaptive initial
+      // sizing is its data-proportional form.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt * 8).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
