@@ -452,6 +452,36 @@ object DedupOps {
 
   /** [[ssimProbe]] over pre-staged batch tokens (a checkpointed frame —
     * it feeds prefix building, the candidate join, and verification). */
+  /** Frozen-df lookup for a PROBE/WINDOW token frame `tk(doc_id,
+    * token)`: (doc_id, token, df) with absent tokens at df 0. When the
+    * frame is bounded (≤ maxTokens rows) the df table is probed through
+    * an INNER join that broadcasts the frame's distinct tokens — the
+    * df scan takes the runtime filter, so per-file token blooms +
+    * sort-range bounds drop df files before any read — and the
+    * (frame-bounded) result broadcast-left-joins back. The old shape,
+    * a plain left join against the df TABLE, shuffled the CORPUS-sized
+    * df relation for every probe and every maintenance window —
+    * MaintBench measured the refresh of an identical 500-doc window
+    * scaling 2.6× from sf3 to sf10 on it. An unbounded frame falls
+    * back to that shuffle join (corpus-sized batches want it anyway). */
+  private[graft] def dfLookupFrozen(s: SparkSession, tk: DataFrame,
+      dfTable: String, maxTokens: Long = ProbeBroadcastMaxTokens): DataFrame =
+    if (tk.count() <= maxTokens) {
+      // visible-selectivity no-op (see the ssimProbeTk note below):
+      // checkpointed frames lost their Filter nodes, and runtime-filter
+      // injection keys off the probe side carrying a selective predicate
+      val toks = tk.select("token").distinct()
+        .filter(length(col("token")) >= 1L)
+      val dfs = graft.engine.Staging.trackCp(
+        s.table(dfTable).join(broadcast(toks), Seq("token")))
+      tk.join(broadcast(dfs), Seq("token"), "left")
+        .select(col("doc_id"), col("token"),
+          coalesce(col("df"), lit(0L)).as("df"))
+    } else
+      tk.join(s.table(dfTable), Seq("token"), "left")
+        .select(col("doc_id"), col("token"),
+          coalesce(col("df"), lit(0L)).as("df"))
+
   private[graft] def ssimProbeTk(s: SparkSession, btk: DataFrame,
       indexedDocs: DataFrame, dfTable: String, preTable: String,
       t: Long = SetSimTBp,
@@ -467,10 +497,7 @@ object DedupOps {
     // OTHER side visibly carries a selective predicate
     // (PartitionPruning.hasSelectivePredicate). Re-asserting a true
     // predicate restores what the optimizer can no longer see.
-    val bpre = prefixTokens(
-      btk.join(s.table(dfTable), Seq("token"), "left")
-        .select(col("doc_id"), col("token"),
-          coalesce(col("df"), lit(0L)).as("df")), t)
+    val bpre = prefixTokens(dfLookupFrozen(s, btk, dfTable, maxProbeTokens), t)
       .filter(col("m") >= 1L)
     val idx = s.table(preTable)
     val probeSide =

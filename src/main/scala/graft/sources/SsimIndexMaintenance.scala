@@ -71,22 +71,35 @@ object SsimIndexMaintenance {
       explode(graft.plans.ShinglesExpr.shinglesNative(col("text"),
         DedupOps.SetSimShingleN)).as("token"))
 
-  /** Prefixes of `docs` under the FROZEN stored order (absent → df 0). */
+  /** Prefixes of `docs` under the FROZEN stored order (absent → df 0).
+    * The df lookup is DELTA-BOUNDED via [[DedupOps.dfLookupFrozen]]:
+    * for a bounded window the df table is probed through a broadcast
+    * of the window's own distinct tokens (bloom-pruned file reads)
+    * instead of shuffling the corpus-sized df table under a left join
+    * — MaintBench caught the old shape scaling with the CORPUS
+    * (sf10/sf3 refresh ratio 2.6× for an identical 500-doc window). */
   private def frozenOrderPrefixes(s: SparkSession, catalog: String,
       dfIdent: String, docs: DataFrame): DataFrame =
     DedupOps.prefixTokens(
-      docTokens(docs).join(s.table(s"$catalog.$dfIdent"), Seq("token"), "left")
-        .select(col("doc_id"), col("token"),
-          coalesce(col("df"), lit(0L)).as("df")),
+      DedupOps.dfLookupFrozen(s, docTokens(docs), s"$catalog.$dfIdent"),
       DedupOps.SsimIndexBuildTBp)
       .select(col("token"), col("doc_id"), col("m"))
 
-  /** Fresh (tokens, dfreq) of a source snapshot; both checkpointed —
-    * each feeds two downstream writes. */
-  private def snapshotStats(docs: DataFrame): (DataFrame, DataFrame) = {
-    val tk = docTokens(docs).localCheckpoint()
-    (tk, tk.groupBy("token").agg(count(lit(1)).as("df")).localCheckpoint())
-  }
+  /** Per-token df of a snapshot — one corpus pass, nothing cached. */
+  private def dfStats(docs: DataFrame): DataFrame =
+    docTokens(docs).groupBy("token").agg(count(lit(1)).as("df"))
+
+  // Build shape (createIndex / applyReindex): the df statistic is
+  // WRITTEN to its table first and READ BACK for the prefix join —
+  // never cached. The (doc, shingle) token table is corpus×~50 rows
+  // and the distinct-shingle df table is nearly as large; the old
+  // localCheckpoint of both filled the block manager with deserialized
+  // corpus-sized intermediates and OOM'd the create at sf10 (first
+  // caught by MaintBench — the q-fixture builders had only ever run
+  // the create at ≤sf3). Tokens are a narrow projection off the source
+  // scan, so each of the two passes re-derives them; the only
+  // materialization is to the index's own storage, which is where a
+  // 100 TB build has to put it anyway.
 
   /** Build the index on the source's CURRENT snapshot, record the
     * consumed version. Returns it. */
@@ -98,9 +111,12 @@ object SsimIndexMaintenance {
     s.sql(s"CREATE TABLE $catalog.$preIdent " +
       "(token STRING, doc_id BIGINT, m BIGINT) " +
       "TBLPROPERTIES ('write.sort-by' = 'token', 'bloom.columns' = 'token')")
-    val (tk, dfreq) = snapshotStats(s.table(s"$catalog.$srcIdent"))
-    dfreq.select(col("token"), col("df")).writeTo(s"$catalog.$dfIdent").append()
-    DedupOps.prefixTokens(tk.join(dfreq, "token"), DedupOps.SsimIndexBuildTBp)
+    val snap = s.table(s"$catalog.$srcIdent")
+    dfStats(snap).select(col("token"), col("df"))
+      .writeTo(s"$catalog.$dfIdent").append()
+    DedupOps.prefixTokens(
+        docTokens(snap).join(s.table(s"$catalog.$dfIdent"), "token"),
+        DedupOps.SsimIndexBuildTBp)
       .select(col("token"), col("doc_id"), col("m"))
       .writeTo(s"$catalog.$preIdent").append()
     ManifestSink.alterSchema(tableRoot(s, catalog, preIdent),
@@ -261,10 +277,14 @@ object SsimIndexMaintenance {
       .option("versionAsOf", to.toString)
       .load()
       .select(col("doc_id"), col("text"))
-    val (tk, dfreq) = snapshotStats(snap)
-    dfreq.select(col("token"), col("df"))
+    // write-then-read-back, same as createIndex (see the build-shape
+    // note there); both overwrites stay idempotent against the pinned
+    // snapshot, so the recovery contract is unchanged
+    dfStats(snap).select(col("token"), col("df"))
       .writeTo(s"$catalog.$dfIdent").overwrite(lit(true))
-    DedupOps.prefixTokens(tk.join(dfreq, "token"), DedupOps.SsimIndexBuildTBp)
+    DedupOps.prefixTokens(
+        docTokens(snap).join(s.table(s"$catalog.$dfIdent"), "token"),
+        DedupOps.SsimIndexBuildTBp)
       .select(col("token"), col("doc_id"), col("m"))
       .writeTo(s"$catalog.$preIdent").overwrite(lit(true))
   }
