@@ -176,8 +176,8 @@ object MultimodalOps {
       cand
         .join(t.select(col("doc_id").as("doc_a"), col("bands").as("ba")), "doc_a")
         .join(t.select(col("doc_id").as("doc_b"), col("bands").as("bb")), "doc_b")
-        .withColumn("hamming", expr(
-          "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (a, v) -> a + v)"))
+        .withColumn("hamming",
+          graft.plans.PhashBandsExpr.hammingNative(col("ba"), col("bb")))
         .filter(col("hamming") <= PhashMaxHam)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
@@ -228,7 +228,7 @@ object MultimodalOps {
       s" + (((($u) div 16) + (($v) div 16) * ((sc div 2) % 2) + sc % 2) % 2) * 32" +
       s" + (($u) * 3 + ($v) * 5) % 16"
 
-  private def phashGridSpark: String = {
+  private[graft] def phashGridSpark: String = {
     def p(u: String, v: String) = s"(${phashPixSpark(u, v)})"
     val (r, c) = ("(i div 8)", "(i % 8)")
     s"""transform(sequence(0, 63), i -> CASE
@@ -242,7 +242,11 @@ object MultimodalOps {
     * media pipeline, factored so the grid can be staged AT REST: a real
     * pipeline renders pixels once and every downstream hash probe reads
     * the stored media table, it does not re-decode per query (r14's
-    * q211 line was dominated by exactly this re-derivation). */
+    * q211 line was dominated by exactly this re-derivation). The render
+    * itself is the native PhashGridExpr kernel (one tight loop, one md5
+    * per texture cell); [[phashGridSpark]] stays as the documented SQL
+    * algebra and PhashBandsSpec pins the two equal — the interpreted
+    * transform/CASE form was 11-12 s of the sf0.1 staging phase. */
   private[graft] def phashPixelsOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
@@ -257,18 +261,22 @@ object MultimodalOps {
         expr("CASE WHEN doc_id % 10 <= 2 THEN (doc_id div 10) * 2 " +
           "ELSE doc_id * 2 + 1 END").as("sc"),
         expr("doc_id % 10").as("vr"))
-      .withColumn("px", expr(phashGridSpark))
+      .withColumn("px",
+        graft.plans.PhashGridExpr.gridNative(col("sc"), col("vr")))
       .select("doc_id", "px")
 
   /** (doc_id, px) → the 4 × 16-bit aHash bands (bit = pixel·64 >
-    * Σpixels, integer-exact — no mean division). */
+    * Σpixels, integer-exact — no mean division). Native codegen kernel
+    * (plans/PhashBands.scala): the HOF form (aggregate → transform →
+    * nested transform+aggregate) was interpreted per element and
+    * CollapseProject re-inlined each derived column into the next
+    * lambda, re-evaluating the pixel total per bit — measured 4.1 s
+    * (hash) / 8.6 s (bands) of pure compute per index build at sf0.1,
+    * paid TWICE by the band table's sort-by range-sample pass.
+    * PhashBandsSpec pins native == HOF twin. */
   private[graft] def bandsFromPx(px: DataFrame): DataFrame =
-    px
-      .withColumn("tot", expr("aggregate(px, 0L, (a, x) -> a + x)"))
-      .withColumn("bits", expr("transform(px, x -> IF(x * 64 > tot, 1L, 0L))"))
-      .withColumn("bands", expr("transform(sequence(0, 3), " +
-        "j -> aggregate(slice(bits, j*16 + 1, 16), 0L, (a, b) -> a * 2 + b))"))
-      .select("doc_id", "bands")
+    px.select(col("doc_id"),
+      graft.plans.PhashBandsExpr.bandsNative(col("px")).as("bands"))
 
   private val mediaGridBuilt =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
@@ -314,8 +322,8 @@ object MultimodalOps {
     cand
       .join(h.select(col("doc_id").as("doc_a"), col("bands").as("ba")), "doc_a")
       .join(h.select(col("doc_id").as("doc_b"), col("bands").as("bb")), "doc_b")
-      .withColumn("hamming", expr(
-        "aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0, (a, v) -> a + v)"))
+      .withColumn("hamming",
+        graft.plans.PhashBandsExpr.hammingNative(col("ba"), col("bb")))
       .filter(col("hamming") <= PhashMaxHam)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
