@@ -48,9 +48,7 @@ object CoresetOps {
   /** Exact integer squared L2 distance from `qvec` to a literal
     * center. */
   private def sqDist(center: Seq[Long]): Column =
-    aggregate(
-      zip_with(col("qvec"), typedlit(center), (x, c) => (x - c) * (x - c)),
-      lit(0L), (acc, e) => acc + e)
+    graft.plans.L2SqExpr.l2sqNative(col("qvec"), typedlit(center))
 
   /** Run the greedy loop: returns (selection order, vec_id, distance to
     * the previously-selected set at selection time; 0 for the seed). */
@@ -100,9 +98,7 @@ object CoresetOps {
       val cents = s.table(SimilarityOps.codebookTable(s, dir))
       val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
       val assigned = qemb.join(broadcast(cents))
-        .withColumn("d2", aggregate(
-          zip_with(col("qvec"), col("cvec"), (x, c) => (x - c) * (x - c)),
-          lit(0L), (acc, v) => acc + v))
+        .withColumn("d2", graft.plans.L2SqExpr.l2sqNative(col("qvec"), col("cvec")))
         .withColumn("rn", row_number().over(wA))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cluster"), col("d2"))

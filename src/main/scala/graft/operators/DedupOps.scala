@@ -1265,27 +1265,36 @@ object DedupOps {
       .union(pairs.toDF("b", "a").select(col("a"), col("b")))
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
+    // cpRoot is the checkpoint ROOT frame of the current labels (the
+    // frame freeCheckpoint must see); labels is its (doc_id, rep) view
+    var cpRoot = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("rep"))
       .localCheckpoint()
+    var labels = cpRoot
     var changed = 1L
     while (changed > 0) {
       val viaNeighbor = edges
         .join(labels.select(col("doc_id").as("dst"), col("rep").as("nrep")), "dst")
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nrep")).as("nmin"))
+      // convergence is detected from a `chg` flag computed IN the same
+      // pass the checkpoint materializes — the old shape re-joined the
+      // new checkpoint against the previous one just to count changed
+      // rows, a full extra join + exchange per iteration (2 jobs/round
+      // → 1 job + a shuffle-free scan-count of the materialized blocks)
       val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"),
+          (col("nmin").isNotNull && col("nmin") < col("rep")).as("chg"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("rep", "prev"), "doc_id")
-        .filter(col("rep") =!= col("prev")).count()
+      changed = next.filter(col("chg")).count()
       // the previous iteration's checkpoint is dead once `changed` is
       // counted — free it now instead of waiting for the ContextCleaner
       // (an iterative loop otherwise accumulates one resident copy of
       // the vertex set per round)
-      org.apache.spark.sql.graft.GraftBridge.freeCheckpoint(labels)
-      labels = next
+      org.apache.spark.sql.graft.GraftBridge.freeCheckpoint(cpRoot)
+      cpRoot = next
+      labels = next.select("doc_id", "rep")
     }
     edges.unpersist()
     labels

@@ -64,9 +64,7 @@ object IvfPqOps {
   private[graft] def residuals(qemb: DataFrame, cents: DataFrame): DataFrame = {
     val wA = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
     qemb.join(broadcast(cents))
-      .withColumn("d2", aggregate(
-        zip_with(col("qvec"), col("cvec"), (x, c) => (x - c) * (x - c)),
-        lit(0L), (acc, v) => acc + v))
+      .withColumn("d2", graft.plans.L2SqExpr.l2sqNative(col("qvec"), col("cvec")))
       .withColumn("rn", row_number().over(wA))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("cluster"),
@@ -96,9 +94,7 @@ object IvfPqOps {
   private[graft] def encodeAgainst(sv: DataFrame, pqc: DataFrame): DataFrame = {
     val wA = Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("code"))
     sv.join(broadcast(pqc), Seq("sub"))
-      .withColumn("d2", aggregate(
-        zip_with(col("sv"), col("cv"), (x, c) => (x - c) * (x - c)),
-        lit(0L), (acc, v) => acc + v))
+      .withColumn("d2", graft.plans.L2SqExpr.l2sqNative(col("sv"), col("cv")))
       .withColumn("rn", row_number().over(wA))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("sub"), col("code"))
@@ -127,9 +123,7 @@ object IvfPqOps {
     SimilarityOps.quantized(probes)
       .select(col("vec_id").as("qid"), col("qvec"))
       .join(broadcast(cents))
-      .withColumn("d2c", aggregate(
-        zip_with(col("qvec"), col("cvec"), (x, c) => (x - c) * (x - c)),
-        lit(0L), (acc, v) => acc + v))
+      .withColumn("d2c", graft.plans.L2SqExpr.l2sqNative(col("qvec"), col("cvec")))
       .withColumn("rn", row_number().over(wCell))
       .filter(col("rn") <= nProbeCells)
       .select(col("qid"), col("cluster"),
@@ -148,9 +142,7 @@ object IvfPqOps {
             slice(col("qrvec"), s * subDim + 1, lit(subDim)).as("sv")))).as("e"))
       .select(col("qid"), col("cluster"), col("e.sub").as("sub"), col("e.sv").as("sv"))
     qsub.join(pqc, Seq("sub"))
-      .withColumn("d", aggregate(
-        zip_with(col("sv"), col("cv"), (x, c) => (x - c) * (x - c)),
-        lit(0L), (acc, v) => acc + v))
+      .withColumn("d", graft.plans.L2SqExpr.l2sqNative(col("sv"), col("cv")))
       .select(col("qid"), col("cluster"), col("sub"), col("code"), col("d"))
   }
 

@@ -99,9 +99,7 @@ object PqOps {
     for (_ <- 1 to iters) {
       val wA = Window.partitionBy("vec_id", "sub").orderBy(col("d2"), col("code"))
       assigned = sv.join(broadcast(cents), Seq("sub"))
-        .withColumn("d2", aggregate(
-          zip_with(col("sv"), col("cv"), (x, c) => (x - c) * (x - c)),
-          lit(0L), (acc, v) => acc + v))
+        .withColumn("d2", graft.plans.L2SqExpr.l2sqNative(col("sv"), col("cv")))
         .withColumn("rn", row_number().over(wA))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("sub"), col("code"), col("sv"), col("d2"))
@@ -131,9 +129,7 @@ object PqOps {
     val dtab = probes
       .select(col("vec_id").as("qid"), col("sub"), col("sv").as("qsv"))
       .join(cents, Seq("sub"))
-      .withColumn("d", aggregate(
-        zip_with(col("qsv"), col("cv"), (x, c) => (x - c) * (x - c)),
-        lit(0L), (acc, v) => acc + v))
+      .withColumn("d", graft.plans.L2SqExpr.l2sqNative(col("qsv"), col("cv")))
       .select(col("qid"), col("sub"), col("code"), col("d"))
     val wTop = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
     assigned.select("vec_id", "sub", "code")

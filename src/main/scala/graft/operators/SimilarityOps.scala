@@ -552,11 +552,19 @@ object SimilarityOps {
     // `size(toks) > 0` pre-filter on the scan — a lambda predicate that
     // can never push to parquet and would re-evaluate the tokenizer per
     // row; the term IN filter drops the null rows it emits anyway
-    val tf = toks
+    // tf is REFERENCED TWICE (df derives from it): left un-materialized,
+    // Catalyst prunes tf's count from the df branch, the two exchanges
+    // stop being reuse-identical, and the WHOLE corpus tokenize+explode
+    // runs a second time just to count distinct (doc, term) rows —
+    // guide §7.2's duplicated-subtree smell, visible as two Generate
+    // chains over `documents` in the before plan. The checkpoint is
+    // term-bounded (docs containing a query term × |query|), freed at
+    // the harness's action end (transient scope).
+    val tf = graft.engine.Staging.trackCp(toks
       .select(col("doc_id"), col("dl"), explode_outer(col("toks")).as("term"))
       .filter(col("term").isin(Bm25Terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfs), "term")
       .crossJoin(broadcast(stats))
@@ -781,9 +789,7 @@ object SimilarityOps {
     for (_ <- 1 to iters) {
       val wAssign = Window.partitionBy("vec_id").orderBy(col("d2"), col("cluster"))
       assigned = qemb.join(broadcast(cents))
-        .withColumn("d2", aggregate(
-          zip_with(col("qvec"), col("cvec"), (x, c) => (x - c) * (x - c)),
-          lit(0L), (acc, v) => acc + v))
+        .withColumn("d2", graft.plans.L2SqExpr.l2sqNative(col("qvec"), col("cvec")))
         .withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("cluster"), col("qvec"), col("d2"))
