@@ -141,16 +141,24 @@ object ScriptDedupOps {
     * clone-quadratic guard, same as DedupOps.setSimTokens), then
     * per-script shingles at the set-sim widths. */
   private def scriptSetSimTokens(docs: DataFrame): (DataFrame, DataFrame) = {
-    val canon = docs.groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"))
-    val tk = canon.select(col("doc_id"),
+    val tk = scriptSetSimTk(scriptCanon(docs))
+    (tk, tk.groupBy("token").agg(count(lit(1)).as("df")))
+  }
+
+  /** The canonicalization half of [[scriptSetSimTokens]] — factored so
+    * q220 can checkpoint the (text-sized) canon frame and re-derive the
+    * (token-sized, ~10× bigger) shingle explode per consumer. */
+  private def scriptCanon(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+
+  /** The shingle-explode half of [[scriptSetSimTokens]] — a map-only
+    * projection (native kernels, no exchange) over a canon frame. */
+  private def scriptSetSimTk(canon: DataFrame): DataFrame =
+    canon.select(col("doc_id"),
       explode(when(TextOps.scriptOf(col("text")) === "cjk",
           graft.plans.CharNgramsExpr.charNgramsDistinct(col("text"), CjkSetSimN))
         .otherwise(graft.plans.ShinglesExpr.shinglesNative(col("text"),
           DedupOps.SetSimShingleN))).as("token"))
-    val dfreq = tk.groupBy("token").agg(count(lit(1)).as("df"))
-    (tk, dfreq)
-  }
 
   /** Space-free line segmentation: fixed [[CjkLineCp]]-codepoint chunks
     * from position 0, last chunk keeps its partial tail — the codepoint
@@ -310,13 +318,29 @@ object ScriptDedupOps {
     // unchanged machinery, script-dispatched shingles. On the old
     // path every CJK doc's shingle set was EMPTY (no 5-word shingles),
     // so batch CJK clones of corpus docs surfaced nowhere.
+    // Checkpoint granularity is the CANON frame (text-sized), never the
+    // token tables: the CJK 18-gram token/df frames are corpus×grams
+    // (≈10× the text bytes, 54 B per gram), and holding three of them
+    // deserialized in the block manager starved the 8 GB session at sf3
+    // until a broadcast build failed (bench failed:1 — the same failure
+    // shape the ssim index create shed after its sf10 OOM). The canon
+    // checkpoint buys the expensive groupBy(text) exchange once; the
+    // shingle explode re-derives per consumer as a MAP-ONLY projection
+    // (native kernels, no exchange), and the single shared `dfreq`
+    // DataFrame keeps its two consumers exchange-reuse-identical.
+    // Measured at sf3: token-table checkpoints OOM'd the bench; no
+    // checkpoints at all 77.9 s (canon exchange re-ran per consumer);
+    // DISK_ONLY token checkpoints 110.9 s (corpus-sized serialize +
+    // re-read per consumer); this shape — see OPTIMIZATION_r16.md.
     "q220_script_setsim" -> ((s, dir) => {
       val mixed = TextOps.scriptMixed(Tables.documents(s, dir))
-      val (ctk0, dfreq0) = scriptSetSimTokens(mixed.filter(col("doc_id") % 10 =!= 7))
-      val ctk = graft.engine.Staging.trackCp(ctk0)
-      val dfreq = graft.engine.Staging.trackCp(dfreq0)
-      val btk = graft.engine.Staging.trackCp(
-        scriptSetSimTokens(mixed.filter(col("doc_id") % 10 === 7))._1)
+      val cCanon = graft.engine.Staging.trackCp(
+        scriptCanon(mixed.filter(col("doc_id") % 10 =!= 7)))
+      val bCanon = graft.engine.Staging.trackCp(
+        scriptCanon(mixed.filter(col("doc_id") % 10 === 7)))
+      val ctk = scriptSetSimTk(cCanon)
+      val dfreq = ctk.groupBy("token").agg(count(lit(1)).as("df"))
+      val btk = scriptSetSimTk(bCanon)
       DedupOps.setSimIncrementalTk(ctk, dfreq, btk)
         .orderBy("doc_a", "doc_b")
     }),
