@@ -225,15 +225,22 @@ object DedupOps {
       t: Long, hotDf: Long = SetSimHotDf,
       salts: Int = SetSimSalts): DataFrame = {
     val pre = prefixTokens(tk.join(dfreq, "token"), t).localCheckpoint()
-    val cand = saltedPrefixSelfJoin(pre,
+    // Candidates are materialized (candidate-pair-sized) so the
+    // verification's token sides can be CANDIDATE-BOUNDED: un-bounded,
+    // setSimVerify shuffled the FULL corpus token table twice (~7M rows
+    // per side at sf3) to verify a few thousand pairs; the id set
+    // broadcasts (size-gated joinIds) and prunes the staged token
+    // checkpoint MAP-SIDE, so only candidate docs' tokens reach either
+    // exchange — the nearDupPairsOf / ssimProbeTk pattern, applied to
+    // the inline self-join engines (see setSimVerifyBounded).
+    setSimVerifyBounded(saltedPrefixSelfJoin(pre,
         col("a.doc_id") < col("b.doc_id") &&
           col("b.m") * t <= col("a.m") * 10000 &&
           col("a.m") * t <= col("b.m") * 10000,
         Seq(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.m").as("size_a"), col("b.m").as("size_b")),
         hotDf, salts)
-      .distinct()
-    setSimVerify(cand, tk, tk, t)
+      .distinct(), tk, t)
   }
 
   /** The q190 engine, factored over an arbitrary (doc_id, text) frame
@@ -327,7 +334,20 @@ object DedupOps {
   private[graft] def setSimJoinPos(docs: DataFrame,
       t: Long = SetSimPpTBp): DataFrame = {
     val (tk, dfreq) = setSimTokens(docs)
-    setSimVerify(ppjoinCandidates(tk, dfreq, t), tk, tk, t)
+    setSimVerifyBounded(ppjoinCandidates(tk, dfreq, t), tk, t)
+  }
+
+  /** [[setSimVerify]] over a SELF-join's candidates with both token
+    * sides candidate-bounded (see the setSimJoinTk note). `cand0` is
+    * materialized here — its id set feeds the size-gated broadcast
+    * prune and the verify join. */
+  private[graft] def setSimVerifyBounded(cand0: DataFrame, tk: DataFrame,
+      t: Long): DataFrame = {
+    val cand = graft.engine.Staging.trackCp(cand0)
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val tkC = joinIds(tk, candIds, "doc_id")
+    setSimVerify(cand, tkC, tkC, t)
   }
 
   /** The q198 engine: batch-vs-corpus EXACT set-similarity join — the
@@ -366,7 +386,13 @@ object DedupOps {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.m").as("size_a"), col("b.m").as("size_b"))
       .distinct()
-    setSimVerify(cand, btk, ctk, t)
+    // corpus side candidate-bounded before verification (the
+    // setSimVerifyBounded rationale); the batch side is already the
+    // small side and most of it appears in some candidate anyway
+    val candM = graft.engine.Staging.trackCp(cand)
+    val ctkC = joinIds(ctk,
+      candM.select(col("doc_b").as("doc_id")).distinct(), "doc_id")
+    setSimVerify(candM, btk, ctkC, t)
   }
 
   // ---- q199: the exact set-sim PREFIX INDEX at rest ----------------------
@@ -1448,7 +1474,7 @@ object DedupOps {
     // the positional filter dropped nothing on this corpus.
     "q196_setsim_ppjoin" -> ((s, dir) => {
       val (tk, dfreq) = stagedSetSimTokens(s, dir, "all")
-      setSimVerify(ppjoinCandidates(tk, dfreq, SetSimPpTBp), tk, tk,
+      setSimVerifyBounded(ppjoinCandidates(tk, dfreq, SetSimPpTBp), tk,
         SetSimPpTBp).orderBy("doc_a", "doc_b")
     }),
 
