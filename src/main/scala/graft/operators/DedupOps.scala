@@ -122,13 +122,12 @@ object DedupOps {
 
   /** Split `text` into LineWords-word chunks: the doc's word array
     * sliced at fixed offsets, each chunk re-joined with single spaces.
-    * The last chunk keeps its partial tail (slice clamps). */
-  private def lineChunks(text: Column, words: Int): Column = {
-    val ws = tokens(text)
-    transform(
-      sequence(lit(0), floor((size(ws) - 1) / lit(words)).cast("int")),
-      j => array_join(slice(ws, j * words + 1, lit(words)), " "))
-  }
+    * The last chunk keeps its partial tail (slice clamps). Native
+    * byte-span kernel (LineChunksExpr; the HOF twin — split + per-chunk
+    * slice/array_join, all interpreted — is pinned equal by
+    * LineChunksSpec and remains the oracle algebra). */
+  private def lineChunks(text: Column, words: Int): Column =
+    graft.plans.LineChunksExpr.lineChunksNative(text, words)
 
   /** Shared prelude of the exact set-similarity family: exact-dup
     * canonicalization, shingle tokens, global document frequencies.
@@ -1967,23 +1966,61 @@ object DedupOps {
 
   /** q202's engine over an arbitrary (doc_id, text) frame — see the
     * q202 entry for the design commentary. */
+  /** Per-doc corpus-frequent-line POSITIONS over a (doc_id, chunks)
+    * frame: (doc_id, dups: array<int>) for docs holding >= 1 such line;
+    * docs with none are absent (consumers left-join).
+    *
+    * This is the shuffle diet of the whole line-dedup family (guide
+    * §2.3/§8; OPTIMIZATION_r16.md O9). The direct formulation shuffled
+    * corpus LINE TEXT three times — a two-phase countDistinct(doc_id)
+    * per line, a corpus ⋈ dupLines re-shuffle keyed by line, and the
+    * reassembly regroup keyed by doc_id. Only the cross-doc line
+    * STATISTIC fundamentally needs a text-keyed exchange: per-doc
+    * distinct lines (array_distinct map-side, so the count is a plain
+    * count(*), one exchange) feed it; the dup-line set is then small
+    * (lines repeated across >= LineDupMinDocs docs — boilerplate) and
+    * attaches back by size-gated broadcast, so the flag pass shuffles
+    * (doc_id, pos) INTEGERS only; reassembly happens inside the doc's
+    * own row by position filter, no regroup. */
+  private[graft] def dupLinePositions(chunked: DataFrame): DataFrame = {
+    val dupLines = graft.engine.Staging.trackCp(
+      chunked.select(explode(array_distinct(col("chunks"))).as("line"))
+        .groupBy("line").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= LineDupMinDocs)
+        .select("line"))
+    joinIds(
+      chunked.select(col("doc_id"),
+        posexplode(col("chunks")).as(Seq("pos", "line"))),
+      dupLines, "line")
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("dups"))
+  }
+
+  /** Left-join `big` to a small per-doc frame with the [[joinIds]] size
+    * gate (broadcast when the small side's rows fit, shuffled-hash
+    * fallback otherwise — never a sort-merge of the corpus side). */
+  private[graft] def joinDocsLeft(big: DataFrame, small: DataFrame,
+      key: String, maxIds: Long = BroadcastMaxIds): DataFrame =
+    if (small.count() <= maxIds) big.join(broadcast(small), Seq(key), "left")
+    else big.join(small.hint("shuffle_hash"), Seq(key), "left")
+
+  /** `chunks` minus the positions in `dups` (null dups = keep all),
+    * rejoined with `sep` — the row-local reassembly of the line-dedup
+    * family. */
+  private[graft] def keptText(sep: String): Column =
+    array_join(when(col("dups").isNull, col("chunks"))
+      .otherwise(filter(col("chunks"),
+        (_, i) => !array_contains(col("dups"), i))), sep)
+
   private[graft] def lineDedup(docs: DataFrame): DataFrame = {
-    val lines = docs
+    val chunked = docs.select(col("doc_id"),
+      lineChunks(col("text"), LineWords).as("chunks"))
+      .filter(col("chunks").isNotNull)
+    val dupPos = graft.engine.Staging.trackCp(dupLinePositions(chunked))
+    joinDocsLeft(chunked, dupPos, "doc_id")
       .select(col("doc_id"),
-        posexplode(lineChunks(col("text"), LineWords)).as(Seq("pos", "line")))
-    val dupLines = lines.groupBy("line")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= LineDupMinDocs)
-      .select(col("line"), lit(1).as("dup"))
-    lines.join(dupLines, Seq("line"), "left")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_lines"),
-        count(col("dup")).as("n_dup_lines"),
-        md5(array_join(transform(
-          array_sort(collect_list(when(col("dup").isNull,
-            struct(col("pos"), col("line"))))),
-          x => x("line")), " ")).as("clean_md5"))
-      .select("doc_id", "n_lines", "n_dup_lines", "clean_md5")
+        size(col("chunks")).cast("long").as("n_lines"),
+        coalesce(size(col("dups")), lit(0)).cast("long").as("n_dup_lines"),
+        md5(keptText(" ")).as("clean_md5"))
   }
 
   /** q202's cleaning as a TEXT-producing stage: every doc's line-deduped
@@ -1993,20 +2030,12 @@ object DedupOps {
     * reporting. Docs whose every line is boilerplate come out as the
     * empty string (downstream gates drop them — Gopher's word floor). */
   private[graft] def cleanedDocs(docs: DataFrame): DataFrame = {
-    val lines = docs
-      .select(col("doc_id"), col("lang"),
-        posexplode(lineChunks(col("text"), LineWords)).as(Seq("pos", "line")))
-    val dupLines = lines.groupBy("line")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= LineDupMinDocs)
-      .select(col("line"), lit(1).as("dup"))
-    lines.join(dupLines, Seq("line"), "left")
-      .groupBy("doc_id", "lang")
-      .agg(array_join(transform(
-        array_sort(collect_list(when(col("dup").isNull,
-          struct(col("pos"), col("line"))))),
-        x => x("line")), " ").as("text"))
-      .select("doc_id", "lang", "text")
+    val chunked = docs.select(col("doc_id"), col("lang"),
+      lineChunks(col("text"), LineWords).as("chunks"))
+      .filter(col("chunks").isNotNull)
+    val dupPos = graft.engine.Staging.trackCp(dupLinePositions(chunked))
+    joinDocsLeft(chunked, dupPos, "doc_id")
+      .select(col("doc_id"), col("lang"), keptText(" ").as("text"))
   }
 
   /** Verbatim-leak ids: distinct `train` docs sharing a verified
@@ -2039,16 +2068,28 @@ object DedupOps {
   private[graft] def lineDedupIncremental(corpus: DataFrame,
       batch: DataFrame): DataFrame =
     cleanAgainstLines(batch,
-      corpus.select(explode(lineChunksOf(col("text"))).as("line")).distinct())
+      corpus.select(explode(lineChunksOf(col("text"))).as("line")))
 
   /** Clean `batch` against a standing line set (`corpusLines`: one
-    * `line` column, distinct) — shared by q206 (inline distinct pass)
-    * and q207 (the MAINTAINED line table). */
+    * `line` column; duplicates tolerated) — shared by q206 (inline
+    * corpus explode) and q207 (the MAINTAINED line table).
+    *
+    * Join direction inverted (guide §3.1; OPTIMIZATION_r16.md O9): the
+    * BATCH's distinct line set is the small side, so it broadcasts
+    * (size-gated) and the corpus-sized line stream is filtered
+    * MAP-SIDE to the hit set — the corpus never pays an exchange (the
+    * old shape paid a corpus-wide distinct exchange plus the corpus
+    * half of a sort-merge join, to clean a batch 10x-1000x smaller).
+    * The hit set is bounded by the batch's own line count. */
   private[graft] def cleanAgainstLines(batch: DataFrame,
-      corpusLines: DataFrame): DataFrame =
-    batch.select(col("doc_id"),
-        posexplode(lineChunksOf(col("text"))).as(Seq("pos", "line")))
-      .join(corpusLines.select(col("line"), lit(1).as("hit")), Seq("line"), "left")
+      corpusLines: DataFrame): DataFrame = {
+    val bl = graft.engine.Staging.trackCp(
+      batch.select(col("doc_id"),
+        posexplode(lineChunksOf(col("text"))).as(Seq("pos", "line"))))
+    val blSet = bl.select("line").distinct()
+    val hits = graft.engine.Staging.trackCp(
+      joinIds(corpusLines, blSet, "line").select("line").distinct())
+    joinDocsLeft(bl, hits.select(col("line"), lit(1).as("hit")), "line")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_lines"),
         count(col("hit")).as("n_dropped"),
@@ -2057,6 +2098,7 @@ object DedupOps {
             struct(col("pos"), col("line"))))),
           x => x("line")), " ")).as("clean_md5"))
       .select("doc_id", "n_lines", "n_dropped", "clean_md5")
+  }
 
   /** q203's engine over an arbitrary (doc_id, text) frame — see the
     * q203 entry for the design commentary.

@@ -165,9 +165,7 @@ object ScriptDedupOps {
     * twin of DedupOps.lineChunks. Only evaluated on detected-cjk docs,
     * whose codepoint count is ≥ 1 by the detection rule. */
   private def cjkLineChunks(text: Column): Column =
-    transform(
-      sequence(lit(0), floor((length(text) - 1) / lit(CjkLineCp)).cast("int")),
-      j => text.substr(j * lit(CjkLineCp) + lit(1), lit(CjkLineCp)))
+    graft.plans.CodepointChunksExpr.codepointChunks(text, CjkLineCp)
 
   /** Script-aware LINE-CLEANED text (the q221 S1 stage): per-script
     * segmentation (10-word chunks for spaced docs, [[CjkLineCp]]-
@@ -180,21 +178,26 @@ object ScriptDedupOps {
     * (doc_id, lang, script, text); docs whose every line is boilerplate
     * come out as the empty string (the gates drop them). */
   private[graft] def scriptCleanedDocs(mixed: DataFrame): DataFrame = {
-    val lines = mixed.select(col("doc_id"), col("lang"), col("script"),
-      posexplode(when(col("script") === "cjk", cjkLineChunks(col("text")))
-        .otherwise(DedupOps.lineChunksOf(col("text")))).as(Seq("pos", "line")))
-    val dupLines = lines.groupBy("line")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= DedupOps.LineDupMinDocs)
-      .select(col("line"), lit(1).as("dup"))
-    lines.join(dupLines, Seq("line"), "left")
-      .groupBy("doc_id", "lang", "script")
-      .agg(transform(array_sort(collect_list(when(col("dup").isNull,
-        struct(col("pos"), col("line"))))), x => x("line")).as("kept"))
+    // the DedupOps.cleanedDocs shuffle diet (O9), script-dispatched:
+    // per-script chunking and separator, one shared text-keyed exchange
+    // for the cross-doc line statistic (keys never collide cross-script)
+    val chunked = mixed.select(col("doc_id"), col("lang"), col("script"),
+      scriptChunks.as("chunks"))
+      .filter(col("chunks").isNotNull)
+    val dupPos = graft.engine.Staging.trackCp(
+      DedupOps.dupLinePositions(chunked))
+    DedupOps.joinDocsLeft(chunked, dupPos, "doc_id")
       .select(col("doc_id"), col("lang"), col("script"),
-        when(col("script") === "cjk", array_join(col("kept"), ""))
-          .otherwise(array_join(col("kept"), " ")).as("text"))
+        when(col("script") === "cjk", DedupOps.keptText(""))
+          .otherwise(DedupOps.keptText(" ")).as("text"))
   }
+
+  /** Per-script line chunks: [[CjkLineCp]]-codepoint chunks for
+    * space-free docs, LineWords-word chunks otherwise (expects a
+    * `script` column alongside `text`). */
+  private def scriptChunks: Column =
+    when(col("script") === "cjk", cjkLineChunks(col("text")))
+      .otherwise(DedupOps.lineChunksOf(col("text")))
 
   /** The space-free stratum's quality gate (the q221 S2 script twin of
     * the Gopher pack): codepoint-BIGRAM token floor (≥50 tokens — the
@@ -229,13 +232,23 @@ object ScriptDedupOps {
       graft.plans.CharNgramsExpr.charNgramsDistinct(col("text"), CjkLeakCp))
       .as("w")).distinct()
     val evH = evG.select(xxhash64(col("w")).as("h")).distinct()
-    val cand = graft.engine.Staging.trackCp(
+    // candidate generation hashes each 40-codepoint window IN PLACE
+    // (CharNgramHashesExpr) — the unfused explode materialized every
+    // window as a ~120-byte string only to hash-and-discard it, ~120x
+    // the stratum's text bytes per pass (OPTIMIZATION_r16.md O7)
+    val candIds = graft.engine.Staging.trackCp(
       train.select(col("doc_id"), explode(
-          graft.plans.CharNgramsExpr.charNgramsDistinct(col("text"), CjkLeakCp))
-          .as("w"))
-        .join(broadcast(evH), xxhash64(col("w")) === col("h"))
-        .select("doc_id", "w"))
-    cand.join(evG, Seq("w")).select("doc_id").distinct()
+          graft.plans.CharNgramHashesExpr.charNgramHashes(col("text"), CjkLeakCp))
+          .as("h"))
+        .join(broadcast(evH), "h")
+        .select("doc_id").distinct())
+    // verification re-derives gram TEXT for candidate docs only, so
+    // pair membership never depends on xxhash64 being collision-free
+    DedupOps.joinIds(train, candIds, "doc_id")
+      .select(col("doc_id"), explode(
+        graft.plans.CharNgramsExpr.charNgramsDistinct(col("text"), CjkLeakCp))
+        .as("w"))
+      .join(evG, Seq("w")).select("doc_id").distinct()
   }
 
   /** Script-aware sequence packing (the q221 S5 stage): spaced docs
@@ -292,22 +305,18 @@ object ScriptDedupOps {
     "q219_script_line_dedup" -> ((s, dir) => {
       val mixed = TextOps.scriptMixed(Tables.documents(s, dir))
         .withColumn("script", TextOps.scriptOf(col("text")))
-      val lines = mixed.select(col("doc_id"),
-        posexplode(when(col("script") === "cjk", cjkLineChunks(col("text")))
-          .otherwise(DedupOps.lineChunksOf(col("text")))).as(Seq("pos", "line")))
-      val dupLines = lines.groupBy("line")
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .filter(col("nd") >= DedupOps.LineDupMinDocs)
-        .select(col("line"), lit(1).as("dup"))
-      lines.join(dupLines, Seq("line"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_lines"),
-          count(col("dup")).as("n_dup_lines"),
-          md5(array_join(transform(
-            array_sort(collect_list(when(col("dup").isNull,
-              struct(col("pos"), col("line"))))),
-            x => x("line")), " ")).as("clean_md5"))
-        .select("doc_id", "n_lines", "n_dup_lines", "clean_md5")
+      // the q202 shuffle diet (DedupOps.dupLinePositions), per-script
+      // chunking; md5 joins with " " for BOTH scripts (a fingerprint,
+      // not the cleaned text — scriptCleanedDocs owns the separator)
+      val chunked = mixed.select(col("doc_id"), scriptChunks.as("chunks"))
+        .filter(col("chunks").isNotNull)
+      val dupPos = graft.engine.Staging.trackCp(
+        DedupOps.dupLinePositions(chunked))
+      DedupOps.joinDocsLeft(chunked, dupPos, "doc_id")
+        .select(col("doc_id"),
+          size(col("chunks")).cast("long").as("n_lines"),
+          coalesce(size(col("dups")), lit(0)).cast("long").as("n_dup_lines"),
+          md5(DedupOps.keptText(" ")).as("clean_md5"))
         .orderBy("doc_id")
     }),
 

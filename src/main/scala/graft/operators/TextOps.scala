@@ -189,35 +189,25 @@ object TextOps {
     * can drive planted spam/diverse/block-repetition corpora through
     * the exact algebra. See the q200 entry for the design commentary. */
   private[graft] def repetitionRules(docs: DataFrame): DataFrame = {
-    def gramCounts(n: Int) = docs
-      .select(col("doc_id"),
-        explode(graft.plans.ShinglesExpr.shinglesAllNative(col("text"), n))
-          .as("gram"))
-      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
-    def topCover(n: Int) = gramCounts(n)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("gram"))))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"),
-        (col("cnt") * length(col("gram"))).cast("long").as(s"top${n}_chars"))
-    val dup10 = gramCounts(10).filter(col("cnt") >= 2)
-      .groupBy("doc_id")
-      .agg(sum(col("cnt") * length(col("gram"))).cast("long").as("dup10_chars"))
-    val base = docs.select(col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"))
+    // top{2,3,4} cover and dup10 are PER-DOCUMENT aggregates — the fused
+    // RepStatsExpr computes all four inside the row, so the gate is a
+    // map-only projection. The relational form exploded every gram with
+    // multiplicity through FOUR corpus-wide exchanges (groupBy(doc_id,
+    // gram) × {2,3,4,10}) plus three per-doc window sorts and four left
+    // joins, purely to compute row-local statistics (guide §2.4;
+    // OPTIMIZATION_r16.md O8). RepStatsSpec pins fused == relational.
     def bp(src: String, out: String): Column =
       expr(s"CASE WHEN n_chars > 0 " +
         s"THEN coalesce($src, 0L) * 10000 div n_chars ELSE 0L END").as(out)
-    base
-      .join(topCover(2), Seq("doc_id"), "left")
-      .join(topCover(3), Seq("doc_id"), "left")
-      .join(topCover(4), Seq("doc_id"), "left")
-      .join(dup10, Seq("doc_id"), "left")
+    docs
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        graft.plans.RepStatsExpr.repStats(col("text")).as("st"))
       .select(col("doc_id"), col("n_chars"),
-        bp("top2_chars", "top2_bp"),
-        bp("top3_chars", "top3_bp"),
-        bp("top4_chars", "top4_bp"),
-        bp("dup10_chars", "dup10_bp"))
+        bp("st.top2_chars", "top2_bp"),
+        bp("st.top3_chars", "top3_bp"),
+        bp("st.top4_chars", "top4_bp"),
+        bp("st.dup10_chars", "dup10_bp"))
       .withColumn("keep",
         col("top2_bp") <= 2000 && col("top3_bp") <= 1800 &&
           col("top4_bp") <= 1600 && col("dup10_bp") <= 1000)

@@ -93,3 +93,83 @@ object CharNgramsExpr {
   def charNgramsDistinct(text: Column, n: Int): Column =
     GraftBridge.column(CharNgramsExpr(GraftBridge.expression(text), n, distinct = true))
 }
+
+/** DISTINCT xxhash64 values of a document's codepoint n-grams — the
+  * candidate-generation half of CJK verbatim-leak detection fused into
+  * one pass. The unfused form (`explode(charNgramsDistinct(text, n))`
+  * then `xxhash64(w)`) materializes every gram as its own string —
+  * n codepoints x up to 3 UTF-8 bytes ≈ 120 bytes copied per input
+  * byte at n = 40 — only to hash-and-discard it. Each gram is a
+  * CONTIGUOUS byte span of the input (the WindowHashesExpr identity,
+  * codepoint starts instead of space positions), so this expression
+  * hashes the span in place with `XXH64.hashUnsafeBytes`: zero copies,
+  * zero intermediate strings. Seed 42 matches Spark's `xxhash64`, so
+  * results are bit-equal to the HOF twin (CharNgramsSpec pins it).
+  *
+  * Distinctness is BY HASH VALUE: two distinct grams that collide in
+  * xxhash64 dedupe to one row here but to two equal-valued rows in the
+  * twin — identical as a SET, which is the only form consumers use
+  * (hash-join + distinct doc_id candidate generation; text re-verifies).
+  *
+  * Null contract: null text -> null; fewer than n codepoints -> empty
+  * array. */
+case class CharNgramHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"char n-gram hashes need n >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def prettyName: String = "char_ngram_hashes"
+  override def nullable: Boolean = true
+
+  /** Shared scalar kernel (also called from generated code). */
+  def compute(text: UTF8String): Any = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var nCp = 0
+    var i = 0
+    while (i < len) { if ((bytes(i) & 0xC0) != 0x80) nCp += 1; i += 1 }
+    if (nCp < n) return new GenericArrayData(Array.empty[Long])
+    val starts = new Array[Int](nCp + 1)
+    var k = 0
+    i = 0
+    while (i < len) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(k) = i; k += 1 }
+      i += 1
+    }
+    starts(nCp) = len
+    val last = nCp - n
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var s = 0
+    while (s <= last) {
+      val from = starts(s)
+      seen.add(org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+        starts(s + n) - from, 42L))
+      s += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("charNgramHashes", this, classOf[CharNgramHashesExpr].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramHashesExpr =
+    copy(child = newChild)
+}
+
+object CharNgramHashesExpr {
+  /** Column-API entry point: distinct xxhash64 of codepoint n-grams. */
+  def charNgramHashes(text: Column, n: Int): Column =
+    GraftBridge.column(CharNgramHashesExpr(GraftBridge.expression(text), n))
+}

@@ -123,4 +123,113 @@ class ExprPropertySpec extends AnyFunSuite {
       .collect().head.getSeq[String](0).toSeq
     assert(d == Seq("ab", "ba"))
   }
+
+  test("RepStatsExpr equals the relational gram-count twin on arbitrary + repetitive texts") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // arbitrary short texts + engineered repetition: block repeats (dup10
+    // coverage), tie-broken top grams, single-gram docs, empty tokens
+    val spam = Seq(
+      ("x y " * 40).trim,                          // one bigram dominates
+      (("the quick brown fox jumps over the lazy dog now " * 5).trim),
+      ("a b c d e f g h i j " * 3).trim,           // exact 10-gram repeats
+      "b a b a b a",                               // tie between "b a" and "a b"
+      "solo", "", "  ", "日本 日本 日本 語 語",
+      ("p q r s t u v w x y z " * 8).trim)
+    val docs = (sample(text, 150) ++ spam).zipWithIndex.map(_.swap)
+      .toDF("doc_id", "text")
+    def gramCounts(n: Int) = docs
+      .select(col("doc_id"),
+        explode(ShinglesExpr.shinglesAllNative(col("text"), n)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+    def topCover(n: Int) = gramCounts(n)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("gram"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"),
+        (col("cnt") * length(col("gram"))).cast("long").as(s"t$n"))
+    val dup10 = gramCounts(10).filter(col("cnt") >= 2)
+      .groupBy("doc_id")
+      .agg(sum(col("cnt") * length(col("gram"))).cast("long").as("d10"))
+    val twin = docs.select(col("doc_id"))
+      .join(topCover(2), Seq("doc_id"), "left")
+      .join(topCover(3), Seq("doc_id"), "left")
+      .join(topCover(4), Seq("doc_id"), "left")
+      .join(dup10, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("t2"), lit(0L)).as("t2"),
+        coalesce(col("t3"), lit(0L)).as("t3"),
+        coalesce(col("t4"), lit(0L)).as("t4"),
+        coalesce(col("d10"), lit(0L)).as("d10"))
+    val fused = docs.select(col("doc_id"),
+      graft.plans.RepStatsExpr.repStats(col("text")).as("st"))
+      .select(col("doc_id"), col("st.top2_chars").as("f2"),
+        col("st.top3_chars").as("f3"), col("st.top4_chars").as("f4"),
+        col("st.dup10_chars").as("fd"))
+    val bad = fused.join(twin, "doc_id")
+      .filter(col("f2") =!= col("t2") || col("f3") =!= col("t3") ||
+        col("f4") =!= col("t4") || col("fd") =!= col("d10"))
+    assert(bad.count() == 0, bad.limit(3).collect().mkString("; "))
+    // null text -> null struct
+    val n = Seq((1L, None: Option[String])).toDF("doc_id", "text")
+      .select(graft.plans.RepStatsExpr.repStats(col("text")).as("st"))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("LineChunksExpr / CodepointChunksExpr equal their HOF twins (incl. empty text)") {
+    import spark.implicits._
+    val w = DedupOps.LineWords
+    val longDocs = Seq(("lorem ipsum " * 30).trim, ("日本 語 テ キ スト " * 9).trim)
+    val docs = (sample(text, 200) ++ longDocs ++ Seq("")).zipWithIndex
+      .map(_.swap).toDF("doc_id", "text")
+    // word chunks: the exact former DedupOps.lineChunks formulation
+    val ws = expr("split(text, ' ')")
+    val hofLine = transform(
+      sequence(lit(0), floor((size(ws) - 1) / lit(w)).cast("int")),
+      j => array_join(slice(ws, j * w + 1, lit(w)), " "))
+    val badL = docs.select(
+      graft.plans.LineChunksExpr.lineChunksNative(col("text"), w).as("native"),
+      hofLine.as("hof")).filter(col("native") =!= col("hof"))
+    assert(badL.count() == 0, badL.limit(3).collect().mkString("; "))
+    // codepoint chunks: the exact former cjkLineChunks formulation,
+    // INCLUDING the degenerate ""-input sequence(0,-1) shape
+    val n = 20
+    val hofCp = transform(
+      sequence(lit(0), floor((length(col("text")) - 1) / lit(n)).cast("int")),
+      j => col("text").substr(j * lit(n) + lit(1), lit(n)))
+    val badC = docs.select(
+      graft.plans.CodepointChunksExpr.codepointChunks(col("text"), n).as("native"),
+      hofCp.as("hof")).filter(col("native") =!= col("hof"))
+    assert(badC.count() == 0, badC.limit(3).collect().mkString("; "))
+    // null contract
+    val nulls = Seq((1L, None: Option[String])).toDF("doc_id", "text").select(
+      graft.plans.LineChunksExpr.lineChunksNative(col("text"), w).as("a"),
+      graft.plans.CodepointChunksExpr.codepointChunks(col("text"), n).as("b"))
+      .collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+  }
+
+  test("CharNgramHashesExpr equals xxhash64 over the distinct-gram twin as a SET") {
+    import spark.implicits._
+    // in-place span hashing must be bit-equal to materialize-then-
+    // xxhash64 (seed 42); compare as sorted sets — the fused form
+    // dedupes BY HASH, the twin by gram text (identical unless xxhash64
+    // collides, which array_sort equality would then catch here)
+    for (n <- Seq(1, 2, 3, 12, 40)) {
+      val both = corpus.select(
+        array_sort(graft.plans.CharNgramHashesExpr
+          .charNgramHashes(col("text"), n)).as("native"),
+        array_sort(array_distinct(transform(
+          CharNgramsExpr.charNgramsDistinct(col("text"), n),
+          w => xxhash64(w)))).as("twin"))
+      assert(both.filter(col("native") =!= col("twin")).count() == 0,
+        s"in-place $n-gram hashes diverged from xxhash64 over gram strings")
+    }
+    // shorter than n -> empty; null -> null
+    val edge = Seq((1L, Some("日本")), (2L, Some("")), (3L, None: Option[String]))
+      .toDF("doc_id", "text")
+      .select(graft.plans.CharNgramHashesExpr.charNgramHashes(col("text"), 3).as("g"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0).toSeq).toSeq
+    assert(edge == Seq(Seq(), Seq(), null))
+  }
 }
