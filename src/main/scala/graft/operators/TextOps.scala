@@ -65,26 +65,22 @@ object TextOps {
   private[graft] def gopherRulesWith(docs: DataFrame,
       stops: Seq[String]): DataFrame =
     docs
+      // all nine statistics in ONE fused byte pass (GopherStatsExpr; the
+      // HOF twin — per-token interpreted lambdas, two regexp passes,
+      // three line filters — stays as the spec/oracle algebra, pinned
+      // equal by GopherStatsSpec). OPTIMIZATION_r16.md O10.
       .select(col("doc_id"),
-        expr("filter(split(text, ' '), t -> t != '')").as("toks"),
-        col("text"))
+        graft.plans.GopherStatsExpr.gopherStats(col("text"), stops).as("g"))
       .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_words"),
-        expr("aggregate(toks, 0L, (a, w) -> a + length(w))").as("sum_len"),
-        (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
-          .cast("long").as("n_hash"),
-        ((length(col("text")) -
-          length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
-          .cast("long").as("n_ellipsis"),
-        expr("size(filter(split(text, '\n'), l -> l LIKE '- %' OR l LIKE '* %'))")
-          .cast("long").as("bullet_lines"),
-        expr("size(split(text, '\n'))").cast("long").as("n_lines"),
-        expr("size(filter(split(text, '\n'), l -> l LIKE '%...'))")
-          .cast("long").as("ellipsis_lines"),
-        expr("size(filter(toks, w -> w rlike '[A-Za-z]'))")
-          .cast("long").as("alpha_words"),
-        size(array_intersect(array_distinct(col("toks")),
-          array(stops.map(lit): _*))).cast("long").as("stop_hits"))
+        col("g.n_words").as("n_words"),
+        col("g.sum_len").as("sum_len"),
+        col("g.n_hash").as("n_hash"),
+        col("g.n_ellipsis").as("n_ellipsis"),
+        col("g.bullet_lines").as("bullet_lines"),
+        col("g.n_lines").as("n_lines"),
+        col("g.ellipsis_lines").as("ellipsis_lines"),
+        col("g.alpha_words").as("alpha_words"),
+        col("g.stop_hits").as("stop_hits"))
       .withColumn("ok_words",
         col("n_words") >= 50 && col("n_words") <= 100000)
       .withColumn("ok_wordlen",

@@ -209,6 +209,52 @@ class ExprPropertySpec extends AnyFunSuite {
     assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
+  test("GopherStatsExpr equals the HOF nine-column twin (bullets, ellipses, multibyte, empty)") {
+    import spark.implicits._
+    val stops = Seq("the", "of", "täst", "xyzzy")
+    val engineered = Seq(
+      "- bullet one\n* bullet two\n-nobullet\n- \nplain",
+      "ends with dots...\nno dots\n...", "..", "....", ".....",
+      "## #hash# tags ##", "the of the of", "",
+      "日本 the 語...\n- 日本 x", " leading space", "trail ",
+      "a\n\n\nb", "...\n- x y z...")
+    val docs = (sample(text, 150) ++ engineered).zipWithIndex.map(_.swap)
+      .toDF("doc_id", "text")
+    val hof = docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t != '')").as("toks"), col("text"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        expr("aggregate(toks, 0L, (a, w) -> a + length(w))").as("sum_len"),
+        (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+          .cast("long").as("n_hash"),
+        ((length(col("text")) -
+          length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3)
+          .cast("long").as("n_ellipsis"),
+        expr("size(filter(split(text, '\n'), l -> l LIKE '- %' OR l LIKE '* %'))")
+          .cast("long").as("bullet_lines"),
+        expr("size(split(text, '\n'))").cast("long").as("n_lines"),
+        expr("size(filter(split(text, '\n'), l -> l LIKE '%...'))")
+          .cast("long").as("ellipsis_lines"),
+        expr("size(filter(toks, w -> w rlike '[A-Za-z]'))")
+          .cast("long").as("alpha_words"),
+        size(array_intersect(array_distinct(col("toks")),
+          array(stops.map(lit): _*))).cast("long").as("stop_hits"))
+    val fused = docs.select(col("doc_id"),
+      graft.plans.GopherStatsExpr.gopherStats(col("text"), stops).as("g"))
+      .select(col("doc_id"), col("g.*"))
+    val cols = Seq("n_words", "sum_len", "n_hash", "n_ellipsis",
+      "bullet_lines", "n_lines", "ellipsis_lines", "alpha_words", "stop_hits")
+    val bad = fused.as("f").join(hof.as("h"), "doc_id")
+      .filter(cols.map(c => col(s"f.$c") =!= col(s"h.$c")).reduce(_ || _))
+    assert(bad.count() == 0, bad.limit(3).collect().mkString("; "))
+    // null text -> null struct
+    val n = Seq((1L, None: Option[String])).toDF("doc_id", "text")
+      .select(graft.plans.GopherStatsExpr.gopherStats(col("text"), stops).as("g"))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("CharNgramHashesExpr equals xxhash64 over the distinct-gram twin as a SET") {
     import spark.implicits._
     // in-place span hashing must be bit-equal to materialize-then-
