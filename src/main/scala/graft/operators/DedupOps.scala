@@ -2012,9 +2012,13 @@ object DedupOps {
         (_, i) => !array_contains(col("dups"), i))), sep)
 
   private[graft] def lineDedup(docs: DataFrame): DataFrame = {
-    val chunked = docs.select(col("doc_id"),
-      lineChunks(col("text"), LineWords).as("chunks"))
-      .filter(col("chunks").isNotNull)
+    // null gate on the RAW column: line_chunks is null-propagating
+    // (null text <=> null chunks), so filtering text pushes IsNotNull
+    // into the parquet scan and the chunk kernel runs once per row —
+    // filtering the derived chunks column did neither (r16 PlanAudit
+    // NO-PUSHDOWN + double kernel eval).
+    val chunked = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), lineChunks(col("text"), LineWords).as("chunks"))
     val dupPos = graft.engine.Staging.trackCp(dupLinePositions(chunked))
     joinDocsLeft(chunked, dupPos, "doc_id")
       .select(col("doc_id"),
@@ -2030,9 +2034,10 @@ object DedupOps {
     * reporting. Docs whose every line is boilerplate come out as the
     * empty string (downstream gates drop them — Gopher's word floor). */
   private[graft] def cleanedDocs(docs: DataFrame): DataFrame = {
-    val chunked = docs.select(col("doc_id"), col("lang"),
-      lineChunks(col("text"), LineWords).as("chunks"))
-      .filter(col("chunks").isNotNull)
+    // text.isNotNull, not chunks.isNotNull — see lineDedup's null gate
+    val chunked = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        lineChunks(col("text"), LineWords).as("chunks"))
     val dupPos = graft.engine.Staging.trackCp(dupLinePositions(chunked))
     joinDocsLeft(chunked, dupPos, "doc_id")
       .select(col("doc_id"), col("lang"), keptText(" ").as("text"))

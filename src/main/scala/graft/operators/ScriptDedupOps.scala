@@ -181,9 +181,12 @@ object ScriptDedupOps {
     // the DedupOps.cleanedDocs shuffle diet (O9), script-dispatched:
     // per-script chunking and separator, one shared text-keyed exchange
     // for the cross-doc line statistic (keys never collide cross-script)
-    val chunked = mixed.select(col("doc_id"), col("lang"), col("script"),
-      scriptChunks.as("chunks"))
-      .filter(col("chunks").isNotNull)
+    // text.isNotNull, not chunks.isNotNull: scriptChunks null-propagates
+    // (both branches do), so the raw-column gate pushes down and the
+    // chunk kernel runs once per row (DedupOps.lineDedup's null gate)
+    val chunked = mixed.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), col("script"),
+        scriptChunks.as("chunks"))
     val dupPos = graft.engine.Staging.trackCp(
       DedupOps.dupLinePositions(chunked))
     DedupOps.joinDocsLeft(chunked, dupPos, "doc_id")
@@ -303,13 +306,17 @@ object ScriptDedupOps {
     // stratum is invisible unless whole docs match). Line keys never
     // collide across scripts (disjoint character sets).
     "q219_script_line_dedup" -> ((s, dir) => {
-      val mixed = TextOps.scriptMixed(Tables.documents(s, dir))
+      // the null gate sits on the RAW text column, before scriptMixed
+      // derives its CASE-WHEN text: scriptMixed/scriptChunks both
+      // null-propagate, so the row sets are identical and the IsNotNull
+      // pushes into the parquet scan (on the derived column it cannot)
+      val mixed = TextOps.scriptMixed(
+          Tables.documents(s, dir).filter(col("text").isNotNull))
         .withColumn("script", TextOps.scriptOf(col("text")))
       // the q202 shuffle diet (DedupOps.dupLinePositions), per-script
       // chunking; md5 joins with " " for BOTH scripts (a fingerprint,
       // not the cleaned text — scriptCleanedDocs owns the separator)
       val chunked = mixed.select(col("doc_id"), scriptChunks.as("chunks"))
-        .filter(col("chunks").isNotNull)
       val dupPos = graft.engine.Staging.trackCp(
         DedupOps.dupLinePositions(chunked))
       DedupOps.joinDocsLeft(chunked, dupPos, "doc_id")
