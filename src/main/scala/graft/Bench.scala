@@ -42,7 +42,7 @@ object Bench {
       val t0 = System.nanoTime()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(buildThreads)
       try {
-        items.map { case (n, f) =>
+        val futures = items.map { case (n, f) =>
           pool.submit(new java.util.concurrent.Callable[Unit] {
             def call(): Unit = {
               spark.sparkContext.setJobDescription(s"$phase: $n")
@@ -51,11 +51,20 @@ object Bench {
               System.err.println(f"[bench] $phase $n ${(System.nanoTime() - t) / 1e9}%.2f s")
             }
           })
-        }.foreach(_.get())
-        (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"BENCH FAIL $phase: ${e.getMessage}"); -1.0
-      } finally pool.shutdown()
+        }
+        // await EVERY future (collecting failures) so no already-submitted
+        // build keeps running into the timed per-query loop, and a failure
+        // in a later item is reported instead of silently swallowed
+        val errs = futures.flatMap(fu =>
+          try { fu.get(); None } catch { case e: Throwable => Some(e) })
+        if (errs.nonEmpty) {
+          errs.foreach(e => System.err.println(s"BENCH FAIL $phase: ${e.getMessage}"))
+          -1.0
+        } else (System.nanoTime() - t0) / 1e9
+      } finally {
+        pool.shutdown()
+        pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+      }
     }
     // The session-shared stagings — the LSH near-dup pair table (q41/
     // q43/q77/q90/q117) and the set-sim tokenization slices (q190/q196/

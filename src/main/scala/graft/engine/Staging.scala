@@ -115,21 +115,6 @@ object Staging {
     c
   }
 
-  /** [[trackCp]] at DISK_ONLY storage — for CORPUS-sized staging frames
-    * (token/df tables) that must not sit deserialized in the block
-    * manager's memory pool: DISK_ONLY stores the serialized form on
-    * local disk and costs a read-back per consumer instead of evicting
-    * (or OOM-ing) everything else in an 8 GB session. The 100 TB analog
-    * is a staging table between passes. */
-  def trackCpDisk(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val c = df.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    cpScope.get() match {
-      case b :: _ => b += c
-      case Nil    => ()
-    }
-    c
-  }
-
   /** Free every checkpoint registered on this thread's innermost scope
     * and close it. Safe when no scope is open. */
   def releaseTransient(): Unit = cpScope.get() match {

@@ -591,12 +591,38 @@ object SimilarityOps {
     * q181/q182/q183's build) pay the training ONCE per application —
     * the same "session-staged" contract as q90's LSH pairs. The fits
     * localCheckpoint their outputs, so reuse reads materialized blocks. */
-  private val fitMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), AnyRef]()
+  private val fitMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), java.util.concurrent.CompletableFuture[AnyRef]]()
+  /** Claim-future memo (the [[graft.engine.Staging.once]] pattern): the
+    * build runs OUTSIDE any map lock. The earlier computeIfAbsent form
+    * held the ConcurrentHashMap bin lock for the whole build, so the
+    * ivfpq fit — whose build nests memoFit("kmfit:k") on this same map —
+    * threw "Recursive update" whenever the two keys landed in one bin
+    * (appId-dependent, a per-run lottery once Bench built the index
+    * fixtures concurrently). A failed build removes its claim so later
+    * callers retry instead of consuming a poisoned future. */
   private[graft] def memoFit[T <: AnyRef](s: SparkSession, dir: String,
-      tag: String)(f: => T): T =
-    fitMemo.computeIfAbsent((s.sparkContext.applicationId, dir, tag),
-      _ => f).asInstanceOf[T]
+      tag: String)(f: => T): T = {
+    val k = (s.sparkContext.applicationId, dir, tag)
+    var out: AnyRef = null
+    while (out == null) {
+      val fresh = new java.util.concurrent.CompletableFuture[AnyRef]()
+      val existing = fitMemo.putIfAbsent(k, fresh)
+      if (existing == null) {
+        try { out = f; fresh.complete(out) }
+        catch { case t: Throwable =>
+          fitMemo.remove(k, fresh); fresh.completeExceptionally(t); throw t }
+      } else {
+        try out = existing.join()
+        catch {
+          // claimant failed (and removed its claim) — retry as builder
+          case _: java.util.concurrent.CompletionException |
+               _: java.util.concurrent.CancellationException => ()
+        }
+      }
+    }
+    out.asInstanceOf[T]
+  }
 
   /** Once-per-key staging — BLOCKING and un-poisoning via
     * [[graft.engine.Staging]]: concurrent callers wait for the build,
