@@ -59,6 +59,13 @@ object DedupOps {
     * rank join (CurationOps.pageRankRanks). */
   val BroadcastMaxIds: Long = 4L * 1000 * 1000
 
+  /** propagateMin rounds that run the plain one-join neighbor-min shape
+    * before the loop turns on pointer jumping. Small-clique components
+    * (the common case) converge inside this budget with zero extra
+    * per-round cost; anything still changing is a deep path, where the
+    * jump collapses the remaining rounds to O(log diameter). */
+  val PlainRounds = 3
+
   /** q131 exact substring dedup: window width in tokens, and the
     * boilerplate document-frequency cap (windows in more docs than this
     * are dropped before pairing). */
@@ -891,7 +898,7 @@ object DedupOps {
     * Empty when no candidate pair converges — the fixture then degrades
     * to a delete-only exercise and the oracle (from-scratch over
     * survivors) still matches. */
-  private def bridgeChainDocs(s: SparkSession, dir: String): Seq[(Long, String)] = {
+  private[graft] def bridgeChainDocs(s: SparkSession, dir: String): Seq[(Long, String)] = {
     val reps = propagateMin(verifiedNearDupPairs(s, dir).select("doc_a", "doc_b"))
       .select("rep").distinct().orderBy("rep").limit(8)
       .collect().map(_.getLong(0)).toSeq
@@ -939,7 +946,16 @@ object DedupOps {
         "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       docs.filter(col("doc_id") % 10 <= 4).writeTo(s"graft.$src").append()
-      graft.sources.ClusterIndexMaintenance.createIndex(s, "graft", src, lab, edg, bnd)
+      // the arrival-1 snapshot's verified pair set is the session-staged
+      // full-corpus pair table restricted to arrival-1 ids (band keys
+      // are doc-local, verification pairwise, so pairs restrict
+      // exactly) — reusing it spares the create a second LSH+verify
+      // pass over data the staging phase already paid for
+      val arrival1Edges = verifiedNearDupPairs(s, dir)
+        .filter(col("doc_a") % 10 <= 4 && col("doc_b") % 10 <= 4)
+        .select("doc_a", "doc_b")
+      graft.sources.ClusterIndexMaintenance.createIndex(s, "graft", src, lab,
+        edg, bnd, knownEdges = Some(arrival1Edges))
       val chain = bridgeChainDocs(s, dir)
       val chainDf = {
         import s.implicits._
@@ -1297,7 +1313,9 @@ object DedupOps {
       .localCheckpoint()
     var labels = cpRoot
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      round += 1
       val viaNeighbor = edges
         .join(labels.select(col("doc_id").as("dst"), col("rep").as("nrep")), "dst")
         .groupBy(col("src").as("doc_id"))
@@ -1307,10 +1325,33 @@ object DedupOps {
       // new checkpoint against the previous one just to count changed
       // rows, a full extra join + exchange per iteration (2 jobs/round
       // → 1 job + a shuffle-free scan-count of the materialized blocks)
-      val next = labels.join(viaNeighbor, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"),
-          (col("nmin").isNotNull && col("nmin") < col("rep")).as("chg"))
+      val stepped = labels.join(viaNeighbor, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("rep").as("rep0"),
+          least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep1"))
+      // ADAPTIVE POINTER JUMP (path halving): near-dup components are
+      // almost always small cliques that converge in <= PlainRounds
+      // neighbor-min rounds, so early rounds stay the cheap one-join
+      // shape (measured: a jump join in EVERY round regressed the whole
+      // cluster family ~2x at sf0.1 — the loop is job-latency-bound).
+      // A component still changing after PlainRounds is a DEEP path —
+      // the maintained index's bridge chain is 158 hops, i.e. 158
+      // checkpoint+count jobs on the plain path — so later rounds also
+      // relabel to the PREVIOUS round's label of the stepped rep:
+      // labels are monotone non-increasing with label(v) <= v, so
+      // labels[rep1] is a same-component id <= rep1, the hop distance
+      // covered per round doubles, and the tail converges in
+      // O(log diameter) rounds. The fixpoint is unchanged: every
+      // relabel stays inside the component and only decreases, and the
+      // loop still exits only when a full neighbor-min round changes
+      // nothing (the original criterion).
+      val next = (if (round <= PlainRounds) stepped
+        else stepped
+          .join(labels.select(col("doc_id").as("rep1"), col("rep").as("jrep")),
+            Seq("rep1"), "left")
+          .select(col("doc_id"), col("rep0"),
+            least(col("rep1"), coalesce(col("jrep"), col("rep1"))).as("rep1")))
+        .select(col("doc_id"), col("rep1").as("rep"),
+          (col("rep1") < col("rep0")).as("chg"))
         .localCheckpoint()
       changed = next.filter(col("chg")).count()
       // the previous iteration's checkpoint is dead once `changed` is

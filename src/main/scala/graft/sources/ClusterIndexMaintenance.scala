@@ -130,9 +130,17 @@ object ClusterIndexMaintenance {
   }
 
   /** Build all three index tables on the source's CURRENT snapshot,
-    * record the consumed version. Returns it. */
+    * record the consumed version. Returns it.
+    *
+    * `knownEdges`: the snapshot's verified near-dup pair set, when the
+    * caller already holds it at rest or staged (pairs over a doc SET
+    * restrict exactly: band keys are doc-local and verification is
+    * pairwise, so pairs(S) = pairs(corpus) ∩ S×S). The default
+    * recomputes the LSH+verify pass from the snapshot — the price of a
+    * cold create. */
   def createIndex(s: SparkSession, catalog: String, srcIdent: String,
-      labIdent: String, edgeIdent: String, bandIdent: String): Long = {
+      labIdent: String, edgeIdent: String, bandIdent: String,
+      knownEdges: Option[DataFrame] = None): Long = {
     val v0 = ManifestSink.currentVersion(tableRoot(s, catalog, srcIdent))
     s.sql(s"CREATE TABLE $catalog.$bandIdent (band STRING, doc_id BIGINT) " +
       "TBLPROPERTIES ('write.sort-by' = 'band', 'bloom.columns' = 'band')")
@@ -143,7 +151,7 @@ object ClusterIndexMaintenance {
     val snap = s.table(s"$catalog.$srcIdent")
       .select(col("doc_id"), col("text")).localCheckpoint()
     MinHashIndexMaintenance.bandRows(snap).writeTo(s"$catalog.$bandIdent").append()
-    val edges = DedupOps.nearDupPairsOf(snap)._1
+    val edges = knownEdges.getOrElse(DedupOps.nearDupPairsOf(snap)._1)
       .select("doc_a", "doc_b").localCheckpoint()
     edges.writeTo(s"$catalog.$edgeIdent").append()
     DedupOps.labelsFor(snap.select("doc_id"), edges)
