@@ -108,6 +108,15 @@ object Staging {
     * the result for release at the INNERMOST scope's end. */
   def trackCp(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val c = df.localCheckpoint()
+    track(c)
+  }
+
+  /** Register an ALREADY-checkpointed frame with this thread's innermost
+    * scope (no-op when none is open) — for checkpoints built on helper
+    * threads under guide §2.6 job overlap: the worker thread sees no
+    * scope (scopes are thread-local), so the harness thread registers
+    * the joined result itself. */
+  def track(c: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     cpScope.get() match {
       case b :: _ => b += c
       case Nil    => ()

@@ -289,23 +289,40 @@ object PipelineOps {
     // tables between phases).
     "q117_corpus_pipeline" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // Guide §2.6 (overlap independent jobs): the raw-corpus stop-list
+      // collect, the semantic-contamination scan (embeddings only) and
+      // the BPE merge training share NO input with the S1→S3 text chain
+      // — launched here, their jobs back-fill the chain's stragglers
+      // instead of serializing after it. Joined exactly where consumed.
+      val stopsF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        docs.select(explode(tokens(col("text"))).as("t"))
+          .filter(length(col("t")) >= 1)
+          .groupBy("t").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("t")).limit(8)
+          .collect().map(_.getString(0)).toSeq)
+      val sLeaksF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        SimilarityOps.semanticContam(s, Tables.embeddings(s, dir),
+            col("vec_id") % 10 === 0, SimilarityOps.SemContamBp)
+          .select(col("train_id").as("doc_id")).localCheckpoint())
+      val mergesF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        BpeOps.trainedMerges(s, dir).map(m => (m._2, m._3)))
       // S1: line dedup — cleaned text, staged once for its many readers
       val cleaned = graft.engine.Staging.trackCp(DedupOps.cleanedDocs(docs))
       // S2: Gopher pack + repetition rules on cleaned text; the stop
       // list is the raw corpus's top-8 tokens (tiny, deterministic,
       // bounded driver collect — the trainedMerges pattern)
-      val stops = docs
-        .select(explode(tokens(col("text"))).as("t"))
-        .filter(length(col("t")) >= 1)
-        .groupBy("t").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("t")).limit(8)
-        .collect().map(_.getString(0)).toSeq
-      val gKeep = TextOps.gopherRulesWith(cleaned, stops)
-        .filter(col("keep")).select("doc_id")
-      val rKeep = TextOps.repetitionRules(cleaned)
-        .filter(col("keep")).select("doc_id")
-      val gated = graft.engine.Staging.trackCp(
-        cleaned.join(gKeep, "doc_id").join(rKeep, "doc_id"))
+      val stops = stopsF.join()
+      // both gates are per-document verdicts, so the stage is ONE
+      // map-side filter over the cleaned checkpoint (guide §2.4): the
+      // old shape re-scanned `cleaned` twice to build two keep-id
+      // frames and joined them back — two aggregates plus two joins to
+      // express row-local predicates. The boolean kernels also push as
+      // single nodes (a filter on the STATS structs' fields would leave
+      // one stats kernel copy per field reference after pushdown);
+      // ExprPropertySpec pins them against the relational keeps.
+      val gated = graft.engine.Staging.trackCp(cleaned.filter(
+        graft.plans.GopherKeepExpr.gopherKeep(col("text"), stops) &&
+          graft.plans.RepKeepExpr.repKeep(col("text"))))
       // S3: near-dup removal among the gated survivors (cleaned text)
       val losers = DedupOps.nearDupPairsOf(gated, transient = true)._1
         .select(col("doc_b").as("doc_id")).distinct()
@@ -313,12 +330,13 @@ object PipelineOps {
       // S4: decontamination — eval stratum out, verbatim + semantic leaks out
       val train = deduped.filter(col("doc_id") % 5 =!= 0)
       val evalC = cleaned.filter(col("doc_id") % 5 === 0)
-      val vLeaks = graft.engine.Staging.trackCp(
-        DedupOps.verbatimLeakIds(train, evalC))
-      val sLeaks = graft.engine.Staging.trackCp(
-        SimilarityOps.semanticContam(s, Tables.embeddings(s, dir),
-            col("vec_id") % 10 === 0, SimilarityOps.SemContamBp)
-          .select(col("train_id").as("doc_id")))
+      // vLeaks stays LAZY: its one consumer is the surv anti-join, so a
+      // checkpoint here only added a blocking job (the candidate frames
+      // inside verbatimLeakIds are still staged); sLeaks' checkpoint was
+      // built on the §2.6 helper thread — register it with this thread's
+      // transient scope so its blocks free when the query's action ends
+      val vLeaks = DedupOps.verbatimLeakIds(train, evalC)
+      val sLeaks = graft.engine.Staging.track(sLeaksF.join())
       val surv = train.join(vLeaks, Seq("doc_id"), "left_anti")
         .join(sLeaks, Seq("doc_id"), "left_anti")
         // observe(): funnel counters collected DURING the single final
@@ -326,8 +344,7 @@ object PipelineOps {
         // live in the output plan) — PipelineObservabilitySpec reconciles
         .observe("pipeline_decontam", count(lit(1)).as("docs_surviving"))
       // S5: BPE sequence packing under the raw-corpus merge table
-      PipelineOps.packedSpansOf(surv,
-          BpeOps.trainedMerges(s, dir).map(m => (m._2, m._3)))
+      PipelineOps.packedSpansOf(surv, mergesF.join())
         .observe("pipeline_pack",
           count(lit(1)).as("span_rows"),
           sum(col("tok")).as("tokens_packed"))

@@ -389,37 +389,61 @@ object ScriptDedupOps {
       val docs = Tables.documents(s, dir)
       val mixed = TextOps.scriptMixed(docs)
         .withColumn("script", TextOps.scriptOf(col("text")))
+      // Guide §2.6 (overlap independent jobs): the two stop-list
+      // collects (raw mixed corpus), the semantic-contamination scan
+      // (embeddings only) and the BPE merge training share no input
+      // with the S1→S3 text chain — launched here, their jobs back-fill
+      // the chain's stragglers instead of serializing after it.
+      val lstopsF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        mixed.filter(col("script") === "latin")
+          .select(explode(tokens(col("text"))).as("t"))
+          .filter(length(col("t")) >= 1)
+          .groupBy("t").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("t")).limit(8)
+          .collect().map(_.getString(0)).toSeq)
+      val cstopsF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        mixed.filter(col("script") === "cjk")
+          .select(explode(graft.plans.CharNgramsExpr.charNgrams(col("text"), 2))
+            .as("t"))
+          .groupBy("t").agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("t")).limit(8)
+          .collect().map(_.getString(0)).toSeq)
+      val sLeaksF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        SimilarityOps.semanticContam(s, Tables.embeddings(s, dir),
+            col("vec_id") % 10 === 0, SimilarityOps.SemContamBp)
+          .select(col("train_id").as("doc_id")).localCheckpoint())
+      val mergesF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        BpeOps.trainedMerges(s, dir).map(m => (m._2, m._3)))
       // S1: script-aware line clean, staged once for its many readers
       val cleaned = graft.engine.Staging.trackCp(scriptCleanedDocs(mixed))
       // S2: per-script stop lists from the raw mixed corpus (tiny,
       // deterministic, bounded driver collects — the trainedMerges
-      // pattern), then per-script gates
-      val lstops = mixed.filter(col("script") === "latin")
-        .select(explode(tokens(col("text"))).as("t"))
-        .filter(length(col("t")) >= 1)
-        .groupBy("t").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("t")).limit(8)
-        .collect().map(_.getString(0)).toSeq
-      val cstops = mixed.filter(col("script") === "cjk")
-        .select(explode(graft.plans.CharNgramsExpr.charNgrams(col("text"), 2))
-          .as("t"))
-        .groupBy("t").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("t")).limit(8)
-        .collect().map(_.getString(0)).toSeq
-      val lat = cleaned.filter(col("script") === "latin")
-      val gKeep = TextOps.gopherRulesWith(lat, lstops)
-        .filter(col("keep")).select("doc_id")
-      val rKeep = TextOps.repetitionRules(lat)
-        .filter(col("keep")).select("doc_id")
-      val keepIds = gKeep.join(rKeep, "doc_id")
-        .union(cjkGateIds(cleaned.filter(col("script") === "cjk"), cstops))
-      val gated = graft.engine.Staging.trackCp(cleaned.join(keepIds, "doc_id"))
+      // pattern), then per-script gates. Every gate is a per-document
+      // verdict, so the stage is ONE map-side filter over the cleaned
+      // checkpoint (guide §2.4): the old shape re-scanned `cleaned`
+      // three times (two latin keep-id frames, one cjk id frame) and
+      // joined the union back. The boolean kernels push as single nodes
+      // (a filter on the stats structs' fields leaves one stats-kernel
+      // copy per field reference after pushdown); ExprPropertySpec pins
+      // each against its relational keep.
+      val lstops = lstopsF.join()
+      val cstops = cstopsF.join()
+      val gated = graft.engine.Staging.trackCp(cleaned.filter(
+        when(col("script") === "cjk",
+          graft.plans.CjkGateKeepExpr.cjkGateKeep(col("text"), cstops))
+          .otherwise(
+            graft.plans.GopherKeepExpr.gopherKeep(col("text"), lstops) &&
+              graft.plans.RepKeepExpr.repKeep(col("text")))))
       // S3: script-aware near-dup removal among the gated survivors
       val losers = scriptNearDupPairs(gated.select("doc_id", "text"))
         .select(col("doc_b").as("doc_id")).distinct()
       val deduped = gated.join(losers, Seq("doc_id"), "left_anti")
       // S4: decontamination — eval stratum out, per-script verbatim
-      // leaks out, semantic leaks out
+      // leaks out, semantic leaks out. vLeaks stays LAZY (one consumer:
+      // the surv anti-join — the candidate frames inside both leak
+      // helpers are still staged); sLeaks' checkpoint was built on the
+      // §2.6 helper thread — register it with this thread's transient
+      // scope so its blocks free when the query's action ends.
       val train = deduped.filter(col("doc_id") % 5 =!= 0)
       val evalC = cleaned.filter(col("doc_id") % 5 === 0)
       val vLat = DedupOps.verbatimLeakIds(
@@ -428,16 +452,12 @@ object ScriptDedupOps {
       val vCjk = cjkVerbatimLeakIds(
         train.filter(col("script") === "cjk").select("doc_id", "text"),
         evalC.filter(col("script") === "cjk").select("doc_id", "text"))
-      val vLeaks = graft.engine.Staging.trackCp(vLat.union(vCjk).distinct())
-      val sLeaks = graft.engine.Staging.trackCp(
-        SimilarityOps.semanticContam(s, Tables.embeddings(s, dir),
-            col("vec_id") % 10 === 0, SimilarityOps.SemContamBp)
-          .select(col("train_id").as("doc_id")))
+      val vLeaks = vLat.union(vCjk).distinct()
+      val sLeaks = graft.engine.Staging.track(sLeaksF.join())
       val surv = train.join(vLeaks, Seq("doc_id"), "left_anti")
         .join(sLeaks, Seq("doc_id"), "left_anti")
       // S5: script-aware packing under the raw-corpus merge table
-      scriptPackedSpans(surv,
-          BpeOps.trainedMerges(s, dir).map(m => (m._2, m._3)))
+      scriptPackedSpans(surv, mergesF.join())
         .groupBy("stratum", "seq_id")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("tok")).as("n_tokens"),

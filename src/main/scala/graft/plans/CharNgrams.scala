@@ -94,6 +94,89 @@ object CharNgramsExpr {
     GraftBridge.column(CharNgramsExpr(GraftBridge.expression(text), n, distinct = true))
 }
 
+/** The q221 space-free-stratum KEEP verdict of one document as a single
+  * boolean kernel — ScriptDedupOps.cjkGateIds' three rules (codepoint-
+  * bigram token floor/ceiling, q217 duplicate-token ceiling, localized
+  * stopword evidence) computed in one codepoint walk. Same rationale as
+  * GopherKeepExpr: a filter on the bigram array's derived statistics
+  * re-materializes the array per reference under predicate pushdown; a
+  * boolean kernel pushes as one node and walks the text once.
+  * ExprPropertySpec pins keep == cjkGateIds membership row-for-row.
+  *
+  * Rule restatement (the relational twin, with bg = charNgrams(text,2)):
+  * n_tok = |bg|, n_uniq = |distinct bg|, stop_hits = |distinct bg ∩
+  * stops|; keep = 50 <= n_tok <= 100000 AND (n_tok - n_uniq) * 10000
+  * div n_tok <= 6000 AND stop_hits >= 2 (the twin's n_tok = 0 case
+  * nulls its division and the filter drops the row; the short-circuit
+  * here agrees).
+  *
+  * Null contract: null text -> null. */
+case class CjkGateKeepExpr(child: Expression, stops: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "cjk_gate_keep"
+  override def nullable: Boolean = true
+
+  @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String]()
+    stops.foreach(x => s.add(UTF8String.fromString(x)))
+    s
+  }
+
+  /** Shared scalar kernel (also called from generated code). */
+  def computeKeep(text: UTF8String): Boolean = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    var nCp = 0
+    var i = 0
+    while (i < len) { if ((bytes(i) & 0xC0) != 0x80) nCp += 1; i += 1 }
+    if (nCp < 2) return false // no bigrams: n_tok = 0 fails the floor
+    val starts = new Array[Int](nCp + 1)
+    var k = 0
+    i = 0
+    while (i < len) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(k) = i; k += 1 }
+      i += 1
+    }
+    starts(nCp) = len
+    val nTok = (nCp - 1).toLong
+    if (nTok < 50L || nTok > 100000L) return false
+    val seen = new java.util.HashSet[UTF8String]()
+    var stopHits = 0L
+    var s = 0
+    while (s < nCp - 1) {
+      val from = starts(s)
+      val until = starts(s + 2)
+      val slice = new Array[Byte](until - from)
+      System.arraycopy(bytes, from, slice, 0, until - from)
+      val g = UTF8String.fromBytes(slice)
+      if (seen.add(g) && stopSet.contains(g)) stopHits += 1
+      s += 1
+    }
+    val nUniq = seen.size.toLong
+    (nTok - nUniq) * 10000L / nTok <= 6000L && stopHits >= 2L
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeKeep(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("cjkGateKeep", this, classOf[CjkGateKeepExpr].getName)
+      s"${ev.value} = $self.computeKeep($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CjkGateKeepExpr =
+    copy(child = newChild)
+}
+
+object CjkGateKeepExpr {
+  /** Column-API entry point: `cjkGateKeep(text, stops)`. */
+  def cjkGateKeep(text: Column, stops: Seq[String]): Column =
+    GraftBridge.column(CjkGateKeepExpr(GraftBridge.expression(text), stops))
+}
+
 /** DISTINCT xxhash64 values of a document's codepoint n-grams — the
   * candidate-generation half of CJK verbatim-leak detection fused into
   * one pass. The unfused form (`explode(charNgramsDistinct(text, n))`

@@ -147,3 +147,59 @@ object GopherStatsExpr {
   def gopherStats(text: Column, stops: Seq[String]): Column =
     GraftBridge.column(GopherStatsExpr(GraftBridge.expression(text), stops))
 }
+
+/** The q186 Gopher KEEP verdict of one document as a single boolean
+  * kernel — gopherRulesWith's six threshold rules applied to
+  * [[GopherStatsExpr]]'s statistics inside the row. Exists because a
+  * FILTER on fields of the struct kernel gets its alias substituted by
+  * predicate pushdown, leaving one kernel copy per field reference
+  * (~13 byte passes per row); a boolean expression pushes as one node
+  * and runs the stats pass exactly once. The thresholds restate
+  * gopherRulesWith's columns verbatim; ExprPropertySpec pins
+  * keep == gopherRulesWith(...).keep row-for-row.
+  *
+  * Null contract: null text -> null (the filter drops it, exactly as
+  * the struct form's null-propagating booleans did). */
+case class GopherKeepExpr(child: Expression, stops: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "gopher_keep"
+  override def nullable: Boolean = true
+
+  @transient private lazy val stats = GopherStatsExpr(child, stops)
+
+  /** Shared scalar kernel (also called from generated code). */
+  def computeKeep(text: UTF8String): Boolean = {
+    val r = stats.compute(text).asInstanceOf[InternalRow]
+    val nWords = r.getLong(0); val sumLen = r.getLong(1)
+    val nHash = r.getLong(2); val nEllipsis = r.getLong(3)
+    val bulletLines = r.getLong(4); val nLines = r.getLong(5)
+    val ellipsisLines = r.getLong(6); val alphaWords = r.getLong(7)
+    val stopHits = r.getLong(8)
+    nWords >= 50 && nWords <= 100000 &&
+      sumLen >= nWords * 3 && sumLen <= nWords * 10 &&
+      (nHash + nEllipsis) * 10 <= nWords &&
+      bulletLines * 10 <= nLines * 9 && ellipsisLines * 10 <= nLines * 3 &&
+      alphaWords * 5 >= nWords * 4 &&
+      stopHits >= 2
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeKeep(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("gopherKeep", this, classOf[GopherKeepExpr].getName)
+      s"${ev.value} = $self.computeKeep($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GopherKeepExpr =
+    copy(child = newChild)
+}
+
+object GopherKeepExpr {
+  /** Column-API entry point: `gopherKeep(text, stops)`. */
+  def gopherKeep(text: Column, stops: Seq[String]): Column =
+    GraftBridge.column(GopherKeepExpr(GraftBridge.expression(text), stops))
+}

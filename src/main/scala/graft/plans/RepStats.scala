@@ -122,3 +122,51 @@ object RepStatsExpr {
   def repStats(text: Column): Column =
     GraftBridge.column(RepStatsExpr(GraftBridge.expression(text)))
 }
+
+/** The q200 repetition KEEP verdict of one document as a single boolean
+  * kernel — repetitionRules' four basis-point thresholds applied to
+  * [[RepStatsExpr]]'s statistics inside the row (n_chars = codepoint
+  * length, the `length(text)` the relational form divided by). Same
+  * rationale as GopherKeepExpr: a filter on struct fields duplicates
+  * the stats kernel per field reference under predicate pushdown; a
+  * boolean kernel pushes as one node and runs the gram pass once.
+  * ExprPropertySpec pins keep == repetitionRules(...).keep row-for-row.
+  *
+  * Null contract: null text -> null. */
+case class RepKeepExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "rep_keep"
+  override def nullable: Boolean = true
+
+  @transient private lazy val stats = RepStatsExpr(child)
+
+  /** Shared scalar kernel (also called from generated code). */
+  def computeKeep(text: UTF8String): Boolean = {
+    val r = stats.compute(text).asInstanceOf[InternalRow]
+    val nChars = text.numChars().toLong
+    // the relational twin: CASE WHEN n_chars > 0 THEN x*10000 div n_chars
+    // ELSE 0 END — all operands non-negative, so Java / == div
+    def bp(x: Long): Long = if (nChars > 0) x * 10000L / nChars else 0L
+    bp(r.getLong(0)) <= 2000L && bp(r.getLong(1)) <= 1800L &&
+      bp(r.getLong(2)) <= 1600L && bp(r.getLong(3)) <= 1000L
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeKeep(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val self = ctx.addReferenceObj("repKeep", this, classOf[RepKeepExpr].getName)
+      s"${ev.value} = $self.computeKeep($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RepKeepExpr =
+    copy(child = newChild)
+}
+
+object RepKeepExpr {
+  /** Column-API entry point: `repKeep(text)`. */
+  def repKeep(text: Column): Column =
+    GraftBridge.column(RepKeepExpr(GraftBridge.expression(text)))
+}

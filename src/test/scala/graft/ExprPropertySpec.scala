@@ -278,4 +278,60 @@ class ExprPropertySpec extends AnyFunSuite {
       .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0).toSeq).toSeq
     assert(edge == Seq(Seq(), Seq(), null))
   }
+
+  test("keep kernels equal their relational gate twins (gopher, repetition, cjk)") {
+    import spark.implicits._
+    val stops = Seq("the", "and", "of")
+    // docs that actually CROSS the gates' floors (>= 50 words / 50
+    // bigrams), pass AND fail each rule, plus the arbitrary short corpus
+    // (false == false is still a pinned case)
+    val longDocs = Seq(
+      "the and of " + (1 to 60).map(i => s"word$i").mkString(" "), // passes all
+      ("the and " + "spam " * 80).trim,                            // repetitive
+      "the and " + (1 to 60).map(_ => "####x").mkString(" "),      // symbol-heavy
+      ("the quick brown fox and the lazy dog jumps over walls " * 8).trim,
+      (0 until 120).map(i => (0x4E00 + i).toChar).mkString,        // cjk, unique bigrams
+      "日本語のテキスト" * 20,                                      // cjk, repetitive
+      "abcdefghij" * 12
+    ).zipWithIndex.map { case (t, i) => (10000L + i, t) }
+    val docs = corpus.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .unionByName(longDocs.toDF("doc_id", "text"))
+    // gopher: boolean kernel == the nine-column relational keep
+    val gRel = graft.operators.TextOps.gopherRulesWith(docs, stops)
+      .select(col("doc_id"), col("keep").as("rel"))
+    val gNat = docs.select(col("doc_id"),
+      graft.plans.GopherKeepExpr.gopherKeep(col("text"), stops).as("nat"))
+    assert(gRel.join(gNat, "doc_id").filter(col("rel") =!= col("nat")).count() == 0,
+      "gopher keep kernel diverged from gopherRulesWith")
+    assert(gNat.filter(col("nat")).count() >= 1, "no doc passes the gopher gate")
+    // repetition: boolean kernel == repetitionRules' keep
+    val rRel = graft.operators.TextOps.repetitionRules(docs)
+      .select(col("doc_id"), col("keep").as("rel"))
+    val rNat = docs.select(col("doc_id"),
+      graft.plans.RepKeepExpr.repKeep(col("text")).as("nat"))
+    val rBoth = rRel.join(rNat, "doc_id")
+    assert(rBoth.filter(col("rel") =!= col("nat")).count() == 0,
+      "repetition keep kernel diverged from repetitionRules")
+    assert(rBoth.filter(col("rel") && !col("nat")).count() == 0 &&
+      rNat.filter(col("nat")).count() >= 1 && rNat.filter(!col("nat")).count() >= 1)
+    // cjk gate: boolean kernel == cjkGateIds MEMBERSHIP
+    val cstops = Seq("一丁", "丁丂", "日本")
+    val cRelIds = graft.operators.ScriptDedupOps.cjkGateIds(docs, cstops)
+      .withColumn("rel", lit(true))
+    val cBoth = docs.select(col("doc_id"),
+        graft.plans.CjkGateKeepExpr.cjkGateKeep(col("text"), cstops).as("nat"))
+      .join(cRelIds, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("nat"), lit(false)).as("nat"),
+        coalesce(col("rel"), lit(false)).as("rel"))
+    assert(cBoth.filter(col("rel") =!= col("nat")).count() == 0,
+      "cjk gate keep kernel diverged from cjkGateIds membership")
+    assert(cBoth.filter(col("nat")).count() >= 1, "no doc passes the cjk gate")
+    // null text -> null (filter-drop), all three kernels
+    val n = Seq((1L, None: Option[String])).toDF("doc_id", "text")
+      .select(graft.plans.GopherKeepExpr.gopherKeep(col("text"), stops).as("g"),
+        graft.plans.RepKeepExpr.repKeep(col("text")).as("r"),
+        graft.plans.CjkGateKeepExpr.cjkGateKeep(col("text"), cstops).as("c"))
+      .collect().head
+    assert(n.isNullAt(0) && n.isNullAt(1) && n.isNullAt(2))
+  }
 }
