@@ -946,6 +946,12 @@ object DedupOps {
         "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       docs.filter(col("doc_id") % 10 <= 4).writeTo(s"graft.$src").append()
+      // the bridge-chain fixture reads only the staged pair table and
+      // `documents` — independent of the index create, so its jobs
+      // overlap the create's (guide §2.6); joined before the arrival-2
+      // append that consumes it
+      val chainF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        bridgeChainDocs(s, dir))
       // the arrival-1 snapshot's verified pair set is the session-staged
       // full-corpus pair table restricted to arrival-1 ids (band keys
       // are doc-local, verification pairwise, so pairs restrict
@@ -956,7 +962,7 @@ object DedupOps {
         .select("doc_a", "doc_b")
       graft.sources.ClusterIndexMaintenance.createIndex(s, "graft", src, lab,
         edg, bnd, knownEdges = Some(arrival1Edges))
-      val chain = bridgeChainDocs(s, dir)
+      val chain = chainF.join()
       val chainDf = {
         import s.implicits._
         chain.toDF("doc_id", "text")

@@ -350,10 +350,16 @@ object ScriptDedupOps {
     // re-read per consumer); this shape — see OPTIMIZATION_r16.md.
     "q220_script_setsim" -> ((s, dir) => {
       val mixed = TextOps.scriptMixed(Tables.documents(s, dir))
-      val cCanon = graft.engine.Staging.trackCp(
-        scriptCanon(mixed.filter(col("doc_id") % 10 =!= 7)))
-      val bCanon = graft.engine.Staging.trackCp(
-        scriptCanon(mixed.filter(col("doc_id") % 10 === 7)))
+      // §2.6: the two canon checkpoints are independent (disjoint
+      // strata of the same scan) — build them concurrently so the
+      // small batch-side exchange back-fills the corpus-side job's
+      // tail; both register with THIS thread's transient scope
+      val cCanonF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        scriptCanon(mixed.filter(col("doc_id") % 10 =!= 7)).localCheckpoint())
+      val bCanonF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        scriptCanon(mixed.filter(col("doc_id") % 10 === 7)).localCheckpoint())
+      val cCanon = graft.engine.Staging.track(cCanonF.join())
+      val bCanon = graft.engine.Staging.track(bCanonF.join())
       val ctk = scriptSetSimTk(cCanon)
       val dfreq = ctk.groupBy("token").agg(count(lit(1)).as("df"))
       val btk = scriptSetSimTk(bCanon)
