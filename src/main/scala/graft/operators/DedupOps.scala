@@ -1369,6 +1369,13 @@ object DedupOps {
       labels = next.select("doc_id", "rep")
     }
     edges.unpersist()
+    // the FINAL round's checkpoint previously leaked until the
+    // ContextCleaner noticed; register it with the harness's transient
+    // scope (no-op outside one) so it frees when the consuming query's
+    // action ends. cpRoot is the checkpoint ROOT — the frame
+    // freeCheckpoint must see — so callers that re-checkpoint the
+    // returned view purely for lifecycle tracking can stop doing so.
+    graft.engine.Staging.track(cpRoot)
     labels
   }
 
@@ -1476,8 +1483,11 @@ object DedupOps {
       .join(l0.select(col("doc_id").as("doc_b"), col("rep").as("rep_b")), "doc_b")
       .filter(col("rep_a") =!= col("rep_b"))
       .select("rep_a", "rep_b").distinct()
-    val mergeMap = graft.engine.Staging.trackCp(
-      propagateMin(repEdges).toDF("rep", "nrep"))
+    // no re-checkpoint: propagateMin's result IS the loop's final
+    // materialized checkpoint (and now registers itself with the
+    // transient scope) — wrapping it in trackCp only added a blocking
+    // copy job of the touched-rep map
+    val mergeMap = propagateMin(repEdges).toDF("rep", "nrep")
     val labels = l0.join(mergeMap, Seq("rep"), "left")
       .select(col("doc_id"), coalesce(col("nrep"), col("rep")).as("rep"))
     (labels, mergeMap, newEdges)
