@@ -1350,6 +1350,13 @@ object DedupOps {
       // relabel stays inside the component and only decreases, and the
       // loop still exits only when a full neighbor-min round changes
       // nothing (the original criterion).
+      // the changed-row count rides the checkpoint's own job as an
+      // observe() metric — the separate filter(chg).count() job per
+      // round was pure scheduling latency on already-materialized
+      // blocks (1 job/round instead of 2; rounds × every propagateMin
+      // caller: q77/q150/q161/q210/q213 and all four maintained-index
+      // loop invocations)
+      val obs = new org.apache.spark.sql.Observation()
       val next = (if (round <= PlainRounds) stepped
         else stepped
           .join(labels.select(col("doc_id").as("rep1"), col("rep").as("jrep")),
@@ -1358,8 +1365,9 @@ object DedupOps {
             least(col("rep1"), coalesce(col("jrep"), col("rep1"))).as("rep1")))
         .select(col("doc_id"), col("rep1").as("rep"),
           (col("rep1") < col("rep0")).as("chg"))
+        .observe(obs, count(when(col("chg"), 1)).as("n_changed"))
         .localCheckpoint()
-      changed = next.filter(col("chg")).count()
+      changed = obs.get("n_changed").asInstanceOf[Long]
       // the previous iteration's checkpoint is dead once `changed` is
       // counted — free it now instead of waiting for the ContextCleaner
       // (an iterative loop otherwise accumulates one resident copy of

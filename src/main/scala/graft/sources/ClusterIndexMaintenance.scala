@@ -87,23 +87,26 @@ object ClusterIndexMaintenance {
       .props.getOrElse(SourceVersionProp, "0").toLong
 
   /** Verified near-dup edges (exact Jaccard ≥ 0.5) between `probe` docs
-    * and (`probe` ∪ band-table) docs, texts for the standing side
-    * fetched candidate-bounded from `standingDocs`. Pairs are oriented
-    * (doc_a < doc_b) and distinct. */
+    * and band-table docs, texts for the standing side fetched
+    * candidate-bounded from `standingDocs`. Pairs are oriented
+    * (doc_a < doc_b) and distinct.
+    *
+    * CONTRACT: the probe's own band rows must already be IN the band
+    * table (applyWindowCdc appends them in step 1 — and the scrub path
+    * re-appends before re-entering). The probe×table join then yields
+    * the probe×probe candidates too (both endpoints are table rows, the
+    * least/greatest orientation folds the two occurrences), so the
+    * probe×probe self-join the earlier shape unioned in produced ONLY
+    * duplicates for its one caller — a second join plus double the
+    * distinct's input for nothing. */
   private def newEdgesOf(s: SparkSession, probe: DataFrame,
       standingDocs: DataFrame, bandIdent: String): DataFrame = {
     val pBands = MinHashIndexMaintenance.bandRows(probe).localCheckpoint()
-    // probe×standing: the at-rest band table (which may already contain
-    // the probe's own freshly-appended rows — the self-pairs that
-    // produces are the probe×probe candidates, distinct() folds them)
     val cand = pBands.as("a")
       .join(s.table(bandIdent).as("b"), col("a.band") === col("b.band"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .union(pBands.as("a").join(pBands.as("b"),
-          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")))
       .distinct().localCheckpoint()
     val candIds = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
